@@ -1,0 +1,90 @@
+"""Fixture-table catalog: parquet → DataFrame with canonical types.
+
+All ten fixture tables (FIXTURES.md) load through here so that every
+operator sees the same canonical schema regardless of which SparkSession
+(ours or the driver's) is in play.
+
+The one physical quirk: ``events.ts`` is parquet TIMESTAMP(NANOS), which
+Spark 4 refuses to read natively. We flip the runtime conf
+``spark.sql.legacy.parquet.nanosAsLong`` (nanos arrive as LongType) and
+rebuild a ``timestamp_ntz`` column by integer-dividing to microseconds —
+identical truncation to what DuckDB's nanos→µs read does, so oracle
+comparisons line up exactly. ``o_orderdate``/``l_shipdate`` are already
+µs TIMESTAMP_NTZ and load natively.
+
+Everything here is a metadata-only operation (conf set + column cast);
+no data moves through the driver, so it is scale-independent.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Tables small enough to broadcast in any realistic deployment (dim tables).
+BROADCAST_TABLES = {"region", "nation"}
+
+_RUNTIME_CONFS = {
+    # events.ts is TIMESTAMP(NANOS); read as long + convert (see module doc).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Oracle (DuckDB) treats naive timestamps as-is; pin UTC so
+    # ntz<->ltz conversions and epoch math are tz-independent.
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime partition coalescing + skew-join splitting — the
+    # mechanism that keeps these plans healthy at 100 TB.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas-UDF path and fast toPandas.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_confs(spark: SparkSession) -> None:
+    """Apply runtime-settable confs the engine depends on.
+
+    Safe to call repeatedly; called by every table load so driver-owned
+    sessions get the right behavior too.
+    """
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Conf not recognized/settable in this build — queries that
+            # depend on it will surface a clear error instead.
+            pass
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table with canonical column types."""
+    ensure_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanos-as-long → µs-truncated TIMESTAMP_NTZ (matches DuckDB's read).
+        df = df.withColumn(
+            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+        )
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, suffix: str = "") -> None:
+    """Register all fixture tables as temp views (for spark.sql entry point)."""
+    for t in TABLES:
+        table(spark, sf_dir, t).createOrReplaceTempView(t + suffix)

@@ -1,0 +1,42 @@
+"""Helpers shared by operator modules: oracle-parity numeric discipline.
+
+Why DECIMAL sums: double summation is order-dependent; Spark's partition
+order differs from DuckDB's, and on ~1e9-magnitude totals the drift can
+exceed the 1e-6 rounding grain the driver hashes at. Summing through
+DECIMAL(38,6) is exact and order-independent, then one cast back to
+DOUBLE yields bit-identical values on both engines.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from ..catalog import table
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return table(spark, sf_dir, name)
+
+
+def dsum(col: Column) -> Column:
+    """Exact, order-independent sum of a double column (→ double)."""
+    return F.sum(col.cast("decimal(38,6)")).cast("double")
+
+
+def DSUM(expr: str) -> str:
+    """DuckDB twin of :func:`dsum`."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE)"
+
+
+def r6(col: Column) -> Column:
+    return F.round(col, 6)
+
+
+def scratch_dir(name: str) -> str:
+    """Writable scratch area for sinks/checkpoints (gitignored)."""
+    d = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch", name)
+    os.makedirs(d, exist_ok=True)
+    return d

@@ -1,0 +1,211 @@
+"""§2.D — aggregation surface.
+
+Per-client_id feature rollups were the reference's core operation
+[SURVEY.md §2.D, unverified]. Spark's hash aggregate is two-phase
+(map-side partial + final after one shuffle on the grouping key), which is
+exactly the 100 TB-safe shape; AQE coalesces the post-shuffle partitions.
+Money-style sums go through DECIMAL(38,6) for order-independent equality
+with the oracle (see operators/_shared.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ..registry import register
+from ._shared import DSUM, dsum, t
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "agg_group",
+    oracle=f"""
+SELECT user_id, event_type, COUNT(*) AS n_events,
+       ROUND({DSUM("value")}, 6) AS sum_value,
+       ROUND({DSUM("value")} / COUNT(value), 6) AS avg_value,
+       MIN(ts) AS first_ts, MAX(ts) AS last_ts
+FROM events GROUP BY user_id, event_type
+""",
+)
+def agg_group(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    sum_dec = dsum(F.col("value"))
+    return ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(sum_dec, 6).alias("sum_value"),
+        F.round(sum_dec / F.count("value"), 6).alias("avg_value"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+@register(
+    "agg_global",
+    oracle=f"""
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_orderkey) AS n_orders,
+       ROUND({DSUM("l_quantity")}, 6) AS sum_qty,
+       ROUND(MIN(l_extendedprice), 6) AS min_price,
+       ROUND(MAX(l_extendedprice), 6) AS max_price
+FROM lineitem
+""",
+)
+def agg_global(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.round(dsum(F.col("l_quantity")), 6).alias("sum_qty"),
+        F.round(F.min("l_extendedprice"), 6).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 6).alias("max_price"),
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events GROUP BY event_type
+""",
+)
+def agg_distinct(spark, sf_dir):
+    """Distinct aggregate — Spark expands to a two-level aggregate
+    (distinct keys first, then count), both phases partial-aggregated."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"), F.count("*").alias("n_events"))
+    )
+
+
+@register("agg_approx_distinct")  # rows-only: HLL++ sketch differs per engine (±5% tested)
+def agg_approx_distinct(spark, sf_dir):
+    """HLL++ approximate distinct — the 100 TB cardinality answer: fixed
+    sketch memory instead of a distinct shuffle of every key."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+        )
+    )
+
+
+@register(
+    "agg_pivot",
+    oracle=f"""
+SELECT user_id,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click_n,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error_n,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase_n,
+       COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup_n,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view_n,
+       ROUND(COALESCE({DSUM("CASE WHEN event_type = 'purchase' THEN value END")}, 0), 6) AS purchase_value
+FROM events GROUP BY user_id
+""",
+)
+def agg_pivot(spark, sf_dir):
+    """Pivot with an explicit value list (deterministic columns; an
+    unlisted pivot would need an extra distinct pass over 100 TB)."""
+    ev = t(spark, sf_dir, "events")
+    pivoted = (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.coalesce(dsum(F.col("value")), F.lit(0.0)), 6).alias("v"))
+    )
+    cols = [F.col("user_id")]
+    cols += [F.coalesce(F.col(f"{et}_n"), F.lit(0)).alias(f"{et}_n") for et in EVENT_TYPES]
+    cols += [F.coalesce(F.col("purchase_v"), F.lit(0.0)).alias("purchase_value")]
+    return pivoted.select(*cols)
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+SELECT r.r_name, n.n_name, COUNT(*) AS n_customers,
+       GROUPING(r.r_name, n.n_name) AS gid
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP(r.r_name, n.n_name)
+""",
+)
+def agg_rollup(spark, sf_dir):
+    """Hierarchical subtotals region→nation→grand-total with the
+    GROUPING bitmask distinguishing subtotal levels."""
+    c = t(spark, sf_dir, "customer")
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    r = F.broadcast(t(spark, sf_dir, "region"))
+    joined = c.join(n, c.c_nationkey == n.n_nationkey).join(r, n.n_regionkey == r.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(
+        F.count("*").alias("n_customers"),
+        (F.grouping("r_name") * 2 + F.grouping("n_name")).cast("bigint").alias("gid"),
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+SELECT o_custkey, COUNT(*) AS n_orders
+FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 5
+""",
+)
+def agg_having(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 5)
+    )
+
+
+@register(
+    "agg_collect",
+    oracle="""
+SELECT user_id,
+       array_to_string(list(event_type ORDER BY event_type), ',') AS event_types,
+       COUNT(*) AS n_types
+FROM (SELECT DISTINCT user_id, event_type FROM events)
+GROUP BY user_id
+""",
+)
+def agg_collect(spark, sf_dir):
+    """Array aggregation; sorted + joined to a string so the comparison is
+    deterministic (collect order is partition-dependent by design)."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("event_types"),
+            F.size(F.collect_set("event_type")).cast("bigint").alias("n_types"),
+        )
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+SELECT event_type,
+       ROUND(STDDEV_SAMP(value), 6) AS sd_value,
+       ROUND(VAR_SAMP(value), 6) AS var_value,
+       ROUND(COVAR_SAMP(value, CAST(user_id AS DOUBLE)), 6) AS covar_vu,
+       ROUND(CORR(value, CAST(user_id AS DOUBLE)), 6) AS corr_vu,
+       ROUND(MEDIAN(value), 6) AS median_value
+FROM events GROUP BY event_type
+""",
+)
+def agg_stats(spark, sf_dir):
+    """Statistical aggregates. median uses Spark's *exact* interpolated
+    percentile (matches DuckDB MEDIAN); percentile_approx is exercised in
+    agg_approx_distinct-style rows-only ops where sketches can't match."""
+    ev = t(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 6).alias("sd_value"),
+        F.round(F.var_samp("value"), 6).alias("var_value"),
+        F.round(F.covar_samp(F.col("value"), uid), 6).alias("covar_vu"),
+        F.round(F.corr(F.col("value"), uid), 6).alias("corr_vu"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("median_value"),
+    )

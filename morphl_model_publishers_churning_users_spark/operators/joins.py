@@ -1,0 +1,244 @@
+"""§2.C — join surface.
+
+Scale notes (the part that matters at 100 TB):
+  * fact⋈fact equi-joins shuffle on the key — AQE picks SMJ/shuffled-hash
+    and splits skewed partitions;
+  * dim tables (region/nation/customer at TPC-H ratios) are broadcast
+    explicitly so the fact side never shuffles;
+  * the as-of join is implemented with the union+sort+last_value pattern
+    (single shuffle on user_id) rather than a range join + dedup, which
+    would blow up quadratically inside hot keys;
+  * the range/band join broadcasts the tiny band table (BNLJ with a
+    broadcast side, not a cartesian shuffle).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from ..registry import register
+from ._shared import DSUM, t
+
+
+@register(
+    "join_inner_hash",
+    oracle="""
+SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+)
+def join_inner_hash(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+SELECT c.c_custkey, c.c_name, o.o_orderkey
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+""",
+)
+def join_left_outer(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, o.o_custkey == c.c_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey"
+    )
+
+
+@register(
+    "join_broadcast",
+    oracle="""
+SELECT c.c_custkey, n.n_name, r.r_name
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+""",
+)
+def join_broadcast(spark, sf_dir):
+    """Dim-table joins with explicit broadcast — zero shuffle of the
+    customer side regardless of its size."""
+    c = t(spark, sf_dir, "customer")
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    r = F.broadcast(t(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def join_semi(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+""",
+)
+def join_anti(spark, sf_dir):
+    """The churn-candidate set: customers with no events at all — the
+    reference's churn definition is a recency threshold, and anti-join is
+    its degenerate 'never active' case."""
+    c = t(spark, sf_dir, "customer")
+    e = t(spark, sf_dir, "events")
+    return c.join(e, c.c_custkey == e.user_id, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "join_range",
+    oracle="""
+SELECT p.p_partkey, p.p_size, b.band
+FROM part p
+JOIN (VALUES ('small', 1, 10), ('medium', 11, 25), ('large', 26, 50)) b(band, lo, hi)
+  ON p.p_size BETWEEN b.lo AND b.hi
+""",
+)
+def join_range(spark, sf_dir):
+    """Non-equi (band) join: broadcast nested-loop with a 3-row side —
+    the fact table streams through untouched."""
+    p = t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("small", 1, 10), ("medium", 11, 25), ("large", 26, 50)], ["band", "lo", "hi"]
+    )
+    cond = (p.p_size >= bands.lo) & (p.p_size <= bands.hi)
+    return p.join(F.broadcast(bands), cond).select("p_partkey", "p_size", "band")
+
+
+@register(
+    "join_asof",
+    oracle="""
+WITH clicks AS (
+    SELECT user_id, ts, MAX(event_id) AS click_id
+    FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+), purchases AS (
+    SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+)
+SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+       c.click_id, c.ts AS click_ts
+FROM purchases p ASOF JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+)
+def join_asof(spark, sf_dir):
+    """As-of join (latest click at-or-before each purchase, per user).
+
+    Spark has no native ASOF: the scalable formulation is union the two
+    streams, sort within user, and carry the last click forward with
+    last_value(ignoreNulls). One shuffle on user_id, linear state — no
+    range-join blowup on hot users. Clicks are pre-deduped per (user, ts)
+    keeping max event_id so ties resolve identically to DuckDB's ASOF.
+    """
+    ev = t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .select("user_id", "ts", F.lit(0).alias("kind"), "click_id",
+                F.lit(None).cast("bigint").alias("purchase_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("kind"),
+        F.lit(None).cast("bigint").alias("click_id"), F.col("event_id").alias("purchase_id"),
+    )
+    # kind=0 sorts before kind=1 at equal ts → a same-timestamp click is
+    # visible to the purchase (matches ASOF's >= semantics).
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = clicks.unionByName(purchases).select(
+        "user_id", "ts", "kind", "purchase_id",
+        F.last("click_id", ignorenulls=True).over(w).alias("click_id"),
+        F.last(F.when(F.col("kind") == 0, F.col("ts")), ignorenulls=True).over(w).alias("click_ts"),
+    )
+    return (
+        merged.filter((F.col("kind") == 1) & F.col("click_id").isNotNull())
+        .select("user_id", "purchase_id", F.col("ts").alias("purchase_ts"), "click_id", "click_ts")
+    )
+
+
+@register(
+    "join_star",
+    oracle="""
+SELECT n.n_name AS nation,
+       ROUND({rev}, 4) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1999-01-01'
+GROUP BY n.n_name
+""".format(rev=DSUM("l.l_extendedprice * (1 - l.l_discount)")),
+)
+def join_star(spark, sf_dir):
+    """Flagship: TPC-H Q5-shaped star join (revenue by nation in a region).
+
+    Physical strategy: region/nation/customer broadcast down the chain, so
+    only orders⋈lineitem shuffles — one exchange on o_orderkey; the date
+    filter is pushed to the orders scan.
+    """
+    r = F.broadcast(t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp_ntz"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    joined = (
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .join(c, c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        joined.groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(rev.cast("decimal(38,6)")).cast("double"), 4).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+SELECT a.n_name AS n1, b.n_name AS n2
+FROM nation a CROSS JOIN nation b
+WHERE a.n_nationkey < b.n_nationkey
+""",
+)
+def join_cross(spark, sf_dir):
+    """Bounded cross join (all nation pairs) — the all-pairs primitive
+    similarity scoring builds on; only ever used with a broadcast side."""
+    a = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k1"), F.col("n_name").alias("n1")
+    )
+    b = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k2"), F.col("n_name").alias("n2")
+    )
+    return a.crossJoin(F.broadcast(b)).filter(F.col("k1") < F.col("k2")).select("n1", "n2")

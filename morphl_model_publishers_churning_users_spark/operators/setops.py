@@ -1,0 +1,122 @@
+"""§2.F — sort / limit / top-k / set operations.
+
+topk folds to TakeOrderedAndProject (per-partition heap + driver merge of
+k rows — no global sort, the only scalable top-k). Set ops are hash
+shuffles on the full row; distinct variants partial-aggregate map-side.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ..registry import register
+from ._shared import t
+
+
+@register(
+    "sort_multi",
+    oracle="""
+SELECT c_custkey, c_mktsegment, c_acctbal
+FROM customer
+ORDER BY c_mktsegment ASC, c_acctbal DESC NULLS LAST, c_custkey ASC
+""",
+)
+def sort_multi(spark, sf_dir):
+    """Multi-key global sort with explicit null placement — Spark plans a
+    range-partitioned sort (sampled boundaries), the scalable global sort."""
+    return (
+        t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .orderBy(
+            F.asc("c_mktsegment"), F.desc_nulls_last("c_acctbal"), F.asc("c_custkey")
+        )
+    )
+
+
+@register(
+    "topk",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 25
+""",
+)
+def topk(spark, sf_dir):
+    """Top-K (highest-value orders). sort+limit folds to
+    TakeOrderedAndProject: k-row heaps per partition, no global sort."""
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+    )
+
+
+@register(
+    "limit_offset",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_orderkey
+LIMIT 50 OFFSET 100
+""",
+)
+def limit_offset(spark, sf_dir):
+    """Pagination (the reference's results API shape). Requires a
+    deterministic order; offset is driver-side after the sorted take."""
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .offset(100)
+        .limit(50)
+    )
+
+
+@register(
+    "set_union",
+    oracle="""
+SELECT user_id, event_type, value FROM events WHERE event_type = 'click'
+UNION ALL
+SELECT user_id, event_type, value FROM events WHERE event_type = 'view'
+""",
+)
+def set_union(spark, sf_dir):
+    """UNION ALL by name — no shuffle at all, just concatenated scans."""
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    return ev.filter(F.col("event_type") == "click").unionByName(
+        ev.filter(F.col("event_type") == "view")
+    )
+
+
+@register(
+    "set_intersect",
+    oracle="""
+SELECT user_id FROM events WHERE ts < TIMESTAMP '2024-01-15'
+INTERSECT
+SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-15'
+""",
+)
+def set_intersect(spark, sf_dir):
+    """Users active in both halves of the month (retained set)."""
+    ev = t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15").cast("timestamp_ntz")
+    first = ev.filter(F.col("ts") < cutoff).select("user_id")
+    second = ev.filter(F.col("ts") >= cutoff).select("user_id")
+    return first.intersect(second)
+
+
+@register(
+    "set_except",
+    oracle="""
+SELECT c_custkey FROM customer
+EXCEPT
+SELECT user_id AS c_custkey FROM events
+""",
+)
+def set_except(spark, sf_dir):
+    """Customers with no event activity (churn set-difference)."""
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    active = t(spark, sf_dir, "events").select(F.col("user_id").alias("c_custkey"))
+    return c.subtract(active)

@@ -1,0 +1,190 @@
+"""§2.E — window functions.
+
+The reference recomputed GA-style recency/session features per user
+[SURVEY.md §2.E, unverified]; windows partitioned by user_id are the
+Spark-native form. One shuffle on the partition key, sort within
+partition, linear state — hot users are the skew risk at 100 TB and are
+handled by AQE skew splitting (and, for the global-order ops ntile /
+percent_rank, by the range-partitioned global sort Spark plans).
+
+Determinism: every ORDER BY carries event_id as a tiebreaker so both
+engines resolve equal timestamps identically. Epoch math is in
+microseconds (unix_micros ↔ epoch_us) — both engines store µs, so there
+is no truncation mismatch.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from ..registry import register
+from ._shared import t
+
+_US_7D = 7 * 86400 * 1_000_000
+
+
+def _ev(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return ev.withColumn("us", F.unix_micros(F.col("ts").cast("timestamp")))
+
+
+@register(
+    "win_rownum",
+    oracle="""
+SELECT user_id, event_id, ts, rn, rnk, drnk FROM (
+    SELECT user_id, event_id, ts,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+           RANK() OVER (PARTITION BY user_id ORDER BY event_type) AS rnk,
+           DENSE_RANK() OVER (PARTITION BY user_id ORDER BY event_type) AS drnk
+    FROM events
+) WHERE rn <= 3
+""",
+)
+def win_rownum(spark, sf_dir):
+    """Latest-3-events-per-user (the reference's 'latest session per user'
+    shape) plus rank/dense_rank."""
+    ev = t(spark, sf_dir, "events")
+    w_latest = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    w_type = Window.partitionBy("user_id").orderBy("event_type")
+    return (
+        ev.select(
+            "user_id", "event_id", "ts",
+            F.row_number().over(w_latest).alias("rn"),
+            F.rank().over(w_type).alias("rnk"),
+            F.dense_rank().over(w_type).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "win_lag",
+    oracle="""
+SELECT event_id, user_id,
+       epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us,
+       LEAD(event_type) OVER w AS next_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def win_lag(spark, sf_dir):
+    """Inter-event gap (re-derives GA daysSinceLastSession at µs grain)."""
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id", "user_id",
+        (F.col("us") - F.lag("us").over(w)).alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@register(
+    "win_frame_rows",
+    oracle="""
+SELECT event_id, user_id,
+       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS avg3
+FROM events
+""",
+)
+def win_frame_rows(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    return ev.select("event_id", "user_id", F.round(F.avg("value").over(w), 6).alias("avg3"))
+
+
+@register(
+    "win_frame_range",
+    oracle=f"""
+SELECT o_custkey, o_orderkey,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+           PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+           RANGE BETWEEN {_US_7D} PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS rev_7d
+FROM orders
+""",
+)
+def win_frame_range(spark, sf_dir):
+    """7-day rolling revenue per customer — RANGE frame over epoch-µs."""
+    o = t(spark, sf_dir, "orders").withColumn(
+        "us", F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy("us").rangeBetween(-_US_7D, 0)
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(38,6)")).over(w).cast("double"), 6).alias("rev_7d"),
+    )
+
+
+@register(
+    "win_running",
+    oracle="""
+SELECT event_id, user_id,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6) AS cum_value
+FROM events
+""",
+)
+def win_running(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id",
+        F.round(F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double"), 6).alias("cum_value"),
+    )
+
+
+@register(
+    "win_ntile",
+    oracle="""
+SELECT c_custkey,
+       NTILE(10) OVER (ORDER BY c_acctbal DESC, c_custkey) AS decile,
+       ROUND(PERCENT_RANK() OVER (ORDER BY c_acctbal), 6) AS pr,
+       ROUND(CUME_DIST() OVER (ORDER BY c_acctbal), 6) AS cd
+FROM customer
+""",
+)
+def win_ntile(spark, sf_dir):
+    """Score bucketing (the reference's churn-probability deciles).
+    Global-order windows: Spark range-partitions the sort; at 100 TB this
+    is the one window family that genuinely needs a global ordering."""
+    c = t(spark, sf_dir, "customer")
+    w_det = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    w_bal = Window.orderBy("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.ntile(10).over(w_det).alias("decile"),
+        F.round(F.percent_rank().over(w_bal), 6).alias("pr"),
+        F.round(F.cume_dist().over(w_bal), 6).alias("cd"),
+    )
+
+
+@register(
+    "win_firstlast",
+    oracle="""
+SELECT DISTINCT user_id,
+       FIRST_VALUE(event_type) OVER w AS first_touch,
+       LAST_VALUE(event_type) OVER w AS last_touch
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def win_firstlast(spark, sf_dir):
+    """First-touch / last-touch attribution per user."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        F.first("event_type").over(w).alias("first_touch"),
+        F.last("event_type").over(w).alias("last_touch"),
+    ).distinct()

@@ -1,0 +1,40 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Used by our own tests/bench. The driver creates its own session and calls
+``queries()`` callables with it; anything the engine *requires* must
+therefore also be applied as a runtime conf in ``catalog.ensure_confs``
+(which every query path calls) — builder-time configs here are only the
+ones that cannot be set at runtime (none currently critical).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from .catalog import ensure_confs
+
+
+def build_session(app_name: str = "mpcu-spark", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # One shuffle partition per core in local mode; AQE coalesces further.
+        # On a real cluster this would be ~2-3x total cores (set per deploy).
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    ensure_confs(spark)
+    return spark
