@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced with a cheap count() (no driver-side collect of the
+full result — the measurement is engine time, not Arrow transfer time).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from morphl_model_publishers_churning_users_spark.registry import get_queries
+from morphl_model_publishers_churning_users_spark.session import build_session
+
+# Headline set: one representative per §2 family, weighted toward the
+# shuffle-heavy shapes that dominate at scale.
+HEADLINE = [
+    "join_star",        # multi-way star join + agg (flagship)
+    "join_inner_hash",  # fact-fact shuffle join
+    "join_asof",        # as-of (union + window)
+    "agg_group",        # per-key rollup
+    "agg_pivot",        # pivot
+    "win_rownum",       # window rank
+    "ts_session",       # sessionization
+    "dedup_exact",      # exact dedup
+    "llm_dedup_exact",  # corpus hash dedup
+    "llm_simsearch",    # cosine top-k
+    "topk",             # TakeOrdered
+    "agg_stats",        # statistical aggs
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+    spark = build_session("mpcu-bench")
+    queries = get_queries()
+    # JVM/codegen warmup on a trivial action so query 1 isn't billed for it.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for key in HEADLINE:
+        fn = queries.get(key)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[key] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

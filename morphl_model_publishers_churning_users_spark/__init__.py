@@ -25,6 +25,7 @@ def load_all_operators() -> None:
         joins,
         llm,
         ml,
+        multimodal,
         rowops,
         scans,
         setops,

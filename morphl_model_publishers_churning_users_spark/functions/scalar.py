@@ -1,0 +1,218 @@
+"""§2.G — scalar function surface.
+
+The reference's ingest was string cleanup + JSON parsing of GA payloads
+[SURVEY.md §2.G, unverified]. Everything here is a built-in Column
+expression — JVM-side, inside whole-stage codegen, no Python boundary —
+so these run at scan speed at any scale.
+
+Dialect traps handled for oracle parity:
+  * DuckDB regexp_replace is first-match unless the 'g' flag is given
+    (Spark always replaces all);
+  * DuckDB dayofweek is 0=Sunday, Spark is 1=Sunday (+1 in the oracle);
+  * Spark floor/ceil return BIGINT, DuckDB DOUBLE (cast in the oracle);
+  * DuckDB len(list) is BIGINT, Spark size() is INT (cast Spark side).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ..operators._shared import t
+from ..registry import register
+
+
+@register(
+    "fn_string",
+    oracle="""
+SELECT doc_id,
+       lower(substr(text, 1, 20)) AS head_lower,
+       upper(lang) AS lang_up,
+       length(trim(text)) AS len_trim,
+       lang || ':' || source AS tag,
+       regexp_extract(text, '([a-z]+)', 1) AS first_word,
+       regexp_replace(substr(text, 1, 40), '[aeiou]', '_', 'g') AS devoweled,
+       (text LIKE '%the%') AS has_the,
+       split_part(text, ' ', 1) AS token1
+FROM documents
+""",
+)
+def fn_string(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.lower(F.substring("text", 1, 20)).alias("head_lower"),
+        F.upper("lang").alias("lang_up"),
+        F.length(F.trim("text")).cast("bigint").alias("len_trim"),
+        F.concat(F.col("lang"), F.lit(":"), F.col("source")).alias("tag"),
+        F.regexp_extract("text", "([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace(F.substring("text", 1, 40), "[aeiou]", "_").alias("devoweled"),
+        F.col("text").like("%the%").alias("has_the"),
+        F.split_part(F.col("text"), F.lit(" "), F.lit(1)).alias("token1"),
+    )
+
+
+@register(
+    "fn_date",
+    oracle="""
+SELECT o_orderkey,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       CAST(o_orderdate AS DATE) AS od,
+       year(o_orderdate) AS yr,
+       month(o_orderdate) AS mo,
+       dayofweek(CAST(o_orderdate AS DATE)) + 1 AS dow,
+       CAST(o_orderdate AS DATE) + 30 AS due_date,
+       date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k
+FROM orders
+""",
+)
+def fn_date(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    od = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.trunc("o_orderdate", "month").alias("month_start"),
+        od.alias("od"),
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+        F.dayofweek("o_orderdate").cast("bigint").alias("dow"),
+        F.date_add(od, 30).alias("due_date"),
+        F.datediff(F.lit("2000-01-01").cast("date"), od).cast("bigint").alias("days_to_y2k"),
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+SELECT p_partkey,
+       ROUND(p_retailprice, 1) AS price_r1,
+       ABS(p_size - 25) AS size_dev,
+       CAST(CEIL(p_retailprice) AS BIGINT) AS price_ceil,
+       CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
+       ROUND(LN(p_retailprice), 6) AS price_ln,
+       ROUND(SQRT(CAST(p_size AS DOUBLE)), 6) AS size_sqrt,
+       ROUND(POWER(CAST(p_size AS DOUBLE), 2), 6) AS size_sq,
+       CAST(SIGN(p_size - 25) AS BIGINT) AS size_sign,
+       CAST(p_size // 10 AS BIGINT) AS size_div10,
+       p_size % 7 AS size_mod7
+FROM part
+""",
+)
+def fn_math(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.round("p_retailprice", 1).alias("price_r1"),
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        F.ceil("p_retailprice").cast("bigint").alias("price_ceil"),
+        F.floor("p_retailprice").cast("bigint").alias("price_floor"),
+        F.round(F.log("p_retailprice"), 6).alias("price_ln"),
+        F.round(F.sqrt(F.col("p_size").cast("double")), 6).alias("size_sqrt"),
+        F.round(F.pow(F.col("p_size").cast("double"), 2), 6).alias("size_sq"),
+        F.signum(F.col("p_size") - 25).cast("bigint").alias("size_sign"),
+        F.expr("p_size div 10").cast("bigint").alias("size_div10"),
+        (F.col("p_size") % 7).alias("size_mod7"),
+    )
+
+
+@register(
+    "fn_json",
+    oracle="""
+SELECT event_id,
+       CAST(props->>'$.k' AS INTEGER) AS k_typed,
+       props->>'$.k' AS k_str,
+       props->>'$.missing' AS missing_val
+FROM events
+""",
+)
+def fn_json(spark, sf_dir):
+    """JSON extraction — the reference's ingest core (GA batchGet payloads
+    arrive as JSON strings). Typed via from_json, stringly via
+    get_json_object; both JVM-side."""
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.from_json("props", "k INT").getField("k").alias("k_typed"),
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.missing").alias("missing_val"),
+    )
+
+
+@register(
+    "fn_array",
+    oracle="""
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
+       ROUND(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS sum_all,
+       ROUND(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))), 6) AS sum_head,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+       ROUND(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS sq_norm
+FROM embeddings
+""",
+)
+def fn_array(spark, sf_dir):
+    """Array functions + higher-order lambdas over the embedding column.
+    All evaluated inside codegen — the 100 TB-safe way to do vector math
+    (no UDF, no Arrow hop)."""
+    e = t(spark, sf_dir, "embeddings")
+    dbl = "x -> cast(x as double)"
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_elem"),
+        F.round(F.expr(f"aggregate(transform(embedding, {dbl}), 0D, (a, x) -> a + x)"), 6).alias("sum_all"),
+        F.round(
+            F.expr(f"aggregate(transform(slice(embedding, 1, 8), {dbl}), 0D, (a, x) -> a + x)"), 6
+        ).alias("sum_head"),
+        F.size(F.expr("filter(embedding, x -> x > 0)")).cast("bigint").alias("n_pos"),
+        F.round(
+            F.expr("aggregate(zip_with(embedding, embedding, (x, y) -> cast(x as double) * cast(y as double)), 0D, (a, x) -> a + x)"),
+            6,
+        ).alias("sq_norm"),
+    )
+
+
+@register(
+    "fn_map",
+    oracle="""
+SELECT user_id,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click_n,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view_n,
+       2 AS n_keys,
+       'click,view' AS keys_sorted
+FROM events GROUP BY user_id
+""",
+)
+def fn_map(spark, sf_dir):
+    """Map construction + key/value access. The oracle computes the same
+    scalars directly (DuckDB's MAP accessor semantics differ by version),
+    so this validates Spark's map surface produces the expected values."""
+    counts = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("c_n"),
+            F.count(F.when(F.col("event_type") == "view", 1)).alias("v_n"),
+        )
+    )
+    m = F.create_map(F.lit("click"), F.col("c_n"), F.lit("view"), F.col("v_n"))
+    return counts.select(
+        "user_id",
+        F.element_at(m, "click").alias("click_n"),
+        F.element_at(m, "view").alias("view_n"),
+        F.size(m).cast("int").alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+    )
+
+
+@register(
+    "fn_hash",
+    oracle="""
+SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256 FROM documents
+""",
+)
+def fn_hash(spark, sf_dir):
+    """Content hashes — the dedup keys. xxhash64 (Spark-side salt/bucket
+    hash, no DuckDB twin) is exercised in the dedup/fingerprint ops."""
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", F.md5("text").alias("h_md5"), F.sha2(F.col("text"), 256).alias("h_sha256"))

@@ -1,0 +1,499 @@
+"""§2.J — LLM-training-data pipeline operators over documents/embeddings.
+
+Mandated extension beyond the reference (BASELINE.json north star): the
+operations a 100 TB corpus pipeline needs — dedup (exact / MinHash-LSH /
+SimHash / n-gram Jaccard), similarity search (exact + LSH-approx),
+text analysis (lang-ID, quality, token counting, fingerprinting).
+
+Scale shapes:
+  * exact dedup & fingerprints: one hash shuffle on the content hash;
+  * shingle/trigram ops: explode → aggregate, no cartesian anywhere —
+    candidate pairs come from joining on shared shingles (high
+    selectivity) or LSH buckets, never from crossJoin;
+  * similarity search: query side broadcast, norms precomputed per row,
+    dot products via zip_with/aggregate HOFs (JVM codegen, no UDF).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from ..registry import register
+from ._shared import DSUM, dsum, t
+
+# ---------------------------------------------------------------- dedup
+
+@register(
+    "llm_dedup_exact",
+    oracle="""
+SELECT md5(lower(trim(text))) AS content_hash,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS dup_count
+FROM documents GROUP BY 1
+""",
+)
+def llm_dedup_exact(spark, sf_dir):
+    """Exact corpus dedup by normalized-content hash; keeps the smallest
+    doc_id per group (deterministic survivor policy)."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5(F.lower(F.trim("text"))).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+@register("llm_dedup_fuzzy")  # rows-only: MinHash internals are engine-specific
+def llm_dedup_fuzzy(spark, sf_dir):
+    """Near-dup detection via MinHash-LSH over token sets: tokens →
+    binary HashingTF vectors → banded minhash join. approxSimilarityJoin
+    only compares within shared LSH buckets — no all-pairs blowup."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = Tokenizer(inputCol="text", outputCol="words").transform(d)
+    vecs = HashingTF(
+        inputCol="words", outputCol="features", numFeatures=1 << 18, binary=True
+    ).transform(toks)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=5, seed=42).fit(vecs)
+    pairs = lsh.approxSimilarityJoin(vecs, vecs, threshold=0.6, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+        )
+    )
+
+
+@register("llm_dedup_simhash")  # rows-only: depends on Spark's xxhash64
+def llm_dedup_simhash(spark, sf_dir):
+    """64-bit SimHash per document (per-bit majority vote over word
+    hashes), then candidate near-dup groups = exact signature collisions.
+    One explode + one aggregate; signature join is a hash shuffle on a
+    single long — the textbook 100 TB near-dup first pass."""
+    d = t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    ).withColumn("h", F.xxhash64("w"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = words.groupBy("doc_id").agg(*votes)
+    # Assemble the signature: bit b set iff the vote is positive.
+    sig = None
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << b).cast("long") if b < 63 else bit * F.lit(-(1 << 63)).cast("long")
+        sig = term if sig is None else sig + term
+    sigs = agg.select("doc_id", sig.alias("simhash"))
+    groups = sigs.groupBy("simhash").agg(
+        F.count(F.lit(1)).alias("group_size"), F.min("doc_id").alias("keep_doc_id")
+    )
+    return sigs.join(groups, "simhash").select("doc_id", "simhash", "group_size", "keep_doc_id")
+
+
+_NGRAM_SH_SPARK = (
+    "transform(sequence(1, greatest(size(w) - 2, 0)), "
+    "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))"
+)
+
+_NGRAM_SH_DUCK = (
+    "list_transform(range(1, len(words) - 1), "
+    "i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2])"
+)
+
+
+@register(
+    "llm_dedup_ngram",
+    oracle=f"""
+WITH grams AS (
+    SELECT DISTINCT doc_id, unnest({_NGRAM_SH_DUCK}) AS g
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents)
+), sizes AS (
+    SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
+), inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.2
+""",
+)
+def llm_dedup_ngram(spark, sf_dir):
+    """Word-3-shingle Jaccard near-dup pairs. Candidates come from
+    joining on shared shingles (selective — a shared trigram of words is
+    rare), so cost is O(shared shingles), not O(n²) pairs."""
+    d = t(spark, sf_dir, "documents")
+    grams = (
+        d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("w"))
+        .select("doc_id", F.explode(F.expr(_NGRAM_SH_SPARK)).alias("g"))
+        .distinct()
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = grams.select(F.col("doc_id").alias("doc_a"), "g")
+    b = grams.select(F.col("doc_id").alias("doc_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.2)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ------------------------------------------------------- similarity search
+
+_DOT = "aggregate(zip_with(qe, ce, (x, y) -> cast(x as double) * cast(y as double)), 0D, (a, x) -> a + x)"
+_NORM = "sqrt(aggregate(transform({c}, x -> cast(x as double) * cast(x as double)), 0D, (a, x) -> a + x))"
+
+
+@register(
+    "llm_simsearch",
+    oracle="""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+pairs AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROUND(
+               SUM(CAST(q.embedding[g.i] AS DOUBLE) * CAST(c.embedding[g.i] AS DOUBLE))
+               / (SQRT(SUM(CAST(q.embedding[g.i] AS DOUBLE) * CAST(q.embedding[g.i] AS DOUBLE)))
+                  * SQRT(SUM(CAST(c.embedding[g.i] AS DOUBLE) * CAST(c.embedding[g.i] AS DOUBLE)))),
+               6) AS cos_sim
+    FROM q, embeddings c, generate_series(1, 64) g(i)
+    WHERE c.vec_id <> q.vec_id
+    GROUP BY 1, 2
+), ranked AS (
+    SELECT query_id, neighbor_id, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM pairs
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 10
+""",
+)
+def llm_simsearch(spark, sf_dir):
+    """Exact cosine top-k: query side broadcast, per-row norms computed
+    once, dot product via zip_with/aggregate (JVM codegen — no UDF), then
+    per-query top-k via window rank. At 100 TB the same plan holds with a
+    bounded query set; for open-ended k-NN use llm_simsearch_ann."""
+    e = t(spark, sf_dir, "embeddings")
+    withnorm = e.select(
+        "vec_id", "embedding", F.expr(_NORM.format(c="embedding")).alias("norm")
+    )
+    q = withnorm.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("norm").alias("qnorm"),
+    )
+    c = withnorm.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("norm").alias("cnorm"),
+    )
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.expr(_DOT) / (F.col("qnorm") * F.col("cnorm")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+
+
+@register("llm_simsearch_ann")  # rows-only: LSH bucketing is engine-specific
+def llm_simsearch_ann(spark, sf_dir):
+    """Approximate NN via random-projection LSH: bucketed join, compares
+    only within shared buckets — the scale path when the query set isn't
+    small enough to broadcast."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector("embedding").alias("vec")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="vec", outputCol="hashes", bucketLength=2.0, numHashTables=4, seed=42
+    ).fit(e)
+    q = e.filter(F.col("vec_id") < 5)
+    pairs = lsh.approxSimilarityJoin(q, e, threshold=20.0, distCol="l2_dist")
+    pairs = pairs.filter(F.col("datasetA.vec_id") != F.col("datasetB.vec_id")).select(
+        F.col("datasetA.vec_id").alias("query_id"),
+        F.col("datasetB.vec_id").alias("neighbor_id"),
+        F.round("l2_dist", 6).alias("l2_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("l2_dist"), F.asc("neighbor_id"))
+    return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+
+
+# ------------------------------------------------------------ text analysis
+
+@register(
+    "llm_textstats",
+    oracle=f"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       ROUND({DSUM("CAST(n_chars AS DOUBLE)")} / COUNT(*), 6) AS avg_chars,
+       CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_words,
+       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+FROM documents GROUP BY lang
+""",
+)
+def llm_textstats(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.trim("text"), r"\s+")).cast("bigint")
+    sum_chars = dsum(F.col("n_chars").cast("double"))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(sum_chars / F.count(F.lit(1)), 6).alias("avg_chars"),
+        F.sum(n_words).alias("total_words"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "llm_langfilter",
+    oracle="""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE lang IN ('en', 'de') AND n_chars BETWEEN 100 AND 400
+""",
+)
+def llm_langfilter(spark, sf_dir):
+    """Language/length corpus filter — pushed to the parquet scan."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("lang").isin("en", "de"))
+        .filter(F.col("n_chars").between(100, 400))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+_STOPWORDS = "('the', 'of', 'and', 'a', 'to', 'in', 'is', 'it')"
+
+
+@register(
+    "llm_quality",
+    oracle=f"""
+WITH base AS (
+    SELECT doc_id, n_chars,
+           string_split_regex(trim(text), '\\s+') AS words,
+           CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS BIGINT) AS n_punct
+    FROM documents
+), stats AS (
+    SELECT doc_id, n_chars, n_punct,
+           CAST(len(words) AS BIGINT) AS n_words,
+           CAST(len(list_filter(words, w -> w IN {_STOPWORDS})) AS BIGINT) AS n_stop
+    FROM base
+)
+SELECT doc_id, n_words, n_punct,
+       ROUND(CAST(n_chars AS DOUBLE) / n_words, 6) AS avg_word_len,
+       ROUND(CAST(n_stop AS DOUBLE) / n_words, 6) AS stopword_ratio,
+       ROUND(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+       (n_words >= 20 AND CAST(n_stop AS DOUBLE) / n_words >= 0.05) AS passes
+FROM stats
+""",
+)
+def llm_quality(spark, sf_dir):
+    """Heuristic quality scoring: length / punctuation / stopword-ratio
+    signals with a pass/fail gate — all codegen expressions."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split(F.trim("text"), r"\s+")
+    n_words = F.size(words).cast("bigint")
+    n_stop = F.size(
+        F.expr(f"filter(split(trim(text), '\\\\s+'), w -> w IN {_STOPWORDS})")
+    ).cast("bigint")
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit("[^a-z0-9 ]"), F.lit(0))).cast("bigint")
+    stop_ratio = n_stop.cast("double") / n_words
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_punct.alias("n_punct"),
+        F.round(F.col("n_chars").cast("double") / n_words, 6).alias("avg_word_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(n_punct.cast("double") / F.col("n_chars"), 6).alias("punct_ratio"),
+        ((n_words >= 20) & (stop_ratio >= 0.05)).alias("passes"),
+    )
+
+
+@register(
+    "llm_tokens",
+    oracle="""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_ws_tokens,
+       CAST(CEIL(n_chars / 4.0) AS BIGINT) AS n_est_tokens
+FROM documents
+""",
+)
+def llm_tokens(spark, sf_dir):
+    """Token counting: whitespace, BPE-ish regex pieces, and the
+    chars/4 estimator — the three standard corpus-sizing counters."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_ws_tokens"),
+        F.ceil(F.col("n_chars") / 4.0).cast("bigint").alias("n_est_tokens"),
+    )
+
+
+@register(
+    "llm_langid",
+    oracle=f"""
+WITH grams AS (
+    SELECT doc_id, unnest(list_transform(range(1, len(text) - 1),
+                   i -> substr(text, CAST(i AS INTEGER), 3))) AS g
+    FROM documents
+), profiles AS (
+    SELECT d.lang, g.g, COUNT(*) AS c
+    FROM grams g JOIN documents d USING (doc_id)
+    GROUP BY 1, 2
+), scores AS (
+    SELECT g.doc_id, p.lang, ROUND(SUM(LN(1.0 + p.c)), 6) AS score
+    FROM grams g JOIN profiles p ON g.g = p.g
+    GROUP BY 1, 2
+), ranked AS (
+    SELECT doc_id, lang AS pred_lang, score,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+    FROM scores
+)
+SELECT r.doc_id, r.pred_lang, r.score, d.lang AS true_lang
+FROM ranked r JOIN documents d USING (doc_id)
+WHERE rn = 1
+""",
+)
+def llm_langid(spark, sf_dir):
+    """Character-trigram language ID: per-lang trigram profiles built
+    from the corpus, docs scored by summed log-frequency, argmax lang.
+    Two aggregates + one selective join — no per-row Python."""
+    d = t(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
+        ).alias("g"),
+    )
+    profiles = (
+        grams.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    scores = (
+        grams.join(profiles.withColumnRenamed("lang", "cand_lang"), "g")
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.round(F.sum(F.log(1.0 + F.col("c"))), 6).alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cand_lang"))
+    best = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("cand_lang").alias("pred_lang"), "score")
+    )
+    return best.join(d.select("doc_id", F.col("lang").alias("true_lang")), "doc_id")
+
+
+@register(
+    "llm_fingerprint",
+    oracle=f"""
+WITH grams AS (
+    SELECT DISTINCT doc_id, md5(unnest({_NGRAM_SH_DUCK})) AS h
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents)
+), ranked AS (
+    SELECT doc_id, h, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+    FROM grams
+)
+SELECT doc_id, array_to_string(list(h ORDER BY h), ',') AS fingerprint
+FROM ranked WHERE rn <= 4 GROUP BY doc_id
+""",
+)
+def llm_fingerprint(spark, sf_dir):
+    """Document fingerprint: the 4 smallest shingle hashes (min-k
+    signature, the winnowing idea) — equal fingerprints ⇒ near-dup
+    candidates. md5 keeps it oracle-comparable; production would use
+    xxhash64."""
+    d = t(spark, sf_dir, "documents")
+    grams = (
+        d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("w"))
+        .select("doc_id", F.explode(F.expr(_NGRAM_SH_SPARK)).alias("g"))
+        .distinct()
+        .select("doc_id", F.md5("g").alias("h"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("h")
+    return (
+        grams.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 4)
+        .groupBy("doc_id")
+        .agg(F.array_join(F.array_sort(F.collect_list("h")), ",").alias("fingerprint"))
+    )
+
+
+@register("llm_tfidf")  # rows-only: hashed feature space is engine-specific
+def llm_tfidf(spark, sf_dir):
+    """TF-IDF via MLlib transformers (Tokenizer → StopWordsRemover →
+    HashingTF → IDF); emits nnz + l2 norm per doc as the checkable
+    signature of the vectorization."""
+    from pyspark.ml.feature import IDF, HashingTF, StopWordsRemover, Tokenizer
+    from pyspark.ml.functions import vector_to_array
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = Tokenizer(inputCol="text", outputCol="words").transform(d)
+    filtered = StopWordsRemover(inputCol="words", outputCol="kept").transform(toks)
+    tf = HashingTF(inputCol="kept", outputCol="tf", numFeatures=1024).transform(filtered)
+    tfidf = IDF(inputCol="tf", outputCol="tfidf").fit(tf).transform(tf)
+    with_arr = tfidf.withColumn("tfidf_arr", vector_to_array("tfidf"))
+    return with_arr.select(
+        "doc_id",
+        F.size(F.expr("filter(tfidf_arr, x -> x > 0)")).alias("nnz"),
+        F.round(F.expr("sqrt(aggregate(tfidf_arr, 0D, (a, x) -> a + x * x))"), 6).alias("l2_norm"),
+    )
+
+
+@register(
+    "llm_embed_ops",
+    oracle="""
+SELECT vec_id,
+       ROUND(SQRT(SUM(v * v)), 6) AS l2_norm,
+       ROUND(SUM(v) / 64, 6) AS mean_elem,
+       ROUND(MAX(v), 6) AS max_elem,
+       ROUND(MIN(v), 6) AS min_elem
+FROM (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings)
+GROUP BY vec_id
+""",
+)
+def llm_embed_ops(spark, sf_dir):
+    """Vector column ops via higher-order functions — L2 norm, mean pool,
+    min/max — all inside codegen, no UDF, no explode shuffle."""
+    e = t(spark, sf_dir, "embeddings")
+    sum_ = "aggregate(transform(embedding, x -> cast(x as double)), 0D, (a, x) -> a + x)"
+    sumsq = "aggregate(transform(embedding, x -> cast(x as double) * cast(x as double)), 0D, (a, x) -> a + x)"
+    return e.select(
+        "vec_id",
+        F.round(F.sqrt(F.expr(sumsq)), 6).alias("l2_norm"),
+        F.round(F.expr(sum_) / 64, 6).alias("mean_elem"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_elem"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("min_elem"),
+    )

@@ -1,0 +1,104 @@
+"""§2.H (batch half) — time-series windows & sessionization.
+
+The reference ran a daily batch and reconstructed GA session features
+[SURVEY.md §2.H, unverified]. Spark-native forms:
+  * tumbling/sliding → F.window (epoch-aligned, one hash aggregate);
+  * sessionization → F.session_window: native gap-merge state, works in
+    batch and streaming with the same line of code. The oracle twin is
+    the classic gaps-and-islands SQL (lag → gap flag → running sum).
+
+All gap math is in microseconds (both engines store µs — no truncation
+ambiguity at session boundaries).
+
+Streaming variants (watermark, stateful, incremental) live in
+streaming/ops.py.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ..registry import register
+from ._shared import DSUM, dsum, t
+
+
+@register(
+    "ts_tumbling",
+    oracle=f"""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day_start,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND({DSUM("value")}, 6) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def ts_tumbling(spark, sf_dir):
+    """Daily tumbling windows (the reference's batch cadence, as an
+    operator). F.window is epoch-aligned so day buckets equal date_trunc."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(dsum(F.col("value")), 6).alias("sum_value"))
+        .select(
+            F.col("w.start").cast("date").alias("day_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "ts_sliding",
+    oracle="""
+SELECT make_timestamp(((epoch_us(ts) // 1000000 // 900) * 900 - k.i * 900) * 1000000) AS win_start,
+       COUNT(*) AS n_events
+FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) k(i)
+GROUP BY 1
+""",
+)
+def ts_sliding(spark, sf_dir):
+    """1-hour windows sliding every 15 min — each event lands in exactly
+    4 windows. The oracle reproduces Spark's epoch-aligned window-start
+    arithmetic with an explicit 4-way offset expansion."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("win_start"), "n_events")
+    )
+
+
+@register(
+    "ts_session",
+    oracle="""
+WITH ordered AS (
+    SELECT user_id, ts,
+           epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+    FROM events
+), flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END AS new_session
+    FROM ordered
+), sessions AS (
+    SELECT user_id, ts,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS last_ts, COUNT(*) AS n_events
+FROM sessions GROUP BY user_id, session_id
+""",
+)
+def ts_session(spark, sf_dir):
+    """30-min-gap sessionization (reconstructs GA sessions). Native
+    session_window: gap-merge happens inside the aggregate — one shuffle
+    on user_id, no self-join. Spark closes a session at last_ts + gap
+    exclusive, i.e. a new session starts when the gap is >= 30 min —
+    mirrored exactly by the oracle's lag/cumsum twin."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(F.min("ts").alias("session_start"), F.max("ts").alias("last_ts"), F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", "session_start", "last_ts", "n_events")
+    )

@@ -1,0 +1,145 @@
+"""§2.K — the UDF/UDAF/UDTF surface.
+
+The reference's preprocessing ran row-at-a-time Python over Py4J — its
+classic perf sink [SURVEY.md §3.1, unverified]. The ladder here, fastest
+first: built-in expressions (everything else in this engine) → Arrow
+pandas UDFs (udf_pandas / udf_grouped_*, ~10-100× the row-at-a-time
+path) → scalar Python UDF (udf_python, kept as the explicit slow-path
+demonstration) → Python UDTF (one-to-many).
+
+Every UDF here has a pure-SQL twin as its oracle, which is exactly the
+point: the UDF surface must agree with the declarative surface.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, StringType
+
+from ..registry import register
+from ._shared import t
+
+
+@register(
+    "udf_python",
+    oracle="SELECT doc_id, lower(lang || ':' || source) AS tag FROM documents",
+)
+def udf_python(spark, sf_dir):
+    """Row-at-a-time Python UDF — the deliberate slow-path baseline
+    (each row crosses the JVM↔Python boundary individually)."""
+
+    @F.udf(returnType=StringType())
+    def normalize_tag(lang: str, source: str) -> str:
+        return f"{lang}:{source}".lower()
+
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", normalize_tag("lang", "source").alias("tag"))
+
+
+@register(
+    "udf_pandas",
+    oracle="SELECT event_id, ROUND(LN(1 + value), 6) AS log1p_value FROM events",
+)
+def udf_pandas(spark, sf_dir):
+    """Vectorized scalar UDF: whole Arrow batches as pandas Series —
+    the correct shape when Python is unavoidable."""
+
+    @pandas_udf(DoubleType())
+    def log1p(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return np.log1p(v).round(6)
+
+    ev = t(spark, sf_dir, "events")
+    return ev.select("event_id", log1p("value").alias("log1p_value"))
+
+
+@register(
+    "udf_grouped_map",
+    oracle="""
+WITH stats AS (
+    SELECT event_id, user_id, value,
+           AVG(value) OVER (PARTITION BY user_id) AS mu,
+           STDDEV_SAMP(value) OVER (PARTITION BY user_id) AS sd
+    FROM events
+)
+SELECT event_id, user_id,
+       CASE WHEN sd IS NULL OR sd = 0 THEN NULL
+            ELSE ROUND((value - mu) / sd, 6) END AS z_value
+FROM stats
+""",
+)
+def udf_grouped_map(spark, sf_dir):
+    """Grouped-map (applyInPandas): per-user z-score over the whole
+    group — the SNIPPETS.md [1] pattern. One shuffle on user_id; each
+    group becomes one pandas frame."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        sd = pdf["value"].std(ddof=1)  # matches STDDEV_SAMP
+        mu = pdf["value"].mean()
+        if pd.isna(sd) or sd == 0:
+            z = pd.Series([None] * len(pdf), dtype="float64")
+        else:
+            z = ((pdf["value"] - mu) / sd).round(6)
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "z_value": z}
+        )
+
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return ev.groupBy("user_id").applyInPandas(
+        zscore, schema="event_id bigint, user_id bigint, z_value double"
+    )
+
+
+@register(
+    "udf_grouped_agg",
+    oracle="""
+SELECT event_type,
+       ROUND(SUM(value * CAST(props->>'$.k' AS INTEGER)) / SUM(CAST(props->>'$.k' AS INTEGER)), 6)
+           AS weighted_mean
+FROM events GROUP BY event_type
+""",
+)
+def udf_grouped_agg(spark, sf_dir):
+    """Pandas UDAF: k-weighted mean of value per event type (custom
+    aggregate the built-ins don't offer as one function)."""
+
+    @pandas_udf(DoubleType())
+    def wmean(v: pd.Series, w: pd.Series) -> float:
+        return round(float((v * w).sum() / w.sum()), 6)
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("int")
+    )
+    return ev.groupBy("event_type").agg(wmean("value", "k").alias("weighted_mean"))
+
+
+@register(
+    "udtf_python",
+    oracle="""
+SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+FROM documents WHERE doc_id < 100
+""",
+)
+def udtf_python(spark, sf_dir):
+    """Python UDTF (Spark 4): one row in, many rows out — the typed
+    table-function version of explode for custom logic."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string")
+    class SplitWords:
+        def eval(self, doc_id: int, text: str):
+            for word in text.strip().split():
+                yield (word,)
+
+    spark.udtf.register("split_words", SplitWords)
+    t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).createOrReplaceTempView(
+        "_udtf_docs"
+    )
+    return spark.sql(
+        "SELECT d.doc_id, s.word FROM _udtf_docs d, LATERAL split_words(d.doc_id, d.text) s"
+    )

@@ -1,0 +1,64 @@
+"""§2.A `source_stream` — the batch pipeline re-bound to Structured
+Streaming with Trigger.AvailableNow (the reference's daily-cron semantics
+made incremental: process everything available, then stop).
+
+Batch-equivalence is the correctness bar: the streamed aggregate must
+equal the batch aggregate over the same bounded input, which is exactly
+what the oracle checks.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pyspark.sql.functions as F
+
+from ..catalog import ensure_confs
+from ..operators._shared import scratch_dir
+from ..registry import register
+
+
+def stage_events_dir(spark, sf_dir: str) -> str:
+    """Stage events into a scratch *directory* (streaming file sources
+    list directories, and the staging write normalizes the nanos
+    timestamp to µs). In production the landing zone is already a
+    partitioned directory; this mirrors that layout."""
+    ensure_confs(spark)
+    from ._staging import ensure_staged
+
+    return ensure_staged(spark, sf_dir)
+
+
+def _stream_events(spark, sf_dir):
+    """readStream over the staged events directory (schema pinned; a
+    streaming source never infers)."""
+    path = stage_events_dir(spark, sf_dir)
+    schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).format("parquet").load(path)
+
+
+def run_available_now(sdf, name_prefix: str, output_mode: str = "complete"):
+    """Run a streaming DataFrame to completion into a memory sink and
+    return the result table. AvailableNow = bounded incremental run."""
+    spark = sdf.sparkSession
+    name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", scratch_dir(f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
+    "source_stream",
+    oracle="SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type",
+)
+def source_stream(spark, sf_dir):
+    sdf = _stream_events(spark, sf_dir)
+    agg = sdf.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    return run_available_now(agg, "source_stream")

@@ -1,0 +1,129 @@
+"""§2.H (streaming half) — watermarks, stateful dedup, custom state,
+incremental batch.
+
+Design rule: every streaming op is the batch pipeline re-bound to
+``readStream`` and run to completion with Trigger.AvailableNow, so
+batch-equivalence is checkable — the oracle is the batch SQL over the
+same bounded input. At 100 TB these are the exactly-once incremental
+versions of the daily-cron jobs the reference ran [SURVEY.md §3.1,
+unverified].
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+
+from ..operators._shared import DSUM, scratch_dir
+from ..registry import register
+from ..sources.stream_source import _stream_events, run_available_now, stage_events_dir
+
+
+@register(
+    "ts_watermark",
+    oracle=f"""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day_start,
+       COUNT(*) AS n_events,
+       ROUND({DSUM("value")}, 6) AS sum_value
+FROM events GROUP BY 1
+""",
+)
+def ts_watermark(spark, sf_dir):
+    """Watermarked tumbling aggregate. The 1-hour watermark bounds state:
+    windows older than max(event_ts) - 1h are finalized and evicted —
+    the mechanism that keeps streaming-agg state finite on an unbounded
+    stream. On this bounded input nothing is late, so the result must
+    equal the batch aggregate (the oracle)."""
+    # Watermarks require TIMESTAMP (ltz); session is pinned UTC so the
+    # ntz→ltz cast preserves wall clock.
+    sdf = _stream_events(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        sdf.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 6).alias("sum_value"),
+        )
+        .select(F.col("w.start").cast("date").alias("day_start"), "n_events", "sum_value")
+    )
+    return run_available_now(agg, "ts_watermark", output_mode="complete")
+
+
+@register(
+    "ts_dedup_stream",
+    oracle="SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type",
+)
+def ts_dedup_stream(spark, sf_dir):
+    """Exactly-once by event_id within the watermark: the stream is
+    unioned with itself (every event arrives twice — the re-delivery
+    case), and dropDuplicatesWithinWatermark collapses the duplicates,
+    so counts must equal the single-copy batch counts."""
+    a = _stream_events(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+    b = _stream_events(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+    deduped = (
+        a.unionByName(b)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    return run_available_now(agg, "ts_dedup_stream", output_mode="complete")
+
+
+@register(
+    "ts_stateful",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+FROM events GROUP BY user_id
+""",
+)
+def ts_stateful(spark, sf_dir):
+    """Custom stateful operator: per-user running (count, sum) state
+    carried across micro-batches via applyInPandasWithState — the
+    churn-risk-accumulator shape. Arrow-batched, state is a per-key
+    scalar pair, so state size is O(users) not O(events)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    sdf = _stream_events(spark, sf_dir)
+
+    def update(key, pdf_iter, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 6)]}
+        )
+
+    result = sdf.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, sum_value double",
+        stateStructType="n bigint, s double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_available_now(result, "ts_stateful", output_mode="update")
+
+
+@register(
+    "ts_incremental",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day_start, COUNT(*) AS n_events
+FROM events GROUP BY 1
+""",
+)
+def ts_incremental(spark, sf_dir):
+    """Incremental batch (the reference's cron: process only new day
+    partitions). File source + AvailableNow + checkpoint: a rerun against
+    the same checkpoint processes only newly-arrived files. Here a fresh
+    checkpoint processes the whole directory (= the batch oracle); the
+    two-phase incremental behavior is asserted in tests/test_streaming.py."""
+    path = stage_events_dir(spark, sf_dir)
+    schema = spark.read.parquet(path).schema
+    sdf = spark.readStream.schema(schema).format("parquet").load(path)
+    agg = (
+        sdf.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").cast("date").alias("day_start"), "n_events")
+    )
+    return run_available_now(agg, "ts_incremental", output_mode="complete")

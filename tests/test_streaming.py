@@ -1,0 +1,60 @@
+"""Streaming property tests: batch-equivalence is covered by the oracle
+suite; here we assert the *incremental* behavior — a second AvailableNow
+run against the same checkpoint processes only newly-arrived files."""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+
+import pyspark.sql.functions as F
+
+from morphl_model_publishers_churning_users_spark.catalog import table
+from morphl_model_publishers_churning_users_spark.operators._shared import scratch_dir
+
+
+def _run_counts(spark, src, ckpt, name):
+    schema = spark.read.parquet(src).schema
+    sdf = spark.readStream.schema(schema).format("parquet").load(src)
+    agg = sdf.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return {r.event_type: r.n for r in spark.table(name).collect()}
+
+
+def test_incremental_second_batch(spark, sf_dir):
+    run_id = uuid.uuid4().hex[:8]
+    src = scratch_dir(f"incr_src_{run_id}")
+    ckpt = scratch_dir(f"incr_ckpt_{run_id}")
+    ev = table(spark, sf_dir, "events")
+    first = ev.filter(F.col("event_type") != "error")
+    second = ev.filter(F.col("event_type") == "error")
+
+    first.write.mode("overwrite").parquet(src)
+    counts1 = _run_counts(spark, src, ckpt, f"incr_a_{run_id}")
+    assert "error" not in counts1
+    assert counts1 == {r.event_type: r.n for r in first.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+
+    # New partition lands; same checkpoint → only the new files are read,
+    # and the complete-mode aggregate now includes both.
+    second.write.mode("append").parquet(src)
+    counts2 = _run_counts(spark, src, ckpt, f"incr_b_{run_id}")
+    expected = {r.event_type: r.n for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts2 == expected
+
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as E
+
+    df = E.entry(spark)
+    assert df.count() > 0
