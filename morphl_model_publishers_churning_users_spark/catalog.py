@@ -68,8 +68,19 @@ def ensure_confs(spark: SparkSession) -> None:
             pass
 
 
+# (session-id, sf_dir, name) → DataFrame. Reusing the DataFrame reuses its
+# resolved FileIndex, so repeated queries skip re-listing files and
+# re-reading parquet footers (a per-query fixed cost that matters when the
+# driver runs dozens of operators back-to-back).
+_df_cache: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table with canonical column types."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _df_cache.get(key)
+    if cached is not None:
+        return cached
     ensure_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
@@ -77,6 +88,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn(
             "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
         )
+    _df_cache[key] = df
     return df
 
 
