@@ -242,3 +242,75 @@ def join_cross(spark, sf_dir):
         F.col("n_nationkey").alias("k2"), F.col("n_name").alias("n2")
     )
     return a.crossJoin(F.broadcast(b)).filter(F.col("k1") < F.col("k2")).select("n1", "n2")
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+SELECT l.l_orderkey, l.l_linenumber, o.o_orderstatus, o.o_totalprice
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+""",
+)
+def join_skew_salted(spark, sf_dir):
+    """Manually salted join — the hot-key mitigation when AQE's skew
+    splitting isn't available (e.g. a streaming join). The fact side gets
+    a random-but-deterministic salt; the dim side is exploded across all
+    salt values; the join key becomes (key, salt), spreading any hot key
+    over N_SALT reducers. Result is provably identical to the unsalted
+    join (the oracle)."""
+    n_salt = 8
+    li = t(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(n_salt))
+    )
+    o = (
+        t(spark, sf_dir, "orders")
+        .withColumn("salt", F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(n_salt)])))
+    )
+    return li.join(
+        o, (li.l_orderkey == o.o_orderkey) & (li.salt == o.salt), "inner"
+    ).select("l_orderkey", "l_linenumber", "o_orderstatus", "o_totalprice")
+
+
+@register(
+    "join_bucketed",
+    oracle="""
+SELECT o.o_orderkey, o.o_custkey, COUNT(*) AS n_items,
+       ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE), 6) AS order_revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderkey, o.o_custkey
+""",
+)
+def join_bucketed(spark, sf_dir):
+    """Co-located bucketed join: both facts bucketed by the join key into
+    the warehouse, so the join (and the following aggregate on the same
+    key) runs with ZERO exchanges — the pre-partitioning strategy that
+    amortizes one shuffle across every downstream join at 100 TB.
+    tests/test_plans.py asserts the exchange-free physical plan."""
+    import os
+
+    from ._shared import scratch_dir
+
+    n_buckets = 8
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    lt, ot = f"b_lineitem_{tag}", f"b_orders_{tag}"
+    for src, tbl, key in (("lineitem", lt, "l_orderkey"), ("orders", ot, "o_orderkey")):
+        if not spark.catalog.tableExists(tbl):
+            (
+                t(spark, sf_dir, src)
+                .write.mode("overwrite")
+                .bucketBy(n_buckets, key)
+                .sortBy(key)
+                .option("path", os.path.join(scratch_dir("warehouse"), tbl))
+                .saveAsTable(tbl)
+            )
+    li, o = spark.table(lt), spark.table(ot)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double"), 6).alias(
+                "order_revenue"
+            ),
+        )
+    )

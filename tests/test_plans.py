@@ -1,0 +1,77 @@
+"""Physical-plan regression tests — the 100 TB posture, asserted.
+
+Correctness says the result is right; these say the *plan* is the one
+that survives a 1000-executor scale-up: filters pushed to the scan,
+columns pruned, dims broadcast, top-k folded, bucketed joins
+exchange-free on the join key.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from morphl_model_publishers_churning_users_spark.registry import get_queries
+
+_Q = get_queries()
+
+
+def _plan(spark, sf_dir, key: str) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        _Q[key](spark, sf_dir).explain("formatted")
+    return buf.getvalue()
+
+
+def test_projection_pruned_to_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "scan_projected")
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read and "l_extendedprice" in read
+    assert "l_discount" not in read  # unreferenced column not decoded
+
+
+def test_filters_pushed_to_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "filter_pred")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "GreaterThanOrEqual(l_quantity,10" in pushed
+    assert "In(l_returnflag" in pushed
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_star")
+    assert plan.count("BroadcastHashJoin") >= 3
+    # the aggregate is partial+final: exactly one exchange for the groupBy
+    assert "HashAggregate" in plan
+
+
+def test_topk_folds_to_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir):
+    """At test scale AQE rightly picks broadcast; force the at-scale
+    condition (sides too big to broadcast) and assert the bucket-aligned
+    SMJ runs with zero exchanges — join AND the same-key aggregate."""
+    _Q["join_bucketed"](spark, sf_dir).count()  # build bucketed tables
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(spark, sf_dir, "join_bucketed")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+    assert "Exchange" not in plan, plan[:2000]
+
+
+def test_range_join_broadcasts_band_table(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_range")
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_asof_join_single_user_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_asof")
+    # union + window: shuffles bounded (no range-join cartesian)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
