@@ -220,6 +220,126 @@ def llm_simsearch(spark, sf_dir):
     return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
 
 
+_SIGN_BUCKET_DUCK = """(CASE WHEN embedding[1] >= 0 THEN 8 ELSE 0 END
+          + CASE WHEN embedding[2] >= 0 THEN 4 ELSE 0 END
+          + CASE WHEN embedding[3] >= 0 THEN 2 ELSE 0 END
+          + CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END)"""
+
+_SIGN_BUCKET_SPARK = (
+    "CASE WHEN element_at(embedding, 1) >= 0 THEN 8 ELSE 0 END"
+    " + CASE WHEN element_at(embedding, 2) >= 0 THEN 4 ELSE 0 END"
+    " + CASE WHEN element_at(embedding, 3) >= 0 THEN 2 ELSE 0 END"
+    " + CASE WHEN element_at(embedding, 4) >= 0 THEN 1 ELSE 0 END"
+)
+
+
+@register(
+    "llm_dedup_cosine",
+    oracle=f"""
+WITH sig AS (
+    SELECT vec_id, embedding, {_SIGN_BUCKET_DUCK} AS bucket
+    FROM embeddings
+), pairs AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(
+             SUM(CAST(a.embedding[g.i] AS DOUBLE) * CAST(b.embedding[g.i] AS DOUBLE))
+             / (SQRT(SUM(CAST(a.embedding[g.i] AS DOUBLE) * CAST(a.embedding[g.i] AS DOUBLE)))
+                * SQRT(SUM(CAST(b.embedding[g.i] AS DOUBLE) * CAST(b.embedding[g.i] AS DOUBLE)))),
+             6) AS cos_sim
+    FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id,
+         generate_series(1, 64) g(i)
+    GROUP BY 1, 2
+)
+SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.3
+""",
+)
+def llm_dedup_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs. Candidate blocking = sign bits of
+    the first 4 coordinates (axis-aligned hyperplane LSH, deterministic and
+    oracle-expressible), exact cosine rescored only within shared buckets —
+    pair count is sum over buckets of |b|², never the full n². At 100 TB
+    raise the bit count so buckets stay bounded (bits scale ~log2(n))."""
+    e = t(spark, sf_dir, "embeddings")
+    sig = e.select("vec_id", "embedding", F.expr(_SIGN_BUCKET_SPARK).alias("bucket"))
+    a = sig.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("qe"),
+        F.expr(_NORM.format(c="embedding")).alias("na"),
+        "bucket",
+    )
+    b = sig.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("ce"),
+        F.expr(_NORM.format(c="embedding")).alias("nb"),
+        "bucket",
+    )
+    cos = F.round(F.expr(_DOT) / (F.col("na") * F.col("nb")), 6)
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.3)
+    )
+
+
+@register("llm_simsearch_ivf")  # rows-only: k-means centroids are engine-specific
+def llm_simsearch_ivf(spark, sf_dir):
+    """IVF-style approximate NN: MLlib KMeans coarse quantizer (nlist=16)
+    partitions the corpus into cells; each query probes its nprobe=2
+    nearest centroids and exact-rescoring runs only inside probed cells.
+    The cell assignment is a narrow transform; the probe join is an
+    equi-join on cluster id — at 100 TB the corpus stays partitioned by
+    cell and only ~nprobe/nlist of it is scanned per query."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", array_to_vector("embedding").alias("vec")
+    )
+    model = KMeans(k=16, seed=42, featuresCol="vec", predictionCol="cell").fit(e)
+    assigned = model.transform(e).select("vec_id", "embedding", "cell")
+    # Centroids live on the driver inside the fitted model (inherent to
+    # KMeans); emit them as a 16-row broadcast table for the probe join.
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell INT, centroid ARRAY<DOUBLE>",
+    )
+    q = assigned.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    qdist = q.crossJoin(F.broadcast(centroids)).select(
+        "query_id",
+        "qe",
+        "cell",
+        F.expr(
+            "aggregate(zip_with(qe, centroid, (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), 0D, (a, x) -> a + x)"
+        ).alias("d2"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
+    probed = qdist.withColumn("pr", F.row_number().over(wq)).filter(F.col("pr") <= 2)
+    cand = assigned.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        "cell",
+    )
+    pairs = (
+        probed.select("query_id", "qe", "cell")
+        .join(cand, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.expr(_DOT)
+                / (F.expr(_NORM.format(c="qe")) * F.expr(_NORM.format(c="ce"))),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+
+
 @register("llm_simsearch_ann")  # rows-only: LSH bucketing is engine-specific
 def llm_simsearch_ann(spark, sf_dir):
     """Approximate NN via random-projection LSH: bucketed join, compares
