@@ -75,3 +75,26 @@ def test_asof_join_single_user_shuffle(spark, sf_dir):
     # union + window: shuffles bounded (no range-join cartesian)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cosine_dedup_blocks_not_cartesian(spark, sf_dir):
+    """Near-dup pair generation must come from the sign-bucket equi-join,
+    never an all-pairs product — the difference between O(Σ|b|²) and O(n²)."""
+    plan = _plan(spark, sf_dir, "llm_dedup_cosine")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simsearch_broadcasts_query_side(spark, sf_dir):
+    """Exact top-k cosine: the bounded query set is broadcast so the
+    corpus side never shuffles for the pairing."""
+    plan = _plan(spark, sf_dir, "llm_simsearch")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_multimodal_ops_are_narrow(spark, sf_dir):
+    """Decode/feature-extract/resize/frame-sample are per-partition Arrow
+    transforms — zero exchanges, so they scale linearly with executors."""
+    for key in ("mm_features", "mm_resize", "mm_framesample"):
+        plan = _plan(spark, sf_dir, key)
+        assert "Exchange" not in plan, key
