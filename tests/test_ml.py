@@ -75,3 +75,18 @@ def test_fuzzy_dedup_and_ann_run_symmetrically(spark, sf_dir):
     assert pairs.filter(F.col("doc_a") >= F.col("doc_b")).count() == 0
     ann = _Q["llm_simsearch_ann"](spark, sf_dir)
     assert ann.filter(F.col("rank") > 10).count() == 0
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    """IVF probes 2/16 cells yet must still recover a meaningful share of
+    the exact top-10 — the quality bar for the approximate scale path."""
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in _Q["llm_simsearch"](spark, sf_dir).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in _Q["llm_simsearch_ivf"](spark, sf_dir).collect()
+    }
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.2, f"IVF recall@10 too low: {recall:.2f}"
