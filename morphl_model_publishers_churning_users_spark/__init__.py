@@ -34,5 +34,5 @@ def load_all_operators() -> None:
         windows,
     )
     from .functions import scalar  # noqa: F401
-    from .sources import json_source, stream_source  # noqa: F401
+    from .sources import csv_source, json_source, stream_source  # noqa: F401
     from .streaming import ops as streaming_ops  # noqa: F401

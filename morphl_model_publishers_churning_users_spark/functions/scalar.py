@@ -216,3 +216,34 @@ def fn_hash(spark, sf_dir):
     hash, no DuckDB twin) is exercised in the dedup/fingerprint ops."""
     d = t(spark, sf_dir, "documents")
     return d.select("doc_id", F.md5("text").alias("h_md5"), F.sha2(F.col("text"), 256).alias("h_sha256"))
+
+
+@register(
+    "fn_struct",
+    oracle="""
+WITH ranked AS (
+    SELECT user_id, ts, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_type DESC) AS rn
+    FROM events
+)
+SELECT user_id, event_type AS last_type, ts AS last_ts
+FROM ranked WHERE rn = 1
+""",
+)
+def fn_struct(spark, sf_dir):
+    """Struct construction + field access, via the argmax-by-struct idiom:
+    max(struct(ts, event_type)) compares lexicographically, so one hash
+    aggregate replaces a window sort — the cheap 'latest row per key' at
+    scale. The oracle is the equivalent window formulation."""
+    ev = t(spark, sf_dir, "events")
+    m = F.max(F.struct(F.col("ts"), F.col("event_type"))).alias("m")
+    return (
+        ev.groupBy("user_id")
+        .agg(m)
+        .select(
+            "user_id",
+            F.col("m.event_type").alias("last_type"),
+            F.col("m.ts").alias("last_ts"),
+        )
+    )

@@ -209,3 +209,30 @@ def agg_stats(spark, sf_dir):
         F.round(F.corr(F.col("value"), uid), 6).alias("corr_vu"),
         F.round(F.expr("percentile(value, 0.5)"), 6).alias("median_value"),
     )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+SELECT r.r_name, n.n_name, COUNT(*) AS n_customers,
+       GROUPING(r.r_name, n.n_name) AS gid
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY GROUPING SETS ((r.r_name, n.n_name), (r.r_name), ())
+""",
+)
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (the general form rollup/cube sugar over):
+    per-(region, nation), per-region, and grand total in one pass —
+    Spark expands the sets map-side, so it stays a single exchange."""
+    c = t(spark, sf_dir, "customer")
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    r = F.broadcast(t(spark, sf_dir, "region"))
+    joined = c.join(n, c.c_nationkey == n.n_nationkey).join(r, n.n_regionkey == r.r_regionkey)
+    return joined.groupingSets(
+        [["r_name", "n_name"], ["r_name"], []], "r_name", "n_name"
+    ).agg(
+        F.count("*").alias("n_customers"),
+        (F.grouping("r_name") * 2 + F.grouping("n_name")).cast("bigint").alias("gid"),
+    )

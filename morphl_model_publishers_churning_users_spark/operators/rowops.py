@@ -152,3 +152,47 @@ def sample_rows(spark, sf_dir):
         .select("l_orderkey", "l_linenumber")
         .sample(fraction=0.2, seed=42)
     )
+
+
+_SCALAR_SUBQ_SQL = """
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 6) AS totalprice
+FROM orders
+WHERE o_totalprice >
+      (SELECT 2 * CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+       FROM orders)
+"""
+
+
+@register("subquery_scalar", oracle=_SCALAR_SUBQ_SQL)
+def subquery_scalar(spark, sf_dir):
+    """Uncorrelated scalar subquery (orders above 2× the global average)
+    through the real SQL path: Catalyst plans the inner aggregate once and
+    broadcasts the scalar — one extra stage, no per-row recompute. The
+    threshold goes through DECIMAL(38,6) so both engines agree exactly at
+    the comparison boundary."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SCALAR_SUBQ_SQL)
+
+
+_CORR_SUBQ_SQL = """
+SELECT l_orderkey, l_linenumber, l_partkey, ROUND(l_extendedprice, 6) AS price
+FROM lineitem l
+WHERE l_extendedprice >
+      (SELECT 1.5 * CAST(SUM(CAST(l2.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+       FROM lineitem l2
+       WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+@register("subquery_correlated", oracle=_CORR_SUBQ_SQL)
+def subquery_correlated(spark, sf_dir):
+    """Correlated scalar subquery (lineitems priced 1.5× above their
+    part's average). Catalyst decorrelates this into a per-part aggregate
+    + equi-join on l_partkey — the shape that scales (one shuffle on the
+    correlation key), never a per-row re-execution."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_CORR_SUBQ_SQL)
