@@ -236,3 +236,32 @@ def agg_grouping_sets(spark, sf_dir):
         F.count("*").alias("n_customers"),
         (F.grouping("r_name") * 2 + F.grouping("n_name")).cast("bigint").alias("gid"),
     )
+
+
+@register(
+    "agg_unpivot",
+    oracle="""
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, ROUND(l_quantity, 6) AS val FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', ROUND(l_extendedprice, 6) FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', ROUND(l_discount, 6) FROM lineitem
+""",
+)
+def agg_unpivot(spark, sf_dir):
+    """Unpivot/melt (pivot's inverse): wide measure columns → long
+    (key, metric, value) rows. Narrow generate — each input row expands
+    in place, no shuffle; the ANSI twin is the UNION ALL expansion."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_quantity", 6).alias("l_quantity"),
+        F.round("l_extendedprice", 6).alias("l_extendedprice"),
+        F.round("l_discount", 6).alias("l_discount"),
+    )
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )

@@ -52,3 +52,66 @@ def sink_parquet_part(spark, sf_dir):
         .groupBy(F.col("l_returnflag").cast("string").alias("l_returnflag"))
         .agg(F.count("*").alias("n_rows"))
     )
+
+
+@register(
+    "sink_upsert",
+    oracle="""
+WITH updates AS (
+    SELECT o_orderkey, 'UPDATED' AS o_orderstatus, ROUND(o_totalprice * 1.1, 6) AS o_totalprice
+    FROM orders WHERE o_orderkey % 10 = 0
+), merged AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM updates
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 6) AS o_totalprice
+    FROM orders
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+)
+SELECT o_orderstatus, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_total
+FROM merged GROUP BY o_orderstatus
+""",
+)
+def sink_upsert(spark, sf_dir):
+    """Key-upsert sink (MERGE semantics — the reference's Cassandra writes
+    are primary-key upserts [SURVEY.md §1.1, unverified]). Updates take
+    precedence via union + per-key latest-wins (argmax on version), then
+    the merged table lands as parquet and is re-read. One shuffle on the
+    merge key; at 100 TB the same plan runs per partition-overwrite so
+    only touched partitions rewrite."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 6).alias("o_totalprice"),
+        F.lit(0).alias("version"),
+    )
+    updates = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("UPDATED").alias("o_orderstatus"),
+            F.round(F.col("o_totalprice") * 1.1, 6).alias("o_totalprice"),
+            F.lit(1).alias("version"),
+        )
+    )
+    merged = (
+        o.unionByName(updates)
+        .groupBy("o_orderkey")
+        .agg(F.max(F.struct("version", "o_orderstatus", "o_totalprice")).alias("m"))
+        .select(
+            "o_orderkey",
+            F.col("m.o_orderstatus").alias("o_orderstatus"),
+            F.col("m.o_totalprice").alias("o_totalprice"),
+        )
+    )
+    out = scratch_dir("sink_upsert")
+    merged.write.mode("overwrite").parquet(out)
+    return (
+        spark.read.parquet(out)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("sum_total"),
+        )
+    )
