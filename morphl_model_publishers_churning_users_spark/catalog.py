@@ -66,6 +66,19 @@ def ensure_confs(spark: SparkSession) -> None:
             # Conf not recognized/settable in this build — queries that
             # depend on it will surface a clear error instead.
             pass
+    try:
+        # Streaming state stores and non-AQE paths take their task count
+        # straight from shuffle.partitions (AQE never coalesces them). A
+        # driver-owned session arrives at Spark's default 200 — size it to
+        # the actual parallelism instead. Only the untouched default is
+        # overridden, so explicit settings (tests, tuning) are preserved.
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(spark.sparkContext.defaultParallelism),
+            )
+    except Exception:
+        pass
 
 
 # (session-id, sf_dir, name) → DataFrame. Reusing the DataFrame reuses its

@@ -127,3 +127,41 @@ def ts_incremental(spark, sf_dir):
         .select(F.col("w.start").cast("date").alias("day_start"), "n_events")
     )
     return run_available_now(agg, "ts_incremental", output_mode="complete")
+
+
+@register(
+    "ts_session_stream",
+    oracle="""
+WITH ordered AS (
+    SELECT user_id, ts,
+           epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+    FROM events
+), flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END AS new_session
+    FROM ordered
+), sessions AS (
+    SELECT user_id, ts,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+)
+SELECT user_id, COUNT(*) AS n_events
+FROM sessions GROUP BY user_id, session_id
+""",
+)
+def ts_session_stream(spark, sf_dir):
+    """Streaming sessionization: the same 30-min-gap session_window as the
+    batch op, but over readStream with native session state — sessions
+    merge across micro-batches in the state store, the mechanism that
+    sessionizes an unbounded stream without a per-user sort. Bounded input
+    + AvailableNow ⇒ result must equal the batch lag/cumsum oracle.
+    (session_start/last_ts are ltz in streaming mode, so the equivalence
+    check uses the timezone-free columns.)"""
+    sdf = _stream_events(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        sdf.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", "n_events")
+    )
+    return run_available_now(agg, "ts_session_stream", output_mode="complete")
