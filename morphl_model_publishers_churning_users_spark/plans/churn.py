@@ -101,7 +101,11 @@ def build_ml_pipeline():
     assembler = VectorAssembler(inputCols=FEATURE_COLS, outputCol="features_raw")
     scaler = StandardScaler(inputCol="features_raw", outputCol="features", withMean=True)
     lr = LogisticRegression(
-        featuresCol="features", labelCol="churned", maxIter=50, regParam=0.01
+        featuresCol="features",
+        labelCol="churned",
+        maxIter=50,
+        regParam=0.01,
+        family="binomial",  # keep 2-class rawPrediction even if a CV fold is single-class
     )
     return Pipeline(stages=[assembler, scaler, lr])
 
