@@ -18,6 +18,11 @@ no data moves through the driver, so it is scale-independent.
 
 from __future__ import annotations
 
+import hashlib
+import io
+import os
+import zipfile
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -53,12 +58,59 @@ _RUNTIME_CONFS = {
 }
 
 
+# App ids that already had the package shipped to their Python workers.
+_pyfiles_shipped: set[str] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    Module-level functions handed to mapInPandas/applyInPandas are
+    cloudpickled BY REFERENCE (module + qualname), so the worker must be
+    able to import us. Our own sessions inherit the repo cwd, but a
+    driver-owned session may run from anywhere — so we ship the package
+    the standard way: zip it and addPyFile (the py-files deploy path; on
+    a real cluster this is exactly how the code reaches 1000 executors).
+    Content-hashed filename so re-adding after an edit never collides
+    with a previously registered file.
+    """
+    sc = spark.sparkContext
+    if sc.applicationId in _pyfiles_shipped:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+        for dirpath, dirnames, files in os.walk(pkg_dir):
+            dirnames[:] = [d for d in dirnames if d != "__pycache__"]
+            for fn in sorted(files):
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    info = zipfile.ZipInfo(os.path.relpath(full, root))
+                    with open(full, "rb") as f:
+                        zf.writestr(info, f.read())
+    data = buf.getvalue()
+    digest = hashlib.sha256(data).hexdigest()[:12]
+    out_dir = os.path.join(root, ".scratch", "pyfiles")
+    os.makedirs(out_dir, exist_ok=True)
+    out = os.path.join(out_dir, f"mpcu_pkg_{digest}.zip")
+    if not os.path.exists(out):
+        with open(out, "wb") as f:
+            f.write(data)
+    try:
+        sc.addPyFile(out)
+    except Exception:
+        pass  # best effort — nested-function UDFs still work without it
+    _pyfiles_shipped.add(sc.applicationId)
+
+
 def ensure_confs(spark: SparkSession) -> None:
     """Apply runtime-settable confs the engine depends on.
 
     Safe to call repeatedly; called by every table load so driver-owned
     sessions get the right behavior too.
     """
+    _ship_package(spark)
     for k, v in _RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
