@@ -34,5 +34,11 @@ def load_all_operators() -> None:
         windows,
     )
     from .functions import scalar  # noqa: F401
-    from .sources import csv_source, json_source, stream_source  # noqa: F401
+    from .sources import (  # noqa: F401
+        csv_source,
+        ga_source,
+        json_source,
+        orc_source,
+        stream_source,
+    )
     from .streaming import ops as streaming_ops  # noqa: F401

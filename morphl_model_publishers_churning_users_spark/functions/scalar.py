@@ -247,3 +247,49 @@ def fn_struct(spark, sf_dir):
             F.col("m.ts").alias("last_ts"),
         )
     )
+
+
+@register(
+    "fn_url",
+    oracle="""
+WITH u AS (
+    SELECT c_custkey,
+           'https://' || regexp_replace(lower(c_name), '[^a-z0-9]', '', 'g')
+           || '.example.com/u/' || CAST(c_custkey AS VARCHAR)
+           || '?seg=' || lower(c_mktsegment)
+           || '&ref=email&n=' || CAST(c_nationkey AS VARCHAR) AS url
+    FROM customer
+)
+SELECT c_custkey, url,
+       regexp_extract(url, 'https://([^/]+)', 1) AS host,
+       regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+       regexp_extract(url, '[?&]seg=([^&]*)', 1) AS seg,
+       regexp_extract(url, '[?&]n=([^&]*)', 1) AS n_param
+FROM u
+""",
+)
+def fn_url(spark, sf_dir):
+    """URL build + parse (the GA-referrer cleanup shape): parse_url is
+    the Spark built-in (Java URI semantics, codegen); DuckDB has no
+    parse_url, so the oracle twin extracts the same parts with regexes —
+    both sides construct identical URLs from customer attributes first."""
+    c = t(spark, sf_dir, "customer")
+    url = F.concat(
+        F.lit("https://"),
+        F.regexp_replace(F.lower("c_name"), "[^a-z0-9]", ""),
+        F.lit(".example.com/u/"),
+        F.col("c_custkey").cast("string"),
+        F.lit("?seg="),
+        F.lower("c_mktsegment"),
+        F.lit("&ref=email&n="),
+        F.col("c_nationkey").cast("string"),
+    )
+    u = c.select("c_custkey", url.alias("url"))
+    return u.select(
+        "c_custkey",
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("seg")).alias("seg"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("n")).alias("n_param"),
+    )

@@ -265,3 +265,184 @@ def agg_unpivot(spark, sf_dir):
         variableColumnName="metric",
         valueColumnName="val",
     )
+
+
+@register(
+    "agg_minmax_by",
+    oracle="""
+WITH ranked AS (
+    SELECT event_type, event_id, value,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id DESC) AS rmax,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS rmin
+    FROM events
+)
+SELECT event_type,
+       MAX(CASE WHEN rmax = 1 THEN event_id END) AS top_event_id,
+       ROUND(MAX(CASE WHEN rmax = 1 THEN value END), 6) AS top_value,
+       MAX(CASE WHEN rmin = 1 THEN event_id END) AS bottom_event_id,
+       ROUND(MAX(CASE WHEN rmin = 1 THEN value END), 6) AS bottom_value
+FROM ranked GROUP BY event_type
+""",
+)
+def agg_minmax_by(spark, sf_dir):
+    """Argmax/argmin aggregate (max_by/min_by): the row-attribute at the
+    extreme of another column, in ONE hash aggregate — no window sort, no
+    self-join. Tiebreak is made deterministic by ordering on a
+    (value, event_id) struct; DuckDB 1.0 arg_max has no composite-key
+    form, so the oracle is the row_number twin."""
+    ev = t(spark, sf_dir, "events")
+    ord_key = F.struct(F.col("value"), F.col("event_id"))
+    return ev.groupBy("event_type").agg(
+        F.max_by("event_id", ord_key).alias("top_event_id"),
+        F.round(F.max("value"), 6).alias("top_value"),
+        F.min_by("event_id", ord_key).alias("bottom_event_id"),
+        F.round(F.min("value"), 6).alias("bottom_value"),
+    )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+WITH counts AS (
+    SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2
+), ranked AS (
+    SELECT user_id, event_type, n,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n DESC, event_type DESC) AS r
+    FROM counts
+)
+SELECT user_id, event_type AS mode_type, n AS mode_n FROM ranked WHERE r = 1
+""",
+)
+def agg_mode(spark, sf_dir):
+    """Deterministic mode (most frequent event_type per user). Built-in
+    F.mode breaks ties arbitrarily — useless against an oracle — so this
+    is the two-phase form: count per (user, type), then max_by on a
+    (count, type) struct. Two hash aggregates, both partial-aggregated;
+    no window, so no per-user sort at scale."""
+    ev = t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    return counts.groupBy("user_id").agg(
+        F.max_by("event_type", F.struct(F.col("n"), F.col("event_type"))).alias("mode_type"),
+        F.max("n").alias("mode_n"),
+    )
+
+
+@register("agg_sketch_hll")  # rows-only: sketch bytes are engine-specific
+def agg_sketch_hll(spark, sf_dir):
+    """Two-level HLL sketch rollup — the 100 TB cardinality pattern:
+    build per-(event_type, day) DataSketches HLL sketches, then MERGE
+    the partials per event_type (hll_union_agg) and estimate. Sketches
+    are tiny fixed-size state, so the daily partials can be persisted
+    and re-merged incrementally without rescanning history. Accuracy vs
+    exact is property-tested (±5%) in tests/test_engine.py."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sketch")
+    )
+    return daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users")
+    )
+
+
+@register(
+    "agg_count_if",
+    oracle="""
+SELECT user_id,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors,
+       CAST(BOOL_OR(event_type = 'error') AS INTEGER) AS had_error,
+       CAST(BOOL_AND(value >= 0) AS INTEGER) AS all_nonneg
+FROM events GROUP BY 1
+""",
+)
+def agg_count_if(spark, sf_dir):
+    """Conditional/boolean aggregates — count_if + any/every — the
+    one-pass alternative to N filtered subqueries: every conditional
+    rides the same hash aggregate (partial+final), so feature screens
+    like 'users who ever errored' cost one shuffle total."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count_if(F.col("event_type") == "purchase").alias("n_purchases"),
+        F.count_if(F.col("event_type") == "error").alias("n_errors"),
+        F.bool_or(F.col("event_type") == "error").cast("int").alias("had_error"),
+        F.bool_and(F.col("value") >= 0).cast("int").alias("all_nonneg"),
+    )
+
+
+@register(
+    "agg_trend",
+    oracle="""
+WITH base AS (
+    SELECT user_id,
+           CAST(epoch_us(ts) // 86400000000 - 19723 AS DOUBLE) AS x,
+           value AS y
+    FROM events
+), sums AS (
+    SELECT user_id, COUNT(*) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(x AS DECIMAL(18,6)) * CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(x AS DECIMAL(18,6)) * CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+    FROM base GROUP BY 1
+)
+SELECT user_id, n,
+       ROUND((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0), 6) AS slope,
+       ROUND((sy - ((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0)) * sx) / n, 6) AS intercept
+FROM sums
+""",
+)
+def agg_trend(spark, sf_dir):
+    """Per-user activity-trend feature: least-squares slope/intercept of
+    value over time (the engagement-is-declining signal the churn model
+    feeds on). Closed-form from four sufficient statistics in ONE hash
+    aggregate — built-in regr_slope would sum doubles in partition order
+    and drift vs the oracle, so the moments go through DECIMAL(38,6)
+    (exact, order-independent) and the final arithmetic is identical
+    double math on both engines."""
+    ev = t(spark, sf_dir, "events")
+    # x = days since 2024-01-01 (epoch day 19723): keeps the decimal
+    # moment products inside int64 on the oracle side and makes the
+    # intercept "expected value at corpus start".
+    x = (
+        (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86400000000)).cast("long")
+        - F.lit(19723)
+    ).cast("double")
+    base = ev.select("user_id", x.alias("x"), F.col("value").alias("y"))
+    # DECIMAL(18,6): the 38-precision product would overflow and each
+    # engine reduces scale differently; an (18,6)x(18,6) product is an
+    # exact DECIMAL(37,12) on both.
+    xd = F.col("x").cast("decimal(18,6)")
+    yd = F.col("y").cast("decimal(18,6)")
+    sums = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(xd * yd).cast("double").alias("sxy"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    denom = F.nullif(n * sxx - sx * sx, F.lit(0.0))
+    slope = (n * sxy - sx * sy) / denom
+    return sums.select(
+        "user_id",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+SELECT event_type, CAST(FLOOR(value / 50) AS BIGINT) AS bucket, COUNT(*) AS n
+FROM events GROUP BY 1, 2
+""",
+)
+def agg_histogram(spark, sf_dir):
+    """Fixed-width histogram per event_type — bucketing is a pure
+    projection (floor division), so the whole histogram is one hash
+    aggregate; no sorting, no percentile state."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.floor(F.col("value") / 50).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))

@@ -617,3 +617,179 @@ def llm_embed_ops(spark, sf_dir):
         F.round(F.array_max("embedding").cast("double"), 6).alias("max_elem"),
         F.round(F.array_min("embedding").cast("double"), 6).alias("min_elem"),
     )
+
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "\\+?\\d[\\d-]{6,}\\d"
+
+
+@register(
+    "llm_pii_scrub",
+    oracle=f"""
+WITH seeded AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0
+                THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                     || '@example.com or +1-555-0100' 
+                ELSE text END AS raw
+    FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_PHONE_RE}', '<PHONE>', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(raw, '{_PHONE_RE}')) AS INTEGER) AS n_phones
+FROM seeded
+""",
+)
+def llm_pii_scrub(spark, sf_dir):
+    """PII redaction for training corpora: regex-scrub emails and
+    phone-number runs, reporting per-doc redaction counts. Pure codegen
+    expressions (regexp_replace/regexp_count) — scan-speed at any scale.
+    The fixture word-soup contains no organic PII, so deterministic PII
+    is seeded into every 5th doc first (both engines seed identically,
+    keeping the whole pipeline oracle-checked)."""
+    d = t(spark, sf_dir, "documents")
+    raw = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-0100"),
+        ),
+    ).otherwise(F.col("text"))
+    seeded = d.select("doc_id", raw.alias("raw"))
+    return seeded.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("raw", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ).alias("clean_text"),
+        F.regexp_count("raw", F.lit(_EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count("raw", F.lit(_PHONE_RE)).cast("int").alias("n_phones"),
+    )
+
+
+@register(
+    "llm_contamination",
+    oracle=f"""
+WITH grams AS (
+    SELECT DISTINCT doc_id, unnest({_NGRAM_SH_DUCK}) AS g
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents)
+), train AS (
+    SELECT DISTINCT g FROM grams WHERE doc_id % 10 < 8
+), eval_grams AS (
+    SELECT doc_id, g FROM grams WHERE doc_id % 10 >= 8
+), sizes AS (
+    SELECT doc_id, COUNT(*) AS n_grams FROM eval_grams GROUP BY 1
+), hits AS (
+    SELECT e.doc_id, COUNT(*) AS n_overlap
+    FROM eval_grams e JOIN train t ON e.g = t.g GROUP BY 1
+)
+SELECT s.doc_id, s.n_grams, COALESCE(h.n_overlap, 0) AS n_overlap,
+       CAST(CASE WHEN COALESCE(h.n_overlap, 0) > 0 THEN 1 ELSE 0 END AS INTEGER) AS contaminated
+FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+""",
+)
+def llm_contamination(spark, sf_dir):
+    """Benchmark-contamination check: for each held-out (eval) document,
+    count word-3-shingles that also occur anywhere in the train split.
+    The semi-join on shingles is the scale path — candidates come only
+    from shared shingles, never an all-pairs comparison; the train
+    shingle set is the distinct'd small side of an equi-join that AQE
+    can broadcast when it fits."""
+    d = t(spark, sf_dir, "documents")
+    grams = (
+        d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("w"))
+        .select("doc_id", F.explode(F.expr(_NGRAM_SH_SPARK)).alias("g"))
+        .distinct()
+    )
+    train = grams.filter(F.col("doc_id") % 10 < 8).select("g").distinct()
+    eval_grams = grams.filter(F.col("doc_id") % 10 >= 8)
+    sizes = eval_grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = eval_grams.join(train, "g").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    joined = sizes.join(hits, "doc_id", "left")
+    n_overlap = F.coalesce(F.col("n_overlap"), F.lit(0).cast("bigint"))
+    return joined.select(
+        "doc_id",
+        "n_grams",
+        n_overlap.alias("n_overlap"),
+        F.when(n_overlap > 0, 1).otherwise(0).cast("int").alias("contaminated"),
+    )
+
+
+@register(
+    "llm_chunk",
+    oracle="""
+SELECT doc_id,
+       CAST(ck.i AS INTEGER) AS chunk_idx,
+       substr(text, CAST(ck.i AS INTEGER) * 160 + 1, 200) AS chunk,
+       CAST(strlen(substr(text, CAST(ck.i AS INTEGER) * 160 + 1, 200)) AS BIGINT) AS chunk_chars
+FROM documents,
+     LATERAL unnest(range(0, CAST(ceil(greatest(strlen(text) - 40, 1) / 160.0) AS BIGINT))) ck(i)
+""",
+)
+def llm_chunk(spark, sf_dir):
+    """Context-window chunking (RAG / pretraining prep): 200-char windows
+    with 40-char overlap (stride 160). The chunk grid is generated
+    per-row with sequence+explode — a narrow transform that fans out
+    executor-side, so chunking a 100 TB corpus never touches the driver
+    and preserves input partitioning for the downstream tokenizer."""
+    d = t(spark, sf_dir, "documents")
+    n_chunks = F.ceil((F.greatest(F.length("text") - 40, F.lit(1))) / 160.0).cast("long")
+    chunks = d.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    chunk = F.substring(F.col("text"), F.col("chunk_idx") * 160 + 1, 200)
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        chunk.alias("chunk"),
+        F.length(chunk).cast("bigint").alias("chunk_chars"),
+    )
+
+
+@register(
+    "llm_pack",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, lang, len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+    FROM documents
+), packed AS (
+    SELECT doc_id, lang, n_tokens,
+           CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) - n_tokens) / 512) AS BIGINT) AS pack_id
+    FROM toks
+)
+SELECT lang, pack_id, COUNT(*) AS n_docs, SUM(n_tokens) AS pack_tokens
+FROM packed GROUP BY 1, 2
+""",
+)
+def llm_pack(spark, sf_dir):
+    """Sequence packing for training batches: docs stream in a
+    deterministic order (per-lang, by doc_id) and a running token total
+    assigns each doc to the 512-token pack its prefix lands in —
+    the greedy-fill semantics expressed as ONE window cumsum instead of
+    a sequential loop, so packing parallelizes per language partition
+    (at 100 TB: per shard key). Output is per-pack occupancy."""
+    d = t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tokens"),
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    packed = toks.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 512).cast("bigint"),
+    )
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+    )

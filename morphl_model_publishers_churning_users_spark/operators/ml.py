@@ -147,3 +147,35 @@ def ml_crossval(spark, sf_dir):
         for pm, m in zip(grid, fitted.avgMetrics)
     ]
     return spark.createDataFrame(rows, "reg_param double, mean_auc double, is_best boolean")
+
+
+@register("ml_kmeans_segment")  # rows-only: centroid assignment is engine-specific
+def ml_kmeans_segment(spark, sf_dir):
+    """User segmentation (the audience-bucketing companion to churn
+    scoring): per-user behavioral features → standardized vector →
+    distributed KMeans (k=4, fixed seed) → per-segment profile (size +
+    mean activity). Training is MLlib-distributed — unlike the
+    reference's single-node fit — so the same code segments 10^9 users.
+    Sanity (non-empty clusters, stable k) asserted in tests/test_ml.py."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import StandardScaler, VectorAssembler
+    from pyspark.ml import Pipeline
+
+    feats = churn.user_features(spark, sf_dir)
+    cols = [c for c in feats.columns if c not in ("user_id", "last_ts")]
+    pipe = Pipeline(
+        stages=[
+            VectorAssembler(inputCols=cols, outputCol="raw"),
+            StandardScaler(inputCol="raw", outputCol="features", withMean=True),
+            KMeans(k=4, seed=42, featuresCol="features", predictionCol="segment"),
+        ]
+    )
+    segmented = pipe.fit(feats).transform(feats)
+    return (
+        segmented.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.avg("n_events"), 6).alias("avg_events"),
+        )
+        .orderBy("segment")
+    )

@@ -196,3 +196,27 @@ def subquery_correlated(spark, sf_dir):
 
     register_views(spark, sf_dir)
     return spark.sql(_CORR_SUBQ_SQL)
+
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+FROM customer c, LATERAL (
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_custkey = c.c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) o
+"""
+
+
+@register("subquery_lateral", oracle=_LATERAL_SQL)
+def subquery_lateral(spark, sf_dir):
+    """Lateral (correlated table) subquery — top-2 orders per customer.
+    Catalyst decorrelates the per-row ORDER BY/LIMIT into a single
+    WindowGroupLimit (partial top-k before the shuffle, final after), so
+    the 'run a query per customer' semantics execute as ONE ranked pass
+    over orders — the only shape that survives 10^9 customers. Same SQL
+    text runs on DuckDB as the oracle."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)

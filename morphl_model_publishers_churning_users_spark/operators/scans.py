@@ -115,3 +115,41 @@ def sink_upsert(spark, sf_dir):
             F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("sum_total"),
         )
     )
+
+
+@register(
+    "scan_partition_pruned",
+    oracle="""
+SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+GROUP BY 1
+""",
+)
+def scan_partition_pruned(spark, sf_dir):
+    """Static partition pruning: land events partitioned by day (the
+    100 TB layout — one directory per day), then read back with a day
+    filter. The filter hits the partition COLUMN, so Spark prunes whole
+    directories at planning time — the scan never opens files outside
+    the week, which is the difference between reading 7 days and 10
+    years at scale. (tests assert the pruned plan shape.)"""
+    import os
+
+    out = scratch_dir(f"events_by_day_{os.path.basename(os.path.abspath(sf_dir))}")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        (
+            t(spark, sf_dir, "events")
+            .withColumn("day", F.to_date("ts"))
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(out)
+        )
+    df = spark.read.parquet(out).filter(
+        F.col("day").between(F.lit("2024-01-08").cast("date"), F.lit("2024-01-14").cast("date"))
+    )
+    return df.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+    )

@@ -17,6 +17,7 @@ streaming/ops.py.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+from pyspark.sql import Window
 
 from ..registry import register
 from ._shared import DSUM, dsum, t
@@ -101,4 +102,91 @@ def ts_session(spark, sf_dir):
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
         .agg(F.min("ts").alias("session_start"), F.max("ts").alias("last_ts"), F.count(F.lit(1)).alias("n_events"))
         .select("user_id", "session_start", "last_ts", "n_events")
+    )
+
+
+@register(
+    "ts_gap_fill",
+    oracle=f"""
+WITH daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           ROUND({DSUM("value")}, 6) AS day_value
+    FROM events GROUP BY 1, 2
+), spans AS (
+    SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+), cal AS (
+    SELECT user_id,
+           CAST(unnest(range(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP) + INTERVAL 1 DAY, INTERVAL 1 DAY)) AS DATE) AS day
+    FROM spans
+), joined AS (
+    SELECT c.user_id, c.day, d.day_value FROM cal c
+    LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
+)
+SELECT user_id, day,
+       CAST(CASE WHEN day_value IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_gap,
+       last_value(day_value IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING) AS filled_value
+FROM joined
+""",
+)
+def ts_gap_fill(spark, sf_dir):
+    """Calendar gap-fill + forward-fill: resample each user's daily
+    revenue onto a dense day grid (sequence/explode — generated
+    executor-side, never through the driver) and carry the last observed
+    value across gaps with last(ignorenulls) over an ordered window.
+    Per-user spans keep the generated grid proportional to each user's
+    own active range, so a 100 TB corpus with short-lived users never
+    materializes a global calendar cross join."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.round(dsum(F.col("value")), 6).alias("day_value")
+    )
+    spans = daily.groupBy("user_id").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    cal = spans.select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+    w = Window.partitionBy("user_id").orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        cal.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.when(F.col("day_value").isNull(), 1).otherwise(0).cast("int").alias("is_gap"),
+            F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
+        )
+    )
+
+
+@register(
+    "ts_resample_ohlc",
+    oracle="""
+WITH ranked AS (
+    SELECT user_id, CAST(ts AS DATE) AS day, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                              ORDER BY ts ASC, event_id ASC) AS rf,
+           ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                              ORDER BY ts DESC, event_id DESC) AS rl
+    FROM events
+)
+SELECT user_id, day,
+       ROUND(MAX(CASE WHEN rf = 1 THEN value END), 6) AS open,
+       ROUND(MAX(value), 6) AS high,
+       ROUND(MIN(value), 6) AS low,
+       ROUND(MAX(CASE WHEN rl = 1 THEN value END), 6) AS close,
+       COUNT(*) AS n_ticks
+FROM ranked GROUP BY 1, 2
+""",
+)
+def ts_resample_ohlc(spark, sf_dir):
+    """OHLC downsampling (tick stream → daily bars): open/close are
+    min_by/max_by on a (ts, event_id) struct — ONE hash aggregate, no
+    window sort, which at 100 TB means one shuffle on (user, day) with
+    map-side partials instead of a full per-key ordering. Oracle is the
+    row_number twin (DuckDB arg_min/arg_max lack composite tiebreaks)."""
+    ev = t(spark, sf_dir, "events")
+    ord_key = F.struct(F.col("ts"), F.col("event_id"))
+    return ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.round(F.min_by("value", ord_key), 6).alias("open"),
+        F.round(F.max("value"), 6).alias("high"),
+        F.round(F.min("value"), 6).alias("low"),
+        F.round(F.max_by("value", ord_key), 6).alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
     )

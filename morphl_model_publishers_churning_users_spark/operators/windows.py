@@ -188,3 +188,81 @@ def win_firstlast(spark, sf_dir):
         F.first("event_type").over(w).alias("first_touch"),
         F.last("event_type").over(w).alias("last_touch"),
     ).distinct()
+
+
+@register(
+    "win_median",
+    oracle="""
+SELECT event_id, user_id,
+       ROUND(median(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS med5,
+       ROUND(median(value) OVER (PARTITION BY user_id), 6) AS med_user
+FROM events
+""",
+)
+def win_median(spark, sf_dir):
+    """Rolling exact median (last-5-events) + per-user median. Exact
+    percentile as a window aggregate — both engines interpolate the even
+    case as the mean of the middle pair, so doubles match bit-for-bit
+    after 6-decimal rounding. Spark 4 allows `percentile` (not `median`)
+    over a framed window; partition-only medians are fine either way."""
+    ev = t(spark, sf_dir, "events")
+    w5 = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
+    w_all = Window.partitionBy("user_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.percentile("value", F.lit(0.5)).over(w5), 6).alias("med5"),
+        F.round(F.median("value").over(w_all), 6).alias("med_user"),
+    )
+
+
+@register(
+    "win_streak",
+    oracle="""
+WITH days AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), grp AS (
+    SELECT user_id, day,
+           day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER) AS g
+    FROM days
+), streaks AS (
+    SELECT user_id, g, COUNT(*) AS longest_streak, MIN(day) AS streak_start
+    FROM grp GROUP BY 1, 2
+), ranked AS (
+    SELECT user_id, longest_streak, streak_start,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY longest_streak DESC, streak_start ASC) AS r
+    FROM streaks
+)
+SELECT user_id, longest_streak, streak_start FROM ranked WHERE r = 1
+""",
+)
+def win_streak(spark, sf_dir):
+    """Longest consecutive-active-days streak per user (gaps-and-islands):
+    day − row_number is constant within a run, so one window pass + one
+    aggregate finds every streak — the engagement-streak feature the
+    churn model wants, with no self-join and state linear in active days."""
+    ev = t(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = days.withColumn("g", F.date_sub("day", F.row_number().over(w)))
+    streaks = grp.groupBy("user_id", "g").agg(
+        F.count(F.lit(1)).alias("longest_streak"), F.min("day").alias("streak_start")
+    )
+    # max over (len, -start): ties on length resolve to the EARLIEST start,
+    # mirroring the oracle's ORDER BY len DESC, start ASC.
+    best = F.struct(
+        F.col("longest_streak"),
+        F.datediff(F.lit("9999-12-31").cast("date"), F.col("streak_start")),
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("longest_streak", "streak_start"), best
+            ).alias("s")
+        )
+        .select("user_id", "s.longest_streak", "s.streak_start")
+    )

@@ -165,3 +165,35 @@ def ts_session_stream(spark, sf_dir):
         .select("user_id", "n_events")
     )
     return run_available_now(agg, "ts_session_stream", output_mode="complete")
+
+
+@register(
+    "ts_stream_join",
+    oracle=f"""
+SELECT n.n_name, COUNT(*) AS n_events, ROUND({DSUM("e.value")}, 6) AS sum_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
+""",
+)
+def ts_stream_join(spark, sf_dir):
+    """Stream-static enrichment join: the event stream joins the customer
+    and nation dimension tables micro-batch by micro-batch (dimensions
+    re-read per batch — the streaming star-join shape; small dims are
+    broadcast so the stream side never shuffles for the join). Output
+    must equal the batch join on the same bounded input — the oracle."""
+    from ..catalog import table
+
+    sdf = _stream_events(spark, sf_dir)
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = (
+        sdf.join(F.broadcast(cust), sdf["user_id"] == cust["c_custkey"])
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    agg = joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 6).alias("sum_value"),
+    )
+    return run_available_now(agg, "ts_stream_join", output_mode="complete")

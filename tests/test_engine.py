@@ -42,3 +42,26 @@ def test_churn_pipeline(spark, sf_dir):
     scored = eng.run_pipeline("churn")
     assert set(scored.columns) == {"user_id", "churned", "churn_prob"}
     assert scored.count() > 0
+
+
+def test_hll_sketch_within_5pct_of_exact(spark, sf_dir):
+    """Merged HLL partials must land within ±5% of exact distinct counts
+    (the SURVEY §5.3 property bar for approximate ops)."""
+    from morphl_model_publishers_churning_users_spark.registry import get_queries
+    from morphl_model_publishers_churning_users_spark.catalog import table
+    import pyspark.sql.functions as F
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in get_queries()["agg_sketch_hll"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, n in exact.items():
+        assert abs(approx[et] - n) <= max(1, 0.05 * n), (et, approx[et], n)

@@ -90,3 +90,15 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     }
     recall = len(exact & ivf) / len(exact)
     assert recall >= 0.2, f"IVF recall@10 too low: {recall:.2f}"
+
+
+def test_kmeans_segments_partition_users(spark, sf_dir):
+    """Segments must partition the user base: sizes sum to the user
+    count and at least 2 non-empty clusters emerge at k=4."""
+    from morphl_model_publishers_churning_users_spark.registry import get_queries
+    from morphl_model_publishers_churning_users_spark.plans import churn
+
+    rows = get_queries()["ml_kmeans_segment"](spark, sf_dir).collect()
+    n_users = churn.user_features(spark, sf_dir).count()
+    assert sum(r["n_users"] for r in rows) == n_users
+    assert 2 <= len(rows) <= 4

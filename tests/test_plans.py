@@ -98,3 +98,22 @@ def test_multimodal_ops_are_narrow(spark, sf_dir):
     for key in ("mm_features", "mm_resize", "mm_framesample"):
         plan = _plan(spark, sf_dir, key)
         assert "Exchange" not in plan, key
+
+
+def test_partition_pruning_hits_directories(spark, sf_dir):
+    """The day filter must prune at the directory level — the scan's
+    partition filters carry the bounds, so out-of-range days are never
+    listed, let alone read."""
+    _Q["scan_partition_pruned"](spark, sf_dir).count()  # stage partitioned copy
+    plan = _plan(spark, sf_dir, "scan_partition_pruned")
+    assert "PartitionFilters" in plan
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "day" in pf and "2024-01-08" in pf
+
+
+def test_contamination_joins_on_shingles(spark, sf_dir):
+    """Contamination check must pair via the shingle equi-join, never an
+    all-pairs product over documents."""
+    plan = _plan(spark, sf_dir, "llm_contamination")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
