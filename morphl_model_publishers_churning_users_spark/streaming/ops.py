@@ -197,3 +197,65 @@ def ts_stream_join(spark, sf_dir):
         F.round(F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 6).alias("sum_value"),
     )
     return run_available_now(agg, "ts_stream_join", output_mode="complete")
+
+
+@register(
+    "sink_stream_upsert",
+    oracle=f"""
+SELECT user_id, COUNT(*) AS n_events, ROUND({DSUM("value")}, 6) AS sum_value
+FROM events GROUP BY 1
+""",
+)
+def sink_stream_upsert(spark, sf_dir):
+    """Streaming MERGE sink: foreachBatch takes each micro-batch's
+    per-user delta and upserts it into a keyed parquet state table
+    (read → union → re-aggregate → swap via a temp dir, since a lazy
+    read can't overwrite its own source). maxFilesPerTrigger=1 forces
+    a multi-batch run so the merge path is actually exercised; the
+    final table must equal the one-shot batch aggregate (the oracle).
+    At 100 TB the same foreachBatch body targets a real MERGE-capable
+    table format and only touched key-partitions rewrite."""
+    import os
+    import uuid
+
+    path = stage_events_dir(spark, sf_dir)
+    schema = spark.read.parquet(path).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(path)
+    )
+    run_id = uuid.uuid4().hex[:8]
+    target = os.path.join(scratch_dir(f"stream_upsert_{run_id}"), "table")
+    tmp = target + "_tmp"
+
+    def merge_batch(batch_df, batch_id):
+        s = batch_df.sparkSession
+        delta = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_dec"),
+        )
+        if os.path.exists(os.path.join(target, "_SUCCESS")):
+            cur = s.read.parquet(target)
+            merged = cur.unionByName(delta).groupBy("user_id").agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_dec").alias("sum_dec"),
+            )
+        else:
+            merged = delta
+        merged.write.mode("overwrite").parquet(tmp)
+        s.read.parquet(tmp).write.mode("overwrite").parquet(target)
+
+    q = (
+        sdf.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", scratch_dir(f"ckpt_stream_upsert_{run_id}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(target).select(
+        "user_id",
+        "n_events",
+        F.round(F.col("sum_dec").cast("double"), 6).alias("sum_value"),
+    )

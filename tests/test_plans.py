@@ -117,3 +117,29 @@ def test_contamination_joins_on_shingles(spark, sf_dir):
     plan = _plan(spark, sf_dir, "llm_contamination")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ohlc_and_minmax_by_avoid_window_sort(spark, sf_dir):
+    """Argmax-style ops must plan as hash aggregates (one shuffle,
+    map-side partials) — not a per-key window sort."""
+    for key in ("ts_resample_ohlc", "agg_minmax_by", "agg_mode", "agg_trend"):
+        plan = _plan(spark, sf_dir, key)
+        assert "Window" not in plan, key
+        # struct-buffered min_by/max_by fall back to SortAggregate —
+        # still partial+final around one exchange, just sort- instead of
+        # hash-based; anything aggregate-shaped (and window-free) passes.
+        assert "Aggregate" in plan, key
+
+
+def test_chunking_is_narrow(spark, sf_dir):
+    """Context-window chunking fans out executor-side with no shuffle."""
+    plan = _plan(spark, sf_dir, "llm_chunk")
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the sequence/explode fan-out
+
+
+def test_ga_ingest_has_no_python_boundary(spark, sf_dir):
+    """GA JSON parse must stay JVM-side: no Python UDF eval nodes."""
+    _plan_text = _plan(spark, sf_dir, "source_ga_json")
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in _plan_text
