@@ -293,3 +293,26 @@ def fn_url(spark, sf_dir):
         F.parse_url("url", F.lit("QUERY"), F.lit("seg")).alias("seg"),
         F.parse_url("url", F.lit("QUERY"), F.lit("n")).alias("n_param"),
     )
+
+
+@register(
+    "fn_variant",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+       CAST(CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS INTEGER) AS k_bucket
+FROM events
+""",
+)
+def fn_variant(spark, sf_dir):
+    """Semi-structured VARIANT path (Spark 4): parse_json once into the
+    binary variant encoding, then typed variant_get extraction — unlike
+    repeated get_json_object calls, the JSON parses ONCE per row no
+    matter how many fields are pulled, which is the 100 TB answer for
+    wide semi-structured payloads. Oracle twin uses DuckDB json_extract."""
+    ev = t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "int")
+    return ev.select(
+        "event_id", k.alias("k"), (k % 10).cast("int").alias("k_bucket")
+    )

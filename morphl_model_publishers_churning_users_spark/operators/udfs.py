@@ -143,3 +143,31 @@ def udtf_python(spark, sf_dir):
     return spark.sql(
         "SELECT d.doc_id, s.word FROM _udtf_docs d, LATERAL split_words(d.doc_id, d.text) s"
     )
+
+
+@register(
+    "udf_arrow",
+    oracle="SELECT event_id, ROUND(value * 2 + 1, 6) AS boosted FROM events",
+)
+def udf_arrow(spark, sf_dir):
+    """Arrow-native batch UDF (mapInArrow): the zero-copy tier below
+    pandas UDFs — RecordBatches flow straight from the JVM into pyarrow
+    compute kernels with no pandas materialization, the right surface
+    when the Python side is itself columnar (Arrow-based feature libs,
+    model tokenizers). Arithmetic happens in the kernel; the 6-decimal
+    rounding stays Spark-side so both engines round identical doubles."""
+    import pyarrow as pa
+
+    ev = t(spark, sf_dir, "events").select("event_id", "value")
+
+    def boost(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.compute as pc
+
+        for b in batches:
+            yield pa.RecordBatch.from_arrays(
+                [b.column("event_id"), pc.add(pc.multiply(b.column("value"), 2.0), 1.0)],
+                ["event_id", "boosted"],
+            )
+
+    out = ev.mapInArrow(boost, schema="event_id bigint, boosted double")
+    return out.select("event_id", F.round("boosted", 6).alias("boosted"))
