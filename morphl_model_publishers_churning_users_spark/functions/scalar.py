@@ -316,3 +316,33 @@ def fn_variant(spark, sf_dir):
     return ev.select(
         "event_id", k.alias("k"), (k % 10).cast("int").alias("k_bucket")
     )
+
+
+@register(
+    "fn_bitwise",
+    oracle="""
+SELECT o_orderkey,
+       o_orderkey & 255 AS band,
+       o_orderkey | 4096 AS bor,
+       xor(o_orderkey, 255) AS bxor,
+       o_orderkey << 2 AS shl,
+       o_orderkey >> 3 AS shr,
+       bit_count(o_orderkey) AS popcnt
+FROM orders
+""",
+)
+def fn_bitwise(spark, sf_dir):
+    """Bitwise expression surface — and/or/xor, shifts, popcount — the
+    building blocks of hash partitioners, bloom probes, and bitmap
+    feature flags. Pure codegen projection, no shuffle."""
+    o = t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("band"),
+        k.bitwiseOR(F.lit(4096)).alias("bor"),
+        k.bitwiseXOR(F.lit(255)).alias("bxor"),
+        F.expr("o_orderkey << 2").alias("shl"),
+        F.expr("o_orderkey >> 3").alias("shr"),
+        F.bit_count(k).cast("bigint").alias("popcnt"),
+    )

@@ -446,3 +446,61 @@ def agg_histogram(spark, sf_dir):
     return ev.groupBy(
         "event_type", F.floor(F.col("value") / 50).alias("bucket")
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "agg_percentile_multi",
+    oracle="""
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.25), 6) AS p25,
+       ROUND(quantile_cont(value, 0.50), 6) AS p50,
+       ROUND(quantile_cont(value, 0.75), 6) AS p75,
+       ROUND(quantile_cont(value, 0.90), 6) AS p90,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+""",
+)
+def agg_percentile_multi(spark, sf_dir):
+    """Exact multi-quantile profile per event type. One ``percentile``
+    call with an array of probabilities computes all five cut points in
+    a single sort-based aggregate buffer (one shuffle, one pass) instead
+    of five separate aggs; both engines use linear interpolation, so the
+    twin is exact. At 100 TB swap in percentile_approx(t-digest) — the
+    exact form is the correctness anchor."""
+    ev = t(spark, sf_dir, "events")
+    pct = F.expr("percentile(value, array(0.25D, 0.5D, 0.75D, 0.9D, 0.99D))")
+    agged = ev.groupBy("event_type").agg(pct.alias("pcts"))
+    return agged.select(
+        "event_type",
+        *[
+            F.round(F.col("pcts")[i], 6).alias(name)
+            for i, name in enumerate(["p25", "p50", "p75", "p90", "p99"])
+        ],
+    )
+
+
+@register(
+    "agg_weighted",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(8,6))) AS DOUBLE)
+             / CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 6) AS wavg_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_weighted(spark, sf_dir):
+    """Quantity-weighted average price per return flag — the
+    sum(w*x)/sum(w) decomposition keeps it a single map-side-combinable
+    hash aggregate (no window, no second pass). Sums accumulate in exact
+    DECIMAL (order-independent); the division happens in double on both
+    engines so decimal-division scale rules never diverge."""
+    li = t(spark, sf_dir, "lineitem")
+    wsum = F.sum(
+        F.col("l_extendedprice").cast("decimal(19,6)") * F.col("l_quantity").cast("decimal(8,6)")
+    ).cast("double")
+    qsum = F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double")
+    return li.groupBy("l_returnflag").agg(
+        F.round(wsum / qsum, 6).alias("wavg_price"),
+        qsum.alias("total_qty"),
+    )

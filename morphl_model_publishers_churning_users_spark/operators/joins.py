@@ -314,3 +314,38 @@ def join_bucketed(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+WITH ev AS (
+  SELECT nullif(user_id % 100, 0) AS k, COUNT(*) AS n_events
+  FROM events GROUP BY 1
+), cu AS (
+  SELECT nullif(c_custkey % 100, 0) AS k, COUNT(*) AS n_cust
+  FROM customer GROUP BY 1
+)
+SELECT ev.k AS k, ev.n_events, cu.n_cust
+FROM ev JOIN cu ON ev.k IS NOT DISTINCT FROM cu.k
+""",
+)
+def join_null_safe(spark, sf_dir):
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of dropping out. Spark plans EqualNullSafe
+    as a normal hash-join key (null hashes to a regular bucket), so this
+    stays a shuffle/broadcast hash join — no nested-loop fallback. Both
+    sides pre-aggregate so the NULL bucket joins 1:1, not m:n."""
+    ev = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.nullif(F.col("user_id") % 100, F.lit(0)).alias("k"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    cu = (
+        t(spark, sf_dir, "customer")
+        .groupBy(F.nullif(F.col("c_custkey") % 100, F.lit(0)).alias("k"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    return ev.join(cu, ev["k"].eqNullSafe(cu["k"])).select(
+        ev["k"].alias("k"), "n_events", "n_cust"
+    )

@@ -793,3 +793,46 @@ def llm_pack(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("pack_tokens"),
     )
+
+
+@register(
+    "llm_tfidf_exact",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM toks WHERE word <> '' GROUP BY doc_id, word
+), idf AS (
+  SELECT word, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY word
+), n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.word, tf.tf,
+       ROUND(tf.tf * (LN((n.n_docs + 1.0) / (idf.df + 1.0)) + 1.0), 6) AS tfidf
+FROM tf JOIN idf USING (word) CROSS JOIN n
+""",
+)
+def llm_tfidf_exact(spark, sf_dir):
+    """Exact word-level TF-IDF (smoothed idf = ln((N+1)/(df+1))+1, the
+    scikit-learn convention) — unlike llm_tfidf's HashingTF this is
+    hash-free and engine-portable, so it gets a full value-checked twin.
+    Scale shape: one explode + (doc,word) hash agg for tf; the idf side
+    is vocabulary-sized, so the tf⋈idf join is broadcast, and N arrives
+    as a broadcast scalar — a single data-sized shuffle end to end."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    idf = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.select(F.countDistinct("doc_id").alias("n_docs"))
+    return (
+        tf.join(F.broadcast(idf), "word")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            F.round(
+                F.col("tf") * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
+            ).alias("tfidf"),
+        )
+    )

@@ -10,6 +10,8 @@ date-partitioned and the sink below shows the partitioned-write shape
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 
 from ..registry import register
@@ -152,4 +154,46 @@ def scan_partition_pruned(spark, sf_dir):
     return df.groupBy("day").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+    )
+
+
+@register(
+    "scan_schema_evolution",
+    oracle="""
+WITH unioned AS (
+  SELECT o_orderkey, ROUND(o_totalprice, 6) AS o_totalprice,
+         CAST(NULL AS VARCHAR) AS o_orderpriority
+  FROM orders WHERE o_orderstatus = 'F'
+  UNION ALL
+  SELECT o_orderkey, ROUND(o_totalprice, 6), o_orderpriority
+  FROM orders WHERE o_orderstatus = 'O'
+)
+SELECT COALESCE(o_orderpriority, 'MISSING') AS priority,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_total
+FROM unioned GROUP BY 1
+""",
+)
+def scan_schema_evolution(spark, sf_dir):
+    """Schema evolution across parquet batches: an older batch lacks a
+    column a newer batch added; ``mergeSchema=true`` unions the schemas
+    at read time (missing columns surface as NULL). At 100 TB prefer a
+    table-format catalog schema over per-read footer merging — this op
+    verifies the read semantics the engine guarantees either way."""
+    out = scratch_dir(f"schema_evo_{os.path.basename(os.path.abspath(sf_dir))}")
+    o = t(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", F.round("o_totalprice", 6).alias("o_totalprice")
+    )
+    new = o.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", F.round("o_totalprice", 6).alias("o_totalprice"), "o_orderpriority"
+    )
+    old.write.mode("overwrite").parquet(os.path.join(out, "batch=1"))
+    new.write.mode("overwrite").parquet(os.path.join(out, "batch=2"))
+    merged = spark.read.option("mergeSchema", "true").option("recursiveFileLookup", "true").parquet(out)
+    return merged.groupBy(
+        F.coalesce("o_orderpriority", F.lit("MISSING")).alias("priority")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("sum_total"),
     )

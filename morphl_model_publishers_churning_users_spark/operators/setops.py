@@ -120,3 +120,38 @@ def set_except(spark, sf_dir):
     c = t(spark, sf_dir, "customer").select("c_custkey")
     active = t(spark, sf_dir, "events").select(F.col("user_id").alias("c_custkey"))
     return c.subtract(active)
+
+
+@register(
+    "set_except_all",
+    oracle="""
+SELECT o_custkey AS cust_id FROM orders
+EXCEPT ALL
+SELECT c_custkey AS cust_id FROM customer
+""",
+)
+def set_except_all(spark, sf_dir):
+    """Multiset difference (EXCEPT ALL): each order-occurrence of a
+    customer key minus one catalog occurrence — bag semantics survive,
+    unlike ``subtract``. Plans as one hash aggregate over (row, side
+    counts), a single shuffle on the row value."""
+    o = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("cust_id"))
+    c = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("cust_id"))
+    return o.exceptAll(c)
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+SELECT o_custkey AS cust_id FROM orders WHERE o_orderstatus = 'F'
+INTERSECT ALL
+SELECT o_custkey AS cust_id FROM orders WHERE o_orderstatus = 'O'
+""",
+)
+def set_intersect_all(spark, sf_dir):
+    """Multiset intersection (INTERSECT ALL): min(multiplicity) per key
+    across the two branches — one hash aggregate, one shuffle."""
+    o = t(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("cust_id"))
+    op = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("cust_id"))
+    return f.intersectAll(op)

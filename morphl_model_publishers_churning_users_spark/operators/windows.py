@@ -266,3 +266,34 @@ def win_streak(spark, sf_dir):
         )
         .select("user_id", "s.longest_streak", "s.streak_start")
     )
+
+
+@register(
+    "win_rank_pct",
+    oracle="""
+SELECT c_custkey,
+       c_nationkey,
+       rank()         OVER w AS rnk,
+       dense_rank()   OVER w AS drnk,
+       ROUND(percent_rank() OVER w, 6) AS prnk,
+       ROUND(cume_dist()    OVER w, 6) AS cdist
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal)
+""",
+)
+def win_rank_pct(spark, sf_dir):
+    """Relative-standing window functions — rank / dense_rank /
+    percent_rank / cume_dist over account balance within nation. All four
+    are tie-stable (equal keys get equal values), so the twin is exact
+    without a tiebreak column; one sort per nation partition, shared by
+    all four functions in a single Window node."""
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )

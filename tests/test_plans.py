@@ -143,3 +143,32 @@ def test_ga_ingest_has_no_python_boundary(spark, sf_dir):
     _plan_text = _plan(spark, sf_dir, "source_ga_json")
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in _plan_text
+
+
+def test_null_safe_join_is_hash_join(spark, sf_dir):
+    """EqualNullSafe must plan as a hash join (null hashes to a normal
+    bucket) — a nested-loop fallback would be quadratic at scale."""
+    plan = _plan(spark, sf_dir, "join_null_safe")
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tfidf_exact_broadcasts_vocab_side(spark, sf_dir):
+    """The idf (vocabulary-sized) join side and the scalar doc count must
+    broadcast — only the (doc, word) tf agg shuffles data-sized rows."""
+    plan = _plan(spark, sf_dir, "llm_tfidf_exact")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rank_pct_single_window_node(spark, sf_dir):
+    """All four ranking functions share one Window node / one sort."""
+    plan = _plan(spark, sf_dir, "win_rank_pct")
+    assert plan.count("+- Window") == 1  # tree section: one node
+
+
+def test_percentile_multi_single_aggregate(spark, sf_dir):
+    """Five quantiles in one ObjectHashAggregate pass (array of
+    probabilities), not five separate aggregates."""
+    plan = _plan(spark, sf_dir, "agg_percentile_multi")
+    assert plan.count("+- ObjectHashAggregate") == 2  # tree: partial + final
