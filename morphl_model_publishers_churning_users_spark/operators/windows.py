@@ -297,3 +297,35 @@ def win_rank_pct(spark, sf_dir):
         F.round(F.percent_rank().over(w), 6).alias("prnk"),
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
     )
+
+
+@register(
+    "win_nth_ignore_nulls",
+    oracle="""
+SELECT DISTINCT user_id,
+       nth_value(event_type, 2) OVER w AS second_type,
+       last_value(CASE WHEN value <= 90 THEN round(value, 6) END IGNORE NULLS) OVER w
+           AS last_small_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def win_nth_ignore_nulls(spark, sf_dir):
+    """Positional window access with null skipping: the user's second
+    event (nth_value) and their latest sub-threshold reading
+    (last IGNORE NULLS — the forward-fill primitive). Full-frame over a
+    deterministic (ts, event_id) order, collapsed to one row per user;
+    same single partition sort as any other per-user window."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    small = F.when(F.col("value") <= 90, F.round("value", 6))
+    return ev.select(
+        "user_id",
+        F.nth_value("event_type", 2).over(w).alias("second_type"),
+        F.last(small, ignorenulls=True).over(w).alias("last_small_value"),
+    ).distinct()
