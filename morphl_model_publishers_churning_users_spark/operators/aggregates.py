@@ -504,3 +504,90 @@ def agg_weighted(spark, sf_dir):
         F.round(wsum / qsum, 6).alias("wavg_price"),
         qsum.alias("total_qty"),
     )
+
+
+@register(
+    "agg_regr",
+    oracle="""
+SELECT event_type,
+       ROUND(regr_slope(value, CAST(hour(ts) AS DOUBLE)), 6) AS slope,
+       ROUND(regr_intercept(value, CAST(hour(ts) AS DOUBLE)), 6) AS intercept,
+       ROUND(regr_r2(value, CAST(hour(ts) AS DOUBLE)), 6) AS r2,
+       ROUND(regr_avgx(value, CAST(hour(ts) AS DOUBLE)), 6) AS avgx,
+       ROUND(regr_avgy(value, CAST(hour(ts) AS DOUBLE)), 6) AS avgy,
+       regr_count(value, CAST(hour(ts) AS DOUBLE)) AS n
+FROM events GROUP BY event_type
+""",
+)
+def agg_regr(spark, sf_dir):
+    """Linear-regression aggregates (SQL:2003 regr_* family): per
+    event-type OLS of value on hour-of-day. All six moments accumulate in
+    one two-phase hash aggregate (map-side partial merge of the
+    count/sum/sumsq/cross-product tuple), so the full regression costs
+    exactly one shuffle of 6 doubles per group — the same shape at 100 TB.
+    Small-magnitude x/y keep double drift far below the 1e-6 grain."""
+    ev = t(spark, sf_dir, "events")
+    x = "CAST(hour(ts) AS DOUBLE)"
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr(f"regr_slope(value, {x})"), 6).alias("slope"),
+        F.round(F.expr(f"regr_intercept(value, {x})"), 6).alias("intercept"),
+        F.round(F.expr(f"regr_r2(value, {x})"), 6).alias("r2"),
+        F.round(F.expr(f"regr_avgx(value, {x})"), 6).alias("avgx"),
+        F.round(F.expr(f"regr_avgy(value, {x})"), 6).alias("avgy"),
+        F.expr(f"regr_count(value, {x})").alias("n"),
+    )
+
+
+@register(
+    "agg_listagg",
+    oracle="""
+SELECT r.r_name,
+       string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+       COUNT(*) AS n_nations
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+)
+def agg_listagg(spark, sf_dir):
+    """Ordered string aggregation — Spark 4 listagg ... WITHIN GROUP
+    (DuckDB twin: string_agg with ORDER BY). The explicit within-group
+    order makes the concatenation deterministic across partition orders,
+    which is what makes it oracle-comparable at all. Only safe at scale
+    on bounded-cardinality groups (here: nations per region)."""
+    n = t(spark, sf_dir, "nation")
+    r = F.broadcast(t(spark, sf_dir, "region"))
+    return (
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").alias("nations"),
+            F.count("*").alias("n_nations"),
+        )
+    )
+
+
+@register(
+    "agg_entropy",
+    oracle="""
+SELECT user_id, ROUND(entropy(event_type), 6) AS type_entropy,
+       COUNT(*) AS n_events
+FROM events GROUP BY user_id
+""",
+)
+def agg_entropy(spark, sf_dir):
+    """Shannon entropy (bits) of each user's event-type mix — a
+    behavioral-diversity feature. DuckDB has entropy() built in; Spark
+    doesn't, so the engine derives it from the algebraic identity
+    H = log2(N) - Σ c·log2(c) / N over per-(user,type) counts: two
+    chained hash aggregates on the SAME leading key, so the second
+    group-by reuses the first shuffle's partitioning (no extra
+    exchange)."""
+    ev = t(spark, sf_dir, "events")
+    cnts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    c = F.col("c").cast("double")
+    return cnts.groupBy("user_id").agg(
+        F.round(
+            F.log2(F.sum("c")) - F.sum(c * F.log2(c)) / F.sum("c"), 6
+        ).alias("type_entropy"),
+        F.sum("c").alias("n_events"),
+    )

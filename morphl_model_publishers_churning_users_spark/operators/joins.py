@@ -349,3 +349,60 @@ def join_null_safe(spark, sf_dir):
     return ev.join(cu, ev["k"].eqNullSafe(cu["k"])).select(
         ev["k"].alias("k"), "n_events", "n_cust"
     )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+WITH clicks AS (
+    SELECT user_id, ts, MAX(event_id) AS click_id
+    FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+), purchases AS (
+    SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+)
+SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+       CASE WHEN c.ts >= p.ts - INTERVAL 1 DAY THEN c.click_id END AS click_id,
+       CASE WHEN c.ts >= p.ts - INTERVAL 1 DAY THEN c.ts END AS click_ts
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+)
+def join_asof_tolerance(spark, sf_dir):
+    """LEFT as-of join with a staleness tolerance — the feature-store
+    point-in-time lookup: every purchase keeps its row, the carried
+    click only counts if it happened within the last day (stale state
+    degrades to NULL instead of silently joining ancient context). Same
+    union-sort-carry shape as join_asof (one shuffle on user_id, linear
+    state, no range-join blowup on hot users); the tolerance is one
+    comparison on the carried timestamp. Oracle: DuckDB ASOF LEFT JOIN
+    with the tolerance applied as a post-match CASE."""
+    ev = t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .select("user_id", "ts", F.lit(0).alias("kind"), "click_id",
+                F.lit(None).cast("bigint").alias("purchase_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("kind"),
+        F.lit(None).cast("bigint").alias("click_id"), F.col("event_id").alias("purchase_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = clicks.unionByName(purchases).select(
+        "user_id", "ts", "kind", "purchase_id",
+        F.last("click_id", ignorenulls=True).over(w).alias("carried_id"),
+        F.last(F.when(F.col("kind") == 0, F.col("ts")), ignorenulls=True).over(w).alias("carried_ts"),
+    )
+    fresh = F.col("carried_ts") >= F.col("ts") - F.expr("INTERVAL 1 DAY")
+    return merged.filter(F.col("kind") == 1).select(
+        "user_id",
+        "purchase_id",
+        F.col("ts").alias("purchase_ts"),
+        F.when(fresh, F.col("carried_id")).alias("click_id"),
+        F.when(fresh, F.col("carried_ts")).alias("click_ts"),
+    )

@@ -836,3 +836,114 @@ def llm_tfidf_exact(spark, sf_dir):
             ).alias("tfidf"),
         )
     )
+
+
+_CLUSTER_ORACLE = """
+WITH RECURSIVE keys AS (
+  SELECT doc_id, array_to_string(w[1:3], ' ') AS k
+  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)
+  UNION ALL
+  SELECT doc_id, array_to_string(w[greatest(len(w)-2,1):], ' ') AS k
+  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)
+), edges AS (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM keys a JOIN keys b ON a.k = b.k
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), comp AS (
+  SELECT src AS doc_id, MIN(dst) AS component_id FROM reach GROUP BY src
+)
+SELECT c.doc_id, c.component_id, s.n AS component_size
+FROM comp c JOIN (SELECT component_id, COUNT(*) AS n FROM comp GROUP BY 1) s
+  ON s.component_id = c.component_id
+"""
+
+
+@register("llm_dedup_cluster", oracle=_CLUSTER_ORACLE)
+def llm_dedup_cluster(spark, sf_dir):
+    """Duplicate-CLUSTER resolution — the step after near-dup detection:
+    connected components over the doc↔blocking-key bipartite graph
+    (keys: first-3-words and last-3-words shingles), so A~B and B~C
+    land in ONE cluster even when A,C share no key. Iterative
+    hash-to-min label propagation: each round is two keyed shuffles
+    (doc→key min, key→doc min), never materializing pairwise edges —
+    the property that matters when a hot bucket would make pairs
+    quadratic. Converges in O(component diameter) rounds (bounded 12,
+    early-exit on fixpoint). The DuckDB oracle computes the same
+    components by recursive transitive closure — tractable at oracle
+    scale, impossible at 100 TB, which is exactly why the Spark side
+    uses propagation instead."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), " ").alias("w")
+    )
+    keys = d.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.concat_ws(" ", F.slice("w", 1, 3)),
+                F.concat_ws(" ", F.expr("slice(w, greatest(size(w) - 2, 1), 3)")),
+            )
+        ).alias("k"),
+    ).persist()
+    labels = d.select("doc_id", F.col("doc_id").alias("label"))
+    for _ in range(12):
+        kmin = keys.join(labels, "doc_id").groupBy("k").agg(F.min("label").alias("klabel"))
+        new = keys.join(kmin, "k").groupBy("doc_id").agg(F.min("klabel").alias("label")).persist()
+        changed = (
+            labels.withColumnRenamed("label", "old")
+            .join(new, "doc_id")
+            .filter(F.col("old") != F.col("label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    comp = labels.select("doc_id", F.col("label").alias("component_id"))
+    sizes = comp.groupBy("component_id").agg(F.count(F.lit(1)).alias("component_size"))
+    return comp.join(sizes, "component_id").select("doc_id", "component_id", "component_size")
+
+
+@register(
+    "llm_unigram_lm",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents
+), freq AS (
+  SELECT w, COUNT(*) AS c FROM words GROUP BY w
+), tot AS (
+  SELECT COUNT(*) AS n FROM words
+)
+SELECT d.doc_id,
+       ROUND(AVG(log2(f.c) - log2(t.n)), 6) AS avg_log2_p,
+       COUNT(*) AS n_tokens
+FROM words d JOIN freq f ON d.w = f.w CROSS JOIN tot t
+GROUP BY d.doc_id
+""",
+)
+def llm_unigram_lm(spark, sf_dir):
+    """Unigram language-model fluency score — mean log2 corpus
+    probability of each document's tokens, the cheap statistical proxy
+    for 'does this read like the corpus' used in quality filtering
+    (perplexity = 2^(-avg_log2_p)). Two aggregates + one equi-join; the
+    vocabulary-sized frequency table and the scalar total both
+    broadcast, so corpus-sized rows shuffle exactly once (the per-doc
+    groupBy). The split/explode tokenization is shared with the rest of
+    the text suite."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("w")
+    )
+    freq = d.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = d.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        d.join(F.broadcast(freq), "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(F.log2("c") - F.log2("n")), 6).alias("avg_log2_p"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )

@@ -220,3 +220,137 @@ def subquery_lateral(spark, sf_dir):
 
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_SQL)
+
+
+@register(
+    "fn_try",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       ROUND(l_extendedprice / NULLIF(l_quantity - 25.0, 0.0), 6) AS price_per_extra,
+       TRY_CAST(CAST(l_linenumber AS VARCHAR) ||
+                CASE WHEN l_returnflag = 'R' THEN 'x' ELSE '' END AS INTEGER) AS parsed_line,
+       TRY_CAST(2147483640 + CAST(l_linenumber AS BIGINT) * 2 AS INTEGER) AS near_overflow
+FROM lineitem
+""",
+)
+def fn_try(spark, sf_dir):
+    """ANSI-safe try_* family: under Spark 4's default ANSI mode a bad
+    cast / div-by-zero / int overflow FAILS the job, so at 100 TB (where
+    some dirty row always exists) try_divide / try_cast / try_add are the
+    only way to keep a full-scan pipeline alive — errors degrade to NULL
+    per-row instead of killing the stage. Oracle spells the same
+    semantics via NULLIF and TRY_CAST."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.expr("try_divide(l_extendedprice, l_quantity - 25.0)"), 6).alias(
+            "price_per_extra"
+        ),
+        F.expr(
+            "try_cast(concat(CAST(l_linenumber AS STRING),"
+            " CASE WHEN l_returnflag = 'R' THEN 'x' ELSE '' END) AS INT)"
+        ).alias("parsed_line"),
+        F.expr("try_add(2147483640, l_linenumber * 2)").alias("near_overflow"),
+    )
+
+
+_RECURSIVE_SQL = """
+WITH RECURSIVE bounds AS (
+  SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS lo,
+         CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS hi
+  FROM orders
+), months(m, hi) AS (
+  SELECT lo, hi FROM bounds
+  UNION ALL
+  SELECT CAST(m + INTERVAL 1 MONTH AS DATE), hi FROM months WHERE m < hi
+), per_month AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+         COUNT(*) AS cnt,
+         ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_price
+  FROM orders GROUP BY 1
+)
+SELECT months.m AS month_start,
+       COALESCE(p.cnt, 0) AS n_orders,
+       p.sum_price AS sum_price
+FROM months LEFT JOIN per_month p ON p.m = months.m
+"""
+
+
+@register("cte_recursive", oracle=_RECURSIVE_SQL)
+def cte_recursive(spark, sf_dir):
+    """Recursive CTE (Spark 4 UnionLoop): a data-anchored dense month
+    spine — anchor row from MIN/MAX(o_orderdate), one recursion step per
+    month — left-joined to per-month order aggregates so empty months
+    surface as zero-count rows. Aggregate-BEFORE-join is the load-bearing
+    choice: joining the spine to raw orders would force Spark to
+    broadcast the fact table (LeftOuter can only build right), while the
+    post-aggregate side is ≤ one row per month at any fact-table scale.
+    The recursion itself is driver-cheap. Identical SQL is the DuckDB
+    oracle."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SQL)
+
+
+@register(
+    "fn_format",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       printf('%08d-%02d', l_orderkey, l_linenumber) AS line_key,
+       printf('%.2f', l_extendedprice) AS price_str,
+       lpad(l_returnflag, 3, '.') AS flag_padded,
+       repeat(l_linestatus, 2) AS status2
+FROM lineitem
+""",
+)
+def fn_format(spark, sf_dir):
+    """C-style string formatting — stable surrogate-key minting and
+    fixed-width export formatting. Spark format_string and DuckDB printf
+    share printf semantics (same IEEE double → same '%.2f' text), so the
+    twin is exact. Pure codegen projection: no shuffle, no Python."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.format_string("%08d-%02d", "l_orderkey", "l_linenumber").alias("line_key"),
+        F.format_string("%.2f", "l_extendedprice").alias("price_str"),
+        F.lpad("l_returnflag", 3, ".").alias("flag_padded"),
+        F.repeat("l_linestatus", 2).alias("status2"),
+    )
+
+
+@register(
+    "source_range",
+    oracle="""
+SELECT range AS id, range * range AS sq,
+       CAST(range % 7 AS BIGINT) AS bucket
+FROM range(0, 100000, 3)
+""",
+)
+def source_range(spark, sf_dir):
+    """Generator source — spark.range produces the sequence directly on
+    executors (numPartitions splits of the [start,end) interval, zero
+    I/O), the standard way to synthesize spine/probe tables at any
+    scale without a driver-side collect. DuckDB twin: the range() table
+    function."""
+    return spark.range(0, 100000, 3, numPartitions=8).select(
+        F.col("id"),
+        (F.col("id") * F.col("id")).alias("sq"),
+        (F.col("id") % 7).alias("bucket"),
+    )
+
+
+@register("sample_stratified")  # rows-only: sampling is engine-specific (proportions tested)
+def sample_stratified(spark, sf_dir):
+    """Stratified (per-class) sampling — sampleBy keeps rare classes
+    whole while downsampling dominant ones, the standard class-rebalance
+    step before training. Per-stratum Bernoulli inside the scan stage:
+    no shuffle, seed-deterministic."""
+    fractions = {"click": 0.5, "view": 0.1, "purchase": 1.0, "error": 1.0, "signup": 1.0}
+    return (
+        t(spark, sf_dir, "events")
+        .sampleBy("event_type", fractions, seed=7)
+        .select("event_id", "user_id", "event_type")
+    )

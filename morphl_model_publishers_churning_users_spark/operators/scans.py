@@ -197,3 +197,40 @@ def scan_schema_evolution(spark, sf_dir):
         F.count("*").alias("n_rows"),
         F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("sum_total"),
     )
+
+
+@register("scan_csv_malformed", oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation")
+def scan_csv_malformed(spark, sf_dir):
+    """Resilient CSV ingest: PERMISSIVE mode routes malformed lines
+    (wrong arity / unparseable types — injected every 10th row here)
+    into a corrupt-record column instead of failing the scan; the query
+    then keeps clean rows only. At 100 TB some dirty line always exists,
+    so fail-the-stage is not an option and silently-drop loses audit —
+    the corrupt column gives per-row lineage. Oracle: the clean nation
+    table (exactly what must survive)."""
+    out = scratch_dir("csv_malformed")
+    path = os.path.join(out, "nation_dirty.csv")
+    rows = (
+        t(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+        .collect()  # 25-row dim: driver-side fixture staging only
+    )
+    with open(path, "w") as f:
+        f.write("n_nationkey,n_name,n_regionkey\n")
+        for i, r in enumerate(rows):
+            f.write(f"{r.n_nationkey},{r.n_name},{r.n_regionkey}\n")
+            if i % 10 == 0:
+                f.write(f"not_an_int,BROKEN{i}\n")
+    df = (
+        spark.read.schema(
+            "n_nationkey bigint, n_name string, n_regionkey bigint, _corrupt string"
+        )
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+    return df.filter(F.col("_corrupt").isNull()).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )

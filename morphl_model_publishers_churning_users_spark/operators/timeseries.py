@@ -190,3 +190,37 @@ def ts_resample_ohlc(spark, sf_dir):
         F.round(F.max_by("value", ord_key), 6).alias("close"),
         F.count(F.lit(1)).alias("n_ticks"),
     )
+
+
+@register(
+    "ts_ewma",
+    oracle="""
+SELECT user_id,
+       ROUND(CAST(list_reduce(list(CAST(value AS DOUBLE) ORDER BY ts, event_id),
+                              (acc, x) -> 0.5 * acc + 0.5 * x) AS DOUBLE), 6) AS ewma,
+       COUNT(*) AS n_events
+FROM events GROUP BY user_id
+""",
+)
+def ts_ewma(spark, sf_dir):
+    """Exponentially-weighted moving average (α=0.5) of each user's value
+    series — the classic smoothing feature with an inherently ORDERED,
+    RECURSIVE definition. Expressed as collect-sort-fold entirely in
+    codegen (collect_list of (ts,event_id,value) structs → sort_array →
+    aggregate() lambda), so both engines execute the identical
+    left-fold over the identical order → bit-identical doubles, no UDF.
+    State is one array per user (fine while per-key series fit memory;
+    at unbounded key depth switch to applyInPandasWithState or a
+    time-windowed restart). The naive closed form Σ x_i·α^(n-i) is
+    deliberately avoided: α^(-i) overflows for long series."""
+    ev = t(spark, sf_dir, "events")
+    fold = (
+        "aggregate(transform(sort_array(collect_list(struct(ts, event_id, value))),"
+        " s -> CAST(s.value AS DOUBLE)),"
+        " CAST(NULL AS DOUBLE),"
+        " (acc, x) -> CASE WHEN acc IS NULL THEN x ELSE 0.5D * acc + 0.5D * x END)"
+    )
+    return ev.groupBy("user_id").agg(
+        F.round(F.expr(fold), 6).alias("ewma"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

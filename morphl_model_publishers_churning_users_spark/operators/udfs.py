@@ -171,3 +171,49 @@ def udf_arrow(spark, sf_dir):
 
     out = ev.mapInArrow(boost, schema="event_id bigint, boosted double")
     return out.select("event_id", F.round("boosted", 6).alias("boosted"))
+
+
+@register(
+    "udf_cogrouped_map",
+    oracle="""
+SELECT c.c_custkey, c.c_mktsegment,
+       COUNT(o.o_orderkey) AS n_orders,
+       ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 6) AS total_spend
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_mktsegment
+""",
+)
+def udf_cogrouped_map(spark, sf_dir):
+    """Cogrouped-map (cogroup + applyInPandas): both sides shuffle once
+    on the key, then each (customer-group, orders-group) pair lands in a
+    single Arrow batch for arbitrary Python merge logic — the escape
+    hatch when a keyed merge can't be said as a join. Here the merge IS
+    expressible (LEFT JOIN + GROUP BY is the oracle), which is the point:
+    the custom-path result must agree with the declarative one. Keyless
+    customers get n_orders=0 / NULL spend, matching LEFT JOIN."""
+
+    def merge(cust: pd.DataFrame, orders: pd.DataFrame) -> pd.DataFrame:
+        if cust.empty:
+            return pd.DataFrame(
+                columns=["c_custkey", "c_mktsegment", "n_orders", "total_spend"]
+            )
+        total = round(float(orders["o_totalprice"].sum()), 6) if len(orders) else None
+        return pd.DataFrame(
+            {
+                "c_custkey": cust["c_custkey"].iloc[:1],
+                "c_mktsegment": cust["c_mktsegment"].iloc[:1],
+                "n_orders": [len(orders)],
+                "total_spend": [total],
+            }
+        )
+
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    return (
+        c.groupBy("c_custkey")
+        .cogroup(o.groupBy("o_custkey"))
+        .applyInPandas(
+            merge,
+            schema="c_custkey bigint, c_mktsegment string, n_orders bigint, total_spend double",
+        )
+    )

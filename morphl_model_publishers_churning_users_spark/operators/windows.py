@@ -329,3 +329,41 @@ def win_nth_ignore_nulls(spark, sf_dir):
         F.nth_value("event_type", 2).over(w).alias("second_type"),
         F.last(small, ignorenulls=True).over(w).alias("last_small_value"),
     ).distinct()
+
+
+@register(
+    "win_distinct_running",
+    oracle="""
+WITH flagged AS (
+  SELECT event_id, user_id, ts,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS occ
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(SUM(CASE WHEN occ = 1 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS n_distinct_types
+FROM flagged
+""",
+)
+def win_distinct_running(spark, sf_dir):
+    """Running COUNT(DISTINCT) over a window — neither engine supports it
+    natively, so each side uses a different decomposition and they must
+    agree: Spark grows a collect_set per frame (bounded here by the 5
+    event types, so state stays O(cardinality) not O(rows)); the oracle
+    marks first occurrences with a per-(user,type) row_number and takes
+    a cumulative sum. The first-occurrence form is also the 100 TB
+    fallback when the distinct domain is unbounded."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w)).cast("bigint").alias("n_distinct_types"),
+    )

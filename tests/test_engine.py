@@ -65,3 +65,33 @@ def test_hll_sketch_within_5pct_of_exact(spark, sf_dir):
     assert set(approx) == set(exact)
     for et, n in exact.items():
         assert abs(approx[et] - n) <= max(1, 0.05 * n), (et, approx[et], n)
+
+
+def test_stratified_sample_proportions(spark, sf_dir):
+    """Each stratum's realized sampling rate must track its requested
+    fraction (binomial tolerance); fraction-1.0 strata must be kept
+    whole — that's the rare-class guarantee the op exists for."""
+    from morphl_model_publishers_churning_users_spark.registry import get_queries
+    from morphl_model_publishers_churning_users_spark.catalog import table
+    import pyspark.sql.functions as F
+
+    fractions = {"click": 0.5, "view": 0.1, "purchase": 1.0, "error": 1.0, "signup": 1.0}
+    got = {
+        r["event_type"]: r["n"]
+        for r in get_queries()["sample_stratified"](spark, sf_dir)
+        .groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    total = {
+        r["event_type"]: r["n"]
+        for r in table(spark, sf_dir, "events")
+        .groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    for et, frac in fractions.items():
+        n, k = total.get(et, 0), got.get(et, 0)
+        if n == 0:
+            continue
+        if frac == 1.0:
+            assert k == n, (et, k, n)  # rare classes kept whole
+        else:
+            sd = (n * frac * (1 - frac)) ** 0.5
+            assert abs(k - n * frac) <= max(5, 5 * sd), (et, k, n, frac)

@@ -172,3 +172,73 @@ def test_percentile_multi_single_aggregate(spark, sf_dir):
     probabilities), not five separate aggregates."""
     plan = _plan(spark, sf_dir, "agg_percentile_multi")
     assert plan.count("+- ObjectHashAggregate") == 2  # tree: partial + final
+
+
+def test_regr_family_single_aggregate(spark, sf_dir):
+    """All six regr_* moments accumulate in ONE two-phase hash aggregate
+    (partial + final around a single exchange), not six passes."""
+    plan = _plan(spark, sf_dir, "agg_regr")
+    assert plan.count("+- HashAggregate") == 2
+    assert plan.count("+- Exchange") == 1
+
+
+def test_fn_try_is_narrow_jvm(spark, sf_dir):
+    """try_* family stays a whole-stage-codegen projection on the scan:
+    no shuffle, no Python boundary."""
+    plan = _plan(spark, sf_dir, "fn_try")
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+    assert "* Project" in plan  # formatted explain marks codegen nodes with *
+
+
+def test_recursive_spine_broadcasts_aggregate_not_fact(spark, sf_dir):
+    """The month spine joins the POST-aggregate per-month rows (≤ one row
+    per month at any scale) — broadcasting raw orders would pin the fact
+    table in memory. UnionLoop is the Spark 4 recursive-CTE node."""
+    plan = _plan(spark, sf_dir, "cte_recursive")
+    assert "UnionLoop" in plan
+    bcast = plan.split("BroadcastExchange", 1)[1]
+    assert "HashAggregate" in bcast.split("Scan parquet")[0]  # agg below the broadcast
+
+
+def test_cogroup_one_exchange_per_side(spark, sf_dir):
+    """Cogrouped applyInPandas: each side shuffles exactly once on the
+    key, then pairs stream through Arrow — no extra sort-merge pass."""
+    plan = _plan(spark, sf_dir, "udf_cogrouped_map")
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert plan.count("+- Exchange") == 2
+
+
+def test_dedup_cluster_no_pairwise_edges(spark, sf_dir):
+    """Component labels propagate doc→key→doc: the plan joins on doc_id
+    and blocking key only — never a key-bucket self-join that would
+    materialize O(bucket²) pairwise edges."""
+    plan = _plan(spark, sf_dir, "llm_dedup_cluster")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_source_range_is_parallel_generator(spark, sf_dir):
+    """spark.range synthesizes on executors — a Range leaf, no scan, no
+    exchange before the projection."""
+    plan = _plan(spark, sf_dir, "source_range")
+    assert "Range" in plan
+    assert "Scan parquet" not in plan
+    assert "Exchange" not in plan
+
+
+def test_ewma_fold_single_aggregate(spark, sf_dir):
+    """The ordered recursive fold runs as ONE two-phase object aggregate
+    (collect_list buffer), not a window sort plus a second pass."""
+    plan = _plan(spark, sf_dir, "ts_ewma")
+    assert plan.count("+- ObjectHashAggregate") == 2
+    assert plan.count("+- Exchange") == 1
+    assert "Window" not in plan
+
+
+def test_unigram_lm_broadcasts_vocab(spark, sf_dir):
+    """Token→frequency lookup must be a broadcast hash join (vocab-sized
+    build side); corpus-sized rows must never sort-merge."""
+    plan = _plan(spark, sf_dir, "llm_unigram_lm")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
