@@ -346,3 +346,34 @@ def fn_bitwise(spark, sf_dir):
         F.expr("o_orderkey >> 3").alias("shr"),
         F.bit_count(k).cast("bigint").alias("popcnt"),
     )
+
+
+@register(
+    "fn_string_distance",
+    oracle="""
+SELECT p_partkey,
+       CAST(levenshtein(left(p_name, 10), left(p_type, 10)) AS BIGINT) AS name_type_dist,
+       reverse(p_brand) AS brand_rev,
+       translate(p_brand, '#', '-') AS brand_clean,
+       left(p_name, 5) AS name_head,
+       right(p_type, 4) AS type_tail
+FROM part
+""",
+)
+def fn_string_distance(spark, sf_dir):
+    """Edit-distance + string-surgery surface — the record-linkage
+    primitives (levenshtein for fuzzy key match, translate/reverse/
+    left/right for key normalization). Inputs are length-capped before
+    levenshtein: the DP is O(len²) per row, so uncapped long strings —
+    not row count — would be the 100 TB cost driver. All JVM codegen."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.levenshtein(F.expr("left(p_name, 10)"), F.expr("left(p_type, 10)"))
+        .cast("bigint")
+        .alias("name_type_dist"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.translate("p_brand", "#", "-").alias("brand_clean"),
+        F.expr("left(p_name, 5)").alias("name_head"),
+        F.expr("right(p_type, 4)").alias("type_tail"),
+    )

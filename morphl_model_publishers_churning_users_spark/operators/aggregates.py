@@ -591,3 +591,61 @@ def agg_entropy(spark, sf_dir):
         ).alias("type_entropy"),
         F.sum("c").alias("n_events"),
     )
+
+
+@register("agg_hll_union")  # rows-only: sketch binaries are engine-specific
+def agg_hll_union(spark, sf_dir):
+    """Re-aggregatable distinct counting — the property that makes
+    sketches work at 100 TB: build per-(event_type, day) HLL partials
+    ONCE, then roll them up to per-type distinct users with
+    hll_union_agg, never touching raw rows again. The same partials
+    could roll up per-day, per-week, per-anything — one scan, many
+    cubes. Accuracy bound asserted in tests (±5% vs exact)."""
+    ev = t(spark, sf_dir, "events")
+    partials = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk")
+    )
+    return partials.groupBy("event_type").agg(
+        F.expr("CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT)").alias("approx_users"),
+        F.count(F.lit(1)).alias("n_partials"),
+    )
+
+
+@register("agg_percentile_approx")  # rows-only: t-digest internals are engine-specific
+def agg_percentile_approx(spark, sf_dir):
+    """Approximate quantiles — the scale path the exact
+    agg_percentile_multi anchors: percentile_approx's mergeable digest
+    needs one pass + bounded memory regardless of group size (exact
+    percentile buffers the whole group). Accuracy vs the exact op is
+    asserted in tests."""
+    ev = t(spark, sf_dir, "events")
+    pct = F.expr("percentile_approx(value, array(0.5D, 0.9D), 10000)")
+    agged = ev.groupBy("event_type").agg(pct.alias("p"))
+    return agged.select(
+        "event_type",
+        F.round(F.col("p")[0], 6).alias("p50_approx"),
+        F.round(F.col("p")[1], 6).alias("p90_approx"),
+    )
+
+
+@register(
+    "agg_product",
+    oracle="""
+SELECT l_orderkey,
+       ROUND(CAST(product(1 + l_discount) AS DOUBLE), 6) AS compounded,
+       COUNT(*) AS n_lines
+FROM lineitem GROUP BY l_orderkey
+""",
+)
+def agg_product(spark, sf_dir):
+    """Multiplicative aggregate (compounding) — DuckDB has product();
+    Spark derives it as exp(Σ ln x), which is also the form that stays a
+    plain two-phase hash aggregate (a native running product would
+    under/overflow long series; the log-domain sum cannot). Factors here
+    are 1+discount ∈ [1, 1.1], so the exp/ln round trip sits ~1e-15
+    relative — far inside the 1e-6 rounding grain."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.round(F.exp(F.sum(F.log(1 + F.col("l_discount")))), 6).alias("compounded"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

@@ -179,3 +179,30 @@ def ml_kmeans_segment(spark, sf_dir):
         )
         .orderBy("segment")
     )
+
+
+@register("ml_rf")  # rows-only: tree ensembles aren't SQL-expressible
+def ml_rf(spark, sf_dir):
+    """Tree-ensemble alternative to the linear model: RandomForest on the
+    same churn features — captures non-linear feature interactions the
+    LR pipeline can't. Spark ML trees train distributed (per-node split
+    search is a shuffle-light aggregate over feature bins; deterministic
+    under a fixed seed). Returns per-feature Gini importances — the
+    model-level parity artifact for judging against the reference's
+    feature ranking."""
+    from pyspark.ml.classification import RandomForestClassifier
+    from pyspark.ml.feature import VectorAssembler
+
+    labeled = churn.label_churn(churn.user_features(spark, sf_dir))
+    assembled = VectorAssembler(
+        inputCols=churn.FEATURE_COLS, outputCol="features", handleInvalid="keep"
+    ).transform(labeled)
+    rf = RandomForestClassifier(
+        featuresCol="features", labelCol="churned", numTrees=20, maxDepth=5, seed=42
+    )
+    model = rf.fit(assembled)
+    rows = [
+        (name, round(float(imp), 6))
+        for name, imp in zip(churn.FEATURE_COLS, model.featureImportances.toArray())
+    ]
+    return spark.createDataFrame(rows, "feature string, importance double")

@@ -234,3 +234,41 @@ def scan_csv_malformed(spark, sf_dir):
     return df.filter(F.col("_corrupt").isNull()).select(
         "n_nationkey", "n_name", "n_regionkey"
     )
+
+
+@register(
+    "scan_binary_files",
+    oracle="""
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, sha256(text) AS content_sha
+FROM documents ORDER BY doc_id LIMIT 8
+""",
+)
+def scan_binary_files(spark, sf_dir):
+    """Opaque-binary ingest — the multimodal on-ramp: spark.read.format
+    ('binaryFile') lists a directory tree on the driver but reads file
+    CONTENT on executors (one task per file, pathGlobFilter pruning the
+    listing), which is how image/audio corpora enter the engine before
+    the mm_* decode/feature ops take over. Integrity is the oracle:
+    sha-256 of each ingested blob must equal the hash DuckDB computes
+    from the source rows the fixtures were staged from."""
+    out = scratch_dir(f"binfiles_{os.path.basename(os.path.abspath(sf_dir))}")
+    docs = (
+        t(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(8)
+        .select("doc_id", "text")
+        .collect()  # 8-row fixture staging only
+    )
+    for r in docs:
+        with open(os.path.join(out, f"doc_{r.doc_id:09d}.bin"), "wb") as f:
+            f.write(r.text.encode("utf-8"))
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "doc_*.bin")
+        .load(out)
+    )
+    return df.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin", 1).cast("bigint").alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.sha2(F.col("content"), 256).alias("content_sha"),
+    )

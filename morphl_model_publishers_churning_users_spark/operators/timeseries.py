@@ -224,3 +224,93 @@ def ts_ewma(spark, sf_dir):
         F.round(F.expr(fold), 6).alias("ewma"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "ts_funnel",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, ts, event_type,
+         last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click_ts
+  FROM events
+)
+SELECT user_id,
+       COUNT(CASE WHEN event_type = 'purchase'
+                   AND prev_click_ts >= ts - INTERVAL 1 HOUR THEN 1 END) AS n_conversions,
+       MIN(CASE WHEN event_type = 'purchase'
+                 AND prev_click_ts >= ts - INTERVAL 1 HOUR THEN ts END) AS first_conversion_ts
+FROM seq GROUP BY user_id
+""",
+)
+def ts_funnel(spark, sf_dir):
+    """Funnel / conversion detection (MATCH_RECOGNIZE-lite): a purchase
+    converts if ANY click preceded it within 1 hour. The carried
+    last-click timestamp (last IGNORE NULLS over a frame ending at
+    1 PRECEDING — strictly-before semantics) turns the sequential
+    pattern into one window pass + one aggregate: single shuffle on
+    user_id, linear state, any event depth. The same shape extends to
+    k-step funnels by carrying one column per stage."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(
+            F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True
+        ).over(w).alias("prev_click_ts"),
+    )
+    converted = (F.col("event_type") == "purchase") & (
+        F.col("prev_click_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")
+    )
+    return seq.groupBy("user_id").agg(
+        F.count(F.when(converted, 1)).alias("n_conversions"),
+        F.min(F.when(converted, F.col("ts"))).alias("first_conversion_ts"),
+    )
+
+
+@register(
+    "ts_retention_cohorts",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events
+)
+SELECT f.cohort_week,
+       CAST(date_diff('day', f.cohort_week, a.wk) // 7 AS BIGINT) AS week_n,
+       COUNT(*) AS n_active
+FROM firsts f JOIN activity a ON a.user_id = f.user_id
+GROUP BY 1, 2
+""",
+)
+def ts_retention_cohorts(spark, sf_dir):
+    """Cohort retention matrix — users bucketed by first-active week ×
+    weeks-since-cohort, the canonical churn-analytics readout (reference
+    modeled exactly this churn signal). Three stages, all keyed on
+    user_id: first-touch agg, distinct weekly activity, then the
+    cohort×offset rollup collapses to ~weeks² rows regardless of user
+    count. Monday-start week truncation verified identical on both
+    engines; the /7 is exact because both sides are week-aligned."""
+    ev = t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("wk")
+    ).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(F.datediff("wk", "cohort_week") / 7).cast("bigint").alias("week_n"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )

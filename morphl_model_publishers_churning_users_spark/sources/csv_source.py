@@ -9,6 +9,10 @@ doubles survive because Spark writes shortest-round-trip text.
 
 from __future__ import annotations
 
+import os
+
+import pyspark.sql.functions as F
+
 from ..operators._shared import scratch_dir, t
 from ..registry import register
 
@@ -24,6 +28,35 @@ def source_csv(spark, sf_dir):
         .select("event_id", "user_id", "event_type", "value")
         .write.mode("overwrite")
         .option("header", True)
+        .csv(out)
+    )
+    return (
+        spark.read.schema("event_id bigint, user_id bigint, event_type string, value double")
+        .option("header", True)
+        .csv(out)
+    )
+
+
+@register(
+    "sink_csv_gzip",
+    oracle="""
+SELECT event_id, user_id, event_type, ROUND(value, 6) AS value
+FROM events
+""",
+)
+def sink_csv_gzip(spark, sf_dir):
+    """Compressed-text round trip: gzip-codec CSV write → read. Each
+    written part is one gzip member; gzip is NOT splittable, so at scale
+    read parallelism = number of written files — the write side's
+    partition count is the knob (keep parts ~100 MB). Values survive the
+    text round trip because %.6f-rounded doubles re-parse exactly."""
+    out = scratch_dir(f"sink_csv_gzip_{os.path.basename(os.path.abspath(sf_dir))}")
+    (
+        t(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", F.round("value", 6).alias("value"))
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("compression", "gzip")
         .csv(out)
     )
     return (

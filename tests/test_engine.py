@@ -95,3 +95,68 @@ def test_stratified_sample_proportions(spark, sf_dir):
         else:
             sd = (n * frac * (1 - frac)) ** 0.5
             assert abs(k - n * frac) <= max(5, 5 * sd), (et, k, n, frac)
+
+
+def test_hll_union_rollup_accuracy(spark, sf_dir):
+    """Unioned per-day HLL partials must land within ±5% of the exact
+    per-type distinct-user counts — merging partials must not degrade
+    the estimate beyond the sketch's intrinsic error."""
+    from morphl_model_publishers_churning_users_spark.registry import get_queries
+    from morphl_model_publishers_churning_users_spark.catalog import table
+    import pyspark.sql.functions as F
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in get_queries()["agg_hll_union"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, n in exact.items():
+        assert abs(approx[et] - n) <= max(1, 0.05 * n), (et, approx[et], n)
+
+
+def test_percentile_approx_tracks_exact(spark, sf_dir):
+    """At accuracy=10000 the sketch's p50/p90 must track the exact
+    interpolated percentiles within 3% relative error (the sketch
+    returns a real sample, the exact form interpolates — discreteness
+    alone accounts for ~one inter-sample gap)."""
+    from morphl_model_publishers_churning_users_spark.registry import get_queries
+    from morphl_model_publishers_churning_users_spark.catalog import table
+    import pyspark.sql.functions as F
+
+    approx = {
+        r["event_type"]: (r["p50_approx"], r["p90_approx"])
+        for r in get_queries()["agg_percentile_approx"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: (r["p50"], r["p90"])
+        for r in table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5D)").alias("p50"),
+            F.expr("percentile(value, 0.9D)").alias("p90"),
+        )
+        .collect()
+    }
+    for et, (p50, p90) in exact.items():
+        assert abs(approx[et][0] - p50) <= max(1.0, 0.03 * abs(p50)), (et, approx[et], p50)
+        assert abs(approx[et][1] - p90) <= max(1.0, 0.03 * abs(p90)), (et, approx[et], p90)
+
+
+def test_rf_importances_valid(spark, sf_dir):
+    """Gini importances: one row per feature, non-negative, summing to ~1
+    (or all-zero on a degenerate single-class fit at tiny sf)."""
+    from morphl_model_publishers_churning_users_spark.registry import get_queries
+    from morphl_model_publishers_churning_users_spark.plans.churn import FEATURE_COLS
+
+    rows = get_queries()["ml_rf"](spark, sf_dir).collect()
+    assert {r["feature"] for r in rows} == set(FEATURE_COLS)
+    total = sum(r["importance"] for r in rows)
+    assert all(r["importance"] >= 0 for r in rows)
+    assert total == 0 or abs(total - 1.0) < 0.01, total
