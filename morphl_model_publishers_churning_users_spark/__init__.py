@@ -39,6 +39,7 @@ def load_all_operators() -> None:
         ga_source,
         json_source,
         orc_source,
+        python_ds,
         stream_source,
     )
     from .streaming import ops as streaming_ops  # noqa: F401

@@ -354,3 +354,27 @@ def sample_stratified(spark, sf_dir):
         .sampleBy("event_type", fractions, seed=7)
         .select("event_id", "user_id", "event_type")
     )
+
+
+_EXISTS_IN_SQL = """
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+  AND c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 1)
+  AND NOT EXISTS (SELECT 1 FROM orders o2
+                  WHERE o2.o_custkey = c.c_custkey AND o2.o_totalprice < 10000)
+"""
+
+
+@register("subquery_exists_in", oracle=_EXISTS_IN_SQL)
+def subquery_exists_in(spark, sf_dir):
+    """Existential subquery surface — EXISTS / IN / NOT EXISTS in one
+    predicate. Catalyst rewrites all three into join operators (semi,
+    semi, anti) on the correlation keys, so 'run a probe per row'
+    semantics cost three keyed joins total; the IN list (one region's
+    nations) broadcasts. Identical SQL is the DuckDB oracle."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_EXISTS_IN_SQL)

@@ -272,3 +272,28 @@ def scan_binary_files(spark, sf_dir):
         F.col("length").alias("n_bytes"),
         F.sha2(F.col("content"), 256).alias("content_sha"),
     )
+
+
+@register(
+    "scan_recursive_glob",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_recursive_glob(spark, sf_dir):
+    """Nested-layout ingest: recursiveFileLookup walks arbitrary
+    directory depth (vendor drops, date trees that aren't hive-style
+    key=value) without partition discovery. The listing is
+    driver-parallelized but each file still reads executor-side. Staged
+    here as two nested batches whose union must equal the source table."""
+    base = scratch_dir(f"nested_{os.path.basename(os.path.abspath(sf_dir))}")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    n.filter(F.col("n_nationkey") % 2 == 0).write.mode("overwrite").parquet(
+        os.path.join(base, "2024", "batch_a")
+    )
+    n.filter(F.col("n_nationkey") % 2 == 1).write.mode("overwrite").parquet(
+        os.path.join(base, "2024", "batch_b")
+    )
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .schema("n_nationkey bigint, n_name string, n_regionkey bigint")
+        .parquet(base)
+    )

@@ -259,3 +259,50 @@ def sink_stream_upsert(spark, sf_dir):
         "n_events",
         F.round(F.col("sum_dec").cast("double"), 6).alias("sum_value"),
     )
+
+
+@register(
+    "ts_stream_stream_join",
+    oracle="""
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+FROM events c JOIN events p
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+""",
+)
+def ts_stream_stream_join(spark, sf_dir):
+    """TRUE stream-stream join (both sides unbounded): click and
+    purchase streams pair on user within a 1-hour band. The watermark +
+    time-range condition is what makes this feasible at all — it bounds
+    both join-state buffers (a click older than max(event time) − 1 h
+    can never match a future purchase, so the state store evicts it).
+    Without the range condition state grows forever. On bounded input
+    the result must equal the batch interval join — the oracle."""
+    clicks = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").cast("timestamp").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").cast("timestamp").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"
+        ),
+    ).select(F.col("c_user").alias("user_id"), "click_id", "purchase_id")
+    return run_available_now(joined, "ts_ss_join", output_mode="append")

@@ -160,3 +160,13 @@ def test_rf_importances_valid(spark, sf_dir):
     total = sum(r["importance"] for r in rows)
     assert all(r["importance"] >= 0 for r in rows)
     assert total == 0 or abs(total - 1.0) < 0.01, total
+
+
+def test_python_datasource_reads_distributed(spark, sf_dir):
+    """The custom Python DataSource must fan out as its declared
+    partitions (8 executor tasks), not one driver-side generator."""
+    from morphl_model_publishers_churning_users_spark.registry import get_queries
+
+    df = get_queries()["source_python_ds"](spark, sf_dir)
+    assert df.rdd.getNumPartitions() == 8
+    assert df.count() == 20000

@@ -242,3 +242,11 @@ def test_unigram_lm_broadcasts_vocab(spark, sf_dir):
     plan = _plan(spark, sf_dir, "llm_unigram_lm")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_exists_in_rewrite_to_joins(spark, sf_dir):
+    """EXISTS / IN / NOT EXISTS must all rewrite to keyed join operators
+    — three probes total, never a per-row subquery re-execution."""
+    plan = _plan(spark, sf_dir, "subquery_exists_in")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
