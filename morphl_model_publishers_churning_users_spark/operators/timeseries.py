@@ -294,23 +294,22 @@ GROUP BY 1, 2
 def ts_retention_cohorts(spark, sf_dir):
     """Cohort retention matrix — users bucketed by first-active week ×
     weeks-since-cohort, the canonical churn-analytics readout (reference
-    modeled exactly this churn signal). Three stages, all keyed on
-    user_id: first-touch agg, distinct weekly activity, then the
-    cohort×offset rollup collapses to ~weeks² rows regardless of user
-    count. Monday-start week truncation verified identical on both
-    engines; the /7 is exact because both sides are week-aligned."""
+    modeled exactly this churn signal). TWO exchanges total: one
+    collect_set per user (map-side partial dedup of weeks — per-user
+    state bounded by the calendar, not the event count), then the
+    cohort×offset rollup; cohort week is array_min of the set, so there
+    is no first-touch join (user-count-sized, unbroadcastable at scale)
+    and no window sort. Output collapses to ~weeks² rows regardless of
+    user count. Monday-start week truncation verified identical on both
+    engines; /7 is exact (week-aligned)."""
     ev = t(spark, sf_dir, "events")
-    firsts = ev.groupBy("user_id").agg(
-        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    per_user = ev.groupBy("user_id").agg(
+        F.collect_set(F.to_date(F.date_trunc("week", "ts"))).alias("wks")
     )
-    activity = ev.select(
-        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("wk")
-    ).distinct()
-    return (
-        activity.join(firsts, "user_id")
-        .groupBy(
-            "cohort_week",
-            F.floor(F.datediff("wk", "cohort_week") / 7).cast("bigint").alias("week_n"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_active"))
+    exploded = per_user.select(
+        F.array_min("wks").alias("cohort_week"), F.explode("wks").alias("wk")
     )
+    return exploded.groupBy(
+        "cohort_week",
+        F.floor(F.datediff("wk", "cohort_week") / 7).cast("bigint").alias("week_n"),
+    ).agg(F.count(F.lit(1)).alias("n_active"))

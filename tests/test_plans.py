@@ -250,3 +250,11 @@ def test_exists_in_rewrite_to_joins(spark, sf_dir):
     plan = _plan(spark, sf_dir, "subquery_exists_in")
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
+
+
+def test_retention_cohorts_two_exchanges_no_join(spark, sf_dir):
+    """Cohort matrix: collect_set agg + final rollup = exactly two
+    exchanges; no first-touch self-join (user-count-sized build side)."""
+    plan = _plan(spark, sf_dir, "ts_retention_cohorts")
+    assert plan.count("+- Exchange") == 2
+    assert "Join" not in plan
