@@ -155,3 +155,29 @@ def set_intersect_all(spark, sf_dir):
     f = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("cust_id"))
     op = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("cust_id"))
     return f.intersectAll(op)
+
+
+@register(
+    "topk_nulls_last",
+    oracle="""
+SELECT event_id, user_id,
+       CASE WHEN value > 90 THEN NULL ELSE ROUND(value, 6) END AS v
+FROM events
+ORDER BY v DESC NULLS LAST, event_id
+LIMIT 50
+""",
+)
+def topk_nulls_last(spark, sf_dir):
+    """Top-k over a NULLABLE key with explicit null placement — the case
+    where null ordering changes WHICH rows survive, not just their
+    order (Spark defaults NULLS FIRST on ASC, DuckDB NULLS LAST, so an
+    implicit sort here would silently return different rows). Still
+    folds to TakeOrderedAndProject: per-partition top-50, tiny merge —
+    no global sort at any scale."""
+    ev = t(spark, sf_dir, "events")
+    v = F.when(F.col("value") > 90, None).otherwise(F.round("value", 6))
+    return (
+        ev.select("event_id", "user_id", v.alias("v"))
+        .orderBy(F.desc_nulls_last("v"), F.asc("event_id"))
+        .limit(50)
+    )
