@@ -947,3 +947,24 @@ def llm_unigram_lm(spark, sf_dir):
             F.count(F.lit(1)).alias("n_tokens"),
         )
     )
+
+
+@register("llm_kmeans_embed")  # rows-only: iterative clustering isn't SQL-expressible
+def llm_kmeans_embed(spark, sf_dir):
+    """Topic bucketing over the embedding column — KMeans on the real
+    vectors (array<float> → ML Vector via array_to_vector, no Python
+    boundary). Each Lloyd iteration is one broadcast of k centroids +
+    one map-side partial aggregate — the same shape that clusters 10^9
+    embeddings. Seeded for determinism; returns per-cluster size and
+    intra-cluster cost so the property test can bound quality."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=4, seed=42, maxIter=10, featuresCol="features").fit(e)
+    assigned = model.transform(e)
+    return assigned.groupBy(F.col("prediction").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )

@@ -181,3 +181,26 @@ def topk_nulls_last(spark, sf_dir):
         .orderBy(F.desc_nulls_last("v"), F.asc("event_id"))
         .limit(50)
     )
+
+
+@register(
+    "set_union_by_name",
+    oracle="""
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars
+  FROM documents WHERE source = 'web'
+  UNION ALL
+  SELECT doc_id, lang, n_chars FROM documents WHERE source <> 'web'
+)
+""",
+)
+def set_union_by_name(spark, sf_dir):
+    """Schema-evolving union — unionByName(allowMissingColumns=True)
+    aligns by COLUMN NAME and NULL-pads what one side lacks, the safe
+    way to stack heterogeneous batches (positional UNION would silently
+    pair mismatched columns). Narrow op: no shuffle, both branches stay
+    in their scan stages."""
+    d = t(spark, sf_dir, "documents")
+    old_batch = d.filter(F.col("source") == "web").select("doc_id", "lang")
+    new_batch = d.filter(F.col("source") != "web").select("doc_id", "lang", "n_chars")
+    return old_batch.unionByName(new_batch, allowMissingColumns=True)

@@ -170,3 +170,16 @@ def test_python_datasource_reads_distributed(spark, sf_dir):
     df = get_queries()["source_python_ds"](spark, sf_dir)
     assert df.rdd.getNumPartitions() == 8
     assert df.count() == 20000
+
+
+def test_kmeans_embed_partitions_all_vectors(spark, sf_dir):
+    """Every embedding lands in exactly one of the k=4 clusters and no
+    cluster is empty at test scale (seeded init on dense synthetic
+    vectors must not collapse)."""
+    from morphl_model_publishers_churning_users_spark.registry import get_queries
+    from morphl_model_publishers_churning_users_spark.catalog import table
+
+    rows = get_queries()["llm_kmeans_embed"](spark, sf_dir).collect()
+    total = table(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_vectors"] for r in rows) == total
+    assert len(rows) <= 4 and all(r["n_vectors"] > 0 for r in rows)
