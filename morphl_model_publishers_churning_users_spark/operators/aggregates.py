@@ -649,3 +649,30 @@ def agg_product(spark, sf_dir):
         F.round(F.exp(F.sum(F.log(1 + F.col("l_discount")))), 6).alias("compounded"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+@register(
+    "agg_corr_matrix",
+    oracle="""
+SELECT ROUND(corr(value, CAST(hour(ts) AS DOUBLE)), 6) AS corr_v_h,
+       ROUND(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_v_u,
+       ROUND(corr(CAST(hour(ts) AS DOUBLE), CAST(user_id AS DOUBLE)), 6) AS corr_h_u,
+       COUNT(*) AS n
+FROM events
+""",
+)
+def agg_corr_matrix(spark, sf_dir):
+    """Pairwise correlation matrix in ONE pass — all three Pearson
+    moments ride the same two-phase aggregate (each corr keeps its own
+    (n, Σx, Σy, Σxy, Σx², Σy²) tuple, merged map-side), so feature
+    screening costs one scan + one scalar-sized exchange no matter how
+    many pairs. The feature-selection step before the churn model."""
+    ev = t(spark, sf_dir, "events")
+    h = F.expr("CAST(hour(ts) AS DOUBLE)")
+    u = F.col("user_id").cast("double")
+    return ev.agg(
+        F.round(F.corr(F.col("value"), h), 6).alias("corr_v_h"),
+        F.round(F.corr(F.col("value"), u), 6).alias("corr_v_u"),
+        F.round(F.corr(h, u), 6).alias("corr_h_u"),
+        F.count(F.lit(1)).alias("n"),
+    )

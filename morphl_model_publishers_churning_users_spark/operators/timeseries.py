@@ -313,3 +313,29 @@ def ts_retention_cohorts(spark, sf_dir):
         "cohort_week",
         F.floor(F.datediff("wk", "cohort_week") / 7).cast("bigint").alias("week_n"),
     ).agg(F.count(F.lit(1)).alias("n_active"))
+
+
+_DOD_SQL = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_value
+  FROM events GROUP BY 1
+)
+SELECT day, n, sum_value,
+       n - lag(n) OVER (ORDER BY day) AS n_delta,
+       ROUND(CAST(n AS DOUBLE) / lag(n) OVER (ORDER BY day) - 1, 6) AS n_pct_change
+FROM daily
+"""
+
+
+@register("ts_day_over_day", oracle=_DOD_SQL)
+def ts_day_over_day(spark, sf_dir):
+    """Day-over-day deltas — the reporting staple. The single-partition
+    global window (ORDER BY day, no PARTITION BY) is applied AFTER the
+    daily aggregate, so it sorts ~calendar-days rows, not events: the
+    only safe place for an unpartitioned window at 100 TB is on top of
+    an already-collapsed series. Identical SQL is the oracle."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_DOD_SQL)
