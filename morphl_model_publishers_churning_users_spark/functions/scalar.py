@@ -377,3 +377,28 @@ def fn_string_distance(spark, sf_dir):
         F.expr("left(p_name, 5)").alias("name_head"),
         F.expr("right(p_type, 4)").alias("type_tail"),
     )
+
+
+@register(
+    "fn_mask",
+    oracle="""
+SELECT p_partkey,
+       regexp_replace(regexp_replace(regexp_replace(p_name,
+           '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g') AS name_masked,
+       regexp_replace(p_brand, '[0-9]', '#', 'g') AS brand_digits_masked
+FROM part
+""",
+)
+def fn_mask(spark, sf_dir):
+    """Data masking (Spark 4 mask()): category-preserving redaction —
+    upper→X, lower→x, digit→n, punctuation kept — so masked exports
+    keep their FORMAT (length, token shape) for downstream validation
+    while dropping content; per-category NULL keeps a class unmasked
+    (digits-only variant). Complements llm_pii_scrub's pattern-based
+    scrubbing. Oracle spells the same classes as regexp chains."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.expr("mask(p_name)").alias("name_masked"),
+        F.expr("mask(p_brand, NULL, NULL, '#', NULL)").alias("brand_digits_masked"),
+    )

@@ -676,3 +676,27 @@ def agg_corr_matrix(spark, sf_dir):
         F.round(F.corr(h, u), 6).alias("corr_h_u"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "agg_multi_distinct",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+       COUNT(*) AS n_events
+FROM events GROUP BY event_type
+""",
+)
+def agg_multi_distinct(spark, sf_dir):
+    """Multiple COUNT(DISTINCT) on DIFFERENT keys in one query — Spark
+    plans this with an Expand (each row replicated once per distinct
+    clause, tagged, then one aggregate tree), so two distincts cost one
+    scan + one shuffle of the expanded rows instead of two separate
+    jobs. The exact form anchors agg_hll_union's sketch path."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.to_date("ts")).alias("n_days"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -367,3 +367,29 @@ def win_distinct_running(spark, sf_dir):
         "user_id",
         F.size(F.collect_set("event_type").over(w)).cast("bigint").alias("n_distinct_types"),
     )
+
+
+@register(
+    "win_ratio_to_report",
+    oracle="""
+SELECT event_id, user_id,
+       ROUND(value / CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                          OVER (PARTITION BY user_id) AS DOUBLE), 6) AS share_of_user
+FROM events
+""",
+)
+def win_ratio_to_report(spark, sf_dir):
+    """Ratio-to-report — each event's share of its user's total. An
+    unordered partition window needs no sort at all (whole-partition
+    frame → one pass attaching the group total to every row, cheaper
+    than aggregate + self-join). The denominator accumulates in exact
+    DECIMAL so both engines agree at the 6-decimal grain regardless of
+    partition order."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    denom = F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") / denom, 6).alias("share_of_user"),
+    )

@@ -258,3 +258,19 @@ def test_retention_cohorts_two_exchanges_no_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ts_retention_cohorts")
     assert plan.count("+- Exchange") == 2
     assert "Join" not in plan
+
+
+def test_multi_distinct_uses_expand(spark, sf_dir):
+    """Two COUNT(DISTINCT) on different keys must plan as ONE Expand +
+    aggregate tree — a single scan, never two separate jobs."""
+    plan = _plan(spark, sf_dir, "agg_multi_distinct")
+    assert "Expand" in plan
+
+
+def test_ratio_to_report_no_sort(spark, sf_dir):
+    """Unordered partition window: one exchange on user_id, and the
+    whole-partition frame must not add an ordering sort requirement
+    beyond the partitioning."""
+    plan = _plan(spark, sf_dir, "win_ratio_to_report")
+    assert plan.count("+- Exchange") == 1
+    assert "Window" in plan
