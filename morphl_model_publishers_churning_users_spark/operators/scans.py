@@ -297,3 +297,58 @@ def scan_recursive_glob(spark, sf_dir):
         .schema("n_nationkey bigint, n_name string, n_regionkey bigint")
         .parquet(base)
     )
+
+
+@register(
+    "join_dpp",
+    oracle="""
+WITH dim AS (
+  SELECT CAST(DATE '2024-01-01' + INTERVAL (3 * i) DAY AS DATE) AS report_day
+  FROM (SELECT unnest(range(0, 8)) AS i)
+  WHERE i % 2 = 0
+)
+SELECT d.report_day, COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM events e JOIN dim d ON CAST(e.ts AS DATE) = d.report_day
+GROUP BY d.report_day
+""",
+)
+def join_dpp(spark, sf_dir):
+    """DYNAMIC partition pruning — the static-pruning sibling for when
+    the day list isn't a literal: the fact side is day-partitioned, the
+    dim side (a generated reporting-day spine) is only known at runtime,
+    and Spark injects the dim's broadcast result as a partition filter
+    into the fact scan (dynamicpruning#… in the plan) — so the fact
+    table still reads 4 directories, not all of them, exactly as if the
+    days had been hard-coded. THE mechanism that makes star-join ×
+    date-partitioned-fact viable at 100 TB."""
+    out = scratch_dir(f"events_by_day_{os.path.basename(os.path.abspath(sf_dir))}")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        (
+            t(spark, sf_dir, "events")
+            .withColumn("day", F.to_date("ts"))
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(out)
+        )
+    fact = spark.read.parquet(out)
+    # The dim-side FILTER is what arms DPP (Spark requires a selective
+    # predicate on the build side before it injects the runtime prune).
+    dim = (
+        spark.range(0, 8)
+        .filter(F.col("id") % 2 == 0)
+        .select(
+            F.date_add(F.lit("2024-01-01").cast("date"), (F.col("id") * 3).cast("int")).alias(
+                "report_day"
+            )
+        )
+    )
+    return (
+        fact.join(F.broadcast(dim), fact["day"] == dim["report_day"])
+        .groupBy("report_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+        )
+    )

@@ -274,3 +274,12 @@ def test_ratio_to_report_no_sort(spark, sf_dir):
     plan = _plan(spark, sf_dir, "win_ratio_to_report")
     assert plan.count("+- Exchange") == 1
     assert "Window" in plan
+
+
+def test_dpp_injects_runtime_partition_filter(spark, sf_dir):
+    """The partitioned fact scan must carry a dynamicpruning expression
+    (runtime subquery from the filtered dim), so only matching day
+    directories are read — 4 of them, not the whole table."""
+    _Q["join_dpp"](spark, sf_dir).count()  # stage partitioned copy
+    plan = _plan(spark, sf_dir, "join_dpp")
+    assert "dynamicpruning" in plan
