@@ -968,3 +968,43 @@ def llm_kmeans_embed(spark, sf_dir):
     return assigned.groupBy(F.col("prediction").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("n_vectors")
     )
+
+
+@register(
+    "llm_dedup_keep_best",
+    oracle="""
+WITH hashed AS (
+  SELECT doc_id, lang, n_chars, md5(lower(trim(text))) AS content_hash
+  FROM documents
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY content_hash
+                               ORDER BY n_chars DESC, doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY content_hash) AS n_copies
+  FROM hashed
+)
+SELECT doc_id, lang, n_chars, content_hash, n_copies
+FROM ranked WHERE rn = 1
+""",
+)
+def llm_dedup_keep_best(spark, sf_dir):
+    """Policy-driven exact dedup — production corpus dedup keeps the
+    BEST representative (longest text, deterministic doc_id tiebreak),
+    not an arbitrary survivor. max_by on a (n_chars, -doc_id) struct
+    collapses each content-hash group in ONE hash aggregate — no window
+    sort over the corpus; the oracle's row_number formulation is the
+    semantic spec."""
+    d = t(spark, sf_dir, "documents")
+    hashed = d.select(
+        "doc_id", "lang", "n_chars", F.md5(F.lower(F.trim("text"))).alias("content_hash")
+    )
+    best = hashed.groupBy("content_hash").agg(
+        F.expr("max_by(struct(doc_id, lang, n_chars), struct(n_chars, -doc_id))").alias("b"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    return best.select(
+        F.col("b.doc_id").alias("doc_id"),
+        F.col("b.lang").alias("lang"),
+        F.col("b.n_chars").alias("n_chars"),
+        "content_hash",
+        "n_copies",
+    )
