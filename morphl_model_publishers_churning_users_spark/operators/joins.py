@@ -406,3 +406,32 @@ def join_asof_tolerance(spark, sf_dir):
         F.when(fresh, F.col("carried_id")).alias("click_id"),
         F.when(fresh, F.col("carried_ts")).alias("click_ts"),
     )
+
+
+_HINT_SQL = """
+SELECT /*+ BROADCAST(n) */ n.n_name, COUNT(*) AS n_suppliers,
+       ROUND(CAST(SUM(CAST(s.s_acctbal AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_acctbal
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+@register(
+    "join_hint_broadcast",
+    oracle="""
+SELECT n.n_name, COUNT(*) AS n_suppliers,
+       ROUND(CAST(SUM(CAST(s.s_acctbal AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_acctbal
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def join_hint_broadcast(spark, sf_dir):
+    """Join-strategy HINTS — the explicit override for when statistics
+    mislead the optimizer (a dim just over the auto-broadcast threshold,
+    or size-unknown after a UDF): /*+ BROADCAST(n) */ forces the hash
+    side regardless of estimates. Tests assert the hint wins even with
+    auto-broadcast disabled — the production knob for pinning a plan."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_HINT_SQL)

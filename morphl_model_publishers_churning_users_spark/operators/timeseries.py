@@ -339,3 +339,52 @@ def ts_day_over_day(spark, sf_dir):
 
     register_views(spark, sf_dir)
     return spark.sql(_DOD_SQL)
+
+
+@register(
+    "ts_session_attrs",
+    oracle="""
+WITH ordered AS (
+    SELECT user_id, ts, event_id, event_type,
+           epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id) AS gap_us
+    FROM events
+), flagged AS (
+    SELECT *, CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END AS new_session
+    FROM ordered
+), sessions AS (
+    SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+), ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+                                 ORDER BY ts, event_id) AS rf,
+              row_number() OVER (PARTITION BY user_id, session_id
+                                 ORDER BY ts DESC, event_id DESC) AS rl
+    FROM sessions
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+       MAX(CASE WHEN rf = 1 THEN event_type END) AS entry_type,
+       MAX(CASE WHEN rl = 1 THEN event_type END) AS exit_type
+FROM ranked GROUP BY user_id, session_id
+""",
+)
+def ts_session_attrs(spark, sf_dir):
+    """Sessions WITH entry/exit attributes — the GA landing-page /
+    exit-page readout the reference's publisher-churn features came
+    from. min_by/max_by on a (ts, event_id) struct ride INSIDE the same
+    session_window aggregate, so first/last-in-session costs zero extra
+    passes over ts_session's single user_id shuffle. Oracle: the
+    gaps-and-islands twin plus first/last row_number flags."""
+    ev = t(spark, sf_dir, "events")
+    ord_key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.min_by("event_type", ord_key).alias("entry_type"),
+            F.max_by("event_type", ord_key).alias("exit_type"),
+        )
+        .select("user_id", "session_start", "n_events", "entry_type", "exit_type")
+    )

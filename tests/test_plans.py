@@ -283,3 +283,16 @@ def test_dpp_injects_runtime_partition_filter(spark, sf_dir):
     _Q["join_dpp"](spark, sf_dir).count()  # stage partitioned copy
     plan = _plan(spark, sf_dir, "join_dpp")
     assert "dynamicpruning" in plan
+
+
+def test_broadcast_hint_overrides_disabled_auto(spark, sf_dir):
+    """The BROADCAST hint must force a broadcast hash join even when
+    auto-broadcast is off — the explicit plan-pinning knob."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(spark, sf_dir, "join_hint_broadcast")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
