@@ -435,3 +435,38 @@ def join_hint_broadcast(spark, sf_dir):
 
     register_views(spark, sf_dir)
     return spark.sql(_HINT_SQL)
+
+
+@register(
+    "join_range_bucketed",
+    oracle="""
+SELECT p.p_partkey, p.p_size, b.band
+FROM part p
+JOIN (VALUES ('small', 1, 10), ('medium', 11, 25), ('large', 26, 50)) b(band, lo, hi)
+  ON p.p_size BETWEEN b.lo AND b.hi
+""",
+)
+def join_range_bucketed(spark, sf_dir):
+    """Range join decomposed to an EQUI-join — the big×big form: each
+    interval explodes into the coarse buckets it spans (width 8), the
+    probe side hashes into its single bucket, they equi-join on bucket
+    and the exact BETWEEN refines. A (row, interval) pair meets in
+    exactly one bucket, so no dedup pass. join_range's nested-loop is
+    right when one side broadcasts; THIS shape is what survives when
+    the interval table is also data-sized — hash shuffle on bucket,
+    never O(rows × intervals)."""
+    W = 8
+    p = t(spark, sf_dir, "part").withColumn(
+        "bucket", F.floor(F.col("p_size") / W)
+    )
+    bands = spark.createDataFrame(
+        [("small", 1, 10), ("medium", 11, 25), ("large", 26, 50)], ["band", "lo", "hi"]
+    ).select(
+        "band", "lo", "hi",
+        F.explode(F.sequence(F.floor(F.col("lo") / W), F.floor(F.col("hi") / W))).alias("bucket"),
+    )
+    return (
+        p.join(bands, "bucket")
+        .filter(F.col("p_size").between(F.col("lo"), F.col("hi")))
+        .select("p_partkey", "p_size", "band")
+    )

@@ -393,3 +393,40 @@ def win_ratio_to_report(spark, sf_dir):
         "user_id",
         F.round(F.col("value") / denom, 6).alias("share_of_user"),
     )
+
+
+@register(
+    "win_moving_zscore",
+    oracle="""
+SELECT user_id, ts, event_id,
+       ROUND((value - avg(value) OVER w) / NULLIF(stddev_samp(value) OVER w, 0), 6)
+           AS zscore,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_window
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+""",
+)
+def win_moving_zscore(spark, sf_dir):
+    """Rolling z-score over the trailing 10 readings — the streaming-
+    friendly anomaly detector (state = one bounded frame per key). Mean
+    and stddev share ONE window frame/sort; single-row frames yield
+    NULL stddev → NULL z on both engines, and NULLIF guards the
+    zero-variance run. Same shape ports to the watermarked streaming
+    path via a time-bounded frame."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    sd = F.stddev_samp("value").over(w)
+    return ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round((F.col("value") - F.avg("value").over(w)) / F.nullif(sd, F.lit(0.0)), 6).alias(
+            "zscore"
+        ),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_window"),
+    )

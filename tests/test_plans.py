@@ -296,3 +296,11 @@ def test_broadcast_hint_overrides_disabled_auto(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bucketed_range_join_is_equi(spark, sf_dir):
+    """The bucket-decomposed range join must plan as a HASH equi-join on
+    the bucket key — never the nested-loop the naive BETWEEN requires."""
+    plan = _plan(spark, sf_dir, "join_range_bucketed")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
