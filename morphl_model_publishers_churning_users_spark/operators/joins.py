@@ -470,3 +470,35 @@ def join_range_bucketed(spark, sf_dir):
         .filter(F.col("p_size").between(F.col("lo"), F.col("hi")))
         .select("p_partkey", "p_size", "band")
     )
+
+
+_SHUFFLE_HASH_SQL = """
+SELECT /*+ SHUFFLE_HASH(c) */ c.c_mktsegment,
+       COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_total
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@register(
+    "join_hint_shuffle_hash",
+    oracle="""
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_total
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def join_hint_shuffle_hash(spark, sf_dir):
+    """SHUFFLE_HASH hint — the middle strategy: too big to broadcast,
+    but each post-shuffle partition of the build side fits memory, so
+    hash-probe beats sort-merge (no sort of either side). The knob for
+    large fact-to-large-dim joins where SMJ's double sort is the cost;
+    tests assert ShuffledHashJoin is planned even with sort-merge
+    preferred off."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SHUFFLE_HASH_SQL)

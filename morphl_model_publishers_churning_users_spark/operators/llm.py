@@ -1008,3 +1008,39 @@ def llm_dedup_keep_best(spark, sf_dir):
         "content_hash",
         "n_copies",
     )
+
+
+@register(
+    "llm_embed_centroid",
+    oracle="""
+WITH expanded AS (
+  SELECT d.lang,
+         unnest(range(1, 1 + len(e.embedding))) AS pos,
+         unnest(e.embedding) AS val
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+)
+SELECT lang, CAST(pos AS INT) AS pos,
+       ROUND(AVG(CAST(val AS DOUBLE)), 6) AS centroid_val,
+       COUNT(*) AS n_vectors
+FROM expanded GROUP BY lang, pos
+""",
+)
+def llm_embed_centroid(spark, sf_dir):
+    """Per-language embedding centroids — element-wise mean vectors, the
+    building block for cluster seeding, domain drift monitoring, and
+    centroid-based near-dup blocking. posexplode flattens (vector →
+    dim-indexed rows) so the whole centroid is ONE hash aggregate on
+    (lang, pos) with map-side partials — no per-group vector folding in
+    Python. Reassembly to array form is array_agg-sorted downstream when
+    needed; kept flat here because flat is the shuffle-efficient shape."""
+    e = t(spark, sf_dir, "embeddings")
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    flat = (
+        e.join(d, e.vec_id == d.doc_id)
+        .select("lang", F.posexplode("embedding").alias("pos0", "val"))
+        .select("lang", (F.col("pos0") + 1).cast("int").alias("pos"), "val")
+    )
+    return flat.groupBy("lang", "pos").agg(
+        F.round(F.avg(F.col("val").cast("double")), 6).alias("centroid_val"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )

@@ -304,3 +304,15 @@ def test_bucketed_range_join_is_equi(spark, sf_dir):
     plan = _plan(spark, sf_dir, "join_range_bucketed")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_shuffle_hash_hint_plans_shj(spark, sf_dir):
+    """SHUFFLE_HASH hint must produce a ShuffledHashJoin — hash-probe
+    without sorting either side (the large×large middle strategy)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(spark, sf_dir, "join_hint_shuffle_hash")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "ShuffledHashJoin" in plan
