@@ -700,3 +700,45 @@ def agg_multi_distinct(spark, sf_dir):
         F.countDistinct(F.to_date("ts")).alias("n_days"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "agg_reaggregate",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+         COUNT(*) AS n, SUM(CAST(value AS DECIMAL(38,6))) AS sv
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(date_trunc('week', day) AS DATE) AS week, event_type,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       ROUND(CAST(SUM(sv) AS DOUBLE), 6) AS sum_value,
+       CAST(COUNT(*) AS BIGINT) AS n_days
+FROM daily GROUP BY 1, 2
+""",
+)
+def agg_reaggregate(spark, sf_dir):
+    """Two-level rollup — the materialized-view pattern: dailies are
+    computed ONCE (count + decimal sum are re-aggregatable partials),
+    weeklies re-aggregate the dailies, never the raw events. This is
+    how a 100 TB warehouse serves week/month/quarter from a day-grain
+    table at day-count cost; the composability requirement (SUM of
+    SUMs = SUM, SUM of COUNTs = COUNT) is exactly what makes avg/
+    median NON-reaggregatable and why the partial columns store sums
+    and counts separately. The weekly agg reuses the daily shuffle's
+    (day, type) partitioning — AQE plans the second stage exchange-free
+    when the grouping is a superset-prefix."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("sv"),
+    )
+    return daily.groupBy(
+        F.to_date(F.date_trunc("week", "day")).alias("week"), "event_type"
+    ).agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.round(F.sum("sv").cast("double"), 6).alias("sum_value"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
