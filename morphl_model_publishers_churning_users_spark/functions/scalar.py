@@ -402,3 +402,41 @@ def fn_mask(spark, sf_dir):
         F.expr("mask(p_name)").alias("name_masked"),
         F.expr("mask(p_brand, NULL, NULL, '#', NULL)").alias("brand_digits_masked"),
     )
+
+
+@register(
+    "fn_array_setops",
+    oracle="""
+WITH halves AS (
+  SELECT user_id,
+         list_sort(list_distinct(list(event_type) FILTER (WHERE day(ts) <= 15))) AS a,
+         list_sort(list_distinct(list(event_type) FILTER (WHERE day(ts) > 15))) AS b
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       list_sort(list_filter(a, x -> list_contains(b, x))) AS both_periods,
+       list_sort(list_filter(a, x -> NOT list_contains(b, x))) AS only_first,
+       list_sort(list_distinct(a || b)) AS all_types
+FROM halves
+""",
+)
+def fn_array_setops(spark, sf_dir):
+    """Array set algebra on real per-user data — event-type vocabulary
+    drift between month halves (retained / dropped / total behaviors).
+    intersect/except/union evaluate in codegen on the collected sets;
+    results are sorted+deduped on BOTH engines so the set semantics
+    (not element order) are what's compared. The per-user arrays are
+    bounded by the type vocabulary, so state is O(cardinality)."""
+    ev = t(spark, sf_dir, "events")
+    first_half = F.when(F.dayofmonth("ts") <= 15, F.col("event_type"))
+    second_half = F.when(F.dayofmonth("ts") > 15, F.col("event_type"))
+    halves = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set(first_half)).alias("a"),
+        F.sort_array(F.collect_set(second_half)).alias("b"),
+    )
+    return halves.select(
+        "user_id",
+        F.sort_array(F.array_intersect("a", "b")).alias("both_periods"),
+        F.sort_array(F.array_except("a", "b")).alias("only_first"),
+        F.sort_array(F.array_distinct(F.array_union("a", "b"))).alias("all_types"),
+    )

@@ -742,3 +742,28 @@ def agg_reaggregate(spark, sf_dir):
         F.round(F.sum("sv").cast("double"), 6).alias("sum_value"),
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
     )
+
+
+@register(
+    "agg_topn_array",
+    oracle="""
+SELECT event_type,
+       (list(ROUND(value, 6) ORDER BY ROUND(value, 6) DESC))[1:3] AS top3_values,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+""",
+)
+def agg_topn_array(spark, sf_dir):
+    """Top-N values per group AS AN ARRAY — the denormalized leaderboard
+    shape. collect→sort→slice stays one object aggregate; ordering by
+    the ROUNDED value on both engines makes tie order irrelevant (equal
+    elements are indistinguishable after rounding). At very large
+    groups swap collect_list for an incremental bounded-heap pattern —
+    the slice keeps only 3 but the buffer holds the group."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.slice(
+            F.sort_array(F.collect_list(F.round("value", 6)), asc=False), 1, 3
+        ).alias("top3_values"),
+        F.count(F.lit(1)).alias("n"),
+    )
