@@ -388,3 +388,96 @@ def ts_session_attrs(spark, sf_dir):
         )
         .select("user_id", "session_start", "n_events", "entry_type", "exit_type")
     )
+
+
+@register(
+    "ts_attribution_first_touch",
+    oracle="""
+WITH purchases AS (
+  SELECT user_id, event_id AS purchase_id, ts AS p_ts
+  FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, event_id AS click_id, ts AS c_ts
+  FROM events WHERE event_type = 'click'
+), touches AS (
+  SELECT p.user_id, p.purchase_id, p.p_ts, c.click_id, c.c_ts
+  FROM purchases p JOIN clicks c
+    ON c.user_id = p.user_id
+   AND c.c_ts <= p.p_ts AND c.c_ts >= p.p_ts - INTERVAL 7 DAY
+)
+SELECT user_id, purchase_id, p_ts AS purchase_ts,
+       MIN(c_ts) AS first_touch_ts,
+       CAST(COUNT(*) AS BIGINT) AS n_touchpoints
+FROM touches GROUP BY user_id, purchase_id, p_ts
+""",
+)
+def ts_attribution_first_touch(spark, sf_dir):
+    """First-touch attribution — credit each purchase to the EARLIEST
+    click in a 7-day lookback (the complement of join_asof's
+    last-touch), plus the multi-touch count. The user-keyed equi-join
+    bounds pair fan-out to each user's own events (never a global range
+    join); the band filter + min/count collapse in one aggregate.
+    Purchases with no touch in window drop out (inner semantics) —
+    exactly the attribution denominator."""
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    touches = purchases.join(
+        clicks,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAY")),
+    )
+    return touches.groupBy("user_id", "purchase_id", "p_ts").agg(
+        F.min("c_ts").alias("first_touch_ts"),
+        F.count(F.lit(1)).cast("bigint").alias("n_touchpoints"),
+    ).select(
+        "user_id", "purchase_id", F.col("p_ts").alias("purchase_ts"),
+        "first_touch_ts", "n_touchpoints",
+    )
+
+
+@register(
+    "ts_active_users",
+    oracle="""
+WITH acts AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+), days AS (
+  SELECT DISTINCT day FROM acts
+)
+SELECT d.day,
+       CAST(COUNT(DISTINCT CASE WHEN a.day = d.day THEN a.user_id END) AS BIGINT) AS dau,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS wau
+FROM days d JOIN acts a ON a.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+GROUP BY d.day
+""",
+)
+def ts_active_users(spark, sf_dir):
+    """DAU / trailing-7-day WAU — THE engagement readout, and the metric
+    that can NOT reaggregate from daily counts (distinct doesn't
+    compose; see agg_hll_union for the sketch answer). Exact form:
+    distinct (user, day) activity × a broadcast day spine banded to the
+    trailing week, one countDistinct per day. Activity rows fan out ≤7×
+    — bounded by the window, not the data. At larger windows, swap the
+    band join for HLL partial union."""
+    ev = t(spark, sf_dir, "events")
+    acts = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).distinct()
+    days = acts.select("day").distinct()
+    banded = acts.withColumnRenamed("day", "act_day").join(
+        F.broadcast(days),
+        (F.col("act_day") <= F.col("day"))
+        & (F.col("act_day") >= F.col("day") - F.expr("INTERVAL 6 DAY")),
+    )
+    return banded.groupBy("day").agg(
+        F.countDistinct(
+            F.when(F.col("act_day") == F.col("day"), F.col("user_id"))
+        ).cast("bigint").alias("dau"),
+        F.countDistinct("user_id").cast("bigint").alias("wau"),
+    )
