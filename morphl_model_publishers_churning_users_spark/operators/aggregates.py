@@ -11,6 +11,7 @@ with the oracle (see operators/_shared.py).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+from pyspark.sql import Window
 
 from ..registry import register
 from ._shared import DSUM, dsum, t
@@ -766,4 +767,50 @@ def agg_topn_array(spark, sf_dir):
             F.sort_array(F.collect_list(F.round("value", 6)), asc=False), 1, 3
         ).alias("top3_values"),
         F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+WITH cum AS (
+  SELECT l_returnflag,
+         ROUND(l_extendedprice, 6) AS x,
+         SUM(CAST(l_quantity AS DECIMAL(38,6)))
+             OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                   ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(CAST(l_quantity AS DECIMAL(38,6)))
+             OVER (PARTITION BY l_returnflag) AS tw
+  FROM lineitem
+)
+SELECT l_returnflag, MIN(x) AS weighted_median
+FROM cum WHERE cw * 2 >= tw
+GROUP BY l_returnflag
+""",
+)
+def agg_weighted_median(spark, sf_dir):
+    """Quantity-weighted median price — the order statistic plain
+    median() can't express. One ordered window builds the cumulative
+    weight; the first row where 2·cum ≥ total is the answer. Every
+    comparison happens in EXACT decimal (cumulative double sums near
+    the half-total boundary could flip WHICH row crosses — a material
+    error, not a rounding one), with (orderkey, linenumber) breaking
+    price ties identically on both engines."""
+    li = t(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = F.col("l_quantity").cast("decimal(38,6)")
+    cum = li.select(
+        "l_returnflag",
+        F.round("l_extendedprice", 6).alias("x"),
+        F.sum(wt).over(w).alias("cw"),
+        F.sum(wt).over(Window.partitionBy("l_returnflag")).alias("tw"),
+    )
+    return (
+        cum.filter(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(F.min("x").alias("weighted_median"))
     )

@@ -481,3 +481,30 @@ def ts_active_users(spark, sf_dir):
         ).cast("bigint").alias("dau"),
         F.countDistinct("user_id").cast("bigint").alias("wau"),
     )
+
+
+@register(
+    "ts_traffic_profile",
+    oracle="""
+SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+       CAST(hour(ts) AS INT) AS hod,
+       COUNT(*) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1, 2
+""",
+)
+def ts_traffic_profile(spark, sf_dir):
+    """Hour-of-day × day-of-week traffic heatmap — the seasonality
+    profile capacity planning and anomaly baselines read from. Output is
+    ≤168 cells at ANY input scale; one hash aggregate with map-side
+    partials plus the distinct expansion. Weekday numbering aligned
+    explicitly: DuckDB counts Sunday=0, Spark Sunday=1 — an off-by-one
+    that silently rotates the heatmap if unhandled."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.dayofweek("ts").cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
