@@ -1044,3 +1044,40 @@ def llm_embed_centroid(spark, sf_dir):
         F.round(F.avg(F.col("val").cast("double")), 6).alias("centroid_val"),
         F.count(F.lit(1)).alias("n_vectors"),
     )
+
+
+@register(
+    "llm_ngram_freq",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+), bigrams AS (
+  SELECT unnest(list_transform(range(1, len(w)),
+                i -> w[i] || ' ' || w[i + 1])) AS bigram
+  FROM words
+)
+SELECT bigram, COUNT(*) AS n
+FROM bigrams GROUP BY bigram
+ORDER BY n DESC, bigram ASC LIMIT 50
+""",
+)
+def llm_ngram_freq(spark, sf_dir):
+    """Corpus bigram frequency table (top 50) — the vocabulary
+    statistic behind boilerplate detection and n-gram LM training.
+    Array-lambda bigram construction (no UDF), one hash aggregate, and
+    a TakeOrderedAndProject top-k with the bigram itself as tiebreak —
+    count ties would otherwise make LIMIT nondeterministic and the
+    whole result incomparable."""
+    d = t(spark, sf_dir, "documents")
+    bigram_expr = (
+        "transform(sequence(1, size(w) - 1),"
+        " i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))"
+    )
+    return (
+        d.select(F.split(F.trim("text"), " ").alias("w"))
+        .select(F.explode(F.expr(bigram_expr)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(50)
+    )

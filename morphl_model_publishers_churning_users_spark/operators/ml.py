@@ -12,6 +12,7 @@ import pyspark.sql.functions as F
 
 from ..plans import churn
 from ..registry import register
+from ._shared import t
 
 
 @register(
@@ -206,3 +207,27 @@ def ml_rf(spark, sf_dir):
         for name, imp in zip(churn.FEATURE_COLS, model.featureImportances.toArray())
     ]
     return spark.createDataFrame(rows, "feature string, importance double")
+
+
+@register("ml_pca_embed")  # rows-only: eigendecomposition isn't SQL-expressible
+def ml_pca_embed(spark, sf_dir):
+    """PCA variance spectrum of the embedding space — the
+    dimensionality-reduction readout (how many components carry the
+    corpus's variance) that sizes IVF cells and compressed indexes.
+    Spark ML PCA: one distributed covariance accumulation (Gramian is a
+    map-side-combinable sum of outer products), eigendecomposition on
+    the driver — the k×d result is tiny. Component SIGNS are
+    eigensolver-arbitrary, so the operator returns the per-component
+    explained-variance ratios (sign-free and deterministic), not the
+    loadings."""
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector
+
+    e = t(spark, sf_dir, "embeddings").select(
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = PCA(k=8, inputCol="features", outputCol="pca").fit(e)
+    rows = [
+        (i, round(float(v), 6)) for i, v in enumerate(model.explainedVariance.toArray())
+    ]
+    return spark.createDataFrame(rows, "component int, explained_variance double")

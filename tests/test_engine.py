@@ -183,3 +183,19 @@ def test_kmeans_embed_partitions_all_vectors(spark, sf_dir):
     total = table(spark, sf_dir, "embeddings").count()
     assert sum(r["n_vectors"] for r in rows) == total
     assert len(rows) <= 4 and all(r["n_vectors"] > 0 for r in rows)
+
+
+def test_pca_variance_spectrum_valid(spark, sf_dir):
+    """Explained-variance ratios must be non-negative, non-increasing,
+    and sum to ≤ 1 — the invariants of any correct eigensolve."""
+    from morphl_model_publishers_churning_users_spark.registry import get_queries
+
+    rows = sorted(
+        get_queries()["ml_pca_embed"](spark, sf_dir).collect(),
+        key=lambda r: r["component"],
+    )
+    vals = [r["explained_variance"] for r in rows]
+    assert len(vals) == 8
+    assert all(v >= 0 for v in vals)
+    assert all(vals[i] >= vals[i + 1] - 1e-9 for i in range(len(vals) - 1))
+    assert sum(vals) <= 1.0 + 1e-6
