@@ -814,3 +814,48 @@ def agg_weighted_median(spark, sf_dir):
         .groupBy("l_returnflag")
         .agg(F.min("x").alias("weighted_median"))
     )
+
+
+@register(
+    "agg_gini",
+    oracle="""
+WITH ranked AS (
+  SELECT c_mktsegment,
+         CAST(ROUND(c_acctbal, 6) AS DECIMAL(19,6)) AS x,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal, c_custkey) AS rn
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment,
+       ROUND(2.0 * CAST(SUM(x * rn) AS DOUBLE)
+             / (COUNT(*) * CAST(SUM(x) AS DOUBLE))
+             - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM ranked GROUP BY c_mktsegment
+""",
+)
+def agg_gini(spark, sf_dir):
+    """Gini coefficient of balance concentration per segment — the
+    whale-dominance metric (revenue concentration drives churn-impact
+    weighting). Sorted-rank formulation G = 2·Σ(rank·x)/(n·Σx) −
+    (n+1)/n: one ranking window + one aggregate. The rank·value
+    cross-products accumulate in exact DECIMAL (rank reaches n, so
+    double dot-products drift past the 1e-6 grain); ties rank
+    deterministically by custkey on both engines."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    ranked = c.select(
+        "c_mktsegment",
+        F.round("c_acctbal", 6).cast("decimal(19,6)").alias("x"),
+        F.row_number().over(w).alias("rn"),
+    )
+    n = F.count(F.lit(1))
+    return ranked.groupBy("c_mktsegment").agg(
+        F.round(
+            2.0 * F.sum(F.col("x") * F.col("rn")).cast("double")
+            / (n * F.sum("x").cast("double"))
+            - (n + 1.0) / n,
+            6,
+        ).alias("gini"),
+        n.cast("bigint").alias("n"),
+    )

@@ -508,3 +508,35 @@ def ts_traffic_profile(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
     )
+
+
+@register(
+    "ts_user_ltv",
+    oracle="""
+SELECT user_id,
+       MIN(ts) AS first_seen, MAX(ts) AS last_seen,
+       CAST(date_diff('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE)) AS BIGINT)
+           AS tenure_days,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS total_value,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+             / (1 + date_diff('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE))), 6)
+           AS value_per_day
+FROM events GROUP BY user_id
+""",
+)
+def ts_user_ltv(spark, sf_dir):
+    """Per-user lifetime value: tenure span, exact total value, and
+    value-per-active-day (the churn-cost input). Everything rides ONE
+    two-phase hash aggregate — min/max/decimal-sum all map-side
+    combinable; the derived ratios are post-aggregate projections, so
+    the whole feature block costs a single shuffle on user_id."""
+    ev = t(spark, sf_dir, "events")
+    total = F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+    tenure = F.datediff(F.to_date(F.max("ts")), F.to_date(F.min("ts"))).cast("bigint")
+    return ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+        tenure.alias("tenure_days"),
+        F.round(total, 6).alias("total_value"),
+        F.round(total / (1 + tenure), 6).alias("value_per_day"),
+    )
