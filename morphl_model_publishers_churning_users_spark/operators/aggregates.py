@@ -859,3 +859,28 @@ def agg_gini(spark, sf_dir):
         ).alias("gini"),
         n.cast("bigint").alias("n"),
     )
+
+
+@register(
+    "agg_hhi",
+    oracle="""
+SELECT c_mktsegment,
+       ROUND(SUM(c_acctbal * c_acctbal) / (SUM(c_acctbal) * SUM(c_acctbal)), 6) AS hhi,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM customer WHERE c_acctbal > 0
+GROUP BY c_mktsegment
+""",
+)
+def agg_hhi(spark, sf_dir):
+    """Herfindahl–Hirschman concentration index — Σshare² collapses
+    algebraically to Σx²/(Σx)², so unlike Gini it needs NO ranking
+    window: one two-phase hash aggregate, fully map-side combinable.
+    The cheap first-pass concentration screen (1/n = perfectly even,
+    1 = single whale); agg_gini is the order-sensitive refinement.
+    HHI ≤ 1 with ~1e-13 relative double drift — far inside the grain."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    x = F.col("c_acctbal")
+    return c.groupBy("c_mktsegment").agg(
+        F.round(F.sum(x * x) / (F.sum(x) * F.sum(x)), 6).alias("hhi"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )

@@ -502,3 +502,40 @@ def join_hint_shuffle_hash(spark, sf_dir):
 
     register_views(spark, sf_dir)
     return spark.sql(_SHUFFLE_HASH_SQL)
+
+
+@register(
+    "join_fuzzy_blocked",
+    oracle="""
+SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey
+ AND a.c_custkey < b.c_custkey
+ AND levenshtein(a.c_name, b.c_name) <= 2
+""",
+)
+def join_fuzzy_blocked(spark, sf_dir):
+    """Blocked fuzzy-match join — record linkage at scale: the equi-join
+    on the blocking key (nation) bounds candidate pairs to O(Σ|block|²)
+    instead of O(n²), then the levenshtein threshold filters inside the
+    block; a<b halves the symmetric pairs. The block key choice IS the
+    scale lever — too coarse and a hot block explodes (that's when you
+    sub-block by name prefix / soundex)."""
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    a = c.alias("a")
+    b = c.alias("b")
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey"))
+            & (dist <= 2),
+        )
+        .select(
+            F.col("a.c_custkey").alias("key_a"),
+            F.col("b.c_custkey").alias("key_b"),
+            dist.cast("bigint").alias("dist"),
+        )
+    )
