@@ -884,3 +884,35 @@ def agg_hhi(spark, sf_dir):
         F.round(F.sum(x * x) / (F.sum(x) * F.sum(x)), 6).alias("hhi"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
     )
+
+
+@register(
+    "agg_mad",
+    oracle="""
+WITH med AS (
+  SELECT event_type, median(value) AS m FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       ROUND(median(abs(e.value - med.m)), 6) AS mad,
+       ROUND(any_value(med.m), 6) AS med_value
+FROM events e JOIN med ON med.event_type = e.event_type
+GROUP BY e.event_type
+""",
+)
+def agg_mad(spark, sf_dir):
+    """Median absolute deviation — the robust spread measure stddev
+    can't give (one corrupt sensor value moves σ, not MAD). Inherently
+    two passes (deviations need the median first); the per-group median
+    table is group-cardinality-sized so it broadcasts, and each pass is
+    one exact-percentile aggregate. Both engines interpolate the median
+    identically (verified by agg_stats)."""
+    ev = t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5D)").alias("m"))
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(abs(value - m), 0.5D)"), 6).alias("mad"),
+            F.round(F.first("m"), 6).alias("med_value"),
+        )
+    )

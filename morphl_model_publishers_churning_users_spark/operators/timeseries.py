@@ -540,3 +540,51 @@ def ts_user_ltv(spark, sf_dir):
         F.round(total, 6).alias("total_value"),
         F.round(total / (1 + tenure), 6).alias("value_per_day"),
     )
+
+
+@register(
+    "ts_peak_concurrency",
+    oracle="""
+WITH iv AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, MIN(ts) AS s, MAX(ts) AS e
+  FROM events GROUP BY 1, 2
+), pts AS (
+  SELECT day, s AS t, 1 AS delta FROM iv
+  UNION ALL
+  SELECT day, e, -1 FROM iv
+), swept AS (
+  SELECT day,
+         SUM(delta) OVER (PARTITION BY day ORDER BY t, delta DESC
+                          ROWS UNBOUNDED PRECEDING) AS conc
+  FROM pts
+)
+SELECT day, CAST(MAX(conc) AS BIGINT) AS peak_concurrent_users
+FROM swept GROUP BY day
+""",
+)
+def ts_peak_concurrency(spark, sf_dir):
+    """Peak concurrent users per day — the capacity-planning number,
+    via the classic +1/−1 endpoint sweep over each user's daily active
+    span. Ends sort AFTER starts at equal timestamps (delta DESC), so
+    touching intervals count as overlapping (end-inclusive). The sweep
+    window partitions BY DAY — spans never cross the day boundary by
+    construction, so there is no global single-partition sort and the
+    sweep scales with days × users/day. Equal-timestamp +1s permute the
+    running value but never its daily MAX."""
+    ev = t(spark, sf_dir, "events")
+    iv = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    pts = iv.select("day", F.col("s").alias("t"), F.lit(1).alias("delta")).unionByName(
+        iv.select("day", F.col("e").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy(F.asc("t"), F.desc("delta"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        pts.select("day", F.sum("delta").over(w).alias("conc"))
+        .groupBy("day")
+        .agg(F.max("conc").cast("bigint").alias("peak_concurrent_users"))
+    )
