@@ -378,3 +378,39 @@ def subquery_exists_in(spark, sf_dir):
 
     register_views(spark, sf_dir)
     return spark.sql(_EXISTS_IN_SQL)
+
+
+@register(
+    "fn_greatest_least",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       ROUND(greatest(l_extendedprice * (1 - l_discount),
+                      l_extendedprice * (1 + l_tax) * 0.5,
+                      l_quantity * 1000.0), 6) AS best_case,
+       ROUND(least(l_extendedprice, l_quantity * 2000.0), 6) AS capped,
+       greatest(l_quantity, 10.0) AS qty_floor10
+FROM lineitem
+""",
+)
+def fn_greatest_least(spark, sf_dir):
+    """Row-wise extrema across EXPRESSIONS (greatest/least) — the
+    clamp/floor/cap primitives for derived pricing columns; unlike
+    MIN/MAX these compare within the row, need no aggregation, and stay
+    in whole-stage codegen at scan speed."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.greatest(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                F.col("l_extendedprice") * (1 + F.col("l_tax")) * 0.5,
+                F.col("l_quantity") * 1000.0,
+            ),
+            6,
+        ).alias("best_case"),
+        F.round(F.least(F.col("l_extendedprice"), F.col("l_quantity") * 2000.0), 6).alias(
+            "capped"
+        ),
+        F.greatest(F.col("l_quantity"), F.lit(10.0)).alias("qty_floor10"),
+    )

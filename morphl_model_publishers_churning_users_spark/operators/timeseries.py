@@ -588,3 +588,80 @@ def ts_peak_concurrency(spark, sf_dir):
         .groupBy("day")
         .agg(F.max("conc").cast("bigint").alias("peak_concurrent_users"))
     )
+
+
+@register(
+    "ts_interpolate_linear",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS v
+  FROM events GROUP BY 1, 2
+), spans AS (
+  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+), cal AS (
+  SELECT user_id,
+         CAST(unnest(range(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP) + INTERVAL 1 DAY,
+                           INTERVAL 1 DAY)) AS DATE) AS day
+  FROM spans
+), g AS (
+  SELECT c.user_id, c.day, d.v FROM cal c
+  LEFT JOIN daily d ON d.user_id = c.user_id AND d.day = c.day
+), f AS (
+  SELECT user_id, day, v,
+         last_value(v IGNORE NULLS) OVER wback AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER wback AS pd,
+         first_value(v IGNORE NULLS) OVER wfwd AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER wfwd AS nd
+  FROM g
+  WINDOW wback AS (PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING),
+         wfwd AS (PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, day,
+       ROUND(CASE WHEN v IS NOT NULL THEN v
+                  WHEN nv IS NULL THEN pv
+                  ELSE pv + (nv - pv) * date_diff('day', pd, day)
+                            / date_diff('day', pd, nd) END, 6) AS v_interp,
+       CAST(v IS NULL AS INTEGER) AS was_gap
+FROM f
+""",
+)
+def ts_interpolate_linear(spark, sf_dir):
+    """Linear interpolation over the dense day grid — the UPSAMPLING
+    complement to ts_gap_fill's forward-fill (ffill biases gaps toward
+    the past; interpolation splits the difference, the right default
+    for continuous-valued series). One backward and one forward IGNORE
+    NULLS window carry the bracketing (value, day) pairs; the lerp is a
+    pure projection. Both windows share the per-user sort, so cost is
+    one shuffle + one sort, same as ffill. Identical double operands →
+    identical rounding on both engines."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.round(F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 6).alias("v")
+    )
+    spans = daily.groupBy("user_id").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    cal = spans.select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+    g = cal.join(daily, ["user_id", "day"], "left")
+    wb = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wf = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        1, Window.unboundedFollowing
+    )
+    v = F.col("v")
+    obs_day = F.when(v.isNotNull(), F.col("day"))
+    pv = F.last(v, ignorenulls=True).over(wb)
+    pd_ = F.last(obs_day, ignorenulls=True).over(wb)
+    nv = F.first(v, ignorenulls=True).over(wf)
+    nd = F.first(obs_day, ignorenulls=True).over(wf)
+    frac = F.datediff(F.col("day"), pd_) / F.datediff(nd, pd_)
+    interp = (
+        F.when(v.isNotNull(), v).when(nv.isNull(), pv).otherwise(pv + (nv - pv) * frac)
+    )
+    return g.select(
+        "user_id",
+        "day",
+        F.round(interp, 6).alias("v_interp"),
+        v.isNull().cast("int").alias("was_gap"),
+    )
