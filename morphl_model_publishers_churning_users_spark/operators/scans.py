@@ -352,3 +352,33 @@ def join_dpp(spark, sf_dir):
             F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
         )
     )
+
+
+@register(
+    "scan_file_provenance",
+    oracle="SELECT CAST(4 AS BIGINT) AS n_files, COUNT(*) AS n_rows FROM events",
+)
+def scan_file_provenance(spark, sf_dir):
+    """File-provenance via the hidden _metadata column — per-row lineage
+    back to the physical file (the audit primitive for bad-batch
+    quarantine: find the FILE, not just the row). Events staged as a
+    4-way hash-repartitioned write; grouping the hidden
+    _metadata.file_path must then see exactly 4 distinct files covering
+    every row — if the metadata column were broken or rows lost lineage,
+    the distinct-file count or row total would drift from the oracle's
+    expectation. File NAMES are write-nondeterministic, so the contract
+    is counts, not paths."""
+    out = scratch_dir(f"prov_{os.path.basename(os.path.abspath(sf_dir))}")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        (
+            t(spark, sf_dir, "events")
+            .repartition(4, "user_id")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+    df = spark.read.parquet(out).select(F.col("_metadata.file_path").alias("fp"))
+    return df.agg(
+        F.countDistinct("fp").cast("bigint").alias("n_files"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

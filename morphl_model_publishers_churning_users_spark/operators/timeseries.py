@@ -665,3 +665,57 @@ def ts_interpolate_linear(spark, sf_dir):
         F.round(interp, 6).alias("v_interp"),
         v.isNull().cast("int").alias("was_gap"),
     )
+
+
+@register(
+    "ts_cohort_value_curve",
+    oracle="""
+WITH acts AS (
+  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk,
+         SUM(CAST(value AS DECIMAL(38,6))) AS wv
+  FROM events GROUP BY 1, 2
+), tagged AS (
+  SELECT user_id, wk, wv,
+         MIN(wk) OVER (PARTITION BY user_id) AS cohort_week
+  FROM acts
+), cells AS (
+  SELECT cohort_week,
+         CAST(date_diff('day', cohort_week, wk) // 7 AS BIGINT) AS week_n,
+         SUM(wv) AS cell_value
+  FROM tagged GROUP BY 1, 2
+)
+SELECT cohort_week, week_n,
+       ROUND(CAST(SUM(cell_value) OVER (PARTITION BY cohort_week ORDER BY week_n
+                                        ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6)
+           AS cum_value
+FROM cells
+""",
+)
+def ts_cohort_value_curve(spark, sf_dir):
+    """Cohort LTV curves — cumulative value by (cohort week ×
+    weeks-since), the payback-period readout that prices acquisition.
+    Decimal partials aggregate per (user, week), the cohort tag is a
+    window MIN, cells collapse to ~weeks², and ONLY then does the
+    cumulative window run — over the tiny cell table, exact decimal all
+    the way to the final cast. Heavy data is touched exactly once."""
+    ev = t(spark, sf_dir, "events")
+    acts = ev.groupBy(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("wk")
+    ).agg(F.sum(F.col("value").cast("decimal(38,6)")).alias("wv"))
+    tagged = acts.withColumn(
+        "cohort_week", F.min("wk").over(Window.partitionBy("user_id"))
+    )
+    cells = tagged.groupBy(
+        "cohort_week",
+        F.floor(F.datediff("wk", "cohort_week") / 7).cast("bigint").alias("week_n"),
+    ).agg(F.sum("wv").alias("cell_value"))
+    wcum = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_n")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cells.select(
+        "cohort_week",
+        "week_n",
+        F.round(F.sum("cell_value").over(wcum).cast("double"), 6).alias("cum_value"),
+    )
