@@ -916,3 +916,40 @@ def agg_mad(spark, sf_dir):
             F.round(F.first("m"), 6).alias("med_value"),
         )
     )
+
+
+@register(
+    "agg_cooccurrence",
+    oracle="""
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS n_users_both
+FROM ut a JOIN ut b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
+""",
+)
+def agg_cooccurrence(spark, sf_dir):
+    """Behavior co-occurrence matrix — users doing BOTH A and B, for
+    every type pair (market-basket / feature-correlation input). The
+    self-join runs on the DISTINCT (user, type) rows — ≤5 rows per user
+    regardless of event volume, so pair fan-out is bounded by type
+    cardinality², not data size; a<b keeps each unordered pair once.
+    Output is ≤ C(5,2)=10 rows at any scale."""
+    ev = t(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    a = ut.alias("a")
+    b = ut.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"), F.col("b.event_type").alias("type_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users_both"))
+    )

@@ -719,3 +719,54 @@ def ts_cohort_value_curve(spark, sf_dir):
         "week_n",
         F.round(F.sum("cell_value").over(wcum).cast("double"), 6).alias("cum_value"),
     )
+
+
+@register(
+    "ts_conversion_latency",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events GROUP BY user_id
+), lat AS (
+  SELECT user_id,
+         epoch_us(first_purchase) - epoch_us(first_signup) AS lat_us
+  FROM firsts
+  WHERE first_signup IS NOT NULL AND first_purchase >= first_signup
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       ROUND(median(CAST(lat_us AS DOUBLE)) / 3600e6, 6) AS median_hours,
+       ROUND(MIN(CAST(lat_us AS DOUBLE)) / 3600e6, 6) AS min_hours,
+       ROUND(MAX(CAST(lat_us AS DOUBLE)) / 3600e6, 6) AS max_hours
+FROM lat
+""",
+)
+def ts_conversion_latency(spark, sf_dir):
+    """Signup→first-purchase latency distribution — the activation
+    metric. Conditional MINs extract both firsts in ONE per-user
+    aggregate (no self-join of filtered streams); the latency summary
+    is a second, scalar-sized pass. Microsecond epoch arithmetic keeps
+    both engines in exact integers until the final hour conversion."""
+    ev = t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("first_signup"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    lat = firsts.filter(
+        F.col("first_signup").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_signup"))
+    ).select(
+        F.expr("timestampdiff(MICROSECOND, first_signup, first_purchase)").alias("lat_us")
+    )
+    h = F.col("lat_us").cast("double") / F.lit(3600e6)
+    return lat.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.round(F.expr("percentile(CAST(lat_us AS DOUBLE), 0.5D)") / 3600e6, 6).alias(
+            "median_hours"
+        ),
+        F.round(F.min(h), 6).alias("min_hours"),
+        F.round(F.max(h), 6).alias("max_hours"),
+    )
