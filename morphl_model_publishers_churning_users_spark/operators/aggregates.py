@@ -953,3 +953,34 @@ def agg_cooccurrence(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users_both"))
     )
+
+
+@register(
+    "agg_benford",
+    oracle="""
+SELECT CAST(floor(o_totalprice / pow(10, floor(log10(o_totalprice)))) AS INT)
+           AS first_digit,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (), 6) AS frac
+FROM orders WHERE o_totalprice > 0
+GROUP BY 1
+""",
+)
+def agg_benford(spark, sf_dir):
+    """Benford first-digit distribution of order totals — the classic
+    synthetic-data / fraud screen (organic amounts lean on digit 1 at
+    ~30%; fabricated ones flatten). Digit extraction is pure codegen
+    arithmetic; the share denominator is an empty-frame window over the
+    NINE-row aggregate, so the whole test costs one scan + one 9-row
+    pass."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.floor(
+        F.col("o_totalprice") / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    ).cast("int")
+    counts = o.groupBy(digit.alias("first_digit")).agg(F.count(F.lit(1)).alias("nc"))
+    wall = Window.partitionBy()
+    return counts.select(
+        "first_digit",
+        F.col("nc").cast("bigint").alias("n"),
+        F.round(F.col("nc") * 1.0 / F.sum("nc").over(wall), 6).alias("frac"),
+    )

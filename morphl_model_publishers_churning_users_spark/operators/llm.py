@@ -1081,3 +1081,52 @@ def llm_ngram_freq(spark, sf_dir):
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(50)
     )
+
+
+@register(
+    "llm_vocab_growth",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_tokens FROM words GROUP BY doc_id
+), first_seen AS (
+  SELECT w, MIN(doc_id) AS first_doc FROM words GROUP BY w
+), new_per_doc AS (
+  SELECT first_doc AS doc_id, COUNT(*) AS n_new FROM first_seen GROUP BY first_doc
+)
+SELECT p.doc_id,
+       CAST(SUM(p.n_tokens) OVER (ORDER BY p.doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_tokens,
+       CAST(SUM(COALESCE(n.n_new, 0)) OVER (ORDER BY p.doc_id ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum_vocab
+FROM per_doc p LEFT JOIN new_per_doc n ON n.doc_id = p.doc_id
+""",
+)
+def llm_vocab_growth(spark, sf_dir):
+    """Vocabulary growth curve (Heaps' law) — cumulative distinct words
+    vs cumulative tokens in doc_id order, the corpus-health diagnostic
+    (sub-linear growth = natural text; linear = ID/noise pollution).
+    Each word's first-appearance doc is ONE aggregate; the cumulative
+    window then runs over the doc-count-sized table, not the token
+    stream — the same collapse-before-window discipline as the cohort
+    curves."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("w")
+    )
+    per_doc = d.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    new_per_doc = (
+        d.groupBy("w")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        per_doc.join(new_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
+            F.sum(F.coalesce("n_new", F.lit(0))).over(w).cast("bigint").alias("cum_vocab"),
+        )
+    )
