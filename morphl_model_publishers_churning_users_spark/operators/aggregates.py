@@ -984,3 +984,51 @@ def agg_benford(spark, sf_dir):
         F.col("nc").cast("bigint").alias("n"),
         F.round(F.col("nc") * 1.0 / F.sum("nc").over(wall), 6).alias("frac"),
     )
+
+
+@register(
+    "agg_pareto_share",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS s
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT s,
+         percent_rank() OVER (ORDER BY s DESC, o_custkey) AS pr,
+         SUM(s) OVER () AS total
+  FROM spend
+)
+SELECT CAST(cutoff AS DOUBLE) AS cutoff,
+       ROUND(CAST(SUM(CASE WHEN pr <= cutoff THEN s ELSE 0 END) AS DOUBLE)
+             / CAST(any_value(total) AS DOUBLE), 6) AS value_share
+FROM ranked CROSS JOIN (VALUES (0.01), (0.05), (0.10), (0.20)) c(cutoff)
+GROUP BY cutoff
+""",
+)
+def agg_pareto_share(spark, sf_dir):
+    """Pareto concentration — what share of total value the top 1/5/10/
+    20% of customers carry (the 80/20 readout that decides whether churn
+    prevention targets whales or the long tail). Customer spend ranks
+    once (percent_rank with a custkey tiebreak so equal spends rank
+    deterministically); the four cutoffs fan out 4× over the
+    customer-count-sized table, sums stay exact DECIMAL until the final
+    share division."""
+    o = t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("s")
+    )
+    wr = Window.orderBy(F.desc("s"), F.asc("o_custkey"))
+    ranked = spend.select(
+        "s",
+        F.percent_rank().over(wr).alias("pr"),
+        F.sum("s").over(Window.partitionBy()).alias("total"),
+    )
+    cutoffs = spark.createDataFrame([(0.01,), (0.05,), (0.10,), (0.20,)], ["cutoff"])
+    share = F.sum(F.when(F.col("pr") <= F.col("cutoff"), F.col("s")).otherwise(F.lit(0))).cast(
+        "double"
+    ) / F.first("total").cast("double")
+    return (
+        ranked.crossJoin(F.broadcast(cutoffs))
+        .groupBy("cutoff")
+        .agg(F.round(share, 6).alias("value_share"))
+    )

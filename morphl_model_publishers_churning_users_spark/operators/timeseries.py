@@ -770,3 +770,44 @@ def ts_conversion_latency(spark, sf_dir):
         F.round(F.min(h), 6).alias("min_hours"),
         F.round(F.max(h), 6).alias("max_hours"),
     )
+
+
+@register(
+    "ts_survival_curve",
+    oracle="""
+WITH tenure AS (
+  SELECT user_id,
+         date_diff('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE)) AS t_days
+  FROM events GROUP BY user_id
+), spine AS (
+  SELECT unnest(range(0, 30)) AS day_n
+)
+SELECT s.day_n,
+       CAST(COUNT(CASE WHEN t.t_days >= s.day_n THEN 1 END) AS BIGINT) AS n_surviving,
+       ROUND(COUNT(CASE WHEN t.t_days >= s.day_n THEN 1 END) * 1.0 / COUNT(*), 6)
+           AS survival_frac
+FROM spine s CROSS JOIN tenure t
+GROUP BY s.day_n
+""",
+)
+def ts_survival_curve(spark, sf_dir):
+    """Survival curve — fraction of users still active ≥ N days after
+    first touch, the churn function itself (its complement is the churn
+    CDF the reference's model predicts a point on). The 30-row spine
+    broadcasts against per-user tenures, so the 'curve' costs one
+    user-keyed aggregate plus a 30× bounded fan-out — at 100 TB the
+    tenure table is the only data-sized object and it's touched once."""
+    ev = t(spark, sf_dir, "events")
+    tenure = ev.groupBy("user_id").agg(
+        F.datediff(F.to_date(F.max("ts")), F.to_date(F.min("ts"))).alias("t_days")
+    )
+    spine = spark.range(0, 30).select(F.col("id").cast("bigint").alias("day_n"))
+    surviving = F.count(F.when(F.col("t_days") >= F.col("day_n"), 1))
+    return (
+        tenure.crossJoin(F.broadcast(spine))
+        .groupBy("day_n")
+        .agg(
+            surviving.cast("bigint").alias("n_surviving"),
+            F.round(surviving * 1.0 / F.count(F.lit(1)), 6).alias("survival_frac"),
+        )
+    )
