@@ -414,3 +414,94 @@ def fn_greatest_least(spark, sf_dir):
         ),
         F.greatest(F.col("l_quantity"), F.lit(10.0)).alias("qty_floor10"),
     )
+
+
+@register(
+    "dq_orphan_audit",
+    oracle="""
+SELECT 'orders_without_customer' AS check_name,
+       CAST(COUNT(*) AS BIGINT) AS n_orphans
+FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'lineitems_without_order',
+       CAST(COUNT(*) AS BIGINT)
+FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'events_without_customer',
+       CAST(COUNT(*) AS BIGINT)
+FROM events e WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+""",
+)
+def dq_orphan_audit(spark, sf_dir):
+    """Referential-integrity audit — orphan counts across the three FK
+    edges in one result (the check every warehouse load runs before
+    publishing). Each check is an ANTI join on its key: one shuffle per
+    edge, counts only — no orphan rows materialize. Zero rows orphaned
+    is the expected steady state; the operator's value is that a bad
+    load makes these counts nonzero loudly."""
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    ev = t(spark, sf_dir, "events")
+
+    def check(name, df, keys, dim, dimkey):
+        orphans = df.join(dim, df[keys] == dim[dimkey], "left_anti")
+        return orphans.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orphans"),
+        )
+
+    return (
+        check("orders_without_customer", o, "o_custkey", c, "c_custkey")
+        .unionByName(
+            check("lineitems_without_order", li, "l_orderkey", o.select("o_orderkey"), "o_orderkey")
+        )
+        .unionByName(check("events_without_customer", ev, "user_id", c, "c_custkey"))
+    )
+
+
+@register(
+    "dq_profile",
+    oracle="""
+SELECT 'event_type' AS column_name,
+       CAST(COUNT(*) - COUNT(event_type) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_distinct,
+       MIN(CAST(event_type AS VARCHAR)) AS min_str,
+       MAX(CAST(event_type AS VARCHAR)) AS max_str
+FROM events
+UNION ALL
+SELECT 'user_id', CAST(COUNT(*) - COUNT(user_id) AS BIGINT),
+       CAST(COUNT(DISTINCT user_id) AS BIGINT),
+       MIN(CAST(user_id AS VARCHAR)), MAX(CAST(user_id AS VARCHAR))
+FROM events
+UNION ALL
+SELECT 'value', CAST(COUNT(*) - COUNT(value) AS BIGINT),
+       CAST(COUNT(DISTINCT value) AS BIGINT),
+       MIN(CAST(ROUND(value, 6) AS VARCHAR)), MAX(CAST(ROUND(value, 6) AS VARCHAR))
+FROM events
+""",
+)
+def dq_profile(spark, sf_dir):
+    """Column profiler — null count, distinct cardinality, and
+    stringified min/max per column, the landing-zone health report that
+    catches schema drift (distinct explosion), broken extractors (null
+    spikes), and unit changes (range shifts). One aggregate per column
+    over the same cached scan; the string casts make one result schema
+    fit every column type. String-form min/max compares identically on
+    both engines for these value domains."""
+    ev = t(spark, sf_dir, "events")
+
+    def prof(col, expr_str):
+        return ev.agg(
+            F.lit(col).alias("column_name"),
+            (F.count(F.lit(1)) - F.count(col)).cast("bigint").alias("n_nulls"),
+            F.countDistinct(col).cast("bigint").alias("n_distinct"),
+            F.min(expr_str).cast("string").alias("min_str"),
+            F.max(expr_str).cast("string").alias("max_str"),
+        )
+
+    return (
+        prof("event_type", F.col("event_type").cast("string"))
+        .unionByName(prof("user_id", F.col("user_id").cast("string")))
+        .unionByName(prof("value", F.round("value", 6).cast("string")))
+    )
