@@ -22,6 +22,7 @@ def load_all_operators() -> None:
     from . import functions, operators, sources, streaming  # noqa: F401
     from .operators import (  # noqa: F401
         aggregates,
+        analytics,
         joins,
         llm,
         ml,
