@@ -80,11 +80,24 @@ def agg_distinct(spark, sf_dir):
     )
 
 
-@register("agg_approx_distinct")  # rows-only: HLL++ sketch differs per engine (±5% tested)
+@register(
+    "agg_approx_distinct",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_orderkey) AS exact_orders,
+       TRUE AS approx_ok
+FROM lineitem GROUP BY l_returnflag
+""",
+)
 def agg_approx_distinct(spark, sf_dir):
     """HLL++ approximate distinct — the 100 TB cardinality answer: fixed
-    sketch memory instead of a distinct shuffle of every key."""
-    return (
+    sketch memory instead of a distinct shuffle of every key. The HLL
+    estimate itself is engine-specific, so the driver-checkable anchor
+    is exact_orders (hash-matched vs DuckDB) plus approx_ok — the ±5%
+    accuracy invariant computed Spark-side; the oracle emits literal
+    TRUE, so an estimate drifting past tolerance flips the hash and the
+    driver catches it."""
+    agged = (
         t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
@@ -92,6 +105,8 @@ def agg_approx_distinct(spark, sf_dir):
             F.countDistinct("l_orderkey").alias("exact_orders"),
         )
     )
+    err = F.abs(F.col("approx_orders") - F.col("exact_orders")) / F.col("exact_orders")
+    return agged.select("l_returnflag", "exact_orders", (err <= 0.05).alias("approx_ok"))
 
 
 @register(
@@ -328,20 +343,37 @@ def agg_mode(spark, sf_dir):
     )
 
 
-@register("agg_sketch_hll")  # rows-only: sketch bytes are engine-specific
+@register(
+    "agg_sketch_hll",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS approx_ok
+FROM events GROUP BY event_type
+""",
+)
 def agg_sketch_hll(spark, sf_dir):
     """Two-level HLL sketch rollup — the 100 TB cardinality pattern:
     build per-(event_type, day) DataSketches HLL sketches, then MERGE
     the partials per event_type (hll_union_agg) and estimate. Sketches
     are tiny fixed-size state, so the daily partials can be persisted
-    and re-merged incrementally without rescanning history. Accuracy vs
-    exact is property-tested (±5%) in tests/test_engine.py."""
+    and re-merged incrementally without rescanning history. Driver
+    anchor: exact_users hash-matched vs DuckDB + the ±5% accuracy
+    invariant as approx_ok (oracle emits literal TRUE); the same bound
+    is property-tested in tests/test_engine.py."""
     ev = t(spark, sf_dir, "events")
     daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
         F.hll_sketch_agg("user_id").alias("sketch")
     )
-    return daily.groupBy("event_type").agg(
+    merged = daily.groupBy("event_type").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    err = F.abs(F.col("approx_users") - F.col("exact_users")) / F.col("exact_users")
+    return merged.join(exact, "event_type").select(
+        "event_type", "exact_users", (err <= 0.05).alias("approx_ok")
     )
 
 
@@ -594,38 +626,69 @@ def agg_entropy(spark, sf_dir):
     )
 
 
-@register("agg_hll_union")  # rows-only: sketch binaries are engine-specific
+@register(
+    "agg_hll_union",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT CAST(ts AS DATE)) AS n_partials,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS approx_ok
+FROM events GROUP BY event_type
+""",
+)
 def agg_hll_union(spark, sf_dir):
     """Re-aggregatable distinct counting — the property that makes
     sketches work at 100 TB: build per-(event_type, day) HLL partials
     ONCE, then roll them up to per-type distinct users with
     hll_union_agg, never touching raw rows again. The same partials
     could roll up per-day, per-week, per-anything — one scan, many
-    cubes. Accuracy bound asserted in tests (±5% vs exact)."""
+    cubes. Driver anchor: n_partials + exact_users hash-matched vs
+    DuckDB, the ±5% union-estimate invariant as approx_ok (oracle emits
+    literal TRUE)."""
     ev = t(spark, sf_dir, "events")
     partials = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
         F.expr("hll_sketch_agg(user_id)").alias("sk")
     )
-    return partials.groupBy("event_type").agg(
+    rolled = partials.groupBy("event_type").agg(
         F.expr("CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT)").alias("approx_users"),
         F.count(F.lit(1)).alias("n_partials"),
     )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    err = F.abs(F.col("approx_users") - F.col("exact_users")) / F.col("exact_users")
+    return rolled.join(exact, "event_type").select(
+        "event_type", "n_partials", "exact_users", (err <= 0.05).alias("approx_ok")
+    )
 
 
-@register("agg_percentile_approx")  # rows-only: t-digest internals are engine-specific
+@register(
+    "agg_percentile_approx",
+    oracle="""
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.50), 6) AS p50_exact,
+       ROUND(quantile_cont(value, 0.90), 6) AS p90_exact,
+       TRUE AS approx_ok
+FROM events GROUP BY event_type
+""",
+)
 def agg_percentile_approx(spark, sf_dir):
     """Approximate quantiles — the scale path the exact
     agg_percentile_multi anchors: percentile_approx's mergeable digest
     needs one pass + bounded memory regardless of group size (exact
-    percentile buffers the whole group). Accuracy vs the exact op is
-    asserted in tests."""
+    percentile buffers the whole group). Driver anchor: exact p50/p90
+    hash-matched vs DuckDB quantile_cont + a relative-error invariant
+    on the digest estimates as approx_ok (oracle emits literal TRUE)."""
     ev = t(spark, sf_dir, "events")
-    pct = F.expr("percentile_approx(value, array(0.5D, 0.9D), 10000)")
-    agged = ev.groupBy("event_type").agg(pct.alias("p"))
+    approx = F.expr("percentile_approx(value, array(0.5D, 0.9D), 10000)")
+    exact = F.expr("percentile(value, array(0.5D, 0.9D))")
+    agged = ev.groupBy("event_type").agg(approx.alias("a"), exact.alias("e"))
+    rel = lambda i: F.abs(F.col("a")[i] - F.col("e")[i]) / (F.abs(F.col("e")[i]) + F.lit(1e-9))
     return agged.select(
         "event_type",
-        F.round(F.col("p")[0], 6).alias("p50_approx"),
-        F.round(F.col("p")[1], 6).alias("p90_approx"),
+        F.round(F.col("e")[0], 6).alias("p50_exact"),
+        F.round(F.col("e")[1], 6).alias("p90_exact"),
+        ((rel(0) <= 0.05) & (rel(1) <= 0.05)).alias("approx_ok"),
     )
 
 
@@ -749,23 +812,33 @@ def agg_reaggregate(spark, sf_dir):
     "agg_topn_array",
     oracle="""
 SELECT event_type,
-       (list(ROUND(value, 6) ORDER BY ROUND(value, 6) DESC))[1:3] AS top3_values,
+       array_to_string(
+           (list(CAST(ROUND(value, 6) AS DECIMAL(18,6))
+                 ORDER BY ROUND(value, 6) DESC))[1:3], ',') AS top3_values,
        COUNT(*) AS n
 FROM events GROUP BY event_type
 """,
 )
 def agg_topn_array(spark, sf_dir):
-    """Top-N values per group AS AN ARRAY — the denormalized leaderboard
-    shape. collect→sort→slice stays one object aggregate; ordering by
-    the ROUNDED value on both engines makes tie order irrelevant (equal
-    elements are indistinguishable after rounding). At very large
-    groups swap collect_list for an incremental bounded-heap pattern —
-    the slice keeps only 3 but the buffer holds the group."""
+    """Top-N values per group as a joined leaderboard string. collect→
+    sort→slice stays one object aggregate; ordering by the ROUNDED value
+    on both engines makes tie order irrelevant (equal elements are
+    indistinguishable after rounding). The joined DECIMAL(18,6) string
+    (identical fixed-point rendering in Spark and DuckDB) keeps the
+    output hashable for the driver's pandas canonicalization — a raw
+    array column breaks pandas.sort_values. At very large groups swap
+    collect_list for an incremental bounded-heap pattern — the slice
+    keeps only 3 but the buffer holds the group."""
     ev = t(spark, sf_dir, "events")
+    top3 = F.slice(
+        F.sort_array(F.collect_list(F.round("value", 6).cast("decimal(18,6)")), asc=False),
+        1,
+        3,
+    )
     return ev.groupBy("event_type").agg(
-        F.slice(
-            F.sort_array(F.collect_list(F.round("value", 6)), asc=False), 1, 3
-        ).alias("top3_values"),
+        F.array_join(F.transform(top3, lambda x: x.cast("string")), ",").alias(
+            "top3_values"
+        ),
         F.count(F.lit(1)).alias("n"),
     )
 

@@ -149,11 +149,14 @@ def ts_interval_merge(spark, sf_dir):
     sort handles arbitrarily many overlaps. All arithmetic in integer
     microseconds: exact on both engines."""
     ev = t(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ; unix_micros requires TIMESTAMP. The session zone
+    # is pinned to UTC (catalog.py), so the cast is an exact relabel.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
     iv = ev.select(
         "user_id",
         "event_id",
-        F.unix_micros("ts").alias("start_us"),
-        (F.unix_micros("ts") + F.lit(600_000_000)).alias("end_us"),
+        us.alias("start_us"),
+        (us + F.lit(600_000_000)).alias("end_us"),
     )
     seq = Window.partitionBy("user_id").orderBy("start_us", "event_id")
     prev_end = F.max("end_us").over(seq.rowsBetween(Window.unboundedPreceding, -1))

@@ -902,6 +902,12 @@ def llm_dedup_cluster(spark, sf_dir):
         labels = new
         if changed == 0:
             break
+    # Release every cache before returning: leaked blocks evict working
+    # memory at scale. The final collect re-runs only the last stages —
+    # the iteration's shuffle files outlive unpersist, so earlier stages
+    # are skipped via shuffle reuse, not recomputed.
+    keys.unpersist()
+    labels.unpersist()
     comp = labels.select("doc_id", F.col("label").alias("component_id"))
     sizes = comp.groupBy("component_id").agg(F.count(F.lit(1)).alias("component_size"))
     return comp.join(sizes, "component_id").select("doc_id", "component_id", "component_size")
