@@ -117,7 +117,7 @@ WITH iv AS (
            epoch_us(ts) + 600000000 AS end_us
     FROM events
 ), flagged AS (
-    SELECT user_id, start_us, end_us,
+    SELECT user_id, event_id, start_us, end_us,
            CASE WHEN MAX(end_us) OVER (
                     PARTITION BY user_id ORDER BY start_us, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
@@ -126,7 +126,7 @@ WITH iv AS (
 ), islands AS (
     SELECT user_id, start_us, end_us,
            SUM(new_island) OVER (
-               PARTITION BY user_id ORDER BY start_us, end_us
+               PARTITION BY user_id ORDER BY start_us, event_id
                ROWS UNBOUNDED PRECEDING
            ) AS island_id
     FROM flagged
@@ -136,7 +136,7 @@ WITH iv AS (
 )
 SELECT user_id,
        COUNT(*) AS n_intervals,
-       SUM(e - s) // 1000000 AS covered_sec
+       CAST(SUM(e - s) // 1000000 AS BIGINT) AS covered_sec
 FROM merged GROUP BY user_id
 """,
 )
@@ -147,7 +147,12 @@ def ts_interval_merge(spark, sf_dir):
     covered wall-clock. The island key is `start > max(all previous
     ends)` — a running MAX window, not a self-join, so one user-keyed
     sort handles arbitrarily many overlaps. All arithmetic in integer
-    microseconds: exact on both engines."""
+    microseconds: exact on both engines. Both window passes order by
+    (start_us, event_id) — end_us is start_us+const here, so it cannot
+    break start_us ties and the running sum would be nondeterministic
+    without the unique event_id tiebreak. The oracle CASTs the covered
+    seconds to BIGINT: DuckDB's SUM over BIGINT yields HUGEINT, which
+    pandas would materialize as float64 and hash-mismatch Spark's int64."""
     ev = t(spark, sf_dir, "events")
     # ts is TIMESTAMP_NTZ; unix_micros requires TIMESTAMP. The session zone
     # is pinned to UTC (catalog.py), so the cast is an exact relabel.
@@ -163,7 +168,7 @@ def ts_interval_merge(spark, sf_dir):
     flagged = iv.withColumn(
         "new_island", F.when(prev_end >= F.col("start_us"), F.lit(0)).otherwise(F.lit(1))
     )
-    runw = Window.partitionBy("user_id").orderBy("start_us", "end_us").rowsBetween(
+    runw = Window.partitionBy("user_id").orderBy("start_us", "event_id").rowsBetween(
         Window.unboundedPreceding, 0
     )
     islands = flagged.withColumn("island_id", F.sum("new_island").over(runw))
@@ -172,7 +177,7 @@ def ts_interval_merge(spark, sf_dir):
     )
     return merged.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_intervals"),
-        (F.sum(F.col("e") - F.col("s")) / F.lit(1_000_000)).cast("long").alias("covered_sec"),
+        F.expr("sum(e - s) div 1000000").cast("long").alias("covered_sec"),
     )
 
 

@@ -765,7 +765,8 @@ WITH toks AS (
                  ROWS UNBOUNDED PRECEDING) - n_tokens) / 512) AS BIGINT) AS pack_id
     FROM toks
 )
-SELECT lang, pack_id, COUNT(*) AS n_docs, SUM(n_tokens) AS pack_tokens
+SELECT lang, pack_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
 FROM packed GROUP BY 1, 2
 """,
 )
@@ -902,13 +903,16 @@ def llm_dedup_cluster(spark, sf_dir):
         labels = new
         if changed == 0:
             break
-    # Release every cache before returning: leaked blocks evict working
-    # memory at scale. The final collect re-runs only the last stages —
-    # the iteration's shuffle files outlive unpersist, so earlier stages
-    # are skipped via shuffle reuse, not recomputed.
-    keys.unpersist()
+    # Pin the converged labels to executor-local storage BEFORE releasing
+    # the iteration caches: Spark does not reuse shuffle output across
+    # separately planned queries, so unpersisting a still-lazy `labels`
+    # would force the caller's first action to replay the whole
+    # label-propagation lineage. localCheckpoint truncates the lineage to
+    # the materialized blocks; then the caches can go.
+    final = labels.localCheckpoint(eager=True)
     labels.unpersist()
-    comp = labels.select("doc_id", F.col("label").alias("component_id"))
+    keys.unpersist()
+    comp = final.select("doc_id", F.col("label").alias("component_id"))
     sizes = comp.groupBy("component_id").agg(F.count(F.lit(1)).alias("component_size"))
     return comp.join(sizes, "component_id").select("doc_id", "component_id", "component_size")
 

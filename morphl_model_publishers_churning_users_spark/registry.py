@@ -53,9 +53,11 @@ def register(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Quer
 #           queries ⇒ the driver's budget covers more of them)
 #   last    keys already hash-verified by the driver (regression backstop)
 
-# hash_match=true rows from CORRECTNESS_r01.json (driver, round 1).
+# hash_match=true rows from CORRECTNESS_r01.json + CORRECTNESS_r02.json
+# (driver, rounds 1-2). 44 r01 greens + 47 r02 greens.
 DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
+        # --- round 1 greens ---
         "agg_benford", "agg_collect", "agg_cooccurrence", "agg_corr_matrix",
         "agg_count_if", "agg_distinct", "agg_entropy", "agg_gini",
         "agg_global", "agg_group", "agg_grouping_sets", "agg_having",
@@ -67,17 +69,38 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "join_broadcast", "join_cross", "join_inner_hash", "join_left_outer",
         "join_range", "join_semi", "join_star", "ts_calendar_dim",
         "ts_decay_score", "ts_markov_transitions", "ts_rfm_segment",
+        # --- round 2 greens ---
+        "agg_topn_array", "agg_approx_distinct", "agg_sketch_hll",
+        "agg_hll_union", "agg_percentile_approx",
+        "scan_parquet", "scan_projected", "sink_parquet_part", "sink_upsert",
+        "scan_partition_pruned", "scan_schema_evolution", "scan_csv_malformed",
+        "scan_binary_files", "scan_recursive_glob", "join_dpp",
+        "scan_file_provenance", "source_csv", "sink_csv_gzip",
+        "source_ga_json", "source_json", "sink_orc", "source_python_ds",
+        "source_python_ds_stream", "project_derive", "filter_pred",
+        "cast_types", "cond_expr", "null_handling", "dedup_exact",
+        "subquery_scalar", "subquery_correlated", "subquery_lateral",
+        "fn_try", "cte_recursive", "fn_format", "source_range",
+        "subquery_exists_in", "fn_greatest_least", "dq_orphan_audit",
+        "dq_profile", "win_rownum", "win_lag", "win_frame_rows",
+        "win_frame_range", "win_running", "win_ntile", "win_firstlast",
     }
 )
 
-# FAIL / no_oracle in CORRECTNESS_r01.json, repaired this round.
+# FAIL / no_oracle in CORRECTNESS_r02.json, repaired this round.
 _REVERIFY: tuple[str, ...] = (
     "ts_interval_merge",
-    "agg_topn_array",
-    "agg_approx_distinct",
-    "agg_sketch_hll",
-    "agg_hll_union",
-    "agg_percentile_approx",
+    "sample_rows",
+    "sample_stratified",
+)
+
+# Regression canaries: a small rotating sample of already-verified keys kept
+# inside the driver's checked prefix so regressions in verified operators are
+# still detectable (ADVICE r2). Rotate the sample each round.
+_CANARY: tuple[str, ...] = (
+    "join_star",      # heaviest multi-join plan
+    "agg_group",      # core hash aggregate
+    "win_rownum",     # core window
 )
 
 # Cheap/core §2 families first; slow ones (stream triggers, ML fits) later.
@@ -106,10 +129,12 @@ _MODULE_RANK: dict[str, int] = {
 
 
 def _driver_rank(key: str) -> tuple[int, int]:
-    if key in DRIVER_VERIFIED:
-        return (99, 0)
     if key in _REVERIFY:
         return (0, _REVERIFY.index(key))
+    if key in _CANARY:
+        return (0, 50 + _CANARY.index(key))
+    if key in DRIVER_VERIFIED:
+        return (99, 0)
     mod = QUERIES[key].__module__
     short = mod.split("morphl_model_publishers_churning_users_spark.")[-1]
     return (_MODULE_RANK.get(short, 50), 0)
