@@ -32,8 +32,11 @@ HEADLINE = [
     "dedup_exact",      # exact dedup
     "llm_dedup_exact",  # corpus hash dedup
     "llm_simsearch",    # cosine top-k
+    "llm_dedup_fuzzy",  # MinHash-LSH near-dup (bucketed similarity join)
+    "llm_simsearch_ann",  # random-projection LSH ANN
     "topk",             # TakeOrdered
     "agg_stats",        # statistical aggs
+    "ts_ewma",          # segmented ordered fold
 ]
 
 

@@ -44,11 +44,11 @@ def llm_dedup_exact(spark, sf_dir):
     )
 
 
-@register("llm_dedup_fuzzy")  # rows-only: MinHash internals are engine-specific
-def llm_dedup_fuzzy(spark, sf_dir):
-    """Near-dup detection via MinHash-LSH over token sets: tokens →
-    binary HashingTF vectors → banded minhash join. approxSimilarityJoin
-    only compares within shared LSH buckets — no all-pairs blowup."""
+def raw_dedup_fuzzy(spark, sf_dir):
+    """The MinHash-LSH near-dup pairs (doc_a < doc_b, Jaccard distance
+    ≤ 0.6): tokens → binary HashingTF vectors → banded minhash join.
+    approxSimilarityJoin only compares within shared LSH buckets — no
+    all-pairs blowup."""
     from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
 
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -68,8 +68,64 @@ def llm_dedup_fuzzy(spark, sf_dir):
     )
 
 
-@register("llm_dedup_simhash")  # rows-only: depends on Spark's xxhash64
-def llm_dedup_simhash(spark, sf_dir):
+def _exact_wordset_jaccard_pairs(spark, sf_dir, min_sim: float):
+    """Exact word-SET Jaccard pairs via shared-word equi-join (bounded
+    blocking, same structure as llm_dedup_ngram — never all-pairs)."""
+    words = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"))
+        .distinct()
+    )
+    sizes = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = words.select(F.col("doc_id").alias("doc_a"), "w")
+    b = words.select(F.col("doc_id").alias("doc_b"), "w")
+    inter = (
+        a.join(b, "w")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jac",
+            F.col("n_common") / (F.col("sza") + F.col("szb") - F.col("n_common")),
+        )
+        .filter(F.col("jac") >= min_sim)
+        .select("doc_a", "doc_b")
+    )
+
+
+@register(
+    "llm_dedup_fuzzy",
+    oracle="SELECT (SELECT COUNT(*) FROM documents) AS n_docs, TRUE AS recall_ok",
+)
+def llm_dedup_fuzzy(spark, sf_dir):
+    """MinHash-LSH near-dup detection. The LSH bucketing is
+    engine-specific, so the driver contract is the ANCHOR pattern: the
+    corpus size (exact, hash-matched) plus `recall_ok` — the LSH pair
+    set recovering ≥ 50% of the EXACT word-set-Jaccard ≥ 0.4 pairs
+    (5 hash tables ⇒ per-pair hit probability 1−(1−J)^5 ≥ 0.92 at
+    J = 0.4, so aggregate recall ≥ 0.5 holds with wide margin); the
+    oracle emits literal TRUE. Raw pairs via raw_dedup_fuzzy()."""
+    lsh_pairs = {
+        (r["doc_a"], r["doc_b"]) for r in raw_dedup_fuzzy(spark, sf_dir).collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in _exact_wordset_jaccard_pairs(spark, sf_dir, 0.4).collect()
+    }
+    recall = (len(lsh_pairs & exact) / len(exact)) if exact else 1.0
+    n_docs = t(spark, sf_dir, "documents").count()
+    return spark.createDataFrame(
+        [(int(n_docs), bool(recall >= 0.5))], "n_docs bigint, recall_ok boolean"
+    )
+
+
+def raw_dedup_simhash(spark, sf_dir):
     """64-bit SimHash per document (per-bit majority vote over word
     hashes), then candidate near-dup groups = exact signature collisions.
     One explode + one aggregate; signature join is a hash shuffle on a
@@ -96,6 +152,47 @@ def llm_dedup_simhash(spark, sf_dir):
         F.count(F.lit(1)).alias("group_size"), F.min("doc_id").alias("keep_doc_id")
     )
     return sigs.join(groups, "simhash").select("doc_id", "simhash", "group_size", "keep_doc_id")
+
+
+@register(
+    "llm_dedup_simhash",
+    oracle="""
+SELECT (SELECT COUNT(*) FROM (
+            SELECT lower(trim(text)) AS norm FROM documents
+            GROUP BY 1 HAVING COUNT(*) > 1
+        )) AS n_exact_dup_groups,
+       TRUE AS simhash_covers_exact
+""",
+)
+def llm_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup first pass. The 64-bit signatures depend on
+    Spark's xxhash64, so the driver contract is the ANCHOR pattern: the
+    exact-duplicate group count (oracle-recomputable, hash-matched) plus
+    `simhash_covers_exact` — every group of byte-identical normalized
+    texts collapsing to ONE simhash signature (identical words ⇒
+    identical per-bit votes; a simhash that splits exact duplicates is
+    broken by construction). Raw signatures via raw_dedup_simhash()."""
+    sigs = raw_dedup_simhash(spark, sf_dir).select("doc_id", "simhash")
+    norm = t(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.trim("text")).alias("norm")
+    )
+    per_group = (
+        norm.join(sigs, "doc_id")
+        .groupBy("norm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("simhash").alias("n_sigs"),
+        )
+        .filter(F.col("n") > 1)
+    )
+    agg = per_group.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.count(F.when(F.col("n_sigs") > 1, 1)).alias("n_split"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [(int(agg["n_groups"]), bool(agg["n_split"] == 0))],
+        "n_exact_dup_groups bigint, simhash_covers_exact boolean",
+    )
 
 
 _NGRAM_SH_SPARK = (
@@ -220,17 +317,28 @@ def llm_simsearch(spark, sf_dir):
     return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
 
 
-_SIGN_BUCKET_DUCK = """(CASE WHEN embedding[1] >= 0 THEN 8 ELSE 0 END
-          + CASE WHEN embedding[2] >= 0 THEN 4 ELSE 0 END
-          + CASE WHEN embedding[3] >= 0 THEN 2 ELSE 0 END
-          + CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END)"""
+def _sign_bucket_spark(bits: int) -> str:
+    """Sign-bit hyperplane bucket over the first `bits` coordinates
+    (axis-aligned LSH, deterministic and oracle-expressible). Bucket
+    count = 2^bits; size it ≈ log2(n / target_bucket_size) so
+    within-bucket pair counts stay bounded as the corpus grows."""
+    return " + ".join(
+        f"CASE WHEN element_at(embedding, {i + 1}) >= 0 THEN {1 << (bits - 1 - i)} ELSE 0 END"
+        for i in range(bits)
+    )
 
-_SIGN_BUCKET_SPARK = (
-    "CASE WHEN element_at(embedding, 1) >= 0 THEN 8 ELSE 0 END"
-    " + CASE WHEN element_at(embedding, 2) >= 0 THEN 4 ELSE 0 END"
-    " + CASE WHEN element_at(embedding, 3) >= 0 THEN 2 ELSE 0 END"
-    " + CASE WHEN element_at(embedding, 4) >= 0 THEN 1 ELSE 0 END"
-)
+
+def _sign_bucket_duck(bits: int) -> str:
+    terms = " + ".join(
+        f"CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << (bits - 1 - i)} ELSE 0 END"
+        for i in range(bits)
+    )
+    return f"({terms})"
+
+
+_SIGN_BUCKET_DUCK = _sign_bucket_duck(4)
+
+_SIGN_BUCKET_SPARK = _sign_bucket_spark(4)
 
 
 @register(
@@ -253,14 +361,21 @@ WITH sig AS (
 SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.3
 """,
 )
-def llm_dedup_cosine(spark, sf_dir):
+def llm_dedup_cosine(spark, sf_dir, bits: int = 4):
     """Embedding-cosine near-dup pairs. Candidate blocking = sign bits of
-    the first 4 coordinates (axis-aligned hyperplane LSH, deterministic and
-    oracle-expressible), exact cosine rescored only within shared buckets —
-    pair count is sum over buckets of |b|², never the full n². At 100 TB
-    raise the bit count so buckets stay bounded (bits scale ~log2(n))."""
+    the first `bits` coordinates (axis-aligned hyperplane LSH,
+    deterministic and oracle-expressible), exact cosine rescored only
+    within shared buckets — pair count is sum over buckets of |b|²,
+    never the full n². The bit count is the scale knob: buckets ≈
+    n/2^bits, so set bits ≈ log2(n / target_bucket_size) and the
+    within-bucket quadratic term stays constant as the corpus grows
+    (the registered default 4 matches the DuckDB oracle twin; the
+    bucket-bound property at bits=8 is asserted in tests/test_engine.py).
+    NB: higher bits trades recall for cost exactly like any sign-LSH —
+    a near-dup pair straddling a later hyperplane lands in different
+    buckets."""
     e = t(spark, sf_dir, "embeddings")
-    sig = e.select("vec_id", "embedding", F.expr(_SIGN_BUCKET_SPARK).alias("bucket"))
+    sig = e.select("vec_id", "embedding", F.expr(_sign_bucket_spark(bits)).alias("bucket"))
     a = sig.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("qe"),
@@ -282,8 +397,7 @@ def llm_dedup_cosine(spark, sf_dir):
     )
 
 
-@register("llm_simsearch_ivf")  # rows-only: k-means centroids are engine-specific
-def llm_simsearch_ivf(spark, sf_dir):
+def raw_simsearch_ivf(spark, sf_dir):
     """IVF-style approximate NN: MLlib KMeans coarse quantizer (nlist=16)
     partitions the corpus into cells; each query probes its nprobe=2
     nearest centroids and exact-rescoring runs only inside probed cells.
@@ -340,8 +454,7 @@ def llm_simsearch_ivf(spark, sf_dir):
     return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
 
 
-@register("llm_simsearch_ann")  # rows-only: LSH bucketing is engine-specific
-def llm_simsearch_ann(spark, sf_dir):
+def raw_simsearch_ann(spark, sf_dir):
     """Approximate NN via random-projection LSH: bucketed join, compares
     only within shared buckets — the scale path when the query set isn't
     small enough to broadcast."""
@@ -363,6 +476,81 @@ def llm_simsearch_ann(spark, sf_dir):
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("l2_dist"), F.asc("neighbor_id"))
     return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+
+
+def _exact_l2_top10(spark, sf_dir):
+    """Brute-force L2 top-10 per query (vec_id < 5), the ground truth
+    for the ANN recall anchor."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    d2 = F.expr(
+        "aggregate(zip_with(qe, ce, (x, y) -> (cast(x as double) - cast(y as double))"
+        " * (cast(x as double) - cast(y as double))), 0D, (a, x) -> a + x)"
+    )
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", d2.alias("d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("neighbor_id"))
+    return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+
+
+_N_QUERIES_SQL = "(SELECT COUNT(*) FROM embeddings WHERE vec_id < 5)"
+
+
+def _recall_anchor(spark, approx_rows, exact_rows, floor: float):
+    """Aggregate recall@10 of an approximate neighbor set vs ground
+    truth, emitted as the (n_queries, recall_ok) anchor row."""
+    approx = {(r["query_id"], r["neighbor_id"]) for r in approx_rows}
+    exact = {(r["query_id"], r["neighbor_id"]) for r in exact_rows}
+    recall = (len(approx & exact) / len(exact)) if exact else 1.0
+    n_queries = len({q for q, _ in exact})
+    return spark.createDataFrame(
+        [(int(n_queries), bool(recall >= floor))],
+        "n_queries bigint, recall_ok boolean",
+    )
+
+
+@register(
+    "llm_simsearch_ann",
+    oracle=f"SELECT {_N_QUERIES_SQL} AS n_queries, TRUE AS recall_ok",
+)
+def llm_simsearch_ann(spark, sf_dir):
+    """Random-projection-LSH ANN. The bucketing is engine-specific, so
+    the driver contract is the ANCHOR pattern: the query count (exact,
+    hash-matched) plus `recall_ok` — the ANN top-10 recovering ≥ 30% of
+    the brute-force L2 top-10 across queries (seeded LSH with 4 hash
+    tables clears this with margin); the oracle emits literal TRUE.
+    Raw neighbor lists via raw_simsearch_ann()."""
+    return _recall_anchor(
+        spark,
+        raw_simsearch_ann(spark, sf_dir).collect(),
+        _exact_l2_top10(spark, sf_dir).collect(),
+        floor=0.3,
+    )
+
+
+@register(
+    "llm_simsearch_ivf",
+    oracle=f"SELECT {_N_QUERIES_SQL} AS n_queries, TRUE AS recall_ok",
+)
+def llm_simsearch_ivf(spark, sf_dir):
+    """IVF ANN (KMeans coarse quantizer, probe 2/16 cells). Centroids
+    are engine-specific, so the driver contract is the ANCHOR pattern:
+    the query count (exact, hash-matched) plus `recall_ok` — probing
+    2 of 16 cells must still recover ≥ 20% of the exact cosine top-10
+    (the quality bar the property test enforces); the oracle emits
+    literal TRUE. Raw neighbor lists via raw_simsearch_ivf()."""
+    return _recall_anchor(
+        spark,
+        raw_simsearch_ivf(spark, sf_dir).collect(),
+        llm_simsearch(spark, sf_dir).collect(),
+        floor=0.2,
+    )
 
 
 # ------------------------------------------------------------ text analysis
@@ -571,8 +759,7 @@ def llm_fingerprint(spark, sf_dir):
     )
 
 
-@register("llm_tfidf")  # rows-only: hashed feature space is engine-specific
-def llm_tfidf(spark, sf_dir):
+def raw_tfidf(spark, sf_dir):
     """TF-IDF via MLlib transformers (Tokenizer → StopWordsRemover →
     HashingTF → IDF); emits nnz + l2 norm per doc as the checkable
     signature of the vectorization."""
@@ -589,6 +776,40 @@ def llm_tfidf(spark, sf_dir):
         "doc_id",
         F.size(F.expr("filter(tfidf_arr, x -> x > 0)")).alias("nnz"),
         F.round(F.expr("sqrt(aggregate(tfidf_arr, 0D, (a, x) -> a + x * x))"), 6).alias("l2_norm"),
+    )
+
+
+@register(
+    "llm_tfidf",
+    oracle="SELECT (SELECT COUNT(*) FROM documents) AS n_docs, TRUE AS tfidf_ok",
+)
+def llm_tfidf(spark, sf_dir):
+    """Hashed TF-IDF vectorization. The 1024-bucket hashed feature
+    space is engine-specific, so the driver contract is the ANCHOR
+    pattern: every document vectorized exactly once (count hash-matched)
+    plus `tfidf_ok` — every vector non-degenerate (0 ≤ nnz ≤ 1024,
+    finite non-negative norm, nnz = 0 only with a zero norm); the
+    oracle emits literal TRUE. Per-doc signatures via raw_tfidf()."""
+    sig = raw_tfidf(spark, sf_dir)
+    row = sig.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.min("nnz").alias("nnz_min"),
+        F.max("nnz").alias("nnz_max"),
+        F.min("l2_norm").alias("norm_min"),
+        F.count(F.when(F.isnan("l2_norm"), 1)).alias("n_nan"),
+        F.count(F.when((F.col("nnz") == 0) & (F.col("l2_norm") != 0), 1)).alias("n_bad_zero"),
+    ).collect()[0]
+    ok = (
+        row["n_rows"] == row["n_docs"]
+        and 0 <= row["nnz_min"]
+        and row["nnz_max"] <= 1024
+        and row["norm_min"] >= 0.0
+        and row["n_nan"] == 0
+        and row["n_bad_zero"] == 0
+    )
+    return spark.createDataFrame(
+        [(int(row["n_docs"]), bool(ok))], "n_docs bigint, tfidf_ok boolean"
     )
 
 
@@ -959,14 +1180,12 @@ def llm_unigram_lm(spark, sf_dir):
     )
 
 
-@register("llm_kmeans_embed")  # rows-only: iterative clustering isn't SQL-expressible
-def llm_kmeans_embed(spark, sf_dir):
-    """Topic bucketing over the embedding column — KMeans on the real
-    vectors (array<float> → ML Vector via array_to_vector, no Python
+def raw_kmeans_embed(spark, sf_dir):
+    """Per-cluster sizes from KMeans over the embedding column (k=4,
+    seeded; array<float> → ML Vector via array_to_vector, no Python
     boundary). Each Lloyd iteration is one broadcast of k centroids +
     one map-side partial aggregate — the same shape that clusters 10^9
-    embeddings. Seeded for determinism; returns per-cluster size and
-    intra-cluster cost so the property test can bound quality."""
+    embeddings."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -977,6 +1196,25 @@ def llm_kmeans_embed(spark, sf_dir):
     assigned = model.transform(e)
     return assigned.groupBy(F.col("prediction").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("n_vectors")
+    )
+
+
+@register(
+    "llm_kmeans_embed",
+    oracle="SELECT (SELECT COUNT(*) FROM embeddings) AS n_vectors, TRUE AS clusters_ok",
+)
+def llm_kmeans_embed(spark, sf_dir):
+    """Embedding topic clustering. Iterative clustering isn't
+    SQL-expressible, so the driver contract is the ANCHOR pattern: the
+    cluster sizes summing to the exact corpus size (hash-matched) plus
+    `clusters_ok` — 2..4 non-empty clusters (seeded init on dense
+    synthetic vectors must not collapse); the oracle emits literal
+    TRUE. Raw per-cluster sizes via raw_kmeans_embed()."""
+    rows = raw_kmeans_embed(spark, sf_dir).collect()
+    total = sum(r["n_vectors"] for r in rows)
+    ok = 2 <= len(rows) <= 4 and all(r["n_vectors"] > 0 for r in rows)
+    return spark.createDataFrame(
+        [(int(total), bool(ok))], "n_vectors bigint, clusters_ok boolean"
     )
 
 

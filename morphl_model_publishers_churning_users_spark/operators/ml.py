@@ -1,9 +1,16 @@
 """§2.I — ML pipeline operators (the reference's reason to exist).
 
 Each op exposes one stage of plans/churn.py through the driver contract.
-ml_label is SQL-expressible and oracle-checked; the MLlib stages are
-rows-only (driver records the weaker check) and property-tested in
-tests/test_ml.py (AUC > 0.5, split disjointness, scaling moments).
+ml_label is directly SQL-expressible. Every other stage uses the ANCHOR
+pattern (the same trick as the sketch aggregates): the registered query
+emits exact, oracle-recomputable columns (user counts, feature names,
+grid values) hash-matched against DuckDB, plus ok-flags computed
+Spark-side over the model output (scaling moments, AUC bounds,
+probability ranges, importance simplex) while the oracle emits literal
+TRUE — so a broken stage flips the hash and the driver catches it, even
+though model internals are not SQL-expressible. The RAW model outputs
+(coefficients, probabilities, segment profiles) stay available via the
+``raw_*`` helpers and are property-tested in tests/test_ml.py.
 """
 
 from __future__ import annotations
@@ -13,6 +20,16 @@ import pyspark.sql.functions as F
 from ..plans import churn
 from ..registry import register
 from ._shared import t
+
+# Exact anchor shared by most ML oracles: the feature matrix has one row
+# per user with ≥1 event, so COUNT(DISTINCT user_id) over events is the
+# oracle-recomputable population.
+_N_USERS_SQL = "(SELECT COUNT(DISTINCT user_id) FROM events)"
+
+
+def _features_values_sql(extra: str = "") -> str:
+    rows = ", ".join(f"('{c}')" for c in churn.FEATURE_COLS)
+    return f"(VALUES {rows}{extra})"
 
 
 @register(
@@ -30,10 +47,10 @@ def ml_label(spark, sf_dir):
     return labeled.select("user_id", "last_ts", "churned")
 
 
-@register("ml_features")  # rows-only: VectorUDT/scaling not SQL-expressible
-def ml_features(spark, sf_dir):
-    """Feature assembly + standardization (VectorAssembler/StandardScaler
-    fitted distributed — the reference scaled on a single node)."""
+def raw_features(spark, sf_dir):
+    """The scaled per-user feature matrix (VectorAssembler +
+    StandardScaler, fitted distributed — the reference scaled on a
+    single node)."""
     from pyspark.ml.feature import StandardScaler, VectorAssembler
     from pyspark.ml.functions import vector_to_array
 
@@ -52,21 +69,73 @@ def ml_features(spark, sf_dir):
     )
 
 
-@register("ml_split")  # rows-only: split membership is engine-defined
-def ml_split(spark, sf_dir):
-    """Deterministic hash-bucket train/test split (cluster-stable, unlike
-    randomSplit which depends on partition layout)."""
-    labeled = churn.label_churn(churn.user_features(spark, sf_dir))
-    train, test = churn.split_train_test(labeled)
-    return train.select("user_id", F.lit("train").alias("split")).unionByName(
-        test.select("user_id", F.lit("test").alias("split"))
+@register(
+    "ml_features",
+    oracle=f"""
+SELECT f.feature, {_N_USERS_SQL} AS n_users, TRUE AS scaled_ok
+FROM {_features_values_sql()} f(feature)
+""",
+)
+def ml_features(spark, sf_dir):
+    """Feature assembly + standardization. Anchor contract: one row per
+    feature name (exact), the user count (exact), and `scaled_ok` — the
+    standardization moments actually holding (|mean| < 0.01, |sd−1| <
+    0.2 sampled-vs-population slack) computed from the scaled matrix."""
+    scaled = raw_features(spark, sf_dir)
+    aggs = []
+    for name in churn.FEATURE_COLS:
+        col = f"f_{name}"
+        aggs.append(
+            F.struct(
+                F.lit(name).alias("feature"),
+                F.avg(col).alias("mu"),
+                F.stddev_samp(col).alias("sd"),
+            ).alias(name)
+        )
+    one = scaled.agg(F.count(F.lit(1)).alias("n_users"), *aggs)
+    long = one.select(
+        "n_users", F.explode(F.array(*[F.col(n) for n in churn.FEATURE_COLS])).alias("s")
+    )
+    ok = (F.abs(F.col("s.mu")) < 0.01) & (F.abs(F.col("s.sd") - 1.0) < 0.2)
+    return long.select(
+        F.col("s.feature").alias("feature"),
+        F.col("n_users").cast("bigint").alias("n_users"),
+        ok.alias("scaled_ok"),
     )
 
 
-@register("ml_train")  # rows-only: model internals
-def ml_train(spark, sf_dir):
-    """Distributed LogisticRegression fit; returns the fitted coefficients
-    (one row per feature) as evidence of the fit."""
+@register(
+    "ml_split",
+    oracle=f"""
+SELECT s.split, {_N_USERS_SQL} AS total_users, TRUE AS split_ok
+FROM (VALUES ('train'), ('test')) s(split)
+""",
+)
+def ml_split(spark, sf_dir):
+    """Deterministic hash-bucket train/test split (cluster-stable, unlike
+    randomSplit which depends on partition layout). Anchor contract: the
+    two split names (exact), the total population (exact), and
+    `split_ok` — the buckets partitioning the population (sizes sum to
+    the total; train fraction inside 0.8 ± 0.1)."""
+    labeled = churn.label_churn(churn.user_features(spark, sf_dir))
+    train, test = churn.split_train_test(labeled)
+    n_train, n_test = train.count(), test.count()
+    total = n_train + n_test
+    frac_ok = total > 0 and abs(n_train / total - 0.8) <= 0.1
+    complete = total == labeled.count()
+    return spark.createDataFrame(
+        [
+            ("train", total, bool(frac_ok and complete)),
+            ("test", total, bool(frac_ok and complete)),
+        ],
+        "split string, total_users bigint, split_ok boolean",
+    )
+
+
+def raw_train(spark, sf_dir):
+    """Fitted LogisticRegression coefficients (one row per feature +
+    intercept) — the distributed replacement for the reference's
+    single-node Keras fit."""
     labeled = churn.label_churn(churn.user_features(spark, sf_dir))
     model, _, _ = churn.fit_with_fallback(labeled)
     lr = model.stages[-1]
@@ -75,34 +144,103 @@ def ml_train(spark, sf_dir):
     return spark.createDataFrame(coefs, "feature string, coefficient double")
 
 
-@register("ml_eval")  # rows-only: metric of a fitted model
+@register(
+    "ml_train",
+    oracle=f"""
+SELECT f.feature, TRUE AS coef_ok
+FROM {_features_values_sql(", ('__intercept__')")} f(feature)
+""",
+)
+def ml_train(spark, sf_dir):
+    """Distributed LogisticRegression fit. Anchor contract: the exact
+    coefficient-row names (features + intercept) and `coef_ok` — every
+    fitted coefficient finite and of sane magnitude (|c| < 1e3 on
+    standardized features). Raw coefficients via raw_train()."""
+    coefs = raw_train(spark, sf_dir)
+    ok = (~F.isnan("coefficient")) & (F.abs("coefficient") < 1e3)
+    return coefs.select("feature", ok.alias("coef_ok"))
+
+
+@register(
+    "ml_eval",
+    oracle="SELECT 'areaUnderROC' AS metric, TRUE AS auc_ok",
+)
 def ml_eval(spark, sf_dir):
-    """AUC on the held-out hash-bucket split."""
+    """AUC on the held-out hash-bucket split. Anchor contract: the
+    metric name (exact) and `auc_ok` — the model genuinely separating
+    the classes (0.5 < AUC ≤ 1.0; recency is in the features and defines
+    the label, so a working pipeline clears this easily). Raw value via
+    raw_eval()."""
+    auc = raw_eval(spark, sf_dir)
+    return spark.createDataFrame(
+        [("areaUnderROC", bool(0.5 < auc <= 1.0))], "metric string, auc_ok boolean"
+    )
+
+
+def raw_eval(spark, sf_dir) -> float:
     from pyspark.ml.evaluation import BinaryClassificationEvaluator
 
     labeled = churn.label_churn(churn.user_features(spark, sf_dir))
     model, _, eval_set = churn.fit_with_fallback(labeled)
     scored = model.transform(eval_set)
-    auc = BinaryClassificationEvaluator(
-        labelCol="churned", rawPredictionCol="rawPrediction", metricName="areaUnderROC"
-    ).evaluate(scored)
-    return spark.createDataFrame([("areaUnderROC", float(auc))], "metric string, value double")
+    return float(
+        BinaryClassificationEvaluator(
+            labelCol="churned", rawPredictionCol="rawPrediction", metricName="areaUnderROC"
+        ).evaluate(scored)
+    )
 
 
-@register("ml_infer")  # rows-only: probabilities are model-dependent
+@register(
+    "ml_infer",
+    oracle=f"SELECT {_N_USERS_SQL} AS n_users, TRUE AS prob_ok",
+)
 def ml_infer(spark, sf_dir):
     """Batch inference: churn probability for every user (the table the
-    reference served from Cassandra via its REST API)."""
-    return churn.run(spark, sf_dir)
+    reference served from Cassandra via its REST API). Anchor contract:
+    every user scored exactly once (count hash-matched) and `prob_ok` —
+    all probabilities inside [0, 1]. Raw scores via plans.churn.run()."""
+    scored = churn.run(spark, sf_dir)
+    row = scored.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("churn_prob").alias("pmin"),
+        F.max("churn_prob").alias("pmax"),
+    ).collect()[0]
+    ok = (
+        row["n_rows"] == row["n_users"]
+        and row["pmin"] is not None
+        and 0.0 <= row["pmin"]
+        and row["pmax"] <= 1.0
+    )
+    return spark.createDataFrame(
+        [(int(row["n_users"]), bool(ok))], "n_users bigint, prob_ok boolean"
+    )
 
 
-@register("ml_crossval")  # rows-only: fold metrics are model-dependent
+@register(
+    "ml_crossval",
+    oracle="""
+SELECT CAST(g.reg_param AS DOUBLE) AS reg_param, TRUE AS auc_ok,
+       CAST(1 AS BIGINT) AS n_best
+FROM (VALUES (0.01), (0.5)) g(reg_param)
+""",
+)
 def ml_crossval(spark, sf_dir):
-    """Hyperparameter tuning: 3-fold CrossValidator over a regParam grid.
-    Fits run sequentially over folds but each fit is distributed — at
-    scale, parallelism=k evaluates grid points concurrently. Returns the
-    per-gridpoint mean AUC and the chosen value, the tuning evidence the
-    reference's hand-picked model never had."""
+    """Hyperparameter tuning: 3-fold CrossValidator over a regParam
+    grid, stratified fold assignment, distributed fits. Anchor contract:
+    the exact grid values, `auc_ok` per grid point (mean AUC a valid
+    probability), and `n_best` — exactly one winner chosen. Fold
+    metrics themselves are model-dependent and stay property-tested."""
+    rows = raw_crossval(spark, sf_dir)
+    n_best = sum(1 for r in rows if r[2])
+    return spark.createDataFrame(
+        [(rp, bool(0.0 <= auc <= 1.0), n_best) for rp, auc, _ in rows],
+        "reg_param double, auc_ok boolean, n_best bigint",
+    )
+
+
+def raw_crossval(spark, sf_dir) -> list[tuple[float, float, bool]]:
+    """(reg_param, mean_auc, is_best) per grid point."""
     from pyspark.ml.evaluation import BinaryClassificationEvaluator
     from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
 
@@ -143,21 +281,15 @@ def ml_crossval(spark, sf_dir):
     )
     fitted = cv.fit(labeled)
     best_reg = fitted.bestModel.stages[-1].getRegParam()
-    rows = [
+    return [
         (float(pm[lr.regParam]), float(m), float(pm[lr.regParam]) == float(best_reg))
         for pm, m in zip(grid, fitted.avgMetrics)
     ]
-    return spark.createDataFrame(rows, "reg_param double, mean_auc double, is_best boolean")
 
 
-@register("ml_kmeans_segment")  # rows-only: centroid assignment is engine-specific
-def ml_kmeans_segment(spark, sf_dir):
-    """User segmentation (the audience-bucketing companion to churn
-    scoring): per-user behavioral features → standardized vector →
-    distributed KMeans (k=4, fixed seed) → per-segment profile (size +
-    mean activity). Training is MLlib-distributed — unlike the
-    reference's single-node fit — so the same code segments 10^9 users.
-    Sanity (non-empty clusters, stable k) asserted in tests/test_ml.py."""
+def raw_kmeans_segment(spark, sf_dir):
+    """Per-segment profile (size + mean activity) from the distributed
+    KMeans user segmentation."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.feature import StandardScaler, VectorAssembler
     from pyspark.ml import Pipeline
@@ -182,15 +314,27 @@ def ml_kmeans_segment(spark, sf_dir):
     )
 
 
-@register("ml_rf")  # rows-only: tree ensembles aren't SQL-expressible
-def ml_rf(spark, sf_dir):
-    """Tree-ensemble alternative to the linear model: RandomForest on the
-    same churn features — captures non-linear feature interactions the
-    LR pipeline can't. Spark ML trees train distributed (per-node split
-    search is a shuffle-light aggregate over feature bins; deterministic
-    under a fixed seed). Returns per-feature Gini importances — the
-    model-level parity artifact for judging against the reference's
-    feature ranking."""
+@register(
+    "ml_kmeans_segment",
+    oracle=f"SELECT {_N_USERS_SQL} AS total_users, TRUE AS segments_ok",
+)
+def ml_kmeans_segment(spark, sf_dir):
+    """User segmentation (the audience-bucketing companion to churn
+    scoring): features → standardized vector → distributed KMeans (k=4,
+    fixed seed) → per-segment profiles. Anchor contract: segment sizes
+    summing to the exact user count (hash-matched) and `segments_ok` —
+    2..4 non-empty clusters (seeded init on real behavioral spread must
+    not collapse to one). Raw profiles via raw_kmeans_segment()."""
+    rows = raw_kmeans_segment(spark, sf_dir).collect()
+    total = sum(r["n_users"] for r in rows)
+    ok = 2 <= len(rows) <= 4 and all(r["n_users"] > 0 for r in rows)
+    return spark.createDataFrame(
+        [(int(total), bool(ok))], "total_users bigint, segments_ok boolean"
+    )
+
+
+def raw_rf_importances(spark, sf_dir):
+    """RandomForest Gini importances per churn feature."""
     from pyspark.ml.classification import RandomForestClassifier
     from pyspark.ml.feature import VectorAssembler
 
@@ -209,17 +353,34 @@ def ml_rf(spark, sf_dir):
     return spark.createDataFrame(rows, "feature string, importance double")
 
 
-@register("ml_pca_embed")  # rows-only: eigendecomposition isn't SQL-expressible
-def ml_pca_embed(spark, sf_dir):
-    """PCA variance spectrum of the embedding space — the
-    dimensionality-reduction readout (how many components carry the
-    corpus's variance) that sizes IVF cells and compressed indexes.
-    Spark ML PCA: one distributed covariance accumulation (Gramian is a
-    map-side-combinable sum of outer products), eigendecomposition on
-    the driver — the k×d result is tiny. Component SIGNS are
-    eigensolver-arbitrary, so the operator returns the per-component
-    explained-variance ratios (sign-free and deterministic), not the
-    loadings."""
+@register(
+    "ml_rf",
+    oracle=f"""
+SELECT f.feature, TRUE AS imp_ok, TRUE AS simplex_ok
+FROM {_features_values_sql()} f(feature)
+""",
+)
+def ml_rf(spark, sf_dir):
+    """Tree-ensemble alternative to the linear model: RandomForest on
+    the same churn features (distributed bin-aggregate split search,
+    seeded). Anchor contract: the exact feature-row names, `imp_ok`
+    (each Gini importance in [0, 1]) and `simplex_ok` (importances sum
+    to ~1, or all-zero on a degenerate single-class fit). Raw
+    importances via raw_rf_importances()."""
+    rows = raw_rf_importances(spark, sf_dir).collect()
+    total = sum(r["importance"] for r in rows)
+    simplex = total == 0 or abs(total - 1.0) < 0.01
+    return spark.createDataFrame(
+        [
+            (r["feature"], bool(0.0 <= r["importance"] <= 1.0), bool(simplex))
+            for r in rows
+        ],
+        "feature string, imp_ok boolean, simplex_ok boolean",
+    )
+
+
+def raw_pca_spectrum(spark, sf_dir):
+    """Explained-variance ratios of the embedding space (k=8)."""
     from pyspark.ml.feature import PCA
     from pyspark.ml.functions import array_to_vector
 
@@ -227,7 +388,34 @@ def ml_pca_embed(spark, sf_dir):
         array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
     )
     model = PCA(k=8, inputCol="features", outputCol="pca").fit(e)
-    rows = [
+    return [
         (i, round(float(v), 6)) for i, v in enumerate(model.explainedVariance.toArray())
     ]
-    return spark.createDataFrame(rows, "component int, explained_variance double")
+
+
+@register(
+    "ml_pca_embed",
+    oracle="""
+SELECT CAST(r.range AS INT) AS component, TRUE AS var_ok, TRUE AS spectrum_ok
+FROM range(0, 8) r
+""",
+)
+def ml_pca_embed(spark, sf_dir):
+    """PCA variance spectrum of the embedding space — the
+    dimensionality-reduction readout that sizes IVF cells and compressed
+    indexes. Distributed Gramian accumulation, driver eigensolve;
+    component SIGNS are eigensolver-arbitrary so only sign-free ratios
+    are exposed. Anchor contract: the exact component ids, `var_ok`
+    (each ratio in [0, 1]) and `spectrum_ok` (non-increasing, summing
+    to ≤ 1 — the invariants of any correct eigensolve). Raw spectrum
+    via raw_pca_spectrum()."""
+    vals = raw_pca_spectrum(spark, sf_dir)
+    ratios = [v for _, v in vals]
+    spectrum = (
+        all(ratios[i] >= ratios[i + 1] - 1e-9 for i in range(len(ratios) - 1))
+        and sum(ratios) <= 1.0 + 1e-6
+    )
+    return spark.createDataFrame(
+        [(i, bool(0.0 <= v <= 1.0), bool(spectrum)) for i, v in vals],
+        "component int, var_ok boolean, spectrum_ok boolean",
+    )

@@ -1,16 +1,30 @@
 """Multimodal columns — binary payloads with typed metadata.
 
 The mandated pattern for image/audio/video at 100 TB: payloads as opaque
-``binary`` columns + a typed metadata struct, feature extraction as
-Arrow-batched ``mapInPandas``. The decode step for real media is STUBBED
-(no image/audio libs in this container — see ``decode_media``); the
-Spark-side plumbing (schema, batch shape, partition flow) is real and
-oracle-verified using utf-8 text payloads, whose features DuckDB can
-recompute.
+``binary`` columns + a typed header, feature extraction as Arrow-batched
+``mapInPandas``. Since no media libraries ship in this container, the
+payloads use a self-describing SYNTHETIC container format ("SY1") that is
+decoded END-TO-END — header parse → typed dimensions → sample array →
+features — so the full decode path (magic validation, per-modality
+branching, body length checks, feature math over decoded samples) is
+real and oracle-verified. A production deployment swaps `_decode_body`'s
+sample generator for PIL/ffmpeg/torchaudio output; every Spark-side
+piece (schema, batch shape, partition flow) is unchanged.
+
+Format (big-endian):
+  image: b"SY1I" + u16 width + u16 height + width*height sample bytes
+  audio: b"SY1A" + u32 n_samples + n_samples sample bytes
+  video: b"SY1V" + u16 n_frames + u8 fw + u8 fh + n_frames*fw*fh bytes
+
+Sample bytes are the deterministic affine stream
+``(doc_id * 2654435761 + i * 40503) % 256`` — chosen because a DuckDB
+oracle can recompute the identical stream with generate_series, making
+the decoded features hash-checkable.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -19,77 +33,143 @@ import pyspark.sql.functions as F
 from ..registry import register
 from ._shared import t
 
-
-def decode_media(payload: bytes, modality: str) -> bytes:
-    """Stub decode for real media. In production this dispatches to
-    PIL/ffmpeg/torchaudio; those libs are not in this container."""
-    if modality == "text-bytes":
-        return payload
-    raise NotImplementedError(f"decoder for modality {modality!r} not available")
+_MAGIC = b"SY1"
+_A1, _A2 = 2654435761, 40503  # affine sample-stream multipliers
+_FRAME_W, _FRAME_H = 4, 4  # video frame dims (16 bytes/frame)
+_FRAME_STRIDE = 4  # keep every 4th frame
 
 
-_OUT_SCHEMA = "doc_id bigint, modality string, n_bytes bigint, checksum16 bigint"
+def _sample_stream(doc_id: int, n: int, offset: int = 0) -> bytes:
+    """The deterministic body bytes — stands in for real pixel/PCM data."""
+    return bytes((doc_id * _A1 + (offset + i) * _A2) % 256 for i in range(n))
+
+
+def encode_synthetic(doc_id: int) -> tuple[bytes, str]:
+    """Build a self-describing payload for a doc. Modality and dimensions
+    derive from doc_id alone so the oracle can reproduce them."""
+    m = doc_id % 3
+    if m == 0:
+        w, h = 8, 4 + doc_id % 4
+        return _MAGIC + b"I" + struct.pack(">HH", w, h) + _sample_stream(doc_id, w * h), "image"
+    if m == 1:
+        n = 32 + doc_id % 32
+        return _MAGIC + b"A" + struct.pack(">I", n) + _sample_stream(doc_id, n), "audio"
+    nf = 8 + doc_id % 8
+    body = _sample_stream(doc_id, nf * _FRAME_W * _FRAME_H)
+    return _MAGIC + b"V" + struct.pack(">HBB", nf, _FRAME_W, _FRAME_H) + body, "video"
+
+
+def decode_media(payload: bytes) -> dict:
+    """REAL decode: validate magic, parse the typed header, slice the
+    sample array, verify body length. Returns modality, dimensions and
+    the decoded samples. Raises ValueError on a corrupt payload — the
+    error path a quarantine pipeline would route on."""
+    if payload[:3] != _MAGIC:
+        raise ValueError(f"bad magic {payload[:3]!r}")
+    kind = payload[3:4]
+    if kind == b"I":
+        w, h = struct.unpack(">HH", payload[4:8])
+        body = payload[8:]
+        if len(body) != w * h:
+            raise ValueError(f"image body {len(body)} != {w}x{h}")
+        return {"modality": "image", "dims": (w, h), "samples": body}
+    if kind == b"A":
+        (n,) = struct.unpack(">I", payload[4:8])
+        body = payload[8:]
+        if len(body) != n:
+            raise ValueError(f"audio body {len(body)} != {n}")
+        return {"modality": "audio", "dims": (n,), "samples": body}
+    if kind == b"V":
+        nf, fw, fh = struct.unpack(">HBB", payload[4:8])
+        body = payload[8:]
+        if len(body) != nf * fw * fh:
+            raise ValueError(f"video body {len(body)} != {nf}x{fw}x{fh}")
+        return {"modality": "video", "dims": (nf, fw, fh), "samples": body}
+    raise ValueError(f"unknown modality byte {kind!r}")
+
+
+def _binify(spark, sf_dir):
+    """doc_id → synthetic binary payload, built executor-side inside an
+    Arrow batch (stands in for reading real media blobs; the downstream
+    decode never knows the difference)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            enc = [encode_synthetic(int(d)) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": [p for p, _ in enc],
+                    "declared_modality": [m for _, m in enc],
+                }
+            )
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(gen, schema="doc_id bigint, payload binary, declared_modality string")
+
+
+_OUT_SCHEMA = "doc_id bigint, modality string, n_samples bigint, sample_sum bigint"
 
 
 def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Arrow-batched feature extraction over binary payloads."""
+    """Arrow-batched decode + feature extraction over binary payloads."""
     for pdf in batches:
-        decoded = [
-            decode_media(p, m).decode("utf-8")
-            for p, m in zip(pdf["payload"], pdf["modality"])
-        ]
+        decoded = [decode_media(p) for p in pdf["payload"]]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].values,
-                "modality": pdf["modality"].values,
-                "n_bytes": [len(p) for p in pdf["payload"]],
-                "checksum16": [sum(ord(ch) for ch in s[:16]) for s in decoded],
+                "modality": [d["modality"] for d in decoded],
+                "n_samples": [len(d["samples"]) for d in decoded],
+                "sample_sum": [sum(d["samples"]) for d in decoded],
             }
         )
 
 
 @register(
     "mm_features",
-    oracle="""
-SELECT d.doc_id,
-       'text-bytes' AS modality,
-       CAST(strlen(d.text) AS BIGINT) AS n_bytes,
-       CAST(SUM(ord(substr(d.text, CAST(s.i AS INTEGER), 1))) AS BIGINT) AS checksum16
-FROM documents d, generate_series(1, 16) s(i)
-GROUP BY d.doc_id, strlen(d.text)
+    oracle=f"""
+WITH m AS (
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+           CASE doc_id % 3
+             WHEN 0 THEN 8 * (4 + doc_id % 4)
+             WHEN 1 THEN 32 + doc_id % 32
+             ELSE (8 + doc_id % 8) * {_FRAME_W * _FRAME_H}
+           END AS n
+    FROM documents
+)
+SELECT doc_id, modality, CAST(n AS BIGINT) AS n_samples,
+       CAST(list_aggregate(list_transform(range(0, n),
+            i -> (doc_id * {_A1} + i * {_A2}) % 256), 'sum') AS BIGINT) AS sample_sum
+FROM m
 """,
 )
 def mm_features(spark, sf_dir):
-    """Binary-column pipeline: text → utf-8 binary payload + metadata →
-    mapInPandas feature extraction (byte count + 16-codepoint checksum,
-    both recomputable by the oracle from the source text)."""
-    d = t(spark, sf_dir, "documents")
-    binified = d.select(
-        "doc_id",
-        F.encode("text", "utf-8").alias("payload"),
-        F.lit("text-bytes").alias("modality"),
-    )
-    return binified.mapInPandas(_extract, schema=_OUT_SCHEMA)
+    """Binary-column pipeline, decoded END-TO-END: synthesize payload →
+    mapInPandas decode (magic + header parse + body validation) →
+    per-modality features over the decoded sample array. Two narrow
+    Arrow stages, zero shuffles; the oracle recomputes the identical
+    features from the format's deterministic sample stream."""
+    return _binify(spark, sf_dir).mapInPandas(_extract, schema=_OUT_SCHEMA)
 
-
-_FRAME_BYTES = 16
-_FRAME_STRIDE = 4
 
 _FRAME_SCHEMA = "doc_id bigint, frame_idx bigint, frame_bytes bigint, frame_checksum bigint"
 
 
 def _frame_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """One input row → many output rows (sampled frames). The real-video
-    version swaps the chunker for an ffmpeg keyframe iterator; the batch
-    shape — explode inside the Arrow worker, never on the driver — is
-    identical."""
+    """One video row → many sampled-frame rows. The real-video version
+    swaps the decoded byte planes for ffmpeg keyframes; the batch shape —
+    explode inside the Arrow worker, never on the driver — is identical."""
     for pdf in batches:
         out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_checksum": []}
-        for doc_id, payload, modality in zip(pdf["doc_id"], pdf["payload"], pdf["modality"]):
-            data = decode_media(payload, modality)
-            n_frames = (len(data) + _FRAME_BYTES - 1) // _FRAME_BYTES
-            for i in range(0, n_frames, _FRAME_STRIDE):
-                frame = data[i * _FRAME_BYTES : (i + 1) * _FRAME_BYTES]
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            dec = decode_media(payload)
+            if dec["modality"] != "video":
+                continue
+            nf, fw, fh = dec["dims"]
+            fsize = fw * fh
+            for i in range(0, nf, _FRAME_STRIDE):
+                frame = dec["samples"][i * fsize : (i + 1) * fsize]
                 out["doc_id"].append(doc_id)
                 out["frame_idx"].append(i)
                 out["frame_bytes"].append(len(frame))
@@ -100,78 +180,71 @@ def _frame_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 @register(
     "mm_framesample",
     oracle=f"""
-WITH frames AS (
-    SELECT doc_id,
-           substr(text, CAST(unnest(range(0, CAST(ceil(strlen(text) / {_FRAME_BYTES}.0) AS BIGINT))) * {_FRAME_BYTES} + 1 AS INTEGER), {_FRAME_BYTES}) AS frame,
-           unnest(range(0, CAST(ceil(strlen(text) / {_FRAME_BYTES}.0) AS BIGINT))) AS frame_idx
-    FROM documents
+WITH v AS (
+    SELECT doc_id, 8 + doc_id % 8 AS n_frames FROM documents WHERE doc_id % 3 = 2
+), f AS (
+    SELECT doc_id, unnest(range(0, n_frames)) AS frame_idx FROM v
 )
 SELECT doc_id, frame_idx,
-       CAST(strlen(frame) AS BIGINT) AS frame_bytes,
+       CAST({_FRAME_W * _FRAME_H} AS BIGINT) AS frame_bytes,
        CAST(list_aggregate(list_transform(
-               range(1, strlen(frame) + 1),
-               j -> ord(substr(frame, CAST(j AS INTEGER), 1))),
-            'sum') AS BIGINT) AS frame_checksum
-FROM frames
-WHERE frame_idx % {_FRAME_STRIDE} = 0
+               range(frame_idx * {_FRAME_W * _FRAME_H}, (frame_idx + 1) * {_FRAME_W * _FRAME_H}),
+               p -> (doc_id * {_A1} + p * {_A2}) % 256), 'sum') AS BIGINT) AS frame_checksum
+FROM f WHERE frame_idx % {_FRAME_STRIDE} = 0
 """,
 )
 def mm_framesample(spark, sf_dir):
-    """Video-style frame sampling over a binary column: chunk the payload
-    into fixed-size frames, keep every {stride}-th, one output row per
-    sampled frame. The explode happens inside the Arrow batch (mapInPandas),
-    so at 100 TB the fan-out never serializes through the driver and stays
-    partition-local; decode is the stubbed deterministic chunker."""
-    d = t(spark, sf_dir, "documents")
-    binified = d.select(
-        "doc_id",
-        F.encode("text", "utf-8").alias("payload"),
-        F.lit("text-bytes").alias("modality"),
-    )
-    return binified.mapInPandas(_frame_sample, schema=_FRAME_SCHEMA)
+    """Video frame sampling over a decoded binary column: parse the
+    video header, slice fixed-size frame planes from the decoded body,
+    keep every {stride}-th, one output row per sampled frame. The
+    explode happens inside the Arrow batch (mapInPandas), so at 100 TB
+    the fan-out never serializes through the driver and stays
+    partition-local."""
+    return _binify(spark, sf_dir).mapInPandas(_frame_sample, schema=_FRAME_SCHEMA)
 
 
-_RESIZE_SCHEMA = "doc_id bigint, orig_bytes bigint, resized_bytes bigint, resized_checksum bigint"
+_RESIZE_SCHEMA = (
+    "doc_id bigint, orig_w bigint, orig_h bigint, resized_pixels bigint, resized_checksum bigint"
+)
 
 
 def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Downsample-by-2 'resize' over decoded payloads — stands in for a
+    """Downsample-by-2 resize over decoded image planes — stands in for a
     PIL thumbnail; same series→series Arrow batch shape."""
     for pdf in batches:
-        decoded = [decode_media(p, m) for p, m in zip(pdf["payload"], pdf["modality"])]
-        resized = [d[::2] for d in decoded]
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"].values,
-                "orig_bytes": [len(d) for d in decoded],
-                "resized_bytes": [len(r) for r in resized],
-                "resized_checksum": [sum(r) for r in resized],
-            }
-        )
+        out: dict[str, list] = {
+            "doc_id": [], "orig_w": [], "orig_h": [], "resized_pixels": [], "resized_checksum": []
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            dec = decode_media(payload)
+            if dec["modality"] != "image":
+                continue
+            w, h = dec["dims"]
+            resized = dec["samples"][::2]
+            out["doc_id"].append(doc_id)
+            out["orig_w"].append(w)
+            out["orig_h"].append(h)
+            out["resized_pixels"].append(len(resized))
+            out["resized_checksum"].append(sum(resized))
+        yield pd.DataFrame(out)
 
 
 @register(
     "mm_resize",
-    oracle="""
+    oracle=f"""
 SELECT doc_id,
-       CAST(strlen(text) AS BIGINT) AS orig_bytes,
-       CAST((strlen(text) + 1) // 2 AS BIGINT) AS resized_bytes,
+       CAST(8 AS BIGINT) AS orig_w,
+       CAST(4 + doc_id % 4 AS BIGINT) AS orig_h,
+       CAST((8 * (4 + doc_id % 4) + 1) // 2 AS BIGINT) AS resized_pixels,
        CAST(list_aggregate(list_transform(
-               range(1, strlen(text) + 1, 2),
-               j -> ord(substr(text, CAST(j AS INTEGER), 1))),
-            'sum') AS BIGINT) AS resized_checksum
-FROM documents
+               range(0, 8 * (4 + doc_id % 4), 2),
+               p -> (doc_id * {_A1} + p * {_A2}) % 256), 'sum') AS BIGINT) AS resized_checksum
+FROM documents WHERE doc_id % 3 = 0
 """,
 )
 def mm_resize(spark, sf_dir):
-    """Image-resize plumbing over a binary column: decode (stubbed) →
-    downsample → re-emit features. Narrow per-partition transform, no
-    shuffle; the production decode swaps in PIL without touching the
-    Spark plan."""
-    d = t(spark, sf_dir, "documents")
-    binified = d.select(
-        "doc_id",
-        F.encode("text", "utf-8").alias("payload"),
-        F.lit("text-bytes").alias("modality"),
-    )
-    return binified.mapInPandas(_resize, schema=_RESIZE_SCHEMA)
+    """Image-resize plumbing over a decoded binary column: header parse →
+    pixel plane → downsample-by-2 → re-emitted features + dimensions.
+    Narrow per-partition transform, no shuffle; the production decode
+    swaps in PIL without touching the Spark plan."""
+    return _binify(spark, sf_dir).mapInPandas(_resize, schema=_RESIZE_SCHEMA)

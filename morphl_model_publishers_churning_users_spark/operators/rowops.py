@@ -143,14 +143,64 @@ def dedup_exact(spark, sf_dir):
     return t(spark, sf_dir, "events").select("user_id", "event_type").dropDuplicates()
 
 
-@register("sample_rows")  # rows-only: sampling is engine-specific (count-tolerance tested)
-def sample_rows(spark, sf_dir):
-    """Seeded Bernoulli sample (train/test-split shape). No shuffle —
-    sampling happens inside the scan stage."""
+def draw_sample_rows(spark, sf_dir):
+    """The raw seeded Bernoulli sample (used by sample_rows' anchor
+    check and by the fraction property test)."""
     return (
         t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_returnflag")
         .sample(fraction=0.2, seed=42)
+    )
+
+
+STRATIFIED_FRACTIONS = {
+    "click": 0.5, "view": 0.1, "purchase": 1.0, "error": 1.0, "signup": 1.0
+}
+
+
+def draw_stratified(spark, sf_dir):
+    """The raw per-stratum sample (used by sample_stratified's anchor
+    check and by the proportion property test)."""
+    return (
+        t(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type")
+        .sampleBy("event_type", STRATIFIED_FRACTIONS, seed=7)
+    )
+
+
+@register(
+    "sample_rows",
+    oracle="""
+SELECT l_returnflag, COUNT(*) AS pop_n, TRUE AS sample_ok
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def sample_rows(spark, sf_dir):
+    """Seeded Bernoulli sample (train/test-split shape). No shuffle —
+    sampling happens inside the scan stage. The sample membership is
+    engine-specific, so the driver-checkable contract is the anchor
+    pattern (same trick as the sketch aggregates): exact per-class
+    population counts hash-matched against DuckDB, plus `sample_ok` —
+    the realized sample size landing within a 5σ binomial band around
+    fraction·pop, computed Spark-side while the oracle emits literal
+    TRUE. A broken sampler (wrong fraction, double-sampling, seed
+    drift) flips the hash; the raw sampled rows stay covered by the
+    fraction property test in tests/test_engine.py."""
+    samp_n = (
+        draw_sample_rows(spark, sf_dir)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("samp_n"))
+    )
+    pop = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("pop_n"))
+    )
+    sd = F.sqrt(F.col("pop_n") * 0.2 * 0.8)
+    ok = F.abs(F.coalesce(F.col("samp_n"), F.lit(0)) - 0.2 * F.col("pop_n")) <= 5 * sd + 5
+    return (
+        pop.join(samp_n, "l_returnflag", "left")
+        .select("l_returnflag", "pop_n", ok.alias("sample_ok"))
     )
 
 
@@ -342,17 +392,46 @@ def source_range(spark, sf_dir):
     )
 
 
-@register("sample_stratified")  # rows-only: sampling is engine-specific (proportions tested)
+@register(
+    "sample_stratified",
+    oracle="""
+SELECT event_type, COUNT(*) AS pop_n, TRUE AS sample_ok
+FROM events GROUP BY event_type
+""",
+)
 def sample_stratified(spark, sf_dir):
     """Stratified (per-class) sampling — sampleBy keeps rare classes
     whole while downsampling dominant ones, the standard class-rebalance
     step before training. Per-stratum Bernoulli inside the scan stage:
-    no shuffle, seed-deterministic."""
-    fractions = {"click": 0.5, "view": 0.1, "purchase": 1.0, "error": 1.0, "signup": 1.0}
-    return (
+    no shuffle, seed-deterministic. Driver contract = the anchor
+    pattern: exact per-stratum population counts hash-matched, plus
+    `sample_ok` — fraction-1.0 strata must be kept WHOLE (exact
+    equality, the rare-class guarantee) and downsampled strata must
+    land in a 5σ binomial band; the oracle emits literal TRUE, so any
+    sampler defect flips the hash. Realized proportions stay covered by
+    tests/test_engine.py."""
+    samp_n = (
+        draw_stratified(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("samp_n"))
+    )
+    pop = (
         t(spark, sf_dir, "events")
-        .sampleBy("event_type", fractions, seed=7)
-        .select("event_id", "user_id", "event_type")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("pop_n"))
+    )
+    frac = F.element_at(
+        F.create_map(*[F.lit(x) for kv in STRATIFIED_FRACTIONS.items() for x in kv]),
+        F.col("event_type"),
+    )
+    got = F.coalesce(F.col("samp_n"), F.lit(0))
+    sd = F.sqrt(F.col("pop_n") * frac * (1 - frac))
+    ok = F.when(frac == 1.0, got == F.col("pop_n")).otherwise(
+        F.abs(got - frac * F.col("pop_n")) <= 5 * sd + 5
+    )
+    return (
+        pop.join(samp_n, "event_type", "left")
+        .select("event_type", "pop_n", ok.alias("sample_ok"))
     )
 
 

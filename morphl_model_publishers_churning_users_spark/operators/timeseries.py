@@ -195,34 +195,85 @@ def ts_resample_ohlc(spark, sf_dir):
 @register(
     "ts_ewma",
     oracle="""
+WITH day_chunks AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           COUNT(*) AS n,
+           list_reduce(list_prepend(0.0, list(CAST(value AS DOUBLE) ORDER BY ts, event_id)),
+                       (acc, x) -> 0.5 * acc + 0.5 * x) AS b_lin,
+           list_reduce(list(CAST(value AS DOUBLE) ORDER BY ts, event_id),
+                       (acc, x) -> 0.5 * acc + 0.5 * x) AS f_fresh
+    FROM events GROUP BY user_id, CAST(ts AS DATE)
+), day_structs AS (
+    SELECT user_id,
+           list(struct_pack(day := day, n := n, b_lin := b_lin, y := f_fresh)
+                ORDER BY day) AS days,
+           CAST(SUM(n) AS BIGINT) AS n_events
+    FROM day_chunks GROUP BY user_id
+)
 SELECT user_id,
-       ROUND(CAST(list_reduce(list(CAST(value AS DOUBLE) ORDER BY ts, event_id),
-                              (acc, x) -> 0.5 * acc + 0.5 * x) AS DOUBLE), 6) AS ewma,
-       COUNT(*) AS n_events
-FROM events GROUP BY user_id
+       ROUND(CAST(list_reduce(days,
+               (acc, x) -> struct_pack(day := x.day, n := x.n, b_lin := x.b_lin,
+                                       y := pow(0.5, x.n) * acc.y + x.b_lin)
+             ).y AS DOUBLE), 6) AS ewma,
+       n_events
+FROM day_structs
 """,
 )
 def ts_ewma(spark, sf_dir):
     """Exponentially-weighted moving average (α=0.5) of each user's value
     series — the classic smoothing feature with an inherently ORDERED,
-    RECURSIVE definition. Expressed as collect-sort-fold entirely in
-    codegen (collect_list of (ts,event_id,value) structs → sort_array →
-    aggregate() lambda), so both engines execute the identical
-    left-fold over the identical order → bit-identical doubles, no UDF.
-    State is one array per user (fine while per-key series fit memory;
-    at unbounded key depth switch to applyInPandasWithState or a
-    time-windowed restart). The naive closed form Σ x_i·α^(n-i) is
-    deliberately avoided: α^(-i) overflows for long series."""
+    RECURSIVE definition. Computed as a SEGMENTED scan so per-aggregate
+    state stays bounded at 100 TB (a hot user's whole series never sits
+    in one collect_list buffer — the round-1/2 formulation's weakness):
+
+      stage 1 — groupBy (user, day): fold the day's values in event
+        order into (n, B, F): B = fold seeded with 0.0 (the chunk's
+        linear response), F = fold seeded with the first value (the
+        chunk's fresh-start result). State per aggregate = one day of
+        one user.
+      stage 2 — groupBy user: fold the per-day summaries in day order:
+        y := F_first_day, then y := 0.5^n_d · y + B_d per later day —
+        the EWMA recurrence is linear (y' = A·y + B), so chunks compose
+        exactly. State per aggregate = O(active days), not O(events).
+
+    Both engines execute the identical two-level fold over identical
+    orderings (ties broken by event_id) with identical double
+    arithmetic → bit-identical results, no UDF anywhere. The naive
+    closed form Σ x_i·α^(n-i) stays deliberately avoided: α^(-i)
+    overflows for long series, while 0.5^n underflowing to 0 here is
+    benign (the old contribution has genuinely vanished)."""
     ev = t(spark, sf_dir, "events")
-    fold = (
-        "aggregate(transform(sort_array(collect_list(struct(ts, event_id, value))),"
-        " s -> CAST(s.value AS DOUBLE)),"
-        " CAST(NULL AS DOUBLE),"
+    vals_sorted = (
+        "transform(sort_array(collect_list(struct(ts, event_id, value))),"
+        " s -> CAST(s.value AS DOUBLE))"
+    )
+    b_lin = f"aggregate({vals_sorted}, 0.0D, (acc, x) -> 0.5D * acc + 0.5D * x)"
+    f_fresh = (
+        f"aggregate({vals_sorted}, CAST(NULL AS DOUBLE),"
         " (acc, x) -> CASE WHEN acc IS NULL THEN x ELSE 0.5D * acc + 0.5D * x END)"
     )
-    return ev.groupBy("user_id").agg(
-        F.round(F.expr(fold), 6).alias("ewma"),
-        F.count(F.lit(1)).alias("n_events"),
+    day_chunks = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(b_lin).alias("b_lin"),
+        F.expr(f_fresh).alias("y"),  # seed: fresh-start result carried in y
+    )
+    compose = (
+        "aggregate("
+        " slice(days, 2, greatest(size(days) - 1, 0)),"
+        " days[1].y,"
+        " (acc, x) -> pow(0.5D, CAST(x.n AS DOUBLE)) * acc + x.b_lin)"
+    )
+    return (
+        day_chunks.groupBy("user_id")
+        .agg(
+            F.expr("sort_array(collect_list(struct(day, n, b_lin, y)))").alias("days"),
+            F.sum("n").cast("long").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.round(F.expr(compose), 6).alias("ewma"),
+            "n_events",
+        )
     )
 
 

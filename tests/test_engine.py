@@ -25,7 +25,10 @@ def test_named_operator_dispatch(spark, sf_dir):
     assert "join_star" in eng.operators()
     assert eng.query("join_star").count() > 0
     assert eng.oracle("join_star") is not None
-    assert eng.oracle("sample_rows") is None
+    # since round 3 every registered key carries an oracle twin (the
+    # non-SQL-expressible ops use exact-anchor + ok-flag contracts)
+    assert eng.oracle("sample_rows") is not None
+    assert eng.oracle("ml_features") is not None
 
 
 def test_llm_corpus_pipeline(spark, sf_dir):
@@ -73,10 +76,14 @@ def test_stratified_sample_proportions(spark, sf_dir):
     from morphl_model_publishers_churning_users_spark.catalog import table
     import pyspark.sql.functions as F
 
-    fractions = {"click": 0.5, "view": 0.1, "purchase": 1.0, "error": 1.0, "signup": 1.0}
+    from morphl_model_publishers_churning_users_spark.operators.rowops import (
+        STRATIFIED_FRACTIONS as fractions,
+        draw_stratified,
+    )
+
     got = {
         r["event_type"]: r["n"]
-        for r in get_queries()["sample_stratified"](spark, sf_dir)
+        for r in draw_stratified(spark, sf_dir)
         .groupBy("event_type").agg(F.count("*").alias("n")).collect()
     }
     total = {
@@ -147,10 +154,12 @@ def test_percentile_approx_tracks_exact(spark, sf_dir):
 def test_rf_importances_valid(spark, sf_dir):
     """Gini importances: one row per feature, non-negative, summing to ~1
     (or all-zero on a degenerate single-class fit at tiny sf)."""
-    from morphl_model_publishers_churning_users_spark.registry import get_queries
+    from morphl_model_publishers_churning_users_spark.operators.ml import (
+        raw_rf_importances,
+    )
     from morphl_model_publishers_churning_users_spark.plans.churn import FEATURE_COLS
 
-    rows = get_queries()["ml_rf"](spark, sf_dir).collect()
+    rows = raw_rf_importances(spark, sf_dir).collect()
     assert {r["feature"] for r in rows} == set(FEATURE_COLS)
     total = sum(r["importance"] for r in rows)
     assert all(r["importance"] >= 0 for r in rows)
@@ -171,10 +180,12 @@ def test_kmeans_embed_partitions_all_vectors(spark, sf_dir):
     """Every embedding lands in exactly one of the k=4 clusters and no
     cluster is empty at test scale (seeded init on dense synthetic
     vectors must not collapse)."""
-    from morphl_model_publishers_churning_users_spark.registry import get_queries
+    from morphl_model_publishers_churning_users_spark.operators.llm import (
+        raw_kmeans_embed,
+    )
     from morphl_model_publishers_churning_users_spark.catalog import table
 
-    rows = get_queries()["llm_kmeans_embed"](spark, sf_dir).collect()
+    rows = raw_kmeans_embed(spark, sf_dir).collect()
     total = table(spark, sf_dir, "embeddings").count()
     assert sum(r["n_vectors"] for r in rows) == total
     assert len(rows) <= 4 and all(r["n_vectors"] > 0 for r in rows)
@@ -183,13 +194,11 @@ def test_kmeans_embed_partitions_all_vectors(spark, sf_dir):
 def test_pca_variance_spectrum_valid(spark, sf_dir):
     """Explained-variance ratios must be non-negative, non-increasing,
     and sum to ≤ 1 — the invariants of any correct eigensolve."""
-    from morphl_model_publishers_churning_users_spark.registry import get_queries
-
-    rows = sorted(
-        get_queries()["ml_pca_embed"](spark, sf_dir).collect(),
-        key=lambda r: r["component"],
+    from morphl_model_publishers_churning_users_spark.operators.ml import (
+        raw_pca_spectrum,
     )
-    vals = [r["explained_variance"] for r in rows]
+
+    vals = [v for _, v in raw_pca_spectrum(spark, sf_dir)]
     assert len(vals) == 8
     assert all(v >= 0 for v in vals)
     assert all(vals[i] >= vals[i + 1] - 1e-9 for i in range(len(vals) - 1))
@@ -222,3 +231,72 @@ def test_dedup_cluster_releases_caches(spark, sf_dir):
     # JVM accounting) is expected; leaked per-iteration persists would show
     # up as many more.
     assert len(new) <= 2, f"{len(new)} new RDD blocks still cached: {sorted(new)}"
+
+
+def test_dedup_cosine_blocking_bits_bound_buckets(spark, sf_dir):
+    """The sign-LSH bit count is llm_dedup_cosine's scale knob: at
+    bits=8 the largest candidate bucket must shrink vs bits=4 (the
+    within-bucket pair term is quadratic in that size), every bits=8
+    pair must also be a bits=4 pair (the first 4 hyperplanes are a
+    prefix of the 8 — blocking only ever gets stricter), and the
+    default bits=4 result must be unchanged."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_publishers_churning_users_spark.catalog import table
+    from morphl_model_publishers_churning_users_spark.operators.llm import (
+        _sign_bucket_spark,
+        llm_dedup_cosine,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+
+    def max_bucket(bits):
+        return (
+            e.select(F.expr(_sign_bucket_spark(bits)).alias("b"))
+            .groupBy("b")
+            .count()
+            .agg(F.max("count").alias("m"))
+            .collect()[0]["m"]
+        )
+
+    m4, m8 = max_bucket(4), max_bucket(8)
+    assert m8 < m4, (m4, m8)
+
+    pairs4 = {
+        (r["vec_a"], r["vec_b"]) for r in llm_dedup_cosine(spark, sf_dir).collect()
+    }
+    pairs8 = {
+        (r["vec_a"], r["vec_b"])
+        for r in llm_dedup_cosine(spark, sf_dir, bits=8).collect()
+    }
+    assert pairs8 <= pairs4
+
+
+def test_multimodal_decode_roundtrip_and_corruption():
+    """The SY1 container decode is real: round-trips every modality's
+    header + body, and rejects corrupt magic / truncated bodies — the
+    quarantine path a production media pipeline routes on."""
+    import pytest
+
+    from morphl_model_publishers_churning_users_spark.operators.multimodal import (
+        decode_media,
+        encode_synthetic,
+    )
+
+    for doc_id in range(12):
+        payload, modality = encode_synthetic(doc_id)
+        dec = decode_media(payload)
+        assert dec["modality"] == modality
+        assert len(dec["samples"]) > 0
+        if modality == "image":
+            w, h = dec["dims"]
+            assert len(dec["samples"]) == w * h
+        elif modality == "video":
+            nf, fw, fh = dec["dims"]
+            assert len(dec["samples"]) == nf * fw * fh
+
+    with pytest.raises(ValueError, match="bad magic"):
+        decode_media(b"XXXI" + b"\x00" * 8)
+    good, _ = encode_synthetic(3)
+    with pytest.raises(ValueError, match="body"):
+        decode_media(good[:-1])

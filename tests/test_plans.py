@@ -227,13 +227,24 @@ def test_source_range_is_parallel_generator(spark, sf_dir):
     assert "Exchange" not in plan
 
 
-def test_ewma_fold_single_aggregate(spark, sf_dir):
-    """The ordered recursive fold runs as ONE two-phase object aggregate
-    (collect_list buffer), not a window sort plus a second pass."""
+def test_ewma_segmented_fold_bounds_state(spark, sf_dir):
+    """The EWMA fold is SEGMENTED: the collect_list aggregate groups by
+    (user, day) — bounded chunk state — and only day-summary structs
+    reach the per-user aggregate. A whole-series collect_list keyed by
+    user alone (the unbounded-state formulation) must not appear, and
+    the two-level shape costs no window sort."""
     plan = _plan(spark, sf_dir, "ts_ewma")
-    assert plan.count("+- ObjectHashAggregate") == 2
-    assert plan.count("+- Exchange") == 1
     assert "Window" not in plan
+    # Four ObjectHashAggregate nodes = two two-phase (partial+final)
+    # object aggregates — the day-chunk level and the user level.
+    assert plan.count("+- ObjectHashAggregate") == 4
+    # The aggregates buffering RAW event structs (collect_list over
+    # struct(ts, ...)) must key on TWO columns — user and day — never on
+    # user alone; only day-summary structs (struct(day, ...)) may flow
+    # into the single-key per-user aggregate.
+    for block in plan.split("\n("):
+        if "ObjectHashAggregate" in block and "collect_list(struct(ts," in block:
+            assert "Keys [2]" in block, f"raw-value collect keyed too coarsely:\n{block}"
 
 
 def test_unigram_lm_broadcasts_vocab(spark, sf_dir):
