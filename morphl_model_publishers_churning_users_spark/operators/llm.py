@@ -46,16 +46,37 @@ def llm_dedup_exact(spark, sf_dir):
 
 def raw_dedup_fuzzy(spark, sf_dir):
     """The MinHash-LSH near-dup pairs (doc_a < doc_b, Jaccard distance
-    ≤ 0.6): tokens → binary HashingTF vectors → banded minhash join.
-    approxSimilarityJoin only compares within shared LSH buckets — no
-    all-pairs blowup."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+    ≤ 0.6 over 3-word-shingle sets): shingles → binary HashingTF →
+    minhash join. approxSimilarityJoin only compares within shared LSH
+    buckets — no all-pairs blowup.
 
-    d = t(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = Tokenizer(inputCol="text", outputCol="words").transform(d)
+    Shingles, not words, are load-bearing for scale: each of Spark's
+    MinHash tables buckets on ONE min-hashed element, so with a small
+    shared vocabulary the globally-minimal WORD hash puts a large
+    fraction of the corpus into a single bucket — an O(n²) hot bucket
+    (observed: one straggler task grinding the sf0.1 bench). The
+    3-word-shingle space is ~vocab³, the min disperses, and bucket
+    sizes stay bounded. Docs with <3 words have no shingles and are
+    excluded (an empty vector cannot be min-hashed; such docs cannot be
+    shingle near-dups of anything)."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w")
+    )
+    shingled = (
+        d.select("doc_id", F.expr(_NGRAM_SH_SPARK).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        # The fixture lands as one small parquet file → one partition, and
+        # the whole shingle→hash→minhash chain would run single-threaded.
+        # Spread the corpus across the cluster before the per-row transform
+        # work (at production scale the input is already multi-partition;
+        # this keeps the local plan shaped the same way).
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
     vecs = HashingTF(
-        inputCol="words", outputCol="features", numFeatures=1 << 18, binary=True
-    ).transform(toks)
+        inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
+    ).transform(shingled)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=5, seed=42).fit(vecs)
     pairs = lsh.approxSimilarityJoin(vecs, vecs, threshold=0.6, distCol="jaccard_dist")
     return (
@@ -68,12 +89,15 @@ def raw_dedup_fuzzy(spark, sf_dir):
     )
 
 
-def _exact_wordset_jaccard_pairs(spark, sf_dir, min_sim: float):
-    """Exact word-SET Jaccard pairs via shared-word equi-join (bounded
-    blocking, same structure as llm_dedup_ngram — never all-pairs)."""
+def _exact_shingle_jaccard_pairs(spark, sf_dir, min_sim: float):
+    """Exact 3-word-shingle Jaccard pairs via shared-shingle equi-join
+    (bounded blocking, same structure as llm_dedup_ngram — never
+    all-pairs). This is the ground truth for the MinHash recall anchor,
+    in the same set space the LSH hashes."""
     words = (
         t(spark, sf_dir, "documents")
-        .select("doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"))
+        .select("doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w"))
+        .select("doc_id", F.explode(F.expr(_NGRAM_SH_SPARK)).alias("w"))
         .distinct()
     )
     sizes = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
@@ -107,7 +131,7 @@ def llm_dedup_fuzzy(spark, sf_dir):
     """MinHash-LSH near-dup detection. The LSH bucketing is
     engine-specific, so the driver contract is the ANCHOR pattern: the
     corpus size (exact, hash-matched) plus `recall_ok` — the LSH pair
-    set recovering ≥ 50% of the EXACT word-set-Jaccard ≥ 0.4 pairs
+    set recovering ≥ 50% of the EXACT shingle-Jaccard ≥ 0.4 pairs
     (5 hash tables ⇒ per-pair hit probability 1−(1−J)^5 ≥ 0.92 at
     J = 0.4, so aggregate recall ≥ 0.5 holds with wide margin); the
     oracle emits literal TRUE. Raw pairs via raw_dedup_fuzzy()."""
@@ -116,7 +140,7 @@ def llm_dedup_fuzzy(spark, sf_dir):
     }
     exact = {
         (r["doc_a"], r["doc_b"])
-        for r in _exact_wordset_jaccard_pairs(spark, sf_dir, 0.4).collect()
+        for r in _exact_shingle_jaccard_pairs(spark, sf_dir, 0.4).collect()
     }
     recall = (len(lsh_pairs & exact) / len(exact)) if exact else 1.0
     n_docs = t(spark, sf_dir, "documents").count()
