@@ -1402,3 +1402,155 @@ def llm_vocab_growth(spark, sf_dir):
             F.sum(F.coalesce("n_new", F.lit(0))).over(w).cast("bigint").alias("cum_vocab"),
         )
     )
+
+
+@register(
+    "llm_repetition",
+    oracle="""
+WITH base AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+    FROM documents
+), grams AS (
+    -- range() upper bound is EXCLUSIVE (Spark's sequence() is inclusive):
+    -- bigrams i = 1..len-1, trigrams i = 1..len-2, with the same one-
+    -- partial-gram floor for short docs as the Spark side.
+    -- concat_ws (not ||) so a missing trailing word degrades to the
+    -- shorter gram on BOTH engines instead of NULLing the whole gram.
+    SELECT doc_id,
+           list_transform(range(1, greatest(len(w), 2)),
+                          i -> concat_ws(' ', w[i], w[i + 1])) AS bigrams,
+           list_transform(range(1, greatest(len(w) - 1, 2)),
+                          i -> concat_ws(' ', w[i], w[i + 1], w[i + 2])) AS trigrams
+    FROM base
+), tri AS (
+    SELECT doc_id,
+           CAST(len(trigrams) AS BIGINT) AS n_trigrams,
+           CAST(len(trigrams) - len(list_distinct(trigrams)) AS BIGINT) AS n_dup_tri
+    FROM grams
+), big AS (
+    SELECT doc_id, unnest(bigrams) AS g FROM grams
+), big_counts AS (
+    SELECT doc_id, g, COUNT(*) AS c FROM big GROUP BY doc_id, g
+), big_top AS (
+    SELECT doc_id, MAX(c) AS top_c, CAST(SUM(c) AS BIGINT) AS n_bigrams
+    FROM big_counts GROUP BY doc_id
+)
+SELECT t.doc_id,
+       t.n_trigrams,
+       ROUND(CASE WHEN t.n_trigrams = 0 THEN 0.0
+                  ELSE CAST(t.n_dup_tri AS DOUBLE) / t.n_trigrams END, 6) AS dup_trigram_frac,
+       ROUND(CASE WHEN COALESCE(b.n_bigrams, 0) = 0 THEN 0.0
+                  ELSE CAST(b.top_c AS DOUBLE) / b.n_bigrams END, 6) AS top_bigram_share,
+       (CASE WHEN t.n_trigrams = 0 THEN 0.0
+             ELSE CAST(t.n_dup_tri AS DOUBLE) / t.n_trigrams END <= 0.2
+        AND CASE WHEN COALESCE(b.n_bigrams, 0) = 0 THEN 0.0
+                 ELSE CAST(b.top_c AS DOUBLE) / b.n_bigrams END <= 0.18) AS pass_repetition
+FROM tri t LEFT JOIN big_top b USING (doc_id)
+""",
+)
+def llm_repetition(spark, sf_dir):
+    """Gopher-style repetition filtering signals — the pretraining
+    quality gate that catches boilerplate and template spam: per-doc
+    duplicate-trigram fraction (what share of word 3-grams repeat) and
+    top-bigram share (how much one bigram dominates), plus the pass
+    gate at the published-ish thresholds (dup-trigram ≤ 0.2, top-bigram
+    ≤ 0.18). The trigram-dup fraction is a NARROW array computation
+    (size vs array_distinct size — no explode, no shuffle); only the
+    bigram mode needs one (doc, bigram) hash aggregate, keyed fine-
+    grained enough that no reducer sees more than one doc's bigrams.
+    Both engines compute identical integer counts and one final double
+    division, so the oracle is a full value twin."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w")
+    )
+    # NB: DuckDB's range(1, greatest(len-k, 1)) twin emits one partial
+    # gram for short docs, so both sides use the same greatest(..., 1)
+    # bound (concat_ws / || of a missing trailing word degrade the same
+    # way on both engines).
+    grams = d.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, greatest(size(w) - 1, 1)),"
+            " i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))"
+        ).alias("bigrams"),
+        F.expr(
+            "transform(sequence(1, greatest(size(w) - 2, 1)),"
+            " i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))"
+        ).alias("trigrams"),
+    )
+    tri = grams.select(
+        "doc_id",
+        "bigrams",
+        F.size("trigrams").cast("bigint").alias("n_trigrams"),
+        (F.size("trigrams") - F.size(F.array_distinct("trigrams"))).cast("bigint").alias("n_dup_tri"),
+    )
+    big = tri.select("doc_id", "n_trigrams", "n_dup_tri", F.explode_outer("bigrams").alias("g"))
+    big_counts = big.groupBy("doc_id", "n_trigrams", "n_dup_tri", "g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_doc = big_counts.groupBy("doc_id", "n_trigrams", "n_dup_tri").agg(
+        F.max("c").alias("top_c"), F.sum("c").cast("bigint").alias("n_bigrams")
+    )
+    dup_frac = F.when(F.col("n_trigrams") == 0, F.lit(0.0)).otherwise(
+        F.col("n_dup_tri").cast("double") / F.col("n_trigrams")
+    )
+    top_share = F.when(F.coalesce(F.col("n_bigrams"), F.lit(0)) == 0, F.lit(0.0)).otherwise(
+        F.col("top_c").cast("double") / F.col("n_bigrams")
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_trigrams",
+        F.round(dup_frac, 6).alias("dup_trigram_frac"),
+        F.round(top_share, 6).alias("top_bigram_share"),
+        ((dup_frac <= 0.2) & (top_share <= 0.18)).alias("pass_repetition"),
+    )
+
+
+@register(
+    "llm_entropy_filter",
+    oracle="""
+WITH chars AS (
+    SELECT doc_id, unnest(list_transform(range(1, strlen(text) + 1),
+                                         i -> substr(text, CAST(i AS INTEGER), 1))) AS ch
+    FROM documents
+), counts AS (
+    SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch
+), per_doc AS (
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_chars_total,
+           ROUND(log2(CAST(SUM(c) AS DOUBLE))
+                 - SUM(c * log2(CAST(c AS DOUBLE))) / SUM(c), 6) AS h_char
+    FROM counts GROUP BY doc_id
+)
+SELECT doc_id, n_chars_total, h_char, h_char >= 3.0 AS pass_entropy
+FROM per_doc
+""",
+)
+def llm_entropy_filter(spark, sf_dir):
+    """Character-entropy quality gate (the C4/RefinedWeb-style screen
+    for binary junk, repeated-character spam, and gibberish): Shannon
+    entropy of each doc's character distribution via the numerically
+    stable H = log2(N) − Σ c·log2(c)/N — natural prose sits near ~4.2
+    bits/char, degenerate content collapses toward 0. One explode to
+    (doc, char) rows (bounded by doc length, partition-local) and two
+    hash aggregates keyed on doc_id; identical double arithmetic both
+    engines, so the entropy VALUE itself is hash-matched, not just a
+    flag."""
+    chars = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")
+        ).alias("ch"),
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_chars_total"),
+        F.round(
+            F.log2(F.sum("c").cast("double"))
+            - F.sum(F.col("c") * F.log2(F.col("c").cast("double"))) / F.sum("c"),
+            6,
+        ).alias("h_char"),
+    )
+    return per_doc.select(
+        "doc_id", "n_chars_total", "h_char", (F.col("h_char") >= 3.0).alias("pass_entropy")
+    )
