@@ -275,8 +275,8 @@ SELECT c_custkey,
        c_nationkey,
        rank()         OVER w AS rnk,
        dense_rank()   OVER w AS drnk,
-       ROUND(percent_rank() OVER w, 6) AS prnk,
-       ROUND(cume_dist()    OVER w, 6) AS cdist
+       FLOOR(percent_rank() OVER w * 1000000 + 0.5) / 1000000 AS prnk,
+       FLOOR(cume_dist()    OVER w * 1000000 + 0.5) / 1000000 AS cdist
 FROM customer
 WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal)
 """,
@@ -286,16 +286,26 @@ def win_rank_pct(spark, sf_dir):
     percent_rank / cume_dist over account balance within nation. All four
     are tie-stable (equal keys get equal values), so the twin is exact
     without a tiebreak column; one sort per nation partition, shared by
-    all four functions in a single Window node."""
+    all four functions in a single Window node.
+
+    Rounding is floor(x·1e6 + 0.5)/1e6 — pure IEEE double ops, bit-
+    identical on both engines — instead of round(x, 6): these ratios hit
+    EXACT decimal half-points (cume_dist = 41/640 = 0.0640625), where
+    Spark's round() (shortest-decimal-string → BigDecimal HALF_UP) and
+    DuckDB's ROUND (on the binary double) disagree by 1 ulp of the 6th
+    decimal. Found by the sf0.1 parity sweep — sf0.01 partitions are
+    powers of two, so every ratio there was exactly representable and
+    the boundary never triggered."""
     c = t(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
+    half_up6 = lambda col: F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
     return c.select(
         "c_custkey",
         "c_nationkey",
         F.rank().over(w).cast("bigint").alias("rnk"),
         F.dense_rank().over(w).cast("bigint").alias("drnk"),
-        F.round(F.percent_rank().over(w), 6).alias("prnk"),
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        half_up6(F.percent_rank().over(w)).alias("prnk"),
+        half_up6(F.cume_dist().over(w)).alias("cdist"),
     )
 
 

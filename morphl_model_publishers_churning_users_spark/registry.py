@@ -53,6 +53,13 @@ def register(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Quer
 #           queries ⇒ the driver's budget covers more of them)
 #   last    keys already hash-verified by the driver (regression backstop)
 
+# ROUND MAINTENANCE (do this first each round): fold the new
+# CORRECTNESS_r{N}.json hash_match=true keys into DRIVER_VERIFIED, point
+# _REVERIFY at keys repaired this round, and rotate _CANARY to a fresh
+# sample of verified keys — otherwise the driver's bounded check prefix
+# re-verifies known greens and the round's verification yield collapses
+# (round-2 lesson: 49/50 slots would have been wasted).
+#
 # hash_match=true rows from CORRECTNESS_r01.json + CORRECTNESS_r02.json
 # (driver, rounds 1-2). 44 r01 greens + 47 r02 greens.
 DRIVER_VERIFIED: frozenset[str] = frozenset(

@@ -7,6 +7,14 @@ batch-equivalence is checkable — the oracle is the batch SQL over the
 same bounded input. At 100 TB these are the exactly-once incremental
 versions of the daily-cron jobs the reference ran [SURVEY.md §3.1,
 unverified].
+
+Custom state uses ``applyInPandasWithState``. The Spark 4 successor
+(``transformWithStateInPandas`` + StatefulProcessor/ValueState) was
+evaluated and works API-wise, but its Python driver worker imports
+google.protobuf, which this container does not ship (verified: the
+state-server handshake crashes with ImportError), so the op would fail
+at runtime; on a normal cluster the same processor drops in with
+``spark.sql.streaming.stateStore.providerClass`` set to RocksDB.
 """
 
 from __future__ import annotations
