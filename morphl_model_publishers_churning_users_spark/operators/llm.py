@@ -61,24 +61,46 @@ def raw_dedup_fuzzy(spark, sf_dir):
     shingle near-dups of anything)."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    d = t(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w")
+    # The fixture lands as one small parquet file → one partition, and the
+    # whole shingle→hash→minhash chain would run single-threaded. Spread
+    # the RAW rows across the cluster BEFORE any per-row transform work —
+    # projections do not migrate across an exchange, so repartitioning
+    # after shingling would still compute the shingles on one core (and
+    # shuffle the fat arrays instead of the raw text). Profiled: moving
+    # the exchange below the projection cut the transform stage ~6×.
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w"))
     )
-    shingled = (
-        d.select("doc_id", F.expr(_NGRAM_SH_SPARK).alias("shingles"))
-        .filter(F.size("shingles") > 0)
-        # The fixture lands as one small parquet file → one partition, and
-        # the whole shingle→hash→minhash chain would run single-threaded.
-        # Spread the corpus across the cluster before the per-row transform
-        # work (at production scale the input is already multi-partition;
-        # this keeps the local plan shaped the same way).
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    # Guard empties on the CHEAP precondition (≥3 words ⇔ ≥1 shingle),
+    # not on size(shingles): Catalyst pushes filters through exchanges
+    # with their expressions inlined, so filtering on the shingle array
+    # would evaluate the interpreted higher-order shingle lambda inside
+    # the pre-exchange scan stage — single-threaded (profiled: ~7 s of
+    # the op's runtime at sf0.1). The word-count guard pushes down for
+    # pennies and keeps the shingle projection post-exchange, parallel.
+    shingled = d.filter(F.size("w") >= 3).select(
+        "doc_id", F.expr(_NGRAM_SH_SPARK).alias("shingles")
     )
     vecs = HashingTF(
         inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
     ).transform(shingled)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=5, seed=42).fit(vecs)
-    pairs = lsh.approxSimilarityJoin(vecs, vecs, threshold=0.6, distCol="jaccard_dist")
+    # Transform ONCE and MATERIALIZE the signed corpus before the
+    # self-join. This is load-bearing, not a cache nicety: left lazy,
+    # approxSimilarityJoin's internal `size(hashes) > 0` validation
+    # filter is pushed below the repartition exchange by Catalyst with
+    # the whole split→shingle-lambda→HashingTF→minhash chain INLINED
+    # into it — evaluated in the single-task scan stage, once per join
+    # side (profiled: ~7 s of single-threaded work at sf0.1, the op's
+    # entire hot spot). localCheckpoint cuts the lineage, so signatures
+    # compute once, in parallel, and the join reads stored rows — the
+    # same shape as production, where the signed corpus is a persisted
+    # artifact that many queries probe.
+    signed = lsh.transform(vecs).localCheckpoint(eager=True)
+    pairs = lsh.approxSimilarityJoin(signed, signed, threshold=0.6, distCol="jaccard_dist")
     return (
         pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
         .select(
