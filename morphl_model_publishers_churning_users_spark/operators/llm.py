@@ -513,8 +513,15 @@ def raw_simsearch_ann(spark, sf_dir):
     lsh = BucketedRandomProjectionLSH(
         inputCol="vec", outputCol="hashes", bucketLength=2.0, numHashTables=4, seed=42
     ).fit(e)
-    q = e.filter(F.col("vec_id") < 5)
-    pairs = lsh.approxSimilarityJoin(q, e, threshold=20.0, distCol="l2_dist")
+    # Materialize the bucketed corpus once before the join — same
+    # rationale as raw_dedup_fuzzy: approxSimilarityJoin's internal
+    # validation filters otherwise push below the scan with the
+    # array_to_vector + projection chain inlined, recomputed per side
+    # inside the single input split. The hashed corpus is the index
+    # artifact a production ANN service persists anyway.
+    signed = lsh.transform(e).localCheckpoint(eager=True)
+    q = signed.filter(F.col("vec_id") < 5)
+    pairs = lsh.approxSimilarityJoin(q, signed, threshold=20.0, distCol="l2_dist")
     pairs = pairs.filter(F.col("datasetA.vec_id") != F.col("datasetB.vec_id")).select(
         F.col("datasetA.vec_id").alias("query_id"),
         F.col("datasetB.vec_id").alias("neighbor_id"),
