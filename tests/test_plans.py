@@ -327,3 +327,27 @@ def test_shuffle_hash_hint_plans_shj(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "ShuffledHashJoin" in plan
+
+
+def test_fuzzy_dedup_join_reads_materialized_signatures(spark, sf_dir):
+    """The MinHash self-join must probe the CHECKPOINTED signature rows,
+    not recompute the shingle→hash→minhash lineage per join side:
+    Catalyst pushes approxSimilarityJoin's internal validation filter
+    below the exchange with the whole chain inlined otherwise (the
+    round-3 single-task straggler). Materialized inputs show up as
+    ExistingRDD scans, and no shingle lambda survives anywhere in the
+    join plan."""
+    import io
+    from contextlib import redirect_stdout
+
+    from morphl_model_publishers_churning_users_spark.operators.llm import (
+        raw_dedup_fuzzy,
+    )
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        raw_dedup_fuzzy(spark, sf_dir).explain()
+    plan = buf.getvalue()
+    assert "ExistingRDD" in plan
+    assert "concat_ws" not in plan  # shingle lambda fully precomputed
+    assert "Scan parquet" not in plan  # no side re-derives from the source
