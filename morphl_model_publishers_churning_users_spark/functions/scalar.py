@@ -409,14 +409,14 @@ def fn_mask(spark, sf_dir):
     oracle="""
 WITH halves AS (
   SELECT user_id,
-         list_sort(list_distinct(list(event_type) FILTER (WHERE day(ts) <= 15))) AS a,
-         list_sort(list_distinct(list(event_type) FILTER (WHERE day(ts) > 15))) AS b
+         coalesce(list_sort(list_distinct(list(event_type) FILTER (WHERE day(ts) <= 15))), []) AS a,
+         coalesce(list_sort(list_distinct(list(event_type) FILTER (WHERE day(ts) > 15))), []) AS b
   FROM events GROUP BY user_id
 )
 SELECT user_id,
-       list_sort(list_filter(a, x -> list_contains(b, x))) AS both_periods,
-       list_sort(list_filter(a, x -> NOT list_contains(b, x))) AS only_first,
-       list_sort(list_distinct(a || b)) AS all_types
+       coalesce(array_to_string(list_sort(list_filter(a, x -> list_contains(b, x))), ','), '') AS both_periods,
+       coalesce(array_to_string(list_sort(list_filter(a, x -> NOT list_contains(b, x))), ','), '') AS only_first,
+       coalesce(array_to_string(list_sort(list_distinct(a || b)), ','), '') AS all_types
 FROM halves
 """,
 )
@@ -426,7 +426,10 @@ def fn_array_setops(spark, sf_dir):
     intersect/except/union evaluate in codegen on the collected sets;
     results are sorted+deduped on BOTH engines so the set semantics
     (not element order) are what's compared. The per-user arrays are
-    bounded by the type vocabulary, so state is O(cardinality)."""
+    bounded by the type vocabulary, so state is O(cardinality).
+    Outputs are serialized with array_join (the agg_collect pattern,
+    operators/aggregates.py) — the driver canonicalizer cannot sort raw
+    array cells (r3 FAIL: unhashable ndarray in pandas sort_values)."""
     ev = t(spark, sf_dir, "events")
     first_half = F.when(F.dayofmonth("ts") <= 15, F.col("event_type"))
     second_half = F.when(F.dayofmonth("ts") > 15, F.col("event_type"))
@@ -436,7 +439,9 @@ def fn_array_setops(spark, sf_dir):
     )
     return halves.select(
         "user_id",
-        F.sort_array(F.array_intersect("a", "b")).alias("both_periods"),
-        F.sort_array(F.array_except("a", "b")).alias("only_first"),
-        F.sort_array(F.array_distinct(F.array_union("a", "b"))).alias("all_types"),
+        F.array_join(F.sort_array(F.array_intersect("a", "b")), ",").alias("both_periods"),
+        F.array_join(F.sort_array(F.array_except("a", "b")), ",").alias("only_first"),
+        F.array_join(
+            F.sort_array(F.array_distinct(F.array_union("a", "b"))), ","
+        ).alias("all_types"),
     )

@@ -111,23 +111,37 @@ def raw_dedup_fuzzy(spark, sf_dir):
     )
 
 
-def _exact_shingle_jaccard_pairs(spark, sf_dir, min_sim: float):
+def _exact_shingle_jaccard_pairs(spark, sf_dir, min_sim: float, probe_mod=None):
     """Exact 3-word-shingle Jaccard pairs via shared-shingle equi-join
     (bounded blocking, same structure as llm_dedup_ngram — never
     all-pairs). This is the ground truth for the MinHash recall anchor,
-    in the same set space the LSH hashes."""
+    in the same set space the LSH hashes.
+
+    The size(w) >= 3 guard matches raw_dedup_fuzzy: under Spark 4's
+    default ANSI mode the shingle expression's element_at throws on
+    <3-word docs (sequence(1, 0) is [1, 0], not empty), and on the
+    DuckDB side short docs produce no shingles anyway.
+
+    ``probe_mod``: when set, the probe side is restricted to docs with
+    ``doc_id % probe_mod == 0`` — the scale-shaped anchor (sampled-probe
+    × full-corpus shared-shingle join instead of full × full); recall is
+    then measured over pairs with ≥1 sampled endpoint."""
     words = (
         t(spark, sf_dir, "documents")
         .select("doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w"))
+        .filter(F.size("w") >= 3)
         .select("doc_id", F.explode(F.expr(_NGRAM_SH_SPARK)).alias("w"))
         .distinct()
     )
     sizes = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = words.select(F.col("doc_id").alias("doc_a"), "w")
+    if probe_mod is not None:
+        a = a.filter(F.col("doc_a") % probe_mod == 0)
     b = words.select(F.col("doc_id").alias("doc_b"), "w")
     inter = (
         a.join(b, "w")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(F.col("doc_a") != F.col("doc_b") if probe_mod is not None
+                else F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -141,7 +155,11 @@ def _exact_shingle_jaccard_pairs(spark, sf_dir, min_sim: float):
             F.col("n_common") / (F.col("sza") + F.col("szb") - F.col("n_common")),
         )
         .filter(F.col("jac") >= min_sim)
-        .select("doc_a", "doc_b")
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        )
+        .distinct()
     )
 
 
@@ -156,13 +174,24 @@ def llm_dedup_fuzzy(spark, sf_dir):
     set recovering ≥ 50% of the EXACT shingle-Jaccard ≥ 0.4 pairs
     (5 hash tables ⇒ per-pair hit probability 1−(1−J)^5 ≥ 0.92 at
     J = 0.4, so aggregate recall ≥ 0.5 holds with wide margin); the
-    oracle emits literal TRUE. Raw pairs via raw_dedup_fuzzy()."""
+    oracle emits literal TRUE. Raw pairs via raw_dedup_fuzzy().
+
+    The ground truth is SAMPLED (probe docs: doc_id % 3 == 0; recall
+    measured over exact pairs with ≥1 sampled endpoint), so the anchor
+    itself is scale-shaped — a sampled-probe × corpus shingle join, not
+    the full shared-shingle self-join, which at 100 TB would dwarf the
+    production LSH path it audits."""
+    probe_mod = 3
     lsh_pairs = {
-        (r["doc_a"], r["doc_b"]) for r in raw_dedup_fuzzy(spark, sf_dir).collect()
+        (r["doc_a"], r["doc_b"])
+        for r in raw_dedup_fuzzy(spark, sf_dir).collect()
+        if r["doc_a"] % probe_mod == 0 or r["doc_b"] % probe_mod == 0
     }
     exact = {
         (r["doc_a"], r["doc_b"])
-        for r in _exact_shingle_jaccard_pairs(spark, sf_dir, 0.4).collect()
+        for r in _exact_shingle_jaccard_pairs(
+            spark, sf_dir, 0.4, probe_mod=probe_mod
+        ).collect()
     }
     recall = (len(lsh_pairs & exact) / len(exact)) if exact else 1.0
     n_docs = t(spark, sf_dir, "documents").count()
@@ -1466,10 +1495,10 @@ WITH base AS (
 )
 SELECT t.doc_id,
        t.n_trigrams,
-       ROUND(CASE WHEN t.n_trigrams = 0 THEN 0.0
-                  ELSE CAST(t.n_dup_tri AS DOUBLE) / t.n_trigrams END, 6) AS dup_trigram_frac,
-       ROUND(CASE WHEN COALESCE(b.n_bigrams, 0) = 0 THEN 0.0
-                  ELSE CAST(b.top_c AS DOUBLE) / b.n_bigrams END, 6) AS top_bigram_share,
+       FLOOR(CASE WHEN t.n_trigrams = 0 THEN 0.0
+                  ELSE CAST(t.n_dup_tri AS DOUBLE) / t.n_trigrams END * 1000000 + 0.5) / 1000000 AS dup_trigram_frac,
+       FLOOR(CASE WHEN COALESCE(b.n_bigrams, 0) = 0 THEN 0.0
+                  ELSE CAST(b.top_c AS DOUBLE) / b.n_bigrams END * 1000000 + 0.5) / 1000000 AS top_bigram_share,
        (CASE WHEN t.n_trigrams = 0 THEN 0.0
              ELSE CAST(t.n_dup_tri AS DOUBLE) / t.n_trigrams END <= 0.2
         AND CASE WHEN COALESCE(b.n_bigrams, 0) = 0 THEN 0.0
@@ -1494,17 +1523,21 @@ def llm_repetition(spark, sf_dir):
     )
     # NB: DuckDB's range(1, greatest(len-k, 1)) twin emits one partial
     # gram for short docs, so both sides use the same greatest(..., 1)
-    # bound (concat_ws / || of a missing trailing word degrade the same
-    # way on both engines).
+    # bound. try_element_at (NOT element_at): under Spark 4's default
+    # ANSI mode an out-of-bounds element_at throws on <3-word docs;
+    # try_element_at yields NULL, which concat_ws skips — matching
+    # DuckDB's NULL-on-OOB list indexing, so the short-doc partial gram
+    # degrades identically on both engines.
     grams = d.select(
         "doc_id",
         F.expr(
             "transform(sequence(1, greatest(size(w) - 1, 1)),"
-            " i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))"
+            " i -> concat_ws(' ', try_element_at(w, i), try_element_at(w, i + 1)))"
         ).alias("bigrams"),
         F.expr(
             "transform(sequence(1, greatest(size(w) - 2, 1)),"
-            " i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))"
+            " i -> concat_ws(' ', try_element_at(w, i), try_element_at(w, i + 1),"
+            " try_element_at(w, i + 2)))"
         ).alias("trigrams"),
     )
     tri = grams.select(
@@ -1526,11 +1559,15 @@ def llm_repetition(spark, sf_dir):
     top_share = F.when(F.coalesce(F.col("n_bigrams"), F.lit(0)) == 0, F.lit(0.0)).otherwise(
         F.col("top_c").cast("double") / F.col("n_bigrams")
     )
+    # floor(x·1e6+0.5)/1e6: pure IEEE double ops, bit-identical across
+    # engines (Spark HALF_UP on shortest-decimal vs DuckDB binary-double
+    # ROUND diverge on half-points — the win_rank_pct lesson).
+    half_up6 = lambda col: F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
     return per_doc.select(
         "doc_id",
         "n_trigrams",
-        F.round(dup_frac, 6).alias("dup_trigram_frac"),
-        F.round(top_share, 6).alias("top_bigram_share"),
+        half_up6(dup_frac).alias("dup_trigram_frac"),
+        half_up6(top_share).alias("top_bigram_share"),
         ((dup_frac <= 0.2) & (top_share <= 0.18)).alias("pass_repetition"),
     )
 
@@ -1539,16 +1576,19 @@ def llm_repetition(spark, sf_dir):
     "llm_entropy_filter",
     oracle="""
 WITH chars AS (
-    SELECT doc_id, unnest(list_transform(range(1, strlen(text) + 1),
+    -- length() (characters), NOT strlen() (bytes): must match Spark's
+    -- length() on non-ASCII text; empty docs filtered on both sides
+    -- (Spark's sequence(1,0) is [1,0], DuckDB's range(1,1) is empty).
+    SELECT doc_id, unnest(list_transform(range(1, length(text) + 1),
                                          i -> substr(text, CAST(i AS INTEGER), 1))) AS ch
-    FROM documents
+    FROM documents WHERE length(text) > 0
 ), counts AS (
     SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch
 ), per_doc AS (
     SELECT doc_id,
            CAST(SUM(c) AS BIGINT) AS n_chars_total,
-           ROUND(log2(CAST(SUM(c) AS DOUBLE))
-                 - SUM(c * log2(CAST(c AS DOUBLE))) / SUM(c), 6) AS h_char
+           FLOOR((log2(CAST(SUM(c) AS DOUBLE))
+                  - SUM(c * log2(CAST(c AS DOUBLE))) / SUM(c)) * 1000000 + 0.5) / 1000000 AS h_char
     FROM counts GROUP BY doc_id
 )
 SELECT doc_id, n_chars_total, h_char, h_char >= 3.0 AS pass_entropy
@@ -1565,19 +1605,23 @@ def llm_entropy_filter(spark, sf_dir):
     hash aggregates keyed on doc_id; identical double arithmetic both
     engines, so the entropy VALUE itself is hash-matched, not just a
     flag."""
-    chars = t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.explode(
-            F.expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")
-        ).alias("ch"),
+    chars = (
+        t(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)  # sequence(1,0) would be [1,0], not []
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")
+            ).alias("ch"),
+        )
     )
     counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    half_up6 = lambda col: F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
     per_doc = counts.groupBy("doc_id").agg(
         F.sum("c").cast("bigint").alias("n_chars_total"),
-        F.round(
+        half_up6(
             F.log2(F.sum("c").cast("double"))
-            - F.sum(F.col("c") * F.log2(F.col("c").cast("double"))) / F.sum("c"),
-            6,
+            - F.sum(F.col("c") * F.log2(F.col("c").cast("double"))) / F.sum("c")
         ).alias("h_char"),
     )
     return per_doc.select(

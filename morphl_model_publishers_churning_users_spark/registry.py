@@ -60,8 +60,9 @@ def register(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Quer
 # re-verifies known greens and the round's verification yield collapses
 # (round-2 lesson: 49/50 slots would have been wasted).
 #
-# hash_match=true rows from CORRECTNESS_r01.json + CORRECTNESS_r02.json
-# (driver, rounds 1-2). 44 r01 greens + 47 r02 greens.
+# hash_match=true rows from CORRECTNESS_r01..r03.json (driver, rounds 1-3).
+# 44 r01 greens + 47 r02 greens + 46 new r03 greens (49 r3 greens minus the
+# 3 canaries that were already listed).
 DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
         # --- round 1 greens ---
@@ -91,47 +92,69 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "subquery_exists_in", "fn_greatest_least", "dq_orphan_audit",
         "dq_profile", "win_rownum", "win_lag", "win_frame_rows",
         "win_frame_range", "win_running", "win_ntile", "win_firstlast",
+        # --- round 3 greens ---
+        "sample_rows", "sample_stratified", "ts_interval_merge",
+        "fn_string", "fn_date", "fn_math", "fn_json", "fn_array", "fn_map",
+        "fn_hash", "fn_struct", "fn_url", "fn_variant", "fn_bitwise",
+        "fn_string_distance", "fn_mask",
+        "sort_multi", "topk", "topk_nulls_last", "limit_offset",
+        "set_union", "set_union_by_name", "set_intersect",
+        "set_intersect_all", "set_except", "set_except_all",
+        "ts_tumbling", "ts_sliding", "ts_session", "ts_gap_fill",
+        "ts_resample_ohlc", "ts_ewma", "ts_funnel", "ts_retention_cohorts",
+        "ts_day_over_day", "ts_session_attrs", "ts_attribution_first_touch",
+        "ts_active_users", "ts_traffic_profile",
+        "win_median", "win_streak", "win_rank_pct", "win_nth_ignore_nulls",
+        "win_distinct_running", "win_ratio_to_report", "win_moving_zscore",
     }
 )
 
-# FAIL / no_oracle in CORRECTNESS_r02.json, repaired this round.
+# FAIL in CORRECTNESS_r03.json (fn_array_setops: driver canonicalizer chokes
+# on raw array cells — arrays now serialized via array_join, the agg_collect
+# pattern), plus keys whose contract changed this round and must re-hash
+# before being trusted again (ADVICE r3: agg_approx_distinct).
 _REVERIFY: tuple[str, ...] = (
-    "ts_interval_merge",
-    "sample_rows",
-    "sample_stratified",
+    "fn_array_setops",
+    "agg_approx_distinct",
 )
 
 # Regression canaries: a small rotating sample of already-verified keys kept
 # inside the driver's checked prefix so regressions in verified operators are
-# still detectable (ADVICE r2). Rotate the sample each round.
+# still detectable (ADVICE r2). Rotate the sample each round; 5 keys/round
+# round-robin across families so every family is re-touched within ~5 rounds.
 _CANARY: tuple[str, ...] = (
-    "join_star",      # heaviest multi-join plan
-    "agg_group",      # core hash aggregate
-    "win_rownum",     # core window
+    "join_dpp",       # dynamic partition pruning plan
+    "agg_rollup",     # multi-level aggregate
+    "win_lag",        # window offset family
+    "fn_json",        # scalar-function family (fresh r3 green)
+    "ts_tumbling",    # time-series family (fresh r3 green)
 )
 
-# Cheap/core §2 families first; slow ones (stream triggers, ML fits) later.
+# Round-4 window priority: the mandated §2.J LLM set (and the rest of the
+# llm family) has never been driver-checked — it goes first, then the §2.K
+# UDF matrix and multimodal plumbing, then ML. Remaining for round 5:
+# ml tail, join extensions, streaming, ts analytics (~31 keys, one window).
 _MODULE_RANK: dict[str, int] = {
-    "operators.scans": 1,
-    "sources.json_source": 1,
-    "sources.csv_source": 1,
-    "sources.orc_source": 1,
-    "sources.ga_source": 1,
-    "sources.python_ds": 1,
-    "operators.rowops": 2,
-    "operators.windows": 3,
-    "functions.scalar": 4,
-    "operators.setops": 5,
+    "operators.llm": 1,
+    "operators.udfs": 2,
+    "operators.multimodal": 3,
+    "operators.ml": 4,
+    "operators.joins": 5,
     "operators.timeseries": 6,
-    "operators.analytics": 6,
-    "operators.udfs": 7,
-    "operators.llm": 8,
-    "operators.multimodal": 9,
-    "sources.stream_source": 10,
-    "streaming.ops": 10,
-    "operators.ml": 11,
-    "operators.aggregates": 12,
-    "operators.joins": 12,
+    "sources.stream_source": 7,
+    "streaming.ops": 7,
+    "operators.scans": 8,
+    "sources.json_source": 8,
+    "sources.csv_source": 8,
+    "sources.orc_source": 8,
+    "sources.ga_source": 8,
+    "sources.python_ds": 8,
+    "operators.rowops": 9,
+    "operators.windows": 9,
+    "functions.scalar": 9,
+    "operators.setops": 9,
+    "operators.analytics": 9,
+    "operators.aggregates": 10,
 }
 
 
