@@ -111,6 +111,23 @@ def _canon_frame(df: pd.DataFrame) -> Counter:
 
 
 def compare(spark_df, oracle_sql: str, sf_dir: str) -> None:
+    # Driver-canonicalizer guard (VERDICT r3 item 9): the driver sorts
+    # result rows with pandas sort_values before hashing, which CRASHES
+    # on raw array/map/struct cells (unhashable ndarray — the r3
+    # fn_array_setops failure). Any oracle-twinned query must serialize
+    # complex columns (array_join / to_json) before returning.
+    import pyspark.sql.types as _T
+
+    complex_cols = [
+        f.name
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, (_T.ArrayType, _T.MapType, _T.StructType))
+    ]
+    assert not complex_cols, (
+        f"oracle-twinned query emits raw complex-typed columns {complex_cols}; "
+        "serialize them (array_join/to_json) or the driver harness will crash"
+    )
+
     con = duck_connect(sf_dir)
     try:
         o_df = con.execute(oracle_sql).df()

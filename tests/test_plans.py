@@ -351,3 +351,21 @@ def test_fuzzy_dedup_join_reads_materialized_signatures(spark, sf_dir):
     assert "ExistingRDD" in plan
     assert "concat_ws" not in plan  # shingle lambda fully precomputed
     assert "Scan parquet" not in plan  # no side re-derives from the source
+
+
+def test_skew_salted_join_spreads_hot_key(spark, sf_dir):
+    """The salted join must actually shuffle on (key, salt) — BOTH keys
+    in the join condition — with the dim side exploded across all salt
+    values. Forced to the shuffle path: the hot-key scenario this op
+    exists for is exactly when the dim is too big to broadcast."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(spark, sf_dir, "join_skew_salted")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    left_keys = [l for l in plan.splitlines() if l.startswith("Left keys")][0]
+    assert "Left keys [2]" in left_keys and "salt" in left_keys
+    gen = [l for l in plan.splitlines() if "explode" in l]
+    assert gen and "[0,1,2,3,4,5,6,7]" in gen[0]  # dim × all 8 salts
