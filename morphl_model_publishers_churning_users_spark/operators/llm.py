@@ -1627,3 +1627,201 @@ def llm_entropy_filter(spark, sf_dir):
     return per_doc.select(
         "doc_id", "n_chars_total", "h_char", (F.col("h_char") >= 3.0).alias("pass_entropy")
     )
+
+
+@register(
+    "llm_mixture_balance",
+    oracle=r"""
+WITH d AS (
+    SELECT source, lang,
+           len(string_split_regex(trim(text), '\s+')) AS n_tok
+    FROM documents
+), g AS (
+    SELECT source, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM d GROUP BY source, lang
+), tot AS (
+    SELECT CAST(SUM(n_tokens) AS DOUBLE) AS tot_tokens,
+           CAST(COUNT(*) AS DOUBLE) AS n_groups
+    FROM g
+)
+SELECT source, lang, n_docs, n_tokens,
+       FLOOR(n_tokens / tot_tokens * 1000000 + 0.5) / 1000000 AS actual_share,
+       FLOOR(1.0 / n_groups * 1000000 + 0.5) / 1000000 AS target_share,
+       FLOOR(LEAST((1.0 / n_groups) / (n_tokens / tot_tokens), 4.0) * 1000000 + 0.5) / 1000000 AS sample_weight
+FROM g, tot
+""",
+)
+def llm_mixture_balance(spark, sf_dir):
+    """Training-mixture rebalancing — the per-(source, language) sampling
+    weights that reshape a crawled corpus toward a target mixture (here:
+    uniform over groups, the common starting point before hand-tuned
+    mixture ratios). actual_share is each group's token share;
+    sample_weight = target/actual capped at 4.0 (never upsample a tiny
+    group unboundedly). One corpus-sized hash aggregate on (source,
+    lang) + one broadcast scalar — the group table is vocabulary-sized,
+    so at 100 TB the only data-sized cost is the map-side token count.
+    Shares are rounded with the bit-identical floor(x·1e6+0.5)/1e6 form
+    on both engines."""
+    d = t(spark, sf_dir, "documents").select(
+        "source", "lang", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok")
+    )
+    g = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+    )
+    tot = g.agg(
+        F.sum("n_tokens").cast("double").alias("tot_tokens"),
+        F.count(F.lit(1)).cast("double").alias("n_groups"),
+    )
+    half_up6 = lambda col: F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    actual = F.col("n_tokens") / F.col("tot_tokens")
+    target = F.lit(1.0) / F.col("n_groups")
+    return g.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        half_up6(actual).alias("actual_share"),
+        half_up6(target).alias("target_share"),
+        half_up6(F.least(target / actual, F.lit(4.0))).alias("sample_weight"),
+    )
+
+
+@register(
+    "llm_winnow_fingerprint",
+    oracle=r"""
+WITH base AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+    FROM documents
+), kg AS (
+    SELECT doc_id,
+           list_transform(range(1, len(w) - 1),
+                          i -> md5(w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS kgs
+    FROM base WHERE len(w) >= 3
+), fp AS (
+    SELECT doc_id, CAST(len(kgs) AS BIGINT) AS n_kgrams,
+           CASE WHEN len(kgs) >= 4
+                THEN list_transform(range(1, len(kgs) - 2),
+                                    i -> list_aggregate(list_slice(kgs, i, i + 3), 'min'))
+                ELSE [list_aggregate(kgs, 'min')] END AS fps
+    FROM kg
+)
+SELECT doc_id, n_kgrams,
+       CAST(len(list_distinct(fps)) AS BIGINT) AS n_fingerprints,
+       array_to_string(list_slice(list_sort(list_distinct(fps)), 1, 3), ',') AS fp_head
+FROM fp
+""",
+)
+def llm_winnow_fingerprint(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm) — the substring-level dedup/contamination primitive
+    that suffix arrays give exactly and Spark can't afford: hash every
+    3-word k-gram, then keep the MINIMUM hash of each sliding window of
+    4 k-grams. Guarantees any shared run ≥ 6 words yields at least one
+    shared fingerprint, at ~1/4 the stored hashes. Entirely narrow
+    per-doc array math in codegen — zero shuffles; a downstream
+    fingerprint equi-join (the llm_contamination shape) finds candidate
+    substring matches. md5 (not xxhash) so the fingerprints are
+    bit-identical on both engines; windows shorter than 4 degrade to
+    one whole-doc fingerprint on both sides."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w")
+    ).filter(F.size("w") >= 3)
+    kg = d.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, size(w) - 2),"
+            " i -> md5(concat_ws(' ', element_at(w, i), element_at(w, i + 1),"
+            " element_at(w, i + 2))))"
+        ).alias("kgs"),
+    )
+    fp = kg.select(
+        "doc_id",
+        F.size("kgs").cast("bigint").alias("n_kgrams"),
+        F.when(
+            F.size("kgs") >= 4,
+            F.expr("transform(sequence(1, size(kgs) - 3), i -> array_min(slice(kgs, i, 4)))"),
+        )
+        .otherwise(F.array(F.array_min("kgs")))
+        .alias("fps"),
+    )
+    return fp.select(
+        "doc_id",
+        "n_kgrams",
+        F.size(F.array_distinct("fps")).cast("bigint").alias("n_fingerprints"),
+        F.array_join(
+            F.slice(F.array_sort(F.array_distinct("fps")), 1, 3), ","
+        ).alias("fp_head"),
+    )
+
+
+@register(
+    "llm_embed_quantize",
+    oracle="""
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+    FROM embeddings
+), s AS (
+    SELECT vec_id, emb,
+           GREATEST(list_aggregate(list_transform(emb, x -> abs(x)), 'max'), 1e-12) / 127.0 AS scale
+    FROM e
+), q AS (
+    SELECT vec_id, emb, scale,
+           list_transform(emb, x -> FLOOR(x / scale + 0.5)) AS codes
+    FROM s
+)
+SELECT vec_id,
+       CAST(len(emb) AS BIGINT) AS n_dims,
+       FLOOR(scale * 1000000 + 0.5) / 1000000 AS scale_q,
+       CAST(list_aggregate(codes, 'sum') AS BIGINT) AS q_checksum,
+       FLOOR(list_aggregate(
+               list_transform(range(1, len(emb) + 1),
+                              i -> (emb[i] - codes[i] * scale) * (emb[i] - codes[i] * scale)),
+               'sum') / len(emb) * 1000000 + 0.5) / 1000000 AS mse
+FROM q
+""",
+)
+def llm_embed_quantize(spark, sf_dir):
+    """Symmetric int8 scalar quantization of the embedding column — the
+    4× storage/bandwidth cut every 100 TB ANN index takes before IVF/PQ:
+    per-vector scale = max|x|/127, codes = round(x/scale), plus the
+    reconstruction MSE that monitors quantization loss. Entirely narrow
+    array arithmetic in whole-stage codegen (no shuffle, no Python);
+    code rounding uses floor(x+0.5) so Spark and DuckDB produce
+    bit-identical int8 codes, and the checksum/MSE hash-verify the
+    whole codebook, not just its shape."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    s = e.select(
+        "vec_id",
+        "emb",
+        (
+            F.greatest(
+                F.expr("aggregate(emb, 0D, (a, x) -> greatest(a, abs(x)))"),
+                F.lit(1e-12),
+            )
+            / F.lit(127.0)
+        ).alias("scale"),
+    )
+    q = s.select(
+        "vec_id",
+        "emb",
+        "scale",
+        F.expr("transform(emb, x -> floor(x / scale + 0.5))").alias("codes"),
+    )
+    half_up6 = lambda col: F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    return q.select(
+        "vec_id",
+        F.size("emb").cast("bigint").alias("n_dims"),
+        half_up6(F.col("scale")).alias("scale_q"),
+        F.expr("aggregate(codes, 0L, (a, x) -> a + cast(x as long))").alias("q_checksum"),
+        half_up6(
+            F.expr(
+                "aggregate(zip_with(emb, codes, (x, c) -> (x - c * scale) * (x - c * scale)),"
+                " 0D, (a, x) -> a + x)"
+            )
+            / F.size("emb")
+        ).alias("mse"),
+    )

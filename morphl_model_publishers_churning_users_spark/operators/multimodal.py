@@ -248,3 +248,73 @@ def mm_resize(spark, sf_dir):
     Narrow per-partition transform, no shuffle; the production decode
     swaps in PIL without touching the Spark plan."""
     return _binify(spark, sf_dir).mapInPandas(_resize, schema=_RESIZE_SCHEMA)
+
+
+_PHASH_SCHEMA = "doc_id bigint, phash bigint"
+
+
+def _phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Average-hash over the decoded pixel plane: bit i set iff pixel i
+    is strictly brighter than the image mean. The real-image version
+    grayscales + resizes to 8x8 with PIL first; the hash math and the
+    Arrow batch shape are identical."""
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "phash": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            dec = decode_media(payload)
+            if dec["modality"] != "image":
+                continue
+            px = dec["samples"]
+            mean = sum(px) / len(px)
+            h = 0
+            for i, p in enumerate(px):
+                if p > mean:
+                    h |= 1 << i
+            out["doc_id"].append(doc_id)
+            out["phash"].append(h)
+        yield pd.DataFrame(out)
+
+
+@register(
+    "mm_phash_dedup",
+    oracle=f"""
+WITH px AS (
+    SELECT doc_id, 8 * (4 + doc_id % 4) AS n,
+           list_transform(range(0, 8 * (4 + doc_id % 4)),
+                          i -> (doc_id * {_A1} + i * {_A2}) % 256) AS samples
+    FROM documents WHERE doc_id % 3 = 0
+), h AS (
+    SELECT doc_id,
+           CAST(list_aggregate(samples, 'sum') AS DOUBLE) / n AS mean,
+           samples, n
+    FROM px
+), p AS (
+    SELECT doc_id,
+           CAST(list_aggregate(list_transform(range(0, n),
+                i -> CASE WHEN samples[i + 1] > mean THEN 1::BIGINT << i ELSE 0 END),
+                'sum') AS BIGINT) AS phash
+    FROM h
+)
+SELECT doc_id, phash,
+       CAST(COUNT(*) OVER (PARTITION BY phash) AS BIGINT) AS group_size,
+       MIN(doc_id) OVER (PARTITION BY phash) AS keep_doc_id
+FROM p
+""",
+)
+def mm_phash_dedup(spark, sf_dir):
+    """Perceptual-hash image dedup — the first-pass near-dup filter every
+    100 TB multimodal corpus runs before any embedding model: decode the
+    binary image column executor-side (Arrow batches), compute a 64-bit
+    average-hash per image, then group identical hashes into dup groups
+    keeping the lowest doc_id. Decode + hash are narrow (zero shuffle);
+    the only exchange is the hash groupBy on one 64-bit key — the
+    llm_dedup_exact shape, through the multimodal decode path. Hamming-
+    near pairs extend via banded equi-join (the llm_dedup_simhash
+    pattern) without changing this op's plan. The oracle recomputes the
+    identical hash from the format's deterministic sample stream."""
+    hashes = _binify(spark, sf_dir).mapInPandas(_phash, schema=_PHASH_SCHEMA)
+    groups = hashes.groupBy("phash").agg(
+        F.count(F.lit(1)).cast("bigint").alias("group_size"),
+        F.min("doc_id").alias("keep_doc_id"),
+    )
+    return hashes.join(groups, "phash").select("doc_id", "phash", "group_size", "keep_doc_id")

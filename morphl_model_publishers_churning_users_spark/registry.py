@@ -158,6 +158,17 @@ _MODULE_RANK: dict[str, int] = {
 }
 
 
+# Key-level rank overrides (take precedence over _MODULE_RANK): operators
+# ADDED mid-round go behind the already pre-verified round-4 window so they
+# don't displace keys the driver is about to check; they queue for round 5.
+_KEY_RANK: dict[str, int] = {
+    "llm_mixture_balance": 6,
+    "llm_winnow_fingerprint": 6,
+    "llm_embed_quantize": 6,
+    "mm_phash_dedup": 6,
+}
+
+
 def _driver_rank(key: str) -> tuple[int, int]:
     if key in _REVERIFY:
         return (0, _REVERIFY.index(key))
@@ -165,6 +176,8 @@ def _driver_rank(key: str) -> tuple[int, int]:
         return (0, 50 + _CANARY.index(key))
     if key in DRIVER_VERIFIED:
         return (99, 0)
+    if key in _KEY_RANK:
+        return (_KEY_RANK[key], 0)
     mod = QUERIES[key].__module__
     short = mod.split("morphl_model_publishers_churning_users_spark.")[-1]
     return (_MODULE_RANK.get(short, 50), 0)

@@ -369,3 +369,21 @@ def test_skew_salted_join_spreads_hot_key(spark, sf_dir):
     assert "Left keys [2]" in left_keys and "salt" in left_keys
     gen = [l for l in plan.splitlines() if "explode" in l]
     assert gen and "[0,1,2,3,4,5,6,7]" in gen[0]  # dim × all 8 salts
+
+
+def test_winnow_and_quantize_are_narrow(spark, sf_dir):
+    """Winnowing fingerprints and int8 quantization are pure per-row
+    array math — zero exchanges, linear scale-out."""
+    for key in ("llm_winnow_fingerprint", "llm_embed_quantize"):
+        plan = _plan(spark, sf_dir, key)
+        assert "Exchange" not in plan, key
+        assert "BatchEvalPython" not in plan, key  # stays in codegen
+
+
+def test_mixture_balance_broadcasts_totals(spark, sf_dir):
+    """The corpus-total scalar must broadcast onto the vocabulary-sized
+    group table — corpus rows shuffle once (the groupBy), never for the
+    share computation."""
+    plan = _plan(spark, sf_dir, "llm_mixture_balance")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
