@@ -309,6 +309,7 @@ def llm_dedup_ngram(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     grams = (
         d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("w"))
+        .filter(F.size("w") >= 3)  # ANSI: the shingle lambda indexes OOB on short docs
         .select("doc_id", F.explode(F.expr(_NGRAM_SH_SPARK)).alias("g"))
         .distinct()
     )
@@ -828,6 +829,7 @@ def llm_fingerprint(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     grams = (
         d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("w"))
+        .filter(F.size("w") >= 3)  # ANSI: the shingle lambda indexes OOB on short docs
         .select("doc_id", F.explode(F.expr(_NGRAM_SH_SPARK)).alias("g"))
         .distinct()
         .select("doc_id", F.md5("g").alias("h"))
@@ -1004,6 +1006,7 @@ def llm_contamination(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     grams = (
         d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("w"))
+        .filter(F.size("w") >= 3)  # ANSI: the shingle lambda indexes OOB on short docs
         .select("doc_id", F.explode(F.expr(_NGRAM_SH_SPARK)).alias("g"))
         .distinct()
     )
@@ -1405,6 +1408,7 @@ def llm_ngram_freq(spark, sf_dir):
     )
     return (
         d.select(F.split(F.trim("text"), " ").alias("w"))
+        .filter(F.size("w") >= 2)  # ANSI: sequence(1,0)=[1,0] indexes OOB on 1-word docs
         .select(F.explode(F.expr(bigram_expr)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))

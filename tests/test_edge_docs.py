@@ -34,7 +34,19 @@ _EDGE_DOCS = [
     (900006, "aaaa aaaa aaaa aaaa aaaa aaaa", "en", "edge", 29),
 ]
 
-_KEYS = ["llm_repetition", "llm_entropy_filter", "llm_dedup_fuzzy", "llm_textstats", "llm_tokens"]
+_KEYS = [
+    "llm_repetition",
+    "llm_entropy_filter",
+    "llm_dedup_fuzzy",
+    "llm_textstats",
+    "llm_tokens",
+    # every other op whose Spark side indexes into word arrays
+    "llm_dedup_ngram",
+    "llm_fingerprint",
+    "llm_contamination",
+    "llm_ngram_freq",
+    "llm_winnow_fingerprint",
+]
 
 
 @pytest.fixture(scope="module")
