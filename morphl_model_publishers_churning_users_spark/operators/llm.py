@@ -1829,3 +1829,310 @@ def llm_embed_quantize(spark, sf_dir):
             / F.size("emb")
         ).alias("mse"),
     )
+
+
+# ------------------------------------------------- pure-SQL MinHash banding
+
+@register(
+    "llm_dedup_minhash_sql",
+    oracle=r"""
+WITH base AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
+    FROM documents
+), base3 AS (
+    SELECT * FROM base WHERE len(words) >= 3
+), sh AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(1, len(words) - 1),
+                  i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2])) AS s
+    FROM base3
+), sig AS (
+    SELECT doc_id, COUNT(*) AS sz,
+           MIN(md5('0:' || s)) AS h0, MIN(md5('1:' || s)) AS h1,
+           MIN(md5('2:' || s)) AS h2, MIN(md5('3:' || s)) AS h3,
+           MIN(md5('4:' || s)) AS h4, MIN(md5('5:' || s)) AS h5,
+           MIN(md5('6:' || s)) AS h6, MIN(md5('7:' || s)) AS h7
+    FROM sh GROUP BY doc_id
+), bands AS (
+    SELECT doc_id, b.b AS band_id,
+           CASE b.b WHEN 0 THEN md5(h0 || h1) WHEN 1 THEN md5(h2 || h3)
+                    WHEN 2 THEN md5(h4 || h5) ELSE md5(h6 || h7) END AS bh
+    FROM sig, (SELECT unnest(range(0, 4)) AS b) b
+), pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
+), inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b,
+       FLOOR(CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common)
+             * 1000000 + 0.5) / 1000000 AS jaccard,
+       CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common) >= 0.4 AS is_dup
+FROM pairs p
+JOIN inter i ON p.doc_a = i.doc_a AND p.doc_b = i.doc_b
+JOIN sig sa ON p.doc_a = sa.doc_id
+JOIN sig sb ON p.doc_b = sb.doc_id
+""",
+)
+def llm_dedup_minhash_sql(spark, sf_dir):
+    """MinHash banding near-dup detection as PURE whole-stage-codegen SQL
+    — no MLlib, no Python, no driver round-trips: the shape a 100 TB
+    near-dup pass actually runs.
+
+    8 md5-seeded min-hashes over distinct 3-word shingles (min of
+    md5('seed:' || shingle) per seed — one hash-shuffle aggregation),
+    banded 4×2 (band hash = md5(h_{2b} || h_{2b+1})); candidate pairs
+    come from an equi-join on (band_id, band_hash) — the classic LSH
+    blocking, never all-pairs. Candidates are then EXACT-rescored:
+    shingle sets are semi-joined down to candidate docs first, so the
+    rescore join touches only candidate shingles, not the corpus.
+    Banding math: P(candidate) = 1 - (1 - J^2)^4, ≈ 0.50 at J = 0.4,
+    ≈ 0.97 at J = 0.7 — the band/row split is the recall/cost knob.
+    md5 (not xxhash64) so signatures are bit-identical across engines
+    and the oracle twin is EXACT, not an anchor: this is the only
+    near-dup operator in the family whose full pair set hash-matches
+    the oracle."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w"))
+        .filter(F.size("w") >= 3)  # ANSI: shingle lambda indexes OOB on short docs
+    )
+    sh = d.select("doc_id", F.explode(F.expr(_NGRAM_SH_SPARK)).alias("s")).distinct()
+    sig = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("sz"),
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
+            for i in range(8)
+        ],
+    )
+    band_arr = F.array(
+        *[F.md5(F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"))) for b in range(4)]
+    )
+    bands = sig.select("doc_id", F.posexplode(band_arr).alias("band_id", "bh"))
+    pa = bands.select(F.col("doc_id").alias("doc_a"), "band_id", "bh")
+    pb = bands.select(F.col("doc_id").alias("doc_b"), "band_id", "bh")
+    pairs = (
+        pa.join(pb, ["band_id", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    cand_docs = pairs.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
+    sh_c = sh.join(cand_docs, "doc_id", "left_semi")
+    ia = sh_c.select(F.col("doc_id").alias("doc_a"), "s")
+    ib = sh_c.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        ia.join(ib, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+    half_up6 = lambda col: F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"])
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            half_up6(jac).alias("jaccard"),
+            (jac >= 0.4).alias("is_dup"),
+        )
+    )
+
+
+# ----------------------------------------------------------------- SemDeDup
+
+@register(
+    "llm_semdedup",
+    oracle=f"""
+WITH sig AS (
+    SELECT vec_id, embedding, {_SIGN_BUCKET_DUCK} AS bucket
+    FROM embeddings
+), pairs AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id,
+         generate_series(1, 64) g(i)
+    GROUP BY 1, 2
+    HAVING ROUND(
+             SUM(CAST(a.embedding[g.i] AS DOUBLE) * CAST(b.embedding[g.i] AS DOUBLE))
+             / (SQRT(SUM(CAST(a.embedding[g.i] AS DOUBLE) * CAST(a.embedding[g.i] AS DOUBLE)))
+                * SQRT(SUM(CAST(b.embedding[g.i] AS DOUBLE) * CAST(b.embedding[g.i] AS DOUBLE)))),
+             6) >= 0.3
+), dropped AS (
+    SELECT DISTINCT vec_b AS vec_id FROM pairs
+)
+SELECT s.vec_id, s.bucket, d.vec_id IS NULL AS is_kept
+FROM sig s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+""",
+)
+def llm_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) — semantic dedup over the embedding
+    column with an explicit KEEP/DROP policy, not just pair detection:
+    bucket by deterministic sign-bit hyperplanes (the oracle-expressible
+    stand-in for the paper's k-means cells; same blocking bound — pair
+    work is sum over buckets of |b|², never n²), exact-cosine within
+    the bucket, and greedily keep the LOWEST vec_id of every near-dup
+    pair (a pair survivor policy that needs no iterative connected
+    components — each drop decision is one local pair test, so the
+    whole op is two hash shuffles). At 100 TB the bucket bit-count
+    grows as log2(n / target_bucket_size) and the per-bucket quadratic
+    term stays constant."""
+    e = t(spark, sf_dir, "embeddings")
+    sig = e.select("vec_id", "embedding", F.expr(_SIGN_BUCKET_SPARK).alias("bucket"))
+    a = sig.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("qe"),
+        F.expr(_NORM.format(c="embedding")).alias("na"),
+        "bucket",
+    )
+    b = sig.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("ce"),
+        F.expr(_NORM.format(c="embedding")).alias("nb"),
+        "bucket",
+    )
+    cos = F.round(F.expr(_DOT) / (F.col("na") * F.col("nb")), 6)
+    dropped = (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= 0.3)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(True))
+    )
+    return sig.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        "bucket",
+        F.col("is_dropped").isNull().alias("is_kept"),
+    )
+
+
+# ------------------------------------------------------- perplexity filter
+
+@register(
+    "llm_perplexity_filter",
+    oracle=r"""
+WITH docs AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+    FROM documents WHERE length(trim(text)) > 0
+), words AS (
+    SELECT doc_id, unnest(w) AS word FROM docs
+), vocab AS (
+    SELECT word, COUNT(*) AS c FROM words GROUP BY word
+), corpus AS (
+    SELECT SUM(c) AS n, COUNT(*) AS v FROM vocab
+), nll AS (
+    SELECT w.doc_id,
+           COUNT(*) AS n_words,
+           SUM(-log2((vocab.c + 1.0) / (corpus.n + corpus.v))) / COUNT(*) AS h
+    FROM words w JOIN vocab USING (word), corpus
+    GROUP BY w.doc_id
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       FLOOR(h * 1000000 + 0.5) / 1000000 AS cross_entropy,
+       h <= 9.0 AS is_kept
+FROM nll
+""",
+)
+def llm_perplexity_filter(spark, sf_dir):
+    """Unigram-LM perplexity filter — the CCNet/Gopher-style quality
+    gate: train an add-one-smoothed unigram LM on the corpus itself
+    (one word-count aggregation), score every document by its mean
+    cross-entropy −(1/|d|)·Σ log2 p(w), and keep documents under a
+    bits-per-word ceiling (high-perplexity docs are gibberish/noise;
+    suspiciously low ones are boilerplate). Two shuffles total: the
+    vocab count and the per-doc mean; the scoring join broadcasts the
+    vocab (bounded by language, ≪ corpus — Spark's AQE picks the
+    broadcast automatically when it fits, hash-join otherwise)."""
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w"))
+    )
+    words = docs.select("doc_id", F.explode("w").alias("word"))
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    corpus = vocab.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+    )
+    nll_word = -F.log2((F.col("c") + F.lit(1.0)) / (F.col("n") + F.col("v")))
+    half_up6 = lambda col: F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    h = F.sum(nll_word) / F.count(F.lit(1))
+    return (
+        words.join(F.broadcast(vocab), "word")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            half_up6(h).alias("cross_entropy"),
+            (h <= 9.0).alias("is_kept"),
+        )
+    )
+
+
+# ------------------------------------------------ composed corpus pipeline
+
+@register(
+    "llm_cc_pipeline",
+    oracle=r"""
+WITH scored AS (
+    SELECT doc_id, lang, source, n_chars,
+           len(string_split_regex(lower(trim(text)), '\s+')) AS n_words,
+           md5(lower(trim(text))) AS content_hash
+    FROM documents
+), gated AS (
+    SELECT * FROM scored
+    WHERE n_words >= 20 AND n_chars BETWEEN 100 AND 5000
+      AND lang IN ('en', 'de', 'fr', 'es')
+), deduped AS (
+    SELECT * FROM gated
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY doc_id) = 1
+)
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+       CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+FROM deduped GROUP BY 1, 2
+""",
+)
+def llm_cc_pipeline(spark, sf_dir):
+    """The composed corpus-cleanup pipeline (CommonCrawl-style): quality
+    gate (word/char bounds) → language filter → exact dedup (keep
+    lowest doc_id per normalized-content hash) → per-(lang, source)
+    mixture summary. One end-to-end query showing the operators
+    compose: the gate and language filter are scan-level predicates
+    (pushed below everything), dedup is one hash shuffle on the
+    content hash, and the summary is one partial-aggregated rollup —
+    three narrow stages regardless of corpus size. The per-source
+    token totals are exactly what llm_mixture_balance consumes
+    upstream of sampling."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.size(F.split(F.lower(F.trim("text")), r"\s+")).alias("n_words"),
+        F.md5(F.lower(F.trim("text"))).alias("content_hash"),
+    )
+    gated = d.filter(
+        (F.col("n_words") >= 20)
+        & F.col("n_chars").between(100, 5000)
+        & F.col("lang").isin("en", "de", "fr", "es")
+    )
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    deduped = gated.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return deduped.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_words").alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars_total"),
+    )

@@ -419,3 +419,67 @@ def ml_pca_embed(spark, sf_dir):
         [(i, bool(0.0 <= v <= 1.0), bool(spectrum)) for i, v in vals],
         "component int, var_ok boolean, spectrum_ok boolean",
     )
+
+
+@register(
+    "ml_calibration_bins",
+    oracle="""
+WITH u AS (
+    SELECT user_id, MAX(ts) AS last_ts FROM events GROUP BY user_id
+), m AS (
+    SELECT MAX(last_ts) AS cmax FROM u
+), s AS (
+    SELECT user_id, last_ts, epoch_us(m.cmax) - epoch_us(last_ts) AS rec
+    FROM u, m
+), mx AS (
+    SELECT GREATEST(MAX(rec), 1) AS maxrec FROM s
+), scored AS (
+    SELECT CAST(rec AS DOUBLE) / maxrec AS score,
+           CASE WHEN last_ts < TIMESTAMP '2024-01-29 20:00:00' THEN 1 ELSE 0 END AS churned
+    FROM s, mx
+)
+SELECT CAST(LEAST(FLOOR(score * 10), 9) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       FLOOR(AVG(score) * 1000000 + 0.5) / 1000000 AS mean_score,
+       FLOOR(AVG(churned) * 1000000 + 0.5) / 1000000 AS churn_rate
+FROM scored GROUP BY 1
+""",
+)
+def ml_calibration_bins(spark, sf_dir):
+    """Model-calibration readout (reliability diagram bins): bucket a
+    deterministic churn-risk score — recency scaled to [0, 1] by the
+    corpus-max recency — into deciles and report the observed churn
+    rate per bin, the curve an ml_eval step plots to check that
+    predicted probabilities mean what they say. Fully oracle-twinned
+    (unlike the fitted-model stages) because the score is exact integer
+    arithmetic: microsecond recencies divided as int64 ratios, so both
+    engines bin identically. Two aggregations and two broadcast scalars
+    — no per-model state, scales as a pure groupBy."""
+    e = t(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(F.max("ts").alias("last_ts"))
+    m = u.agg(F.max("last_ts").alias("cmax"))
+    # timestampdiff, not unix_micros: events.ts is TIMESTAMP_NTZ (catalog
+    # nanos conversion) and the diff must be timezone-free so it matches
+    # DuckDB's naive epoch_us subtraction even across DST boundaries.
+    s = u.crossJoin(F.broadcast(m)).select(
+        "user_id",
+        "last_ts",
+        F.expr("timestampdiff(MICROSECOND, last_ts, cmax)").alias("rec"),
+    )
+    mx = s.agg(F.greatest(F.max("rec"), F.lit(1)).alias("maxrec"))
+    scored = s.crossJoin(F.broadcast(mx)).select(
+        (F.col("rec").cast("double") / F.col("maxrec")).alias("score"),
+        F.when(
+            F.col("last_ts") < F.to_timestamp(F.lit("2024-01-29 20:00:00")), 1
+        )
+        .otherwise(0)
+        .alias("churned"),
+    )
+    half_up6 = lambda col: F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    return scored.groupBy(
+        F.least(F.floor(F.col("score") * 10), F.lit(9)).cast("bigint").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        half_up6(F.avg("score")).alias("mean_score"),
+        half_up6(F.avg("churned")).alias("churn_rate"),
+    )

@@ -166,6 +166,11 @@ _KEY_RANK: dict[str, int] = {
     "llm_winnow_fingerprint": 6,
     "llm_embed_quantize": 6,
     "mm_phash_dedup": 6,
+    "llm_dedup_minhash_sql": 6,
+    "llm_semdedup": 6,
+    "llm_perplexity_filter": 6,
+    "llm_cc_pipeline": 6,
+    "ml_calibration_bins": 6,
 }
 
 

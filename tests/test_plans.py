@@ -387,3 +387,40 @@ def test_mixture_balance_broadcasts_totals(spark, sf_dir):
     plan = _plan(spark, sf_dir, "llm_mixture_balance")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_minhash_sql_blocks_on_band_hash(spark, sf_dir):
+    """The pure-SQL MinHash path must stay entirely in codegen (no
+    MLlib/Python boundary) and must generate candidates through the
+    band-hash equi-join — any cartesian/NLJ in the plan means the
+    blocking collapsed and the op would be O(n²) at scale."""
+    plan = _plan(spark, sf_dir, "llm_dedup_minhash_sql")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_semdedup_joins_only_on_bucket(spark, sf_dir):
+    """SemDeDup's pair generation must be the bucket equi-join — the
+    |b|² bound depends on it."""
+    plan = _plan(spark, sf_dir, "llm_semdedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_perplexity_broadcasts_vocab_and_scalar(spark, sf_dir):
+    """Scoring joins the corpus against the vocab LM and the 1-row
+    corpus total — both must broadcast; a sort-merge join here would
+    shuffle the exploded word stream a second time."""
+    plan = _plan(spark, sf_dir, "llm_perplexity_filter")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_cc_pipeline_pushes_gate_to_scan(spark, sf_dir):
+    """The quality/language gate must reach the parquet scan as pushed
+    filters (lang + n_chars are plain columns), so at 100 TB the
+    pipeline decodes only candidate row groups."""
+    plan = _plan(spark, sf_dir, "llm_cc_pipeline")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "n_chars" in pushed[0] and "lang" in pushed[0]
