@@ -33,6 +33,8 @@ HEADLINE = [
     "llm_dedup_exact",  # corpus hash dedup
     "llm_simsearch",    # cosine top-k
     "raw_dedup_fuzzy",  # MinHash-LSH near-dup (bucketed similarity join)
+    "llm_dedup_minhash_sql",  # pure-codegen MinHash banding + exact rescore
+    "llm_cc_pipeline",  # composed corpus-cleanup pipeline
     "raw_simsearch_ann",  # random-projection LSH ANN
     "topk",             # TakeOrdered
     "agg_stats",        # statistical aggs

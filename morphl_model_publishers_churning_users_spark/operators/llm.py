@@ -1882,13 +1882,16 @@ def llm_dedup_minhash_sql(spark, sf_dir):
     — no MLlib, no Python, no driver round-trips: the shape a 100 TB
     near-dup pass actually runs.
 
-    8 md5-seeded min-hashes over distinct 3-word shingles (min of
-    md5('seed:' || shingle) per seed — one hash-shuffle aggregation),
-    banded 4×2 (band hash = md5(h_{2b} || h_{2b+1})); candidate pairs
-    come from an equi-join on (band_id, band_hash) — the classic LSH
-    blocking, never all-pairs. Candidates are then EXACT-rescored:
-    shingle sets are semi-joined down to candidate docs first, so the
-    rescore join touches only candidate shingles, not the corpus.
+    8 md5-seeded min-hashes over distinct 3-word shingles, banded 4×2
+    (band hash = md5(h_{2b} || h_{2b+1})); candidate pairs come from an
+    equi-join on (band_id, band_hash) — the classic LSH blocking, never
+    all-pairs. min() is duplicate-insensitive, so the whole signature
+    (array_distinct → array_min over a transform) is computed PER DOC
+    inside one narrow projection: ZERO shuffles until the band join
+    itself — corpus size only ever flows through the 4-rows-per-doc
+    band exchange. Candidates are then EXACT-rescored: shingle sets are
+    semi-joined down to candidate docs first, so the rescore join
+    touches only candidate shingles, not the corpus.
     Banding math: P(candidate) = 1 - (1 - J^2)^4, ≈ 0.50 at J = 0.4,
     ≈ 0.97 at J = 0.7 — the band/row split is the recall/cost knob.
     md5 (not xxhash64) so signatures are bit-identical across engines
@@ -1902,11 +1905,24 @@ def llm_dedup_minhash_sql(spark, sf_dir):
         .select("doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w"))
         .filter(F.size("w") >= 3)  # ANSI: shingle lambda indexes OOB on short docs
     )
-    sh = d.select("doc_id", F.explode(F.expr(_NGRAM_SH_SPARK)).alias("s")).distinct()
-    sig = sh.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("sz"),
+    # Per-doc distinct shingle ARRAY, not an exploded table: the
+    # signature needs min-per-seed over the shingle set, and min is
+    # duplicate-insensitive, so everything up to the band join is a
+    # narrow projection. Materialized once (eager localCheckpoint)
+    # because it feeds both the signature path and the candidate
+    # rescore — in production this is the persisted index artifact,
+    # same rationale as the MinHashLSH signature checkpoint in
+    # raw_dedup_fuzzy.
+    doc_sh = d.select(
+        "doc_id", F.array_distinct(F.expr(_NGRAM_SH_SPARK)).alias("sarr")
+    ).localCheckpoint(eager=True)
+    sig = doc_sh.select(
+        "doc_id",
+        F.size("sarr").cast("bigint").alias("sz"),
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
+            F.array_min(
+                F.expr(f"transform(sarr, s -> md5(concat('{i}:', s)))")
+            ).alias(f"h{i}")
             for i in range(8)
         ],
     )
@@ -1916,16 +1932,21 @@ def llm_dedup_minhash_sql(spark, sf_dir):
     bands = sig.select("doc_id", F.posexplode(band_arr).alias("band_id", "bh"))
     pa = bands.select(F.col("doc_id").alias("doc_a"), "band_id", "bh")
     pb = bands.select(F.col("doc_id").alias("doc_b"), "band_id", "bh")
+    # Candidate pairs also fan out (survivor-doc semi-join + the final
+    # rescore join) — materialize so the band self-join runs once.
     pairs = (
         pa.join(pb, ["band_id", "bh"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     cand_docs = pairs.select(
         F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
     ).distinct()
-    sh_c = sh.join(cand_docs, "doc_id", "left_semi")
+    sh_c = doc_sh.join(cand_docs, "doc_id", "left_semi").select(
+        "doc_id", F.explode("sarr").alias("s")
+    )
     ia = sh_c.select(F.col("doc_id").alias("doc_a"), "s")
     ib = sh_c.select(F.col("doc_id").alias("doc_b"), "s")
     inter = (
