@@ -2157,3 +2157,135 @@ def llm_cc_pipeline(spark, sf_dir):
         F.sum("n_words").alias("n_tokens"),
         F.sum("n_chars").alias("n_chars_total"),
     )
+
+
+# ------------------------------------------- deterministic weighted sampling
+
+@register(
+    "llm_sample_weighted",
+    oracle=r"""
+WITH tok AS (
+    SELECT doc_id, source,
+           CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens
+    FROM documents
+), src AS (
+    SELECT source, SUM(n_tokens) AS src_tokens FROM tok GROUP BY source
+), tot AS (
+    SELECT CAST(SUM(src_tokens) AS DOUBLE) AS all_tokens,
+           CAST(COUNT(*) AS DOUBLE) AS n_sources
+    FROM src
+), w AS (
+    SELECT source,
+           LEAST((1.0 / n_sources) / (src_tokens / all_tokens), 1.0) AS keep_w
+    FROM src, tot
+)
+SELECT t.doc_id, t.source,
+       FLOOR(w.keep_w * 1000000 + 0.5) / 1000000 AS keep_w,
+       CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+         / 4503599627370496.0 < w.keep_w AS is_sampled
+FROM tok t JOIN w ON t.source = w.source
+""",
+)
+def llm_sample_weighted(spark, sf_dir):
+    """Deterministic mixture-weighted down-sampling — the step that
+    actually APPLIES llm_mixture_balance's weights: per-source keep
+    probability = capped target/actual token share, and each document
+    draws its uniform from its own id (u = first 52 bits of
+    md5(doc_id) / 2^52), so the sample is reproducible run-over-run,
+    engine-independent (bit-identical md5 + exact dyadic division on
+    both sides — the oracle twin value-hashes the full keep/drop
+    vector, unlike seeded engine RNG sampling), and embarrassingly
+    parallel: membership is a narrow per-row expression, the only
+    shuffle is the per-source token aggregate that is broadcast back.
+    At 100 TB: re-running the pipeline or adding late files never
+    changes which surviving docs were kept."""
+    tok = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.lower(F.trim("text")), r"\s+")).cast("bigint").alias("n_tokens"),
+    )
+    src = tok.groupBy("source").agg(F.sum("n_tokens").alias("src_tokens"))
+    tot = src.agg(
+        F.sum("src_tokens").cast("double").alias("all_tokens"),
+        F.count(F.lit(1)).cast("double").alias("n_sources"),
+    )
+    w = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            (F.lit(1.0) / F.col("n_sources"))
+            / (F.col("src_tokens") / F.col("all_tokens")),
+            F.lit(1.0),
+        ).alias("keep_w"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10)
+        .cast("bigint")
+        / F.lit(4503599627370496.0)  # 2^52: 13 hex chars, exactly double-representable
+    )
+    half_up6 = lambda col: F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    return tok.join(F.broadcast(w), "source").select(
+        "doc_id",
+        "source",
+        half_up6(F.col("keep_w")).alias("keep_w"),
+        (u < F.col("keep_w")).alias("is_sampled"),
+    )
+
+
+# ---------------------------------------------------- incremental dedup
+
+@register(
+    "llm_dedup_incremental",
+    oracle="""
+WITH hashed AS (
+    SELECT doc_id, md5(lower(trim(text))) AS content_hash,
+           doc_id % 2 = 0 AS in_index
+    FROM documents
+), index_hashes AS (
+    SELECT DISTINCT content_hash FROM hashed WHERE in_index
+), batch AS (
+    SELECT doc_id, content_hash,
+           ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+    FROM hashed WHERE NOT in_index
+)
+SELECT b.doc_id, b.content_hash,
+       CASE WHEN i.content_hash IS NOT NULL THEN 'dup_of_index'
+            WHEN b.rn > 1 THEN 'dup_in_batch'
+            ELSE 'new' END AS status
+FROM batch b LEFT JOIN index_hashes i ON b.content_hash = i.content_hash
+""",
+)
+def llm_dedup_incremental(spark, sf_dir):
+    """Incremental corpus dedup — the daily-ingest shape: an arriving
+    batch (odd doc_ids stand in for today's crawl) is deduped against
+    the persisted content-hash INDEX of everything already accepted
+    (even doc_ids), and within itself, in one pass. Classifications:
+    'dup_of_index' (hash-join hit against the index), 'dup_in_batch'
+    (not the min doc_id of its hash within the batch), 'new'
+    (survivor — exactly the rows that append to the index). At 100 TB
+    the index is the operator's state: it lives bucketed by
+    content_hash, so the index probe is a co-partitioned join with no
+    index-side shuffle, the batch side shuffles only its own day of
+    data, and the 'new' output is appended back to the same bucketing
+    — the incremental cost never re-touches history."""
+    hashed = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.lower(F.trim("text"))).alias("content_hash"),
+        (F.col("doc_id") % 2 == 0).alias("in_index"),
+    )
+    index_hashes = (
+        hashed.filter("in_index").select("content_hash").distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    wb = Window.partitionBy("content_hash").orderBy("doc_id")
+    batch = (
+        hashed.filter(~F.col("in_index"))
+        .withColumn("rn", F.row_number().over(wb))
+    )
+    return batch.join(index_hashes, "content_hash", "left").select(
+        "doc_id",
+        "content_hash",
+        F.when(F.col("hit").isNotNull(), "dup_of_index")
+        .when(F.col("rn") > 1, "dup_in_batch")
+        .otherwise("new")
+        .alias("status"),
+    )

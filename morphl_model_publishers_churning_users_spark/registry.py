@@ -171,6 +171,8 @@ _KEY_RANK: dict[str, int] = {
     "llm_perplexity_filter": 6,
     "llm_cc_pipeline": 6,
     "ml_calibration_bins": 6,
+    "llm_sample_weighted": 6,
+    "llm_dedup_incremental": 6,
 }
 
 

@@ -424,3 +424,20 @@ def test_cc_pipeline_pushes_gate_to_scan(spark, sf_dir):
     plan = _plan(spark, sf_dir, "llm_cc_pipeline")
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert pushed and "n_chars" in pushed[0] and "lang" in pushed[0]
+
+
+def test_sample_weighted_is_narrow_after_weight_broadcast(spark, sf_dir):
+    """Membership must be a per-row expression: the only join is the
+    broadcast of the per-source weight table — corpus rows never
+    shuffle for the sampling decision."""
+    plan = _plan(spark, sf_dir, "llm_sample_weighted")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_incremental_dedup_probes_index_with_hash_join(spark, sf_dir):
+    """The index probe must stay an equi-join on the content hash (the
+    bucket-able key) — no nested-loop fallback."""
+    plan = _plan(spark, sf_dir, "llm_dedup_incremental")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
