@@ -4,11 +4,12 @@ The standard large-corpus pass, each stage a §2.J operator, composed as
 one lazy plan (Catalyst fuses the filters into the scan):
 
   quality gate → language filter → exact dedup (survivor join) →
-  token accounting
+  token accounting → deterministic mixture sampling
 
 Near-dup stages (MinHash/SimHash) are deliberately separate passes in
 production — they shuffle on different keys — and are exposed as their
-own operators (llm_dedup_fuzzy / llm_dedup_simhash).
+own operators (llm_dedup_fuzzy / llm_dedup_simhash /
+llm_dedup_minhash_sql).
 """
 
 from __future__ import annotations
@@ -43,6 +44,40 @@ def run(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = gated.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
     deduped = gated.join(survivors, ["content_hash", "doc_id"], "inner")
 
-    return deduped.select(
+    curated = deduped.select(
         "doc_id", "lang", "source", "n_chars", "n_words", "n_est_tokens", "content_hash"
+    )
+
+    # Mixture sampling (the llm_sample_weighted stage): per-source keep
+    # probability = capped uniform-target / actual token share; each doc
+    # draws its uniform from md5(doc_id) — reproducible run-over-run,
+    # membership is a narrow per-row expression after one broadcast.
+    src = curated.groupBy("source").agg(F.sum("n_words").alias("src_tokens"))
+    tot = src.agg(
+        F.sum("src_tokens").cast("double").alias("all_tokens"),
+        F.count(F.lit(1)).cast("double").alias("n_sources"),
+    )
+    weights = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            (F.lit(1.0) / F.col("n_sources"))
+            / (F.col("src_tokens") / F.col("all_tokens")),
+            F.lit(1.0),
+        ).alias("keep_w"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10)
+        .cast("bigint")
+        / F.lit(4503599627370496.0)  # 2^52
+    )
+    return curated.join(F.broadcast(weights), "source").select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        "n_words",
+        "n_est_tokens",
+        "content_hash",
+        F.round("keep_w", 6).alias("keep_w"),
+        (u < F.col("keep_w")).alias("is_sampled"),
     )

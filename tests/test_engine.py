@@ -38,6 +38,13 @@ def test_llm_corpus_pipeline(spark, sf_dir):
     assert 0 < n <= eng.table("documents").count()
     # dedup is idempotent: all surviving hashes unique
     assert curated.select("content_hash").distinct().count() == n
+    # sampling stage: deterministic membership, non-empty sample, and
+    # a second run keeps exactly the same docs
+    sampled = curated.filter("is_sampled")
+    assert 0 < sampled.count() <= n
+    again = eng.run_pipeline("llm_corpus").filter("is_sampled")
+    assert sampled.select("doc_id").subtract(again.select("doc_id")).count() == 0
+    assert again.select("doc_id").subtract(sampled.select("doc_id")).count() == 0
 
 
 def test_churn_pipeline(spark, sf_dir):
