@@ -862,3 +862,60 @@ def ts_survival_curve(spark, sf_dir):
             F.round(surviving * 1.0 / F.count(F.lit(1)), 6).alias("survival_frac"),
         )
     )
+
+
+@register(
+    "ts_anomaly_robust",
+    oracle="""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+), roll AS (
+    SELECT event_type, day, n,
+           quantile_cont(CAST(n AS DOUBLE), 0.5) OVER w AS med,
+           quantile_cont(CAST(n AS DOUBLE), 0.25) OVER w AS p25,
+           quantile_cont(CAST(n AS DOUBLE), 0.75) OVER w AS p75
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day, n,
+       FLOOR(med * 1000000 + 0.5) / 1000000 AS med7,
+       FLOOR((p75 - p25) * 1000000 + 0.5) / 1000000 AS iqr7,
+       FLOOR((n - med) / GREATEST(p75 - p25, 1.0) * 1000000 + 0.5) / 1000000 AS robust_z,
+       ABS((n - med) / GREATEST(p75 - p25, 1.0)) > 2.0 AS is_anomaly
+FROM roll
+""",
+)
+def ts_anomaly_robust(spark, sf_dir):
+    """Robust traffic-anomaly detection: per-event-type daily counts
+    scored against a trailing-7-day rolling median and IQR —
+    robust_z = (n − med) / max(IQR, 1), flagged at |z| > 2. Median/IQR
+    instead of mean/stddev so a single spike day can't mask itself by
+    inflating its own baseline (the win_moving_zscore failure mode).
+    One coarse aggregation (days × types rows — tiny regardless of
+    corpus size) plus framed exact percentiles over that small table:
+    the expensive part of the op scales with the raw event scan, the
+    window state with distinct days only. Both engines interpolate
+    framed quantiles linearly, so the doubles agree bit-for-bit before
+    the shared floor-rounding."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    nd = F.col("n").cast("double")
+    med = F.percentile(nd, F.lit(0.5)).over(w)
+    p25 = F.percentile(nd, F.lit(0.25)).over(w)
+    p75 = F.percentile(nd, F.lit(0.75)).over(w)
+    half_up6 = lambda col: F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    rz = (nd - med) / F.greatest(p75 - p25, F.lit(1.0))
+    return daily.select(
+        "event_type",
+        "day",
+        "n",
+        half_up6(med).alias("med7"),
+        half_up6(p75 - p25).alias("iqr7"),
+        half_up6(rz).alias("robust_z"),
+        (F.abs(rz) > 2.0).alias("is_anomaly"),
+    )
