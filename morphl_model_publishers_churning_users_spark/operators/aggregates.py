@@ -1110,3 +1110,32 @@ def agg_pareto_share(spark, sf_dir):
         .groupBy("cutoff")
         .agg(F.round(share, 6).alias("value_share"))
     )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+       GROUPING(l_returnflag, l_linestatus) AS gid
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+""",
+)
+def agg_cube(spark, sf_dir):
+    """Full CUBE over (returnflag, linestatus) — all 2^k grouping
+    combinations in ONE Expand-based pass over the fact (each input row
+    fans out to 4 grouping tuples map-side, then one hash shuffle), not
+    k separate scans unioned. The GROUPING bitmask disambiguates real
+    NULL keys from subtotal rows; quantities sum through DECIMAL(38,6)
+    so subtotal/total rows agree exactly across engines regardless of
+    partition order."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        dsum(F.col("l_quantity")).cast("double").alias("sum_qty"),
+        (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+        .cast("bigint")
+        .alias("gid"),
+    )

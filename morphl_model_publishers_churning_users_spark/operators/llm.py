@@ -2289,3 +2289,111 @@ def llm_dedup_incremental(spark, sf_dir):
         .otherwise("new")
         .alias("status"),
     )
+
+
+# -------------------------------------------------- reciprocal-rank fusion
+
+_D2 = (
+    "aggregate(zip_with(qe, ce, (x, y) -> (cast(x as double) - cast(y as double))"
+    " * (cast(x as double) - cast(y as double))), 0D, (a, x) -> a + x)"
+)
+
+
+@register(
+    "llm_rank_fusion",
+    oracle="""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+pairs AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROUND(
+               SUM(CAST(q.embedding[g.i] AS DOUBLE) * CAST(c.embedding[g.i] AS DOUBLE))
+               / (SQRT(SUM(CAST(q.embedding[g.i] AS DOUBLE) * CAST(q.embedding[g.i] AS DOUBLE)))
+                  * SQRT(SUM(CAST(c.embedding[g.i] AS DOUBLE) * CAST(c.embedding[g.i] AS DOUBLE)))),
+               6) AS cos_sim,
+           ROUND(SUM((CAST(q.embedding[g.i] AS DOUBLE) - CAST(c.embedding[g.i] AS DOUBLE))
+                     * (CAST(q.embedding[g.i] AS DOUBLE) - CAST(c.embedding[g.i] AS DOUBLE))), 6) AS l2_d2
+    FROM q, embeddings c, generate_series(1, 64) g(i)
+    WHERE c.vec_id <> q.vec_id
+    GROUP BY 1, 2
+), ranked AS (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank_cos,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY l2_d2 ASC, neighbor_id) AS rank_l2
+    FROM pairs
+), fused AS (
+    SELECT query_id, neighbor_id, rank_cos, rank_l2,
+           1.0 / (60 + rank_cos) + 1.0 / (60 + rank_l2) AS rrf
+    FROM ranked
+), top AS (
+    SELECT query_id, neighbor_id, rank_cos, rank_l2, rrf,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, neighbor_id) AS fused_rank
+    FROM fused
+)
+SELECT query_id, neighbor_id, rank_cos, rank_l2,
+       FLOOR(rrf * 1000000 + 0.5) / 1000000 AS rrf,
+       fused_rank
+FROM top WHERE fused_rank <= 5
+""",
+)
+def llm_rank_fusion(spark, sf_dir):
+    """Hybrid-retrieval reciprocal-rank fusion (Cormack et al. 2009):
+    two independent rankers over the same broadcast query set — exact
+    cosine and L2 distance — fused as Σ 1/(60 + rank_i), top-5 per
+    query. The fusion layer is rank-arithmetic only (exact integer
+    ratios, bit-identical across engines), so unlike score averaging it
+    needs no score normalization between rankers; both metrics come out
+    of ONE pass over the candidate pairs (one zip_with each, JVM
+    codegen), and the two rank windows + fusion window all share the
+    same query_id partitioning — one shuffle total after the broadcast
+    join. The production shape: swap either ranker for a BM25/ANN
+    candidate list and the fusion plan is unchanged."""
+    e = t(spark, sf_dir, "embeddings")
+    withnorm = e.select(
+        "vec_id", "embedding", F.expr(_NORM.format(c="embedding")).alias("norm")
+    )
+    q = withnorm.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("norm").alias("qnorm"),
+    )
+    c = withnorm.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("norm").alias("cnorm"),
+    )
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.expr(_DOT) / (F.col("qnorm") * F.col("cnorm")), 6).alias("cos_sim"),
+            F.round(F.expr(_D2), 6).alias("l2_d2"),
+        )
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    w_l2 = Window.partitionBy("query_id").orderBy(F.asc("l2_d2"), F.asc("neighbor_id"))
+    ranked = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number().over(w_cos).alias("rank_cos"),
+        F.row_number().over(w_l2).alias("rank_l2"),
+    )
+    rrf = F.lit(1.0) / (F.lit(60) + F.col("rank_cos")) + F.lit(1.0) / (
+        F.lit(60) + F.col("rank_l2")
+    )
+    w_f = Window.partitionBy("query_id").orderBy(F.desc("rrf_raw"), F.asc("neighbor_id"))
+    half_up6 = lambda col: F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    return (
+        ranked.withColumn("rrf_raw", rrf)
+        .withColumn("fused_rank", F.row_number().over(w_f))
+        .filter(F.col("fused_rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank_cos",
+            "rank_l2",
+            half_up6(F.col("rrf_raw")).alias("rrf"),
+            "fused_rank",
+        )
+    )

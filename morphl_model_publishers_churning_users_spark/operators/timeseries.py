@@ -919,3 +919,80 @@ def ts_anomaly_robust(spark, sf_dir):
         half_up6(rz).alias("robust_z"),
         (F.abs(rz) > 2.0).alias("is_anomaly"),
     )
+
+
+@register(
+    "ts_scd2_history",
+    oracle="""
+WITH daily AS (
+    SELECT user_id, day, status FROM (
+        SELECT user_id, CAST(ts AS DATE) AS day, event_type AS status,
+               ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1
+), flagged AS (
+    SELECT user_id, day, status,
+           CASE WHEN LAG(status) OVER (PARTITION BY user_id ORDER BY day)
+                     IS DISTINCT FROM status THEN 1 ELSE 0 END AS chg
+    FROM daily
+), grp AS (
+    SELECT user_id, day, status,
+           SUM(chg) OVER (PARTITION BY user_id ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) AS g
+    FROM flagged
+), iv AS (
+    SELECT user_id, status, g, MIN(day) AS valid_from
+    FROM grp GROUP BY 1, 2, 3
+)
+SELECT user_id, status, valid_from,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) IS NULL AS is_current
+FROM iv
+""",
+)
+def ts_scd2_history(spark, sf_dir):
+    """Type-2 slowly-changing-dimension history built from the event
+    stream: each user's status (last event_type of the day) becomes
+    validity intervals [valid_from, valid_to) with consecutive
+    identical statuses collapsed (gaps-and-islands: change flag →
+    running-sum group id), open-ended current row flagged. This is the
+    dimension-table MERGE a warehouse runs on every load, expressed as
+    three window passes that ALL partition by user_id — one shuffle,
+    then narrow. At 100 TB: state per user is its distinct status runs,
+    and the output appends to a user_id-bucketed dimension so the next
+    incremental load joins co-partitioned."""
+    ev = t(spark, sf_dir, "events")
+    w_day = Window.partitionBy("user_id", "day").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    daily = (
+        ev.select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            F.col("event_type").alias("status"),
+            "ts",
+            "event_id",
+        )
+        .withColumn("rn", F.row_number().over(w_day))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", "status")
+    )
+    w_u = Window.partitionBy("user_id").orderBy("day")
+    flagged = daily.withColumn(
+        "chg",
+        F.when(
+            ~F.lag("status").over(w_u).eqNullSafe(F.col("status")), 1
+        ).otherwise(0),
+    )
+    grp = flagged.withColumn(
+        "g", F.sum("chg").over(w_u.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    iv = grp.groupBy("user_id", "status", "g").agg(F.min("day").alias("valid_from"))
+    w_iv = Window.partitionBy("user_id").orderBy("valid_from")
+    return iv.select(
+        "user_id",
+        "status",
+        "valid_from",
+        F.lead("valid_from").over(w_iv).alias("valid_to"),
+        F.lead("valid_from").over(w_iv).isNull().alias("is_current"),
+    )

@@ -173,6 +173,7 @@ _KEY_RANK: dict[str, int] = {
     "ml_calibration_bins": 6,
     "llm_sample_weighted": 6,
     "llm_dedup_incremental": 6,
+    "llm_rank_fusion": 6,
 }
 
 

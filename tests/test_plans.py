@@ -441,3 +441,21 @@ def test_incremental_dedup_probes_index_with_hash_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "llm_dedup_incremental")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rank_fusion_single_shuffle_after_broadcast(spark, sf_dir):
+    """Both metric rankings and the fusion ranking partition by
+    query_id — Catalyst must reuse one exchange for all three windows
+    after the broadcast candidate join."""
+    plan = _plan(spark, sf_dir, "llm_rank_fusion")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning(query_id") <= 1
+
+
+def test_scd2_windows_share_user_partitioning(spark, sf_dir):
+    """The daily-dedup, change-flag and interval windows all partition
+    by user_id (the first also by day, a finer key that the coarser
+    windows still require re-shuffling for is acceptable only once)."""
+    plan = _plan(spark, sf_dir, "ts_scd2_history")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning(user_id") <= 2
