@@ -2397,3 +2397,99 @@ def llm_rank_fusion(spark, sf_dir):
             "fused_rank",
         )
     )
+
+
+# ----------------------------------------------------------------- BM25
+
+_BM25_TERMS = ("spark", "table", "query", "batch")
+
+
+@register(
+    "llm_bm25",
+    oracle=r"""
+WITH docs AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+    FROM documents
+), stats AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+           AVG(CAST(len(w) AS DOUBLE)) AS avgdl
+    FROM docs
+), tf AS (
+    SELECT d.doc_id, t.term,
+           CAST(len(list_filter(d.w, x -> x = t.term)) AS DOUBLE) AS f,
+           CAST(len(d.w) AS DOUBLE) AS dl
+    FROM docs d, (VALUES ('spark'), ('table'), ('query'), ('batch')) t(term)
+), df AS (
+    SELECT term, CAST(COUNT(*) FILTER (WHERE f > 0) AS DOUBLE) AS df
+    FROM tf GROUP BY term
+), scored AS (
+    SELECT tf.doc_id,
+           SUM(ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * f * 2.2 / (f + 1.2 * (0.25 + 0.75 * dl / s.avgdl))) AS score
+    FROM tf JOIN df USING (term), stats s
+    WHERE f > 0
+    GROUP BY tf.doc_id
+), ranked AS (
+    SELECT doc_id, FLOOR(score * 1000000 + 0.5) / 1000000 AS bm25,
+           ROW_NUMBER() OVER (ORDER BY FLOOR(score * 1000000 + 0.5) / 1000000 DESC,
+                              doc_id) AS rank
+    FROM scored
+)
+SELECT doc_id, bm25, rank FROM ranked WHERE rank <= 10
+""",
+)
+def llm_bm25(spark, sf_dir):
+    """Exact BM25 retrieval (k1 = 1.2, b = 0.75) for a fixed conjunctive
+    query over the corpus — the lexical ranker llm_rank_fusion's RRF
+    layer is built to fuse with the embedding rankers. Term frequencies
+    come from a narrow per-doc array_filter (no explode of the whole
+    corpus for a 4-term query); document frequencies and avgdl are two
+    broadcast scalars/tiny tables; the score is one grouped sum per
+    matching doc. Ranking happens on the floor-rounded score so the
+    cross-engine ln() ulp cannot reorder ties — remaining ties break on
+    doc_id. At 100 TB with an open vocabulary the same plan runs off a
+    posting-list table (llm_tfidf's explode output) instead of
+    array_filter; the per-query shape here never touches it."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w")
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.size("w").cast("double")).alias("avgdl"),
+    )
+    terms = F.array(*[F.lit(x) for x in _BM25_TERMS])
+    tf = (
+        d.select(
+            "doc_id",
+            F.size("w").cast("double").alias("dl"),
+            F.explode(terms).alias("term"),
+            "w",
+        )
+        .select(
+            "doc_id",
+            "term",
+            F.expr("cast(size(filter(w, x -> x = term)) as double)").alias("f"),
+            "dl",
+        )
+    )
+    df = tf.groupBy("term").agg(
+        F.count(F.when(F.col("f") > 0, 1)).cast("double").alias("df")
+    )
+    half_up6 = lambda col: F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    term_score = idf * F.col("f") * 2.2 / (
+        F.col("f") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.filter(F.col("f") > 0)
+        .join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(term_score).alias("score"))
+    )
+    w_r = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        scored.select("doc_id", half_up6(F.col("score")).alias("bm25"))
+        .withColumn("rank", F.row_number().over(w_r))
+        .filter(F.col("rank") <= 10)
+    )

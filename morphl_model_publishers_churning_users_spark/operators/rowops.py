@@ -584,3 +584,71 @@ def dq_profile(spark, sf_dir):
         .unionByName(prof("user_id", F.col("user_id").cast("string")))
         .unionByName(prof("value", F.round("value", 6).cast("string")))
     )
+
+
+@register(
+    "dq_expectations",
+    oracle="""
+WITH agg AS (
+    SELECT
+        CAST(COUNT(*) FILTER (WHERE event_id IS NULL) AS BIGINT) AS null_event_id,
+        CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) AS dup_event_id,
+        CAST(COUNT(*) FILTER (WHERE value < 0) AS BIGINT) AS negative_value,
+        CAST(COUNT(*) FILTER (WHERE event_type NOT IN
+             ('click', 'error', 'purchase', 'signup', 'view')) AS BIGINT) AS unknown_event_type,
+        CAST(COUNT(*) FILTER (WHERE json_extract(props, '$.k') IS NULL) AS BIGINT) AS invalid_props,
+        CAST(COUNT(*) FILTER (WHERE ts < TIMESTAMP '2024-01-01'
+             OR ts >= TIMESTAMP '2025-01-01') AS BIGINT) AS ts_out_of_range
+    FROM events
+)
+SELECT r.rule, r.n_violations, r.n_violations = 0 AS passed
+FROM agg, LATERAL (VALUES
+    ('null_event_id', null_event_id),
+    ('dup_event_id', dup_event_id),
+    ('negative_value', negative_value),
+    ('unknown_event_type', unknown_event_type),
+    ('invalid_props', invalid_props),
+    ('ts_out_of_range', ts_out_of_range)) r(rule, n_violations)
+""",
+)
+def dq_expectations(spark, sf_dir):
+    """Declarative expectations suite (the Great-Expectations/dbt-test
+    shape): six rules — non-null key, key uniqueness, value range,
+    enum domain, JSON validity, timestamp freshness window — evaluated
+    in ONE pass over the table as conditional aggregates, then unpivoted
+    to a rule/violations/passed report. One scan + one (distinct-aware)
+    aggregate regardless of rule count; adding a rule is one more
+    conditional counter, never another scan. The load gate a 100 TB
+    ingest runs before publishing a partition."""
+    ev = t(spark, sf_dir, "events")
+    known = ("click", "error", "purchase", "signup", "view")
+    agg = ev.agg(
+        F.count(F.when(F.col("event_id").isNull(), 1)).alias("null_event_id"),
+        (F.count("*") - F.countDistinct("event_id")).alias("dup_event_id"),
+        F.count(F.when(F.col("value") < 0, 1)).alias("negative_value"),
+        F.count(F.when(~F.col("event_type").isin(*known), 1)).alias("unknown_event_type"),
+        F.count(
+            F.when(F.get_json_object("props", "$.k").isNull(), 1)
+        ).alias("invalid_props"),
+        F.count(
+            F.when(
+                (F.col("ts") < F.to_timestamp(F.lit("2024-01-01")))
+                | (F.col("ts") >= F.to_timestamp(F.lit("2025-01-01"))),
+                1,
+            )
+        ).alias("ts_out_of_range"),
+    )
+    rules = [
+        "null_event_id",
+        "dup_event_id",
+        "negative_value",
+        "unknown_event_type",
+        "invalid_props",
+        "ts_out_of_range",
+    ]
+    stack_expr = "stack({}, {}) as (rule, n_violations)".format(
+        len(rules), ", ".join(f"'{r}', {r}" for r in rules)
+    )
+    return agg.select(F.expr(stack_expr)).select(
+        "rule", "n_violations", (F.col("n_violations") == 0).alias("passed")
+    )

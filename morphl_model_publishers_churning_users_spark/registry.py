@@ -174,6 +174,7 @@ _KEY_RANK: dict[str, int] = {
     "llm_sample_weighted": 6,
     "llm_dedup_incremental": 6,
     "llm_rank_fusion": 6,
+    "llm_bm25": 6,
 }
 
 

@@ -459,3 +459,24 @@ def test_scd2_windows_share_user_partitioning(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ts_scd2_history")
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning(user_id") <= 2
+
+
+def test_bm25_no_corpus_explode(spark, sf_dir):
+    """tf comes from array_filter per (doc, query-term) — the only
+    explode is the 4-element query-term array (fan-out 4), never the
+    word stream; df/avgdl must broadcast onto the scoring pass."""
+    plan = _plan(spark, sf_dir, "llm_bm25")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_dq_expectations_single_scan(spark, sf_dir):
+    """All six rules evaluate as conditional aggregates over ONE scan of
+    events — rule count must not multiply scans."""
+    plan = _plan(spark, sf_dir, "dq_expectations")
+    # formatted explain prints every node twice (tree + detail header);
+    # count only the numbered detail headers.
+    import re
+
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)
+    assert len(scans) == 1, plan
