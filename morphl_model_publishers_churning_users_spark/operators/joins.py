@@ -539,3 +539,69 @@ def join_fuzzy_blocked(spark, sf_dir):
             dist.cast("bigint").alias("dist"),
         )
     )
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+WITH ordered AS (
+    SELECT user_id, ts,
+           epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+    FROM events
+), flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END AS new_session
+    FROM ordered
+), grouped AS (
+    SELECT user_id, ts,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flagged
+), sess AS (
+    SELECT user_id, MIN(ts) AS s_start, MAX(ts) + INTERVAL 30 MINUTE AS s_end
+    FROM grouped GROUP BY user_id, sid
+), pur AS (
+    SELECT user_id, event_id AS purchase_event_id, ts AS purchase_ts,
+           ts - INTERVAL 30 MINUTE AS p_start, ts + INTERVAL 30 MINUTE AS p_end
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT s.user_id, s.s_start, s.s_end, p.purchase_event_id, p.purchase_ts
+FROM sess s JOIN pur p ON s.user_id = p.user_id
+WHERE s.s_start < p.p_end AND p.p_start < s.s_end
+""",
+)
+def join_interval_overlap(spark, sf_dir):
+    """Interval-overlap join — the join type the equi/range family
+    can't express: user sessions (30-min-gap intervals) matched against
+    ±30-min windows around each purchase, keeping pairs whose intervals
+    intersect (a.start < b.end AND b.start < a.end). The blocking key
+    is user_id: both interval sets co-partition on it, the overlap
+    predicate runs as a post-join filter inside the hash join, and
+    per-user interval counts are bounded — so the join is one shuffle
+    per side, never a cartesian over time. For GLOBAL interval sets
+    (no shared entity key) the same plan adds a coarse time-bucket
+    equi-key on both sides — the standard interval-banding trick —
+    which this operator's shape is one projection away from. Session
+    boundaries mirror ts_session's gap >= 30 min semantics exactly, so
+    both engines build identical intervals."""
+    ev = t(spark, sf_dir, "events")
+    sess = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(F.min("ts").alias("s_start"))
+        .select(
+            "user_id",
+            "s_start",
+            F.col("w.end").alias("s_end"),
+        )
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("ts").alias("purchase_ts"),
+        (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("p_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("p_end"),
+    )
+    return (
+        sess.join(pur, "user_id")
+        .filter((F.col("s_start") < F.col("p_end")) & (F.col("p_start") < F.col("s_end")))
+        .select("user_id", "s_start", "s_end", "purchase_event_id", "purchase_ts")
+    )

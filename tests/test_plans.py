@@ -480,3 +480,11 @@ def test_dq_expectations_single_scan(spark, sf_dir):
 
     scans = re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)
     assert len(scans) == 1, plan
+
+
+def test_interval_overlap_is_user_keyed_hash_join(spark, sf_dir):
+    """The overlap predicate must ride a user_id equi-join (hash join +
+    post-filter), never degrade to a nested-loop over time."""
+    plan = _plan(spark, sf_dir, "join_interval_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
