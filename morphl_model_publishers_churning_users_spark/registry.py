@@ -133,7 +133,12 @@ _CANARY: tuple[str, ...] = (
 # Round-4 window priority: the mandated §2.J LLM set (and the rest of the
 # llm family) has never been driver-checked — it goes first, then the §2.K
 # UDF matrix and multimodal plumbing, then ML. Remaining for round 5:
-# ml tail, join extensions, streaming, ts analytics (~31 keys, one window).
+# ml tail, join extensions, streaming, ts analytics, plus the 14 round-4
+# additions (~54 keys). ROUND-5 MAINTENANCE NOTE: that slightly overflows
+# one 50-slot window — trim _CANARY to 2-3 keys for round 5 (every key
+# involved is already sim-verified at sf0.001/0.01/0.1, so the canary
+# budget is the right thing to spend) and let any stragglers close in
+# round 6.
 _MODULE_RANK: dict[str, int] = {
     "operators.llm": 1,
     "operators.udfs": 2,
