@@ -318,3 +318,83 @@ def mm_phash_dedup(spark, sf_dir):
         F.min("doc_id").alias("keep_doc_id"),
     )
     return hashes.join(groups, "phash").select("doc_id", "phash", "group_size", "keep_doc_id")
+
+
+@register(
+    "mm_caption_align",
+    oracle=r"""
+WITH words AS (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+    FROM documents
+), bucketed AS (
+    SELECT doc_id,
+           CAST(CAST(('0x' || substr(md5(word), 1, 13)) AS BIGINT) % 64 AS INTEGER) AS b,
+           CAST(COUNT(*) AS DOUBLE) AS c
+    FROM words GROUP BY 1, 2
+), dots AS (
+    SELECT bk.doc_id,
+           SUM(bk.c * CAST(e.embedding[bk.b + 1] AS DOUBLE)) AS dot,
+           SQRT(SUM(bk.c * bk.c)) AS tnorm
+    FROM bucketed bk JOIN embeddings e ON bk.doc_id = e.vec_id
+    GROUP BY 1
+), enorm AS (
+    SELECT vec_id,
+           SQRT(SUM(CAST(embedding[g.i] AS DOUBLE) * CAST(embedding[g.i] AS DOUBLE))) AS enorm
+    FROM embeddings, generate_series(1, 64) g(i)
+    GROUP BY 1
+)
+SELECT d.doc_id,
+       FLOOR(d.dot / (d.tnorm * e.enorm) * 1000000 + 0.5) / 1000000 AS align_score,
+       d.dot / (d.tnorm * e.enorm) > 0.05 AS is_aligned
+FROM dots d JOIN enorm e ON d.doc_id = e.vec_id
+""",
+)
+def mm_caption_align(spark, sf_dir):
+    """CLIP-style caption↔embedding alignment filter — the multimodal
+    curation step that drops miscaptioned pairs before training: score
+    each (document text, paired embedding) by the cosine between the
+    caption's hashed bag-of-words histogram (md5 word hash mod 64, the
+    embedding's dimensionality) and the embedding vector. The text
+    histogram is never materialized as a dense vector: the cosine
+    numerator is the SPARSE dot Σ count_b · emb[b] computed by joining
+    per-(doc, bucket) counts straight onto the embedding array — one
+    explode-aggregate, one equi-join on the pair key, linear in total
+    words. A real deployment swaps the hashed histogram for a text-tower
+    embedding; the pairing join and the sparse-dot shape are unchanged."""
+    words = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"),
+    )
+    bucketed = words.groupBy(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("word"), 1, 13), 16, 10).cast("bigint") % 64
+        ).cast("int").alias("b"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    e = t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        "embedding",
+        F.expr(
+            "sqrt(aggregate(transform(embedding, x -> cast(x as double) * cast(x as double)),"
+            " 0D, (a, x) -> a + x))"
+        ).alias("enorm"),
+    )
+    dots = (
+        bucketed.join(e, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("c") * F.expr("cast(element_at(embedding, b + 1) as double)")
+            ).alias("dot"),
+            F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("tnorm"),
+            F.first("enorm").alias("enorm"),
+        )
+    )
+    half_up6 = lambda col: F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    cos = F.col("dot") / (F.col("tnorm") * F.col("enorm"))
+    return dots.select(
+        "doc_id",
+        half_up6(cos).alias("align_score"),
+        (cos > 0.05).alias("is_aligned"),
+    )

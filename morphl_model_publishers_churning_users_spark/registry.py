@@ -180,6 +180,7 @@ _KEY_RANK: dict[str, int] = {
     "llm_dedup_incremental": 6,
     "llm_rank_fusion": 6,
     "llm_bm25": 6,
+    "mm_caption_align": 6,
 }
 
 

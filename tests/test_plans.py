@@ -488,3 +488,11 @@ def test_interval_overlap_is_user_keyed_hash_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "join_interval_overlap")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_caption_align_sparse_dot_no_dense_vector(spark, sf_dir):
+    """The alignment numerator joins per-bucket counts straight onto the
+    embedding array — no cartesian, no Python boundary."""
+    plan = _plan(spark, sf_dir, "mm_caption_align")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
