@@ -46,6 +46,14 @@ _KEYS = [
     "llm_contamination",
     "llm_ngram_freq",
     "llm_winnow_fingerprint",
+    # round-4 additions over the word stream
+    "llm_dedup_minhash_sql",
+    "llm_perplexity_filter",
+    "llm_cc_pipeline",
+    "llm_sample_weighted",
+    "llm_bm25",
+    "llm_dedup_incremental",
+    "mm_caption_align",
 ]
 
 
