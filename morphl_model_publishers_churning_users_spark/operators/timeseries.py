@@ -996,3 +996,65 @@ def ts_scd2_history(spark, sf_dir):
         F.lead("valid_from").over(w_iv).alias("valid_to"),
         F.lead("valid_from").over(w_iv).isNull().alias("is_current"),
     )
+
+
+@register(
+    "ts_forecast_linear",
+    oracle="""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS DOUBLE) AS n
+    FROM events GROUP BY 1, 2
+), idx AS (
+    SELECT event_type, day, n,
+           CAST(day - MIN(day) OVER (PARTITION BY event_type) AS BIGINT) AS x
+    FROM daily
+), fit AS (
+    SELECT event_type,
+           regr_slope(n, x) AS slope,
+           regr_intercept(n, x) AS icept,
+           MAX(x) AS x_max
+    FROM idx GROUP BY event_type
+)
+SELECT f.event_type,
+       CAST(f.x_max + h.h AS BIGINT) AS x,
+       FLOOR((f.icept + f.slope * (f.x_max + h.h)) * 1000000 + 0.5) / 1000000 AS forecast_n
+FROM fit f, (SELECT unnest(range(1, 8)) AS h) h
+""",
+)
+def ts_forecast_linear(spark, sf_dir):
+    """7-day-ahead traffic forecast per event type: OLS trend over the
+    daily-count series (regr_slope/intercept — one distributed moment
+    aggregation, the same five sums agg_regr accumulates) extrapolated
+    over a 7-row horizon spine. The fit never materializes the series
+    beyond its per-type daily aggregate, and the horizon fan-out is a
+    7-element broadcast — forecasting cost is O(types), independent of
+    event volume. Day index x is an exact integer (date difference), so
+    both engines fit on identical (x, n) pairs and the floor-rounded
+    projections hash-match."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    w = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "n",
+        F.datediff("day", F.min("day").over(w)).cast("bigint").alias("x"),
+    )
+    fit = idx.groupBy("event_type").agg(
+        F.regr_slope("n", F.col("x").cast("double")).alias("slope"),
+        F.regr_intercept("n", F.col("x").cast("double")).alias("icept"),
+        F.max("x").alias("x_max"),
+    )
+    horizon = F.explode(F.sequence(F.lit(1), F.lit(7))).alias("h")
+    half_up6 = lambda col: F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    return (
+        fit.select("event_type", "slope", "icept", "x_max", horizon)
+        .select(
+            "event_type",
+            (F.col("x_max") + F.col("h")).cast("bigint").alias("x"),
+            half_up6(F.col("icept") + F.col("slope") * (F.col("x_max") + F.col("h"))).alias(
+                "forecast_n"
+            ),
+        )
+    )
