@@ -257,10 +257,15 @@ def ts_ewma(spark, sf_dir):
         F.expr(b_lin).alias("b_lin"),
         F.expr(f_fresh).alias("y"),  # seed: fresh-start result carried in y
     )
+    # element_at (1-BASED), not days[1]: Spark SQL's [] operator is
+    # 0-based, so days[1] silently seeded with the SECOND day's fresh
+    # value (and indexes out of bounds under ANSI for single-day
+    # users). Numerically masked on the fixtures — the wrong seed's
+    # contribution decays by 0.5^(later events) ≤ 6e-14 — but wrong.
     compose = (
         "aggregate("
         " slice(days, 2, greatest(size(days) - 1, 0)),"
-        " days[1].y,"
+        " element_at(days, 1).y,"
         " (acc, x) -> pow(0.5D, CAST(x.n AS DOUBLE)) * acc + x.b_lin)"
     )
     return (
@@ -1056,5 +1061,89 @@ def ts_forecast_linear(spark, sf_dir):
             half_up6(F.col("icept") + F.col("slope") * (F.col("x_max") + F.col("h"))).alias(
                 "forecast_n"
             ),
+        )
+    )
+
+
+@register(
+    "ts_holt_forecast",
+    # Recursive-CTE twin, NOT list_reduce: DuckDB 1.0.0's list_reduce
+    # mis-evaluates a lambda whose accumulator struct has TWO evolving
+    # fields (repro: 3-element fold gives b=0.31125 where composing the
+    # same fold as two calls gives the correct 0.3075; ts_ewma's
+    # single-evolving-field state is unaffected). The recursion uses
+    # only scalar double arithmetic, which both engines agree on.
+    oracle="""
+WITH RECURSIVE daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS DOUBLE) AS n
+    FROM events GROUP BY 1, 2
+), ranked AS (
+    SELECT event_type, n,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i
+    FROM daily
+), cnt AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days FROM ranked GROUP BY 1
+), st AS (
+    SELECT event_type, i, n AS l, CAST(0.0 AS DOUBLE) AS b
+    FROM ranked WHERE i = 1
+    UNION ALL
+    SELECT st.event_type, r.i,
+           0.5 * r.n + 0.5 * (st.l + st.b) AS l,
+           0.3 * (0.5 * r.n + 0.5 * (st.l + st.b) - st.l) + 0.7 * st.b AS b
+    FROM st JOIN ranked r ON r.event_type = st.event_type AND r.i = st.i + 1
+)
+SELECT s.event_type, c.n_days,
+       FLOOR(s.l * 1000000 + 0.5) / 1000000 AS level,
+       FLOOR(s.b * 1000000 + 0.5) / 1000000 AS trend,
+       FLOOR((s.l + 7 * s.b) * 1000000 + 0.5) / 1000000 AS forecast_7d
+FROM st s JOIN cnt c ON s.event_type = c.event_type AND s.i = c.n_days
+""",
+)
+def ts_holt_forecast(spark, sf_dir):
+    """Holt double-exponential smoothing (α=0.5, β=0.3) over each
+    event type's daily-count series — the adaptive level+trend
+    forecast that reacts to regime changes the global OLS fit
+    (ts_forecast_linear) averages away. The recurrence is inherently
+    ordered, so it runs as a fold over the per-type day array (state =
+    one (level, trend) struct; array length = active days, never raw
+    events — the same bounded-state discipline as ts_ewma). Both
+    engines execute the identical fold in identical day order with
+    identical double arithmetic: Spark's aggregate() seeds from the
+    first day-struct and folds the rest, mirroring DuckDB's
+    list_reduce semantics exactly."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    # elements carry (n, l, b) so the FIRST element doubles as the fold
+    # seed (l = first n, b = 0) — list_reduce-compatible on both sides.
+    days_expr = (
+        "transform(sort_array(collect_list(struct(day, n))),"
+        " s -> named_struct('n', s.n, 'l', s.n, 'b', 0.0D))"
+    )
+    fold = (
+        # element_at is 1-based like DuckDB's days[1]; Spark's [] is NOT
+        "aggregate(slice(days, 2, greatest(size(days) - 1, 0)), element_at(days, 1),"
+        " (acc, x) -> named_struct("
+        "   'n', x.n,"
+        "   'l', 0.5D * x.n + 0.5D * (acc.l + acc.b),"
+        "   'b', 0.3D * (0.5D * x.n + 0.5D * (acc.l + acc.b) - acc.l)"
+        "        + 0.7D * acc.b))"
+    )
+    half_up6 = lambda col: F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    return (
+        daily.groupBy("event_type")
+        .agg(F.expr(days_expr).alias("days"))
+        .select(
+            "event_type",
+            F.size("days").cast("bigint").alias("n_days"),
+            F.expr(fold).alias("st"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            half_up6(F.col("st.l")).alias("level"),
+            half_up6(F.col("st.b")).alias("trend"),
+            half_up6(F.col("st.l") + 7 * F.col("st.b")).alias("forecast_7d"),
         )
     )

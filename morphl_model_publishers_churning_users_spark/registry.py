@@ -116,6 +116,11 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
 _REVERIFY: tuple[str, ...] = (
     "fn_array_setops",
     "agg_approx_distinct",
+    # r4 mid-round fix: the EWMA compose seeded from days[1], which is
+    # 0-BASED in Spark SQL (second day) — corrected to element_at(days, 1).
+    # Numerically below the 6-decimal hash on every fixture (wrong seed
+    # decays by 0.5^44+), but the behavior changed, so re-hash it.
+    "ts_ewma",
 )
 
 # Regression canaries: a small rotating sample of already-verified keys kept

@@ -307,3 +307,37 @@ def test_multimodal_decode_roundtrip_and_corruption():
     good, _ = encode_synthetic(3)
     with pytest.raises(ValueError, match="body"):
         decode_media(good[:-1])
+
+
+def test_ewma_compose_seeds_from_first_day(spark):
+    """Regression: Spark SQL's [] operator is 0-based, so the segmented
+    EWMA compose once seeded from the SECOND day's fresh value (masked on
+    the fixtures by 0.5^n decay, and an ANSI index crash for single-day
+    series). The fixed element_at seed must reproduce the hand-computed
+    recurrence on a 2-day, 1-event-per-day series."""
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [("d1", 1, 1.0, 2.0), ("d2", 1, 2.0, 4.0)],
+        "day string, n int, b_lin double, y double",
+    )
+    compose = (
+        "aggregate(slice(days, 2, greatest(size(days) - 1, 0)),"
+        " element_at(days, 1).y,"
+        " (acc, x) -> pow(0.5D, CAST(x.n AS DOUBLE)) * acc + x.b_lin)"
+    )
+    out = (
+        df.agg(F.expr("sort_array(collect_list(struct(day, n, b_lin, y)))").alias("days"))
+        .select(F.expr(compose).alias("e"))
+        .collect()[0]["e"]
+    )
+    # y1 = 2.0 (fresh), y2 = 0.5^1 * 2.0 + 2.0 = 3.0
+    assert out == 3.0
+    # single-day series: empty slice, seed passes through (no ANSI crash)
+    one = (
+        df.filter("day = 'd1'")
+        .agg(F.expr("sort_array(collect_list(struct(day, n, b_lin, y)))").alias("days"))
+        .select(F.expr(compose).alias("e"))
+        .collect()[0]["e"]
+    )
+    assert one == 2.0
