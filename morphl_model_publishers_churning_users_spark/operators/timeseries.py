@@ -1147,3 +1147,67 @@ def ts_holt_forecast(spark, sf_dir):
             half_up6(F.col("st.l") + 7 * F.col("st.b")).alias("forecast_7d"),
         )
     )
+
+
+@register(
+    "ts_seasonal_decompose",
+    oracle="""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS DOUBLE) AS n
+    FROM events GROUP BY 1, 2
+), trended AS (
+    SELECT event_type, day, n,
+           AVG(n) OVER (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend,
+           CAST(datediff('day', DATE '1970-01-05', day) % 7 AS BIGINT) AS dow
+    FROM daily
+), seasonal AS (
+    SELECT event_type, dow,
+           AVG(n - trend) AS s
+    FROM trended GROUP BY 1, 2
+)
+SELECT t.event_type, t.day, t.n,
+       FLOOR(t.trend * 1000000 + 0.5) / 1000000 AS trend,
+       FLOOR(s.s * 1000000 + 0.5) / 1000000 AS seasonal,
+       FLOOR((t.n - t.trend - s.s) * 1000000 + 0.5) / 1000000 AS residual
+FROM trended t JOIN seasonal s ON t.event_type = s.event_type AND t.dow = s.dow
+""",
+)
+def ts_seasonal_decompose(spark, sf_dir):
+    """Classical additive decomposition of each event type's daily
+    series: trend = 7-day centered moving average, weekly seasonal =
+    mean detrended value per day-of-week, residual = the rest — the
+    decomposition ts_anomaly_robust's flags get read against. Day-of-
+    week is computed arithmetically (days since a known Monday, mod 7)
+    because engine dayofweek() conventions differ (Spark 1=Sunday,
+    DuckDB 0=Sunday). Cost: one coarse aggregation over the raw
+    events, then windows/joins over the tiny day×type table — the
+    decomposition itself is O(days·types) regardless of event volume."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    w7 = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    )
+    trended = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.avg("n").over(w7).alias("trend"),
+        (F.datediff("day", F.lit("1970-01-05").cast("date")) % 7)
+        .cast("bigint")
+        .alias("dow"),
+    )
+    seasonal = trended.groupBy("event_type", "dow").agg(
+        F.avg(F.col("n") - F.col("trend")).alias("s")
+    )
+    half_up6 = lambda col: F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    return trended.join(F.broadcast(seasonal), ["event_type", "dow"]).select(
+        "event_type",
+        "day",
+        "n",
+        half_up6(F.col("trend")).alias("trend"),
+        half_up6(F.col("s")).alias("seasonal"),
+        half_up6(F.col("n") - F.col("trend") - F.col("s")).alias("residual"),
+    )
