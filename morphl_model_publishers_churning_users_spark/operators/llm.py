@@ -1841,40 +1841,49 @@ WITH base AS (
     FROM documents
 ), base3 AS (
     SELECT * FROM base WHERE len(words) >= 3
-), sh AS (
-    SELECT DISTINCT doc_id,
-           unnest(list_transform(range(1, len(words) - 1),
-                  i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2])) AS s
+), shl AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, len(words) - 1),
+                  i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2])) AS sarr
     FROM base3
+), xs AS (
+    SELECT doc_id, sarr, CAST(len(sarr) AS BIGINT) AS sz,
+           list_transform(sarr, s -> CAST(('0x' || substr(md5(s), 1, 13)) AS BIGINT)) AS x1,
+           list_transform(sarr, s -> CAST(('0x' || substr(md5(s), 17, 13)) AS BIGINT) | 1) AS x2
+    FROM shl
 ), sig AS (
-    SELECT doc_id, COUNT(*) AS sz,
-           MIN(md5('0:' || s)) AS h0, MIN(md5('1:' || s)) AS h1,
-           MIN(md5('2:' || s)) AS h2, MIN(md5('3:' || s)) AS h3,
-           MIN(md5('4:' || s)) AS h4, MIN(md5('5:' || s)) AS h5,
-           MIN(md5('6:' || s)) AS h6, MIN(md5('7:' || s)) AS h7
-    FROM sh GROUP BY doc_id
+    SELECT doc_id, sarr, sz,
+           list_aggregate(list_transform(range(1, sz + 1), j -> (x1[j] + 0 * x2[j]) % 4503599627370496), 'min') AS h0,
+           list_aggregate(list_transform(range(1, sz + 1), j -> (x1[j] + 1 * x2[j]) % 4503599627370496), 'min') AS h1,
+           list_aggregate(list_transform(range(1, sz + 1), j -> (x1[j] + 2 * x2[j]) % 4503599627370496), 'min') AS h2,
+           list_aggregate(list_transform(range(1, sz + 1), j -> (x1[j] + 3 * x2[j]) % 4503599627370496), 'min') AS h3,
+           list_aggregate(list_transform(range(1, sz + 1), j -> (x1[j] + 4 * x2[j]) % 4503599627370496), 'min') AS h4,
+           list_aggregate(list_transform(range(1, sz + 1), j -> (x1[j] + 5 * x2[j]) % 4503599627370496), 'min') AS h5,
+           list_aggregate(list_transform(range(1, sz + 1), j -> (x1[j] + 6 * x2[j]) % 4503599627370496), 'min') AS h6,
+           list_aggregate(list_transform(range(1, sz + 1), j -> (x1[j] + 7 * x2[j]) % 4503599627370496), 'min') AS h7
+    FROM xs
 ), bands AS (
     SELECT doc_id, b.b AS band_id,
-           CASE b.b WHEN 0 THEN md5(h0 || h1) WHEN 1 THEN md5(h2 || h3)
-                    WHEN 2 THEN md5(h4 || h5) ELSE md5(h6 || h7) END AS bh
+           CASE b.b WHEN 0 THEN h0 WHEN 1 THEN h2 WHEN 2 THEN h4 ELSE h6 END AS bx,
+           CASE b.b WHEN 0 THEN h1 WHEN 1 THEN h3 WHEN 2 THEN h5 ELSE h7 END AS by
     FROM sig, (SELECT unnest(range(0, 4)) AS b) b
 ), pairs AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a
-    JOIN bands b ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
-), inter AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-    GROUP BY 1, 2
+    JOIN bands b ON a.band_id = b.band_id AND a.bx = b.bx AND a.by = b.by
+                AND a.doc_id < b.doc_id
+), rescored AS (
+    SELECT p.doc_a, p.doc_b,
+           CAST(len(list_intersect(sa.sarr, sb.sarr)) AS DOUBLE) AS n_common,
+           sa.sz AS sz_a, sb.sz AS sz_b
+    FROM pairs p
+    JOIN sig sa ON p.doc_a = sa.doc_id
+    JOIN sig sb ON p.doc_b = sb.doc_id
 )
-SELECT p.doc_a, p.doc_b,
-       FLOOR(CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common)
-             * 1000000 + 0.5) / 1000000 AS jaccard,
-       CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common) >= 0.4 AS is_dup
-FROM pairs p
-JOIN inter i ON p.doc_a = i.doc_a AND p.doc_b = i.doc_b
-JOIN sig sa ON p.doc_a = sa.doc_id
-JOIN sig sb ON p.doc_b = sb.doc_id
+SELECT doc_a, doc_b,
+       FLOOR(n_common / (sz_a + sz_b - n_common) * 1000000 + 0.5) / 1000000 AS jaccard,
+       n_common / (sz_a + sz_b - n_common) >= 0.4 AS is_dup
+FROM rescored
 """,
 )
 def llm_dedup_minhash_sql(spark, sf_dir):
@@ -1882,22 +1891,24 @@ def llm_dedup_minhash_sql(spark, sf_dir):
     — no MLlib, no Python, no driver round-trips: the shape a 100 TB
     near-dup pass actually runs.
 
-    8 md5-seeded min-hashes over distinct 3-word shingles, banded 4×2
-    (band hash = md5(h_{2b} || h_{2b+1})); candidate pairs come from an
-    equi-join on (band_id, band_hash) — the classic LSH blocking, never
-    all-pairs. min() is duplicate-insensitive, so the whole signature
-    (array_distinct → array_min over a transform) is computed PER DOC
-    inside one narrow projection: ZERO shuffles until the band join
-    itself — corpus size only ever flows through the 4-rows-per-doc
-    band exchange. Candidates are then EXACT-rescored: shingle sets are
-    semi-joined down to candidate docs first, so the rescore join
-    touches only candidate shingles, not the corpus.
-    Banding math: P(candidate) = 1 - (1 - J^2)^4, ≈ 0.50 at J = 0.4,
-    ≈ 0.97 at J = 0.7 — the band/row split is the recall/cost knob.
-    md5 (not xxhash64) so signatures are bit-identical across engines
-    and the oracle twin is EXACT, not an anchor: this is the only
-    near-dup operator in the family whose full pair set hash-matches
-    the oracle."""
+    8 min-hashes over distinct 3-word shingles via Kirsch–Mitzenmacher
+    double hashing: ONE md5 per shingle supplies two 52-bit integers
+    (x1, x2|1); seeded hash_i = (x1 + i·x2) mod 2^52 — the standard
+    two-base construction, so the whole family costs one string hash.
+    min() is duplicate-insensitive, so the signature (array_distinct →
+    array_min over a transform) is computed PER DOC inside one narrow
+    projection: ZERO shuffles until the band join itself, and the 4×2
+    banding joins on (band_id, h_even, h_odd) — two BIGINTs, not hash
+    strings, so the only corpus-sized exchange carries 4 × 20-byte rows
+    per doc. Candidates are EXACT-rescored with array_intersect on the
+    two shingle arrays brought in by a pair-key join — pure codegen,
+    no shingle re-explode. Banding math: P(candidate) = 1-(1-J²)⁴,
+    ≈ 0.50 at J = 0.4, ≈ 0.97 at J = 0.7. md5-derived integers are
+    bit-identical across engines, so the oracle twin is EXACT, not an
+    anchor: the only near-dup operator whose full pair set value-hashes
+    against the oracle. 52-bit pieces keep i·x2 ≤ 7·2^52 < 2^63 —
+    no int64 overflow on either engine."""
+    M = 4503599627370496  # 2^52
     d = (
         t(spark, sf_dir, "documents")
         .select("doc_id", "text")
@@ -1905,63 +1916,64 @@ def llm_dedup_minhash_sql(spark, sf_dir):
         .select("doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w"))
         .filter(F.size("w") >= 3)  # ANSI: shingle lambda indexes OOB on short docs
     )
-    # Per-doc distinct shingle ARRAY, not an exploded table: the
-    # signature needs min-per-seed over the shingle set, and min is
-    # duplicate-insensitive, so everything up to the band join is a
-    # narrow projection. Materialized once (eager localCheckpoint)
-    # because it feeds both the signature path and the candidate
-    # rescore — in production this is the persisted index artifact,
-    # same rationale as the MinHashLSH signature checkpoint in
-    # raw_dedup_fuzzy.
+    # Per-doc distinct shingle array + its (x1, x2) hash bases; one md5
+    # per shingle, materialized once (this is the persisted index
+    # artifact in production — same rationale as the MinHashLSH
+    # signature checkpoint in raw_dedup_fuzzy).
     doc_sh = d.select(
-        "doc_id", F.array_distinct(F.expr(_NGRAM_SH_SPARK)).alias("sarr")
+        "doc_id",
+        F.array_distinct(F.expr(_NGRAM_SH_SPARK)).alias("sarr"),
+    ).select(
+        "doc_id",
+        "sarr",
+        F.size("sarr").cast("bigint").alias("sz"),
+        F.expr(
+            "transform(sarr, s -> named_struct("
+            " 'x1', cast(conv(substr(md5(s), 1, 13), 16, 10) as bigint),"
+            " 'x2', cast(conv(substr(md5(s), 17, 13), 16, 10) as bigint) | 1L))"
+        ).alias("xs"),
     ).localCheckpoint(eager=True)
     sig = doc_sh.select(
         "doc_id",
-        F.size("sarr").cast("bigint").alias("sz"),
+        "sarr",
+        "sz",
         *[
             F.array_min(
-                F.expr(f"transform(sarr, s -> md5(concat('{i}:', s)))")
+                F.expr(f"transform(xs, p -> (p.x1 + {i}L * p.x2) % {M}L)")
             ).alias(f"h{i}")
             for i in range(8)
         ],
     )
     band_arr = F.array(
-        *[F.md5(F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"))) for b in range(4)]
+        *[
+            F.struct(
+                F.col(f"h{2 * b}").alias("bx"), F.col(f"h{2 * b + 1}").alias("by")
+            )
+            for b in range(4)
+        ]
     )
-    bands = sig.select("doc_id", F.posexplode(band_arr).alias("band_id", "bh"))
-    pa = bands.select(F.col("doc_id").alias("doc_a"), "band_id", "bh")
-    pb = bands.select(F.col("doc_id").alias("doc_b"), "band_id", "bh")
-    # Candidate pairs also fan out (survivor-doc semi-join + the final
-    # rescore join) — materialize so the band self-join runs once.
+    bands = sig.select(
+        "doc_id", F.posexplode(band_arr).alias("band_id", "bxy")
+    ).select("doc_id", "band_id", F.col("bxy.bx").alias("bx"), F.col("bxy.by").alias("by"))
+    pa = bands.select(F.col("doc_id").alias("doc_a"), "band_id", "bx", "by")
+    pb = bands.select(F.col("doc_id").alias("doc_b"), "band_id", "bx", "by")
     pairs = (
-        pa.join(pb, ["band_id", "bh"])
+        pa.join(pb, ["band_id", "bx", "by"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    cand_docs = pairs.select(
-        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
-    ).distinct()
-    sh_c = doc_sh.join(cand_docs, "doc_id", "left_semi").select(
-        "doc_id", F.explode("sarr").alias("s")
+    sa = doc_sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("sarr").alias("s_a"), F.col("sz").alias("sz_a")
     )
-    ia = sh_c.select(F.col("doc_id").alias("doc_a"), "s")
-    ib = sh_c.select(F.col("doc_id").alias("doc_b"), "s")
-    inter = (
-        ia.join(ib, "s")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    sb = doc_sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("sarr").alias("s_b"), F.col("sz").alias("sz_b")
     )
-    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    jac = F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+    n_common = F.size(F.array_intersect("s_a", "s_b")).cast("double")
+    jac = n_common / (F.col("sz_a") + F.col("sz_b") - n_common)
     half_up6 = lambda col: F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
     return (
-        pairs.join(inter, ["doc_a", "doc_b"])
-        .join(sa, "doc_a")
+        pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
             "doc_a",
