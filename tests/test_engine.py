@@ -341,3 +341,50 @@ def test_ewma_compose_seeds_from_first_day(spark):
         .collect()[0]["e"]
     )
     assert one == 2.0
+
+
+def test_minhash_banding_recall_on_known_near_dups(spark, sf_dir, tmp_path):
+    """LSH quality property: plant near-identical document pairs (rotated
+    word order, shingle Jaccard ≈ 0.9) and require the banding to
+    recover ≥ 90% of them — P(candidate | J=0.9) = 1-(1-J²)⁴ ≈ 0.999,
+    so missing more than a few planted pairs means the band/row math or
+    the hash family is broken, not bad luck."""
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from morphl_model_publishers_churning_users_spark.catalog import TABLES
+    from morphl_model_publishers_churning_users_spark.registry import get_queries
+
+    d = str(tmp_path / "planted")
+    os.makedirs(d, exist_ok=True)
+    for tbl in TABLES:
+        if tbl != "documents":
+            shutil.copy(os.path.join(sf_dir, f"{tbl}.parquet"), d)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # rotate each doc's words by one position: shares all interior
+    # shingles with the original (J well above 0.8 for 30+ word docs)
+    rotated = docs.filter(F.size(F.split("text", " ")) >= 20).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(
+            F.expr("concat(slice(split(text, ' '), 2, 100000), slice(split(text, ' '), 1, 1))"),
+            " ",
+        ).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    planted = docs.unionByName(rotated)
+    planted.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+
+    pairs = get_queries()["llm_dedup_minhash_sql"](spark, d)
+    found = {
+        (r["doc_a"], r["doc_b"]) for r in pairs.filter("jaccard >= 0.8").collect()
+    }
+    expected = {
+        (r["doc_id"], r["doc_id"] + 1000000)
+        for r in docs.filter(F.size(F.split("text", " ")) >= 20).collect()
+    }
+    recall = len(found & expected) / len(expected)
+    assert recall >= 0.9, f"banding recall {recall:.2f} on planted near-dups"
