@@ -388,3 +388,46 @@ def test_minhash_banding_recall_on_known_near_dups(spark, sf_dir, tmp_path):
     }
     recall = len(found & expected) / len(expected)
     assert recall >= 0.9, f"banding recall {recall:.2f} on planted near-dups"
+
+
+def test_incremental_dedup_partitions_batch_exactly(spark, sf_dir):
+    """Every batch doc gets exactly one status; the 'new' survivors are
+    disjoint from the index hashes AND unique among themselves — i.e.
+    appending them to the index keeps it duplicate-free (the invariant
+    the daily ingest relies on)."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_publishers_churning_users_spark.catalog import table
+    from morphl_model_publishers_churning_users_spark.registry import get_queries
+
+    out = get_queries()["llm_dedup_incremental"](spark, sf_dir)
+    docs = table(spark, sf_dir, "documents")
+    n_batch = docs.filter("doc_id % 2 = 1").count()
+    assert out.count() == n_batch  # exactly one row per batch doc
+    new = out.filter("status = 'new'")
+    # new hashes unique within the batch
+    assert new.select("content_hash").distinct().count() == new.count()
+    # and absent from the index
+    index_hashes = docs.filter("doc_id % 2 = 0").select(
+        F.md5(F.lower(F.trim("text"))).alias("content_hash")
+    ).distinct()
+    assert new.join(index_hashes, "content_hash", "inner").count() == 0
+
+
+def test_sample_weighted_rate_tracks_keep_probability(spark, sf_dir):
+    """Per-source realized sampling rate must sit inside a 5-sigma
+    binomial band around keep_w, and full-weight sources must be kept
+    whole — the md5-uniform is a real uniform, not a biased hash."""
+    from morphl_model_publishers_churning_users_spark.registry import get_queries
+
+    rows = get_queries()["llm_sample_weighted"](spark, sf_dir).collect()
+    by_src = {}
+    for r in rows:
+        n, k, w = by_src.get(r["source"], (0, 0, r["keep_w"]))
+        by_src[r["source"]] = (n + 1, k + (1 if r["is_sampled"] else 0), r["keep_w"])
+    for src, (n, k, w) in by_src.items():
+        if w >= 0.999999:
+            assert k == n, (src, k, n)
+        else:
+            sd = (n * w * (1 - w)) ** 0.5
+            assert abs(k - n * w) <= 5 * sd + 3, (src, k, n, w)
