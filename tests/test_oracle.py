@@ -25,3 +25,20 @@ def test_rows_only_runs(spark, sf_dir, key):
     rows = df.collect()
     assert df.columns, key
     assert rows is not None
+
+
+def test_no_duplicate_output_columns(spark, sf_dir):
+    """The driver canonicalizer sorts result columns BY NAME before
+    hashing — duplicate names would silently mis-pair values. Sweep
+    every registered query's analyzed schema."""
+    bad = {}
+    for key, fn in _QUERIES.items():
+        cols = fn(spark, sf_dir).columns
+        if len(cols) != len(set(cols)):
+            bad[key] = cols
+    assert not bad, bad
+
+
+# NOTE: no table-name lint for the oracle SQL — test_oracle_parity
+# executes every twin against the driver's exact DuckDB view set, which
+# proves table resolution far more reliably than a regex could.
