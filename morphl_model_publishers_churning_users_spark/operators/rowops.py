@@ -652,3 +652,35 @@ def dq_expectations(spark, sf_dir):
     return agg.select(F.expr(stack_expr)).select(
         "rule", "n_violations", (F.col("n_violations") == 0).alias("passed")
     )
+
+
+@register(
+    "dq_k_anonymity",
+    oracle="""
+WITH cells AS (
+    SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS group_size
+    FROM documents GROUP BY 1, 2
+)
+SELECT lang, source, group_size,
+       group_size < 5 AS below_k
+FROM cells
+""",
+)
+def dq_k_anonymity(spark, sf_dir):
+    """k-anonymity audit over the quasi-identifier tuple (lang, source):
+    every equivalence class's size, flagged when below k = 5 — the
+    privacy gate a training-data release runs so no published sample is
+    re-identifiable by its quasi-identifiers alone. One hash aggregate
+    on the quasi-identifier key; at 100 TB the flagged cells (not the
+    rows) are the output, so the report stays tiny regardless of corpus
+    size. Suppression/generalization of the flagged cells composes
+    downstream as a broadcast anti-join on this table."""
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("group_size")
+    ).select(
+        "lang",
+        "source",
+        "group_size",
+        (F.col("group_size") < 5).alias("below_k"),
+    )

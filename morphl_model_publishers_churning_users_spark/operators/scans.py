@@ -382,3 +382,64 @@ def scan_file_provenance(spark, sf_dir):
         F.countDistinct("fp").cast("bigint").alias("n_files"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@register(
+    "scan_snapshot_diff",
+    oracle="""
+WITH old AS (
+    SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 10 != 0
+), new AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN ROUND(o_totalprice * 1.1, 2)
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderstatus
+    FROM orders WHERE o_orderkey % 10 != 1
+)
+SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added'
+            WHEN n.o_orderkey IS NULL THEN 'removed'
+            WHEN o.o_totalprice != n.o_totalprice
+                 OR o.o_orderstatus != n.o_orderstatus THEN 'changed'
+            ELSE 'unchanged' END AS change_kind,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+GROUP BY 1
+""",
+)
+def scan_snapshot_diff(spark, sf_dir):
+    """Snapshot diff — the lakehouse audit between two versions of a
+    table (deterministic stand-ins: version A drops keys ≡0 mod 10,
+    version B drops ≡1 and reprices ≡0 mod 7): classify every key as
+    added / removed / changed / unchanged with ONE full-outer hash join
+    on the primary key and a count rollup. At 100 TB both snapshots
+    are bucketed by the key, so the diff is a co-partitioned join with
+    no shuffle of either snapshot — the shape behind CDC backfills,
+    reconciliation gates, and incremental-publish manifests."""
+    od = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus")
+    old = od.filter(F.col("o_orderkey") % 10 != 0)
+    new = od.filter(F.col("o_orderkey") % 10 != 1).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.round(F.col("o_totalprice") * 1.1, 2)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    o = old.alias("o")
+    n = new.alias("n")
+    kind = (
+        F.when(F.col("o.o_orderkey").isNull(), "added")
+        .when(F.col("n.o_orderkey").isNull(), "removed")
+        .when(
+            (F.col("o.o_totalprice") != F.col("n.o_totalprice"))
+            | (F.col("o.o_orderstatus") != F.col("n.o_orderstatus")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return (
+        o.join(n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer")
+        .groupBy(kind.alias("change_kind"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
