@@ -37,6 +37,7 @@ FROM documents
 """,
 )
 def fn_string(spark, sf_dir):
+    """String function surface — casing, trim, substring, concat, padding, regexp extract/replace — evaluated as one codegen projection."""
     d = t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
@@ -66,6 +67,7 @@ FROM orders
 """,
 )
 def fn_date(spark, sf_dir):
+    """Date/time function surface — truncation, extraction, arithmetic, formatting over the event timestamps, all timezone-free on both engines."""
     o = t(spark, sf_dir, "orders")
     od = F.to_date("o_orderdate")
     return o.select(
@@ -98,6 +100,7 @@ FROM part
 """,
 )
 def fn_math(spark, sf_dir):
+    """Math function surface — rounding families, abs/sign, exp/log, power, modulo — with the cross-engine rounding discipline applied to every double output."""
     p = t(spark, sf_dir, "part")
     return p.select(
         "p_partkey",

@@ -30,6 +30,7 @@ FROM events GROUP BY user_id, event_type
 """,
 )
 def agg_group(spark, sf_dir):
+    """Per-(user, event-type) rollup — counts, DECIMAL-exact sums/averages, first/last timestamps; the canonical one-shuffle hash aggregate with map-side partials."""
     ev = t(spark, sf_dir, "events")
     sum_dec = dsum(F.col("value"))
     return ev.groupBy("user_id", "event_type").agg(
@@ -53,6 +54,7 @@ FROM lineitem
 """,
 )
 def agg_global(spark, sf_dir):
+    """Whole-table aggregate (no grouping keys) — counts, distinct orders, DECIMAL-exact totals and extrema in a single partial+final pass with a 1-row result."""
     li = t(spark, sf_dir, "lineitem")
     return li.agg(
         F.count("*").alias("n_rows"),
@@ -174,6 +176,7 @@ FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 5
 """,
 )
 def agg_having(spark, sf_dir):
+    """Post-aggregation filtering (HAVING): per-customer order totals kept only above a spend floor — the predicate runs on the aggregate output, after the shuffle."""
     return (
         t(spark, sf_dir, "orders")
         .groupBy("o_custkey")

@@ -29,6 +29,7 @@ FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 """,
 )
 def join_inner_hash(spark, sf_dir):
+    """Fact-to-fact inner equi-join (orders x lineitem on the order key) — the baseline shuffled hash join both sides repartition for."""
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
     return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
@@ -44,6 +45,7 @@ FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
 """,
 )
 def join_left_outer(spark, sf_dir):
+    """Left outer equi-join preserving customers without orders — null-extended right side, same single-shuffle shape as the inner join."""
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders")
     return c.join(o, o.o_custkey == c.c_custkey, "left").select(
@@ -81,6 +83,7 @@ WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 """,
 )
 def join_semi(spark, sf_dir):
+    """Left semi join: customers having at least one qualifying order — no right-side columns materialize and duplicates never multiply."""
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders")
     return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")

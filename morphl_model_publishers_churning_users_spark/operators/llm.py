@@ -651,6 +651,7 @@ FROM documents GROUP BY lang
 """,
 )
 def llm_textstats(spark, sf_dir):
+    """Corpus text statistics per language — document counts, char/word totals and means from one split-free length pass plus a word count per doc."""
     d = t(spark, sf_dir, "documents")
     n_words = F.size(F.split(F.trim("text"), r"\s+")).cast("bigint")
     sum_chars = dsum(F.col("n_chars").cast("double"))

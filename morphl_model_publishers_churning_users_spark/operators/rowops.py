@@ -24,6 +24,7 @@ FROM lineitem
 """,
 )
 def project_derive(spark, sf_dir):
+    """Projection with derived columns — arithmetic, string and conditional expressions computed inside one whole-stage-codegen pass over the scan."""
     li = t(spark, sf_dir, "lineitem")
     net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return li.select(

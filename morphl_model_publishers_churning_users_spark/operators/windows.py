@@ -89,6 +89,7 @@ FROM events
 """,
 )
 def win_frame_rows(spark, sf_dir):
+    """ROWS-frame windowed aggregate: trailing-3-rows moving sum/avg per user in event order — the frame is positional, not value-based."""
     ev = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
     return ev.select("event_id", "user_id", F.round(F.avg("value").over(w), 6).alias("avg3"))
@@ -127,6 +128,7 @@ FROM events
 """,
 )
 def win_running(spark, sf_dir):
+    """Running (unbounded-preceding) totals and counts per user in event order — the cumulative scan every sessionized feature builds on."""
     ev = t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")

@@ -22,6 +22,7 @@ from ..registry import register
     oracle="SELECT event_id, user_id, event_type, value FROM events",
 )
 def source_csv(spark, sf_dir):
+    """CSV round-trip source: write the events projection as CSV, read it back with an explicit schema — proves the text-format ingest path end to end."""
     out = scratch_dir("source_csv")
     (
         t(spark, sf_dir, "events")

@@ -18,6 +18,7 @@ from ..registry import register
     oracle="SELECT event_id, user_id, event_type, value FROM events",
 )
 def source_json(spark, sf_dir):
+    """JSON-lines round-trip source: write events as JSONL, read back with schema — the semi-structured ingest path."""
     out = scratch_dir("source_json")
     (
         t(spark, sf_dir, "events")

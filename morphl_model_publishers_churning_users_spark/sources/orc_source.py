@@ -27,6 +27,7 @@ FROM events GROUP BY 1
 """,
 )
 def sink_orc(spark, sf_dir):
+    """ORC sink round-trip: write the projection as ORC and read it back — the columnar alternative output format."""
     out = scratch_dir(f"sink_orc_{os.path.basename(os.path.abspath(sf_dir))}")
     t(spark, sf_dir, "events").write.mode("overwrite").orc(out)
     back = spark.read.schema(

@@ -59,6 +59,7 @@ def run_available_now(sdf, name_prefix: str, output_mode: str = "complete"):
     oracle="SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type",
 )
 def source_stream(spark, sf_dir):
+    """File-stream source: the events table consumed via readStream with Trigger.AvailableNow and written to an exactly-once sink — batch parity on bounded input."""
     sdf = _stream_events(spark, sf_dir)
     agg = sdf.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
     return run_available_now(agg, "source_stream")
