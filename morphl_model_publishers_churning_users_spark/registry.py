@@ -60,6 +60,25 @@ def register(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Quer
 # re-verifies known greens and the round's verification yield collapses
 # (round-2 lesson: 49/50 slots would have been wasted).
 #
+# ROUND-5 PRE-STAGED MAINTENANCE (apply after CORRECTNESS_r04.json lands):
+# the r4 window was pre-flighted 50/50 green by the driver simulator, so
+# barring driver-environment surprises the keys to fold into
+# DRIVER_VERIFIED are the window's never-verified 42:
+#   llm_dedup_exact llm_dedup_fuzzy llm_dedup_simhash llm_dedup_ngram
+#   llm_simsearch llm_dedup_cosine llm_simsearch_ann llm_simsearch_ivf
+#   llm_textstats llm_langfilter llm_quality llm_tokens llm_langid
+#   llm_fingerprint llm_tfidf llm_embed_ops llm_pii_scrub
+#   llm_contamination llm_chunk llm_pack llm_tfidf_exact llm_dedup_cluster
+#   llm_unigram_lm llm_kmeans_embed llm_dedup_keep_best llm_embed_centroid
+#   llm_ngram_freq llm_vocab_growth llm_repetition llm_entropy_filter
+#   udf_python udf_pandas udf_grouped_map udf_grouped_agg udtf_python
+#   udf_arrow udf_cogrouped_map udf_python_arrow mm_features
+#   mm_framesample mm_resize ml_label
+# (plus re-confirmations of fn_array_setops / agg_approx_distinct /
+# ts_ewma and the 5 canaries). Then set _REVERIFY=() unless r4 shows
+# reds, trim _CANARY to 2-3, and the ~57 remaining unverified keys fill
+# the round-5 window with a handful spilling to round 6.
+#
 # hash_match=true rows from CORRECTNESS_r01..r03.json (driver, rounds 1-3).
 # 44 r01 greens + 47 r02 greens + 46 new r03 greens (49 r3 greens minus the
 # 3 canaries that were already listed).
