@@ -431,3 +431,69 @@ def test_sample_weighted_rate_tracks_keep_probability(spark, sf_dir):
         else:
             sd = (n * w * (1 - w)) ** 0.5
             assert abs(k - n * w) <= 5 * sd + 3, (src, k, n, w)
+
+
+def test_winnowing_guarantee_shared_runs_share_fingerprints(spark, sf_dir, tmp_path):
+    """Winnowing's defining guarantee (Schleimer et al.): with 3-word
+    k-grams and window 4, ANY shared run of >= 6 words yields at least
+    one shared fingerprint. Plant seeded-random doc pairs sharing a
+    6-12 word run at random positions and assert every pair collides."""
+    import os
+    import random
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from morphl_model_publishers_churning_users_spark.catalog import TABLES
+    from morphl_model_publishers_churning_users_spark.registry import get_queries
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(200)]
+
+    def words(n):
+        return [rng.choice(vocab) for _ in range(n)]
+
+    rows = []
+    n_pairs = 20
+    for i in range(n_pairs):
+        shared = words(rng.randint(6, 12))
+        a = words(rng.randint(5, 30)) + shared + words(rng.randint(5, 30))
+        b = words(rng.randint(5, 30)) + shared + words(rng.randint(5, 30))
+        rows.append((2 * i, " ".join(a), "en", "prop", len(" ".join(a))))
+        rows.append((2 * i + 1, " ".join(b), "en", "prop", len(" ".join(b))))
+
+    d = str(tmp_path / "winnow")
+    os.makedirs(d, exist_ok=True)
+    for tbl in TABLES:
+        if tbl != "documents":
+            shutil.copy(os.path.join(sf_dir, f"{tbl}.parquet"), d)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+
+    # fp_head only exposes 3 fingerprints; recompute the full fingerprint
+    # set with the operator's own expressions to test the guarantee.
+    docs = spark.read.parquet(os.path.join(d, "documents.parquet")).select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w")
+    )
+    kg = docs.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, size(w) - 2),"
+            " i -> md5(concat_ws(' ', element_at(w, i), element_at(w, i + 1),"
+            " element_at(w, i + 2))))"
+        ).alias("kgs"),
+    )
+    fp = kg.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("kgs") >= 4,
+                F.expr("transform(sequence(1, size(kgs) - 3), i -> array_min(slice(kgs, i, 4)))"),
+            ).otherwise(F.array(F.array_min("kgs")))
+        ).alias("f"),
+    ).distinct()
+    a = fp.filter("doc_id % 2 = 0").select((F.col("doc_id") / 2).cast("long").alias("pair"), "f")
+    b = fp.filter("doc_id % 2 = 1").select(((F.col("doc_id") - 1) / 2).cast("long").alias("pair"), "f")
+    collided = a.join(b, ["pair", "f"]).select("pair").distinct().count()
+    assert collided == n_pairs, f"only {collided}/{n_pairs} planted pairs share a fingerprint"
