@@ -497,3 +497,62 @@ def test_winnowing_guarantee_shared_runs_share_fingerprints(spark, sf_dir, tmp_p
     b = fp.filter("doc_id % 2 = 1").select(((F.col("doc_id") - 1) / 2).cast("long").alias("pair"), "f")
     collided = a.join(b, ["pair", "f"]).select("pair").distinct().count()
     assert collided == n_pairs, f"only {collided}/{n_pairs} planted pairs share a fingerprint"
+
+
+def test_semdedup_survivor_soundness(spark, sf_dir):
+    """Survivor-policy soundness: every DROPPED vector must have a KEPT
+    near-duplicate with a lower id in its bucket (the representative it
+    was deduplicated against) — dropping without a surviving witness
+    would lose data, not deduplicate it."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_publishers_churning_users_spark.registry import get_queries
+
+    out = get_queries()["llm_semdedup"](spark, sf_dir)
+    dropped = out.filter("NOT is_kept")
+    if dropped.count() == 0:
+        return  # nothing deduplicated at this sf — vacuously sound
+    # a dropped vec must share its bucket with at least one lower-id vec
+    # (its pair partner; the partner chain always bottoms out at a kept
+    # minimum because every bucket's lowest id can never be dropped)
+    lower = out.alias("w").join(
+        dropped.alias("d"),
+        (F.col("w.bucket") == F.col("d.bucket")) & (F.col("w.vec_id") < F.col("d.vec_id")),
+    ).select(F.col("d.vec_id").alias("vec_id")).distinct()
+    orphans = dropped.join(lower, "vec_id", "left_anti").count()
+    assert orphans == 0
+    # and the minimum id of every bucket is always kept
+    mins = out.groupBy("bucket").agg(F.min("vec_id").alias("vec_id"))
+    assert out.join(mins, ["bucket", "vec_id"]).filter("NOT is_kept").count() == 0
+
+
+def test_bm25_rewards_term_frequency(spark, sf_dir, tmp_path):
+    """BM25 sanity: with equal doc length, a doc with more query-term
+    occurrences must score at least as high; and every result doc must
+    actually contain a query term."""
+    import os
+    import shutil
+
+    from morphl_model_publishers_churning_users_spark.catalog import TABLES
+    from morphl_model_publishers_churning_users_spark.operators.llm import _BM25_TERMS
+    from morphl_model_publishers_churning_users_spark.registry import get_queries
+
+    filler = ["alpha", "beta", "gamma", "delta"]
+    docs = []
+    # doc i contains the first query term i times, padded to length 12
+    for i in range(6):
+        body = [_BM25_TERMS[0]] * i + filler * 3
+        docs.append((i, " ".join(body[:12]), "en", "bm", 60))
+    d = str(tmp_path / "bm25")
+    os.makedirs(d, exist_ok=True)
+    for tbl in TABLES:
+        if tbl != "documents":
+            shutil.copy(os.path.join(sf_dir, f"{tbl}.parquet"), d)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+
+    rows = {r["doc_id"]: r["bm25"] for r in get_queries()["llm_bm25"](spark, d).collect()}
+    assert 0 not in rows  # zero-occurrence doc never scores
+    scored = [rows[i] for i in sorted(rows)]
+    assert all(a <= b + 1e-9 for a, b in zip(scored, scored[1:])), scored
