@@ -1190,6 +1190,11 @@ def ts_seasonal_decompose(spark, sf_dir):
     w7 = (
         Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
     )
+    # Materialize the trended day×type table (tiny) — it feeds both the
+    # seasonal aggregate and the final join, and without this Catalyst
+    # re-derives the raw-event scan + aggregate once per consumer: the
+    # expensive part of the op would run TWICE at 100 TB (caught by the
+    # single-scan plan test).
     trended = daily.select(
         "event_type",
         "day",
@@ -1198,7 +1203,7 @@ def ts_seasonal_decompose(spark, sf_dir):
         (F.datediff("day", F.lit("1970-01-05").cast("date")) % 7)
         .cast("bigint")
         .alias("dow"),
-    )
+    ).localCheckpoint(eager=True)
     seasonal = trended.groupBy("event_type", "dow").agg(
         F.avg(F.col("n") - F.col("trend")).alias("s")
     )

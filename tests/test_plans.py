@@ -496,3 +496,43 @@ def test_caption_align_sparse_dot_no_dense_vector(spark, sf_dir):
     plan = _plan(spark, sf_dir, "mm_caption_align")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_daily_analytics_window_over_aggregate_not_events(spark, sf_dir):
+    """The anomaly/forecast/decomposition family must run its windows
+    and fits over the tiny day-by-type aggregate — the raw event table
+    appears once, as the input to a hash aggregate, never under a
+    Window or sort of its own."""
+    import re
+
+    for key in (
+        "ts_anomaly_robust",
+        "ts_forecast_linear",
+        "ts_holt_forecast",
+        "ts_seasonal_decompose",
+    ):
+        plan = _plan(spark, sf_dir, key)
+        scans = re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)
+        # == 1 for straight-line plans; 0 when the day×type aggregate is
+        # materialized via eager checkpoint (the one scan ran inside it)
+        assert len(scans) <= 1, key
+        assert "CartesianProduct" not in plan, key
+
+
+def test_cube_plans_expand_single_exchange(spark, sf_dir):
+    """CUBE = one Expand fan-out + one shuffle, not 2^k unioned scans."""
+    import re
+
+    plan = _plan(spark, sf_dir, "agg_cube")
+    assert "Expand" in plan
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)
+    assert len(scans) == 1
+
+
+def test_snapshot_diff_single_full_outer_hash_join(spark, sf_dir):
+    """The version diff is ONE key-equi full-outer join — hash/SMJ,
+    never a nested loop."""
+    plan = _plan(spark, sf_dir, "scan_snapshot_diff")
+    assert "FullOuter" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
