@@ -2095,7 +2095,15 @@ def llm_perplexity_filter(spark, sf_dir):
         .select("doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w"))
     )
     words = docs.select("doc_id", F.explode("w").alias("word"))
-    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    # The vocab LM is the persisted model artifact: materialize it once —
+    # it feeds both the corpus-total scalar and the scoring join, and
+    # without this the tokenize→explode→count pass over the corpus runs
+    # twice (caught by the duplicate-scan plan sweep).
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     corpus = vocab.agg(
         F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
     )

@@ -456,7 +456,13 @@ def ml_calibration_bins(spark, sf_dir):
     engines bin identically. Two aggregations and two broadcast scalars
     — no per-model state, scales as a pure groupBy."""
     e = t(spark, sf_dir, "events")
-    u = e.groupBy("user_id").agg(F.max("ts").alias("last_ts"))
+    # Materialize the per-user aggregate once — it feeds the corpus-max
+    # scalar, the recency projection, AND (transitively) the max-recency
+    # scalar; without this Catalyst re-derives the full event scan +
+    # user aggregate once per consumer (observed: 4 scans in the plan).
+    u = e.groupBy("user_id").agg(F.max("ts").alias("last_ts")).localCheckpoint(
+        eager=True
+    )
     m = u.agg(F.max("last_ts").alias("cmax"))
     # timestampdiff, not unix_micros: events.ts is TIMESTAMP_NTZ (catalog
     # nanos conversion) and the diff must be timezone-free so it matches
