@@ -1671,10 +1671,14 @@ def llm_mixture_balance(spark, sf_dir):
     d = t(spark, sf_dir, "documents").select(
         "source", "lang", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok")
     )
+    # Materialize the vocabulary-sized group table: it feeds both the
+    # corpus-total scalar and the final share projection, and without
+    # this the corpus tokenize+aggregate pass runs once per consumer
+    # (caught by the duplicate-scan plan sweep).
     g = d.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").cast("bigint").alias("n_tokens"),
-    )
+    ).localCheckpoint(eager=True)
     tot = g.agg(
         F.sum("n_tokens").cast("double").alias("tot_tokens"),
         F.count(F.lit(1)).cast("double").alias("n_groups"),
@@ -2225,7 +2229,14 @@ def llm_sample_weighted(spark, sf_dir):
         "source",
         F.size(F.split(F.lower(F.trim("text")), r"\s+")).cast("bigint").alias("n_tokens"),
     )
-    src = tok.groupBy("source").agg(F.sum("n_tokens").alias("src_tokens"))
+    # Materialize the per-source totals (tiny): they feed both the
+    # corpus-total scalar and the weight table — without this the
+    # corpus tokenize+aggregate pass re-runs per consumer.
+    src = (
+        tok.groupBy("source")
+        .agg(F.sum("n_tokens").alias("src_tokens"))
+        .localCheckpoint(eager=True)
+    )
     tot = src.agg(
         F.sum("src_tokens").cast("double").alias("all_tokens"),
         F.count(F.lit(1)).cast("double").alias("n_sources"),

@@ -312,12 +312,20 @@ def mm_phash_dedup(spark, sf_dir):
     near pairs extend via banded equi-join (the llm_dedup_simhash
     pattern) without changing this op's plan. The oracle recomputes the
     identical hash from the format's deterministic sample stream."""
+    from pyspark.sql import Window
+
     hashes = _binify(spark, sf_dir).mapInPandas(_phash, schema=_PHASH_SCHEMA)
-    groups = hashes.groupBy("phash").agg(
-        F.count(F.lit(1)).cast("bigint").alias("group_size"),
-        F.min("doc_id").alias("keep_doc_id"),
+    # Window over phash, NOT groupBy + self-join: the join form re-runs
+    # the Arrow decode pass once per consumer — the single most
+    # expensive duplication possible here (caught by the duplicate-scan
+    # plan sweep). One decode, one exchange.
+    w = Window.partitionBy("phash")
+    return hashes.select(
+        "doc_id",
+        "phash",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("group_size"),
+        F.min("doc_id").over(w).alias("keep_doc_id"),
     )
-    return hashes.join(groups, "phash").select("doc_id", "phash", "group_size", "keep_doc_id")
 
 
 @register(
