@@ -60,28 +60,29 @@ def register(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Quer
 # re-verifies known greens and the round's verification yield collapses
 # (round-2 lesson: 49/50 slots would have been wasted).
 #
-# ROUND-5 PRE-STAGED MAINTENANCE (apply after CORRECTNESS_r04.json lands):
-# the r4 window was pre-flighted 50/50 green by the driver simulator, so
-# barring driver-environment surprises the keys to fold into
-# DRIVER_VERIFIED are the window's never-verified 42:
-#   llm_dedup_exact llm_dedup_fuzzy llm_dedup_simhash llm_dedup_ngram
-#   llm_simsearch llm_dedup_cosine llm_simsearch_ann llm_simsearch_ivf
-#   llm_textstats llm_langfilter llm_quality llm_tokens llm_langid
-#   llm_fingerprint llm_tfidf llm_embed_ops llm_pii_scrub
-#   llm_contamination llm_chunk llm_pack llm_tfidf_exact llm_dedup_cluster
-#   llm_unigram_lm llm_kmeans_embed llm_dedup_keep_best llm_embed_centroid
-#   llm_ngram_freq llm_vocab_growth llm_repetition llm_entropy_filter
-#   udf_python udf_pandas udf_grouped_map udf_grouped_agg udtf_python
-#   udf_arrow udf_cogrouped_map udf_python_arrow mm_features
-#   mm_framesample mm_resize ml_label
-# (plus re-confirmations of fn_array_setops / agg_approx_distinct /
-# ts_ewma and the 5 canaries). Then set _REVERIFY=() unless r4 shows
-# reds, trim _CANARY to 2-3, and the ~57 remaining unverified keys fill
-# the round-5 window with a handful spilling to round 6.
+# ROUND-5 MAINTENANCE APPLIED: CORRECTNESS_r04.json came back 50/50 green
+# (zero reds, all three _REVERIFY repairs re-confirmed, all 5 canaries
+# green), so the window's 42 never-verified keys are folded in below,
+# _REVERIFY is cleared, and _CANARY is trimmed to 2 so the round-5 window
+# maximizes never-checked coverage (56 unverified keys > ~48 usable slots).
 #
-# hash_match=true rows from CORRECTNESS_r01..r03.json (driver, rounds 1-3).
-# 44 r01 greens + 47 r02 greens + 46 new r03 greens (49 r3 greens minus the
-# 3 canaries that were already listed).
+# ROUND-5 WINDOW (what the driver should check this round, in order):
+#   2 canaries, then the 13 round-4 llm/mm additions, the 10-key ML tail,
+#   the 9 streaming keys, the 15-key ts/dq/scan tail, then join extensions.
+# DELIBERATE ROUND-6 SPILL (~8 keys, lowest-risk last per r4 verdict item 5):
+#   join_interval_overlap join_asof_tolerance join_null_safe join_bucketed
+#   join_range_bucketed join_skew_salted join_hint_broadcast
+#   join_hint_shuffle_hash
+# ROUND-6 PRE-STAGED MAINTENANCE: fold CORRECTNESS_r05 greens into
+# DRIVER_VERIFIED, clear _REVERIFY (unless r5 shows reds), rotate _CANARY
+# to 2 keys from families longest untouched (suggest: agg_group (r1),
+# fn_string (r3)), and let the join-extension spill fill the r6 window
+# with canary+regression slack.
+#
+# hash_match=true rows from CORRECTNESS_r01..r04.json (driver, rounds 1-4).
+# 44 r01 greens + 47 r02 greens + 46 new r03 greens + 43 new r04 greens
+# (50 r4 rows minus the 7 that were already listed: 2 reconfirmed
+# _REVERIFY members + 5 canaries; fn_array_setops was a r3 red, now green).
 DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
         # --- round 1 greens ---
@@ -125,86 +126,96 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "ts_active_users", "ts_traffic_profile",
         "win_median", "win_streak", "win_rank_pct", "win_nth_ignore_nulls",
         "win_distinct_running", "win_ratio_to_report", "win_moving_zscore",
+        # --- round 4 greens ---
+        "fn_array_setops",
+        "llm_dedup_exact", "llm_dedup_fuzzy", "llm_dedup_simhash",
+        "llm_dedup_ngram", "llm_simsearch", "llm_dedup_cosine",
+        "llm_simsearch_ann", "llm_simsearch_ivf", "llm_textstats",
+        "llm_langfilter", "llm_quality", "llm_tokens", "llm_langid",
+        "llm_fingerprint", "llm_tfidf", "llm_embed_ops", "llm_pii_scrub",
+        "llm_contamination", "llm_chunk", "llm_pack", "llm_tfidf_exact",
+        "llm_dedup_cluster", "llm_unigram_lm", "llm_kmeans_embed",
+        "llm_dedup_keep_best", "llm_embed_centroid", "llm_ngram_freq",
+        "llm_vocab_growth", "llm_repetition", "llm_entropy_filter",
+        "udf_python", "udf_pandas", "udf_grouped_map", "udf_grouped_agg",
+        "udtf_python", "udf_arrow", "udf_cogrouped_map", "udf_python_arrow",
+        "mm_features", "mm_framesample", "mm_resize", "ml_label",
     }
 )
 
-# FAIL in CORRECTNESS_r03.json (fn_array_setops: driver canonicalizer chokes
-# on raw array cells — arrays now serialized via array_join, the agg_collect
-# pattern), plus keys whose contract changed this round and must re-hash
-# before being trusted again (ADVICE r3: agg_approx_distinct).
-_REVERIFY: tuple[str, ...] = (
-    "fn_array_setops",
-    "agg_approx_distinct",
-    # r4 mid-round fix: the EWMA compose seeded from days[1], which is
-    # 0-BASED in Spark SQL (second day) — corrected to element_at(days, 1).
-    # Numerically below the 6-decimal hash on every fixture (wrong seed
-    # decays by 0.5^44+), but the behavior changed, so re-hash it.
-    "ts_ewma",
-)
+# Keys repaired this round that must re-hash before being trusted again.
+# CORRECTNESS_r04 had zero reds, so nothing needs re-verification.
+_REVERIFY: tuple[str, ...] = ()
 
 # Regression canaries: a small rotating sample of already-verified keys kept
 # inside the driver's checked prefix so regressions in verified operators are
-# still detectable (ADVICE r2). Rotate the sample each round; 5 keys/round
-# round-robin across families so every family is re-touched within ~5 rounds.
+# still detectable (ADVICE r2). Rotated each round. Trimmed to 2 for round 5
+# (56 never-checked keys compete for ~50 slots; every canary slot displaces a
+# first-touch verification — r4 verdict item 1).
 _CANARY: tuple[str, ...] = (
-    "join_dpp",       # dynamic partition pruning plan
-    "agg_rollup",     # multi-level aggregate
-    "win_lag",        # window offset family
-    "fn_json",        # scalar-function family (fresh r3 green)
-    "ts_tumbling",    # time-series family (fresh r3 green)
+    "llm_dedup_fuzzy",  # flagship LSH dedup (r4 green) — the most machinery
+    "join_star",        # flagship star join (r1 green) — longest-untouched family
 )
 
-# Round-4 window priority: the mandated §2.J LLM set (and the rest of the
-# llm family) has never been driver-checked — it goes first, then the §2.K
-# UDF matrix and multimodal plumbing, then ML. Remaining for round 5:
-# ml tail, join extensions, streaming, ts analytics, plus the 14 round-4
-# additions (~54 keys). ROUND-5 MAINTENANCE NOTE: that slightly overflows
-# one 50-slot window — trim _CANARY to 2-3 keys for round 5 (every key
-# involved is already sim-verified at sf0.001/0.01/0.1, so the canary
-# budget is the right thing to spend) and let any stragglers close in
-# round 6.
+# Round-5 window priority: the 13 round-4 llm/mm additions first (the
+# north-star family, the only ones whose oracle parity is still
+# self-graded), then the 10-key ML tail (§2.I — the reference's reason to
+# exist, zero driver coverage beyond ml_label), then the 9 streaming keys
+# (rows-only contracts, environment-sensitive so don't bury them), then
+# the ts/dq/scan tail, then join extensions — the 8 lowest-risk join
+# variants deliberately spill to round 6 (r4 verdict item 5).
 _MODULE_RANK: dict[str, int] = {
-    "operators.llm": 1,
-    "operators.udfs": 2,
-    "operators.multimodal": 3,
-    "operators.ml": 4,
+    "operators.ml": 2,
+    "sources.stream_source": 3,
+    "streaming.ops": 3,
+    "operators.timeseries": 4,
+    "operators.rowops": 4,      # dq_expectations, dq_k_anonymity
+    "operators.scans": 4,       # scan_snapshot_diff
+    "operators.aggregates": 4,  # agg_cube
     "operators.joins": 5,
-    "operators.timeseries": 6,
-    "sources.stream_source": 7,
-    "streaming.ops": 7,
-    "operators.scans": 8,
-    "sources.json_source": 8,
-    "sources.csv_source": 8,
-    "sources.orc_source": 8,
-    "sources.ga_source": 8,
-    "sources.python_ds": 8,
-    "operators.rowops": 9,
+    "operators.llm": 9,
+    "operators.udfs": 9,
+    "operators.multimodal": 9,
+    "sources.json_source": 9,
+    "sources.csv_source": 9,
+    "sources.orc_source": 9,
+    "sources.ga_source": 9,
+    "sources.python_ds": 9,
     "operators.windows": 9,
     "functions.scalar": 9,
     "operators.setops": 9,
     "operators.analytics": 9,
-    "operators.aggregates": 10,
 }
 
 
-# Key-level rank overrides (take precedence over _MODULE_RANK): operators
-# ADDED mid-round go behind the already pre-verified round-4 window so they
-# don't displace keys the driver is about to check; they queue for round 5.
+# Key-level rank overrides (take precedence over _MODULE_RANK).
 _KEY_RANK: dict[str, int] = {
-    "llm_mixture_balance": 6,
-    "llm_winnow_fingerprint": 6,
-    "llm_embed_quantize": 6,
-    "mm_phash_dedup": 6,
-    "llm_dedup_minhash_sql": 6,
-    "llm_semdedup": 6,
-    "llm_perplexity_filter": 6,
-    "llm_cc_pipeline": 6,
-    "ml_calibration_bins": 6,
-    "llm_sample_weighted": 6,
-    "llm_dedup_incremental": 6,
-    "llm_rank_fusion": 6,
-    "llm_bm25": 6,
-    "mm_caption_align": 6,
+    # The 13 round-4 llm/mm additions — first in the round-5 window.
+    "llm_dedup_minhash_sql": 1,
+    "llm_semdedup": 1,
+    "llm_bm25": 1,
+    "llm_perplexity_filter": 1,
+    "llm_cc_pipeline": 1,
+    "llm_sample_weighted": 1,
+    "llm_dedup_incremental": 1,
+    "llm_rank_fusion": 1,
+    "llm_winnow_fingerprint": 1,
+    "llm_embed_quantize": 1,
+    "llm_mixture_balance": 1,
+    "mm_phash_dedup": 1,
+    "mm_caption_align": 1,
+    # Deliberate round-6 spill: lowest-risk join variants go LAST among the
+    # unverified so the ~8-key window overflow lands on them, not on
+    # streaming or ML (r4 verdict item 5).
+    "join_fuzzy_blocked": 5,      # most novel join extension — keep in window
+    "join_interval_overlap": 6,
+    "join_asof_tolerance": 6,
+    "join_null_safe": 6,
+    "join_bucketed": 6,
+    "join_range_bucketed": 6,
+    "join_skew_salted": 6,
+    "join_hint_broadcast": 6,
+    "join_hint_shuffle_hash": 6,
 }
 
 
