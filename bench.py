@@ -72,20 +72,23 @@ def main() -> None:
             if fn is not None:
                 fn(spark, warm_dir).count()
 
-    # Two timed passes per query, report the min: suppresses GC/AQE/OS
-    # noise so round-over-round numbers track engine changes, not machine
-    # state. (Plans are identical across passes; data fits in page cache.)
-    timings: dict[str, float] = {}
-    for _ in range(2):
+    # Three timed passes per query, report the MEDIAN: two-pass min still
+    # oscillated ±25% round-over-round on an unchanged, plan-pin-tested
+    # flagship (join_star 0.69-0.92 s across r1-r4 — VERDICT r4 item 6),
+    # making deltas unreadable near the 2x bar. The median of three is
+    # robust to a single GC/AQE/OS hiccup in either direction.
+    passes: dict[str, list[float]] = {k: [] for k in HEADLINE}
+    for _ in range(3):
         for key in HEADLINE:
             fn = queries.get(key)
             if fn is None:
                 continue
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
-            el = round(time.perf_counter() - t0, 3)
-            if key not in timings or el < timings[key]:
-                timings[key] = el
+            passes[key].append(time.perf_counter() - t0)
+    timings: dict[str, float] = {
+        k: round(sorted(v)[len(v) // 2], 3) for k, v in passes.items() if v
+    }
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -14,6 +14,7 @@ window).
 from __future__ import annotations
 
 import inspect
+import re
 
 from morphl_model_publishers_churning_users_spark import load_all_operators
 from morphl_model_publishers_churning_users_spark import registry
@@ -25,7 +26,11 @@ def main() -> None:
     for key, fn in registry.QUERIES.items():
         mod = fn.__module__.split("morphl_model_publishers_churning_users_spark.")[-1]
         doc = inspect.getdoc(fn) or ""
-        first = doc.split(". ")[0].replace("\n", " ").strip().rstrip(".")
+        # Sentence boundary can land at end-of-line ("xxx.\n"), which
+        # ". "-splitting misses — collapse newlines first, then split on
+        # a period followed by whitespace or end-of-string (ADVICE r4).
+        flat = " ".join(doc.split())
+        first = re.split(r"\.(?:\s|$)", flat, maxsplit=1)[0].strip().rstrip(".")
         if len(first) > 160:
             first = first[:157] + "..."
         first = first.replace("|", "\\|")

@@ -2090,9 +2090,12 @@ def llm_perplexity_filter(spark, sf_dir):
     cross-entropy −(1/|d|)·Σ log2 p(w), and keep documents under a
     bits-per-word ceiling (high-perplexity docs are gibberish/noise;
     suspiciously low ones are boilerplate). Two shuffles total: the
-    vocab count and the per-doc mean; the scoring join broadcasts the
-    vocab (bounded by language, ≪ corpus — Spark's AQE picks the
-    broadcast automatically when it fits, hash-join otherwise)."""
+    vocab count and the per-doc mean. The scoring join broadcasts the
+    vocab only when its MEASURED row count is small (the LM artifact is
+    already materialized, so the count is free) — a closed per-language
+    vocab broadcasts; an open 100 TB web-corpus vocab would OOM an
+    unconditional broadcast hint, so past the bound the hint is dropped
+    and AQE's runtime shuffle stats pick the join strategy."""
     docs = (
         t(spark, sf_dir, "documents")
         .filter(F.length(F.trim("text")) > 0)
@@ -2114,8 +2117,12 @@ def llm_perplexity_filter(spark, sf_dir):
     nll_word = -F.log2((F.col("c") + F.lit(1.0)) / (F.col("n") + F.col("v")))
     half_up6 = lambda col: F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
     h = F.sum(nll_word) / F.count(F.lit(1))
+    # ~5M distinct words ≈ low-hundreds of MB broadcast — safely inside
+    # executor memory; an open web-scale vocab exceeds it and must not
+    # carry a forced hint (ADVICE r4).
+    vocab_side = F.broadcast(vocab) if vocab.count() <= 5_000_000 else vocab
     return (
-        words.join(F.broadcast(vocab), "word")
+        words.join(vocab_side, "word")
         .crossJoin(F.broadcast(corpus))
         .groupBy("doc_id")
         .agg(

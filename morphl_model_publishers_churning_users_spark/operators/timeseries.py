@@ -626,11 +626,14 @@ def ts_peak_concurrency(spark, sf_dir):
     window partitions BY DAY — spans never cross the day boundary by
     construction, so there is no global single-partition sort and the
     sweep scales with days × users/day. Equal-timestamp +1s permute the
-    running value but never its daily MAX."""
+    running value but never its daily MAX. The per-user interval table
+    feeds BOTH legs of the endpoint union, so it is materialized once
+    (localCheckpoint) instead of letting Catalyst inline the event scan
+    + aggregate into each leg."""
     ev = t(spark, sf_dir, "events")
     iv = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
         F.min("ts").alias("s"), F.max("ts").alias("e")
-    )
+    ).localCheckpoint(eager=True)
     pts = iv.select("day", F.col("s").alias("t"), F.lit(1).alias("delta")).unionByName(
         iv.select("day", F.col("e").alias("t"), F.lit(-1).alias("delta"))
     )
@@ -691,11 +694,14 @@ def ts_interpolate_linear(spark, sf_dir):
     NULLS window carry the bracketing (value, day) pairs; the lerp is a
     pure projection. Both windows share the per-user sort, so cost is
     one shuffle + one sort, same as ffill. Identical double operands →
-    identical rounding on both engines."""
+    identical rounding on both engines. The daily aggregate feeds both
+    the span derivation and the grid join, so it is materialized once
+    (localCheckpoint) instead of re-deriving the event scan + aggregate
+    per consumer."""
     ev = t(spark, sf_dir, "events")
     daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
         F.round(F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 6).alias("v")
-    )
+    ).localCheckpoint(eager=True)
     spans = daily.groupBy("user_id").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
     cal = spans.select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
     g = cal.join(daily, ["user_id", "day"], "left")
