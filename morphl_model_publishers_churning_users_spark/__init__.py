@@ -23,6 +23,7 @@ def load_all_operators() -> None:
     from .operators import (  # noqa: F401
         aggregates,
         analytics,
+        graph,
         joins,
         llm,
         ml,

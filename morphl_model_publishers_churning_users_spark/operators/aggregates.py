@@ -1142,3 +1142,183 @@ def agg_cube(spark, sf_dir):
         .cast("bigint")
         .alias("gid"),
     )
+
+
+@register(
+    "agg_countmin",
+    oracle="""
+WITH keyed AS (
+    SELECT CAST(props->>'$.k' AS INTEGER) AS k FROM events
+), hashed AS (
+    SELECT k, r.i AS row_i,
+           CAST(('0x' || substr(md5('cms' || r.i || ':' || k), 1, 8)) AS BIGINT) % 64 AS bucket
+    FROM keyed, (SELECT unnest(range(0, 4)) AS i) r
+), counters AS (
+    SELECT row_i, bucket, COUNT(*) AS c FROM hashed GROUP BY 1, 2
+), probes AS (
+    SELECT DISTINCT k, row_i, bucket FROM hashed
+), est AS (
+    SELECT p.k, MIN(c.c) AS cms_n
+    FROM probes p JOIN counters c ON c.row_i = p.row_i AND c.bucket = p.bucket
+    GROUP BY p.k
+), exact AS (
+    SELECT k, COUNT(*) AS exact_n FROM keyed GROUP BY k
+)
+SELECT e.k, CAST(e.exact_n AS BIGINT) AS exact_n, CAST(est.cms_n AS BIGINT) AS cms_n,
+       CAST(est.cms_n - e.exact_n AS BIGINT) AS overcount
+FROM exact e JOIN est ON est.k = e.k
+""",
+)
+def agg_countmin(spark, sf_dir):
+    """Count-min sketch (d = 4 rows × w = 64 buckets) over the event
+    payload key — the mergeable heavy-hitter counter a streaming
+    pipeline keeps when exact per-key counts don't fit. The sketch is
+    BUILT distributively (each row of the sketch is a 64-bucket hash
+    aggregate — one shuffle whose output is 4×64 rows regardless of
+    input size, and partial aggregation does the heavy lifting
+    map-side) and PROBED relationally (min over the d counters per
+    key). Hashes are md5-derived on both engines, so the sketch —
+    including its collision overcounts — is bit-identical to the
+    oracle: the output exposes exact_n vs cms_n and the CMS ≥ exact
+    one-sided error is directly visible. At 100 TB only the 256-row
+    counter table ever leaves the executors."""
+    ev = t(spark, sf_dir, "events").select(
+        F.get_json_object("props", "$.k").cast("int").alias("k")
+    )
+    # ONE event-scale pass: the per-key exact counts. The sketch rows are
+    # then derived from this key-cardinality table (counter(b) = Σ
+    # exact_n over keys hashing to b — identical arithmetic, but the
+    # fact table is never re-scanned for counters or probes). The exact
+    # table is the checkpointed artifact, bounded by key cardinality.
+    exact = (
+        ev.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .localCheckpoint(eager=True)
+    )
+    rows = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("row_i")
+    hashed = exact.select("k", "exact_n", rows).select(
+        "k",
+        "exact_n",
+        "row_i",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("cms"), F.col("row_i"), F.lit(":"), F.col("k"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 64
+        ).alias("bucket"),
+    )
+    counters = hashed.groupBy("row_i", "bucket").agg(F.sum("exact_n").alias("c"))
+    est = (
+        hashed.select("k", "row_i", "bucket")
+        .join(F.broadcast(counters), ["row_i", "bucket"])
+        .groupBy("k")
+        .agg(F.min("c").alias("cms_n"))
+    )
+    return exact.join(est, "k").select(
+        "k",
+        F.col("exact_n").cast("bigint").alias("exact_n"),
+        F.col("cms_n").cast("bigint").alias("cms_n"),
+        (F.col("cms_n") - F.col("exact_n")).cast("bigint").alias("overcount"),
+    )
+
+
+@register(
+    "agg_bloom",
+    oracle="""
+WITH members AS (
+    SELECT DISTINCT user_id FROM events
+), member_bits AS (
+    SELECT DISTINCT
+           CAST(('0x' || substr(md5('bloom' || j.j || ':' || user_id), 1, 8)) AS BIGINT)
+               % 1024 AS pos
+    FROM members, (SELECT unnest(range(0, 3)) AS j) j
+), probe_pos AS (
+    SELECT c.c_custkey, j.j,
+           CAST(('0x' || substr(md5('bloom' || j.j || ':' || c.c_custkey), 1, 8)) AS BIGINT)
+               % 1024 AS pos
+    FROM customer c, (SELECT unnest(range(0, 3)) AS j) j
+), verdicts AS (
+    SELECT p.c_custkey,
+           (COUNT(*) FILTER (WHERE b.pos IS NOT NULL) = 3) AS bloom_positive
+    FROM probe_pos p LEFT JOIN member_bits b ON b.pos = p.pos
+    GROUP BY 1
+)
+SELECT CAST((SELECT COUNT(*) FROM members) AS BIGINT) AS n_members,
+       CAST(COUNT(*) AS BIGINT) AS n_probed,
+       CAST(COUNT(*) FILTER (WHERE v.bloom_positive) AS BIGINT) AS n_positive,
+       CAST(COUNT(*) FILTER (WHERE v.bloom_positive AND m.user_id IS NULL) AS BIGINT)
+           AS n_false_positive
+FROM verdicts v LEFT JOIN members m ON m.user_id = v.c_custkey
+""",
+)
+def agg_bloom(spark, sf_dir):
+    """Bloom-filter membership (m = 1024 bits, k = 3 hashes): build the
+    filter over the ACTIVE user set from events, probe every customer,
+    and report the measured false-positive count — the semi-join
+    pre-filter a 100 TB pipeline ships to the fact scan instead of the
+    full key set. Relational formulation: the filter is the distinct
+    set of set bit positions (≤ 1024 rows — broadcastable no matter how
+    many members), a probe is positive iff all 3 of its positions are
+    present. md5-derived positions make filter and false positives
+    bit-identical across engines, so the oracle checks the sketch
+    itself, not just its intent."""
+    # The member set feeds three branches (bit positions, cardinality,
+    # membership flags) — materialize the one event-scale distinct once.
+    members = (
+        t(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    js = F.explode(F.sequence(F.lit(0), F.lit(2))).alias("j")
+    pos = lambda key: (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("bloom"), F.col("j"), F.lit(":"), key)), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1024
+    )
+    member_bits = (
+        members.select("user_id", js)
+        .select(pos(F.col("user_id")).alias("pos"))
+        .distinct()
+    )
+    probe = (
+        t(spark, sf_dir, "customer")
+        .select("c_custkey", js)
+        .select("c_custkey", pos(F.col("c_custkey")).alias("pos"))
+    )
+    verdicts = (
+        probe.join(F.broadcast(member_bits.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy("c_custkey")
+        .agg((F.count("hit") == 3).alias("bloom_positive"))
+    )
+    n_members = members.agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+    mem_flag = members.withColumn("is_member", F.lit(1))
+    return (
+        verdicts.join(
+            F.broadcast(mem_flag),
+            verdicts["c_custkey"] == mem_flag["user_id"],
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_probed"),
+            F.count(F.when(F.col("bloom_positive"), 1)).cast("bigint").alias("n_positive"),
+            F.count(
+                F.when(F.col("bloom_positive") & F.col("is_member").isNull(), 1)
+            )
+            .cast("bigint")
+            .alias("n_false_positive"),
+        )
+        .crossJoin(F.broadcast(n_members))
+        .select("n_members", "n_probed", "n_positive", "n_false_positive")
+    )

@@ -2532,3 +2532,302 @@ def llm_bm25(spark, sf_dir):
         .withColumn("rank", F.row_number().over(w_r))
         .filter(F.col("rank") <= 10)
     )
+
+
+# ----------------------------------------------- exact-substring dedup
+
+@register(
+    "llm_dedup_substring",
+    oracle=r"""
+WITH docs AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+    FROM documents WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 8
+), wins AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(range(1, len(w) - 6),
+                  i -> array_to_string(w[i:i + 7], ' ')))) AS win
+    FROM docs
+), freq AS (
+    SELECT win FROM wins GROUP BY win
+    HAVING COUNT(*) BETWEEN 2 AND 16
+), hits AS (SELECT w.doc_id, w.win FROM wins w JOIN freq USING (win))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_runs
+FROM hits a JOIN hits b ON a.win = b.win AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+""",
+)
+def llm_dedup_substring(spark, sf_dir):
+    """Exact-substring duplicate detection (Lee et al. 2022's
+    "Deduplicating Training Data Makes Language Models Better", the
+    suffix-array pass) re-expressed relationally: every 8-token window
+    of every document is a join key; documents sharing a window share a
+    verbatim ≥8-token run. Two scale guards make this the plan you'd
+    run at 100 TB: (1) windows are DISTINCT per doc before joining, and
+    (2) windows appearing in more than 16 documents are dropped
+    (boilerplate — the suffix-array equivalent keeps them out of the
+    pair expansion the same way stop-shingles are dropped in MinHash
+    pipelines; the frequency gate is one hash aggregate, and the
+    surviving join's fan-out is bounded by 16²). Output: doc pairs with
+    their shared-run count."""
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w"))
+        .filter(F.size("w") >= 8)
+    )
+    # The window table feeds three consumers (frequency gate + both join
+    # sides) — materialize the tokenize→window pass once instead of
+    # re-deriving the corpus explode per consumer. At production scale
+    # this is the suffix-table artifact you'd persist to disk.
+    wins = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 7),
+                    lambda i: F.concat_ws(" ", F.slice("w", i, 8)),
+                )
+            ).alias("win"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    freq = (
+        wins.groupBy("win")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter((F.col("nd") >= 2) & (F.col("nd") <= 16))
+        .select("win")
+    )
+    hits = wins.join(freq, "win")
+    a = hits.select(F.col("doc_id").alias("doc_a"), "win")
+    b = hits.select(F.col("doc_id").alias("doc_b"), "win")
+    return (
+        a.join(b, "win")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_runs"))
+    )
+
+
+# ----------------------------------------------------------- kNN graph
+
+@register(
+    "llm_knn_graph",
+    oracle=f"""
+WITH sig AS (
+    SELECT vec_id, embedding, {_SIGN_BUCKET_DUCK} AS bucket
+    FROM embeddings
+), pairs AS (
+    SELECT a.vec_id, b.vec_id AS neighbor_id,
+           ROUND(
+             SUM(CAST(a.embedding[g.i] AS DOUBLE) * CAST(b.embedding[g.i] AS DOUBLE))
+             / (SQRT(SUM(CAST(a.embedding[g.i] AS DOUBLE) * CAST(a.embedding[g.i] AS DOUBLE)))
+                * SQRT(SUM(CAST(b.embedding[g.i] AS DOUBLE) * CAST(b.embedding[g.i] AS DOUBLE)))),
+             6) AS cos_sim
+    FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id,
+         generate_series(1, 64) g(i)
+    GROUP BY 1, 2
+)
+SELECT vec_id, neighbor_id, cos_sim, rank FROM (
+    SELECT vec_id, neighbor_id, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM pairs
+) WHERE rank <= 5
+""",
+)
+def llm_knn_graph(spark, sf_dir):
+    """k-NN graph (k = 5) over the embedding corpus — the backbone
+    structure for cluster-based dedup (SemDeDup's within-cluster pass),
+    diversity sampling, and label propagation. Candidates come from the
+    deterministic sign-bucket blocking (never all-pairs); exact cosine
+    within the bucket, JVM-side zip_with/aggregate arithmetic, and a
+    per-node window top-5. Bucketed kNN trades recall at bucket edges
+    for linear scaling — the bit-count is the scale knob, exactly as in
+    llm_semdedup — and the oracle implements the SAME blocked
+    semantics, so parity checks the real plan, not an idealized one."""
+    e = t(spark, sf_dir, "embeddings")
+    sig = e.select("vec_id", "embedding", F.expr(_SIGN_BUCKET_SPARK).alias("bucket"))
+    a = sig.select(
+        "bucket",
+        F.col("vec_id").alias("vec_id"),
+        F.col("embedding").alias("qe"),
+        F.expr(_NORM.format(c="embedding")).alias("na"),
+    )
+    b = sig.select(
+        "bucket",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.expr(_NORM.format(c="embedding")).alias("nb"),
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.round(F.expr(_DOT) / (F.col("na") * F.col("nb")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+
+
+# ------------------------------------------------------------ Zipf fit
+
+@register(
+    "llm_zipf_fit",
+    oracle=r"""
+WITH words AS (
+    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+    FROM documents WHERE length(trim(text)) > 0
+), freq AS (
+    SELECT word, COUNT(*) AS c FROM words GROUP BY word
+), top AS (
+    SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, word) AS rnk
+    FROM freq QUALIFY rnk <= 100
+), pts AS (
+    SELECT FLOOR(ln(rnk) * 1000000000 + 0.5) / 1000000000 AS x,
+           FLOOR(ln(c) * 1000000000 + 0.5) / 1000000000 AS y
+    FROM top
+), sums AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(FLOOR(x * y * 1000000000 + 0.5) / 1000000000
+                         AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(FLOOR(x * x * 1000000000 + 0.5) / 1000000000
+                         AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+    FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       FLOOR((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1000000 + 0.5) / 1000000
+           AS zipf_slope,
+       FLOOR((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n * 1000000 + 0.5)
+           / 1000000 AS zipf_intercept
+FROM sums
+""",
+)
+def llm_zipf_fit(spark, sf_dir):
+    """Zipf's-law fit over the corpus term distribution — the standard
+    corpus-health diagnostic (natural text slopes ≈ −1; template/spam
+    corpora deviate sharply). OLS of ln(freq) on ln(rank) over the
+    top-100 terms: one word-count aggregate, one bounded top-k, then a
+    closed-form slope from decimal-summed moments. Every ln() is
+    half-up-quantized to 1e-9 before the moment sums (engine libm may
+    differ in the last ulp), and the moments sum in DECIMAL(38,12), so
+    both engines fit on bit-identical points. The top-100 restriction
+    keeps the fit o(1) regardless of vocabulary size — at 100 TB the
+    word count is the only corpus-sized pass."""
+    q9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    words = (
+        t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"))
+    )
+    freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.desc("c"), F.asc("word"))
+    top = freq.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 100)
+    pts = top.select(
+        q9(F.log(F.col("rnk").cast("double"))).alias("x"),
+        q9(F.log(F.col("c").cast("double"))).alias("y"),
+    )
+    d12 = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")
+    sums = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        d12(F.col("x")).alias("sx"),
+        d12(F.col("y")).alias("sy"),
+        d12(q9(F.col("x") * F.col("y"))).alias("sxy"),
+        d12(q9(F.col("x") * F.col("x"))).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        q6(slope).alias("zipf_slope"),
+        q6((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("zipf_intercept"),
+    )
+
+
+# --------------------------------------------------- keyword extraction
+
+@register(
+    "llm_keyword_extract",
+    oracle=r"""
+WITH docs AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+    FROM documents WHERE length(trim(text)) > 0
+), n_docs AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM docs),
+tf AS (
+    SELECT doc_id, unnest(w) AS term FROM docs
+), tfc AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM tf GROUP BY 1, 2
+), df AS (
+    SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tfc GROUP BY term
+), scored AS (
+    SELECT t.doc_id, t.term,
+           FLOOR(t.tf * FLOOR(ln((n.n + 1.0) / (d.df + 1.0)) * 1000000000 + 0.5)
+                 / 1000000000 * 1000000 + 0.5) / 1000000 AS score
+    FROM tfc t JOIN df d USING (term), n_docs n
+), ranked AS (
+    SELECT doc_id, term, score,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, term) AS rnk
+    FROM scored
+)
+SELECT doc_id, string_agg(term, ' ' ORDER BY rnk) AS keywords
+FROM ranked WHERE rnk <= 3 GROUP BY doc_id
+""",
+)
+def llm_keyword_extract(spark, sf_dir):
+    """Per-document keyword extraction — top-3 TF-IDF terms, the cheap
+    metadata tag a corpus pipeline attaches for search/mixture
+    reporting. One explode→count pass for TF, one aggregate for DF
+    (document frequency rides the same shuffle), smoothed IDF
+    broadcast back, per-doc window top-3, keywords serialized
+    space-joined (the agg_collect discipline: no raw arrays through
+    the driver hash). The idf ln() is quantized at 1e-9 and the score
+    at 1e-6 before ranking so cross-engine ties are impossible by
+    construction; remaining equal-score ties break lexically."""
+    q9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    # TF feeds both the DF aggregate and the scoring join — materialize
+    # the explode→count pass once (duplicate-scan sweep discipline).
+    tfc = (
+        docs.select("doc_id", F.explode("w").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    df = tfc.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = q9(F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)))
+    scored = (
+        tfc.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "term", q6(F.col("tf") * idf).alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("rnk"), F.col("term")))
+                    ),
+                    lambda s: s["term"],
+                ),
+                " ",
+            ).alias("keywords")
+        )
+    )

@@ -685,3 +685,37 @@ def dq_k_anonymity(spark, sf_dir):
         "group_size",
         (F.col("group_size") < 5).alias("below_k"),
     )
+
+
+@register(
+    "dq_l_diversity",
+    oracle="""
+SELECT c.c_nationkey, c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT o.o_orderpriority) AS BIGINT) AS l_distinct,
+       COUNT(DISTINCT o.o_orderpriority) < 3 AS at_risk
+FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2
+""",
+)
+def dq_l_diversity(spark, sf_dir):
+    """l-diversity audit — the companion check to dq_k_anonymity: a
+    quasi-identifier group can be large (k-anonymous) yet still leak if
+    every row in it shares one sensitive value. Groups by the
+    (nation, market-segment) quasi-identifier and counts DISTINCT
+    order priorities (the stand-in sensitive attribute); groups with
+    l < 3 are flagged. One join (customer dimension broadcastable at
+    any scale) + one distinct-count aggregate — the same shape as the
+    k-anonymity pass, so both audits can share a shuffle in a combined
+    privacy sweep."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.countDistinct("o_orderpriority").cast("bigint").alias("l_distinct"),
+            (F.countDistinct("o_orderpriority") < 3).alias("at_risk"),
+        )
+    )

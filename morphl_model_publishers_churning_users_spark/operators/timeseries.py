@@ -1222,3 +1222,137 @@ def ts_seasonal_decompose(spark, sf_dir):
         half_up6(F.col("s")).alias("seasonal"),
         half_up6(F.col("n") - F.col("trend") - F.col("s")).alias("residual"),
     )
+
+
+@register(
+    "ts_autocorr",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS r
+    FROM events GROUP BY 1
+), mu AS (
+    SELECT CAST(SUM(CAST(r AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mu,
+           CAST(SUM(CAST(FLOOR((r - (SELECT CAST(SUM(CAST(r2.r AS DECIMAL(38,6))) AS DOUBLE)
+                                      / COUNT(*) FROM daily r2))
+                               * (r - (SELECT CAST(SUM(CAST(r3.r AS DECIMAL(38,6))) AS DOUBLE)
+                                       / COUNT(*) FROM daily r3)) * 1000 + 0.5) / 1000
+                          AS DECIMAL(38,6))) AS DOUBLE) AS den
+    FROM daily
+), lags AS (SELECT unnest(range(1, 8)) AS lag_k),
+pairs AS (
+    SELECT l.lag_k,
+           FLOOR((a.r - m.mu) * (b.r - m.mu) * 1000 + 0.5) / 1000 AS p
+    FROM daily a
+    JOIN lags l ON TRUE
+    JOIN daily b ON b.day = a.day + CAST(l.lag_k AS INTEGER)
+    CROSS JOIN mu m
+)
+SELECT p.lag_k,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       FLOOR(CAST(SUM(CAST(p.p AS DECIMAL(38,6))) AS DOUBLE) / MAX(m.den)
+             * 1000000 + 0.5) / 1000000 AS acf
+FROM pairs p CROSS JOIN mu m
+GROUP BY p.lag_k
+""",
+)
+def ts_autocorr(spark, sf_dir):
+    """Autocorrelation function of the daily revenue series (lags 1-7)
+    — the seasonality probe that decides a forecast model's period (a
+    weekly cycle shows as an ACF spike at lag 7). Standard ACF: one
+    global mean, deviation products summed per lag over the aligned
+    day pairs, normalized by the all-days squared-deviation sum. The
+    daily rollup is the only event-scale pass; everything after runs
+    on the ~30-row day table joined against a 7-row lag spine. Cross-
+    engine exactness: daily sums and moment sums go through DECIMAL,
+    deviation products are half-up-quantized at 1e-3 (their magnitude
+    approaches the 2^53 double-integer ceiling at 1e-6 grain — grain
+    chosen so quantized products stay exactly representable), and the
+    final ratio quantizes at 1e-6."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("r")
+    ).localCheckpoint(eager=True)
+    q3 = lambda c: F.floor(c * F.lit(1e3) + F.lit(0.5)) / F.lit(1e3)
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    d6 = lambda c: F.sum(c.cast("decimal(38,6)")).cast("double")
+    mu = daily.agg(
+        (d6(F.col("r")) / F.count(F.lit(1))).alias("mu")
+    )
+    dev = daily.crossJoin(F.broadcast(mu)).select(
+        "day", "r", (F.col("r") - F.col("mu")).alias("dev")
+    )
+    den = dev.agg(d6(q3(F.col("dev") * F.col("dev"))).alias("den"))
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag_k"))
+    a = dev.select("day", F.col("dev").alias("dev_a"))
+    b = dev.select(F.col("day").alias("day_b"), F.col("dev").alias("dev_b"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.expr("day_b = date_add(day, lag_k)"))
+        .select("lag_k", q3(F.col("dev_a") * F.col("dev_b")).alias("p"))
+    )
+    return (
+        pairs.groupBy("lag_k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            d6(F.col("p")).alias("num"),
+        )
+        .crossJoin(F.broadcast(den))
+        .select("lag_k", "n_pairs", q6(F.col("num") / F.col("den")).alias("acf"))
+    )
+
+
+@register(
+    "ts_changepoint",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS r
+    FROM events GROUP BY 1
+), mu AS (
+    SELECT CAST(SUM(CAST(r AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mu FROM daily
+), cs AS (
+    SELECT day, r,
+           CAST(SUM(CAST(FLOOR((r - m.mu) * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6)))
+                OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cusum
+    FROM daily, mu m
+), mx AS (SELECT MAX(ABS(cusum)) AS peak FROM cs)
+SELECT day, FLOOR(cusum * 1000000 + 0.5) / 1000000 AS cusum,
+       ABS(cusum) = mx.peak AS is_changepoint
+FROM cs, mx
+""",
+)
+def ts_changepoint(spark, sf_dir):
+    """CUSUM change-point detection over daily revenue — the classic
+    mean-shift locator (the running sum of deviations from the global
+    mean peaks exactly where the level changes). Day-level rollup is
+    the only event-scale pass; the cumulative sum runs in
+    DECIMAL(38,6) over 6-decimal-quantized deviations, so the running
+    values — and therefore the argmax day — are bit-identical across
+    engines (a float cusum could flip the argmax between two near-tied
+    peaks). Flags every day whose |cusum| equals the maximum."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("r")
+    ).localCheckpoint(eager=True)
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    mu = daily.agg(
+        (F.sum(F.col("r").cast("decimal(38,6)")).cast("double") / F.count(F.lit(1))).alias("mu")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cs = (
+        daily.crossJoin(F.broadcast(mu))
+        .select(
+            "day",
+            F.sum(q6(F.col("r") - F.col("mu")).cast("decimal(38,6)"))
+            .over(w)
+            .cast("double")
+            .alias("cusum"),
+        )
+    )
+    mx = cs.agg(F.max(F.abs("cusum")).alias("peak"))
+    return cs.crossJoin(F.broadcast(mx)).select(
+        "day",
+        q6(F.col("cusum")).alias("cusum"),
+        (F.abs("cusum") == F.col("peak")).alias("is_changepoint"),
+    )

@@ -216,6 +216,23 @@ _KEY_RANK: dict[str, int] = {
     "join_skew_salted": 6,
     "join_hint_broadcast": 6,
     "join_hint_shuffle_hash": 6,
+    # Round-5 additions: queue BEHIND the round-6 spill (rank 7) so they
+    # never displace keys the driver is about to check. Without these
+    # overrides their modules' ranks (2-4) would pull them into the
+    # round-5 window.
+    "graph_degree": 7,
+    "graph_triangles": 7,
+    "graph_cc": 7,
+    "graph_pagerank": 7,
+    "agg_countmin": 7,
+    "agg_bloom": 7,
+    "llm_dedup_substring": 7,
+    "llm_knn_graph": 7,
+    "llm_zipf_fit": 7,
+    "llm_keyword_extract": 7,
+    "ts_autocorr": 7,
+    "ts_changepoint": 7,
+    "dq_l_diversity": 7,
 }
 
 

@@ -536,3 +536,51 @@ def test_snapshot_diff_single_full_outer_hash_join(spark, sf_dir):
     assert "FullOuter" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_countmin_single_fact_pass(spark, sf_dir):
+    """The CMS sketch must be derived from the bounded per-key exact
+    table, not by re-scanning events per sketch consumer — exactly one
+    events scan in the plan (the checkpointed exact table hides the
+    rest)."""
+    plan = _plan(spark, sf_dir, "agg_countmin")
+    assert plan.count("events.parquet") <= 1
+
+
+def test_bloom_broadcasts_filter(spark, sf_dir):
+    """The bloom bit set is ≤1024 rows regardless of member count — the
+    probe join must broadcast it, never shuffle the probe side by
+    position."""
+    plan = _plan(spark, sf_dir, "agg_bloom")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_triangles_join_is_brand_blocked(spark, sf_dir):
+    """Every triangle join leg must carry the brand blocking key — an
+    unblocked two-hop join over the full graph is the quadratic plan
+    this operator exists to avoid."""
+    plan = _plan(spark, sf_dir, "graph_triangles")
+    keyed = [
+        l
+        for l in plan.splitlines()
+        if ("Left keys" in l or "Right keys" in l) and "brand" in l
+    ]
+    # two triangle join legs × two sides, each carrying brand
+    assert len(keyed) >= 4, plan[:2000]
+
+
+def test_knn_graph_no_cartesian(spark, sf_dir):
+    """Candidate generation must ride the sign-bucket equi-join — a
+    cartesian/nested-loop product over embeddings is the all-pairs
+    plan the bucketing exists to avoid."""
+    plan = _plan(spark, sf_dir, "llm_knn_graph")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_substring_no_cartesian(spark, sf_dir):
+    """Pair generation joins on the window string (with the frequency
+    gate applied first) — never a doc×doc product."""
+    plan = _plan(spark, sf_dir, "llm_dedup_substring")
+    assert "CartesianProduct" not in plan
