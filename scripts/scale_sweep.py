@@ -146,8 +146,11 @@ def main() -> None:
     for s, bits in runs:
         d = f"{OUT}/x{s}"
         cand, kept = semdedup_core(spark, d, bits)
+        # Force the survivor flags, not a bare count(): count() of the
+        # left join lets Catalyst eliminate the (distinct-keyed) dropped
+        # side entirely, skipping the cosine work being measured.
         t0 = time.perf_counter()
-        n_kept = kept.count()
+        n_kept = kept.agg(F.sum(F.col("is_kept").cast("int"))).collect()[0][0]
         wall = time.perf_counter() - t0
         n_cand = cand.count()
         n_docs = 2000 * s
