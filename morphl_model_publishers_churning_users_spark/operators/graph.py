@@ -355,3 +355,87 @@ def graph_pagerank(spark, sf_dir):
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 20)
     )
+
+
+@register(
+    "graph_adamic_adar",
+    oracle=f"""
+WITH {_BRAND_EDGES_DUCK},
+sym AS (
+    SELECT brand, src, dst FROM edges
+    UNION ALL
+    SELECT brand, dst, src FROM edges
+),
+deg AS (SELECT brand, src AS node, CAST(COUNT(*) AS DOUBLE) AS d FROM sym GROUP BY 1, 2),
+twohop AS (
+    SELECT e1.brand, e1.dst AS a, e2.dst AS b, e1.src AS z
+    FROM sym e1 JOIN sym e2 ON e2.brand = e1.brand AND e2.src = e1.src
+    WHERE e1.dst < e2.dst
+),
+cand AS (
+    SELECT th.brand, th.a, th.b, th.z FROM twohop th
+    LEFT JOIN edges ex ON ex.brand = th.brand AND ex.src = th.a AND ex.dst = th.b
+    WHERE ex.src IS NULL
+),
+scored AS (
+    SELECT c.brand, c.a, c.b,
+           CAST(COUNT(*) AS BIGINT) AS n_common,
+           FLOOR(CAST(SUM(CAST(FLOOR(1.0 / (FLOOR(ln(d.d) * 1000000000 + 0.5) / 1000000000)
+                                     * 1000000000 + 0.5) / 1000000000
+                          AS DECIMAL(38,12))) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS aa_score
+    FROM cand c JOIN deg d ON d.brand = c.brand AND d.node = c.z
+    WHERE d.d >= 2
+    GROUP BY 1, 2, 3
+)
+SELECT brand, a, b, n_common, aa_score, rank FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY aa_score DESC, brand, a, b) AS rank
+    FROM scored
+) WHERE rank <= 20
+""",
+)
+def graph_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction over the within-brand co-purchase
+    graph — "which parts SHOULD be co-purchased but aren't yet": pairs
+    at distance 2 scored by Σ 1/ln(deg(z)) over their common neighbors
+    (rare shared neighbors count more than hubs). The two-hop
+    enumeration joins the symmetrized edge list with itself on the
+    middle node WITH the brand blocking key (pair work Σ_z deg(z)² per
+    brand, never global), existing edges are anti-joined away, and the
+    per-pair sum runs over 1e-9-quantized reciprocals in
+    DECIMAL(38,12) so scores are bit-identical cross-engine. Common
+    neighbors always have degree ≥ 2, so ln(d) is never 0. Output:
+    global top-20 predicted links (ties break on brand, a, b)."""
+    q9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    edges = _brand_edges(spark, sf_dir)
+    sym = _sym(edges, "brand")
+    deg = sym.groupBy("brand", F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("double").alias("d")
+    )
+    e1 = sym.select("brand", F.col("src").alias("z"), F.col("dst").alias("a"))
+    e2 = sym.select("brand", F.col("src").alias("z"), F.col("dst").alias("b"))
+    twohop = e1.join(e2, ["brand", "z"]).filter(F.col("a") < F.col("b"))
+    cand = twohop.join(
+        edges.select("brand", F.col("src").alias("a"), F.col("dst").alias("b")),
+        ["brand", "a", "b"],
+        "left_anti",
+    )
+    scored = (
+        cand.join(
+            deg.filter(F.col("d") >= 2).select("brand", F.col("node").alias("z"), "d"),
+            ["brand", "z"],
+        )
+        .groupBy("brand", "a", "b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            q6(
+                F.sum(q9(F.lit(1.0) / q9(F.log("d"))).cast("decimal(38,12)")).cast(
+                    "double"
+                )
+            ).alias("aa_score"),
+        )
+    )
+    w = Window.orderBy(F.desc("aa_score"), F.asc("brand"), F.asc("a"), F.asc("b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 20)
+    )

@@ -2831,3 +2831,152 @@ def llm_keyword_extract(spark, sf_dir):
             ).alias("keywords")
         )
     )
+
+
+# ------------------------------------------------ token-budget selection
+
+@register(
+    "llm_token_budget_trim",
+    oracle=r"""
+WITH docs AS (
+    SELECT doc_id, source, n_chars,
+           CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tok
+    FROM documents WHERE length(trim(text)) > 0
+), ranked AS (
+    SELECT doc_id, source, n_tok,
+           SUM(n_tok) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum_tok
+    FROM docs
+)
+SELECT doc_id, source, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok,
+       cum_tok <= 3000 AS is_kept
+FROM ranked
+""",
+)
+def llm_token_budget_trim(spark, sf_dir):
+    """Token-budget data selection — every mixture recipe ends with
+    "keep the best N tokens per source": rank documents within their
+    source by a quality proxy (length-first, id tiebreak — any scored
+    ranking slots in), running-sum their token counts, keep while the
+    cumulative total fits the per-source budget (3000 tokens here).
+    One window pass partitioned by source — the budget cut is
+    embarrassingly parallel across sources, which is exactly how a
+    100 TB mixture build shards. Integer arithmetic end to end: the
+    cut row is bit-determined, no float drift can move the boundary."""
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.size(F.split(F.lower(F.trim("text")), r"\s+")).cast("bigint").alias("n_tok"),
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.sum("n_tok").over(w).cast("bigint").alias("cum_tok"),
+    ).withColumn("is_kept", F.col("cum_tok") <= 3000)
+
+
+# --------------------------------------- importance resampling (DSIR-lite)
+
+@register(
+    "llm_importance_resample",
+    oracle=r"""
+WITH docs AS (
+    SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS w
+    FROM documents WHERE length(trim(text)) > 0
+), words AS (
+    SELECT doc_id, lang, unnest(w) AS word FROM docs
+), corpus_lm AS (
+    SELECT word, CAST(COUNT(*) AS DOUBLE) AS cc FROM words GROUP BY word
+), target_lm AS (
+    SELECT word, CAST(COUNT(*) AS DOUBLE) AS ct FROM words WHERE lang = 'en' GROUP BY word
+), scal AS (
+    SELECT (SELECT SUM(cc) FROM corpus_lm) AS nc,
+           (SELECT COALESCE(SUM(ct), 0) FROM target_lm) AS nt,
+           (SELECT CAST(COUNT(*) AS DOUBLE) FROM corpus_lm) AS v
+), scored AS (
+    SELECT w.doc_id, w.lang,
+           COUNT(*) AS n_words,
+           CAST(SUM(CAST(
+               FLOOR(ln((COALESCE(t.ct, 0) + 1.0) / (s.nt + s.v)) * 1000000000 + 0.5)
+                   / 1000000000
+               - FLOOR(ln((c.cc + 1.0) / (s.nc + s.v)) * 1000000000 + 0.5)
+                   / 1000000000 AS DECIMAL(38,12))) AS DOUBLE) AS lr_sum
+    FROM words w
+    JOIN corpus_lm c USING (word)
+    LEFT JOIN target_lm t USING (word)
+    CROSS JOIN scal s
+    GROUP BY 1, 2
+)
+SELECT doc_id, lang, CAST(n_words AS BIGINT) AS n_words,
+       FLOOR(lr_sum / n_words * 1000000 + 0.5) / 1000000 AS importance,
+       lr_sum / n_words >= 0.0 AS is_selected
+FROM scored
+""",
+)
+def llm_importance_resample(spark, sf_dir):
+    """DSIR-style importance resampling (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"), the
+    unigram form: score every document by the mean log-likelihood
+    ratio between a TARGET-domain language model (here the English
+    slice) and the general corpus model — documents that look more
+    like the target than the background are kept. Two vocab
+    aggregates share one tokenize pass; the per-word quantized log
+    ratio joins back onto the word stream (vocabulary-sized build
+    side); per-doc mean via DECIMAL sums. This is the 100 TB data-
+    selection shape: LM build = two hash aggs, scoring = one join +
+    one keyed agg over the token stream, no model server in the
+    loop."""
+    q9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", "lang", F.split(F.lower(F.trim("text")), r"\s+").alias("w"))
+    )
+    words = docs.select("doc_id", "lang", F.explode("w").alias("word")).localCheckpoint(
+        eager=True
+    )
+    corpus_lm = words.groupBy("word").agg(
+        F.count(F.lit(1)).cast("double").alias("cc")
+    ).localCheckpoint(eager=True)
+    target_lm = (
+        words.filter(F.col("lang") == "en")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("double").alias("ct"))
+    )
+    scal = corpus_lm.agg(
+        F.sum("cc").alias("nc"), F.count(F.lit(1)).cast("double").alias("v")
+    ).crossJoin(
+        target_lm.agg(F.coalesce(F.sum("ct"), F.lit(0.0)).alias("nt"))
+    )
+    lr = q9(
+        F.log((F.coalesce("ct", F.lit(0.0)) + 1.0) / (F.col("nt") + F.col("v")))
+    ) - q9(F.log((F.col("cc") + 1.0) / (F.col("nc") + F.col("v"))))
+    scored = (
+        words.join(corpus_lm, "word")
+        .join(target_lm, "word", "left")
+        .crossJoin(F.broadcast(scal))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(lr.cast("decimal(38,12)")).cast("double").alias("lr_sum"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        q6(F.col("lr_sum") / F.col("n_words")).alias("importance"),
+        (F.col("lr_sum") / F.col("n_words") >= 0.0).alias("is_selected"),
+    )

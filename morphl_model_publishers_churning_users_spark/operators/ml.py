@@ -16,6 +16,7 @@ though model internals are not SQL-expressible. The RAW model outputs
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+from pyspark.sql import Window
 
 from ..plans import churn
 from ..registry import register
@@ -488,4 +489,271 @@ def ml_calibration_bins(spark, sf_dir):
         F.count(F.lit(1)).alias("n_users"),
         half_up6(F.avg("score")).alias("mean_score"),
         half_up6(F.avg("churned")).alias("churn_rate"),
+    )
+
+
+@register(
+    "ml_woe_iv",
+    oracle="""
+WITH u AS (
+    SELECT user_id, COUNT(*) AS n_events,
+           CASE WHEN MAX(ts) < TIMESTAMP '2024-01-29 20:00:00' THEN 1 ELSE 0 END AS churned
+    FROM events GROUP BY user_id
+), binned AS (
+    SELECT user_id, churned,
+           NTILE(5) OVER (ORDER BY n_events, user_id) AS bucket
+    FROM u
+), per AS (
+    SELECT bucket,
+           COUNT(*) AS n_users,
+           SUM(churned) AS n_bad,
+           COUNT(*) - SUM(churned) AS n_good
+    FROM binned GROUP BY bucket
+), tot AS (
+    SELECT CAST(SUM(n_bad) AS DOUBLE) AS bad_t, CAST(SUM(n_good) AS DOUBLE) AS good_t
+    FROM per
+), scored AS (
+    SELECT p.bucket, p.n_users, p.n_bad, p.n_good,
+           (p.n_bad + 0.5) / (t.bad_t + 2.5) AS bs,
+           (p.n_good + 0.5) / (t.good_t + 2.5) AS gs
+    FROM per p, tot t
+)
+SELECT bucket, CAST(n_users AS BIGINT) AS n_users, CAST(n_bad AS BIGINT) AS n_bad,
+       CAST(n_good AS BIGINT) AS n_good,
+       FLOOR((FLOOR(ln(bs) * 1000000000 + 0.5) / 1000000000
+              - FLOOR(ln(gs) * 1000000000 + 0.5) / 1000000000) * 1000000 + 0.5)
+           / 1000000 AS woe,
+       FLOOR((bs - gs) * (FLOOR(ln(bs) * 1000000000 + 0.5) / 1000000000
+                          - FLOOR(ln(gs) * 1000000000 + 0.5) / 1000000000)
+             * 1000000 + 0.5) / 1000000 AS iv_term
+FROM scored
+""",
+)
+def ml_woe_iv(spark, sf_dir):
+    """Weight-of-evidence / information-value screen — the credit-
+    scoring-style univariate feature ranking a churn team runs before
+    model fitting: bucket the activity feature into quintiles, compare
+    each bucket's churner share against its survivor share in log-odds
+    space. WOE_b = ln(bad_b/bad_t) − ln(good_b/good_t) with 0.5
+    Laplace smoothing (empty cells stay finite); IV_b = (bad% − good%)
+    · WOE_b. One user-keyed aggregate (the only event-scale pass), a
+    5-row bucket table, and quantized-ln arithmetic for cross-engine
+    bit-stability. NTILE ties break on user_id so bucketing is
+    deterministic on both engines."""
+    ev = t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.when(
+            F.max("ts") < F.lit("2024-01-29 20:00:00").cast("timestamp"), 1
+        )
+        .otherwise(0)
+        .alias("churned"),
+    )
+    w = Window.orderBy("n_events", "user_id")
+    binned = u.select("churned", F.ntile(5).over(w).alias("bucket"))
+    # The 5-row bucket table feeds both the totals and the output row
+    # set — materialize it so the event-scale user aggregate runs once.
+    per = binned.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("churned").alias("n_bad"),
+        (F.count(F.lit(1)) - F.sum("churned")).alias("n_good"),
+    ).localCheckpoint(eager=True)
+    tot = per.agg(
+        F.sum("n_bad").cast("double").alias("bad_t"),
+        F.sum("n_good").cast("double").alias("good_t"),
+    )
+    q9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    bs = (F.col("n_bad") + 0.5) / (F.col("bad_t") + 2.5)
+    gs = (F.col("n_good") + 0.5) / (F.col("good_t") + 2.5)
+    woe = q9(F.log(bs)) - q9(F.log(gs))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.col("n_bad").cast("bigint").alias("n_bad"),
+        F.col("n_good").cast("bigint").alias("n_good"),
+        q6(woe).alias("woe"),
+        q6((bs - gs) * woe).alias("iv_term"),
+    )
+
+
+@register(
+    "ml_psi",
+    oracle="""
+WITH w1 AS (
+    SELECT event_type, COUNT(*) AS c FROM events
+    WHERE ts < TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1
+), w2 AS (
+    SELECT event_type, COUNT(*) AS c FROM events
+    WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1
+), types AS (
+    SELECT event_type FROM w1 UNION SELECT event_type FROM w2
+), tot AS (
+    SELECT (SELECT CAST(SUM(c) AS DOUBLE) FROM w1) AS t1,
+           (SELECT CAST(SUM(c) AS DOUBLE) FROM w2) AS t2,
+           (SELECT CAST(COUNT(*) AS DOUBLE) FROM types) AS k
+), shares AS (
+    SELECT ty.event_type,
+           (COALESCE(w1.c, 0) + 0.5) / (t.t1 + 0.5 * t.k) AS p1,
+           (COALESCE(w2.c, 0) + 0.5) / (t.t2 + 0.5 * t.k) AS p2
+    FROM types ty
+    LEFT JOIN w1 ON w1.event_type = ty.event_type
+    LEFT JOIN w2 ON w2.event_type = ty.event_type
+    CROSS JOIN tot t
+)
+SELECT event_type,
+       FLOOR(p1 * 1000000 + 0.5) / 1000000 AS p1,
+       FLOOR(p2 * 1000000 + 0.5) / 1000000 AS p2,
+       FLOOR((p2 - p1) * (FLOOR(ln(p2 / p1) * 1000000000 + 0.5) / 1000000000)
+             * 1000000 + 0.5) / 1000000 AS psi_term
+FROM shares
+""",
+)
+def ml_psi(spark, sf_dir):
+    """Population stability index — the model-monitoring drift metric:
+    compare the event-type mix of the first half of the window against
+    the second; PSI_k = (p2 − p1)·ln(p2/p1) per class, Σ > 0.2 means
+    the scoring population has shifted and the model needs review.
+    Two filtered aggregates (one scan each side — the time predicate
+    pushes to the parquet scan), a class-cardinality share table, 0.5
+    Laplace smoothing so absent classes stay finite, quantized ln for
+    parity. At 100 TB the two window aggregates are the only
+    event-scale work and partition pruning serves them from disjoint
+    date partitions."""
+    ev = t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    w1 = ev.filter(F.col("ts") < cut).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    w2 = ev.filter(F.col("ts") >= cut).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("c2")
+    )
+    types = (
+        w1.select("event_type").unionByName(w2.select("event_type")).distinct()
+    )
+    joined = (
+        types.join(w1, "event_type", "left")
+        .join(w2, "event_type", "left")
+        .localCheckpoint(eager=True)
+    )
+    tot = joined.agg(
+        F.sum(F.coalesce("c1", F.lit(0))).cast("double").alias("t1"),
+        F.sum(F.coalesce("c2", F.lit(0))).cast("double").alias("t2"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+    )
+    q9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    p1 = (F.coalesce("c1", F.lit(0)) + 0.5) / (F.col("t1") + 0.5 * F.col("k"))
+    p2 = (F.coalesce("c2", F.lit(0)) + 0.5) / (F.col("t2") + 0.5 * F.col("k"))
+    return joined.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        q6(p1).alias("p1"),
+        q6(p2).alias("p2"),
+        q6((p2 - p1) * q9(F.log(p2 / p1))).alias("psi_term"),
+    )
+
+
+@register(
+    "ml_target_encode",
+    oracle="""
+WITH lab AS (
+    SELECT user_id,
+           CASE WHEN MAX(ts) < TIMESTAMP '2024-01-29 20:00:00' THEN 1 ELSE 0 END AS churned
+    FROM events GROUP BY user_id
+), joined AS (
+    SELECT l.user_id, c.c_mktsegment AS segment, l.churned
+    FROM lab l JOIN customer c ON c.c_custkey = l.user_id
+), seg AS (
+    SELECT segment, CAST(SUM(churned) AS DOUBLE) AS seg_sum,
+           CAST(COUNT(*) AS DOUBLE) AS seg_n
+    FROM joined GROUP BY segment
+), prior AS (
+    SELECT CAST(SUM(churned) AS DOUBLE) / COUNT(*) AS prior FROM joined
+)
+SELECT j.user_id, j.segment, CAST(j.churned AS BIGINT) AS churned,
+       FLOOR((s.seg_sum - j.churned + p.prior * 10.0)
+             / (s.seg_n - 1.0 + 10.0) * 1000000 + 0.5) / 1000000 AS segment_enc
+FROM joined j JOIN seg s ON s.segment = j.segment CROSS JOIN prior p
+""",
+)
+def ml_target_encode(spark, sf_dir):
+    """Leave-one-out target encoding with additive smoothing (m = 10
+    pseudo-observations of the global churn rate) — the high-
+    cardinality categorical encoder that replaces one-hot at scale.
+    LOO excludes each row's own label from its group mean so the
+    encoding doesn't leak the target (the classic CV-safe form). One
+    user-keyed label aggregate, a segment-cardinality stats table
+    broadcast back onto the rows, arithmetic on identical IEEE
+    operands both engines. At 100 TB the segment table is tiny however
+    many users there are — the encode is a broadcast join plus a
+    per-row expression."""
+    ev = t(spark, sf_dir, "events")
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    lab = ev.groupBy("user_id").agg(
+        F.when(F.max("ts") < F.lit("2024-01-29 20:00:00").cast("timestamp"), 1)
+        .otherwise(0)
+        .alias("churned")
+    )
+    joined = lab.join(F.broadcast(cust), "user_id").localCheckpoint(eager=True)
+    seg = joined.groupBy("segment").agg(
+        F.sum("churned").cast("double").alias("seg_sum"),
+        F.count(F.lit(1)).cast("double").alias("seg_n"),
+    )
+    prior = joined.agg(
+        (F.sum("churned").cast("double") / F.count(F.lit(1))).alias("prior")
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    enc = (F.col("seg_sum") - F.col("churned") + F.col("prior") * 10.0) / (
+        F.col("seg_n") - 1.0 + 10.0
+    )
+    return (
+        joined.join(F.broadcast(seg), "segment")
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "user_id",
+            "segment",
+            F.col("churned").cast("bigint").alias("churned"),
+            q6(enc).alias("segment_enc"),
+        )
+    )
+
+
+@register(
+    "ml_feature_hashing",
+    oracle="""
+WITH counts AS (
+    SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(CAST(('0x' || substr(md5('fh:' || event_type), 1, 8)) AS BIGINT) % 16
+            AS BIGINT) AS bucket,
+       CAST(SUM(c) AS BIGINT) AS v
+FROM counts GROUP BY 1, 2
+""",
+)
+def ml_feature_hashing(spark, sf_dir):
+    """Hashing-trick feature projection — categorical features mapped
+    into a fixed 16-bucket space via md5, collisions summed: the
+    unbounded-vocabulary encoder (new categories need no refit, no
+    vocabulary table, no shuffle to build a dictionary). Output is the
+    sparse long format (user, bucket, value) a training pipeline feeds
+    to assemblers; md5 bucketing makes the projection — including its
+    collisions — bit-identical to the oracle. One (user, type) hash
+    aggregate then a re-key: both map-combinable."""
+    ev = t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("fh:"), F.col("event_type"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 16
+    )
+    return (
+        counts.select("user_id", bucket.alias("bucket"), "c")
+        .groupBy("user_id", "bucket")
+        .agg(F.sum("c").cast("bigint").alias("v"))
     )

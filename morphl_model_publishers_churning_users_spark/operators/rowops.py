@@ -9,6 +9,7 @@ scan speed and scale linearly with partitions.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+from pyspark.sql import Window
 
 from ..registry import register
 from ._shared import t
@@ -718,4 +719,36 @@ def dq_l_diversity(spark, sf_dir):
             F.countDistinct("o_orderpriority").cast("bigint").alias("l_distinct"),
             (F.countDistinct("o_orderpriority") < 3).alias("at_risk"),
         )
+    )
+
+
+@register(
+    "sample_reservoir",
+    oracle="""
+SELECT event_id, event_type, rank FROM (
+    SELECT event_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY md5('rs:' || event_id), event_id) AS rank
+    FROM events
+) WHERE rank <= 5
+""",
+)
+def sample_reservoir(spark, sf_dir):
+    """Deterministic per-group reservoir sample (k = 5 per event type)
+    — the reproducible uniform without-replacement draw: rank rows by
+    md5 of their key and keep the k smallest per group. Because the
+    hash is a pure function of the row key, the sample is identical
+    across engines, runs, and partitionings — the property that makes
+    it auditable (a true reservoir's result depends on arrival order).
+    The window top-k reduces to a per-partition partial top-k before
+    the shuffle (WindowGroupLimit), so state is O(k) per group, not a
+    per-group sort of the whole fact table."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.concat(F.lit("rs:"), F.col("event_id"))), F.col("event_id")
+    )
+    return (
+        ev.select("event_id", "event_type")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
     )

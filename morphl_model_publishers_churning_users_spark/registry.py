@@ -233,6 +233,14 @@ _KEY_RANK: dict[str, int] = {
     "ts_autocorr": 7,
     "ts_changepoint": 7,
     "dq_l_diversity": 7,
+    "ml_woe_iv": 7,
+    "ml_psi": 7,
+    "ml_target_encode": 7,
+    "ml_feature_hashing": 7,
+    "graph_adamic_adar": 7,
+    "sample_reservoir": 7,
+    "llm_token_budget_trim": 7,
+    "llm_importance_resample": 7,
 }
 
 
