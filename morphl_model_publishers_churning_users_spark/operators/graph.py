@@ -439,3 +439,79 @@ def graph_adamic_adar(spark, sf_dir):
     return (
         scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 20)
     )
+
+
+@register(
+    "graph_clustering_coeff",
+    oracle=f"""
+WITH {_BRAND_EDGES_DUCK},
+sym AS (
+    SELECT brand, src, dst FROM edges
+    UNION ALL
+    SELECT brand, dst, src FROM edges
+),
+deg AS (SELECT brand, src AS node, CAST(COUNT(*) AS DOUBLE) AS d FROM sym GROUP BY 1, 2),
+tri AS (
+    SELECT e1.brand, t.node, COUNT(*) AS tri2
+    FROM edges e1
+    JOIN edges e2 ON e2.brand = e1.brand AND e2.src = e1.dst
+    JOIN edges e3 ON e3.brand = e1.brand AND e3.src = e1.src AND e3.dst = e2.dst,
+         unnest([e1.src, e1.dst, e2.dst]) AS t(node)
+    GROUP BY 1, 2
+),
+percc AS (
+    SELECT d.brand,
+           FLOOR(COALESCE(t.tri2, 0) / (d.d * (d.d - 1.0) / 2.0) * 1000000000 + 0.5)
+               / 1000000000 AS cc
+    FROM deg d LEFT JOIN tri t ON t.brand = d.brand AND t.node = d.node
+    WHERE d.d >= 2
+)
+SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       FLOOR(CAST(SUM(CAST(cc AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)
+             * 1000000 + 0.5) / 1000000 AS mean_cc
+FROM percc GROUP BY brand
+""",
+)
+def graph_clustering_coeff(spark, sf_dir):
+    """Mean local clustering coefficient per brand subgraph — "how
+    clique-ish is each product family": cc(v) = triangles(v) /
+    C(deg v, 2), averaged over nodes with degree ≥ 2. Reuses the
+    brand-blocked triangle join (each triangle credits all three
+    corners via one explode — no second triangle pass), left-joined
+    onto the degree table so triangle-free nodes contribute zero. Per-
+    node coefficients quantize at 1e-9 and average through
+    DECIMAL(38,12), so the per-brand mean is bit-identical across
+    engines. Output is one row per brand at any scale."""
+    q9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    e = _brand_edges(spark, sf_dir)
+    sym = _sym(e, "brand")
+    deg = sym.groupBy("brand", F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("double").alias("d")
+    )
+    e1 = e.select("brand", F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = e.select("brand", F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = e.select("brand", F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = (
+        e1.join(e2, ["brand", "b"])
+        .join(e3, ["brand", "a", "c"])
+        .select("brand", F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("brand", "node")
+        .agg(F.count(F.lit(1)).alias("tri2"))
+    )
+    percc = (
+        deg.filter(F.col("d") >= 2)
+        .join(tri, ["brand", "node"], "left")
+        .select(
+            "brand",
+            q9(
+                F.coalesce("tri2", F.lit(0)) / (F.col("d") * (F.col("d") - 1.0) / 2.0)
+            ).alias("cc"),
+        )
+    )
+    return percc.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        q6(
+            F.sum(F.col("cc").cast("decimal(38,12)")).cast("double") / F.count(F.lit(1))
+        ).alias("mean_cc"),
+    )

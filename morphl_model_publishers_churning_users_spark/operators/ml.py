@@ -757,3 +757,258 @@ def ml_feature_hashing(spark, sf_dir):
         .groupBy("user_id", "bucket")
         .agg(F.sum("c").cast("bigint").alias("v"))
     )
+
+
+# Shared DuckDB CTE for the deterministic churn-risk ranking key: the
+# per-user recency in microseconds (int64-exact; the score used by
+# ml_calibration_bins is rec/maxrec, which is MONOTONE in rec — so
+# ranking by rec avoids float ranks entirely).
+_REC_SQL = """
+u AS (
+    SELECT user_id, MAX(ts) AS last_ts FROM events GROUP BY user_id
+), m AS (
+    SELECT MAX(last_ts) AS cmax FROM u
+), s AS (
+    SELECT user_id,
+           epoch_us(m.cmax) - epoch_us(last_ts) AS rec,
+           CASE WHEN last_ts < TIMESTAMP '2024-01-29 20:00:00' THEN 1 ELSE 0 END AS churned
+    FROM u, m
+)"""
+
+
+def _rec_scored(spark, sf_dir):
+    """(user_id, rec, churned) — int64 recency + label, one event pass."""
+    e = t(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(F.max("ts").alias("last_ts")).localCheckpoint(
+        eager=True
+    )
+    m = u.agg(F.max("last_ts").alias("cmax"))
+    return u.crossJoin(F.broadcast(m)).select(
+        "user_id",
+        F.expr("timestampdiff(MICROSECOND, last_ts, cmax)").alias("rec"),
+        F.when(
+            F.col("last_ts") < F.to_timestamp(F.lit("2024-01-29 20:00:00")), 1
+        )
+        .otherwise(0)
+        .alias("churned"),
+    )
+
+
+@register(
+    "ml_auc_exact",
+    oracle=f"""
+WITH {_REC_SQL},
+per_score AS (
+    SELECT rec, COUNT(*) AS n, SUM(churned) AS pos FROM s GROUP BY rec
+), ranked AS (
+    SELECT rec, n, pos,
+           COALESCE(SUM(n) OVER (ORDER BY rec ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS cum_before
+    FROM per_score
+), sums AS (
+    SELECT CAST(SUM(pos) AS DOUBLE) AS n_pos,
+           CAST(SUM(n - pos) AS DOUBLE) AS n_neg,
+           SUM(pos * (cum_before + (n + 1.0) / 2.0)) AS rank_sum
+    FROM ranked
+)
+SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+       FLOOR((rank_sum - n_pos * (n_pos + 1.0) / 2.0) / (n_pos * n_neg)
+             * 1000000 + 0.5) / 1000000 AS auc
+FROM sums
+""",
+)
+def ml_auc_exact(spark, sf_dir):
+    """Exact ROC-AUC of the recency churn score via the Mann-Whitney U
+    rank statistic with tie-averaged ranks — the evaluation number the
+    fitted-model stages (ml_eval) can only anchor-check, computed
+    exactly: AUC = (Σ ranks of positives − n⁺(n⁺+1)/2) / (n⁺ n⁻).
+    Ranking happens on the int64 recency (the calibration score is
+    monotone in it), ranks come from a score-level aggregate + one
+    cumulative window over DISTINCT scores — never a per-row global
+    sort — so the rank pass is O(distinct scores) after one user-keyed
+    aggregate. Tie averages are exact .5 rationals; both engines
+    compute identical doubles."""
+    s = _rec_scored(spark, sf_dir)
+    per = s.groupBy("rec").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("churned").alias("pos")
+    )
+    w = Window.orderBy("rec").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per.select(
+        "n",
+        "pos",
+        F.coalesce(F.sum("n").over(w), F.lit(0)).alias("cum_before"),
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    sums = ranked.agg(
+        F.sum("pos").cast("double").alias("n_pos"),
+        F.sum(F.col("n") - F.col("pos")).cast("double").alias("n_neg"),
+        F.sum(F.col("pos") * (F.col("cum_before") + (F.col("n") + 1.0) / 2.0)).alias(
+            "rank_sum"
+        ),
+    )
+    return sums.select(
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.col("n_neg").cast("bigint").alias("n_neg"),
+        q6(
+            (F.col("rank_sum") - F.col("n_pos") * (F.col("n_pos") + 1.0) / 2.0)
+            / (F.col("n_pos") * F.col("n_neg"))
+        ).alias("auc"),
+    )
+
+
+@register(
+    "ml_confusion_matrix",
+    oracle=f"""
+WITH {_REC_SQL},
+mx AS (SELECT GREATEST(MAX(rec), 1) AS maxrec FROM s),
+pred AS (
+    SELECT churned, CASE WHEN 2 * rec >= mx.maxrec THEN 1 ELSE 0 END AS predicted
+    FROM s, mx
+), cm AS (
+    SELECT CAST(COUNT(*) FILTER (WHERE predicted = 1 AND churned = 1) AS DOUBLE) AS tp,
+           CAST(COUNT(*) FILTER (WHERE predicted = 1 AND churned = 0) AS DOUBLE) AS fp,
+           CAST(COUNT(*) FILTER (WHERE predicted = 0 AND churned = 1) AS DOUBLE) AS fn,
+           CAST(COUNT(*) FILTER (WHERE predicted = 0 AND churned = 0) AS DOUBLE) AS tn
+    FROM pred
+)
+SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+       FLOOR(tp / (tp + fp) * 1000000 + 0.5) / 1000000 AS precision,
+       FLOOR(tp / (tp + fn) * 1000000 + 0.5) / 1000000 AS recall,
+       FLOOR(2.0 * tp / (2.0 * tp + fp + fn) * 1000000 + 0.5) / 1000000 AS f1
+FROM cm
+""",
+)
+def ml_confusion_matrix(spark, sf_dir):
+    """Confusion matrix + precision/recall/F1 at the midpoint decision
+    threshold — predicted churn iff score ≥ 0.5, evaluated as the
+    INTEGER comparison 2·rec ≥ max(rec) so the decision boundary is
+    bit-exact on both engines (a float threshold can flip boundary
+    users). One conditional aggregate over the user table; the F1 uses
+    the 2TP/(2TP+FP+FN) form, which is total-order-safe."""
+    s = _rec_scored(spark, sf_dir)
+    mx = s.agg(F.greatest(F.max("rec"), F.lit(1)).alias("maxrec"))
+    pred = s.crossJoin(F.broadcast(mx)).select(
+        "churned",
+        F.when(2 * F.col("rec") >= F.col("maxrec"), 1).otherwise(0).alias("predicted"),
+    )
+    cnt = lambda p, c: F.count(
+        F.when((F.col("predicted") == p) & (F.col("churned") == c), 1)
+    ).cast("double")
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    cm = pred.agg(
+        cnt(1, 1).alias("tp"), cnt(1, 0).alias("fp"),
+        cnt(0, 1).alias("fn"), cnt(0, 0).alias("tn"),
+    )
+    return cm.select(
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        F.col("fn").cast("bigint").alias("fn"),
+        F.col("tn").cast("bigint").alias("tn"),
+        q6(F.col("tp") / (F.col("tp") + F.col("fp"))).alias("precision"),
+        q6(F.col("tp") / (F.col("tp") + F.col("fn"))).alias("recall"),
+        q6(2.0 * F.col("tp") / (2.0 * F.col("tp") + F.col("fp") + F.col("fn"))).alias(
+            "f1"
+        ),
+    )
+
+
+@register(
+    "ml_ks_stat",
+    oracle=f"""
+WITH {_REC_SQL},
+per_score AS (
+    SELECT rec, CAST(SUM(churned) AS DOUBLE) AS pos,
+           CAST(COUNT(*) - SUM(churned) AS DOUBLE) AS neg
+    FROM s GROUP BY rec
+), tot AS (
+    SELECT SUM(pos) AS np, SUM(neg) AS nn FROM per_score
+), cdf AS (
+    SELECT rec,
+           SUM(pos) OVER (ORDER BY rec ROWS UNBOUNDED PRECEDING) / t.np AS cp,
+           SUM(neg) OVER (ORDER BY rec ROWS UNBOUNDED PRECEDING) / t.nn AS cn
+    FROM per_score, tot t
+), scored AS (
+    SELECT rec, FLOOR(ABS(cp - cn) * 1000000 + 0.5) / 1000000 AS d FROM cdf
+), mx AS (SELECT MAX(d) AS ks FROM scored)
+SELECT MIN(s.rec) AS ks_rec, MAX(s.d) AS ks
+FROM scored s, mx WHERE s.d = mx.ks
+""",
+)
+def ml_ks_stat(spark, sf_dir):
+    """Kolmogorov-Smirnov separation of the churn score — the credit-
+    risk twin of AUC: the maximum gap between the churner and survivor
+    score CDFs, plus the recency cut where it occurs (that cut is the
+    natural campaign threshold). CDFs accumulate per DISTINCT score
+    (one window over the score-level aggregate), the gap quantizes at
+    1e-6 BEFORE the argmax so both engines agree on ties, and the
+    argmax is max-then-filter with a MIN(rec) tiebreak — the quantized
+    gap makes the equality filter exact on both engines."""
+    s = _rec_scored(spark, sf_dir)
+    per = s.groupBy("rec").agg(
+        F.sum("churned").cast("double").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("churned")).cast("double").alias("neg"),
+    ).localCheckpoint(eager=True)
+    tot = per.agg(F.sum("pos").alias("np"), F.sum("neg").alias("nn"))
+    w = Window.orderBy("rec").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    cdf = per.crossJoin(F.broadcast(tot)).select(
+        "rec",
+        (F.sum("pos").over(w) / F.col("np")).alias("cp"),
+        (F.sum("neg").over(w) / F.col("nn")).alias("cn"),
+    )
+    scored = cdf.select("rec", q6(F.abs(F.col("cp") - F.col("cn"))).alias("d"))
+    mx = scored.agg(F.max("d").alias("mxks"))
+    return (
+        scored.crossJoin(F.broadcast(mx))
+        .filter(F.col("d") == F.col("mxks"))
+        .agg(F.min("rec").alias("ks_rec"), F.max("d").alias("ks"))
+    )
+
+
+@register(
+    "ml_lift_gains",
+    oracle=f"""
+WITH {_REC_SQL},
+deciled AS (
+    SELECT churned, NTILE(10) OVER (ORDER BY rec DESC, user_id) AS decile FROM s
+), per AS (
+    SELECT decile, CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(churned) AS DOUBLE) AS pos
+    FROM deciled GROUP BY decile
+), tot AS (
+    SELECT SUM(n) AS nt, SUM(pos) AS post FROM per
+)
+SELECT CAST(decile AS BIGINT) AS decile, CAST(n AS BIGINT) AS n_users,
+       CAST(pos AS BIGINT) AS n_churned,
+       FLOOR(pos / n * 1000000 + 0.5) / 1000000 AS churn_rate,
+       FLOOR((pos / n) / (t.post / t.nt) * 1000000 + 0.5) / 1000000 AS lift,
+       FLOOR(SUM(pos) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) / t.post
+             * 1000000 + 0.5) / 1000000 AS cum_gain
+FROM per, tot t
+""",
+)
+def ml_lift_gains(spark, sf_dir):
+    """Decile lift and cumulative-gains table — the campaign-targeting
+    readout: sort users by churn risk (int64 recency, user_id
+    tiebreak), split into deciles, report each decile's churn rate,
+    lift over the base rate, and the cumulative share of all churners
+    captured. The NTILE runs over the user table (one sort bounded by
+    users, not events) and the report is 10 rows at any scale."""
+    s = _rec_scored(spark, sf_dir)
+    w = Window.orderBy(F.desc("rec"), F.asc("user_id"))
+    deciled = s.select("churned", F.ntile(10).over(w).alias("decile"))
+    per = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("churned").cast("double").alias("pos"),
+    ).localCheckpoint(eager=True)
+    tot = per.agg(F.sum("n").alias("nt"), F.sum("pos").alias("post"))
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.col("decile").cast("bigint").alias("decile"),
+        F.col("n").cast("bigint").alias("n_users"),
+        F.col("pos").cast("bigint").alias("n_churned"),
+        q6(F.col("pos") / F.col("n")).alias("churn_rate"),
+        q6((F.col("pos") / F.col("n")) / (F.col("post") / F.col("nt"))).alias("lift"),
+        q6(F.sum("pos").over(wc) / F.col("post")).alias("cum_gain"),
+    )

@@ -241,6 +241,11 @@ _KEY_RANK: dict[str, int] = {
     "sample_reservoir": 7,
     "llm_token_budget_trim": 7,
     "llm_importance_resample": 7,
+    "ml_auc_exact": 7,
+    "ml_confusion_matrix": 7,
+    "ml_ks_stat": 7,
+    "ml_lift_gains": 7,
+    "graph_clustering_coeff": 7,
 }
 
 
