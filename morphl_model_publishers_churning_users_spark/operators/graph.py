@@ -515,3 +515,92 @@ def graph_clustering_coeff(spark, sf_dir):
             F.sum(F.col("cc").cast("decimal(38,12)")).cast("double") / F.count(F.lit(1))
         ).alias("mean_cc"),
     )
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 8) -> str:
+    """Unrolled k-core peeling oracle: the operator's CONTRACT is
+    "exactly `rounds` peel rounds" (a fixed-depth spec both engines can
+    execute identically), with a converged flag reporting whether more
+    peeling would change anything."""
+    ctes = [f"WITH {_BRAND_EDGES_DUCK}", "e0 AS MATERIALIZED (SELECT brand, src, dst FROM edges)"]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (
+    SELECT brand, node, COUNT(*) AS dg
+    FROM (SELECT brand, src AS node FROM e{i - 1}
+          UNION ALL SELECT brand, dst FROM e{i - 1})
+    GROUP BY 1, 2
+), k{i} AS MATERIALIZED (SELECT brand, node FROM d{i} WHERE dg >= {k}),
+e{i} AS MATERIALIZED (
+    SELECT e.brand, e.src, e.dst FROM e{i - 1} e
+    JOIN k{i} a ON a.brand = e.brand AND a.node = e.src
+    JOIN k{i} b ON b.brand = e.brand AND b.node = e.dst
+)"""
+        )
+    ctes.append(
+        f"""dfin AS (
+    SELECT brand, node, COUNT(*) AS dg
+    FROM (SELECT brand, src AS node FROM e{rounds}
+          UNION ALL SELECT brand, dst FROM e{rounds})
+    GROUP BY 1, 2
+)"""
+    )
+    return (
+        ",\n".join(ctes)
+        + f"""
+SELECT d.brand, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST((SELECT COUNT(*) FROM e{rounds} e WHERE e.brand = d.brand) AS BIGINT)
+           AS n_edges,
+       BOOL_AND(d.dg >= {k}) AS converged
+FROM dfin d GROUP BY d.brand
+"""
+    )
+
+
+@register("graph_kcore", oracle=_kcore_oracle())
+def graph_kcore(spark, sf_dir):
+    """3-core decomposition of each brand subgraph by iterative peeling
+    — strip nodes of degree < 3, re-count, repeat — the densest-
+    substructure extractor (spam rings, tightly-coupled product
+    families). The CONTRACT is exactly 8 peel rounds plus a converged
+    flag (true iff a 9th round would remove nothing), which makes the
+    iterative algorithm bit-deterministic on both engines regardless
+    of convergence speed; on these graphs 8 rounds converge (the flag
+    says so and the driver hashes it). Spark runs the bounded driver
+    loop — per round one degree aggregate + two semi-joins on the
+    (brand-blocked) edge table, checkpointed so round N never replays
+    rounds 1..N-1. Integer-only arithmetic: nothing to quantize."""
+    e = _brand_edges(spark, sf_dir)
+    for _ in range(8):
+        deg = (
+            e.select("brand", F.col("src").alias("node"))
+            .unionByName(e.select("brand", F.col("dst").alias("node")))
+            .groupBy("brand", "node")
+            .agg(F.count(F.lit(1)).alias("dg"))
+        )
+        keep = deg.filter(F.col("dg") >= 3).select("brand", "node")
+        e = (
+            e.join(
+                keep.select("brand", F.col("node").alias("src")), ["brand", "src"], "left_semi"
+            )
+            .join(
+                keep.select("brand", F.col("node").alias("dst")), ["brand", "dst"], "left_semi"
+            )
+            .localCheckpoint(eager=True)
+        )
+    dfin = (
+        e.select("brand", F.col("src").alias("node"))
+        .unionByName(e.select("brand", F.col("dst").alias("node")))
+        .groupBy("brand", "node")
+        .agg(F.count(F.lit(1)).alias("dg"))
+    )
+    edges_per_brand = e.groupBy("brand").agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        dfin.groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.min(F.col("dg") >= 3).alias("converged"),
+        )
+        .join(edges_per_brand, "brand")
+        .select("brand", "n_nodes", "n_edges", "converged")
+    )

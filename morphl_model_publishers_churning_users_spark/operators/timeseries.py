@@ -1356,3 +1356,268 @@ def ts_changepoint(spark, sf_dir):
         q6(F.col("cusum")).alias("cusum"),
         (F.abs("cusum") == F.col("peak")).alias("is_changepoint"),
     )
+
+
+@register(
+    "ts_holt_winters",
+    # Recursive-CTE twin with the 7 seasonals as explicit scalar columns
+    # (the list_reduce struct-accumulator bug rules out a list fold on
+    # the DuckDB side — see ts_holt_forecast). Scalar double arithmetic
+    # only, identical on both engines.
+    oracle="""
+WITH RECURSIVE daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS DOUBLE) AS x
+    FROM events GROUP BY 1, 2
+), ranked AS (
+    SELECT event_type, x,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i
+    FROM daily
+), cnt AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days FROM ranked
+    GROUP BY 1 HAVING COUNT(*) >= 8
+), seed AS (
+    SELECT r.event_type, 7 AS i,
+           m.m7 AS l, CAST(0.0 AS DOUBLE) AS b,
+           MAX(CASE WHEN r.i = 1 THEN r.x END) - m.m7 AS s1,
+           MAX(CASE WHEN r.i = 2 THEN r.x END) - m.m7 AS s2,
+           MAX(CASE WHEN r.i = 3 THEN r.x END) - m.m7 AS s3,
+           MAX(CASE WHEN r.i = 4 THEN r.x END) - m.m7 AS s4,
+           MAX(CASE WHEN r.i = 5 THEN r.x END) - m.m7 AS s5,
+           MAX(CASE WHEN r.i = 6 THEN r.x END) - m.m7 AS s6,
+           MAX(CASE WHEN r.i = 7 THEN r.x END) - m.m7 AS s7
+    FROM ranked r
+    JOIN (
+        -- explicit left-to-right sum: SUM() aggregation order is
+        -- engine-arbitrary and the Spark fold adds days 1..7 in order
+        SELECT event_type,
+               (MAX(CASE WHEN i = 1 THEN x END) + MAX(CASE WHEN i = 2 THEN x END)
+                + MAX(CASE WHEN i = 3 THEN x END) + MAX(CASE WHEN i = 4 THEN x END)
+                + MAX(CASE WHEN i = 5 THEN x END) + MAX(CASE WHEN i = 6 THEN x END)
+                + MAX(CASE WHEN i = 7 THEN x END)) / 7.0 AS m7
+        FROM ranked WHERE i <= 7 GROUP BY 1
+    ) m
+      ON m.event_type = r.event_type
+    JOIN cnt c ON c.event_type = r.event_type
+    WHERE r.i <= 7
+    GROUP BY r.event_type, m.m7
+), st AS (
+    SELECT event_type, i, l, b, s1, s2, s3, s4, s5, s6, s7 FROM seed
+    UNION ALL
+    SELECT st.event_type, r.i,
+           0.3 * (r.x - CASE (r.i - 1) % 7 WHEN 0 THEN st.s1 WHEN 1 THEN st.s2
+                        WHEN 2 THEN st.s3 WHEN 3 THEN st.s4 WHEN 4 THEN st.s5
+                        WHEN 5 THEN st.s6 ELSE st.s7 END)
+               + 0.7 * (st.l + st.b) AS l,
+           0.1 * (0.3 * (r.x - CASE (r.i - 1) % 7 WHEN 0 THEN st.s1 WHEN 1 THEN st.s2
+                               WHEN 2 THEN st.s3 WHEN 3 THEN st.s4 WHEN 4 THEN st.s5
+                               WHEN 5 THEN st.s6 ELSE st.s7 END)
+                  + 0.7 * (st.l + st.b) - st.l)
+               + 0.9 * st.b AS b,
+           CASE WHEN (r.i - 1) % 7 = 0 THEN
+               0.2 * (r.x - (0.3 * (r.x - st.s1) + 0.7 * (st.l + st.b))) + 0.8 * st.s1
+               ELSE st.s1 END AS s1,
+           CASE WHEN (r.i - 1) % 7 = 1 THEN
+               0.2 * (r.x - (0.3 * (r.x - st.s2) + 0.7 * (st.l + st.b))) + 0.8 * st.s2
+               ELSE st.s2 END AS s2,
+           CASE WHEN (r.i - 1) % 7 = 2 THEN
+               0.2 * (r.x - (0.3 * (r.x - st.s3) + 0.7 * (st.l + st.b))) + 0.8 * st.s3
+               ELSE st.s3 END AS s3,
+           CASE WHEN (r.i - 1) % 7 = 3 THEN
+               0.2 * (r.x - (0.3 * (r.x - st.s4) + 0.7 * (st.l + st.b))) + 0.8 * st.s4
+               ELSE st.s4 END AS s4,
+           CASE WHEN (r.i - 1) % 7 = 4 THEN
+               0.2 * (r.x - (0.3 * (r.x - st.s5) + 0.7 * (st.l + st.b))) + 0.8 * st.s5
+               ELSE st.s5 END AS s5,
+           CASE WHEN (r.i - 1) % 7 = 5 THEN
+               0.2 * (r.x - (0.3 * (r.x - st.s6) + 0.7 * (st.l + st.b))) + 0.8 * st.s6
+               ELSE st.s6 END AS s6,
+           CASE WHEN (r.i - 1) % 7 = 6 THEN
+               0.2 * (r.x - (0.3 * (r.x - st.s7) + 0.7 * (st.l + st.b))) + 0.8 * st.s7
+               ELSE st.s7 END AS s7
+    FROM st JOIN ranked r ON r.event_type = st.event_type AND r.i = st.i + 1
+)
+SELECT s.event_type, c.n_days,
+       FLOOR(s.l * 1000000 + 0.5) / 1000000 AS level,
+       FLOOR(s.b * 1000000 + 0.5) / 1000000 AS trend,
+       FLOOR((s.s1 + s.s2 + s.s3 + s.s4 + s.s5 + s.s6 + s.s7) * 1000000 + 0.5)
+           / 1000000 AS seasonal_sum,
+       FLOOR((s.l + s.b + CASE s.i % 7 WHEN 0 THEN s.s1 WHEN 1 THEN s.s2
+                          WHEN 2 THEN s.s3 WHEN 3 THEN s.s4 WHEN 4 THEN s.s5
+                          WHEN 5 THEN s.s6 ELSE s.s7 END) * 1000000 + 0.5)
+           / 1000000 AS forecast_next
+FROM st s JOIN cnt c ON s.event_type = c.event_type AND s.i = c.n_days
+""",
+)
+def ts_holt_winters(spark, sf_dir):
+    """Holt-Winters triple-exponential smoothing (additive, weekly
+    period; α=0.3, β=0.1, γ=0.2) over each event type's daily-count
+    series — the seasonal forecast ts_holt_forecast can't make: level,
+    trend AND a 7-slot seasonal profile evolve together. Seeds from the
+    first week (level = week-1 mean, seasonals = deviations from it),
+    then folds the remaining days; the Spark fold carries the seasonals
+    as SEVEN scalar struct fields updated via CASE — mirroring the
+    recursive-CTE twin expression for expression, because cross-engine
+    bit-equality of an ordered recurrence demands identical scalar
+    arithmetic, not just identical math. State per series is one
+    11-field struct; the fold input is the bounded per-type day array
+    (ts_ewma's discipline), so event volume never inflates it. Types
+    with under 8 days are excluded (no seasonal cycle to fit)."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    arr = "sort_array(collect_list(struct(day, x)))"
+    # Seed from days 1..7; fold days 8..n. All element_at calls 1-based.
+    seed = (
+        "named_struct("
+        " 'i', 7L,"
+        " 'l', (element_at(xs, 1) + element_at(xs, 2) + element_at(xs, 3)"
+        "      + element_at(xs, 4) + element_at(xs, 5) + element_at(xs, 6)"
+        "      + element_at(xs, 7)) / 7.0D,"
+        " 'b', 0.0D,"
+        " 's1', element_at(xs, 1) - m7, 's2', element_at(xs, 2) - m7,"
+        " 's3', element_at(xs, 3) - m7, 's4', element_at(xs, 4) - m7,"
+        " 's5', element_at(xs, 5) - m7, 's6', element_at(xs, 6) - m7,"
+        " 's7', element_at(xs, 7) - m7)"
+    )
+    sold = (
+        "(CASE pmod(acc.i, 7) WHEN 0 THEN acc.s1 WHEN 1 THEN acc.s2"
+        " WHEN 2 THEN acc.s3 WHEN 3 THEN acc.s4 WHEN 4 THEN acc.s5"
+        " WHEN 5 THEN acc.s6 ELSE acc.s7 END)"
+    )
+    lnew = f"(0.3D * (xv - {sold}) + 0.7D * (acc.l + acc.b))"
+    supd = lambda j, k: (
+        f"CASE WHEN pmod(acc.i, 7) = {k} THEN"
+        f" 0.2D * (xv - (0.3D * (xv - acc.s{j}) + 0.7D * (acc.l + acc.b)))"
+        f" + 0.8D * acc.s{j} ELSE acc.s{j} END"
+    )
+    fold = (
+        "aggregate(slice(xs, 8, greatest(size(xs) - 7, 0)), "
+        + seed.replace("'i', 7L,", "'i', 7L,")
+        + ", (acc, xv) -> named_struct("
+        " 'i', acc.i + 1L,"
+        f" 'l', {lnew},"
+        f" 'b', 0.1D * ({lnew} - acc.l) + 0.9D * acc.b,"
+        f" 's1', {supd(1, 0)}, 's2', {supd(2, 1)}, 's3', {supd(3, 2)},"
+        f" 's4', {supd(4, 3)}, 's5', {supd(5, 4)}, 's6', {supd(6, 5)},"
+        f" 's7', {supd(7, 6)}))"
+    )
+    half_up6 = lambda col: F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    snext = (
+        "(CASE pmod(st.i, 7) WHEN 0 THEN st.s1 WHEN 1 THEN st.s2"
+        " WHEN 2 THEN st.s3 WHEN 3 THEN st.s4 WHEN 4 THEN st.s5"
+        " WHEN 5 THEN st.s6 ELSE st.s7 END)"
+    )
+    base = (
+        daily.groupBy("event_type")
+        .agg(F.expr(f"transform({arr}, s -> s.x)").alias("xs"))
+        .filter(F.size("xs") >= 8)
+        .withColumn(
+            "m7",
+            F.expr(
+                "(element_at(xs, 1) + element_at(xs, 2) + element_at(xs, 3)"
+                " + element_at(xs, 4) + element_at(xs, 5) + element_at(xs, 6)"
+                " + element_at(xs, 7)) / 7.0D"
+            ),
+        )
+        .withColumn("st", F.expr(fold))
+    )
+    return base.select(
+        "event_type",
+        F.size("xs").cast("bigint").alias("n_days"),
+        half_up6(F.col("st.l")).alias("level"),
+        half_up6(F.col("st.b")).alias("trend"),
+        half_up6(
+            F.col("st.s1") + F.col("st.s2") + F.col("st.s3") + F.col("st.s4")
+            + F.col("st.s5") + F.col("st.s6") + F.col("st.s7")
+        ).alias("seasonal_sum"),
+        half_up6(F.col("st.l") + F.col("st.b") + F.expr(snext)).alias("forecast_next"),
+    )
+
+
+@register(
+    "ts_periodogram",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS r
+    FROM events GROUP BY 1
+), mu AS (
+    SELECT CAST(SUM(CAST(r AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mu FROM daily
+), idx AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY day) AS d,
+           FLOOR((r - m.mu) * 1000000 + 0.5) / 1000000 AS rd
+    FROM daily, mu m
+), periods AS (SELECT unnest(range(2, 15)) AS period),
+terms AS (
+    SELECT p.period,
+           FLOOR(rd * (FLOOR(cos(2.0 * 3.141592653589793
+                                 * CAST((i.d - 1) % p.period AS DOUBLE) / p.period)
+                             * 1000000000 + 0.5) / 1000000000)
+                 * 1000000000 + 0.5) / 1000000000 AS ct,
+           FLOOR(rd * (FLOOR(sin(2.0 * 3.141592653589793
+                                 * CAST((i.d - 1) % p.period AS DOUBLE) / p.period)
+                             * 1000000000 + 0.5) / 1000000000)
+                 * 1000000000 + 0.5) / 1000000000 AS st
+    FROM idx i CROSS JOIN periods p
+), sums AS (
+    SELECT period,
+           FLOOR(CAST(SUM(CAST(ct AS DECIMAL(38,12))) AS DOUBLE) * 1000 + 0.5) / 1000 AS c3,
+           FLOOR(CAST(SUM(CAST(st AS DECIMAL(38,12))) AS DOUBLE) * 1000 + 0.5) / 1000 AS s3
+    FROM terms GROUP BY period
+)
+SELECT CAST(period AS BIGINT) AS period, c3 AS cos_sum, s3 AS sin_sum,
+       CAST(FLOOR(c3 * c3 + s3 * s3 + 0.5) AS BIGINT) AS power
+FROM sums
+""",
+)
+def ts_periodogram(spark, sf_dir):
+    """Discrete periodogram of the daily revenue series at candidate
+    periods 2-14 days — the spectral seasonality probe (a weekly cycle
+    shows as a power spike at period 7; ts_autocorr sees the same
+    signal in correlation space). For each period p, project the
+    mean-centered series onto cos/sin of phase 2π·(d−1 mod p)/p and
+    report the squared magnitude. One event-scale rollup; the
+    projection is days × 13 periods — a few hundred rows at any scale.
+    Cross-engine discipline: trig outputs quantize at 1e-9 (libm's
+    last ulp is not contractual across engines), products again at
+    1e-9, sums run in DECIMAL(38,12), and the final power is an exact
+    integer floor of products of identical doubles."""
+    ev = t(spark, sf_dir, "events")
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    q9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+    q3 = lambda c: F.floor(c * F.lit(1e3) + F.lit(0.5)) / F.lit(1e3)
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("r")
+    ).localCheckpoint(eager=True)
+    mu = daily.agg(
+        (F.sum(F.col("r").cast("decimal(38,6)")).cast("double") / F.count(F.lit(1))).alias("mu")
+    )
+    w = Window.orderBy("day")
+    idx = daily.crossJoin(F.broadcast(mu)).select(
+        F.row_number().over(w).alias("d"), q6(F.col("r") - F.col("mu")).alias("rd")
+    )
+    periods = spark.range(2, 15).select(F.col("id").cast("int").alias("period"))
+    phase = (
+        F.lit(2.0)
+        * F.lit(3.141592653589793)
+        * ((F.col("d") - 1) % F.col("period")).cast("double")
+        / F.col("period")
+    )
+    terms = idx.crossJoin(F.broadcast(periods)).select(
+        "period",
+        q9(F.col("rd") * q9(F.cos(phase))).alias("ct"),
+        q9(F.col("rd") * q9(F.sin(phase))).alias("st"),
+    )
+    d12 = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")
+    sums = terms.groupBy("period").agg(
+        q3(d12(F.col("ct"))).alias("c3"), q3(d12(F.col("st"))).alias("s3")
+    )
+    return sums.select(
+        F.col("period").cast("bigint").alias("period"),
+        F.col("c3").alias("cos_sum"),
+        F.col("s3").alias("sin_sum"),
+        F.floor(F.col("c3") * F.col("c3") + F.col("s3") * F.col("s3") + 0.5)
+        .cast("bigint")
+        .alias("power"),
+    )

@@ -442,3 +442,44 @@ def win_moving_zscore(spark, sf_dir):
         ),
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_window"),
     )
+
+
+@register(
+    "win_frame_interval",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(38,6)))
+            OVER (PARTITION BY user_id ORDER BY ts
+                  RANGE BETWEEN INTERVAL 2 DAY PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS roll_2d,
+       CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                           RANGE BETWEEN INTERVAL 2 DAY PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_2d
+FROM events
+""",
+)
+def win_frame_interval(spark, sf_dir):
+    """Time-interval window frame — RANGE over a 2-day TIME bound
+    rather than a row count or numeric offset (win_frame_rows /
+    win_frame_range cover those): each event sees the sum and count of
+    its user's activity in the trailing 48 hours, the "recent
+    exposure" feature real-time scoring uses. Spark expresses the
+    interval frame as rangeBetween on the microsecond offset from a
+    fixed NTZ epoch (timestampdiff is timezone-free, so the frame
+    boundary cannot shift under the driver's session timezone), which
+    is semantically identical to DuckDB's INTERVAL frame at full
+    microsecond precision — including the all-peers-at-equal-ts rule
+    RANGE frames share. Sums in DECIMAL(38,6) as always."""
+    ev = t(spark, sf_dir, "events")
+    us = F.expr("timestampdiff(MICROSECOND, timestamp'2024-01-01 00:00:00', ts)")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us.alias("us"))
+        .rangeBetween(-2 * 86400 * 1000000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double").alias("roll_2d"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_2d"),
+    )

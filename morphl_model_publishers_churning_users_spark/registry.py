@@ -246,6 +246,10 @@ _KEY_RANK: dict[str, int] = {
     "ml_ks_stat": 7,
     "ml_lift_gains": 7,
     "graph_clustering_coeff": 7,
+    "ts_holt_winters": 7,
+    "ts_periodogram": 7,
+    "win_frame_interval": 7,
+    "graph_kcore": 7,
 }
 
 
