@@ -1322,3 +1322,73 @@ def agg_bloom(spark, sf_dir):
         .crossJoin(F.broadcast(n_members))
         .select("n_members", "n_probed", "n_positive", "n_false_positive")
     )
+
+
+@register(
+    "agg_skew_kurtosis",
+    oracle="""
+WITH m AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(FLOOR(value * value * 1000 + 0.5) / 1000
+                         AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+           CAST(SUM(CAST(FLOOR(value * value * value / 1000 + 0.5) * 1000
+                         AS DECIMAL(38,6))) AS DOUBLE) AS s3,
+           CAST(SUM(CAST(FLOOR(value * value * value * value / 1000000 + 0.5)
+                         * 1000000 AS DECIMAL(38,6))) AS DOUBLE) AS s4
+    FROM events GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_events,
+       FLOOR((s2 / n - (s1 / n) * (s1 / n)) * 1000000 + 0.5) / 1000000 AS variance_pop,
+       FLOOR((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+             / POW(GREATEST(s2 / n - (s1 / n) * (s1 / n), 1e-12), 1.5)
+             * 1000000 + 0.5) / 1000000 AS skewness_pop,
+       FLOOR(((s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+               - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+              / POW(GREATEST(s2 / n - (s1 / n) * (s1 / n), 1e-12), 2) - 3.0)
+             * 1000000 + 0.5) / 1000000 AS kurtosis_excess
+FROM m
+""",
+)
+def agg_skew_kurtosis(spark, sf_dir):
+    """Higher-moment distribution shape per event type — population
+    skewness and excess kurtosis from raw power sums (the heavy-tail /
+    asymmetry screen run before choosing robust vs classical
+    statistics downstream). Built from explicit moment sums rather
+    than the engines' skewness()/kurtosis() builtins, whose
+    sample-vs-population conventions differ between engines; the four
+    power sums ride ONE map-combinable hash aggregate. Quantization
+    grain per power is chosen so every quantized term is exactly
+    representable: v² at 1e-3, v³ at 1e+3, v⁴ at 1e+6 (value ≤ ~1e3,
+    so v⁴ ≤ 1e12 — grains keep products inside 2^53), then DECIMAL
+    sums and identical double algebra."""
+    ev = t(spark, sf_dir, "events")
+    v = F.col("value")
+    d6 = lambda c: F.sum(c.cast("decimal(38,6)")).cast("double")
+    q = lambda c, g: F.floor(c * F.lit(g) + F.lit(0.5)) / F.lit(g)
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        d6(v).alias("s1"),
+        d6(q(v * v, 1e3)).alias("s2"),
+        d6(q(v * v * v, 1e-3)).alias("s3"),
+        d6(q(v * v * v * v, 1e-6)).alias("s4"),
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    mean = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - mean * mean
+    m3 = F.col("s3") / F.col("n") - 3 * mean * (F.col("s2") / F.col("n")) + 2 * mean * mean * mean
+    m4 = (
+        F.col("s4") / F.col("n")
+        - 4 * mean * (F.col("s3") / F.col("n"))
+        + 6 * mean * mean * (F.col("s2") / F.col("n"))
+        - 3 * mean * mean * mean * mean
+    )
+    var_safe = F.greatest(m2, F.lit(1e-12))
+    return m.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_events"),
+        q6(m2).alias("variance_pop"),
+        q6(m3 / F.pow(var_safe, 1.5)).alias("skewness_pop"),
+        q6(m4 / F.pow(var_safe, 2.0) - 3.0).alias("kurtosis_excess"),
+    )

@@ -246,3 +246,42 @@ def udf_python_arrow(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     return d.select("doc_id", tag("lang", "n_chars").alias("tag"), doubled("n_chars").alias("doubled"))
+
+
+@register(
+    "udf_pandas_iter",
+    oracle="""
+SELECT event_id, ROUND(LN(1 + value), 6) AS log1p_value,
+       ROUND(value * value, 6) AS value_sq
+FROM events
+""",
+)
+def udf_pandas_iter(spark, sf_dir):
+    """Iterator-form pandas UDF (Iterator[Series] -> Iterator[Series])
+    — the shape for UDFs with EXPENSIVE one-time setup (model load,
+    dictionary mmap): the generator body runs once per PARTITION, the
+    loop once per Arrow batch, so setup cost amortizes over the whole
+    partition instead of repeating per batch. Functionally identical
+    to the plain pandas_udf (same oracle arithmetic) — the contract
+    under test is the iterator lifecycle."""
+    from typing import Iterator
+
+    @pandas_udf(DoubleType())
+    def log1p_iter(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import numpy as np
+
+        setup_const = 1.0  # stand-in for per-partition model load
+        for v in batches:
+            yield np.log1p(v * setup_const).round(6)
+
+    @pandas_udf(DoubleType())
+    def square_iter(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for v in batches:
+            yield (v * v).round(6)
+
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        log1p_iter("value").alias("log1p_value"),
+        square_iter("value").alias("value_sq"),
+    )

@@ -69,15 +69,24 @@ def register(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Quer
 # ROUND-5 WINDOW (what the driver should check this round, in order):
 #   2 canaries, then the 13 round-4 llm/mm additions, the 10-key ML tail,
 #   the 9 streaming keys, the 15-key ts/dq/scan tail, then join extensions.
+#   Pre-flighted 50/50 green in the driver simulator this round.
 # DELIBERATE ROUND-6 SPILL (~8 keys, lowest-risk last per r4 verdict item 5):
 #   join_interval_overlap join_asof_tolerance join_null_safe join_bucketed
 #   join_range_bucketed join_skew_salted join_hint_broadcast
 #   join_hint_shuffle_hash
 # ROUND-6 PRE-STAGED MAINTENANCE: fold CORRECTNESS_r05 greens into
 # DRIVER_VERIFIED, clear _REVERIFY (unless r5 shows reds), rotate _CANARY
-# to 2 keys from families longest untouched (suggest: agg_group (r1),
-# fn_string (r3)), and let the join-extension spill fill the r6 window
-# with canary+regression slack.
+# to 2 keys from the families longest untouched (suggest: agg_group (r1),
+# fn_string (r3)). The round-6 window then holds: 2 canaries + the 8-key
+# join spill + the 33 round-5 additions (rank 7: graph_* family, sketch
+# aggregates, ml feature/eval ops, llm selection ops, ts
+# holt_winters/periodogram/autocorr/changepoint, win_frame_interval,
+# sample_reservoir, dq_l_diversity) = 43 slots, ~7 spare for round-6
+# additions. All 33 were sim-verified at sf0.001/0.01/0.1 this round.
+# CANARY ROTATION (one per family, 2/round, family re-touched ≤ every
+# 6 rounds): r6 agg_group + fn_string; r7 win_running + ts_session;
+# r8 scan_parquet + subquery_scalar; r9 llm_dedup_exact + udf_pandas;
+# r10 join_inner_hash + set_union; r11 ml_label + mm_features.
 #
 # hash_match=true rows from CORRECTNESS_r01..r04.json (driver, rounds 1-4).
 # 44 r01 greens + 47 r02 greens + 46 new r03 greens + 43 new r04 greens
@@ -250,6 +259,9 @@ _KEY_RANK: dict[str, int] = {
     "ts_periodogram": 7,
     "win_frame_interval": 7,
     "graph_kcore": 7,
+    "udf_pandas_iter": 7,
+    "agg_skew_kurtosis": 7,
+    "sink_json_lines": 7,
 }
 
 
