@@ -347,8 +347,14 @@ def graph_pagerank(spark, sf_dir):
                     + F.lit(0.85) * F.coalesce("insum", F.lit(0.0))
                 ).alias("r"),
             )
-            .localCheckpoint(eager=True)
         )
+        # Checkpoint EVERY round. Measured both ways: every-other-round
+        # halves the barrier count and wins at sf0.01 (8.3 s → 6.2 s)
+        # but LOSES at sf0.1 (15.1 s → 24.3 s) — on the bigger graph the
+        # two-round lineage degrades the per-job plan more than the
+        # saved barrier buys. Per-round is the shape that holds as the
+        # graph grows, which is the scale this operator is for.
+        pr = pr.localCheckpoint(eager=True)
     w = Window.orderBy(F.desc("pr_rank"), F.asc("node"))
     return (
         pr.select("node", q6(F.col("r")).alias("pr_rank"))
