@@ -2980,3 +2980,52 @@ def llm_importance_resample(spark, sf_dir):
         q6(F.col("lr_sum") / F.col("n_words")).alias("importance"),
         (F.col("lr_sum") / F.col("n_words") >= 0.0).alias("is_selected"),
     )
+
+
+# ------------------------------------------------- blocklist quality gate
+
+_BLOCKLIST = ("spark", "error", "null")  # stand-in blocklist terms
+
+
+@register(
+    "llm_blocklist_filter",
+    oracle=r"""
+WITH docs AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+    FROM documents WHERE length(trim(text)) > 0
+)
+SELECT doc_id,
+       CAST(len(list_filter(w, x -> x IN ('spark', 'error', 'null'))) AS BIGINT)
+           AS n_hits,
+       CAST(len(w) AS BIGINT) AS n_words,
+       FLOOR(CAST(len(list_filter(w, x -> x IN ('spark', 'error', 'null'))) AS DOUBLE)
+             / len(w) * 1000000 + 0.5) / 1000000 AS hit_rate,
+       len(list_filter(w, x -> x IN ('spark', 'error', 'null'))) = 0 AS is_kept
+FROM docs
+""",
+)
+def llm_blocklist_filter(spark, sf_dir):
+    """C4-style blocklist gate — the "bad words" filter every public
+    web-corpus pipeline runs (C4 dropped any page containing a
+    blocklist term; RefinedWeb soft-scores instead — both readouts
+    emitted here: hard is_kept plus the hit-rate for thresholding).
+    Pure narrow array_filter per row against a broadcast-literal term
+    set: no explode, no shuffle, scan-speed at any corpus size. With
+    an open 10k-term blocklist the same plan swaps the IN-list for a
+    broadcast join against the term table — the per-row shape is
+    unchanged."""
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w"))
+    )
+    inlist = ", ".join(f"'{x}'" for x in _BLOCKLIST)
+    hits = F.expr(f"size(filter(w, x -> x IN ({inlist})))")
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return docs.select(
+        "doc_id",
+        hits.cast("bigint").alias("n_hits"),
+        F.size("w").cast("bigint").alias("n_words"),
+        q6(hits.cast("double") / F.size("w")).alias("hit_rate"),
+        (hits == 0).alias("is_kept"),
+    )

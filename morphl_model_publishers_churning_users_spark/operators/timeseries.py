@@ -1621,3 +1621,76 @@ def ts_periodogram(spark, sf_dir):
         .cast("bigint")
         .alias("power"),
     )
+
+
+@register(
+    "ts_backtest_metrics",
+    oracle="""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS DOUBLE) AS x
+    FROM events GROUP BY 1, 2
+), lagged AS (
+    SELECT event_type, x,
+           LAG(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS naive1,
+           LAG(x, 7) OVER (PARTITION BY event_type ORDER BY day) AS snaive7
+    FROM daily
+), scored AS (
+    SELECT event_type, x, naive1, snaive7 FROM lagged WHERE snaive7 IS NOT NULL
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+       FLOOR(CAST(SUM(CAST(ABS(x - naive1) AS DECIMAL(38,6))) AS DOUBLE)
+             / CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) * 1000000 + 0.5)
+           / 1000000 AS wape_naive1,
+       FLOOR(CAST(SUM(CAST(ABS(x - snaive7) AS DECIMAL(38,6))) AS DOUBLE)
+             / CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) * 1000000 + 0.5)
+           / 1000000 AS wape_snaive7,
+       FLOOR(CAST(SUM(CAST(FLOOR(ABS(x - snaive7) / (ABS(x) + ABS(snaive7))
+                                 * 2000000000 + 0.5) / 1000000000
+                           AS DECIMAL(38,12))) AS DOUBLE)
+             / COUNT(*) * 1000000 + 0.5) / 1000000 AS smape_snaive7
+FROM scored GROUP BY event_type
+""",
+)
+def ts_backtest_metrics(spark, sf_dir):
+    """Forecast backtest — WAPE of the naive-1 and seasonal-naive-7
+    baselines plus sMAPE of the seasonal-naive, per event type: the
+    scoreboard every forecast in the family (linear, Holt,
+    Holt-Winters) must beat before deployment, and the baseline-
+    relative form MASE-style comparisons build on. Counts are exact
+    doubles, absolute errors sum through DECIMAL (WAPE is a ratio of
+    exact sums — no per-row division), and the per-row sMAPE terms
+    quantize at 1e-9 before their DECIMAL mean. One event-scale
+    rollup; the lag windows run over the bounded day×type table."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "x",
+        F.lag("x", 1).over(w).alias("naive1"),
+        F.lag("x", 7).over(w).alias("snaive7"),
+    ).filter(F.col("snaive7").isNotNull())
+    d6 = lambda c: F.sum(c.cast("decimal(38,6)")).cast("double")
+    d12 = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    smape_term = (
+        F.floor(
+            F.abs(F.col("x") - F.col("snaive7"))
+            / (F.abs("x") + F.abs("snaive7"))
+            * F.lit(2e9)
+            + F.lit(0.5)
+        )
+        / F.lit(1e9)
+    )
+    return lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        q6(d6(F.abs(F.col("x") - F.col("naive1"))) / d6(F.col("x"))).alias(
+            "wape_naive1"
+        ),
+        q6(d6(F.abs(F.col("x") - F.col("snaive7"))) / d6(F.col("x"))).alias(
+            "wape_snaive7"
+        ),
+        q6(d12(smape_term) / F.count(F.lit(1))).alias("smape_snaive7"),
+    )
