@@ -43,6 +43,7 @@ from morphl_model_publishers_churning_users_spark.operators.llm import (
     _DOT,
     _sign_bucket_spark,
     llm_bm25,
+    llm_dedup_substring,
 )
 from morphl_model_publishers_churning_users_spark.catalog import table as t
 from morphl_model_publishers_churning_users_spark.session import build_session
@@ -171,6 +172,23 @@ def main() -> None:
             "scale": s, "docs": 5000 * s, "rows": n, "wall_s": round(wall, 2)
         })
         print(out["bm25"][-1], flush=True)
+
+    # Exact-substring dedup: copies have disjoint vocabularies, so true
+    # duplicate pairs exist only within each copy — pair OUTPUT should
+    # grow linearly with scale (pairs/doc constant) and wall time with
+    # the window-table size, never corpus².
+    out["dedup_substring"] = []
+    for s in SCALES:
+        d = f"{OUT}/x{s}"
+        t0 = time.perf_counter()
+        n_pairs = llm_dedup_substring(spark, d).count()
+        wall = time.perf_counter() - t0
+        out["dedup_substring"].append({
+            "scale": s, "docs": 5000 * s, "pairs": n_pairs,
+            "pairs_per_kdoc": round(n_pairs / (5.0 * s), 2),
+            "wall_s": round(wall, 2),
+        })
+        print(out["dedup_substring"][-1], flush=True)
 
     print(json.dumps(out))
     spark.stop()
