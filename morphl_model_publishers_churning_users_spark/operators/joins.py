@@ -608,3 +608,92 @@ def join_interval_overlap(spark, sf_dir):
         .filter((F.col("s_start") < F.col("p_end")) & (F.col("p_start") < F.col("s_end")))
         .select("user_id", "s_start", "s_end", "purchase_event_id", "purchase_ts")
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+WITH clicks AS (
+    SELECT user_id, ts, MAX(event_id) AS click_id
+    FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+), purchases AS (
+    SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+), ranked AS (
+    SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+           c.click_id, c.ts AS click_ts,
+           ROW_NUMBER() OVER (
+               PARTITION BY p.event_id
+               ORDER BY ABS(epoch_us(p.ts) - epoch_us(c.ts)), c.ts
+           ) AS rn
+    FROM purchases p JOIN clicks c ON c.user_id = p.user_id
+)
+SELECT user_id, purchase_id, purchase_ts, click_id, click_ts
+FROM ranked WHERE rn = 1
+""",
+)
+def join_asof_nearest(spark, sf_dir):
+    """NEAREST-direction as-of join — the click closest in time to each
+    purchase, before OR after (backward-only as-of biases attribution
+    against post-purchase confirmation clicks; nearest is the right
+    default for sensor/event alignment). Two linear carries over ONE
+    user-keyed union — a backward last-click pass and a forward
+    first-click pass (each one window, shared shuffle) — then a per-row
+    arg-min on the two int64 microsecond distances; equal distance
+    prefers the earlier (backward) click, same-timestamp clicks count
+    at distance 0 in both passes. The ORACLE enumerates all
+    click×purchase pairs per user and ranks — correct but quadratic;
+    the Spark plan is the one that scales, and parity proves they
+    agree. No range-join blowup on hot users: state is one carried
+    struct per direction."""
+    ev = t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .select(
+            "user_id", "ts", F.lit(0).alias("kind"), "click_id",
+            F.lit(None).cast("bigint").alias("purchase_id"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("kind"),
+        F.lit(None).cast("bigint").alias("click_id"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    merged = clicks.unionByName(purchases)
+    # backward: click at-or-before (click kind 0 sorts first at equal ts)
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # forward: click at-or-after (descending ts; kind asc puts the
+    # equal-ts click before the purchase in iteration order)
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.asc("kind"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.select(
+        "user_id", "ts", "kind", "purchase_id",
+        F.last("click_id", ignorenulls=True).over(wb).alias("b_id"),
+        F.last(F.when(F.col("kind") == 0, F.col("ts")), ignorenulls=True)
+        .over(wb)
+        .alias("b_ts"),
+        F.last("click_id", ignorenulls=True).over(wf).alias("f_id"),
+        F.last(F.when(F.col("kind") == 0, F.col("ts")), ignorenulls=True)
+        .over(wf)
+        .alias("f_ts"),
+    ).filter(F.col("kind") == 1)
+    db = F.expr("timestampdiff(MICROSECOND, b_ts, ts)")
+    df_ = F.expr("timestampdiff(MICROSECOND, ts, f_ts)")
+    take_b = F.col("b_id").isNotNull() & (F.col("f_id").isNull() | (db <= df_))
+    return carried.filter(
+        F.col("b_id").isNotNull() | F.col("f_id").isNotNull()
+    ).select(
+        "user_id",
+        "purchase_id",
+        F.col("ts").alias("purchase_ts"),
+        F.when(take_b, F.col("b_id")).otherwise(F.col("f_id")).alias("click_id"),
+        F.when(take_b, F.col("b_ts")).otherwise(F.col("f_ts")).alias("click_ts"),
+    )

@@ -1694,3 +1694,53 @@ def ts_backtest_metrics(spark, sf_dir):
         ),
         q6(d12(smape_term) / F.count(F.lit(1))).alias("smape_snaive7"),
     )
+
+
+@register(
+    "ts_lag_features",
+    oracle="""
+WITH daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS r
+    FROM events GROUP BY 1, 2
+)
+SELECT user_id, day, FLOOR(r * 1000000 + 0.5) / 1000000 AS r,
+       FLOOR(COALESCE(LAG(r, 1) OVER w, 0.0) * 1000000 + 0.5) / 1000000 AS lag_1,
+       FLOOR(COALESCE(LAG(r, 7) OVER w, 0.0) * 1000000 + 0.5) / 1000000 AS lag_7,
+       FLOOR(CAST(SUM(CAST(r AS DECIMAL(38,6)))
+                  OVER (PARTITION BY user_id ORDER BY day
+                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / COUNT(*) OVER (PARTITION BY user_id ORDER BY day
+                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+             * 1000000 + 0.5) / 1000000 AS mean_7
+FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY day)
+""",
+)
+def ts_lag_features(spark, sf_dir):
+    """Lag-feature engineering — the bread-and-butter supervised-ML
+    prep over a daily series: per user, yesterday's value (lag-1), the
+    same weekday last week (lag-7), and the trailing-7-row mean, all
+    from ONE window pass sharing one user-keyed sort (lags and the
+    framed mean ride the same Window spec). Missing history coalesces
+    to 0.0 — the "no activity" semantics a churn feature wants, and it
+    keeps the row count equal to the day table (no warm-up trimming).
+    Trailing mean numerators sum through DECIMAL; everything else is
+    exact reindexing."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("r")
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    w = Window.partitionBy("user_id").orderBy("day")
+    wf = w.rowsBetween(-6, Window.currentRow)
+    return daily.select(
+        "user_id",
+        "day",
+        q6(F.col("r")).alias("r"),
+        q6(F.coalesce(F.lag("r", 1).over(w), F.lit(0.0))).alias("lag_1"),
+        q6(F.coalesce(F.lag("r", 7).over(w), F.lit(0.0))).alias("lag_7"),
+        q6(
+            F.sum(F.col("r").cast("decimal(38,6)")).over(wf).cast("double")
+            / F.count(F.lit(1)).over(wf)
+        ).alias("mean_7"),
+    )

@@ -78,11 +78,11 @@ def register(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Quer
 # DRIVER_VERIFIED, clear _REVERIFY (unless r5 shows reds), rotate _CANARY
 # to 2 keys from the families longest untouched (suggest: agg_group (r1),
 # fn_string (r3)). The round-6 window then holds: 2 canaries + the 8-key
-# join spill + the 35 round-5 additions (rank 7: graph_* family, sketch
+# join spill + the 37 round-5 additions (rank 7: graph_* family, sketch
 # aggregates, ml feature/eval ops, llm selection ops, ts
 # holt_winters/periodogram/autocorr/changepoint, win_frame_interval,
-# sample_reservoir, dq_l_diversity) = 45 slots, ~5 spare for round-6
-# additions. All 35 were sim-verified at sf0.001/0.01/0.1 this round.
+# sample_reservoir, dq_l_diversity) = 47 slots, ~3 spare for round-6
+# additions. All 37 were sim-verified at sf0.001/0.01/0.1 this round.
 # CANARY ROTATION (one per family, 2/round, family re-touched ≤ every
 # 6 rounds): r6 agg_group + fn_string; r7 win_running + ts_session;
 # r8 scan_parquet + subquery_scalar; r9 llm_dedup_exact + udf_pandas;
@@ -264,6 +264,8 @@ _KEY_RANK: dict[str, int] = {
     "sink_json_lines": 7,
     "llm_blocklist_filter": 7,
     "ts_backtest_metrics": 7,
+    "join_asof_nearest": 7,
+    "ts_lag_features": 7,
 }
 
 
