@@ -77,7 +77,24 @@ def register(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Quer
 # ROUND-6 PRE-STAGED MAINTENANCE: fold CORRECTNESS_r05 greens into
 # DRIVER_VERIFIED, clear _REVERIFY (unless r5 shows reds), rotate _CANARY
 # to 2 keys from the families longest untouched (suggest: agg_group (r1),
-# fn_string (r3)). The round-6 window then holds: 2 canaries + the 8-key
+# fn_string (r3)). Barring driver-environment surprises (the whole window
+# was pre-flighted 50/50 green in the bare-session simulator), the 48
+# never-verified keys to fold in are:
+#   llm_mixture_balance llm_winnow_fingerprint llm_embed_quantize
+#   llm_dedup_minhash_sql llm_semdedup llm_perplexity_filter
+#   llm_cc_pipeline llm_sample_weighted llm_dedup_incremental
+#   llm_rank_fusion llm_bm25 mm_phash_dedup mm_caption_align
+#   ml_features ml_split ml_train ml_eval ml_infer ml_crossval
+#   ml_kmeans_segment ml_rf ml_pca_embed ml_calibration_bins
+#   source_stream ts_watermark ts_dedup_stream ts_stateful
+#   ts_incremental ts_session_stream ts_stream_join sink_stream_upsert
+#   ts_stream_stream_join agg_cube dq_expectations dq_k_anonymity
+#   scan_snapshot_diff ts_user_ltv ts_peak_concurrency
+#   ts_interpolate_linear ts_cohort_value_curve ts_conversion_latency
+#   ts_survival_curve ts_anomaly_robust ts_scd2_history
+#   ts_forecast_linear ts_holt_forecast ts_seasonal_decompose
+#   join_fuzzy_blocked
+# (plus re-confirmations of the 2 canaries llm_dedup_fuzzy/join_star). The round-6 window then holds: 2 canaries + the 8-key
 # join spill + the 37 round-5 additions (rank 7: graph_* family, sketch
 # aggregates, ml feature/eval ops, llm selection ops, ts
 # holt_winters/periodogram/autocorr/changepoint, win_frame_interval,
