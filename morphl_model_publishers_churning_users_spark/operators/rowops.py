@@ -752,3 +752,59 @@ def sample_reservoir(spark, sf_dir):
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
     )
+
+
+@register(
+    "dq_fk_cardinality",
+    oracle="""
+WITH edges AS (
+    SELECT 'orders->customer' AS fk_edge, o_custkey AS parent FROM orders
+    UNION ALL
+    SELECT 'lineitem->orders', l_orderkey FROM lineitem
+    UNION ALL
+    SELECT 'lineitem->part', l_partkey FROM lineitem
+), per_parent AS (
+    SELECT fk_edge, parent, COUNT(*) AS n_children FROM edges GROUP BY 1, 2
+)
+SELECT fk_edge,
+       CAST(COUNT(*) AS BIGINT) AS n_parents,
+       CAST(SUM(n_children) AS BIGINT) AS n_children,
+       CAST(MIN(n_children) AS BIGINT) AS min_fanout,
+       CAST(MAX(n_children) AS BIGINT) AS max_fanout,
+       FLOOR(CAST(SUM(n_children) AS DOUBLE) / COUNT(*) * 1000000 + 0.5)
+           / 1000000 AS avg_fanout
+FROM per_parent GROUP BY fk_edge
+""",
+)
+def dq_fk_cardinality(spark, sf_dir):
+    """FK fan-out profile — the cardinality complement to
+    dq_orphan_audit's integrity check: per relationship edge, how many
+    children does each parent actually have (min/max/avg)? A max_fanout
+    spike is the skew early-warning for every join that shuffles on
+    that key (the number the salting decision reads), and an avg drift
+    across loads signals upstream duplication. One union of projected
+    FK columns + two hash aggregates; output is one row per edge at
+    any scale."""
+    o = t(spark, sf_dir, "orders").select(
+        F.lit("orders->customer").alias("fk_edge"), F.col("o_custkey").alias("parent")
+    )
+    l1 = t(spark, sf_dir, "lineitem").select(
+        F.lit("lineitem->orders").alias("fk_edge"), F.col("l_orderkey").alias("parent")
+    )
+    l2 = t(spark, sf_dir, "lineitem").select(
+        F.lit("lineitem->part").alias("fk_edge"), F.col("l_partkey").alias("parent")
+    )
+    per = (
+        o.unionByName(l1)
+        .unionByName(l2)
+        .groupBy("fk_edge", "parent")
+        .agg(F.count(F.lit(1)).alias("n_children"))
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return per.groupBy("fk_edge").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parents"),
+        F.sum("n_children").cast("bigint").alias("n_children"),
+        F.min("n_children").cast("bigint").alias("min_fanout"),
+        F.max("n_children").cast("bigint").alias("max_fanout"),
+        q6(F.sum("n_children").cast("double") / F.count(F.lit(1))).alias("avg_fanout"),
+    )

@@ -95,11 +95,11 @@ def register(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Quer
 #   ts_forecast_linear ts_holt_forecast ts_seasonal_decompose
 #   join_fuzzy_blocked
 # (plus re-confirmations of the 2 canaries llm_dedup_fuzzy/join_star). The round-6 window then holds: 2 canaries + the 8-key
-# join spill + the 37 round-5 additions (rank 7: graph_* family, sketch
+# join spill + the 38 round-5 additions (rank 7: graph_* family, sketch
 # aggregates, ml feature/eval ops, llm selection ops, ts
 # holt_winters/periodogram/autocorr/changepoint, win_frame_interval,
-# sample_reservoir, dq_l_diversity) = 47 slots, ~3 spare for round-6
-# additions. All 37 were sim-verified at sf0.001/0.01/0.1 this round.
+# sample_reservoir, dq_l_diversity) = 48 slots, ~2 spare for round-6
+# additions. All 38 were sim-verified at sf0.001/0.01/0.1 this round.
 # CANARY ROTATION (one per family, 2/round, family re-touched ≤ every
 # 6 rounds): r6 agg_group + fn_string; r7 win_running + ts_session;
 # r8 scan_parquet + subquery_scalar; r9 llm_dedup_exact + udf_pandas;
@@ -283,6 +283,7 @@ _KEY_RANK: dict[str, int] = {
     "ts_backtest_metrics": 7,
     "join_asof_nearest": 7,
     "ts_lag_features": 7,
+    "dq_fk_cardinality": 7,
 }
 
 
