@@ -74,27 +74,11 @@ def register(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Quer
 #   join_interval_overlap join_asof_tolerance join_null_safe join_bucketed
 #   join_range_bucketed join_skew_salted join_hint_broadcast
 #   join_hint_shuffle_hash
-# ROUND-6 PRE-STAGED MAINTENANCE: fold CORRECTNESS_r05 greens into
-# DRIVER_VERIFIED, clear _REVERIFY (unless r5 shows reds), rotate _CANARY
-# to 2 keys from the families longest untouched (suggest: agg_group (r1),
-# fn_string (r3)). Barring driver-environment surprises (the whole window
-# was pre-flighted 50/50 green in the bare-session simulator), the 48
-# never-verified keys to fold in are:
-#   llm_mixture_balance llm_winnow_fingerprint llm_embed_quantize
-#   llm_dedup_minhash_sql llm_semdedup llm_perplexity_filter
-#   llm_cc_pipeline llm_sample_weighted llm_dedup_incremental
-#   llm_rank_fusion llm_bm25 mm_phash_dedup mm_caption_align
-#   ml_features ml_split ml_train ml_eval ml_infer ml_crossval
-#   ml_kmeans_segment ml_rf ml_pca_embed ml_calibration_bins
-#   source_stream ts_watermark ts_dedup_stream ts_stateful
-#   ts_incremental ts_session_stream ts_stream_join sink_stream_upsert
-#   ts_stream_stream_join agg_cube dq_expectations dq_k_anonymity
-#   scan_snapshot_diff ts_user_ltv ts_peak_concurrency
-#   ts_interpolate_linear ts_cohort_value_curve ts_conversion_latency
-#   ts_survival_curve ts_anomaly_robust ts_scd2_history
-#   ts_forecast_linear ts_holt_forecast ts_seasonal_decompose
-#   join_fuzzy_blocked
-# (plus re-confirmations of the 2 canaries llm_dedup_fuzzy/join_star). The round-6 window then holds: 2 canaries + the 8-key
+# ROUND-6 MAINTENANCE APPLIED: CORRECTNESS_r05.json came back 50/50
+# hash-green (zero reds), so the 48 never-before-verified keys of the
+# round-5 window are folded into DRIVER_VERIFIED below, _REVERIFY stays
+# empty, and _CANARY rotates to agg_group + fn_string per the staged
+# rotation table. The round-6 window then holds: 2 canaries + the 8-key
 # join spill + the 38 round-5 additions (rank 7: graph_* family, sketch
 # aggregates, ml feature/eval ops, llm selection ops, ts
 # holt_winters/periodogram/autocorr/changepoint, win_frame_interval,
@@ -166,11 +150,29 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "udf_python", "udf_pandas", "udf_grouped_map", "udf_grouped_agg",
         "udtf_python", "udf_arrow", "udf_cogrouped_map", "udf_python_arrow",
         "mm_features", "mm_framesample", "mm_resize", "ml_label",
+        # --- round 5 greens (CORRECTNESS_r05: 50/50 hash-green; the 2
+        # canaries llm_dedup_fuzzy/join_star were already listed above) ---
+        "llm_mixture_balance", "llm_winnow_fingerprint", "llm_embed_quantize",
+        "llm_dedup_minhash_sql", "llm_semdedup", "llm_perplexity_filter",
+        "llm_cc_pipeline", "llm_sample_weighted", "llm_dedup_incremental",
+        "llm_rank_fusion", "llm_bm25", "mm_phash_dedup", "mm_caption_align",
+        "ml_features", "ml_split", "ml_train", "ml_eval", "ml_infer",
+        "ml_crossval", "ml_kmeans_segment", "ml_rf", "ml_pca_embed",
+        "ml_calibration_bins", "source_stream", "ts_watermark",
+        "ts_dedup_stream", "ts_stateful", "ts_incremental",
+        "ts_session_stream", "ts_stream_join", "sink_stream_upsert",
+        "ts_stream_stream_join", "agg_cube", "dq_expectations",
+        "dq_k_anonymity", "scan_snapshot_diff", "ts_user_ltv",
+        "ts_peak_concurrency", "ts_interpolate_linear",
+        "ts_cohort_value_curve", "ts_conversion_latency",
+        "ts_survival_curve", "ts_anomaly_robust", "ts_scd2_history",
+        "ts_forecast_linear", "ts_holt_forecast", "ts_seasonal_decompose",
+        "join_fuzzy_blocked",
     }
 )
 
 # Keys repaired this round that must re-hash before being trusted again.
-# CORRECTNESS_r04 had zero reds, so nothing needs re-verification.
+# CORRECTNESS_r05 had zero reds, so nothing needs re-verification.
 _REVERIFY: tuple[str, ...] = ()
 
 # Regression canaries: a small rotating sample of already-verified keys kept
@@ -179,8 +181,8 @@ _REVERIFY: tuple[str, ...] = ()
 # (56 never-checked keys compete for ~50 slots; every canary slot displaces a
 # first-touch verification — r4 verdict item 1).
 _CANARY: tuple[str, ...] = (
-    "llm_dedup_fuzzy",  # flagship LSH dedup (r4 green) — the most machinery
-    "join_star",        # flagship star join (r1 green) — longest-untouched family
+    "agg_group",   # aggregate family (r1 green) — longest-untouched family
+    "fn_string",   # scalar-function family (r3 green)
 )
 
 # Round-5 window priority: the 13 round-4 llm/mm additions first (the
