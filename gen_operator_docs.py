@@ -30,7 +30,16 @@ def main() -> None:
         # ". "-splitting misses — collapse newlines first, then split on
         # a period followed by whitespace or end-of-string (ADVICE r4).
         flat = " ".join(doc.split())
-        first = re.split(r"\.(?:\s|$)", flat, maxsplit=1)[0].strip().rstrip(".")
+        # Don't treat abbreviation periods ("et al.", "vs.", "e.g.",
+        # single initials) as sentence ends, and only accept a boundary
+        # whose next sentence starts with an uppercase/digit/open-paren —
+        # otherwise "Lee et al. 2022-style" truncates mid-cite (ADVICE r5).
+        first = re.split(
+            r"(?<!\bet al)(?<!\bvs)(?<!\be\.g)(?<!\bi\.e)(?<!\bcf)"
+            r"(?<!\b[A-Z])\.(?=\s+[A-Z0-9(]|$)",
+            flat,
+            maxsplit=1,
+        )[0].strip().rstrip(".")
         if len(first) > 160:
             first = first[:157] + "..."
         first = first.replace("|", "\\|")

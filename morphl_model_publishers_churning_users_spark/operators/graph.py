@@ -18,10 +18,14 @@ Scale discipline shared by all four:
     per-component and per-join working set bounded by brand slice — the
     same blocking idea the dedup family uses for pair generation;
   * PageRank and components iterate DRIVER-SIDE over a bounded number of
-    rounds with `localCheckpoint` per round: each round is one join + one
-    aggregate on the node/edge tables (never the raw fact table), and the
-    checkpoint keeps lineage flat so round N's plan doesn't replay rounds
-    1..N-1. That is exactly how large-scale PageRank runs on Spark.
+    rounds with a lineage-cutting checkpoint per round: each round is one
+    join + one aggregate on the node/edge tables (never the raw fact
+    table), and the checkpoint keeps lineage flat so round N's plan
+    doesn't replay rounds 1..N-1. That is exactly how large-scale
+    PageRank runs on Spark. The checkpoint strategy is the `ckpt` knob
+    (operators/_shared.py): executor-local by default, reliable
+    `checkpoint()` via SPARK_GRAFT_CHECKPOINT_DIR on a real cluster where
+    localCheckpoint blocks would die with a lost executor.
 
 Cross-engine float discipline (PageRank): every division happens on
 identical IEEE doubles, every per-edge contribution is half-up-quantized
@@ -38,7 +42,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Window
 
 from ..registry import register
-from ._shared import t
+from ._shared import ckpt, t
 
 # Shared DuckDB edge CTEs (kept textually identical across oracles).
 _EDGES_DUCK = """
@@ -70,12 +74,11 @@ def _copurchase_edges(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
-    return (
+    return ckpt(
         a.join(b, "ok")
         .filter(F.col("src") < F.col("dst"))
         .select("src", "dst")
         .distinct()
-        .localCheckpoint(eager=True)
     )
 
 
@@ -91,7 +94,7 @@ def _brand_edges(spark, sf_dir):
         .filter(F.col("ba") == F.col("bb"))
         .select(F.col("ba").alias("brand"), "src", "dst")
     )
-    return e.localCheckpoint(eager=True)
+    return ckpt(e)
 
 
 def _sym(edges, *keys):
@@ -211,12 +214,11 @@ def graph_cc(spark, sf_dir):
     with a localCheckpoint to keep lineage flat, and the loop stops when
     a round changes zero labels (one bounded count per round — the
     driver-side scalar an iterative Spark algorithm is allowed)."""
-    sym = _sym(_brand_edges(spark, sf_dir), "brand").localCheckpoint(eager=True)
-    labels = (
+    sym = ckpt(_sym(_brand_edges(spark, sf_dir), "brand"))
+    labels = ckpt(
         sym.select("brand", F.col("src").alias("node"))
         .distinct()
         .withColumn("lbl", F.col("node"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(50):
         nbr = (
@@ -240,7 +242,7 @@ def graph_cc(spark, sf_dir):
         parent = stepped.select(
             "brand", F.col("node").alias("lbl"), F.col("lbl").alias("lbl2")
         )
-        new = (
+        new = ckpt(
             stepped.join(parent, ["brand", "lbl"], "left")
             .select(
                 "brand",
@@ -251,7 +253,6 @@ def graph_cc(spark, sf_dir):
                     | (F.coalesce("lbl2", "lbl") < F.col("lbl"))
                 ).alias("changed"),
             )
-            .localCheckpoint(eager=True)
         )
         n_changed = new.filter("changed").count()
         labels = new.drop("changed")
@@ -303,27 +304,17 @@ SELECT node, pr_rank, rank FROM (
     )
 
 
-@register("graph_pagerank", oracle=_pagerank_oracle())
-def graph_pagerank(spark, sf_dir):
-    """PageRank (d = 0.85, 10 rounds) over the co-purchase graph — the
-    canonical iterative graph workload, run the way it scales on Spark:
-    a bounded driver-side loop where each round is one equi-join of the
-    rank table with the edge list plus one keyed aggregate, checkpointed
-    per round so round N never replays rounds 1..N-1. The symmetrized
-    graph has no dangling nodes (every node in the edge list has
-    outdegree ≥ 1), so no dangling-mass correction term is needed.
-    Cross-engine exactness: per-edge contributions are half-up-quantized
-    to 1e-12 and summed in DECIMAL(38,12); each round's rank quantizes
-    to 1e-9 — both engines iterate on bit-identical values. Output is
-    the top-20 nodes (rank ties break on node id)."""
+def _pagerank_full(spark, sf_dir):
+    """Full PageRank vector (d = 0.85, 10 rounds) — the iterative core
+    of graph_pagerank, exposed so invariant tests can check whole-vector
+    properties (Σ rank ≈ 1) that the top-20 contract surface hides."""
     q9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
     q12 = lambda c: F.floor(c * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12)
-    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
 
-    sym = _sym(_copurchase_edges(spark, sf_dir)).localCheckpoint(eager=True)
-    deg = sym.groupBy(F.col("src").alias("node")).agg(
+    sym = ckpt(_sym(_copurchase_edges(spark, sf_dir)))
+    deg = ckpt(sym.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("double").alias("outdeg")
-    ).localCheckpoint(eager=True)
+    ))
     nn = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))
     pr = deg.crossJoin(F.broadcast(nn)).select(
         "node", "outdeg", (F.lit(1.0) / F.col("n")).alias("r")
@@ -354,7 +345,25 @@ def graph_pagerank(spark, sf_dir):
         # two-round lineage degrades the per-job plan more than the
         # saved barrier buys. Per-round is the shape that holds as the
         # graph grows, which is the scale this operator is for.
-        pr = pr.localCheckpoint(eager=True)
+        pr = ckpt(pr)
+    return pr
+
+
+@register("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark, sf_dir):
+    """PageRank (d = 0.85, 10 rounds) over the co-purchase graph — the
+    canonical iterative graph workload, run the way it scales on Spark:
+    a bounded driver-side loop where each round is one equi-join of the
+    rank table with the edge list plus one keyed aggregate, checkpointed
+    per round so round N never replays rounds 1..N-1. The symmetrized
+    graph has no dangling nodes (every node in the edge list has
+    outdegree ≥ 1), so no dangling-mass correction term is needed.
+    Cross-engine exactness: per-edge contributions are half-up-quantized
+    to 1e-12 and summed in DECIMAL(38,12); each round's rank quantizes
+    to 1e-9 — both engines iterate on bit-identical values. Output is
+    the top-20 nodes (rank ties break on node id)."""
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    pr = _pagerank_full(spark, sf_dir)
     w = Window.orderBy(F.desc("pr_rank"), F.asc("node"))
     return (
         pr.select("node", q6(F.col("r")).alias("pr_rank"))
@@ -585,14 +594,13 @@ def graph_kcore(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("dg"))
         )
         keep = deg.filter(F.col("dg") >= 3).select("brand", "node")
-        e = (
+        e = ckpt(
             e.join(
                 keep.select("brand", F.col("node").alias("src")), ["brand", "src"], "left_semi"
             )
             .join(
                 keep.select("brand", F.col("node").alias("dst")), ["brand", "dst"], "left_semi"
             )
-            .localCheckpoint(eager=True)
         )
     dfin = (
         e.select("brand", F.col("src").alias("node"))

@@ -20,7 +20,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Window
 
 from ..registry import register
-from ._shared import DSUM, dsum, t
+from ._shared import DSUM, ckpt, dsum, t
 
 # ---------------------------------------------------------------- dedup
 
@@ -1214,9 +1214,11 @@ def llm_dedup_cluster(spark, sf_dir):
     # the iteration caches: Spark does not reuse shuffle output across
     # separately planned queries, so unpersisting a still-lazy `labels`
     # would force the caller's first action to replay the whole
-    # label-propagation lineage. localCheckpoint truncates the lineage to
-    # the materialized blocks; then the caches can go.
-    final = labels.localCheckpoint(eager=True)
+    # label-propagation lineage. The checkpoint truncates the lineage to
+    # the materialized blocks; then the caches can go. (ckpt honors
+    # SPARK_GRAFT_CHECKPOINT_DIR for a fault-tolerant checkpoint at
+    # cluster scale — see operators/_shared.py.)
+    final = ckpt(labels)
     labels.unpersist()
     keys.unpersist()
     comp = final.select("doc_id", F.col("label").alias("component_id"))
@@ -2807,10 +2809,20 @@ def llm_keyword_extract(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
         .localCheckpoint(eager=True)
     )
-    df = tfc.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    df = (
+        tfc.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("df"))
+        .localCheckpoint(eager=True)
+    )
     idf = q9(F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)))
+    # Same open-vocab guard as llm_perplexity_filter (ADVICE r5): the DF
+    # table is full-vocabulary-sized, so only force the broadcast when its
+    # MEASURED row count is bounded (the artifact is already materialized,
+    # so the count is free); past the bound, drop the hint and let AQE's
+    # runtime shuffle stats pick the join strategy.
+    df_side = F.broadcast(df) if df.count() <= 5_000_000 else df
     scored = (
-        tfc.join(F.broadcast(df), "term")
+        tfc.join(df_side, "term")
         .crossJoin(F.broadcast(n_docs))
         .select("doc_id", "term", q6(F.col("tf") * idf).alias("score"))
     )
