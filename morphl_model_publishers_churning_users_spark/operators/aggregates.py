@@ -1392,3 +1392,57 @@ def agg_skew_kurtosis(spark, sf_dir):
         q6(m3 / F.pow(var_safe, 1.5)).alias("skewness_pop"),
         q6(m4 / F.pow(var_safe, 2.0) - 3.0).alias("kurtosis_excess"),
     )
+
+
+@register(
+    "agg_ecdf",
+    oracle="""
+WITH probes AS (SELECT unnest([0.0, 2500.0, 5000.0, 7500.0]) AS probe),
+tot AS (
+    SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer GROUP BY 1
+),
+le AS (
+    SELECT c.c_mktsegment AS segment, p.probe,
+           CAST(COUNT(*) FILTER (WHERE c.c_acctbal <= p.probe) AS BIGINT) AS n_le
+    FROM customer c CROSS JOIN probes p
+    GROUP BY 1, 2
+)
+SELECT le.segment, le.probe, le.n_le, tot.n,
+       FLOOR(CAST(le.n_le AS DOUBLE) / tot.n * 1000000 + 0.5) / 1000000 AS ecdf
+FROM le JOIN tot ON tot.segment = le.segment
+""",
+)
+def agg_ecdf(spark, sf_dir):
+    """Empirical CDF of account balance per segment at fixed probe
+    points — the distribution fingerprint dashboards poll. The probe
+    list is a 4-row broadcast crossed into ONE aggregate pass (each
+    customer row contributes a ≤-flag per probe — map-side combine
+    keeps the shuffle at segments × probes rows); the total rides the
+    same cell table, so the fact scans once. The CDF value is a ratio
+    of integers quantized half-up at 1e-6. At 100 TB the output stays
+    O(segments × probes) regardless of row count."""
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    spark_probes = spark.createDataFrame(
+        [(0.0,), (2500.0,), (5000.0,), (7500.0,)], "probe double"
+    )
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("segment"), "c_acctbal"
+    )
+    cells = (
+        cust.crossJoin(F.broadcast(spark_probes))
+        .groupBy("segment", "probe")
+        .agg(
+            F.sum((F.col("c_acctbal") <= F.col("probe")).cast("long"))
+            .cast("bigint")
+            .alias("n_le"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    return cells.select(
+        "segment",
+        "probe",
+        "n_le",
+        "n",
+        q6(F.col("n_le").cast("double") / F.col("n")).alias("ecdf"),
+    )

@@ -618,3 +618,231 @@ def graph_kcore(spark, sf_dir):
         .join(edges_per_brand, "brand")
         .select("brand", "n_nodes", "n_edges", "converged")
     )
+
+
+@register(
+    "graph_jaccard_linkpred",
+    oracle=f"""
+WITH {_BRAND_EDGES_DUCK},
+sym AS (
+    SELECT brand, src, dst FROM edges
+    UNION ALL
+    SELECT brand, dst, src FROM edges
+),
+deg AS (SELECT brand, src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY 1, 2),
+twohop AS (
+    SELECT e1.brand, e1.dst AS a, e2.dst AS b
+    FROM sym e1 JOIN sym e2 ON e2.brand = e1.brand AND e2.src = e1.src
+    WHERE e1.dst < e2.dst
+),
+cand AS (
+    SELECT th.brand, th.a, th.b, CAST(COUNT(*) AS BIGINT) AS n_common
+    FROM twohop th
+    LEFT JOIN edges ex ON ex.brand = th.brand AND ex.src = th.a AND ex.dst = th.b
+    WHERE ex.src IS NULL
+    GROUP BY 1, 2, 3
+),
+scored AS (
+    SELECT c.brand, c.a, c.b, c.n_common,
+           FLOOR(CAST(c.n_common AS DOUBLE) / (da.d + db.d - c.n_common)
+                 * 1000000 + 0.5) / 1000000 AS jaccard
+    FROM cand c
+    JOIN deg da ON da.brand = c.brand AND da.node = c.a
+    JOIN deg db ON db.brand = c.brand AND db.node = c.b
+)
+SELECT brand, a, b, n_common, jaccard, rank FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY jaccard DESC, brand, a, b) AS rank
+    FROM scored
+) WHERE rank <= 20
+""",
+)
+def graph_jaccard_linkpred(spark, sf_dir):
+    """Jaccard link prediction over the within-brand co-purchase graph —
+    the degree-normalized sibling of graph_adamic_adar: candidate pairs
+    at distance 2 scored by |N(a)∩N(b)| / |N(a)∪N(b)|. Same blocked
+    two-hop enumeration (brand rides every join key, work is Σ_z deg(z)²
+    per brand, never global), existing edges anti-joined away. The score
+    is a ratio of INTEGERS (common count over inclusion-exclusion union
+    size), so the only float op is one final division, quantized half-up
+    at 1e-6 — no decimal-sum machinery needed. Output: global top-20
+    predicted links (ties break on brand, a, b)."""
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    edges = _brand_edges(spark, sf_dir)
+    sym = _sym(edges, "brand")
+    deg = sym.groupBy("brand", F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    e1 = sym.select("brand", F.col("src").alias("z"), F.col("dst").alias("a"))
+    e2 = sym.select("brand", F.col("src").alias("z"), F.col("dst").alias("b"))
+    cand = (
+        e1.join(e2, ["brand", "z"])
+        .filter(F.col("a") < F.col("b"))
+        .join(
+            edges.select("brand", F.col("src").alias("a"), F.col("dst").alias("b")),
+            ["brand", "a", "b"],
+            "left_anti",
+        )
+        .groupBy("brand", "a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    scored = (
+        cand.join(deg.select("brand", F.col("node").alias("a"), F.col("d").alias("da")), ["brand", "a"])
+        .join(deg.select("brand", F.col("node").alias("b"), F.col("d").alias("db")), ["brand", "b"])
+        .select(
+            "brand", "a", "b", "n_common",
+            q6(
+                F.col("n_common").cast("double")
+                / (F.col("da") + F.col("db") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+    w = Window.orderBy(F.desc("jaccard"), F.asc("brand"), F.asc("a"), F.asc("b"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 20)
+
+
+def _bfs_oracle(rounds: int = 4) -> str:
+    """Unrolled BFS frontier CTEs (DuckDB twin of the driver-side loop)."""
+    ctes = [
+        _BRAND_EDGES_DUCK,
+        """sym AS (
+    SELECT brand, src, dst FROM edges
+    UNION ALL
+    SELECT brand, dst, src FROM edges
+)""",
+        "r0 AS (SELECT brand, MIN(src) AS node FROM sym GROUP BY brand)",
+    ]
+    for i in range(1, rounds + 1):
+        prev = " UNION ALL ".join(f"SELECT brand, node FROM r{j}" for j in range(i))
+        ctes.append(
+            f"""r{i} AS (
+    SELECT DISTINCT s.brand, s.dst AS node
+    FROM sym s JOIN r{i - 1} f ON f.brand = s.brand AND f.node = s.src
+    WHERE NOT EXISTS (
+        SELECT 1 FROM ({prev}) v WHERE v.brand = s.brand AND v.node = s.dst
+    )
+)"""
+        )
+    levels = " UNION ALL ".join(
+        f"SELECT brand, node, {i} AS dist FROM r{i}" for i in range(rounds + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT brand, dist, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM ({levels}) GROUP BY 1, 2
+"""
+    )
+
+
+@register("graph_bfs_distance", oracle=_bfs_oracle())
+def graph_bfs_distance(spark, sf_dir):
+    """Bounded BFS (4 hops) from each brand's minimum node — hop-distance
+    histograms, the reachability profile a pipeline computes before
+    choosing propagation depths. Pure frontier expansion, the shape that
+    scales: each round joins the CURRENT frontier (shrinking) to the edge
+    list on the brand+node key, anti-joins the visited set, and
+    checkpoints — never materializing all-pairs distances. Visited and
+    frontier tables stay keyed by (brand, node), so every round is two
+    keyed shuffles; the oracle unrolls the same rounds as CTEs."""
+    sym = ckpt(_sym(_brand_edges(spark, sf_dir), "brand"))
+    frontier = sym.groupBy("brand").agg(F.min("src").alias("node")).withColumn(
+        "dist", F.lit(0)
+    )
+    visited = frontier
+    for i in range(1, 5):
+        nxt = (
+            sym.join(
+                frontier.select("brand", F.col("node").alias("src")), ["brand", "src"]
+            )
+            .select("brand", F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("brand", "node"), ["brand", "node"], "left_anti")
+            .withColumn("dist", F.lit(i))
+        )
+        frontier = ckpt(nxt)
+        visited = ckpt(visited.unionByName(frontier))
+    return visited.groupBy("brand", "dist").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+
+
+@register(
+    "graph_modularity",
+    oracle=f"""
+WITH {_EDGES_DUCK},
+bedges AS (
+    SELECT pa.p_brand AS ba, pb.p_brand AS bb
+    FROM edges e
+    JOIN part pa ON pa.p_partkey = e.src
+    JOIN part pb ON pb.p_partkey = e.dst
+),
+m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM bedges),
+intra AS (
+    SELECT ba AS brand, CAST(COUNT(*) AS BIGINT) AS n_intra
+    FROM bedges WHERE ba = bb GROUP BY 1
+),
+degsum AS (
+    SELECT brand, CAST(COUNT(*) AS BIGINT) AS deg_sum FROM (
+        SELECT ba AS brand FROM bedges
+        UNION ALL
+        SELECT bb AS brand FROM bedges
+    ) GROUP BY 1
+)
+SELECT d.brand,
+       COALESCE(i.n_intra, 0) AS n_intra,
+       d.deg_sum,
+       FLOOR((COALESCE(i.n_intra, 0) / m.m
+              - (d.deg_sum / (2 * m.m)) * (d.deg_sum / (2 * m.m)))
+             * 1000000 + 0.5) / 1000000 AS q_contrib
+FROM degsum d LEFT JOIN intra i ON i.brand = d.brand, m
+""",
+)
+def graph_modularity(spark, sf_dir):
+    """Modularity of the brand partition over the FULL co-purchase graph
+    — "are brands real communities?": per brand b, Q_b = m_bb/m −
+    (d_b/2m)², the standard Newman decomposition. One pass tags each
+    edge with its endpoint brands (two broadcast-able part-dim joins),
+    then three bounded aggregates (intra-edge count, degree mass, total
+    edges). Everything is integer counts until the final Q expression,
+    quantized half-up at 1e-6. Output is O(brands) rows regardless of
+    graph size — the 100 TB shape."""
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    bedges = ckpt(
+        _copurchase_edges(spark, sf_dir)
+        .join(
+            F.broadcast(part.select(F.col("p_partkey").alias("src"), F.col("p_brand").alias("ba"))),
+            "src",
+        )
+        .join(
+            F.broadcast(part.select(F.col("p_partkey").alias("dst"), F.col("p_brand").alias("bb"))),
+            "dst",
+        )
+        .select("ba", "bb")
+    )
+    m = bedges.agg(F.count(F.lit(1)).cast("double").alias("m"))
+    intra = (
+        bedges.filter(F.col("ba") == F.col("bb"))
+        .groupBy(F.col("ba").alias("brand"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_intra"))
+    )
+    degsum = (
+        bedges.select(F.col("ba").alias("brand"))
+        .unionByName(bedges.select(F.col("bb").alias("brand")))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg_sum"))
+    )
+    half = F.col("deg_sum") / (2 * F.col("m"))
+    return (
+        degsum.join(intra, "brand", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "brand",
+            F.coalesce("n_intra", F.lit(0)).cast("bigint").alias("n_intra"),
+            "deg_sum",
+            q6(
+                F.coalesce("n_intra", F.lit(0)) / F.col("m") - half * half
+            ).alias("q_contrib"),
+        )
+    )

@@ -697,3 +697,86 @@ def join_asof_nearest(spark, sf_dir):
         F.when(take_b, F.col("b_id")).otherwise(F.col("f_id")).alias("click_id"),
         F.when(take_b, F.col("b_ts")).otherwise(F.col("f_ts")).alias("click_ts"),
     )
+
+
+@register(
+    "join_bloom_pruned",
+    oracle="""
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY 1
+""",
+)
+def join_bloom_pruned(spark, sf_dir):
+    """Runtime bloom-filter semi-join reduction — the 100 TB pattern for
+    a selective dim filter against a huge fact table when the dim side
+    is too big to broadcast: Spark builds a bloom filter from the
+    filtered build side and injects `might_contain(...)` into the fact
+    SCAN, so non-matching fact rows die before the shuffle instead of
+    after it. The filter itself only appears under shuffle joins
+    (broadcast joins already prune at the hash table), so the demo pins
+    a shuffle join and zeroes the application-side size threshold —
+    knobs a real cluster leaves at defaults, where the 100 TB fact scan
+    qualifies on its own. The injected plan is asserted by
+    tests/test_plans.py; result semantics are an ordinary join+agg, so
+    the oracle is plain SQL. Confs are restored after the result is
+    materialized (plans resolve at action time, so the checkpoint pins
+    the bloom-shaped physical plan while the rest of the session keeps
+    its defaults)."""
+    from ._shared import ckpt, dsum
+
+    keys = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in keys}
+    try:
+        for k, v in keys.items():
+            spark.conf.set(k, v)
+        li = t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        )
+        orders = t(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        joined = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).groupBy(
+            "o_orderpriority"
+        ).agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+        return ckpt(joined)
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
+def bloom_plan_probe(spark, sf_dir) -> str:
+    """Formatted physical plan of the bloom-pruned join UNDER the demo
+    confs (for the plan test — the registered query returns a
+    checkpointed result whose plan is already erased)."""
+    keys = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in keys}
+    try:
+        for k, v in keys.items():
+            spark.conf.set(k, v)
+        li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+        orders = t(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).groupBy(
+            "o_orderpriority"
+        ).count()
+        return j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)

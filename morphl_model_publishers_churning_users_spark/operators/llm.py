@@ -3041,3 +3041,110 @@ def llm_blocklist_filter(spark, sf_dir):
         q6(hits.cast("double") / F.size("w")).alias("hit_rate"),
         (hits == 0).alias("is_kept"),
     )
+
+
+@register(
+    "llm_ngram_novelty",
+    oracle=f"""
+WITH grams AS (
+    SELECT DISTINCT doc_id, unnest({_NGRAM_SH_DUCK}) AS g
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+          FROM documents WHERE length(trim(text)) > 0)
+), firsts AS (
+    SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g
+)
+SELECT gr.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(COUNT(*) FILTER (WHERE f.first_doc = gr.doc_id) AS BIGINT) AS n_novel,
+       FLOOR(CAST(COUNT(*) FILTER (WHERE f.first_doc = gr.doc_id) AS DOUBLE)
+             / COUNT(*) * 1000000 + 0.5) / 1000000 AS novelty
+FROM grams gr JOIN firsts f ON f.g = gr.g
+GROUP BY 1
+""",
+)
+def llm_ngram_novelty(spark, sf_dir):
+    """Per-document 3-gram novelty — the fraction of a doc's distinct
+    word-trigrams whose FIRST corpus occurrence (min doc_id, the ingest
+    order) is the doc itself. The streaming-corpus freshness signal: a
+    doc full of already-seen trigrams is recombination, a high-novelty
+    doc brings new text. Shuffle shape: one explode→distinct per doc,
+    one min-aggregate per gram (the same key the probe join reuses —
+    co-partitioned, no second fact shuffle), one per-doc count. The
+    score is a ratio of integers, quantized half-up at 1e-6. Docs with
+    < 3 words have no trigrams and are excluded on the cheap word-count
+    guard, matching the oracle's empty-list behavior."""
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    grams = (
+        t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.split(F.trim("text"), r"\s+").alias("w"))
+        .filter(F.size("w") >= 3)
+        .select("doc_id", F.explode(F.expr(_NGRAM_SH_SPARK)).alias("g"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
+            .cast("bigint")
+            .alias("n_novel"),
+            q6(
+                F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("novelty"),
+        )
+    )
+
+
+@register(
+    "llm_template_prefix",
+    oracle="""
+WITH pref AS (
+    SELECT doc_id, source,
+           array_to_string(string_split_regex(lower(trim(text)), '\\s+')[1:10], ' ') AS prefix
+    FROM documents WHERE length(trim(text)) > 0
+), grp AS (
+    SELECT prefix, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           MIN(doc_id) AS exemplar_doc
+    FROM pref GROUP BY prefix
+)
+SELECT prefix, n_docs, n_sources, exemplar_doc
+FROM grp WHERE n_docs >= 2
+""",
+)
+def llm_template_prefix(spark, sf_dir):
+    """Template/boilerplate detection by shared 10-word prefix — the
+    CCNet-style cheap pass that catches mirrored pages, form letters,
+    and scraper templates before any expensive near-dup machinery: docs
+    whose normalized openings coincide are template candidates. One
+    projection (the prefix is a bounded slice, computed without
+    exploding the text) and one group-by on the prefix string; emits
+    only groups with ≥ 2 docs, with the earliest doc as exemplar —
+    O(templates), not O(corpus), output."""
+    pref = (
+        t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.array_join(
+                F.slice(F.split(F.lower(F.trim("text")), r"\s+"), 1, 10), " "
+            ).alias("prefix"),
+        )
+    )
+    return (
+        pref.groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.min("doc_id").alias("exemplar_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

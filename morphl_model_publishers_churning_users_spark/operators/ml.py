@@ -1012,3 +1012,192 @@ def ml_lift_gains(spark, sf_dir):
         q6((F.col("pos") / F.col("n")) / (F.col("post") / F.col("nt"))).alias("lift"),
         q6(F.sum("pos").over(wc) / F.col("post")).alias("cum_gain"),
     )
+
+
+_SEG_LABEL_SQL = f"""
+WITH {_REC_SQL},
+lab AS (
+    SELECT c.c_mktsegment AS segment, s.churned
+    FROM s JOIN customer c ON c.c_custkey = s.user_id
+)"""
+
+
+@register(
+    "ml_mutual_info",
+    oracle=f"""{_SEG_LABEL_SQL},
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM lab),
+cells AS (
+    SELECT segment, churned, CAST(COUNT(*) AS BIGINT) AS n_cell FROM lab GROUP BY 1, 2
+),
+seg AS (SELECT segment, CAST(SUM(n_cell) AS DOUBLE) AS n_seg FROM cells GROUP BY 1),
+cls AS (SELECT churned, CAST(SUM(n_cell) AS DOUBLE) AS n_cls FROM cells GROUP BY 1)
+SELECT c.segment, c.churned, c.n_cell,
+       FLOOR(c.n_cell / n.n
+             * (FLOOR(ln(c.n_cell * n.n / (s.n_seg * l.n_cls))
+                      * 1000000000 + 0.5) / 1000000000)
+             * 1000000 + 0.5) / 1000000 AS mi_contrib
+FROM cells c
+JOIN seg s ON s.segment = c.segment
+JOIN cls l ON l.churned = c.churned, n
+""",
+)
+def ml_mutual_info(spark, sf_dir):
+    """Mutual information between market segment and the churn label —
+    the model-independent feature-relevance screen: per contingency
+    cell, p(s,l)·ln(p(s,l)/(p(s)p(l))). One label join (customer dim
+    broadcast), one cell aggregate; the marginals are re-aggregates of
+    the bounded cell table, never second passes over the facts. The ln
+    argument is a ratio of exact integer products, the log is quantized
+    at 1e-9 and each contribution at 1e-6 — cross-engine bit-stable.
+    Output: one row per (segment, label) cell; Σ mi_contrib is the MI."""
+    q9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    lab = _rec_scored(spark, sf_dir).join(F.broadcast(cust), "user_id")
+    cells = (
+        lab.groupBy("segment", "churned")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cell"))
+        .localCheckpoint(eager=True)
+    )
+    n = cells.agg(F.sum("n_cell").cast("double").alias("n"))
+    seg = cells.groupBy("segment").agg(F.sum("n_cell").cast("double").alias("n_seg"))
+    cls = cells.groupBy("churned").agg(F.sum("n_cell").cast("double").alias("n_cls"))
+    return (
+        cells.join(seg, "segment")
+        .join(F.broadcast(cls), "churned")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "segment",
+            "churned",
+            "n_cell",
+            q6(
+                F.col("n_cell")
+                / F.col("n")
+                * q9(
+                    F.log(
+                        F.col("n_cell") * F.col("n") / (F.col("n_seg") * F.col("n_cls"))
+                    )
+                )
+            ).alias("mi_contrib"),
+        )
+    )
+
+
+@register(
+    "ml_chi2",
+    oracle=f"""{_SEG_LABEL_SQL},
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM lab),
+cells AS (
+    SELECT segment, churned, CAST(COUNT(*) AS BIGINT) AS n_obs FROM lab GROUP BY 1, 2
+),
+seg AS (SELECT segment, CAST(SUM(n_obs) AS DOUBLE) AS n_seg FROM cells GROUP BY 1),
+cls AS (SELECT churned, CAST(SUM(n_obs) AS DOUBLE) AS n_cls FROM cells GROUP BY 1),
+full_cells AS (
+    SELECT s.segment, l.churned, s.n_seg, l.n_cls,
+           COALESCE(c.n_obs, 0) AS n_obs
+    FROM seg s CROSS JOIN cls l
+    LEFT JOIN cells c ON c.segment = s.segment AND c.churned = l.churned
+)
+SELECT segment, churned, CAST(n_obs AS BIGINT) AS n_obs,
+       FLOOR(n_seg * n_cls / n.n * 1000000 + 0.5) / 1000000 AS expected,
+       FLOOR((n_obs - n_seg * n_cls / n.n)
+             * (n_obs - n_seg * n_cls / n.n)
+             / (n_seg * n_cls / n.n) * 1000000 + 0.5) / 1000000 AS chi2_cell
+FROM full_cells, n
+""",
+)
+def ml_chi2(spark, sf_dir):
+    """Chi-square independence cells for segment × churn — the classic
+    categorical feature-selection statistic, computed exactly from the
+    same bounded contingency table as ml_mutual_info (expected counts
+    are products of integer marginals over n; (O−E)²/E per cell,
+    quantized at 1e-6). The cell table is the FULL S×L cross product of
+    the marginals — a zero-observation cell still contributes its
+    expected mass to the statistic, so Σ expected = n holds exactly.
+    Σ chi2_cell against a χ²((S−1)(L−1)) table is the screening
+    decision; emitting cells keeps the oracle exact and lets the caller
+    pick the correction."""
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    lab = _rec_scored(spark, sf_dir).join(F.broadcast(cust), "user_id")
+    cells = (
+        lab.groupBy("segment", "churned")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+        .localCheckpoint(eager=True)
+    )
+    n = cells.agg(F.sum("n_obs").cast("double").alias("n"))
+    seg = cells.groupBy("segment").agg(F.sum("n_obs").cast("double").alias("n_seg"))
+    cls = cells.groupBy("churned").agg(F.sum("n_obs").cast("double").alias("n_cls"))
+    full = (
+        seg.crossJoin(F.broadcast(cls))
+        .join(cells, ["segment", "churned"], "left")
+        .select(
+            "segment",
+            "churned",
+            "n_seg",
+            "n_cls",
+            F.coalesce("n_obs", F.lit(0)).cast("bigint").alias("n_obs"),
+        )
+    )
+    expected = F.col("n_seg") * F.col("n_cls") / F.col("n")
+    return full.crossJoin(F.broadcast(n)).select(
+        "segment",
+        "churned",
+        "n_obs",
+        q6(expected).alias("expected"),
+        q6((F.col("n_obs") - expected) * (F.col("n_obs") - expected) / expected).alias(
+            "chi2_cell"
+        ),
+    )
+
+
+@register(
+    "ml_brier_score",
+    oracle=f"""
+WITH {_REC_SQL},
+mx AS (SELECT CAST(GREATEST(MAX(rec), 1) AS DOUBLE) AS maxrec FROM s),
+p AS (
+    SELECT churned,
+           FLOOR(rec / mx.maxrec * 1000000000 + 0.5) / 1000000000 AS phat
+    FROM s, mx
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       FLOOR(CAST(SUM(CAST(FLOOR((phat - churned) * (phat - churned)
+                                 * 1000000000 + 0.5) / 1000000000
+                      AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)
+             * 1000000 + 0.5) / 1000000 AS brier,
+       FLOOR(CAST(SUM(CAST(churned AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+             * 1000000 + 0.5) / 1000000 AS base_rate
+FROM p
+""",
+)
+def ml_brier_score(spark, sf_dir):
+    """Brier score of the normalized-recency churn probability — the
+    proper scoring rule complement to ml_auc_exact (AUC ranks, Brier
+    calibrates). p̂ = rec/max(rec) is quantized at 1e-9, each squared
+    error at 1e-9, and the mean runs through DECIMAL(38,12) so the
+    sum is order-independent; the reported score and base rate are
+    1e-6-rounded. One event pass (shared _rec_scored aggregate), one
+    1-row max broadcast, one global aggregate."""
+    q9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    s = _rec_scored(spark, sf_dir)
+    mx = s.agg(F.greatest(F.max("rec"), F.lit(1)).cast("double").alias("maxrec"))
+    p = s.crossJoin(F.broadcast(mx)).select(
+        "churned", q9(F.col("rec") / F.col("maxrec")).alias("phat")
+    )
+    sqerr = q9((F.col("phat") - F.col("churned")) * (F.col("phat") - F.col("churned")))
+    return p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        q6(
+            F.sum(sqerr.cast("decimal(38,12)")).cast("double") / F.count(F.lit(1))
+        ).alias("brier"),
+        q6(
+            F.sum(F.col("churned").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("base_rate"),
+    )

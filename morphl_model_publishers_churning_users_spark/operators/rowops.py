@@ -808,3 +808,116 @@ def dq_fk_cardinality(spark, sf_dir):
         F.max("n_children").cast("bigint").alias("max_fanout"),
         q6(F.sum("n_children").cast("double") / F.count(F.lit(1))).alias("avg_fanout"),
     )
+
+
+@register(
+    "dq_uniqueness",
+    oracle="""
+SELECT 'orders.o_orderkey' AS entity, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+       CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_dup_rows,
+       COUNT(*) = COUNT(DISTINCT o_orderkey) AS is_unique
+FROM orders
+UNION ALL
+SELECT 'customer.c_custkey', COUNT(*), COUNT(DISTINCT c_custkey),
+       COUNT(*) - COUNT(DISTINCT c_custkey),
+       COUNT(*) = COUNT(DISTINCT c_custkey)
+FROM customer
+UNION ALL
+SELECT 'part.p_partkey', COUNT(*), COUNT(DISTINCT p_partkey),
+       COUNT(*) - COUNT(DISTINCT p_partkey),
+       COUNT(*) = COUNT(DISTINCT p_partkey)
+FROM part
+UNION ALL
+SELECT 'events.event_id', COUNT(*), COUNT(DISTINCT event_id),
+       COUNT(*) - COUNT(DISTINCT event_id),
+       COUNT(*) = COUNT(DISTINCT event_id)
+FROM events
+UNION ALL
+SELECT 'documents.doc_id', COUNT(*), COUNT(DISTINCT doc_id),
+       COUNT(*) - COUNT(DISTINCT doc_id),
+       COUNT(*) = COUNT(DISTINCT doc_id)
+FROM documents
+UNION ALL
+SELECT 'lineitem.(l_orderkey,l_linenumber)', COUNT(*),
+       COUNT(DISTINCT l_orderkey * 100 + l_linenumber),
+       COUNT(*) - COUNT(DISTINCT l_orderkey * 100 + l_linenumber),
+       COUNT(*) = COUNT(DISTINCT l_orderkey * 100 + l_linenumber)
+FROM lineitem
+""",
+)
+def dq_uniqueness(spark, sf_dir):
+    """Primary-key uniqueness audit across the warehouse — the first
+    contract every ingest asserts. Each entity is one projected scan +
+    one count/count-distinct aggregate (column pruning pushes the single
+    key column into the parquet reader), unioned into an O(entities)
+    report. The lineitem compound key is checked via an injective fold
+    (orderkey·100 + linenumber, linenumber < 100 by construction) so the
+    distinct runs on one shuffle key, not a struct."""
+
+    def audit(name, df, key_col):
+        return df.agg(
+            F.lit(name).alias("entity"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct(key_col).cast("bigint").alias("n_distinct"),
+            (F.count(F.lit(1)) - F.countDistinct(key_col))
+            .cast("bigint")
+            .alias("n_dup_rows"),
+            (F.count(F.lit(1)) == F.countDistinct(key_col)).alias("is_unique"),
+        )
+
+    parts = [
+        audit("orders.o_orderkey", t(spark, sf_dir, "orders").select("o_orderkey"), F.col("o_orderkey")),
+        audit("customer.c_custkey", t(spark, sf_dir, "customer").select("c_custkey"), F.col("c_custkey")),
+        audit("part.p_partkey", t(spark, sf_dir, "part").select("p_partkey"), F.col("p_partkey")),
+        audit("events.event_id", t(spark, sf_dir, "events").select("event_id"), F.col("event_id")),
+        audit("documents.doc_id", t(spark, sf_dir, "documents").select("doc_id"), F.col("doc_id")),
+        audit(
+            "lineitem.(l_orderkey,l_linenumber)",
+            t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber"),
+            F.col("l_orderkey") * 100 + F.col("l_linenumber"),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
+    "dq_freshness",
+    oracle="""
+WITH per_type AS (
+    SELECT event_type, MAX(ts) AS last_ts, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1
+), g AS (SELECT MAX(last_ts) AS gmax FROM per_type)
+SELECT p.event_type, p.last_ts, p.n_events,
+       CAST(epoch_us(g.gmax) - epoch_us(p.last_ts) AS BIGINT) // 60000000 AS minutes_behind,
+       (epoch_us(g.gmax) - epoch_us(p.last_ts)) > 86400000000 AS is_stale
+FROM per_type p, g
+""",
+)
+def dq_freshness(spark, sf_dir):
+    """Per-stream freshness audit — how far each event type lags the
+    most recent data anywhere. One per-type aggregate, one 1-row global
+    max broadcast back; the lag is computed in integer microseconds
+    (floor-divided to minutes) so there is no float boundary. At scale
+    this reads only the (event_type, ts) columns and never shuffles the
+    fact table twice. is_stale flags streams more than 24 h behind."""
+    per = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+    )
+    g = per.agg(F.max("last_ts").alias("gmax"))
+    lag_us = F.expr("timestampdiff(MICROSECOND, last_ts, gmax)")
+    return per.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "last_ts",
+        "n_events",
+        F.floor(lag_us / F.lit(60000000)).cast("bigint").alias("minutes_behind"),
+        (lag_us > F.lit(86400000000)).alias("is_stale"),
+    )

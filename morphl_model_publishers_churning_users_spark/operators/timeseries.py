@@ -1744,3 +1744,275 @@ def ts_lag_features(spark, sf_dir):
             / F.count(F.lit(1)).over(wf)
         ).alias("mean_7"),
     )
+
+
+@register(
+    "ts_cusum",
+    oracle="""
+WITH daily AS (
+    SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+), stats AS (
+    SELECT event_type,
+           FLOOR(CAST(SUM(n) AS DOUBLE) / COUNT(*) * 1000000000 + 0.5)
+               / 1000000000 AS mu,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM daily GROUP BY 1
+), cum AS (
+    SELECT d.event_type, d.day, s.n_days,
+           FLOOR((SUM(d.n) OVER (PARTITION BY d.event_type ORDER BY d.day)
+                  - ROW_NUMBER() OVER (PARTITION BY d.event_type ORDER BY d.day) * s.mu)
+                 * 1000000 + 0.5) / 1000000 AS s_t
+    FROM daily d JOIN stats s USING (event_type)
+)
+SELECT event_type, n_days,
+       MAX(ABS(s_t)) AS cusum_max,
+       MIN(day) FILTER (WHERE ABS(s_t) = mx) AS changepoint_day
+FROM (SELECT *, MAX(ABS(s_t)) OVER (PARTITION BY event_type) AS mx FROM cum)
+GROUP BY 1, 2
+""",
+)
+def ts_cusum(spark, sf_dir):
+    """CUSUM mean-shift detection on per-type daily volumes — the
+    monitoring primitive for "did this event stream change level":
+    S_t = Σ_{j≤t}(x_j − μ) peaks at the most likely changepoint. The
+    cumulative ride is prefix_sum(x) − t·μ over INTEGER daily counts
+    (one aggregate + one per-type window over ~days rows), with μ
+    quantized once at 1e-9 and each S_t at 1e-6 so the argmax is
+    cross-engine stable; ties break to the earliest day. O(types)
+    output regardless of event volume."""
+    q9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        q9(F.sum("n").cast("double") / F.count(F.lit(1))).alias("mu"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    wc = Window.partitionBy("event_type").orderBy("day")
+    cum = (
+        daily.join(stats, "event_type")
+        .select(
+            "event_type",
+            "day",
+            "n_days",
+            q6(
+                F.sum("n").over(wc) - F.row_number().over(wc) * F.col("mu")
+            ).alias("s_t"),
+        )
+    )
+    wm = Window.partitionBy("event_type")
+    flagged = cum.withColumn("mx", F.max(F.abs("s_t")).over(wm))
+    return flagged.groupBy("event_type", "n_days").agg(
+        F.max(F.abs("s_t")).alias("cusum_max"),
+        F.min(F.when(F.abs("s_t") == F.col("mx"), F.col("day"))).alias(
+            "changepoint_day"
+        ),
+    )
+
+
+@register(
+    "ts_theta_forecast",
+    oracle="""
+WITH daily AS (
+    SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+), idx AS (
+    SELECT event_type, n,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS tix,
+           COUNT(*) OVER (PARTITION BY event_type) AS tn
+    FROM daily
+), ses AS (
+    SELECT event_type, tn,
+           SUM(CASE WHEN tix = 1 THEN power(0.5, tn - 1) * n
+                    ELSE 0.5 * power(0.5, tn - tix) * n END) AS level,
+           CAST(SUM(tix) AS DOUBLE) AS st, CAST(SUM(n) AS DOUBLE) AS sx,
+           CAST(SUM(tix * n) AS DOUBLE) AS stx,
+           CAST(SUM(tix * tix) AS DOUBLE) AS stt
+    FROM idx GROUP BY 1, 2
+), fit AS (
+    SELECT event_type, CAST(tn AS BIGINT) AS n_days, level,
+           FLOOR((tn * stx - st * sx) / (tn * stt - st * st)
+                 * 1000000000 + 0.5) / 1000000000 AS slope,
+           st, sx, tn
+    FROM ses
+)
+SELECT event_type, n_days,
+       FLOOR(level * 1000000 + 0.5) / 1000000 AS ses_level,
+       slope AS trend_slope,
+       FLOOR((0.5 * level
+              + 0.5 * ((sx - slope * st) / tn + slope * (tn + 1)))
+             * 1000000 + 0.5) / 1000000 AS forecast_next
+FROM fit
+""",
+)
+def ts_theta_forecast(spark, sf_dir):
+    """Theta-method one-step forecast of per-type daily volume — the
+    M3-winning combination of an SES level and a linear trend, averaged.
+    The SES recursion is CLOSED-FORM here: with α = ½, s_T = Σ α(1−α)^{T−j}x_j
+    (+ the x_1 boundary term) and every power of ½ is an exact dyadic
+    double, so a single weighted window-free aggregate replaces the
+    iteration — both engines sum identical binary rationals, no
+    quantization needed until output. The trend leg is OLS-on-index from
+    integer power sums (slope quantized 1e-9). One daily aggregate + one
+    per-type aggregate: O(types) rows out."""
+    q9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = Window.partitionBy("event_type").orderBy("day")
+    wp = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "n",
+        F.row_number().over(wt).alias("tix"),
+        F.count(F.lit(1)).over(wp).alias("tn"),
+    )
+    ses_term = F.when(
+        F.col("tix") == 1, F.pow(F.lit(0.5), F.col("tn") - 1) * F.col("n")
+    ).otherwise(F.lit(0.5) * F.pow(F.lit(0.5), F.col("tn") - F.col("tix")) * F.col("n"))
+    agg = idx.groupBy("event_type", "tn").agg(
+        F.sum(ses_term).alias("level"),
+        F.sum("tix").cast("double").alias("st"),
+        F.sum("n").cast("double").alias("sx"),
+        F.sum(F.col("tix") * F.col("n")).cast("double").alias("stx"),
+        F.sum(F.col("tix") * F.col("tix")).cast("double").alias("stt"),
+    )
+    slope = q9(
+        (F.col("tn") * F.col("stx") - F.col("st") * F.col("sx"))
+        / (F.col("tn") * F.col("stt") - F.col("st") * F.col("st"))
+    )
+    fit = agg.select(
+        "event_type",
+        F.col("tn").cast("bigint").alias("n_days"),
+        "level",
+        slope.alias("trend_slope"),
+        "st",
+        "sx",
+        "tn",
+    )
+    intercept = (F.col("sx") - F.col("trend_slope") * F.col("st")) / F.col("tn")
+    return fit.select(
+        "event_type",
+        "n_days",
+        q6(F.col("level")).alias("ses_level"),
+        "trend_slope",
+        q6(
+            F.lit(0.5) * F.col("level")
+            + F.lit(0.5) * (intercept + F.col("trend_slope") * (F.col("tn") + 1))
+        ).alias("forecast_next"),
+    )
+
+
+@register(
+    "ts_sax",
+    oracle="""
+WITH daily AS (
+    SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+), idx AS (
+    SELECT event_type, n,
+           (ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) - 1) // 5 AS seg
+    FROM daily
+), stats AS (
+    SELECT event_type,
+           FLOOR(CAST(SUM(n) AS DOUBLE) / COUNT(*) * 1000000000 + 0.5)
+               / 1000000000 AS mu,
+           FLOOR(sqrt(FLOOR((CAST(SUM(n * n) AS DOUBLE) / COUNT(*)
+                  - (CAST(SUM(n) AS DOUBLE) / COUNT(*))
+                    * (CAST(SUM(n) AS DOUBLE) / COUNT(*)))
+                 * 1000000000 + 0.5) / 1000000000)
+               * 1000000000 + 0.5) / 1000000000 AS sigma,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM daily GROUP BY 1
+), paa AS (
+    SELECT i.event_type, i.seg, s.n_days,
+           FLOOR((CAST(SUM(i.n) AS DOUBLE) / COUNT(*) - s.mu) / s.sigma
+                 * 1000000 + 0.5) / 1000000 AS z
+    FROM idx i JOIN stats s USING (event_type)
+    GROUP BY 1, 2, 3, s.mu, s.sigma
+), sym AS (
+    SELECT event_type, seg, n_days,
+           CASE WHEN z < -0.6745 THEN 'a' WHEN z < 0 THEN 'b'
+                WHEN z < 0.6745 THEN 'c' ELSE 'd' END AS letter
+    FROM paa
+)
+SELECT event_type, n_days, string_agg(letter, '' ORDER BY seg) AS sax_word
+FROM sym GROUP BY 1, 2
+""",
+)
+def ts_sax(spark, sf_dir):
+    """SAX symbolization of per-type daily volume — z-normalize, piecewise
+    aggregate into 5-day segments, map segment means to a 4-letter
+    alphabet at the N(0,1) quartile breakpoints (±0.6745, 0). The
+    standard motif/novelty alphabet for time-series mining, produced
+    with two bounded aggregates and one per-type string fold — no
+    per-event work after the daily rollup. Cross-engine: μ and σ are
+    quantized at 1e-9 (IEEE sqrt is correctly rounded, so identical on
+    both engines), each PAA z at 1e-6, and the letter comparison uses
+    half-open intervals so a boundary value maps identically."""
+    q9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = Window.partitionBy("event_type").orderBy("day")
+    idx = daily.select(
+        "event_type",
+        "n",
+        # floor-div on both sides: DuckDB CAST(double AS BIGINT) rounds
+        # half-even while Spark's cast truncates, so a plain /5-then-cast
+        # shifts every segment boundary differently per engine.
+        F.floor((F.row_number().over(wt) - 1) / 5).cast("bigint").alias("seg"),
+    )
+    mu = q9(F.sum("n").cast("double") / F.count(F.lit(1)))
+    var = q9(
+        F.sum(F.col("n") * F.col("n")).cast("double") / F.count(F.lit(1))
+        - (F.sum("n").cast("double") / F.count(F.lit(1)))
+        * (F.sum("n").cast("double") / F.count(F.lit(1)))
+    )
+    stats = daily.groupBy("event_type").agg(
+        mu.alias("mu"),
+        q9(F.sqrt(var)).alias("sigma"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    paa = (
+        idx.join(stats, "event_type")
+        .groupBy("event_type", "seg", "n_days", "mu", "sigma")
+        .agg(
+            q6(
+                (F.sum("n").cast("double") / F.count(F.lit(1)) - F.first("mu"))
+                / F.first("sigma")
+            ).alias("z")
+        )
+    )
+    letter = (
+        F.when(F.col("z") < -0.6745, "a")
+        .when(F.col("z") < 0, "b")
+        .when(F.col("z") < 0.6745, "c")
+        .otherwise("d")
+    )
+    return (
+        paa.select("event_type", "seg", "n_days", letter.alias("letter"))
+        .groupBy("event_type", "n_days")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg", "letter"))),
+                    lambda s: s["letter"],
+                ),
+                "",
+            ).alias("sax_word")
+        )
+    )

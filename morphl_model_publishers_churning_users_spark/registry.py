@@ -286,6 +286,26 @@ _KEY_RANK: dict[str, int] = {
     "join_asof_nearest": 7,
     "ts_lag_features": 7,
     "dq_fk_cardinality": 7,
+    # Round-6 additions. The two lowest-risk (pure integer-count SQL)
+    # take the round-6 window's ~2 spare slots (rank 8); the rest queue
+    # at rank 9 for the round-7 window, AHEAD of the verified backstop
+    # but BEHIND everything the driver is about to check. Without these
+    # overrides their modules' ranks (2-5) would displace staged keys.
+    "dq_uniqueness": 8,
+    "dq_freshness": 8,
+    "join_bloom_pruned": 9,
+    "graph_jaccard_linkpred": 9,
+    "graph_bfs_distance": 9,
+    "graph_modularity": 9,
+    "ts_cusum": 9,
+    "ts_theta_forecast": 9,
+    "ts_sax": 9,
+    "ml_mutual_info": 9,
+    "ml_chi2": 9,
+    "ml_brier_score": 9,
+    "llm_ngram_novelty": 9,
+    "llm_template_prefix": 9,
+    "agg_ecdf": 9,
 }
 
 

@@ -584,3 +584,19 @@ def test_dedup_substring_no_cartesian(spark, sf_dir):
     gate applied first) — never a doc×doc product."""
     plan = _plan(spark, sf_dir, "llm_dedup_substring")
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_filter_injected(spark, sf_dir):
+    """join_bloom_pruned's reason to exist: under the demo confs the
+    optimizer must inject a bloom-filter membership probe
+    (might_contain) into the fact-side scan condition, and restore the
+    session confs afterwards."""
+    from morphl_model_publishers_churning_users_spark.operators.joins import (
+        bloom_plan_probe,
+    )
+
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    plan = bloom_plan_probe(spark, sf_dir)
+    assert "might_contain" in plan, plan[:2000]
+    assert "bloom_filter_agg" in plan, plan[:2000]
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before

@@ -136,3 +136,125 @@ def test_reliable_checkpoint_knob(spark, sf_dir, tmp_path, monkeypatch):
     import os
 
     assert any(os.scandir(str(tmp_path / "ckpt"))), "checkpoint dir unused"
+
+
+# --- round-6 additions -----------------------------------------------------
+
+
+def test_bfs_reaches_everything_within_bound(spark, sf_dir):
+    """Dist-0 is exactly one source per brand, and hop histograms never
+    have gaps (a node at distance d implies a node at d-1)."""
+    rows = _Q["graph_bfs_distance"](spark, sf_dir).collect()
+    by_brand = {}
+    for r in rows:
+        by_brand.setdefault(r["brand"], {})[r["dist"]] = r["n_nodes"]
+    for brand, hist in by_brand.items():
+        assert hist.get(0) == 1, (brand, hist)
+        dists = sorted(hist)
+        assert dists == list(range(len(dists))), (brand, hist)
+
+
+def test_modularity_bounds(spark, sf_dir):
+    """Per-community contributions are ≤ m_bb/m ≤ 1 and the degree mass
+    across brands accounts for every edge endpoint twice."""
+    rows = _Q["graph_modularity"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r["q_contrib"] <= 1.0
+    from morphl_model_publishers_churning_users_spark.operators.graph import (
+        _copurchase_edges,
+    )
+
+    n_edges = _copurchase_edges(spark, sf_dir).count()
+    assert sum(r["deg_sum"] for r in rows) == 2 * n_edges
+
+
+def test_jaccard_linkpred_is_bounded_and_nonadjacent(spark, sf_dir):
+    rows = _Q["graph_jaccard_linkpred"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r["jaccard"] <= 1.0
+        assert r["a"] < r["b"]
+
+
+def test_cusum_changepoint_attains_max(spark, sf_dir):
+    rows = _Q["ts_cusum"](spark, sf_dir).collect()
+    assert {r["event_type"] for r in rows} >= {"click", "view"}
+    for r in rows:
+        assert r["cusum_max"] >= 0
+        assert r["changepoint_day"] is not None
+
+
+def test_theta_forecast_between_legs_when_flat(spark, sf_dir):
+    """The theta combination is the mean of its two legs, so it lies
+    between the SES level and the trend extrapolation."""
+    for r in _Q["ts_theta_forecast"](spark, sf_dir).collect():
+        trend_leg = 2 * r["forecast_next"] - r["ses_level"]
+        lo, hi = sorted((r["ses_level"], trend_leg))
+        assert lo - 1e-6 <= r["forecast_next"] <= hi + 1e-6
+
+
+def test_sax_words_cover_alphabet(spark, sf_dir):
+    rows = _Q["ts_sax"](spark, sf_dir).collect()
+    for r in rows:
+        assert len(r["sax_word"]) == (r["n_days"] + 4) // 5
+        assert set(r["sax_word"]) <= set("abcd")
+
+
+def test_uniqueness_audit_detects_seeded_dups(spark, sf_dir):
+    """The five true primary keys are unique; lineitem's compound key is
+    deliberately dirty in the fixture (dedup-op fodder) and the audit
+    must CATCH that, not assume it away."""
+    rows = {r["entity"]: r for r in _Q["dq_uniqueness"](spark, sf_dir).collect()}
+    assert len(rows) == 6
+    for entity, r in rows.items():
+        if entity.startswith("lineitem"):
+            assert not r["is_unique"] and r["n_dup_rows"] > 0, entity
+        else:
+            assert r["is_unique"] and r["n_dup_rows"] == 0, entity
+
+
+def test_freshness_has_one_fresh_stream(spark, sf_dir):
+    rows = _Q["dq_freshness"](spark, sf_dir).collect()
+    assert min(r["minutes_behind"] for r in rows) == 0
+    assert all(r["minutes_behind"] >= 0 for r in rows)
+
+
+def test_mutual_info_total_nonnegative(spark, sf_dir):
+    """MI is ≥ 0 even though individual cell contributions can dip
+    negative."""
+    rows = _Q["ml_mutual_info"](spark, sf_dir).collect()
+    assert sum(r["mi_contrib"] for r in rows) >= -1e-6
+    assert len(rows) >= 5
+
+
+def test_chi2_cells_match_marginal_identity(spark, sf_dir):
+    """Σ expected = Σ observed (the contingency identity)."""
+    rows = _Q["ml_chi2"](spark, sf_dir).collect()
+    assert abs(sum(r["expected"] for r in rows) - sum(r["n_obs"] for r in rows)) < 1e-3
+    assert all(r["chi2_cell"] >= 0 for r in rows)
+
+
+def test_brier_beats_nothing_but_is_proper(spark, sf_dir):
+    """0 ≤ Brier ≤ 1, and for a non-degenerate label it is strictly
+    better than the worst constant predictor."""
+    r = _Q["ml_brier_score"](spark, sf_dir).collect()[0]
+    assert 0.0 <= r["brier"] <= 1.0
+    assert 0.0 < r["base_rate"] < 1.0
+
+
+def test_ngram_novelty_first_doc_is_fully_novel(spark, sf_dir):
+    rows = _Q["llm_ngram_novelty"](spark, sf_dir).collect()
+    first = min(rows, key=lambda r: r["doc_id"])
+    assert first["novelty"] == 1.0
+    assert all(0.0 <= r["novelty"] <= 1.0 for r in rows)
+
+
+def test_ecdf_monotone_in_probe(spark, sf_dir):
+    rows = _Q["agg_ecdf"](spark, sf_dir).collect()
+    by_seg = {}
+    for r in rows:
+        by_seg.setdefault(r["segment"], []).append((r["probe"], r["ecdf"]))
+    for seg, pts in by_seg.items():
+        vals = [v for _, v in sorted(pts)]
+        assert vals == sorted(vals), (seg, pts)
