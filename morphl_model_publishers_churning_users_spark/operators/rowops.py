@@ -904,6 +904,8 @@ def dq_freshness(spark, sf_dir):
     (floor-divided to minutes) so there is no float boundary. At scale
     this reads only the (event_type, ts) columns and never shuffles the
     fact table twice. is_stale flags streams more than 24 h behind."""
+    # One event pass: the per-type table feeds both the global max and
+    # the final projection (duplicate-scan sweep discipline).
     per = (
         t(spark, sf_dir, "events")
         .groupBy("event_type")
@@ -911,6 +913,7 @@ def dq_freshness(spark, sf_dir):
             F.max("ts").alias("last_ts"),
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
         )
+        .localCheckpoint(eager=True)
     )
     g = per.agg(F.max("last_ts").alias("gmax"))
     lag_us = F.expr("timestampdiff(MICROSECOND, last_ts, gmax)")

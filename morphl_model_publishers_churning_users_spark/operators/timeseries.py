@@ -1784,10 +1784,14 @@ def ts_cusum(spark, sf_dir):
     output regardless of event volume."""
     q9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
     q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    # The daily rollup (the only event-scale pass) feeds both the μ
+    # aggregate and the cumulative window — materialize it once
+    # (duplicate-scan sweep discipline; it is bounded at types×days).
     daily = (
         t(spark, sf_dir, "events")
         .groupBy("event_type", F.date_trunc("day", "ts").cast("date").alias("day"))
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
     )
     stats = daily.groupBy("event_type").agg(
         q9(F.sum("n").cast("double") / F.count(F.lit(1))).alias("mu"),
@@ -1962,10 +1966,13 @@ def ts_sax(spark, sf_dir):
     half-open intervals so a boundary value maps identically."""
     q9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
     q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    # Materialized once: the daily rollup feeds both the μ/σ aggregate
+    # and the PAA branch (duplicate-scan sweep discipline).
     daily = (
         t(spark, sf_dir, "events")
         .groupBy("event_type", F.date_trunc("day", "ts").cast("date").alias("day"))
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
     )
     wt = Window.partitionBy("event_type").orderBy("day")
     idx = daily.select(
