@@ -89,87 +89,101 @@ def register(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Quer
 # r8 scan_parquet + subquery_scalar; r9 llm_dedup_exact + udf_pandas;
 # r10 join_inner_hash + set_union; r11 ml_label + mm_features.
 #
-# hash_match=true rows from CORRECTNESS_r01..r04.json (driver, rounds 1-4).
-# 44 r01 greens + 47 r02 greens + 46 new r03 greens + 43 new r04 greens
-# (50 r4 rows minus the 7 that were already listed: 2 reconfirmed
-# _REVERIFY members + 5 canaries; fn_array_setops was a r3 red, now green).
-DRIVER_VERIFIED: frozenset[str] = frozenset(
-    {
+# Keys the driver has hash-verified (CORRECTNESS_r01..r05: 44 + 47 + 46 +
+# 43 + 48 new greens), each tagged with the round of its MOST RECENT green
+# row — canary/reverify re-touches carry the re-check round, validated
+# against the artifacts. The backstop ordering sorts verified keys OLDEST
+# ROUND FIRST, so any spare window slots automatically re-touch the keys
+# that have gone longest without a driver look (r5 verdict item 7 —
+# second-touch breadth without hand-curating a rotation each round).
+# ROUND-7 PRE-STAGED MAINTENANCE: fold the CORRECTNESS_r06 greens in with
+# tag 6 (the window below: 2 canaries agg_group/fn_string re-tag to 6,
+# the 8 join-spill keys, the 38 round-5 additions, dq_uniqueness +
+# dq_freshness), rotate _CANARY to win_running + ts_session per the
+# rotation table, and the r7 window then holds: 2 canaries + the 13
+# remaining rank-9 round-6 additions + ~35 oldest-tag backstop keys
+# (automatic second touches, r1/r2 families first).
+_VERIFIED_ROUND: dict[str, int] = {
         # --- round 1 greens ---
-        "agg_benford", "agg_collect", "agg_cooccurrence", "agg_corr_matrix",
-        "agg_count_if", "agg_distinct", "agg_entropy", "agg_gini",
-        "agg_global", "agg_group", "agg_grouping_sets", "agg_having",
-        "agg_hhi", "agg_histogram", "agg_listagg", "agg_mad",
-        "agg_minmax_by", "agg_mode", "agg_multi_distinct", "agg_pareto_share",
-        "agg_percentile_multi", "agg_pivot", "agg_product", "agg_reaggregate",
-        "agg_regr", "agg_rollup", "agg_stats", "agg_trend", "agg_unpivot",
-        "agg_weighted", "agg_weighted_median", "join_anti", "join_asof",
-        "join_broadcast", "join_cross", "join_inner_hash", "join_left_outer",
-        "join_range", "join_semi", "join_star", "ts_calendar_dim",
-        "ts_decay_score", "ts_markov_transitions", "ts_rfm_segment",
+    "agg_benford": 1, "agg_collect": 1, "agg_cooccurrence": 1, "agg_corr_matrix": 1,
+    "agg_count_if": 1, "agg_distinct": 1, "agg_entropy": 1, "agg_gini": 1,
+    "agg_global": 1, "agg_group": 3, "agg_grouping_sets": 1, "agg_having": 1,
+    "agg_hhi": 1, "agg_histogram": 1, "agg_listagg": 1, "agg_mad": 1,
+    "agg_minmax_by": 1, "agg_mode": 1, "agg_multi_distinct": 1, "agg_pareto_share": 1,
+    "agg_percentile_multi": 1, "agg_pivot": 1, "agg_product": 1, "agg_reaggregate": 1,
+    "agg_regr": 1, "agg_rollup": 4, "agg_stats": 1, "agg_trend": 1, "agg_unpivot": 1,
+    "agg_weighted": 1, "agg_weighted_median": 1, "join_anti": 1, "join_asof": 1,
+    "join_broadcast": 1, "join_cross": 1, "join_inner_hash": 1, "join_left_outer": 1,
+    "join_range": 1, "join_semi": 1,
+    "join_star": 5,  # r5 canary re-touch
+    "ts_calendar_dim": 1,
+    "ts_decay_score": 1, "ts_markov_transitions": 1, "ts_rfm_segment": 1,
         # --- round 2 greens ---
-        "agg_topn_array", "agg_approx_distinct", "agg_sketch_hll",
-        "agg_hll_union", "agg_percentile_approx",
-        "scan_parquet", "scan_projected", "sink_parquet_part", "sink_upsert",
-        "scan_partition_pruned", "scan_schema_evolution", "scan_csv_malformed",
-        "scan_binary_files", "scan_recursive_glob", "join_dpp",
-        "scan_file_provenance", "source_csv", "sink_csv_gzip",
-        "source_ga_json", "source_json", "sink_orc", "source_python_ds",
-        "source_python_ds_stream", "project_derive", "filter_pred",
-        "cast_types", "cond_expr", "null_handling", "dedup_exact",
-        "subquery_scalar", "subquery_correlated", "subquery_lateral",
-        "fn_try", "cte_recursive", "fn_format", "source_range",
-        "subquery_exists_in", "fn_greatest_least", "dq_orphan_audit",
-        "dq_profile", "win_rownum", "win_lag", "win_frame_rows",
-        "win_frame_range", "win_running", "win_ntile", "win_firstlast",
+    "agg_topn_array": 2, "agg_approx_distinct": 4, "agg_sketch_hll": 2,
+    "agg_hll_union": 2, "agg_percentile_approx": 2,
+    "scan_parquet": 2, "scan_projected": 2, "sink_parquet_part": 2, "sink_upsert": 2,
+    "scan_partition_pruned": 2, "scan_schema_evolution": 2, "scan_csv_malformed": 2,
+    "scan_binary_files": 2, "scan_recursive_glob": 2, "join_dpp": 4,
+    "scan_file_provenance": 2, "source_csv": 2, "sink_csv_gzip": 2,
+    "source_ga_json": 2, "source_json": 2, "sink_orc": 2, "source_python_ds": 2,
+    "source_python_ds_stream": 2, "project_derive": 2, "filter_pred": 2,
+    "cast_types": 2, "cond_expr": 2, "null_handling": 2, "dedup_exact": 2,
+    "subquery_scalar": 2, "subquery_correlated": 2, "subquery_lateral": 2,
+    "fn_try": 2, "cte_recursive": 2, "fn_format": 2, "source_range": 2,
+    "subquery_exists_in": 2, "fn_greatest_least": 2, "dq_orphan_audit": 2,
+    "dq_profile": 2, "win_rownum": 3, "win_lag": 4, "win_frame_rows": 2,
+    "win_frame_range": 2, "win_running": 2, "win_ntile": 2, "win_firstlast": 2,
         # --- round 3 greens ---
-        "sample_rows", "sample_stratified", "ts_interval_merge",
-        "fn_string", "fn_date", "fn_math", "fn_json", "fn_array", "fn_map",
-        "fn_hash", "fn_struct", "fn_url", "fn_variant", "fn_bitwise",
-        "fn_string_distance", "fn_mask",
-        "sort_multi", "topk", "topk_nulls_last", "limit_offset",
-        "set_union", "set_union_by_name", "set_intersect",
-        "set_intersect_all", "set_except", "set_except_all",
-        "ts_tumbling", "ts_sliding", "ts_session", "ts_gap_fill",
-        "ts_resample_ohlc", "ts_ewma", "ts_funnel", "ts_retention_cohorts",
-        "ts_day_over_day", "ts_session_attrs", "ts_attribution_first_touch",
-        "ts_active_users", "ts_traffic_profile",
-        "win_median", "win_streak", "win_rank_pct", "win_nth_ignore_nulls",
-        "win_distinct_running", "win_ratio_to_report", "win_moving_zscore",
+    "sample_rows": 3, "sample_stratified": 3, "ts_interval_merge": 3,
+    "fn_string": 3, "fn_date": 3, "fn_math": 3, "fn_json": 4, "fn_array": 3, "fn_map": 3,
+    "fn_hash": 3, "fn_struct": 3, "fn_url": 3, "fn_variant": 3, "fn_bitwise": 3,
+    "fn_string_distance": 3, "fn_mask": 3,
+    "sort_multi": 3, "topk": 3, "topk_nulls_last": 3, "limit_offset": 3,
+    "set_union": 3, "set_union_by_name": 3, "set_intersect": 3,
+    "set_intersect_all": 3, "set_except": 3, "set_except_all": 3,
+    "ts_tumbling": 4, "ts_sliding": 3, "ts_session": 3, "ts_gap_fill": 3,
+    "ts_resample_ohlc": 3, "ts_ewma": 4, "ts_funnel": 3, "ts_retention_cohorts": 3,
+    "ts_day_over_day": 3, "ts_session_attrs": 3, "ts_attribution_first_touch": 3,
+    "ts_active_users": 3, "ts_traffic_profile": 3,
+    "win_median": 3, "win_streak": 3, "win_rank_pct": 3, "win_nth_ignore_nulls": 3,
+    "win_distinct_running": 3, "win_ratio_to_report": 3, "win_moving_zscore": 3,
         # --- round 4 greens ---
-        "fn_array_setops",
-        "llm_dedup_exact", "llm_dedup_fuzzy", "llm_dedup_simhash",
-        "llm_dedup_ngram", "llm_simsearch", "llm_dedup_cosine",
-        "llm_simsearch_ann", "llm_simsearch_ivf", "llm_textstats",
-        "llm_langfilter", "llm_quality", "llm_tokens", "llm_langid",
-        "llm_fingerprint", "llm_tfidf", "llm_embed_ops", "llm_pii_scrub",
-        "llm_contamination", "llm_chunk", "llm_pack", "llm_tfidf_exact",
-        "llm_dedup_cluster", "llm_unigram_lm", "llm_kmeans_embed",
-        "llm_dedup_keep_best", "llm_embed_centroid", "llm_ngram_freq",
-        "llm_vocab_growth", "llm_repetition", "llm_entropy_filter",
-        "udf_python", "udf_pandas", "udf_grouped_map", "udf_grouped_agg",
-        "udtf_python", "udf_arrow", "udf_cogrouped_map", "udf_python_arrow",
-        "mm_features", "mm_framesample", "mm_resize", "ml_label",
+    "fn_array_setops": 4,
+    "llm_dedup_exact": 4,
+    "llm_dedup_fuzzy": 5,  # r5 canary re-touch
+    "llm_dedup_simhash": 4,
+    "llm_dedup_ngram": 4, "llm_simsearch": 4, "llm_dedup_cosine": 4,
+    "llm_simsearch_ann": 4, "llm_simsearch_ivf": 4, "llm_textstats": 4,
+    "llm_langfilter": 4, "llm_quality": 4, "llm_tokens": 4, "llm_langid": 4,
+    "llm_fingerprint": 4, "llm_tfidf": 4, "llm_embed_ops": 4, "llm_pii_scrub": 4,
+    "llm_contamination": 4, "llm_chunk": 4, "llm_pack": 4, "llm_tfidf_exact": 4,
+    "llm_dedup_cluster": 4, "llm_unigram_lm": 4, "llm_kmeans_embed": 4,
+    "llm_dedup_keep_best": 4, "llm_embed_centroid": 4, "llm_ngram_freq": 4,
+    "llm_vocab_growth": 4, "llm_repetition": 4, "llm_entropy_filter": 4,
+    "udf_python": 4, "udf_pandas": 4, "udf_grouped_map": 4, "udf_grouped_agg": 4,
+    "udtf_python": 4, "udf_arrow": 4, "udf_cogrouped_map": 4, "udf_python_arrow": 4,
+    "mm_features": 4, "mm_framesample": 4, "mm_resize": 4, "ml_label": 4,
         # --- round 5 greens (CORRECTNESS_r05: 50/50 hash-green; the 2
         # canaries llm_dedup_fuzzy/join_star were already listed above) ---
-        "llm_mixture_balance", "llm_winnow_fingerprint", "llm_embed_quantize",
-        "llm_dedup_minhash_sql", "llm_semdedup", "llm_perplexity_filter",
-        "llm_cc_pipeline", "llm_sample_weighted", "llm_dedup_incremental",
-        "llm_rank_fusion", "llm_bm25", "mm_phash_dedup", "mm_caption_align",
-        "ml_features", "ml_split", "ml_train", "ml_eval", "ml_infer",
-        "ml_crossval", "ml_kmeans_segment", "ml_rf", "ml_pca_embed",
-        "ml_calibration_bins", "source_stream", "ts_watermark",
-        "ts_dedup_stream", "ts_stateful", "ts_incremental",
-        "ts_session_stream", "ts_stream_join", "sink_stream_upsert",
-        "ts_stream_stream_join", "agg_cube", "dq_expectations",
-        "dq_k_anonymity", "scan_snapshot_diff", "ts_user_ltv",
-        "ts_peak_concurrency", "ts_interpolate_linear",
-        "ts_cohort_value_curve", "ts_conversion_latency",
-        "ts_survival_curve", "ts_anomaly_robust", "ts_scd2_history",
-        "ts_forecast_linear", "ts_holt_forecast", "ts_seasonal_decompose",
-        "join_fuzzy_blocked",
-    }
-)
+    "llm_mixture_balance": 5, "llm_winnow_fingerprint": 5, "llm_embed_quantize": 5,
+    "llm_dedup_minhash_sql": 5, "llm_semdedup": 5, "llm_perplexity_filter": 5,
+    "llm_cc_pipeline": 5, "llm_sample_weighted": 5, "llm_dedup_incremental": 5,
+    "llm_rank_fusion": 5, "llm_bm25": 5, "mm_phash_dedup": 5, "mm_caption_align": 5,
+    "ml_features": 5, "ml_split": 5, "ml_train": 5, "ml_eval": 5, "ml_infer": 5,
+    "ml_crossval": 5, "ml_kmeans_segment": 5, "ml_rf": 5, "ml_pca_embed": 5,
+    "ml_calibration_bins": 5, "source_stream": 5, "ts_watermark": 5,
+    "ts_dedup_stream": 5, "ts_stateful": 5, "ts_incremental": 5,
+    "ts_session_stream": 5, "ts_stream_join": 5, "sink_stream_upsert": 5,
+    "ts_stream_stream_join": 5, "agg_cube": 5, "dq_expectations": 5,
+    "dq_k_anonymity": 5, "scan_snapshot_diff": 5, "ts_user_ltv": 5,
+    "ts_peak_concurrency": 5, "ts_interpolate_linear": 5,
+    "ts_cohort_value_curve": 5, "ts_conversion_latency": 5,
+    "ts_survival_curve": 5, "ts_anomaly_robust": 5, "ts_scd2_history": 5,
+    "ts_forecast_linear": 5, "ts_holt_forecast": 5, "ts_seasonal_decompose": 5,
+    "join_fuzzy_blocked": 5,
+}
+
+DRIVER_VERIFIED: frozenset[str] = frozenset(_VERIFIED_ROUND)
 
 # Keys repaired this round that must re-hash before being trusted again.
 # CORRECTNESS_r05 had zero reds, so nothing needs re-verification.
@@ -315,7 +329,9 @@ def _driver_rank(key: str) -> tuple[int, int]:
     if key in _CANARY:
         return (0, 50 + _CANARY.index(key))
     if key in DRIVER_VERIFIED:
-        return (99, 0)
+        # Oldest driver check first: spare window slots become automatic
+        # second-touch re-verification of the longest-unchecked keys.
+        return (99, _VERIFIED_ROUND[key])
     if key in _KEY_RANK:
         return (_KEY_RANK[key], 0)
     mod = QUERIES[key].__module__
