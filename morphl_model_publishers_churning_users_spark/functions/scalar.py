@@ -448,3 +448,38 @@ def fn_array_setops(spark, sf_dir):
             F.sort_array(F.array_distinct(F.array_union("a", "b"))), ","
         ).alias("all_types"),
     )
+
+
+@register(
+    "fn_regex",
+    oracle=r"""
+SELECT doc_id,
+       array_to_string(regexp_extract_all(substr(text, 1, 60), '[a-z]{4,}'), ',') AS long_words,
+       CAST(length(regexp_extract_all(text, 'the')) AS BIGINT) AS n_the,
+       regexp_matches(text, '^[a-z]') AS starts_lower,
+       regexp_extract(text, '([a-z]+) ([a-z]+)', 2) AS second_word,
+       regexp_replace(substr(text, 1, 30), '\s+', '_', 'g') AS snake_head
+FROM documents
+""",
+)
+def fn_regex(spark, sf_dir):
+    """Regex function surface beyond fn_string's basics — extract_all
+    (serialized through array_join per the driver-hash discipline),
+    match counting via the extract_all length (both engines count
+    non-overlapping matches identically), anchored rlike, group
+    selection, and whitespace collapsing — one codegen projection, no
+    Python boundary."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.array_join(
+            F.regexp_extract_all(F.substring("text", 1, 60), F.lit("[a-z]{4,}"), F.lit(0)),
+            ",",
+        ).alias("long_words"),
+        F.size(F.regexp_extract_all("text", F.lit("the"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_the"),
+        F.col("text").rlike("^[a-z]").alias("starts_lower"),
+        F.regexp_extract("text", "([a-z]+) ([a-z]+)", 2).alias("second_word"),
+        F.regexp_replace(F.substring("text", 1, 30), r"\s+", "_").alias("snake_head"),
+    )

@@ -846,3 +846,63 @@ def graph_modularity(spark, sf_dir):
             ).alias("q_contrib"),
         )
     )
+
+
+@register(
+    "graph_assortativity",
+    oracle=f"""
+WITH {_EDGES_DUCK},
+sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+pairs AS (
+    SELECT da.d AS dx, db.d AS dy
+    FROM sym e JOIN deg da ON da.node = e.src JOIN deg db ON db.node = e.dst
+),
+sums AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS m,
+           CAST(SUM(dx) AS DOUBLE) AS sx, CAST(SUM(dy) AS DOUBLE) AS sy,
+           CAST(SUM(dx * dy) AS DOUBLE) AS sxy,
+           CAST(SUM(dx * dx) AS DOUBLE) AS sxx,
+           CAST(SUM(dy * dy) AS DOUBLE) AS syy
+    FROM pairs
+)
+SELECT CAST(m AS BIGINT) AS n_directed_edges,
+       FLOOR((m * sxy - sx * sy)
+             / (sqrt(m * sxx - sx * sx) * sqrt(m * syy - sy * sy))
+             * 1000000 + 0.5) / 1000000 AS assortativity
+FROM sums
+""",
+)
+def graph_assortativity(spark, sf_dir):
+    """Degree assortativity of the co-purchase graph — the Pearson
+    correlation of endpoint degrees over the symmetrized edge list
+    ("do hubs link to hubs?"), the one-number mixing diagnostic read
+    before choosing partition/skew strategies for graph joins. All
+    moments are exact integer sums in one aggregate over the
+    degree-tagged edges (two keyed joins onto the bounded degree
+    table); the final correlation is one quantized expression. IEEE
+    sqrt is correctly rounded, so both engines emit identical bits."""
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    sym = _sym(_copurchase_edges(spark, sf_dir))
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    pairs = sym.join(
+        deg.select(F.col("node").alias("src"), F.col("d").alias("dx")), "src"
+    ).join(deg.select(F.col("node").alias("dst"), F.col("d").alias("dy")), "dst")
+    sums = pairs.agg(
+        F.count(F.lit(1)).cast("double").alias("m"),
+        F.sum("dx").cast("double").alias("sx"),
+        F.sum("dy").cast("double").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("double").alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("double").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("double").alias("syy"),
+    )
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return sums.select(
+        F.col("m").cast("bigint").alias("n_directed_edges"),
+        q6(num / den).alias("assortativity"),
+    )

@@ -3148,3 +3148,70 @@ def llm_template_prefix(spark, sf_dir):
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+@register(
+    "llm_odds_ratio_terms",
+    oracle=r"""
+WITH words AS (
+    SELECT lang, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+    FROM documents WHERE length(trim(text)) > 0 AND lang IN ('en', 'de')
+), counts AS (
+    SELECT word,
+           CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n_en,
+           CAST(COUNT(*) FILTER (WHERE lang = 'de') AS BIGINT) AS n_de
+    FROM words GROUP BY word
+), tot AS (
+    SELECT CAST(SUM(n_en) AS DOUBLE) AS t_en, CAST(SUM(n_de) AS DOUBLE) AS t_de,
+           CAST(COUNT(*) AS DOUBLE) AS v
+    FROM counts
+), scored AS (
+    SELECT word, n_en, n_de,
+           FLOOR((ln((n_en + 0.5) / (tot.t_en - n_en + 0.5 * tot.v))
+                  - ln((n_de + 0.5) / (tot.t_de - n_de + 0.5 * tot.v)))
+                 * 1000000 + 0.5) / 1000000 AS log_odds
+    FROM counts, tot
+)
+SELECT word, n_en, n_de, log_odds, rank FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY log_odds DESC, word) AS rank
+    FROM scored
+) WHERE rank <= 15
+""",
+)
+def llm_odds_ratio_terms(spark, sf_dir):
+    """Distinctive-term extraction via smoothed log-odds (the Monroe
+    et al. "fightin' words" statistic, half-count smoothed): which words
+    mark the en slice against the de slice. One tokenize→count pass
+    produces the per-class counts on a single word-keyed shuffle; totals
+    are a 1-row re-aggregate of the bounded vocab table; the log-odds is
+    computed per vocab row and top-15 ranked (ties break on the word).
+    The corpus-scale work is exactly one explode + one hash aggregate —
+    the same shape at 100 TB, with the vocab table as the only state."""
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    words = (
+        t(spark, sf_dir, "documents")
+        .filter((F.length(F.trim("text")) > 0) & F.col("lang").isin("en", "de"))
+        .select("lang", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"))
+    )
+    counts = (
+        words.groupBy("word")
+        .agg(
+            F.sum((F.col("lang") == "en").cast("long")).cast("bigint").alias("n_en"),
+            F.sum((F.col("lang") == "de").cast("long")).cast("bigint").alias("n_de"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = counts.agg(
+        F.sum("n_en").cast("double").alias("t_en"),
+        F.sum("n_de").cast("double").alias("t_de"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    lo = q6(
+        F.log((F.col("n_en") + 0.5) / (F.col("t_en") - F.col("n_en") + 0.5 * F.col("v")))
+        - F.log((F.col("n_de") + 0.5) / (F.col("t_de") - F.col("n_de") + 0.5 * F.col("v")))
+    )
+    scored = counts.crossJoin(F.broadcast(tot)).select(
+        "word", "n_en", "n_de", lo.alias("log_odds")
+    )
+    w = Window.orderBy(F.desc("log_odds"), F.asc("word"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 15)

@@ -1201,3 +1201,62 @@ def ml_brier_score(spark, sf_dir):
             / F.count(F.lit(1))
         ).alias("base_rate"),
     )
+
+
+@register(
+    "ml_roc_points",
+    oracle=f"""
+WITH {_REC_SQL},
+deciles AS (
+    SELECT churned, NTILE(10) OVER (ORDER BY rec DESC, user_id) AS decile
+    FROM s
+), tot AS (
+    SELECT CAST(SUM(churned) AS DOUBLE) AS n_pos,
+           CAST(COUNT(*) - SUM(churned) AS DOUBLE) AS n_neg
+    FROM deciles
+), per AS (
+    SELECT decile, CAST(SUM(churned) AS BIGINT) AS pos,
+           CAST(COUNT(*) - SUM(churned) AS BIGINT) AS neg
+    FROM deciles GROUP BY decile
+)
+SELECT decile,
+       FLOOR(SUM(pos) OVER (ORDER BY decile) / tot.n_pos * 1000000 + 0.5)
+           / 1000000 AS tpr,
+       FLOOR(SUM(neg) OVER (ORDER BY decile) / tot.n_neg * 1000000 + 0.5)
+           / 1000000 AS fpr
+FROM per, tot
+""",
+)
+def ml_roc_points(spark, sf_dir):
+    """ROC curve points at risk-decile thresholds — the operating-point
+    readout between ml_auc_exact (one number) and ml_confusion_matrix
+    (one threshold): cumulative TPR/FPR as the cut sweeps down the
+    ranked deciles. The decile assignment is the same int64 ordering
+    ml_lift_gains uses (user_id tiebreak makes NTILE deterministic);
+    counts stay integers until the two final quantized divisions. 10
+    rows out at any scale."""
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    s = _rec_scored(spark, sf_dir)
+    wd = Window.orderBy(F.desc("rec"), F.asc("user_id"))
+    deciles = s.select("churned", F.ntile(10).over(wd).alias("decile"))
+    per = (
+        deciles.groupBy("decile")
+        .agg(
+            F.sum("churned").cast("bigint").alias("pos"),
+            (F.count(F.lit(1)) - F.sum("churned")).cast("bigint").alias("neg"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = per.agg(
+        F.sum("pos").cast("double").alias("n_pos"),
+        F.sum("neg").cast("double").alias("n_neg"),
+    )
+    wc = Window.orderBy("decile")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            q6(F.sum("pos").over(wc) / F.col("n_pos")).alias("tpr"),
+            q6(F.sum("neg").over(wc) / F.col("n_neg")).alias("fpr"),
+        )
+    )

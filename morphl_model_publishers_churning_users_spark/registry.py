@@ -320,6 +320,10 @@ _KEY_RANK: dict[str, int] = {
     "llm_ngram_novelty": 9,
     "llm_template_prefix": 9,
     "agg_ecdf": 9,
+    "fn_regex": 9,
+    "ml_roc_points": 9,
+    "graph_assortativity": 9,
+    "llm_odds_ratio_terms": 9,
 }
 
 

@@ -258,3 +258,27 @@ def test_ecdf_monotone_in_probe(spark, sf_dir):
     for seg, pts in by_seg.items():
         vals = [v for _, v in sorted(pts)]
         assert vals == sorted(vals), (seg, pts)
+
+
+def test_roc_points_monotone_ending_at_one(spark, sf_dir):
+    rows = sorted(_Q["ml_roc_points"](spark, sf_dir).collect(), key=lambda r: r["decile"])
+    tprs = [r["tpr"] for r in rows]
+    fprs = [r["fpr"] for r in rows]
+    assert tprs == sorted(tprs) and fprs == sorted(fprs)
+    assert abs(tprs[-1] - 1.0) < 1e-9 and abs(fprs[-1] - 1.0) < 1e-9
+    # perfect-ranking fixture: TPR saturates before FPR rises much
+    assert tprs[0] > fprs[0]
+
+
+def test_assortativity_is_a_correlation(spark, sf_dir):
+    r = _Q["graph_assortativity"](spark, sf_dir).collect()[0]
+    assert -1.0 <= r["assortativity"] <= 1.0
+    assert r["n_directed_edges"] > 0 and r["n_directed_edges"] % 2 == 0
+
+
+def test_odds_ratio_top_terms_lean_english(spark, sf_dir):
+    rows = _Q["llm_odds_ratio_terms"](spark, sf_dir).collect()
+    assert len(rows) == 15
+    for r in rows:
+        assert r["log_odds"] > 0        # top of the en-vs-de ranking
+        assert r["n_en"] >= r["n_de"]   # en-distinctive terms dominate en
