@@ -600,3 +600,22 @@ def test_bloom_filter_injected(spark, sf_dir):
     assert "might_contain" in plan, plan[:2000]
     assert "bloom_filter_agg" in plan, plan[:2000]
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
+
+
+def test_jaccard_linkpred_brand_blocked(spark, sf_dir):
+    """Candidate generation must ride the brand-blocked two-hop join —
+    brand appears in the join keys, and no cartesian product exists."""
+    plan = _plan(spark, sf_dir, "graph_jaccard_linkpred")
+    assert "CartesianProduct" not in plan
+    keyed = [
+        l
+        for l in plan.splitlines()
+        if ("Left keys" in l or "Right keys" in l) and "brand" in l
+    ]
+    assert len(keyed) >= 4, plan[:2000]
+
+
+def test_bfs_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "graph_bfs_distance")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
