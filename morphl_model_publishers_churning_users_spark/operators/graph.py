@@ -624,18 +624,18 @@ def graph_kcore(spark, sf_dir):
     "graph_jaccard_linkpred",
     oracle=f"""
 WITH {_BRAND_EDGES_DUCK},
-sym AS (
+sym AS MATERIALIZED (
     SELECT brand, src, dst FROM edges
     UNION ALL
     SELECT brand, dst, src FROM edges
 ),
-deg AS (SELECT brand, src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY 1, 2),
+deg AS MATERIALIZED (SELECT brand, src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY 1, 2),
 twohop AS (
     SELECT e1.brand, e1.dst AS a, e2.dst AS b
     FROM sym e1 JOIN sym e2 ON e2.brand = e1.brand AND e2.src = e1.src
     WHERE e1.dst < e2.dst
 ),
-cand AS (
+cand AS MATERIALIZED (
     SELECT th.brand, th.a, th.b, CAST(COUNT(*) AS BIGINT) AS n_common
     FROM twohop th
     LEFT JOIN edges ex ON ex.brand = th.brand AND ex.src = th.a AND ex.dst = th.b
@@ -702,19 +702,23 @@ def graph_jaccard_linkpred(spark, sf_dir):
 
 def _bfs_oracle(rounds: int = 4) -> str:
     """Unrolled BFS frontier CTEs (DuckDB twin of the driver-side loop)."""
+    # Every CTE is MATERIALIZED: r{i} references r{i-1} twice (join leg +
+    # visited union), so inlining would recompute the base frontier 2^i
+    # times — at sf0.1 DuckDB spilled ~37 GB doing exactly that before
+    # this keyword landed (same lesson as the k-core oracle).
     ctes = [
         _BRAND_EDGES_DUCK,
-        """sym AS (
+        """sym AS MATERIALIZED (
     SELECT brand, src, dst FROM edges
     UNION ALL
     SELECT brand, dst, src FROM edges
 )""",
-        "r0 AS (SELECT brand, MIN(src) AS node FROM sym GROUP BY brand)",
+        "r0 AS MATERIALIZED (SELECT brand, MIN(src) AS node FROM sym GROUP BY brand)",
     ]
     for i in range(1, rounds + 1):
         prev = " UNION ALL ".join(f"SELECT brand, node FROM r{j}" for j in range(i))
         ctes.append(
-            f"""r{i} AS (
+            f"""r{i} AS MATERIALIZED (
     SELECT DISTINCT s.brand, s.dst AS node
     FROM sym s JOIN r{i - 1} f ON f.brand = s.brand AND f.node = s.src
     WHERE NOT EXISTS (
@@ -771,7 +775,7 @@ def graph_bfs_distance(spark, sf_dir):
     "graph_modularity",
     oracle=f"""
 WITH {_EDGES_DUCK},
-bedges AS (
+bedges AS MATERIALIZED (
     SELECT pa.p_brand AS ba, pb.p_brand AS bb
     FROM edges e
     JOIN part pa ON pa.p_partkey = e.src
@@ -852,8 +856,8 @@ def graph_modularity(spark, sf_dir):
     "graph_assortativity",
     oracle=f"""
 WITH {_EDGES_DUCK},
-sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
-deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+sym AS MATERIALIZED (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+deg AS MATERIALIZED (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY 1),
 pairs AS (
     SELECT da.d AS dx, db.d AS dy
     FROM sym e JOIN deg da ON da.node = e.src JOIN deg db ON db.node = e.dst
