@@ -924,3 +924,57 @@ def dq_freshness(spark, sf_dir):
         F.floor(lag_us / F.lit(60000000)).cast("bigint").alias("minutes_behind"),
         (lag_us > F.lit(86400000000)).alias("is_stale"),
     )
+
+
+@register(
+    "dq_observe_metrics",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_value,
+       MIN(ts) AS min_ts,
+       MAX(ts) AS max_ts,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchases,
+       CAST((SELECT COUNT(DISTINCT CAST(date_trunc('day', ts) AS DATE))
+             FROM events) AS BIGINT) AS n_days
+FROM events
+""",
+)
+def dq_observe_metrics(spark, sf_dir):
+    """Pipeline-run metrics via the Observation API — the zero-cost DQ
+    pattern at 100 TB: `df.observe(...)` rides accumulator metrics on
+    the SAME pass that executes the pipeline, so row counts, value
+    totals, and freshness bounds cost no extra scan (contrast
+    dq_profile, which is its own job). Here the observed scan feeds the
+    daily rollup; one action populates the observation, and the metric
+    row (exact DECIMAL sum, integer counts, NTZ bounds) hash-matches
+    the oracle's recomputation."""
+    from pyspark.sql import Observation
+
+    obs = Observation("dq_metrics")
+    ev = t(spark, sf_dir, "events").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_value"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("n_purchases"),
+    )
+    daily = ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    n_days = daily.count()  # the action that executes the observed pass
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                float(round(m["sum_value"], 6)),
+                m["min_ts"],
+                m["max_ts"],
+                m["n_purchases"],
+                n_days,
+            )
+        ],
+        "n_rows bigint, sum_value double, min_ts timestamp_ntz, "
+        "max_ts timestamp_ntz, n_purchases bigint, n_days bigint",
+    )

@@ -324,6 +324,7 @@ _KEY_RANK: dict[str, int] = {
     "ml_roc_points": 9,
     "graph_assortativity": 9,
     "llm_odds_ratio_terms": 9,
+    "dq_observe_metrics": 9,
 }
 
 

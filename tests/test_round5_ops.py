@@ -282,3 +282,20 @@ def test_odds_ratio_top_terms_lean_english(spark, sf_dir):
     for r in rows:
         assert r["log_odds"] > 0        # top of the en-vs-de ranking
         assert r["n_en"] >= r["n_de"]   # en-distinctive terms dominate en
+
+
+def test_observe_metrics_one_exact_row(spark, sf_dir):
+    """The observed metrics must equal a direct recomputation — same
+    pass, zero drift."""
+    r = _Q["dq_observe_metrics"](spark, sf_dir).collect()[0]
+    ev = __import__(
+        "morphl_model_publishers_churning_users_spark.catalog", fromlist=["table"]
+    ).table(spark, sf_dir, "events")
+    direct = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("p"),
+    ).collect()[0]
+    assert r["n_rows"] == direct["n"]
+    assert r["n_purchases"] == direct["p"]
+    assert r["min_ts"] <= r["max_ts"]
+    assert r["n_days"] >= 1
