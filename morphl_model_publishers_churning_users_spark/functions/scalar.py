@@ -483,3 +483,40 @@ def fn_regex(spark, sf_dir):
         F.regexp_extract("text", "([a-z]+) ([a-z]+)", 2).alias("second_word"),
         F.regexp_replace(F.substring("text", 1, 30), r"\s+", "_").alias("snake_head"),
     )
+
+
+@register(
+    "fn_interval",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_3mo,
+       CAST(o_orderdate - INTERVAL '45' DAY AS DATE) AS minus_45d,
+       CAST(o_orderdate + INTERVAL 2 HOUR + INTERVAL 30 MINUTE AS TIMESTAMP) AS plus_150min,
+       date_diff('month', CAST(o_orderdate AS DATE), DATE '2000-06-15') AS months_to_ref,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start
+FROM orders
+""",
+)
+def fn_interval(spark, sf_dir):
+    """Interval arithmetic surface — calendar-aware month adds (clamped
+    at month ends exactly like ANSI INTERVAL), day and sub-day offsets,
+    month distances, month boundaries — the date math a retention /
+    billing pipeline leans on. All codegen expressions over the NTZ
+    order dates; DuckDB's date_diff('month') counts month-boundary
+    crossings, which is Spark's months_between floor for these
+    midnight-aligned dates."""
+    o = t(spark, sf_dir, "orders")
+    od = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.add_months(od, 3).alias("plus_3mo"),
+        F.date_sub(od, 45).alias("minus_45d"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 150 MINUTES")).alias("plus_150min"),
+        (
+            (F.year(F.lit("2000-06-15").cast("date")) * 12 + F.month(F.lit("2000-06-15").cast("date")))
+            - (F.year(od) * 12 + F.month(od))
+        ).cast("bigint").alias("months_to_ref"),
+        F.last_day(od).alias("month_end"),
+        F.trunc(od, "quarter").alias("quarter_start"),
+    )

@@ -443,3 +443,52 @@ def scan_snapshot_diff(spark, sf_dir):
         .groupBy(kind.alias("change_kind"))
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+@register(
+    "scan_metadata_cols",
+    oracle="""
+SELECT CAST(l_returnflag AS VARCHAR) AS l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(1 AS BIGINT) AS n_files,
+       TRUE AS rowidx_ok,
+       TRUE AS size_ok
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def scan_metadata_cols(spark, sf_dir):
+    """The `_metadata` hidden-column surface — file path, size, and
+    row_index exposed by the parquet reader, the hooks a 100 TB pipeline
+    uses for per-file lineage, quarantine, and incremental reprocessing
+    without a separate manifest. Stage: lineitem repartitioned BY the
+    partition key before a partitionBy write, so each flag lands in
+    exactly one task → exactly one file (deterministic n_files = 1).
+    Read back with _metadata and verify per partition: row counts (exact
+    vs oracle), file count (exact), row_index forming a dense 0..n-1
+    range per file, and a positive on-disk size — the latter two as
+    Spark-side ok-flags vs literal TRUE (file bytes aren't
+    SQL-recomputable)."""
+    out = scratch_dir("scan_metadata_cols")
+    (
+        t(spark, sf_dir, "lineitem")
+        .repartition("l_returnflag")
+        .write.mode("overwrite")
+        .partitionBy("l_returnflag")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).select(
+        F.col("l_returnflag").cast("string").alias("l_returnflag"),
+        F.col("_metadata.file_path").alias("fp"),
+        F.col("_metadata.file_size").alias("fs"),
+        F.col("_metadata.row_index").alias("ri"),
+    )
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("fp").cast("bigint").alias("n_files"),
+        (
+            (F.min("ri") == 0)
+            & (F.max("ri") == F.count(F.lit(1)) - 1)
+            & (F.countDistinct("ri") == F.count(F.lit(1)))
+        ).alias("rowidx_ok"),
+        (F.min("fs") > 0).alias("size_ok"),
+    )

@@ -325,6 +325,8 @@ _KEY_RANK: dict[str, int] = {
     "graph_assortativity": 9,
     "llm_odds_ratio_terms": 9,
     "dq_observe_metrics": 9,
+    "fn_interval": 9,
+    "scan_metadata_cols": 9,
 }
 
 
