@@ -940,41 +940,62 @@ FROM events
 """,
 )
 def dq_observe_metrics(spark, sf_dir):
-    """Pipeline-run metrics via the Observation API — the zero-cost DQ
-    pattern at 100 TB: `df.observe(...)` rides accumulator metrics on
-    the SAME pass that executes the pipeline, so row counts, value
-    totals, and freshness bounds cost no extra scan (contrast
+    """Pipeline-run metrics via observed metrics — the zero-cost DQ
+    pattern at 100 TB: `df.observe("name", ...)` rides accumulator
+    metrics on the SAME pass that executes the pipeline, so row counts,
+    value totals, and freshness bounds cost no extra scan (contrast
     dq_profile, which is its own job). Here the observed scan feeds the
-    daily rollup; one action populates the observation, and the metric
-    row (exact DECIMAL sum, integer counts, NTZ bounds) hash-matches
-    the oracle's recomputation."""
-    from pyspark.sql import Observation
+    daily rollup; one collect executes the pass and the metric row
+    (exact DECIMAL sum, integer counts, NTZ bounds serialized as
+    strings across py4j) hash-matches the oracle's recomputation.
 
-    obs = Observation("dq_metrics")
+    Deliberately the STRING-NAMED observe + queryExecution
+    .observedMetrics readout, NOT the `Observation` helper object: in
+    this Spark build a completed Observation leaves the session's
+    ObservationManager reachable from later RDD closures, and any
+    subsequent MLlib evaluate in the same session dies with "Task not
+    serializable: ObservationManager" (reproduced; the string-named
+    form leaves no session state behind)."""
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
     ev = t(spark, sf_dir, "events").observe(
-        obs,
+        "dq_metrics",
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_value"),
-        F.min("ts").alias("min_ts"),
-        F.max("ts").alias("max_ts"),
+        F.date_format(F.min("ts"), fmt).alias("min_ts"),
+        F.date_format(F.max("ts"), fmt).alias("max_ts"),
         F.sum((F.col("event_type") == "purchase").cast("long")).alias("n_purchases"),
     )
     daily = ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day")).agg(
         F.count(F.lit(1)).alias("n")
     )
-    n_days = daily.count()  # the action that executes the observed pass
-    m = obs.get
-    return spark.createDataFrame(
+    n_days = len(daily.collect())  # executes THIS QueryExecution
+    om = daily._jdf.queryExecution().observedMetrics()
+    it = om.iterator()
+    row = None
+    while it.hasNext():
+        kv = it.next()
+        if kv._1() == "dq_metrics":
+            row = kv._2()
+    assert row is not None, "observed metrics missing from the executed plan"
+    out = spark.createDataFrame(
         [
             (
-                m["n_rows"],
-                float(round(m["sum_value"], 6)),
-                m["min_ts"],
-                m["max_ts"],
-                m["n_purchases"],
+                row.get(0),
+                float(round(row.get(1), 6)),
+                row.get(2),
+                row.get(3),
+                row.get(4),
                 n_days,
             )
         ],
-        "n_rows bigint, sum_value double, min_ts timestamp_ntz, "
-        "max_ts timestamp_ntz, n_purchases bigint, n_days bigint",
+        "n_rows bigint, sum_value double, min_ts string, "
+        "max_ts string, n_purchases bigint, n_days bigint",
+    )
+    return out.select(
+        "n_rows",
+        "sum_value",
+        F.to_timestamp_ntz("min_ts", F.lit(fmt)).alias("min_ts"),
+        F.to_timestamp_ntz("max_ts", F.lit(fmt)).alias("max_ts"),
+        "n_purchases",
+        "n_days",
     )
