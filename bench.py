@@ -94,6 +94,23 @@ def main() -> None:
         k: round(sorted(v)[len(v) // 2], 3) for k, v in passes.items() if v
     }
     total = round(sum(timings.values()), 3)
+    # Extended (non-headline) probes: one representative per round-6
+    # family, single warm pass each. Kept OUT of "queries"/"value" so the
+    # headline total stays comparable round-over-round.
+    extended: dict[str, float] = {}
+    for key in (
+        "graph_modularity",
+        "llm_ngram_novelty",
+        "ts_theta_forecast",
+        "dq_observe_metrics",
+        "join_bloom_pruned",
+    ):
+        fn = queries.get(key)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        extended[key] = round(time.perf_counter() - t0, 3)
     # Machine load (1/5/15-min averages) recorded alongside the numbers:
     # BENCH_r05 was captured right after a long build session and read
     # ~20% slow across unrelated queries; the load field makes such
@@ -109,6 +126,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extended": extended,
                 "sf": sf,
                 "loadavg": loadavg,
             }
