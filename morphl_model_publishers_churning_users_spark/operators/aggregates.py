@@ -1446,3 +1446,60 @@ def agg_ecdf(spark, sf_dir):
         "n",
         q6(F.col("n_le").cast("double") / F.col("n")).alias("ecdf"),
     )
+
+
+@register(
+    "agg_winsorized_stats",
+    oracle="""
+WITH cuts AS (
+    SELECT c_mktsegment AS segment,
+           FLOOR(quantile_cont(c_acctbal, 0.05) * 1000000 + 0.5) / 1000000 AS lo,
+           FLOOR(quantile_cont(c_acctbal, 0.95) * 1000000 + 0.5) / 1000000 AS hi,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer GROUP BY 1
+)
+SELECT c.segment, c.n, c.lo, c.hi,
+       CAST(COUNT(*) FILTER (WHERE cu.c_acctbal < c.lo OR cu.c_acctbal > c.hi) AS BIGINT)
+           AS n_clipped,
+       FLOOR(CAST(SUM(CAST(GREATEST(c.lo, LEAST(c.hi, cu.c_acctbal)) AS DECIMAL(38,6)))
+                  AS DOUBLE) / c.n * 1000000 + 0.5) / 1000000 AS winsorized_mean
+FROM customer cu JOIN cuts c ON c.segment = cu.c_mktsegment
+GROUP BY 1, 2, 3, 4
+""",
+)
+def agg_winsorized_stats(spark, sf_dir):
+    """Winsorized statistics — the outlier-robust mean a feature
+    pipeline prefers over raw averages: exact interpolated p05/p95
+    cutpoints per segment (Spark `percentile` ≡ DuckDB `quantile_cont`,
+    both (n−1)·p interpolation, quantized at 1e-6 before use), values
+    clipped into [lo, hi], and the clipped mean in DECIMAL(38,6). Two
+    passes — one percentile aggregate (bounded output), one clip+mean
+    with the cut table broadcast back — which is the scalable shape:
+    exact percentiles at 100 TB are a known sort-based cost paid on the
+    FIRST aggregate only; swap in approx_percentile for one-pass."""
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("segment"), "c_acctbal"
+    )
+    cuts = cust.groupBy("segment").agg(
+        q6(F.expr("percentile(c_acctbal, 0.05)")).alias("lo"),
+        q6(F.expr("percentile(c_acctbal, 0.95)")).alias("hi"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    clipped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("c_acctbal")))
+    return (
+        cust.join(F.broadcast(cuts), "segment")
+        .groupBy("segment", "n", "lo", "hi")
+        .agg(
+            F.sum(
+                ((F.col("c_acctbal") < F.col("lo")) | (F.col("c_acctbal") > F.col("hi"))).cast(
+                    "long"
+                )
+            )
+            .cast("bigint")
+            .alias("n_clipped"),
+            q6(
+                F.sum(clipped.cast("decimal(38,6)")).cast("double") / F.col("n")
+            ).alias("winsorized_mean"),
+        )
+    )

@@ -3215,3 +3215,108 @@ def llm_odds_ratio_terms(spark, sf_dir):
     )
     w = Window.orderBy(F.desc("log_odds"), F.asc("word"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 15)
+
+
+@register(
+    "llm_kn_bigram_lm",
+    oracle=r"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+    FROM documents WHERE length(trim(text)) > 0
+), bgrows AS (
+    SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                   i -> w[i] || ' ' || w[i + 1])) AS g
+    FROM toks WHERE len(w) >= 2
+), bgc AS (
+    SELECT g, split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2,
+           CAST(COUNT(*) AS DOUBLE) AS c
+    FROM bgrows GROUP BY 1, 2, 3
+), ctx AS (
+    SELECT w1, CAST(SUM(c) AS DOUBLE) AS c1, CAST(COUNT(*) AS DOUBLE) AS n1f
+    FROM bgc GROUP BY 1
+), cont AS (
+    SELECT w2, CAST(COUNT(*) AS DOUBLE) AS n1p FROM bgc GROUP BY 1
+), tt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM bgc),
+scored AS (
+    SELECT r.doc_id,
+           FLOOR(log2((GREATEST(b.c - 0.75, 0) / x.c1)
+                      + (0.75 * x.n1f / x.c1) * (o.n1p / tt.t))
+                 * 1000000000 + 0.5) / 1000000000 AS lp
+    FROM bgrows r
+    JOIN bgc b ON b.g = r.g
+    JOIN ctx x ON x.w1 = b.w1
+    JOIN cont o ON o.w2 = b.w2, tt
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       FLOOR(CAST(SUM(CAST(lp AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)
+             * 1000000 + 0.5) / 1000000 AS mean_log2p
+FROM scored GROUP BY doc_id
+""",
+)
+def llm_kn_bigram_lm(spark, sf_dir):
+    """Kneser-Ney bigram LM scoring (absolute discounting d = 0.75) —
+    the stronger sibling of llm_perplexity_filter's unigram gate and
+    llm_unigram_lm: P(w2|w1) = max(c−d,0)/c(w1) + d·N1+(w1,·)/c(w1) ·
+    N1+(·,w2)/N1+(·,·), the continuation-probability backoff that made
+    KN the standard n-gram smoother. Fully relationalized: ONE
+    tokenize→bigram pass is materialized and every LM table (bigram
+    counts, context totals, follower/predecessor type counts, total
+    types) is a re-aggregate of it, so the corpus scans once; scoring
+    joins are keyed on the bigram/word columns the counts already
+    shuffled by. Per-occurrence log2 probs quantized at 1e-9, DECIMAL-
+    summed per doc, mean at 1e-6 — identical doubles on both engines
+    (the probability expression is written with one parenthesization).
+    Docs with < 2 words have no bigrams and drop out on the cheap
+    word-count guard."""
+    q9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    toks = (
+        t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w"))
+        .filter(F.size("w") >= 2)
+    )
+    bgrows = ckpt(
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1), "
+                    "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))"
+                )
+            ).alias("g"),
+        )
+    )
+    bgc = ckpt(
+        bgrows.groupBy("g")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .select(
+            "g",
+            F.split_part(F.col("g"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("g"), F.lit(" "), F.lit(2)).alias("w2"),
+            "c",
+        )
+    )
+    ctx = bgc.groupBy("w1").agg(
+        F.sum("c").cast("double").alias("c1"),
+        F.count(F.lit(1)).cast("double").alias("n1f"),
+    )
+    cont = bgc.groupBy("w2").agg(F.count(F.lit(1)).cast("double").alias("n1p"))
+    tt = bgc.agg(F.count(F.lit(1)).cast("double").alias("t"))
+    p = (F.greatest(F.col("c") - 0.75, F.lit(0.0)) / F.col("c1")) + (
+        F.lit(0.75) * F.col("n1f") / F.col("c1")
+    ) * (F.col("n1p") / F.col("t"))
+    scored = (
+        bgrows.join(bgc, "g")
+        .join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tt))
+        .select("doc_id", q9(F.log2(p)).alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        q6(
+            F.sum(F.col("lp").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_log2p"),
+    )

@@ -1260,3 +1260,87 @@ def ml_roc_points(spark, sf_dir):
             q6(F.sum("neg").over(wc) / F.col("n_neg")).alias("fpr"),
         )
     )
+
+
+@register(
+    "ml_fairness_metrics",
+    oracle=f"""
+WITH {_REC_SQL},
+mx AS (SELECT GREATEST(MAX(rec), 1) AS maxrec FROM s),
+pred AS (
+    SELECT c.c_mktsegment AS segment, s.churned,
+           CASE WHEN 2 * s.rec >= mx.maxrec THEN 1 ELSE 0 END AS predicted
+    FROM s JOIN customer c ON c.c_custkey = s.user_id, mx
+),
+seg AS (
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(predicted) AS BIGINT) AS n_flagged,
+           CAST(SUM(CASE WHEN predicted = 1 AND churned = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(SUM(churned) AS BIGINT) AS pos
+    FROM pred GROUP BY 1
+),
+g AS (
+    SELECT CAST(SUM(n_flagged) AS DOUBLE) / SUM(n) AS g_rate FROM seg
+)
+SELECT segment, n, n_flagged,
+       FLOOR(CAST(n_flagged AS DOUBLE) / n * 1000000 + 0.5) / 1000000 AS flag_rate,
+       FLOOR((CAST(n_flagged AS DOUBLE) / n - g.g_rate) * 1000000 + 0.5) / 1000000 AS parity_gap,
+       FLOOR(CASE WHEN pos > 0 THEN CAST(tp AS DOUBLE) / pos ELSE 0 END
+             * 1000000 + 0.5) / 1000000 AS tpr
+FROM seg, g
+""",
+)
+def ml_fairness_metrics(spark, sf_dir):
+    """Group fairness readout for the churn classifier — per-segment
+    flag rate, demographic-parity gap vs the global rate, and
+    equal-opportunity TPR, the audit every production scorer ships
+    next to its accuracy numbers. Reuses ml_confusion_matrix's exact
+    integer decision boundary (2·rec ≥ max rec); one label join
+    (customer dim broadcast) + one bounded per-segment aggregate; all
+    rates are integer ratios quantized half-up at 1e-6. O(segments)
+    rows at any scale."""
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    s = _rec_scored(spark, sf_dir)
+    mx = s.agg(F.greatest(F.max("rec"), F.lit(1)).alias("maxrec"))
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    pred = (
+        s.crossJoin(F.broadcast(mx))
+        .join(F.broadcast(cust), "user_id")
+        .select(
+            "segment",
+            "churned",
+            F.when(2 * F.col("rec") >= F.col("maxrec"), 1).otherwise(0).alias("predicted"),
+        )
+    )
+    seg = (
+        pred.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("predicted").cast("bigint").alias("n_flagged"),
+            F.sum(((F.col("predicted") == 1) & (F.col("churned") == 1)).cast("long"))
+            .cast("bigint")
+            .alias("tp"),
+            F.sum("churned").cast("bigint").alias("pos"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    g = seg.agg(
+        (F.sum("n_flagged").cast("double") / F.sum("n")).alias("g_rate")
+    )
+    return seg.crossJoin(F.broadcast(g)).select(
+        "segment",
+        "n",
+        "n_flagged",
+        q6(F.col("n_flagged").cast("double") / F.col("n")).alias("flag_rate"),
+        q6(F.col("n_flagged").cast("double") / F.col("n") - F.col("g_rate")).alias(
+            "parity_gap"
+        ),
+        q6(
+            F.when(F.col("pos") > 0, F.col("tp").cast("double") / F.col("pos")).otherwise(
+                0.0
+            )
+        ).alias("tpr"),
+    )

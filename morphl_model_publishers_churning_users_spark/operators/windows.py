@@ -483,3 +483,70 @@ def win_frame_interval(spark, sf_dir):
         F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double").alias("roll_2d"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_2d"),
     )
+
+
+@register(
+    "win_rolling_corr",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS x,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS y
+    FROM events GROUP BY 1
+), win AS (
+    SELECT day,
+           CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+           CAST(SUM(x) OVER w AS DOUBLE) AS sx, CAST(SUM(y) OVER w AS DOUBLE) AS sy,
+           CAST(SUM(x * y) OVER w AS DOUBLE) AS sxy,
+           CAST(SUM(x * x) OVER w AS DOUBLE) AS sxx,
+           CAST(SUM(y * y) OVER w AS DOUBLE) AS syy
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT day, CAST(n AS BIGINT) AS n_win,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+           FLOOR((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+                 * 1000000 + 0.5) / 1000000
+       END AS rolling_corr
+FROM win
+""",
+)
+def win_rolling_corr(spark, sf_dir):
+    """Trailing 7-day correlation between click and purchase volume —
+    the co-movement monitor for funnel health. The correlation is
+    assembled from INTEGER window sums (all six moments exact over the
+    7-row frame, one shared sort), so both engines divide identical
+    doubles; IEEE sqrt is exact, the result quantizes at 1e-6, and
+    zero-variance frames are NULL. The unpartitioned window runs on the
+    already-collapsed day table — the only safe place for one (the
+    ts_day_over_day discipline)."""
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(
+            F.sum((F.col("event_type") == "click").cast("long")).alias("x"),
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias("y"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    m = daily.select(
+        "day",
+        F.count(F.lit(1)).over(w).cast("double").alias("n"),
+        F.sum("x").over(w).cast("double").alias("sx"),
+        F.sum("y").over(w).cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).cast("double").alias("syy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(vx) * F.sqrt(vy)
+    )
+    return m.select(
+        "day",
+        F.col("n").cast("bigint").alias("n_win"),
+        F.when((vx > 0) & (vy > 0), q6(corr)).alias("rolling_corr"),
+    )

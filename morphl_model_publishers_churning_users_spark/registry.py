@@ -327,6 +327,10 @@ _KEY_RANK: dict[str, int] = {
     "dq_observe_metrics": 9,
     "fn_interval": 9,
     "scan_metadata_cols": 9,
+    "ml_fairness_metrics": 9,
+    "agg_winsorized_stats": 9,
+    "win_rolling_corr": 9,
+    "llm_kn_bigram_lm": 9,
 }
 
 

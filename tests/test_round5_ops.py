@@ -299,3 +299,38 @@ def test_observe_metrics_one_exact_row(spark, sf_dir):
     assert r["n_purchases"] == direct["p"]
     assert r["min_ts"] <= r["max_ts"]
     assert r["n_days"] >= 1
+
+
+def test_fairness_gaps_sum_to_zero_weighted(spark, sf_dir):
+    """Σ n_s·parity_gap ≈ 0 (gaps are deviations from the pooled rate)."""
+    rows = _Q["ml_fairness_metrics"](spark, sf_dir).collect()
+    # sf0.001 has active users in only 4 of the 5 segments
+    assert 3 <= len(rows) <= 5
+    weighted = sum(r["n"] * r["parity_gap"] for r in rows)
+    assert abs(weighted) <= sum(r["n"] for r in rows) * 1e-6
+    for r in rows:
+        assert 0.0 <= r["flag_rate"] <= 1.0 and 0.0 <= r["tpr"] <= 1.0
+
+
+def test_winsorized_mean_between_cuts(spark, sf_dir):
+    for r in _Q["agg_winsorized_stats"](spark, sf_dir).collect():
+        assert r["lo"] <= r["winsorized_mean"] <= r["hi"]
+        assert 0 < r["n_clipped"] < r["n"]  # 10% tail mass exists
+
+
+def test_rolling_corr_bounded(spark, sf_dir):
+    rows = _Q["win_rolling_corr"](spark, sf_dir).collect()
+    assert len(rows) == 30
+    for r in rows:
+        if r["rolling_corr"] is not None:
+            assert -1.0 - 1e-9 <= r["rolling_corr"] <= 1.0 + 1e-9
+
+
+def test_kn_lm_scores_are_log_probs(spark, sf_dir):
+    """Every mean log2 P is negative (P < 1) and finite; docs with more
+    bigrams than words are impossible."""
+    rows = _Q["llm_kn_bigram_lm"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["mean_log2p"] < 0
+        assert r["n_bigrams"] >= 1
