@@ -520,3 +520,50 @@ def fn_interval(spark, sf_dir):
         F.last_day(od).alias("month_end"),
         F.trunc(od, "quarter").alias("quarter_start"),
     )
+
+
+@register(
+    "fn_collation",
+    oracle="""
+WITH mixed AS (
+    SELECT event_id,
+           CASE WHEN event_id % 2 = 0 THEN upper(event_type) ELSE event_type END AS et_mixed
+    FROM events
+)
+SELECT lower(et_mixed) AS event_type_ci,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT et_mixed) AS BIGINT) AS n_case_variants
+FROM mixed GROUP BY 1
+""",
+)
+def fn_collation(spark, sf_dir):
+    """Collation-aware grouping (Spark 4 collations): a deliberately
+    case-mixed event-type column grouped under UTF8_LCASE via
+    `F.collate`, so 'CLICK' and 'click' land in one group without a
+    lower() rewrite — the engine-level collation surface an i18n
+    pipeline uses for locale-correct joins/groups. The emitted key is
+    normalized with lower() (the collated group's representative is
+    first-encountered, engine-specific); the case-variant count proves
+    the group genuinely merged distinct binary strings. Oracle: the
+    lower() rewrite, which UTF8_LCASE semantics must match exactly for
+    ASCII data."""
+    mixed = t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 2 == 0, F.upper("event_type"))
+        .otherwise(F.col("event_type"))
+        .alias("et_mixed"),
+    )
+    return (
+        mixed.groupBy(F.collate(F.col("et_mixed"), "UTF8_LCASE").alias("k"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct(F.collate(F.col("et_mixed"), "UTF8_BINARY"))
+            .cast("bigint")
+            .alias("n_case_variants"),
+        )
+        .select(
+            F.lower(F.col("k").cast("string")).alias("event_type_ci"),
+            "n",
+            "n_case_variants",
+        )
+    )

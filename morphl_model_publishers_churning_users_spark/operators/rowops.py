@@ -999,3 +999,71 @@ def dq_observe_metrics(spark, sf_dir):
         "n_purchases",
         "n_days",
     )
+
+
+_SCHEMA_CONTRACT = {
+    "events": [
+        ("event_id", "bigint"),
+        ("ts", "timestamp_ntz"),
+        ("user_id", "bigint"),
+        ("event_type", "string"),
+        ("value", "double"),
+        ("props", "string"),
+    ],
+    "documents": [
+        ("doc_id", "bigint"),
+        ("text", "string"),
+        ("lang", "string"),
+        ("source", "string"),
+        ("n_chars", "bigint"),
+    ],
+    "embeddings": [
+        ("vec_id", "bigint"),
+        ("embedding", "array<float>"),
+        ("label", "int"),
+    ],
+}
+
+
+def _schema_contract_oracle() -> str:
+    rows = []
+    for tbl, cols in _SCHEMA_CONTRACT.items():
+        for pos, (name, typ) in enumerate(cols):
+            rows.append(f"('{tbl}', '{name}', '{typ}', {pos}, TRUE, TRUE)")
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") t(tbl, col_name, expected_type, position, type_ok, position_ok)"
+    )
+
+
+@register("dq_schema_contract", oracle=_schema_contract_oracle())
+def dq_schema_contract(spark, sf_dir):
+    """Schema-contract enforcement — the ingest gate that fails fast on
+    producer drift BEFORE a wrong-typed column poisons downstream
+    state. The declared contract (name, Spark simpleString type,
+    ordinal) is checked against the live analyzed schema of each
+    ingest-side table; type_ok/position_ok are computed Spark-side
+    while the oracle emits the contract with literal TRUE — any drift
+    flips the hash. Pure metadata: no data is scanned at any scale."""
+    rows = []
+    for tbl, cols in _SCHEMA_CONTRACT.items():
+        actual = t(spark, sf_dir, tbl).schema
+        actual_types = {f.name: f.dataType.simpleString() for f in actual.fields}
+        actual_pos = {f.name: i for i, f in enumerate(actual.fields)}
+        for pos, (name, typ) in enumerate(cols):
+            rows.append(
+                (
+                    tbl,
+                    name,
+                    typ,
+                    pos,
+                    actual_types.get(name) == typ,
+                    actual_pos.get(name) == pos,
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "tbl string, col_name string, expected_type string, position int, "
+        "type_ok boolean, position_ok boolean",
+    )

@@ -331,6 +331,8 @@ _KEY_RANK: dict[str, int] = {
     "agg_winsorized_stats": 9,
     "win_rolling_corr": 9,
     "llm_kn_bigram_lm": 9,
+    "fn_collation": 9,
+    "dq_schema_contract": 9,
 }
 
 

@@ -334,3 +334,15 @@ def test_kn_lm_scores_are_log_probs(spark, sf_dir):
     for r in rows:
         assert r["mean_log2p"] < 0
         assert r["n_bigrams"] >= 1
+
+
+def test_collation_merges_case_variants(spark, sf_dir):
+    rows = _Q["fn_collation"](spark, sf_dir).collect()
+    assert {r["event_type_ci"] for r in rows} == {"click", "view", "purchase", "error", "signup"}
+    assert all(r["n_case_variants"] == 2 for r in rows)  # upper + lower both present
+
+
+def test_schema_contract_green_on_fixture(spark, sf_dir):
+    rows = _Q["dq_schema_contract"](spark, sf_dir).collect()
+    assert len(rows) == 14
+    assert all(r["type_ok"] and r["position_ok"] for r in rows)
