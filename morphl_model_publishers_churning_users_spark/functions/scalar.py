@@ -567,3 +567,37 @@ def fn_collation(spark, sf_dir):
             "n_case_variants",
         )
     )
+
+
+@register(
+    "fn_string_extra",
+    oracle="""
+SELECT doc_id,
+       upper(substr(lang, 1, 1)) || lower(substr(lang, 2)) AS lang_title,
+       translate(lang, 'aeiou', '_____') AS lang_devowel,
+       repeat(source, 2) AS source_twice,
+       reverse(lang) AS lang_rev,
+       lpad(lang, 6, '.') AS lang_lpad,
+       rpad(source, 8, '*') AS source_rpad,
+       left(text, 12) AS head12,
+       right(source, 2) AS src_tail2
+FROM documents
+""",
+)
+def fn_string_extra(spark, sf_dir):
+    """Second string-surface sweep — titlecasing (initcap twin spelled
+    out for the oracle since DuckDB lacks initcap), translate maps,
+    repeat/reverse, fixed-width padding, and left/right slicing — all
+    one codegen projection like fn_string."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.initcap("lang").alias("lang_title"),
+        F.translate("lang", "aeiou", "_____").alias("lang_devowel"),
+        F.repeat("source", 2).alias("source_twice"),
+        F.reverse("lang").alias("lang_rev"),
+        F.lpad("lang", 6, ".").alias("lang_lpad"),
+        F.rpad("source", 8, "*").alias("source_rpad"),
+        F.substring("text", 1, 12).alias("head12"),
+        F.substring(F.col("source"), -2, 2).alias("src_tail2"),
+    )

@@ -1503,3 +1503,30 @@ def agg_winsorized_stats(spark, sf_dir):
             ).alias("winsorized_mean"),
         )
     )
+
+
+@register(
+    "agg_bitwise",
+    oracle="""
+SELECT event_type,
+       CAST(bit_or(user_id % 256) AS BIGINT) AS flags_or,
+       CAST(bit_and(user_id % 256 + 256) AS BIGINT) AS flags_and,
+       CAST(bit_xor(user_id % 256) AS BIGINT) AS flags_xor
+FROM events GROUP BY event_type
+""",
+)
+def agg_bitwise(spark, sf_dir):
+    """Bitwise aggregate functions (bit_or / bit_and / bit_xor) — the
+    flag-set union/intersection/parity fold used for permission masks
+    and feature-bit rollups. Fully map-side combinable (each is
+    associative + commutative), so the shuffle carries one long per
+    group regardless of input size. The AND leg offsets into 256..511
+    so the result is a non-trivial mask (raw user ids share no common
+    low bits)."""
+    ev = t(spark, sf_dir, "events")
+    m = F.col("user_id") % 256
+    return ev.groupBy("event_type").agg(
+        F.bit_or(m).cast("bigint").alias("flags_or"),
+        F.bit_and(m + 256).cast("bigint").alias("flags_and"),
+        F.bit_xor(m).cast("bigint").alias("flags_xor"),
+    )

@@ -406,3 +406,67 @@ def mm_caption_align(spark, sf_dir):
         half_up6(cos).alias("align_score"),
         (cos > 0.05).alias("is_aligned"),
     )
+
+
+@register(
+    "mm_header_parse",
+    oracle="""
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+       CASE doc_id % 3 WHEN 0 THEN 8
+                       WHEN 1 THEN 32 + doc_id % 32
+                       ELSE 8 + doc_id % 8 END AS dim1,
+       CASE doc_id % 3 WHEN 0 THEN 4 + doc_id % 4
+                       WHEN 1 THEN NULL
+                       ELSE 16 END AS dim2,
+       CASE doc_id % 3 WHEN 0 THEN 8 * (4 + doc_id % 4)
+                       WHEN 1 THEN 32 + doc_id % 32
+                       ELSE (8 + doc_id % 8) * 16 END AS body_len,
+       TRUE AS header_ok
+FROM documents
+""",
+)
+def mm_header_parse(spark, sf_dir):
+    """Header-only metadata extraction from the binary payload IN
+    CODEGEN — no Arrow hop, no Python: magic bytes validated and
+    big-endian u16/u32 dimension fields decoded with substring-on-binary
+    + hex + conv JVM expressions. This is the 100 TB fast path for the
+    header-only passes a media pipeline runs constantly (routing,
+    size-bucketing, corruption triage) where shipping payload bytes to
+    Python would dominate the cost; the full body decode stays on the
+    mapInPandas path (mm_features). The oracle recomputes the expected
+    dimensions from the container's doc_id-derived layout; header_ok
+    asserts magic + per-modality body-length consistency Spark-side."""
+    b = _binify(spark, sf_dir)
+    u8 = lambda pos: F.conv(F.hex(F.expr(f"substring(payload, {pos}, 1)")), 16, 10).cast("bigint")
+    u16 = lambda pos: F.conv(F.hex(F.expr(f"substring(payload, {pos}, 2)")), 16, 10).cast("bigint")
+    u32 = lambda pos: F.conv(F.hex(F.expr(f"substring(payload, {pos}, 4)")), 16, 10).cast("bigint")
+    tag = F.expr("substring(payload, 4, 1)").cast("string")
+    modality = (
+        F.when(tag == "I", "image").when(tag == "A", "audio").otherwise("video")
+    )
+    dim1 = (
+        F.when(tag == "I", u16(5))
+        .when(tag == "A", u32(5))
+        .otherwise(u16(5))
+    )
+    dim2 = (
+        F.when(tag == "I", u16(7))
+        .when(tag == "A", F.lit(None).cast("bigint"))
+        .otherwise(u8(7) * u8(8))
+    )
+    body_len = (F.length("payload") - 8).cast("bigint")  # all headers are 8 bytes
+    magic_ok = F.expr("substring(payload, 1, 3)").cast("string") == "SY1"
+    expect_body = (
+        F.when(tag == "I", u16(5) * u16(7))
+        .when(tag == "A", u32(5))
+        .otherwise(u16(5) * u8(7) * u8(8))
+    )
+    return b.select(
+        "doc_id",
+        modality.alias("modality"),
+        dim1.alias("dim1"),
+        dim2.alias("dim2"),
+        body_len.alias("body_len"),
+        (magic_ok & (body_len == expect_body)).alias("header_ok"),
+    )

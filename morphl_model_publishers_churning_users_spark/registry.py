@@ -333,6 +333,10 @@ _KEY_RANK: dict[str, int] = {
     "llm_kn_bigram_lm": 9,
     "fn_collation": 9,
     "dq_schema_contract": 9,
+    "mm_header_parse": 9,
+    "ml_pr_auc_decile": 9,
+    "agg_bitwise": 9,
+    "fn_string_extra": 9,
 }
 
 

@@ -346,3 +346,32 @@ def test_schema_contract_green_on_fixture(spark, sf_dir):
     rows = _Q["dq_schema_contract"](spark, sf_dir).collect()
     assert len(rows) == 14
     assert all(r["type_ok"] and r["position_ok"] for r in rows)
+
+
+def test_header_parse_all_valid(spark, sf_dir):
+    rows = _Q["mm_header_parse"](spark, sf_dir).collect()
+    assert all(r["header_ok"] for r in rows)
+    mods = {r["modality"] for r in rows}
+    assert mods == {"image", "audio", "video"}
+    for r in rows:
+        if r["modality"] == "audio":
+            assert r["dim2"] is None and 32 <= r["dim1"] < 64
+
+
+def test_pr_auc_beats_random_baseline(spark, sf_dir):
+    """A random ranker's AP equals the base rate; the perfect recency
+    ranking must beat it by a wide margin. (At decile resolution the
+    perfect-ranking AP is capped at ~npos/(n/10) when churners fill
+    less than one decile, so asserting ≈1 would be wrong.)"""
+    r = _Q["ml_pr_auc_decile"](spark, sf_dir).collect()[0]
+    base = _Q["ml_brier_score"](spark, sf_dir).collect()[0]["base_rate"]
+    assert r["n_pos"] > 0
+    assert base < 0.5
+    assert base * 2 <= r["pr_auc"] <= 1.0
+
+
+def test_bitwise_or_at_least_and(spark, sf_dir):
+    for r in _Q["agg_bitwise"](spark, sf_dir).collect():
+        assert 0 <= r["flags_or"] <= 255
+        assert 256 <= r["flags_and"] <= 511
+        assert 0 <= r["flags_xor"] <= 255
