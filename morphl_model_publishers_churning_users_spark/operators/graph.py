@@ -910,3 +910,58 @@ def graph_assortativity(spark, sf_dir):
         F.col("m").cast("bigint").alias("n_directed_edges"),
         q6(num / den).alias("assortativity"),
     )
+
+
+@register(
+    "graph_bipartite_projection",
+    oracle="""
+WITH cust_part AS (
+    SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+proj AS (
+    SELECT a.part AS src, b.part AS dst, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM cust_part a JOIN cust_part b ON b.cust = a.cust AND a.part < b.part
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(MAX(n_shared) AS BIGINT) AS max_support,
+       CAST(SUM(n_shared) AS BIGINT) AS total_support,
+       CAST(COUNT(DISTINCT src) + 0 AS BIGINT) AS n_src_nodes
+FROM proj
+""",
+)
+def graph_bipartite_projection(spark, sf_dir):
+    """Bipartite projection with support threshold — the OTHER graph
+    this warehouse hides: customer↔part ties projected onto parts,
+    edges weighted by shared-customer count and kept only at support
+    ≥ 2. Distinct from the order-basket co-purchase graph (a customer
+    links parts ACROSS orders — the repeat-buyer affinity signal).
+    Scale discipline: the projection join is keyed on the customer
+    (pair work Σ_c deg(c)², bounded by per-customer basket size, never
+    parts²), the distinct bipartite edge list is materialized once, and
+    the support threshold prunes the long tail before any downstream
+    consumer. Output is the bounded edge-summary profile."""
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("cust")
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part")
+    )
+    cp = ckpt(li.join(o, "ok").select("cust", "part").distinct())
+    a = cp.select("cust", F.col("part").alias("src"))
+    b = cp.select("cust", F.col("part").alias("dst"))
+    proj = (
+        a.join(b, "cust")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+    return proj.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.max("n_shared").cast("bigint").alias("max_support"),
+        F.sum("n_shared").cast("bigint").alias("total_support"),
+        F.countDistinct("src").cast("bigint").alias("n_src_nodes"),
+    )

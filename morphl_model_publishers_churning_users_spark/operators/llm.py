@@ -3320,3 +3320,64 @@ def llm_kn_bigram_lm(spark, sf_dir):
             / F.count(F.lit(1))
         ).alias("mean_log2p"),
     )
+
+
+@register(
+    "llm_vocab_coverage",
+    oracle=r"""
+WITH words AS (
+    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+    FROM documents WHERE length(trim(text)) > 0
+), vocab AS (
+    SELECT word FROM (
+        SELECT word, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, word) AS r
+        FROM words GROUP BY word
+    ) WHERE r <= 1000
+)
+SELECT w.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) FILTER (WHERE v.word IS NOT NULL) AS BIGINT) AS n_in_vocab,
+       FLOOR(1000000.0 * (COUNT(*) - COUNT(*) FILTER (WHERE v.word IS NOT NULL))
+             / COUNT(*) + 0.5) / 1000000 AS oov_rate
+FROM words w LEFT JOIN vocab v ON v.word = w.word
+GROUP BY 1
+""",
+)
+def llm_vocab_coverage(spark, sf_dir):
+    """Tokenizer-vocabulary coverage — per-doc OOV rate against the
+    top-1k corpus vocabulary, the number that sizes a tokenizer vocab
+    (and the screen that catches encoding-mangled docs: their OOV rate
+    spikes). One tokenize→count pass builds the frequency-ranked vocab
+    (count-desc, word tiebreak — deterministic), which broadcasts back
+    onto the same token stream for a membership flag; O(docs) output.
+    The rank cut is on the BOUNDED vocab table, so the corpus never
+    sorts globally."""
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    words = ckpt(
+        t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"))
+    )
+    wv = Window.orderBy(F.desc("cnt"), F.asc("word"))
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("r", F.row_number().over(wv))
+        .filter(F.col("r") <= 1000)
+        .select("word", F.lit(True).alias("in_vocab"))
+    )
+    flagged = words.join(F.broadcast(vocab), "word", "left")
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.coalesce(F.col("in_vocab"), F.lit(False)).cast("long"))
+        .cast("bigint")
+        .alias("n_in_vocab"),
+        q6(
+            (
+                F.count(F.lit(1))
+                - F.sum(F.coalesce(F.col("in_vocab"), F.lit(False)).cast("long"))
+            )
+            * F.lit(1.0)
+            / F.count(F.lit(1))
+        ).alias("oov_rate"),
+    )

@@ -337,6 +337,8 @@ _KEY_RANK: dict[str, int] = {
     "ml_pr_auc_decile": 9,
     "agg_bitwise": 9,
     "fn_string_extra": 9,
+    "llm_vocab_coverage": 9,
+    "graph_bipartite_projection": 9,
 }
 
 

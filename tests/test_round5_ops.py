@@ -375,3 +375,20 @@ def test_bitwise_or_at_least_and(spark, sf_dir):
         assert 0 <= r["flags_or"] <= 255
         assert 256 <= r["flags_and"] <= 511
         assert 0 <= r["flags_xor"] <= 255
+
+
+def test_vocab_coverage_bounded(spark, sf_dir):
+    rows = _Q["llm_vocab_coverage"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_in_vocab"] <= r["n_tokens"]
+        assert 0.0 <= r["oov_rate"] <= 1.0
+    # the fixture vocabulary is tiny (< 1k distinct words) → total coverage
+    assert all(r["oov_rate"] == 0.0 for r in rows)
+
+
+def test_bipartite_projection_support(spark, sf_dir):
+    r = _Q["graph_bipartite_projection"](spark, sf_dir).collect()[0]
+    assert r["n_edges"] > 0
+    assert r["max_support"] >= 2
+    assert r["total_support"] >= 2 * r["n_edges"]
