@@ -97,12 +97,17 @@ def register(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Quer
 # that have gone longest without a driver look (r5 verdict item 7 —
 # second-touch breadth without hand-curating a rotation each round).
 # ROUND-7 PRE-STAGED MAINTENANCE: fold the CORRECTNESS_r06 greens in with
-# tag 6 (the window below: 2 canaries agg_group/fn_string re-tag to 6,
-# the 8 join-spill keys, the 38 round-5 additions, dq_uniqueness +
-# dq_freshness), rotate _CANARY to win_running + ts_session per the
-# rotation table, and the r7 window then holds: 2 canaries + the 13
-# remaining rank-9 round-6 additions + ~35 oldest-tag backstop keys
-# (automatic second touches, r1/r2 families first).
+# tag 6 (the expected r6 window: 2 canaries agg_group/fn_string re-tag
+# to 6, the 8 join-spill keys, the 38 round-5 additions, dq_uniqueness +
+# dq_freshness = 50), rotate _CANARY to win_running + ts_session per the
+# rotation table, and the r7 window then holds: 2 canaries + the 28
+# remaining rank-9 round-6 additions (join_bloom_pruned, graph_* x5,
+# ts_cusum/theta/sax, ml_* x6, llm_* x5, agg_ecdf/winsorized/bitwise,
+# fn_regex/interval/collation/string_extra, dq_observe_metrics/
+# schema_contract, scan_metadata_cols, win_rolling_corr, mm_header_parse)
+# + ~20 oldest-tag backstop keys (automatic second touches, r1 families
+# first). All 28 were sim-verified at sf0.001/0.01 this round; the full
+# 308-key registry ran hash-green in the bare-session simulator.
 _VERIFIED_ROUND: dict[str, int] = {
         # --- round 1 greens ---
     "agg_benford": 1, "agg_collect": 1, "agg_cooccurrence": 1, "agg_corr_matrix": 1,
