@@ -1067,3 +1067,61 @@ def dq_schema_contract(spark, sf_dir):
         "tbl string, col_name string, expected_type string, position int, "
         "type_ok boolean, position_ok boolean",
     )
+
+
+@register(
+    "dq_row_checksum",
+    oracle="""
+SELECT 'orders' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(CAST('0x' || substr(md5(
+           CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
+           CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)
+       ), 1, 8) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) AS content_checksum
+FROM orders
+UNION ALL
+SELECT 'customer', COUNT(*),
+       CAST(SUM(CAST(CAST('0x' || substr(md5(
+           CAST(c_custkey AS VARCHAR) || '|' || c_mktsegment || '|' ||
+           CAST(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS VARCHAR)
+       ), 1, 8) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE)
+FROM customer
+""",
+)
+def dq_row_checksum(spark, sf_dir):
+    """Order-insensitive content checksum — the cross-system
+    reconciliation primitive: per table, Σ of a 32-bit slice of each
+    row's md5 over a canonical field serialization. Any row added,
+    dropped, or mutated moves the sum; the sum is partition-order
+    independent (addition commutes), so two systems compare ONE number
+    per table instead of shipping rows. md5 is bit-identical across
+    engines (unlike engine-native hash()); money fields are serialized
+    as half-up integer cents (explicit FLOOR(x·100+0.5) — a bare
+    double→int cast truncates on Spark and rounds on DuckDB) so float
+    formatting can't diverge. One scan + one
+    map-side-combinable aggregate per table."""
+
+    def checksum(df, name, canon):
+        h = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("decimal(38,0)")
+        return df.agg(
+            F.lit(name).alias("tbl"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(h).cast("double").alias("content_checksum"),
+        )
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    canon_o = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").cast("string"),
+    )
+    canon_c = F.concat_ws(
+        "|",
+        F.col("c_custkey").cast("string"),
+        F.col("c_mktsegment"),
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint").cast("string"),
+    )
+    return checksum(o, "orders", canon_o).unionByName(
+        checksum(c, "customer", canon_c)
+    )

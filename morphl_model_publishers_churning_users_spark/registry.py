@@ -344,6 +344,8 @@ _KEY_RANK: dict[str, int] = {
     "fn_string_extra": 9,
     "llm_vocab_coverage": 9,
     "graph_bipartite_projection": 9,
+    "dq_row_checksum": 9,
+    "sink_csv_quoted": 9,
 }
 
 

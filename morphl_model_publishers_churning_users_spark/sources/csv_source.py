@@ -65,3 +65,62 @@ def sink_csv_gzip(spark, sf_dir):
         .option("header", True)
         .csv(out)
     )
+
+
+@register(
+    "sink_csv_quoted",
+    oracle="""
+WITH tricky AS (
+    SELECT doc_id,
+           lang || ',' || source AS with_comma,
+           '"' || lang || '" says ' || source AS with_quotes,
+           source AS plain
+    FROM documents
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) FILTER (WHERE with_comma LIKE '%,%') AS BIGINT) AS n_comma,
+       CAST(COUNT(*) FILTER (WHERE with_quotes LIKE '%"%') AS BIGINT) AS n_quote,
+       CAST(COUNT(DISTINCT plain) AS BIGINT) AS n_sources
+FROM tricky
+""",
+)
+def sink_csv_quoted(spark, sf_dir):
+    """CSV quoting/escaping round trip — fields containing the
+    delimiter and the quote character are written and read back
+    LOSSLESSLY (RFC-4180 double-quote escaping), the part of the CSV
+    surface sink_csv_gzip's clean columns never exercise. The re-read
+    frame re-derives the same integrity profile the oracle computes
+    from the source rows: any mangled quoting changes the counts and
+    flips the hash."""
+    from ..operators._shared import scratch_dir
+
+    out = scratch_dir("sink_csv_quoted")
+    tricky = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(",", F.col("lang"), F.col("source")).alias("with_comma"),
+        F.concat(
+            F.lit('"'), F.col("lang"), F.lit('" says '), F.col("source")
+        ).alias("with_quotes"),
+        F.col("source").alias("plain"),
+    )
+    (
+        tricky.write.mode("overwrite")
+        .option("header", True)
+        .option("quoteAll", True)
+        .csv(out)
+    )
+    back = (
+        spark.read.option("header", True)
+        .schema("doc_id bigint, with_comma string, with_quotes string, plain string")
+        .csv(out)
+    )
+    return back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("with_comma").contains(",").cast("long"))
+        .cast("bigint")
+        .alias("n_comma"),
+        F.sum(F.col("with_quotes").contains('"').cast("long"))
+        .cast("bigint")
+        .alias("n_quote"),
+        F.countDistinct("plain").cast("bigint").alias("n_sources"),
+    )

@@ -392,3 +392,33 @@ def test_bipartite_projection_support(spark, sf_dir):
     assert r["n_edges"] > 0
     assert r["max_support"] >= 2
     assert r["total_support"] >= 2 * r["n_edges"]
+
+
+def test_checksum_moves_on_mutation(spark, sf_dir):
+    """The reconciliation property: recomputing the checksum over a
+    mutated copy (one price bumped) must change the sum."""
+    rows = {r["tbl"]: r for r in _Q["dq_row_checksum"](spark, sf_dir).collect()}
+    assert set(rows) == {"orders", "customer"}
+    from morphl_model_publishers_churning_users_spark.catalog import table
+
+    o = table(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5 + (F.col("o_orderkey") == 1).cast("int"))
+        .cast("bigint")
+        .cast("string"),
+    )
+    mutated = o.agg(
+        F.sum(
+            F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("decimal(38,0)")
+        ).cast("double").alias("cs")
+    ).collect()[0]["cs"]
+    assert mutated != rows["orders"]["content_checksum"]
+
+
+def test_csv_quoted_roundtrip_lossless(spark, sf_dir):
+    r = _Q["sink_csv_quoted"](spark, sf_dir).collect()[0]
+    assert r["n_rows"] == r["n_comma"] == r["n_quote"]  # every row carries both
+    assert r["n_sources"] == 20
