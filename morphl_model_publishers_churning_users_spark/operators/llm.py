@@ -3381,3 +3381,55 @@ def llm_vocab_coverage(spark, sf_dir):
             / F.count(F.lit(1))
         ).alias("oov_rate"),
     )
+
+
+@register(
+    "llm_lang_confusion",
+    oracle=f"""
+WITH grams AS (
+    SELECT doc_id, unnest(list_transform(range(1, len(text) - 1),
+                   i -> substr(text, CAST(i AS INTEGER), 3))) AS g
+    FROM documents
+), profiles AS (
+    SELECT d.lang, g.g, COUNT(*) AS c
+    FROM grams g JOIN documents d USING (doc_id)
+    GROUP BY 1, 2
+), scores AS (
+    SELECT g.doc_id, p.lang, ROUND(SUM(LN(1.0 + p.c)), 6) AS score
+    FROM grams g JOIN profiles p ON g.g = p.g
+    GROUP BY 1, 2
+), ranked AS (
+    SELECT doc_id, lang AS pred_lang,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+    FROM scores
+), pairs AS (
+    SELECT d.lang AS true_lang, r.pred_lang
+    FROM ranked r JOIN documents d USING (doc_id) WHERE rn = 1
+)
+SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       FLOOR(CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (PARTITION BY true_lang)
+             * 1000000 + 0.5) / 1000000 AS recall_share
+FROM pairs GROUP BY 1, 2
+""",
+)
+def llm_lang_confusion(spark, sf_dir):
+    """Language-ID confusion matrix — the evaluation readout on top of
+    llm_langid's trigram classifier: per (true, predicted) cell, doc
+    count and the within-true-language share (the row-normalized recall
+    view). The classifier pipeline is llm_langid's exactly (same
+    profiles, same argmax tiebreak); this op adds only one bounded
+    aggregate + one window over the ≤|langs|² cell table. The audit a
+    corpus pipeline runs before trusting langid-based filtering."""
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    pairs = llm_langid(spark, sf_dir).select("true_lang", "pred_lang")
+    cells = pairs.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    wt = Window.partitionBy("true_lang")
+    return cells.select(
+        "true_lang",
+        "pred_lang",
+        "n_docs",
+        q6(F.col("n_docs") / F.sum("n_docs").over(wt)).alias("recall_share"),
+    )

@@ -2023,3 +2023,44 @@ def ts_sax(spark, sf_dir):
             ).alias("sax_word")
         )
     )
+
+
+@register(
+    "ts_gap_stats",
+    oracle="""
+WITH gaps AS (
+    SELECT event_type,
+           epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY event_type
+                                                  ORDER BY ts, event_id) AS gap_us
+    FROM events
+)
+SELECT event_type,
+       CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+       CAST(FLOOR(quantile_cont(gap_us, 0.5)) AS BIGINT) AS p50_us,
+       CAST(FLOOR(quantile_cont(gap_us, 0.9)) AS BIGINT) AS p90_us,
+       CAST(MAX(gap_us) AS BIGINT) AS max_us
+FROM gaps GROUP BY 1
+""",
+)
+def ts_gap_stats(spark, sf_dir):
+    """Inter-arrival-time profile per stream — the p50/p90/max gap
+    distribution that calibrates session timeouts, watermark delays,
+    and staleness alerts (dq_freshness's thresholds come from exactly
+    this table). Gaps are INTEGER microseconds from one lag window
+    (ts + event_id tiebreak, the sessionization ordering), percentiles
+    are exact interpolated values floored to whole µs — identical on
+    both engines because the inputs are integers. O(types) out."""
+    ev = t(spark, sf_dir, "events")
+    gaps = ev.select("event_type", "ts", "event_id").withColumn(
+        "gap_us",
+        F.expr(
+            "timestampdiff(MICROSECOND, "
+            "lag(ts) over (partition by event_type order by ts, event_id), ts)"
+        ),
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_us").cast("bigint").alias("n_gaps"),
+        F.floor(F.expr("percentile(gap_us, 0.5)")).cast("bigint").alias("p50_us"),
+        F.floor(F.expr("percentile(gap_us, 0.9)")).cast("bigint").alias("p90_us"),
+        F.max("gap_us").cast("bigint").alias("max_us"),
+    )

@@ -285,3 +285,41 @@ def udf_pandas_iter(spark, sf_dir):
         log1p_iter("value").alias("log1p_value"),
         square_iter("value").alias("value_sq"),
     )
+
+
+@register(
+    "udf_pandas_struct",
+    oracle="""
+SELECT doc_id,
+       CAST(length(trim(text)) AS BIGINT) AS n_chars,
+       CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words,
+       FLOOR(CAST(length(trim(text)) AS DOUBLE)
+             / length(string_split_regex(trim(text), '\\s+'))
+             * 1000000 + 0.5) / 1000000 AS chars_per_word
+FROM documents WHERE length(trim(text)) > 0
+""",
+)
+def udf_pandas_struct(spark, sf_dir):
+    """Struct-RETURNING vectorized pandas UDF — one Arrow round trip
+    producing several derived fields at once (the shape a feature
+    extractor wants: compute shared intermediates once, emit a struct,
+    explode to columns). Completes the §2.K signature matrix: scalar,
+    iterator, grouped map/agg, cogrouped, UDTF, arrow — and now
+    struct-valued scalar."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("n_chars bigint, n_words bigint, chars_per_word double")
+    def textshape(s: pd.Series) -> pd.DataFrame:
+        trimmed = s.str.strip()
+        n_chars = trimmed.str.len().astype("int64")
+        n_words = trimmed.str.split(r"\s+").str.len().astype("int64")
+        cpw = ((n_chars / n_words) * 1e6 + 0.5).apply(int) / 1e6
+        return pd.DataFrame(
+            {"n_chars": n_chars, "n_words": n_words, "chars_per_word": cpw}
+        )
+
+    d = t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    return d.select("doc_id", textshape("text").alias("s")).select(
+        "doc_id", "s.n_chars", "s.n_words", "s.chars_per_word"
+    )

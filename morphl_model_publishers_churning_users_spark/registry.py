@@ -346,6 +346,9 @@ _KEY_RANK: dict[str, int] = {
     "graph_bipartite_projection": 9,
     "dq_row_checksum": 9,
     "sink_csv_quoted": 9,
+    "llm_lang_confusion": 9,
+    "udf_pandas_struct": 9,
+    "ts_gap_stats": 9,
 }
 
 

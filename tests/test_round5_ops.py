@@ -422,3 +422,17 @@ def test_csv_quoted_roundtrip_lossless(spark, sf_dir):
     r = _Q["sink_csv_quoted"](spark, sf_dir).collect()[0]
     assert r["n_rows"] == r["n_comma"] == r["n_quote"]  # every row carries both
     assert r["n_sources"] == 20
+
+
+def test_lang_confusion_diagonal_dominates(spark, sf_dir):
+    """The trigram classifier is trained on the same corpus, so the
+    diagonal must carry most mass per language."""
+    rows = _Q["llm_lang_confusion"](spark, sf_dir).collect()
+    diag = {r["true_lang"]: r["recall_share"] for r in rows if r["true_lang"] == r["pred_lang"]}
+    assert diag and all(v >= 0.5 for v in diag.values())
+
+
+def test_gap_stats_ordering(spark, sf_dir):
+    for r in _Q["ts_gap_stats"](spark, sf_dir).collect():
+        assert 0 <= r["p50_us"] <= r["p90_us"] <= r["max_us"]
+        assert r["n_gaps"] >= 1
