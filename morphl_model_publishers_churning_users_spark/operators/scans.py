@@ -492,3 +492,36 @@ def scan_metadata_cols(spark, sf_dir):
         ).alias("rowidx_ok"),
         (F.min("fs") > 0).alias("size_ok"),
     )
+
+
+@register(
+    "scan_ignore_corrupt_files",
+    oracle="""
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM customer GROUP BY 1
+""",
+)
+def scan_ignore_corrupt_files(spark, sf_dir):
+    """Corrupt-object tolerance — at 100 TB some object in the lake IS
+    truncated or botched mid-upload, and a full-job abort on one bad
+    file is not an option. Stage: the customer table written as parquet
+    plus one deliberately corrupt file (parquet magic, garbage body)
+    dropped into the same directory; read back with
+    `spark.sql.files.ignoreCorruptFiles=true` (set per-read via the
+    DataFrameReader option, not session-wide) and verify the good rows
+    all survive. The oracle recomputes the expected per-segment counts
+    from the source — a reader that silently dropped VALID rows along
+    with the corrupt file would flip the hash."""
+    out = scratch_dir("scan_ignore_corrupt")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cust.write.mode("overwrite").parquet(out)
+    import os
+
+    with open(os.path.join(out, "part-corrupt.parquet"), "wb") as fh:
+        fh.write(b"PAR1" + b"\x00garbage-not-a-footer" * 8)
+    back = (
+        spark.read.option("ignoreCorruptFiles", "true").parquet(out)
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )

@@ -350,6 +350,7 @@ _KEY_RANK: dict[str, int] = {
     "llm_lang_confusion": 9,
     "udf_pandas_struct": 9,
     "ts_gap_stats": 9,
+    "scan_ignore_corrupt_files": 9,
 }
 
 
