@@ -436,3 +436,21 @@ def test_gap_stats_ordering(spark, sf_dir):
     for r in _Q["ts_gap_stats"](spark, sf_dir).collect():
         assert 0 <= r["p50_us"] <= r["p90_us"] <= r["max_us"]
         assert r["n_gaps"] >= 1
+
+
+def test_corrupt_file_actually_staged(spark, sf_dir):
+    """The resilience op must be tested against a REAL hazard: after a
+    run, the scratch dir contains the corrupt object and the counts
+    still match the source."""
+    import os
+
+    rows = {r["c_mktsegment"]: r["n_rows"] for r in
+            _Q["scan_ignore_corrupt_files"](spark, sf_dir).collect()}
+    from morphl_model_publishers_churning_users_spark.operators._shared import scratch_dir
+    from morphl_model_publishers_churning_users_spark.catalog import table
+
+    assert os.path.exists(os.path.join(scratch_dir("scan_ignore_corrupt"), "part-corrupt.parquet"))
+    direct = {r["c_mktsegment"]: r["n"] for r in
+              table(spark, sf_dir, "customer").groupBy("c_mktsegment")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert rows == direct
