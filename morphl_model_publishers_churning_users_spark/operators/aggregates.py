@@ -1530,3 +1530,76 @@ def agg_bitwise(spark, sf_dir):
         F.bit_and(m + 256).cast("bigint").alias("flags_and"),
         F.bit_xor(m).cast("bigint").alias("flags_xor"),
     )
+
+
+@register(
+    "agg_rate_ci_wilson",
+    oracle="""
+WITH seg AS (
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(DISTINCT CASE WHEN e.event_type = 'purchase'
+                                    THEN e.user_id END) AS BIGINT) AS n_converted
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1
+)
+SELECT segment, n_users, n_converted,
+       FLOOR(CAST(n_converted AS DOUBLE) / n_users * 1000000 + 0.5) / 1000000 AS rate,
+       FLOOR(((CAST(n_converted AS DOUBLE) / n_users + 1.9208 / n_users)
+              / (1 + 3.8416 / n_users)
+              - 1.96 * sqrt((CAST(n_converted AS DOUBLE) / n_users)
+                            * (1 - CAST(n_converted AS DOUBLE) / n_users) / n_users
+                            + 0.9604 / (n_users * n_users))
+                / (1 + 3.8416 / n_users)) * 1000000 + 0.5) / 1000000 AS ci_lo,
+       FLOOR(((CAST(n_converted AS DOUBLE) / n_users + 1.9208 / n_users)
+              / (1 + 3.8416 / n_users)
+              + 1.96 * sqrt((CAST(n_converted AS DOUBLE) / n_users)
+                            * (1 - CAST(n_converted AS DOUBLE) / n_users) / n_users
+                            + 0.9604 / (n_users * n_users))
+                / (1 + 3.8416 / n_users)) * 1000000 + 0.5) / 1000000 AS ci_hi
+FROM seg
+""",
+)
+def agg_rate_ci_wilson(spark, sf_dir):
+    """Conversion rate with a Wilson 95% interval per segment — the
+    score-interval that stays honest at small n and extreme rates where
+    the normal approximation lies (the dashboard-stat discipline).
+    Closed form over integer user counts: center (p̂ + z²/2n)/(1+z²/n),
+    half-width z·√(p̂(1−p̂)/n + z²/4n²)/(1+z²/n) with z = 1.96 spelled
+    as exact decimal constants (1.9208 = z²/2, 3.8416 = z², 0.9604 =
+    z²/4) so both engines evaluate identical expression trees; IEEE
+    sqrt is exact; bounds quantized half-up at 1e-6. One distinct-user
+    aggregate per segment — O(segments) out."""
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    seg = (
+        t(spark, sf_dir, "events")
+        .join(F.broadcast(cust), "user_id")
+        .groupBy("segment")
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.countDistinct(
+                F.when(F.col("event_type") == "purchase", F.col("user_id"))
+            )
+            .cast("bigint")
+            .alias("n_converted"),
+        )
+    )
+    p = F.col("n_converted").cast("double") / F.col("n_users")
+    n = F.col("n_users")
+    center = (p + 1.9208 / n) / (1 + 3.8416 / n)
+    half = (
+        F.lit(1.96)
+        * F.sqrt(p * (1 - p) / n + 0.9604 / (n * n))
+        / (1 + 3.8416 / n)
+    )
+    return seg.select(
+        "segment",
+        "n_users",
+        "n_converted",
+        q6(p).alias("rate"),
+        q6(center - half).alias("ci_lo"),
+        q6(center + half).alias("ci_hi"),
+    )

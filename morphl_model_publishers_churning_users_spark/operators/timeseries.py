@@ -2064,3 +2064,54 @@ def ts_gap_stats(spark, sf_dir):
         F.floor(F.expr("percentile(gap_us, 0.9)")).cast("bigint").alias("p90_us"),
         F.max("gap_us").cast("bigint").alias("max_us"),
     )
+
+
+@register(
+    "ts_max_drawdown",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS rev
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+), eq AS (
+    SELECT day, SUM(rev) OVER (ORDER BY day) AS equity FROM daily
+), cum AS (
+    SELECT day, equity, MAX(equity) OVER (ORDER BY day) AS peak FROM eq
+)
+SELECT day,
+       ROUND(CAST(equity AS DOUBLE), 6) AS equity,
+       ROUND(CAST(peak AS DOUBLE), 6) AS peak,
+       ROUND(CAST(peak - equity AS DOUBLE), 6) AS drawdown,
+       ROUND(CAST(MAX(peak - equity) OVER (ORDER BY day) AS DOUBLE), 6) AS max_drawdown
+FROM cum
+""",
+)
+def ts_max_drawdown(spark, sf_dir):
+    """Running peak-to-trough drawdown of cumulative purchase revenue —
+    the risk-curve readout (largest dip below the best day so far).
+    Every sum runs in DECIMAL(38,6), so the cumulative equity, the
+    running peak, the per-day drawdown, and the running max drawdown
+    are EXACT on both engines (no quantization games needed — one
+    round to 6dp only at the output boundary). Three stacked windows
+    over the ~days table, all sharing one sort; the event-scale work is
+    a single filtered daily rollup."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(38,6)")).alias("rev"))
+    )
+    w = Window.orderBy("day")
+    cum = daily.select(
+        "day",
+        F.sum("rev").over(w).alias("equity"),
+    ).withColumn("peak", F.max("equity").over(w))
+    return cum.select(
+        "day",
+        F.round(F.col("equity").cast("double"), 6).alias("equity"),
+        F.round(F.col("peak").cast("double"), 6).alias("peak"),
+        F.round((F.col("peak") - F.col("equity")).cast("double"), 6).alias("drawdown"),
+        F.round(
+            F.max(F.col("peak") - F.col("equity")).over(w).cast("double"), 6
+        ).alias("max_drawdown"),
+    )

@@ -351,6 +351,8 @@ _KEY_RANK: dict[str, int] = {
     "udf_pandas_struct": 9,
     "ts_gap_stats": 9,
     "scan_ignore_corrupt_files": 9,
+    "agg_rate_ci_wilson": 9,
+    "ts_max_drawdown": 9,
 }
 
 

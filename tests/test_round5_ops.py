@@ -454,3 +454,19 @@ def test_corrupt_file_actually_staged(spark, sf_dir):
               table(spark, sf_dir, "customer").groupBy("c_mktsegment")
               .agg(F.count(F.lit(1)).alias("n")).collect()}
     assert rows == direct
+
+
+def test_wilson_interval_contains_rate(spark, sf_dir):
+    for r in _Q["agg_rate_ci_wilson"](spark, sf_dir).collect():
+        assert 0.0 <= r["ci_lo"] <= r["rate"] <= r["ci_hi"] <= 1.0
+        assert r["n_converted"] <= r["n_users"]
+
+
+def test_drawdown_invariants(spark, sf_dir):
+    rows = sorted(_Q["ts_max_drawdown"](spark, sf_dir).collect(), key=lambda r: r["day"])
+    mdd = 0.0
+    for r in rows:
+        assert r["equity"] <= r["peak"] + 1e-9
+        assert abs(r["drawdown"] - (r["peak"] - r["equity"])) < 2e-6
+        mdd = max(mdd, r["drawdown"])
+        assert abs(r["max_drawdown"] - mdd) < 2e-6
