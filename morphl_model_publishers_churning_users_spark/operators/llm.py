@@ -3433,3 +3433,79 @@ def llm_lang_confusion(spark, sf_dir):
         "n_docs",
         q6(F.col("n_docs") / F.sum("n_docs").over(wt)).alias("recall_share"),
     )
+
+
+@register(
+    "llm_burstiness",
+    oracle=r"""
+WITH words AS (
+    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+    FROM documents WHERE length(trim(text)) > 0
+), percount AS (
+    SELECT word, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+    FROM words GROUP BY 1, 2
+), nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM words),
+stats AS (
+    SELECT p.word,
+           CAST(SUM(p.c) AS BIGINT) AS total,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(p.c) AS DOUBLE) / nd.n AS mu,
+           (CAST(SUM(p.c * p.c) AS DOUBLE) - CAST(SUM(p.c) AS DOUBLE)
+                * CAST(SUM(p.c) AS DOUBLE) / nd.n) / nd.n AS var
+    FROM percount p, nd
+    GROUP BY 1, nd.n
+)
+SELECT word, total, n_docs,
+       FLOOR(var / mu * 1000000 + 0.5) / 1000000 AS burstiness,
+       rnk FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY total DESC, word) AS rnk
+    FROM stats
+) WHERE rnk <= 50
+""",
+)
+def llm_burstiness(spark, sf_dir):
+    """Term burstiness (Church-Gale variance-to-mean ratio over docs,
+    zeros included) for the top-50 corpus terms — the signal separating
+    topical words (bursty: absent in most docs, dense in a few) from
+    function words (Poisson-like, VMR ≈ constant). Per-(word, doc)
+    counts are one explode + one aggregate; the zero-inflated moments
+    come FROM THE NONZERO ROWS ONLY via the algebraic identity
+    Σ(c−μ)²/n = (Σc² − (Σc)²/n)/n over all docs — no doc×vocab
+    densification, which is what makes this computable at 100 TB. One
+    integer-ratio division per word, quantized at 1e-6; ties on the
+    total-count ranking break lexically."""
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    words = ckpt(
+        t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"))
+    )
+    percount = words.groupBy("word", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    nd = words.agg(F.countDistinct("doc_id").cast("double").alias("n"))
+    stats = (
+        percount.crossJoin(F.broadcast(nd))
+        .groupBy("word", "n")
+        .agg(
+            F.sum("c").cast("bigint").alias("total"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col("c") * F.col("c")).cast("double").alias("sq"),
+        )
+        .select(
+            "word",
+            "total",
+            "n_docs",
+            (F.col("total").cast("double") / F.col("n")).alias("mu"),
+            (
+                (F.col("sq") - F.col("total").cast("double") * F.col("total") / F.col("n"))
+                / F.col("n")
+            ).alias("var"),
+        )
+    )
+    w = Window.orderBy(F.desc("total"), F.asc("word"))
+    return (
+        stats.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 50)
+        .select("word", "total", "n_docs", q6(F.col("var") / F.col("mu")).alias("burstiness"), "rnk")
+    )

@@ -1125,3 +1125,64 @@ def dq_row_checksum(spark, sf_dir):
     return checksum(o, "orders", canon_o).unionByName(
         checksum(c, "customer", canon_c)
     )
+
+
+@register(
+    "dq_fk_chain",
+    oracle="""
+SELECT 'lineitem' AS hop, CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+UNION ALL
+SELECT 'lineitem->orders', COUNT(*)
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+UNION ALL
+SELECT 'lineitem->orders->customer', COUNT(*)
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+UNION ALL
+SELECT 'lineitem->orders->customer->nation', COUNT(*)
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+UNION ALL
+SELECT 'lineitem->orders->customer->nation->region', COUNT(*)
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+""",
+)
+def dq_fk_chain(spark, sf_dir):
+    """Referential-chain survival audit — row counts after each hop of
+    the full FK chain (lineitem→orders→customer→nation→region). Equal
+    counts at every hop prove the whole chain is closed; a drop
+    pinpoints exactly WHICH edge leaks (the multi-hop complement to
+    dq_orphan_audit's single edges). The dims broadcast, so the audit
+    is one fact scan plus pipelined broadcast joins — no extra
+    shuffles; each hop is a separately pruned re-scan, cheaper at scale
+    than materializing intermediate joins."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = t(spark, sf_dir, "region").select("r_regionkey")
+    hops = [
+        ("lineitem", li),
+        ("lineitem->orders", li.join(o, li["l_orderkey"] == o["o_orderkey"])),
+    ]
+    j2 = hops[1][1].join(c, F.col("o_custkey") == c["c_custkey"])
+    hops.append(("lineitem->orders->customer", j2))
+    j3 = j2.join(F.broadcast(n), F.col("c_nationkey") == n["n_nationkey"])
+    hops.append(("lineitem->orders->customer->nation", j3))
+    j4 = j3.join(F.broadcast(r), F.col("n_regionkey") == r["r_regionkey"])
+    hops.append(("lineitem->orders->customer->nation->region", j4))
+    out = None
+    for name, df in hops:
+        row = df.agg(
+            F.lit(name).alias("hop"), F.count(F.lit(1)).cast("bigint").alias("n_rows")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -353,6 +353,8 @@ _KEY_RANK: dict[str, int] = {
     "scan_ignore_corrupt_files": 9,
     "agg_rate_ci_wilson": 9,
     "ts_max_drawdown": 9,
+    "llm_burstiness": 9,
+    "dq_fk_chain": 9,
 }
 
 

@@ -470,3 +470,17 @@ def test_drawdown_invariants(spark, sf_dir):
         assert abs(r["drawdown"] - (r["peak"] - r["equity"])) < 2e-6
         mdd = max(mdd, r["drawdown"])
         assert abs(r["max_drawdown"] - mdd) < 2e-6
+
+
+def test_burstiness_function_words_low(spark, sf_dir):
+    """'a'/'the'-style filler appears everywhere (low VMR) while topical
+    tokens concentrate; every VMR is ≥ 0 and the rank is contiguous."""
+    rows = sorted(_Q["llm_burstiness"](spark, sf_dir).collect(), key=lambda r: r["rnk"])
+    assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+    assert all(r["burstiness"] >= 0 for r in rows)
+
+
+def test_fk_chain_is_closed_on_fixture(spark, sf_dir):
+    rows = {r["hop"]: r["n_rows"] for r in _Q["dq_fk_chain"](spark, sf_dir).collect()}
+    assert len(rows) == 5
+    assert len(set(rows.values())) == 1, rows  # every hop preserves all rows
