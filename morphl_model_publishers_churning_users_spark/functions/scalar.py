@@ -601,3 +601,34 @@ def fn_string_extra(spark, sf_dir):
         F.substring("text", 1, 12).alias("head12"),
         F.substring(F.col("source"), -2, 2).alias("src_tail2"),
     )
+
+
+@register(
+    "fn_trig",
+    oracle="""
+SELECT p_partkey,
+       FLOOR(sin(p_size * 0.1) * 1000000000 + 0.5) / 1000000000 AS sin_v,
+       FLOOR(cos(p_size * 0.1) * 1000000000 + 0.5) / 1000000000 AS cos_v,
+       FLOOR(atan2(CAST(p_size AS DOUBLE), 10.0) * 1000000000 + 0.5) / 1000000000 AS at2,
+       FLOOR(degrees(atan2(CAST(p_size AS DOUBLE), 10.0)) * 1000000 + 0.5) / 1000000 AS at2_deg,
+       FLOOR(exp(-p_size * 0.05) * 1000000000 + 0.5) / 1000000000 AS decay
+FROM part
+""",
+)
+def fn_trig(spark, sf_dir):
+    """Trigonometric / transcendental surface — sin/cos/atan2/degrees/
+    exp over integer-derived arguments, quantized half-up at 1e-9
+    (libm ulp differences are not contractual across engines — the same
+    discipline ts_periodogram established). One codegen projection."""
+    q9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    p = t(spark, sf_dir, "part")
+    at2 = F.atan2(F.col("p_size").cast("double"), F.lit(10.0))
+    return p.select(
+        "p_partkey",
+        q9(F.sin(F.col("p_size") * 0.1)).alias("sin_v"),
+        q9(F.cos(F.col("p_size") * 0.1)).alias("cos_v"),
+        q9(at2).alias("at2"),
+        q6(F.degrees(at2)).alias("at2_deg"),
+        q9(F.exp(F.col("p_size") * -0.05)).alias("decay"),
+    )

@@ -355,6 +355,8 @@ _KEY_RANK: dict[str, int] = {
     "ts_max_drawdown": 9,
     "llm_burstiness": 9,
     "dq_fk_chain": 9,
+    "fn_trig": 9,
+    "source_tsv": 9,
 }
 
 

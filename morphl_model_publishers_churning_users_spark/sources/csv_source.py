@@ -124,3 +124,41 @@ def sink_csv_quoted(spark, sf_dir):
         .alias("n_quote"),
         F.countDistinct("plain").cast("bigint").alias("n_sources"),
     )
+
+
+@register(
+    "source_tsv",
+    oracle="""
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+FROM customer GROUP BY 1
+""",
+)
+def source_tsv(spark, sf_dir):
+    """Headerless TSV ingest — tab delimiter, no header row, schema
+    supplied explicitly (the classic log-dump interchange shape). The
+    write stages customer as gzip TSV; the read round-trips it and the
+    per-segment aggregate hash-matches the source — any column
+    misalignment (the usual headerless failure) breaks the sums."""
+    from ..operators._shared import scratch_dir
+
+    out = scratch_dir("source_tsv")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+    (
+        cust.write.mode("overwrite")
+        .option("sep", "\t")
+        .option("header", False)
+        .option("compression", "gzip")
+        .csv(out)
+    )
+    back = (
+        spark.read.option("sep", "\t")
+        .option("header", False)
+        .schema("c_custkey bigint, c_mktsegment string, c_acctbal double")
+        .csv(out)
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double").alias("sum_bal"),
+    )
