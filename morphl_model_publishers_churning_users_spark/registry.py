@@ -106,9 +106,10 @@ def register(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Quer
 # fn_regex/interval/collation/string_extra, dq_observe_metrics/
 # schema_contract, scan_metadata_cols, win_rolling_corr, mm_header_parse)
 # + ~15 oldest-tag backstop keys (automatic second touches, r1 families
-# first). All round-6 additions (33 rank-9 keys by end of round) were
-# sim-verified at sf0.001/0.01; the full 313-key registry ran hash-green
-# in the bare-session simulator (313/313 in 242 s).
+# first). All round-6 additions (40 rank-9 keys by end of round) were
+# sim-verified at sf0.001/0.01; the full 320-key registry ran hash-green
+# in the bare-session simulator (320/320 in 209 s) and the full pytest
+# suite finished 484 passed / 1 skipped.
 _VERIFIED_ROUND: dict[str, int] = {
         # --- round 1 greens ---
     "agg_benford": 1, "agg_collect": 1, "agg_cooccurrence": 1, "agg_corr_matrix": 1,
