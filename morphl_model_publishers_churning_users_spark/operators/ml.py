@@ -1409,3 +1409,55 @@ def ml_pr_auc_decile(spark, sf_dir):
         F.max("npos").cast("bigint").alias("n_pos"),
         q6(F.sum(F.col("term").cast("decimal(38,12)")).cast("double")).alias("pr_auc"),
     )
+
+
+@register(
+    "ml_ece",
+    oracle="""
+WITH u AS (
+    SELECT user_id, MAX(ts) AS last_ts FROM events GROUP BY user_id
+), m AS (SELECT MAX(last_ts) AS cmax FROM u),
+s AS (
+    SELECT user_id, last_ts, epoch_us(m.cmax) - epoch_us(last_ts) AS rec FROM u, m
+), mx AS (SELECT GREATEST(MAX(rec), 1) AS maxrec FROM s),
+scored AS (
+    SELECT CAST(rec AS DOUBLE) / maxrec AS score,
+           CASE WHEN last_ts < TIMESTAMP '2024-01-29 20:00:00' THEN 1 ELSE 0 END AS churned
+    FROM s, mx
+), bins AS (
+    SELECT CAST(LEAST(FLOOR(score * 10), 9) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           FLOOR(AVG(score) * 1000000 + 0.5) / 1000000 AS mean_score,
+           FLOOR(AVG(churned) * 1000000 + 0.5) / 1000000 AS churn_rate
+    FROM scored GROUP BY 1
+)
+SELECT CAST(SUM(n_users) AS BIGINT) AS n_total,
+       CAST(COUNT(*) AS BIGINT) AS n_bins,
+       FLOOR(CAST(SUM(CAST(n_users * ABS(churn_rate - mean_score)
+                           AS DECIMAL(38,12))) AS DOUBLE)
+             / SUM(n_users) * 1000000 + 0.5) / 1000000 AS ece
+FROM bins
+""",
+)
+def ml_ece(spark, sf_dir):
+    """Expected calibration error — the scalar summary of
+    ml_calibration_bins' reliability diagram: Σ (n_b/N)·|observed −
+    predicted| over the score deciles. Computed from the SAME
+    1e-6-quantized bin means as the bins op (so the two readouts can
+    never disagree), weighted in DECIMAL for order-independence. One
+    number at any scale; the threshold a serving gate alarms on."""
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    bins = ml_calibration_bins(spark, sf_dir)
+    return bins.agg(
+        F.sum("n_users").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        q6(
+            F.sum(
+                (
+                    F.col("n_users")
+                    * F.abs(F.col("churn_rate") - F.col("mean_score"))
+                ).cast("decimal(38,12)")
+            ).cast("double")
+            / F.sum("n_users")
+        ).alias("ece"),
+    )

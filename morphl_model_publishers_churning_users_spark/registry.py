@@ -358,6 +358,8 @@ _KEY_RANK: dict[str, int] = {
     "dq_fk_chain": 9,
     "fn_trig": 9,
     "source_tsv": 9,
+    "ml_ece": 9,
+    "source_json_multiline": 9,
 }
 
 

@@ -9,6 +9,8 @@ survive because Spark writes shortest-round-trip representations.
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
+
 from ..operators._shared import scratch_dir, t
 from ..registry import register
 
@@ -72,3 +74,45 @@ def sink_json_lines(spark, sf_dir):
     return spark.read.schema(
         "event_id bigint, user_id bigint, event_type string, value double, k int"
     ).json(out)
+
+
+@register(
+    "source_json_multiline",
+    oracle="""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY 1
+""",
+)
+def source_json_multiline(spark, sf_dir):
+    """Multi-line JSON ingest — ONE file holding one big JSON ARRAY
+    (the REST-API-dump shape), read with multiLine=true: the reader
+    must parse the whole document as a unit instead of splitting on
+    newlines, which is exactly what breaks when someone points the
+    default json-lines reader at an API dump. Staged from documents,
+    re-read, and the per-lang profile hash-matches the source. The
+    100 TB note on the op itself: a multiLine JSON file is NOT
+    splittable — one task per file — so the pattern is quarantined to
+    ingest edges and converted to parquet immediately (as here)."""
+    import json as _json
+    import os
+
+    out = scratch_dir("source_json_multiline")
+    docs = [
+        {"doc_id": r["doc_id"], "lang": r["lang"], "n_chars": r["n_chars"]}
+        for r in t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .collect()
+    ]
+    path = os.path.join(out, "dump.json")
+    with open(path, "w") as fh:
+        _json.dump(docs, fh, indent=1)
+    back = (
+        spark.read.option("multiLine", True)
+        .schema("doc_id bigint, lang string, n_chars bigint")
+        .json(path)
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
