@@ -2115,3 +2115,82 @@ def ts_max_drawdown(spark, sf_dir):
             F.max(F.col("peak") - F.col("equity")).over(w).cast("double"), 6
         ).alias("max_drawdown"),
     )
+
+
+@register(
+    "ts_sessions_per_user",
+    oracle="""
+WITH ordered AS (
+    SELECT user_id, ts,
+           epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id) AS gap_us
+    FROM events
+), flagged AS (
+    SELECT user_id,
+           CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END AS new_session
+    FROM ordered
+), per_user AS (
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions FROM flagged GROUP BY 1
+)
+SELECT n_sessions, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM per_user GROUP BY 1
+""",
+)
+def ts_sessions_per_user(spark, sf_dir):
+    """Sessions-per-user distribution — the engagement-depth histogram
+    (how many 30-minute sessions does a user run up). Same
+    gaps-and-islands session start flags as ts_session (one user-keyed
+    window), then two bounded aggregates; output is O(max sessions)
+    rows at any scale. The left tail of this histogram IS the churn
+    population the reference modeled."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.expr(
+        "timestampdiff(MICROSECOND, lag(ts) over (partition by user_id order by ts, event_id), ts)"
+    )
+    flagged = ev.select(
+        "user_id",
+        F.when(gap.isNull() | (gap >= 1800000000), 1).otherwise(0).alias("new_session"),
+    )
+    per_user = flagged.groupBy("user_id").agg(
+        F.sum("new_session").cast("bigint").alias("n_sessions")
+    )
+    return per_user.groupBy("n_sessions").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+
+
+@register(
+    "ts_days_to_return",
+    oracle="""
+WITH ordered AS (
+    SELECT user_id, ts,
+           epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id) AS gap_us
+    FROM events
+), rebounds AS (
+    SELECT CAST(gap_us // 86400000000 AS BIGINT) AS days_gap
+    FROM ordered
+    WHERE gap_us >= 1800000000
+)
+SELECT days_gap, CAST(COUNT(*) AS BIGINT) AS n_returns
+FROM rebounds GROUP BY 1
+""",
+)
+def ts_days_to_return(spark, sf_dir):
+    """Days-to-return histogram — the inter-SESSION gap distribution
+    (every gap that started a new 30-minute session, floored to whole
+    days). The curve a retention team reads to set win-back timing and
+    the churn-label cutoff itself (the reference's threshold is a point
+    on this curve). Integer µs gaps from one user-keyed window, floor-
+    divided to days — exact on both engines; O(max days) rows out."""
+    ev = t(spark, sf_dir, "events")
+    gap = F.expr(
+        "timestampdiff(MICROSECOND, lag(ts) over (partition by user_id order by ts, event_id), ts)"
+    )
+    gaps = ev.select(gap.alias("gap_us")).filter(F.col("gap_us") >= 1800000000)
+    return (
+        gaps.select(F.floor(F.col("gap_us") / F.lit(86400000000)).cast("bigint").alias("days_gap"))
+        .groupBy("days_gap")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_returns"))
+    )

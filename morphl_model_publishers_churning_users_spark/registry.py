@@ -360,6 +360,8 @@ _KEY_RANK: dict[str, int] = {
     "source_tsv": 9,
     "ml_ece": 9,
     "source_json_multiline": 9,
+    "ts_sessions_per_user": 9,
+    "ts_days_to_return": 9,
 }
 
 
