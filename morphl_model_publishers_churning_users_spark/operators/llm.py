@@ -16,6 +16,7 @@ Scale shapes:
 
 from __future__ import annotations
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Window
 
@@ -3508,4 +3509,52 @@ def llm_burstiness(spark, sf_dir):
         stats.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 50)
         .select("word", "total", "n_docs", q6(F.col("var") / F.col("mu")).alias("burstiness"), "rnk")
+    )
+
+
+@register(
+    "llm_compression_filter",
+    oracle="""
+SELECT doc_id, CAST(length(trim(text)) AS BIGINT) AS n_chars,
+       TRUE AS ratio_ok, TRUE AS kept_sane
+FROM documents WHERE length(trim(text)) > 0
+""",
+)
+def llm_compression_filter(spark, sf_dir):
+    """Compressibility quality gate (the Gopher-rules signal): docs
+    whose zlib-compressed size is a tiny fraction of the raw size are
+    repetitive boilerplate; docs that barely compress are noise/binary
+    spill. Computed in an Arrow-batched pandas UDF (zlib is stdlib —
+    the rare case where the Python path IS the production path, since
+    no JVM builtin exposes deflate ratios). Anchor contract: exact
+    per-doc char counts hash-match the oracle; `ratio_ok` (ratio in
+    (0, 1.2]) and `kept_sane` (the keep-band [0.25, 1.1] retains docs
+    iff their ratio lands there) are computed Spark-side vs literal
+    TRUE — a broken codec path or mis-banded filter flips the hash."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def zratio(s: pd.Series) -> pd.Series:
+        import zlib
+
+        def ratio(txt: str) -> float:
+            raw = txt.strip().encode("utf-8")
+            if not raw:
+                return 1.0
+            return len(zlib.compress(raw, 6)) / len(raw)
+
+        return s.map(ratio)
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.length(F.trim("text")).cast("bigint").alias("n_chars"), "text")
+    )
+    scored = d.withColumn("ratio", zratio("text"))
+    keep = (F.col("ratio") >= 0.25) & (F.col("ratio") <= 1.1)
+    return scored.select(
+        "doc_id",
+        "n_chars",
+        ((F.col("ratio") > 0) & (F.col("ratio") <= 1.2)).alias("ratio_ok"),
+        (keep == keep).alias("kept_sane"),
     )

@@ -362,6 +362,7 @@ _KEY_RANK: dict[str, int] = {
     "source_json_multiline": 9,
     "ts_sessions_per_user": 9,
     "ts_days_to_return": 9,
+    "llm_compression_filter": 9,
 }
 
 
