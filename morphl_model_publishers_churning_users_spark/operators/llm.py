@@ -3516,7 +3516,7 @@ def llm_burstiness(spark, sf_dir):
     "llm_compression_filter",
     oracle="""
 SELECT doc_id, CAST(length(trim(text)) AS BIGINT) AS n_chars,
-       TRUE AS ratio_ok, TRUE AS kept_sane
+       TRUE AS ratio_ok, TRUE AS floor_ok
 FROM documents WHERE length(trim(text)) > 0
 """,
 )
@@ -3528,9 +3528,12 @@ def llm_compression_filter(spark, sf_dir):
     the rare case where the Python path IS the production path, since
     no JVM builtin exposes deflate ratios). Anchor contract: exact
     per-doc char counts hash-match the oracle; `ratio_ok` (ratio in
-    (0, 1.2]) and `kept_sane` (the keep-band [0.25, 1.1] retains docs
-    iff their ratio lands there) are computed Spark-side vs literal
-    TRUE — a broken codec path or mis-banded filter flips the hash."""
+    (0, 1.2]) and `floor_ok` (compressed bytes ≥ the 8-byte zlib
+    header+adler32 floor, i.e. ratio·n_chars ≥ 8 — a genuine codec
+    property) are computed Spark-side vs literal TRUE — a broken codec
+    path flips the hash. The raw ratio stays available for banding by
+    the caller (the fixture's tiny-vocab synthetic text compresses far
+    below any real-text keep band, so no fixed band is asserted)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
@@ -3551,10 +3554,9 @@ def llm_compression_filter(spark, sf_dir):
         .select("doc_id", F.length(F.trim("text")).cast("bigint").alias("n_chars"), "text")
     )
     scored = d.withColumn("ratio", zratio("text"))
-    keep = (F.col("ratio") >= 0.25) & (F.col("ratio") <= 1.1)
     return scored.select(
         "doc_id",
         "n_chars",
         ((F.col("ratio") > 0) & (F.col("ratio") <= 1.2)).alias("ratio_ok"),
-        (keep == keep).alias("kept_sane"),
+        (F.col("ratio") * F.col("n_chars") >= 8.0).alias("floor_ok"),
     )
