@@ -632,3 +632,52 @@ def fn_trig(spark, sf_dir):
         q6(F.degrees(at2)).alias("at2_deg"),
         q9(F.exp(F.col("p_size") * -0.05)).alias("decay"),
     )
+
+
+@register(
+    "fn_surrogate_key",
+    oracle="""
+SELECT o_orderkey,
+       substr(md5('orders|' || CAST(o_orderkey AS VARCHAR) || '|'
+                  || CAST(o_custkey AS VARCHAR)), 1, 8) || '-'
+       || substr(md5('orders|' || CAST(o_orderkey AS VARCHAR) || '|'
+                     || CAST(o_custkey AS VARCHAR)), 9, 4) || '-'
+       || substr(md5('orders|' || CAST(o_orderkey AS VARCHAR) || '|'
+                     || CAST(o_custkey AS VARCHAR)), 13, 4) || '-'
+       || substr(md5('orders|' || CAST(o_orderkey AS VARCHAR) || '|'
+                     || CAST(o_custkey AS VARCHAR)), 17, 4) || '-'
+       || substr(md5('orders|' || CAST(o_orderkey AS VARCHAR) || '|'
+                     || CAST(o_custkey AS VARCHAR)), 21, 12) AS sk_uuid,
+       CAST(CAST('0x' || substr(md5('orders|' || CAST(o_orderkey AS VARCHAR) || '|'
+                  || CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) AS BIGINT) AS sk_int
+FROM orders
+""",
+)
+def fn_surrogate_key(spark, sf_dir):
+    """Deterministic surrogate-key minting — the warehouse-integration
+    primitive: a namespaced md5 over the natural key, formatted both as
+    a UUID-shaped string and as a 60-bit BIGINT (15 hex chars — always
+    inside int64). Unlike monotonically_increasing_id or uuid(), the
+    same row mints the same key on every engine, every run, every
+    partitioning — which is what makes incremental merges and
+    cross-system joins reproducible. Pure codegen expressions."""
+    o = t(spark, sf_dir, "orders")
+    h = F.md5(
+        F.concat_ws(
+            "|", F.lit("orders"), F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+        )
+    )
+    uuid = F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.substring(h, 13, 4),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+    )
+    return o.select(
+        "o_orderkey",
+        uuid.alias("sk_uuid"),
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint").alias("sk_int"),
+    )

@@ -525,3 +525,33 @@ def scan_ignore_corrupt_files(spark, sf_dir):
     return back.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows")
     )
+
+
+@register(
+    "scan_path_glob_filter",
+    oracle="""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM orders GROUP BY 1
+""",
+)
+def scan_path_glob_filter(spark, sf_dir):
+    """pathGlobFilter selectivity — a landing directory always collects
+    junk (_SUCCESS markers, .tmp uploads, sidecar manifests); the glob
+    filter makes the reader IGNORE everything but the data pattern
+    without a pre-listing job. Stage: orders as parquet plus three junk
+    files; read back with pathGlobFilter='*.parquet' and the priority
+    profile must hash-match the clean source — junk leaking into the
+    scan or data files skipped both flip it."""
+    import os
+
+    out = scratch_dir("scan_path_glob")
+    t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority").write.mode(
+        "overwrite"
+    ).parquet(out)
+    for junk in ("_STARTED.manifest", "upload.tmp", "notes.txt"):
+        with open(os.path.join(out, junk), "w") as fh:
+            fh.write("not data\n")
+    back = spark.read.option("pathGlobFilter", "*.parquet").parquet(out)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )

@@ -2194,3 +2194,69 @@ def ts_days_to_return(spark, sf_dir):
         .groupBy("days_gap")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_returns"))
     )
+
+
+@register(
+    "ts_attribution_linear",
+    oracle="""
+WITH purchases AS (
+  SELECT user_id, event_id AS purchase_id, ts AS p_ts
+  FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, event_id AS click_id, ts AS c_ts
+  FROM events WHERE event_type = 'click'
+), touches AS (
+  SELECT p.purchase_id, c.click_id
+  FROM purchases p JOIN clicks c
+    ON c.user_id = p.user_id
+   AND c.c_ts <= p.p_ts AND c.c_ts >= p.p_ts - INTERVAL 7 DAY
+), sized AS (
+  SELECT purchase_id, click_id,
+         COUNT(*) OVER (PARTITION BY purchase_id) AS n_touch
+  FROM touches
+)
+SELECT click_id,
+       CAST(COUNT(*) AS BIGINT) AS n_conversions,
+       FLOOR(CAST(SUM(CAST(FLOOR(1000000000.0 / n_touch + 0.5) / 1000000000
+                           AS DECIMAL(38,12))) AS DOUBLE) * 1000000 + 0.5)
+           / 1000000 AS credit
+FROM sized GROUP BY click_id
+""",
+)
+def ts_attribution_linear(spark, sf_dir):
+    """Linear multi-touch attribution — each purchase's credit split
+    equally (1/n) across every click in its 7-day lookback; output is
+    per-CLICK earned credit, the marketing ROI table first/last-touch
+    models systematically distort. Same user-keyed band join as
+    first-touch, one per-purchase window for n, per-touch shares
+    quantized at 1e-9 and DECIMAL-summed per click (order-independent),
+    credit at 1e-6."""
+    q9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    touches = purchases.join(
+        clicks,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAY")),
+    ).select("purchase_id", "click_id")
+    wp = Window.partitionBy("purchase_id")
+    sized = touches.withColumn("n_touch", F.count(F.lit(1)).over(wp))
+    return (
+        sized.select("click_id", q9(F.lit(1.0) / F.col("n_touch")).alias("share"))
+        .groupBy("click_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+            q6(F.sum(F.col("share").cast("decimal(38,12)")).cast("double")).alias(
+                "credit"
+            ),
+        )
+    )

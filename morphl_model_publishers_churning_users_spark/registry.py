@@ -363,6 +363,9 @@ _KEY_RANK: dict[str, int] = {
     "ts_sessions_per_user": 9,
     "ts_days_to_return": 9,
     "llm_compression_filter": 9,
+    "scan_path_glob_filter": 9,
+    "fn_surrogate_key": 9,
+    "ts_attribution_linear": 9,
 }
 
 
