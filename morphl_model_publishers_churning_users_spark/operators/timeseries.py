@@ -2260,3 +2260,57 @@ def ts_attribution_linear(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "ts_rank_mobility",
+    oracle="""
+WITH halves AS (
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (WHERE ts < TIMESTAMP '2024-01-16 00:00:00') AS BIGINT) AS n1,
+           CAST(COUNT(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-16 00:00:00') AS BIGINT) AS n2
+    FROM events GROUP BY 1
+), ranked AS (
+    SELECT user_id,
+           NTILE(5) OVER (ORDER BY n1 DESC, user_id) AS q1,
+           NTILE(5) OVER (ORDER BY n2 DESC, user_id) AS q2
+    FROM halves
+)
+SELECT q1, q2, CAST(COUNT(*) AS BIGINT) AS n_users,
+       FLOOR(CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (PARTITION BY q1) * 1000000 + 0.5)
+           / 1000000 AS row_share
+FROM ranked GROUP BY 1, 2
+""",
+)
+def ts_rank_mobility(spark, sf_dir):
+    """Engagement-rank mobility matrix — users bucketed into activity
+    quintiles in each half of the window, crossed into a transition
+    matrix (how sticky is heavy usage?). The diagonal is retention of
+    rank; mass below it is decay — the segment-level churn signal
+    BEFORE anyone fully lapses. Deterministic NTILE (count-desc,
+    user_id tiebreak) on both engines; one user aggregate + two
+    windows over the user table + one bounded cell aggregate."""
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+    halves = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum((F.col("ts") < cut).cast("long")).cast("bigint").alias("n1"),
+            F.sum((F.col("ts") >= cut).cast("long")).cast("bigint").alias("n2"),
+        )
+    )
+    w1 = Window.orderBy(F.desc("n1"), F.asc("user_id"))
+    w2 = Window.orderBy(F.desc("n2"), F.asc("user_id"))
+    ranked = halves.select(
+        F.ntile(5).over(w1).alias("q1"), F.ntile(5).over(w2).alias("q2")
+    )
+    cells = ranked.groupBy("q1", "q2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    wr = Window.partitionBy("q1")
+    return cells.select(
+        "q1", "q2", "n_users",
+        q6(F.col("n_users") / F.sum("n_users").over(wr)).alias("row_share"),
+    )

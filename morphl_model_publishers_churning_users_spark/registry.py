@@ -366,6 +366,7 @@ _KEY_RANK: dict[str, int] = {
     "scan_path_glob_filter": 9,
     "fn_surrogate_key": 9,
     "ts_attribution_linear": 9,
+    "ts_rank_mobility": 9,
 }
 
 
