@@ -3560,3 +3560,141 @@ def llm_compression_filter(spark, sf_dir):
         ((F.col("ratio") > 0) & (F.col("ratio") <= 1.2)).alias("ratio_ok"),
         (F.col("ratio") * F.col("n_chars") >= 8.0).alias("floor_ok"),
     )
+
+
+@register(
+    "llm_url_dedup",
+    oracle="""
+WITH urls AS (
+    SELECT doc_id,
+           'https://' || upper(source) || '.Example.COM/p/' || CAST(doc_id % 97 AS VARCHAR)
+               || '?utm_source=feed&session=' || CAST(doc_id AS VARCHAR) AS url
+    FROM documents
+), canon AS (
+    SELECT doc_id,
+           lower(regexp_extract(url, '^https?://([^/?#]+)', 1))
+               || regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1) AS curl
+    FROM urls
+)
+SELECT curl, CAST(MIN(doc_id) AS BIGINT) AS keeper,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+FROM canon GROUP BY curl HAVING COUNT(*) > 1
+""",
+)
+def llm_url_dedup(spark, sf_dir):
+    """URL-canonicalization dedup — the first pass of any web-corpus
+    pipeline: the same page is crawled under dozens of URL spellings
+    (tracking params, case-variant hosts, session ids), and collapsing
+    them BEFORE fetching/processing text is orders of magnitude cheaper
+    than text-level dedup. The fixture has no URL column, so a
+    deterministic crawl-style URL is synthesized from (source, doc_id)
+    with exactly the junk a crawler sees: upper/mixed-case host, a
+    tracking query string, a per-doc session id. Canonicalization is
+    the Spark-native route — `parse_url(HOST)` lowercased + `parse_url
+    (PATH)`, query/fragment dropped — while the oracle canonicalizes
+    the SAME strings with pure regexes, so the hash cross-checks
+    Spark's URL parser against an independent implementation. One hash
+    shuffle on the canonical key; at 100 TB this is the cheapest dedup
+    in the stack (no tokenization, no shingles)."""
+    d = t(spark, sf_dir, "documents")
+    urls = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.upper("source"),
+            F.lit(".Example.COM/p/"),
+            (F.col("doc_id") % 97).cast("string"),
+            F.lit("?utm_source=feed&session="),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    canon = urls.select(
+        "doc_id",
+        F.concat(
+            F.lower(F.parse_url("url", F.lit("HOST"))),
+            F.parse_url("url", F.lit("PATH")),
+        ).alias("curl"),
+    )
+    return (
+        canon.groupBy("curl")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("keeper"),
+            (F.count(F.lit(1)) - 1).cast("bigint").alias("n_dropped"),
+        )
+        .filter(F.col("n_dropped") > 0)
+    )
+
+
+@register(
+    "llm_boilerplate_ngrams",
+    oracle=f"""
+WITH grams AS (
+    SELECT DISTINCT doc_id, source, unnest({_NGRAM_SH_DUCK}) AS g
+    FROM (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS words
+          FROM documents)
+), freq AS (
+    SELECT source, g, COUNT(*) AS n_docs FROM grams GROUP BY 1, 2
+), boiler AS (
+    SELECT source, g FROM freq WHERE n_docs >= 4
+), affected AS (
+    SELECT DISTINCT gr.source, gr.doc_id
+    FROM grams gr JOIN boiler b ON gr.source = b.source AND gr.g = b.g
+)
+SELECT f.source,
+       CAST(COUNT(DISTINCT b.g) AS BIGINT) AS n_boiler_shingles,
+       CAST((SELECT COUNT(*) FROM affected a WHERE a.source = f.source) AS BIGINT)
+           AS n_docs_affected
+FROM freq f LEFT JOIN boiler b ON f.source = b.source AND f.g = b.g
+GROUP BY f.source
+""",
+)
+def llm_boilerplate_ngrams(spark, sf_dir):
+    """CCNet-style boilerplate audit — headers, footers, nav bars and
+    cookie banners repeat VERBATIM across pages of the same site, and a
+    per-domain repeated-shingle gate finds them without any parsing:
+    a word-3-shingle that occurs in >= 4 distinct documents of one
+    source is boilerplate. Reports, per source, how many shingles trip
+    the gate and how many documents carry at least one. Per-(source,
+    shingle) frequency is one hash shuffle (map-side combined); the
+    affected-doc join streams the shingle table against the gated set
+    on the same key — never all-pairs, and the gate output is tiny
+    (bounded by distinct repeated shingles, not corpus size), exactly
+    the shape that survives a 100 TB crawl partitioned by domain."""
+    d = t(spark, sf_dir, "documents")
+    grams = (
+        d.select("doc_id", "source", F.split(F.trim("text"), r"\s+").alias("w"))
+        .filter(F.size("w") >= 3)
+        .select("doc_id", "source", F.explode(F.expr(_NGRAM_SH_SPARK)).alias("g"))
+        .distinct()
+    )
+    # grams is DISTINCT per (doc, source, shingle): count(*) == distinct docs.
+    # It feeds both the frequency table and the affected-doc join.
+    from ._shared import ckpt
+
+    grams = ckpt(grams)
+    freq = grams.groupBy("source", "g").agg(F.count(F.lit(1)).alias("n_docs"))
+    boiler = freq.filter(F.col("n_docs") >= 4).select("source", "g")
+    affected = (
+        grams.join(boiler, ["source", "g"])
+        .select("source", "doc_id")
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs_affected"))
+    )
+    per_source = (
+        freq.join(boiler.withColumn("is_b", F.lit(1)), ["source", "g"], "left")
+        .groupBy("source")
+        .agg(
+            F.count_distinct(F.when(F.col("is_b") == 1, F.col("g")))
+            .cast("bigint")
+            .alias("n_boiler_shingles")
+        )
+    )
+    return (
+        per_source.join(affected, "source", "left")
+        .select(
+            "source",
+            "n_boiler_shingles",
+            F.coalesce("n_docs_affected", F.lit(0)).cast("bigint").alias("n_docs_affected"),
+        )
+    )

@@ -1461,3 +1461,141 @@ def ml_ece(spark, sf_dir):
             / F.sum("n_users")
         ).alias("ece"),
     )
+
+
+@register(
+    "ml_isotonic_pav",
+    oracle="""
+WITH u AS (
+    SELECT user_id, MAX(ts) AS last_ts FROM events GROUP BY user_id
+), m AS (
+    SELECT MAX(last_ts) AS cmax FROM u
+), s AS (
+    SELECT user_id, last_ts, epoch_us(m.cmax) - epoch_us(last_ts) AS rec
+    FROM u, m
+), mx AS (
+    SELECT GREATEST(MAX(rec), 1) AS maxrec FROM s
+), scored AS (
+    SELECT CAST(rec AS DOUBLE) / maxrec AS score,
+           CASE WHEN last_ts < TIMESTAMP '2024-01-29 20:00:00' THEN 1 ELSE 0 END AS churned
+    FROM s, mx
+), bins AS (
+    SELECT CAST(LEAST(FLOOR(score * 10), 9) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(churned) AS BIGINT) AS c
+    FROM scored GROUP BY 1
+), cum AS (
+    SELECT bin, n, c,
+           SUM(n) OVER (ORDER BY bin) AS w_cum,
+           SUM(c) OVER (ORDER BY bin) AS s_cum
+    FROM bins
+), segs AS (
+    SELECT j.bin AS jbin, k.bin AS kbin,
+           CAST(k.s_cum - (j.s_cum - j.c) AS DOUBLE)
+               / CAST(k.w_cum - (j.w_cum - j.n) AS DOUBLE) AS seg_mean
+    FROM cum j JOIN cum k ON j.bin <= k.bin
+), lower_env AS (
+    SELECT b.bin, g.jbin, MIN(g.seg_mean) AS mn
+    FROM cum b JOIN segs g ON g.jbin <= b.bin AND g.kbin >= b.bin
+    GROUP BY 1, 2
+)
+SELECT le.bin, cu.n AS n_users,
+       ROUND(CAST(cu.c AS DOUBLE) / cu.n, 6) AS raw_rate,
+       ROUND(MAX(le.mn), 6) AS iso_rate
+FROM lower_env le JOIN cum cu ON cu.bin = le.bin
+GROUP BY le.bin, cu.n, cu.c
+""",
+)
+def ml_isotonic_pav(spark, sf_dir):
+    """Isotonic (PAV) calibration of the churn-risk reliability curve.
+    Platt/raw decile rates can be non-monotone out of a reliability
+    diagram; production calibration fits the isotonic regression
+    iso(i) = max_{j<=i} min_{k>=i} wmean(rate, j..k) — the pooled-
+    adjacent-violators solution expressed in its closed minimax form,
+    which is pure relational algebra over the BINNED summary: with B
+    bins there are B(B+1)/2 segments, so the fit costs O(B^2) rows on
+    a ~10-row table regardless of corpus size. That is the 100 TB
+    shape: the only full-data pass is the decile binning (one shuffle,
+    map-side combined); the sequential-looking PAV sweep never touches
+    row-level data. Numeric parity is exact — segment means are
+    int64/int64 divisions and min/max over them, identical in both
+    engines. The score is the same deterministic recency score as
+    ml_calibration_bins (integer microsecond arithmetic)."""
+    e = t(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(F.max("ts").alias("last_ts")).localCheckpoint(
+        eager=True
+    )
+    m = u.agg(F.max("last_ts").alias("cmax"))
+    s = u.crossJoin(F.broadcast(m)).select(
+        "last_ts",
+        F.expr("timestampdiff(MICROSECOND, last_ts, cmax)").alias("rec"),
+    )
+    mx = s.agg(F.greatest(F.max("rec"), F.lit(1)).alias("maxrec"))
+    scored = s.crossJoin(F.broadcast(mx)).select(
+        (F.col("rec").cast("double") / F.col("maxrec")).alias("score"),
+        F.when(
+            F.col("last_ts") < F.to_timestamp(F.lit("2024-01-29 20:00:00")), 1
+        )
+        .otherwise(0)
+        .alias("churned"),
+    )
+    bins = (
+        scored.groupBy(
+            F.least(F.floor(F.col("score") * 10), F.lit(9)).cast("bigint").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("churned").cast("bigint").alias("c"),
+        )
+        # The bin summary (<= 10 rows) feeds the cumulative window, BOTH
+        # sides of the segment self-join, and the final readout — cut the
+        # lineage once instead of re-running the event scan per consumer.
+        .localCheckpoint(eager=True)
+    )
+    # Global-order window over the bounded bin summary: <= 10 rows, so the
+    # single-partition sort is a non-issue (never applied to row-level data).
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.select(
+        "bin", "n", "c",
+        F.sum("n").over(wcum).alias("w_cum"),
+        F.sum("c").over(wcum).alias("s_cum"),
+    )
+    j = cum.select(
+        F.col("bin").alias("jbin"),
+        (F.col("s_cum") - F.col("c")).alias("s_lo"),
+        (F.col("w_cum") - F.col("n")).alias("w_lo"),
+    )
+    k = cum.select(
+        F.col("bin").alias("kbin"),
+        F.col("s_cum").alias("s_hi"),
+        F.col("w_cum").alias("w_hi"),
+    )
+    segs = (
+        j.join(k, F.col("jbin") <= F.col("kbin"))
+        .select(
+            "jbin",
+            "kbin",
+            (
+                (F.col("s_hi") - F.col("s_lo")).cast("double")
+                / (F.col("w_hi") - F.col("w_lo")).cast("double")
+            ).alias("seg_mean"),
+        )
+    )
+    lower_env = (
+        cum.select("bin", "n", "c")
+        .join(
+            segs,
+            (F.col("jbin") <= F.col("bin")) & (F.col("kbin") >= F.col("bin")),
+        )
+        .groupBy("bin", "n", "c", "jbin")
+        .agg(F.min("seg_mean").alias("mn"))
+    )
+    return (
+        lower_env.groupBy("bin", "n", "c")
+        .agg(F.round(F.max("mn"), 6).alias("iso_rate"))
+        .select(
+            "bin",
+            F.col("n").alias("n_users"),
+            F.round(F.col("c").cast("double") / F.col("n"), 6).alias("raw_rate"),
+            "iso_rate",
+        )
+    )

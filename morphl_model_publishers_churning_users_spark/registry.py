@@ -367,6 +367,9 @@ _KEY_RANK: dict[str, int] = {
     "fn_surrogate_key": 9,
     "ts_attribution_linear": 9,
     "ts_rank_mobility": 9,
+    "llm_url_dedup": 9,
+    "llm_boilerplate_ngrams": 9,
+    "ml_isotonic_pav": 9,
 }
 
 
