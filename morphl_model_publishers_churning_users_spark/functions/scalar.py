@@ -681,3 +681,51 @@ def fn_surrogate_key(spark, sf_dir):
         uuid.alias("sk_uuid"),
         F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint").alias("sk_int"),
     )
+
+
+@register(
+    "fn_xml",
+    oracle="""
+SELECT o_orderpriority AS prio, o_orderstatus AS status,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
+FROM orders GROUP BY 1, 2
+""",
+)
+def fn_xml(spark, sf_dir):
+    """XML round trip (Spark 4 `from_xml`) — plenty of enterprise feeds
+    still land as XML (sitemaps, RSS/Atom, SOAP exports), and the
+    engine must parse them JVM-side, not in Python. An order-shaped XML
+    document is built per row (attributes + nested elements), parsed
+    back with `from_xml` under an explicit struct schema (attribute
+    fields use the default `_` prefix), and the parsed fields are
+    aggregated. The oracle computes the same profile from the raw
+    columns — any parse loss, attribute/element confusion, or type
+    coercion error flips the hash. Only integer/string fields go
+    through the XML (double formatting is engine-specific). from_xml is
+    a codegen-stage expression: at 100 TB this parses at scan speed
+    with no extra shuffle beyond the final aggregate."""
+    o = t(spark, sf_dir, "orders")
+    xml = F.concat(
+        F.lit('<order id="'),
+        F.col("o_orderkey").cast("string"),
+        F.lit('" status="'),
+        F.col("o_orderstatus"),
+        F.lit('"><prio>'),
+        F.col("o_orderpriority"),
+        F.lit("</prio><cust>"),
+        F.col("o_custkey").cast("string"),
+        F.lit("</cust></order>"),
+    )
+    parsed = o.select(
+        F.from_xml(
+            xml,
+            "STRUCT<_id: BIGINT, _status: STRING, prio: STRING, cust: BIGINT>",
+        ).alias("x")
+    )
+    return parsed.groupBy(
+        F.col("x.prio").alias("prio"), F.col("x._status").alias("status")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x.cust").cast("bigint").alias("cust_sum"),
+    )

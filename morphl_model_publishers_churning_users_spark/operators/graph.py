@@ -965,3 +965,90 @@ def graph_bipartite_projection(spark, sf_dir):
         F.sum("n_shared").cast("bigint").alias("total_support"),
         F.countDistinct("src").cast("bigint").alias("n_src_nodes"),
     )
+
+
+def _lpa_oracle(rounds: int = 3) -> str:
+    """Unrolled semi-synchronous label-propagation oracle: each round is
+    a neighbor-label vote (count per candidate label) resolved by
+    (count DESC, label ASC) — integer-exact, so the unrolled CTE chain
+    is bit-identical to the driver-side Spark loop."""
+    ctes = [
+        "l0 AS (SELECT brand, node, node AS lbl FROM "
+        "(SELECT DISTINCT brand, src AS node FROM sym))"
+    ]
+    prev = "l0"
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""v{i} AS (
+    SELECT e.brand, e.dst AS node, p.lbl, COUNT(*) AS cnt
+    FROM sym e JOIN {prev} p ON p.brand = e.brand AND p.node = e.src
+    GROUP BY 1, 2, 3
+), l{i} AS (
+    SELECT brand, node, lbl FROM (
+        SELECT brand, node, lbl,
+               ROW_NUMBER() OVER (PARTITION BY brand, node
+                                  ORDER BY cnt DESC, lbl ASC) AS rn
+        FROM v{i}) WHERE rn = 1
+)"""
+        )
+        prev = f"l{i}"
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {_BRAND_EDGES_DUCK},
+sym AS (
+    SELECT brand, src, dst FROM edges
+    UNION ALL
+    SELECT brand, dst, src FROM edges
+),
+{joined},
+comps AS (SELECT brand, lbl, COUNT(*) AS sz FROM {prev} GROUP BY 1, 2)
+SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_communities,
+       CAST(SUM(sz) AS BIGINT) AS n_nodes,
+       CAST(MAX(sz) AS BIGINT) AS largest_community
+FROM comps GROUP BY brand
+"""
+
+
+@register("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark, sf_dir):
+    """Community detection by label propagation (3 synchronous rounds)
+    over the within-brand co-purchase graph. Each node starts as its own
+    community and repeatedly adopts the most frequent label among its
+    neighbors (ties to the smallest label — the determinism that makes
+    the unrolled SQL oracle bit-identical). Unlike graph_cc's hash-to-min
+    (which converges to connectivity), LPA converges toward dense
+    substructure — the communities a mixture-balancing or negative-
+    sampling step would stratify by. Each round is ONE keyed join (edges
+    x labels) + ONE aggregate with `max_by(lbl, struct(cnt, -lbl))`
+    resolving the vote without any window sort; per-round checkpoint
+    keeps lineage flat. All arithmetic is integer, so cross-engine
+    parity is exact. Brand blocking bounds every vote's working set;
+    fixed round count (not convergence polling) means zero driver-side
+    scalars per round — at 100 TB this is 3 shuffles on the edge table,
+    full stop."""
+    sym = ckpt(_sym(_brand_edges(spark, sf_dir), "brand"))
+    labels = (
+        sym.select("brand", F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+    )
+    for _ in range(3):
+        votes = (
+            sym.join(
+                labels.select("brand", F.col("node").alias("src"), "lbl"),
+                ["brand", "src"],
+            )
+            .groupBy("brand", F.col("dst").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = ckpt(
+            votes.groupBy("brand", "node").agg(
+                F.expr("max_by(lbl, struct(cnt, -lbl))").alias("lbl")
+            )
+        )
+    comps = labels.groupBy("brand", "lbl").agg(F.count(F.lit(1)).alias("sz"))
+    return comps.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_communities"),
+        F.sum("sz").cast("bigint").alias("n_nodes"),
+        F.max("sz").cast("bigint").alias("largest_community"),
+    )

@@ -370,6 +370,9 @@ _KEY_RANK: dict[str, int] = {
     "llm_url_dedup": 9,
     "llm_boilerplate_ngrams": 9,
     "ml_isotonic_pav": 9,
+    "graph_label_propagation": 9,
+    "fn_xml": 9,
+    "source_text_lines": 9,
 }
 
 

@@ -162,3 +162,44 @@ def source_tsv(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double").alias("sum_bal"),
     )
+
+
+@register(
+    "source_text_lines",
+    oracle=r"""
+WITH toks AS (
+    SELECT len(string_split_regex(trim(regexp_replace(text, '[\r\n]+', ' ', 'g')), '\s+'))
+               AS n_tokens
+    FROM documents
+)
+SELECT CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM toks GROUP BY 1
+""",
+)
+def source_text_lines(spark, sf_dir):
+    """Raw line-oriented text ingest (`spark.read.text`) — the lowest
+    common denominator of corpus interchange: one document per line, no
+    schema, no delimiter contract. Stage: documents' text flattened to
+    single lines (newlines → spaces — the writer contract for
+    line-oriented corpora) written via the text datasource, then read
+    back and profiled into a tokens-per-line histogram. The oracle
+    computes the identical histogram from the source table, so dropped
+    lines, splitting on embedded whitespace, or charset mangling all
+    flip the hash. text() reads are splittable by line at any file
+    size — the 100 TB path is exactly this reader plus more files."""
+    from ..operators._shared import scratch_dir
+
+    out = scratch_dir("source_text_lines")
+    docs = t(spark, sf_dir, "documents").select(
+        F.regexp_replace("text", r"[\r\n]+", " ").alias("value")
+    )
+    docs.write.mode("overwrite").text(out)
+    back = spark.read.text(out)
+    return (
+        back.select(
+            F.size(F.split(F.trim("value"), r"\s+")).cast("bigint").alias("n_tokens")
+        )
+        .groupBy("n_tokens")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_lines"))
+    )
