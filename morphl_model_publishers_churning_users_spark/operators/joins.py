@@ -780,3 +780,37 @@ def bloom_plan_probe(spark, sf_dir) -> str:
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+@register(
+    "join_mark_exists",
+    oracle="""
+SELECT o.o_orderkey,
+       EXISTS (SELECT 1 FROM lineitem l
+               WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+           AS has_return
+FROM orders o
+""",
+)
+def join_mark_exists(spark, sf_dir):
+    """Mark join — EXISTS as a PROJECTED boolean, not a filter. Semi/
+    anti joins can only keep or drop rows; feature engineering wants
+    the membership flag itself (has_return becomes a model feature,
+    not a predicate). Spark has no mark-join operator, so the scalable
+    formulation is: distinct-project the probe side to its join key
+    (shrinking it to unique keys BEFORE the join — the aggregate
+    pushdown that makes this safe on a fact-sized inner table), left
+    join, flag on match. One shuffle on the join key each side; with a
+    selective inner predicate the distinct side is small enough for
+    AQE to broadcast. Exact boolean/integer output."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey")
+    l = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+        .distinct()
+        .withColumn("m", F.lit(1))
+    )
+    return o.join(l, "o_orderkey", "left").select(
+        "o_orderkey", F.col("m").isNotNull().alias("has_return")
+    )

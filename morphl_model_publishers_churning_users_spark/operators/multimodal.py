@@ -470,3 +470,60 @@ def mm_header_parse(spark, sf_dir):
         body_len.alias("body_len"),
         (magic_ok & (body_len == expect_body)).alias("header_ok"),
     )
+
+
+@register(
+    "mm_tile_grid",
+    oracle="""
+WITH imgs AS (
+    SELECT doc_id, 8 AS w, 4 + doc_id % 4 AS h
+    FROM documents WHERE doc_id % 3 = 0
+), grid AS (
+    SELECT doc_id, w, h,
+           (w + 3) // 4 AS tx_n, (h + 3) // 4 AS ty_n
+    FROM imgs
+)
+SELECT g.doc_id,
+       CAST(i % tx_n AS BIGINT) AS tx,
+       CAST(i // tx_n AS BIGINT) AS ty,
+       CAST(LEAST(4, w - (i % tx_n) * 4) AS BIGINT) AS tile_w,
+       CAST(LEAST(4, h - (i // tx_n) * 4) AS BIGINT) AS tile_h
+FROM grid g, LATERAL (SELECT unnest(range(0, tx_n * ty_n)) AS i) s
+""",
+)
+def mm_tile_grid(spark, sf_dir):
+    """ViT-style patch-grid expansion — vision preprocessing turns every
+    image into a grid of fixed-size patches (plus ragged right/bottom
+    edge tiles); the downstream embed step runs per patch, so the
+    engine must explode images into patch rows WITHOUT leaving codegen.
+    The image dimensions are parsed from the REAL binary header (the
+    same substring+conv decode as mm_header_parse — no Python, no
+    Arrow hop), then `posexplode(sequence(...))` emits one row per
+    4x4 tile with its clipped extent. The oracle regenerates the grid
+    arithmetic from the container's doc_id-derived layout. Fan-out is
+    bounded (ceil(w/4)*ceil(h/4) per image), a pure narrow projection:
+    at 100 TB this pipelines inside the scan stage with zero shuffles."""
+    b = _binify(spark, sf_dir)
+    u16 = lambda pos: F.conv(F.hex(F.expr(f"substring(payload, {pos}, 2)")), 16, 10).cast("bigint")
+    tag = F.expr("substring(payload, 4, 1)").cast("string")
+    imgs = b.filter(tag == "I").select(
+        "doc_id", u16(5).alias("w"), u16(7).alias("h")
+    )
+    grid = imgs.select(
+        "doc_id", "w", "h",
+        F.floor((F.col("w") + 3) / 4).alias("tx_n"),
+        F.floor((F.col("h") + 3) / 4).alias("ty_n"),
+    )
+    exploded = grid.select(
+        "doc_id", "w", "h", "tx_n",
+        F.explode(F.expr("sequence(0, tx_n * ty_n - 1)")).alias("i"),
+    )
+    tx = F.col("i") % F.col("tx_n")
+    ty = F.floor(F.col("i") / F.col("tx_n"))
+    return exploded.select(
+        "doc_id",
+        tx.cast("bigint").alias("tx"),
+        ty.cast("bigint").alias("ty"),
+        F.least(F.lit(4), F.col("w") - tx * 4).cast("bigint").alias("tile_w"),
+        F.least(F.lit(4), F.col("h") - ty * 4).cast("bigint").alias("tile_h"),
+    )

@@ -2314,3 +2314,129 @@ def ts_rank_mobility(spark, sf_dir):
         "q1", "q2", "n_users",
         q6(F.col("n_users") / F.sum("n_users").over(wr)).alias("row_share"),
     )
+
+
+@register(
+    "ts_hurst_rs",
+    oracle="""
+WITH daily AS (
+    SELECT date_trunc('day', ts) AS d,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+    FROM events GROUP BY 1
+), series AS (
+    SELECT v, ROW_NUMBER() OVER (ORDER BY d) - 1 AS rn FROM daily
+), sizes AS (SELECT unnest([4, 8, 16]) AS n),
+chunks AS (
+    SELECT s.n, rn // s.n AS chunk, rn, v FROM series, sizes s
+), full_chunks AS (
+    SELECT n, chunk FROM chunks GROUP BY n, chunk HAVING COUNT(*) = n
+), dev AS (
+    SELECT c.n, c.chunk, c.rn,
+           CAST(FLOOR((c.v - m.mean_v) * 1000000 + 0.5) AS DECIMAL(38,6)) / 1000000
+               AS dq
+    FROM chunks c
+    JOIN full_chunks f ON c.n = f.n AND c.chunk = f.chunk
+    JOIN (
+        SELECT n, chunk,
+               CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / n AS mean_v
+        FROM chunks GROUP BY n, chunk
+    ) m ON c.n = m.n AND c.chunk = m.chunk
+), cum AS (
+    SELECT n, chunk,
+           SUM(dq) OVER (PARTITION BY n, chunk ORDER BY rn
+                         ROWS UNBOUNDED PRECEDING) AS cd
+    FROM dev
+), rng AS (
+    SELECT n, chunk, CAST(MAX(cd) - MIN(cd) AS DOUBLE) AS r
+    FROM cum GROUP BY n, chunk
+), avg_r AS (
+    SELECT n, CAST(SUM(CAST(r AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS ar
+    FROM rng GROUP BY n
+), pts AS (
+    SELECT n, ar, log2(CAST(n AS DOUBLE)) AS x, log2(ar) AS y FROM avg_r
+), fit AS (
+    SELECT SUM((x - ax) * (y - ay)) / SUM((x - ax) * (x - ax)) AS slope
+    FROM pts, (SELECT AVG(x) AS ax, AVG(y) AS ay FROM pts) s
+)
+SELECT n, ROUND(ar, 6) AS avg_range, ROUND(slope, 6) AS hurst
+FROM pts, fit
+""",
+)
+def ts_hurst_rs(spark, sf_dir):
+    """Hurst exponent by rescaled-range (R-statistic) analysis — the
+    classic long-range-dependence probe for traffic series: chunk the
+    daily-total series at sizes 4/8/16, take the range of cumulative
+    mean-deviations per chunk, and regress log2(avg range) on
+    log2(chunk size); slope ≈ H (H > 0.5 = persistent load, the thing
+    capacity planning needs to know). Cross-engine float discipline is
+    the PageRank recipe: deviations half-up-quantized to 1e-6 into
+    DECIMAL, the running sum done IN decimal (exact — DuckDB's
+    segment-tree window re-association can't bite), ranges and their
+    averages re-summed through decimal; the final log/least-squares
+    slope is a deterministic function of bit-identical inputs. Scale
+    shape: one day-grain shuffle over the fact table, then everything
+    runs on the tiny daily summary — chunking is a projection, the
+    window partitions by (n, chunk)."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        dsum(F.col("value")).alias("v")
+    )
+    series = daily.select(
+        "v", (F.row_number().over(Window.orderBy("d")) - 1).alias("rn")
+    )
+    sizes = spark.range(0, 3).select(
+        F.expr("shiftleft(4, cast(id as int))").cast("bigint").alias("n")
+    )
+    chunks = series.crossJoin(F.broadcast(sizes)).select(
+        "n", F.floor(F.col("rn") / F.col("n")).alias("chunk"), "rn", "v"
+    )
+    # The chunk table feeds full-chunk filtering, per-chunk means, and the
+    # deviation join — one eager materialization of the (tiny) summary.
+    chunks = chunks.localCheckpoint(eager=True)
+    full = chunks.groupBy("n", "chunk").agg(F.count(F.lit(1)).alias("cnt")).filter(
+        F.col("cnt") == F.col("n")
+    ).select("n", "chunk")
+    means = chunks.groupBy("n", "chunk").agg(
+        (dsum(F.col("v")) / F.first("n")).alias("mean_v")
+    )
+    dev = (
+        chunks.join(full, ["n", "chunk"])
+        .join(means, ["n", "chunk"])
+        .select(
+            "n",
+            "chunk",
+            "rn",
+            (
+                F.floor((F.col("v") - F.col("mean_v")) * 1000000 + F.lit(0.5)).cast(
+                    "decimal(38,6)"
+                )
+                / 1000000
+            ).alias("dq"),
+        )
+    )
+    wcum = Window.partitionBy("n", "chunk").orderBy("rn").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = dev.select("n", "chunk", F.sum("dq").over(wcum).alias("cd"))
+    rng = cum.groupBy("n", "chunk").agg(
+        (F.max("cd") - F.min("cd")).cast("double").alias("r")
+    )
+    avg_r = rng.groupBy("n").agg((dsum(F.col("r")) / F.count(F.lit(1))).alias("ar"))
+    pts = avg_r.select(
+        "n", "ar", F.log2(F.col("n").cast("double")).alias("x"), F.log2("ar").alias("y")
+    ).localCheckpoint(eager=True)
+    centers = pts.agg(F.avg("x").alias("ax"), F.avg("y").alias("ay"))
+    fit = (
+        pts.crossJoin(F.broadcast(centers))
+        .agg(
+            (
+                F.sum((F.col("x") - F.col("ax")) * (F.col("y") - F.col("ay")))
+                / F.sum((F.col("x") - F.col("ax")) * (F.col("x") - F.col("ax")))
+            ).alias("slope")
+        )
+    )
+    return pts.crossJoin(F.broadcast(fit)).select(
+        "n",
+        F.round("ar", 6).alias("avg_range"),
+        F.round("slope", 6).alias("hurst"),
+    )

@@ -373,6 +373,9 @@ _KEY_RANK: dict[str, int] = {
     "graph_label_propagation": 9,
     "fn_xml": 9,
     "source_text_lines": 9,
+    "ts_hurst_rs": 9,
+    "mm_tile_grid": 9,
+    "join_mark_exists": 9,
 }
 
 
