@@ -106,10 +106,12 @@ def register(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Quer
 # fn_regex/interval/collation/string_extra, dq_observe_metrics/
 # schema_contract, scan_metadata_cols, win_rolling_corr, mm_header_parse)
 # + ~15 oldest-tag backstop keys (automatic second touches, r1 families
-# first). All round-6 additions (40 rank-9 keys by end of round) were
-# sim-verified at sf0.001/0.01; the full 320-key registry ran hash-green
-# in the bare-session simulator (320/320 in 209 s) and the full pytest
-# suite finished 484 passed / 1 skipped.
+# first). All round-6 additions (49 rank-9 keys by end of round) were
+# sim-verified at sf0.001/0.01 (the float-sensitive ones also at sf0.1);
+# the full registry ran hash-green in the bare-session simulator (329/329
+# in 244 s before the last 9 additions, each of those 9 then driver-
+# compared individually) and the full pytest suite finished 493 passed /
+# 1 skipped.
 _VERIFIED_ROUND: dict[str, int] = {
         # --- round 1 greens ---
     "agg_benford": 1, "agg_collect": 1, "agg_cooccurrence": 1, "agg_corr_matrix": 1,
