@@ -619,3 +619,33 @@ def test_bfs_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "graph_bfs_distance")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mark_join_distinct_before_join(spark, sf_dir):
+    """join_mark_exists must shrink the probe side to DISTINCT keys
+    BEFORE the join (aggregate-below-join) — joining the raw lineitem
+    and deduping after would fan out fact-scale rows."""
+    plan = _plan(spark, sf_dir, "join_mark_exists")
+    assert "CartesianProduct" not in plan
+    # the distinct aggregate must appear under the join, and the
+    # returnflag predicate must reach the lineitem scan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("EqualTo(l_returnflag,R)" in l for l in pushed)
+
+
+def test_tile_grid_no_shuffle(spark, sf_dir):
+    """mm_tile_grid is a narrow decode+explode — any Exchange in the
+    plan means the fan-out stopped pipelining inside the scan stage."""
+    plan = _plan(spark, sf_dir, "mm_tile_grid")
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the posexplode survives
+
+
+def test_xml_roundtrip_single_scan_no_shuffle_before_agg(spark, sf_dir):
+    """fn_xml parses in codegen: exactly one orders scan and only the
+    final aggregate's exchange."""
+    import re
+
+    plan = _plan(spark, sf_dir, "fn_xml")
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1  # agg only
