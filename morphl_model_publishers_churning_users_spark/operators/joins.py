@@ -814,3 +814,95 @@ def join_mark_exists(spark, sf_dir):
     return o.join(l, "o_orderkey", "left").select(
         "o_orderkey", F.col("m").isNotNull().alias("has_return")
     )
+
+
+@register(
+    "join_scd2_asof",
+    oracle="""
+WITH daily AS (
+    SELECT user_id, day, status FROM (
+        SELECT user_id, CAST(ts AS DATE) AS day, event_type AS status,
+               ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1
+), flagged AS (
+    SELECT user_id, day, status,
+           CASE WHEN LAG(status) OVER (PARTITION BY user_id ORDER BY day)
+                     IS DISTINCT FROM status THEN 1 ELSE 0 END AS chg
+    FROM daily
+), grp AS (
+    SELECT user_id, day, status,
+           SUM(chg) OVER (PARTITION BY user_id ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) AS g
+    FROM flagged
+), iv AS (
+    SELECT user_id, status, g, MIN(day) AS valid_from
+    FROM grp GROUP BY 1, 2, 3
+), dim AS (
+    SELECT user_id, status, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+               AS valid_to
+    FROM iv
+)
+SELECT d.status,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM events e
+JOIN dim d ON d.user_id = e.user_id
+          AND CAST(e.ts AS DATE) >= d.valid_from
+          AND (d.valid_to IS NULL OR CAST(e.ts AS DATE) < d.valid_to)
+GROUP BY d.status
+""",
+)
+def join_scd2_asof(spark, sf_dir):
+    """Dimension as-of join — attach to every fact row the SCD2
+    dimension version valid AT ITS TIMESTAMP ([valid_from, valid_to)
+    containment), the join every warehouse with type-2 dimensions runs
+    on every query. Spark has no interval-containment join, but the
+    scalable form is an EQUI-join on the dimension's natural key
+    (user_id) with the interval predicate as a post-join filter: the
+    shuffle partitions by user, each user meets only its own few
+    dimension versions (bounded fan-in), and Catalyst folds the range
+    check into the join condition — never a cartesian. The dimension
+    itself is rebuilt inline with ts_scd2_history's gaps-and-islands
+    windows. Integer/date arithmetic only: exact twin."""
+    ev = t(spark, sf_dir, "events")
+    w_day = Window.partitionBy("user_id", "day").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    daily = (
+        ev.select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            F.col("event_type").alias("status"),
+            "ts",
+            "event_id",
+        )
+        .withColumn("rn", F.row_number().over(w_day))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", "status")
+    )
+    w_u = Window.partitionBy("user_id").orderBy("day")
+    grp = daily.withColumn(
+        "chg",
+        F.when(~F.lag("status").over(w_u).eqNullSafe(F.col("status")), 1).otherwise(0),
+    ).withColumn("g", F.sum("chg").over(w_u.rowsBetween(Window.unboundedPreceding, 0)))
+    iv = grp.groupBy("user_id", "status", "g").agg(F.min("day").alias("valid_from"))
+    w_iv = Window.partitionBy("user_id").orderBy("valid_from")
+    dim = iv.select(
+        "user_id",
+        "status",
+        "valid_from",
+        F.lead("valid_from").over(w_iv).alias("valid_to"),
+    )
+    fact = ev.select("user_id", F.to_date("ts").alias("day"))
+    joined = fact.join(
+        dim,
+        (fact["user_id"] == dim["user_id"])
+        & (F.col("day") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("day") < F.col("valid_to"))),
+    )
+    return joined.groupBy("status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct(fact["user_id"]).cast("bigint").alias("n_users"),
+    )

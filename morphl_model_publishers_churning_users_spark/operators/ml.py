@@ -1599,3 +1599,153 @@ def ml_isotonic_pav(spark, sf_dir):
             "iso_rate",
         )
     )
+
+
+@register(
+    "ml_bootstrap_metric_ci",
+    oracle="""
+WITH u AS (
+    SELECT user_id, MAX(ts) AS last_ts FROM events GROUP BY user_id
+), lab AS (
+    SELECT user_id,
+           CASE WHEN last_ts < TIMESTAMP '2024-01-29 20:00:00' THEN 1 ELSE 0 END
+               AS churned
+    FROM u
+), reps AS (SELECT unnest(range(0, 16)) AS b),
+w AS (
+    SELECT l.user_id, l.churned, l.b,
+           CASE
+             WHEN uv < 0.367879441 THEN 0
+             WHEN uv < 0.735758882 THEN 1
+             WHEN uv < 0.919698603 THEN 2
+             WHEN uv < 0.981011843 THEN 3
+             WHEN uv < 0.996340153 THEN 4
+             ELSE 5
+           END AS wt
+    FROM (
+        SELECT user_id, churned, b,
+               CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR) || ':' ||
+                                           CAST(b AS VARCHAR)), 1, 6))::BIGINT
+                    % 1000000 AS DOUBLE) / 1000000 AS uv
+        FROM lab, reps
+    ) l
+), rates AS (
+    SELECT b,
+           CAST(SUM(wt * churned) AS DOUBLE) / SUM(wt) AS rate
+    FROM w GROUP BY b
+), rq AS (
+    SELECT b, CAST(FLOOR(rate * 1e12 + 0.5) AS DECIMAL(38,12)) / 1e12 AS r FROM rates
+), mstats AS (
+    SELECT CAST(SUM(CAST(r AS DECIMAL(38,12))) AS DOUBLE) / 16 AS m FROM rq
+), sstats AS (
+    SELECT CAST(SUM(CAST(FLOOR((CAST(r AS DOUBLE) - m) * (CAST(r AS DOUBLE) - m) * 1e12 + 0.5)
+                         AS DECIMAL(38,12))) AS DOUBLE) / 1e12 / 15 AS var
+    FROM rq, mstats
+), point AS (
+    SELECT CAST(SUM(churned) AS DOUBLE) / COUNT(*) AS p FROM lab
+)
+SELECT ROUND(p, 6) AS point_rate,
+       ROUND(m, 6) AS boot_mean,
+       ROUND(m - 1.96 * sqrt(var), 6) AS ci_lo,
+       ROUND(m + 1.96 * sqrt(var), 6) AS ci_hi
+FROM point, mstats, sstats
+""",
+)
+def ml_bootstrap_metric_ci(spark, sf_dir):
+    """Bootstrap confidence interval for the churn-rate metric — the
+    error bar every model-eval readout should carry. The classical
+    resample-with-replacement is reframed for a distributed engine as
+    the POISSON BOOTSTRAP (Chamandy et al.'s production formulation):
+    each of 16 replicas assigns every user a deterministic
+    Poisson(1)-distributed weight from an inverse-CDF lookup on a
+    per-(user, replica) md5 hash, so the 'resampling' is a narrow
+    16-way fan-out (no shuffle of the fact table, no actual sampling
+    pass per replica) aggregated in ONE keyed groupBy. Every quantity
+    is exact: integer weight sums, one double division per replica,
+    replica rates quantized to 1e-12 and decimal-summed for the
+    mean/variance — both engines walk bit-identical numbers into the
+    final ±1.96·sd interval. At 100 TB the per-user label table is the
+    only state and replica count scales the fan-out linearly."""
+    e = t(spark, sf_dir, "events")
+    lab = (
+        e.groupBy("user_id")
+        .agg(F.max("ts").alias("last_ts"))
+        .select(
+            "user_id",
+            F.when(
+                F.col("last_ts") < F.to_timestamp(F.lit("2024-01-29 20:00:00")), 1
+            )
+            .otherwise(0)
+            .alias("churned"),
+        )
+        .localCheckpoint(eager=True)  # feeds the point estimate AND 16 replicas
+    )
+    reps = spark.range(0, 16).select(F.col("id").cast("bigint").alias("b"))
+    uv = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("user_id").cast("string"),
+                        F.lit(":"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000000
+    ).cast("double") / 1000000
+    wt = (
+        F.when(F.col("uv") < 0.367879441, 0)
+        .when(F.col("uv") < 0.735758882, 1)
+        .when(F.col("uv") < 0.919698603, 2)
+        .when(F.col("uv") < 0.981011843, 3)
+        .when(F.col("uv") < 0.996340153, 4)
+        .otherwise(5)
+    )
+    w = lab.crossJoin(F.broadcast(reps)).withColumn("uv", uv).withColumn("wt", wt)
+    rates = w.groupBy("b").agg(
+        (
+            F.sum(F.col("wt") * F.col("churned")).cast("double") / F.sum("wt")
+        ).alias("rate")
+    )
+    rq = rates.select(
+        "b",
+        (
+            F.floor(F.col("rate") * F.lit(1e12) + F.lit(0.5)).cast("decimal(38,12)")
+            / F.lit(1e12)
+        ).alias("r"),
+    ).localCheckpoint(eager=True)  # feeds mean AND variance passes
+    m = rq.agg(
+        (F.sum(F.col("r").cast("decimal(38,12)")).cast("double") / F.lit(16)).alias("m")
+    )
+    dev = rq.crossJoin(F.broadcast(m)).select(
+        "m",
+        (
+            F.floor(
+                (F.col("r").cast("double") - F.col("m"))
+                * (F.col("r").cast("double") - F.col("m"))
+                * F.lit(1e12)
+                + F.lit(0.5)
+            ).cast("decimal(38,12)")
+        ).alias("sq"),
+    )
+    var = dev.groupBy("m").agg(
+        (F.sum("sq").cast("double") / F.lit(1e12) / F.lit(15)).alias("var")
+    )
+    point = lab.agg(
+        (F.sum("churned").cast("double") / F.count(F.lit(1))).alias("p")
+    )
+    return (
+        point.crossJoin(F.broadcast(var))
+        .select(
+            F.round("p", 6).alias("point_rate"),
+            F.round("m", 6).alias("boot_mean"),
+            F.round(F.col("m") - 1.96 * F.sqrt("var"), 6).alias("ci_lo"),
+            F.round(F.col("m") + 1.96 * F.sqrt("var"), 6).alias("ci_hi"),
+        )
+    )

@@ -1186,3 +1186,60 @@ def dq_fk_chain(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register(
+    "dq_outlier_iqr",
+    oracle="""
+WITH q AS (
+    SELECT event_type,
+           quantile_cont(value, 0.25) AS q1,
+           quantile_cont(value, 0.75) AS q3
+    FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+                       OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       ROUND(q.q1 - 1.5 * (q.q3 - q.q1), 6) AS lo_fence,
+       ROUND(q.q3 + 1.5 * (q.q3 - q.q1), 6) AS hi_fence
+FROM events e JOIN q ON e.event_type = q.event_type
+GROUP BY e.event_type, q.q1, q.q3
+""",
+)
+def dq_outlier_iqr(spark, sf_dir):
+    """Tukey-fence outlier audit per segment — the standard numeric DQ
+    gate before a value column feeds training: exact quartiles per
+    event type, 1.5×IQR fences, and the count of rows outside them.
+    Two passes by necessity (the fence is a function of the full
+    distribution): one sort-based quantile aggregate producing a
+    SEGMENT-COUNT-sized table, broadcast back onto the fact scan for
+    the outlier count — no second shuffle of the fact table. Both
+    engines interpolate quantiles linearly and the fence arithmetic is
+    identical IEEE math, so the twin is exact. At 100 TB the exact
+    quantile swaps for percentile_approx and the mechanics hold."""
+    ev = t(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25D)").alias("q1"),
+        F.expr("percentile(value, 0.75D)").alias("q3"),
+    )
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "q1", "q3")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(((F.col("value") < lo) | (F.col("value") > hi)).cast("long"))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "n_outliers",
+            F.round(lo, 6).alias("lo_fence"),
+            F.round(hi, 6).alias("hi_fence"),
+        )
+    )

@@ -378,6 +378,9 @@ _KEY_RANK: dict[str, int] = {
     "ts_hurst_rs": 9,
     "mm_tile_grid": 9,
     "join_mark_exists": 9,
+    "dq_outlier_iqr": 9,
+    "join_scd2_asof": 9,
+    "ml_bootstrap_metric_ci": 9,
 }
 
 
