@@ -3698,3 +3698,69 @@ def llm_boilerplate_ngrams(spark, sf_dir):
             F.coalesce("n_docs_affected", F.lit(0)).cast("bigint").alias("n_docs_affected"),
         )
     )
+
+
+@register(
+    "llm_dedup_containment",
+    oracle=f"""
+WITH grams AS (
+    SELECT DISTINCT doc_id, unnest({_NGRAM_SH_DUCK}) AS g
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents)
+), sizes AS (
+    SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
+), inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id <> b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a AS contained_doc, doc_b AS container_doc,
+       ROUND(CAST(n_common AS DOUBLE) / sa.sz, 6) AS containment
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(n_common AS DOUBLE) / sa.sz >= 0.8
+  AND sa.sz <= sb.sz
+""",
+)
+def llm_dedup_containment(spark, sf_dir):
+    """Broder CONTAINMENT dedup — the asymmetric measure Jaccard
+    misses: an excerpt quoted inside a longer article has low Jaccard
+    (the union is article-sized) but containment |A∩B|/|A| ≈ 1. A
+    corpus keeping both trains on the excerpt twice. Pairs where ≥80%
+    of the smaller doc's 3-shingles appear in a no-smaller doc are
+    flagged (contained → container). Candidates come from the shared-
+    shingle join — cost O(co-occurring shingles), never all-pairs, the
+    same blocking spine as llm_dedup_ngram; the containment divisor is
+    just the SMALLER doc's shingle count, so no extra pass beyond the
+    per-doc sizes both sides already need. Exact: integer intersection
+    counts over distinct shingles, one double division."""
+    d = t(spark, sf_dir, "documents")
+    grams = (
+        d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("w"))
+        .filter(F.size("w") >= 3)
+        .select("doc_id", F.explode(F.expr(_NGRAM_SH_SPARK)).alias("g"))
+        .distinct()
+    )
+    grams = grams.localCheckpoint(eager=True)  # feeds sizes + both join legs
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = grams.select(F.col("doc_id").alias("doc_a"), "g")
+    b = grams.select(F.col("doc_id").alias("doc_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    cont = F.col("n_common") / F.col("sz_a")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter((cont >= 0.8) & (F.col("sz_a") <= F.col("sz_b")))
+        .select(
+            F.col("doc_a").alias("contained_doc"),
+            F.col("doc_b").alias("container_doc"),
+            F.round(cont, 6).alias("containment"),
+        )
+    )

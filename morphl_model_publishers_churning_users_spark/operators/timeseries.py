@@ -2440,3 +2440,159 @@ def ts_hurst_rs(spark, sf_dir):
         F.round("ar", 6).alias("avg_range"),
         F.round("slope", 6).alias("hurst"),
     )
+
+
+@register(
+    "ts_cadence_break",
+    oracle="""
+WITH gaps AS (
+    SELECT user_id,
+           epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+               AS gap_us,
+           ts, event_id
+    FROM events
+), stats AS (
+    SELECT user_id,
+           quantile_cont(gap_us, 0.5) AS med_gap,
+           COUNT(gap_us) AS n_gaps,
+           MAX(ts) AS last_ts
+    FROM gaps GROUP BY user_id
+), horizon AS (SELECT MAX(ts) AS h FROM events)
+SELECT s.user_id,
+       CAST(s.n_gaps AS BIGINT) AS n_gaps,
+       CAST(s.med_gap AS DOUBLE) AS med_gap_us,
+       CAST(epoch_us(horizon.h) - epoch_us(s.last_ts) AS BIGINT) AS silence_us,
+       (epoch_us(horizon.h) - epoch_us(s.last_ts)) > 3 * s.med_gap AS cadence_broken
+FROM stats s, horizon
+WHERE s.n_gaps >= 3
+""",
+)
+def ts_cadence_break(spark, sf_dir):
+    """Cadence-break churn signal — the behavioral definition of 'gone':
+    not a fixed inactivity window but EACH USER'S OWN rhythm. Per user,
+    the median inter-event gap (exact quantile over their gaps) is the
+    personal cadence; a current silence (corpus horizon minus last
+    event) longer than 3x that cadence flags the user as broken — the
+    heavy-weekly user and the once-a-month user get correct, different
+    thresholds. One user-keyed window pass for the gaps, one groupBy
+    for the per-user stats, one broadcast horizon scalar; all integer
+    microsecond arithmetic except the exact-median interpolation, which
+    both engines compute identically. Low-signal users (< 3 gaps) are
+    excluded — their median is noise. The per-user state is a handful
+    of scalars: at 100 TB this is the sessionize-shaped shuffle every
+    churn pipeline already pays."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "user_id",
+        "ts",
+        F.expr(
+            "timestampdiff(MICROSECOND, lag(ts) over "
+            "(partition by user_id order by ts, event_id), ts)"
+        ).alias("gap_us"),
+    )
+    stats = gaps.groupBy("user_id").agg(
+        F.expr("percentile(gap_us, 0.5D)").alias("med_gap"),
+        F.count("gap_us").alias("n_gaps"),
+        F.max("ts").alias("last_ts"),
+    )
+    horizon = e.agg(F.max("ts").alias("h"))
+    silence = F.expr("timestampdiff(MICROSECOND, last_ts, h)")
+    return (
+        stats.filter(F.col("n_gaps") >= 3)
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "user_id",
+            F.col("n_gaps").cast("bigint").alias("n_gaps"),
+            F.col("med_gap").cast("double").alias("med_gap_us"),
+            silence.cast("bigint").alias("silence_us"),
+            (silence > 3 * F.col("med_gap")).alias("cadence_broken"),
+        )
+    )
+
+
+@register(
+    "ts_haar_energy",
+    oracle="""
+WITH daily AS (
+    SELECT date_trunc('day', ts) AS d,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+    FROM events GROUP BY 1
+), series AS (
+    SELECT v, ROW_NUMBER() OVER (ORDER BY d) - 1 AS rn FROM daily
+    QUALIFY rn < 24
+), l1 AS (
+    SELECT rn // 2 AS rn,
+           (MAX(CASE WHEN rn % 2 = 0 THEN v END) + MAX(CASE WHEN rn % 2 = 1 THEN v END)) / 2 AS a,
+           (MAX(CASE WHEN rn % 2 = 0 THEN v END) - MAX(CASE WHEN rn % 2 = 1 THEN v END)) / 2 AS dd
+    FROM series GROUP BY 1 HAVING COUNT(*) = 2
+), l2 AS (
+    SELECT rn // 2 AS rn,
+           (MAX(CASE WHEN rn % 2 = 0 THEN a END) + MAX(CASE WHEN rn % 2 = 1 THEN a END)) / 2 AS a,
+           (MAX(CASE WHEN rn % 2 = 0 THEN a END) - MAX(CASE WHEN rn % 2 = 1 THEN a END)) / 2 AS dd
+    FROM l1 GROUP BY 1 HAVING COUNT(*) = 2
+), l3 AS (
+    SELECT rn // 2 AS rn,
+           (MAX(CASE WHEN rn % 2 = 0 THEN a END) + MAX(CASE WHEN rn % 2 = 1 THEN a END)) / 2 AS a,
+           (MAX(CASE WHEN rn % 2 = 0 THEN a END) - MAX(CASE WHEN rn % 2 = 1 THEN a END)) / 2 AS dd
+    FROM l2 GROUP BY 1 HAVING COUNT(*) = 2
+), en AS (
+    SELECT 1 AS level, CAST(SUM(CAST(FLOOR(dd * dd * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE) / 1e6 AS energy,
+           CAST(COUNT(*) AS BIGINT) AS n_coeffs FROM l1
+    UNION ALL
+    SELECT 2, CAST(SUM(CAST(FLOOR(dd * dd * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE) / 1e6, CAST(COUNT(*) AS BIGINT) FROM l2
+    UNION ALL
+    SELECT 3, CAST(SUM(CAST(FLOOR(dd * dd * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE) / 1e6, CAST(COUNT(*) AS BIGINT) FROM l3
+)
+SELECT level, ROUND(energy, 6) AS energy, n_coeffs FROM en
+""",
+)
+def ts_haar_energy(spark, sf_dir):
+    """Haar wavelet energy decomposition of the daily-traffic series —
+    the multi-resolution cousin of ts_periodogram: detail energy at
+    2/4/8-day scales localizes WHEN variance lives (burst vs weekly
+    rhythm vs regime drift), the feature set short-horizon anomaly
+    models train on. The transform is 3 unrolled average/difference
+    levels over the first 24 days (truncated to the dyadic window),
+    each level one pair-keyed aggregate on an already-tiny summary.
+    Exactness by construction: daily totals are DECIMAL sums, every
+    Haar step is add/subtract + divide-by-two (exact in binary
+    floating point — no rounding anywhere in the cascade), and only
+    the final squared-coefficient energies are quantized into decimal
+    accumulation. One fact-table shuffle; the cascade is free."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        dsum(F.col("value")).alias("v")
+    )
+    series = (
+        daily.select("v", (F.row_number().over(Window.orderBy("d")) - 1).alias("rn"))
+        .filter(F.col("rn") < 24)
+        .localCheckpoint(eager=True)
+    )
+
+    def level(df, col):
+        pair = df.groupBy(F.floor(F.col("rn") / 2).alias("rn")).agg(
+            F.max(F.when(F.col("rn") % 2 == 0, F.col(col))).alias("x0"),
+            F.max(F.when(F.col("rn") % 2 == 1, F.col(col))).alias("x1"),
+            F.count(F.lit(1)).alias("cnt"),
+        ).filter(F.col("cnt") == 2)
+        return pair.select(
+            "rn",
+            ((F.col("x0") + F.col("x1")) / 2).alias("a"),
+            ((F.col("x0") - F.col("x1")) / 2).alias("dd"),
+        ).localCheckpoint(eager=True)
+
+    l1 = level(series, "v")
+    l2 = level(l1, "a")
+    l3 = level(l2, "a")
+    q6sq = lambda c: F.floor(c * c * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,6)")
+
+    def energy(df, lvl):
+        return df.agg(
+            F.lit(lvl).cast("int").alias("level"),
+            (F.sum(q6sq(F.col("dd"))).cast("double") / F.lit(1e6)).alias("energy"),
+            F.count(F.lit(1)).cast("bigint").alias("n_coeffs"),
+        )
+
+    out = energy(l1, 1).unionByName(energy(l2, 2)).unionByName(energy(l3, 3))
+    return out.select("level", F.round("energy", 6).alias("energy"), "n_coeffs")

@@ -381,6 +381,9 @@ _KEY_RANK: dict[str, int] = {
     "dq_outlier_iqr": 9,
     "join_scd2_asof": 9,
     "ml_bootstrap_metric_ci": 9,
+    "ts_cadence_break": 9,
+    "ts_haar_energy": 9,
+    "llm_dedup_containment": 9,
 }
 
 
