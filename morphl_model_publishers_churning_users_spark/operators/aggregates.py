@@ -1603,3 +1603,54 @@ def agg_rate_ci_wilson(spark, sf_dir):
         q6(center - half).alias("ci_lo"),
         q6(center + half).alias("ci_hi"),
     )
+
+
+@register(
+    "agg_log2_histogram",
+    oracle="""
+WITH gaps AS (
+    SELECT event_type,
+           epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+               AS gap_us
+    FROM events
+)
+SELECT event_type,
+       CAST(LENGTH(bin(gap_us)) - 1 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(gap_us) AS BIGINT) AS lo,
+       CAST(MAX(gap_us) AS BIGINT) AS hi
+FROM gaps WHERE gap_us IS NOT NULL AND gap_us > 0
+GROUP BY 1, 2
+""",
+)
+def agg_log2_histogram(spark, sf_dir):
+    """HdrHistogram-style log2-bucketed latency profile of inter-event
+    gaps — the shape every latency/recency readout uses in production,
+    because linear buckets (agg_histogram) waste resolution across the
+    6-decade microsecond-to-day range. The bucket index is computed as
+    BINARY DIGIT COUNT (length(bin(x)) − 1), not floor(log2(x)):
+    bit-exact integer arithmetic in both engines, immune to the
+    last-ulp libm divergence that floor-of-log suffers at power-of-two
+    boundaries. One user-keyed window for the gaps (the sessionize
+    shuffle), one map-side-combinable aggregate; cardinality is
+    O(types × 64 buckets) regardless of corpus size."""
+    e = t(spark, sf_dir, "events")
+    gaps = e.select(
+        "event_type",
+        F.expr(
+            "timestampdiff(MICROSECOND, lag(ts) over "
+            "(partition by user_id order by ts, event_id), ts)"
+        ).alias("gap_us"),
+    )
+    return (
+        gaps.filter(F.col("gap_us").isNotNull() & (F.col("gap_us") > 0))
+        .groupBy(
+            "event_type",
+            (F.length(F.bin("gap_us")) - 1).cast("bigint").alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("gap_us").cast("bigint").alias("lo"),
+            F.max("gap_us").cast("bigint").alias("hi"),
+        )
+    )

@@ -1749,3 +1749,75 @@ def ml_bootstrap_metric_ci(spark, sf_dir):
             F.round(F.col("m") + 1.96 * F.sqrt("var"), 6).alias("ci_hi"),
         )
     )
+
+
+@register(
+    "ml_drift_jsd",
+    oracle="""
+WITH halves AS (
+    SELECT event_type,
+           CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 0 ELSE 1 END AS half
+    FROM events
+), counts AS (
+    SELECT event_type,
+           SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n_p,
+           SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n_q
+    FROM halves GROUP BY event_type
+), tot AS (
+    SELECT SUM(n_p) AS tp, SUM(n_q) AS tq FROM counts
+), probs AS (
+    SELECT event_type,
+           CAST(n_p AS DOUBLE) / tp AS p,
+           CAST(n_q AS DOUBLE) / tq AS q
+    FROM counts, tot
+), terms AS (
+    SELECT event_type,
+           CAST(FLOOR((CASE WHEN p > 0 THEN 0.5 * p * log2(p / ((p + q) / 2)) ELSE 0 END
+                     + CASE WHEN q > 0 THEN 0.5 * q * log2(q / ((p + q) / 2)) ELSE 0 END)
+                      * 1e9 + 0.5) AS DECIMAL(38,9)) / 1e9 AS term
+    FROM probs
+)
+SELECT ROUND(CAST(SUM(CAST(term AS DECIMAL(38,9))) AS DOUBLE), 6) AS jsd,
+       CAST(COUNT(*) AS BIGINT) AS n_categories
+FROM terms
+""",
+)
+def ml_drift_jsd(spark, sf_dir):
+    """Jensen-Shannon divergence between the first and second half of
+    the window's event-type mix — the bounded, symmetric drift metric
+    (0 = identical mixes, 1 bit = disjoint) monitoring pipelines pair
+    with PSI (ml_psi): JSD stays finite when a category vanishes,
+    exactly where PSI's log-ratio blows up. Probabilities are exact
+    int/int ratios, each category's term is quantized to 1e-9 and
+    decimal-summed, so both engines add identical quantities — the
+    only float op is log2 on bit-identical doubles. One groupBy on the
+    fact table + a broadcast 2-scalar total; category cardinality
+    bounds everything downstream."""
+    e = t(spark, sf_dir, "events")
+    counts = e.groupBy("event_type").agg(
+        F.sum(
+            (F.col("ts") < F.to_timestamp(F.lit("2024-01-16 00:00:00"))).cast("long")
+        ).alias("n_p"),
+        F.sum(
+            (F.col("ts") >= F.to_timestamp(F.lit("2024-01-16 00:00:00"))).cast("long")
+        ).alias("n_q"),
+    ).localCheckpoint(eager=True)  # feeds the totals scalar AND the terms
+    tot = counts.agg(F.sum("n_p").alias("tp"), F.sum("n_q").alias("tq"))
+    probs = counts.crossJoin(F.broadcast(tot)).select(
+        (F.col("n_p").cast("double") / F.col("tp")).alias("p"),
+        (F.col("n_q").cast("double") / F.col("tq")).alias("q"),
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    term_raw = (
+        F.when(F.col("p") > 0, 0.5 * F.col("p") * F.log2(F.col("p") / m)).otherwise(0.0)
+        + F.when(F.col("q") > 0, 0.5 * F.col("q") * F.log2(F.col("q") / m)).otherwise(0.0)
+    )
+    terms = probs.select(
+        (
+            F.floor(term_raw * F.lit(1e9) + F.lit(0.5)).cast("decimal(38,9)") / F.lit(1e9)
+        ).alias("term")
+    )
+    return terms.agg(
+        F.round(F.sum(F.col("term").cast("decimal(38,9)")).cast("double"), 6).alias("jsd"),
+        F.count(F.lit(1)).cast("bigint").alias("n_categories"),
+    )

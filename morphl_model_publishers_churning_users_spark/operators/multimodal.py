@@ -527,3 +527,68 @@ def mm_tile_grid(spark, sf_dir):
         F.least(F.lit(4), F.col("w") - tx * 4).cast("bigint").alias("tile_w"),
         F.least(F.lit(4), F.col("h") - ty * 4).cast("bigint").alias("tile_h"),
     )
+
+
+def _audio_samples(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """One audio row → one row per PCM sample (Arrow-side explode)."""
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "idx": [], "sample": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            dec = decode_media(payload)
+            if dec["modality"] != "audio":
+                continue
+            for i, s in enumerate(dec["samples"]):
+                out["doc_id"].append(doc_id)
+                out["idx"].append(i)
+                out["sample"].append(s)
+        yield pd.DataFrame(out)
+
+
+@register(
+    "mm_activity_segments",
+    oracle=f"""
+WITH samples AS (
+    SELECT doc_id, i AS idx, (doc_id * {_A1} + i * {_A2}) % 256 AS sample
+    FROM (SELECT doc_id, 32 + doc_id % 32 AS n FROM documents WHERE doc_id % 3 = 1),
+         LATERAL (SELECT unnest(range(0, n)) AS i) s
+), active AS (
+    SELECT doc_id, idx,
+           idx - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY idx) AS seg
+    FROM samples WHERE sample >= 128
+), segs AS (
+    SELECT doc_id, seg, COUNT(*) AS seg_len
+    FROM active GROUP BY doc_id, seg
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(MAX(seg_len) AS BIGINT) AS max_seg_len,
+       CAST(SUM(seg_len) AS BIGINT) AS n_active
+FROM segs GROUP BY doc_id
+""",
+)
+def mm_activity_segments(spark, sf_dir):
+    """Voice-activity-style segmentation over decoded audio — the
+    speech-pipeline primitive that turns raw PCM into utterance spans
+    (then only the active spans get transcribed/embedded). The decode
+    explodes samples INSIDE the Arrow worker (one audio row → n sample
+    rows, bounded n ≤ 63 — never a driver-side loop), thresholding and
+    the gaps-and-islands run-grouping (idx − row_number = segment id)
+    run as native window/aggregate passes partitioned by doc_id. A
+    production swap puts real PCM frames and an energy threshold in
+    the same seams. Integer-exact end to end; the oracle regenerates
+    the deterministic sample stream and the identical island algebra."""
+    from pyspark.sql import Window
+
+    samples = _binify(spark, sf_dir).mapInPandas(
+        _audio_samples, schema="doc_id bigint, idx bigint, sample bigint"
+    )
+    w = Window.partitionBy("doc_id").orderBy("idx")
+    active = samples.filter(F.col("sample") >= 128).withColumn(
+        "seg", F.col("idx") - F.row_number().over(w)
+    )
+    segs = active.groupBy("doc_id", "seg").agg(F.count(F.lit(1)).alias("seg_len"))
+    return segs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.max("seg_len").cast("bigint").alias("max_seg_len"),
+        F.sum("seg_len").cast("bigint").alias("n_active"),
+    )

@@ -384,6 +384,9 @@ _KEY_RANK: dict[str, int] = {
     "ts_cadence_break": 9,
     "ts_haar_energy": 9,
     "llm_dedup_containment": 9,
+    "mm_activity_segments": 9,
+    "agg_log2_histogram": 9,
+    "ml_drift_jsd": 9,
 }
 
 
