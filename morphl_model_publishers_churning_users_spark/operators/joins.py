@@ -906,3 +906,59 @@ def join_scd2_asof(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.countDistinct(fact["user_id"]).cast("bigint").alias("n_users"),
     )
+
+
+@register(
+    "join_temporal_knn",
+    oracle="""
+WITH p AS (
+    SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+), c AS (
+    SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+), cand AS (
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           ABS(epoch_us(p.ts) - epoch_us(c.ts)) AS dist_us,
+           ROW_NUMBER() OVER (PARTITION BY p.event_id
+                              ORDER BY ABS(epoch_us(p.ts) - epoch_us(c.ts)),
+                                       c.event_id) AS rnk
+    FROM p JOIN c ON p.user_id = c.user_id
+        AND ABS(epoch_us(p.ts) - epoch_us(c.ts)) <= 3600000000
+)
+SELECT purchase_id, CAST(rnk AS BIGINT) AS rnk, click_id,
+       CAST(dist_us AS BIGINT) AS dist_us
+FROM cand WHERE rnk <= 2
+""",
+)
+def join_temporal_knn(spark, sf_dir):
+    """Temporal k-nearest join (k=2) — attribution and feature windows
+    often need not THE nearest neighbor (join_asof_nearest) but the k
+    nearest interactions around an outcome: here the 2 closest clicks
+    within ±1 h of each purchase, by the same user. The scalable form:
+    equi-join on user_id (one keyed shuffle — each user meets only its
+    own events), the ±1 h band as a join-condition filter bounding the
+    fan-out, then a per-purchase rank window keeping k. Deterministic
+    ties (distance, then click id). Integer microsecond arithmetic —
+    exact twin. The band is the knob: at 100 TB you tighten it, never
+    widen k, because fan-out cost is band × rate, not corpus size."""
+    e = t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("purchase_id")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("click_id")
+    )
+    dist = F.abs(F.expr("timestampdiff(MICROSECOND, c_ts, p_ts)"))
+    cand = p.join(c, "user_id").withColumn("dist_us", dist).filter(
+        F.col("dist_us") <= 3600000000
+    )
+    w = Window.partitionBy("purchase_id").orderBy("dist_us", "click_id")
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select(
+            "purchase_id",
+            F.col("rnk").cast("bigint").alias("rnk"),
+            "click_id",
+            F.col("dist_us").cast("bigint").alias("dist_us"),
+        )
+    )

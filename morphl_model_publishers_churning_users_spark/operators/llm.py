@@ -3764,3 +3764,45 @@ def llm_dedup_containment(spark, sf_dir):
             F.round(cont, 6).alias("containment"),
         )
     )
+
+
+@register(
+    "llm_kwic_spans",
+    oracle=r"""
+WITH w AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents
+), hits AS (
+    SELECT doc_id, words, list_position(words, 'spark') AS pos FROM w
+    WHERE list_position(words, 'spark') > 0
+)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       array_to_string(words[GREATEST(1, pos - 3):LEAST(len(words), pos + 3)], ' ')
+           AS span
+FROM hits
+""",
+)
+def llm_kwic_spans(spark, sf_dir):
+    """Keyword-in-context (KWIC) extraction — the concordance view
+    corpus QA teams use to audit how a term is actually used before
+    writing filter rules (is 'spark' the engine or a stray token?).
+    For each doc containing the anchor term, emit the ±3-token window
+    around its FIRST occurrence. Pure array algebra in codegen:
+    split → array_position → slice — no explode, no shuffle, output
+    bounded by hit count. The 1-based position and inclusive-slice
+    semantics are aligned across engines (Spark `slice(start, length)`
+    vs DuckDB `list[a:b]`) — exactly the off-by-one seam the oracle
+    hash exists to catch."""
+    d = t(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("words"))
+    hits = w.withColumn("pos", F.array_position("words", "spark")).filter(
+        F.col("pos") > 0
+    )
+    start = F.greatest(F.lit(1), F.col("pos") - 3)
+    stop = F.least(F.size("words").cast("bigint"), F.col("pos") + 3)
+    return hits.select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.array_join(
+            F.slice("words", start, (stop - start + 1).cast("int")), " "
+        ).alias("span"),
+    )

@@ -2596,3 +2596,101 @@ def ts_haar_energy(spark, sf_dir):
 
     out = energy(l1, 1).unionByName(energy(l2, 2)).unionByName(energy(l3, 3))
     return out.select("level", F.round("energy", 6).alias("energy"), "n_coeffs")
+
+
+@register(
+    "ts_weekday_anova",
+    oracle="""
+WITH daily AS (
+    SELECT date_trunc('day', ts) AS d,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+    FROM events GROUP BY 1
+), tagged AS (
+    SELECT dayofweek(d) + 1 AS wd, v FROM daily
+), grand AS (
+    SELECT CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS gm,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM tagged
+), grp AS (
+    SELECT wd, CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS m,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM tagged GROUP BY wd
+), ssb AS (
+    SELECT CAST(SUM(CAST(FLOOR(cnt * (m - gm) * (m - gm) * 1e6 + 0.5)
+                         AS DECIMAL(38,6))) AS DOUBLE) / 1e6 AS v,
+           CAST(COUNT(*) AS BIGINT) AS k
+    FROM grp, grand
+), ssw AS (
+    SELECT CAST(SUM(CAST(FLOOR((t.v - g.m) * (t.v - g.m) * 1e6 + 0.5)
+                         AS DECIMAL(38,6))) AS DOUBLE) / 1e6 AS v
+    FROM tagged t JOIN grp g ON t.wd = g.wd
+)
+SELECT ROUND((ssb.v / (ssb.k - 1)) / (ssw.v / (grand.n - ssb.k)), 6) AS f_stat,
+       CAST(ssb.k - 1 AS BIGINT) AS df_between,
+       CAST(grand.n - ssb.k AS BIGINT) AS df_within,
+       ROUND(ssb.v / (ssb.v + ssw.v), 6) AS eta_sq
+FROM ssb, ssw, grand
+""",
+)
+def ts_weekday_anova(spark, sf_dir):
+    """One-way ANOVA for day-of-week effect on daily traffic — the
+    statistical yes/no behind every 'is there weekly seasonality'
+    judgment call: F = between-weekday variance over within-weekday
+    variance, plus η² effect size. Feeds directly into whether
+    ts_seasonal_decompose's period-7 model is justified. Numeric
+    discipline: daily totals and all group means ride DECIMAL sums
+    (means are decimal/int divisions), each squared deviation is
+    half-up-quantized to 1e-6 before its decimal accumulation — both
+    engines assemble F from bit-identical parts. Weekday numbering is
+    the documented dialect seam (DuckDB 0=Sunday vs Spark 1=Sunday).
+    One day-grain shuffle; the test itself runs on ≤ 7 group rows."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        dsum(F.col("value")).alias("v")
+    )
+    tagged = daily.select(F.dayofweek("d").alias("wd"), "v").localCheckpoint(
+        eager=True
+    )  # feeds grand mean, group means, AND the within-group join
+    grand = tagged.agg(
+        (dsum(F.col("v")) / F.count(F.lit(1))).alias("gm"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    grp = tagged.groupBy("wd").agg(
+        (dsum(F.col("v")) / F.count(F.lit(1))).alias("m"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    ).localCheckpoint(eager=True)  # feeds SSB and the SSW join
+    q6d = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,6)")
+    ssb = grp.crossJoin(F.broadcast(grand)).agg(
+        (
+            F.sum(q6d(F.col("cnt") * (F.col("m") - F.col("gm")) * (F.col("m") - F.col("gm"))))
+            .cast("double")
+            / F.lit(1e6)
+        ).alias("ssb_v"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    ssw = (
+        tagged.join(grp.select("wd", "m"), "wd")
+        .agg(
+            (
+                F.sum(q6d((F.col("v") - F.col("m")) * (F.col("v") - F.col("m"))))
+                .cast("double")
+                / F.lit(1e6)
+            ).alias("ssw_v")
+        )
+    )
+    return (
+        ssb.crossJoin(F.broadcast(ssw))
+        .crossJoin(F.broadcast(grand))
+        .select(
+            F.round(
+                (F.col("ssb_v") / (F.col("k") - 1))
+                / (F.col("ssw_v") / (F.col("n") - F.col("k"))),
+                6,
+            ).alias("f_stat"),
+            (F.col("k") - 1).cast("bigint").alias("df_between"),
+            (F.col("n") - F.col("k")).cast("bigint").alias("df_within"),
+            F.round(F.col("ssb_v") / (F.col("ssb_v") + F.col("ssw_v")), 6).alias(
+                "eta_sq"
+            ),
+        )
+    )

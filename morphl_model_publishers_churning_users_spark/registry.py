@@ -387,6 +387,9 @@ _KEY_RANK: dict[str, int] = {
     "mm_activity_segments": 9,
     "agg_log2_histogram": 9,
     "ml_drift_jsd": 9,
+    "llm_kwic_spans": 9,
+    "ts_weekday_anova": 9,
+    "join_temporal_knn": 9,
 }
 
 
