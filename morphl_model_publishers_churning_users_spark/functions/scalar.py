@@ -729,3 +729,52 @@ def fn_xml(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("x.cust").cast("bigint").alias("cust_sum"),
     )
+
+
+@register(
+    "fn_ipv4_subnet",
+    oracle="""
+WITH ips AS (
+    SELECT user_id,
+           ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               % 4294967296 AS ip32
+    FROM (SELECT DISTINCT user_id FROM events)
+), parts AS (
+    SELECT user_id, ip32,
+           ip32 // 16777216 AS o1,
+           ip32 // 65536 AS subnet16
+    FROM ips
+)
+SELECT CAST(o1 AS BIGINT) AS octet1,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(COUNT(DISTINCT subnet16) AS BIGINT) AS n_subnet16,
+       CAST(MIN(ip32) AS BIGINT) AS min_ip32
+FROM parts GROUP BY 1
+""",
+)
+def fn_ipv4_subnet(spark, sf_dir):
+    """IPv4 subnet arithmetic — crawl politeness, abuse detection, and
+    geo rollups all bucket clients by prefix (/8, /16) rather than
+    exact address. The fixture has no IP column, so a deterministic
+    32-bit address is derived per user from md5 (the same synthesis
+    both engines reproduce); the OPERATOR is the prefix math itself:
+    integer right-shifts via floor-division (never cast-of-divide —
+    the truncate-vs-round-half-even seam), /8 and /16 extraction, and
+    the per-prefix rollup. Pure codegen integer arithmetic, one
+    aggregate, 256-row output regardless of scale."""
+    e = t(spark, sf_dir, "events").select("user_id").distinct()
+    ip32 = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % F.lit(4294967296)
+    )
+    parts = e.select(
+        ip32.alias("ip32"),
+        F.floor(ip32 / 16777216).alias("o1"),
+        F.floor(ip32 / 65536).alias("subnet16"),
+    )
+    return parts.groupBy(F.col("o1").cast("bigint").alias("octet1")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.countDistinct("subnet16").cast("bigint").alias("n_subnet16"),
+        F.min("ip32").cast("bigint").alias("min_ip32"),
+    )

@@ -1052,3 +1052,89 @@ def graph_label_propagation(spark, sf_dir):
         F.sum("sz").cast("bigint").alias("n_nodes"),
         F.max("sz").cast("bigint").alias("largest_community"),
     )
+
+
+def _hits_oracle(rounds: int = 5) -> str:
+    """Unrolled HITS oracle over the order→part bipartite graph.
+    Same quantize-then-decimal-sum discipline as PageRank: per-edge
+    contributions quantized to 1e-12, sums in DECIMAL(38,12), each
+    round's scores renormalized by their decimal-exact total."""
+    ctes = [
+        "edges AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)",
+        "h0 AS (SELECT o, 1.0 AS h FROM (SELECT DISTINCT o FROM edges))",
+    ]
+    prev_h = "h0"
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""ar{i} AS MATERIALIZED (
+    SELECT e.p,
+           CAST(SUM(CAST(FLOOR(hh.h * 1e12 + 0.5) AS DECIMAL(38,12))) AS DOUBLE) / 1e12
+               AS s
+    FROM edges e JOIN {prev_h} hh ON hh.o = e.o GROUP BY e.p
+), an{i} AS MATERIALIZED (
+    SELECT p, s / t AS a FROM ar{i},
+         (SELECT CAST(SUM(CAST(FLOOR(s * 1e12 + 0.5) AS DECIMAL(38,12))) AS DOUBLE) / 1e12
+              AS t FROM ar{i}) n
+), hr{i} AS MATERIALIZED (
+    SELECT e.o,
+           CAST(SUM(CAST(FLOOR(aa.a * 1e12 + 0.5) AS DECIMAL(38,12))) AS DOUBLE) / 1e12
+               AS s
+    FROM edges e JOIN an{i} aa ON aa.p = e.p GROUP BY e.o
+), h{i} AS MATERIALIZED (
+    SELECT o, s / t AS h FROM hr{i},
+         (SELECT CAST(SUM(CAST(FLOOR(s * 1e12 + 0.5) AS DECIMAL(38,12))) AS DOUBLE) / 1e12
+              AS t FROM hr{i}) n
+)"""
+        )
+        prev_h = f"h{i}"
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT p AS part, ROUND(a * 1000, 6) AS authority_x1000
+FROM an{rounds}
+ORDER BY a DESC, p ASC LIMIT 20
+"""
+
+
+@register("graph_hits", oracle=_hits_oracle())
+def graph_hits(spark, sf_dir):
+    """HITS (hubs & authorities, 5 rounds) over the natural BIPARTITE
+    graph in the data — orders are hubs, parts are authorities: a part
+    matters when important orders carry it, an order matters when it
+    carries important parts. Unlike PageRank's symmetrized projection,
+    this runs on the raw order→part incidence (no basket self-join at
+    all — the edge list IS the lineitem projection, the cheapest graph
+    in the repo). Each half-round is one keyed join + one aggregate,
+    L1-renormalized so scores stay bounded; per-edge contributions are
+    1e-12-quantized into DECIMAL sums and the normalizing total uses
+    the same discipline, so both engines iterate on bit-identical
+    vectors. Per-round checkpoint keeps lineage flat. Output: top-20
+    authorities (×1000 for 6-decimal readability), ties on part key."""
+    q12 = lambda c: F.floor(c * F.lit(1e12) + F.lit(0.5)).cast("decimal(38,12)")
+    d12 = lambda c: (F.sum(q12(c)).cast("double") / F.lit(1e12))
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    )
+    edges = ckpt(li.distinct())
+    h = edges.select("o").distinct().withColumn("h", F.lit(1.0))
+    a = None
+    for _ in range(5):
+        ar = edges.join(h, "o").groupBy("p").agg(d12(F.col("h")).alias("s"))
+        at = ar.agg(d12(F.col("s")).alias("t"))
+        a = ckpt(
+            ar.crossJoin(F.broadcast(at)).select(
+                "p", (F.col("s") / F.col("t")).alias("a")
+            )
+        )
+        hr = edges.join(a, "p").groupBy("o").agg(d12(F.col("a")).alias("s"))
+        ht = hr.agg(d12(F.col("s")).alias("t"))
+        h = ckpt(
+            hr.crossJoin(F.broadcast(ht)).select(
+                "o", (F.col("s") / F.col("t")).alias("h")
+            )
+        )
+    return (
+        a.orderBy(F.desc("a"), F.asc("p"))
+        .limit(20)
+        .select(F.col("p").alias("part"), F.round(F.col("a") * 1000, 6).alias("authority_x1000"))
+    )

@@ -1821,3 +1821,71 @@ def ml_drift_jsd(spark, sf_dir):
         F.round(F.sum(F.col("term").cast("decimal(38,9)")).cast("double"), 6).alias("jsd"),
         F.count(F.lit(1)).cast("bigint").alias("n_categories"),
     )
+
+
+@register(
+    "ml_pinball_loss",
+    oracle="""
+WITH daily AS (
+    SELECT event_type, date_trunc('day', ts) AS d,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS y
+    FROM events GROUP BY 1, 2
+), paired AS (
+    SELECT event_type, d, y,
+           LAG(y, 7) OVER (PARTITION BY event_type ORDER BY d) AS yhat
+    FROM daily
+), taus AS (SELECT CAST(unnest([0.5, 0.9]) AS DOUBLE) AS tau),
+losses AS (
+    SELECT p.event_type, t.tau,
+           CASE WHEN p.y >= p.yhat THEN t.tau * (p.y - p.yhat)
+                ELSE (t.tau - 1) * (p.y - p.yhat) END AS l
+    FROM paired p, taus t WHERE p.yhat IS NOT NULL
+)
+SELECT event_type, tau,
+       ROUND(CAST(SUM(CAST(FLOOR(l * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE)
+             / 1e6 / COUNT(*), 6) AS pinball,
+       CAST(COUNT(*) AS BIGINT) AS n_days
+FROM losses GROUP BY 1, 2
+""",
+)
+def ml_pinball_loss(spark, sf_dir):
+    """Pinball (quantile) loss of the seasonal-naive baseline — the
+    metric that makes quantile forecasts comparable: τ-weighted
+    asymmetric error, here at τ = 0.5 / 0.9 for a lag-7 forecast of
+    per-type daily totals. This is the yardstick ts_holt_forecast /
+    ts_theta_forecast improvements must beat, and seasonal-naive is
+    the canonical no-skill reference. Exact parity: daily totals ride
+    DECIMAL sums, forecast = a 7-lag window (no arithmetic at all),
+    each loss term is one branch + multiply on identical doubles,
+    quantized 1e-6 into the decimal mean. One day-grain shuffle, one
+    per-type window, a 2-way τ fan-out on the tiny summary."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("y"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    paired = daily.withColumn("yhat", F.lag("y", 7).over(w)).filter(
+        F.col("yhat").isNotNull()
+    )
+    taus = spark.range(0, 2).select(
+        F.when(F.col("id") == 0, F.lit(0.5)).otherwise(F.lit(0.9)).alias("tau")
+    )
+    losses = paired.crossJoin(F.broadcast(taus)).select(
+        "event_type",
+        "tau",
+        F.when(
+            F.col("y") >= F.col("yhat"), F.col("tau") * (F.col("y") - F.col("yhat"))
+        )
+        .otherwise((F.col("tau") - 1) * (F.col("y") - F.col("yhat")))
+        .alias("l"),
+    )
+    return losses.groupBy("event_type", "tau").agg(
+        F.round(
+            F.sum(F.floor(F.col("l") * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,6)"))
+            .cast("double")
+            / F.lit(1e6)
+            / F.count(F.lit(1)),
+            6,
+        ).alias("pinball"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )

@@ -390,6 +390,9 @@ _KEY_RANK: dict[str, int] = {
     "llm_kwic_spans": 9,
     "ts_weekday_anova": 9,
     "join_temporal_knn": 9,
+    "graph_hits": 9,
+    "ml_pinball_loss": 9,
+    "fn_ipv4_subnet": 9,
 }
 
 
