@@ -778,3 +778,30 @@ def fn_ipv4_subnet(spark, sf_dir):
         F.countDistinct("subnet16").cast("bigint").alias("n_subnet16"),
         F.min("ip32").cast("bigint").alias("min_ip32"),
     )
+
+
+@register(
+    "fn_binary",
+    oracle="""
+SELECT doc_id,
+       base64(CAST(substring(text, 1, 12) AS BLOB)) AS b64,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       hex(CAST(substring(text, 1, 4) AS BLOB)) AS hex4
+FROM documents
+""",
+)
+def fn_binary(spark, sf_dir):
+    """Binary-column function surface — base64 (the blob-in-JSON
+    interchange every API feed uses), byte length (≠ char length under
+    multi-byte text — the capacity-planning number), and hex dumps
+    (fingerprint debugging). All codegen expressions over the cast
+    text payload; the oracle round-trips the same bytes through
+    DuckDB's blob functions, so any padding, alphabet, or
+    truncation-at-multibyte divergence flips the hash."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.base64(F.substring("text", 1, 12).cast("binary")).alias("b64"),
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+        F.upper(F.hex(F.substring("text", 1, 4).cast("binary"))).alias("hex4"),
+    )

@@ -2694,3 +2694,64 @@ def ts_weekday_anova(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "ts_out_of_order_audit",
+    oracle="""
+WITH arr AS (
+    SELECT user_id, event_id, ts,
+           MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS high_water
+    FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN ts < high_water THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(MAX(CASE WHEN ts < high_water
+                     THEN epoch_us(high_water) - epoch_us(ts) ELSE 0 END) AS BIGINT)
+           AS max_lateness_us
+FROM arr GROUP BY user_id
+HAVING SUM(CASE WHEN ts < high_water THEN 1 ELSE 0 END) > 0
+""",
+)
+def ts_out_of_order_audit(spark, sf_dir):
+    """Out-of-order arrival audit — the measurement that CALIBRATES a
+    streaming watermark instead of guessing it: with event_id as the
+    arrival sequence, count events whose timestamp regresses below the
+    user's running high-water mark and the worst observed lateness.
+    ts_watermark's 10-minute delay is a config; this op is where that
+    number should come from (p100 lateness per user, rolled up). One
+    user-keyed ordered window (running MAX with a 1-row-lagged frame —
+    the high-water excludes the current row), one aggregate; integer
+    microsecond arithmetic, exact twin. Only users with late data
+    surface — at 100 TB the output is the skew report, not the
+    corpus."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    arr = e.select(
+        "user_id",
+        "ts",
+        F.max("ts").over(w).alias("high_water"),
+    )
+    late = F.col("ts") < F.col("high_water")
+    return (
+        arr.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(late.cast("long")).cast("bigint").alias("n_late"),
+            F.max(
+                F.when(
+                    late, F.expr("timestampdiff(MICROSECOND, ts, high_water)")
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("max_lateness_us"),
+        )
+        .filter(F.col("n_late") > 0)
+    )

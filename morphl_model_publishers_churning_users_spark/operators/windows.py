@@ -550,3 +550,77 @@ def win_rolling_corr(spark, sf_dir):
         F.col("n").cast("bigint").alias("n_win"),
         F.when((vx > 0) & (vy > 0), q6(corr)).alias("rolling_corr"),
     )
+
+
+@register(
+    "win_expanding_slope",
+    oracle="""
+WITH daily AS (
+    SELECT event_type, date_trunc('day', ts) AS d,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS y
+    FROM events GROUP BY 1, 2
+), seq AS (
+    SELECT event_type, d, y,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS x
+    FROM daily
+), cums AS (
+    SELECT event_type, d, x, y,
+           SUM(x) OVER w AS sx,
+           SUM(CAST(x AS BIGINT) * x) OVER w AS sxx,
+           SUM(CAST(y AS DECIMAL(38,6))) OVER w AS sy,
+           SUM(CAST(FLOOR(y * x * 1e6 + 0.5) AS DECIMAL(38,6))) OVER w AS sxy_q,
+           COUNT(*) OVER w AS n
+    FROM seq
+    WINDOW w AS (PARTITION BY event_type ORDER BY d ROWS UNBOUNDED PRECEDING)
+)
+SELECT event_type, d,
+       ROUND((CAST(sxy_q AS DOUBLE) / 1e6 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+             / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n), 6) AS slope
+FROM cums WHERE n >= 2
+""",
+)
+def win_expanding_slope(spark, sf_dir):
+    """Expanding-window regression slope — the live trend readout: for
+    every day, the OLS slope of daily volume vs time over ALL history
+    to date, per event type (agg_trend gives one number at the end;
+    operations wants the trajectory of the trend). Closed-form from
+    expanding sums: Σx, Σx², Σy, Σxy as window cumulatives — Σx/Σx²
+    are pure integers, Σy and the 1e-6-quantized Σxy ride DECIMAL
+    window sums (segment-tree re-association can't perturb decimal
+    addition), so the slope at every row is a deterministic function
+    of bit-identical parts. One day-grain shuffle + one type-keyed
+    ordered window; no per-row re-fit, O(1) state per step — the form
+    that runs incrementally at any scale."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.date_trunc("day", "ts").alias("d")).agg(
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("y")
+    )
+    w_ord = Window.partitionBy("event_type").orderBy("d")
+    seq = daily.withColumn("x", F.row_number().over(w_ord))
+    w = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    cums = seq.select(
+        "event_type",
+        "d",
+        F.sum("x").over(w).alias("sx"),
+        F.sum(F.col("x").cast("bigint") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,6)")).over(w).alias("sy"),
+        F.sum(
+            F.floor(F.col("y") * F.col("x") * F.lit(1e6) + F.lit(0.5)).cast(
+                "decimal(38,6)"
+            )
+        )
+        .over(w)
+        .alias("sxy_q"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    slope = (
+        F.col("sxy_q").cast("double") / F.lit(1e6)
+        - F.col("sx").cast("double") * F.col("sy").cast("double") / F.col("n")
+    ) / (
+        F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+    )
+    return (
+        cums.filter(F.col("n") >= 2)
+        .select("event_type", "d", F.round(slope, 6).alias("slope"))
+    )

@@ -393,6 +393,9 @@ _KEY_RANK: dict[str, int] = {
     "graph_hits": 9,
     "ml_pinball_loss": 9,
     "fn_ipv4_subnet": 9,
+    "ts_out_of_order_audit": 9,
+    "fn_binary": 9,
+    "win_expanding_slope": 9,
 }
 
 
