@@ -3806,3 +3806,177 @@ def llm_kwic_spans(spark, sf_dir):
             F.slice("words", start, (stop - start + 1).cast("int")), " "
         ).alias("span"),
     )
+
+
+@register(
+    "llm_lsh_tuning_curve",
+    oracle=r"""
+WITH base AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
+    FROM documents
+), base3 AS (
+    SELECT * FROM base WHERE len(words) >= 3
+), shl AS MATERIALIZED (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, len(words) - 1),
+                  i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2])) AS sarr
+    FROM base3
+), xs AS (
+    SELECT doc_id, CAST(len(sarr) AS BIGINT) AS sz,
+           list_transform(sarr, s -> CAST(('0x' || substr(md5(s), 1, 13)) AS BIGINT)) AS x1,
+           list_transform(sarr, s -> CAST(('0x' || substr(md5(s), 17, 13)) AS BIGINT) | 1) AS x2
+    FROM shl
+), sig AS MATERIALIZED (
+    SELECT doc_id,
+           list_transform(range(0, 8),
+               i -> list_aggregate(list_transform(range(1, sz + 1),
+                        j -> (x1[j] + i * x2[j]) % 4503599627370496), 'min')) AS h
+    FROM xs
+), sizes AS MATERIALIZED (
+    SELECT doc_id, CAST(len(sarr) AS BIGINT) AS sz FROM shl
+), grams AS MATERIALIZED (
+    SELECT doc_id, unnest(sarr) AS g FROM shl
+), inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS nc
+    FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), truth AS MATERIALIZED (
+    SELECT i.doc_a, i.doc_b
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE CAST(i.nc AS DOUBLE) / (sa.sz + sb.sz - i.nc) >= 0.4
+), cfg AS (
+    SELECT unnest([1, 2, 4, 8]) AS r
+), bands AS MATERIALIZED (
+    SELECT s.doc_id, c.r, bb.band_id,
+           array_to_string(list_transform(
+               s.h[bb.band_id * c.r + 1 : (bb.band_id + 1) * c.r],
+               x -> CAST(x AS VARCHAR)), ':') AS k
+    FROM sig s, cfg c,
+         LATERAL (SELECT unnest(range(0, 8 // c.r)) AS band_id) bb
+), cand AS MATERIALIZED (
+    SELECT DISTINCT a.r, a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.r = b.r AND a.band_id = b.band_id AND a.k = b.k
+                AND a.doc_id < b.doc_id
+), per_cfg AS (
+    SELECT r, COUNT(*) AS n_candidates,
+           SUM(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS n_true_found
+    FROM cand c
+    LEFT JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    GROUP BY r
+)
+SELECT CAST(8 // p.r AS BIGINT) AS n_bands,
+       CAST(p.r AS BIGINT) AS rows_per_band,
+       CAST(p.n_candidates AS BIGINT) AS n_candidates,
+       CAST(p.n_true_found AS BIGINT) AS n_true_found,
+       ROUND(CAST(p.n_true_found AS DOUBLE) / NULLIF(tt.n, 0), 6) AS recall
+FROM per_cfg p, (SELECT COUNT(*) AS n FROM truth) tt
+""",
+)
+def llm_lsh_tuning_curve(spark, sf_dir):
+    """MEASURED LSH banding recall/cost curve — the dial every 100 TB
+    near-dup deployment has to set, produced as data instead of folk
+    math: for the same 8 min-hashes (Kirsch–Mitzenmacher family,
+    identical to llm_dedup_minhash_sql), evaluate every banding layout
+    (8×1, 4×2, 2×4, 1×8) against EXACT ground truth (shingle-join
+    Jaccard ≥ 0.4, the blocked-never-all-pairs path) and report
+    candidates generated (= join cost) vs true pairs recalled. The
+    theoretical S-curve P = 1-(1-J^r)^b becomes an observed row per
+    config; picking r is then a lookup, not a leap. All banding keys
+    are md5-derived integers concatenated as strings — bit-identical
+    across engines, so even this meta-analysis has a full value-hash
+    twin. One signature pass (materialized once), one unioned band
+    self-join keyed by (layout, band, key), one exact-truth join."""
+    M = 4503599627370496
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w"))
+        .filter(F.size("w") >= 3)
+    )
+    doc_sh = (
+        d.select("doc_id", F.array_distinct(F.expr(_NGRAM_SH_SPARK)).alias("sarr"))
+        .select(
+            "doc_id",
+            "sarr",
+            F.size("sarr").cast("bigint").alias("sz"),
+            F.expr(
+                "transform(sarr, s -> named_struct("
+                " 'x1', cast(conv(substr(md5(s), 1, 13), 16, 10) as bigint),"
+                " 'x2', cast(conv(substr(md5(s), 17, 13), 16, 10) as bigint) | 1L))"
+            ).alias("xs"),
+        )
+        .localCheckpoint(eager=True)  # feeds signatures AND exact truth
+    )
+    sig = doc_sh.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, 7), i -> "
+            f"array_min(transform(xs, p -> (p.x1 + i * p.x2) % {M}L)))"
+        ).alias("h"),
+    ).localCheckpoint(eager=True)  # feeds all four banding layouts
+    # exact ground truth via the blocked shingle join
+    grams = doc_sh.select("doc_id", "sz", F.explode("sarr").alias("g"))
+    ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"), "g")
+    gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"), "g")
+    inter = (
+        ga.join(gb, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("nc"))
+    )
+    truth = (
+        inter.filter(
+            F.col("nc").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("nc"))
+            >= 0.4
+        )
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)  # feeds the per-config join AND the total
+    )
+    cfg = spark.createDataFrame([(1,), (2,), (4,), (8,)], "r int")
+    bands = (
+        sig.crossJoin(F.broadcast(cfg))
+        .select(
+            "doc_id",
+            "r",
+            F.explode(F.expr("sequence(0, cast(8 / r as int) - 1)")).alias("band_id"),
+            "h",
+        )
+        .select(
+            "doc_id",
+            "r",
+            "band_id",
+            F.expr(
+                "array_join(transform(slice(h, band_id * r + 1, r), x -> cast(x as string)), ':')"
+            ).alias("k"),
+        )
+    )
+    ba = bands.select(F.col("doc_id").alias("doc_a"), "r", "band_id", "k")
+    bb = bands.select(F.col("doc_id").alias("doc_b"), "r", "band_id", "k")
+    cand = (
+        ba.join(bb, ["r", "band_id", "k"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("r", "doc_a", "doc_b")
+        .distinct()
+    )
+    per_cfg = (
+        cand.join(truth.withColumn("is_true", F.lit(1)), ["doc_a", "doc_b"], "left")
+        .groupBy("r")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.sum(F.coalesce("is_true", F.lit(0))).cast("bigint").alias("n_true_found"),
+        )
+    )
+    tt = truth.agg(F.count(F.lit(1)).alias("n"))
+    return per_cfg.crossJoin(F.broadcast(tt)).select(
+        F.floor(8 / F.col("r")).cast("bigint").alias("n_bands"),
+        F.col("r").cast("bigint").alias("rows_per_band"),
+        "n_candidates",
+        "n_true_found",
+        F.round(
+            F.col("n_true_found").cast("double") / F.nullif(F.col("n").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("recall"),
+    )

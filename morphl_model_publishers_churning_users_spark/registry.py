@@ -396,6 +396,7 @@ _KEY_RANK: dict[str, int] = {
     "ts_out_of_order_audit": 9,
     "fn_binary": 9,
     "win_expanding_slope": 9,
+    "llm_lsh_tuning_curve": 9,
 }
 
 
