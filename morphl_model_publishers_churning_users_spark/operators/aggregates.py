@@ -1654,3 +1654,75 @@ def agg_log2_histogram(spark, sf_dir):
             F.max("gap_us").cast("bigint").alias("hi"),
         )
     )
+
+
+@register(
+    "agg_ratio_delta_method",
+    oracle="""
+WITH per_user AS (
+    SELECT event_type, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS x,
+           CAST(COUNT(*) AS DOUBLE) AS y
+    FROM events GROUP BY 1, 2
+), moments AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(FLOOR(x * x * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE) / 1e6 AS sxx,
+           CAST(SUM(CAST(FLOOR(y * y * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE) / 1e6 AS syy,
+           CAST(SUM(CAST(FLOOR(x * y * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE) / 1e6 AS sxy
+    FROM per_user GROUP BY event_type
+)
+SELECT event_type, n,
+       ROUND(sx / sy, 6) AS ratio,
+       ROUND(sqrt(GREATEST(
+           (sxx - sx * sx / n) / (n - 1) / (sy / n * (sy / n)) / n
+         + (sx / sy) * (sx / sy) * ((syy - sy * sy / n) / (n - 1)) / (sy / n * (sy / n)) / n
+         - 2 * (sx / sy) * ((sxy - sx * sy / n) / (n - 1)) / (sy / n * (sy / n)) / n,
+           0)), 6) AS se_delta
+FROM moments
+""",
+)
+def agg_ratio_delta_method(spark, sf_dir):
+    """Delta-method standard error for a RATIO metric (value per event,
+    computed as Σx/Σy over per-user totals) — the estimator every A/B
+    platform ships, because user-level ratios are correlated within
+    user and the naive row-level SE is wrong. Var(X̄/Ȳ) ≈ (Var X +
+    R²·Var Y − 2R·Cov(X,Y)) / (n·Ȳ²) from five decimal-exact
+    per-group moments (Σx, Σy, Σx², Σy², Σxy — squares/products
+    1e-6-quantized into DECIMAL accumulation). Two keyed aggregates
+    (user grain, then group grain), both map-side combinable; the
+    moments are O(groups) state. Both engines assemble the SE from
+    bit-identical parts."""
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("event_type", "user_id").agg(
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("x"),
+        F.count(F.lit(1)).cast("double").alias("y"),
+    )
+    q6d = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,6)")
+    m = per_user.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,6)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,6)")).cast("double").alias("sy"),
+        (F.sum(q6d(F.col("x") * F.col("x"))).cast("double") / F.lit(1e6)).alias("sxx"),
+        (F.sum(q6d(F.col("y") * F.col("y"))).cast("double") / F.lit(1e6)).alias("syy"),
+        (F.sum(q6d(F.col("x") * F.col("y"))).cast("double") / F.lit(1e6)).alias("sxy"),
+    )
+    R = F.col("sx") / F.col("sy")
+    ybar2 = (F.col("sy") / F.col("n")) * (F.col("sy") / F.col("n"))
+    vx = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+    vy = (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")) / (F.col("n") - 1)
+    cxy = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (F.col("n") - 1)
+    var = F.greatest(
+        vx / ybar2 / F.col("n")
+        + R * R * vy / ybar2 / F.col("n")
+        - 2 * R * cxy / ybar2 / F.col("n"),
+        F.lit(0.0),
+    )
+    return m.select(
+        "event_type",
+        "n",
+        F.round(R, 6).alias("ratio"),
+        F.round(F.sqrt(var), 6).alias("se_delta"),
+    )

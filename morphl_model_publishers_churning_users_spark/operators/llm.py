@@ -3980,3 +3980,63 @@ def llm_lsh_tuning_curve(spark, sf_dir):
             6,
         ).alias("recall"),
     )
+
+
+@register(
+    "llm_corpus_card",
+    oracle=r"""
+WITH toks AS (
+    SELECT doc_id, lang, source, n_chars,
+           len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+           md5(lower(trim(text))) AS chash
+    FROM documents
+), dup AS (
+    SELECT COUNT(*) - COUNT(DISTINCT chash) AS n_exact_dups FROM toks
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(dup.n_exact_dups AS BIGINT) AS n_exact_dups,
+       CAST(quantile_cont(n_tokens, 0.5) AS DOUBLE) AS median_tokens,
+       CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+FROM toks, dup
+GROUP BY dup.n_exact_dups
+""",
+)
+def llm_corpus_card(spark, sf_dir):
+    """Dataset-card summary — the one-row factsheet (Gebru et al.'s
+    datasheets, HuggingFace dataset cards) a corpus release ships
+    with: volume (docs/chars/tokens), diversity (languages, sources),
+    hygiene (exact-dup count), and shape (median/max tokens). One pass
+    computes the per-doc grain, one global aggregate collapses it —
+    every number exact, including the duplicate count (count minus
+    distinct content-hash, the same normalization as llm_dedup_exact)
+    and the interpolated median. The point of the operator is the
+    COMPOSITION: a release gate runs this after every pipeline change
+    and diffs the card; at 100 TB it is two map-side-combinable
+    aggregates and one broadcast scalar."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        "source",
+        "n_chars",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tokens"),
+        F.md5(F.lower(F.trim("text"))).alias("chash"),
+    ).localCheckpoint(eager=True)  # feeds the dup scalar AND the main rollup
+    dup = toks.agg(
+        (F.count(F.lit(1)) - F.countDistinct("chash")).cast("bigint").alias("n_exact_dups")
+    )
+    return toks.crossJoin(F.broadcast(dup)).groupBy("n_exact_dups").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.expr("percentile(n_tokens, 0.5D)").cast("double").alias("median_tokens"),
+        F.max("n_tokens").cast("bigint").alias("max_tokens"),
+    ).select(
+        "n_docs", "total_chars", "total_tokens", "n_langs", "n_sources",
+        "n_exact_dups", "median_tokens", "max_tokens",
+    )

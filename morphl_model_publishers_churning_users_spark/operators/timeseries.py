@@ -2755,3 +2755,88 @@ def ts_out_of_order_audit(spark, sf_dir):
         )
         .filter(F.col("n_late") > 0)
     )
+
+
+@register(
+    "ts_session_adaptive",
+    oracle="""
+WITH gaps AS (
+    SELECT user_id, ts, event_id,
+           epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+               AS gap_us
+    FROM events
+), med AS (
+    SELECT user_id, quantile_cont(gap_us, 0.5) AS med_gap, COUNT(gap_us) AS n_gaps
+    FROM gaps GROUP BY user_id
+), cut AS (
+    SELECT g.user_id, g.ts, g.event_id,
+           CASE WHEN g.gap_us IS NULL THEN 1
+                WHEN g.gap_us > 3 * m.med_gap THEN 1 ELSE 0 END AS new_sess
+    FROM gaps g JOIN med m ON g.user_id = m.user_id
+    WHERE m.n_gaps >= 3
+), sess AS (
+    SELECT user_id,
+           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM cut
+), per_sess AS (
+    SELECT user_id, session_id, COUNT(*) AS n_events
+    FROM sess GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+       CAST(SUM(n_events) AS BIGINT) AS n_events
+FROM per_sess GROUP BY user_id
+""",
+)
+def ts_session_adaptive(spark, sf_dir):
+    """Adaptive sessionization — the fixed 30-minute gap (ts_session)
+    mislabels both the rapid-fire user (one real visit split into
+    many) and the slow reader (many visits merged into one). Here the
+    session boundary is PERSONAL: a gap > 3× the user's own median
+    inter-event gap starts a new session (same cadence statistic as
+    ts_cadence_break, now driving segmentation instead of a flag).
+    Three passes, ALL partitioned by user_id — gap window, median
+    aggregate joined back on the same key, boundary-flag running sum —
+    so the whole operator rides ONE user-keyed shuffle. Integer
+    microsecond arithmetic + exact median interpolation: exact twin.
+    Users with < 3 gaps are excluded (their median is noise)."""
+    e = t(spark, sf_dir, "events")
+    gaps = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, lag(ts) over "
+            "(partition by user_id order by ts, event_id), ts)"
+        ).alias("gap_us"),
+    )
+    med = gaps.groupBy("user_id").agg(
+        F.expr("percentile(gap_us, 0.5D)").alias("med_gap"),
+        F.count("gap_us").alias("n_gaps"),
+    )
+    cut = (
+        gaps.join(med.filter(F.col("n_gaps") >= 3), "user_id")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(F.col("gap_us").isNull(), 1)
+            .when(F.col("gap_us") > 3 * F.col("med_gap"), 1)
+            .otherwise(0)
+            .alias("new_sess"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = cut.select("user_id", F.sum("new_sess").over(w).alias("session_id"))
+    per_sess = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return per_sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.max("n_events").cast("bigint").alias("max_session_events"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+    )

@@ -397,6 +397,9 @@ _KEY_RANK: dict[str, int] = {
     "fn_binary": 9,
     "win_expanding_slope": 9,
     "llm_lsh_tuning_curve": 9,
+    "agg_ratio_delta_method": 9,
+    "ts_session_adaptive": 9,
+    "llm_corpus_card": 9,
 }
 
 
