@@ -1889,3 +1889,132 @@ def ml_pinball_loss(spark, sf_dir):
         ).alias("pinball"),
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
     )
+
+
+@register(
+    "ml_auc_delong_se",
+    oracle=f"""
+WITH {_REC_SQL},
+per_score AS (
+    SELECT rec, COUNT(*) AS n, SUM(churned) AS pos, COUNT(*) - SUM(churned) AS neg
+    FROM s GROUP BY rec
+), ranked AS (
+    SELECT rec, n, pos, neg,
+           COALESCE(SUM(neg) OVER (ORDER BY rec ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS cumneg_before,
+           COALESCE(SUM(pos) OVER (ORDER BY rec ROWS BETWEEN 1 FOLLOWING
+                                   AND UNBOUNDED FOLLOWING), 0) AS cumpos_after
+    FROM per_score
+), tot AS (
+    SELECT CAST(SUM(pos) AS DOUBLE) AS m, CAST(SUM(neg) AS DOUBLE) AS nn
+    FROM per_score
+), placed AS (
+    SELECT r.pos, r.neg,
+           (r.cumneg_before + 0.5 * r.neg) / t.nn AS v10,
+           (r.cumpos_after + 0.5 * r.pos) / t.m AS v01
+    FROM ranked r, tot t
+), auc AS (
+    SELECT CAST(SUM(CAST(FLOOR(pos * v10 * 1e12 + 0.5) AS DECIMAL(38,12))) AS DOUBLE)
+               / 1e12 / t2.m AS a,
+           t2.m AS m, t2.nn AS nn
+    FROM placed, tot t2 GROUP BY t2.m, t2.nn
+), vars AS (
+    SELECT a, m, nn,
+           CAST(SUM(CAST(FLOOR(pos * (v10 - a) * (v10 - a) * 1e12 + 0.5)
+                         AS DECIMAL(38,12))) AS DOUBLE) / 1e12 / NULLIF(m - 1, 0) AS s10,
+           CAST(SUM(CAST(FLOOR(neg * (v01 - a) * (v01 - a) * 1e12 + 0.5)
+                         AS DECIMAL(38,12))) AS DOUBLE) / 1e12 / NULLIF(nn - 1, 0) AS s01
+    FROM placed, auc GROUP BY a, m, nn
+)
+SELECT CAST(m AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+       ROUND(a, 6) AS auc,
+       ROUND(sqrt(s10 / m + s01 / nn), 6) AS se_delong
+FROM vars
+""",
+)
+def ml_auc_delong_se(spark, sf_dir):
+    """DeLong standard error for the exact AUC — the number that turns
+    'AUC went from 0.71 to 0.72' into a decision: Var(AUC) = S₁₀/m +
+    S₀₁/n from the placement values (V₁₀ per positive = fraction of
+    negatives it outranks, tie-halved; V₀₁ symmetric). The group-by-
+    score trick makes DeLong O(distinct scores) instead of the naive
+    O(mn): every observation at one score shares one placement value,
+    so two cumulative windows over the score-level table (negatives
+    before, positives after) produce every placement, and the
+    variances are weighted moments of that table. Placement ratios are
+    int/int doubles; every weighted term is 1e-12-quantized into
+    DECIMAL accumulation — bit-identical across engines. The same
+    shape streams: the score histogram is the only state."""
+    s = _rec_scored(spark, sf_dir)
+    per = s.groupBy("rec").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("churned").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("churned")).alias("neg"),
+    )
+    wb = Window.orderBy("rec").rowsBetween(Window.unboundedPreceding, -1)
+    wa = Window.orderBy("rec").rowsBetween(1, Window.unboundedFollowing)
+    ranked = per.select(
+        "pos",
+        "neg",
+        F.coalesce(F.sum("neg").over(wb), F.lit(0)).alias("cumneg_before"),
+        F.coalesce(F.sum("pos").over(wa), F.lit(0)).alias("cumpos_after"),
+    ).localCheckpoint(eager=True)  # feeds totals, AUC, and both variance passes
+    tot = ranked.agg(
+        F.sum("pos").cast("double").alias("m"), F.sum("neg").cast("double").alias("nn")
+    )
+    placed = ranked.crossJoin(F.broadcast(tot)).select(
+        "pos",
+        "neg",
+        ((F.col("cumneg_before") + 0.5 * F.col("neg")) / F.col("nn")).alias("v10"),
+        ((F.col("cumpos_after") + 0.5 * F.col("pos")) / F.col("m")).alias("v01"),
+        "m",
+        "nn",
+    ).localCheckpoint(eager=True)
+    q12d = lambda c: F.floor(c * F.lit(1e12) + F.lit(0.5)).cast("decimal(38,12)")
+    auc = placed.agg(
+        (
+            F.sum(q12d(F.col("pos") * F.col("v10"))).cast("double")
+            / F.lit(1e12)
+            / F.max("m")
+        ).alias("a"),
+        F.max("m").alias("m"),
+        F.max("nn").alias("nn"),
+    )
+    vars_ = (
+        placed.crossJoin(F.broadcast(auc.select("a")))
+        .agg(
+            F.first(F.col("a")).alias("a"),
+            F.max("m").alias("m"),
+            F.max("nn").alias("nn"),
+            (
+                F.sum(
+                    q12d(
+                        F.col("pos")
+                        * (F.col("v10") - F.col("a"))
+                        * (F.col("v10") - F.col("a"))
+                    )
+                ).cast("double")
+                / F.lit(1e12)
+                / F.nullif((F.max("m") - 1).cast("double"), F.lit(0.0))
+            ).alias("s10"),
+            (
+                F.sum(
+                    q12d(
+                        F.col("neg")
+                        * (F.col("v01") - F.col("a"))
+                        * (F.col("v01") - F.col("a"))
+                    )
+                ).cast("double")
+                / F.lit(1e12)
+                / F.nullif((F.max("nn") - 1).cast("double"), F.lit(0.0))
+            ).alias("s01"),
+        )
+    )
+    return vars_.select(
+        F.col("m").cast("bigint").alias("n_pos"),
+        F.col("nn").cast("bigint").alias("n_neg"),
+        F.round("a", 6).alias("auc"),
+        F.round(F.sqrt(F.col("s10") / F.col("m") + F.col("s01") / F.col("nn")), 6).alias(
+            "se_delong"
+        ),
+    )

@@ -400,6 +400,9 @@ _KEY_RANK: dict[str, int] = {
     "agg_ratio_delta_method": 9,
     "ts_session_adaptive": 9,
     "llm_corpus_card": 9,
+    "ts_stream_sliding": 9,
+    "source_rate_stream": 9,
+    "ml_auc_delong_se": 9,
 }
 
 

@@ -314,3 +314,83 @@ def ts_stream_stream_join(spark, sf_dir):
         ),
     ).select(F.col("c_user").alias("user_id"), "click_id", "purchase_id")
     return run_available_now(joined, "ts_ss_join", output_mode="append")
+
+
+@register(
+    "ts_stream_sliding",
+    oracle=f"""
+WITH contrib AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) - CAST(i AS INTEGER) AS win_start,
+           value
+    FROM events, (SELECT unnest(range(0, 2)) AS i) s
+)
+SELECT win_start, COUNT(*) AS n_events,
+       ROUND({DSUM("value")}, 6) AS sum_value
+FROM contrib GROUP BY 1
+""",
+)
+def ts_stream_sliding(spark, sf_dir):
+    """Watermarked SLIDING-window streaming aggregate (2-day window,
+    1-day slide) — the overlap variant ts_watermark's tumbling windows
+    can't express: every event lands in exactly two windows, giving
+    the smoothed rolling readout dashboards want, while the watermark
+    still bounds state (closed windows evicted). The oracle is the
+    batch equivalence: each event contributes to the window starting
+    its own day and the one starting the day before — an unnest
+    fan-out of exactly 2, decimal-summed. At scale, sliding state =
+    window_length/slide open windows per key, the documented cost of
+    smoothness."""
+    sdf = _stream_events(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        sdf.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 days", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 6
+            ).alias("sum_value"),
+        )
+        .select(F.col("w.start").cast("date").alias("win_start"), "n_events", "sum_value")
+    )
+    return run_available_now(agg, "ts_stream_sliding", output_mode="complete")
+
+
+@register(
+    "source_rate_stream",
+    oracle="""
+SELECT CAST(32 AS BIGINT) AS n_rows,
+       CAST(496 AS BIGINT) AS sum_vals,
+       CAST(1 AS BIGINT) AS n_batches
+""",
+)
+def source_rate_stream(spark, sf_dir):
+    """rate-micro-batch source — Spark's built-in deterministic load
+    generator, the standard tool for soak-testing a streaming topology
+    before pointing it at Kafka: emits `rowsPerBatch` rows per
+    micro-batch with a monotonically increasing `value`. Under
+    Trigger.AvailableNow the source exposes exactly ONE micro-batch
+    (measured twice, deterministic): values 0..31, Σ = 31·32/2 = 496,
+    one batch id — literal-checked by the oracle (no fixture table
+    involved; the SOURCE is the thing under test). This is also the
+    engine's smoke test that non-file micro-batch planning works end
+    to end; the value<96 guard documents the unbounded-source cap a
+    soak test would raise."""
+    sdf = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 32)
+        .option("numPartitions", 2)
+        .option("startTimestamp", 0)
+        .option("advanceMillisPerBatch", 1000)
+        .load()
+    )
+    # Bound the run: AvailableNow on rate-micro-batch processes batches
+    # staged so far; cap via maxBatches-equivalent by filtering value.
+    capped = sdf.filter(F.col("value") < 96).select(
+        "value", F.floor(F.col("value") / 32).alias("batch_id")
+    )
+    agg = capped.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("value").cast("bigint").alias("sum_vals"),
+        (F.max("batch_id") + 1).cast("bigint").alias("n_batches"),
+    )
+    return run_available_now(agg, "source_rate_stream", output_mode="complete")
