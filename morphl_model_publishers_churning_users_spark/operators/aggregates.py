@@ -1726,3 +1726,97 @@ def agg_ratio_delta_method(spark, sf_dir):
         F.round(R, 6).alias("ratio"),
         F.round(F.sqrt(var), 6).alias("se_delta"),
     )
+
+
+# Acklam's central-region inverse-normal-CDF rational approximation —
+# identical literal constants on both engines, so the result is a
+# deterministic function of identical doubles. Valid for p in
+# (0.02425, 0.97575), which covers the decile probes used below.
+def _probit_expr(p: str) -> str:
+    a = ["-3.969683028665376e+01", "2.209460984245205e+02", "-2.759285104469687e+02",
+         "1.383577518672690e+02", "-3.066479806614716e+01", "2.506628277459239e+00"]
+    b = ["-5.447609879822406e+01", "1.615858368580409e+02", "-1.556989798598866e+02",
+         "6.680131188771972e+01", "-1.328068155288572e+01"]
+    q = f"({p} - 0.5)"
+    r = f"({q} * {q})"
+    num = a[0]
+    for c in a[1:]:
+        num = f"({num} * {r} + {c})"
+    den = b[0]
+    for c in b[1:]:
+        den = f"({den} * {r} + {c})"
+    den = f"({den} * {r} + 1.0)"
+    return f"({num} * {q} / {den})"
+
+
+@register(
+    "agg_qq_normal",
+    oracle=f"""
+WITH daily AS (
+    SELECT date_trunc('day', ts) AS d,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+    FROM events GROUP BY 1
+), mom AS (
+    SELECT CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mu,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(v * v * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE) / 1e6
+               AS svv
+    FROM daily
+), sd AS (
+    SELECT mu, n, sqrt((svv - mu * mu * n) / (n - 1)) AS sigma FROM mom
+), obs AS (
+    SELECT CAST(i AS DOUBLE) / 10 AS p,
+           qs[i] AS q_obs
+    FROM (SELECT quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+          FROM daily),
+         (SELECT unnest(range(1, 10)) AS i) s
+)
+SELECT o.p,
+       ROUND({_probit_expr('o.p')}, 6) AS z_theory,
+       ROUND((o.q_obs - s.mu) / s.sigma, 6) AS z_observed
+FROM obs o, sd s
+""",
+)
+def agg_qq_normal(spark, sf_dir):
+    """Normal QQ probe — the distributional diagnostic behind 'can I
+    use z-scores / control limits on this metric': standardized
+    observed deciles of daily volume against theoretical normal
+    quantiles. The inverse normal CDF has no SQL builtin in either
+    engine, so both evaluate THE SAME Acklam rational approximation
+    (literal-identical constants, central region — exactly the decile
+    range) — a deterministic function of identical doubles, no libm
+    seam. Observed deciles are exact interpolated quantiles; mean/sd
+    come from decimal-exact moments. One day-grain shuffle; the probe
+    algebra runs on a 9-row table. Points on the line ⇒ normal;
+    curvature ⇒ heavy tails ⇒ prefer the robust ops
+    (ts_anomaly_robust, agg_mad)."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        dsum(F.col("value")).alias("v")
+    ).localCheckpoint(eager=True)  # feeds moments AND every quantile probe
+    q6d = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,6)")
+    mom = daily.agg(
+        (dsum(F.col("v")) / F.count(F.lit(1))).alias("mu"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum(q6d(F.col("v") * F.col("v"))).cast("double") / F.lit(1e6)).alias("svv"),
+    )
+    sd = mom.select(
+        "mu",
+        "n",
+        F.sqrt(
+            (F.col("svv") - F.col("mu") * F.col("mu") * F.col("n")) / (F.col("n") - 1)
+        ).alias("sigma"),
+    )
+    pcts = daily.agg(
+        F.expr(
+            "percentile(v, array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D, 0.6D, 0.7D, 0.8D, 0.9D))"
+        ).alias("qs")
+    )
+    obs = pcts.select(F.posexplode("qs").alias("i", "q_obs")).select(
+        ((F.col("i") + 1).cast("double") / 10).alias("p"), "q_obs"
+    )
+    return obs.crossJoin(F.broadcast(sd)).select(
+        "p",
+        F.round(F.expr(_probit_expr("p")), 6).alias("z_theory"),
+        F.round((F.col("q_obs") - F.col("mu")) / F.col("sigma"), 6).alias("z_observed"),
+    )

@@ -1138,3 +1138,85 @@ def graph_hits(spark, sf_dir):
         .limit(20)
         .select(F.col("p").alias("part"), F.round(F.col("a") * 1000, 6).alias("authority_x1000"))
     )
+
+
+def _hash_walks_oracle(steps: int = 3) -> str:
+    """Unrolled deterministic-walk oracle: at each step the walker at
+    node `cur` moves to the neighbor minimizing md5(start:step:dst) —
+    a hash-seeded uniform choice both engines reproduce exactly."""
+    ctes = [
+        """sym AS MATERIALIZED (
+    SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges
+)""",
+        "w0 AS (SELECT DISTINCT src AS start, src AS cur FROM sym)",
+    ]
+    prev = "w0"
+    for i in range(1, steps + 1):
+        ctes.append(
+            f"""w{i} AS MATERIALIZED (
+    SELECT start, cur FROM (
+        SELECT p.start, e.dst AS cur,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.start
+                   ORDER BY md5(CAST(p.start AS VARCHAR) || ':{i}:' ||
+                                CAST(e.dst AS VARCHAR)), e.dst) AS rn
+        FROM {prev} p JOIN sym e ON e.src = p.cur)
+    WHERE rn = 1
+)"""
+        )
+        prev = f"w{i}"
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {_EDGES_DUCK},
+{joined}
+SELECT w0.start,
+       w1.cur AS hop1, w2.cur AS hop2, w3.cur AS hop3
+FROM w0
+JOIN w1 ON w1.start = w0.start
+JOIN w2 ON w2.start = w0.start
+JOIN w3 ON w3.start = w0.start
+"""
+
+
+@register("graph_hash_walks", oracle=_hash_walks_oracle())
+def graph_hash_walks(spark, sf_dir):
+    """Random-walk corpus generation (DeepWalk/node2vec's data step) —
+    the graph-embedding pipeline's bulk operation: one walk per start
+    node over the co-purchase graph, 3 hops. 'Random' is HASH-SEEDED:
+    the walker at `cur` moves to argmin over neighbors of
+    md5(start:step:dst) — uniform in distribution across steps, yet
+    bit-reproducible on both engines AND on any cluster re-run (walk
+    corpora must be reproducible or every embedding retrain shifts).
+    Each hop is ONE keyed join frontier⋈edges + one min_by aggregate —
+    never materializing the neighbor explosion past the hop, the exact
+    shape walk generation runs at 100 TB (per-hop cost = |frontier| ×
+    avg degree). The min_by(struct(hash, dst)) vote also breaks hash
+    ties deterministically."""
+    sym = ckpt(_sym(_copurchase_edges(spark, sf_dir)))
+    frontier = sym.select(F.col("src").alias("start")).distinct().withColumn(
+        "cur", F.col("start")
+    )
+    hops = []
+    for i in (1, 2, 3):
+        nxt = (
+            frontier.join(sym, frontier["cur"] == sym["src"])
+            .select(
+                "start",
+                F.col("dst"),
+                F.md5(
+                    F.concat(
+                        F.col("start").cast("string"),
+                        F.lit(f":{i}:"),
+                        F.col("dst").cast("string"),
+                    )
+                ).alias("h"),
+            )
+            .groupBy("start")
+            .agg(F.expr("min_by(dst, struct(h, dst))").alias("cur"))
+        )
+        frontier = ckpt(nxt)
+        hops.append(frontier.select("start", F.col("cur").alias(f"hop{i}")))
+    out = hops[0]
+    for h in hops[1:]:
+        out = out.join(h, "start")
+    return out

@@ -403,6 +403,8 @@ _KEY_RANK: dict[str, int] = {
     "ts_stream_sliding": 9,
     "source_rate_stream": 9,
     "ml_auc_delong_se": 9,
+    "agg_qq_normal": 9,
+    "graph_hash_walks": 9,
 }
 
 
