@@ -2018,3 +2018,105 @@ def ml_auc_delong_se(spark, sf_dir):
             "se_delong"
         ),
     )
+
+
+@register(
+    "ml_propensity_match",
+    oracle="""
+WITH u AS (
+    SELECT user_id, COUNT(*) AS n_events, MAX(ts) AS last_ts,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS outcome
+    FROM events GROUP BY user_id
+), lab AS (
+    SELECT user_id, n_events, outcome,
+           CASE WHEN last_ts < TIMESTAMP '2024-01-29 20:00:00' THEN 1 ELSE 0 END
+               AS treated
+    FROM u
+), pairs AS (
+    SELECT t.user_id AS treated_id, c.user_id AS control_id,
+           ABS(t.n_events - c.n_events) AS dist,
+           t.outcome AS y_t, c.outcome AS y_c,
+           ROW_NUMBER() OVER (PARTITION BY t.user_id
+                              ORDER BY ABS(t.n_events - c.n_events), c.user_id) AS rn
+    FROM lab t JOIN lab c
+      ON c.treated = 0 AND ABS(t.n_events - c.n_events) <= 2
+    WHERE t.treated = 1
+), matched AS (
+    SELECT * FROM pairs WHERE rn = 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_matched,
+       ROUND(CAST(SUM(CAST(FLOOR((y_t - y_c) * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE)
+             / 1e6 / COUNT(*), 6) AS att,
+       CAST(SUM(dist) AS BIGINT) AS total_dist
+FROM matched
+""",
+)
+def ml_propensity_match(spark, sf_dir):
+    """Caliper matching + ATT — the causal-inference primitive behind
+    'did churners differ in spend, holding activity constant': every
+    treated (churned) user is matched to its nearest control by
+    activity level (|Δ n_events| ≤ 2 caliper, deterministic ties on
+    user id), and the average treated-minus-control outcome gap is the
+    ATT estimate. The scalable form is a BAND JOIN on the integer
+    score (the caliper bounds fan-in to ±2 score buckets — at 100 TB
+    you'd pre-bucket by score and join bucket-to-adjacent-buckets,
+    identical semantics) followed by a per-treated rank. Matching
+    WITH replacement (standard for ATT) keeps it embarrassingly
+    parallel — no sequential greedy pass. Integer distances, decimal-
+    quantized outcome gaps: exact twin."""
+    e = t(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("ts").alias("last_ts"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("outcome"),
+    )
+    lab = u.select(
+        "user_id",
+        "n_events",
+        "outcome",
+        F.when(
+            F.col("last_ts") < F.to_timestamp(F.lit("2024-01-29 20:00:00")), 1
+        )
+        .otherwise(0)
+        .alias("treated"),
+    ).localCheckpoint(eager=True)  # feeds both sides of the match join
+    tr = lab.filter(F.col("treated") == 1).select(
+        F.col("user_id").alias("treated_id"),
+        F.col("n_events").alias("ne_t"),
+        F.col("outcome").alias("y_t"),
+    )
+    ct = lab.filter(F.col("treated") == 0).select(
+        F.col("user_id").alias("control_id"),
+        F.col("n_events").alias("ne_c"),
+        F.col("outcome").alias("y_c"),
+    )
+    # Caliper as an EQUI-join: each treated row probes the 5 integer
+    # score buckets |Δ| ≤ 2 via a bounded explode — never a cartesian
+    # (plan-asserted in tests/test_plans.py). This is the pre-bucketed
+    # form the docstring's 100 TB note describes, implemented, not
+    # promised.
+    probes = tr.select(
+        "treated_id",
+        "ne_t",
+        "y_t",
+        F.explode(F.expr("sequence(ne_t - 2, ne_t + 2)")).alias("ne_c"),
+    )
+    pairs = probes.join(ct, "ne_c").withColumn(
+        "dist", F.abs(F.col("ne_t") - F.col("ne_c"))
+    )
+    w = Window.partitionBy("treated_id").orderBy("dist", "control_id")
+    matched = pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return matched.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+        F.round(
+            F.sum(
+                F.floor((F.col("y_t") - F.col("y_c")) * F.lit(1e6) + F.lit(0.5)).cast(
+                    "decimal(38,6)"
+                )
+            ).cast("double")
+            / F.lit(1e6)
+            / F.count(F.lit(1)),
+            6,
+        ).alias("att"),
+        F.sum("dist").cast("bigint").alias("total_dist"),
+    )

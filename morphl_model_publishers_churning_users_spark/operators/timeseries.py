@@ -2840,3 +2840,90 @@ def ts_session_adaptive(spark, sf_dir):
         F.max("n_events").cast("bigint").alias("max_session_events"),
         F.sum("n_events").cast("bigint").alias("n_events"),
     )
+
+
+@register(
+    "ts_top_paths",
+    oracle="""
+WITH marks AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id))
+                    > 1800000000 OR LAG(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+), sess AS (
+    SELECT user_id, ts, event_id, event_type,
+           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+    FROM marks
+), stepped AS (
+    SELECT user_id, sid, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id, sid ORDER BY ts, event_id) AS step
+    FROM sess
+), paths AS (
+    SELECT user_id, sid,
+           string_agg(event_type, '>' ORDER BY step) AS path
+    FROM stepped WHERE step <= 3 GROUP BY user_id, sid
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path ASC LIMIT 15
+""",
+)
+def ts_top_paths(spark, sf_dir):
+    """Top session-opening paths — the 'how do visits actually start'
+    product-analytics readout (the first 3 steps decide bounce vs
+    engage): 30-minute sessionization, each session's ordered first-3
+    event types joined into a path string, global top-15 by frequency.
+    The ORDERED string_agg is the cross-engine seam this op pins down:
+    Spark's collect_list is non-deterministic under shuffle, so the
+    path is built from an array_agg over a step-ranked struct sorted
+    INSIDE the group (deterministic), matching DuckDB's
+    string_agg(... ORDER BY). Sessionize + rank + path-build all ride
+    one user-keyed shuffle; the path table collapses to O(distinct
+    paths) before the top-k."""
+    e = t(spark, sf_dir, "events")
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marks = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w_u).isNull()
+            | (
+                F.expr(
+                    "timestampdiff(MICROSECOND, lag(ts) over "
+                    "(partition by user_id order by ts, event_id), ts)"
+                )
+                > 1800000000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    sess = marks.withColumn(
+        "sid", F.sum("new_sess").over(w_u.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    w_s = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    stepped = sess.withColumn("step", F.row_number().over(w_s)).filter(
+        F.col("step") <= 3
+    )
+    paths = (
+        stepped.groupBy("user_id", "sid")
+        .agg(
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(struct(step, event_type))), x -> x.event_type)"),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(15)
+    )

@@ -405,6 +405,8 @@ _KEY_RANK: dict[str, int] = {
     "ml_auc_delong_se": 9,
     "agg_qq_normal": 9,
     "graph_hash_walks": 9,
+    "ts_top_paths": 9,
+    "ml_propensity_match": 9,
 }
 
 

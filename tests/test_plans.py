@@ -649,3 +649,12 @@ def test_xml_roundtrip_single_scan_no_shuffle_before_agg(spark, sf_dir):
     plan = _plan(spark, sf_dir, "fn_xml")
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1  # agg only
+
+
+def test_propensity_match_no_cartesian(spark, sf_dir):
+    """The caliper match must run as a bucket equi-join (explode ±2 →
+    join on the score key), never a cartesian/BNLJ over treated ×
+    control."""
+    plan = _plan(spark, sf_dir, "ml_propensity_match")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
