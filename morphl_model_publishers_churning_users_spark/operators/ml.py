@@ -2120,3 +2120,78 @@ def ml_propensity_match(spark, sf_dir):
         ).alias("att"),
         F.sum("dist").cast("bigint").alias("total_dist"),
     )
+
+
+@register(
+    "ml_diff_in_diff",
+    oracle="""
+WITH firsts AS (
+    SELECT user_id,
+           MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS treated
+    FROM events GROUP BY user_id
+), cells AS (
+    SELECT f.treated,
+           CASE WHEN e.ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS post,
+           CAST(SUM(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE) AS total,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+), means AS (
+    SELECT treated, post, total / n AS m FROM cells
+)
+SELECT ROUND(t1.m - t0.m - (c1.m - c0.m), 6) AS did_estimate,
+       ROUND(t1.m - t0.m, 6) AS treated_delta,
+       ROUND(c1.m - c0.m, 6) AS control_delta
+FROM (SELECT m FROM means WHERE treated = 1 AND post = 1) t1,
+     (SELECT m FROM means WHERE treated = 1 AND post = 0) t0,
+     (SELECT m FROM means WHERE treated = 0 AND post = 1) c1,
+     (SELECT m FROM means WHERE treated = 0 AND post = 0) c0
+""",
+)
+def ml_diff_in_diff(spark, sf_dir):
+    """Difference-in-differences — the workhorse quasi-experimental
+    estimate when treatment wasn't randomized: users who ever signed
+    up (treated) vs never (control), mean event value before vs after
+    the window midpoint; DiD = Δtreated − Δcontrol nets out both the
+    group baseline and the common time trend. The whole estimator is
+    FOUR cell means: one user-grain pass for treatment flags (joined
+    back on the user key), one 2×2 aggregate — decimal-exact totals,
+    int counts, three subtractions. The parallel-trends caveat is the
+    analyst's, not the engine's; the engine's job is cells that are
+    exactly right at any scale, which two keyed aggregates deliver."""
+    e = t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "signup").cast("int")).alias("treated")
+    )
+    cells = (
+        e.join(firsts, "user_id")
+        .groupBy(
+            "treated",
+            (F.col("ts") >= F.to_timestamp(F.lit("2024-01-16 00:00:00")))
+            .cast("int")
+            .alias("post"),
+        )
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        .localCheckpoint(eager=True)  # feeds all four cell lookups
+    )
+    pick = lambda tr, po: cells.filter(
+        (F.col("treated") == tr) & (F.col("post") == po)
+    ).select(F.col("m").alias(f"m{tr}{po}"))
+    j = (
+        pick(1, 1)
+        .crossJoin(F.broadcast(pick(1, 0)))
+        .crossJoin(F.broadcast(pick(0, 1)))
+        .crossJoin(F.broadcast(pick(0, 0)))
+    )
+    return j.select(
+        F.round(
+            (F.col("m11") - F.col("m10")) - (F.col("m01") - F.col("m00")), 6
+        ).alias("did_estimate"),
+        F.round(F.col("m11") - F.col("m10"), 6).alias("treated_delta"),
+        F.round(F.col("m01") - F.col("m00"), 6).alias("control_delta"),
+    )

@@ -555,3 +555,44 @@ def scan_path_glob_filter(spark, sf_dir):
     return back.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows")
     )
+
+
+@register(
+    "sink_compact_small_files",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(o_custkey) AS BIGINT) AS cust_sum,
+       TRUE AS compacted
+FROM orders GROUP BY 1
+""",
+)
+def sink_compact_small_files(spark, sf_dir):
+    """Small-file compaction — the lake-maintenance job every 100 TB
+    table needs on a schedule: streaming/incremental writers leave
+    thousands of KB-sized files, and scan cost at scale is dominated
+    by file-open overhead until someone rewrites them. Stage: orders
+    deliberately fragmented (repartition(64) on write), then compacted
+    with a repartition(4) rewrite to a second location. The CONTENT
+    contract is oracle-matched (per-priority counts + key sums survive
+    the rewrite bit-exactly); the `compacted` flag asserts Spark-side
+    that the rewrite actually reduced the file count ≥ 8× — a rewrite
+    that silently kept the fragmentation (or dropped rows) flips the
+    hash either way. In production the same two-liner runs per
+    partition with a manifest swap; repartition-by-size is the knob."""
+    import glob
+    import os
+
+    frag = scratch_dir("compact_frag")
+    comp = scratch_dir("compact_out")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+    o.repartition(64).write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(comp)
+    n_frag = len(glob.glob(os.path.join(frag, "part-*.parquet")))
+    n_comp = len(glob.glob(os.path.join(comp, "part-*.parquet")))
+    back = spark.read.parquet(comp)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("o_custkey").cast("bigint").alias("cust_sum"),
+        F.lit(n_frag >= 8 * n_comp).alias("compacted"),
+    )

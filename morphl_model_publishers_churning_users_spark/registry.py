@@ -100,13 +100,20 @@ def register(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Quer
 # tag 6 (the expected r6 window: 2 canaries agg_group/fn_string re-tag
 # to 6, the 8 join-spill keys, the 38 round-5 additions, dq_uniqueness +
 # dq_freshness = 50), rotate _CANARY to win_running + ts_session per the
-# rotation table, and the r7 window then holds: 2 canaries + the 28
-# remaining rank-9 round-6 additions (join_bloom_pruned, graph_* x5,
-# ts_cusum/theta/sax, ml_* x6, llm_* x5, agg_ecdf/winsorized/bitwise,
-# fn_regex/interval/collation/string_extra, dq_observe_metrics/
-# schema_contract, scan_metadata_cols, win_rolling_corr, mm_header_parse)
-# + ~15 oldest-tag backstop keys (automatic second touches, r1 families
-# first). All round-6 additions (49 rank-9 keys by end of round) were
+# rotation table, and the r7 window then holds: 2 canaries + ~48 of the
+# rank-9 round-6 additions in dict-insertion order (the early-r6 wave:
+# join_bloom_pruned, graph_* x5, ts_cusum/theta/sax, ml_* x7, llm_* x7,
+# agg_ecdf/winsorized/bitwise/rate_ci_wilson, fn_regex/interval/
+# collation/string_extra/trig/surrogate_key, dq_observe_metrics/
+# schema_contract/row_checksum/fk_chain, scan_metadata_cols/
+# ignore_corrupt_files/path_glob_filter, win_rolling_corr,
+# mm_header_parse, source_tsv/json_multiline, sink_csv_quoted,
+# udf_pandas_struct, ts_gap_stats/max_drawdown/sessions_per_user/
+# days_to_return/attribution_linear/rank_mobility, ml_ece,
+# llm_burstiness/compression_filter/lang_confusion/vocab_coverage).
+# The late-r6 wave (the ~34 keys from llm_url_dedup through
+# ml_propensity_match) queues right behind for round 8 — still ahead
+# of the verified backstop. All round-6 additions (49 rank-9 keys by end of round) were
 # sim-verified at sf0.001/0.01 (the float-sensitive ones also at sf0.1);
 # the full registry ran hash-green in the bare-session simulator (329/329
 # in 244 s before the last 9 additions, each of those 9 then driver-
@@ -407,6 +414,8 @@ _KEY_RANK: dict[str, int] = {
     "graph_hash_walks": 9,
     "ts_top_paths": 9,
     "ml_propensity_match": 9,
+    "ml_diff_in_diff": 9,
+    "sink_compact_small_files": 9,
 }
 
 
