@@ -2457,7 +2457,7 @@ WITH gaps AS (
            COUNT(gap_us) AS n_gaps,
            MAX(ts) AS last_ts
     FROM gaps GROUP BY user_id
-), horizon AS (SELECT MAX(ts) AS h FROM events)
+), horizon AS (SELECT MAX(last_ts) AS h FROM stats)
 SELECT s.user_id,
        CAST(s.n_gaps AS BIGINT) AS n_gaps,
        CAST(s.med_gap AS DOUBLE) AS med_gap_us,
@@ -2495,8 +2495,11 @@ def ts_cadence_break(spark, sf_dir):
         F.expr("percentile(gap_us, 0.5D)").alias("med_gap"),
         F.count("gap_us").alias("n_gaps"),
         F.max("ts").alias("last_ts"),
-    )
-    horizon = e.agg(F.max("ts").alias("h"))
+    ).localCheckpoint(eager=True)  # feeds the horizon scalar AND the readout
+    # Corpus horizon = max over the per-user maxima — an aggregate of the
+    # (small) stats table, NOT a second scan of the fact table
+    # (duplicate-scan sweep, late round 6).
+    horizon = stats.agg(F.max("last_ts").alias("h"))
     silence = F.expr("timestampdiff(MICROSECOND, last_ts, h)")
     return (
         stats.filter(F.col("n_gaps") >= 3)
@@ -2765,15 +2768,16 @@ WITH gaps AS (
            epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
                AS gap_us
     FROM events
-), med AS (
-    SELECT user_id, quantile_cont(gap_us, 0.5) AS med_gap, COUNT(gap_us) AS n_gaps
-    FROM gaps GROUP BY user_id
+), winstats AS (
+    SELECT user_id, ts, event_id, gap_us,
+           quantile_cont(gap_us, 0.5) OVER (PARTITION BY user_id) AS med_gap,
+           COUNT(gap_us) OVER (PARTITION BY user_id) AS n_gaps
+    FROM gaps
 ), cut AS (
-    SELECT g.user_id, g.ts, g.event_id,
-           CASE WHEN g.gap_us IS NULL THEN 1
-                WHEN g.gap_us > 3 * m.med_gap THEN 1 ELSE 0 END AS new_sess
-    FROM gaps g JOIN med m ON g.user_id = m.user_id
-    WHERE m.n_gaps >= 3
+    SELECT user_id, ts, event_id,
+           CASE WHEN gap_us IS NULL THEN 1
+                WHEN gap_us > 3 * med_gap THEN 1 ELSE 0 END AS new_sess
+    FROM winstats WHERE n_gaps >= 3
 ), sess AS (
     SELECT user_id,
            SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -2797,9 +2801,11 @@ def ts_session_adaptive(spark, sf_dir):
     session boundary is PERSONAL: a gap > 3× the user's own median
     inter-event gap starts a new session (same cadence statistic as
     ts_cadence_break, now driving segmentation instead of a flag).
-    Three passes, ALL partitioned by user_id — gap window, median
-    aggregate joined back on the same key, boundary-flag running sum —
-    so the whole operator rides ONE user-keyed shuffle. Integer
+    Three passes, ALL partitioned by user_id — gap window, the
+    median/count as ANALYTIC windows over the same partitioning (no
+    groupBy-and-join-back, which would re-derive the fact-scale gap
+    pass), boundary-flag running sum — so the whole operator rides ONE
+    user-keyed shuffle and ONE scan. Integer
     microsecond arithmetic + exact median interpolation: exact twin.
     Users with < 3 gaps are excluded (their median is noise)."""
     e = t(spark, sf_dir, "events")
@@ -2812,21 +2818,30 @@ def ts_session_adaptive(spark, sf_dir):
             "(partition by user_id order by ts, event_id), ts)"
         ).alias("gap_us"),
     )
-    med = gaps.groupBy("user_id").agg(
-        F.expr("percentile(gap_us, 0.5D)").alias("med_gap"),
-        F.count("gap_us").alias("n_gaps"),
+    # Per-user median/count as ANALYTIC windows over the SAME user
+    # partitioning as the gap window — one scan, one shuffle, no
+    # re-derivation of the gap table and no join (duplicate-scan sweep,
+    # late round 6: the groupBy+join form re-ran the fact-scale window
+    # pass twice).
+    w_part = Window.partitionBy("user_id")
+    winstats = gaps.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "gap_us",
+        F.expr(
+            "percentile(gap_us, 0.5D) over (partition by user_id)"
+        ).alias("med_gap"),
+        F.count("gap_us").over(w_part).alias("n_gaps"),
     )
-    cut = (
-        gaps.join(med.filter(F.col("n_gaps") >= 3), "user_id")
-        .select(
-            "user_id",
-            "ts",
-            "event_id",
-            F.when(F.col("gap_us").isNull(), 1)
-            .when(F.col("gap_us") > 3 * F.col("med_gap"), 1)
-            .otherwise(0)
-            .alias("new_sess"),
-        )
+    cut = winstats.filter(F.col("n_gaps") >= 3).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("gap_us").isNull(), 1)
+        .when(F.col("gap_us") > 3 * F.col("med_gap"), 1)
+        .otherwise(0)
+        .alias("new_sess"),
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, 0
