@@ -1820,3 +1820,63 @@ def agg_qq_normal(spark, sf_dir):
         F.round(F.expr(_probit_expr("p")), 6).alias("z_theory"),
         F.round((F.col("q_obs") - F.col("mu")) / F.col("sigma"), 6).alias("z_observed"),
     )
+
+
+@register(
+    "agg_bitmap_sets",
+    oracle="""
+WITH tagged AS (
+    SELECT user_id // 63 AS bucket, CAST(user_id % 63 AS INTEGER) AS bit,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS buyer,
+           MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS erred
+    FROM events GROUP BY 1, 2
+), maps AS (
+    SELECT bucket,
+           bit_or(CASE WHEN buyer = 1 THEN 1::BIGINT << bit ELSE 0 END) AS bm_buy,
+           bit_or(CASE WHEN erred = 1 THEN 1::BIGINT << bit ELSE 0 END) AS bm_err
+    FROM tagged GROUP BY bucket
+)
+SELECT CAST(SUM(bit_count(bm_buy)) AS BIGINT) AS n_buyers,
+       CAST(SUM(bit_count(bm_err)) AS BIGINT) AS n_erred,
+       CAST(SUM(bit_count(bm_buy & bm_err)) AS BIGINT) AS n_both,
+       CAST(SUM(bit_count(bm_buy | bm_err)) AS BIGINT) AS n_either,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets
+FROM maps
+""",
+)
+def agg_bitmap_sets(spark, sf_dir):
+    """Bitmap-index set algebra — the warehouse trick behind fast
+    audience intersection: user sets packed 63-to-a-BIGINT (bucket =
+    id div 63, bit = id mod 63 — 63, not 64: bit 63 is the sign bit
+    and DuckDB's signed shift traps on it), segment membership as bit_or'd masks,
+    then AND/OR + popcount answer 'buyers ∩ errored' WITHOUT a
+    distinct-join — at 100 TB the bitmap table is ~63× smaller than the
+    id list and the intersection is a per-bucket integer op (this is
+    roaring-bitmap's dense case, relationalized). Exact integers end
+    to end; the oracle builds identical masks with DuckDB's bit ops.
+    Two keyed aggregates (user grain → bucket grain), then O(buckets)
+    algebra."""
+    e = t(spark, sf_dir, "events")
+    tagged = e.groupBy(
+        F.floor(F.col("user_id") / 63).alias("bucket"),
+        (F.col("user_id") % 63).cast("int").alias("bit"),
+    ).agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("buyer"),
+        F.max((F.col("event_type") == "error").cast("int")).alias("erred"),
+    )
+    mask = F.expr("shiftleft(1L, bit)")
+    maps = tagged.groupBy("bucket").agg(
+        F.bit_or(F.when(F.col("buyer") == 1, mask).otherwise(0)).alias("bm_buy"),
+        F.bit_or(F.when(F.col("erred") == 1, mask).otherwise(0)).alias("bm_err"),
+    )
+    return maps.agg(
+        F.sum(F.bit_count("bm_buy")).cast("bigint").alias("n_buyers"),
+        F.sum(F.bit_count("bm_err")).cast("bigint").alias("n_erred"),
+        F.sum(F.bit_count(F.col("bm_buy").bitwiseAND(F.col("bm_err"))))
+        .cast("bigint")
+        .alias("n_both"),
+        F.sum(F.bit_count(F.col("bm_buy").bitwiseOR(F.col("bm_err"))))
+        .cast("bigint")
+        .alias("n_either"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+    )

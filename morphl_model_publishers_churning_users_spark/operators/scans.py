@@ -596,3 +596,59 @@ def sink_compact_small_files(spark, sf_dir):
         F.sum("o_custkey").cast("bigint").alias("cust_sum"),
         F.lit(n_frag >= 8 * n_comp).alias("compacted"),
     )
+
+
+@register(
+    "sink_dynamic_partition_overwrite",
+    oracle="""
+WITH days AS (
+    SELECT CAST(ts AS DATE) AS day, user_id, value FROM events
+), expected AS (
+    SELECT day, user_id, value * 2 AS value FROM days WHERE day <= DATE '2024-01-10'
+    UNION ALL
+    SELECT day, user_id, value FROM days WHERE day > DATE '2024-01-10'
+)
+SELECT day, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(CAST(SUM(CAST(FLOOR(value * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE)
+             / 1e6, 6) AS sum_value
+FROM expected GROUP BY day
+""",
+)
+def sink_dynamic_partition_overwrite(spark, sf_dir):
+    """Dynamic partition overwrite — THE incremental-load write mode: a
+    daily restatement job must replace ONLY the partitions it touches
+    and leave every other day's files alone (static overwrite mode
+    would wipe the whole table — the classic production incident).
+    Stage: events written partitioned by day; then a restatement of
+    days ≤ Jan 10 (values doubled) written with
+    partitionOverwriteMode=dynamic; read back. The oracle computes the
+    spliced expectation — doubled early days + untouched late days —
+    so BOTH failure modes flip the hash: wiping untouched partitions
+    (missing rows) or appending instead of replacing (doubled rows).
+    The mode is set per-write via the session conf the writer reads;
+    at 100 TB this is the idempotent backfill primitive."""
+    out = scratch_dir("dyn_part_overwrite")
+    e = t(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "user_id", "value"
+    )
+    e.write.mode("overwrite").partitionBy("day").parquet(out)
+    restate = e.filter(F.col("day") <= F.lit("2024-01-10").cast("date")).select(
+        "day", "user_id", (F.col("value") * 2).alias("value")
+    )
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        restate.write.mode("overwrite").partitionBy("day").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    back = spark.read.parquet(out)
+    return back.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(
+            F.sum(
+                F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,6)")
+            ).cast("double")
+            / F.lit(1e6),
+            6,
+        ).alias("sum_value"),
+    )

@@ -416,6 +416,8 @@ _KEY_RANK: dict[str, int] = {
     "ml_propensity_match": 9,
     "ml_diff_in_diff": 9,
     "sink_compact_small_files": 9,
+    "sink_dynamic_partition_overwrite": 9,
+    "agg_bitmap_sets": 9,
 }
 
 
