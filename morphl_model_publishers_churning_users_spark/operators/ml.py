@@ -2195,3 +2195,191 @@ def ml_diff_in_diff(spark, sf_dir):
         F.round(F.col("m11") - F.col("m10"), 6).alias("treated_delta"),
         F.round(F.col("m01") - F.col("m00"), 6).alias("control_delta"),
     )
+
+
+@register(
+    "ml_km_greenwood",
+    oracle="""
+WITH horizon AS (SELECT MAX(ts) AS h FROM events),
+users AS (
+    SELECT e.user_id,
+           date_diff('day', CAST(MIN(e.ts) AS DATE), CAST(MAX(e.ts) AS DATE)) AS t_days,
+           CASE WHEN MAX(e.ts) < MAX(horizon.h) - INTERVAL 3 DAY THEN 1 ELSE 0 END
+               AS churned
+    FROM events e, horizon GROUP BY e.user_id
+), daily AS (
+    SELECT t_days AS day_n,
+           SUM(churned) AS d,
+           COUNT(*) - SUM(churned) AS c
+    FROM users GROUP BY t_days
+), tot AS (SELECT COUNT(*) AS n0 FROM users),
+risk AS (
+    SELECT day_n, d, c,
+           n0 - COALESCE(SUM(d + c) OVER (ORDER BY day_n ROWS BETWEEN UNBOUNDED
+                         PRECEDING AND 1 PRECEDING), 0) AS n_risk
+    FROM daily, tot
+), steps AS (
+    SELECT day_n, d, n_risk,
+           CAST(FLOOR(ln(1.0 - CAST(d AS DOUBLE) / n_risk) * 1e12 + 0.5)
+                AS DECIMAL(38,12)) / 1e12 AS lterm,
+           CAST(FLOOR(CAST(d AS DOUBLE) / (n_risk * (n_risk - d)) * 1e12 + 0.5)
+                AS DECIMAL(38,12)) / 1e12 AS gterm
+    FROM risk WHERE d < n_risk
+), cum AS (
+    SELECT day_n, d, n_risk,
+           CAST(SUM(CAST(lterm AS DECIMAL(38,12))) OVER (ORDER BY day_n
+                ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS lsum,
+           CAST(SUM(CAST(gterm AS DECIMAL(38,12))) OVER (ORDER BY day_n
+                ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS gsum
+    FROM steps
+)
+SELECT day_n, CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS n_churn,
+       ROUND(exp(lsum), 6) AS s_km,
+       ROUND(exp(lsum) * sqrt(gsum), 6) AS se_greenwood
+FROM cum
+""",
+)
+def ml_km_greenwood(spark, sf_dir):
+    """Kaplan-Meier WITH censoring + Greenwood error bars — the
+    difference between ts_survival_curve (empirical fraction, no
+    censoring) and what an actuary would sign: users still active near
+    the horizon are CENSORED at their observed tenure, not counted as
+    deaths, and each KM step ships its Greenwood SE, Var(S) = S²·Σ
+    d/(n(n−d)). The sequential product Π(1−d/n) is relationalized as
+    exp of a cumulative sum of logs — each log/Greenwood term is
+    1e-12-quantized into a DECIMAL running sum over the ≤30-row daily
+    table, so both engines exponentiate bit-identical accumulations.
+    One user-grain aggregate is the only fact-scale pass; the whole
+    estimator runs on the tenure histogram."""
+    e = t(spark, sf_dir, "events")
+    horizon = e.agg(F.max("ts").alias("h"))
+    users = (
+        e.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.datediff(F.to_date("last_ts"), F.to_date("first_ts")).alias("t_days"),
+            F.when(
+                F.col("last_ts") < F.col("h") - F.expr("INTERVAL 3 DAY"), 1
+            )
+            .otherwise(0)
+            .alias("churned"),
+        )
+    )
+    daily = users.groupBy(F.col("t_days").alias("day_n")).agg(
+        F.sum("churned").alias("d"),
+        (F.count(F.lit(1)) - F.sum("churned")).alias("c"),
+    ).localCheckpoint(eager=True)  # feeds the total AND the risk window
+    tot = daily.agg(F.sum(F.col("d") + F.col("c")).alias("n0"))
+    wb = Window.orderBy("day_n").rowsBetween(Window.unboundedPreceding, -1)
+    risk = daily.crossJoin(F.broadcast(tot)).select(
+        "day_n",
+        "d",
+        (F.col("n0") - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wb), F.lit(0))).alias(
+            "n_risk"
+        ),
+    )
+    q12 = lambda c: (
+        F.floor(c * F.lit(1e12) + F.lit(0.5)).cast("decimal(38,12)") / F.lit(1e12)
+    )
+    steps = risk.filter(F.col("d") < F.col("n_risk")).select(
+        "day_n",
+        "d",
+        "n_risk",
+        q12(F.log(1.0 - F.col("d").cast("double") / F.col("n_risk"))).alias("lterm"),
+        q12(
+            F.col("d").cast("double") / (F.col("n_risk") * (F.col("n_risk") - F.col("d")))
+        ).alias("gterm"),
+    )
+    wc = Window.orderBy("day_n").rowsBetween(Window.unboundedPreceding, 0)
+    cum = steps.select(
+        "day_n",
+        "d",
+        "n_risk",
+        F.sum(F.col("lterm").cast("decimal(38,12)")).over(wc).cast("double").alias("lsum"),
+        F.sum(F.col("gterm").cast("decimal(38,12)")).over(wc).cast("double").alias("gsum"),
+    )
+    return cum.select(
+        "day_n",
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").cast("bigint").alias("n_churn"),
+        F.round(F.exp("lsum"), 6).alias("s_km"),
+        F.round(F.exp("lsum") * F.sqrt("gsum"), 6).alias("se_greenwood"),
+    )
+
+
+@register(
+    "ml_cuped",
+    oracle="""
+WITH per_user AS (
+    SELECT user_id,
+           CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                         THEN 1 ELSE 0 END) AS DOUBLE) AS x,
+           CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                         THEN CAST(value AS DECIMAL(38,6)) ELSE 0 END) AS DOUBLE) AS y
+    FROM events GROUP BY user_id
+), mom AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(FLOOR(x * x * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE) / 1e6 AS sxx,
+           CAST(SUM(CAST(FLOOR(y * y * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE) / 1e6 AS syy,
+           CAST(SUM(CAST(FLOOR(x * y * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE) / 1e6 AS sxy
+    FROM per_user
+), stats AS (
+    SELECT n,
+           (sxx - sx * sx / n) / (n - 1) AS var_x,
+           (syy - sy * sy / n) / (n - 1) AS var_y,
+           (sxy - sx * sy / n) / (n - 1) AS cov_xy
+    FROM mom
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+       ROUND(cov_xy / var_x, 6) AS theta,
+       ROUND(var_y, 6) AS var_y,
+       ROUND(var_y - cov_xy * cov_xy / var_x, 6) AS var_adjusted,
+       ROUND(cov_xy * cov_xy / (var_x * var_y), 6) AS var_reduction
+FROM stats
+""",
+)
+def ml_cuped(spark, sf_dir):
+    """CUPED variance reduction — the pre-experiment covariate trick
+    that makes A/B tests read out days earlier: adjust the outcome by
+    θ·(x − x̄) where x is the user's PRE-period activity and θ =
+    Cov(x,y)/Var(x); the adjusted metric's variance drops by exactly
+    ρ² (reported as var_reduction — on behavioral data typically
+    30-60%, compounding with agg_ratio_delta_method's SE). The whole
+    estimator is five decimal-exact moments over one user-grain
+    aggregate (pre-count, post-value per user in a single pass over
+    the fact table — no second scan for the pre-period). At 100 TB
+    this is one shuffle and five numbers."""
+    e = t(spark, sf_dir, "events")
+    cut = F.to_timestamp(F.lit("2024-01-16 00:00:00"))
+    per_user = e.groupBy("user_id").agg(
+        F.sum((F.col("ts") < cut).cast("long")).cast("double").alias("x"),
+        F.sum(
+            F.when(F.col("ts") >= cut, F.col("value").cast("decimal(38,6)")).otherwise(
+                F.lit(0).cast("decimal(38,6)")
+            )
+        )
+        .cast("double")
+        .alias("y"),
+    )
+    q6d = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,6)")
+    mom = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,6)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,6)")).cast("double").alias("sy"),
+        (F.sum(q6d(F.col("x") * F.col("x"))).cast("double") / F.lit(1e6)).alias("sxx"),
+        (F.sum(q6d(F.col("y") * F.col("y"))).cast("double") / F.lit(1e6)).alias("syy"),
+        (F.sum(q6d(F.col("x") * F.col("y"))).cast("double") / F.lit(1e6)).alias("sxy"),
+    )
+    var_x = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+    var_y = (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")) / (F.col("n") - 1)
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (F.col("n") - 1)
+    return mom.select(
+        F.col("n").alias("n_users"),
+        F.round(cov / var_x, 6).alias("theta"),
+        F.round(var_y, 6).alias("var_y"),
+        F.round(var_y - cov * cov / var_x, 6).alias("var_adjusted"),
+        F.round(cov * cov / (var_x * var_y), 6).alias("var_reduction"),
+    )

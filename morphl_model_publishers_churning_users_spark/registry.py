@@ -418,6 +418,8 @@ _KEY_RANK: dict[str, int] = {
     "sink_compact_small_files": 9,
     "sink_dynamic_partition_overwrite": 9,
     "agg_bitmap_sets": 9,
+    "ml_km_greenwood": 9,
+    "ml_cuped": 9,
 }
 
 
