@@ -592,3 +592,58 @@ def mm_activity_segments(spark, sf_dir):
         F.max("seg_len").cast("bigint").alias("max_seg_len"),
         F.sum("seg_len").cast("bigint").alias("n_active"),
     )
+
+
+@register(
+    "mm_modality_balance",
+    oracle="""
+WITH m AS (
+    SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+               AS modality,
+           8 + CASE doc_id % 3
+             WHEN 0 THEN 8 * (4 + doc_id % 4)
+             WHEN 1 THEN 32 + doc_id % 32
+             ELSE (8 + doc_id % 8) * 16
+           END AS payload_bytes
+    FROM documents
+), per AS (
+    SELECT modality, COUNT(*) AS n,
+           CAST(SUM(payload_bytes) AS BIGINT) AS total_bytes
+    FROM m GROUP BY modality
+), tot AS (SELECT SUM(n) AS nt FROM per)
+SELECT modality, CAST(n AS BIGINT) AS n_docs, total_bytes,
+       ROUND(CAST(n AS DOUBLE) / nt, 6) AS share,
+       ROUND((1.0 / 3) / (CAST(n AS DOUBLE) / nt), 6) AS resample_factor
+FROM per, tot
+""",
+)
+def mm_modality_balance(spark, sf_dir):
+    """Modality mixture balance — llm_mixture_balance's multimodal
+    sibling: a vision-language training mix is specified as modality
+    shares, and the resample factor per modality (target share /
+    actual share) is what the sampling stage multiplies against. The
+    actual mix is measured from the REAL payload headers (the same
+    codegen substring+conv decode as mm_header_parse — byte sizes
+    include the 8-byte header, i.e. what storage actually bills), not
+    from metadata that may lie. One narrow decode + one aggregate +
+    one broadcast total; at 100 TB the mix table is 3 rows."""
+    b = _binify(spark, sf_dir)
+    tag = F.expr("substring(payload, 4, 1)").cast("string")
+    modality = (
+        F.when(tag == "I", "image").when(tag == "A", "audio").otherwise("video")
+    )
+    per = b.select(
+        modality.alias("modality"), F.length("payload").cast("bigint").alias("payload_bytes")
+    ).groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("payload_bytes").cast("bigint").alias("total_bytes"),
+    )
+    tot = per.agg(F.sum("n").alias("nt"))
+    share = F.col("n").cast("double") / F.col("nt")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "modality",
+        F.col("n").cast("bigint").alias("n_docs"),
+        "total_bytes",
+        F.round(share, 6).alias("share"),
+        F.round((F.lit(1.0) / 3) / share, 6).alias("resample_factor"),
+    )

@@ -420,6 +420,7 @@ _KEY_RANK: dict[str, int] = {
     "agg_bitmap_sets": 9,
     "ml_km_greenwood": 9,
     "ml_cuped": 9,
+    "mm_modality_balance": 9,
 }
 
 
