@@ -1880,3 +1880,85 @@ def agg_bitmap_sets(spark, sf_dir):
         .alias("n_either"),
         F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
     )
+
+
+@register(
+    "agg_welch_ttest",
+    oracle="""
+WITH grp AS (
+    SELECT CASE WHEN event_type = 'purchase' THEN 'a' ELSE 'b' END AS g,
+           value AS v
+    FROM events WHERE event_type IN ('purchase', 'click')
+), mom AS (
+    SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS sv,
+           CAST(SUM(CAST(FLOOR(v * v * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE) / 1e6
+               AS svv
+    FROM grp GROUP BY g
+), stats AS (
+    SELECT g, n, sv / n AS m, (svv - sv * sv / n) / (n - 1) AS var FROM mom
+), pair AS (
+    SELECT a.n AS na, a.m AS ma, a.var AS va,
+           b.n AS nb, b.m AS mb, b.var AS vb
+    FROM (SELECT * FROM stats WHERE g = 'a') a,
+         (SELECT * FROM stats WHERE g = 'b') b
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       ROUND(ma - mb, 6) AS mean_diff,
+       ROUND((ma - mb) / sqrt(va / na + vb / nb), 6) AS t_stat,
+       ROUND((va / na + vb / nb) * (va / na + vb / nb)
+             / (va / na * (va / na) / (na - 1) + vb / nb * (vb / nb) / (nb - 1)), 6)
+           AS df_welch
+FROM pair
+""",
+)
+def agg_welch_ttest(spark, sf_dir):
+    """Welch's two-sample t-test (purchase vs click values) — the
+    unequal-variance comparison that should be the DEFAULT two-group
+    test (Student's equal-variance assumption rarely survives real
+    data): t from decimal-exact group moments, degrees of freedom by
+    Welch–Satterthwaite. Each group's mean/variance comes from one
+    map-side-combinable aggregate over the pushed-down two-type scan;
+    the test itself is arithmetic on 6 numbers. Identical operation
+    order both engines ⇒ exact twin."""
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    grp = e.select(
+        F.when(F.col("event_type") == "purchase", "a").otherwise("b").alias("g"),
+        F.col("value").alias("v"),
+    )
+    q6d = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,6)")
+    mom = grp.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("v").cast("decimal(38,6)")).cast("double").alias("sv"),
+        (F.sum(q6d(F.col("v") * F.col("v"))).cast("double") / F.lit(1e6)).alias("svv"),
+    )
+    stats = mom.select(
+        "g",
+        "n",
+        (F.col("sv") / F.col("n")).alias("m"),
+        ((F.col("svv") - F.col("sv") * F.col("sv") / F.col("n")) / (F.col("n") - 1)).alias(
+            "var"
+        ),
+    )
+    a = stats.filter(F.col("g") == "a").select(
+        F.col("n").alias("na"), F.col("m").alias("ma"), F.col("var").alias("va")
+    )
+    b = stats.filter(F.col("g") == "b").select(
+        F.col("n").alias("nb"), F.col("m").alias("mb"), F.col("var").alias("vb")
+    )
+    p = a.crossJoin(F.broadcast(b))
+    sea = F.col("va") / F.col("na")
+    seb = F.col("vb") / F.col("nb")
+    return p.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.round(F.col("ma") - F.col("mb"), 6).alias("mean_diff"),
+        F.round((F.col("ma") - F.col("mb")) / F.sqrt(sea + seb), 6).alias("t_stat"),
+        F.round(
+            (sea + seb) * (sea + seb)
+            / (sea * sea / (F.col("na") - 1) + seb * seb / (F.col("nb") - 1)),
+            6,
+        ).alias("df_welch"),
+    )

@@ -2383,3 +2383,76 @@ def ml_cuped(spark, sf_dir):
         F.round(var_y - cov * cov / var_x, 6).alias("var_adjusted"),
         F.round(cov * cov / (var_x * var_y), 6).alias("var_reduction"),
     )
+
+
+@register(
+    "ml_cost_threshold",
+    oracle=f"""
+WITH {_REC_SQL},
+per_score AS (
+    SELECT rec, COUNT(*) AS n, SUM(churned) AS pos, COUNT(*) - SUM(churned) AS neg
+    FROM s GROUP BY rec
+), cums AS (
+    SELECT rec,
+           SUM(pos) OVER (ORDER BY rec DESC ROWS UNBOUNDED PRECEDING) AS tp,
+           SUM(neg) OVER (ORDER BY rec DESC ROWS UNBOUNDED PRECEDING) AS fp
+    FROM per_score
+), tot AS (
+    SELECT SUM(pos) AS m, SUM(neg) AS nn FROM per_score
+), costs AS (
+    SELECT rec AS threshold, tp, fp,
+           t.m - tp AS fn,
+           1 * fp + 5 * (t.m - tp) AS cost
+    FROM cums, tot t
+), best AS (
+    SELECT * FROM costs
+    ORDER BY cost ASC, threshold ASC LIMIT 1
+)
+SELECT CAST(threshold AS BIGINT) AS threshold,
+       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn, CAST(cost AS BIGINT) AS cost
+FROM best
+""",
+)
+def ml_cost_threshold(spark, sf_dir):
+    """Cost-optimal decision threshold — deployment's actual question:
+    not 'what's the AUC' but 'where do I cut'. With asymmetric error
+    costs (a missed churner = 5, a false retention offer = 1 — the
+    usual retention economics), sweep EVERY candidate threshold in one
+    pass: a descending cumulative window over the score histogram
+    yields TP/FP at every distinct score simultaneously (the same
+    O(distinct scores) trick as ml_auc_exact/ml_auc_delong_se), cost
+    is a projection, argmin is a top-1. No per-threshold rescans —
+    the naive loop is O(thresholds × data), this is one window over
+    the histogram. Integer-exact end to end; deterministic ties
+    (lowest threshold)."""
+    s = _rec_scored(spark, sf_dir)
+    per = s.groupBy("rec").agg(
+        F.sum("churned").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("churned")).alias("neg"),
+    )
+    wd = Window.orderBy(F.desc("rec")).rowsBetween(Window.unboundedPreceding, 0)
+    cums = per.select(
+        F.col("rec").alias("threshold"),
+        F.sum("pos").over(wd).alias("tp"),
+        F.sum("neg").over(wd).alias("fp"),
+    )
+    tot = per.agg(F.sum("pos").alias("m"))
+    costs = cums.crossJoin(F.broadcast(tot)).select(
+        "threshold",
+        "tp",
+        "fp",
+        (F.col("m") - F.col("tp")).alias("fn"),
+        (1 * F.col("fp") + 5 * (F.col("m") - F.col("tp"))).alias("cost"),
+    )
+    return (
+        costs.orderBy(F.asc("cost"), F.asc("threshold"))
+        .limit(1)
+        .select(
+            F.col("threshold").cast("bigint").alias("threshold"),
+            F.col("tp").cast("bigint").alias("tp"),
+            F.col("fp").cast("bigint").alias("fp"),
+            F.col("fn").cast("bigint").alias("fn"),
+            F.col("cost").cast("bigint").alias("cost"),
+        )
+    )

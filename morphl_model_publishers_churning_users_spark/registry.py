@@ -421,6 +421,8 @@ _KEY_RANK: dict[str, int] = {
     "ml_km_greenwood": 9,
     "ml_cuped": 9,
     "mm_modality_balance": 9,
+    "agg_welch_ttest": 9,
+    "ml_cost_threshold": 9,
 }
 
 
