@@ -4040,3 +4040,68 @@ def llm_corpus_card(spark, sf_dir):
         "n_docs", "total_chars", "total_tokens", "n_langs", "n_sources",
         "n_exact_dups", "median_tokens", "max_tokens",
     )
+
+
+@register(
+    "llm_hard_negatives",
+    oracle="""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+pairs AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROUND(
+               SUM(CAST(q.embedding[g.i] AS DOUBLE) * CAST(c.embedding[g.i] AS DOUBLE))
+               / (SQRT(SUM(CAST(q.embedding[g.i] AS DOUBLE) * CAST(q.embedding[g.i] AS DOUBLE)))
+                  * SQRT(SUM(CAST(c.embedding[g.i] AS DOUBLE) * CAST(c.embedding[g.i] AS DOUBLE)))),
+               6) AS cos_sim
+    FROM q, embeddings c, generate_series(1, 64) g(i)
+    WHERE c.vec_id <> q.vec_id
+    GROUP BY 1, 2
+), banded AS (
+    SELECT query_id, neighbor_id, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM pairs WHERE cos_sim >= 0.2 AND cos_sim < 0.8
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM banded WHERE rank <= 5
+""",
+)
+def llm_hard_negatives(spark, sf_dir):
+    """Hard-negative mining — the contrastive-training data op:
+    retrieval/embedding models learn most from negatives that are
+    SIMILAR-BUT-WRONG, so for each anchor take the top-k neighbors in
+    the [0.2, 0.8) cosine band — above it is a near-duplicate
+    (a false negative that poisons the loss, exactly what llm_semdedup
+    removes), below it is trivially easy. Same broadcast-anchor exact-
+    cosine spine as llm_simsearch with the band as a pre-rank filter;
+    at 100 TB the mining runs per anchor batch against the ANN index
+    (llm_simsearch_ivf's coarse quantizer) with this exact plan as the
+    rescoring stage. Ranks deterministic (cos desc, id asc)."""
+    e = t(spark, sf_dir, "embeddings")
+    withnorm = e.select(
+        "vec_id", "embedding", F.expr(_NORM.format(c="embedding")).alias("norm")
+    )
+    q = withnorm.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("norm").alias("qnorm"),
+    )
+    c = withnorm.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("norm").alias("cnorm"),
+    )
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.expr(_DOT) / (F.col("qnorm") * F.col("cnorm")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        pairs.filter((F.col("cos_sim") >= 0.2) & (F.col("cos_sim") < 0.8))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )

@@ -423,6 +423,7 @@ _KEY_RANK: dict[str, int] = {
     "mm_modality_balance": 9,
     "agg_welch_ttest": 9,
     "ml_cost_threshold": 9,
+    "llm_hard_negatives": 9,
 }
 
 
