@@ -4105,3 +4105,72 @@ def llm_hard_negatives(spark, sf_dir):
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
     )
+
+
+@register(
+    "llm_span_corruption",
+    oracle=r"""
+WITH base AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+), sized AS (
+    SELECT doc_id, w, len(w) AS n FROM base WHERE len(w) >= 12
+), marked AS (
+    SELECT doc_id, w, n,
+           list_transform(range(1, n + 1),
+               i -> CASE WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                                CAST((i - 1) // 4 AS VARCHAR)), 1, 6))::BIGINT % 100) < 15
+                          AND (i - 1) % 4 < 3
+                    THEN 1 ELSE 0 END) AS mask
+    FROM sized
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(list_aggregate(mask, 'sum') AS BIGINT) AS n_masked,
+       array_to_string(list_transform(range(1, n + 1),
+           i -> CASE WHEN mask[i] = 1 THEN '<X>' ELSE w[i] END), ' ') AS corrupted,
+       COALESCE(array_to_string([w[i] FOR i IN range(1, n + 1) IF mask[i] = 1], ' '), '')
+           AS targets
+FROM marked
+""",
+)
+def llm_span_corruption(spark, sf_dir):
+    """T5-style span corruption — the pretraining-objective data op:
+    contiguous token spans are masked (here 4-token windows selected by
+    a deterministic per-(doc, window) hash at ~15% rate, 3 of 4 tokens
+    masked per selected window), the input keeps sentinel markers and
+    the masked tokens become the target sequence. 'Random' corruption
+    is HASH-SEEDED, so every epoch/engine/cluster re-run corrupts
+    identically — reproducibility the torch dataloader version never
+    gives you. Pure array algebra in codegen (transform + filter +
+    array_join over the token array — no explode, no shuffle, no
+    Python); output is row-per-doc, pipelined inside the scan stage at
+    any corpus size."""
+    d = t(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("w")
+    ).select("doc_id", "w", F.size("w").cast("bigint").alias("n")).filter(
+        F.col("n") >= 12
+    )
+    marked = sized.withColumn(
+        "mask",
+        F.expr(
+            "transform(sequence(1, cast(n as int)), i -> "
+            "CASE WHEN cast(conv(substr(md5(concat(cast(doc_id as string), ':', "
+            "cast(div((i - 1), 4) as string))), 1, 6), 16, 10) as bigint) % 100 < 15 "
+            "AND (i - 1) % 4 < 3 THEN 1 ELSE 0 END)"
+        ),
+    )
+    return marked.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        F.expr("aggregate(mask, 0L, (a, x) -> a + x)").cast("bigint").alias("n_masked"),
+        F.expr(
+            "array_join(transform(sequence(1, cast(n as int)), "
+            "i -> CASE WHEN element_at(mask, i) = 1 THEN '<X>' "
+            "ELSE element_at(w, i) END), ' ')"
+        ).alias("corrupted"),
+        F.expr(
+            "array_join(transform(filter(sequence(1, cast(n as int)), "
+            "i -> element_at(mask, i) = 1), i -> element_at(w, i)), ' ')"
+        ).alias("targets"),
+    )

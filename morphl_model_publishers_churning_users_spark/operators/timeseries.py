@@ -2942,3 +2942,81 @@ def ts_top_paths(spark, sf_dir):
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(15)
     )
+
+
+@register(
+    "ts_stickiness",
+    oracle="""
+WITH user_days AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), spine AS (
+    SELECT DISTINCT day FROM user_days
+), wau_c AS (
+    SELECT s.day, ud.user_id
+    FROM user_days ud JOIN spine s
+      ON s.day >= ud.day AND s.day <= ud.day + INTERVAL 6 DAY
+    GROUP BY 1, 2
+), mau_c AS (
+    SELECT s.day, ud.user_id
+    FROM user_days ud JOIN spine s
+      ON s.day >= ud.day AND s.day <= ud.day + INTERVAL 29 DAY
+    GROUP BY 1, 2
+), dau AS (
+    SELECT day, COUNT(*) AS dau FROM user_days GROUP BY day
+), wau AS (
+    SELECT day, COUNT(*) AS wau FROM wau_c GROUP BY day
+), mau AS (
+    SELECT day, COUNT(*) AS mau FROM mau_c GROUP BY day
+)
+SELECT d.day, CAST(d.dau AS BIGINT) AS dau, CAST(w.wau AS BIGINT) AS wau,
+       CAST(m.mau AS BIGINT) AS mau,
+       ROUND(CAST(d.dau AS DOUBLE) / m.mau, 6) AS stickiness
+FROM dau d JOIN wau w ON d.day = w.day JOIN mau m ON d.day = m.day
+""",
+)
+def ts_stickiness(spark, sf_dir):
+    """DAU/WAU/MAU + stickiness (DAU/MAU) — the engagement dashboard's
+    north-star row, and a distinct-count-over-sliding-window problem
+    that naive SQL gets quadratically wrong. The scalable form: dedup
+    to user-days ONCE, then each user-day CONTRIBUTES to the 7 (WAU) /
+    30 (MAU) window-end days it falls in — a bounded explode-style
+    interval join followed by a distinct count per day. Fan-out is
+    exactly 7×/30× the user-day table (linear), never |days| ×
+    |users|; the same shape runs incrementally by only emitting
+    contributions for open windows. Pure integers + one exact
+    division."""
+    e = t(spark, sf_dir, "events")
+    user_days = e.select("user_id", F.to_date("ts").alias("day")).distinct().localCheckpoint(
+        eager=True
+    )  # feeds DAU, the spine, and both window contributions
+    spine = user_days.select("day").distinct()
+    dau = user_days.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+
+    def windowed(n_days, name):
+        contrib = user_days.select(
+            "user_id",
+            F.explode(
+                F.expr(f"sequence(day, date_add(day, {n_days - 1}), interval 1 day)")
+            ).alias("day"),
+        ).distinct()
+        # Only days that exist in the corpus spine count (the oracle's
+        # join against spine) — trailing synthetic days are dropped.
+        return (
+            contrib.join(spine, "day")
+            .groupBy("day")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    wau = windowed(7, "wau")
+    mau = windowed(30, "mau")
+    return (
+        dau.join(wau, "day")
+        .join(mau, "day")
+        .select(
+            "day",
+            F.col("dau").cast("bigint").alias("dau"),
+            F.col("wau").cast("bigint").alias("wau"),
+            F.col("mau").cast("bigint").alias("mau"),
+            F.round(F.col("dau").cast("double") / F.col("mau"), 6).alias("stickiness"),
+        )
+    )

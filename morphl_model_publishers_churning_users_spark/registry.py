@@ -424,6 +424,8 @@ _KEY_RANK: dict[str, int] = {
     "agg_welch_ttest": 9,
     "ml_cost_threshold": 9,
     "llm_hard_negatives": 9,
+    "llm_span_corruption": 9,
+    "ts_stickiness": 9,
 }
 
 
