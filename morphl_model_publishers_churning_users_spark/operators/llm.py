@@ -4174,3 +4174,88 @@ def llm_span_corruption(spark, sf_dir):
             "i -> element_at(mask, i) = 1), i -> element_at(w, i)), ' ')"
         ).alias("targets"),
     )
+
+
+@register(
+    "llm_preference_pairs",
+    oracle=f"""
+WITH grams AS (
+    SELECT DISTINCT doc_id, unnest({_NGRAM_SH_DUCK}) AS g
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents)
+), sizes AS (
+    SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
+), inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), near AS (
+    SELECT doc_a, doc_b
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.2
+), meta AS (
+    SELECT doc_id, n_chars FROM documents
+)
+SELECT CASE WHEN ma.n_chars > mb.n_chars
+              OR (ma.n_chars = mb.n_chars AND doc_a < doc_b)
+            THEN doc_a ELSE doc_b END AS chosen,
+       CASE WHEN ma.n_chars > mb.n_chars
+              OR (ma.n_chars = mb.n_chars AND doc_a < doc_b)
+            THEN doc_b ELSE doc_a END AS rejected,
+       CAST(ABS(ma.n_chars - mb.n_chars) AS BIGINT) AS quality_gap
+FROM near
+JOIN meta ma ON doc_a = ma.doc_id
+JOIN meta mb ON doc_b = mb.doc_id
+""",
+)
+def llm_preference_pairs(spark, sf_dir):
+    """Preference-pair mining — DPO/reward-model training data from
+    the corpus itself: near-duplicate documents (same content,
+    different renditions — the mirror/extract/truncation families
+    dedup finds) become (chosen, rejected) pairs by ranking within the
+    pair on a quality signal (here length; production swaps in the
+    llm_quality composite). The pair source is the shingle-blocked
+    Jaccard join (llm_dedup_ngram's spine — never all-pairs), the
+    ranking one deterministic comparison with an id tie-break. At
+    100 TB this is THE cheap preference corpus: no labelers, just
+    dedup byproducts re-read as supervision."""
+    d = t(spark, sf_dir, "documents")
+    grams = (
+        d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("w"))
+        .filter(F.size("w") >= 3)
+        .select("doc_id", F.explode(F.expr(_NGRAM_SH_SPARK)).alias("g"))
+        .distinct()
+    )
+    grams = grams.localCheckpoint(eager=True)
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = grams.select(F.col("doc_id").alias("doc_a"), "g")
+    b = grams.select(F.col("doc_id").alias("doc_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+    near = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        .filter(jac >= 0.2)
+        .select("doc_a", "doc_b")
+    )
+    meta = d.select("doc_id", "n_chars")
+    ma = meta.select(F.col("doc_id").alias("doc_a"), F.col("n_chars").alias("nc_a"))
+    mb = meta.select(F.col("doc_id").alias("doc_b"), F.col("n_chars").alias("nc_b"))
+    a_wins = (F.col("nc_a") > F.col("nc_b")) | (
+        (F.col("nc_a") == F.col("nc_b")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    return (
+        near.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.when(a_wins, F.col("doc_a")).otherwise(F.col("doc_b")).alias("chosen"),
+            F.when(a_wins, F.col("doc_b")).otherwise(F.col("doc_a")).alias("rejected"),
+            F.abs(F.col("nc_a") - F.col("nc_b")).cast("bigint").alias("quality_gap"),
+        )
+    )

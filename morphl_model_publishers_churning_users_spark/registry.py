@@ -426,6 +426,7 @@ _KEY_RANK: dict[str, int] = {
     "llm_hard_negatives": 9,
     "llm_span_corruption": 9,
     "ts_stickiness": 9,
+    "llm_preference_pairs": 9,
 }
 
 
