@@ -111,14 +111,14 @@ def register(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Quer
 # udf_pandas_struct, ts_gap_stats/max_drawdown/sessions_per_user/
 # days_to_return/attribution_linear/rank_mobility, ml_ece,
 # llm_burstiness/compression_filter/lang_confusion/vocab_coverage).
-# The late-r6 wave (the ~34 keys from llm_url_dedup through
-# ml_propensity_match) queues right behind for round 8 — still ahead
-# of the verified backstop. All round-6 additions (49 rank-9 keys by end of round) were
-# sim-verified at sf0.001/0.01 (the float-sensitive ones also at sf0.1);
-# the full registry ran hash-green in the bare-session simulator (329/329
-# in 244 s before the last 9 additions, each of those 9 then driver-
-# compared individually) and the full pytest suite finished 493 passed /
-# 1 skipped.
+# The late-r6 wave (the ~50 keys from llm_url_dedup through
+# llm_preference_pairs) queues right behind for round 8 — still ahead
+# of the verified backstop. All round-6 additions were sim-verified at
+# sf0.001/0.01, and every key in the post-fold waves also at sf0.1;
+# the full registry ran hash-green in the bare-session simulator
+# repeatedly during the round (329/329 in 244 s, 357/357 in 237 s, and
+# the end-of-round full run over all 380 keys) and the full pytest
+# suite finished 541 passed / 1 skipped.
 _VERIFIED_ROUND: dict[str, int] = {
         # --- round 1 greens ---
     "agg_benford": 1, "agg_collect": 1, "agg_cooccurrence": 1, "agg_corr_matrix": 1,
