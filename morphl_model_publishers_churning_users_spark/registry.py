@@ -117,8 +117,10 @@ def register(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Quer
 # sf0.001/0.01, and every key in the post-fold waves also at sf0.1;
 # the full registry ran hash-green in the bare-session simulator
 # repeatedly during the round (329/329 in 244 s, 357/357 in 237 s, and
-# the end-of-round full run over all 380 keys) and the full pytest
-# suite finished 541 passed / 1 skipped.
+# the end-of-round run: 380/380 green in 283 s) and the final full
+# pytest suite finished 557 passed / 1 skipped. End-of-round bench on
+# an idle machine: 6.818 s total — the best recorded (r4 7.551,
+# r5 8.779), both MinHash paths back at ~1.0 s.
 _VERIFIED_ROUND: dict[str, int] = {
         # --- round 1 greens ---
     "agg_benford": 1, "agg_collect": 1, "agg_cooccurrence": 1, "agg_corr_matrix": 1,
