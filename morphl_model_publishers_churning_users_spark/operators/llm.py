@@ -4259,3 +4259,47 @@ def llm_preference_pairs(spark, sf_dir):
             F.abs(F.col("nc_a") - F.col("nc_b")).cast("bigint").alias("quality_gap"),
         )
     )
+
+
+@register(
+    "llm_bpe_first_merges",
+    oracle=r"""
+WITH words AS (
+    SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents
+), wc AS (
+    SELECT w, COUNT(*) AS n FROM words WHERE len(w) >= 2 GROUP BY w
+), pairs AS (
+    SELECT substr(w, i, 2) AS pair, SUM(n) AS freq
+    FROM wc, LATERAL (SELECT unnest(range(1, len(w))) AS i) s
+    GROUP BY 1
+)
+SELECT pair, CAST(freq AS BIGINT) AS freq
+FROM pairs ORDER BY freq DESC, pair ASC LIMIT 20
+""",
+)
+def llm_bpe_first_merges(spark, sf_dir):
+    """BPE training, iteration zero — the merge-candidate table: the
+    frequency of every adjacent character pair across the corpus
+    (weighted by word frequency) is what byte-pair encoding greedily
+    merges first; the top pair IS the first vocabulary merge. The
+    production trick is here: aggregate to the WORD-FREQUENCY table
+    first (vocabulary-sized), then explode each distinct word's ≤len
+    character pairs once and weight by count — pair extraction cost is
+    O(vocabulary), not O(corpus), the difference between re-tokenizing
+    100 TB and re-tokenizing a word list. Full BPE iterates this
+    table; the first iteration is the exact, oracle-checkable core.
+    Integer counts, deterministic ties."""
+    d = t(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = wc.select(
+        F.explode(
+            F.expr("transform(sequence(1, cast(length(w) - 1 as int)), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "n",
+    ).groupBy("pair").agg(F.sum("n").cast("bigint").alias("freq"))
+    return pairs.orderBy(F.desc("freq"), F.asc("pair")).limit(20)

@@ -3020,3 +3020,149 @@ def ts_stickiness(spark, sf_dir):
             F.round(F.col("dau").cast("double") / F.col("mau"), 6).alias("stickiness"),
         )
     )
+
+
+@register(
+    "ts_growth_accounting",
+    oracle="""
+WITH user_weeks AS (
+    SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+), firsts AS (
+    SELECT user_id, MIN(wk) AS first_wk FROM user_weeks GROUP BY user_id
+), tagged AS (
+    SELECT uw.user_id, uw.wk, f.first_wk,
+           EXISTS (SELECT 1 FROM user_weeks p
+                   WHERE p.user_id = uw.user_id
+                     AND p.wk = uw.wk - INTERVAL 7 DAY) AS active_prev
+    FROM user_weeks uw JOIN firsts f ON uw.user_id = f.user_id
+), staged AS (
+    SELECT wk,
+           CASE WHEN wk = first_wk THEN 'new'
+                WHEN active_prev THEN 'retained'
+                ELSE 'resurrected' END AS stage
+    FROM tagged
+)
+SELECT wk, stage, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM staged GROUP BY wk, stage
+""",
+)
+def ts_growth_accounting(spark, sf_dir):
+    """Growth accounting — the weekly active-user ledger every growth
+    team audits: each active user-week is exactly one of NEW (first
+    week ever), RETAINED (also active the previous week), or
+    RESURRECTED (returning after a gap). The churn complement
+    (active last week, absent this week) is this table's row-to-row
+    difference, so MAU arithmetic reconciles exactly. One dedup to
+    user-weeks, first-week via the same user-keyed aggregate, and
+    previous-week membership as a LAG comparison over the user's
+    ordered weeks (the EXISTS self-probe relationalized as a window —
+    no second shuffle). Pure integer/date logic — exact twin."""
+    e = t(spark, sf_dir, "events")
+    uw = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct().localCheckpoint(eager=True)
+    w = Window.partitionBy("user_id").orderBy("wk")
+    tagged = uw.select(
+        "user_id",
+        "wk",
+        F.min("wk").over(Window.partitionBy("user_id")).alias("first_wk"),
+        F.lag("wk").over(w).alias("prev_wk"),
+    )
+    stage = (
+        F.when(F.col("wk") == F.col("first_wk"), "new")
+        .when(
+            F.col("prev_wk") == F.col("wk") - F.expr("INTERVAL 7 DAY"), "retained"
+        )
+        .otherwise("resurrected")
+    )
+    return tagged.select("wk", stage.alias("stage")).groupBy("wk", "stage").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+
+
+def _markov_stationary_oracle(iters: int = 20) -> str:
+    """Unrolled power iteration to the stationary distribution of the
+    event-type transition chain — PageRank's decimal discipline on a
+    5-state matrix (quantize 1e-12, DECIMAL sums, renormalize)."""
+    ctes = [
+        """trans AS MATERIALIZED (
+    SELECT prev, event_type AS nxt, COUNT(*) AS n
+    FROM (SELECT event_type,
+                 LAG(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+          FROM events)
+    WHERE prev IS NOT NULL GROUP BY 1, 2
+), rowsum AS (
+    SELECT prev, SUM(n) AS tot FROM trans GROUP BY prev
+), p AS MATERIALIZED (
+    SELECT t.prev, t.nxt, CAST(t.n AS DOUBLE) / r.tot AS pr
+    FROM trans t JOIN rowsum r ON t.prev = r.prev
+), states AS (SELECT DISTINCT prev AS s FROM trans),
+n_states AS (SELECT COUNT(*) AS k FROM states),
+v0 AS (SELECT s, 1.0 / k AS v FROM states, n_states)""",
+    ]
+    prev = "v0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""r{i} AS MATERIALIZED (
+    SELECT p.nxt AS s,
+           CAST(SUM(CAST(FLOOR(v.v * p.pr * 1e12 + 0.5) AS DECIMAL(38,12))) AS DOUBLE)
+               / 1e12 AS raw
+    FROM {prev} v JOIN p ON p.prev = v.s GROUP BY p.nxt
+), v{i} AS MATERIALIZED (
+    SELECT s, raw / t AS v FROM r{i},
+         (SELECT CAST(SUM(CAST(FLOOR(raw * 1e12 + 0.5) AS DECIMAL(38,12))) AS DOUBLE)
+              / 1e12 AS t FROM r{i}) n
+)"""
+        )
+        prev = f"v{i}"
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT s AS state, ROUND(v, 6) AS stationary_prob
+FROM {prev}
+"""
+
+
+@register("ts_markov_stationary", oracle=_markov_stationary_oracle())
+def ts_markov_stationary(spark, sf_dir):
+    """Stationary distribution of the behavior chain — where
+    ts_markov_transitions' one-step matrix settles if users keep
+    behaving: the long-run share of each event type, i.e. the
+    equilibrium engagement mix (a rising 'error' stationary mass is an
+    incident before the dashboards say so). Power iteration (20
+    rounds) over the 5-state transition matrix with the PageRank
+    decimal discipline — per-term 1e-12 quantization, DECIMAL sums,
+    L1 renormalization per round — so both engines walk bit-identical
+    vectors. The ONLY fact-scale work is the transition count (one
+    user-keyed window + one aggregate); the iteration itself runs on a
+    k×k table, k = event types. Fixed rounds, zero driver scalars."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        e.select("event_type", F.lag("event_type").over(w).alias("prev"))
+        .filter(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("event_type").alias("nxt"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)  # the k×k matrix feeds every round
+    )
+    rowsum = trans.groupBy("prev").agg(F.sum("n").alias("tot"))
+    p = trans.join(rowsum, "prev").select(
+        "prev", "nxt", (F.col("n").cast("double") / F.col("tot")).alias("pr")
+    ).localCheckpoint(eager=True)
+    states = trans.select(F.col("prev").alias("s")).distinct()
+    k = states.count()  # bounded driver scalar: k = number of event types
+    v = states.withColumn("v", F.lit(1.0) / k)
+    q12 = lambda c: F.floor(c * F.lit(1e12) + F.lit(0.5)).cast("decimal(38,12)")
+    d12 = lambda c: (F.sum(q12(c)).cast("double") / F.lit(1e12))
+    for _ in range(20):
+        r = (
+            v.join(p, v["s"] == p["prev"])
+            .groupBy(F.col("nxt").alias("s"))
+            .agg(d12(F.col("v") * F.col("pr")).alias("raw"))
+        )
+        tot = r.agg(d12(F.col("raw")).alias("t"))
+        v = r.crossJoin(F.broadcast(tot)).select(
+            "s", (F.col("raw") / F.col("t")).alias("v")
+        ).localCheckpoint(eager=True)
+    return v.select(F.col("s").alias("state"), F.round("v", 6).alias("stationary_prob"))

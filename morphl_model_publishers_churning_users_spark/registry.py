@@ -429,6 +429,9 @@ _KEY_RANK: dict[str, int] = {
     "llm_span_corruption": 9,
     "ts_stickiness": 9,
     "llm_preference_pairs": 9,
+    "llm_bpe_first_merges": 9,
+    "ts_growth_accounting": 9,
+    "ts_markov_stationary": 9,
 }
 
 
