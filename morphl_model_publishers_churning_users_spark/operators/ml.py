@@ -794,6 +794,39 @@ def _rec_scored(spark, sf_dir):
     )
 
 
+_REC2_SQL = """
+u2 AS (
+    SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS ne FROM events GROUP BY user_id
+), m2 AS (
+    SELECT MAX(last_ts) AS cmax FROM u2
+), s2 AS (
+    SELECT user_id,
+           epoch_us(m2.cmax) - epoch_us(last_ts) AS rec,
+           ne,
+           CASE WHEN last_ts < TIMESTAMP '2024-01-29 20:00:00' THEN 1 ELSE 0 END AS churned
+    FROM u2, m2
+)"""
+
+
+def _rec_scored2(spark, sf_dir):
+    """(user_id, rec, ne, churned) — recency + activity + label."""
+    e = t(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"), F.count(F.lit(1)).alias("ne")
+    ).localCheckpoint(eager=True)
+    m = u.agg(F.max("last_ts").alias("cmax"))
+    return u.crossJoin(F.broadcast(m)).select(
+        "user_id",
+        F.expr("timestampdiff(MICROSECOND, last_ts, cmax)").alias("rec"),
+        "ne",
+        F.when(
+            F.col("last_ts") < F.to_timestamp(F.lit("2024-01-29 20:00:00")), 1
+        )
+        .otherwise(0)
+        .alias("churned"),
+    )
+
+
 @register(
     "ml_auc_exact",
     oracle=f"""
@@ -2455,4 +2488,100 @@ def ml_cost_threshold(spark, sf_dir):
             F.col("fn").cast("bigint").alias("fn"),
             F.col("cost").cast("bigint").alias("cost"),
         )
+    )
+
+
+def _logreg_oracle(iters: int = 10) -> str:
+    """Unrolled gradient-descent logistic regression oracle. Features
+    are exact int64 ratios; every per-example gradient contribution is
+    1e-12-quantized into DECIMAL sums; weights update with identical
+    IEEE arithmetic on both engines."""
+    ctes = [
+        f"""{_REC2_SQL},
+feats AS MATERIALIZED (
+    SELECT CAST(rec AS DOUBLE) / mx.maxrec AS x1,
+           CAST(ne AS DOUBLE) / mx.maxne AS x2,
+           CAST(churned AS DOUBLE) AS y
+    FROM (SELECT rec, churned, ne FROM s2) f,
+         (SELECT GREATEST(MAX(rec), 1) AS maxrec, GREATEST(MAX(ne), 1) AS maxne
+          FROM s2) mx
+), n_ex AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM feats),
+w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)""",
+    ]
+    prev = "w0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""g{i} AS MATERIALIZED (
+    SELECT
+      CAST(SUM(CAST(FLOOR((1.0 / (1.0 + exp(-(w.w0 + w.w1 * x1 + w.w2 * x2))) - y)
+                          * 1e12 + 0.5) AS DECIMAL(38,12))) AS DOUBLE) / 1e12 AS g0,
+      CAST(SUM(CAST(FLOOR((1.0 / (1.0 + exp(-(w.w0 + w.w1 * x1 + w.w2 * x2))) - y) * x1
+                          * 1e12 + 0.5) AS DECIMAL(38,12))) AS DOUBLE) / 1e12 AS g1,
+      CAST(SUM(CAST(FLOOR((1.0 / (1.0 + exp(-(w.w0 + w.w1 * x1 + w.w2 * x2))) - y) * x2
+                          * 1e12 + 0.5) AS DECIMAL(38,12))) AS DOUBLE) / 1e12 AS g2
+    FROM feats, {prev} w
+), w{i} AS MATERIALIZED (
+    SELECT w.w0 - 0.5 * g.g0 / n.n AS w0,
+           w.w1 - 0.5 * g.g1 / n.n AS w1,
+           w.w2 - 0.5 * g.g2 / n.n AS w2
+    FROM {prev} w, g{i} g, n_ex n
+)"""
+        )
+        prev = f"w{i}"
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT ROUND(w0, 6) AS w_bias, ROUND(w1, 6) AS w_recency, ROUND(w2, 6) AS w_events
+FROM {prev}
+"""
+
+
+@register("ml_logreg_gd", oracle=_logreg_oracle())
+def ml_logreg_gd(spark, sf_dir):
+    """Logistic regression trained BY THE ENGINE — 10 full-batch
+    gradient-descent steps in pure DataFrame algebra, no MLlib: each
+    step is ONE map-side-combinable aggregate over the feature table
+    (the per-example gradient) plus a 1-row broadcast weight update —
+    exactly how distributed full-batch GD runs at 100 TB (the famous
+    'ML on MapReduce' statistical-query form). Features are the churn
+    score pair (scaled recency, scaled activity); every gradient
+    contribution is 1e-12-quantized into DECIMAL sums and the update
+    arithmetic is identical IEEE on both engines, so the WEIGHTS
+    match bit-for-bit after 10 rounds — an oracle-verified training
+    loop, which the MLlib stages (ml_train) can only anchor-check.
+    The learned signs are the sanity check: churn risk rises with
+    recency (w_recency > 0) and falls with activity (w_events < 0)."""
+    s = _rec_scored2(spark, sf_dir)
+    mx = s.agg(
+        F.greatest(F.max("rec"), F.lit(1)).alias("maxrec"),
+        F.greatest(F.max("ne"), F.lit(1)).alias("maxne"),
+    )
+    feats = s.crossJoin(F.broadcast(mx)).select(
+        (F.col("rec").cast("double") / F.col("maxrec")).alias("x1"),
+        (F.col("ne").cast("double") / F.col("maxne")).alias("x2"),
+        F.col("churned").cast("double").alias("y"),
+    ).localCheckpoint(eager=True)  # the feature table feeds every GD step
+    n_ex = feats.count()  # bounded driver scalar (the 1/n in the update)
+    q12 = lambda c: F.floor(c * F.lit(1e12) + F.lit(0.5)).cast("decimal(38,12)")
+    d12 = lambda c: (F.sum(q12(c)).cast("double") / F.lit(1e12))
+    w = (0.0, 0.0, 0.0)
+    for _ in range(10):
+        z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+        resid = 1.0 / (1.0 + F.exp(-z)) - F.col("y")
+        g = feats.agg(
+            d12(resid).alias("g0"),
+            d12(resid * F.col("x1")).alias("g1"),
+            d12(resid * F.col("x2")).alias("g2"),
+        ).collect()[0]
+        w = (
+            w[0] - 0.5 * g["g0"] / n_ex,
+            w[1] - 0.5 * g["g1"] / n_ex,
+            w[2] - 0.5 * g["g2"] / n_ex,
+        )
+    return spark.createDataFrame(
+        [(float(w[0]), float(w[1]), float(w[2]))], "w_bias double, w_recency double, w_events double"
+    ).select(
+        F.round("w_bias", 6).alias("w_bias"),
+        F.round("w_recency", 6).alias("w_recency"),
+        F.round("w_events", 6).alias("w_events"),
     )

@@ -1243,3 +1243,70 @@ def dq_outlier_iqr(spark, sf_dir):
             F.round(hi, 6).alias("hi_fence"),
         )
     )
+
+
+@register(
+    "dq_drift_ks",
+    oracle="""
+WITH tagged AS (
+    SELECT value AS v,
+           CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS is_a
+    FROM events WHERE event_type = 'view'
+), per_v AS (
+    SELECT v, SUM(is_a) AS na, SUM(1 - is_a) AS nb FROM tagged GROUP BY v
+), tot AS (
+    SELECT CAST(SUM(na) AS DOUBLE) AS ta, CAST(SUM(nb) AS DOUBLE) AS tb FROM per_v
+), cums AS (
+    SELECT v,
+           SUM(na) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca,
+           SUM(nb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb
+    FROM per_v
+)
+SELECT ROUND(MAX(ABS(CAST(ca AS DOUBLE) / t.ta - CAST(cb AS DOUBLE) / t.tb)), 6)
+           AS ks_stat,
+       CAST(MAX(t.ta) AS BIGINT) AS n_first_half,
+       CAST(MAX(t.tb) AS BIGINT) AS n_second_half
+FROM cums, tot t
+""",
+)
+def dq_drift_ks(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift gate — the distribution-
+    level alarm for a numeric column between two periods (first vs
+    second half of the window, 'view' values): KS = max |ECDF₁ −
+    ECDF₂|, the supremum over the POOLED distinct values, which one
+    value-level aggregate + one cumulative window computes exactly —
+    O(distinct values) after the combinable count pass, the same
+    histogram trick as the AUC/threshold family. ECDFs are int/int
+    ratios: exact. Pairs with ml_psi (binned, parametric-ish) and
+    ml_drift_jsd (categorical) as the continuous nonparametric leg of
+    the drift suite."""
+    e = t(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    tagged = e.select(
+        F.col("value").alias("v"),
+        (F.col("ts") < F.to_timestamp(F.lit("2024-01-16 00:00:00")))
+        .cast("long")
+        .alias("is_a"),
+    )
+    per_v = tagged.groupBy("v").agg(
+        F.sum("is_a").alias("na"), F.sum(1 - F.col("is_a")).alias("nb")
+    ).localCheckpoint(eager=True)  # feeds the totals AND the ECDF window
+    tot = per_v.agg(
+        F.sum("na").cast("double").alias("ta"), F.sum("nb").cast("double").alias("tb")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cums = per_v.select(
+        F.sum("na").over(w).alias("ca"), F.sum("nb").over(w).alias("cb")
+    )
+    return cums.crossJoin(F.broadcast(tot)).agg(
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("ca").cast("double") / F.col("ta")
+                    - F.col("cb").cast("double") / F.col("tb")
+                )
+            ),
+            6,
+        ).alias("ks_stat"),
+        F.max("ta").cast("bigint").alias("n_first_half"),
+        F.max("tb").cast("bigint").alias("n_second_half"),
+    )

@@ -432,6 +432,8 @@ _KEY_RANK: dict[str, int] = {
     "llm_bpe_first_merges": 9,
     "ts_growth_accounting": 9,
     "ts_markov_stationary": 9,
+    "ml_logreg_gd": 9,
+    "dq_drift_ks": 9,
 }
 
 
