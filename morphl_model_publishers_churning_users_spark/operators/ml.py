@@ -2549,8 +2549,9 @@ def ml_logreg_gd(spark, sf_dir):
     arithmetic is identical IEEE on both engines, so the WEIGHTS
     match bit-for-bit after 10 rounds — an oracle-verified training
     loop, which the MLlib stages (ml_train) can only anchor-check.
-    The learned signs are the sanity check: churn risk rises with
-    recency (w_recency > 0) and falls with activity (w_events < 0)."""
+    (10 steps from zero init is early training — the bias still
+    dominates on an imbalanced label; the op's contract is the exact
+    optimization trajectory, not a converged fit.)"""
     s = _rec_scored2(spark, sf_dir)
     mx = s.agg(
         F.greatest(F.max("rec"), F.lit(1)).alias("maxrec"),
