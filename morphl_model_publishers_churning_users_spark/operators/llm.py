@@ -4303,3 +4303,62 @@ def llm_bpe_first_merges(spark, sf_dir):
         "n",
     ).groupBy("pair").agg(F.sum("n").cast("bigint").alias("freq"))
     return pairs.orderBy(F.desc("freq"), F.asc("pair")).limit(20)
+
+
+@register(
+    "llm_curriculum_order",
+    oracle=r"""
+WITH scored AS (
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+           len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_types
+    FROM documents
+), diff AS (
+    SELECT doc_id, n_tokens,
+           CAST(n_types AS DOUBLE) / n_tokens AS ttr,
+           NTILE(4) OVER (ORDER BY CAST(n_types AS DOUBLE) / n_tokens ASC,
+                          n_tokens ASC, doc_id ASC) AS stage
+    FROM scored WHERE n_tokens > 0
+)
+SELECT doc_id, CAST(stage AS BIGINT) AS stage,
+       CAST(ROW_NUMBER() OVER (PARTITION BY stage
+                               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+            AS BIGINT) AS position
+FROM diff
+""",
+)
+def llm_curriculum_order(spark, sf_dir):
+    """Curriculum ordering — the data-side half of curriculum learning:
+    rank the corpus by a difficulty proxy (type-token ratio — low TTR
+    = repetitive/easy text first), cut into 4 stages by NTILE, and
+    fix each document's within-stage position by a HASH-SEEDED
+    deterministic shuffle (md5 order) — the 'shuffled but
+    reproducible' epoch ordering a dataloader needs, materialized as
+    data so every retrain reads the identical curriculum. One narrow
+    scoring projection, one global NTILE sort (the one unavoidable
+    total order — at 100 TB this becomes a range-partitioned sort,
+    which is exactly what NTILE plans as), one per-stage rank.
+    Deterministic ties at every level."""
+    d = t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+        F.size(F.array_distinct(F.split(F.trim("text"), r"\s+"))).alias("n_types"),
+    ).filter(F.col("n_tokens") > 0)
+    ttr = F.col("n_types").cast("double") / F.col("n_tokens")
+    diff = scored.select(
+        "doc_id",
+        "n_tokens",
+        ttr.alias("ttr"),
+        F.ntile(4)
+        .over(Window.orderBy(ttr.asc(), F.col("n_tokens").asc(), F.col("doc_id").asc()))
+        .alias("stage"),
+    )
+    w_stage = Window.partitionBy("stage").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return diff.select(
+        "doc_id",
+        F.col("stage").cast("bigint").alias("stage"),
+        F.row_number().over(w_stage).cast("bigint").alias("position"),
+    )

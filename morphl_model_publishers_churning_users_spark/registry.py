@@ -434,6 +434,7 @@ _KEY_RANK: dict[str, int] = {
     "ts_markov_stationary": 9,
     "ml_logreg_gd": 9,
     "dq_drift_ks": 9,
+    "llm_curriculum_order": 9,
 }
 
 
