@@ -282,6 +282,24 @@ _NGRAM_SH_DUCK = (
 )
 
 
+def _doc_shingles(spark, sf_dir):
+    """(doc_id, g) — DISTINCT word-3-shingles per doc, checkpointed.
+
+    The shared spine of the Jaccard/containment family
+    (llm_dedup_ngram's construction, factored so the size>=3 ANSI
+    guard and the distinct stay in ONE place): feeds per-doc sizes and
+    both legs of the shared-shingle join in every consumer.
+    """
+    d = t(spark, sf_dir, "documents")
+    grams = (
+        d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("w"))
+        .filter(F.size("w") >= 3)  # ANSI: shingle lambda indexes OOB on short docs
+        .select("doc_id", F.explode(F.expr(_NGRAM_SH_SPARK)).alias("g"))
+        .distinct()
+    )
+    return ckpt(grams)
+
+
 @register(
     "llm_dedup_ngram",
     oracle=f"""
@@ -3669,8 +3687,6 @@ def llm_boilerplate_ngrams(spark, sf_dir):
     )
     # grams is DISTINCT per (doc, source, shingle): count(*) == distinct docs.
     # It feeds both the frequency table and the affected-doc join.
-    from ._shared import ckpt
-
     grams = ckpt(grams)
     freq = grams.groupBy("source", "g").agg(F.count(F.lit(1)).alias("n_docs"))
     boiler = freq.filter(F.col("n_docs") >= 4).select("source", "g")
@@ -3734,14 +3750,7 @@ def llm_dedup_containment(spark, sf_dir):
     just the SMALLER doc's shingle count, so no extra pass beyond the
     per-doc sizes both sides already need. Exact: integer intersection
     counts over distinct shingles, one double division."""
-    d = t(spark, sf_dir, "documents")
-    grams = (
-        d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("w"))
-        .filter(F.size("w") >= 3)
-        .select("doc_id", F.explode(F.expr(_NGRAM_SH_SPARK)).alias("g"))
-        .distinct()
-    )
-    grams = grams.localCheckpoint(eager=True)  # feeds sizes + both join legs
+    grams = _doc_shingles(spark, sf_dir)  # feeds sizes + both join legs
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = grams.select(F.col("doc_id").alias("doc_a"), "g")
     b = grams.select(F.col("doc_id").alias("doc_b"), "g")
@@ -4221,13 +4230,7 @@ def llm_preference_pairs(spark, sf_dir):
     100 TB this is THE cheap preference corpus: no labelers, just
     dedup byproducts re-read as supervision."""
     d = t(spark, sf_dir, "documents")
-    grams = (
-        d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("w"))
-        .filter(F.size("w") >= 3)
-        .select("doc_id", F.explode(F.expr(_NGRAM_SH_SPARK)).alias("g"))
-        .distinct()
-    )
-    grams = grams.localCheckpoint(eager=True)
+    grams = _doc_shingles(spark, sf_dir)
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = grams.select(F.col("doc_id").alias("doc_a"), "g")
     b = grams.select(F.col("doc_id").alias("doc_b"), "g")

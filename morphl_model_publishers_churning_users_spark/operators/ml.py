@@ -2285,10 +2285,14 @@ def ml_km_greenwood(spark, sf_dir):
     One user-grain aggregate is the only fact-scale pass; the whole
     estimator runs on the tenure histogram."""
     e = t(spark, sf_dir, "events")
-    horizon = e.agg(F.max("ts").alias("h"))
+    per_user = e.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    ).localCheckpoint(eager=True)  # feeds the horizon scalar AND the tenure rows
+    # Corpus horizon = max of the per-user maxima — NOT a second scan of
+    # the fact table (duplicate-scan discipline).
+    horizon = per_user.agg(F.max("last_ts").alias("h"))
     users = (
-        e.groupBy("user_id")
-        .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+        per_user
         .crossJoin(F.broadcast(horizon))
         .select(
             F.datediff(F.to_date("last_ts"), F.to_date("first_ts")).alias("t_days"),
@@ -2463,7 +2467,7 @@ def ml_cost_threshold(spark, sf_dir):
     per = s.groupBy("rec").agg(
         F.sum("churned").alias("pos"),
         (F.count(F.lit(1)) - F.sum("churned")).alias("neg"),
-    )
+    ).localCheckpoint(eager=True)  # feeds the cumulative window AND the total
     wd = Window.orderBy(F.desc("rec")).rowsBetween(Window.unboundedPreceding, 0)
     cums = per.select(
         F.col("rec").alias("threshold"),

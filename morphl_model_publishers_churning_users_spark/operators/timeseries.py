@@ -2354,9 +2354,18 @@ chunks AS (
     FROM rng GROUP BY n
 ), pts AS (
     SELECT n, ar, log2(CAST(n AS DOUBLE)) AS x, log2(ar) AS y FROM avg_r
+), ctr AS (
+    SELECT CAST(SUM(CAST(FLOOR(x * 1e12 + 0.5) AS DECIMAL(38,12))) AS DOUBLE)
+               / 1e12 / COUNT(*) AS ax,
+           CAST(SUM(CAST(FLOOR(y * 1e12 + 0.5) AS DECIMAL(38,12))) AS DOUBLE)
+               / 1e12 / COUNT(*) AS ay
+    FROM pts
 ), fit AS (
-    SELECT SUM((x - ax) * (y - ay)) / SUM((x - ax) * (x - ax)) AS slope
-    FROM pts, (SELECT AVG(x) AS ax, AVG(y) AS ay FROM pts) s
+    SELECT CAST(SUM(CAST(FLOOR((x - ax) * (y - ay) * 1e12 + 0.5) AS DECIMAL(38,12)))
+                AS DOUBLE)
+           / CAST(SUM(CAST(FLOOR((x - ax) * (x - ax) * 1e12 + 0.5) AS DECIMAL(38,12)))
+                  AS DOUBLE) AS slope
+    FROM pts, ctr
 )
 SELECT n, ROUND(ar, 6) AS avg_range, ROUND(slope, 6) AS hurst
 FROM pts, fit
@@ -2425,13 +2434,20 @@ def ts_hurst_rs(spark, sf_dir):
     pts = avg_r.select(
         "n", "ar", F.log2(F.col("n").cast("double")).alias("x"), F.log2("ar").alias("y")
     ).localCheckpoint(eager=True)
-    centers = pts.agg(F.avg("x").alias("ax"), F.avg("y").alias("ay"))
+    # Quantize-into-decimal for the centering means AND the slope sums —
+    # a raw double SUM over the pts rows is engine-order-dependent
+    # (review catch: the only place this op skipped the discipline).
+    q12t = lambda c: F.floor(c * F.lit(1e12) + F.lit(0.5)).cast("decimal(38,12)")
+    centers = pts.agg(
+        (F.sum(q12t(F.col("x"))).cast("double") / F.lit(1e12) / F.count(F.lit(1))).alias("ax"),
+        (F.sum(q12t(F.col("y"))).cast("double") / F.lit(1e12) / F.count(F.lit(1))).alias("ay"),
+    )
     fit = (
         pts.crossJoin(F.broadcast(centers))
         .agg(
             (
-                F.sum((F.col("x") - F.col("ax")) * (F.col("y") - F.col("ay")))
-                / F.sum((F.col("x") - F.col("ax")) * (F.col("x") - F.col("ax")))
+                F.sum(q12t((F.col("x") - F.col("ax")) * (F.col("y") - F.col("ay")))).cast("double")
+                / F.sum(q12t((F.col("x") - F.col("ax")) * (F.col("x") - F.col("ax")))).cast("double")
             ).alias("slope")
         )
     )

@@ -13,15 +13,15 @@ _Q = get_queries()
 
 def test_lsh_curve_is_monotone(spark, sf_dir):
     """More rows per band ⇒ stricter candidates: candidate count and
-    recall must both be non-increasing in r (the S-curve's direction),
-    and the 1-row layout must have perfect recall (any shared minhash
-    collides)."""
+    recall must both be non-increasing in r (the S-curve's direction).
+    NOTE: recall == 1.0 even at r=1 is NOT an LSH invariant (a true
+    pair misses all 8 single-hash bands w.p. (1-J)^8), so only the
+    monotone shape is asserted."""
     rows = {r["rows_per_band"]: r for r in _Q["llm_lsh_tuning_curve"](spark, sf_dir).collect()}
     rs = sorted(rows)
     for a, b in zip(rs, rs[1:]):
         assert rows[a]["n_candidates"] >= rows[b]["n_candidates"], (a, b)
         assert rows[a]["recall"] >= rows[b]["recall"], (a, b)
-    assert rows[rs[0]]["recall"] == pytest.approx(1.0)
 
 
 def test_isotonic_fit_is_monotone_and_bounded(spark, sf_dir):
