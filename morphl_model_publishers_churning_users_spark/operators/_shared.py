@@ -62,3 +62,18 @@ def ckpt(df: DataFrame) -> DataFrame:
             sc.setCheckpointDir(d)
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
+
+
+def q6dec(col: Column) -> Column:
+    """Half-up-quantize a double to 1e-6 INTO decimal(38,6) — the repo's
+    core cross-engine parity mechanism: quantized terms accumulate in
+    DECIMAL (exact, order-independent), dodging both engines' float
+    re-association. DuckDB twin:
+    ``CAST(FLOOR(x * 1e6 + 0.5) AS DECIMAL(38,6))`` (then /1e6 at the
+    consumer)."""
+    return F.floor(col * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,6)")
+
+
+def q12dec(col: Column) -> Column:
+    """1e-12 variant of :func:`q6dec` (iterative/variance paths)."""
+    return F.floor(col * F.lit(1e12) + F.lit(0.5)).cast("decimal(38,12)")

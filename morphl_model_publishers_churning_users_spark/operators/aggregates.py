@@ -14,7 +14,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Window
 
 from ..registry import register
-from ._shared import DSUM, dsum, t
+from ._shared import DSUM, dsum, q6dec, q12dec, t
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
@@ -1700,7 +1700,7 @@ def agg_ratio_delta_method(spark, sf_dir):
         F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("x"),
         F.count(F.lit(1)).cast("double").alias("y"),
     )
-    q6d = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,6)")
+    q6d = q6dec  # shared parity helper (operators/_shared.py)
     m = per_user.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(F.col("x").cast("decimal(38,6)")).cast("double").alias("sx"),
@@ -1794,7 +1794,7 @@ def agg_qq_normal(spark, sf_dir):
     daily = e.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
         dsum(F.col("value")).alias("v")
     ).localCheckpoint(eager=True)  # feeds moments AND every quantile probe
-    q6d = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,6)")
+    q6d = q6dec  # shared parity helper (operators/_shared.py)
     mom = daily.agg(
         (dsum(F.col("v")) / F.count(F.lit(1))).alias("mu"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
@@ -1928,7 +1928,7 @@ def agg_welch_ttest(spark, sf_dir):
         F.when(F.col("event_type") == "purchase", "a").otherwise("b").alias("g"),
         F.col("value").alias("v"),
     )
-    q6d = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,6)")
+    q6d = q6dec  # shared parity helper (operators/_shared.py)
     mom = grp.groupBy("g").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(F.col("v").cast("decimal(38,6)")).cast("double").alias("sv"),

@@ -20,7 +20,7 @@ from pyspark.sql import Window
 
 from ..plans import churn
 from ..registry import register
-from ._shared import t
+from ._shared import q6dec, q12dec, t
 
 # Exact anchor shared by most ML oracles: the feature matrix has one row
 # per user with ≥1 event, so COUNT(DISTINCT user_id) over events is the
@@ -2003,7 +2003,7 @@ def ml_auc_delong_se(spark, sf_dir):
         "m",
         "nn",
     ).localCheckpoint(eager=True)
-    q12d = lambda c: F.floor(c * F.lit(1e12) + F.lit(0.5)).cast("decimal(38,12)")
+    q12d = q12dec  # shared parity helper (operators/_shared.py)
     auc = placed.agg(
         (
             F.sum(q12d(F.col("pos") * F.col("v10"))).cast("double")
@@ -2401,7 +2401,7 @@ def ml_cuped(spark, sf_dir):
         .cast("double")
         .alias("y"),
     )
-    q6d = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,6)")
+    q6d = q6dec  # shared parity helper (operators/_shared.py)
     mom = per_user.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(F.col("x").cast("decimal(38,6)")).cast("double").alias("sx"),
@@ -2567,7 +2567,7 @@ def ml_logreg_gd(spark, sf_dir):
         F.col("churned").cast("double").alias("y"),
     ).localCheckpoint(eager=True)  # the feature table feeds every GD step
     n_ex = feats.count()  # bounded driver scalar (the 1/n in the update)
-    q12 = lambda c: F.floor(c * F.lit(1e12) + F.lit(0.5)).cast("decimal(38,12)")
+    q12 = q12dec  # shared parity helper (operators/_shared.py)
     d12 = lambda c: (F.sum(q12(c)).cast("double") / F.lit(1e12))
     w = (0.0, 0.0, 0.0)
     for _ in range(10):

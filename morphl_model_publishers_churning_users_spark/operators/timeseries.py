@@ -20,7 +20,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Window
 
 from ..registry import register
-from ._shared import DSUM, dsum, t
+from ._shared import DSUM, dsum, q6dec, q12dec, t
 
 
 @register(
@@ -2437,7 +2437,7 @@ def ts_hurst_rs(spark, sf_dir):
     # Quantize-into-decimal for the centering means AND the slope sums —
     # a raw double SUM over the pts rows is engine-order-dependent
     # (review catch: the only place this op skipped the discipline).
-    q12t = lambda c: F.floor(c * F.lit(1e12) + F.lit(0.5)).cast("decimal(38,12)")
+    q12t = q12dec  # shared parity helper (operators/_shared.py)
     centers = pts.agg(
         (F.sum(q12t(F.col("x"))).cast("double") / F.lit(1e12) / F.count(F.lit(1))).alias("ax"),
         (F.sum(q12t(F.col("y"))).cast("double") / F.lit(1e12) / F.count(F.lit(1))).alias("ay"),
@@ -2678,7 +2678,7 @@ def ts_weekday_anova(spark, sf_dir):
         (dsum(F.col("v")) / F.count(F.lit(1))).alias("m"),
         F.count(F.lit(1)).cast("bigint").alias("cnt"),
     ).localCheckpoint(eager=True)  # feeds SSB and the SSW join
-    q6d = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,6)")
+    q6d = q6dec  # shared parity helper (operators/_shared.py)
     ssb = grp.crossJoin(F.broadcast(grand)).agg(
         (
             F.sum(q6d(F.col("cnt") * (F.col("m") - F.col("gm")) * (F.col("m") - F.col("gm"))))
@@ -3169,7 +3169,7 @@ def ts_markov_stationary(spark, sf_dir):
     states = trans.select(F.col("prev").alias("s")).distinct()
     k = states.count()  # bounded driver scalar: k = number of event types
     v = states.withColumn("v", F.lit(1.0) / k)
-    q12 = lambda c: F.floor(c * F.lit(1e12) + F.lit(0.5)).cast("decimal(38,12)")
+    q12 = q12dec  # shared parity helper (operators/_shared.py)
     d12 = lambda c: (F.sum(q12(c)).cast("double") / F.lit(1e12))
     for _ in range(20):
         r = (
