@@ -805,3 +805,69 @@ def fn_binary(spark, sf_dir):
         F.octet_length("text").cast("bigint").alias("n_bytes"),
         F.upper(F.hex(F.substring("text", 1, 4).cast("binary"))).alias("hex4"),
     )
+
+
+@register(
+    "fn_geohash_interleave",
+    oracle="""
+WITH pts AS (
+    SELECT user_id,
+           ('0x' || substring(md5(CAST(user_id AS VARCHAR) || ':lat'), 1, 8))::BIGINT
+               % 32768 AS latq,
+           ('0x' || substring(md5(CAST(user_id AS VARCHAR) || ':lon'), 1, 8))::BIGINT
+               % 32768 AS lonq
+    FROM (SELECT DISTINCT user_id FROM events)
+), morton AS (
+    SELECT user_id, latq, lonq,
+           list_aggregate(list_transform(range(0, 15),
+               i -> (((latq >> i) & 1) << (2 * i + 1)) | (((lonq >> i) & 1) << (2 * i))),
+               'sum') AS z
+    FROM pts
+)
+SELECT CAST(z // 16777216 AS BIGINT) AS cell8,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(MIN(z) AS BIGINT) AS min_z,
+       CAST(MAX(z) AS BIGINT) AS max_z
+FROM morton GROUP BY 1 ORDER BY n_points DESC, cell8 ASC LIMIT 25
+""",
+)
+def fn_geohash_interleave(spark, sf_dir):
+    """Geohash-style Morton (Z-order) encoding — the spatial bucketing
+    primitive: quantize lat/lon to 15-bit grids, bit-interleave into a
+    30-bit Z-code, and roll up by code prefix — prefix-truncation IS
+    zoom-out, which is why geohash prefixes work as join/partition
+    keys at any scale (and why Z-order is also the multi-column data-
+    clustering trick lakehouses use). Coordinates are synthesized
+    deterministically per user (no geo column in the fixture); the
+    OPERATOR is the interleave itself — pure shift/mask integer
+    algebra via a transform-sum over bit positions, identical in both
+    engines. Top-25 8-bit-prefix cells by population."""
+    e = t(spark, sf_dir, "events").select("user_id").distinct()
+    h = lambda salt: (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit(salt))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 32768
+    )
+    pts = e.select("user_id", h(":lat").alias("latq"), h(":lon").alias("lonq"))
+    morton = pts.select(
+        F.expr(
+            "aggregate(transform(sequence(0, 14), "
+            "i -> shiftleft(shiftright(latq, i) & 1, 2 * i + 1) "
+            "   | shiftleft(shiftright(lonq, i) & 1, 2 * i)), 0L, (a, x) -> a + x)"
+        ).alias("z")
+    )
+    return (
+        morton.groupBy(F.floor(F.col("z") / 16777216).alias("cell8"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.min("z").cast("bigint").alias("min_z"),
+            F.max("z").cast("bigint").alias("max_z"),
+        )
+        .orderBy(F.desc("n_points"), F.asc("cell8"))
+        .limit(25)
+    )

@@ -962,3 +962,100 @@ def join_temporal_knn(spark, sf_dir):
             F.col("dist_us").cast("bigint").alias("dist_us"),
         )
     )
+
+
+@register(
+    "join_spatial_grid",
+    oracle="""
+WITH pts AS (
+    SELECT user_id,
+           ('0x' || substring(md5(CAST(user_id AS VARCHAR) || ':lat'), 1, 8))::BIGINT
+               % 4096 AS x,
+           ('0x' || substring(md5(CAST(user_id AS VARCHAR) || ':lon'), 1, 8))::BIGINT
+               % 4096 AS y
+    FROM (SELECT DISTINCT user_id FROM events)
+), cells AS (
+    SELECT user_id, x, y, x // 64 AS cx, y // 64 AS cy FROM pts
+), probes AS (
+    SELECT c.user_id, c.x, c.y,
+           c.cx + dx.d AS pcx, c.cy + dy.d AS pcy
+    FROM cells c,
+         (SELECT unnest([-1, 0, 1]) AS d) dx,
+         (SELECT unnest([-1, 0, 1]) AS d) dy
+), pairs AS (
+    SELECT p.user_id AS user_a, c2.user_id AS user_b,
+           (p.x - c2.x) * (p.x - c2.x) + (p.y - c2.y) * (p.y - c2.y) AS d2
+    FROM probes p
+    JOIN cells c2 ON c2.cx = p.pcx AND c2.cy = p.pcy
+    WHERE p.user_id < c2.user_id
+      AND (p.x - c2.x) * (p.x - c2.x) + (p.y - c2.y) * (p.y - c2.y) <= 900
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(MIN(d2) AS BIGINT) AS min_d2,
+       CAST(SUM(d2) AS BIGINT) AS sum_d2
+FROM pairs
+""",
+)
+def join_spatial_grid(spark, sf_dir):
+    """Spatial distance join via grid blocking — THE proximity-join
+    pattern (find all point pairs within radius r): bucket points into
+    r-sized grid cells, probe each point against its 3×3 cell
+    neighborhood (a bounded 9-way explode → EQUI-join on cell
+    coordinates), then exact-filter on squared distance. Never a
+    cartesian: fan-out is 9 × points and each probe meets only its
+    cell's occupants — the identical blocking algebra as
+    ml_propensity_match's caliper and llm_semdedup's sign buckets,
+    here in 2-D. Cell size = radius guarantees NO MISSES (any pair
+    within r spans adjacent cells at most). Integer grid coordinates
+    (synthesized — no geo column in the fixture) make the twin
+    exact."""
+    e = t(spark, sf_dir, "events").select("user_id").distinct()
+    h = lambda salt: (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit(salt))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 4096
+    )
+    cells = e.select(
+        "user_id", h(":lat").alias("x"), h(":lon").alias("y")
+    ).select(
+        "user_id", "x", "y",
+        F.floor(F.col("x") / 64).alias("cx"),
+        F.floor(F.col("y") / 64).alias("cy"),
+    ).localCheckpoint(eager=True)  # feeds the probe explode AND the build side
+    deltas = spark.createDataFrame([(-1,), (0,), (1,)], "d bigint")
+    probes = (
+        cells.crossJoin(F.broadcast(deltas.select(F.col("d").alias("dx"))))
+        .crossJoin(F.broadcast(deltas.select(F.col("d").alias("dy"))))
+        .select(
+            F.col("user_id").alias("user_a"),
+            F.col("x").alias("xa"),
+            F.col("y").alias("ya"),
+            (F.col("cx") + F.col("dx")).alias("pcx"),
+            (F.col("cy") + F.col("dy")).alias("pcy"),
+        )
+    )
+    build = cells.select(
+        F.col("user_id").alias("user_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.col("cx").alias("pcx"),
+        F.col("cy").alias("pcy"),
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    pairs = (
+        probes.join(build, ["pcx", "pcy"])
+        .filter((F.col("user_a") < F.col("user_b")) & (d2 <= 900))
+        .select(d2.alias("d2"))
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.min("d2").cast("bigint").alias("min_d2"),
+        F.sum("d2").cast("bigint").alias("sum_d2"),
+    )

@@ -435,6 +435,8 @@ _KEY_RANK: dict[str, int] = {
     "ml_logreg_gd": 9,
     "dq_drift_ks": 9,
     "llm_curriculum_order": 9,
+    "fn_geohash_interleave": 9,
+    "join_spatial_grid": 9,
 }
 
 
