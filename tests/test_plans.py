@@ -658,3 +658,15 @@ def test_propensity_match_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ml_propensity_match")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_spatial_grid_join_is_blocked(spark, sf_dir):
+    """The distance join must run as the 9-probe cell equi-join —
+    never a cartesian/BNLJ over all point pairs."""
+    plan = _plan(spark, sf_dir, "join_spatial_grid")
+    assert "CartesianProduct" not in plan
+    # the only BNLJ allowed is the broadcast of the 3-row delta tables
+    import re
+
+    joins = re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M)
+    assert len(joins) <= 2  # dx × dy broadcasts only
