@@ -2590,3 +2590,61 @@ def ml_logreg_gd(spark, sf_dir):
         F.round("w_recency", 6).alias("w_recency"),
         F.round("w_events", 6).alias("w_events"),
     )
+
+
+@register(
+    "ml_power_mde",
+    oracle="""
+WITH per_user AS (
+    SELECT event_type, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS y
+    FROM events GROUP BY 1, 2
+), mom AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(FLOOR(y * y * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE) / 1e6
+               AS syy
+    FROM per_user GROUP BY event_type
+), stats AS (
+    SELECT event_type, n, sy / n AS m,
+           (syy - sy * sy / n) / (n - 1) AS var
+    FROM mom
+)
+SELECT event_type, n AS n_users,
+       ROUND(m, 6) AS mean_y,
+       ROUND((1.959964 + 0.841621) * sqrt(2 * var / (n / 2)), 6) AS mde_abs,
+       ROUND((1.959964 + 0.841621) * sqrt(2 * var / (n / 2)) / m, 6) AS mde_rel
+FROM stats
+""",
+)
+def ml_power_mde(spark, sf_dir):
+    """Power analysis from MEASURED variance — the pre-experiment
+    question 'what effect could we even detect': minimum detectable
+    effect at α=0.05 (two-sided), power=0.8, for a 50/50 split of the
+    current population, MDE = (z_{α/2}+z_β)·√(2σ²/(n/2)) with the
+    per-user outcome variance measured from the data (the number CUPED
+    then shrinks — this op quantifies by how much an experiment
+    shortens). z-constants are shared literals, variance comes from
+    the same decimal-exact moment pass as ml_cuped/
+    agg_ratio_delta_method. One user-grain aggregate per segment; the
+    analysis is arithmetic on 3 numbers per group."""
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("event_type", "user_id").agg(
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("y")
+    )
+    mom = per_user.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("y").cast("decimal(38,6)")).cast("double").alias("sy"),
+        (F.sum(q6dec(F.col("y") * F.col("y"))).cast("double") / F.lit(1e6)).alias("syy"),
+    )
+    m = F.col("sy") / F.col("n")
+    var = (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")) / (F.col("n") - 1)
+    mde = F.lit(1.959964 + 0.841621) * F.sqrt(2 * var / (F.col("n") / 2))
+    return mom.select(
+        "event_type",
+        F.col("n").alias("n_users"),
+        F.round(m, 6).alias("mean_y"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(mde / m, 6).alias("mde_rel"),
+    )

@@ -437,6 +437,7 @@ _KEY_RANK: dict[str, int] = {
     "llm_curriculum_order": 9,
     "fn_geohash_interleave": 9,
     "join_spatial_grid": 9,
+    "ml_power_mde": 9,
 }
 
 
