@@ -871,3 +871,61 @@ def fn_geohash_interleave(spark, sf_dir):
         .orderBy(F.desc("n_points"), F.asc("cell8"))
         .limit(25)
     )
+
+
+@register(
+    "fn_luhn_check",
+    oracle="""
+WITH nums AS (
+    SELECT o_orderkey,
+           lpad(CAST(o_orderkey % 1000000000 AS VARCHAR), 9, '0')
+               || lpad(CAST(o_custkey % 100000 AS VARCHAR), 5, '0') AS pan14
+    FROM orders
+), digits AS (
+    SELECT o_orderkey, pan14,
+           list_aggregate(list_transform(range(1, 15), i ->
+               CASE WHEN (14 - i) % 2 = 1
+                    THEN CASE WHEN CAST(pan14[i] AS INTEGER) * 2 > 9
+                              THEN CAST(pan14[i] AS INTEGER) * 2 - 9
+                              ELSE CAST(pan14[i] AS INTEGER) * 2 END
+                    ELSE CAST(pan14[i] AS INTEGER) END), 'sum') AS luhn_sum
+    FROM nums
+)
+SELECT CAST(CAST(luhn_sum AS BIGINT) % 10 AS BIGINT) AS check_class,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+FROM digits GROUP BY 1
+""",
+)
+def fn_luhn_check(spark, sf_dir):
+    """Luhn checksum (mod-10) — the card/IMEI/account-number validity
+    gate a DQ layer runs on identifier columns: double every second
+    digit from the right, subtract 9 above 9, sum mod 10. Synthesized
+    14-digit PANs from order/customer keys (no real PAN column — the
+    OPERATOR is the digit algebra); both engines walk the identical
+    transform-sum over digit positions in codegen. Output profiles the
+    checksum classes (class 0 = 'valid'); a shifted digit, doubled
+    wrong parity, or truncation all move rows between classes and flip
+    the hash."""
+    o = t(spark, sf_dir, "orders")
+    pan = F.concat(
+        F.lpad((F.col("o_orderkey") % 1000000000).cast("string"), 9, "0"),
+        F.lpad((F.col("o_custkey") % 100000).cast("string"), 5, "0"),
+    )
+    nums = o.select("o_orderkey", pan.alias("pan14"))
+    luhn = F.expr(
+        "aggregate(transform(sequence(1, 14), i -> "
+        "CASE WHEN (14 - i) % 2 = 1 "
+        "THEN CASE WHEN cast(substring(pan14, i, 1) as int) * 2 > 9 "
+        "     THEN cast(substring(pan14, i, 1) as int) * 2 - 9 "
+        "     ELSE cast(substring(pan14, i, 1) as int) * 2 END "
+        "ELSE cast(substring(pan14, i, 1) as int) END), 0, (a, x) -> a + x)"
+    )
+    return (
+        nums.select("o_orderkey", luhn.alias("luhn_sum"))
+        .groupBy((F.col("luhn_sum") % 10).cast("bigint").alias("check_class"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("o_orderkey").cast("bigint").alias("min_key"),
+        )
+    )

@@ -1962,3 +1962,76 @@ def agg_welch_ttest(spark, sf_dir):
             6,
         ).alias("df_welch"),
     )
+
+
+@register(
+    "agg_lorenz_points",
+    oracle="""
+WITH per_user AS (
+    SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+    FROM events GROUP BY user_id
+), ranked AS (
+    SELECT v, NTILE(10) OVER (ORDER BY v ASC, user_id ASC) AS decile
+    FROM per_user
+), per_dec AS (
+    SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(v * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE) / 1e6 AS s
+    FROM ranked GROUP BY decile
+), tot AS (
+    SELECT CAST(SUM(CAST(n AS DECIMAL(38,6))) AS DOUBLE) AS nt,
+           CAST(SUM(CAST(FLOOR(s * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE) / 1e6 AS st
+    FROM per_dec
+), cum AS (
+    SELECT decile, n, s,
+           SUM(CAST(FLOOR(s * 1e6 + 0.5) AS DECIMAL(38,6))) OVER
+               (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS cs_q,
+           SUM(n) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS cn
+    FROM per_dec
+)
+SELECT decile,
+       ROUND(CAST(cn AS DOUBLE) / t.nt, 6) AS pop_share,
+       ROUND(CAST(cs_q AS DOUBLE) / 1e6 / t.st, 6) AS value_share
+FROM cum, tot t
+""",
+)
+def agg_lorenz_points(spark, sf_dir):
+    """Lorenz curve points — the full concentration curve behind the
+    Gini scalar (agg_gini): cumulative value share vs cumulative
+    population share at each decile, the readout that says WHERE the
+    concentration lives ('top decile = 40% of revenue'), which one
+    number can't. Users are decile-bucketed by NTILE over exact
+    per-user totals (deterministic ties on user id), decile sums are
+    1e-6-quantized into DECIMAL window cumulatives, and both shares
+    are ratios of those exact accumulations. One user-grain shuffle +
+    one global NTILE sort (range-partitioned at scale — the same
+    unavoidable order as llm_curriculum_order); the curve itself is
+    10 rows."""
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("v")
+    )
+    ranked = per_user.select(
+        "v",
+        F.ntile(10).over(Window.orderBy(F.asc("v"), F.asc("user_id"))).alias("decile"),
+    )
+    per_dec = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum(q6dec(F.col("v"))).cast("double") / F.lit(1e6)).alias("s"),
+    ).localCheckpoint(eager=True)  # feeds totals AND the cumulative window
+    tot = per_dec.agg(
+        F.sum(F.col("n").cast("decimal(38,6)")).cast("double").alias("nt"),
+        (F.sum(q6dec(F.col("s"))).cast("double") / F.lit(1e6)).alias("st"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_dec.select(
+        "decile",
+        F.sum(q6dec(F.col("s"))).over(w).alias("cs_q"),
+        F.sum("n").over(w).alias("cn"),
+    )
+    return cum.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        F.round(F.col("cn").cast("double") / F.col("nt"), 6).alias("pop_share"),
+        F.round(F.col("cs_q").cast("double") / F.lit(1e6) / F.col("st"), 6).alias(
+            "value_share"
+        ),
+    )

@@ -3182,3 +3182,71 @@ def ts_markov_stationary(spark, sf_dir):
             "s", (F.col("raw") / F.col("t")).alias("v")
         ).localCheckpoint(eager=True)
     return v.select(F.col("s").alias("state"), F.round("v", 6).alias("stationary_prob"))
+
+
+@register(
+    "ts_gap_burstiness",
+    oracle="""
+WITH gaps AS (
+    SELECT user_id,
+           CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id)) AS DOUBLE) AS g
+    FROM events
+), mom AS (
+    SELECT user_id, CAST(COUNT(g) AS BIGINT) AS n,
+           CAST(SUM(CAST(g AS DECIMAL(38,6))) AS DOUBLE) AS sg,
+           CAST(SUM(CAST(FLOOR(g / 1e6 * g / 1e6 * 1e6 + 0.5) AS DECIMAL(38,6)))
+                AS DOUBLE) / 1e6 AS sgg
+    FROM gaps WHERE g IS NOT NULL GROUP BY user_id HAVING COUNT(g) >= 5
+), stats AS (
+    SELECT user_id, n, sg / n AS mu,
+           sqrt(GREATEST((sgg - (sg / 1e6) * (sg / 1e6) / n) / n, 0)) * 1e6 AS sigma
+    FROM mom
+)
+SELECT user_id, n AS n_gaps,
+       ROUND((sigma - mu) / (sigma + mu), 6) AS burstiness
+FROM stats
+""",
+)
+def ts_gap_burstiness(spark, sf_dir):
+    """Goh–Barabási burstiness of each user's inter-event gaps —
+    B = (σ−μ)/(σ+μ) ∈ (−1, 1): B → −1 is metronome-regular (bot
+    signature), B ≈ 0 Poisson-random, B → +1 bursty human sessions.
+    The single number that separates scripted traffic from organic at
+    a glance, per user, from one window pass + one moment aggregate
+    (population σ via decimal-exact Σg and quantized Σg² — gaps are
+    rescaled to seconds inside the square so the 1e-6 quantization
+    grain is meaningful against µs² magnitudes). Users with < 5 gaps
+    excluded (moments are noise). Same-key shuffles only."""
+    e = t(spark, sf_dir, "events")
+    gaps = e.select(
+        "user_id",
+        F.expr(
+            "cast(timestampdiff(MICROSECOND, lag(ts) over "
+            "(partition by user_id order by ts, event_id), ts) as double)"
+        ).alias("g"),
+    ).filter(F.col("g").isNotNull())
+    mom = gaps.groupBy("user_id").agg(
+        F.count("g").cast("bigint").alias("n"),
+        F.sum(F.col("g").cast("decimal(38,6)")).cast("double").alias("sg"),
+        (
+            F.sum(q6dec((F.col("g") / 1e6) * (F.col("g") / 1e6))).cast("double")
+            / F.lit(1e6)
+        ).alias("sgg"),
+    ).filter(F.col("n") >= 5)
+    mu = F.col("sg") / F.col("n")
+    sigma = (
+        F.sqrt(
+            F.greatest(
+                (F.col("sgg") - (F.col("sg") / 1e6) * (F.col("sg") / 1e6) / F.col("n"))
+                / F.col("n"),
+                F.lit(0.0),
+            )
+        )
+        * 1e6
+    )
+    return mom.select(
+        "user_id",
+        F.col("n").alias("n_gaps"),
+        F.round((sigma - mu) / (sigma + mu), 6).alias("burstiness"),
+    )

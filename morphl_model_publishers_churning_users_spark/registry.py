@@ -440,6 +440,9 @@ _KEY_RANK: dict[str, int] = {
     "fn_geohash_interleave": 9,
     "join_spatial_grid": 9,
     "ml_power_mde": 9,
+    "agg_lorenz_points": 9,
+    "fn_luhn_check": 9,
+    "ts_gap_burstiness": 9,
 }
 
 
