@@ -104,6 +104,10 @@ def main() -> None:
         "ts_theta_forecast",
         "dq_observe_metrics",
         "join_bloom_pruned",
+        "llm_lsh_tuning_curve",
+        "graph_hits",
+        "ml_logreg_gd",
+        "join_spatial_grid",
     ):
         fn = queries.get(key)
         if fn is None:

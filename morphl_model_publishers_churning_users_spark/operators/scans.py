@@ -652,3 +652,58 @@ def sink_dynamic_partition_overwrite(spark, sf_dir):
             6,
         ).alias("sum_value"),
     )
+
+
+@register(
+    "scan_orphan_files",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       TRUE AS orphans_found
+FROM orders GROUP BY 1
+""",
+)
+def scan_orphan_files(spark, sf_dir):
+    """Orphan-file vacuum audit — the third leg of the lake-maintenance
+    triad (with sink_compact_small_files and
+    sink_dynamic_partition_overwrite): failed/zombie writers leave
+    data files no manifest references, silently billing storage and —
+    worse — re-appearing if someone lists the directory instead of the
+    manifest. Stage: orders written to a directory, a MANIFEST of the
+    legitimate files captured via the binaryFile metadata source, then
+    two orphans dropped in; the audit anti-joins the directory listing
+    against the manifest (two metadata-only scans — no data bytes
+    read) and the `orphans_found` flag asserts exactly the staged
+    orphans surface. The CONTENT contract proves the manifest-filtered
+    read returns precisely the legitimate rows — orphans leaking into
+    the scan flip the per-priority counts."""
+    import os
+
+    out = scratch_dir("orphan_audit")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    o.write.mode("overwrite").parquet(out)
+    manifest = {
+        r.path
+        for r in spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(out)
+        .select("path")
+        .collect()
+    }
+    for junk in ("part-zombie-1.parquet", "part-zombie-2.parquet"):
+        with open(os.path.join(out, junk), "wb") as fh:
+            fh.write(b"PAR1\x00not-a-real-footer")
+    listing = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(out)
+        .select("path")
+    )
+    orphans = [r.path for r in listing.collect() if r.path not in manifest]
+    legit = spark.read.parquet(*sorted(manifest))
+    return legit.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.lit(
+            len(orphans) == 2 and all("zombie" in p for p in orphans)
+        ).alias("orphans_found"),
+    )

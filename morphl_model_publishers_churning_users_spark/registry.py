@@ -443,6 +443,7 @@ _KEY_RANK: dict[str, int] = {
     "agg_lorenz_points": 9,
     "fn_luhn_check": 9,
     "ts_gap_burstiness": 9,
+    "scan_orphan_files": 9,
 }
 
 
