@@ -2035,3 +2035,97 @@ def agg_lorenz_points(spark, sf_dir):
             "value_share"
         ),
     )
+
+
+@register(
+    "agg_theil_decomposition",
+    oracle="""
+WITH per_user AS (
+    SELECT user_id,
+           MIN(event_type) AS seg,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+    FROM events GROUP BY user_id HAVING SUM(CAST(value AS DECIMAL(38,6))) > 0
+), tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS vt
+    FROM per_user
+), within_terms AS (
+    SELECT CAST(FLOOR(v / t.vt * ln(v / (t.vt / t.n)) * 1e12 + 0.5)
+                AS DECIMAL(38,12)) / 1e12 AS term
+    FROM per_user, tot t
+), total_theil AS (
+    SELECT CAST(SUM(CAST(term AS DECIMAL(38,12))) AS DOUBLE) AS theil_total
+    FROM within_terms
+), seg_mom AS (
+    SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_g,
+           CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS v_g
+    FROM per_user GROUP BY seg
+), between_terms AS (
+    SELECT CAST(FLOOR(v_g / t.vt * ln((v_g / s.n_g) / (t.vt / t.n)) * 1e12 + 0.5)
+                AS DECIMAL(38,12)) / 1e12 AS term
+    FROM seg_mom s, tot t
+), between_theil AS (
+    SELECT CAST(SUM(CAST(term AS DECIMAL(38,12))) AS DOUBLE) AS theil_between
+    FROM between_terms
+)
+SELECT ROUND(theil_total, 6) AS theil_total,
+       ROUND(theil_between, 6) AS theil_between,
+       ROUND(theil_total - theil_between, 6) AS theil_within,
+       ROUND(theil_between / theil_total, 6) AS between_share
+FROM total_theil, between_theil
+""",
+)
+def agg_theil_decomposition(spark, sf_dir):
+    """Theil-T inequality with between/within decomposition — the
+    property Gini famously LACKS: T = Σ(vᵢ/V)·ln(vᵢ/μ) splits exactly
+    into a between-segment term plus a within-segment remainder, so
+    'how much of spend inequality is explained by the user's dominant
+    event type' is one subtraction (between_share). Segments here are
+    each user's alphabetically-first event type (deterministic). Every
+    share is an exact ratio of decimal sums, every ln-term is
+    1e-12-quantized into decimal accumulation — both engines add
+    identical quantities. Two keyed aggregates + two O(segments)
+    reductions; zero-value users excluded (ln(0) undefined on any
+    engine)."""
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min("event_type").alias("seg"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("v"),
+    ).filter(F.col("v") > 0).localCheckpoint(eager=True)  # feeds totals + both term passes
+    tot = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("v").cast("decimal(38,6)")).cast("double").alias("vt"),
+    )
+    q12f = lambda c: F.floor(c * F.lit(1e12) + F.lit(0.5)).cast("decimal(38,12)") / F.lit(1e12)
+    d12s = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")
+    within = per_user.crossJoin(F.broadcast(tot)).select(
+        q12f(
+            F.col("v") / F.col("vt") * F.log(F.col("v") / (F.col("vt") / F.col("n")))
+        ).alias("term")
+    )
+    theil_total = within.agg(d12s(F.col("term")).alias("theil_total"))
+    seg_mom = per_user.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum(F.col("v").cast("decimal(38,6)")).cast("double").alias("v_g"),
+    )
+    between = seg_mom.crossJoin(F.broadcast(tot)).select(
+        q12f(
+            F.col("v_g")
+            / F.col("vt")
+            * F.log((F.col("v_g") / F.col("n_g")) / (F.col("vt") / F.col("n")))
+        ).alias("term")
+    )
+    theil_between = between.agg(d12s(F.col("term")).alias("theil_between"))
+    return (
+        theil_total.crossJoin(F.broadcast(theil_between))
+        .select(
+            F.round("theil_total", 6).alias("theil_total"),
+            F.round("theil_between", 6).alias("theil_between"),
+            F.round(F.col("theil_total") - F.col("theil_between"), 6).alias(
+                "theil_within"
+            ),
+            F.round(F.col("theil_between") / F.col("theil_total"), 6).alias(
+                "between_share"
+            ),
+        )
+    )

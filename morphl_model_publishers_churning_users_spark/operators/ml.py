@@ -2648,3 +2648,101 @@ def ml_power_mde(spark, sf_dir):
         F.round(mde, 6).alias("mde_abs"),
         F.round(mde / m, 6).alias("mde_rel"),
     )
+
+
+@register(
+    "ml_ips_offpolicy",
+    oracle="""
+WITH logs AS (
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN CAST(value AS DECIMAL(38,6)) ELSE 0 END) AS DOUBLE)
+               AS reward,
+           COUNT(*) AS ne,
+           CASE WHEN ('0x' || substring(md5(CAST(user_id AS VARCHAR) || ':act'), 1, 6))
+                     ::BIGINT % 100 < 30 THEN 1 ELSE 0 END AS logged_action
+    FROM events GROUP BY user_id
+), policy AS (
+    SELECT user_id, reward, logged_action,
+           CASE WHEN logged_action = 1 THEN 0.3 ELSE 0.7 END AS mu,
+           CASE WHEN ne >= 10 THEN 1 ELSE 0 END AS pi_action
+    FROM logs
+), weighted AS (
+    SELECT CASE WHEN pi_action = logged_action THEN 1.0 / mu ELSE 0.0 END AS w,
+           reward
+    FROM policy
+), sums AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(w * reward * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE)
+               / 1e6 AS swr,
+           CAST(SUM(CAST(FLOOR(w * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE) / 1e6 AS sw
+    FROM weighted
+)
+SELECT n AS n_users,
+       ROUND(swr / n, 6) AS ips_value,
+       ROUND(swr / NULLIF(sw, 0), 6) AS snips_value,
+       ROUND(sw / n, 6) AS mean_weight
+FROM sums
+""",
+)
+def ml_ips_offpolicy(spark, sf_dir):
+    """Off-policy evaluation by inverse propensity scoring — 'what
+    would the NEW targeting policy have earned on the logged traffic':
+    the logging policy assigned an action with known propensity (a
+    hash-seeded 30/70 randomization — deterministic, so the oracle
+    reproduces it); the candidate policy is a deterministic rule
+    (target heavy users, ne ≥ 10); IPS reweights logged rewards by
+    π(a|x)/μ(a|x) and SNIPS divides by the realized weight mass (the
+    variance-reduced estimator that survives weight skew). Both
+    estimates are quantized-decimal weighted sums over ONE user-grain
+    pass. This is the estimator every recommendation/retention team
+    runs before an A/B slot frees up; mean_weight far from 1 is the
+    standard support-mismatch alarm."""
+    e = t(spark, sf_dir, "events")
+    logs = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase", F.col("value").cast("decimal(38,6)")
+            ).otherwise(F.lit(0).cast("decimal(38,6)"))
+        )
+        .cast("double")
+        .alias("reward"),
+        F.count(F.lit(1)).alias("ne"),
+    )
+    logged_action = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":act"))), 1, 6
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+        < 30
+    ).cast("int")
+    policy = logs.select(
+        "reward",
+        logged_action.alias("logged_action"),
+        (F.col("ne") >= 10).cast("int").alias("pi_action"),
+    ).withColumn(
+        "mu", F.when(F.col("logged_action") == 1, 0.3).otherwise(0.7)
+    )
+    w = F.when(F.col("pi_action") == F.col("logged_action"), 1.0 / F.col("mu")).otherwise(
+        0.0
+    )
+    weighted = policy.select(w.alias("w"), "reward")
+    sums = weighted.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum(q6dec(F.col("w") * F.col("reward"))).cast("double") / F.lit(1e6)).alias(
+            "swr"
+        ),
+        (F.sum(q6dec(F.col("w"))).cast("double") / F.lit(1e6)).alias("sw"),
+    )
+    return sums.select(
+        F.col("n").alias("n_users"),
+        F.round(F.col("swr") / F.col("n"), 6).alias("ips_value"),
+        F.round(F.col("swr") / F.nullif(F.col("sw"), F.lit(0.0)), 6).alias(
+            "snips_value"
+        ),
+        F.round(F.col("sw") / F.col("n"), 6).alias("mean_weight"),
+    )

@@ -444,6 +444,8 @@ _KEY_RANK: dict[str, int] = {
     "fn_luhn_check": 9,
     "ts_gap_burstiness": 9,
     "scan_orphan_files": 9,
+    "agg_theil_decomposition": 9,
+    "ml_ips_offpolicy": 9,
 }
 
 
