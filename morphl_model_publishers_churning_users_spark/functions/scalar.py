@@ -929,3 +929,49 @@ def fn_luhn_check(spark, sf_dir):
             F.min("o_orderkey").cast("bigint").alias("min_key"),
         )
     )
+
+
+@register(
+    "fn_hash_collision_audit",
+    oracle="""
+WITH keys AS (
+    SELECT DISTINCT md5(CAST(o_orderkey AS VARCHAR) || ':' ||
+                        CAST(o_custkey AS VARCHAR)) AS h
+    FROM orders
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(COUNT(*) - COUNT(DISTINCT substring(h, 1, 4)) AS BIGINT) AS coll_4hex,
+       CAST(COUNT(*) - COUNT(DISTINCT substring(h, 1, 6)) AS BIGINT) AS coll_6hex,
+       CAST(COUNT(*) - COUNT(DISTINCT substring(h, 1, 8)) AS BIGINT) AS coll_8hex,
+       CAST(COUNT(*) - COUNT(DISTINCT substring(h, 1, 12)) AS BIGINT) AS coll_12hex
+FROM keys
+""",
+)
+def fn_hash_collision_audit(spark, sf_dir):
+    """Hash-prefix collision audit — the birthday bound, measured on
+    YOUR keys: every truncated-hash scheme in this engine (surrogate
+    keys, shard ids, band keys, bucket salts) implicitly picks a
+    prefix width, and this op reports actual collisions at 4/6/8/12
+    hex chars (16/24/32/48 bits) so the width is chosen from data, not
+    folklore — at n keys expect ≈ n²/2^(bits+1) collisions, and the
+    audit flips the hash if an engine's md5/truncation disagrees.
+    One distinct + one multi-distinct aggregate; at 100 TB run it on
+    the key sample the sizing decision actually concerns."""
+    o = t(spark, sf_dir, "orders")
+    keys = o.select(
+        F.md5(
+            F.concat(
+                F.col("o_orderkey").cast("string"),
+                F.lit(":"),
+                F.col("o_custkey").cast("string"),
+            )
+        ).alias("h")
+    ).distinct()
+    c = F.count(F.lit(1))
+    return keys.agg(
+        c.cast("bigint").alias("n_keys"),
+        (c - F.countDistinct(F.substring("h", 1, 4))).cast("bigint").alias("coll_4hex"),
+        (c - F.countDistinct(F.substring("h", 1, 6))).cast("bigint").alias("coll_6hex"),
+        (c - F.countDistinct(F.substring("h", 1, 8))).cast("bigint").alias("coll_8hex"),
+        (c - F.countDistinct(F.substring("h", 1, 12))).cast("bigint").alias("coll_12hex"),
+    )

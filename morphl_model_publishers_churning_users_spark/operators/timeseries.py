@@ -3250,3 +3250,58 @@ def ts_gap_burstiness(spark, sf_dir):
         F.col("n").alias("n_gaps"),
         F.round((sigma - mu) / (sigma + mu), 6).alias("burstiness"),
     )
+
+
+@register(
+    "ts_lateness_quantiles",
+    oracle="""
+WITH arr AS (
+    SELECT ts,
+           MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS high_water
+    FROM events
+), late AS (
+    SELECT epoch_us(high_water) - epoch_us(ts) AS lateness_us
+    FROM arr WHERE ts < high_water
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_late,
+       CAST(quantile_cont(lateness_us, 0.5) AS DOUBLE) AS p50_us,
+       CAST(quantile_cont(lateness_us, 0.95) AS DOUBLE) AS p95_us,
+       CAST(quantile_cont(lateness_us, 0.99) AS DOUBLE) AS p99_us,
+       CAST(MAX(lateness_us) AS BIGINT) AS max_us
+FROM late
+""",
+)
+def ts_lateness_quantiles(spark, sf_dir):
+    """Watermark policy, derived from data — the corpus-wide lateness
+    DISTRIBUTION (p50/p95/p99/max of how far events arrive behind
+    their user's high-water mark) that turns ts_out_of_order_audit's
+    per-user report into the one number a `withWatermark` call needs:
+    set the delay at p99 and you quantify exactly what fraction of
+    late data the streaming aggregate will drop; set it at max and
+    state grows by the measured tail. Exact interpolated quantiles
+    over the late subset; one user-keyed ordered window (arrival order
+    = event_id) + one global quantile aggregate."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    arr = e.select("ts", F.max("ts").over(w).alias("high_water"))
+    late = arr.filter(F.col("ts") < F.col("high_water")).select(
+        F.expr("timestampdiff(MICROSECOND, ts, high_water)").alias("lateness_us")
+    )
+    pct = F.expr("percentile(lateness_us, array(0.5D, 0.95D, 0.99D))")
+    return late.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_late"),
+        pct.alias("pcts"),
+        F.max("lateness_us").cast("bigint").alias("max_us"),
+    ).select(
+        "n_late",
+        F.col("pcts")[0].cast("double").alias("p50_us"),
+        F.col("pcts")[1].cast("double").alias("p95_us"),
+        F.col("pcts")[2].cast("double").alias("p99_us"),
+        "max_us",
+    )

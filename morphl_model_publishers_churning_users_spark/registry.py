@@ -446,6 +446,8 @@ _KEY_RANK: dict[str, int] = {
     "scan_orphan_files": 9,
     "agg_theil_decomposition": 9,
     "ml_ips_offpolicy": 9,
+    "fn_hash_collision_audit": 9,
+    "ts_lateness_quantiles": 9,
 }
 
 
