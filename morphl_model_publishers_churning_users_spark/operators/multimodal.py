@@ -647,3 +647,72 @@ def mm_modality_balance(spark, sf_dir):
         F.round(share, 6).alias("share"),
         F.round((F.lit(1.0) / 3) / share, 6).alias("resample_factor"),
     )
+
+
+def _all_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """One video row → one row per frame (no stride — boundary
+    detection needs consecutive frames)."""
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "frame_idx": [], "checksum": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            dec = decode_media(payload)
+            if dec["modality"] != "video":
+                continue
+            nf, fw, fh = dec["dims"]
+            fsize = fw * fh
+            for i in range(nf):
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(i)
+                out["checksum"].append(sum(dec["samples"][i * fsize : (i + 1) * fsize]))
+        yield pd.DataFrame(out)
+
+
+@register(
+    "mm_shot_boundaries",
+    oracle=f"""
+WITH vids AS (
+    SELECT doc_id, 8 + doc_id % 8 AS nf
+    FROM documents WHERE doc_id % 3 = 2
+), frames AS (
+    SELECT doc_id, f.i AS frame_idx,
+           list_aggregate(list_transform(range(f.i * 16, (f.i + 1) * 16),
+               j -> (doc_id * {_A1} + j * {_A2}) % 256), 'sum') AS checksum
+    FROM vids, LATERAL (SELECT unnest(range(0, nf)) AS i) f
+), deltas AS (
+    SELECT doc_id, frame_idx, checksum,
+           ABS(checksum - LAG(checksum) OVER (PARTITION BY doc_id
+                                              ORDER BY frame_idx)) AS d
+    FROM frames
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(1 + SUM(CASE WHEN d > 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_shots,
+       CAST(MAX(d) AS BIGINT) AS max_delta
+FROM deltas GROUP BY doc_id
+""",
+)
+def mm_shot_boundaries(spark, sf_dir):
+    """Shot-boundary detection — the video-pipeline segmentation step
+    (cut detection before per-shot captioning/embedding): decode EVERY
+    frame (Arrow-side explode, no stride — boundaries live between
+    consecutive frames), per-frame content checksum, and a cut
+    wherever the frame-to-frame delta exceeds threshold; shots =
+    cuts + 1. A production swap replaces the checksum with a frame-
+    histogram distance in the same per-doc LAG window — the Spark
+    shape (mapInPandas decode → doc-keyed ordered window → aggregate)
+    is the deliverable. The oracle regenerates the deterministic frame
+    stream; integer-exact end to end."""
+    frames = _binify(spark, sf_dir).mapInPandas(
+        _all_frames, schema="doc_id bigint, frame_idx bigint, checksum bigint"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    deltas = frames.withColumn(
+        "d", F.abs(F.col("checksum") - F.lag("checksum").over(w))
+    )
+    return deltas.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        (1 + F.sum((F.col("d") > 300).cast("long"))).cast("bigint").alias("n_shots"),
+        F.max("d").cast("bigint").alias("max_delta"),
+    )

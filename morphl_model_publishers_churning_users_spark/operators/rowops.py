@@ -1310,3 +1310,36 @@ def dq_drift_ks(spark, sf_dir):
         F.max("ta").cast("bigint").alias("n_first_half"),
         F.max("tb").cast("bigint").alias("n_second_half"),
     )
+
+
+@register(
+    "dq_hll_error_audit",
+    oracle="""
+SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS rsd05_ok, TRUE AS rsd02_ok, TRUE AS rsd01_ok
+FROM events
+""",
+)
+def dq_hll_error_audit(spark, sf_dir):
+    """Sketch-accuracy audit, measured not assumed — before replacing
+    exact COUNT(DISTINCT) with HLL at 100 TB, run both on a slice and
+    CHECK the estimate lands inside its advertised bound: Spark's
+    approx_count_distinct at rsd 5%/2%/1% against the exact count,
+    each flagged ok iff |est − exact| ≤ 4·rsd·exact (4σ — HLL's rsd
+    is one standard deviation, so 4σ makes the flag deterministic-in-
+    practice while still catching a broken sketch). The exact count is
+    the oracle-matched column (DuckDB's own HLL differs by design —
+    the ESTIMATES are Spark-side flags against literal TRUE, the
+    anchor-contract pattern). One pass computes all four aggregates."""
+    e = t(spark, sf_dir, "events")
+    exact = F.countDistinct("user_id")
+    flag = lambda rsd: (
+        F.abs(F.approx_count_distinct("user_id", rsd) - exact)
+        <= 4 * rsd * exact
+    )
+    return e.agg(
+        exact.cast("bigint").alias("exact_users"),
+        flag(0.05).alias("rsd05_ok"),
+        flag(0.02).alias("rsd02_ok"),
+        flag(0.01).alias("rsd01_ok"),
+    )

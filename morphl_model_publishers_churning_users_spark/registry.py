@@ -448,6 +448,8 @@ _KEY_RANK: dict[str, int] = {
     "ml_ips_offpolicy": 9,
     "fn_hash_collision_audit": 9,
     "ts_lateness_quantiles": 9,
+    "dq_hll_error_audit": 9,
+    "mm_shot_boundaries": 9,
 }
 
 
