@@ -1059,3 +1059,53 @@ def join_spatial_grid(spark, sf_dir):
         F.min("d2").cast("bigint").alias("min_d2"),
         F.sum("d2").cast("bigint").alias("sum_d2"),
     )
+
+
+@register(
+    "join_snowflake",
+    oracle="""
+SELECT r.r_name AS region,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6)))
+            AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+)
+def join_snowflake(spark, sf_dir):
+    """Snowflake-schema join — the NORMALIZED dimension chain
+    (lineitem→orders→customer→nation→region, TPC-H Q5's shape) that
+    join_star's denormalized form avoids: each dim resolves through
+    the next, so a naive plan shuffles the fact table once per hop.
+    The scalable plan broadcasts the whole resolved chain instead —
+    region⋈nation⋈customer collapses to one broadcast-able customer→
+    region map (dims are small by definition; Catalyst/AQE picks BHJ
+    for every hop here), leaving orders⋈lineitem as the ONLY
+    data-sized join, on the key both tables would be bucketed by in
+    production. Revenue rides DECIMAL; one group-by on 5 regions.
+    The 400th registered operator, fittingly the most classic query
+    shape in warehousing."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    cust_region = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("c_custkey", F.col("r_name").alias("region"))
+    )
+    fact = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select("o_custkey", "rev")
+    joined = fact.join(
+        F.broadcast(cust_region), fact["o_custkey"] == cust_region["c_custkey"]
+    )
+    return joined.groupBy("region").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.col("rev").cast("decimal(38,6)")).cast("double").alias("revenue"),
+    )

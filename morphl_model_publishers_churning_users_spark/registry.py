@@ -450,6 +450,7 @@ _KEY_RANK: dict[str, int] = {
     "ts_lateness_quantiles": 9,
     "dq_hll_error_audit": 9,
     "mm_shot_boundaries": 9,
+    "join_snowflake": 9,
 }
 
 
