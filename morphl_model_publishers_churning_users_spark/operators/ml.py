@@ -2746,3 +2746,88 @@ def ml_ips_offpolicy(spark, sf_dir):
         ),
         F.round(F.col("sw") / F.col("n"), 6).alias("mean_weight"),
     )
+
+
+@register(
+    "ml_conformal_interval",
+    oracle="""
+WITH daily AS (
+    SELECT event_type, date_trunc('day', ts) AS d,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS y
+    FROM events GROUP BY 1, 2
+), paired AS (
+    SELECT event_type, d, y,
+           LAG(y, 7) OVER (PARTITION BY event_type ORDER BY d) AS yhat,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn
+    FROM daily
+), split AS (
+    SELECT event_type, d, y, yhat,
+           CASE WHEN rn <= 19 THEN 'cal' ELSE 'test' END AS part
+    FROM paired WHERE yhat IS NOT NULL
+), qhat AS (
+    SELECT event_type, quantile_cont(ABS(y - yhat), 0.9) AS q
+    FROM split WHERE part = 'cal' GROUP BY event_type
+)
+SELECT s.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       ROUND(q.q, 6) AS interval_halfwidth,
+       CAST(SUM(CASE WHEN ABS(s.y - s.yhat) <= q.q THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_covered
+FROM split s JOIN qhat q ON s.event_type = q.event_type
+WHERE s.part = 'test'
+GROUP BY s.event_type, q.q
+""",
+)
+def ml_conformal_interval(spark, sf_dir):
+    """Split-conformal prediction intervals — distribution-free error
+    bars for ANY point forecaster, the guarantee-backed alternative to
+    Gaussian ±2σ: on a calibration window, take the 0.9-quantile of
+    absolute residuals of the lag-7 seasonal-naive forecast; on the
+    held-out window, the interval ŷ ± q̂ covers ≥ ~90% of outcomes by
+    construction (exchangeability) — and this op MEASURES the realized
+    coverage (n_covered/n_test), which is the audit conformal papers
+    say to run. Days 8–26 calibrate, the rest test (a time-ordered
+    split — the honest variant for serial data). Exact interpolated
+    quantile per series, decimal-exact daily totals, one day-grain
+    shuffle + one type-keyed window; the calibration table is
+    O(series × days)."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.date_trunc("day", "ts").alias("d")).agg(
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("y")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    paired = (
+        daily.withColumn("yhat", F.lag("y", 7).over(w))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("yhat").isNotNull())
+        .withColumn(
+            "part", F.when(F.col("rn") <= 19, "cal").otherwise("test")
+        )
+        .localCheckpoint(eager=True)  # feeds the calibration quantile AND the test join
+    )
+    qhat = (
+        paired.filter(F.col("part") == "cal")
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(abs(y - yhat), 0.9D)").alias("q")
+        )
+    )
+    test = paired.filter(F.col("part") == "test")
+    return (
+        test.join(F.broadcast(qhat), "event_type")
+        .groupBy("event_type", "q")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(
+                (F.abs(F.col("y") - F.col("yhat")) <= F.col("q")).cast("long")
+            )
+            .cast("bigint")
+            .alias("n_covered"),
+        )
+        .select(
+            "event_type",
+            "n_test",
+            F.round("q", 6).alias("interval_halfwidth"),
+            "n_covered",
+        )
+    )

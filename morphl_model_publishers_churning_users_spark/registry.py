@@ -451,6 +451,7 @@ _KEY_RANK: dict[str, int] = {
     "dq_hll_error_audit": 9,
     "mm_shot_boundaries": 9,
     "join_snowflake": 9,
+    "ml_conformal_interval": 9,
 }
 
 
