@@ -4365,3 +4365,65 @@ def llm_curriculum_order(spark, sf_dir):
         F.col("stage").cast("bigint").alias("stage"),
         F.row_number().over(w_stage).cast("bigint").alias("position"),
     )
+
+
+@register(
+    "llm_watermark_ztest",
+    oracle=r"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+    FROM documents
+), flagged AS (
+    SELECT doc_id,
+           CASE WHEN ('0x' || substring(md5(w), 1, 6))::BIGINT % 2 = 0
+                THEN 1 ELSE 0 END AS green
+    FROM toks
+), per_doc AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(green) AS BIGINT) AS g
+    FROM flagged GROUP BY doc_id
+)
+SELECT doc_id, n AS n_tokens, g AS n_green,
+       ROUND((g - n / 2.0) / sqrt(n / 4.0), 6) AS z_score,
+       ABS((g - n / 2.0) / sqrt(n / 4.0)) > 4.0 AS flagged
+FROM per_doc WHERE n >= 16
+""",
+)
+def llm_watermark_ztest(spark, sf_dir):
+    """Statistical text-watermark detection (Kirchenbauer-style) — the
+    provenance test for model-generated text: a watermarking sampler
+    over-selects a pseudorandom 'green list' (here green(token) =
+    hash parity, γ = 0.5), so a document's green fraction under the
+    null (unwatermarked) is Binomial(n, ½) and z = (g − n/2)/√(n/4)
+    flags generated text at |z| > 4 (~6e-5 false-positive rate). Run
+    over a training corpus this is the model-output-contamination
+    screen — the synthetic-text sibling of llm_contamination's
+    benchmark check. One explode + one combinable aggregate; the
+    z-test is arithmetic on two integers per doc. Short docs (< 16
+    tokens) excluded — the normal approximation is dishonest there."""
+    d = t(spark, sf_dir, "documents")
+    flagged = d.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    ).select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("w"), 1, 6), 16, 10).cast("bigint") % 2 == 0
+        )
+        .cast("long")
+        .alias("green"),
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("green").cast("bigint").alias("g"),
+    )
+    z = (F.col("g") - F.col("n") / 2.0) / F.sqrt(F.col("n") / 4.0)
+    return (
+        per_doc.filter(F.col("n") >= 16)
+        .select(
+            "doc_id",
+            F.col("n").alias("n_tokens"),
+            F.col("g").alias("n_green"),
+            F.round(z, 6).alias("z_score"),
+            (F.abs(z) > 4.0).alias("flagged"),
+        )
+    )

@@ -452,6 +452,7 @@ _KEY_RANK: dict[str, int] = {
     "mm_shot_boundaries": 9,
     "join_snowflake": 9,
     "ml_conformal_interval": 9,
+    "llm_watermark_ztest": 9,
 }
 
 
