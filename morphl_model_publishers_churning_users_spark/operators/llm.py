@@ -4427,3 +4427,97 @@ def llm_watermark_ztest(spark, sf_dir):
             (F.abs(z) > 4.0).alias("flagged"),
         )
     )
+
+
+@register(
+    "llm_dedup_transitivity_audit",
+    oracle=f"""
+WITH grams AS (
+    SELECT DISTINCT doc_id, unnest({_NGRAM_SH_DUCK}) AS g
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents)
+), sizes AS (
+    SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
+), inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), near AS MATERIALIZED (
+    SELECT doc_a, doc_b FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.2
+), sym AS MATERIALIZED (
+    SELECT doc_a AS u, doc_b AS v FROM near
+    UNION ALL SELECT doc_b, doc_a FROM near
+), wedges AS (
+    SELECT s1.v AS center, s1.u AS x, s2.v AS y
+    FROM sym s1 JOIN sym s2 ON s1.v = s2.u AND s1.u < s2.v
+), closed AS (
+    SELECT w.center, w.x, w.y,
+           CASE WHEN n.doc_a IS NOT NULL THEN 1 ELSE 0 END AS is_closed
+    FROM wedges w
+    LEFT JOIN near n ON n.doc_a = w.x AND n.doc_b = w.y
+)
+SELECT CAST((SELECT COUNT(*) FROM near) AS BIGINT) AS n_pairs,
+       CAST(COUNT(*) AS BIGINT) AS n_wedges,
+       CAST(SUM(is_closed) AS BIGINT) AS n_closed,
+       ROUND(CAST(SUM(is_closed) AS DOUBLE) / NULLIF(COUNT(*), 0), 6)
+           AS transitivity
+FROM closed
+""",
+)
+def llm_dedup_transitivity_audit(spark, sf_dir):
+    """Near-dup transitivity audit — the measurement that justifies (or
+    indicts) cluster-based dedup: near-duplicate similarity is NOT
+    transitive (A~B, B~C ⇏ A~C — chained paraphrases drift), yet
+    llm_dedup_cluster keeps ONE doc per connected component, silently
+    deleting non-duplicates whenever transitivity fails. This op
+    measures the actual wedge-closure rate of the Jaccard≥0.2 pair
+    graph: transitivity near 1 ⇒ components are cliques and cluster-
+    dedup is safe; low ⇒ switch to pairwise keep-best
+    (llm_dedup_keep_best). Wedges come from one self-join of the
+    (small) pair set keyed on the shared endpoint; closure is a hash
+    lookup against the same pair set — never touches the corpus
+    again."""
+    grams = _doc_shingles(spark, sf_dir)
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = grams.select(F.col("doc_id").alias("doc_a"), "g")
+    b = grams.select(F.col("doc_id").alias("doc_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+    near = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        .filter(jac >= 0.2)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)  # feeds sym, the closure probe, AND the count
+    )
+    sym = near.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionByName(
+        near.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    s1 = sym.select(F.col("v").alias("center"), F.col("u").alias("x"))
+    s2 = sym.select(F.col("u").alias("center"), F.col("v").alias("y"))
+    wedges = s1.join(s2, "center").filter(F.col("x") < F.col("y"))
+    closed = wedges.join(
+        near.select(
+            F.col("doc_a").alias("x"), F.col("doc_b").alias("y"), F.lit(1).alias("cl")
+        ),
+        ["x", "y"],
+        "left",
+    )
+    n_pairs = near.count()  # bounded driver scalar over the pair set
+    return closed.agg(
+        F.lit(n_pairs).cast("bigint").alias("n_pairs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_wedges"),
+        F.sum(F.coalesce("cl", F.lit(0))).cast("bigint").alias("n_closed"),
+        F.round(
+            F.sum(F.coalesce("cl", F.lit(0))).cast("double")
+            / F.nullif(F.count(F.lit(1)).cast("double"), F.lit(0.0)),
+            6,
+        ).alias("transitivity"),
+    )

@@ -3305,3 +3305,63 @@ def ts_lateness_quantiles(spark, sf_dir):
         F.col("pcts")[2].cast("double").alias("p99_us"),
         "max_us",
     )
+
+
+@register(
+    "ts_event_study",
+    oracle="""
+WITH anchors AS (
+    SELECT user_id, MIN(CAST(ts AS DATE)) AS a_day
+    FROM events WHERE event_type = 'signup' GROUP BY user_id
+), daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+    FROM events GROUP BY 1, 2
+), aligned AS (
+    SELECT d.user_id, date_diff('day', a.a_day, d.day) AS rel_day, d.v
+    FROM daily d JOIN anchors a ON d.user_id = a.user_id
+    WHERE date_diff('day', a.a_day, d.day) BETWEEN -7 AND 7
+)
+SELECT CAST(rel_day AS BIGINT) AS rel_day,
+       CAST(COUNT(*) AS BIGINT) AS n_user_days,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       ROUND(CAST(SUM(CAST(FLOOR(v * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE)
+             / 1e6 / COUNT(*), 6) AS mean_value
+FROM aligned GROUP BY rel_day
+""",
+)
+def ts_event_study(spark, sf_dir):
+    """Event study — align every user's series to their OWN treatment
+    date (first signup) and average outcomes by relative day, the
+    econometric plot that shows pre-trends and the post-event jump in
+    one picture (and the visual pre-check ml_diff_in_diff's
+    parallel-trends assumption needs). Calendar time washes out
+    staggered adoption; relative time is the only honest x-axis. One
+    anchor aggregate broadcast-joined onto the user-day table (same
+    user key — one shuffle), a ±7-day window filter bounding the
+    output to 15 rows of decimal-exact means."""
+    e = t(spark, sf_dir, "events")
+    anchors = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("a_day"))
+    )
+    daily = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("v")
+    )
+    aligned = (
+        daily.join(anchors, "user_id")
+        .select(
+            "user_id",
+            F.datediff("day", "a_day").alias("rel_day"),
+            "v",
+        )
+        .filter(F.col("rel_day").between(-7, 7))
+    )
+    return aligned.groupBy(F.col("rel_day").cast("bigint").alias("rel_day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_user_days"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.round(
+            F.sum(q6dec(F.col("v"))).cast("double") / F.lit(1e6) / F.count(F.lit(1)), 6
+        ).alias("mean_value"),
+    )

@@ -455,6 +455,8 @@ _KEY_RANK: dict[str, int] = {
     "join_snowflake": 9,
     "ml_conformal_interval": 9,
     "llm_watermark_ztest": 9,
+    "ts_event_study": 9,
+    "llm_dedup_transitivity_audit": 9,
 }
 
 
