@@ -3365,3 +3365,61 @@ def ts_event_study(spark, sf_dir):
             F.sum(q6dec(F.col("v"))).cast("double") / F.lit(1e6) / F.count(F.lit(1)), 6
         ).alias("mean_value"),
     )
+
+
+@register(
+    "ts_slo_burn_rate",
+    oracle="""
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS h,
+           COUNT(*) AS n,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errs
+    FROM events GROUP BY 1
+), windows AS (
+    SELECT h, n, errs,
+           SUM(n) OVER (ORDER BY h ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS n6,
+           SUM(errs) OVER (ORDER BY h ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS e6
+    FROM hourly
+), rates AS (
+    SELECT h,
+           CAST(errs AS DOUBLE) / n / 0.05 AS burn_1h,
+           CAST(e6 AS DOUBLE) / n6 / 0.05 AS burn_6h
+    FROM windows
+)
+SELECT h, ROUND(burn_1h, 6) AS burn_1h, ROUND(burn_6h, 6) AS burn_6h,
+       burn_1h > 2.0 AND burn_6h > 1.0 AS page
+FROM rates
+""",
+)
+def ts_slo_burn_rate(spark, sf_dir):
+    """SLO error-budget burn rate with multi-window alerting — the
+    Google-SRE-workbook alert that replaced naive threshold paging:
+    burn = error_rate / budget (here a 5% error budget), and a page
+    fires only when BOTH the fast window (1 h, burn > 2 — it's
+    happening now) and the slow window (6 h, burn > 1 — it's
+    sustained) agree, killing the flappy-alert failure mode. One
+    hour-grain aggregate + one 6-row sliding frame; rates are exact
+    int/int ratios so the alert decisions hash identically across
+    engines. At 100 TB this runs as the streaming twin of
+    ts_stream_sliding with the same frame arithmetic."""
+    e = t(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("errs"),
+    )
+    w6 = Window.orderBy("h").rowsBetween(-5, 0)
+    windows = hourly.select(
+        "h",
+        "n",
+        "errs",
+        F.sum("n").over(w6).alias("n6"),
+        F.sum("errs").over(w6).alias("e6"),
+    )
+    burn1 = F.col("errs").cast("double") / F.col("n") / 0.05
+    burn6 = F.col("e6").cast("double") / F.col("n6") / 0.05
+    return windows.select(
+        "h",
+        F.round(burn1, 6).alias("burn_1h"),
+        F.round(burn6, 6).alias("burn_6h"),
+        ((burn1 > 2.0) & (burn6 > 1.0)).alias("page"),
+    )

@@ -457,6 +457,7 @@ _KEY_RANK: dict[str, int] = {
     "llm_watermark_ztest": 9,
     "ts_event_study": 9,
     "llm_dedup_transitivity_audit": 9,
+    "ts_slo_burn_rate": 9,
 }
 
 
