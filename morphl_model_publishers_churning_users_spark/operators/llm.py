@@ -4521,3 +4521,93 @@ def llm_dedup_transitivity_audit(spark, sf_dir):
             6,
         ).alias("transitivity"),
     )
+
+
+@register(
+    "llm_lsh_bucket_skew",
+    oracle=r"""
+WITH base AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
+    FROM documents
+), base3 AS (
+    SELECT * FROM base WHERE len(words) >= 3
+), shl AS MATERIALIZED (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, len(words) - 1),
+                  i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2])) AS sarr
+    FROM base3
+), xs AS (
+    SELECT doc_id, CAST(len(sarr) AS BIGINT) AS sz,
+           list_transform(sarr, s -> CAST(('0x' || substr(md5(s), 1, 13)) AS BIGINT)) AS x1,
+           list_transform(sarr, s -> CAST(('0x' || substr(md5(s), 17, 13)) AS BIGINT) | 1) AS x2
+    FROM shl
+), sig AS (
+    SELECT doc_id,
+           list_transform(range(0, 8),
+               i -> list_aggregate(list_transform(range(1, sz + 1),
+                        j -> (x1[j] + i * x2[j]) % 4503599627370496), 'min')) AS h
+    FROM xs
+), bands AS MATERIALIZED (
+    SELECT CAST(b.band_id AS BIGINT) AS band_id,
+           CAST(s.h[b.band_id * 2 + 1] AS VARCHAR) || ':' ||
+               CAST(s.h[b.band_id * 2 + 2] AS VARCHAR) AS k
+    FROM sig s, (SELECT unnest(range(0, 4)) AS band_id) b
+), buckets AS (
+    SELECT band_id, k, COUNT(*) AS bsz FROM bands GROUP BY 1, 2
+)
+SELECT band_id,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(MAX(bsz) AS BIGINT) AS max_bucket,
+       CAST(SUM(bsz * (bsz - 1) / 2) AS BIGINT) AS candidate_pairs,
+       ROUND(CAST(SUM(bsz * bsz) AS DOUBLE) / SUM(bsz), 6) AS mean_probe_cost
+FROM buckets GROUP BY band_id
+""",
+)
+def llm_lsh_bucket_skew(spark, sf_dir):
+    """LSH bucket-skew diagnosis — the COST side of the banding dial
+    (llm_lsh_tuning_curve measures recall; this measures what the band
+    join PAYS): per band of the production 4×2 layout, the bucket-size
+    distribution, Σ C(|b|,2) (the EXACT candidate-pair count the join
+    materializes), and E[|b|] under a random probe (Σ|b|²/Σ|b| — the
+    size-biased mean, which is what a skewed bucket costs, not the
+    unweighted average). A hot bucket here is the straggler task at
+    100 TB and the signal to add a hash or salt the band key. Same
+    signature construction as llm_dedup_minhash_sql; one extra
+    groupBy on the band table. Integer-exact."""
+    M = 4503599627370496
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w"))
+        .filter(F.size("w") >= 3)
+    )
+    sig = d.select(
+        "doc_id", F.array_distinct(F.expr(_NGRAM_SH_SPARK)).alias("sarr")
+    ).select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, 7), i -> array_min(transform(sarr, "
+            f"s -> (cast(conv(substr(md5(s), 1, 13), 16, 10) as bigint)"
+            f" + i * (cast(conv(substr(md5(s), 17, 13), 16, 10) as bigint) | 1L)) % {M}L)))"
+        ).alias("h"),
+    )
+    bands = sig.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), b -> named_struct("
+                "'band_id', cast(b as bigint), "
+                "'k', concat(cast(element_at(h, b * 2 + 1) as string), ':', "
+                "cast(element_at(h, b * 2 + 2) as string))))"
+            )
+        ).alias("bk")
+    ).select(F.col("bk.band_id").alias("band_id"), F.col("bk.k").alias("k"))
+    buckets = bands.groupBy("band_id", "k").agg(F.count(F.lit(1)).alias("bsz"))
+    return buckets.groupBy("band_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.max("bsz").cast("bigint").alias("max_bucket"),
+        F.sum(F.col("bsz") * (F.col("bsz") - 1) / 2).cast("bigint").alias(
+            "candidate_pairs"
+        ),
+        F.round(
+            F.sum(F.col("bsz") * F.col("bsz")).cast("double") / F.sum("bsz"), 6
+        ).alias("mean_probe_cost"),
+    )

@@ -458,6 +458,7 @@ _KEY_RANK: dict[str, int] = {
     "ts_event_study": 9,
     "llm_dedup_transitivity_audit": 9,
     "ts_slo_burn_rate": 9,
+    "llm_lsh_bucket_skew": 9,
 }
 
 
