@@ -111,9 +111,9 @@ def register(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Quer
 # udf_pandas_struct, ts_gap_stats/max_drawdown/sessions_per_user/
 # days_to_return/attribution_linear/rank_mobility, ml_ece,
 # llm_burstiness/compression_filter/lang_confusion/vocab_coverage).
-# The late-r6 wave (the ~50 keys from llm_url_dedup through
-# llm_preference_pairs) queues right behind for round 8 — still ahead
-# of the verified backstop. All round-6 additions were sim-verified at
+# The late-r6 wave (the ~80 keys from llm_url_dedup through
+# llm_lsh_bucket_skew) queues right behind across rounds 8-9 — still
+# ahead of the verified backstop. All round-6 additions were sim-verified at
 # sf0.001/0.01, and every key in the post-fold waves also at sf0.1;
 # the full registry ran hash-green in the bare-session simulator
 # repeatedly during the round (329/329, 357/357, 380/380, 389/389,
