@@ -117,10 +117,12 @@ def register(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Quer
 # sf0.001/0.01, and every key in the post-fold waves also at sf0.1;
 # the full registry ran hash-green in the bare-session simulator
 # repeatedly during the round (329/329, 357/357, 380/380, 389/389,
-# 400/400 in 294 s) and the final full pytest suite finished 578
-# passed / 1 skipped; the once-per-round 10x parity sweep
-# (SPARK_GRAFT_TEST_SF_DIR=sf0.1 test_oracle.py) finished 402 passed /
-# 1 skipped in 18m39s — every oracle twin holds at 10x driver scale. End-of-round bench, guest-idle:
+# 400/400, and the definitive end-of-round run: 406/406 green in
+# 331 s); the final full pytest suite finished 593 passed / 1 skipped;
+# the once-per-round 10x parity sweep (SPARK_GRAFT_TEST_SF_DIR=sf0.1
+# test_oracle.py) finished 402 passed / 1 skipped in 18m39s, and every
+# key added after that sweep was individually driver-compared at sf0.1
+# — every oracle twin holds at 10x driver scale. End-of-round bench, guest-idle:
 # 6.818 s total (best recorded; r4 7.551, r5 8.779) with both MinHash
 # paths at ~1.0 s — later same-commit re-runs read 8.6 s uniformly
 # across all queries (host-level variance; band measured and recorded
