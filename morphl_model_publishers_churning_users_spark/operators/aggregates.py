@@ -2129,3 +2129,53 @@ def agg_theil_decomposition(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "agg_skyline_2d",
+    oracle="""
+WITH pts AS (
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS activity,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS spend
+    FROM events GROUP BY user_id
+), ranked AS (
+    SELECT user_id, activity, spend,
+           MAX(spend) OVER (ORDER BY activity DESC, spend DESC, user_id ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS best_spend_at_higher_activity
+    FROM pts
+)
+SELECT user_id, activity, ROUND(spend, 6) AS spend
+FROM ranked
+WHERE best_spend_at_higher_activity IS NULL
+   OR spend > best_spend_at_higher_activity
+""",
+)
+def agg_skyline_2d(spark, sf_dir):
+    """Skyline (Pareto-frontier) operator — the classic 'best hotels'
+    query relational engines famously lack: users not DOMINATED on
+    (activity, spend), i.e. no other user is ≥ on both and > on one —
+    the efficient frontier segmentation/pricing looks at. The textbook
+    algorithm is a quadratic dominance anti-join; the scalable form
+    used here is the SORT-FILTER sweep: order by activity descending
+    and keep a point iff its spend beats the running max of everything
+    more active — one window over the user summary, O(n log n), and
+    the window's running max is exactly the dominance test for 2-D.
+    (Ties on activity resolved by user id in the sweep order, so a
+    same-activity-lower-spend point is correctly dominated.) At 100 TB
+    the user summary is the only data-sized object; the sweep is the
+    same range-sort NTILE already pays."""
+    e = t(spark, sf_dir, "events")
+    pts = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("activity"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("spend"),
+    )
+    w = Window.orderBy(
+        F.desc("activity"), F.desc("spend"), F.asc("user_id")
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    ranked = pts.withColumn("best", F.max("spend").over(w))
+    return (
+        ranked.filter(F.col("best").isNull() | (F.col("spend") > F.col("best")))
+        .select("user_id", "activity", F.round("spend", 6).alias("spend"))
+    )

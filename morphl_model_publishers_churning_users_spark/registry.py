@@ -461,6 +461,7 @@ _KEY_RANK: dict[str, int] = {
     "llm_dedup_transitivity_audit": 9,
     "ts_slo_burn_rate": 9,
     "llm_lsh_bucket_skew": 9,
+    "agg_skyline_2d": 9,
 }
 
 
