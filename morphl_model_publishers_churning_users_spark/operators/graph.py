@@ -1220,3 +1220,113 @@ def graph_hash_walks(spark, sf_dir):
     for h in hops[1:]:
         out = out.join(h, "start")
     return out
+
+
+def _ppr_oracle(iters: int = 8) -> str:
+    """Unrolled personalized-PageRank oracle (restart mass to the seed
+    set = the 10 lowest part keys; d = 0.85). PageRank's decimal
+    discipline throughout; teleport term is seed-conditional."""
+    ctes = [
+        """edges AS MATERIALIZED (
+    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    FROM lineitem a
+    JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), sym AS MATERIALIZED (
+    SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges
+), deg AS MATERIALIZED (
+    SELECT src AS node, CAST(COUNT(*) AS DOUBLE) AS outdeg FROM sym GROUP BY src
+), seeds AS MATERIALIZED (
+    SELECT node FROM deg ORDER BY node ASC LIMIT 10
+), ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM seeds),
+p0 AS (
+    SELECT d.node, d.outdeg,
+           CASE WHEN s.node IS NOT NULL THEN 1.0 / ns.k ELSE 0.0 END AS r
+    FROM deg d LEFT JOIN seeds s ON d.node = s.node, ns
+)""",
+    ]
+    prev = "p0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""c{i} AS MATERIALIZED (
+    SELECT e.dst AS node,
+           CAST(SUM(CAST(FLOOR(p.r / p.outdeg * 1e12 + 0.5) AS DECIMAL(38,12)))
+                AS DOUBLE) / 1e12 AS insum
+    FROM {prev} p JOIN sym e ON e.src = p.node GROUP BY e.dst
+), p{i} AS MATERIALIZED (
+    SELECT d.node, d.outdeg,
+           FLOOR((CASE WHEN s.node IS NOT NULL THEN 0.15 / ns.k ELSE 0.0 END
+                  + 0.85 * COALESCE(c.insum, 0.0)) * 1e9 + 0.5) / 1e9 AS r
+    FROM deg d
+    LEFT JOIN seeds s ON d.node = s.node
+    LEFT JOIN c{i} c ON d.node = c.node, ns
+)"""
+        )
+        prev = f"p{i}"
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT node AS part, ROUND(r * 1000, 6) AS ppr_x1000
+FROM {prev}
+WHERE r > 0 ORDER BY r DESC, node ASC LIMIT 20
+"""
+
+
+@register("graph_ppr", oracle=_ppr_oracle())
+def graph_ppr(spark, sf_dir):
+    """Personalized PageRank (8 rounds, d = 0.85) — the recommendation
+    primitive: random walks RESTART to a seed set (here the 10 lowest
+    part keys — a 'customer's recent purchases' stand-in), so the
+    stationary mass ranks parts by proximity TO THOSE SEEDS, not
+    global importance; this is 'people who bought X also buy' as graph
+    diffusion (Pixie/GraphSAGE-sampler lineage). Identical round shape
+    and decimal discipline as graph_pagerank — per-edge contributions
+    quantized 1e-12 into DECIMAL sums, rank re-quantized 1e-9 per
+    round, per-round checkpoint — with the teleport term conditional
+    on seed membership instead of uniform. Top-20 by PPR mass (zero-
+    mass nodes excluded: unreachable from the seeds)."""
+    q9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+    q12 = lambda c: F.floor(c * F.lit(1e12) + F.lit(0.5)).cast("decimal(38,12)")
+    sym = ckpt(_sym(_copurchase_edges(spark, sf_dir)))
+    deg = ckpt(
+        sym.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).cast("double").alias("outdeg")
+        )
+    )
+    seeds = deg.select("node").orderBy(F.asc("node")).limit(10).withColumn(
+        "is_seed", F.lit(1)
+    )
+    k = seeds.count()  # bounded driver scalar (seed-set size)
+    p = deg.join(F.broadcast(seeds), "node", "left").select(
+        "node",
+        "outdeg",
+        F.when(F.col("is_seed") == 1, F.lit(1.0) / k).otherwise(0.0).alias("r"),
+    )
+    for _ in range(8):
+        contrib = (
+            p.join(sym, p["node"] == sym["src"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                (
+                    F.sum(q12(F.col("r") / F.col("outdeg"))).cast("double")
+                    / F.lit(1e12)
+                ).alias("insum")
+            )
+        )
+        p = ckpt(
+            deg.join(F.broadcast(seeds), "node", "left")
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                "outdeg",
+                q9(
+                    F.when(F.col("is_seed") == 1, F.lit(0.15) / k).otherwise(0.0)
+                    + F.lit(0.85) * F.coalesce("insum", F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    return (
+        p.filter(F.col("r") > 0)
+        .orderBy(F.desc("r"), F.asc("node"))
+        .limit(20)
+        .select(F.col("node").alias("part"), F.round(F.col("r") * 1000, 6).alias("ppr_x1000"))
+    )

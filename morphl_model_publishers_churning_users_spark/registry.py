@@ -462,6 +462,7 @@ _KEY_RANK: dict[str, int] = {
     "ts_slo_burn_rate": 9,
     "llm_lsh_bucket_skew": 9,
     "agg_skyline_2d": 9,
+    "graph_ppr": 9,
 }
 
 
