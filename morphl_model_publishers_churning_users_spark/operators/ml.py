@@ -2831,3 +2831,96 @@ def ml_conformal_interval(spark, sf_dir):
             "n_covered",
         )
     )
+
+
+@register(
+    "ml_qini_curve",
+    oracle=f"""
+WITH {_REC2_SQL},
+assigned AS (
+    SELECT user_id, rec, churned,
+           CASE WHEN ('0x' || substring(md5(CAST(user_id AS VARCHAR) || ':tr'), 1, 6))
+                     ::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS treated
+    FROM s2
+), deciled AS (
+    SELECT treated, churned,
+           NTILE(10) OVER (ORDER BY rec DESC, user_id ASC) AS decile
+    FROM assigned
+), per_dec AS (
+    SELECT decile,
+           SUM(CASE WHEN treated = 1 THEN 1 ELSE 0 END) AS nt,
+           SUM(CASE WHEN treated = 0 THEN 1 ELSE 0 END) AS nc,
+           SUM(CASE WHEN treated = 1 THEN churned ELSE 0 END) AS rt,
+           SUM(CASE WHEN treated = 0 THEN churned ELSE 0 END) AS rc
+    FROM deciled GROUP BY decile
+), cums AS (
+    SELECT decile,
+           SUM(nt) OVER w AS cnt, SUM(nc) OVER w AS cnc,
+           SUM(rt) OVER w AS crt, SUM(rc) OVER w AS crc
+    FROM per_dec
+    WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+)
+SELECT decile,
+       CAST(cnt AS BIGINT) AS n_treated, CAST(cnc AS BIGINT) AS n_control,
+       ROUND(crt - crc * CAST(cnt AS DOUBLE) / NULLIF(cnc, 0), 6) AS qini
+FROM cums
+""",
+)
+def ml_qini_curve(spark, sf_dir):
+    """Qini curve — uplift targeting's yardstick: rank users by the
+    model score, and at each decile plot incremental responses
+    (treated responders minus control responders scaled to the treated
+    count) — a model that targets PERSUADABLES climbs early; one that
+    targets sure-things hugs the diagonal. Treatment is a hash-seeded
+    50/50 assignment (deterministic — the oracle reproduces it), score
+    is the recency churn score, response the churn label. One NTILE
+    sort + one decile aggregate + one cumulative window; integer-exact
+    except the one scaling division. This closes the causal-ML eval
+    suite (DiD, IPS/SNIPS, CUPED, MDE, matching, conformal) with the
+    uplift leg."""
+    s = _rec_scored2(spark, sf_dir)
+    treated = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":tr"))), 1, 6
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+        == 0
+    ).cast("int")
+    assigned = s.select("user_id", "rec", "churned", treated.alias("treated"))
+    deciled = assigned.select(
+        "treated",
+        "churned",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("rec"), F.asc("user_id")))
+        .alias("decile"),
+    )
+    per_dec = deciled.groupBy("decile").agg(
+        F.sum((F.col("treated") == 1).cast("long")).alias("nt"),
+        F.sum((F.col("treated") == 0).cast("long")).alias("nc"),
+        F.sum(F.when(F.col("treated") == 1, F.col("churned")).otherwise(0)).alias("rt"),
+        F.sum(F.when(F.col("treated") == 0, F.col("churned")).otherwise(0)).alias("rc"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cums = per_dec.select(
+        "decile",
+        F.sum("nt").over(w).alias("cnt"),
+        F.sum("nc").over(w).alias("cnc"),
+        F.sum("rt").over(w).alias("crt"),
+        F.sum("rc").over(w).alias("crc"),
+    )
+    return cums.select(
+        "decile",
+        F.col("cnt").cast("bigint").alias("n_treated"),
+        F.col("cnc").cast("bigint").alias("n_control"),
+        F.round(
+            F.col("crt")
+            - F.col("crc") * F.col("cnt").cast("double") / F.nullif(
+                F.col("cnc").cast("double"), F.lit(0.0)
+            ),
+            6,
+        ).alias("qini"),
+    )

@@ -463,6 +463,7 @@ _KEY_RANK: dict[str, int] = {
     "llm_lsh_bucket_skew": 9,
     "agg_skyline_2d": 9,
     "graph_ppr": 9,
+    "ml_qini_curve": 9,
 }
 
 
