@@ -3423,3 +3423,94 @@ def ts_slo_burn_rate(spark, sf_dir):
         F.round(burn6, 6).alias("burn_6h"),
         ((burn1 > 2.0) & (burn6 > 1.0)).alias("page"),
     )
+
+
+@register(
+    "ts_demand_classification",
+    oracle="""
+WITH daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN CAST(value AS DECIMAL(38,6)) ELSE 0 END) AS DOUBLE) AS dem
+    FROM events GROUP BY 1, 2
+), nonzero AS (
+    SELECT user_id, day, dem,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+    FROM daily WHERE dem > 0
+), intervals AS (
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_demands,
+           CAST(date_diff('day', MIN(day), MAX(day)) AS DOUBLE)
+               / NULLIF(COUNT(*) - 1, 0) AS adi,
+           CAST(SUM(CAST(dem AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mu,
+           CAST(SUM(CAST(FLOOR(dem * dem * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE)
+               / 1e6 / COUNT(*) AS m2
+    FROM nonzero GROUP BY user_id HAVING COUNT(*) >= 4
+), classified AS (
+    SELECT user_id, n_demands, adi,
+           (m2 - mu * mu) / (mu * mu) AS cv2
+    FROM intervals
+)
+SELECT CASE WHEN adi < 1.32 AND cv2 < 0.49 THEN 'smooth'
+            WHEN adi >= 1.32 AND cv2 < 0.49 THEN 'intermittent'
+            WHEN adi < 1.32 AND cv2 >= 0.49 THEN 'erratic'
+            ELSE 'lumpy' END AS demand_class,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(CAST(SUM(CAST(FLOOR(adi * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE)
+             / 1e6 / COUNT(*), 6) AS mean_adi
+FROM classified GROUP BY 1
+""",
+)
+def ts_demand_classification(spark, sf_dir):
+    """Syntetos-Boylan demand classification — the forecasting-method
+    ROUTER: per purchaser, average inter-demand interval (ADI) and
+    squared coefficient of variation of demand sizes (CV²) place the
+    series in the smooth / intermittent / erratic / lumpy quadrant
+    (cuts 1.32 / 0.49 from the SB paper), which dictates Croston vs
+    SES vs the robust ops — ts_holt_forecast on a lumpy series is a
+    category error this table prevents. Moments ride the quantized-
+    decimal discipline; ADI is exact date arithmetic over the span.
+    Purchasers with < 4 demand days excluded (the taxonomy is
+    meaningless there). One user-day aggregate + one user rollup."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase", F.col("value").cast("decimal(38,6)")
+            ).otherwise(F.lit(0).cast("decimal(38,6)"))
+        )
+        .cast("double")
+        .alias("dem")
+    )
+    nz = daily.filter(F.col("dem") > 0)
+    intervals = nz.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_demands"),
+        (
+            F.datediff(F.max("day"), F.min("day")).cast("double")
+            / F.nullif((F.count(F.lit(1)) - 1).cast("double"), F.lit(0.0))
+        ).alias("adi"),
+        (F.sum(F.col("dem").cast("decimal(38,6)")).cast("double") / F.count(F.lit(1))).alias("mu"),
+        (
+            F.sum(q6dec(F.col("dem") * F.col("dem"))).cast("double")
+            / F.lit(1e6)
+            / F.count(F.lit(1))
+        ).alias("m2"),
+    ).filter(F.col("n_demands") >= 4)
+    cv2 = (F.col("m2") - F.col("mu") * F.col("mu")) / (F.col("mu") * F.col("mu"))
+    classified = intervals.select(
+        "adi",
+        cv2.alias("cv2"),
+    )
+    demand_class = (
+        F.when((F.col("adi") < 1.32) & (F.col("cv2") < 0.49), "smooth")
+        .when((F.col("adi") >= 1.32) & (F.col("cv2") < 0.49), "intermittent")
+        .when((F.col("adi") < 1.32) & (F.col("cv2") >= 0.49), "erratic")
+        .otherwise("lumpy")
+    )
+    return classified.groupBy(demand_class.alias("demand_class")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.round(
+            F.sum(q6dec(F.col("adi"))).cast("double") / F.lit(1e6) / F.count(F.lit(1)),
+            6,
+        ).alias("mean_adi"),
+    )

@@ -464,6 +464,7 @@ _KEY_RANK: dict[str, int] = {
     "agg_skyline_2d": 9,
     "graph_ppr": 9,
     "ml_qini_curve": 9,
+    "ts_demand_classification": 9,
 }
 
 
