@@ -975,3 +975,82 @@ def fn_hash_collision_audit(spark, sf_dir):
         (c - F.countDistinct(F.substring("h", 1, 8))).cast("bigint").alias("coll_8hex"),
         (c - F.countDistinct(F.substring("h", 1, 12))).cast("bigint").alias("coll_12hex"),
     )
+
+
+@register(
+    "fn_uuidv7_roundtrip",
+    oracle="""
+WITH built AS (
+    SELECT event_id,
+           epoch_ms(ts) AS ts_ms,
+           lpad(hex(epoch_ms(ts)), 12, '0') AS time_hex,
+           substring(md5(CAST(event_id AS VARCHAR)), 1, 12) AS rand_hex
+    FROM events
+), uuids AS (
+    SELECT event_id, ts_ms,
+           lower(substring(time_hex, 1, 8) || '-' || substring(time_hex, 9, 4)
+                 || '-7' || substring(rand_hex, 1, 3)
+                 || '-8' || substring(rand_hex, 4, 3)
+                 || '-' || substring(rand_hex, 7, 6) || '000000') AS u7
+    FROM built
+), parsed AS (
+    SELECT event_id, ts_ms, u7,
+           ('0x' || substring(u7, 1, 8) || substring(u7, 10, 4))::BIGINT AS parsed_ms
+    FROM uuids
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_ids,
+       CAST(SUM(CASE WHEN parsed_ms = ts_ms THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_roundtrip_ok,
+       CAST(COUNT(DISTINCT u7) AS BIGINT) AS n_distinct,
+       CAST(MIN(parsed_ms) AS BIGINT) AS min_ms,
+       CAST(MAX(parsed_ms) AS BIGINT) AS max_ms
+FROM parsed
+""",
+)
+def fn_uuidv7_roundtrip(spark, sf_dir):
+    """UUIDv7 build + timestamp forensics — the sortable-ID scheme
+    replacing v4 in event systems (time-prefixed: index-local inserts,
+    range-prunable scans): assemble spec-shaped v7 strings (48-bit
+    ms timestamp, version/variant nibbles, hash-derived randomness)
+    from event time, then PARSE THE TIMESTAMP BACK out of the string
+    — the debugging move every on-call engineer does with a v7 id —
+    and verify the round trip is lossless for every row, plus
+    uniqueness of the built ids. Pure codegen string/hex algebra; the
+    oracle builds and parses identically, so nibble-placement or
+    endianness drift flips the hash."""
+    e = t(spark, sf_dir, "events")
+    ts_ms = F.expr("unix_micros(cast(ts as timestamp)) div 1000")
+    built = e.select(
+        "event_id",
+        ts_ms.alias("ts_ms"),
+        F.lpad(F.hex(ts_ms), 12, "0").alias("time_hex"),
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 12).alias("rand_hex"),
+    )
+    u7 = F.lower(
+        F.concat(
+            F.substring("time_hex", 1, 8),
+            F.lit("-"),
+            F.substring("time_hex", 9, 4),
+            F.lit("-7"),
+            F.substring("rand_hex", 1, 3),
+            F.lit("-8"),
+            F.substring("rand_hex", 4, 3),
+            F.lit("-"),
+            F.substring("rand_hex", 7, 6),
+            F.lit("000000"),
+        )
+    )
+    uuids = built.select("event_id", "ts_ms", u7.alias("u7"))
+    parsed_ms = F.conv(
+        F.concat(F.substring("u7", 1, 8), F.substring("u7", 10, 4)), 16, 10
+    ).cast("bigint")
+    parsed = uuids.withColumn("parsed_ms", parsed_ms)
+    return parsed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ids"),
+        F.sum((F.col("parsed_ms") == F.col("ts_ms")).cast("long"))
+        .cast("bigint")
+        .alias("n_roundtrip_ok"),
+        F.countDistinct("u7").cast("bigint").alias("n_distinct"),
+        F.min("parsed_ms").cast("bigint").alias("min_ms"),
+        F.max("parsed_ms").cast("bigint").alias("max_ms"),
+    )

@@ -465,6 +465,7 @@ _KEY_RANK: dict[str, int] = {
     "graph_ppr": 9,
     "ml_qini_curve": 9,
     "ts_demand_classification": 9,
+    "fn_uuidv7_roundtrip": 9,
 }
 
 
