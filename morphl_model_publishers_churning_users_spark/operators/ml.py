@@ -2924,3 +2924,96 @@ def ml_qini_curve(spark, sf_dir):
             6,
         ).alias("qini"),
     )
+
+
+@register(
+    "ml_hosmer_lemeshow",
+    oracle="""
+WITH u AS (
+    SELECT user_id, MAX(ts) AS last_ts FROM events GROUP BY user_id
+), m AS (
+    SELECT MAX(last_ts) AS cmax FROM u
+), s AS (
+    SELECT user_id, last_ts, epoch_us(m.cmax) - epoch_us(last_ts) AS rec
+    FROM u, m
+), mx AS (
+    SELECT GREATEST(MAX(rec), 1) AS maxrec FROM s
+), scored AS (
+    SELECT CAST(rec AS DOUBLE) / maxrec AS p,
+           CASE WHEN last_ts < TIMESTAMP '2024-01-29 20:00:00' THEN 1 ELSE 0 END AS y
+    FROM s, mx
+), binned AS (
+    SELECT CAST(LEAST(FLOOR(p * 10), 9) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS obs,
+           CAST(SUM(CAST(FLOOR(p * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE) / 1e6 AS exp_sum
+    FROM scored GROUP BY 1
+), terms AS (
+    SELECT bin, n, obs, exp_sum,
+           CAST(FLOOR((obs - exp_sum) * (obs - exp_sum)
+                      / NULLIF(exp_sum * (1 - exp_sum / n), 0) * 1e9 + 0.5)
+                AS DECIMAL(38,9)) / 1e9 AS hl_term
+    FROM binned
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+       ROUND(CAST(SUM(CAST(hl_term AS DECIMAL(38,9))) AS DOUBLE), 6) AS hl_stat,
+       CAST(COUNT(*) - 2 AS BIGINT) AS df
+FROM terms
+""",
+)
+def ml_hosmer_lemeshow(spark, sf_dir):
+    """Hosmer-Lemeshow goodness-of-calibration statistic — the χ²-
+    distributed number behind the reliability diagram
+    (ml_calibration_bins plots it; this TESTS it): per score decile,
+    (observed − expected)² / (E·(1 − p̄)), summed; compare to
+    χ²(bins−2) and a large value says the probabilities don't mean
+    what they claim even if AUC looks fine — the failure mode
+    ml_isotonic_pav then repairs. Expected counts are 1e-6-quantized
+    decimal sums of the scores; each bin's term is 1e-9-quantized into
+    the decimal total. One user aggregate + one decile aggregate —
+    the same two-pass spine as the calibration family."""
+    e = t(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(F.max("ts").alias("last_ts")).localCheckpoint(
+        eager=True
+    )
+    m = u.agg(F.max("last_ts").alias("cmax"))
+    s = u.crossJoin(F.broadcast(m)).select(
+        "last_ts",
+        F.expr("timestampdiff(MICROSECOND, last_ts, cmax)").alias("rec"),
+    )
+    mx = s.agg(F.greatest(F.max("rec"), F.lit(1)).alias("maxrec"))
+    scored = s.crossJoin(F.broadcast(mx)).select(
+        (F.col("rec").cast("double") / F.col("maxrec")).alias("p"),
+        F.when(
+            F.col("last_ts") < F.to_timestamp(F.lit("2024-01-29 20:00:00")), 1
+        )
+        .otherwise(0)
+        .alias("y"),
+    )
+    binned = scored.groupBy(
+        F.least(F.floor(F.col("p") * 10), F.lit(9)).cast("bigint").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("obs"),
+        (F.sum(q6dec(F.col("p"))).cast("double") / F.lit(1e6)).alias("exp_sum"),
+    )
+    hl_term = (
+        F.floor(
+            (F.col("obs") - F.col("exp_sum"))
+            * (F.col("obs") - F.col("exp_sum"))
+            / F.nullif(
+                F.col("exp_sum") * (1 - F.col("exp_sum") / F.col("n")), F.lit(0.0)
+            )
+            * F.lit(1e9)
+            + F.lit(0.5)
+        ).cast("decimal(38,9)")
+        / F.lit(1e9)
+    )
+    terms = binned.select(hl_term.alias("hl_term"))
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.round(F.sum(F.col("hl_term").cast("decimal(38,9)")).cast("double"), 6).alias(
+            "hl_stat"
+        ),
+        (F.count(F.lit(1)) - 2).cast("bigint").alias("df"),
+    )

@@ -466,6 +466,7 @@ _KEY_RANK: dict[str, int] = {
     "ml_qini_curve": 9,
     "ts_demand_classification": 9,
     "fn_uuidv7_roundtrip": 9,
+    "ml_hosmer_lemeshow": 9,
 }
 
 
