@@ -3017,3 +3017,119 @@ def ml_hosmer_lemeshow(spark, sf_dir):
         ),
         (F.count(F.lit(1)) - 2).cast("bigint").alias("df"),
     )
+
+
+@register(
+    "ml_km_rmst",
+    oracle="""
+WITH horizon AS (SELECT MAX(ts) AS h FROM events),
+users AS (
+    SELECT e.user_id,
+           date_diff('day', CAST(MIN(e.ts) AS DATE), CAST(MAX(e.ts) AS DATE)) AS t_days,
+           CASE WHEN MAX(e.ts) < MAX(horizon.h) - INTERVAL 3 DAY THEN 1 ELSE 0 END
+               AS churned
+    FROM events e, horizon GROUP BY e.user_id
+), daily AS (
+    SELECT t_days AS day_n, SUM(churned) AS d, COUNT(*) - SUM(churned) AS c
+    FROM users GROUP BY t_days
+), tot AS (SELECT SUM(d + c) AS n0 FROM daily),
+risk AS (
+    SELECT day_n, d,
+           n0 - COALESCE(SUM(d + c) OVER (ORDER BY day_n ROWS BETWEEN UNBOUNDED
+                         PRECEDING AND 1 PRECEDING), 0) AS n_risk
+    FROM daily, tot
+), steps AS (
+    SELECT day_n,
+           CAST(FLOOR(ln(1.0 - CAST(d AS DOUBLE) / n_risk) * 1e12 + 0.5)
+                AS DECIMAL(38,12)) / 1e12 AS lterm
+    FROM risk WHERE d < n_risk
+), surv AS (
+    SELECT day_n,
+           exp(CAST(SUM(CAST(lterm AS DECIMAL(38,12))) OVER (ORDER BY day_n
+               ROWS UNBOUNDED PRECEDING) AS DOUBLE)) AS s,
+           COALESCE(LEAD(day_n) OVER (ORDER BY day_n), 30) AS next_day
+    FROM steps
+), segs AS (
+    SELECT CAST(FLOOR(s * LEAST(next_day, 30) * 1e9 + 0.5) AS DECIMAL(38,9)) / 1e9
+               - CAST(FLOOR(s * LEAST(day_n, 30) * 1e9 + 0.5) AS DECIMAL(38,9)) / 1e9
+               AS area
+    FROM surv WHERE day_n < 30
+), first_seg AS (
+    SELECT CAST(MIN(day_n) AS DOUBLE) AS t0 FROM steps
+)
+SELECT ROUND(f.t0 + CAST(SUM(CAST(area AS DECIMAL(38,9))) AS DOUBLE), 6)
+           AS rmst_30d
+FROM segs, first_seg f GROUP BY f.t0
+""",
+)
+def ml_km_rmst(spark, sf_dir):
+    """Restricted mean survival time — the INTEGRAL of the KM curve to
+    τ = 30 days: expected active days within the first month, the
+    churn-economics number (multiply by daily ARPU = expected revenue
+    per signup) that a median survival time can't give when the curve
+    never crosses 0.5. Computed as the exact step-function area:
+    before the first death S = 1 (contributes t₀), then each KM step
+    contributes S(t)·(min(next,τ) − min(t,τ)), every product
+    1e-9-quantized into decimal accumulation on both engines. Same
+    single fact-scale pass as ml_km_greenwood; the integral runs on
+    the ≤30-row step table."""
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    ).localCheckpoint(eager=True)
+    horizon = per_user.agg(F.max("last_ts").alias("h"))
+    users = per_user.crossJoin(F.broadcast(horizon)).select(
+        F.datediff(F.to_date("last_ts"), F.to_date("first_ts")).alias("t_days"),
+        F.when(F.col("last_ts") < F.col("h") - F.expr("INTERVAL 3 DAY"), 1)
+        .otherwise(0)
+        .alias("churned"),
+    )
+    daily = users.groupBy(F.col("t_days").alias("day_n")).agg(
+        F.sum("churned").alias("d"),
+        (F.count(F.lit(1)) - F.sum("churned")).alias("c"),
+    ).localCheckpoint(eager=True)
+    tot = daily.agg(F.sum(F.col("d") + F.col("c")).alias("n0"))
+    wb = Window.orderBy("day_n").rowsBetween(Window.unboundedPreceding, -1)
+    risk = daily.crossJoin(F.broadcast(tot)).select(
+        "day_n",
+        "d",
+        (F.col("n0") - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wb), F.lit(0))).alias(
+            "n_risk"
+        ),
+    )
+    steps = risk.filter(F.col("d") < F.col("n_risk")).select(
+        "day_n",
+        q12dec(F.log(1.0 - F.col("d").cast("double") / F.col("n_risk"))).alias(
+            "lt_q"
+        ),
+    ).select("day_n", (F.col("lt_q") / F.lit(1e12)).alias("lterm"))
+    wc = Window.orderBy("day_n").rowsBetween(Window.unboundedPreceding, 0)
+    surv = steps.select(
+        "day_n",
+        F.exp(
+            F.sum(F.col("lterm").cast("decimal(38,12)")).over(wc).cast("double")
+        ).alias("s"),
+        F.coalesce(F.lead("day_n").over(Window.orderBy("day_n")), F.lit(30)).alias(
+            "next_day"
+        ),
+    ).localCheckpoint(eager=True)  # feeds the area sum AND the t0 scalar
+    q9d = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)).cast("decimal(38,9)") / F.lit(1e9)
+    segs = surv.filter(F.col("day_n") < 30).select(
+        (
+            q9d(F.col("s") * F.least(F.col("next_day"), F.lit(30)))
+            - q9d(F.col("s") * F.least(F.col("day_n"), F.lit(30)))
+        ).alias("area")
+    )
+    t0 = surv.agg(F.min("day_n").cast("double").alias("t0"))
+    return (
+        segs.crossJoin(F.broadcast(t0))
+        .groupBy("t0")
+        .agg(
+            F.round(
+                F.col("t0")
+                + F.sum(F.col("area").cast("decimal(38,9)")).cast("double"),
+                6,
+            ).alias("rmst_30d")
+        )
+        .select("rmst_30d")
+    )

@@ -3514,3 +3514,80 @@ def ts_demand_classification(spark, sf_dir):
             6,
         ).alias("mean_adi"),
     )
+
+
+@register(
+    "ts_extreme_value_gumbel",
+    oracle="""
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n
+    FROM events GROUP BY 1
+), daily_max AS (
+    SELECT CAST(h AS DATE) AS day, CAST(MAX(n) AS DOUBLE) AS mx
+    FROM hourly GROUP BY 1
+), mom AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(SUM(CAST(mx AS DECIMAL(38,6))) AS DOUBLE) AS sm,
+           CAST(SUM(CAST(FLOOR(mx * mx * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE) / 1e6
+               AS smm
+    FROM daily_max
+), fit AS (
+    SELECT k, sm / k AS mean_mx,
+           sqrt((smm - sm * sm / k) / (k - 1)) AS sd_mx
+    FROM mom
+), params AS (
+    SELECT k, mean_mx, sd_mx,
+           sd_mx * 0.7796968012336092 AS beta,
+           mean_mx - sd_mx * 0.7796968012336092 * 0.5772156649015329 AS mu
+    FROM fit
+)
+SELECT CAST(k AS BIGINT) AS n_days,
+       ROUND(mu, 6) AS gumbel_mu,
+       ROUND(beta, 6) AS gumbel_beta,
+       ROUND(mu - beta * ln(-ln(0.99)), 6) AS p99_daily_max,
+       ROUND(mu - beta * ln(-ln(0.999)), 6) AS p999_daily_max
+FROM params
+""",
+)
+def ts_extreme_value_gumbel(spark, sf_dir):
+    """Extreme-value (Gumbel) fit of daily peak load — capacity
+    planning's actual question is never the mean, it's 'what peak
+    should we provision for': block maxima (the busiest hour of each
+    day) follow a Gumbel distribution by the Fisher-Tippett theorem,
+    and the method-of-moments fit (β = σ√6/π, μ = m − γβ with the
+    Euler-Mascheroni constant as a shared literal) yields return
+    levels — the 1-in-100-day and 1-in-1000-day peaks — from 30
+    observations, EXTRAPOLATING beyond the observed maximum, which no
+    empirical quantile can do. Decimal-exact moments; the fit and
+    return-level algebra is identical literal arithmetic on both
+    engines. Two keyed aggregates; the fit runs on one row."""
+    e = t(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    daily_max = hourly.groupBy(F.to_date("h").alias("day")).agg(
+        F.max("n").cast("double").alias("mx")
+    )
+    mom = daily_max.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.col("mx").cast("decimal(38,6)")).cast("double").alias("sm"),
+        (F.sum(q6dec(F.col("mx") * F.col("mx"))).cast("double") / F.lit(1e6)).alias(
+            "smm"
+        ),
+    )
+    mean_mx = F.col("sm") / F.col("k")
+    sd_mx = F.sqrt((F.col("smm") - F.col("sm") * F.col("sm") / F.col("k")) / (F.col("k") - 1))
+    fit = mom.select("k", mean_mx.alias("mean_mx"), sd_mx.alias("sd_mx"))
+    beta = F.col("sd_mx") * F.lit(0.7796968012336092)
+    mu = F.col("mean_mx") - F.col("sd_mx") * F.lit(0.7796968012336092) * F.lit(
+        0.5772156649015329
+    )
+    params = fit.select("k", mu.alias("mu"), beta.alias("beta"))
+    rl = lambda p: F.col("mu") - F.col("beta") * F.log(-F.log(F.lit(p)))
+    return params.select(
+        F.col("k").alias("n_days"),
+        F.round("mu", 6).alias("gumbel_mu"),
+        F.round("beta", 6).alias("gumbel_beta"),
+        F.round(rl(0.99), 6).alias("p99_daily_max"),
+        F.round(rl(0.999), 6).alias("p999_daily_max"),
+    )

@@ -467,6 +467,8 @@ _KEY_RANK: dict[str, int] = {
     "ts_demand_classification": 9,
     "fn_uuidv7_roundtrip": 9,
     "ml_hosmer_lemeshow": 9,
+    "ml_km_rmst": 9,
+    "ts_extreme_value_gumbel": 9,
 }
 
 
