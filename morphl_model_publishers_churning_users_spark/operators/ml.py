@@ -3133,3 +3133,160 @@ def ml_km_rmst(spark, sf_dir):
         )
         .select("rmst_30d")
     )
+
+
+def _gbm_oracle(rounds: int = 4) -> str:
+    """Unrolled depth-1 gradient-boosting oracle: each round scores 9
+    decile-threshold candidates on BOTH features, picks the best by
+    (quantized SSE, feature, threshold), and adds lr × stump to the
+    prediction. Every mean and SSE rides quantize-into-decimal; the
+    argmin tie-break is total, so both engines grow identical
+    ensembles."""
+    head = f"""{_REC2_SQL},
+feats AS MATERIALIZED (
+    SELECT CAST(rec AS DOUBLE) / mx.maxrec AS x1,
+           CAST(ne AS DOUBLE) / mx.maxne AS x2,
+           CAST(churned AS DOUBLE) AS y
+    FROM s2, (SELECT GREATEST(MAX(rec), 1) AS maxrec, GREATEST(MAX(ne), 1) AS maxne
+              FROM s2) mx
+), cand AS MATERIALIZED (
+    SELECT f.f AS feat, CAST(t.t AS DOUBLE) / 10 AS thr
+    FROM (SELECT unnest([1, 2]) AS f) f, (SELECT unnest(range(1, 10)) AS t) t
+),
+p0 AS MATERIALIZED (SELECT x1, x2, y, 0.5 AS pred FROM feats)"""
+    ctes = [head]
+    prev = "p0"
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""sse{i} AS MATERIALIZED (
+    SELECT c.feat, c.thr,
+           CAST(SUM(CASE WHEN (CASE WHEN c.feat = 1 THEN p.x1 ELSE p.x2 END) < c.thr
+                         THEN CAST(FLOOR((p.y - p.pred) * 1e12 + 0.5) AS DECIMAL(38,12))
+                         ELSE CAST(0 AS DECIMAL(38,12)) END) AS DOUBLE) / 1e12 AS sl,
+           SUM(CASE WHEN (CASE WHEN c.feat = 1 THEN p.x1 ELSE p.x2 END) < c.thr
+                    THEN 1 ELSE 0 END) AS nl,
+           CAST(SUM(CASE WHEN (CASE WHEN c.feat = 1 THEN p.x1 ELSE p.x2 END) >= c.thr
+                         THEN CAST(FLOOR((p.y - p.pred) * 1e12 + 0.5) AS DECIMAL(38,12))
+                         ELSE CAST(0 AS DECIMAL(38,12)) END) AS DOUBLE) / 1e12 AS sr,
+           SUM(CASE WHEN (CASE WHEN c.feat = 1 THEN p.x1 ELSE p.x2 END) >= c.thr
+                    THEN 1 ELSE 0 END) AS nr
+    FROM {prev} p, cand c GROUP BY c.feat, c.thr
+), best{i} AS MATERIALIZED (
+    SELECT feat, thr,
+           sl / NULLIF(nl, 0) AS vl, sr / NULLIF(nr, 0) AS vr
+    FROM sse{i}
+    ORDER BY FLOOR((-(sl * sl / NULLIF(nl, 0)) - (sr * sr / NULLIF(nr, 0))) * 1e9 + 0.5),
+             feat, thr
+    LIMIT 1
+), p{i} AS MATERIALIZED (
+    SELECT p.x1, p.x2, p.y,
+           FLOOR((p.pred + 0.5 * COALESCE(
+               CASE WHEN (CASE WHEN b.feat = 1 THEN p.x1 ELSE p.x2 END) < b.thr
+                    THEN b.vl ELSE b.vr END, 0.0)) * 1e9 + 0.5) / 1e9 AS pred
+    FROM {prev} p, best{i} b
+)"""
+        )
+        prev = f"p{i}"
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_examples,
+       ROUND(CAST(SUM(CAST(FLOOR((y - pred) * (y - pred) * 1e9 + 0.5)
+                           AS DECIMAL(38,9))) AS DOUBLE) / 1e9 / COUNT(*), 6)
+           AS mse,
+       ROUND(CAST(SUM(CAST(FLOOR(pred * 1e9 + 0.5) AS DECIMAL(38,9))) AS DOUBLE)
+             / 1e9 / COUNT(*), 6) AS mean_pred
+FROM {prev}
+"""
+
+
+@register("ml_gbm_stumps", oracle=_gbm_oracle())
+def ml_gbm_stumps(spark, sf_dir):
+    """Gradient boosting, trained BY THE ENGINE and oracle-exact — 4
+    rounds of depth-1 regression stumps (lr = 0.5) on the churn
+    feature pair: each round scores 18 candidate splits (9 decile
+    thresholds × 2 features) with ONE aggregate over the example
+    table (the split search is a groupBy, not a loop over data),
+    picks the variance-gain argmin under a TOTAL order (quantized
+    SSE, feature, threshold), and updates predictions with the leaf
+    means. This is the statistical-query formulation of boosting —
+    XGBoost's exact-greedy mode is this same per-candidate aggregate
+    with more candidates — and like ml_logreg_gd the ENSEMBLE is
+    bit-identical cross-engine: residual sums 1e-12-quantized, leaf
+    means exact ratios, predictions re-quantized 1e-9 per round.
+    Output: train MSE + mean prediction after 4 rounds."""
+    s = _rec_scored2(spark, sf_dir)
+    mx = s.agg(
+        F.greatest(F.max("rec"), F.lit(1)).alias("maxrec"),
+        F.greatest(F.max("ne"), F.lit(1)).alias("maxne"),
+    )
+    feats = s.crossJoin(F.broadcast(mx)).select(
+        (F.col("rec").cast("double") / F.col("maxrec")).alias("x1"),
+        (F.col("ne").cast("double") / F.col("maxne")).alias("x2"),
+        F.col("churned").cast("double").alias("y"),
+        F.lit(0.5).alias("pred"),
+    ).localCheckpoint(eager=True)
+    cand = [(f, t / 10.0) for f in (1, 2) for t in range(1, 10)]
+    q12i = lambda c: F.floor(c * F.lit(1e12) + F.lit(0.5)).cast("decimal(38,12)")
+    p = feats
+    for _ in range(4):
+        xcol = lambda f: F.col("x1") if f == 1 else F.col("x2")
+        aggs = []
+        for f, thr in cand:
+            left = xcol(f) < thr
+            aggs += [
+                (F.sum(F.when(left, q12i(F.col("y") - F.col("pred"))).otherwise(
+                    F.lit(0).cast("decimal(38,12)"))).cast("double") / F.lit(1e12)
+                 ).alias(f"sl_{f}_{int(thr*10)}"),
+                F.sum(left.cast("long")).alias(f"nl_{f}_{int(thr*10)}"),
+                (F.sum(F.when(~left, q12i(F.col("y") - F.col("pred"))).otherwise(
+                    F.lit(0).cast("decimal(38,12)"))).cast("double") / F.lit(1e12)
+                 ).alias(f"sr_{f}_{int(thr*10)}"),
+                F.sum((~left).cast("long")).alias(f"nr_{f}_{int(thr*10)}"),
+            ]
+        row = p.agg(*aggs).collect()[0]
+        # argmin over 18 candidates — identical quantized score + total
+        # tie-break as the oracle's ORDER BY
+        import math
+
+        best = None
+        for f, thr in cand:
+            k = f"{f}_{int(thr*10)}"
+            sl, nl, sr, nr = row[f"sl_{k}"], row[f"nl_{k}"], row[f"sr_{k}"], row[f"nr_{k}"]
+            score = math.floor(
+                (-(sl * sl / nl if nl else 0.0) - (sr * sr / nr if nr else 0.0)) * 1e9
+                + 0.5
+            )
+            key = (score, f, thr)
+            if best is None or key < best[0]:
+                vl = sl / nl if nl else None
+                vr = sr / nr if nr else None
+                best = (key, f, thr, vl, vr)
+        _, f, thr, vl, vr = best
+        stump = F.when(
+            xcol(f) < thr, F.lit(vl if vl is not None else 0.0)
+        ).otherwise(F.lit(vr if vr is not None else 0.0))
+        p = p.select(
+            "x1",
+            "x2",
+            "y",
+            (
+                F.floor((F.col("pred") + 0.5 * stump) * F.lit(1e9) + F.lit(0.5))
+                / F.lit(1e9)
+            ).alias("pred"),
+        ).localCheckpoint(eager=True)
+    q9d = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)).cast("decimal(38,9)")
+    return p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_examples"),
+        F.round(
+            F.sum(q9d((F.col("y") - F.col("pred")) * (F.col("y") - F.col("pred"))))
+            .cast("double")
+            / F.lit(1e9)
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mse"),
+        F.round(
+            F.sum(q9d(F.col("pred"))).cast("double") / F.lit(1e9) / F.count(F.lit(1)),
+            6,
+        ).alias("mean_pred"),
+    )

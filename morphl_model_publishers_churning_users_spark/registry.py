@@ -469,6 +469,7 @@ _KEY_RANK: dict[str, int] = {
     "ml_hosmer_lemeshow": 9,
     "ml_km_rmst": 9,
     "ts_extreme_value_gumbel": 9,
+    "ml_gbm_stumps": 9,
 }
 
 
