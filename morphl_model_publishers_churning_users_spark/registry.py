@@ -117,8 +117,8 @@ def register(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Quer
 # sf0.001/0.01, and every key in the post-fold waves also at sf0.1;
 # the full registry ran hash-green in the bare-session simulator
 # repeatedly during the round (329/329, 357/357, 380/380, 389/389,
-# 400/400, and the definitive end-of-round run: 406/406 green in
-# 331 s); the final full pytest suite finished 593 passed / 1 skipped;
+# 400/400, 406/406, and the definitive end-of-round run: 415/415 green
+# in 268 s); the final full pytest suite finished 602 passed / 1 skipped;
 # the once-per-round 10x parity sweep (SPARK_GRAFT_TEST_SF_DIR=sf0.1
 # test_oracle.py) finished 402 passed / 1 skipped in 18m39s, and every
 # key added after that sweep was individually driver-compared at sf0.1
