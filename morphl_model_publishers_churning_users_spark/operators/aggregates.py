@@ -2179,3 +2179,79 @@ def agg_skyline_2d(spark, sf_dir):
         ranked.filter(F.col("best").isNull() | (F.col("spend") > F.col("best")))
         .select("user_id", "activity", F.round("spend", 6).alias("spend"))
     )
+
+
+@register(
+    "agg_mann_whitney",
+    oracle="""
+WITH grp AS (
+    SELECT value AS v,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a
+    FROM events WHERE event_type IN ('purchase', 'click')
+), per_v AS (
+    SELECT v, SUM(is_a) AS na, SUM(1 - is_a) AS nb FROM grp GROUP BY v
+), ranked AS (
+    SELECT v, na, nb,
+           COALESCE(SUM(na + nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) AS cum_before
+    FROM per_v
+), sums AS (
+    SELECT CAST(SUM(na) AS DOUBLE) AS m, CAST(SUM(nb) AS DOUBLE) AS n,
+           SUM(na * (cum_before + (na + nb + 1.0) / 2.0)) AS rank_sum_a
+    FROM ranked
+)
+SELECT CAST(m AS BIGINT) AS n_a, CAST(n AS BIGINT) AS n_b,
+       ROUND(rank_sum_a - m * (m + 1.0) / 2.0, 6) AS u_stat,
+       ROUND((rank_sum_a - m * (m + 1.0) / 2.0 - m * n / 2.0)
+             / sqrt(m * n * (m + n + 1.0) / 12.0), 6) AS z_approx
+FROM sums
+""",
+)
+def agg_mann_whitney(spark, sf_dir):
+    """Mann-Whitney U — the nonparametric sibling of agg_welch_ttest
+    for the same purchase-vs-click comparison: rank-based, so heavy
+    tails and outliers (exactly what event values have) can't distort
+    it the way they inflate a t-test's variance. Tie-averaged ranks
+    come from ONE cumulative window over the value histogram (the
+    O(distinct values) trick shared with ml_auc_exact — U and AUC are
+    the same statistic in different clothes: AUC = U/mn). The normal
+    z-approximation ships alongside (tie-correction omitted; with
+    continuous-ish values it is negligible and its absence is
+    documented rather than silently pretended). Exact .5-rational
+    rank arithmetic both engines."""
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    grp = e.select(
+        F.col("value").alias("v"),
+        (F.col("event_type") == "purchase").cast("long").alias("is_a"),
+    )
+    per_v = grp.groupBy("v").agg(
+        F.sum("is_a").alias("na"), F.sum(1 - F.col("is_a")).alias("nb")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.select(
+        "na",
+        "nb",
+        F.coalesce(F.sum(F.col("na") + F.col("nb")).over(w), F.lit(0)).alias(
+            "cum_before"
+        ),
+    )
+    sums = ranked.agg(
+        F.sum("na").cast("double").alias("m"),
+        F.sum("nb").cast("double").alias("n"),
+        F.sum(
+            F.col("na") * (F.col("cum_before") + (F.col("na") + F.col("nb") + 1.0) / 2.0)
+        ).alias("rank_sum_a"),
+    )
+    u = F.col("rank_sum_a") - F.col("m") * (F.col("m") + 1.0) / 2.0
+    return sums.select(
+        F.col("m").cast("bigint").alias("n_a"),
+        F.col("n").cast("bigint").alias("n_b"),
+        F.round(u, 6).alias("u_stat"),
+        F.round(
+            (u - F.col("m") * F.col("n") / 2.0)
+            / F.sqrt(F.col("m") * F.col("n") * (F.col("m") + F.col("n") + 1.0) / 12.0),
+            6,
+        ).alias("z_approx"),
+    )

@@ -707,3 +707,49 @@ def scan_orphan_files(spark, sf_dir):
             len(orphans) == 2 and all("zombie" in p for p in orphans)
         ).alias("orphans_found"),
     )
+
+
+@register(
+    "sink_compression_codecs",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       TRUE AS zstd_beats_uncompressed,
+       TRUE AS snappy_beats_uncompressed,
+       TRUE AS roundtrip_ok
+FROM orders GROUP BY 1
+""",
+)
+def sink_compression_codecs(spark, sf_dir):
+    """Compression-codec bake-off — the storage decision every lake
+    makes once and bills for forever: the same orders slice written
+    as zstd, snappy, and uncompressed parquet, with the MEASURED byte
+    totals driving the flags (both codecs must beat uncompressed —
+    a codec path that silently falls back to plain flips the hash)
+    and the zstd read-back driving the content contract (per-priority
+    counts hash-match the source, so the round trip is lossless).
+    At 100 TB the same probe on a representative partition is how the
+    zstd-level/snappy tradeoff should be decided — measured on YOUR
+    data, not a blog post's."""
+    import glob
+    import os
+
+    sizes = {}
+    outs = {}
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+    for codec in ("zstd", "snappy", "uncompressed"):
+        out = scratch_dir(f"codec_{codec}")
+        o.write.mode("overwrite").option("compression", codec).parquet(out)
+        sizes[codec] = sum(
+            os.path.getsize(p) for p in glob.glob(os.path.join(out, "part-*.parquet"))
+        )
+        outs[codec] = out
+    back = spark.read.parquet(outs["zstd"])
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.lit(sizes["zstd"] < sizes["uncompressed"]).alias("zstd_beats_uncompressed"),
+        F.lit(sizes["snappy"] < sizes["uncompressed"]).alias(
+            "snappy_beats_uncompressed"
+        ),
+        F.lit(True).alias("roundtrip_ok"),
+    )

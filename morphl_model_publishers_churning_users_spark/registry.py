@@ -470,6 +470,8 @@ _KEY_RANK: dict[str, int] = {
     "ml_km_rmst": 9,
     "ts_extreme_value_gumbel": 9,
     "ml_gbm_stumps": 9,
+    "agg_mann_whitney": 9,
+    "sink_compression_codecs": 9,
 }
 
 
