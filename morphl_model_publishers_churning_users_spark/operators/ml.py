@@ -2495,11 +2495,11 @@ def ml_cost_threshold(spark, sf_dir):
     )
 
 
-def _logreg_oracle(iters: int = 10) -> str:
-    """Unrolled gradient-descent logistic regression oracle. Features
-    are exact int64 ratios; every per-example gradient contribution is
-    1e-12-quantized into DECIMAL sums; weights update with identical
-    IEEE arithmetic on both engines."""
+def _logreg_ctes(iters: int = 10) -> tuple[str, str]:
+    """Reusable unrolled GD-logistic-regression CTE chain (see
+    _logreg_oracle). Returns (joined_ctes, final_weight_cte_name) so
+    downstream oracles (ml_shap_linear) can share the identical
+    training trajectory."""
     ctes = [
         f"""{_REC2_SQL},
 feats AS MATERIALIZED (
@@ -2532,7 +2532,15 @@ w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)""",
 )"""
         )
         prev = f"w{i}"
-    joined = ",\n".join(ctes)
+    return ",\n".join(ctes), prev
+
+
+def _logreg_oracle(iters: int = 10) -> str:
+    """Unrolled gradient-descent logistic regression oracle. Features
+    are exact int64 ratios; every per-example gradient contribution is
+    1e-12-quantized into DECIMAL sums; weights update with identical
+    IEEE arithmetic on both engines."""
+    joined, prev = _logreg_ctes(iters)
     return f"""
 WITH {joined}
 SELECT ROUND(w0, 6) AS w_bias, ROUND(w1, 6) AS w_recency, ROUND(w2, 6) AS w_events
@@ -3289,4 +3297,97 @@ def ml_gbm_stumps(spark, sf_dir):
             F.sum(q9d(F.col("pred"))).cast("double") / F.lit(1e9) / F.count(F.lit(1)),
             6,
         ).alias("mean_pred"),
+    )
+
+
+def _shap_linear_oracle() -> str:
+    joined, prev = _logreg_ctes(10)
+    return f"""
+WITH {joined},
+centers AS (
+    SELECT CAST(SUM(CAST(FLOOR(x1 * 1e12 + 0.5) AS DECIMAL(38,12))) AS DOUBLE)
+               / 1e12 / COUNT(*) AS mx1,
+           CAST(SUM(CAST(FLOOR(x2 * 1e12 + 0.5) AS DECIMAL(38,12))) AS DOUBLE)
+               / 1e12 / COUNT(*) AS mx2
+    FROM feats
+), phis AS (
+    SELECT w.w1 * (f.x1 - c.mx1) AS phi1,
+           w.w2 * (f.x2 - c.mx2) AS phi2
+    FROM feats f, {prev} w, centers c
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_examples,
+       ROUND(CAST(SUM(CAST(FLOOR(ABS(phi1) * 1e9 + 0.5) AS DECIMAL(38,9))) AS DOUBLE)
+             / 1e9 / COUNT(*), 6) AS mean_abs_shap_recency,
+       ROUND(CAST(SUM(CAST(FLOOR(ABS(phi2) * 1e9 + 0.5) AS DECIMAL(38,9))) AS DOUBLE)
+             / 1e9 / COUNT(*), 6) AS mean_abs_shap_events,
+       ROUND(CAST(SUM(CAST(FLOOR((phi1 + phi2) * 1e9 + 0.5) AS DECIMAL(38,9)))
+                  AS DOUBLE) / 1e9 / COUNT(*), 6) AS mean_total_attribution
+FROM phis
+"""
+
+
+@register("ml_shap_linear", oracle=_shap_linear_oracle())
+def ml_shap_linear(spark, sf_dir):
+    """Exact Shapley attributions for the engine-trained model — for a
+    linear score the Shapley value has the closed form φᵢ = wᵢ·(xᵢ −
+    x̄ᵢ) (no sampling, no surrogate: the interventional SHAP linear
+    case), so explainability here is EXACT and oracle-verified: the
+    model is the same 10-round GD trajectory as ml_logreg_gd (weights
+    bit-identical cross-engine), and the global importance readout is
+    mean |φ| per feature plus the mean total attribution (which must
+    be ~0 by the efficiency axiom — the oracle hash checks it). One
+    extra pass over the feature table after training: attribution at
+    100 TB costs one aggregate, not a SHAP-sampler fleet."""
+    s = _rec_scored2(spark, sf_dir)
+    mx = s.agg(
+        F.greatest(F.max("rec"), F.lit(1)).alias("maxrec"),
+        F.greatest(F.max("ne"), F.lit(1)).alias("maxne"),
+    )
+    feats = s.crossJoin(F.broadcast(mx)).select(
+        (F.col("rec").cast("double") / F.col("maxrec")).alias("x1"),
+        (F.col("ne").cast("double") / F.col("maxne")).alias("x2"),
+        F.col("churned").cast("double").alias("y"),
+    ).localCheckpoint(eager=True)
+    n_ex = feats.count()
+    q12i = lambda c: F.floor(c * F.lit(1e12) + F.lit(0.5)).cast("decimal(38,12)")
+    d12 = lambda c: (F.sum(q12i(c)).cast("double") / F.lit(1e12))
+    w = (0.0, 0.0, 0.0)
+    for _ in range(10):
+        z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+        resid = 1.0 / (1.0 + F.exp(-z)) - F.col("y")
+        g = feats.agg(
+            d12(resid).alias("g0"),
+            d12(resid * F.col("x1")).alias("g1"),
+            d12(resid * F.col("x2")).alias("g2"),
+        ).collect()[0]
+        w = (
+            w[0] - 0.5 * g["g0"] / n_ex,
+            w[1] - 0.5 * g["g1"] / n_ex,
+            w[2] - 0.5 * g["g2"] / n_ex,
+        )
+    centers = feats.agg(
+        (d12(F.col("x1")) / F.count(F.lit(1))).alias("mx1"),
+        (d12(F.col("x2")) / F.count(F.lit(1))).alias("mx2"),
+    )
+    q9i = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)).cast("decimal(38,9)")
+    phis = feats.crossJoin(F.broadcast(centers)).select(
+        (F.lit(w[1]) * (F.col("x1") - F.col("mx1"))).alias("phi1"),
+        (F.lit(w[2]) * (F.col("x2") - F.col("mx2"))).alias("phi2"),
+    )
+    return phis.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_examples"),
+        F.round(
+            F.sum(q9i(F.abs(F.col("phi1")))).cast("double") / F.lit(1e9) / F.count(F.lit(1)),
+            6,
+        ).alias("mean_abs_shap_recency"),
+        F.round(
+            F.sum(q9i(F.abs(F.col("phi2")))).cast("double") / F.lit(1e9) / F.count(F.lit(1)),
+            6,
+        ).alias("mean_abs_shap_events"),
+        F.round(
+            F.sum(q9i(F.col("phi1") + F.col("phi2"))).cast("double")
+            / F.lit(1e9)
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_total_attribution"),
     )

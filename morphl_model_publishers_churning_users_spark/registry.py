@@ -472,6 +472,7 @@ _KEY_RANK: dict[str, int] = {
     "ml_gbm_stumps": 9,
     "agg_mann_whitney": 9,
     "sink_compression_codecs": 9,
+    "ml_shap_linear": 9,
 }
 
 
