@@ -4611,3 +4611,99 @@ def llm_lsh_bucket_skew(spark, sf_dir):
             F.sum(F.col("bsz") * F.col("bsz")).cast("double") / F.sum("bsz"), 6
         ).alias("mean_probe_cost"),
     )
+
+
+@register(
+    "llm_embed_norm_audit",
+    oracle="""
+WITH norms AS (
+    SELECT vec_id, label,
+           sqrt(list_aggregate(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+    FROM embeddings
+), q AS (
+    SELECT quantile_cont(nrm, 0.25) AS q1, quantile_cont(nrm, 0.75) AS q3 FROM norms
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(CASE WHEN nrm < q.q1 - 1.5 * (q.q3 - q.q1)
+                       OR nrm > q.q3 + 1.5 * (q.q3 - q.q1) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_norm_outliers,
+       CAST(SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_vectors,
+       ROUND(MIN(nrm), 6) AS min_norm, ROUND(MAX(nrm), 6) AS max_norm
+FROM norms, q
+""",
+)
+def llm_embed_norm_audit(spark, sf_dir):
+    """Embedding-table QC — the check that runs BEFORE any similarity
+    op trusts the vectors: L2-norm distribution with Tukey-fence
+    outliers (a truncated/NaN-poisoned/wrong-scale batch from the
+    embedding service shows up as a norm cluster far from the body)
+    and an explicit zero-vector count (the classic failed-inference
+    sentinel that silently matches NOTHING in cosine space). Norms in
+    codegen (transform-sum, no UDF), exact quantile fences, one pass
+    + one broadcast fence pair — the same dq_outlier_iqr mechanics on
+    the array column."""
+    e = t(spark, sf_dir, "embeddings")
+    norms = e.select(
+        F.expr(_NORM.format(c="embedding")).alias("nrm")
+    )
+    q = norms.agg(
+        F.expr("percentile(nrm, 0.25D)").alias("q1"),
+        F.expr("percentile(nrm, 0.75D)").alias("q3"),
+    )
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    return norms.crossJoin(F.broadcast(q)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.sum(((F.col("nrm") < lo) | (F.col("nrm") > hi)).cast("long"))
+        .cast("bigint")
+        .alias("n_norm_outliers"),
+        F.sum((F.col("nrm") == 0).cast("long")).cast("bigint").alias("n_zero_vectors"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+    )
+
+
+@register(
+    "llm_dedup_impact",
+    oracle="""
+WITH hashed AS (
+    SELECT doc_id, n_chars, md5(lower(trim(text))) AS chash,
+           ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text)))
+                              ORDER BY doc_id) AS rn
+    FROM documents
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS docs_before,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS docs_after,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_before,
+       CAST(SUM(CASE WHEN rn = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_after,
+       ROUND(1.0 - CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*), 6) AS doc_reduction
+FROM hashed
+""",
+)
+def llm_dedup_impact(spark, sf_dir):
+    """Dedup impact statement — the before/after ledger a dataset
+    release publishes next to its card (llm_corpus_card): documents
+    and characters before vs after exact dedup (keep-first per content
+    hash) and the reduction rate, i.e. how much compute the dedup pass
+    just saved downstream. Computed WITHOUT materializing the deduped
+    corpus: one window over the content-hash partitioning marks
+    keepers, one aggregate reads off both sides of the ledger — at
+    100 TB this is the same single shuffle the dedup itself pays, so
+    the report is free alongside it."""
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(F.lower(F.trim("text")))).orderBy("doc_id")
+    hashed = d.select("doc_id", "n_chars").withColumn("rn", F.row_number().over(w))
+    keep = (F.col("rn") == 1).cast("long")
+    return hashed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs_before"),
+        F.sum(keep).cast("bigint").alias("docs_after"),
+        F.sum("n_chars").cast("bigint").alias("chars_before"),
+        F.sum(F.when(F.col("rn") == 1, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("chars_after"),
+        F.round(
+            1.0 - F.sum(keep).cast("double") / F.count(F.lit(1)), 6
+        ).alias("doc_reduction"),
+    )

@@ -473,6 +473,8 @@ _KEY_RANK: dict[str, int] = {
     "agg_mann_whitney": 9,
     "sink_compression_codecs": 9,
     "ml_shap_linear": 9,
+    "llm_embed_norm_audit": 9,
+    "llm_dedup_impact": 9,
 }
 
 
