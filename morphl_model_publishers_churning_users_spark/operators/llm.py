@@ -4693,8 +4693,10 @@ def llm_dedup_impact(spark, sf_dir):
     100 TB this is the same single shuffle the dedup itself pays, so
     the report is free alongside it."""
     d = t(spark, sf_dir, "documents")
-    w = Window.partitionBy(F.md5(F.lower(F.trim("text")))).orderBy("doc_id")
-    hashed = d.select("doc_id", "n_chars").withColumn("rn", F.row_number().over(w))
+    w = Window.partitionBy("chash").orderBy("doc_id")
+    hashed = d.select(
+        "doc_id", "n_chars", F.md5(F.lower(F.trim("text"))).alias("chash")
+    ).withColumn("rn", F.row_number().over(w))
     keep = (F.col("rn") == 1).cast("long")
     return hashed.agg(
         F.count(F.lit(1)).cast("bigint").alias("docs_before"),
