@@ -14,7 +14,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Window
 
 from ..registry import register
-from ._shared import DSUM, dsum, q6dec, q12dec, t
+from ._shared import DSUM, ckpt, dsum, q6dec, q12dec, t
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
@@ -2254,4 +2254,84 @@ def agg_mann_whitney(spark, sf_dir):
             / F.sqrt(F.col("m") * F.col("n") * (F.col("m") + F.col("n") + 1.0) / 12.0),
             6,
         ).alias("z_approx"),
+    )
+
+
+@register(
+    "agg_heavy_hitters",
+    oracle="""
+WITH tok AS (
+    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+    FROM documents WHERE length(trim(text)) > 0
+), tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tok)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS freq,
+       ROUND(COUNT(*) / MAX(tot.n), 6) AS share
+FROM tok, tot
+GROUP BY term HAVING COUNT(*) > (SELECT n FROM tot) / 50.0
+""",
+)
+def agg_heavy_hitters(spark, sf_dir, k: int = 50):
+    """Misra–Gries heavy hitters — every token with frequency > n/k
+    (k=50 ⇒ >2% of the corpus), found in ONE pass + one bounded
+    rescore instead of a full-vocabulary groupBy. Stage 1 runs the
+    k-counter Misra–Gries summary per partition inside mapInPandas
+    (O(k) memory per task regardless of vocabulary size); the union
+    of per-partition candidate sets is a GUARANTEED superset of the
+    global heavy hitters — if Σf_i > Σn_i/k then f_p > n_p/k in at
+    least one partition (pigeonhole), and local MG surfaces every
+    such item. Stage 2 rescores ONLY the candidates exactly (a
+    broadcast semi-join, ≤ k·partitions keys) and applies the global
+    n/k cut, so the output is EXACT — the sketch bounds the search,
+    never the answer. At 100 TB this replaces a trillion-key token
+    groupBy with an O(k)-state scan + a few-hundred-key rescore; the
+    same two-phase shape is how every production top-k sketch
+    (SpaceSaving/CMS+heap) deploys on Spark."""
+    import pandas as pd
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select(F.split(F.lower(F.trim("text")), r"\s+").alias("w"))
+    )
+    toks = docs.select(F.explode("w").alias("term"))
+
+    def mg_partition(batches):
+        counters: dict[str, int] = {}
+        n_part = 0
+        for pdf in batches:
+            n_part += len(pdf)
+            for term, cnt in pdf["term"].value_counts().items():
+                if term in counters:
+                    counters[term] += int(cnt)
+                elif len(counters) < k:
+                    counters[term] = int(cnt)
+                else:
+                    # decrement-all by the smallest surviving counter —
+                    # batch form of the one-at-a-time MG decrement
+                    dec = min(min(counters.values()), int(cnt))
+                    counters = {
+                        t_: c - dec for t_, c in counters.items() if c - dec > 0
+                    }
+                    if int(cnt) - dec > 0:
+                        counters[term] = int(cnt) - dec
+        # sentinel row carries the partition's token count — the global
+        # total rides the sketch pass instead of a third corpus scan
+        yield pd.DataFrame(
+            {"term": list(counters.keys()) + [None], "n_part": [0] * len(counters) + [n_part]}
+        )
+
+    # the sketch output is ≤ (k+1)·partitions rows and feeds two
+    # consumers — pin it so the corpus-wide MG pass runs exactly once
+    sketch = ckpt(toks.mapInPandas(mg_partition, "term string, n_part long"))
+    candidates = sketch.filter(F.col("term").isNotNull()).select("term").distinct()
+    tot = sketch.agg(F.sum("n_part").cast("double").alias("n"))
+    exact = (
+        toks.join(F.broadcast(candidates), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(tot))
+        .filter(F.col("freq") > F.col("n") / k)
+        .select("term", "freq", F.round(F.col("freq") / F.col("n"), 6).alias("share"))
     )

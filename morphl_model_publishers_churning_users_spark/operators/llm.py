@@ -4709,3 +4709,209 @@ def llm_dedup_impact(spark, sf_dir):
             1.0 - F.sum(keep).cast("double") / F.count(F.lit(1)), 6
         ).alias("doc_reduction"),
     )
+
+
+@register(
+    "llm_retrieval_eval",
+    oracle=f"""
+WITH sig AS (
+    SELECT vec_id, embedding, {_SIGN_BUCKET_DUCK} AS bucket FROM embeddings
+), q AS (SELECT * FROM sig WHERE vec_id < 5),
+exact_pairs AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           SUM(CAST(q.embedding[g.i] AS DOUBLE) * CAST(c.embedding[g.i] AS DOUBLE))
+           / (SQRT(SUM(CAST(q.embedding[g.i] AS DOUBLE) * CAST(q.embedding[g.i] AS DOUBLE)))
+              * SQRT(SUM(CAST(c.embedding[g.i] AS DOUBLE) * CAST(c.embedding[g.i] AS DOUBLE)))) AS cs
+    FROM q, sig c, generate_series(1, 64) g(i)
+    WHERE c.vec_id <> q.vec_id GROUP BY 1, 2
+), exact_top AS (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY FLOOR(cs * 1000000 + 0.5) DESC, neighbor_id) AS rnk
+    FROM exact_pairs QUALIFY rnk <= 10
+), rel AS (SELECT query_id, neighbor_id, 11 - rnk AS rel, rnk FROM exact_top),
+ann_pairs AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           SUM(CAST(q.embedding[g.i] AS DOUBLE) * CAST(c.embedding[g.i] AS DOUBLE))
+           / (SQRT(SUM(CAST(q.embedding[g.i] AS DOUBLE) * CAST(q.embedding[g.i] AS DOUBLE)))
+              * SQRT(SUM(CAST(c.embedding[g.i] AS DOUBLE) * CAST(c.embedding[g.i] AS DOUBLE)))) AS cs
+    FROM q JOIN sig c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id,
+         generate_series(1, 64) g(i)
+    GROUP BY 1, 2
+), ann_top AS (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY FLOOR(cs * 1000000 + 0.5) DESC, neighbor_id) AS rnk
+    FROM ann_pairs QUALIFY rnk <= 10
+), scored AS (
+    SELECT a.query_id, a.rnk, COALESCE(r.rel, 0) AS rel
+    FROM ann_top a LEFT JOIN rel r
+      ON r.query_id = a.query_id AND r.neighbor_id = a.neighbor_id
+), idcg AS (
+    SELECT query_id, SUM(rel / log2(rnk + 1.0)) AS ideal FROM rel GROUP BY 1
+)
+SELECT s.query_id,
+       ROUND(SUM(CASE WHEN s.rel > 0 THEN 1 ELSE 0 END) / 10.0, 6) AS recall_at_10,
+       ROUND(COALESCE(MAX(CASE WHEN s.rel > 0 THEN 1.0 / s.rnk END), 0), 6) AS mrr,
+       ROUND(SUM(s.rel / log2(s.rnk + 1.0)) / MAX(i.ideal), 6) AS ndcg_at_10
+FROM scored s JOIN idcg i ON i.query_id = s.query_id
+GROUP BY 1
+""",
+)
+def llm_retrieval_eval(spark, sf_dir):
+    """Retrieval-quality scorecard for the ANN scale path — recall@10,
+    MRR, and graded nDCG@10 of the sign-bucket LSH retriever measured
+    AGAINST the exact cosine ranking as ground truth (relevance =
+    11−exact_rank for the exact top-10, 0 otherwise). This is the eval
+    every 100 TB vector pipeline must publish before swapping exact
+    search for buckets: dedup/simsearch ops tell you the ANN is CHEAP
+    (llm_lsh_tuning_curve prices the candidate set), this op tells you
+    what the cheapness COSTS in ranking quality, per query. Plan
+    shape: the 5-query side broadcasts into both the exact scan and
+    the bucket join; cosines are zip_with/aggregate codegen; both
+    rankings quantize the score at 1e-6 BEFORE ranking so cross-engine
+    rank ties are impossible by construction."""
+    e = t(spark, sf_dir, "embeddings")
+    sig = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(_SIGN_BUCKET_SPARK).alias("bucket"),
+        F.expr(_NORM.format(c="embedding")).alias("nrm"),
+    )
+    q = sig.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("bucket").alias("qbucket"),
+        F.col("nrm").alias("qnrm"),
+    )
+    c = sig.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        "bucket",
+        F.col("nrm").alias("cnrm"),
+    )
+    qcs = F.floor(
+        F.expr(_DOT) / (F.col("qnrm") * F.col("cnrm")) * F.lit(1e6) + F.lit(0.5)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qcs"), F.asc("neighbor_id"))
+
+    exact_top = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", qcs.alias("qcs"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+    )
+    # the exact ground truth feeds the scored join AND the IDCG agg —
+    # pin its 50 rows so the full exact-cosine scan runs once
+    rel = ckpt(
+        exact_top.select(
+            "query_id", "neighbor_id", (11 - F.col("rnk")).alias("rel"), "rnk"
+        )
+    )
+    ann_top = (
+        c.join(F.broadcast(q), c["bucket"] == q["qbucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", qcs.alias("qcs"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+    )
+    scored = ann_top.alias("a").join(
+        rel.select("query_id", "neighbor_id", "rel").alias("r"),
+        ["query_id", "neighbor_id"],
+        "left",
+    ).select("query_id", F.col("a.rnk").alias("rnk"), F.coalesce("rel", F.lit(0)).alias("rel"))
+    idcg = rel.groupBy("query_id").agg(
+        F.sum(F.col("rel") / F.log2(F.col("rnk") + 1.0)).alias("ideal")
+    )
+    return (
+        scored.groupBy("query_id")
+        .agg(
+            F.round(F.sum((F.col("rel") > 0).cast("int")) / 10.0, 6).alias("recall_at_10"),
+            F.round(
+                F.coalesce(
+                    F.max(F.when(F.col("rel") > 0, 1.0 / F.col("rnk"))), F.lit(0.0)
+                ),
+                6,
+            ).alias("mrr"),
+            F.sum(F.col("rel") / F.log2(F.col("rnk") + 1.0)).alias("dcg"),
+        )
+        .join(F.broadcast(idcg), "query_id")
+        .select(
+            "query_id",
+            "recall_at_10",
+            "mrr",
+            F.round(F.col("dcg") / F.col("ideal"), 6).alias("ndcg_at_10"),
+        )
+    )
+
+
+@register(
+    "llm_agreement_kappa",
+    oracle="""
+WITH lab AS (
+    SELECT CASE WHEN CAST(length(trim(text)) AS DOUBLE)
+                     / length(string_split_regex(trim(text), '\\s+'))
+                BETWEEN 3.0 AND 7.0 THEN 1 ELSE 0 END AS a,
+           CASE WHEN length(string_split_regex(trim(text), '\\s+')) >= 20
+                THEN 1 ELSE 0 END AS b
+    FROM documents WHERE length(trim(text)) > 0
+), cm AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(a * b) AS BIGINT) AS n11,
+           CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+           CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+           CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00,
+           SUM(a) / CAST(COUNT(*) AS DOUBLE) AS pa,
+           SUM(b) / CAST(COUNT(*) AS DOUBLE) AS pb
+    FROM lab
+)
+SELECT n11, n10, n01, n00,
+       ROUND((n11 + n00) / n, 6) AS p_observed,
+       ROUND(pa * pb + (1 - pa) * (1 - pb), 6) AS p_expected,
+       ROUND(((n11 + n00) / n - (pa * pb + (1 - pa) * (1 - pb)))
+             / (1 - (pa * pb + (1 - pa) * (1 - pb))), 6) AS cohens_kappa
+FROM cm
+""",
+)
+def llm_agreement_kappa(spark, sf_dir):
+    """Inter-annotator agreement (Cohen's kappa) between two weak
+    quality labelers — the audit a labeling pipeline publishes before
+    anyone trusts the labels: raw agreement P_o is meaningless when
+    both raters mostly say 'keep', so kappa discounts the
+    chance-agreement floor P_e from the raters' own marginals. The
+    two deterministic raters here (mean-word-length in [3,7] vs
+    word-count ≥ 20) stand in for any pair of model/heuristic/human
+    annotators landed as label columns. One narrow projection builds
+    both labels per document, one aggregate produces the full 2×2
+    confusion table AND the marginals — agreement on a 100 TB corpus
+    costs exactly one scan, no join between the raters because they
+    ride the same row."""
+    d = t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    trimmed = F.trim("text")
+    wc = F.size(F.split(trimmed, r"\s+"))
+    mwl = F.length(trimmed).cast("double") / wc
+    lab = d.select(
+        F.when((mwl >= 3.0) & (mwl <= 7.0), 1).otherwise(0).alias("a"),
+        F.when(wc >= 20, 1).otherwise(0).alias("b"),
+    )
+    cm = lab.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("a") * F.col("b")).cast("bigint").alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("bigint").alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("bigint").alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("bigint").alias("n00"),
+        (F.sum("a") / F.count(F.lit(1))).alias("pa"),
+        (F.sum("b") / F.count(F.lit(1))).alias("pb"),
+    )
+    po = (F.col("n11") + F.col("n00")) / F.col("n")
+    pe = F.col("pa") * F.col("pb") + (1 - F.col("pa")) * (1 - F.col("pb"))
+    return cm.select(
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(po, 6).alias("p_observed"),
+        F.round(pe, 6).alias("p_expected"),
+        F.round((po - pe) / (1 - pe), 6).alias("cohens_kappa"),
+    )

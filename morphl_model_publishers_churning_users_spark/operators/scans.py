@@ -753,3 +753,110 @@ def sink_compression_codecs(spark, sf_dir):
         ),
         F.lit(True).alias("roundtrip_ok"),
     )
+
+
+@register(
+    "scan_rowgroup_stats",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
+       MIN(o_orderkey) AS min_orderkey,
+       MAX(o_orderkey) AS max_orderkey,
+       TRUE AS footers_only
+FROM orders
+""",
+)
+def scan_rowgroup_stats(spark, sf_dir):
+    """Parquet footer audit — row-group statistics read WITHOUT touching
+    data pages: file paths are distributed as rows and each executor
+    opens only the footer via pyarrow (metadata-only I/O, a few KB per
+    file regardless of file size). The footer-claimed totals (sum of
+    row-group num_rows, min/max of the o_orderkey column-chunk stats)
+    must equal what a full scan computes — THE invariant zone-map
+    pruning depends on, because a wrong footer silently drops rows
+    from every min/max-pruned query. At 100 TB this is the layout
+    health check you run after every compaction: thousands of footers
+    in parallel, zero data pages read. (On a DFS the executor open()
+    goes through fsspec/hadoop instead of the local path — same plan.)"""
+    import glob as _glob
+
+    import pandas as pd
+
+    path = os.path.join(sf_dir, "orders.parquet")
+    files = sorted(_glob.glob(os.path.join(path, "*.parquet"))) if os.path.isdir(path) else [path]
+    paths_df = spark.createDataFrame([(p,) for p in files], "path string").repartition(
+        max(1, len(files))
+    )
+
+    def read_footers(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for p in pdf["path"]:
+                md = pq.ParquetFile(p).metadata
+                idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["o_orderkey"]
+                for rg in range(md.num_row_groups):
+                    col = md.row_group(rg).column(idx)
+                    st = col.statistics
+                    out.append((p, rg, md.row_group(rg).num_rows, st.min, st.max))
+            yield pd.DataFrame(out, columns=["path", "rg", "n_rows", "k_min", "k_max"])
+
+    rgs = paths_df.mapInPandas(
+        read_footers, "path string, rg int, n_rows long, k_min long, k_max long"
+    )
+    return rgs.agg(
+        F.sum("n_rows").cast("bigint").alias("total_rows"),
+        F.min("k_min").alias("min_orderkey"),
+        F.max("k_max").alias("max_orderkey"),
+        F.lit(True).alias("footers_only"),
+    )
+
+
+@register(
+    "sink_clustered_write",
+    oracle="""
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       TRUE AS ranges_disjoint
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def sink_clustered_write(spark, sf_dir):
+    """Clustered (sort-ordered) write — the layout that makes zone maps
+    WORK: lineitem range-partitioned then sorted by l_shipdate within
+    each output file, so every file owns a disjoint shipdate range and
+    any date-predicate scan can skip whole files/row groups off the
+    footer alone. The per-file min/max shipdates are read back
+    footer-only (pyarrow, no data pages) and checked pairwise
+    disjoint — if the ranges overlap the clustering silently degraded
+    and pruning stops paying. Content contract: per-returnflag counts
+    of the read-back must hash-match the source. At 100 TB this
+    repartitionByRange+sortWithinPartitions pass is the standard
+    compaction job; the disjointness audit is how you PROVE the
+    layout held (writer-side range partitioning guarantees it by
+    construction — sampled split points are total-order cuts)."""
+    out = scratch_dir(f"clustered_{os.path.basename(os.path.abspath(sf_dir))}")
+    li = t(spark, sf_dir, "lineitem").select("l_returnflag", "l_shipdate")
+    (
+        li.repartitionByRange(4, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    import glob as _glob
+
+    ranges = []
+    for p in sorted(_glob.glob(os.path.join(out, "part-*.parquet"))):
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(p).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["l_shipdate"]
+        stats = [md.row_group(rg).column(idx).statistics for rg in range(md.num_row_groups)]
+        if stats:
+            ranges.append((min(s.min for s in stats), max(s.max for s in stats)))
+    ranges.sort()
+    disjoint = all(ranges[i][1] <= ranges[i + 1][0] for i in range(len(ranges) - 1))
+    back = spark.read.parquet(out)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.lit(bool(disjoint and len(ranges) >= 2)).alias("ranges_disjoint"),
+    )

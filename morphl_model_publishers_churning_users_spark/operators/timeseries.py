@@ -20,7 +20,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Window
 
 from ..registry import register
-from ._shared import DSUM, dsum, q6dec, q12dec, t
+from ._shared import DSUM, ckpt, dsum, q6dec, q12dec, t
 
 
 @register(
@@ -3590,4 +3590,193 @@ def ts_extreme_value_gumbel(spark, sf_dir):
         F.round("beta", 6).alias("gumbel_beta"),
         F.round(rl(0.99), 6).alias("p99_daily_max"),
         F.round(rl(0.999), 6).alias("p999_daily_max"),
+    )
+
+
+@register(
+    "ts_intervention_its",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS y
+  FROM events GROUP BY 1
+), idx AS (
+  SELECT CAST(datediff('day', MIN(day) OVER (), day) AS DOUBLE) AS tt,
+         CAST(y AS DOUBLE) AS y,
+         CAST(FLOOR(datediff('day', MIN(day) OVER (), MAX(day) OVER ()) / 2.0)
+              AS DOUBLE) AS t0
+  FROM daily
+), fits AS (
+  SELECT MAX(t0) AS t0,
+         SUM(CASE WHEN tt <= t0 THEN 1 ELSE 0 END) AS n0,
+         SUM(CASE WHEN tt <= t0 THEN tt ELSE 0 END) AS sx0,
+         SUM(CASE WHEN tt <= t0 THEN y ELSE 0 END) AS sy0,
+         SUM(CASE WHEN tt <= t0 THEN tt * tt ELSE 0 END) AS sxx0,
+         SUM(CASE WHEN tt <= t0 THEN tt * y ELSE 0 END) AS sxy0,
+         SUM(CASE WHEN tt > t0 THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN tt > t0 THEN tt ELSE 0 END) AS sx1,
+         SUM(CASE WHEN tt > t0 THEN y ELSE 0 END) AS sy1,
+         SUM(CASE WHEN tt > t0 THEN tt * tt ELSE 0 END) AS sxx1,
+         SUM(CASE WHEN tt > t0 THEN tt * y ELSE 0 END) AS sxy1
+  FROM idx
+), ab AS (
+  SELECT t0,
+         (n0 * sxy0 - sx0 * sy0) / (n0 * sxx0 - sx0 * sx0) AS b0,
+         (sy0 - (n0 * sxy0 - sx0 * sy0) / (n0 * sxx0 - sx0 * sx0) * sx0) / n0 AS a0,
+         (n1 * sxy1 - sx1 * sy1) / (n1 * sxx1 - sx1 * sx1) AS b1,
+         (sy1 - (n1 * sxy1 - sx1 * sy1) / (n1 * sxx1 - sx1 * sx1) * sx1) / n1 AS a1
+  FROM fits
+)
+SELECT ROUND(b0, 6) AS pre_slope, ROUND(a0, 6) AS pre_intercept,
+       ROUND(b1, 6) AS post_slope, ROUND(a1, 6) AS post_intercept,
+       ROUND((a1 + b1 * (t0 + 1)) - (a0 + b0 * (t0 + 1)), 6) AS level_change,
+       ROUND(b1 - b0, 6) AS slope_change
+FROM ab
+""",
+)
+def ts_intervention_its(spark, sf_dir):
+    """Interrupted time-series (segmented regression) — the quasi-
+    experimental readout for a cutover nobody A/B-tested (pricing
+    change, migration, incident): daily volume fit by separate OLS
+    lines before and after the intervention point (here the window
+    midpoint), reporting the LEVEL jump at the boundary and the SLOPE
+    break — the two coefficients an ITS analysis publishes. Distinct
+    from ts_event_study (many small aligned windows) and
+    ml_diff_in_diff (needs a control group): ITS is the single-series,
+    single-cut design. Shape at scale: one day-grain aggregate
+    collapses the stream, the global min/max ride a 1-row broadcast,
+    and BOTH segment fits come out of a single conditional-sum
+    aggregate — no per-segment shuffle, no window over raw events.
+    The regression sums are exact-integer until the final divisions,
+    so both engines agree bit-for-bit before the 1e-6 round."""
+    # day-grain collapse feeds BOTH the limits agg and the indexed join —
+    # pin it so the events scan+shuffle runs once (duplicate-scan sweep
+    # discipline; the series is ~calendar-days rows)
+    daily = ckpt(
+        t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+    lims = daily.agg(
+        F.min("day").alias("d_min"),
+        F.floor(F.datediff(F.max("day"), F.min("day")) / 2.0)
+        .cast("double")
+        .alias("t0"),
+    )
+    idx = daily.crossJoin(F.broadcast(lims)).select(
+        F.datediff("day", "d_min").cast("double").alias("tt"), "y", "t0"
+    )
+    pre = F.col("tt") <= F.col("t0")
+    z = F.lit(0.0)
+    fits = idx.agg(
+        F.max("t0").alias("t0"),
+        F.sum(F.when(pre, 1.0).otherwise(z)).alias("n0"),
+        F.sum(F.when(pre, F.col("tt")).otherwise(z)).alias("sx0"),
+        F.sum(F.when(pre, F.col("y")).otherwise(z)).alias("sy0"),
+        F.sum(F.when(pre, F.col("tt") * F.col("tt")).otherwise(z)).alias("sxx0"),
+        F.sum(F.when(pre, F.col("tt") * F.col("y")).otherwise(z)).alias("sxy0"),
+        F.sum(F.when(~pre, 1.0).otherwise(z)).alias("n1"),
+        F.sum(F.when(~pre, F.col("tt")).otherwise(z)).alias("sx1"),
+        F.sum(F.when(~pre, F.col("y")).otherwise(z)).alias("sy1"),
+        F.sum(F.when(~pre, F.col("tt") * F.col("tt")).otherwise(z)).alias("sxx1"),
+        F.sum(F.when(~pre, F.col("tt") * F.col("y")).otherwise(z)).alias("sxy1"),
+    )
+    b0 = (F.col("n0") * F.col("sxy0") - F.col("sx0") * F.col("sy0")) / (
+        F.col("n0") * F.col("sxx0") - F.col("sx0") * F.col("sx0")
+    )
+    a0 = (F.col("sy0") - b0 * F.col("sx0")) / F.col("n0")
+    b1 = (F.col("n1") * F.col("sxy1") - F.col("sx1") * F.col("sy1")) / (
+        F.col("n1") * F.col("sxx1") - F.col("sx1") * F.col("sx1")
+    )
+    a1 = (F.col("sy1") - b1 * F.col("sx1")) / F.col("n1")
+    tb = F.col("t0") + 1
+    return fits.select(
+        F.round(b0, 6).alias("pre_slope"),
+        F.round(a0, 6).alias("pre_intercept"),
+        F.round(b1, 6).alias("post_slope"),
+        F.round(a1, 6).alias("post_intercept"),
+        F.round((a1 + b1 * tb) - (a0 + b0 * tb), 6).alias("level_change"),
+        F.round(b1 - b0, 6).alias("slope_change"),
+    )
+
+
+@register(
+    "ts_poisson_rate_ratio",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS y
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), idx AS (
+  SELECT CAST(datediff('day', MIN(day) OVER (), day) AS BIGINT) AS dd, y,
+         CAST(FLOOR(datediff('day', MIN(day) OVER (), MAX(day) OVER ()) / 2.0)
+              AS BIGINT) AS t0,
+         CAST(datediff('day', MIN(day) OVER (), MAX(day) OVER ()) AS BIGINT) AS t_max
+  FROM daily
+), halves AS (
+  SELECT MAX(t0) AS t0, MAX(t_max) AS t_max,
+         CAST(SUM(CASE WHEN dd <= t0 THEN y ELSE 0 END) AS BIGINT) AS c_pre,
+         CAST(SUM(CASE WHEN dd > t0 THEN y ELSE 0 END) AS BIGINT) AS c_post
+  FROM idx
+)
+SELECT c_pre AS events_pre, c_post AS events_post,
+       t0 + 1 AS days_pre, t_max - t0 AS days_post,
+       ROUND((CAST(c_post AS DOUBLE) / (t_max - t0))
+             / (CAST(c_pre AS DOUBLE) / (t0 + 1)), 6) AS rate_ratio,
+       ROUND(ln((CAST(c_post AS DOUBLE) / (t_max - t0))
+                / (CAST(c_pre AS DOUBLE) / (t0 + 1)))
+             / sqrt(1.0 / c_pre + 1.0 / c_post), 6) AS z_stat
+FROM halves
+""",
+)
+def ts_poisson_rate_ratio(spark, sf_dir):
+    """Two-period Poisson rate-ratio test — 'did the purchase rate
+    actually change between the first and second half of the window?'
+    Counts are Poisson-ish, so the test lives on the LOG rate ratio
+    with variance 1/c1 + 1/c2 (the delta method on the log of a
+    Poisson mean) — the standard epidemiology/SRE incidence
+    comparison, and the right tool where agg_welch_ttest (means of
+    values) misstates the variance of pure counts. Exposure is
+    CALENDAR days (t0+1 vs t_max−t0), not observed-activity days, so
+    silent zero-volume days correctly lower the rate instead of
+    vanishing. One filtered day-grain aggregate, a 1-row broadcast of
+    the window limits, then constant-size arithmetic; ln/sqrt run on
+    exact-integer-derived rationals and are 1e-6-rounded on both
+    engines."""
+    daily = ckpt(
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    lims = daily.agg(
+        F.min("day").alias("d_min"),
+        F.floor(F.datediff(F.max("day"), F.min("day")) / 2.0)
+        .cast("bigint")
+        .alias("t0"),
+        F.datediff(F.max("day"), F.min("day")).cast("bigint").alias("t_max"),
+    )
+    idx = daily.crossJoin(F.broadcast(lims)).select(
+        F.datediff("day", "d_min").cast("bigint").alias("dd"), "y", "t0", "t_max"
+    )
+    halves = idx.agg(
+        F.max("t0").alias("t0"),
+        F.max("t_max").alias("t_max"),
+        F.sum(F.when(F.col("dd") <= F.col("t0"), F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("c_pre"),
+        F.sum(F.when(F.col("dd") > F.col("t0"), F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("c_post"),
+    )
+    d_pre = (F.col("t0") + 1).cast("double")
+    d_post = (F.col("t_max") - F.col("t0")).cast("double")
+    rr = (F.col("c_post") / d_post) / (F.col("c_pre") / d_pre)
+    return halves.select(
+        F.col("c_pre").alias("events_pre"),
+        F.col("c_post").alias("events_post"),
+        (F.col("t0") + 1).alias("days_pre"),
+        (F.col("t_max") - F.col("t0")).alias("days_post"),
+        F.round(rr, 6).alias("rate_ratio"),
+        F.round(
+            F.log(rr) / F.sqrt(1.0 / F.col("c_pre") + 1.0 / F.col("c_post")), 6
+        ).alias("z_stat"),
     )

@@ -323,3 +323,47 @@ def udf_pandas_struct(spark, sf_dir):
     return d.select("doc_id", textshape("text").alias("s")).select(
         "doc_id", "s.n_chars", "s.n_words", "s.chars_per_word"
     )
+
+
+@register(
+    "udf_window_pandas",
+    oracle="""
+SELECT event_id, user_id,
+       FLOOR(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             * 1000000 + 0.5) / 1000000 AS roll_avg
+FROM events WHERE user_id < 50
+""",
+)
+def udf_window_pandas(spark, sf_dir):
+    """Pandas UDAF applied OVER A WINDOW — the last §2.K signature:
+    the same GROUPED_AGG Arrow kernel that powers udf_grouped_agg,
+    but evaluated per bounded window frame (3-row trailing mean per
+    user). Spark ships each frame's slice to the UDAF as a pandas
+    Series — custom rolling statistics (trimmed means, weighted
+    quantiles) that no built-in window function expresses, still
+    Arrow-batched and partition-parallel, never a driver loop. The
+    frame must be BOUNDED (rows between) — unbounded pandas window
+    UDAFs fall back to a per-row full-partition slice and die at
+    scale; that trap is the reason this operator exists as the
+    documented exemplar. Quantized at 1e-6 via floor(x*1e6+0.5) on
+    both engines (double-vs-DECIMAL AVG rounding differs at the 6th
+    decimal on banker's-rounding boundaries)."""
+    from pyspark.sql import Window
+
+    @pandas_udf("double")
+    def roll_mean(v: pd.Series) -> float:
+        return float(v.mean())
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    raw = roll_mean(F.col("value")).over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.floor(raw * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("roll_avg"),
+    )

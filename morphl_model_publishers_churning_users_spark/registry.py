@@ -113,7 +113,12 @@ def register(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Quer
 # llm_burstiness/compression_filter/lang_confusion/vocab_coverage).
 # The late-r6 wave (the ~80 keys from llm_url_dedup through
 # llm_lsh_bucket_skew) queues right behind across rounds 8-9 — still
-# ahead of the verified backstop. All round-6 additions were sim-verified at
+# ahead of the verified backstop, followed by the wave-4 tail
+# (scan_rowgroup_stats, sink_clustered_write, agg_heavy_hitters,
+# udf_window_pandas, ts_intervention_its, ts_poisson_rate_ratio,
+# llm_retrieval_eval, llm_agreement_kappa — sim-verified at
+# sf0.001/0.01/0.1 plus an Asia/Kolkata probe, full 428-key
+# bare-session sim green after they landed). All round-6 additions were sim-verified at
 # sf0.001/0.01, and every key in the post-fold waves also at sf0.1;
 # the full registry ran hash-green in the bare-session simulator
 # repeatedly during the round (329/329, 357/357, 380/380, 389/389,
@@ -475,6 +480,14 @@ _KEY_RANK: dict[str, int] = {
     "ml_shap_linear": 9,
     "llm_embed_norm_audit": 9,
     "llm_dedup_impact": 9,
+    "scan_rowgroup_stats": 9,
+    "sink_clustered_write": 9,
+    "agg_heavy_hitters": 9,
+    "udf_window_pandas": 9,
+    "ts_intervention_its": 9,
+    "ts_poisson_rate_ratio": 9,
+    "llm_retrieval_eval": 9,
+    "llm_agreement_kappa": 9,
 }
 
 

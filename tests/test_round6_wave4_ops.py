@@ -1,0 +1,124 @@
+"""Invariant tests for the round-6 wave-4 operators — algorithmic
+properties beyond cross-engine equality."""
+
+from __future__ import annotations
+
+import pytest
+
+from morphl_model_publishers_churning_users_spark.registry import get_queries
+
+_Q = get_queries()
+
+
+def test_heavy_hitters_are_above_threshold_and_exact(spark, sf_dir):
+    """Every survivor clears the n/k cut, shares are consistent with
+    freqs, and the set equals the brute-force answer (the MG sketch
+    bounds the search, never the result)."""
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    rows = _Q["agg_heavy_hitters"](spark, sf_dir).collect()
+    assert rows, "fixture corpus has stopword-like heavy hitters"
+    toks = (
+        tbl(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term"))
+    )
+    n = toks.count()
+    brute = {
+        r["term"]: r["freq"]
+        for r in toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") > n / 50.0)
+        .collect()
+    }
+    assert {r["term"]: r["freq"] for r in rows} == brute
+    for r in rows:
+        assert r["freq"] > n / 50.0
+        assert r["share"] == pytest.approx(r["freq"] / n, abs=1e-6)
+
+
+def test_clustered_write_ranges_disjoint(spark, sf_dir):
+    for r in _Q["sink_clustered_write"](spark, sf_dir).collect():
+        assert r["ranges_disjoint"] is True
+
+
+def test_rowgroup_stats_match_full_scan(spark, sf_dir):
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    r = _Q["scan_rowgroup_stats"](spark, sf_dir).collect()[0]
+    o = tbl(spark, sf_dir, "orders")
+    assert r["total_rows"] == o.count()
+    assert r["footers_only"] is True
+
+
+def test_window_pandas_first_row_equals_value(spark, sf_dir):
+    """A 3-row trailing mean's first row per user is the value itself."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    out = _Q["udf_window_pandas"](spark, sf_dir)
+    e = tbl(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "value")
+    )
+    joined = out.join(first, "event_id").collect()
+    assert joined
+    for r in joined:
+        assert r["roll_avg"] == pytest.approx(r["value"], abs=1e-6)
+
+
+def test_its_slope_change_is_consistent(spark, sf_dir):
+    r = _Q["ts_intervention_its"](spark, sf_dir).collect()[0]
+    assert r["slope_change"] == pytest.approx(
+        r["post_slope"] - r["pre_slope"], abs=2e-6
+    )
+
+
+def test_poisson_rate_ratio_sign_and_exposure(spark, sf_dir):
+    """z and ln(RR) share a sign, and the two exposures tile the
+    calendar span exactly."""
+    import math
+
+    r = _Q["ts_poisson_rate_ratio"](spark, sf_dir).collect()[0]
+    assert r["days_pre"] >= 1 and r["days_post"] >= 1
+    if r["rate_ratio"] != 1.0:
+        assert (r["z_stat"] > 0) == (r["rate_ratio"] > 1.0)
+    se = math.sqrt(1.0 / r["events_pre"] + 1.0 / r["events_post"])
+    assert r["z_stat"] == pytest.approx(math.log(r["rate_ratio"]) / se, abs=5e-5)
+
+
+def test_retrieval_eval_metric_bounds(spark, sf_dir):
+    """All three metrics live in [0,1]; recall@10 is a multiple of 0.1;
+    a perfect-recall query can still lose nDCG to ordering, never the
+    reverse (ndcg > 0 implies recall > 0)."""
+    rows = _Q["llm_retrieval_eval"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0.0 <= r["recall_at_10"] <= 1.0
+        assert 0.0 <= r["mrr"] <= 1.0
+        assert 0.0 <= r["ndcg_at_10"] <= 1.0 + 1e-9
+        assert round(r["recall_at_10"] * 10) == pytest.approx(
+            r["recall_at_10"] * 10, abs=1e-6
+        )
+        if r["ndcg_at_10"] > 0:
+            assert r["recall_at_10"] > 0
+
+
+def test_kappa_table_and_bounds(spark, sf_dir):
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    r = _Q["llm_agreement_kappa"](spark, sf_dir).collect()[0]
+    n_docs = (
+        tbl(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0).count()
+    )
+    assert r["n11"] + r["n10"] + r["n01"] + r["n00"] == n_docs
+    assert r["cohens_kappa"] <= 1.0 + 1e-9
+    # kappa's sign must match whether observed beats chance
+    if r["p_observed"] > r["p_expected"]:
+        assert r["cohens_kappa"] > 0
