@@ -1109,3 +1109,73 @@ def join_snowflake(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_lines"),
         F.sum(F.col("rev").cast("decimal(38,6)")).cast("double").alias("revenue"),
     )
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+WITH clicks AS (
+    SELECT user_id, ts, MIN(event_id) AS click_id
+    FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+), purchases AS (
+    SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+)
+SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+       c.click_id, c.ts AS click_ts
+FROM purchases p ASOF JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts <= c.ts
+""",
+)
+def join_asof_forward(spark, sf_dir):
+    """FORWARD as-of join — earliest click at-or-after each purchase,
+    per user: the mirror of join_asof (latest-before) that answers
+    'what happened NEXT' questions — next quote after a trade, next
+    visit after a churn event, time-to-next-touch. Same scalable
+    union-sort-carry formulation, direction reversed: one shuffle on
+    user_id, then first_value(ignoreNulls) over the FOLLOWING frame
+    carries the next click backward — still linear state per user, no
+    range-join fan-out on hot keys. Clicks pre-dedupe per (user, ts)
+    keeping MIN event_id so ties resolve identically to DuckDB's ASOF
+    (p.ts <= c.ts; a same-timestamp click matches, enforced by the
+    kind sort key)."""
+    ev = t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("click_id"))
+        .select(
+            "user_id", "ts", F.lit(1).alias("kind"), "click_id",
+            F.lit(None).cast("bigint").alias("purchase_id"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(0).alias("kind"),
+        F.lit(None).cast("bigint").alias("click_id"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    # purchase (kind=0) sorts before click (kind=1) at equal ts, so a
+    # same-timestamp click sits inside the purchase's FOLLOWING frame —
+    # matching ASOF's <= semantics.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    merged = clicks.unionByName(purchases).select(
+        "user_id", "ts", "kind", "purchase_id",
+        F.first("click_id", ignorenulls=True).over(w).alias("click_id"),
+        F.first(F.when(F.col("kind") == 1, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("click_ts"),
+    )
+    return (
+        merged.filter(F.col("kind") == 0)
+        .filter(F.col("click_id").isNotNull())
+        .select(
+            "user_id",
+            F.col("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            "click_id",
+            "click_ts",
+        )
+    )

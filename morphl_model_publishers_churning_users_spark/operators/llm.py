@@ -4915,3 +4915,142 @@ def llm_agreement_kappa(spark, sf_dir):
         F.round(pe, 6).alias("p_expected"),
         F.round((po - pe) / (1 - pe), 6).alias("cohens_kappa"),
     )
+
+
+@register(
+    "llm_code_detect",
+    oracle="""
+SELECT doc_id,
+       ROUND((10.0 * (length(text) - length(regexp_replace(text, '[;{}()=<>\\[\\]#]', '', 'g')))
+              + 2.0 * (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))))
+             / length(text), 6) AS code_score,
+       CASE WHEN (10.0 * (length(text) - length(regexp_replace(text, '[;{}()=<>\\[\\]#]', '', 'g')))
+                  + 2.0 * (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))))
+                 / length(text) > 0.3 THEN TRUE ELSE FALSE END AS is_code
+FROM documents WHERE length(text) > 0
+""",
+)
+def llm_code_detect(spark, sf_dir):
+    """Code-vs-prose screen — the router every mixed crawl needs
+    before language-specific processing: code must NOT flow through
+    the prose quality gates (llm_quality's stopword/sentence heuristics
+    butcher it) and prose must not hit code dedup. The deterministic
+    heuristic: density of code-signature characters (braces,
+    semicolons, comparison/assignment, brackets, '#') weighted 10×,
+    digit density 2×, per character — a linear scorer of the kind
+    fastText-style routers distill to, expressed as two
+    regexp_replace length-diffs entirely inside codegen (no
+    tokenizer, no UDF — ~2 passes over the bytes per doc, embarrassingly
+    parallel, no shuffle at all). Threshold 0.3 flags code-like docs;
+    on the prose fixture corpus the flag rate is ~0, which is the
+    correct reading, while the score column still exercises the full
+    distribution for the hash."""
+    d = t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n = F.length("text")
+    n_sym = n - F.length(F.regexp_replace("text", r"[;{}()=<>\[\]#]", ""))
+    n_dig = n - F.length(F.regexp_replace("text", r"[0-9]", ""))
+    score = (10.0 * n_sym + 2.0 * n_dig) / n
+    return d.select(
+        "doc_id",
+        F.round(score, 6).alias("code_score"),
+        (score > 0.3).alias("is_code"),
+    )
+
+
+@register(
+    "llm_split_leakage",
+    oracle="""
+WITH base AS (
+    SELECT doc_id, CASE WHEN doc_id % 10 >= 8 THEN 1 ELSE 0 END AS is_test,
+           md5(lower(trim(text))) AS h_exact,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'),
+                                   '\\s+', ' ', 'g'))) AS h_norm
+    FROM documents WHERE length(trim(text)) > 0
+), tot AS (
+    SELECT CAST(SUM(is_test) AS DOUBLE) AS n_test FROM base
+), per AS (
+    SELECT 'exact' AS dup_class, h_exact AS h, is_test, doc_id FROM base
+    UNION ALL
+    SELECT 'normalized', h_norm, is_test, doc_id FROM base
+), grp AS (
+    SELECT dup_class, h, SUM(is_test) AS nt, SUM(1 - is_test) AS ntr
+    FROM per GROUP BY 1, 2
+), leak AS (
+    SELECT dup_class,
+           CAST(COUNT(*) FILTER (WHERE nt > 0 AND ntr > 0) AS BIGINT) AS leaking_groups,
+           CAST(SUM(CASE WHEN nt > 0 AND ntr > 0 THEN nt * ntr ELSE 0 END) AS BIGINT)
+               AS cross_pairs,
+           CAST(SUM(CASE WHEN nt > 0 AND ntr > 0 THEN nt ELSE 0 END) AS BIGINT)
+               AS test_docs_contaminated
+    FROM grp GROUP BY 1
+)
+SELECT dup_class, leaking_groups, cross_pairs, test_docs_contaminated,
+       ROUND(test_docs_contaminated / tot.n_test, 6) AS contamination_rate
+FROM leak, tot ORDER BY dup_class
+""",
+)
+def llm_split_leakage(spark, sf_dir):
+    """Train/test split-leakage audit — the eval-integrity check that
+    must run BEFORE any benchmark number is believed: documents whose
+    content (exact hash) or near-content (aggressively normalized
+    hash: lowercased, de-punctuated, whitespace-collapsed — catches
+    the trivially-perturbed copies that slip exact dedup) appears on
+    BOTH sides of the split inflate eval scores by memorization, the
+    contamination llm_contamination measures against an EXTERNAL
+    benchmark, here measured against the pipeline's OWN holdout.
+    Split = doc_id%10 (ml_split's cluster-stable bucket idiom). One
+    hash shuffle per dup class (unioned, so one pass over the corpus
+    feeds both); per-group train/test tallies, cross pairs
+    (n_train·n_test), and the contaminated-test-doc rate. The MinHash
+    escalation for paraphrase-level leakage is llm_dedup_fuzzy
+    composed over the same split key."""
+    base = (
+        t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            (F.col("doc_id") % 10 >= 8).cast("int").alias("is_test"),
+            F.md5(F.lower(F.trim("text"))).alias("h_exact"),
+            F.md5(
+                F.trim(
+                    F.regexp_replace(
+                        F.regexp_replace(F.lower("text"), "[^a-z ]", ""), r"\s+", " "
+                    )
+                )
+            ).alias("h_norm"),
+        )
+    )
+    tot = base.agg(F.sum("is_test").cast("double").alias("n_test"))
+    per = base.select(
+        F.lit("exact").alias("dup_class"), F.col("h_exact").alias("h"), "is_test"
+    ).unionByName(
+        base.select(
+            F.lit("normalized").alias("dup_class"), F.col("h_norm").alias("h"), "is_test"
+        )
+    )
+    grp = per.groupBy("dup_class", "h").agg(
+        F.sum("is_test").alias("nt"), F.sum(1 - F.col("is_test")).alias("ntr")
+    )
+    leaking = (F.col("nt") > 0) & (F.col("ntr") > 0)
+    leak = grp.groupBy("dup_class").agg(
+        F.sum(leaking.cast("int")).cast("bigint").alias("leaking_groups"),
+        F.sum(F.when(leaking, F.col("nt") * F.col("ntr")).otherwise(0))
+        .cast("bigint")
+        .alias("cross_pairs"),
+        F.sum(F.when(leaking, F.col("nt")).otherwise(0))
+        .cast("bigint")
+        .alias("test_docs_contaminated"),
+    )
+    return (
+        leak.crossJoin(F.broadcast(tot))
+        .select(
+            "dup_class",
+            "leaking_groups",
+            "cross_pairs",
+            "test_docs_contaminated",
+            F.round(F.col("test_docs_contaminated") / F.col("n_test"), 6).alias(
+                "contamination_rate"
+            ),
+        )
+        .orderBy("dup_class")
+    )

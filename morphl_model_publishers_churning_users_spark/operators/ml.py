@@ -3391,3 +3391,131 @@ def ml_shap_linear(spark, sf_dir):
             6,
         ).alias("mean_total_attribution"),
     )
+
+
+def _curve_oracle(iters: int = 5) -> str:
+    """Unrolled learning-curve oracle: four nested train fractions
+    (user_id%10 buckets <2/<4/<6/<8), each trained `iters` GD steps
+    from zero with the SAME full-pool feature scaling, then holdout
+    (buckets 8-9) logloss. Same 1e-12 DECIMAL quantization discipline
+    as _logreg_ctes so the whole trajectory is bit-identical."""
+    ctes = [
+        f"""{_REC2_SQL},
+cfeat AS MATERIALIZED (
+    SELECT user_id % 10 AS b,
+           CAST(rec AS DOUBLE) / mx.maxrec AS x1,
+           CAST(ne AS DOUBLE) / mx.maxne AS x2,
+           CAST(churned AS DOUBLE) AS y
+    FROM s2,
+         (SELECT GREATEST(MAX(rec), 1) AS maxrec, GREATEST(MAX(ne), 1) AS maxne
+          FROM s2 WHERE user_id % 10 < 8) mx
+)"""
+    ]
+    selects = []
+    for nb in (2, 4, 6, 8):
+        ctes.append(
+            f"n{nb} AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM cfeat WHERE b < {nb})"
+        )
+        prev = f"cw{nb}_0"
+        ctes.append(f"{prev} AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)")
+        for i in range(1, iters + 1):
+            ctes.append(
+                f"""cg{nb}_{i} AS MATERIALIZED (
+    SELECT
+      CAST(SUM(CAST(FLOOR((1.0 / (1.0 + exp(-(w.w0 + w.w1 * x1 + w.w2 * x2))) - y)
+                          * 1e12 + 0.5) AS DECIMAL(38,12))) AS DOUBLE) / 1e12 AS g0,
+      CAST(SUM(CAST(FLOOR((1.0 / (1.0 + exp(-(w.w0 + w.w1 * x1 + w.w2 * x2))) - y) * x1
+                          * 1e12 + 0.5) AS DECIMAL(38,12))) AS DOUBLE) / 1e12 AS g1,
+      CAST(SUM(CAST(FLOOR((1.0 / (1.0 + exp(-(w.w0 + w.w1 * x1 + w.w2 * x2))) - y) * x2
+                          * 1e12 + 0.5) AS DECIMAL(38,12))) AS DOUBLE) / 1e12 AS g2
+    FROM cfeat, {prev} w WHERE b < {nb}
+), cw{nb}_{i} AS MATERIALIZED (
+    SELECT w.w0 - 0.5 * g.g0 / n.n AS w0,
+           w.w1 - 0.5 * g.g1 / n.n AS w1,
+           w.w2 - 0.5 * g.g2 / n.n AS w2
+    FROM {prev} w, cg{nb}_{i} g, n{nb} n
+)"""
+            )
+            prev = f"cw{nb}_{i}"
+        ctes.append(
+            f"""ce{nb} AS (
+    SELECT CAST({nb} AS BIGINT) AS train_buckets,
+           CAST((SELECT n FROM n{nb}) AS BIGINT) AS n_train,
+           ROUND(CAST(SUM(CAST(FLOOR(
+               -(y * ln(1.0 / (1.0 + exp(-(w.w0 + w.w1 * x1 + w.w2 * x2))))
+                 + (1.0 - y) * ln(1.0 - 1.0 / (1.0 + exp(-(w.w0 + w.w1 * x1 + w.w2 * x2)))))
+               * 1e12 + 0.5) AS DECIMAL(38,12))) AS DOUBLE) / 1e12 / COUNT(*), 6)
+           AS holdout_logloss
+    FROM cfeat, {prev} w WHERE b >= 8
+)"""
+        )
+        selects.append(f"SELECT * FROM ce{nb}")
+    joined = ",\n".join(ctes)
+    union = "\nUNION ALL\n".join(selects)
+    return f"WITH {joined}\n{union}"
+
+
+@register("ml_learning_curve", oracle=_curve_oracle())
+def ml_learning_curve(spark, sf_dir, iters: int = 5):
+    """Learning curve — 'what does more data BUY?': the same
+    engine-trained logistic regression (ml_logreg_gd's oracle-exact GD
+    chain) fit on nested 25/50/75/100% slices of the train pool
+    (user_id%10 buckets — cluster-stable, cross-engine exact) and
+    scored by holdout logloss on the untouched 20%. THE readout
+    behind every 100 TB data-acquisition decision: if the curve is
+    flat between 75% and 100%, the next 25 TB of events buys nothing
+    and the budget belongs in features instead. Feature scaling comes
+    from the FULL pool so the four fits differ only in data volume;
+    every slice trains with the identical quantized-gradient
+    discipline, so all four trajectories and the final losses are
+    bit-identical cross-engine — a VERIFIED data-scaling experiment,
+    not a sampled estimate. Cost shape: per step one map-side-
+    combinable aggregate over the slice; nested slices mean the 4
+    fits cost ~2.5 full-pool passes total per step."""
+    s = _rec_scored2(spark, sf_dir).withColumn("b", F.col("user_id") % 10)
+    mx = s.filter(F.col("b") < 8).agg(
+        F.greatest(F.max("rec"), F.lit(1)).alias("maxrec"),
+        F.greatest(F.max("ne"), F.lit(1)).alias("maxne"),
+    )
+    feats = (
+        s.crossJoin(F.broadcast(mx))
+        .select(
+            "b",
+            (F.col("rec").cast("double") / F.col("maxrec")).alias("x1"),
+            (F.col("ne").cast("double") / F.col("maxne")).alias("x2"),
+            F.col("churned").cast("double").alias("y"),
+        )
+        .localCheckpoint(eager=True)  # feeds every GD step of every slice
+    )
+    d12 = lambda c: (F.sum(q12dec(c)).cast("double") / F.lit(1e12))
+    out = []
+    for nb in (2, 4, 6, 8):
+        train = feats.filter(F.col("b") < nb)
+        n_tr = train.count()  # bounded driver scalar (the 1/n in the update)
+        w = (0.0, 0.0, 0.0)
+        for _ in range(iters):
+            z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+            resid = 1.0 / (1.0 + F.exp(-z)) - F.col("y")
+            g = train.agg(
+                d12(resid).alias("g0"),
+                d12(resid * F.col("x1")).alias("g1"),
+                d12(resid * F.col("x2")).alias("g2"),
+            ).collect()[0]
+            w = (
+                w[0] - 0.5 * g["g0"] / n_tr,
+                w[1] - 0.5 * g["g1"] / n_tr,
+                w[2] - 0.5 * g["g2"] / n_tr,
+            )
+        zh = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+        p = 1.0 / (1.0 + F.exp(-zh))
+        ll = feats.filter(F.col("b") >= 8).agg(
+            F.round(
+                d12(-(F.col("y") * F.log(p) + (1.0 - F.col("y")) * F.log(1.0 - p)))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("holdout_logloss")
+        ).collect()[0]
+        out.append((nb, n_tr, float(ll["holdout_logloss"])))
+    return spark.createDataFrame(
+        out, "train_buckets bigint, n_train bigint, holdout_logloss double"
+    )

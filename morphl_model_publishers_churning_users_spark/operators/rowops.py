@@ -1343,3 +1343,57 @@ def dq_hll_error_audit(spark, sf_dir):
         flag(0.02).alias("rsd02_ok"),
         flag(0.01).alias("rsd01_ok"),
     )
+
+
+@register(
+    "dq_sequence_gaps",
+    oracle="""
+WITH present AS (
+    SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_orderkey % 7 <> 3
+), islands AS (
+    SELECT k, k - ROW_NUMBER() OVER (ORDER BY k) AS grp FROM present
+), spans AS (
+    SELECT MIN(k) AS island_start, MAX(k) AS island_end FROM islands GROUP BY grp
+), gaps AS (
+    SELECT island_end + 1 AS gap_start,
+           LEAD(island_start) OVER (ORDER BY island_start) - 1 AS gap_end
+    FROM spans
+)
+SELECT gap_start, gap_end, gap_end - gap_start + 1 AS n_missing
+FROM gaps WHERE gap_end IS NOT NULL
+""",
+)
+def dq_sequence_gaps(spark, sf_dir):
+    """Sequence-gap audit (gaps-and-islands) — the completeness check
+    for any surrogate-key or offset column that is SUPPOSED to be
+    contiguous (Kafka offsets, invoice numbers, CDC sequence ids):
+    report every missing run as [gap_start, gap_end, n_missing]. The
+    fixture keys are contiguous by construction, so keys ≡3 (mod 7)
+    are dropped as the deterministic stand-in for lost records (the
+    scan_snapshot_diff convention). The classic trick does it in ONE
+    sort: k − row_number() is constant within each contiguous island,
+    so islands fall out of a groupBy and gaps from one LEAD over the
+    island spans — O(islands) rows after the first aggregate. At
+    100 TB the only data-sized cost is the distinct + range-sorted
+    window on a BIGINT — a single range-partitioned shuffle; there is
+    no self-join (the naive k+1 NOT EXISTS formulation, which would
+    be a second full shuffle and is why this op exists)."""
+    present = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 7 != 3)
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    wk = Window.orderBy("k")
+    islands = present.select("k", (F.col("k") - F.row_number().over(wk)).alias("grp"))
+    spans = islands.groupBy("grp").agg(
+        F.min("k").alias("island_start"), F.max("k").alias("island_end")
+    )
+    ws = Window.orderBy("island_start")
+    gaps = spans.select(
+        (F.col("island_end") + 1).alias("gap_start"),
+        (F.lead("island_start").over(ws) - 1).alias("gap_end"),
+    )
+    return gaps.filter(F.col("gap_end").isNotNull()).select(
+        "gap_start", "gap_end", (F.col("gap_end") - F.col("gap_start") + 1).alias("n_missing")
+    )

@@ -3780,3 +3780,209 @@ def ts_poisson_rate_ratio(spark, sf_dir):
             F.log(rr) / F.sqrt(1.0 / F.col("c_pre") + 1.0 / F.col("c_post")), 6
         ).alias("z_stat"),
     )
+
+
+@register(
+    "ts_runs_test",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS y
+  FROM events GROUP BY 1
+), diffs AS (
+  SELECT day, y - LAG(y) OVER (ORDER BY day) AS d FROM daily
+), signs AS (
+  SELECT day, CASE WHEN d > 0 THEN 1 ELSE -1 END AS s
+  FROM diffs WHERE d IS NOT NULL AND d <> 0
+), flips AS (
+  SELECT s, CASE WHEN LAG(s) OVER (ORDER BY day) IS NULL
+                   OR LAG(s) OVER (ORDER BY day) <> s THEN 1 ELSE 0 END AS new_run
+  FROM signs
+), agg AS (
+  SELECT CAST(SUM(new_run) AS BIGINT) AS runs,
+         CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+         CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS DOUBLE) AS n2
+  FROM flips
+)
+SELECT runs, CAST(n1 AS BIGINT) AS n_up, CAST(n2 AS BIGINT) AS n_down,
+       ROUND(2.0 * n1 * n2 / (n1 + n2) + 1.0, 6) AS expected_runs,
+       ROUND((runs - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+             / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                    / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))), 6) AS z_stat
+FROM agg
+""",
+)
+def ts_runs_test(spark, sf_dir):
+    """Wald–Wolfowitz runs test on daily volume direction — 'is the
+    series actually random, or does it trend/oscillate?': up/down
+    moves should alternate like coin flips; too FEW runs means
+    momentum (trending), too MANY means mean-reversion
+    (oscillation). The complement of ts_autocorr's magnitude view —
+    runs only sees SIGNS, so a single outlier day can't move it. Zero
+    deltas are excluded (the standard treatment). Everything heavy
+    collapses at the day grain first; the runs count is one lag
+    window over the ~calendar-days sign sequence, then the classical
+    E[R]/Var[R] normal approximation in exact-integer arithmetic
+    until the final divisions."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    wd = Window.orderBy("day")
+    signs = (
+        daily.select("day", (F.col("y") - F.lag("y").over(wd)).alias("d"))
+        .filter(F.col("d").isNotNull() & (F.col("d") != 0))
+        .select("day", F.when(F.col("d") > 0, 1).otherwise(-1).alias("s"))
+    )
+    flips = signs.select(
+        "s",
+        F.when(
+            F.lag("s").over(wd).isNull() | (F.lag("s").over(wd) != F.col("s")), 1
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = flips.agg(
+        F.sum("new_run").cast("bigint").alias("runs"),
+        F.sum((F.col("s") == 1).cast("int")).cast("double").alias("n1"),
+        F.sum((F.col("s") == -1).cast("int")).cast("double").alias("n2"),
+    )
+    n1, n2, runs = F.col("n1"), F.col("n2"), F.col("runs")
+    er = 2.0 * n1 * n2 / (n1 + n2) + 1.0
+    vr = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))
+    )
+    return agg.select(
+        runs,
+        n1.cast("bigint").alias("n_up"),
+        n2.cast("bigint").alias("n_down"),
+        F.round(er, 6).alias("expected_runs"),
+        F.round((runs - er) / F.sqrt(vr), 6).alias("z_stat"),
+    )
+
+
+@register(
+    "ts_seasonality_strength",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1, 2
+), trended AS (
+  SELECT event_type, day, n,
+         AVG(n) OVER (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend,
+         COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wcnt
+  FROM daily
+), interior AS (
+  SELECT event_type, day,
+         datediff('day', DATE '2024-01-01', day) % 7 AS dow,
+         n, FLOOR(trend * 1000000 + 0.5) / 1000000 AS trend
+  FROM trended WHERE wcnt = 7
+), seasoned AS (
+  SELECT i.*,
+         FLOOR(AVG(n - trend) OVER (PARTITION BY event_type, dow)
+               * 1000000 + 0.5) / 1000000 AS seasonal
+  FROM interior i
+), comps AS (
+  SELECT event_type,
+         FLOOR((n - trend - seasonal) * 1000000 + 0.5) / 1000000 AS resid,
+         FLOOR((n - trend) * 1000000 + 0.5) / 1000000 AS detr,
+         FLOOR((n - seasonal) * 1000000 + 0.5) / 1000000 AS deseas
+  FROM seasoned
+), sums AS (
+  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS m,
+         CAST(SUM(CAST(resid AS DECIMAL(38,6))) AS DOUBLE) AS sr,
+         CAST(SUM(CAST(resid AS DECIMAL(18,6)) * CAST(resid AS DECIMAL(18,6)))
+              AS DOUBLE) AS srr,
+         CAST(SUM(CAST(detr AS DECIMAL(38,6))) AS DOUBLE) AS sd,
+         CAST(SUM(CAST(detr AS DECIMAL(18,6)) * CAST(detr AS DECIMAL(18,6)))
+              AS DOUBLE) AS sdd,
+         CAST(SUM(CAST(deseas AS DECIMAL(38,6))) AS DOUBLE) AS ss,
+         CAST(SUM(CAST(deseas AS DECIMAL(38,12)) * CAST(deseas AS DECIMAL(38,12)))
+              AS DOUBLE) AS sss
+  FROM comps GROUP BY 1
+)
+SELECT event_type,
+       ROUND(GREATEST(0.0, 1.0 - ((srr - sr * sr / m) / m)
+                                 / ((sdd - sd * sd / m) / m)), 6) AS f_seasonal,
+       ROUND(GREATEST(0.0, 1.0 - ((srr - sr * sr / m) / m)
+                                 / ((sss - ss * ss / m) / m)), 6) AS f_trend
+FROM sums ORDER BY event_type
+""",
+)
+def ts_seasonality_strength(spark, sf_dir):
+    """Seasonality/trend STRENGTH scores (the STL-feature pair used for
+    forecast-model routing, e.g. in M4-style feature pipelines):
+    F_seasonal = 1 − Var(residual)/Var(detrended) and F_trend = 1 −
+    Var(residual)/Var(deseasonalized), each clipped at 0 — scalars in
+    [0,1] that say WHETHER ts_seasonal_decompose's components carry
+    signal, which is what an automated pipeline branches on
+    (ts_demand_classification's router is the consumer shape). Same
+    classical decomposition (7-day centered MA trend on interior days,
+    day-of-week seasonal means via arithmetic dow — engine dayofweek()
+    conventions differ), then population variances over the tiny
+    day×type table through DECIMAL sums so partition order can't flip
+    the 6th decimal. Components are 1e-6-quantized BEFORE the variance
+    so both engines square identical grid values."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    w7 = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    # pin the trended table: it feeds the seasonal window AND the
+    # component projection (single-scan discipline)
+    interior = ckpt(
+        daily.select(
+            "event_type",
+            "day",
+            F.datediff("day", F.lit("2024-01-01").cast("date")).alias("dd"),
+            "n",
+            q6(F.avg("n").over(w7)).alias("trend"),
+            F.count(F.lit(1)).over(w7).alias("wcnt"),
+        ).filter(F.col("wcnt") == 7)
+    )
+    # arithmetic dow: days since a known Monday, mod 7 (pmod — DuckDB's
+    # % on non-negative dd is equivalent)
+    wdow = Window.partitionBy("event_type", F.pmod("dd", F.lit(7)))
+    seasoned = interior.select(
+        "event_type",
+        "n",
+        "trend",
+        q6(F.avg(F.col("n") - F.col("trend")).over(wdow)).alias("seasonal"),
+    )
+    comps = seasoned.select(
+        "event_type",
+        q6(F.col("n") - F.col("trend") - F.col("seasonal")).alias("resid"),
+        q6(F.col("n") - F.col("trend")).alias("detr"),
+        q6(F.col("n") - F.col("seasonal")).alias("deseas"),
+    )
+    d6 = lambda c: F.sum(F.col(c).cast("decimal(38,6)")).cast("double")
+    # decimal(18,6)^2 -> (37,12): exact and within precision 38 on BOTH
+    # engines (a (38,12) square would force Spark's silent scale truncation)
+    d12 = lambda c: F.sum(
+        F.col(c).cast("decimal(18,6)") * F.col(c).cast("decimal(18,6)")
+    ).cast("double")
+    sums = comps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("m"),
+        d6("resid").alias("sr"),
+        d12("resid").alias("srr"),
+        d6("detr").alias("sd"),
+        d12("detr").alias("sdd"),
+        d6("deseas").alias("ss"),
+        d12("deseas").alias("sss"),
+    )
+    var = lambda sx, sxx: (F.col(sxx) - F.col(sx) * F.col(sx) / F.col("m")) / F.col("m")
+    return sums.select(
+        "event_type",
+        F.round(
+            F.greatest(F.lit(0.0), 1.0 - var("sr", "srr") / var("sd", "sdd")), 6
+        ).alias("f_seasonal"),
+        F.round(
+            F.greatest(F.lit(0.0), 1.0 - var("sr", "srr") / var("ss", "sss")), 6
+        ).alias("f_trend"),
+    ).orderBy("event_type")

@@ -118,7 +118,13 @@ def register(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Quer
 # udf_window_pandas, ts_intervention_its, ts_poisson_rate_ratio,
 # llm_retrieval_eval, llm_agreement_kappa — sim-verified at
 # sf0.001/0.01/0.1 plus an Asia/Kolkata probe, full 428-key
-# bare-session sim green after they landed). All round-6 additions were sim-verified at
+# bare-session sim green after they landed) and the wave-5 tail
+# (join_asof_forward, ts_runs_test, ts_seasonality_strength,
+# dq_sequence_gaps, llm_code_detect — same three-scale + Kolkata
+# verification; full 433-key bare-session sim green after they
+# landed) and the wave-6 tail (ml_learning_curve, llm_split_leakage,
+# sink_bloom_filter_parquet — same three-scale + Kolkata
+# verification). All round-6 additions were sim-verified at
 # sf0.001/0.01, and every key in the post-fold waves also at sf0.1;
 # the full registry ran hash-green in the bare-session simulator
 # repeatedly during the round (329/329, 357/357, 380/380, 389/389,
@@ -488,6 +494,14 @@ _KEY_RANK: dict[str, int] = {
     "ts_poisson_rate_ratio": 9,
     "llm_retrieval_eval": 9,
     "llm_agreement_kappa": 9,
+    "join_asof_forward": 9,
+    "ts_runs_test": 9,
+    "ts_seasonality_strength": 9,
+    "dq_sequence_gaps": 9,
+    "llm_code_detect": 9,
+    "ml_learning_curve": 9,
+    "llm_split_leakage": 9,
+    "sink_bloom_filter_parquet": 9,
 }
 
 

@@ -122,3 +122,99 @@ def test_kappa_table_and_bounds(spark, sf_dir):
     # kappa's sign must match whether observed beats chance
     if r["p_observed"] > r["p_expected"]:
         assert r["cohens_kappa"] > 0
+
+
+def test_asof_forward_click_is_after_purchase(spark, sf_dir):
+    """Forward as-of: matched click never precedes the purchase, and is
+    the EARLIEST such click (spot-check via the exhaustive min)."""
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    out = _Q["join_asof_forward"](spark, sf_dir)
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert r["click_ts"] >= r["purchase_ts"]
+    # exhaustive check on one user with matches
+    uid = rows[0]["user_id"]
+    ev = tbl(spark, sf_dir, "events")
+    clicks = [
+        (r["ts"], r["event_id"])
+        for r in ev.filter(
+            (F.col("user_id") == uid) & (F.col("event_type") == "click")
+        ).collect()
+    ]
+    for r in [x for x in rows if x["user_id"] == uid]:
+        later = sorted(ts for ts, _ in clicks if ts >= r["purchase_ts"])
+        assert later and later[0] == r["click_ts"]
+
+
+def test_runs_test_counts_reconcile(spark, sf_dir):
+    """Runs are bounded by sign count and at least 1; E[R] sits inside
+    [1, n+1]."""
+    r = _Q["ts_runs_test"](spark, sf_dir).collect()[0]
+    n = r["n_up"] + r["n_down"]
+    assert 1 <= r["runs"] <= n
+    assert 1.0 <= r["expected_runs"] <= n + 1.0
+
+
+def test_seasonality_strength_in_unit_interval(spark, sf_dir):
+    rows = _Q["ts_seasonality_strength"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["f_seasonal"] <= 1.0 + 1e-9
+        assert 0.0 <= r["f_trend"] <= 1.0 + 1e-9
+
+
+def test_sequence_gaps_match_construction(spark, sf_dir):
+    """Every reported gap is exactly one dropped ≡3 (mod 7) key."""
+    rows = _Q["dq_sequence_gaps"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_missing"] == 1
+        assert r["gap_start"] == r["gap_end"]
+        assert r["gap_start"] % 7 == 3
+
+
+def test_code_detect_scores_nonnegative_and_prose_rate(spark, sf_dir):
+    """Scores are ≥ 0 and the prose fixture corpus flags (almost)
+    nothing as code."""
+    rows = _Q["llm_code_detect"](spark, sf_dir).collect()
+    assert rows
+    flagged = sum(1 for r in rows if r["is_code"])
+    assert flagged / len(rows) < 0.05
+    for r in rows:
+        assert r["code_score"] >= 0.0
+
+
+def test_learning_curve_shape(spark, sf_dir):
+    """Nested slices: n_train strictly increases with buckets; losses
+    are finite positives (5 GD steps from zero — trajectory contract,
+    not convergence)."""
+    rows = sorted(
+        _Q["ml_learning_curve"](spark, sf_dir).collect(),
+        key=lambda r: r["train_buckets"],
+    )
+    assert [r["train_buckets"] for r in rows] == [2, 4, 6, 8]
+    ns = [r["n_train"] for r in rows]
+    assert ns == sorted(ns) and ns[0] > 0
+    for r in rows:
+        assert 0.0 < r["holdout_logloss"] < 10.0
+
+
+def test_split_leakage_normalized_supersets_exact(spark, sf_dir):
+    """Normalized-hash leakage can only ADD to exact-hash leakage
+    (normalization is a coarsening), and rates sit in [0,1]."""
+    rows = {r["dup_class"]: r for r in _Q["llm_split_leakage"](spark, sf_dir).collect()}
+    assert set(rows) == {"exact", "normalized"}
+    assert (
+        rows["normalized"]["test_docs_contaminated"]
+        >= rows["exact"]["test_docs_contaminated"]
+    )
+    for r in rows.values():
+        assert 0.0 <= r["contamination_rate"] <= 1.0
+
+
+def test_bloom_write_measured_larger(spark, sf_dir):
+    for r in _Q["sink_bloom_filter_parquet"](spark, sf_dir).collect():
+        assert r["bloom_adds_bytes"] is True
