@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 
 import pyspark.sql.functions as F
+from pyspark.sql import Window
 
 from ..registry import register
 from ._shared import scratch_dir, t
@@ -920,4 +921,75 @@ def sink_bloom_filter_parquet(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.lit(sizes["bloom"] > sizes["plain"]).alias("bloom_adds_bytes"),
         F.lit(True).alias("roundtrip_ok"),
+    )
+
+
+@register(
+    "scan_cdc_apply",
+    oracle="""
+WITH log AS (
+    SELECT o_orderkey AS k, 1 AS seq, 'I' AS op, o_totalprice AS price FROM orders
+    UNION ALL
+    SELECT o_orderkey, 2, 'U', o_totalprice + 100.0 FROM orders WHERE o_orderkey % 7 = 0
+    UNION ALL
+    SELECT o_orderkey, 3, 'D', NULL FROM orders WHERE o_orderkey % 11 = 0
+), last AS (
+    SELECT k, seq, op, price,
+           ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+    FROM log
+)
+SELECT k AS o_orderkey, ROUND(price, 6) AS final_price, CAST(seq AS BIGINT) AS last_seq
+FROM last WHERE rn = 1 AND op <> 'D'
+""",
+)
+def scan_cdc_apply(spark, sf_dir):
+    """CDC changelog application — the ingest half of every lakehouse
+    mirror: a sequenced insert/update/delete stream (here derived
+    deterministically from orders: full insert load, a price
+    correction for keys ≡0 mod 7, a deletion for keys ≡0 mod 11 —
+    the scan_snapshot_diff stand-in convention) collapsed to the
+    final table state by LAST-WINS PER KEY in sequence order, with
+    tombstones dropped. This is sink_upsert's MERGE generalized to a
+    multi-operation ordered log — exactly what a Debezium/binlog feed
+    replays. Plan shape: one union (no join — the log is one stream),
+    one key-partitioned window to pick max-seq, one filter; at 100 TB
+    the window shuffle is the only data-sized cost, and in production
+    the same pass lands on a key-bucketed table so the next increment
+    co-partitions. Out-of-order capture is the failure mode this op's
+    explicit seq column guards against — replaying on arrival order
+    instead silently resurrects deleted keys."""
+    o = t(spark, sf_dir, "orders")
+    log = (
+        o.select(
+            F.col("o_orderkey").alias("k"),
+            F.lit(1).alias("seq"),
+            F.lit("I").alias("op"),
+            F.col("o_totalprice").alias("price"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 7 == 0).select(
+                F.col("o_orderkey").alias("k"),
+                F.lit(2).alias("seq"),
+                F.lit("U").alias("op"),
+                (F.col("o_totalprice") + 100.0).alias("price"),
+            )
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 11 == 0).select(
+                F.col("o_orderkey").alias("k"),
+                F.lit(3).alias("seq"),
+                F.lit("D").alias("op"),
+                F.lit(None).cast("double").alias("price"),
+            )
+        )
+    )
+    w = Window.partitionBy("k").orderBy(F.desc("seq"))
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            F.col("k").alias("o_orderkey"),
+            F.round("price", 6).alias("final_price"),
+            F.col("seq").cast("bigint").alias("last_seq"),
+        )
     )

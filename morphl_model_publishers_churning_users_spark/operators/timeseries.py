@@ -3986,3 +3986,202 @@ def ts_seasonality_strength(spark, sf_dir):
             F.greatest(F.lit(0.0), 1.0 - var("sr", "srr") / var("ss", "sss")), 6
         ).alias("f_trend"),
     ).orderBy("event_type")
+
+
+@register(
+    "ts_bitemporal_asof",
+    oracle="""
+WITH versions AS (
+    -- load version: known at the order date, valid from the order date
+    SELECT o_orderkey AS k, o_orderpriority AS pri,
+           CAST(o_orderdate AS DATE) AS valid_from,
+           CAST(o_orderdate AS DATE) AS txn_time,
+           o_totalprice AS price
+    FROM orders
+    UNION ALL
+    -- correction version: same validity, RECORDED 10 days later
+    SELECT o_orderkey, o_orderpriority, CAST(o_orderdate AS DATE),
+           CAST(o_orderdate AS DATE) + 10, ROUND(o_totalprice * 1.1, 6)
+    FROM orders WHERE o_orderkey % 5 = 0
+), lims AS (
+    SELECT MIN(valid_from) + CAST(FLOOR(datediff('day', MIN(valid_from),
+                                                 MAX(valid_from)) / 2.0) AS INTEGER)
+               AS v_cut,
+           MIN(valid_from) + CAST(FLOOR(datediff('day', MIN(valid_from),
+                                                 MAX(valid_from)) / 2.0) AS INTEGER) + 5
+               AS t_cut
+    FROM versions
+), known AS (
+    SELECT v.k, v.pri, v.price, v.valid_from, v.txn_time,
+           ROW_NUMBER() OVER (PARTITION BY v.k ORDER BY v.txn_time DESC) AS rn
+    FROM versions v, lims
+    WHERE v.valid_from <= lims.v_cut AND v.txn_time <= lims.t_cut
+)
+SELECT pri AS o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN txn_time > valid_from THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_corrected_versions,
+       ROUND(CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE), 6) AS total_price
+FROM known WHERE rn = 1 GROUP BY pri
+""",
+)
+def ts_bitemporal_asof(spark, sf_dir):
+    """Bitemporal as-of query — the audit-grade time travel
+    ts_scd2_history (one time axis) cannot answer: 'what was the
+    book of business FOR valid date V, AS KNOWN at transaction time
+    T?' Two independent axes: VALID time (when the fact was true in
+    the world) and TRANSACTION time (when the warehouse learned it).
+    The fixture versions table carries a load version at the order
+    date and a price correction RECORDED 10 days later (keys ≡0 mod
+    5, the stand-in convention); the query pins V = the valid-time
+    midpoint and T = V+5, so corrections recorded after T are
+    correctly INVISIBLE even though they are 'true' — the difference
+    between a regulatory restatement and silently rewriting history.
+    Mechanics: filter both axes, then max-txn-per-key window — one
+    key shuffle over the version table, the exact plan a bitemporal
+    dimension sustains at 100 TB when bucketed by key. The count of
+    visible correction versions (txn_time > V) rides along to prove
+    the T axis actually cut something."""
+    o = t(spark, sf_dir, "orders")
+    load = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderdate").cast("date").alias("valid_from"),
+        F.col("o_orderdate").cast("date").alias("txn_time"),
+        F.col("o_totalprice").alias("price"),
+    )
+    corr = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderdate").cast("date").alias("valid_from"),
+        F.date_add(F.col("o_orderdate").cast("date"), 10).alias("txn_time"),
+        F.round(F.col("o_totalprice") * 1.1, 6).alias("price"),
+    )
+    versions = load.unionByName(corr)
+    lims = versions.agg(
+        F.date_add(
+            F.min("valid_from"),
+            F.floor(F.datediff(F.max("valid_from"), F.min("valid_from")) / 2.0).cast(
+                "int"
+            ),
+        ).alias("v_cut")
+    ).select("v_cut", F.date_add("v_cut", 5).alias("t_cut"))
+    known = (
+        versions.crossJoin(F.broadcast(lims))
+        .filter(
+            (F.col("valid_from") <= F.col("v_cut"))
+            & (F.col("txn_time") <= F.col("t_cut"))
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("k").orderBy(F.desc("txn_time"))),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return known.groupBy(F.col("pri").alias("o_orderpriority")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum((F.col("txn_time") > F.col("valid_from")).cast("long"))
+        .cast("bigint")
+        .alias("n_corrected_versions"),
+        F.round(
+            F.sum(F.col("price").cast("decimal(38,6)")).cast("double"), 6
+        ).alias("total_price"),
+    )
+
+
+@register(
+    "ts_croston_forecast",
+    # Recursive-CTE twin (NOT list_reduce: the accumulator has TWO
+    # evolving fields — the exact DuckDB 1.0.0 lambda bug documented on
+    # ts_holt_forecast).
+    oracle="""
+WITH RECURSIVE demand AS (
+    SELECT l_partkey AS part, CAST(date_trunc('day', l_shipdate) AS DATE) AS day,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS q
+    FROM lineitem WHERE l_partkey < 20 GROUP BY 1, 2
+), seq AS (
+    SELECT part, q,
+           CAST(COALESCE(datediff('day', LAG(day) OVER (PARTITION BY part ORDER BY day),
+                                  day), 0) AS DOUBLE) AS gap,
+           ROW_NUMBER() OVER (PARTITION BY part ORDER BY day) AS i
+    FROM demand
+), cnt AS (
+    SELECT part, CAST(COUNT(*) AS BIGINT) AS n_demands FROM seq GROUP BY 1
+    HAVING COUNT(*) >= 3
+), st AS (
+    SELECT s.part, s.i, s.q AS z, CAST(0.0 AS DOUBLE) AS p
+    FROM seq s JOIN cnt c ON c.part = s.part WHERE s.i = 1
+    UNION ALL
+    SELECT st.part, s.i,
+           0.3 * s.q + 0.7 * st.z AS z,
+           CASE WHEN s.i = 2 THEN s.gap ELSE 0.3 * s.gap + 0.7 * st.p END AS p
+    FROM st JOIN seq s ON s.part = st.part AND s.i = st.i + 1
+)
+SELECT s.part, c.n_demands,
+       FLOOR(s.z * 1000000 + 0.5) / 1000000 AS size_level,
+       FLOOR(s.p * 1000000 + 0.5) / 1000000 AS interval_level,
+       FLOOR(s.z / s.p * 1000000 + 0.5) / 1000000 AS croston_rate
+FROM st s JOIN cnt c ON s.part = c.part AND s.i = c.n_demands
+ORDER BY s.part
+""",
+)
+def ts_croston_forecast(spark, sf_dir):
+    """Croston's method — THE intermittent-demand forecaster
+    (ts_demand_classification routes 'intermittent/lumpy' series
+    here; Holt/theta assume a dense series and collapse on zeros):
+    separate exponential smoothings of the nonzero demand SIZES (z)
+    and the inter-demand INTERVALS (p), forecast rate = z/p per
+    period. α=0.3 on both; p seeds from the first observed gap
+    (i=2), z from the first demand — the documented Syntetos-Boylan
+    initialization. The recurrence is ordered, so it folds over each
+    part's demand array (state = one (z,p) struct; array length =
+    DEMAND days only — the whole point of Croston is that zero days
+    never enter the state). Parts with <3 demands are routed out
+    (no meaningful interval estimate). Both engines execute the
+    identical fold in identical day order with identical double
+    arithmetic: Spark's aggregate() vs the unrolled recursive CTE."""
+    dem = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") < 20)
+        .groupBy(
+            F.col("l_partkey").alias("part"),
+            F.date_trunc("day", "l_shipdate").cast("date").alias("day"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double").alias("q"))
+    )
+    wp = Window.partitionBy("part").orderBy("day")
+    seq = dem.select(
+        "part",
+        "day",
+        "q",
+        F.coalesce(F.datediff("day", F.lag("day").over(wp)), F.lit(0))
+        .cast("double")
+        .alias("gap"),
+        F.row_number().over(wp).alias("i"),
+    )
+    arrs = (
+        seq.groupBy("part")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_demands"),
+            F.expr(
+                "sort_array(collect_list(struct(i, q, gap)))"
+            ).alias("ds"),
+        )
+        .filter(F.col("n_demands") >= 3)
+    )
+    fold = (
+        "aggregate(slice(ds, 2, greatest(size(ds) - 1, 0)),"
+        " named_struct('i', 1, 'z', element_at(ds, 1).q, 'p', 0.0D),"
+        " (acc, x) -> named_struct("
+        "   'i', x.i,"
+        "   'z', 0.3D * x.q + 0.7D * acc.z,"
+        "   'p', CASE WHEN x.i = 2 THEN x.gap ELSE 0.3D * x.gap + 0.7D * acc.p END))"
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    st = arrs.select("part", "n_demands", F.expr(fold).alias("st"))
+    return st.select(
+        "part",
+        "n_demands",
+        q6(F.col("st.z")).alias("size_level"),
+        q6(F.col("st.p")).alias("interval_level"),
+        q6(F.col("st.z") / F.col("st.p")).alias("croston_rate"),
+    ).orderBy("part")

@@ -218,3 +218,70 @@ def test_split_leakage_normalized_supersets_exact(spark, sf_dir):
 def test_bloom_write_measured_larger(spark, sf_dir):
     for r in _Q["sink_bloom_filter_parquet"](spark, sf_dir).collect():
         assert r["bloom_adds_bytes"] is True
+
+
+def test_cdc_apply_semantics(spark, sf_dir):
+    """Deleted keys absent, updated keys show the correction, untouched
+    keys keep seq 1 — checked against the construction rules."""
+    rows = _Q["scan_cdc_apply"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        k = r["o_orderkey"]
+        assert k % 11 != 0  # tombstoned keys never survive
+        if k % 7 == 0:
+            assert r["last_seq"] == 2
+        else:
+            assert r["last_seq"] == 1
+
+
+def test_bitemporal_t_axis_cuts(spark, sf_dir):
+    """The T axis must CUT something: restatements exist for keys ≡0
+    mod 5 with valid_from ≤ V, but only those RECORDED by T = V+5
+    (valid_from ≤ V−5) are selected — so selected restatements are
+    strictly fewer than eligible ones, and both bounds are live."""
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    rows = _Q["ts_bitemporal_asof"](spark, sf_dir).collect()
+    assert rows
+    total_corr = sum(r["n_corrected_versions"] for r in rows)
+    total = sum(r["n_orders"] for r in rows)
+    assert 0 < total_corr < total
+    # eligible restatements: ≡0 mod 5 keys among the visible population
+    o = tbl(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("d"), "o_orderkey"
+    )
+    lims = o.agg(
+        F.date_add(
+            F.min("d"), F.floor(F.datediff(F.max("d"), F.min("d")) / 2.0).cast("int")
+        ).alias("v_cut")
+    ).collect()[0]
+    fives = o.filter(F.col("o_orderkey") % 5 == 0)
+    eligible = fives.filter(F.col("d") <= lims["v_cut"]).count()
+    near_cut = fives.filter(
+        (F.col("d") <= lims["v_cut"])
+        & (F.datediff(F.lit(lims["v_cut"]), F.col("d")) < 5)
+    ).count()
+    # exact identity: a restatement is selected iff recorded by T=V+5,
+    # i.e. valid_from ≤ V−5 — the near-cut ones are the T-invisible set
+    assert total_corr == eligible - near_cut
+    for r in rows:
+        assert r["n_orders"] > 0 and r["total_price"] > 0
+
+
+def test_croston_state_is_positive_and_bounded(spark, sf_dir):
+    """Sizes and intervals are positive; the smoothed interval can
+    never exceed the largest observed gap, nor the rate the largest
+    demand."""
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    rows = _Q["ts_croston_forecast"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_demands"] >= 3
+        assert r["size_level"] > 0
+        assert r["interval_level"] > 0
+        assert r["croston_rate"] == pytest.approx(
+            r["size_level"] / r["interval_level"], rel=1e-4
+        )
