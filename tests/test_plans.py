@@ -670,3 +670,63 @@ def test_spatial_grid_join_is_blocked(spark, sf_dir):
 
     joins = re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M)
     assert len(joins) <= 2  # dx × dy broadcasts only
+
+
+def test_cdc_apply_single_key_shuffle(spark, sf_dir):
+    """The changelog collapse is union → ONE key-partitioned window —
+    no join anywhere (a join-based merge would pay key shuffles per
+    operation class)."""
+    plan = _plan(spark, sf_dir, "scan_cdc_apply")
+    assert "Join" not in plan
+    import re
+
+    assert len(re.findall(r"Arguments: hashpartitioning\(k#", plan)) == 1
+
+
+def test_bitemporal_broadcasts_limits(spark, sf_dir):
+    """The two-axis cut points are a 1-row broadcast onto the version
+    stream; the only data-sized shuffle is the max-txn-per-key window."""
+    plan = _plan(spark, sf_dir, "ts_bitemporal_asof")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_heavy_hitters_rescore_is_broadcast(spark, sf_dir):
+    """The exact rescore joins the corpus against the O(k·partitions)
+    candidate set via BROADCAST — a shuffled join here would re-pay
+    the full-vocabulary shuffle the sketch exists to avoid."""
+    plan = _plan(spark, sf_dir, "agg_heavy_hitters")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_forward_single_user_shuffle(spark, sf_dir):
+    """Forward as-of = union + one user-keyed sort window, mirroring
+    join_asof's plan contract — no range join, no per-key fan-out."""
+    plan = _plan(spark, sf_dir, "join_asof_forward")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan  # no join at all — union + window
+    import re
+
+    # click-dedup agg + carry window: both user-keyed, nothing else
+    assert len(re.findall(r"Arguments: hashpartitioning\(user_id#", plan)) <= 2
+
+
+def test_retrieval_eval_query_side_broadcast(spark, sf_dir):
+    """Both the exact scan and the bucket join carry the bounded query
+    set as a broadcast; the corpus side is never shuffled for the
+    join."""
+    plan = _plan(spark, sf_dir, "llm_retrieval_eval")
+    assert plan.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_split_leakage_single_union_pass(spark, sf_dir):
+    """Both dup classes ride ONE unioned corpus pass into the group —
+    no self-join between the classes."""
+    plan = _plan(spark, sf_dir, "llm_split_leakage")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    import re
+
+    assert len(re.findall(r"\(\d+\) Union", plan)) == 1
