@@ -367,3 +367,40 @@ def udf_window_pandas(spark, sf_dir):
         "user_id",
         (F.floor(raw * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("roll_avg"),
     )
+
+
+@register(
+    "udtf_arrow",
+    oracle="""
+SELECT doc_id,
+       unnest(string_split_regex(trim(text), '\\s+')) AS word,
+       CAST(length(unnest(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS wlen
+FROM documents WHERE doc_id < 100
+""",
+)
+def udtf_arrow(spark, sf_dir):
+    """Arrow-optimized Python UDTF (Spark 4's useArrow=True) — the
+    one-to-many surface at the Arrow transfer tier: eval() yields per
+    input row but rows batch through Arrow instead of pickle, which
+    is the difference between a UDTF that keeps up with a 100 TB
+    explode and one that serializes row-at-a-time (the same ladder
+    udf_python → udf_pandas documents for scalars, completed here for
+    table functions). Emits (word, wlen) so the output is genuinely
+    multi-column — the UDTF contract explode+split alone can't give
+    without a second pass."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, wlen: bigint", useArrow=True)
+    class SplitWordsArrow:
+        def eval(self, text: str):
+            for word in text.strip().split():
+                yield word, len(word)
+
+    spark.udtf.register("split_words_arrow", SplitWordsArrow)
+    t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).createOrReplaceTempView(
+        "_udtf_arrow_docs"
+    )
+    return spark.sql(
+        "SELECT d.doc_id, s.word, s.wlen FROM _udtf_arrow_docs d,"
+        " LATERAL split_words_arrow(d.text) s"
+    )

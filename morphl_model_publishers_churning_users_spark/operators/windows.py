@@ -624,3 +624,79 @@ def win_expanding_slope(spark, sf_dir):
         cums.filter(F.col("n") >= 2)
         .select("event_type", "d", F.round(slope, 6).alias("slope"))
     )
+
+
+@register(
+    "win_event_pattern",
+    oracle="""
+WITH ordered AS (
+    SELECT user_id, ts, event_id, event_type,
+           LEAD(event_type) OVER w AS nxt_type,
+           LEAD(event_id) OVER w AS nxt_id,
+           LEAD(ts) OVER w AS nxt_ts,
+           FIRST_VALUE(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 FOLLOWING AND UNBOUNDED FOLLOWING) AS rec_id,
+           FIRST_VALUE(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 FOLLOWING AND UNBOUNDED FOLLOWING) AS rec_ts
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id AS click_id, nxt_id AS error_id, rec_id AS recovery_id,
+       -- elapsed FULL seconds via µs floor-div: engines disagree on
+       -- datediff('second') boundary-crossing semantics
+       (epoch_us(rec_ts) - epoch_us(nxt_ts)) // 1000000 AS gap_s
+FROM ordered
+WHERE event_type = 'click' AND nxt_type = 'error'
+  AND rec_id IS NOT NULL
+  AND (epoch_us(rec_ts) - epoch_us(nxt_ts)) // 1000000 <= 86400
+""",
+)
+def win_event_pattern(spark, sf_dir):
+    """Sequence-pattern detection (MATCH_RECOGNIZE-lite) — the 3-state
+    pattern 'click immediately followed by error, then a purchase
+    within 24 hours of the error' (error-interrupted conversion that
+    RECOVERED — the funnel row ts_funnel's unordered containment
+    can't see, because here adjacency and order are the semantics).
+    Engines without MATCH_RECOGNIZE (Spark included) express linear
+    patterns as window compositions: LEAD×2 pins the contiguous
+    (click, error) bigram, a FOLLOWING-frame first_value(IGNORE
+    NULLS) binds the next purchase — the same carry trick as
+    join_asof_forward, inline. ONE user-keyed shuffle serves all
+    three states; state per user is a cursor, not a buffer, so the
+    plan is the streaming-safe NFA simulation shape. Tie order
+    (ts, event_id) makes every binding deterministic."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(2, Window.unboundedFollowing)
+    )
+    is_p = F.when(F.col("event_type") == "purchase", F.col("event_id"))
+    is_pts = F.when(F.col("event_type") == "purchase", F.col("ts"))
+    o = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("nxt_type"),
+        F.lead("event_id").over(w).alias("nxt_id"),
+        F.lead("ts").over(w).alias("nxt_ts"),
+        F.first(is_p, ignorenulls=True).over(wf).alias("rec_id"),
+        F.first(is_pts, ignorenulls=True).over(wf).alias("rec_ts"),
+    )
+    gap = F.floor(F.expr("timestampdiff(MICROSECOND, nxt_ts, rec_ts)") / F.lit(1000000))
+    return o.filter(
+        (F.col("event_type") == "click")
+        & (F.col("nxt_type") == "error")
+        & F.col("rec_id").isNotNull()
+        & (gap <= 86400)
+    ).select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("nxt_id").alias("error_id"),
+        F.col("rec_id").alias("recovery_id"),
+        gap.cast("bigint").alias("gap_s"),
+    )

@@ -125,7 +125,8 @@ def register(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Quer
 # landed) and the wave-6 tail (ml_learning_curve, llm_split_leakage,
 # sink_bloom_filter_parquet — same three-scale + Kolkata
 # verification) and the wave-7 tail (scan_cdc_apply,
-# ts_bitemporal_asof, ts_croston_forecast — same verification). All round-6 additions were sim-verified at
+# ts_bitemporal_asof, ts_croston_forecast — same verification) and
+# the wave-8 tail (udtf_arrow, win_event_pattern — same verification). All round-6 additions were sim-verified at
 # sf0.001/0.01, and every key in the post-fold waves also at sf0.1;
 # the full registry ran hash-green in the bare-session simulator
 # repeatedly during the round (329/329, 357/357, 380/380, 389/389,
@@ -506,6 +507,8 @@ _KEY_RANK: dict[str, int] = {
     "scan_cdc_apply": 9,
     "ts_bitemporal_asof": 9,
     "ts_croston_forecast": 9,
+    "udtf_arrow": 9,
+    "win_event_pattern": 9,
 }
 
 

@@ -285,3 +285,32 @@ def test_croston_state_is_positive_and_bounded(spark, sf_dir):
         assert r["croston_rate"] == pytest.approx(
             r["size_level"] / r["interval_level"], rel=1e-4
         )
+
+
+def test_udtf_arrow_matches_explode(spark, sf_dir):
+    """The Arrow UDTF must agree with the declarative explode on both
+    the words and their lengths."""
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    got = _Q["udtf_arrow"](spark, sf_dir).groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.sum("wlen").alias("s")
+    ).collect()[0]
+    ref = (
+        tbl(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.length("w")).alias("s"))
+        .collect()[0]
+    )
+    assert (got["n"], got["s"]) == (ref["n"], ref["s"])
+
+
+def test_event_pattern_bindings_are_valid(spark, sf_dir):
+    """Every match is a real click→error adjacency with a purchase
+    after the error within 24 hours, ids strictly ordered."""
+    rows = _Q["win_event_pattern"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["gap_s"] <= 86400
+        assert r["click_id"] != r["error_id"] != r["recovery_id"]
