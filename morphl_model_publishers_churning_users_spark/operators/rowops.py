@@ -1397,3 +1397,90 @@ def dq_sequence_gaps(spark, sf_dir):
     return gaps.filter(F.col("gap_end").isNotNull()).select(
         "gap_start", "gap_end", (F.col("gap_end") - F.col("gap_start") + 1).alias("n_missing")
     )
+
+
+@register(
+    "dq_quantile_sketch_audit",
+    oracle="""
+WITH exact AS (
+    SELECT quantile_cont(value, 0.50) AS p50,
+           quantile_cont(value, 0.95) AS p95,
+           quantile_cont(value, 0.99) AS p99,
+           MIN(value) AS lo, MAX(value) AS hi
+    FROM events
+)
+SELECT CAST(acc.a AS BIGINT) AS accuracy,
+       ROUND(p50, 6) AS exact_p50, ROUND(p95, 6) AS exact_p95,
+       ROUND(p99, 6) AS exact_p99,
+       TRUE AS p50_within_rank_bound, TRUE AS p95_within_rank_bound,
+       TRUE AS p99_within_rank_bound
+FROM exact, (VALUES (100), (1000), (10000)) acc(a)
+ORDER BY accuracy
+""",
+)
+def dq_quantile_sketch_audit(spark, sf_dir):
+    """Quantile-sketch accuracy audit — the dq_hll_error_audit pattern
+    applied to approx_percentile: at 100 TB exact quantiles need a
+    full sort, so everything runs on the Greenwald-Khanna sketch, and
+    this op MEASURES what each accuracy setting actually buys instead
+    of trusting the 1/accuracy rank-error formula. For accuracies
+    100/1000/10000 each sketch p50/p95/p99 answer (a REAL data
+    sample — GK never interpolates) is rank-checked: the sample's
+    rank range [count(<v), count(≤v)] must intersect [(q−ε)n,
+    (q+ε)n] with ε = 1/accuracy — the sketch's actual guarantee
+    (value distance means nothing for skewed distributions; rank
+    distance is the contract, which is also why comparing against
+    interpolated exact quantile VALUES would false-alarm). Exact
+    quantiles ride one sort-free quantile_cont per engine at audit
+    scale; the flags are computed Spark-side from the measured sketch
+    outputs, the oracle pins the exact quantiles and the flags'
+    truth. A false flag is an engine-regression alarm, not noise —
+    the bound is mathematical."""
+    e = t(spark, sf_dir, "events").select("value")
+    base = e.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.expr("percentile(value, array(0.5D, 0.95D, 0.99D))").alias("ex"),
+    ).collect()[0]
+    n, ex = base["n"], base["ex"]
+    rows = []
+    for acc in (100, 1000, 10000):
+        eps = 1.0 / acc
+        sk = e.agg(
+            F.expr(
+                f"approx_percentile(value, array(0.5D, 0.95D, 0.99D), {acc})"
+            ).alias("sk")
+        ).collect()[0]["sk"]
+        # the GK contract is on RANKS: the returned sample's rank range
+        # [count(<v), count(<=v)] must intersect [(q-eps)n, (q+eps)n]
+        # (+1 rank slack for the ceil/floor boundary)
+        rk = e.agg(
+            *[
+                f
+                for i, v in enumerate(sk)
+                for f in (
+                    F.sum((F.col("value") < v).cast("long")).alias(f"lt{i}"),
+                    F.sum((F.col("value") <= v).cast("long")).alias(f"le{i}"),
+                )
+            ]
+        ).collect()[0]
+        flags = []
+        for i, q in enumerate((0.5, 0.95, 0.99)):
+            lo, hi = (q - eps) * n - 1, (q + eps) * n + 1
+            flags.append(bool(rk[f"lt{i}"] <= hi and rk[f"le{i}"] >= lo))
+        rows.append(
+            (
+                acc,
+                round(ex[0], 6),
+                round(ex[1], 6),
+                round(ex[2], 6),
+                flags[0],
+                flags[1],
+                flags[2],
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "accuracy bigint, exact_p50 double, exact_p95 double, exact_p99 double,"
+        " p50_within_rank_bound boolean, p95_within_rank_bound boolean,"
+        " p99_within_rank_bound boolean",
+    )

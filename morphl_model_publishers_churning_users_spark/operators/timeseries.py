@@ -4185,3 +4185,84 @@ def ts_croston_forecast(spark, sf_dir):
         q6(F.col("st.p")).alias("interval_level"),
         q6(F.col("st.z") / F.col("st.p")).alias("croston_rate"),
     ).orderBy("part")
+
+
+@register(
+    "ts_lag_correlation",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1, 2
+), pairs AS (
+  SELECT g.lag, c.n AS x, p.n AS y
+  FROM generate_series(-7, 7) g(lag)
+  JOIN daily c ON c.event_type = 'click'
+  JOIN daily p ON p.event_type = 'purchase'
+   AND p.day = c.day + CAST(g.lag AS INTEGER)
+), sums AS (
+  SELECT lag, CAST(COUNT(*) AS DOUBLE) AS m,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx,
+         SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM pairs GROUP BY 1 HAVING COUNT(*) >= 8
+)
+SELECT CAST(lag AS BIGINT) AS lag_days, CAST(m AS BIGINT) AS n_overlap,
+       ROUND((m * sxy - sx * sy)
+             / sqrt((m * sxx - sx * sx) * (m * syy - sy * sy)), 6) AS xcorr
+FROM sums ORDER BY lag_days
+""",
+)
+def ts_lag_correlation(spark, sf_dir):
+    """Lagged cross-correlation scan — 'do clicks LEAD purchases, and
+    by how many days?': Pearson correlation between the click series
+    and the purchase series shifted by every lag in ±7 days; the
+    argmax lag is the lead-lag relationship marketing-mix and
+    capacity models consume (the closed-form alignment answer where
+    DTW would give an unconstrained warp). All integer-exact sums
+    until the final divisions (the agg_mann_whitney discipline), so
+    ties and signs are bit-stable cross-engine. Cost shape: the day
+    grain collapses first; the 15-lag scan is a broadcast
+    generate_series joined against the TINY day table — at 100 TB
+    the lag scan costs nothing because it never sees raw events;
+    lags with <8 overlapping days are dropped (no meaningful
+    correlation)."""
+    daily = ckpt(
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    lags = spark.range(-7, 8).select(F.col("id").cast("int").alias("lag"))
+    c = daily.filter(F.col("event_type") == "click").select(
+        F.col("day").alias("cday"), F.col("n").alias("x")
+    )
+    p = daily.filter(F.col("event_type") == "purchase").select(
+        F.col("day").alias("pday"), F.col("n").alias("y")
+    )
+    pairs = (
+        c.crossJoin(F.broadcast(lags))
+        .join(p, F.expr("pday = date_add(cday, lag)"))
+        .select("lag", "x", "y")
+    )
+    sums = (
+        pairs.groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("m"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+        .filter(F.col("m") >= 8)
+    )
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return sums.select(
+        F.col("lag").cast("bigint").alias("lag_days"),
+        F.col("m").cast("bigint").alias("n_overlap"),
+        F.round(num / den, 6).alias("xcorr"),
+    ).orderBy("lag_days")

@@ -126,7 +126,9 @@ def register(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Quer
 # sink_bloom_filter_parquet — same three-scale + Kolkata
 # verification) and the wave-7 tail (scan_cdc_apply,
 # ts_bitemporal_asof, ts_croston_forecast — same verification) and
-# the wave-8 tail (udtf_arrow, win_event_pattern — same verification). All round-6 additions were sim-verified at
+# the wave-8 tail (udtf_arrow, win_event_pattern — same verification)
+# and the wave-9 tail (ts_lag_correlation, dq_quantile_sketch_audit —
+# same verification). All round-6 additions were sim-verified at
 # sf0.001/0.01, and every key in the post-fold waves also at sf0.1;
 # the full registry ran hash-green in the bare-session simulator
 # repeatedly during the round (329/329, 357/357, 380/380, 389/389,
@@ -509,6 +511,8 @@ _KEY_RANK: dict[str, int] = {
     "ts_croston_forecast": 9,
     "udtf_arrow": 9,
     "win_event_pattern": 9,
+    "ts_lag_correlation": 9,
+    "dq_quantile_sketch_audit": 9,
 }
 
 

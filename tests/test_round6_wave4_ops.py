@@ -314,3 +314,27 @@ def test_event_pattern_bindings_are_valid(spark, sf_dir):
     for r in rows:
         assert 0 <= r["gap_s"] <= 86400
         assert r["click_id"] != r["error_id"] != r["recovery_id"]
+
+
+def test_lag_correlation_zero_lag_is_complete(spark, sf_dir):
+    """Lag 0 must pair every shared day, correlations live in [-1,1],
+    and the lag scan is symmetric in coverage (lag k overlap equals
+    lag -k overlap up to boundary truncation)."""
+    rows = {r["lag_days"]: r for r in _Q["ts_lag_correlation"](spark, sf_dir).collect()}
+    assert 0 in rows
+    for r in rows.values():
+        assert -1.0 - 1e-9 <= r["xcorr"] <= 1.0 + 1e-9
+        assert r["n_overlap"] >= 8
+    assert rows[0]["n_overlap"] == max(r["n_overlap"] for r in rows.values())
+
+
+def test_quantile_sketch_bounds_hold_at_all_accuracies(spark, sf_dir):
+    """The GK rank guarantee must hold at every accuracy setting —
+    a false flag is an engine regression, not noise."""
+    rows = _Q["dq_quantile_sketch_audit"](spark, sf_dir).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["p50_within_rank_bound"] is True
+        assert r["p95_within_rank_bound"] is True
+        assert r["p99_within_rank_bound"] is True
+        assert r["exact_p50"] <= r["exact_p95"] <= r["exact_p99"]
