@@ -132,8 +132,10 @@ def register(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Quer
 # sf0.001/0.01, and every key in the post-fold waves also at sf0.1;
 # the full registry ran hash-green in the bare-session simulator
 # repeatedly during the round (329/329, 357/357, 380/380, 389/389,
-# 400/400, 406/406, and the definitive end-of-round run: 415/415 green
-# in 268 s); the final full pytest suite finished 602 passed / 1 skipped;
+# 400/400, 406/406, 415/415, then after the late-session waves
+# 420/420, 428/428, 433/433, and the definitive end-of-round run:
+# 443/443 green in 347 s); the final full pytest suite finished
+# 659 passed / 1 skipped;
 # the once-per-round 10x parity sweep (SPARK_GRAFT_TEST_SF_DIR=sf0.1
 # test_oracle.py) finished 402 passed / 1 skipped in 18m39s, and every
 # key added after that sweep was individually driver-compared at sf0.1
@@ -141,7 +143,9 @@ def register(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Quer
 # 6.818 s total (best recorded; r4 7.551, r5 8.779) with both MinHash
 # paths at ~1.0 s — later same-commit re-runs read 8.6 s uniformly
 # across all queries (host-level variance; band measured and recorded
-# in SURVEY §6 bench-hygiene).
+# in SURVEY §6 bench-hygiene). Post-wave-9 bench: 7.16 s at loadavg
+# 1.8 with MinHash paths 1.06/1.08 s — inside the band, no regression
+# from the 23 session additions (none touch the headline set's code).
 _VERIFIED_ROUND: dict[str, int] = {
         # --- round 1 greens ---
     "agg_benford": 1, "agg_collect": 1, "agg_cooccurrence": 1, "agg_corr_matrix": 1,
