@@ -1484,3 +1484,51 @@ def dq_quantile_sketch_audit(spark, sf_dir):
         " p50_within_rank_bound boolean, p95_within_rank_bound boolean,"
         " p99_within_rank_bound boolean",
     )
+
+
+@register(
+    "dq_rounding_contract_audit",
+    oracle="""
+WITH probes(pid, x) AS (VALUES
+    (1, 0.0000005), (2, 1.0000005), (3, 2.0000005), (4, -0.0000005),
+    (5, 1.0000015), (6, 0.1234565), (7, 2.6749995), (8, -1.0000015),
+    (9, 123456.7890115), (10, 0.9999995)
+)
+SELECT pid, CAST(x AS DOUBLE) AS x,
+       FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) / 1000000 AS q6,
+       FLOOR(CAST(x AS DOUBLE) * 1e12 + 0.5) / 1e12 AS q12,
+       FLOOR(-CAST(x AS DOUBLE) * 1000000 + 0.5) / 1000000 AS q6_neg
+FROM probes ORDER BY pid
+""",
+)
+def dq_rounding_contract_audit(spark, sf_dir):
+    """Numeric-contract certification — the hash-exactness this whole
+    engine's oracle discipline rests on, itself put under the hash:
+    every cross-engine output in this repo quantizes through
+    floor(x·10^k + 0.5) (round-half-up toward +inf, identical IEEE
+    ops on both engines) precisely because bare ROUND() is NOT
+    portable — Spark's round is HALF_UP on the decimal repr, DuckDB's
+    is half-even on doubles, and they split at .5 boundaries (the
+    invariant test pins one such split). This op drives the contract
+    through hand-picked adversarial literals: exact .5 ties at the
+    6th/12th decimal, negatives (where floor-based rounding goes
+    toward +inf, NOT away from zero — documented, certified), a
+    large-magnitude value, and near-tie epsilons. A future engine
+    version that changes any of these bit patterns fails the driver
+    hash loudly instead of silently drifting every 6th decimal in
+    the suite. Constants-only by design: the contract must hold
+    independent of data."""
+    rows = [
+        (1, 0.0000005), (2, 1.0000005), (3, 2.0000005), (4, -0.0000005),
+        (5, 1.0000015), (6, 0.1234565), (7, 2.6749995), (8, -1.0000015),
+        (9, 123456.7890115), (10, 0.9999995),
+    ]
+    df = spark.createDataFrame(rows, "pid int, x double")
+    q = lambda c, k: F.floor(c * F.lit(float(10**k)) + F.lit(0.5)) / F.lit(float(10**k))
+    return df.select(
+        "pid",
+        "x",
+        q(F.col("x"), 6).alias("q6"),
+        q(F.col("x"), 12).alias("q12"),
+        q(-F.col("x"), 6).alias("q6_neg"),
+    ).orderBy("pid")

@@ -4266,3 +4266,100 @@ def ts_lag_correlation(spark, sf_dir):
         F.col("m").cast("bigint").alias("n_overlap"),
         F.round(num / den, 6).alias("xcorr"),
     ).orderBy("lag_days")
+
+
+@register(
+    "ts_dtw_distance",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1, 2
+), series AS (
+  SELECT event_type,
+         list_transform(list_sort(list(struct_pack(day := day, n := n))), s -> s.n) AS v,
+         CAST(COUNT(*) AS BIGINT) AS len
+  FROM daily GROUP BY 1
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.len AS n_a, b.len AS n_b,
+         list_reduce(
+             list_prepend(list_prepend(0.0, list_transform(b.v, y -> 1e18)),
+                          list_transform(a.v, x -> [x])),
+             (prev, xa) -> list_reduce(
+                 list_prepend([1e18], list_transform(b.v, y -> [y])),
+                 (acc, xb) -> list_append(acc,
+                     abs(xa[1] - xb[1]) + least(prev[len(acc) + 1],
+                                                prev[len(acc)],
+                                                acc[len(acc)]))
+             )
+         ) AS final_row
+  FROM series a JOIN series b ON a.event_type < b.event_type
+)
+SELECT type_a, type_b, n_a, n_b,
+       FLOOR(final_row[CAST(n_b + 1 AS INTEGER)] * 1000000 + 0.5) / 1000000
+           AS dtw_l1,
+       FLOOR(final_row[CAST(n_b + 1 AS INTEGER)] / (n_a + n_b)
+             * 1000000 + 0.5) / 1000000 AS dtw_per_step
+FROM pairs ORDER BY type_a, type_b
+""",
+)
+def ts_dtw_distance(spark, sf_dir):
+    """Dynamic time warping distance between every pair of event-type
+    daily series — the alignment-free similarity ts_lag_correlation's
+    rigid shifts can't give (a campaign that stretches one series
+    locally still matches under warping; any fixed lag misses it).
+    The full O(n·m) DP runs as a NESTED codegen fold — outer
+    aggregate over series a carries the previous DP row, the inner
+    fold builds the next row left-to-right (the new[j-1] dependency
+    that no window function can vectorize) — zero UDFs, zero driver
+    loops. DuckDB 1.0's list_reduce has no initial-accumulator arg,
+    so both sides seed by PREPENDING the init row to a list-of-lists
+    (type-uniform, and the first reduce step consumes it); both
+    engines then execute the identical fold in identical order with
+    identical double arithmetic, making an O(n²) dynamic program
+    hash-exact cross-engine. Scale: state per pair is ONE DP row (m
+    doubles), series are day-grain (bounded), and the pair table
+    partitions freely — 10k store-pairs at 100 TB is 10k independent
+    folds, not a shuffle."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    series = ckpt(
+        daily.groupBy("event_type").agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(day, n))), s -> s.n)"
+            ).alias("v"),
+            F.count(F.lit(1)).cast("bigint").alias("len"),
+        )
+    )
+    a = series.select(
+        F.col("event_type").alias("type_a"), F.col("v").alias("va"), F.col("len").alias("n_a")
+    )
+    b = series.select(
+        F.col("event_type").alias("type_b"), F.col("v").alias("vb"), F.col("len").alias("n_b")
+    )
+    dp = """
+aggregate(va,
+  concat(array(0.0D), transform(vb, y -> 1e18D)),
+  (prev, av) -> aggregate(vb, array(1e18D),
+     (acc, bv) -> concat(acc, array(abs(av - bv) +
+        least(element_at(prev, size(acc) + 1),
+              element_at(prev, size(acc)),
+              element_at(acc, size(acc)))))))
+"""
+    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b")).select(
+        "type_a", "type_b", "n_a", "n_b", F.expr(dp).alias("final_row")
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    dtw = F.element_at("final_row", (F.col("n_b") + 1).cast("int"))
+    return pairs.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        q6(dtw).alias("dtw_l1"),
+        q6(dtw / (F.col("n_a") + F.col("n_b"))).alias("dtw_per_step"),
+    ).orderBy("type_a", "type_b")

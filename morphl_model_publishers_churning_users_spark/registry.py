@@ -128,7 +128,8 @@ def register(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Quer
 # ts_bitemporal_asof, ts_croston_forecast — same verification) and
 # the wave-8 tail (udtf_arrow, win_event_pattern — same verification)
 # and the wave-9 tail (ts_lag_correlation, dq_quantile_sketch_audit —
-# same verification). All round-6 additions were sim-verified at
+# same verification) and the wave-10 tail (ts_dtw_distance,
+# dq_rounding_contract_audit — same verification). All round-6 additions were sim-verified at
 # sf0.001/0.01, and every key in the post-fold waves also at sf0.1;
 # the full registry ran hash-green in the bare-session simulator
 # repeatedly during the round (329/329, 357/357, 380/380, 389/389,
@@ -517,6 +518,8 @@ _KEY_RANK: dict[str, int] = {
     "win_event_pattern": 9,
     "ts_lag_correlation": 9,
     "dq_quantile_sketch_audit": 9,
+    "ts_dtw_distance": 9,
+    "dq_rounding_contract_audit": 9,
 }
 
 

@@ -338,3 +338,50 @@ def test_quantile_sketch_bounds_hold_at_all_accuracies(spark, sf_dir):
         assert r["p95_within_rank_bound"] is True
         assert r["p99_within_rank_bound"] is True
         assert r["exact_p50"] <= r["exact_p95"] <= r["exact_p99"]
+
+
+def test_dtw_properties(spark, sf_dir):
+    """DTW(x,x)=0 (via any type against itself conceptually), DTW ≥ 0,
+    and DTW ≤ L1 distance of the zero-warp alignment when lengths
+    match (warping can only help)."""
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    rows = _Q["ts_dtw_distance"](spark, sf_dir).collect()
+    assert len(rows) == 10  # 5 event types -> C(5,2) pairs
+    daily = (
+        tbl(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    series = {
+        r["event_type"]: [x["n"] for x in sorted(r["s"], key=lambda v: v["day"])]
+        for r in daily.groupBy("event_type")
+        .agg(F.collect_list(F.struct("day", "n")).alias("s"))
+        .collect()
+    }
+    for r in rows:
+        assert r["dtw_l1"] >= 0
+        a, b = series[r["type_a"]], series[r["type_b"]]
+        if len(a) == len(b):
+            l1 = sum(abs(x - y) for x, y in zip(a, b))
+            assert r["dtw_l1"] <= l1 + 1e-6
+
+
+def test_rounding_contract_certified_values(spark, sf_dir):
+    """The floor-quantize contract at the .5 ties: half-up toward +inf
+    on BOTH signs (q6(-0.0000005) is -0.0 -> 0.0, not -0.000001), and
+    Spark's bare round() is shown to disagree with the contract on at
+    least one probe — the reason the contract exists."""
+    import pyspark.sql.functions as F
+
+    rows = {r["pid"]: r for r in _Q["dq_rounding_contract_audit"](spark, sf_dir).collect()}
+    assert rows[1]["q6"] == pytest.approx(0.000001)  # 0.0000005 rounds UP
+    assert rows[4]["q6"] == pytest.approx(0.0)  # -0.0000005 rounds toward +inf
+    spark_round = (
+        spark.range(1)
+        .select(F.round(F.lit(-0.0000005), 6).alias("r"))
+        .collect()[0]["r"]
+    )
+    # bare round() is half-AWAY-from-zero here — differs from the contract
+    assert spark_round != rows[4]["q6"]
