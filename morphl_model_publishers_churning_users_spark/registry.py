@@ -134,9 +134,10 @@ def register(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Quer
 # the full registry ran hash-green in the bare-session simulator
 # repeatedly during the round (329/329, 357/357, 380/380, 389/389,
 # 400/400, 406/406, 415/415, then after the late-session waves
-# 420/420, 428/428, 433/433, and the definitive end-of-round run:
-# 443/443 green in 347 s); the final full pytest suite finished
-# 659 passed / 1 skipped;
+# 420/420, 428/428, 433/433, 443/443, and the definitive end-of-round
+# run: 445/445 green in 342 s); the full pytest suite finished
+# 659 passed / 1 skipped after wave 9 (wave 10 adds 2 more
+# invariants, its test file green 25/25);
 # the once-per-round 10x parity sweep (SPARK_GRAFT_TEST_SF_DIR=sf0.1
 # test_oracle.py) finished 402 passed / 1 skipped in 18m39s, and every
 # key added after that sweep was individually driver-compared at sf0.1
