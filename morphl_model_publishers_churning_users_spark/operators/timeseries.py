@@ -4363,3 +4363,152 @@ aggregate(va,
         q6(dtw).alias("dtw_l1"),
         q6(dtw / (F.col("n_a") + F.col("n_b"))).alias("dtw_per_step"),
     ).orderBy("type_a", "type_b")
+
+
+@register(
+    "ts_milestone_snapshot",
+    oracle="""
+WITH m AS (
+    SELECT user_id,
+           MIN(ts) FILTER (WHERE event_type = 'view') AS t_view,
+           MIN(ts) FILTER (WHERE event_type = 'click') AS t_click,
+           MIN(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+    FROM events GROUP BY user_id
+)
+SELECT user_id, t_view, t_click, t_purchase,
+       (t_view IS NOT NULL AND t_click IS NOT NULL AND t_purchase IS NOT NULL
+        AND t_view <= t_click AND t_click <= t_purchase) AS funnel_in_order,
+       FLOOR((epoch_us(t_click) - epoch_us(t_view)) / 3600e6 * 1000000 + 0.5)
+           / 1000000 AS hours_view_to_click,
+       FLOOR((epoch_us(t_purchase) - epoch_us(t_click)) / 3600e6 * 1000000 + 0.5)
+           / 1000000 AS hours_click_to_purchase
+FROM m
+""",
+)
+def ts_milestone_snapshot(spark, sf_dir):
+    """Accumulating-snapshot fact — the Kimball pattern for lifecycle
+    processes (order fulfilment, onboarding, claims): ONE ROW PER
+    ENTITY whose milestone-timestamp columns fill in as the process
+    advances, plus the inter-milestone durations BI slices on. Where
+    ts_funnel counts stage populations and ts_conversion_latency
+    distributes one latency, the snapshot is the TABLE both read
+    from — and the update pattern at 100 TB is a per-key MERGE
+    (sink_upsert) of min-timestamps, which is why every milestone
+    here is a MIN: idempotent under replay, associative under
+    partial loads. One conditional aggregate over the stream (no
+    joins between milestones — they ride the same groupBy);
+    durations stay NULL until both ends exist; the in-order flag
+    audits funnel assumption violations (a purchase logged before
+    any view) instead of silently dropping them."""
+    e = t(spark, sf_dir, "events")
+    m = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    hrs = lambda a, b: q6(
+        F.expr(f"timestampdiff(MICROSECOND, {a}, {b})").cast("double") / F.lit(3600e6)
+    )
+    in_order = (
+        F.col("t_view").isNotNull()
+        & F.col("t_click").isNotNull()
+        & F.col("t_purchase").isNotNull()
+        & (F.col("t_view") <= F.col("t_click"))
+        & (F.col("t_click") <= F.col("t_purchase"))
+    )
+    return m.select(
+        "user_id",
+        "t_view",
+        "t_click",
+        "t_purchase",
+        in_order.alias("funnel_in_order"),
+        hrs("t_view", "t_click").alias("hours_view_to_click"),
+        hrs("t_click", "t_purchase").alias("hours_click_to_purchase"),
+    )
+
+
+@register(
+    "ts_retention_curve_fit",
+    oracle="""
+WITH first_day AS (
+    SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS d0
+    FROM events GROUP BY user_id
+), activity AS (
+    SELECT DISTINCT e.user_id,
+           datediff('day', f.d0, CAST(date_trunc('day', e.ts) AS DATE)) AS age
+    FROM events e JOIN first_day f ON f.user_id = e.user_id
+), cohort AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n0 FROM first_day),
+curve AS (
+    SELECT age, COUNT(*) / cohort.n0 AS r
+    FROM activity, cohort
+    WHERE age BETWEEN 1 AND 14 GROUP BY age, cohort.n0
+), logs AS (
+    SELECT ln(CAST(age AS DOUBLE)) AS lx, ln(r) AS ly FROM curve
+), fit AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS m, SUM(lx) AS sx, SUM(ly) AS sy,
+           SUM(lx * lx) AS sxx, SUM(lx * ly) AS sxy
+    FROM logs
+)
+SELECT ROUND((m * sxy - sx * sy) / (m * sxx - sx * sx), 6) AS power_b,
+       ROUND(exp((sy - (m * sxy - sx * sy) / (m * sxx - sx * sx) * sx) / m), 6)
+           AS power_a,
+       ROUND(exp((sy - (m * sxy - sx * sy) / (m * sxx - sx * sx) * sx) / m)
+             * pow(30.0, (m * sxy - sx * sy) / (m * sxx - sx * sx)), 6)
+           AS projected_day30
+FROM fit
+""",
+)
+def ts_retention_curve_fit(spark, sf_dir):
+    """Power-law retention fit — the two numbers a growth team keeps
+    from the whole retention matrix (ts_retention_cohorts): fit
+    r(t) = a·t^b on days 1–14 by log-log OLS and PROJECT day-30
+    retention before day 30 exists. The power-law (not exponential)
+    is the standard product-retention shape — flattening decay, a
+    long-lived core — and b is the comparable health metric across
+    products. Day-grain collapse first (distinct user-day ages), one
+    tiny log-log regression; at 100 TB the cohort join is user-keyed
+    and everything after the curve CTE is constant-size. ln/exp/pow
+    run on identically-derived doubles on both engines and the three
+    outputs are 1e-6-rounded."""
+    e = t(spark, sf_dir, "events")
+    fd = ckpt(
+        e.groupBy("user_id").agg(
+            F.min(F.date_trunc("day", "ts").cast("date")).alias("d0")
+        )
+    )
+    activity = (
+        e.select("user_id", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .join(fd, "user_id")
+        .select("user_id", F.datediff("day", "d0").alias("age"))
+        .distinct()
+    )
+    cohort = fd.agg(F.count(F.lit(1)).cast("double").alias("n0"))
+    curve = (
+        activity.filter(F.col("age").between(1, 14))
+        .groupBy("age")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .crossJoin(F.broadcast(cohort))
+        .select(
+            F.log(F.col("age").cast("double")).alias("lx"),
+            F.log(F.col("k") / F.col("n0")).alias("ly"),
+        )
+    )
+    fit = curve.agg(
+        F.count(F.lit(1)).cast("double").alias("m"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+    )
+    b = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    a = F.exp((F.col("sy") - b * F.col("sx")) / F.col("m"))
+    return fit.select(
+        F.round(b, 6).alias("power_b"),
+        F.round(a, 6).alias("power_a"),
+        F.round(a * F.pow(F.lit(30.0), b), 6).alias("projected_day30"),
+    )

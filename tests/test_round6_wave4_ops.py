@@ -385,3 +385,36 @@ def test_rounding_contract_certified_values(spark, sf_dir):
     )
     # bare round() is half-AWAY-from-zero here — differs from the contract
     assert spark_round != rows[4]["q6"]
+
+
+def test_milestone_snapshot_one_row_per_user(spark, sf_dir):
+    """Exactly one row per active user; durations only exist when both
+    milestone ends do, and are consistent with the timestamps."""
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    out = _Q["ts_milestone_snapshot"](spark, sf_dir)
+    n_users = tbl(spark, sf_dir, "events").select("user_id").distinct().count()
+    rows = out.collect()
+    assert len(rows) == n_users
+    for r in rows:
+        if r["hours_view_to_click"] is not None:
+            assert r["t_view"] is not None and r["t_click"] is not None
+        if r["funnel_in_order"]:
+            assert r["hours_view_to_click"] >= 0
+            assert r["hours_click_to_purchase"] >= 0
+
+
+def test_retention_fit_is_consistent(spark, sf_dir):
+    """The three outputs obey r(t)=a*t^b exactly: projection recomputes
+    from (a, b); a is a plausible retention level (the synthetic users
+    barely churn, so b ~ 0 here — the op fits whatever curve exists,
+    the fixture just has a flat one)."""
+    import math
+
+    r = _Q["ts_retention_curve_fit"](spark, sf_dir).collect()[0]
+    assert 0 < r["power_a"] <= 1.5
+    assert abs(r["power_b"]) < 1.0
+    assert r["projected_day30"] == pytest.approx(
+        r["power_a"] * math.pow(30.0, r["power_b"]), rel=1e-4
+    )
