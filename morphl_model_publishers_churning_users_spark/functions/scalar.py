@@ -16,6 +16,7 @@ Dialect traps handled for oracle parity:
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+from pyspark.sql import Window
 
 from ..operators._shared import t
 from ..registry import register
@@ -1053,4 +1054,101 @@ def fn_uuidv7_roundtrip(spark, sf_dir):
         F.countDistinct("u7").cast("bigint").alias("n_distinct"),
         F.min("parsed_ms").cast("bigint").alias("min_ms"),
         F.max("parsed_ms").cast("bigint").alias("max_ms"),
+    )
+
+
+@register(
+    "fn_penny_allocation",
+    oracle="""
+WITH li AS (
+    SELECT l_orderkey, l_linenumber,
+           CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS ep_cents
+    FROM lineitem WHERE l_orderkey % 50 = 0
+), o AS (
+    SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents
+    FROM orders WHERE o_orderkey % 50 = 0
+), sums AS (
+    SELECT l_orderkey, SUM(ep_cents) AS p FROM li GROUP BY 1
+), based AS (
+    SELECT li.l_orderkey, li.l_linenumber,
+           CAST((o.total_cents * li.ep_cents) // s.p AS BIGINT) AS base_cents,
+           (o.total_cents * li.ep_cents) % s.p AS rem,
+           o.total_cents
+    FROM li JOIN sums s ON s.l_orderkey = li.l_orderkey
+            JOIN o ON o.o_orderkey = li.l_orderkey
+), ranked AS (
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                              ORDER BY rem DESC, l_linenumber) AS rk,
+           total_cents - SUM(base_cents) OVER (PARTITION BY l_orderkey) AS leftover
+    FROM based
+)
+SELECT l_orderkey, l_linenumber,
+       CAST(base_cents + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+           AS alloc_cents
+FROM ranked
+""",
+)
+def fn_penny_allocation(spark, sf_dir):
+    """Largest-remainder penny allocation — the money-splitting
+    primitive every billing/revenue-recognition pipeline needs:
+    distribute an order's total cents across its line items
+    proportionally to price, in WHOLE cents, with the per-order sum
+    conserved EXACTLY (floating allocation then rounding leaks
+    pennies; auditors notice). All arithmetic is BIGINT: integer
+    floor-division gives each line its base share, the division
+    REMAINDERS rank who gets the leftover cents (largest remainder
+    first, line number tiebreak) — deterministic, exact, and
+    cross-engine bit-identical because no double ever appears after
+    the initial cent quantization. Plan shape: one order-keyed join +
+    one order-partitioned window — co-partitioned end to end on the
+    order key; at 100 TB this is the same single shuffle the
+    lineitem-to-order rollup already pays. (The mod-50 key filter is
+    the fixture's output bound, not a semantic.)"""
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 50 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint").alias("ep_cents"),
+        )
+    )
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 50 == 0)
+        .select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("total_cents"),
+        )
+    )
+    sums = li.groupBy("l_orderkey").agg(F.sum("ep_cents").alias("p"))
+    based = (
+        li.join(sums, "l_orderkey")
+        .join(o, "l_orderkey")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.expr("(total_cents * ep_cents) DIV p").alias("base_cents"),
+            F.expr("(total_cents * ep_cents) % p").alias("rem"),
+            "total_cents",
+        )
+    )
+    wo = Window.partitionBy("l_orderkey")
+    ranked = based.select(
+        "l_orderkey",
+        "l_linenumber",
+        "base_cents",
+        F.row_number()
+        .over(wo.orderBy(F.desc("rem"), F.asc("l_linenumber")))
+        .alias("rk"),
+        (F.col("total_cents") - F.sum("base_cents").over(wo)).alias("leftover"),
+    )
+    return ranked.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.col("base_cents")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        ).alias("alloc_cents"),
     )

@@ -3519,3 +3519,102 @@ def ml_learning_curve(spark, sf_dir, iters: int = 5):
     return spark.createDataFrame(
         out, "train_buckets bigint, n_train bigint, holdout_logloss double"
     )
+
+
+def _platt_oracle(iters: int = 5) -> str:
+    """Unrolled Platt-scaling oracle: sigmoid(w0 + w1·s) fit by GD on
+    the scaled-recency score, identical quantization discipline to
+    _logreg_ctes, plus clipped-raw vs calibrated holdout-free logloss."""
+    ctes = [
+        f"""{_REC2_SQL},
+pfeat AS MATERIALIZED (
+    SELECT CAST(rec AS DOUBLE) / mx.maxrec AS s, CAST(churned AS DOUBLE) AS y
+    FROM s2, (SELECT GREATEST(MAX(rec), 1) AS maxrec FROM s2) mx
+), pn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM pfeat),
+pw0 AS (SELECT 0.0 AS w0, 0.0 AS w1)"""
+    ]
+    prev = "pw0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""pg{i} AS MATERIALIZED (
+    SELECT
+      CAST(SUM(CAST(FLOOR((1.0 / (1.0 + exp(-(w.w0 + w.w1 * s))) - y)
+                          * 1e12 + 0.5) AS DECIMAL(38,12))) AS DOUBLE) / 1e12 AS g0,
+      CAST(SUM(CAST(FLOOR((1.0 / (1.0 + exp(-(w.w0 + w.w1 * s))) - y) * s
+                          * 1e12 + 0.5) AS DECIMAL(38,12))) AS DOUBLE) / 1e12 AS g1
+    FROM pfeat, {prev} w
+), pw{i} AS MATERIALIZED (
+    SELECT w.w0 - 0.5 * g.g0 / n.n AS w0, w.w1 - 0.5 * g.g1 / n.n AS w1
+    FROM {prev} w, pg{i} g, pn n
+)"""
+        )
+        prev = f"pw{i}"
+    return f"""
+WITH {",".join(ctes)}
+SELECT ROUND(w.w0, 6) AS w0, ROUND(w.w1, 6) AS w1,
+       ROUND(CAST(SUM(CAST(FLOOR(
+           -(y * ln(GREATEST(LEAST(s, 0.999999), 0.000001))
+             + (1.0 - y) * ln(1.0 - GREATEST(LEAST(s, 0.999999), 0.000001)))
+           * 1e12 + 0.5) AS DECIMAL(38,12))) AS DOUBLE) / 1e12
+           / (SELECT n FROM pn), 6) AS logloss_raw,
+       ROUND(CAST(SUM(CAST(FLOOR(
+           -(y * ln(1.0 / (1.0 + exp(-(w.w0 + w.w1 * s))))
+             + (1.0 - y) * ln(1.0 - 1.0 / (1.0 + exp(-(w.w0 + w.w1 * s)))))
+           * 1e12 + 0.5) AS DECIMAL(38,12))) AS DOUBLE) / 1e12
+           / (SELECT n FROM pn), 6) AS logloss_platt
+FROM pfeat, {prev} w
+GROUP BY w.w0, w.w1
+"""
+
+
+@register("ml_platt_scaling", oracle=_platt_oracle())
+def ml_platt_scaling(spark, sf_dir, iters: int = 5):
+    """Platt scaling — the PARAMETRIC calibrator completing the triad
+    with ml_calibration_bins (diagnosis) and ml_isotonic_pav
+    (non-parametric): a raw ranking score (scaled recency — monotone
+    in churn but NOT a probability) is mapped through sigmoid(w0 +
+    w1·s) fit by the same oracle-exact GD discipline as
+    ml_logreg_gd. Reported next to the weights: mean logloss of the
+    clipped RAW score used as a probability vs the Platt-calibrated
+    one — the number that decides whether to ship the calibrator.
+    On THIS fixture the measured verdict is 'don't': scaled recency
+    is already near-calibrated (low scores, 8% base rate — raw
+    logloss 0.19) and the 5-step fit reads 0.43, still descending
+    (probed: 0.20 at 200 steps) — which is exactly the honest
+    decision readout the op exists to produce; the contract, as with
+    ml_logreg_gd, is the bit-exact optimization trajectory, not a
+    converged win. Same 100 TB shape as every GD op here: per step
+    one combinable aggregate + a 2-double broadcast."""
+    s2 = _rec_scored2(spark, sf_dir)
+    mx = s2.agg(F.greatest(F.max("rec"), F.lit(1)).alias("maxrec"))
+    feats = (
+        s2.crossJoin(F.broadcast(mx))
+        .select(
+            (F.col("rec").cast("double") / F.col("maxrec")).alias("s"),
+            F.col("churned").cast("double").alias("y"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n = feats.count()
+    d12 = lambda c: (F.sum(q12dec(c)).cast("double") / F.lit(1e12))
+    w = (0.0, 0.0)
+    for _ in range(iters):
+        z = F.lit(w[0]) + F.lit(w[1]) * F.col("s")
+        resid = 1.0 / (1.0 + F.exp(-z)) - F.col("y")
+        g = feats.agg(
+            d12(resid).alias("g0"), d12(resid * F.col("s")).alias("g1")
+        ).collect()[0]
+        w = (w[0] - 0.5 * g["g0"] / n, w[1] - 0.5 * g["g1"] / n)
+    clip = F.greatest(F.least(F.col("s"), F.lit(0.999999)), F.lit(0.000001))
+    p = 1.0 / (1.0 + F.exp(-(F.lit(w[0]) + F.lit(w[1]) * F.col("s"))))
+    ll = lambda prob: d12(
+        -(F.col("y") * F.log(prob) + (1.0 - F.col("y")) * F.log(1.0 - prob))
+    ) / F.lit(float(n))
+    out = feats.agg(
+        F.round(ll(clip), 6).alias("logloss_raw"),
+        F.round(ll(p), 6).alias("logloss_platt"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [(round(w[0], 6), round(w[1], 6), out["logloss_raw"], out["logloss_platt"])],
+        "w0 double, w1 double, logloss_raw double, logloss_platt double",
+    )

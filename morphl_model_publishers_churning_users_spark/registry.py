@@ -131,7 +131,8 @@ def register(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Quer
 # same verification) and the wave-10 tail (ts_dtw_distance,
 # dq_rounding_contract_audit — same verification) and the wave-11
 # tail (ts_milestone_snapshot, ts_retention_curve_fit — same
-# verification). All round-6 additions were sim-verified at
+# verification) and the wave-12 tail (fn_penny_allocation,
+# ml_platt_scaling — same verification). All round-6 additions were sim-verified at
 # sf0.001/0.01, and every key in the post-fold waves also at sf0.1;
 # the full registry ran hash-green in the bare-session simulator
 # repeatedly during the round (329/329, 357/357, 380/380, 389/389,
@@ -525,6 +526,8 @@ _KEY_RANK: dict[str, int] = {
     "dq_rounding_contract_audit": 9,
     "ts_milestone_snapshot": 9,
     "ts_retention_curve_fit": 9,
+    "fn_penny_allocation": 9,
+    "ml_platt_scaling": 9,
 }
 
 

@@ -418,3 +418,53 @@ def test_retention_fit_is_consistent(spark, sf_dir):
     assert r["projected_day30"] == pytest.approx(
         r["power_a"] * math.pow(30.0, r["power_b"]), rel=1e-4
     )
+
+
+def test_penny_allocation_conserves_totals(spark, sf_dir):
+    """Per-order allocated cents must equal the order's total cents
+    EXACTLY — the whole point of largest-remainder."""
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    alloc = (
+        _Q["fn_penny_allocation"](spark, sf_dir)
+        .groupBy("l_orderkey")
+        .agg(F.sum("alloc_cents").alias("got"))
+    )
+    want = (
+        tbl(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 50 == 0)
+        .select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("want"),
+        )
+    )
+    # inner join: orders without lineitems in the filtered set can't allocate
+    bad = alloc.join(want, "l_orderkey").filter(F.col("got") != F.col("want")).count()
+    assert bad == 0
+    assert alloc.count() > 0
+
+
+def test_platt_outputs_recompute(spark, sf_dir):
+    """The calibrated logloss must recompute from the reported weights
+    over the same feature table — the trajectory is the contract."""
+    import math
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators.ml import _rec_scored2
+
+    r = _Q["ml_platt_scaling"](spark, sf_dir).collect()[0]
+    s2 = _rec_scored2(spark, sf_dir)
+    mx = s2.agg(F.greatest(F.max("rec"), F.lit(1)).alias("mx")).collect()[0]["mx"]
+    rows = s2.select(
+        (F.col("rec").cast("double") / F.lit(float(mx))).alias("s"),
+        F.col("churned").cast("double").alias("y"),
+    ).collect()
+    ll = sum(
+        -(
+            x["y"] * math.log(1 / (1 + math.exp(-(r["w0"] + r["w1"] * x["s"]))))
+            + (1 - x["y"])
+            * math.log(1 - 1 / (1 + math.exp(-(r["w0"] + r["w1"] * x["s"]))))
+        )
+        for x in rows
+    ) / len(rows)
+    assert r["logloss_platt"] == pytest.approx(ll, abs=5e-4)
