@@ -4512,3 +4512,155 @@ def ts_retention_curve_fit(spark, sf_dir):
         F.round(a, 6).alias("power_a"),
         F.round(a * F.pow(F.lit(30.0), b), 6).alias("projected_day30"),
     )
+
+
+@register(
+    "ts_mann_kendall",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), prs AS (
+  SELECT CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS sgn
+  FROM daily a JOIN daily b ON b.day > a.day
+), s AS (
+  SELECT CAST(SUM(sgn) AS DOUBLE) AS s_stat,
+         (SELECT CAST(COUNT(*) AS DOUBLE) FROM daily) AS n
+  FROM prs
+), ties AS (
+  SELECT COALESCE(SUM(tn * (tn - 1.0) * (2.0 * tn + 5.0)), 0) AS tie_term
+  FROM (SELECT CAST(COUNT(*) AS DOUBLE) AS tn FROM daily GROUP BY y
+        HAVING COUNT(*) > 1)
+)
+SELECT CAST(s_stat AS BIGINT) AS s_stat, CAST(n AS BIGINT) AS n_days,
+       ROUND((n * (n - 1.0) * (2.0 * n + 5.0) - tie_term) / 18.0, 6) AS var_s,
+       ROUND((s_stat - CASE WHEN s_stat > 0 THEN 1.0
+                            WHEN s_stat < 0 THEN -1.0 ELSE 0.0 END)
+             / sqrt((n * (n - 1.0) * (2.0 * n + 5.0) - tie_term) / 18.0), 6)
+           AS z_stat
+FROM s, ties
+""",
+)
+def ts_mann_kendall(spark, sf_dir):
+    """Mann–Kendall trend test — the nonparametric 'is there a
+    monotone trend?' answer that pairs with ts_runs_test (randomness)
+    and ts_theil_sen (how steep): S = Σ sign(y_j − y_i) over all
+    ordered day pairs, full tie-corrected variance, the standard
+    continuity-corrected z. Rank-based, so one outlier day cannot
+    manufacture a trend the way it can drag ts_forecast_linear's OLS
+    slope. The pair join is O(days²) ON THE COLLAPSED DAY TABLE —
+    ~400 comparisons for a month — after the one data-sized
+    aggregate; never on raw events. Integer-exact S and tie terms,
+    1e-6-rounded z."""
+    daily = ckpt(
+        t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    a = daily.select(F.col("day").alias("da"), F.col("y").alias("ya"))
+    b = daily.select(F.col("day").alias("db"), F.col("y").alias("yb"))
+    s = (
+        a.join(b, F.col("db") > F.col("da"))
+        .select(
+            F.when(F.col("yb") > F.col("ya"), 1)
+            .when(F.col("yb") < F.col("ya"), -1)
+            .otherwise(0)
+            .alias("sgn")
+        )
+        .agg(F.sum("sgn").cast("double").alias("s_stat"))
+    )
+    nrow = daily.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    ties = (
+        daily.groupBy("y")
+        .agg(F.count(F.lit(1)).cast("double").alias("tn"))
+        .filter(F.col("tn") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("tn") * (F.col("tn") - 1.0) * (2.0 * F.col("tn") + 5.0)),
+                F.lit(0.0),
+            ).alias("tie_term")
+        )
+    )
+    j = s.crossJoin(F.broadcast(nrow)).crossJoin(F.broadcast(ties))
+    var_s = (
+        F.col("n") * (F.col("n") - 1.0) * (2.0 * F.col("n") + 5.0) - F.col("tie_term")
+    ) / 18.0
+    cc = (
+        F.when(F.col("s_stat") > 0, 1.0)
+        .when(F.col("s_stat") < 0, -1.0)
+        .otherwise(0.0)
+    )
+    return j.select(
+        F.col("s_stat").cast("bigint").alias("s_stat"),
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(var_s, 6).alias("var_s"),
+        F.round((F.col("s_stat") - cc) / F.sqrt(var_s), 6).alias("z_stat"),
+    )
+
+
+@register(
+    "ts_theil_sen",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, CAST(COUNT(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1
+), d0 AS (SELECT MIN(day) AS dmin FROM daily),
+idx AS (
+  SELECT CAST(datediff('day', d0.dmin, day) AS DOUBLE) AS tt, y FROM daily, d0
+), slopes AS (
+  SELECT (b.y - a.y) / (b.tt - a.tt) AS sl
+  FROM idx a JOIN idx b ON b.tt > a.tt
+), med AS (
+  SELECT quantile_cont(sl, 0.5) AS slope,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM slopes
+)
+SELECT ROUND(slope, 6) AS ts_slope, n_pairs,
+       ROUND((SELECT quantile_cont(y - med.slope * tt, 0.5) FROM idx), 6)
+           AS ts_intercept
+FROM med
+""",
+)
+def ts_theil_sen(spark, sf_dir):
+    """Theil–Sen slope — the robust trend ESTIMATOR that pairs with
+    ts_mann_kendall's detection: the median of all pairwise
+    day-to-day slopes (breakdown point 29% — a week of corrupted
+    telemetry cannot move it, where the OLS slope in
+    ts_forecast_linear follows any outlier), intercept = median of
+    the slope-adjusted residuals (the standard Conover form). Same
+    scale shape as Mann–Kendall: the O(days²) pair join runs on the
+    collapsed day table (~400 slopes), never raw events; the exact
+    median interpolates identically on both engines (percentile ≡
+    quantile_cont on doubles)."""
+    daily = ckpt(
+        t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+    d0 = daily.agg(F.min("day").alias("dmin"))
+    idx = ckpt(
+        daily.crossJoin(F.broadcast(d0)).select(
+            F.datediff("day", "dmin").cast("double").alias("tt"), "y"
+        )
+    )
+    a = idx.select(F.col("tt").alias("ta"), F.col("y").alias("ya"))
+    b = idx.select(F.col("tt").alias("tb"), F.col("y").alias("yb"))
+    med = (
+        a.join(b, F.col("tb") > F.col("ta"))
+        .select(((F.col("yb") - F.col("ya")) / (F.col("tb") - F.col("ta"))).alias("sl"))
+        .agg(
+            F.expr("percentile(sl, 0.5D)").alias("slope"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        )
+    )
+    icept = (
+        idx.crossJoin(F.broadcast(med.select("slope")))
+        .agg(
+            F.expr("percentile(y - slope * tt, 0.5D)").alias("ic")
+        )
+    )
+    return med.crossJoin(F.broadcast(icept)).select(
+        F.round("slope", 6).alias("ts_slope"),
+        "n_pairs",
+        F.round("ic", 6).alias("ts_intercept"),
+    )

@@ -468,3 +468,26 @@ def test_platt_outputs_recompute(spark, sf_dir):
         for x in rows
     ) / len(rows)
     assert r["logloss_platt"] == pytest.approx(ll, abs=5e-4)
+
+
+def test_mann_kendall_consistency(spark, sf_dir):
+    """S is bounded by the pair count, var_s positive, z sign matches
+    S, and n_pairs = n(n-1)/2 implicitly bounds |S|."""
+    r = _Q["ts_mann_kendall"](spark, sf_dir).collect()[0]
+    n = r["n_days"]
+    assert abs(r["s_stat"]) <= n * (n - 1) / 2
+    assert r["var_s"] > 0
+    if r["s_stat"] != 0:
+        assert (r["z_stat"] > 0) == (r["s_stat"] > 0)
+
+
+def test_theil_sen_agrees_with_mann_kendall_direction(spark, sf_dir):
+    """The robust slope's sign must agree with Mann-Kendall's S (both
+    read the same pairwise orderings), and n_pairs is exactly
+    n(n-1)/2."""
+    mk = _Q["ts_mann_kendall"](spark, sf_dir).collect()[0]
+    ts = _Q["ts_theil_sen"](spark, sf_dir).collect()[0]
+    n = mk["n_days"]
+    assert ts["n_pairs"] == n * (n - 1) // 2
+    if abs(mk["s_stat"]) > n:  # clear direction only
+        assert (ts["ts_slope"] > 0) == (mk["s_stat"] > 0)
