@@ -2335,3 +2335,84 @@ def agg_heavy_hitters(spark, sf_dir, k: int = 50):
         .filter(F.col("freq") > F.col("n") / k)
         .select("term", "freq", F.round(F.col("freq") / F.col("n"), 6).alias("share"))
     )
+
+
+@register(
+    "agg_beta_binomial_shrinkage",
+    oracle="""
+WITH per_user AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+               AS k
+    FROM events GROUP BY user_id
+), rates AS (
+    SELECT user_id, n, k, CAST(k AS DOUBLE) / n AS p FROM per_user
+), mom AS (
+    SELECT CAST(SUM(CAST(FLOOR(p * 1e12 + 0.5) AS DECIMAL(38,12))) AS DOUBLE)
+               / 1e12 / COUNT(*) AS m,
+           CAST(SUM(CAST(FLOOR(p * p * 1e12 + 0.5) AS DECIMAL(38,12))) AS DOUBLE)
+               / 1e12 / COUNT(*) AS m2,
+           CAST(COUNT(*) AS DOUBLE) AS nu
+    FROM rates WHERE n >= 5
+), prior AS (
+    SELECT m, (m2 - m * m) * nu / (nu - 1.0) AS v,
+           m * (m * (1.0 - m) / ((m2 - m * m) * nu / (nu - 1.0)) - 1.0) AS alpha,
+           (1.0 - m) * (m * (1.0 - m) / ((m2 - m * m) * nu / (nu - 1.0)) - 1.0) AS beta
+    FROM mom
+)
+SELECT r.user_id, r.n, r.k,
+       ROUND(r.p, 6) AS raw_rate,
+       ROUND((r.k + p.alpha) / (r.n + p.alpha + p.beta), 6) AS shrunk_rate
+FROM rates r, prior p
+""",
+)
+def agg_beta_binomial_shrinkage(spark, sf_dir):
+    """Empirical-Bayes beta-binomial shrinkage — the fix for every
+    'top converters' leaderboard dominated by 1-for-1 users: each
+    user's purchase rate is pulled toward the population prior
+    Beta(α, β) fit by method-of-moments on the stable users (n ≥ 5),
+    posterior rate = (k+α)/(n+α+β). Low-n users shrink hard toward
+    the prior mean, high-n users keep their data — exactly the
+    regularization ml_target_encode applies to categorical encoding,
+    here surfaced as the ranking statistic itself. One per-user
+    aggregate, a 1-row broadcast prior, one narrow projection — the
+    prior's moment sums ride the q12 DECIMAL discipline so α and β
+    are bit-identical cross-engine. At 100 TB the per-user aggregate
+    is the only data-sized pass; Bessel-corrected sample variance
+    (the n/(n−1) factor) keeps the prior honest on small stable
+    populations."""
+    per_user = t(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("event_type") == "purchase").cast("long"))
+        .cast("bigint")
+        .alias("k"),
+    )
+    rates = ckpt(
+        per_user.select(
+            "user_id", "n", "k", (F.col("k").cast("double") / F.col("n")).alias("p")
+        )
+    )
+    q12 = lambda c: F.sum(
+        F.floor(c * F.lit(1e12) + F.lit(0.5)).cast("decimal(38,12)")
+    ).cast("double") / F.lit(1e12)
+    mom = rates.filter(F.col("n") >= 5).agg(
+        (q12(F.col("p")) / F.count(F.lit(1))).alias("m"),
+        (q12(F.col("p") * F.col("p")) / F.count(F.lit(1))).alias("m2"),
+        F.count(F.lit(1)).cast("double").alias("nu"),
+    )
+    v = (F.col("m2") - F.col("m") * F.col("m")) * F.col("nu") / (F.col("nu") - 1.0)
+    scale = F.col("m") * (1.0 - F.col("m")) / v - 1.0
+    prior = mom.select(
+        (F.col("m") * scale).alias("alpha"),
+        ((1.0 - F.col("m")) * scale).alias("beta"),
+    )
+    return rates.crossJoin(F.broadcast(prior)).select(
+        "user_id",
+        "n",
+        "k",
+        F.round("p", 6).alias("raw_rate"),
+        F.round(
+            (F.col("k") + F.col("alpha")) / (F.col("n") + F.col("alpha") + F.col("beta")),
+            6,
+        ).alias("shrunk_rate"),
+    )

