@@ -20,7 +20,7 @@ from pyspark.sql import Window
 
 from ..plans import churn
 from ..registry import register
-from ._shared import q6dec, q12dec, t
+from ._shared import ckpt, q6dec, q12dec, t
 
 # Exact anchor shared by most ML oracles: the feature matrix has one row
 # per user with ≥1 event, so COUNT(DISTINCT user_id) over events is the
@@ -3617,4 +3617,135 @@ def ml_platt_scaling(spark, sf_dir, iters: int = 5):
     return spark.createDataFrame(
         [(round(w[0], 6), round(w[1], 6), out["logloss_raw"], out["logloss_platt"])],
         "w0 double, w1 double, logloss_raw double, logloss_platt double",
+    )
+
+
+@register(
+    "ml_logrank_test",
+    oracle="""
+WITH per_user AS (
+    SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts
+    FROM events GROUP BY user_id
+), h AS (SELECT MAX(last_ts) AS hz FROM per_user),
+users AS (
+    SELECT user_id % 2 AS g,
+           (epoch_us(last_ts) - epoch_us(first_ts)) // 3600000000 AS t_days,
+           CASE WHEN last_ts < h.hz - INTERVAL 12 HOUR THEN 1 ELSE 0 END AS churned
+    FROM per_user, h
+), hist AS (
+    SELECT g, t_days, CAST(COUNT(*) AS BIGINT) AS c,
+           CAST(SUM(churned) AS BIGINT) AS d
+    FROM users GROUP BY 1, 2
+), etimes AS (
+    SELECT t_days AS t FROM hist GROUP BY 1 HAVING SUM(d) > 0
+), at_risk AS (
+    SELECT e.t,
+           CAST(SUM(CASE WHEN hist.g = 1 THEN hist.c ELSE 0 END) AS DOUBLE) AS n1,
+           CAST(SUM(hist.c) AS DOUBLE) AS n,
+           CAST(SUM(CASE WHEN hist.g = 1 AND hist.t_days = e.t THEN hist.d
+                         ELSE 0 END) AS DOUBLE) AS d1,
+           CAST(SUM(CASE WHEN hist.t_days = e.t THEN hist.d ELSE 0 END) AS DOUBLE) AS d
+    FROM etimes e JOIN hist ON hist.t_days >= e.t
+    GROUP BY 1
+), sums AS (
+    SELECT CAST(SUM(CAST(d1 AS BIGINT)) AS BIGINT) AS o1,
+           CAST(SUM(CAST(FLOOR(d * n1 / n * 1e12 + 0.5) AS DECIMAL(38,12)))
+                AS DOUBLE) / 1e12 AS e1,
+           CAST(SUM(CAST(FLOOR(CASE WHEN n > 1 THEN
+                    d * (n1 / n) * (1.0 - n1 / n) * (n - d) / (n - 1.0)
+                    ELSE 0 END * 1e12 + 0.5) AS DECIMAL(38,12)))
+                AS DOUBLE) / 1e12 AS v
+    FROM at_risk
+)
+SELECT o1, ROUND(e1, 6) AS e1, ROUND(v, 6) AS var_logrank,
+       ROUND((o1 - e1) * (o1 - e1) / v, 6) AS chi2,
+       ROUND((o1 - e1) / sqrt(v), 6) AS z_stat
+FROM sums
+""",
+)
+def ml_logrank_test(spark, sf_dir):
+    """Log-rank test — 'do the two cohorts CHURN at different rates?',
+    answered the survival way: at every pooled churn time, compare
+    group 1's observed churns against its expectation under the null
+    (share of the at-risk set), with the hypergeometric variance —
+    the only correct comparison when users are CENSORED at the
+    horizon (a naive churn-rate t-test counts still-active users as
+    survivors forever). Completes the survival family:
+    ts_survival_curve (empirical), ml_km_greenwood (estimate + SE),
+    ml_km_rmst (effect size), and now the TEST. Groups = user_id
+    parity (the cluster-stable split idiom); at-risk sets come from
+    one tenure histogram joined against the ≤30-row pooled event-time
+    grid — all integer until the E/V terms, which ride q12 DECIMAL
+    sums. The fact-scale cost is exactly one user-grain aggregate."""
+    e = t(spark, sf_dir, "events")
+    per_user = ckpt(
+        e.groupBy("user_id").agg(
+            F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+        )
+    )
+    horizon = per_user.agg(F.max("last_ts").alias("hz"))
+    # hour-grain tenure + a 12 h censor cut: the fixture users are
+    # active to within ~2 days of the horizon, so day-grain censoring
+    # would leave ZERO churn events (probed at sf0.01)
+    users = per_user.crossJoin(F.broadcast(horizon)).select(
+        (F.col("user_id") % 2).alias("g"),
+        F.floor(
+            F.expr("timestampdiff(MICROSECOND, first_ts, last_ts)") / F.lit(3600000000)
+        ).alias("t_days"),
+        F.when(F.col("hz") - F.expr("INTERVAL 12 HOUR") > F.col("last_ts"), 1)
+        .otherwise(0)
+        .alias("churned"),
+    )
+    hist = ckpt(
+        users.groupBy("g", "t_days").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+            F.sum("churned").cast("bigint").alias("d"),
+        )
+    )
+    etimes = (
+        hist.groupBy("t_days").agg(F.sum("d").alias("dt")).filter(F.col("dt") > 0)
+        .select(F.col("t_days").alias("t"))
+    )
+    ar = (
+        etimes.join(hist, hist["t_days"] >= etimes["t"])
+        .groupBy("t")
+        .agg(
+            F.sum(F.when(F.col("g") == 1, F.col("c")).otherwise(0))
+            .cast("double")
+            .alias("n1"),
+            F.sum("c").cast("double").alias("n"),
+            F.sum(
+                F.when((F.col("g") == 1) & (F.col("t_days") == F.col("t")), F.col("d"))
+                .otherwise(0)
+            )
+            .cast("double")
+            .alias("d1"),
+            F.sum(F.when(F.col("t_days") == F.col("t"), F.col("d")).otherwise(0))
+            .cast("double")
+            .alias("d"),
+        )
+    )
+    q12 = lambda c: F.sum(
+        F.floor(c * F.lit(1e12) + F.lit(0.5)).cast("decimal(38,12)")
+    ).cast("double") / F.lit(1e12)
+    vterm = F.when(
+        F.col("n") > 1,
+        F.col("d")
+        * (F.col("n1") / F.col("n"))
+        * (1.0 - F.col("n1") / F.col("n"))
+        * (F.col("n") - F.col("d"))
+        / (F.col("n") - 1.0),
+    ).otherwise(0.0)
+    sums = ar.agg(
+        F.sum(F.col("d1").cast("bigint")).cast("bigint").alias("o1"),
+        q12(F.col("d") * F.col("n1") / F.col("n")).alias("e1"),
+        q12(vterm).alias("v"),
+    )
+    diff = F.col("o1") - F.col("e1")
+    return sums.select(
+        "o1",
+        F.round("e1", 6).alias("e1"),
+        F.round("v", 6).alias("var_logrank"),
+        F.round(diff * diff / F.col("v"), 6).alias("chi2"),
+        F.round(diff / F.sqrt("v"), 6).alias("z_stat"),
     )

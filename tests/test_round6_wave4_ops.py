@@ -513,3 +513,13 @@ def test_shrinkage_pulls_toward_prior_monotonically(spark, sf_dir):
     os_ = [r for r in rows if r["raw_rate"] == 1.0]
     if os_:
         assert all(r["shrunk_rate"] < 1.0 for r in os_)
+
+
+def test_logrank_null_behavior(spark, sf_dir):
+    """Parity groups are exchangeable, so the statistic should be an
+    unremarkable null draw: chi2 modest, and the internal identity
+    chi2 = z² holds exactly."""
+    r = _Q["ml_logrank_test"](spark, sf_dir).collect()[0]
+    assert r["var_logrank"] > 0
+    assert r["chi2"] == pytest.approx(r["z_stat"] ** 2, rel=1e-3)
+    assert r["chi2"] < 15.0  # parity split: a wild rejection means a bug
