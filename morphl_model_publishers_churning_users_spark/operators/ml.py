@@ -3749,3 +3749,141 @@ def ml_logrank_test(spark, sf_dir):
         F.round(diff * diff / F.col("v"), 6).alias("chi2"),
         F.round(diff / F.sqrt("v"), 6).alias("z_stat"),
     )
+
+
+_ERFC_AS = (
+    "(CASE WHEN {x} >= 0 THEN 1.0 ELSE -1.0 END) * (1.0 - "
+    "(0.254829592 * (1.0 / (1.0 + 0.3275911 * abs({x})))"
+    " - 0.284496736 * pow(1.0 / (1.0 + 0.3275911 * abs({x})), 2.0)"
+    " + 1.421413741 * pow(1.0 / (1.0 + 0.3275911 * abs({x})), 3.0)"
+    " - 1.453152027 * pow(1.0 / (1.0 + 0.3275911 * abs({x})), 4.0)"
+    " + 1.061405429 * pow(1.0 / (1.0 + 0.3275911 * abs({x})), 5.0))"
+    " * exp(-({x}) * ({x})))"
+)
+
+
+@register(
+    "ml_bh_fdr",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS y
+  FROM events GROUP BY 1, 2
+), lims AS (
+  SELECT event_type, MIN(day) AS dmin,
+         CAST(FLOOR(datediff('day', MIN(day), MAX(day)) / 2.0) AS BIGINT) AS t0,
+         CAST(datediff('day', MIN(day), MAX(day)) AS BIGINT) AS t_max
+  FROM daily GROUP BY 1
+), halves AS (
+  SELECT d.event_type, MAX(l.t0) AS t0, MAX(l.t_max) AS t_max,
+         SUM(CASE WHEN datediff('day', l.dmin, d.day) <= l.t0 THEN d.y ELSE 0 END)
+             AS c_pre,
+         SUM(CASE WHEN datediff('day', l.dmin, d.day) > l.t0 THEN d.y ELSE 0 END)
+             AS c_post
+  FROM daily d JOIN lims l ON l.event_type = d.event_type GROUP BY 1
+), zs AS (
+  SELECT event_type,
+         ln((CAST(c_post AS DOUBLE) / (t_max - t0)) / (CAST(c_pre AS DOUBLE) / (t0 + 1)))
+           / sqrt(1.0 / c_pre + 1.0 / c_post) AS z
+  FROM halves
+), ps AS (
+  SELECT event_type, z,
+         FLOOR(LEAST(1.0, 1.0 - {_ERFC_AS.format(x="abs(z) / sqrt(2.0)")})
+               * 1e9 + 0.5) / 1e9 AS p
+  FROM zs
+), ranked AS (
+  SELECT event_type, z, p,
+         ROW_NUMBER() OVER (ORDER BY p, event_type) AS rk,
+         COUNT(*) OVER () AS m
+  FROM ps
+), adj AS (
+  SELECT event_type, z, p,
+         LEAST(1.0, MIN(p * m / rk) OVER (ORDER BY rk ROWS BETWEEN CURRENT ROW
+                                          AND UNBOUNDED FOLLOWING)) AS p_bh
+  FROM ranked
+)
+SELECT event_type, ROUND(z, 6) AS z_stat, ROUND(p, 6) AS p_raw,
+       ROUND(p_bh, 6) AS p_bh,
+       (p_bh <= 0.10) AS reject_fdr10
+FROM adj ORDER BY event_type
+""",
+)
+def ml_bh_fdr(spark, sf_dir):
+    """Benjamini–Hochberg FDR across a test FAMILY — the correction
+    every metrics platform needs the day it runs one test per metric:
+    5 per-event-type two-period Poisson rate tests (the
+    ts_poisson_rate_ratio statistic, per type) become 5 p-values, and
+    BH's step-up adjustment (reversed running min of p·m/rank) caps
+    the EXPECTED false-discovery rate at 10% where per-test α=0.05
+    would alarm ~daily at dashboard scale. Neither engine ships
+    erf(), so the normal CDF runs through the Abramowitz–Stegun
+    7.1.26 polynomial SPELLED IDENTICALLY on both sides (max abs
+    error 1.5e-7, then p quantized at 1e-9 before ranking so
+    cross-engine rank ties are impossible). The family here is 5
+    rows; at 10k metrics the same plan holds — the day-grain
+    collapse is the only data-sized pass, and the BH window runs on
+    one row per metric."""
+    daily = ckpt(
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    lims = daily.groupBy("event_type").agg(
+        F.min("day").alias("dmin"),
+        F.floor(F.datediff(F.max("day"), F.min("day")) / 2.0)
+        .cast("bigint")
+        .alias("t0"),
+        F.datediff(F.max("day"), F.min("day")).cast("bigint").alias("t_max"),
+    )
+    halves = (
+        daily.join(lims, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("t0").alias("t0"),
+            F.max("t_max").alias("t_max"),
+            F.sum(
+                F.when(F.datediff("day", "dmin") <= F.col("t0"), F.col("y")).otherwise(0)
+            ).alias("c_pre"),
+            F.sum(
+                F.when(F.datediff("day", "dmin") > F.col("t0"), F.col("y")).otherwise(0)
+            ).alias("c_post"),
+        )
+    )
+    rr = (F.col("c_post").cast("double") / (F.col("t_max") - F.col("t0"))) / (
+        F.col("c_pre").cast("double") / (F.col("t0") + 1)
+    )
+    zs = halves.select(
+        "event_type",
+        (F.log(rr) / F.sqrt(1.0 / F.col("c_pre") + 1.0 / F.col("c_post"))).alias("z"),
+    )
+    erf = F.expr(_ERFC_AS.format(x="abs(z) / sqrt(2.0)"))
+    ps = zs.select(
+        "event_type",
+        "z",
+        (F.floor(F.least(F.lit(1.0), 1.0 - erf) * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)).alias(
+            "p"
+        ),
+    )
+    wr = Window.orderBy("p", "event_type")
+    ranked = ps.select(
+        "event_type",
+        "z",
+        "p",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    wmin = Window.orderBy("rk").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    adj = ranked.select(
+        "event_type",
+        "z",
+        "p",
+        F.least(
+            F.lit(1.0), F.min(F.col("p") * F.col("m") / F.col("rk")).over(wmin)
+        ).alias("p_bh"),
+    )
+    return adj.select(
+        "event_type",
+        F.round("z", 6).alias("z_stat"),
+        F.round("p", 6).alias("p_raw"),
+        F.round("p_bh", 6).alias("p_bh"),
+        (F.col("p_bh") <= 0.10).alias("reject_fdr10"),
+    ).orderBy("event_type")

@@ -1532,3 +1532,91 @@ def dq_rounding_contract_audit(spark, sf_dir):
         q(F.col("x"), 12).alias("q12"),
         q(-F.col("x"), 6).alias("q6_neg"),
     ).orderBy("pid")
+
+
+@register(
+    "dq_reconciliation",
+    oracle="""
+WITH li AS (
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS li_total
+    FROM lineitem GROUP BY 1
+), recon AS (
+    SELECT o.o_orderkey, o.o_totalprice, li.li_total,
+           COALESCE(ABS(o.o_totalprice - li.li_total), o.o_totalprice) AS adiff,
+           ABS(o.o_totalprice - li.li_total)
+               / GREATEST(ABS(o.o_totalprice), 0.01) AS rdiff
+    FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+)
+SELECT CASE WHEN li_total IS NULL THEN 'no_detail'
+            WHEN rdiff <= 0.0001 THEN 'match'
+            WHEN rdiff <= 0.01 THEN 'minor_mismatch'
+            ELSE 'major_mismatch' END AS recon_class,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(MAX(adiff), 6) AS max_abs_diff,
+       ROUND(CAST(SUM(CAST(adiff AS DECIMAL(38,6))) AS DOUBLE), 6) AS total_abs_diff
+FROM recon GROUP BY 1 ORDER BY 1
+""",
+)
+def dq_reconciliation(spark, sf_dir):
+    """Cross-table financial reconciliation — the month-end close
+    check: does every order header total equal its line detail rolled
+    up through the business rule (extended price net of discount,
+    grossed for tax)? Differences are CLASSIFIED (exact-match /
+    ≤1 bp minor / major / NO-DETAIL headers, the worst break) rather
+    than boolean-failed, because a recon
+    report's job is to size the break, not just detect it — max and
+    summed absolute breaks per class are what the controller reads.
+    On this synthetic fixture the totals were NOT generated from the
+    lineitems, so the report correctly lands everything in
+    major_mismatch — the op measures, it does not assume. One
+    order-keyed rollup + one co-partitioned join; DECIMAL sums keep
+    the break totals exact. At 100 TB this is the same single shuffle
+    as any order-grain rollup, and the class counts make the daily
+    recon dashboard one GROUP BY away."""
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice")
+                    * (1.0 - F.col("l_discount"))
+                    * (1.0 + F.col("l_tax"))
+                ).cast("decimal(38,6)")
+            )
+            .cast("double")
+            .alias("li_total")
+        )
+    )
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    recon = o.join(li, "l_orderkey", "left").select(
+        "li_total",
+        F.coalesce(
+            F.abs(F.col("o_totalprice") - F.col("li_total")), F.col("o_totalprice")
+        ).alias("adiff"),
+        (
+            F.abs(F.col("o_totalprice") - F.col("li_total"))
+            / F.greatest(F.abs(F.col("o_totalprice")), F.lit(0.01))
+        ).alias("rdiff"),
+    )
+    cls = (
+        F.when(F.col("li_total").isNull(), "no_detail")
+        .when(F.col("rdiff") <= 0.0001, "match")
+        .when(F.col("rdiff") <= 0.01, "minor_mismatch")
+        .otherwise("major_mismatch")
+    )
+    return (
+        recon.groupBy(cls.alias("recon_class"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.max("adiff"), 6).alias("max_abs_diff"),
+            F.round(
+                F.sum(F.col("adiff").cast("decimal(38,6)")).cast("double"), 6
+            ).alias("total_abs_diff"),
+        )
+        .orderBy("recon_class")
+    )

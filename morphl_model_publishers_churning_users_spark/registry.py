@@ -135,7 +135,8 @@ def register(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Quer
 # ml_platt_scaling — same verification) and the wave-13 tail
 # (ts_mann_kendall, ts_theil_sen — same verification) and the
 # wave-14 tail (agg_beta_binomial_shrinkage — same verification) and
-# the wave-15 tail (ml_logrank_test — same verification). All round-6 additions were sim-verified at
+# the wave-15 tail (ml_logrank_test — same verification) and the
+# wave-16 tail (dq_reconciliation, ml_bh_fdr — same verification). All round-6 additions were sim-verified at
 # sf0.001/0.01, and every key in the post-fold waves also at sf0.1;
 # the full registry ran hash-green in the bare-session simulator
 # repeatedly during the round (329/329, 357/357, 380/380, 389/389,
@@ -535,6 +536,8 @@ _KEY_RANK: dict[str, int] = {
     "ts_theil_sen": 9,
     "agg_beta_binomial_shrinkage": 9,
     "ml_logrank_test": 9,
+    "dq_reconciliation": 9,
+    "ml_bh_fdr": 9,
 }
 
 

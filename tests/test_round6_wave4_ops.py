@@ -523,3 +523,33 @@ def test_logrank_null_behavior(spark, sf_dir):
     assert r["var_logrank"] > 0
     assert r["chi2"] == pytest.approx(r["z_stat"] ** 2, rel=1e-3)
     assert r["chi2"] < 15.0  # parity split: a wild rejection means a bug
+
+
+def test_reconciliation_classes_partition_orders(spark, sf_dir):
+    """Class counts must sum to the joined-order population, and
+    max ≤ total per class."""
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    rows = _Q["dq_reconciliation"](spark, sf_dir).collect()
+    assert rows
+    n_orders = tbl(spark, sf_dir, "orders").count()
+    # classes now PARTITION all headers — orphan headers land in no_detail
+    assert sum(r["n_orders"] for r in rows) == n_orders
+    for r in rows:
+        assert r["max_abs_diff"] <= r["total_abs_diff"] + 1e-6
+
+
+def test_bh_fdr_monotone_and_bounded(spark, sf_dir):
+    """Adjusted p is ≥ raw p, ≤ 1, and monotone non-decreasing in raw
+    p order (the step-up property); the portable erf gives p in
+    [0,1]."""
+    rows = sorted(_Q["ml_bh_fdr"](spark, sf_dir).collect(), key=lambda r: r["p_raw"])
+    assert len(rows) == 5
+    prev = 0.0
+    for r in rows:
+        assert 0.0 <= r["p_raw"] <= 1.0
+        assert r["p_bh"] >= r["p_raw"] - 1e-9
+        assert r["p_bh"] <= 1.0
+        assert r["p_bh"] >= prev - 1e-9
+        prev = r["p_bh"]
