@@ -3887,3 +3887,71 @@ def ml_bh_fdr(spark, sf_dir):
         F.round("p_bh", 6).alias("p_bh"),
         (F.col("p_bh") <= 0.10).alias("reject_fdr10"),
     ).orderBy("event_type")
+
+
+@register(
+    "ml_ab_srm_check",
+    oracle=f"""
+WITH assign AS (
+    SELECT user_id % 2 AS arm, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n
+    FROM events GROUP BY 1
+), w AS (
+    SELECT SUM(CASE WHEN arm = 0 THEN n END) AS na,
+           SUM(CASE WHEN arm = 1 THEN n END) AS nb,
+           CAST(SUM(n) AS DOUBLE) AS tot
+    FROM assign
+), stat AS (
+    SELECT na, nb,
+           (na - tot / 2.0) * (na - tot / 2.0) / (tot / 2.0)
+           + (nb - tot / 2.0) * (nb - tot / 2.0) / (tot / 2.0) AS chi2
+    FROM w
+)
+SELECT CAST(na AS BIGINT) AS n_arm_a, CAST(nb AS BIGINT) AS n_arm_b,
+       ROUND(chi2, 6) AS chi2,
+       ROUND(1.0 - {_ERFC_AS.format(x="sqrt(chi2 / 2.0)")}, 6) AS p_value,
+       (1.0 - {_ERFC_AS.format(x="sqrt(chi2 / 2.0)")}) < 0.001 AS srm_detected
+FROM stat
+""",
+)
+def ml_ab_srm_check(spark, sf_dir):
+    """Sample-ratio-mismatch guard — the A/B platform's gatekeeper
+    that must pass BEFORE ml_cuped/ml_diff_in_diff/ml_power_mde are
+    allowed to speak: if the 50/50 assignment didn't land 50/50, the
+    randomization is broken (bucketing bug, bot filter applied to one
+    arm, redirect loss) and every downstream effect estimate is
+    garbage. One-df chi-square on distinct-user arm counts, p-value
+    via the chi-square(1) identity p = erfc(√(χ²/2)) through the
+    shared portable A&S erf polynomial, flagged at the industry-
+    standard p<0.001 (looser thresholds fire on every healthy
+    experiment at dashboard scale). One distinct-count aggregate —
+    the cheapest test in the suite guarding the most expensive
+    mistake."""
+    assign = (
+        t(spark, sf_dir, "events")
+        .select((F.col("user_id") % 2).alias("arm"), "user_id")
+        .distinct()
+        .groupBy("arm")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = assign.agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("n"))).alias("na"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n"))).alias("nb"),
+        F.sum("n").cast("double").alias("tot"),
+    )
+    half = F.col("tot") / 2.0
+    chi2 = (F.col("na") - half) * (F.col("na") - half) / half + (
+        F.col("nb") - half
+    ) * (F.col("nb") - half) / half
+    stat = w.select(
+        F.col("na").cast("bigint").alias("n_arm_a"),
+        F.col("nb").cast("bigint").alias("n_arm_b"),
+        chi2.alias("chi2"),
+    )
+    erfv = F.expr(_ERFC_AS.format(x="sqrt(chi2 / 2.0)"))
+    return stat.select(
+        "n_arm_a",
+        "n_arm_b",
+        F.round("chi2", 6).alias("chi2"),
+        F.round(1.0 - erfv, 6).alias("p_value"),
+        ((1.0 - erfv) < 0.001).alias("srm_detected"),
+    )

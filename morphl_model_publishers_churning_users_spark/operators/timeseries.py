@@ -4664,3 +4664,118 @@ def ts_theil_sen(spark, sf_dir):
         "n_pairs",
         F.round("ic", 6).alias("ts_intercept"),
     )
+
+
+@register(
+    "ts_ljung_box",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, CAST(COUNT(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1
+), m AS (
+  SELECT CAST(SUM(CAST(FLOOR(y * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE)
+             / 1e6 / COUNT(*) AS mu,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM daily
+), dev AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY day) AS i, y - m.mu AS d, m.n AS n
+  FROM daily, m
+), denom AS (
+  SELECT CAST(SUM(CAST(FLOOR(d * d * 1e6 + 0.5) AS DECIMAL(38,12))) AS DOUBLE)
+             / 1e6 AS c0, MAX(n) AS n
+  FROM dev
+), rhos AS (
+  SELECT g.k,
+         CAST(SUM(CAST(FLOOR(a.d * b.d * 1e6 + 0.5) AS DECIMAL(38,12))) AS DOUBLE)
+             / 1e6 / MAX(denom.c0) AS rho,
+         MAX(denom.n) AS n
+  FROM generate_series(1, 8) g(k)
+  JOIN dev a ON TRUE
+  JOIN dev b ON b.i = a.i + g.k, denom
+  GROUP BY g.k
+), q AS (
+  SELECT MAX(n) AS n,
+         CAST(SUM(CAST(FLOOR(rho * rho / (n - k) * 1e12 + 0.5)
+                       AS DECIMAL(38,12))) AS DOUBLE) / 1e12 AS s
+  FROM rhos
+), stat AS (
+  SELECT n * (n + 2.0) * s AS q_stat, n FROM q
+)
+SELECT ROUND(q_stat, 6) AS q_stat, CAST(n AS BIGINT) AS n_days,
+       ROUND(exp(-q_stat / 2.0) * (1.0 + q_stat / 2.0
+             + (q_stat / 2.0) * (q_stat / 2.0) / 2.0
+             + (q_stat / 2.0) * (q_stat / 2.0) * (q_stat / 2.0) / 6.0), 6)
+           AS p_value,
+       (exp(-q_stat / 2.0) * (1.0 + q_stat / 2.0
+        + (q_stat / 2.0) * (q_stat / 2.0) / 2.0
+        + (q_stat / 2.0) * (q_stat / 2.0) * (q_stat / 2.0) / 6.0)) < 0.05
+           AS reject_whiteness
+FROM stat
+""",
+)
+def ts_ljung_box(spark, sf_dir):
+    """Ljung–Box whiteness test — 'is there ANY autocorrelation left?'
+    in one number: Q = n(n+2)·Σ ρ_k²/(n−k) over lags 1–8, the
+    standard residual-diagnostics gate after every forecast fit
+    (ts_holt_forecast/ts_theta_forecast residuals should PASS it;
+    the raw daily series here fails it if weekly structure exists).
+    Complements ts_autocorr (per-lag magnitudes) with the aggregate
+    TEST. Lags run to 8 so the χ² has EVEN df and its survival
+    function has the exact closed form e^{−x/2}·Σ_{j<4}(x/2)^j/j! —
+    fully portable, no incomplete gamma needed (the same trick as
+    ml_bh_fdr's erf polynomial: spell the special function
+    identically or don't use it). Deviations and lag products ride
+    1e-6 quantized DECIMAL sums; the lag joins run on the ≤31-row
+    deviation table."""
+    daily = ckpt(
+        t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+    q6d = lambda c, s: F.sum(
+        F.floor(c * F.lit(1e6) + F.lit(0.5)).cast(f"decimal(38,{s})")
+    ).cast("double") / F.lit(1e6)
+    m = daily.agg(
+        (q6d(F.col("y"), 6) / F.count(F.lit(1))).alias("mu"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    wd = Window.orderBy("day")
+    dev = ckpt(
+        daily.crossJoin(F.broadcast(m)).select(
+            F.row_number().over(wd).alias("i"), (F.col("y") - F.col("mu")).alias("d"), "n"
+        )
+    )
+    denom = dev.agg(q6d(F.col("d") * F.col("d"), 12).alias("c0"), F.max("n").alias("n"))
+    lags = spark.range(1, 9).select(F.col("id").alias("k"))
+    a = dev.select(F.col("i").alias("ia"), F.col("d").alias("da"))
+    b = dev.select(F.col("i").alias("ib"), F.col("d").alias("db"))
+    rhos = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("ib") == F.col("ia") + F.col("k"))
+        .groupBy("k")
+        .agg(q6d(F.col("da") * F.col("db"), 12).alias("num"))
+        .crossJoin(F.broadcast(denom))
+        .select("k", (F.col("num") / F.col("c0")).alias("rho"), "n")
+    )
+    s = rhos.agg(
+        (
+            F.sum(
+                F.floor(
+                    F.col("rho") * F.col("rho") / (F.col("n") - F.col("k")) * F.lit(1e12)
+                    + F.lit(0.5)
+                ).cast("decimal(38,12)")
+            ).cast("double")
+            / F.lit(1e12)
+        ).alias("s"),
+        F.max("n").alias("n"),
+    )
+    qstat = F.col("n") * (F.col("n") + 2.0) * F.col("s")
+    stat = s.select(qstat.alias("q_stat"), "n")
+    h = F.col("q_stat") / 2.0
+    sf_ = F.exp(-h) * (1.0 + h + h * h / 2.0 + h * h * h / 6.0)
+    return stat.select(
+        F.round("q_stat", 6).alias("q_stat"),
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(sf_, 6).alias("p_value"),
+        (sf_ < 0.05).alias("reject_whiteness"),
+    )

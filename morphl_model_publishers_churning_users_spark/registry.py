@@ -136,7 +136,9 @@ def register(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Quer
 # (ts_mann_kendall, ts_theil_sen — same verification) and the
 # wave-14 tail (agg_beta_binomial_shrinkage — same verification) and
 # the wave-15 tail (ml_logrank_test — same verification) and the
-# wave-16 tail (dq_reconciliation, ml_bh_fdr — same verification). All round-6 additions were sim-verified at
+# wave-16 tail (dq_reconciliation, ml_bh_fdr — same verification)
+# and the wave-17 tail (ml_ab_srm_check, ts_ljung_box — same
+# verification). All round-6 additions were sim-verified at
 # sf0.001/0.01, and every key in the post-fold waves also at sf0.1;
 # the full registry ran hash-green in the bare-session simulator
 # repeatedly during the round (329/329, 357/357, 380/380, 389/389,
@@ -538,6 +540,8 @@ _KEY_RANK: dict[str, int] = {
     "ml_logrank_test": 9,
     "dq_reconciliation": 9,
     "ml_bh_fdr": 9,
+    "ml_ab_srm_check": 9,
+    "ts_ljung_box": 9,
 }
 
 

@@ -553,3 +553,21 @@ def test_bh_fdr_monotone_and_bounded(spark, sf_dir):
         assert r["p_bh"] <= 1.0
         assert r["p_bh"] >= prev - 1e-9
         prev = r["p_bh"]
+
+
+def test_srm_clean_on_parity_split(spark, sf_dir):
+    """user_id parity is a perfect randomizer here: arms equal,
+    p-value 1.0, no SRM — and chi2 = 0 recomputes from the counts."""
+    r = _Q["ml_ab_srm_check"](spark, sf_dir).collect()[0]
+    tot = r["n_arm_a"] + r["n_arm_b"]
+    e = tot / 2.0
+    chi2 = (r["n_arm_a"] - e) ** 2 / e + (r["n_arm_b"] - e) ** 2 / e
+    assert r["chi2"] == pytest.approx(chi2, abs=1e-6)
+    assert r["srm_detected"] is False
+
+
+def test_ljung_box_q_nonnegative_and_p_valid(spark, sf_dir):
+    r = _Q["ts_ljung_box"](spark, sf_dir).collect()[0]
+    assert r["q_stat"] >= 0
+    assert 0.0 <= r["p_value"] <= 1.0
+    assert r["reject_whiteness"] == (r["p_value"] < 0.05)
