@@ -1620,3 +1620,89 @@ def dq_reconciliation(spark, sf_dir):
         )
         .orderBy("recon_class")
     )
+
+
+@register(
+    "dq_duplicate_payments",
+    oracle="""
+WITH pay AS (
+    SELECT event_id, user_id, ts, value,
+           epoch_us(ts) // 3600000000 AS hr
+    FROM events WHERE event_type = 'purchase' AND value > 0
+), cand AS (
+    SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id,
+           ROUND(ABS(a.value - b.value) / GREATEST(a.value, b.value), 6)
+               AS amt_rel_diff,
+           (epoch_us(b.ts) - epoch_us(a.ts)) // 60000000 AS minutes_apart
+    FROM pay a JOIN pay b
+      ON a.user_id = b.user_id
+     AND b.hr BETWEEN a.hr AND a.hr + 1
+     AND a.event_id < b.event_id
+    WHERE ABS(a.value - b.value) / GREATEST(a.value, b.value) <= 0.01
+      AND epoch_us(b.ts) - epoch_us(a.ts) BETWEEN 0 AND 3600000000
+)
+SELECT id_a, id_b, user_id, amt_rel_diff, CAST(minutes_apart AS BIGINT)
+           AS minutes_apart
+FROM cand
+""",
+)
+def dq_duplicate_payments(spark, sf_dir):
+    """Duplicate-payment detector — the accounts-payable audit
+    classic: two purchases by the same user, within 1% of the same
+    amount, within an hour of each other, are flagged as probable
+    double-charges (retry storms, double-clicks, reposted invoices).
+    The join is BLOCKED twice — by user AND by hour bucket (each
+    event joins only its own and the next hour's bucket) — so the
+    pair space is O(events per user-hour)², never a per-user
+    cartesian over months of history: the same bucketing discipline
+    as llm_dedup_cosine, applied to a money audit. At 100 TB the
+    user+hour key is the shuffle, and the hour window rides the same
+    partition. Pair ordering by event_id halves and dedupes the
+    candidates; exact-µs arithmetic keeps the minutes-apart column
+    engine-identical."""
+    pay = (
+        t(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "purchase") & (F.col("value") > 0))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "value",
+            F.floor(
+                F.expr("timestampdiff(MICROSECOND, timestamp_ntz '1970-01-01', ts)")
+                / F.lit(3600000000)
+            ).alias("hr"),
+        )
+    )
+    a = pay.select(
+        F.col("event_id").alias("id_a"),
+        "user_id",
+        F.col("ts").alias("ts_a"),
+        F.col("value").alias("v_a"),
+        F.col("hr").alias("hr_a"),
+    )
+    b = pay.select(
+        F.col("event_id").alias("id_b"),
+        F.col("user_id").alias("user_b"),
+        F.col("ts").alias("ts_b"),
+        F.col("value").alias("v_b"),
+        F.col("hr").alias("hr_b"),
+    )
+    us = F.expr("timestampdiff(MICROSECOND, ts_a, ts_b)")
+    rel = F.abs(F.col("v_a") - F.col("v_b")) / F.greatest("v_a", "v_b")
+    return (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("user_b"))
+            & F.col("hr_b").between(F.col("hr_a"), F.col("hr_a") + 1)
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .filter((rel <= 0.01) & us.between(0, 3600000000))
+        .select(
+            "id_a",
+            "id_b",
+            "user_id",
+            F.round(rel, 6).alias("amt_rel_diff"),
+            F.floor(us / F.lit(60000000)).cast("bigint").alias("minutes_apart"),
+        )
+    )

@@ -4779,3 +4779,93 @@ def ts_ljung_box(spark, sf_dir):
         F.round(sf_, 6).alias("p_value"),
         (sf_ < 0.05).alias("reject_whiteness"),
     )
+
+
+@register(
+    "ts_spc_control_chart",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, CAST(COUNT(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1
+), mr AS (
+  SELECT day, y, ABS(y - LAG(y) OVER (ORDER BY day)) AS moving_range
+  FROM daily
+), lims AS (
+  SELECT CAST(SUM(CAST(FLOOR(y * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE)
+             / 1e6 / COUNT(*) AS xbar,
+         CAST(SUM(CAST(FLOOR(COALESCE(moving_range, 0) * 1e6 + 0.5)
+                       AS DECIMAL(38,6))) AS DOUBLE)
+             / 1e6 / (COUNT(*) - 1) AS mrbar
+  FROM mr
+), flagged AS (
+  SELECT m.day, m.y,
+         l.xbar, l.xbar + 2.66 * l.mrbar AS ucl, l.xbar - 2.66 * l.mrbar AS lcl,
+         CASE WHEN m.y > l.xbar + 2.66 * l.mrbar
+                OR m.y < l.xbar - 2.66 * l.mrbar THEN 1 ELSE 0 END AS rule1,
+         CASE WHEN SUM(CASE WHEN m.y > l.xbar THEN 1 ELSE -1 END)
+                   OVER (ORDER BY m.day ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+                   IN (8, -8)
+              AND ROW_NUMBER() OVER (ORDER BY m.day) >= 8
+              THEN 1 ELSE 0 END AS rule4
+  FROM mr m, lims l
+)
+SELECT day, ROUND(y, 6) AS y, ROUND(xbar, 6) AS center,
+       ROUND(ucl, 6) AS ucl, ROUND(lcl, 6) AS lcl,
+       CAST(rule1 AS BOOLEAN) AS beyond_3sigma,
+       CAST(rule4 AS BOOLEAN) AS run_of_8_one_side
+FROM flagged ORDER BY day
+""",
+)
+def ts_spc_control_chart(spark, sf_dir):
+    """Shewhart individuals control chart — the SPC view of daily
+    volume that ops teams run instead of ad-hoc thresholds: center
+    line x̄, control limits x̄ ± 2.66·MR̄ (the moving-range estimate of
+    σ — robust to the trend-inflation that a plain stddev suffers on
+    autocorrelated series), plus two Western Electric rules flagged
+    per point — beyond-3σ (rule 1) and eight-in-a-row on one side of
+    center (rule 4, the drift detector that fires long before a 3σ
+    spike). Distinct from ts_cusum (cumulative drift statistic) and
+    ts_anomaly_robust (MAD outliers): SPC is the CHART contract —
+    limits AND rule flags per point, ready for the dashboard. Day
+    collapse, one lag window, 1-row broadcast limits, one running
+    window for the rule-4 sign count; DECIMAL means keep the limits
+    bit-identical."""
+    daily = ckpt(
+        t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+    wd = Window.orderBy("day")
+    mr = ckpt(
+        daily.select(
+            "day", "y", F.abs(F.col("y") - F.lag("y").over(wd)).alias("moving_range")
+        )
+    )
+    q6sum = lambda c: F.sum(
+        F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,6)")
+    ).cast("double") / F.lit(1e6)
+    lims = mr.agg(
+        (q6sum(F.col("y")) / F.count(F.lit(1))).alias("xbar"),
+        (
+            q6sum(F.coalesce("moving_range", F.lit(0.0)))
+            / (F.count(F.lit(1)) - 1)
+        ).alias("mrbar"),
+    )
+    f = mr.crossJoin(F.broadcast(lims))
+    ucl = F.col("xbar") + 2.66 * F.col("mrbar")
+    lcl = F.col("xbar") - 2.66 * F.col("mrbar")
+    w8 = Window.orderBy("day").rowsBetween(-7, Window.currentRow)
+    sign_sum = F.sum(
+        F.when(F.col("y") > F.col("xbar"), 1).otherwise(-1)
+    ).over(w8)
+    return f.select(
+        "day",
+        F.round("y", 6).alias("y"),
+        F.round("xbar", 6).alias("center"),
+        F.round(ucl, 6).alias("ucl"),
+        F.round(lcl, 6).alias("lcl"),
+        ((F.col("y") > ucl) | (F.col("y") < lcl)).alias("beyond_3sigma"),
+        (
+            sign_sum.isin(8, -8) & (F.row_number().over(wd) >= 8)
+        ).alias("run_of_8_one_side"),
+    ).orderBy("day")

@@ -138,7 +138,8 @@ def register(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Quer
 # the wave-15 tail (ml_logrank_test — same verification) and the
 # wave-16 tail (dq_reconciliation, ml_bh_fdr — same verification)
 # and the wave-17 tail (ml_ab_srm_check, ts_ljung_box — same
-# verification). All round-6 additions were sim-verified at
+# verification) and the wave-18 tail (ts_spc_control_chart,
+# dq_duplicate_payments — same verification). All round-6 additions were sim-verified at
 # sf0.001/0.01, and every key in the post-fold waves also at sf0.1;
 # the full registry ran hash-green in the bare-session simulator
 # repeatedly during the round (329/329, 357/357, 380/380, 389/389,
@@ -542,6 +543,8 @@ _KEY_RANK: dict[str, int] = {
     "ml_bh_fdr": 9,
     "ml_ab_srm_check": 9,
     "ts_ljung_box": 9,
+    "ts_spc_control_chart": 9,
+    "dq_duplicate_payments": 9,
 }
 
 

@@ -571,3 +571,25 @@ def test_ljung_box_q_nonnegative_and_p_valid(spark, sf_dir):
     assert r["q_stat"] >= 0
     assert 0.0 <= r["p_value"] <= 1.0
     assert r["reject_whiteness"] == (r["p_value"] < 0.05)
+
+
+def test_spc_limits_and_flags_consistent(spark, sf_dir):
+    """Limits are symmetric about center; every beyond-3sigma flag
+    recomputes from its own row's y and limits."""
+    rows = _Q["ts_spc_control_chart"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["ucl"] - r["center"] == pytest.approx(
+            r["center"] - r["lcl"], abs=1e-5
+        )
+        assert r["beyond_3sigma"] == (r["y"] > r["ucl"] or r["y"] < r["lcl"])
+
+
+def test_duplicate_payments_satisfy_rules(spark, sf_dir):
+    """Every flagged pair obeys the blocking rules: same user is
+    implicit, within 1% amount, within 60 minutes, ordered ids."""
+    rows = _Q["dq_duplicate_payments"](spark, sf_dir).collect()
+    for r in rows:
+        assert r["id_a"] < r["id_b"]
+        assert 0.0 <= r["amt_rel_diff"] <= 0.01
+        assert 0 <= r["minutes_apart"] <= 60
