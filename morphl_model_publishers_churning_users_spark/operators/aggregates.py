@@ -2416,3 +2416,96 @@ def agg_beta_binomial_shrinkage(spark, sf_dir):
             6,
         ).alias("shrunk_rate"),
     )
+
+
+@register(
+    "agg_benford_chisq",
+    oracle="""
+WITH obs AS (
+  SELECT CAST(floor(o_totalprice / pow(10, floor(log10(o_totalprice))))
+              AS INT) AS d,
+         COUNT(*) AS c
+  FROM orders WHERE o_totalprice > 0 GROUP BY 1
+), full_d AS (
+  SELECT CAST(g.d AS INT) AS d, COALESCE(obs.c, 0) AS c
+  FROM generate_series(1, 9) g(d) LEFT JOIN obs ON obs.d = g.d
+), tot AS (
+  SELECT CAST(SUM(c) AS DOUBLE) AS n FROM full_d
+), terms AS (
+  SELECT CAST(c AS DOUBLE) AS o,
+         tot.n * log10(1.0 + 1.0 / d) AS e, tot.n AS n
+  FROM full_d, tot
+), chi AS (
+  SELECT MAX(n) AS n,
+         CAST(SUM(CAST(FLOOR((o - e) * (o - e) / e * 1e6 + 0.5)
+                       AS DECIMAL(38,6))) AS DOUBLE) / 1e6 AS chi2
+  FROM terms
+)
+SELECT CAST(n AS BIGINT) AS n_orders,
+       ROUND(chi2, 6) AS chi2,
+       ROUND(exp(-chi2 / 2.0) * (1.0 + chi2 / 2.0
+             + (chi2 / 2.0) * (chi2 / 2.0) / 2.0
+             + (chi2 / 2.0) * (chi2 / 2.0) * (chi2 / 2.0) / 6.0), 6)
+           AS p_value,
+       (exp(-chi2 / 2.0) * (1.0 + chi2 / 2.0
+        + (chi2 / 2.0) * (chi2 / 2.0) / 2.0
+        + (chi2 / 2.0) * (chi2 / 2.0) * (chi2 / 2.0) / 6.0)) >= 0.05
+           AS benford_consistent
+FROM chi
+""",
+)
+def agg_benford_chisq(spark, sf_dir):
+    """Benford goodness-of-fit TEST — agg_benford shows the first-digit
+    histogram; this turns it into a decision: Pearson χ² of the nine
+    observed digit counts against the Benford expectation
+    n·log10(1+1/d), df = 8. df is EVEN, so the χ² survival function has
+    the exact closed form e^{−x/2}·Σ_{j<4}(x/2)^j/j! — the same
+    portable-special-function trick as ts_ljung_box (spell it
+    identically in both engines or don't use it). The digit spine is a
+    generated 9-row frame LEFT-joined to the observed counts so a digit
+    with ZERO observations still contributes its full (0−e)²/e penalty
+    — dropping absent digits is the classic implementation bug that
+    understates the statistic. Cost: one scan + one 9-row aggregate;
+    the 9 χ² terms quantize at 1e-6 into DECIMAL before the sum."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.floor(
+        F.col("o_totalprice") / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    ).cast("int")
+    counts = o.groupBy(digit.alias("d")).agg(F.count(F.lit(1)).alias("c"))
+    digits = spark.range(1, 10).select(F.col("id").cast("int").alias("d"))
+    full_d = (
+        digits.join(counts, "d", "left")
+        .select("d", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    wall = Window.partitionBy()
+    terms = full_d.select(
+        F.col("c").cast("double").alias("o"),
+        (
+            F.sum("c").over(wall).cast("double")
+            * F.log10(F.lit(1.0) + F.lit(1.0) / F.col("d"))
+        ).alias("e"),
+        F.sum("c").over(wall).cast("double").alias("n"),
+    )
+    chi = terms.agg(
+        F.max("n").alias("n"),
+        (
+            F.sum(
+                F.floor(
+                    (F.col("o") - F.col("e"))
+                    * (F.col("o") - F.col("e"))
+                    / F.col("e")
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                ).cast("decimal(38,6)")
+            ).cast("double")
+            / F.lit(1e6)
+        ).alias("chi2"),
+    )
+    h = F.col("chi2") / 2.0
+    sf_ = F.exp(-h) * (1.0 + h + h * h / 2.0 + h * h * h / 6.0)
+    return chi.select(
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.round("chi2", 6).alias("chi2"),
+        F.round(sf_, 6).alias("p_value"),
+        (sf_ >= 0.05).alias("benford_consistent"),
+    )

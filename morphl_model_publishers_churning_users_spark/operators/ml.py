@@ -3955,3 +3955,85 @@ def ml_ab_srm_check(spark, sf_dir):
         F.round(1.0 - erfv, 6).alias("p_value"),
         ((1.0 - erfv) < 0.001).alias("srm_detected"),
     )
+
+
+@register(
+    "ml_price_elasticity",
+    oracle="""
+WITH obs AS (
+  SELECT p.p_brand AS brand,
+         ln(CAST(l_quantity AS DOUBLE)) AS lq,
+         ln(CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE))
+             AS lp
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l_quantity > 0 AND l_extendedprice > 0
+), s AS (
+  SELECT brand, CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(FLOOR(lp * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE)
+             / 1e6 AS sx,
+         CAST(SUM(CAST(FLOOR(lq * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE)
+             / 1e6 AS sy,
+         CAST(SUM(CAST(FLOOR(lp * lp * 1e6 + 0.5) AS DECIMAL(38,12)))
+              AS DOUBLE) / 1e6 AS sxx,
+         CAST(SUM(CAST(FLOOR(lp * lq * 1e6 + 0.5) AS DECIMAL(38,12)))
+              AS DOUBLE) / 1e6 AS sxy
+  FROM obs GROUP BY brand
+)
+SELECT brand, CAST(n AS BIGINT) AS n_obs,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS elasticity,
+       ((n * sxy - sx * sy) / (n * sxx - sx * sx)) < -1.0 AS is_elastic
+FROM s
+""",
+)
+def ml_price_elasticity(spark, sf_dir):
+    """Own-price elasticity of demand per brand — the log-log OLS slope
+    d ln(quantity) / d ln(unit price), the pricing team's first
+    regression: slope < −1 means revenue RISES when price falls
+    (elastic), −1 < slope < 0 means raise prices. One lineitem→part
+    join (broadcast on the projected 2-column partkey→brand side — at
+    100 TB `part` is the dim of the star and this is the same broadcast
+    discipline join_star asserts), then the slope comes from the five
+    classic sufficient statistics (n, Σx, Σy, Σx², Σxy) in ONE
+    map-side-combinable hash aggregate — no per-group iteration, no
+    MLlib, no second pass; the closed form (nΣxy − ΣxΣy)/(nΣx² − (Σx)²)
+    runs on the 25-row brand table. At 100 TB the single shuffle on
+    brand is the whole cost. ln() terms quantize at 1e-6 into DECIMAL
+    before summation (q6dec discipline, DECIMAL(38,12) for the
+    products) so both engines see identical sums."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+    )
+    brand = F.broadcast(
+        t(spark, sf_dir, "part").select("p_partkey", F.col("p_brand").alias("brand"))
+    )
+    lp = F.log(
+        F.col("l_extendedprice").cast("double") / F.col("l_quantity").cast("double")
+    )
+    lq = F.log(F.col("l_quantity").cast("double"))
+
+    def qsum(c, scale):
+        return F.sum(
+            F.floor(c * F.lit(1e6) + F.lit(0.5)).cast(f"decimal(38,{scale})")
+        ).cast("double") / F.lit(1e6)
+
+    s = (
+        li.join(brand, F.col("l_partkey") == F.col("p_partkey"))
+        .select("brand", lp.alias("lp"), lq.alias("lq"))
+        .groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            qsum(F.col("lp"), 6).alias("sx"),
+            qsum(F.col("lq"), 6).alias("sy"),
+            qsum(F.col("lp") * F.col("lp"), 12).alias("sxx"),
+            qsum(F.col("lp") * F.col("lq"), 12).alias("sxy"),
+        )
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "brand",
+        F.col("n").cast("bigint").alias("n_obs"),
+        F.round(slope, 6).alias("elasticity"),
+        (slope < -1.0).alias("is_elastic"),
+    )

@@ -545,6 +545,8 @@ _KEY_RANK: dict[str, int] = {
     "ts_ljung_box": 9,
     "ts_spc_control_chart": 9,
     "dq_duplicate_payments": 9,
+    "ml_price_elasticity": 9,
+    "agg_benford_chisq": 9,
 }
 
 

@@ -593,3 +593,64 @@ def test_duplicate_payments_satisfy_rules(spark, sf_dir):
         assert r["id_a"] < r["id_b"]
         assert 0.0 <= r["amt_rel_diff"] <= 0.01
         assert 0 <= r["minutes_apart"] <= 60
+
+
+def test_price_elasticity_matches_numpy_ols(spark, sf_dir):
+    """Per-brand elasticity equals an unquantized numpy log-log OLS
+    slope to within the 1e-6 quantization grain, and n_obs totals the
+    filtered lineitem rows."""
+    import numpy as np
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    rows = {r["brand"]: r for r in _Q["ml_price_elasticity"](spark, sf_dir).collect()}
+    assert rows
+    li = (
+        tbl(spark, sf_dir, "lineitem")
+        .filter((F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0))
+        .join(
+            tbl(spark, sf_dir, "part").select(
+                F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("brand")
+            ),
+            "l_partkey",
+        )
+        .select("brand", "l_quantity", "l_extendedprice")
+        .toPandas()
+    )
+    assert sum(r["n_obs"] for r in rows.values()) == len(li)
+    for brand, g in li.groupby("brand"):
+        lp = np.log(g["l_extendedprice"].astype(float) / g["l_quantity"].astype(float))
+        lq = np.log(g["l_quantity"].astype(float))
+        slope = np.polyfit(lp, lq, 1)[0]
+        got = rows[brand]["elasticity"]
+        assert abs(got - slope) < 1e-3, (brand, got, slope)
+        assert rows[brand]["is_elastic"] == (got < -1.0)
+
+
+def test_benford_chisq_matches_numpy(spark, sf_dir):
+    """chi2 recomputed from the agg_benford histogram (all 9 digits,
+    absent ones contributing (0-e)^2/e) matches to the quantization
+    grain; p_value is a valid probability consistent with the flag."""
+    import math
+
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    r = _Q["agg_benford_chisq"](spark, sf_dir).collect()[0]
+    o = tbl(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    n = o.count()
+    assert r["n_orders"] == n
+    obs = {
+        row["first_digit"]: row["n"]
+        for row in _Q["agg_benford"](spark, sf_dir).collect()
+    }
+    chi2 = sum(
+        (obs.get(d, 0) - n * math.log10(1 + 1 / d)) ** 2 / (n * math.log10(1 + 1 / d))
+        for d in range(1, 10)
+    )
+    assert abs(r["chi2"] - chi2) < 1e-4, (r["chi2"], chi2)
+    assert 0.0 <= r["p_value"] <= 1.0
+    h = chi2 / 2.0
+    p = math.exp(-h) * (1 + h + h * h / 2 + h**3 / 6)
+    assert abs(r["p_value"] - p) < 1e-5
+    assert r["benford_consistent"] == (r["p_value"] >= 0.05)
