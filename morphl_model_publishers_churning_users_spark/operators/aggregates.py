@@ -2509,3 +2509,89 @@ def agg_benford_chisq(spark, sf_dir):
         F.round(sf_, 6).alias("p_value"),
         (sf_ >= 0.05).alias("benford_consistent"),
     )
+
+
+@register(
+    "agg_spearman",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x,
+         SUM(CAST(FLOOR(COALESCE(value, 0) * 1e6 + 0.5) AS DECIMAL(38,6)))
+             AS y
+  FROM events GROUP BY user_id
+), ranked AS (
+  SELECT
+    2 * rank() OVER (ORDER BY x) + COUNT(*) OVER (PARTITION BY x) - 1 AS rx,
+    2 * rank() OVER (ORDER BY y) + COUNT(*) OVER (PARTITION BY y) - 1 AS ry
+  FROM per_user
+), s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(rx AS DECIMAL(19,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(ry AS DECIMAL(19,0))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(rx AS DECIMAL(19,0)) * CAST(rx AS DECIMAL(19,0)))
+              AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(ry AS DECIMAL(19,0)) * CAST(ry AS DECIMAL(19,0)))
+              AS DOUBLE) AS syy,
+         CAST(SUM(CAST(rx AS DECIMAL(19,0)) * CAST(ry AS DECIMAL(19,0)))
+              AS DOUBLE) AS sxy
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+       ROUND((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+           AS spearman_rho,
+       ((n * sxy - sx * sy)
+        / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))) > 0
+           AS positive_assoc
+FROM s
+""",
+)
+def agg_spearman(spark, sf_dir):
+    """Spearman rank correlation between per-user activity (event
+    count) and per-user monetary value (Σ value) — the robust,
+    outlier-immune complement to agg_corr_matrix's Pearson: whales
+    can't drag it, only ORDER matters. The exactness trick: with
+    average ranks for ties, 2·rank is always an INTEGER
+    (2·min_rank + tie_count − 1), and Pearson is scale-invariant, so
+    the whole computation runs on exact integer doubled-ranks summed
+    in DECIMAL — zero float quantization anywhere until the single
+    final closed-form division. Per-user value sums ride the q6dec
+    micro-unit DECIMAL path (COALESCE 0 so engine NULL-ordering
+    divergence can't bite). At 100 TB the two global rank windows are
+    range-partitioned sorts over the USER table (events already
+    collapsed one shuffle earlier); the moments aggregate is
+    map-side combinable."""
+    ev = t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x"),
+        F.sum(q6dec(F.coalesce(F.col("value"), F.lit(0.0)))).alias("y"),
+    )
+
+    def dbl_rank(c):
+        return (
+            F.lit(2) * F.rank().over(Window.orderBy(c))
+            + F.count(F.lit(1)).over(Window.partitionBy(c))
+            - F.lit(1)
+        )
+
+    ranked = per_user.select(
+        dbl_rank("x").cast("decimal(19,0)").alias("rx"),
+        dbl_rank("y").cast("decimal(19,0)").alias("ry"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("rx").cast("double").alias("sx"),
+        F.sum("ry").cast("double").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("double").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("double").alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("double").alias("sxy"),
+    )
+    rho = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.round(rho, 6).alias("spearman_rho"),
+        (rho > 0).alias("positive_assoc"),
+    )

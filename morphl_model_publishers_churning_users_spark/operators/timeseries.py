@@ -4869,3 +4869,104 @@ def ts_spc_control_chart(spark, sf_dir):
             sign_sum.isin(8, -8) & (F.row_number().over(wd) >= 8)
         ).alias("run_of_8_one_side"),
     ).orderBy("day")
+
+
+@register(
+    "ts_safety_stock",
+    oracle="""
+WITH bw AS (
+  SELECT p.p_brand AS brand, date_trunc('week', l.l_shipdate) AS wk,
+         SUM(CAST(FLOOR(l.l_quantity * 1e6 + 0.5) AS DECIMAL(38,6))) AS qm
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+), wks AS (
+  SELECT DISTINCT date_trunc('week', l_shipdate) AS wk FROM lineitem
+), brands AS (
+  SELECT DISTINCT p_brand AS brand FROM part
+), spine AS (
+  SELECT b.brand,
+         CAST(COALESCE(bw.qm, 0) AS DOUBLE) / 1e6 AS x
+  FROM brands b CROSS JOIN wks w
+  LEFT JOIN bw ON bw.brand = b.brand AND bw.wk = w.wk
+), s AS (
+  SELECT brand, CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(FLOOR(x * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE)
+             / 1e6 AS sx,
+         CAST(SUM(CAST(FLOOR(x * x * 1e6 + 0.5) AS DECIMAL(38,12))) AS DOUBLE)
+             / 1e6 AS sxx
+  FROM spine GROUP BY brand
+)
+SELECT brand, CAST(n AS BIGINT) AS n_weeks,
+       ROUND(sx / n, 6) AS mean_weekly,
+       ROUND(sqrt((n * sxx - sx * sx) / (n * (n - 1.0))), 6) AS sd_weekly,
+       ROUND(1.645 * sqrt(2.0)
+             * sqrt((n * sxx - sx * sx) / (n * (n - 1.0))), 6)
+           AS safety_stock,
+       ROUND(2.0 * sx / n + 1.645 * sqrt(2.0)
+             * sqrt((n * sxx - sx * sx) / (n * (n - 1.0))), 6)
+           AS reorder_point
+FROM s
+""",
+)
+def ts_safety_stock(spark, sf_dir):
+    """Safety stock + reorder point per brand — the inventory-planning
+    formula every supply chain runs: with weekly demand mean μ and
+    sample std σ, lead time L = 2 weeks and a 95% service level
+    (z = 1.645), safety = z·σ·√L and reorder point = μ·L + safety.
+    The subtle correctness point is the WEEK SPINE: a brand that sold
+    nothing in week 17 has demand ZERO that week, not a missing row —
+    skipping silent weeks understates σ and strands the service level
+    below target, so the brand×week frame is built by crossing the
+    25-row brand dim with the observed global week spine and
+    LEFT-joining demand (both sides of the cross are tiny and
+    broadcast; the only data-sized work is the one brand×week hash
+    aggregate). Demand stays in exact micro-unit DECIMAL until one
+    identical-in-both-engines cast to double; moments ride the q6dec
+    path. SURVEY §2.M inventory-ops family."""
+    li = t(spark, sf_dir, "lineitem")
+    brand_dim = F.broadcast(
+        t(spark, sf_dir, "part").select("p_partkey", F.col("p_brand").alias("brand"))
+    )
+    bw = (
+        li.join(brand_dim, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("brand", F.date_trunc("week", "l_shipdate").alias("wk"))
+        .agg(F.sum(q6dec(F.col("l_quantity"))).alias("qm"))
+    )
+    wks = li.select(F.date_trunc("week", "l_shipdate").alias("wk")).distinct()
+    brands = (
+        t(spark, sf_dir, "part").select(F.col("p_brand").alias("brand")).distinct()
+    )
+    spine = (
+        brands.crossJoin(F.broadcast(wks))
+        .join(bw, ["brand", "wk"], "left")
+        .select(
+            "brand",
+            (F.coalesce(F.col("qm"), F.lit(0)).cast("double") / F.lit(1e6)).alias("x"),
+        )
+    )
+
+    def qsum(c, scale):
+        return F.sum(
+            F.floor(c * F.lit(1e6) + F.lit(0.5)).cast(f"decimal(38,{scale})")
+        ).cast("double") / F.lit(1e6)
+
+    s = spine.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        qsum(F.col("x"), 6).alias("sx"),
+        qsum(F.col("x") * F.col("x"), 12).alias("sxx"),
+    )
+    sd = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        / (F.col("n") * (F.col("n") - 1.0))
+    )
+    safety = F.lit(1.645) * F.sqrt(F.lit(2.0)) * sd
+    return s.select(
+        "brand",
+        F.col("n").cast("bigint").alias("n_weeks"),
+        F.round(F.col("sx") / F.col("n"), 6).alias("mean_weekly"),
+        F.round(sd, 6).alias("sd_weekly"),
+        F.round(safety, 6).alias("safety_stock"),
+        F.round(F.lit(2.0) * F.col("sx") / F.col("n") + safety, 6).alias(
+            "reorder_point"
+        ),
+    )

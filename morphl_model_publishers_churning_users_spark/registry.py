@@ -547,6 +547,8 @@ _KEY_RANK: dict[str, int] = {
     "dq_duplicate_payments": 9,
     "ml_price_elasticity": 9,
     "agg_benford_chisq": 9,
+    "agg_spearman": 9,
+    "ts_safety_stock": 9,
 }
 
 

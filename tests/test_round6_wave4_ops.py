@@ -654,3 +654,64 @@ def test_benford_chisq_matches_numpy(spark, sf_dir):
     p = math.exp(-h) * (1 + h + h * h / 2 + h**3 / 6)
     assert abs(r["p_value"] - p) < 1e-5
     assert r["benford_consistent"] == (r["p_value"] >= 0.05)
+
+
+def test_spearman_matches_pandas(spark, sf_dir):
+    """Doubled-integer-rank Spearman equals pandas' rank-then-Pearson
+    (average ranks, ddof-free closed form) to the rounding grain."""
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    r = _Q["agg_spearman"](spark, sf_dir).collect()[0]
+    pu = (
+        tbl(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("x"),
+            F.sum(F.coalesce("value", F.lit(0.0))).alias("y"),
+        )
+        .toPandas()
+    )
+    assert r["n_users"] == len(pu)
+    rx = pu["x"].rank(method="average")
+    ry = pu["y"].rank(method="average")
+    rho = rx.corr(ry)  # Pearson on average ranks == Spearman (scipy-free)
+    assert abs(r["spearman_rho"] - rho) < 1e-6, (r["spearman_rho"], rho)
+    assert r["positive_assoc"] == (r["spearman_rho"] > 0)
+
+
+def test_safety_stock_matches_pandas_with_zero_weeks(spark, sf_dir):
+    """Per-brand σ must be computed over the FULL week spine (silent
+    weeks = zero demand); reorder point decomposes as 2μ + safety."""
+    import numpy as np
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    rows = {r["brand"]: r for r in _Q["ts_safety_stock"](spark, sf_dir).collect()}
+    assert rows
+    li = (
+        tbl(spark, sf_dir, "lineitem")
+        .join(
+            tbl(spark, sf_dir, "part").select(
+                F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("brand")
+            ),
+            "l_partkey",
+        )
+        .select("brand", F.date_trunc("week", "l_shipdate").alias("wk"), "l_quantity")
+        .toPandas()
+    )
+    n_weeks = li["wk"].nunique()
+    for brand, r in rows.items():
+        assert r["n_weeks"] == n_weeks
+        by_wk = li[li["brand"] == brand].groupby("wk")["l_quantity"].sum()
+        demand = np.zeros(n_weeks)
+        demand[: len(by_wk)] = np.sort(by_wk.to_numpy())[::-1]  # values only
+        assert abs(r["mean_weekly"] - demand.sum() / n_weeks) < 1e-4
+        sd = demand.std(ddof=1)
+        assert abs(r["sd_weekly"] - sd) < 1e-4, (brand, r["sd_weekly"], sd)
+        assert r["safety_stock"] == pytest.approx(
+            1.645 * np.sqrt(2.0) * r["sd_weekly"], abs=2e-6
+        )
+        assert r["reorder_point"] == pytest.approx(
+            2.0 * r["mean_weekly"] + r["safety_stock"], abs=2e-6
+        )
