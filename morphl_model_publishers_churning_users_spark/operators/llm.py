@@ -5054,3 +5054,74 @@ def llm_split_leakage(spark, sf_dir):
         )
         .orderBy("dup_class")
     )
+
+
+@register(
+    "llm_readability",
+    oracle="""
+WITH base AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), '\\s+') AS words,
+         GREATEST(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sentences
+  FROM documents WHERE length(trim(text)) > 0
+), counted AS (
+  SELECT doc_id, CAST(n_sentences AS BIGINT) AS n_sentences,
+         CAST(len(words) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(words,
+              w -> GREATEST(1, len(regexp_extract_all(w, '[aeiouy]+')))))
+              AS BIGINT) AS n_syllables
+  FROM base
+)
+SELECT doc_id, n_sentences, n_words, n_syllables,
+       ROUND(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6)
+           AS flesch_ease,
+       ROUND(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+             + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59, 6)
+           AS fk_grade
+FROM counted
+""",
+)
+def llm_readability(spark, sf_dir):
+    """Flesch Reading Ease + Flesch–Kincaid grade per document — the
+    century-old readability pair that modern corpus pipelines still
+    gate on (too-hard and too-trivial text both correlate with low
+    training value; FK-grade bands also drive curriculum ordering).
+    Syllables are approximated the standard way — vowel GROUPS per
+    word ([aeiouy]+ runs), floored at 1 — and the whole computation
+    is NARROW: split → per-element transform → aggregate inside one
+    projection, no explode, no shuffle, no Python boundary
+    (higher-order functions stay in codegen). Sentence count floors
+    at 1 so punctuation-free docs (this fixture's corpus) read as one
+    long sentence instead of dividing by zero. Integer counts make
+    every division cross-engine identical. Cites the same whitespace
+    tokenization contract as llm_textstats/llm_tokens."""
+    d = t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    n_sent = F.greatest(
+        F.lit(1), F.size(F.regexp_extract_all("text", F.lit("[.!?]+"), F.lit(0)))
+    ).cast("bigint")
+    syl = F.expr(
+        "aggregate(transform(split(trim(text), '\\\\s+'), "
+        "w -> greatest(1, size(regexp_extract_all(w, '[aeiouy]+', 0)))), "
+        "0L, (a, x) -> a + x)"
+    )
+    counted = d.select(
+        "doc_id",
+        n_sent.alias("n_sentences"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_words"),
+        syl.cast("bigint").alias("n_syllables"),
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sentences")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words")
+    return counted.select(
+        "doc_id",
+        "n_sentences",
+        "n_words",
+        "n_syllables",
+        F.round(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 6).alias(
+            "flesch_ease"
+        ),
+        F.round(F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6).alias(
+            "fk_grade"
+        ),
+    )

@@ -4037,3 +4037,117 @@ def ml_price_elasticity(spark, sf_dir):
         F.round(slope, 6).alias("elasticity"),
         (slope < -1.0).alias("is_elastic"),
     )
+
+
+@register(
+    "ml_cramers_v",
+    oracle="""
+WITH cells AS (
+  SELECT o_orderpriority AS pr, o_orderstatus AS st,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2
+), prs AS (SELECT DISTINCT o_orderpriority AS pr FROM orders),
+sts AS (SELECT DISTINCT o_orderstatus AS st FROM orders),
+grid AS (
+  SELECT p.pr, s.st, COALESCE(c.c, 0) AS c
+  FROM prs p CROSS JOIN sts s
+  LEFT JOIN cells c ON c.pr = p.pr AND c.st = s.st
+), tot AS (
+  SELECT CAST(SUM(c) AS DOUBLE) AS n,
+         CAST(COUNT(DISTINCT pr) AS DOUBLE) AS r,
+         CAST(COUNT(DISTINCT st) AS DOUBLE) AS k
+  FROM grid
+), rowt AS (SELECT pr, CAST(SUM(c) AS DOUBLE) AS rt FROM grid GROUP BY pr),
+colt AS (SELECT st, CAST(SUM(c) AS DOUBLE) AS ct FROM grid GROUP BY st),
+terms AS (
+  SELECT g.c, rowt.rt * colt.ct / tot.n AS e, tot.n, tot.r, tot.k
+  FROM grid g JOIN rowt ON g.pr = rowt.pr JOIN colt ON g.st = colt.st, tot
+), chi AS (
+  SELECT MAX(n) AS n, MAX(r) AS r, MAX(k) AS k,
+         CAST(SUM(CAST(FLOOR((c - e) * (c - e) / e * 1e6 + 0.5)
+                       AS DECIMAL(38,6))) AS DOUBLE) / 1e6 AS chi2
+  FROM terms
+)
+SELECT CAST(n AS BIGINT) AS n_orders,
+       CAST((r - 1) * (k - 1) AS BIGINT) AS df,
+       ROUND(chi2, 6) AS chi2,
+       ROUND(sqrt(chi2 / (n * least(r - 1, k - 1))), 6) AS cramers_v,
+       ROUND(sqrt(
+         GREATEST(0.0, chi2 / n - (r - 1) * (k - 1) / (n - 1))
+         / least(r - (r - 1) * (r - 1) / (n - 1) - 1,
+                 k - (k - 1) * (k - 1) / (n - 1) - 1)), 6)
+           AS cramers_v_corrected
+FROM chi
+""",
+)
+def ml_cramers_v(spark, sf_dir):
+    """Cramér's V effect size for a categorical×categorical pair
+    (order priority × order status) — ml_chi2 answers 'is there ANY
+    association?'; V answers 'how MUCH?' on the comparable [0,1]
+    scale, and at 100 TB that distinction is everything: with n in
+    the billions, χ² rejects independence for microscopically small
+    effects, so the p-value is useless and the EFFECT SIZE is the
+    decision variable. Includes the Bergsma bias-corrected variant
+    (φ² shrunk by its independence-expectation (r−1)(k−1)/(n−1),
+    dimensions shrunk likewise) — plain V is biased upward on finite
+    samples. The r×k grid is a generated spine (empty cells still
+    pay their expected-count penalty); everything after the one
+    groupBy is arithmetic on a ≤15-row broadcast frame."""
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pr"), F.col("o_orderstatus").alias("st")
+    )
+    cells = o.groupBy("pr", "st").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    prs = o.select("pr").distinct()
+    sts = o.select("st").distinct()
+    grid = ckpt(
+        prs.crossJoin(F.broadcast(sts))
+        .join(cells, ["pr", "st"], "left")
+        .select("pr", "st", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    tot = grid.agg(
+        F.sum("c").cast("double").alias("n"),
+        F.countDistinct("pr").cast("double").alias("r"),
+        F.countDistinct("st").cast("double").alias("k"),
+    )
+    rowt = grid.groupBy("pr").agg(F.sum("c").cast("double").alias("rt"))
+    colt = grid.groupBy("st").agg(F.sum("c").cast("double").alias("ct"))
+    e = F.col("rt") * F.col("ct") / F.col("n")
+    terms = (
+        grid.join(F.broadcast(rowt), "pr")
+        .join(F.broadcast(colt), "st")
+        .crossJoin(F.broadcast(tot))
+        .select("c", e.alias("e"), "n", "r", "k")
+    )
+    chi = terms.agg(
+        F.max("n").alias("n"),
+        F.max("r").alias("r"),
+        F.max("k").alias("k"),
+        (
+            F.sum(
+                F.floor(
+                    (F.col("c") - F.col("e"))
+                    * (F.col("c") - F.col("e"))
+                    / F.col("e")
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                ).cast("decimal(38,6)")
+            ).cast("double")
+            / F.lit(1e6)
+        ).alias("chi2"),
+    )
+    n, r, k = F.col("n"), F.col("r"), F.col("k")
+    phi2 = F.col("chi2") / n
+    phi2c = F.greatest(F.lit(0.0), phi2 - (r - 1) * (k - 1) / (n - 1))
+    rc = r - (r - 1) * (r - 1) / (n - 1)
+    kc = k - (k - 1) * (k - 1) / (n - 1)
+    return chi.select(
+        n.cast("bigint").alias("n_orders"),
+        ((r - 1) * (k - 1)).cast("bigint").alias("df"),
+        F.round("chi2", 6).alias("chi2"),
+        F.round(F.sqrt(F.col("chi2") / (n * F.least(r - 1, k - 1))), 6).alias(
+            "cramers_v"
+        ),
+        F.round(F.sqrt(phi2c / F.least(rc - 1, kc - 1)), 6).alias(
+            "cramers_v_corrected"
+        ),
+    )

@@ -549,6 +549,8 @@ _KEY_RANK: dict[str, int] = {
     "agg_benford_chisq": 9,
     "agg_spearman": 9,
     "ts_safety_stock": 9,
+    "ml_cramers_v": 9,
+    "llm_readability": 9,
 }
 
 

@@ -715,3 +715,52 @@ def test_safety_stock_matches_pandas_with_zero_weeks(spark, sf_dir):
         assert r["reorder_point"] == pytest.approx(
             2.0 * r["mean_weekly"] + r["safety_stock"], abs=2e-6
         )
+
+
+def test_cramers_v_matches_pandas_crosstab(spark, sf_dir):
+    """chi2/V recomputed from a pandas crosstab match; correction only
+    shrinks; V lives in [0,1]."""
+    import numpy as np
+    import pandas as pd
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    r = _Q["ml_cramers_v"](spark, sf_dir).collect()[0]
+    o = tbl(spark, sf_dir, "orders").select("o_orderpriority", "o_orderstatus").toPandas()
+    ct = pd.crosstab(o["o_orderpriority"], o["o_orderstatus"])
+    n = ct.to_numpy().sum()
+    e = np.outer(ct.sum(axis=1), ct.sum(axis=0)) / n
+    chi2 = ((ct.to_numpy() - e) ** 2 / e).sum()
+    assert r["n_orders"] == n
+    assert r["df"] == (ct.shape[0] - 1) * (ct.shape[1] - 1)
+    assert abs(r["chi2"] - chi2) < 1e-4
+    v = np.sqrt(chi2 / (n * (min(ct.shape) - 1)))
+    assert abs(r["cramers_v"] - v) < 1e-5
+    assert 0.0 <= r["cramers_v_corrected"] <= r["cramers_v"] <= 1.0
+
+
+def test_readability_counts_and_formula(spark, sf_dir):
+    """Syllable floor ≥1 per word holds; the Flesch/FK formulas
+    reproduce from the emitted counts; sample docs recount by hand."""
+    import re
+
+    rows = _Q["llm_readability"](spark, sf_dir).collect()
+    assert rows
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    texts = dict(
+        tbl(spark, sf_dir, "documents").select("doc_id", "text").limit(2000).collect()
+    )
+    for r in rows[:50]:
+        words = texts[r["doc_id"]].strip().split()
+        assert r["n_words"] == len(words)
+        syl = sum(max(1, len(re.findall(r"[aeiouy]+", w))) for w in words)
+        assert r["n_syllables"] == syl
+        assert r["n_syllables"] >= r["n_words"]
+        wps = r["n_words"] / r["n_sentences"]
+        spw = r["n_syllables"] / r["n_words"]
+        assert r["flesch_ease"] == pytest.approx(
+            206.835 - 1.015 * wps - 84.6 * spw, abs=1e-5
+        )
+        assert r["fk_grade"] == pytest.approx(
+            0.39 * wps + 11.8 * spw - 15.59, abs=1e-5
+        )
