@@ -4151,3 +4151,101 @@ def ml_cramers_v(spark, sf_dir):
             "cramers_v_corrected"
         ),
     )
+
+
+@register(
+    "ml_evalue_sequential",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id % 2 AS arm,
+         COUNT(*) AS n,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS k
+  FROM events GROUP BY 1, 2
+), wide AS (
+  SELECT day,
+         CAST(SUM(CASE WHEN arm = 0 THEN n END) AS DOUBLE) AS na,
+         CAST(SUM(CASE WHEN arm = 0 THEN k END) AS DOUBLE) AS ka,
+         CAST(SUM(CASE WHEN arm = 1 THEN n END) AS DOUBLE) AS nb,
+         CAST(SUM(CASE WHEN arm = 1 THEN k END) AS DOUBLE) AS kb
+  FROM daily GROUP BY day
+), z AS (
+  SELECT day,
+         CASE WHEN na > 0 AND nb > 0
+                   AND (ka + kb) > 0 AND (ka + kb) < (na + nb)
+              THEN (ka / na - kb / nb)
+                   / sqrt((ka + kb) / (na + nb)
+                          * (1.0 - (ka + kb) / (na + nb))
+                          * (1.0 / na + 1.0 / nb))
+              ELSE 0.0 END AS zd
+  FROM wide
+), e AS (
+  SELECT day, zd,
+         SUM(CAST(FLOOR((0.25 * zd - 0.03125) * 1e6 + 0.5) AS DECIMAL(38,6)))
+             OVER (ORDER BY day) AS cm
+  FROM z
+)
+SELECT day, ROUND(zd, 6) AS z_stat,
+       ROUND(CAST(cm AS DOUBLE) / 1e6, 6) AS log_e_cum,
+       ROUND(exp(CAST(cm AS DOUBLE) / 1e6), 6) AS e_value,
+       (MAX(CAST(cm AS DOUBLE) / 1e6) OVER (ORDER BY day)) >= ln(20.0)
+           AS rejected_by_now
+FROM e
+""",
+)
+def ml_evalue_sequential(spark, sf_dir):
+    """Anytime-valid sequential A/B test via an e-process — the modern
+    answer to the peeking problem: classical p-values are only valid
+    at ONE pre-registered look, but a dashboard is looked at daily,
+    and peeking inflates false positives severalfold. An e-process
+    E_t = Π exp(λ·z_d − λ²/2) (λ = 0.25) is a nonnegative
+    supermartingale under H₀ (no arm difference), so by Ville's
+    inequality P(sup E_t ≥ 1/α) ≤ α — reject whenever E_t ≥ 20 for
+    α = 0.05, AT ANY TIME, no look budget, no alpha spending
+    schedule. The per-day z is the standard pooled two-proportion
+    score over the user-parity arms (same arm convention as
+    ml_ab_srm_check); the running product is a cumulative SUM of
+    1e-6-quantized log-terms in DECIMAL (exact, so both engines walk
+    the identical trajectory), and `rejected_by_now` is the running
+    max crossing ln 20 — once rejected, stays rejected, exactly the
+    anytime-valid semantics. One day×arm aggregate + two ordered
+    windows over the day table; at 100 TB the day table is tiny and
+    the single events shuffle dominates."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        (F.col("user_id") % 2).alias("arm"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("k"),
+    )
+    wide = daily.groupBy("day").agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("n"))).cast("double").alias("na"),
+        F.sum(F.when(F.col("arm") == 0, F.col("k"))).cast("double").alias("ka"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n"))).cast("double").alias("nb"),
+        F.sum(F.when(F.col("arm") == 1, F.col("k"))).cast("double").alias("kb"),
+    )
+    na, ka, nb, kb = (F.col(c) for c in ("na", "ka", "nb", "kb"))
+    pp = (ka + kb) / (na + nb)
+    zd = F.when(
+        (na > 0) & (nb > 0) & ((ka + kb) > 0) & ((ka + kb) < (na + nb)),
+        (ka / na - kb / nb)
+        / F.sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb)),
+    ).otherwise(0.0)
+    z = wide.select("day", zd.alias("zd"))
+    wday = Window.orderBy("day")
+    cm = (
+        F.sum(
+            F.floor((F.lit(0.25) * F.col("zd") - F.lit(0.03125)) * F.lit(1e6) + F.lit(0.5))
+            .cast("decimal(38,6)")
+        ).over(wday)
+    )
+    e = z.select("day", "zd", (cm.cast("double") / F.lit(1e6)).alias("lec"))
+    import math
+
+    return e.select(
+        "day",
+        F.round("zd", 6).alias("z_stat"),
+        F.round("lec", 6).alias("log_e_cum"),
+        F.round(F.exp("lec"), 6).alias("e_value"),
+        (F.max("lec").over(wday) >= F.lit(math.log(20.0))).alias("rejected_by_now"),
+    )

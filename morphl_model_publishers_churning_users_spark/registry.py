@@ -551,6 +551,8 @@ _KEY_RANK: dict[str, int] = {
     "ts_safety_stock": 9,
     "ml_cramers_v": 9,
     "llm_readability": 9,
+    "sink_zorder_write": 9,
+    "ml_evalue_sequential": 9,
 }
 
 

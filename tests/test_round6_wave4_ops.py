@@ -764,3 +764,38 @@ def test_readability_counts_and_formula(spark, sf_dir):
         assert r["fk_grade"] == pytest.approx(
             0.39 * wps + 11.8 * spw - 15.59, abs=1e-5
         )
+
+
+def test_zorder_quadrants_bound_both_dimensions(spark, sf_dir):
+    """Every quadrant spans ≤~half of BOTH dimensions (the whole point
+    of z-order vs 1-D sort), counts tile the orders table, and quads
+    are the expected 4."""
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    rows = _Q["sink_zorder_write"](spark, sf_dir).collect()
+    assert sorted(r["quad"] for r in rows) == [0, 1, 2, 3]
+    assert sum(r["n_rows"] for r in rows) == tbl(spark, sf_dir, "orders").count()
+    for r in rows:
+        assert r["zorder_bounded"] is True
+        assert r["ck_span_frac"] <= 0.55 and r["day_span_frac"] <= 0.55
+
+
+def test_evalue_trajectory_is_consistent(spark, sf_dir):
+    """log E is the cumsum of per-day increments, e_value = exp(log E),
+    and rejected_by_now is monotone (once true, stays true)."""
+    import math
+
+    rows = sorted(
+        _Q["ml_evalue_sequential"](spark, sf_dir).collect(), key=lambda r: r["day"]
+    )
+    assert rows
+    cum = 0.0
+    rejected_seen = False
+    for r in rows:
+        cum += 0.25 * r["z_stat"] - 0.03125
+        assert r["log_e_cum"] == pytest.approx(cum, abs=1e-3)
+        assert r["e_value"] == pytest.approx(math.exp(r["log_e_cum"]), abs=2e-4)
+        if rejected_seen:
+            assert r["rejected_by_now"] is True
+        rejected_seen = rejected_seen or r["rejected_by_now"]
