@@ -4249,3 +4249,139 @@ def ml_evalue_sequential(spark, sf_dir):
         F.round(F.exp("lec"), 6).alias("e_value"),
         (F.max("lec").over(wday) >= F.lit(math.log(20.0))).alias("rejected_by_now"),
     )
+
+
+@register(
+    "ml_naive_bayes",
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS words
+  FROM documents WHERE length(trim(text)) > 0
+), tok AS (
+  SELECT doc_id, lang, unnest(words) AS word FROM docs
+), counts AS (
+  SELECT doc_id, lang, word, CAST(COUNT(*) AS BIGINT) AS n_dw
+  FROM tok GROUP BY 1, 2, 3
+), train AS (SELECT * FROM counts WHERE doc_id % 2 = 0),
+test AS (SELECT * FROM counts WHERE doc_id % 2 = 1),
+classes AS (
+  SELECT lang AS c, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs,
+         CAST(SUM(n_dw) AS DOUBLE) AS tot_c
+  FROM train GROUP BY lang
+), n_train AS (
+  SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM train
+), vocab AS (SELECT DISTINCT word FROM train),
+v_size AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM vocab),
+cw AS (
+  SELECT c.c, v.word,
+         CAST(FLOOR(ln((COALESCE(t.n_wc, 0) + 1.0) / (c.tot_c + vs.v))
+                    * 1e6 + 0.5) AS DECIMAL(38,6)) AS ll_q
+  FROM classes c CROSS JOIN vocab v CROSS JOIN v_size vs
+  LEFT JOIN (
+    SELECT lang AS c, word, CAST(SUM(n_dw) AS DOUBLE) AS n_wc
+    FROM train GROUP BY 1, 2
+  ) t ON t.c = c.c AND t.word = v.word
+), priors AS (
+  SELECT c.c,
+         CAST(FLOOR(ln(c.n_docs / nt.n) * 1e6 + 0.5) AS DECIMAL(38,6)) AS pr_q
+  FROM classes c, n_train nt
+), scored AS (
+  SELECT te.doc_id, te.lang AS actual, cw.c,
+         MAX(pr.pr_q) + SUM(te.n_dw * cw.ll_q) AS score_q
+  FROM test te
+  JOIN cw ON cw.word = te.word
+  JOIN priors pr ON pr.c = cw.c
+  GROUP BY 1, 2, 3
+), ranked AS (
+  SELECT doc_id, actual, c AS predicted, score_q,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score_q DESC, c ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, predicted, actual, predicted = actual AS correct,
+       ROUND(CAST(score_q AS DOUBLE) / 1e6, 6) AS log_score
+FROM ranked WHERE rn = 1
+""",
+)
+def ml_naive_bayes(spark, sf_dir):
+    """Multinomial Naive Bayes language classifier — trained on even
+    doc_ids, scored on odd (the repo's deterministic split
+    convention), Laplace α = 1. The distinctive thing versus the
+    MLlib stages (ml_train/ml_rf): NB's entire fit IS relational
+    algebra — priors and smoothed word likelihoods are two GROUP BYs,
+    scoring is one join + one sum, argmax is one window — so this is
+    a FULL value twin (DuckDB re-derives the identical model), not an
+    anchor contract. Every log-probability is 1e-6-quantized into
+    DECIMAL before the per-document sum (n_dw × quantized-ll is exact
+    integer math), making the argmax comparison exact in both engines
+    (ties break by class name). Scale shape: the likelihood table is
+    vocab×classes (bounded, broadcastable); test tokens shuffle ONCE
+    on word for the scoring join, then once on (doc, class) — the
+    classic distributed-NB plan. Words unseen in training score the
+    smoothed 1/(tot_c+V) floor via the LEFT-join COALESCE; test-only
+    words outside the train vocab drop out of the inner scoring join
+    in both engines identically."""
+    d = t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("word"),
+    )
+    counts = ckpt(
+        tok.groupBy("doc_id", "lang", "word").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dw")
+        )
+    )
+    train = counts.filter(F.col("doc_id") % 2 == 0)
+    test = counts.filter(F.col("doc_id") % 2 == 1)
+    classes = train.groupBy(F.col("lang").alias("c")).agg(
+        F.countDistinct("doc_id").cast("double").alias("n_docs"),
+        F.sum("n_dw").cast("double").alias("tot_c"),
+    )
+    n_train = train.agg(F.countDistinct("doc_id").cast("double").alias("n"))
+    vocab = train.select("word").distinct()
+    v_size = vocab.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    n_wc = train.groupBy(F.col("lang").alias("c"), "word").agg(
+        F.sum("n_dw").cast("double").alias("n_wc")
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,6)")
+    cw = (
+        classes.crossJoin(vocab)
+        .crossJoin(F.broadcast(v_size))
+        .join(n_wc, ["c", "word"], "left")
+        .select(
+            "c",
+            "word",
+            q6(
+                F.log(
+                    (F.coalesce(F.col("n_wc"), F.lit(0.0)) + 1.0)
+                    / (F.col("tot_c") + F.col("v"))
+                )
+            ).alias("ll_q"),
+        )
+    )
+    priors = classes.crossJoin(F.broadcast(n_train)).select(
+        "c", q6(F.log(F.col("n_docs") / F.col("n"))).alias("pr_q")
+    )
+    scored = (
+        test.join(cw, "word")
+        .join(F.broadcast(priors), "c")
+        .groupBy("doc_id", F.col("lang").alias("actual"), "c")
+        .agg(
+            (F.max("pr_q") + F.sum(F.col("n_dw") * F.col("ll_q"))).alias("score_q")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score_q").desc(), F.col("c").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("c").alias("predicted"),
+            "actual",
+            (F.col("c") == F.col("actual")).alias("correct"),
+            F.round(F.col("score_q").cast("double") / F.lit(1e6), 6).alias(
+                "log_score"
+            ),
+        )
+    )

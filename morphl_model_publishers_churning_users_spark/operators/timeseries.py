@@ -4970,3 +4970,73 @@ def ts_safety_stock(spark, sf_dir):
             "reorder_point"
         ),
     )
+
+
+@register(
+    "ts_var_cvar",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         SUM(CAST(FLOOR(o_totalprice * 1e6 + 0.5) AS DECIMAL(38,6))) AS revq
+  FROM orders GROUP BY 1
+), nn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, (COUNT(*) + 19) // 20 AS k FROM daily
+), ranked AS (
+  SELECT revq, ROW_NUMBER() OVER (ORDER BY revq ASC, day ASC) AS rn, nn.n, nn.k
+  FROM daily, nn
+)
+SELECT MAX(n) AS n_days, CAST(MAX(k) AS BIGINT) AS k_tail_days,
+       ROUND(CAST(MAX(CASE WHEN rn = k THEN revq END) AS DOUBLE) / 1e6, 6)
+           AS var_5pct,
+       ROUND(CAST(SUM(CASE WHEN rn <= k THEN revq END) AS DOUBLE)
+             / 1e6 / MAX(k), 6) AS cvar_5pct,
+       (CAST(SUM(CASE WHEN rn <= k THEN revq END) AS DOUBLE) / MAX(k)
+        <= CAST(MAX(CASE WHEN rn = k THEN revq END) AS DOUBLE))
+           AS cvar_below_var
+FROM ranked
+""",
+)
+def ts_var_cvar(spark, sf_dir):
+    """Value-at-Risk and Conditional VaR (expected shortfall) of daily
+    revenue — the finance-desk tail pair applied to the business'
+    north-star series: VaR₅% answers 'how bad is a 1-in-20 day?',
+    CVaR answers the harder 'and WHEN it's that bad, how bad on
+    average?' (CVaR is the coherent one — it subadditivises across
+    desks, which is why Basel moved to expected shortfall). Both are
+    EXACT order statistics, not interpolated percentiles: k =
+    ⌈0.05·n⌉ via pure integer arithmetic, VaR = the k-th smallest
+    revenue day (day-key tiebreak → rank-deterministic in both
+    engines), CVaR = the exact DECIMAL mean of ranks 1..k. Daily
+    revenue never leaves micro-unit DECIMAL until the final rounded
+    division, so the two engines agree bit-for-bit. One day
+    aggregate + one ordered window over the tiny day table."""
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(q6dec(F.col("o_totalprice"))).alias("revq"))
+    )
+    nn = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("(count(1) + 19) div 20").cast("bigint").alias("k"),
+    )
+    ranked = daily.crossJoin(F.broadcast(nn)).select(
+        "revq",
+        F.row_number()
+        .over(Window.orderBy(F.col("revq").asc(), F.col("day").asc()))
+        .alias("rn"),
+        "n",
+        "k",
+    )
+    var_q = F.max(F.when(F.col("rn") == F.col("k"), F.col("revq")))
+    tail_q = F.sum(F.when(F.col("rn") <= F.col("k"), F.col("revq")))
+    return ranked.agg(
+        F.max("n").alias("n_days"),
+        F.max("k").cast("bigint").alias("k_tail_days"),
+        F.round(var_q.cast("double") / F.lit(1e6), 6).alias("var_5pct"),
+        F.round(tail_q.cast("double") / F.lit(1e6) / F.max("k"), 6).alias(
+            "cvar_5pct"
+        ),
+        (
+            tail_q.cast("double") / F.max("k") <= var_q.cast("double")
+        ).alias("cvar_below_var"),
+    )

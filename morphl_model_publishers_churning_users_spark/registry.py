@@ -553,6 +553,8 @@ _KEY_RANK: dict[str, int] = {
     "llm_readability": 9,
     "sink_zorder_write": 9,
     "ml_evalue_sequential": 9,
+    "ml_naive_bayes": 9,
+    "ts_var_cvar": 9,
 }
 
 

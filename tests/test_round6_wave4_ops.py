@@ -799,3 +799,46 @@ def test_evalue_trajectory_is_consistent(spark, sf_dir):
         if rejected_seen:
             assert r["rejected_by_now"] is True
         rejected_seen = rejected_seen or r["rejected_by_now"]
+
+
+def test_naive_bayes_covers_test_split_and_scores_sane(spark, sf_dir):
+    """One prediction per odd-doc_id document; predicted classes come
+    from the training label set; log scores are negative; accuracy is
+    at least plausible vs the 5-class floor."""
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    rows = _Q["ml_naive_bayes"](spark, sf_dir).collect()
+    d = tbl(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    n_test = d.filter(F.col("doc_id") % 2 == 1).count()
+    assert len(rows) == n_test
+    assert len({r["doc_id"] for r in rows}) == n_test
+    train_langs = {
+        r["lang"] for r in d.filter(F.col("doc_id") % 2 == 0).select("lang").collect()
+    }
+    for r in rows:
+        assert r["predicted"] in train_langs
+        assert r["log_score"] < 0.0
+        assert r["correct"] == (r["predicted"] == r["actual"])
+
+
+def test_var_cvar_exact_order_statistics(spark, sf_dir):
+    """VaR equals the k-th smallest daily revenue and CVaR the mean of
+    the k worst days, recomputed brute-force."""
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    r = _Q["ts_var_cvar"](spark, sf_dir).collect()[0]
+    revs = sorted(
+        x["rev"]
+        for x in tbl(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+        .collect()
+    )
+    n = len(revs)
+    k = (n + 19) // 20
+    assert r["n_days"] == n and r["k_tail_days"] == k
+    assert r["var_5pct"] == pytest.approx(revs[k - 1], rel=1e-6)
+    assert r["cvar_5pct"] == pytest.approx(sum(revs[:k]) / k, rel=1e-6)
+    assert r["cvar_below_var"] is True
