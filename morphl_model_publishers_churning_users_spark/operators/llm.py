@@ -5125,3 +5125,67 @@ def llm_readability(spark, sf_dir):
             "fk_grade"
         ),
     )
+
+
+@register(
+    "llm_mattr",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+  FROM documents WHERE length(trim(text)) > 0
+), stats AS (
+  SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(words)) AS BIGINT) AS n_types,
+         CASE WHEN len(words) >= 50 THEN
+           CAST(list_sum(list_transform(range(1, len(words) - 50 + 2),
+                i -> len(list_distinct(list_slice(words, i, i + 49)))))
+                AS DOUBLE) / (50.0 * (len(words) - 50 + 1))
+         ELSE
+           CAST(len(list_distinct(words)) AS DOUBLE) / len(words)
+         END AS mattr
+  FROM base
+)
+SELECT doc_id, n_tokens,
+       ROUND(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+       ROUND(mattr, 6) AS mattr
+FROM stats
+""",
+)
+def llm_mattr(spark, sf_dir):
+    """Moving-average type-token ratio (MATTR, Covington & McFall
+    2010) — the lexical-diversity score that fixes plain TTR's fatal
+    length bias (TTR falls mechanically as documents grow, so
+    filtering a mixed-length corpus on raw TTR just filters on
+    LENGTH): average the type ratio over every 50-token sliding
+    window instead, and short docs fall back to plain TTR. Low MATTR
+    flags the keyword-stuffed/templated text that llm_repetition
+    catches only when the repeat is verbatim. The whole computation
+    is one NARROW higher-order-function projection (sequence →
+    slice → array_distinct inside codegen, summing exact INTEGER
+    type-counts, one double division at the end) — no explode, no
+    shuffle, no Python; O(n·W) work per row rides the scan. Window
+    arithmetic is spelled to the same element set in both engines
+    (Spark slice takes a LENGTH, DuckDB list_slice an inclusive
+    end)."""
+    d = t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    w = 50
+    mattr_long = (
+        F.expr(
+            f"CAST(aggregate(transform(sequence(1, size(split(trim(text), '\\\\s+')) - {w} + 1), "
+            f"i -> size(array_distinct(slice(split(trim(text), '\\\\s+'), i, {w})))), "
+            f"0L, (a, x) -> a + x) AS DOUBLE)"
+        )
+        / (
+            F.lit(float(w))
+            * (F.size(F.split(F.trim("text"), r"\s+")) - F.lit(w) + 1)
+        )
+    )
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+")).cast("bigint")
+    n_types = F.size(F.array_distinct(F.split(F.trim("text"), r"\s+"))).cast("bigint")
+    ttr = n_types.cast("double") / n_tokens
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(ttr, 6).alias("ttr"),
+        F.round(F.when(n_tokens >= w, mattr_long).otherwise(ttr), 6).alias("mattr"),
+    )

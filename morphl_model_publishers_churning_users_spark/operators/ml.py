@@ -4385,3 +4385,111 @@ def ml_naive_bayes(spark, sf_dir):
             ),
         )
     )
+
+
+_TOST_PHI = "(0.5 * (1.0 + {erf}))"
+
+
+@register(
+    "ml_tost_equivalence",
+    oracle=f"""
+WITH arms AS (
+  SELECT user_id % 2 AS arm, CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS DOUBLE) AS k
+  FROM events GROUP BY 1
+), wide AS (
+  SELECT MAX(CASE WHEN arm = 0 THEN n END) AS na,
+         MAX(CASE WHEN arm = 0 THEN k END) AS ka,
+         MAX(CASE WHEN arm = 1 THEN n END) AS nb,
+         MAX(CASE WHEN arm = 1 THEN k END) AS kb
+  FROM arms
+), stat AS (
+  SELECT na, nb, ka / na - kb / nb AS diff,
+         sqrt(ka / na * (1.0 - ka / na) / na
+              + kb / nb * (1.0 - kb / nb) / nb) AS se
+  FROM wide
+), zz AS (
+  SELECT na, nb, diff, se,
+         (diff + 0.02) / se AS z1, (diff - 0.02) / se AS z2
+  FROM stat
+), pp AS (
+  SELECT na, nb, diff, se,
+         1.0 - {_TOST_PHI.format(erf=_ERFC_AS.format(x="(z1) / sqrt(2.0)"))}
+             AS p_lower,
+         {_TOST_PHI.format(erf=_ERFC_AS.format(x="(z2) / sqrt(2.0)"))}
+             AS p_upper
+  FROM zz
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       ROUND(diff, 6) AS rate_diff, ROUND(se, 6) AS se,
+       ROUND(p_lower, 6) AS p_lower, ROUND(p_upper, 6) AS p_upper,
+       ROUND(GREATEST(p_lower, p_upper), 6) AS p_tost,
+       GREATEST(p_lower, p_upper) < 0.05 AS equivalent
+FROM pp
+""",
+)
+def ml_tost_equivalence(spark, sf_dir):
+    """TOST equivalence test — the question classical A/B testing
+    CANNOT answer: 'is the new variant AS GOOD AS control?' A
+    non-significant difference test is NOT evidence of equivalence
+    (absence of evidence ≠ evidence of absence); TOST inverts the
+    burden: two one-sided z-tests against a ±2pp margin, and only if
+    BOTH rejections land (p_tost = max of the two one-sided p's
+    < α) is the conversion-rate difference provably inside the
+    margin. This is the FDA-bioequivalence machinery applied to the
+    do-no-harm launch gate. Arms are the user-parity convention of
+    ml_ab_srm_check; Φ is spelled through the SAME A&S erf
+    polynomial as ml_bh_fdr in both engines (identical special
+    function or none). One events aggregate; everything after is
+    1-row arithmetic."""
+    ev = t(spark, sf_dir, "events")
+    arms = ev.groupBy((F.col("user_id") % 2).alias("arm")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("double")
+        .alias("k"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("na"),
+        F.max(F.when(F.col("arm") == 0, F.col("k"))).alias("ka"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("arm") == 1, F.col("k"))).alias("kb"),
+    )
+    stat = wide.select(
+        "na",
+        "nb",
+        (F.col("ka") / F.col("na") - F.col("kb") / F.col("nb")).alias("diff"),
+        F.sqrt(
+            F.col("ka") / F.col("na") * (1.0 - F.col("ka") / F.col("na")) / F.col("na")
+            + F.col("kb") / F.col("nb") * (1.0 - F.col("kb") / F.col("nb")) / F.col("nb")
+        ).alias("se"),
+    )
+    zz = stat.select(
+        "na",
+        "nb",
+        "diff",
+        "se",
+        ((F.col("diff") + 0.02) / F.col("se")).alias("z1"),
+        ((F.col("diff") - 0.02) / F.col("se")).alias("z2"),
+    )
+    phi1 = F.expr(_TOST_PHI.format(erf=_ERFC_AS.format(x="(z1) / sqrt(2.0)")))
+    phi2 = F.expr(_TOST_PHI.format(erf=_ERFC_AS.format(x="(z2) / sqrt(2.0)")))
+    pp = zz.select(
+        "na",
+        "nb",
+        "diff",
+        "se",
+        (F.lit(1.0) - phi1).alias("p_lower"),
+        phi2.alias("p_upper"),
+    )
+    return pp.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.round("diff", 6).alias("rate_diff"),
+        F.round("se", 6).alias("se"),
+        F.round("p_lower", 6).alias("p_lower"),
+        F.round("p_upper", 6).alias("p_upper"),
+        F.round(F.greatest("p_lower", "p_upper"), 6).alias("p_tost"),
+        (F.greatest("p_lower", "p_upper") < 0.05).alias("equivalent"),
+    )

@@ -555,6 +555,8 @@ _KEY_RANK: dict[str, int] = {
     "ml_evalue_sequential": 9,
     "ml_naive_bayes": 9,
     "ts_var_cvar": 9,
+    "ml_tost_equivalence": 9,
+    "llm_mattr": 9,
 }
 
 

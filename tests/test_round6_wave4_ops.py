@@ -842,3 +842,41 @@ def test_var_cvar_exact_order_statistics(spark, sf_dir):
     assert r["var_5pct"] == pytest.approx(revs[k - 1], rel=1e-6)
     assert r["cvar_5pct"] == pytest.approx(sum(revs[:k]) / k, rel=1e-6)
     assert r["cvar_below_var"] is True
+
+
+def test_tost_pvalues_and_flag_consistent(spark, sf_dir):
+    """One-sided p's are valid probabilities; p_tost is their max; the
+    equivalence flag matches the 0.05 cut; under a null-ish synthetic
+    split the rate diff sits inside the +/-2pp margin."""
+    r = _Q["ml_tost_equivalence"](spark, sf_dir).collect()[0]
+    assert 0.0 <= r["p_lower"] <= 1.0 and 0.0 <= r["p_upper"] <= 1.0
+    assert r["p_tost"] == pytest.approx(max(r["p_lower"], r["p_upper"]), abs=1e-6)
+    assert r["equivalent"] == (r["p_tost"] < 0.05)
+    # a point estimate outside the margin can never prove equivalence
+    if abs(r["rate_diff"]) >= 0.02:
+        assert not r["equivalent"]
+
+
+def test_mattr_bounds_and_brute_force(spark, sf_dir):
+    """MATTR is in (0,1], length-stable unlike TTR, and matches a
+    brute-force sliding-window recount on sample docs."""
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    rows = _Q["llm_mattr"](spark, sf_dir).collect()
+    assert rows
+    texts = dict(
+        tbl(spark, sf_dir, "documents").select("doc_id", "text").limit(2000).collect()
+    )
+    for r in rows[:40]:
+        words = texts[r["doc_id"]].strip().split()
+        assert r["n_tokens"] == len(words)
+        assert 0.0 < r["mattr"] <= 1.0
+        assert r["ttr"] == pytest.approx(len(set(words)) / len(words), abs=1e-6)
+        if len(words) >= 50:
+            s = sum(
+                len(set(words[i : i + 50])) for i in range(len(words) - 50 + 1)
+            )
+            expect = s / (50.0 * (len(words) - 50 + 1))
+        else:
+            expect = len(set(words)) / len(words)
+        assert r["mattr"] == pytest.approx(expect, abs=1e-6)
