@@ -4493,3 +4493,106 @@ def ml_tost_equivalence(spark, sf_dir):
         F.round(F.greatest("p_lower", "p_upper"), 6).alias("p_tost"),
         (F.greatest("p_lower", "p_upper") < 0.05).alias("equivalent"),
     )
+
+
+def _mcnemar_oracle() -> str:
+    # Compose the two classifiers' REGISTERED oracle texts verbatim —
+    # single source of truth, so a fix to either classifier's twin
+    # propagates here instead of silently diverging.
+    from . import llm  # noqa: F401  (guarantee llm_langid is registered)
+    from ..registry import ORACLES
+
+    return f"""
+WITH nb AS ({ORACLES["ml_naive_bayes"]}),
+li AS ({ORACLES["llm_langid"]}),
+paired AS (
+  SELECT nb.correct AS nb_ok, li.pred_lang = li.true_lang AS li_ok
+  FROM nb JOIN li ON nb.doc_id = li.doc_id
+), counts AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(CASE WHEN nb_ok THEN 1 ELSE 0 END) AS BIGINT) AS nb_correct,
+         CAST(SUM(CASE WHEN li_ok THEN 1 ELSE 0 END) AS BIGINT) AS li_correct,
+         CAST(SUM(CASE WHEN nb_ok AND NOT li_ok THEN 1 ELSE 0 END) AS BIGINT)
+             AS b_disc,
+         CAST(SUM(CASE WHEN NOT nb_ok AND li_ok THEN 1 ELSE 0 END) AS BIGINT)
+             AS c_disc
+  FROM paired
+), stat AS (
+  SELECT n_pairs, nb_correct, li_correct, b_disc, c_disc,
+         CASE WHEN b_disc + c_disc > 0 THEN
+           (abs(CAST(b_disc AS DOUBLE) - c_disc) - 1.0)
+           * (abs(CAST(b_disc AS DOUBLE) - c_disc) - 1.0)
+           / (b_disc + c_disc)
+         ELSE 0.0 END AS chi2
+  FROM counts
+)
+SELECT n_pairs, nb_correct, li_correct, b_disc, c_disc,
+       ROUND(chi2, 6) AS chi2,
+       ROUND(CASE WHEN b_disc + c_disc > 0
+             THEN 1.0 - {_ERFC_AS.format(x="sqrt(chi2 / 2.0)")}
+             ELSE 1.0 END, 6) AS p_value,
+       (CASE WHEN b_disc + c_disc > 0
+             THEN 1.0 - {_ERFC_AS.format(x="sqrt(chi2 / 2.0)")}
+             ELSE 1.0 END) < 0.05 AS classifiers_differ
+FROM stat
+"""
+
+
+@register("ml_mcnemar_paired", oracle=_mcnemar_oracle())
+def ml_mcnemar_paired(spark, sf_dir):
+    """McNemar's paired test over the engine's own two language
+    classifiers — the CORRECT way to compare models scored on the
+    SAME test documents (two independent-proportion z-tests are wrong
+    there: the per-document pairing is the information). Composition
+    is the point: the Spark side literally calls ml_naive_bayes() and
+    llm_langid() and joins their outputs (operators as reusable
+    building blocks), and the DuckDB twin splices both classifiers'
+    REGISTERED oracle texts as CTEs, so neither side re-implements
+    anything. Only the discordant pairs carry signal: χ² =
+    (|b−c|−1)²/(b+c) with continuity correction, p via the shared
+    A&S erf polynomial (same spelling as ml_ab_srm_check), p = 1 when
+    the classifiers never disagree. One broadcast-sized join over
+    per-doc predictions."""
+    from .llm import llm_langid
+
+    nb = ml_naive_bayes(spark, sf_dir).select("doc_id", "correct")
+    li = llm_langid(spark, sf_dir).select("doc_id", "pred_lang", "true_lang")
+    paired = nb.join(li, "doc_id").select(
+        F.col("correct").alias("nb_ok"),
+        (F.col("pred_lang") == F.col("true_lang")).alias("li_ok"),
+    )
+    counts = paired.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.col("nb_ok"), 1).otherwise(0)).cast("bigint").alias("nb_correct"),
+        F.sum(F.when(F.col("li_ok"), 1).otherwise(0)).cast("bigint").alias("li_correct"),
+        F.sum(F.when(F.col("nb_ok") & ~F.col("li_ok"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("b_disc"),
+        F.sum(F.when(~F.col("nb_ok") & F.col("li_ok"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_disc"),
+    )
+    bc = F.col("b_disc") + F.col("c_disc")
+    ad = F.abs(F.col("b_disc").cast("double") - F.col("c_disc"))
+    stat = counts.select(
+        "n_pairs",
+        "nb_correct",
+        "li_correct",
+        "b_disc",
+        "c_disc",
+        F.when(bc > 0, (ad - 1.0) * (ad - 1.0) / bc).otherwise(0.0).alias("chi2"),
+    )
+    p = F.when(
+        F.col("b_disc") + F.col("c_disc") > 0,
+        1.0 - F.expr(_ERFC_AS.format(x="sqrt(chi2 / 2.0)")),
+    ).otherwise(1.0)
+    return stat.select(
+        "n_pairs",
+        "nb_correct",
+        "li_correct",
+        "b_disc",
+        "c_disc",
+        F.round("chi2", 6).alias("chi2"),
+        F.round(p, 6).alias("p_value"),
+        (p < 0.05).alias("classifiers_differ"),
+    )

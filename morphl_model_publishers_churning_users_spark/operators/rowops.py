@@ -1706,3 +1706,91 @@ def dq_duplicate_payments(spark, sf_dir):
             F.floor(us / F.lit(60000000)).cast("bigint").alias("minutes_apart"),
         )
     )
+
+
+@register(
+    "dq_key_discovery",
+    oracle="""
+WITH u AS (
+  SELECT 'events' AS tbl, 'event_id' AS candidate,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct
+  FROM events
+  UNION ALL
+  SELECT 'events', 'user_id', COUNT(*), COUNT(DISTINCT user_id) FROM events
+  UNION ALL
+  SELECT 'orders', 'o_orderkey', COUNT(*), COUNT(DISTINCT o_orderkey)
+  FROM orders
+  UNION ALL
+  SELECT 'orders', 'o_custkey', COUNT(*), COUNT(DISTINCT o_custkey) FROM orders
+  UNION ALL
+  SELECT 'lineitem', 'l_orderkey+l_linenumber', COUNT(*),
+         COUNT(DISTINCT (l_orderkey, l_linenumber))
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem', 'l_orderkey', COUNT(*), COUNT(DISTINCT l_orderkey)
+  FROM lineitem
+  UNION ALL
+  SELECT 'documents', 'doc_id', COUNT(*), COUNT(DISTINCT doc_id) FROM documents
+)
+SELECT tbl, candidate, n_rows, n_distinct,
+       CAST(n_rows - n_distinct AS BIGINT) AS dup_rows,
+       n_rows = n_distinct AS is_key,
+       ROUND(CAST(n_distinct AS DOUBLE) / n_rows, 6) AS uniqueness
+FROM u
+""",
+)
+def dq_key_discovery(spark, sf_dir):
+    """Primary-key discovery audit — profile a candidate-key list
+    (single columns and the one composite the schema implies) for
+    exact uniqueness, the screening every ingestion of an undocumented
+    source runs before it dares an upsert or a join: picking a
+    non-key join column silently fans out downstream aggregates
+    (dup_rows tells you by HOW MUCH). Each candidate costs one
+    COUNT DISTINCT aggregate pushed to a projected scan of ONLY the
+    candidate columns — at 100 TB the per-candidate cost is a
+    column-pruned pass with a map-side partial, and candidates over
+    the same table share the scan via the unioned plan. A true key
+    reports is_key; near-keys report their uniqueness ratio so the
+    0.999-unique 'almost keys' (the classic trap) are visible."""
+    ev = t(spark, sf_dir, "events")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    d = t(spark, sf_dir, "documents")
+
+    def prof(df, tbl, cand, *cols):
+        return df.agg(
+            F.lit(tbl).alias("tbl"),
+            F.lit(cand).alias("candidate"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct(*cols).cast("bigint").alias("n_distinct"),
+        ).select("tbl", "candidate", "n_rows", "n_distinct")
+
+    u = (
+        prof(ev, "events", "event_id", "event_id")
+        .unionAll(prof(ev, "events", "user_id", "user_id"))
+        .unionAll(prof(o, "orders", "o_orderkey", "o_orderkey"))
+        .unionAll(prof(o, "orders", "o_custkey", "o_custkey"))
+        .unionAll(
+            prof(
+                li,
+                "lineitem",
+                "l_orderkey+l_linenumber",
+                "l_orderkey",
+                "l_linenumber",
+            )
+        )
+        .unionAll(prof(li, "lineitem", "l_orderkey", "l_orderkey"))
+        .unionAll(prof(d, "documents", "doc_id", "doc_id"))
+    )
+    return u.select(
+        "tbl",
+        "candidate",
+        "n_rows",
+        "n_distinct",
+        (F.col("n_rows") - F.col("n_distinct")).cast("bigint").alias("dup_rows"),
+        (F.col("n_rows") == F.col("n_distinct")).alias("is_key"),
+        F.round(F.col("n_distinct").cast("double") / F.col("n_rows"), 6).alias(
+            "uniqueness"
+        ),
+    )

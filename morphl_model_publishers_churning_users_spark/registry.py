@@ -557,6 +557,8 @@ _KEY_RANK: dict[str, int] = {
     "ts_var_cvar": 9,
     "ml_tost_equivalence": 9,
     "llm_mattr": 9,
+    "ml_mcnemar_paired": 9,
+    "dq_key_discovery": 9,
 }
 
 
