@@ -1330,3 +1330,122 @@ def graph_ppr(spark, sf_dir):
         .limit(20)
         .select(F.col("node").alias("part"), F.round(F.col("r") * 1000, 6).alias("ppr_x1000"))
     )
+
+
+def _closeness_oracle(rounds: int = 3) -> str:
+    """Unrolled MULTI-SOURCE BFS CTEs (DuckDB twin of the driver loop):
+    same frontier/visited recurrence as :func:`_bfs_oracle` but seeded
+    from EVERY node, carrying (brand, seed, node) instead of
+    (brand, node)."""
+    ctes = [
+        _BRAND_EDGES_DUCK,
+        """sym AS MATERIALIZED (
+    SELECT brand, src, dst FROM edges
+    UNION ALL
+    SELECT brand, dst, src FROM edges
+)""",
+        "r0 AS MATERIALIZED (SELECT DISTINCT brand, src AS seed, src AS node FROM sym)",
+    ]
+    for i in range(1, rounds + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT brand, seed, node FROM r{j}" for j in range(i)
+        )
+        ctes.append(
+            f"""r{i} AS MATERIALIZED (
+    SELECT DISTINCT s.brand, f.seed, s.dst AS node
+    FROM sym s JOIN r{i - 1} f ON f.brand = s.brand AND f.node = s.src
+    WHERE NOT EXISTS (
+        SELECT 1 FROM ({prev}) v
+        WHERE v.brand = s.brand AND v.seed = f.seed AND v.node = s.dst
+    )
+)"""
+        )
+    levels = " UNION ALL ".join(
+        f"SELECT brand, seed, {i} AS dist FROM r{i}" for i in range(1, rounds + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """,
+counts AS (
+    SELECT brand, seed,
+           CAST(SUM(CASE WHEN dist = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hop1,
+           CAST(SUM(CASE WHEN dist = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_hop2,
+           CAST(SUM(CASE WHEN dist = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_hop3
+    FROM ("""
+        + levels
+        + """) GROUP BY 1, 2
+), scored AS (
+    SELECT brand, seed AS part, n_hop1, n_hop2, n_hop3,
+           FLOOR((CAST(n_hop1 AS DOUBLE) + 0.5 * n_hop2 + n_hop3 / 3.0)
+                 * 1000000 + 0.5) / 1000000 AS harmonic
+    FROM counts
+)
+SELECT brand, part, n_hop1, n_hop2, n_hop3, harmonic,
+       CAST(ROW_NUMBER() OVER (ORDER BY harmonic DESC, brand, part)
+            AS BIGINT) AS rank
+FROM scored
+ORDER BY rank LIMIT 20
+"""
+    )
+
+
+@register("graph_closeness", oracle=_closeness_oracle())
+def graph_closeness(spark, sf_dir):
+    """Bounded-hop harmonic closeness centrality — for every node of the
+    within-brand co-purchase graph, sum of 1/dist over the nodes within
+    3 hops (harmonic form, so disconnected pairs contribute 0 instead of
+    breaking the mean — Boldi & Vigna's axiomatically-preferred variant,
+    truncated at the hop radius the way HyperBall truncates its
+    sketches). The scalable shape is MULTI-SOURCE BFS: one frontier
+    table keyed (brand, seed, node) expands all sources simultaneously —
+    each round is ONE keyed join against the edge list plus one
+    anti-join against the visited set, never an all-pairs distance
+    matrix, and the brand blocking bounds every neighborhood. The
+    centrality itself is computed from the INTEGER per-distance counts
+    (n1 + n2/2 + n3/3 in one fixed-order double expression), so the only
+    float op happens once per node on exact integer inputs — no
+    accumulation-order hazard. Output: top-20 most central parts,
+    deterministic total order (score desc, brand, part)."""
+    sym = ckpt(_sym(_brand_edges(spark, sf_dir), "brand"))
+    r0 = sym.select("brand", F.col("src").alias("seed"), F.col("src").alias("node")).distinct()
+    frontier, visited = r0, ckpt(r0)
+    per_dist = []
+    for i in range(1, 4):
+        nxt = (
+            sym.join(
+                frontier.select("brand", "seed", F.col("node").alias("src")),
+                ["brand", "src"],
+            )
+            .select("brand", "seed", F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, ["brand", "seed", "node"], "left_anti")
+        )
+        frontier = ckpt(nxt)
+        visited = ckpt(visited.unionByName(frontier))
+        per_dist.append(frontier.withColumn("dist", F.lit(i)))
+    reach = per_dist[0].unionByName(per_dist[1]).unionByName(per_dist[2])
+    counts = reach.groupBy("brand", F.col("seed").alias("part")).agg(
+        *[
+            F.sum(F.when(F.col("dist") == d, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"n_hop{d}")
+            for d in (1, 2, 3)
+        ]
+    )
+    harmonic = F.floor(
+        (
+            F.col("n_hop1").cast("double")
+            + 0.5 * F.col("n_hop2")
+            + F.col("n_hop3") / F.lit(3.0)
+        )
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ) / F.lit(1e6)
+    w = Window.orderBy(F.desc("harmonic"), F.asc("brand"), F.asc("part"))
+    return (
+        counts.withColumn("harmonic", harmonic)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 20)
+        .orderBy("rank")
+    )

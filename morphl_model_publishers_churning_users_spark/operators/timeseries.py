@@ -5040,3 +5040,82 @@ def ts_var_cvar(spark, sf_dir):
             tail_q.cast("double") / F.max("k") <= var_q.cast("double")
         ).alias("cvar_below_var"),
     )
+
+
+@register(
+    "ts_kalman_level",
+    oracle="""
+WITH RECURSIVE daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS DOUBLE) AS n
+    FROM events GROUP BY 1, 2
+), seq AS (
+    SELECT event_type, day, n,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+    FROM daily
+), kal AS (
+    SELECT event_type, rn, day, n,
+           0.0 + ((1000000.0 + 25.0) / ((1000000.0 + 25.0) + 100.0))
+               * (n - 0.0) AS x,
+           (1.0 - ((1000000.0 + 25.0) / ((1000000.0 + 25.0) + 100.0)))
+               * (1000000.0 + 25.0) AS p
+    FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT s.event_type, s.rn, s.day, s.n,
+           k.x + ((k.p + 25.0) / ((k.p + 25.0) + 100.0)) * (s.n - k.x),
+           (1.0 - ((k.p + 25.0) / ((k.p + 25.0) + 100.0))) * (k.p + 25.0)
+    FROM kal k JOIN seq s ON s.event_type = k.event_type AND s.rn = k.rn + 1
+)
+SELECT event_type, day, CAST(n AS BIGINT) AS n_obs,
+       FLOOR(x * 1000000 + 0.5) / 1000000 AS level
+FROM kal
+""",
+)
+def ts_kalman_level(spark, sf_dir):
+    """Local-level Kalman filter (random-walk-plus-noise state space,
+    Q=25, R=100, diffuse init x0=0, P0=1e6) over each event type's daily
+    count series — the optimal online smoother when the level itself
+    drifts: the gain K = P/(P+R) ADAPTS per step (starts ~1 under the
+    diffuse prior, converges to the steady-state Riccati gain), unlike
+    the fixed-alpha EWMA (ts_ewma) it generalizes. The recurrence is
+    inherently sequential, so it runs as an array fold AFTER the daily
+    aggregate — at 100 TB the groupBy reduces the fact table to
+    O(types x days) rows in one shuffle and the fold touches only those
+    bounded per-type arrays, JVM-side (no Python). Emitting the FULL
+    filtered trajectory (not just the final state) makes every one of
+    the per-step double ops hash-checked; both engines execute the
+    identical op sequence (Spark aggregate() fold == DuckDB's recursive
+    CTE step), so the trajectories are bit-identical before the 1e-6
+    quantization. Cited shape: Durbin & Koopman sec 2.2; Spark-side fold
+    idiom shared with ts_holt_forecast."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    arr = "sort_array(collect_list(struct(day, n)))"
+    # Fold over the day-ordered array: acc = (x, p, lv[]); the gain
+    # expression is inlined (lambda bindings aren't available) — every
+    # repetition folds to the same IEEE value, mirroring the oracle text.
+    fold = (
+        "aggregate({arr}, "
+        "named_struct('x', 0.0D, 'p', 1000000.0D, "
+        "             'lv', cast(array() as array<double>)), "
+        "(acc, s) -> named_struct("
+        "  'x', acc.x + ((acc.p + 25.0D) / ((acc.p + 25.0D) + 100.0D)) * (s.n - acc.x),"
+        "  'p', (1.0D - ((acc.p + 25.0D) / ((acc.p + 25.0D) + 100.0D))) * (acc.p + 25.0D),"
+        "  'lv', array_append(acc.lv, "
+        "        acc.x + ((acc.p + 25.0D) / ((acc.p + 25.0D) + 100.0D)) * (s.n - acc.x))))"
+    ).format(arr=arr)
+    folded = daily.groupBy("event_type").agg(
+        F.expr(arr).alias("days"), F.expr(fold).alias("st")
+    )
+    zipped = folded.select(
+        "event_type",
+        F.explode(F.arrays_zip(F.col("days"), F.col("st.lv").alias("lv"))).alias("z"),
+    )
+    half_up6 = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    return zipped.select(
+        "event_type",
+        F.col("z.days.day").alias("day"),
+        F.col("z.days.n").cast("bigint").alias("n_obs"),
+        half_up6(F.col("z.lv")).alias("level"),
+    )

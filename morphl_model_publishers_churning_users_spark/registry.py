@@ -559,6 +559,8 @@ _KEY_RANK: dict[str, int] = {
     "llm_mattr": 9,
     "ml_mcnemar_paired": 9,
     "dq_key_discovery": 9,
+    "graph_closeness": 9,
+    "ts_kalman_level": 9,
 }
 
 

@@ -880,3 +880,47 @@ def test_mattr_bounds_and_brute_force(spark, sf_dir):
         else:
             expect = len(set(words)) / len(words)
         assert r["mattr"] == pytest.approx(expect, abs=1e-6)
+
+
+def test_kalman_level_tracks_series_and_beats_noise(spark, sf_dir):
+    """The filtered level (1) starts at ~K1*y1 under the diffuse prior
+    (K1 ~= 0.9999), (2) stays inside the running [min, max] envelope of
+    the observations and the x0=0 prior (each step is a convex
+    combination of the previous state and the observation), and
+    (3) matches a pure-Python re-run of the identical recursion."""
+    rows = _Q["ts_kalman_level"](spark, sf_dir).collect()
+    assert rows
+    by_type: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: (r["event_type"], r["day"])):
+        by_type.setdefault(r["event_type"], []).append(r)
+    for series in by_type.values():
+        x, p = 0.0, 1e6
+        lo, hi = 0.0, 0.0
+        for r in series:
+            y = float(r["n_obs"])
+            lo, hi = min(lo, y), max(hi, y)
+            p_pred = p + 25.0
+            k = p_pred / (p_pred + 100.0)
+            x = x + k * (y - x)
+            p = (1.0 - k) * p_pred
+            assert r["level"] == pytest.approx(x, abs=1e-6)
+            assert lo - 1e-6 <= r["level"] <= hi + 1e-6
+        # steady-state variance solves the Riccati fixpoint
+        # P^2 + PQ - QR = 0  =>  P = (-Q + sqrt(Q^2 + 4QR)) / 2
+        assert p == pytest.approx((-25.0 + (625.0 + 4 * 25.0 * 100.0) ** 0.5) / 2, rel=0.01)
+
+
+def test_closeness_dominates_degree_and_is_consistent(spark, sf_dir):
+    """harmonic = n1 + n2/2 + n3/3 exactly; hop counts are monotone
+    feasible (a 3-hop node requires a 2-hop node); ranks are contiguous
+    and scores non-increasing."""
+    rows = _Q["graph_closeness"](spark, sf_dir).collect()
+    assert rows and [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    for r in rows:
+        expect = r["n_hop1"] + 0.5 * r["n_hop2"] + r["n_hop3"] / 3.0
+        assert r["harmonic"] == pytest.approx(expect, abs=1e-6)
+        assert r["n_hop1"] > 0
+        if r["n_hop2"] == 0:
+            assert r["n_hop3"] == 0
+    scores = [r["harmonic"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
