@@ -1794,3 +1794,80 @@ def dq_key_discovery(spark, sf_dir):
             "uniqueness"
         ),
     )
+
+
+@register(
+    "dq_dp_count_release",
+    oracle="""
+WITH per_nation AS (
+    SELECT n.n_name AS nation, CAST(COUNT(*) AS BIGINT) AS true_n
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY 1
+), noised AS (
+    SELECT nation, true_n,
+           CAST(('0x' || substr(md5('dp:' || nation), 1, 13)) AS BIGINT)
+               / 4503599627370496.0 - 0.5 AS v
+    FROM per_nation
+), lap AS (
+    SELECT nation, true_n,
+           -(CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END)
+               * (FLOOR(ln(1.0 - 2.0 * abs(v)) * 1000000000 + 0.5)
+                  / 1000000000) AS noise
+    FROM noised
+)
+SELECT nation, true_n,
+       1.0 AS epsilon,
+       FLOOR(noise * 1000000 + 0.5) / 1000000 AS noise,
+       GREATEST(CAST(0 AS BIGINT),
+                CAST(FLOOR(true_n + noise + 0.5) AS BIGINT)) AS released
+FROM lap
+""",
+)
+def dq_dp_count_release(spark, sf_dir):
+    """Differentially-private count release (Laplace mechanism, eps=1,
+    sensitivity 1) over per-nation order counts — the privacy layer a
+    shared analytics surface puts between raw behavioral counts and
+    external consumers. The noise draw is DERIVED, not sampled: md5 of
+    the release key -> 52-bit uniform u in [0,1) -> inverse-CDF Laplace
+    -(1/eps)*sign(u-.5)*ln(1-2|u-.5|) — a seeded mechanism (same shape
+    as RAPPOR-style deterministic reporting), which is what makes the
+    op testable cross-engine AND what a real release pipeline wants
+    anyway (replayable audits; fresh releases rotate the key salt, they
+    don't re-randomize per read). The ln() output is the one
+    library-dependent float op, so it is quantized at 1e-9 before any
+    arithmetic (house discipline, cf. llm_keyword_extract's idf). Plan
+    shape: one star join + one 25-group aggregate; the mechanism itself
+    is O(groups) scalar math. true_n is disclosed for the correctness
+    gate only — a production release would project it away."""
+    o = t(spark, sf_dir, "orders").select("o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_nation = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_n"))
+    )
+    q9 = lambda col: F.floor(col * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+    q6 = lambda col: F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    v = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("dp:"), F.col("nation"))), 1, 13), 16, 10)
+        .cast("bigint")
+        / F.lit(4503599627370496.0)
+        - F.lit(0.5)
+    )
+    noise = -F.when(v < 0, F.lit(-1.0)).otherwise(F.lit(1.0)) * q9(
+        F.log(F.lit(1.0) - F.lit(2.0) * F.abs(v))
+    )
+    return per_nation.select(
+        "nation",
+        "true_n",
+        F.lit(1.0).alias("epsilon"),
+        q6(noise).alias("noise"),
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            F.floor(F.col("true_n") + noise + F.lit(0.5)).cast("bigint"),
+        ).alias("released"),
+    )

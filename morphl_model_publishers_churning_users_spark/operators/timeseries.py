@@ -5119,3 +5119,118 @@ def ts_kalman_level(spark, sf_dir):
         F.col("z.days.n").cast("bigint").alias("n_obs"),
         half_up6(F.col("z.lv")).alias("level"),
     )
+
+
+@register(
+    "ts_bass_diffusion",
+    oracle="""
+WITH first_order AS (
+    SELECT o_custkey, MIN(o_orderdate) AS d0 FROM orders GROUP BY 1
+), span AS (
+    SELECT MIN(d0) AS lo, CAST(COUNT(*) AS DOUBLE) AS total FROM first_order
+), curve AS (
+    SELECT datediff('day', s.lo, f.d0) / 30.0 AS tm,
+           CAST(COUNT(*) AS BIGINT) AS adopters, ANY_VALUE(s.total) AS total
+    FROM first_order f, span s
+    GROUP BY 1
+), cum AS (
+    SELECT tm,
+           CAST(SUM(adopters) OVER (ORDER BY tm) AS DOUBLE)
+               / ANY_VALUE(total) OVER () AS f_obs
+    FROM curve
+), grid AS (
+    SELECT gp.i * 0.0025 AS p, gq.j * 0.025 AS q
+    FROM generate_series(1, 20) gp(i), generate_series(1, 20) gq(j)
+), scored AS (
+    SELECT g.p, g.q,
+           CAST(SUM(CAST(FLOOR(
+               ((c.f_obs - (1.0 - e.e) / (1.0 + (g.q / g.p) * e.e))
+                * (c.f_obs - (1.0 - e.e) / (1.0 + (g.q / g.p) * e.e)))
+               * 1e12 + 0.5) AS DECIMAL(38,12))) AS DOUBLE) / 1e12 AS sse,
+           CAST(COUNT(*) AS BIGINT) AS n_points
+    FROM grid g
+    JOIN cum c ON TRUE
+    JOIN LATERAL (SELECT FLOOR(exp(-(g.p + g.q) * c.tm) * 1e12 + 0.5) / 1e12 AS e) e
+        ON TRUE
+    GROUP BY 1, 2
+), best AS (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY sse, p, q) AS rk FROM scored
+)
+SELECT p, q, FLOOR(sse * 1000000 + 0.5) / 1000000 AS sse, n_points,
+       CAST((SELECT total FROM span) AS BIGINT) AS total_adopters,
+       FLOOR(ln(q / p) / (p + q) * 1000000 + 0.5) / 1000000 AS peak_t_months
+FROM best WHERE rk = 1
+""",
+)
+def ts_bass_diffusion(spark, sf_dir):
+    """Bass diffusion model fit (p = innovation, q = imitation) over the
+    customer first-purchase adoption curve — the canonical
+    marketing-science growth model, fitted by an exhaustive 20x20 grid
+    search against the CLOSED-FORM cumulative-adoption curve
+    F(t) = (1 - e^{-(p+q)t}) / (1 + (q/p) e^{-(p+q)t}) (Bass 1969), so
+    there is no per-candidate recursion. The scale shape is the point:
+    the fact table collapses to one first-order-per-customer aggregate,
+    then to an O(months) adoption curve; the 400-point grid is a
+    BROADCAST cross join against that bounded curve, and each (p,q)'s
+    SSE is one map-side partial sum — the entire fit costs ~400 x
+    months tiny rows no matter how many orders exist. Cross-engine
+    float discipline: exp() (the only libm op) is quantized at 1e-12
+    before entering the closed form, residual squares accumulate in
+    DECIMAL(38,12), argmin ties break on (sse, p, q). Output: the
+    fitted (p, q), its SSE, and the implied adoption-peak time
+    ln(q/p)/(p+q)."""
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    first = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("d0"))
+    span = first.agg(
+        F.min("d0").alias("lo"), F.count(F.lit(1)).cast("double").alias("total")
+    )
+    curve = (
+        first.crossJoin(F.broadcast(span))
+        .groupBy((F.datediff("d0", "lo") / F.lit(30.0)).alias("tm"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("adopters"),
+            F.any_value("total").alias("total"),
+        )
+    )
+    wcum = Window.orderBy("tm").rowsBetween(Window.unboundedPreceding, 0)
+    cum = curve.select(
+        "tm", (F.sum("adopters").over(wcum).cast("double") / F.col("total")).alias("f_obs")
+    )
+    grid = (
+        spark.range(1, 21)
+        .select((F.col("id") * F.lit(0.0025)).alias("p"))
+        .crossJoin(spark.range(1, 21).select((F.col("id") * F.lit(0.025)).alias("q")))
+    )
+    q12 = lambda col: F.floor(col * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12)
+    q6 = lambda col: F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    e = q12(F.exp(-(F.col("p") + F.col("q")) * F.col("tm")))
+    f_model = (F.lit(1.0) - e) / (F.lit(1.0) + (F.col("q") / F.col("p")) * e)
+    resid = F.col("f_obs") - f_model
+    scored = (
+        cum.crossJoin(F.broadcast(grid))
+        .groupBy("p", "q")
+        .agg(
+            (
+                F.sum(F.floor(resid * resid * F.lit(1e12) + F.lit(0.5)).cast("decimal(38,12)"))
+                .cast("double")
+                / F.lit(1e12)
+            ).alias("sse"),
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        )
+    )
+    w = Window.orderBy(F.asc("sse"), F.asc("p"), F.asc("q"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .crossJoin(F.broadcast(span.select(F.col("total").cast("bigint").alias("total_adopters"))))
+        .select(
+            "p",
+            "q",
+            q6(F.col("sse")).alias("sse"),
+            "n_points",
+            "total_adopters",
+            q6(F.log(F.col("q") / F.col("p")) / (F.col("p") + F.col("q"))).alias(
+                "peak_t_months"
+            ),
+        )
+    )

@@ -561,6 +561,8 @@ _KEY_RANK: dict[str, int] = {
     "dq_key_discovery": 9,
     "graph_closeness": 9,
     "ts_kalman_level": 9,
+    "dq_dp_count_release": 9,
+    "ts_bass_diffusion": 9,
 }
 
 

@@ -924,3 +924,69 @@ def test_closeness_dominates_degree_and_is_consistent(spark, sf_dir):
             assert r["n_hop3"] == 0
     scores = [r["harmonic"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_dp_release_mechanism_is_exact_inverse_cdf(spark, sf_dir):
+    """The seeded Laplace draw replays exactly from the release key
+    (hashlib md5 -> 52-bit uniform -> inverse CDF), the released count
+    is the clamped half-up rounding of true+noise, and every |noise| is
+    finite (the u=0 edge of the inverse CDF can't occur for these keys)."""
+    import hashlib
+    import math
+
+    rows = _Q["dq_dp_count_release"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        h = int(hashlib.md5(f"dp:{r['nation']}".encode()).hexdigest()[:13], 16)
+        v = h / 4503599627370496.0 - 0.5
+        ln = math.log(1.0 - 2.0 * abs(v))
+        noise = -(-1.0 if v < 0 else 1.0) * (math.floor(ln * 1e9 + 0.5) / 1e9)
+        assert math.isfinite(noise)
+        assert r["noise"] == pytest.approx(noise, abs=1e-6)
+        assert r["released"] == max(0, math.floor(r["true_n"] + noise + 0.5))
+        assert r["epsilon"] == 1.0
+
+
+def test_bass_fit_is_the_grid_argmin(spark, sf_dir):
+    """The returned (p, q) minimizes SSE over the full 20x20 grid on a
+    pure-Python recompute of the closed-form curve, and the peak time
+    is ln(q/p)/(p+q)."""
+    import math
+
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    r = _Q["ts_bass_diffusion"](spark, sf_dir).collect()[0]
+    assert 0.0025 <= r["p"] <= 0.05 and 0.025 <= r["q"] <= 0.5
+    assert r["peak_t_months"] == pytest.approx(
+        math.log(r["q"] / r["p"]) / (r["p"] + r["q"]), abs=1e-6
+    )
+    first = (
+        tbl(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.min("o_orderdate").alias("d0"))
+        .groupBy("d0")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    days = sorted((row["d0"], row["n"]) for row in first)
+    lo, total = days[0][0], sum(n for _, n in days)
+    assert r["total_adopters"] == total
+    cum, curve = 0, []
+    for d, n in days:
+        cum += n
+        curve.append(((d - lo).days / 30.0, cum / total))
+    def sse(p, q):
+        s = 0
+        for tm, f_obs in curve:
+            e = math.floor(math.exp(-(p + q) * tm) * 1e12 + 0.5) / 1e12
+            fm = (1.0 - e) / (1.0 + (q / p) * e)
+            s += math.floor((f_obs - fm) ** 2 * 1e12 + 0.5)
+        return s / 1e12
+    best = min(
+        (sse(i * 0.0025, j * 0.025), i * 0.0025, j * 0.025)
+        for i in range(1, 21)
+        for j in range(1, 21)
+    )
+    assert (r["p"], r["q"]) == (best[1], best[2])
+    assert r["sse"] == pytest.approx(best[0], abs=1e-6)
