@@ -4596,3 +4596,294 @@ def ml_mcnemar_paired(spark, sf_dir):
         F.round(p, 6).alias("p_value"),
         (p < 0.05).alias("classifiers_differ"),
     )
+
+
+@register(
+    "ml_cox_score",
+    oracle=f"""
+WITH per_user AS (
+    SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+           CAST(COUNT(*) AS BIGINT) AS xn
+    FROM events GROUP BY user_id
+), h AS (SELECT MAX(last_ts) AS hz FROM per_user),
+users AS (
+    SELECT (epoch_us(last_ts) - epoch_us(first_ts)) // 3600000000 AS t_hours,
+           CASE WHEN last_ts < h.hz - INTERVAL 12 HOUR THEN 1 ELSE 0 END AS churned,
+           xn
+    FROM per_user, h
+), grp AS (
+    SELECT t_hours, CAST(COUNT(*) AS BIGINT) AS c,
+           CAST(SUM(churned) AS BIGINT) AS d,
+           CAST(SUM(xn) AS BIGINT) AS sx,
+           CAST(SUM(xn * xn) AS BIGINT) AS sx2,
+           CAST(SUM(CASE WHEN churned = 1 THEN xn ELSE 0 END) AS BIGINT) AS sdx
+    FROM users GROUP BY 1
+), risk AS (
+    SELECT t_hours, d, sdx,
+           SUM(c)   OVER (ORDER BY t_hours DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_r,
+           SUM(sx)  OVER (ORDER BY t_hours DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rsx,
+           SUM(sx2) OVER (ORDER BY t_hours DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rsx2
+    FROM grp
+), terms AS (
+    SELECT CAST(sdx AS DOUBLE)
+               - d * (CAST(rsx AS DOUBLE) / CAST(n_r AS DOUBLE)) AS u_j,
+           d * (CAST(rsx2 AS DOUBLE) / CAST(n_r AS DOUBLE)
+                - (CAST(rsx AS DOUBLE) / CAST(n_r AS DOUBLE))
+                  * (CAST(rsx AS DOUBLE) / CAST(n_r AS DOUBLE))) AS v_j
+    FROM risk WHERE d > 0
+), sums AS (
+    SELECT CAST(SUM(CAST(FLOOR(u_j * 1e12 + 0.5) AS DECIMAL(38,12))) AS DOUBLE)
+               / 1e12 AS u,
+           CAST(SUM(CAST(FLOOR(v_j * 1e12 + 0.5) AS DECIMAL(38,12))) AS DOUBLE)
+               / 1e12 AS v,
+           CAST(COUNT(*) AS BIGINT) AS n_event_times
+    FROM terms
+)
+SELECT n_event_times,
+       FLOOR(u * 1000000 + 0.5) / 1000000 AS u,
+       FLOOR(v * 1000000 + 0.5) / 1000000 AS v,
+       FLOOR(u * u / v * 1000000 + 0.5) / 1000000 AS chi2,
+       FLOOR(u / sqrt(v) * 1000000 + 0.5) / 1000000 AS z_stat,
+       FLOOR((1.0 - {_ERFC_AS.format(x="sqrt(u * u / v / 2.0)")})
+             * 1000000 + 0.5) / 1000000 AS p_value
+FROM sums
+""",
+)
+def ml_cox_score(spark, sf_dir):
+    """Cox proportional-hazards SCORE test (beta=0) for a CONTINUOUS
+    covariate — 'does activity volume shift the churn hazard?' — the
+    generalization the log-rank test (its binary-group special case)
+    can't ask. At each churn time: U_j = (sum of x over churners) -
+    d_j * mean(x | at risk), V_j = d_j * Var(x | at risk), Breslow
+    handling for ties; chi2 = U^2/V on 1 df. The scalable shape is the
+    point: at-risk moments are SUFFIX SUMS over the tenure-grain
+    aggregate — one window ordered by tenure DESC replaces the
+    time-grid x risk-set join the naive formulation needs (O(T x N)
+    -> O(T log T) after the single user-grain fact aggregate). The
+    covariate is the integer per-user event count, so every risk-set
+    moment is an EXACT BIGINT until the per-time mean/variance — float
+    enters only at O(event-times) scalar divisions, then q12-DECIMAL
+    summed. Same tenure/censoring frame as ml_logrank_test; p via the
+    shared A&S erf polynomial."""
+    e = t(spark, sf_dir, "events")
+    per_user = ckpt(
+        e.groupBy("user_id").agg(
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).cast("bigint").alias("xn"),
+        )
+    )
+    horizon = per_user.agg(F.max("last_ts").alias("hz"))
+    users = per_user.crossJoin(F.broadcast(horizon)).select(
+        F.floor(
+            F.expr("timestampdiff(MICROSECOND, first_ts, last_ts)") / F.lit(3600000000)
+        ).alias("t_hours"),
+        F.when(F.col("hz") - F.expr("INTERVAL 12 HOUR") > F.col("last_ts"), 1)
+        .otherwise(0)
+        .alias("churned"),
+        "xn",
+    )
+    grp = users.groupBy("t_hours").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum("churned").cast("bigint").alias("d"),
+        F.sum("xn").cast("bigint").alias("sx"),
+        F.sum(F.col("xn") * F.col("xn")).cast("bigint").alias("sx2"),
+        F.sum(F.when(F.col("churned") == 1, F.col("xn")).otherwise(0))
+        .cast("bigint")
+        .alias("sdx"),
+    )
+    w = Window.orderBy(F.desc("t_hours")).rowsBetween(Window.unboundedPreceding, 0)
+    risk = grp.select(
+        "d",
+        "sdx",
+        F.sum("c").over(w).alias("n_r"),
+        F.sum("sx").over(w).alias("rsx"),
+        F.sum("sx2").over(w).alias("rsx2"),
+    )
+    xbar = F.col("rsx").cast("double") / F.col("n_r").cast("double")
+    terms = risk.filter(F.col("d") > 0).select(
+        (F.col("sdx").cast("double") - F.col("d") * xbar).alias("u_j"),
+        (
+            F.col("d")
+            * (F.col("rsx2").cast("double") / F.col("n_r").cast("double") - xbar * xbar)
+        ).alias("v_j"),
+    )
+    q12sum = lambda c: (
+        F.sum(F.floor(c * F.lit(1e12) + F.lit(0.5)).cast("decimal(38,12)"))
+        .cast("double")
+        / F.lit(1e12)
+    )
+    sums = terms.agg(
+        q12sum(F.col("u_j")).alias("u"),
+        q12sum(F.col("v_j")).alias("v"),
+        F.count(F.lit(1)).cast("bigint").alias("n_event_times"),
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    chi2 = F.col("u") * F.col("u") / F.col("v")
+    return sums.select(
+        "n_event_times",
+        q6(F.col("u")).alias("u"),
+        q6(F.col("v")).alias("v"),
+        q6(chi2).alias("chi2"),
+        q6(F.col("u") / F.sqrt("v")).alias("z_stat"),
+        q6(
+            F.lit(1.0) - F.expr(_ERFC_AS.format(x="sqrt(u * u / v / 2.0)"))
+        ).alias("p_value"),
+    )
+
+
+def _poisson_glm_oracle(iters: int = 4) -> str:
+    """Chained-CTE Newton-Raphson twin: it{i} updates (b0, b1) from the
+    five q12-DECIMAL moment sums of iteration i-1 — textually identical
+    update arithmetic to the Spark loop."""
+    ctes = [
+        """data AS MATERIALIZED (
+    SELECT CAST(COALESCE(o.cnt, 0) AS DOUBLE) AS y,
+           CAST(c_acctbal AS DOUBLE) / 1000.0 AS z
+    FROM customer c
+    LEFT JOIN (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY 1) o
+        ON o.o_custkey = c.c_custkey
+)""",
+        # Newton from (0, 0) oscillates when exp() overshoots on the
+        # balance tail; the standard GLM start b0 = ln(mean y) lands in
+        # the quadratic-convergence basin (measured: |grad|/n < 1e-3
+        # after 4 steps, vs ~4e2 from the origin).
+        """it0 AS (
+    SELECT FLOOR(ln(CAST(SUM(CAST(y AS BIGINT)) AS DOUBLE) / COUNT(*))
+                 * 1e9 + 0.5) / 1e9 AS b0,
+           0.0 AS b1
+    FROM data
+)""",
+    ]
+    q12sum = (
+        "CAST(SUM(CAST(FLOOR(({expr}) * 1e12 + 0.5) AS DECIMAL(38,12)))"
+        " AS DOUBLE) / 1e12"
+    )
+    mu = "(FLOOR(exp(b0 + b1 * z) * 1e12 + 0.5) / 1e12)"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""s{i} AS (
+    SELECT b0, b1,
+           {q12sum.format(expr=f'y - {mu}')} AS g0,
+           {q12sum.format(expr=f'z * (y - {mu})')} AS g1,
+           {q12sum.format(expr=mu)} AS h00,
+           {q12sum.format(expr=f'z * {mu}')} AS h01,
+           {q12sum.format(expr=f'z * z * {mu}')} AS h11
+    FROM data, it{i - 1} GROUP BY 1, 2
+)""",
+        )
+        ctes.append(
+            f"""it{i} AS (
+    SELECT b0 + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01) AS b0,
+           b1 + (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01) AS b1
+    FROM s{i}
+)""",
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+       FLOOR(ANY_VALUE(b0) * 1000000 + 0.5) / 1000000 AS b0,
+       FLOOR(ANY_VALUE(b1) * 1000000 + 0.5) / 1000000 AS b1,
+       FLOOR({q12sum.format(expr=f'2.0 * ((CASE WHEN y > 0 THEN y * (FLOOR(ln(y / {mu}) * 1e9 + 0.5) / 1e9) ELSE 0.0 END) - (y - {mu}))')}
+             * 1000000 + 0.5) / 1000000 AS deviance,
+       CAST({iters} AS BIGINT) AS iterations
+FROM data, it{iters}
+"""
+    )
+
+
+@register("ml_poisson_glm", oracle=_poisson_glm_oracle())
+def ml_poisson_glm(spark, sf_dir):
+    """Poisson GLM (log link) of per-customer order COUNTS on account
+    balance — the correct regression family for count responses, where
+    OLS (ml_price_elasticity's family) gets both the variance and the
+    support wrong. Four statically-unrolled Newton-Raphson steps from
+    beta = 0; each step is ONE aggregate over the per-customer frame
+    computing the five moment sums (gradient + Hessian of the Poisson
+    log-likelihood), with the 1-row parameter state BROADCAST back in —
+    no collect, no Python loop state beyond plan construction, so the
+    whole fit is 5 scans of a table that is already one fact-aggregate
+    smaller than orders (ckpt'd once for its 5 consumers). Cross-engine
+    discipline: exp/ln quantized (1e-12 / 1e-9) before entering sums,
+    every sum rides q12 DECIMAL, and the 2x2 Cramer solve is spelled
+    identically on both sides, so the parameter trajectory is
+    bit-stable. Reports the deviance 2*sum(y ln(y/mu) - (y - mu)) as
+    the fit statistic."""
+    o = t(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    data = ckpt(
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left").select(
+            F.coalesce("cnt", F.lit(0)).cast("double").alias("y"),
+            (F.col("c_acctbal").cast("double") / F.lit(1000.0)).alias("z"),
+        )
+    )
+    q12sum = lambda col: (
+        F.sum(F.floor(col * F.lit(1e12) + F.lit(0.5)).cast("decimal(38,12)"))
+        .cast("double")
+        / F.lit(1e12)
+    )
+    q12 = lambda col: F.floor(col * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12)
+    params = data.agg(
+        (
+            F.floor(
+                F.log(
+                    F.sum(F.col("y").cast("bigint")).cast("double") / F.count(F.lit(1))
+                )
+                * F.lit(1e9)
+                + F.lit(0.5)
+            )
+            / F.lit(1e9)
+        ).alias("b0"),
+        F.lit(0.0).alias("b1"),
+    )
+    for _ in range(4):
+        mu = q12(F.exp(F.col("b0") + F.col("b1") * F.col("z")))
+        s = (
+            data.crossJoin(F.broadcast(params))
+            .groupBy("b0", "b1")
+            .agg(
+                q12sum(F.col("y") - mu).alias("g0"),
+                q12sum(F.col("z") * (F.col("y") - mu)).alias("g1"),
+                q12sum(mu).alias("h00"),
+                q12sum(F.col("z") * mu).alias("h01"),
+                q12sum(F.col("z") * F.col("z") * mu).alias("h11"),
+            )
+        )
+        det = F.col("h00") * F.col("h11") - F.col("h01") * F.col("h01")
+        params = s.select(
+            (F.col("b0") + (F.col("h11") * F.col("g0") - F.col("h01") * F.col("g1")) / det).alias("b0"),
+            (F.col("b1") + (F.col("h00") * F.col("g1") - F.col("h01") * F.col("g0")) / det).alias("b1"),
+        )
+    mu = q12(F.exp(F.col("b0") + F.col("b1") * F.col("z")))
+    dev_term = F.lit(2.0) * (
+        F.when(
+            F.col("y") > 0,
+            F.col("y")
+            * (F.floor(F.log(F.col("y") / mu) * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)),
+        ).otherwise(F.lit(0.0))
+        - (F.col("y") - mu)
+    )
+    q6 = lambda col: F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return (
+        data.crossJoin(F.broadcast(params))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.any_value("b0").alias("_b0"),
+            F.any_value("b1").alias("_b1"),
+            q12sum(dev_term).alias("_dev"),
+        )
+        .select(
+            "n_customers",
+            q6(F.col("_b0")).alias("b0"),
+            q6(F.col("_b1")).alias("b1"),
+            q6(F.col("_dev")).alias("deviance"),
+            F.lit(4).cast("bigint").alias("iterations"),
+        )
+    )

@@ -563,6 +563,8 @@ _KEY_RANK: dict[str, int] = {
     "ts_kalman_level": 9,
     "dq_dp_count_release": 9,
     "ts_bass_diffusion": 9,
+    "ml_cox_score": 9,
+    "ml_poisson_glm": 9,
 }
 
 

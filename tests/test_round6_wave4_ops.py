@@ -990,3 +990,96 @@ def test_bass_fit_is_the_grid_argmin(spark, sf_dir):
     )
     assert (r["p"], r["q"]) == (best[1], best[2])
     assert r["sse"] == pytest.approx(best[0], abs=1e-6)
+
+
+def test_cox_score_matches_brute_force(spark, sf_dir):
+    """U and V match an exhaustive per-event-time recompute from the raw
+    per-user (tenure, churned, x) frame, and the reported chi2/z are
+    consistent transforms of them."""
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    r = _Q["ml_cox_score"](spark, sf_dir).collect()[0]
+    assert r["v"] > 0
+    assert r["chi2"] == pytest.approx(r["u"] ** 2 / r["v"], abs=2e-5)
+    assert r["z_stat"] == pytest.approx(r["u"] / r["v"] ** 0.5, abs=2e-5)
+    assert (r["z_stat"] >= 0) == (r["u"] >= 0)
+    assert 0.0 <= r["p_value"] <= 1.0
+    pu = (
+        tbl(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("f"), F.max("ts").alias("l"), F.count(F.lit(1)).alias("x"))
+        .collect()
+    )
+    hz = max(row["l"] for row in pu)
+    users = [
+        (
+            int((row["l"] - row["f"]).total_seconds() // 3600),
+            1 if (hz - row["l"]).total_seconds() > 12 * 3600 else 0,
+            row["x"],
+        )
+        for row in pu
+    ]
+    etimes = sorted({t for t, d, _ in users if d == 1})
+    u_sum = v_sum = 0.0
+    for et in etimes:
+        risk = [(x, d, tt) for tt, d, x in users if tt >= et]
+        n = len(risk)
+        sx = sum(x for x, _, _ in risk)
+        sx2 = sum(x * x for x, _, _ in risk)
+        d_j = sum(1 for _, d, tt in risk if d == 1 and tt == et)
+        sdx = sum(x for x, d, tt in risk if d == 1 and tt == et)
+        xbar = sx / n
+        u_sum += sdx - d_j * xbar
+        v_sum += d_j * (sx2 / n - xbar * xbar)
+    assert r["u"] == pytest.approx(u_sum, abs=1e-4)
+    assert r["v"] == pytest.approx(v_sum, abs=1e-4)
+    assert r["n_event_times"] == len(etimes)
+
+
+def test_poisson_glm_matches_newton_rerun_and_deviance_nonneg(spark, sf_dir):
+    """(b0, b1) match a pure-Python Newton re-run on the collected
+    (y, z) frame; at the fitted params the gradient is ~0 (converged in
+    4 steps on this data); deviance is a sum of nonnegative KL terms."""
+    import math
+
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    r = _Q["ml_poisson_glm"](spark, sf_dir).collect()[0]
+    assert r["deviance"] >= 0.0 and r["iterations"] == 4
+    o = (
+        tbl(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    c = tbl(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    rows = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .select(
+            F.coalesce("cnt", F.lit(0)).cast("double").alias("y"),
+            (F.col("c_acctbal").cast("double") / F.lit(1000.0)).alias("z"),
+        )
+        .collect()
+    )
+    assert r["n_customers"] == len(rows)
+    data = [(row["y"], row["z"]) for row in rows]
+    b0 = math.log(sum(y for y, _ in data) / len(data))
+    b1 = 0.0
+    for _ in range(4):
+        g0 = g1 = h00 = h01 = h11 = 0.0
+        for y, z in data:
+            mu = math.exp(b0 + b1 * z)
+            g0 += y - mu
+            g1 += z * (y - mu)
+            h00 += mu
+            h01 += z * mu
+            h11 += z * z * mu
+        det = h00 * h11 - h01 * h01
+        b0 += (h11 * g0 - h01 * g1) / det
+        b1 += (h00 * g1 - h01 * g0) / det
+    assert r["b0"] == pytest.approx(b0, abs=1e-4)
+    assert r["b1"] == pytest.approx(b1, abs=1e-4)
+    # near-convergence: relative gradient norm is tiny
+    g0 = sum(y - math.exp(b0 + b1 * z) for y, z in data)
+    assert abs(g0) / len(data) < 1e-3
