@@ -1749,8 +1749,10 @@ def dq_key_discovery(spark, sf_dir):
     (dup_rows tells you by HOW MUCH). Each candidate costs one
     COUNT DISTINCT aggregate pushed to a projected scan of ONLY the
     candidate columns — at 100 TB the per-candidate cost is a
-    column-pruned pass with a map-side partial, and candidates over
-    the same table share the scan via the unioned plan. A true key
+    column-pruned pass with a map-side partial (each candidate is its
+    own pruned scan; the union deliberately does NOT merge them —
+    merging would widen every pass to the union of candidate columns).
+    A true key
     reports is_key; near-keys report their uniqueness ratio so the
     0.999-unique 'almost keys' (the classic trap) are visible."""
     ev = t(spark, sf_dir, "events")

@@ -5180,7 +5180,10 @@ def ts_bass_diffusion(spark, sf_dir):
     fitted (p, q), its SSE, and the implied adoption-peak time
     ln(q/p)/(p+q)."""
     o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
-    first = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("d0"))
+    # ckpt: the first-order aggregate (the only fact-scale pass) feeds
+    # three consumers (span, curve, total_adopters) — without it the
+    # orders scan re-runs per branch (duplicate-scan sweep).
+    first = ckpt(o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("d0")))
     span = first.agg(
         F.min("d0").alias("lo"), F.count(F.lit(1)).cast("double").alias("total")
     )
