@@ -5237,3 +5237,325 @@ def ts_bass_diffusion(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "ts_granger_causality",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS y,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS x
+    FROM events GROUP BY 1
+), lagged AS (
+    SELECT y,
+           LAG(y) OVER (ORDER BY day) AS y1,
+           LAG(x) OVER (ORDER BY day) AS x1
+    FROM daily
+), m AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(y1) AS DOUBLE) AS sy1, CAST(SUM(x1) AS DOUBLE) AS sx1,
+           CAST(SUM(y) AS DOUBLE) AS sy,
+           CAST(SUM(y1 * y1) AS DOUBLE) AS sy1y1,
+           CAST(SUM(x1 * x1) AS DOUBLE) AS sx1x1,
+           CAST(SUM(y1 * x1) AS DOUBLE) AS sy1x1,
+           CAST(SUM(y1 * y) AS DOUBLE) AS sy1y,
+           CAST(SUM(x1 * y) AS DOUBLE) AS sx1y,
+           CAST(SUM(y * y) AS DOUBLE) AS syy
+    FROM lagged WHERE y1 IS NOT NULL
+), r AS (
+    SELECT *,
+           (n * sy1y - sy1 * sy) / (n * sy1y1 - sy1 * sy1) AS br
+    FROM m
+), rs AS (
+    SELECT *, (sy - br * sy1) / n AS ar FROM r
+), d AS (
+    SELECT *,
+           n * (sy1y1 * sx1x1 - sy1x1 * sy1x1)
+           - sy1 * (sy1 * sx1x1 - sy1x1 * sx1)
+           + sx1 * (sy1 * sy1x1 - sy1y1 * sx1) AS det
+    FROM rs
+), b AS (
+    SELECT *,
+           (sy * (sy1y1 * sx1x1 - sy1x1 * sy1x1)
+            - sy1 * (sy1y * sx1x1 - sy1x1 * sx1y)
+            + sx1 * (sy1y * sy1x1 - sy1y1 * sx1y)) / det AS b0,
+           (n * (sy1y * sx1x1 - sy1x1 * sx1y)
+            - sy * (sy1 * sx1x1 - sy1x1 * sx1)
+            + sx1 * (sy1 * sx1y - sy1y * sx1)) / det AS b1,
+           (n * (sy1y1 * sx1y - sy1y * sy1x1)
+            - sy1 * (sy1 * sx1y - sy1y * sx1)
+            + sy * (sy1 * sy1x1 - sy1y1 * sx1)) / det AS b2
+    FROM d
+), s AS (
+    SELECT n, b1, b2,
+           syy - ar * sy - br * sy1y AS sse_r,
+           syy - b0 * sy - b1 * sy1y - b2 * sx1y AS sse_u
+    FROM b
+)
+SELECT CAST(n AS BIGINT) AS n_obs,
+       FLOOR(b1 * 1000000 + 0.5) / 1000000 AS b_lag_y,
+       FLOOR(b2 * 1000000 + 0.5) / 1000000 AS b_lag_x,
+       FLOOR(sse_r * 1000000 + 0.5) / 1000000 AS sse_r,
+       FLOOR(sse_u * 1000000 + 0.5) / 1000000 AS sse_u,
+       FLOOR((sse_r - sse_u) / (sse_u / (n - 3.0)) * 1000000 + 0.5) / 1000000
+           AS f_stat,
+       (sse_r - sse_u) / (sse_u / (n - 3.0)) >
+           3.841458820694124 * (1.0 + 20.0 / (n - 3.0)) AS granger_causes
+FROM s
+""",
+)
+def ts_granger_causality(spark, sf_dir):
+    """Granger causality, lag-1: does yesterday's VIEW volume predict
+    today's PURCHASE volume beyond what yesterday's purchases already
+    predict? F-test of the restricted AR(1) against the unrestricted
+    model with the exogenous lag — the standard lead-indicator test a
+    growth team runs before trusting a 'views drive purchases'
+    narrative. Fully closed form: both OLS fits come from the ten
+    integer moment sums of the lagged daily frame (counts, so every
+    moment is an EXACT bigint before one cast), the 3x3 normal
+    equations solve by explicit Cramer determinants, and both SSEs use
+    the algebraic identity syy - b'X'y — no residual pass, no
+    iteration. 100 TB shape: one fact aggregate to O(days) rows, one
+    ordered window for the lags, one 1-row moment aggregate. The
+    decision threshold is the exact chi2(1) 5% point with a
+    finite-sample widening factor (1 + 20/(n-3)) standing in for the
+    F(1, n-3) critical value — conservative for small n, exact as
+    n grows; the F statistic itself is reported for any exact
+    downstream lookup."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "y", F.lag("y").over(w).alias("y1"), F.lag("x").over(w).alias("x1")
+    ).filter(F.col("y1").isNotNull())
+    m = lagged.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("y1").cast("double").alias("sy1"),
+        F.sum("x1").cast("double").alias("sx1"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("y1") * F.col("y1")).cast("double").alias("sy1y1"),
+        F.sum(F.col("x1") * F.col("x1")).cast("double").alias("sx1x1"),
+        F.sum(F.col("y1") * F.col("x1")).cast("double").alias("sy1x1"),
+        F.sum(F.col("y1") * F.col("y")).cast("double").alias("sy1y"),
+        F.sum(F.col("x1") * F.col("y")).cast("double").alias("sx1y"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    r = m.withColumn(
+        "br",
+        (F.col("n") * F.col("sy1y") - F.col("sy1") * F.col("sy"))
+        / (F.col("n") * F.col("sy1y1") - F.col("sy1") * F.col("sy1")),
+    )
+    rs = r.withColumn("ar", (F.col("sy") - F.col("br") * F.col("sy1")) / F.col("n"))
+    d = rs.withColumn(
+        "det",
+        F.col("n") * (F.col("sy1y1") * F.col("sx1x1") - F.col("sy1x1") * F.col("sy1x1"))
+        - F.col("sy1") * (F.col("sy1") * F.col("sx1x1") - F.col("sy1x1") * F.col("sx1"))
+        + F.col("sx1") * (F.col("sy1") * F.col("sy1x1") - F.col("sy1y1") * F.col("sx1")),
+    )
+    b = d.select(
+        "*",
+        (
+            (
+                F.col("sy") * (F.col("sy1y1") * F.col("sx1x1") - F.col("sy1x1") * F.col("sy1x1"))
+                - F.col("sy1") * (F.col("sy1y") * F.col("sx1x1") - F.col("sy1x1") * F.col("sx1y"))
+                + F.col("sx1") * (F.col("sy1y") * F.col("sy1x1") - F.col("sy1y1") * F.col("sx1y"))
+            )
+            / F.col("det")
+        ).alias("b0"),
+        (
+            (
+                F.col("n") * (F.col("sy1y") * F.col("sx1x1") - F.col("sy1x1") * F.col("sx1y"))
+                - F.col("sy") * (F.col("sy1") * F.col("sx1x1") - F.col("sy1x1") * F.col("sx1"))
+                + F.col("sx1") * (F.col("sy1") * F.col("sx1y") - F.col("sy1y") * F.col("sx1"))
+            )
+            / F.col("det")
+        ).alias("b1"),
+        (
+            (
+                F.col("n") * (F.col("sy1y1") * F.col("sx1y") - F.col("sy1y") * F.col("sy1x1"))
+                - F.col("sy1") * (F.col("sy1") * F.col("sx1y") - F.col("sy1y") * F.col("sx1"))
+                + F.col("sy") * (F.col("sy1") * F.col("sy1x1") - F.col("sy1y1") * F.col("sx1"))
+            )
+            / F.col("det")
+        ).alias("b2"),
+    )
+    s = b.select(
+        "n",
+        "b1",
+        "b2",
+        (F.col("syy") - F.col("ar") * F.col("sy") - F.col("br") * F.col("sy1y")).alias("sse_r"),
+        (
+            F.col("syy")
+            - F.col("b0") * F.col("sy")
+            - F.col("b1") * F.col("sy1y")
+            - F.col("b2") * F.col("sx1y")
+        ).alias("sse_u"),
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    fstat = (F.col("sse_r") - F.col("sse_u")) / (F.col("sse_u") / (F.col("n") - F.lit(3.0)))
+    return s.select(
+        F.col("n").cast("bigint").alias("n_obs"),
+        q6(F.col("b1")).alias("b_lag_y"),
+        q6(F.col("b2")).alias("b_lag_x"),
+        q6(F.col("sse_r")).alias("sse_r"),
+        q6(F.col("sse_u")).alias("sse_u"),
+        q6(fstat).alias("f_stat"),
+        (
+            fstat
+            > F.lit(3.841458820694124) * (F.lit(1.0) + F.lit(20.0) / (F.col("n") - F.lit(3.0)))
+        ).alias("granger_causes"),
+    )
+
+
+@register(
+    "ts_pot_gpd_tail",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           SUM(CAST(FLOOR(o_totalprice * 1e6 + 0.5) AS DECIMAL(38,6))) AS revq
+    FROM orders GROUP BY 1
+), nn AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST((9 * COUNT(*) + 9) // 10 AS BIGINT) AS k
+    FROM daily
+), ranked AS (
+    SELECT revq, n, k,
+           ROW_NUMBER() OVER (ORDER BY revq ASC, day ASC) AS rn
+    FROM daily, nn
+), thr AS (
+    SELECT revq AS u, n, k FROM ranked WHERE rn = k
+), exc AS (
+    SELECT r.revq - t.u AS e, t.u, t.n,
+           ROW_NUMBER() OVER (ORDER BY r.revq - t.u ASC, r.rn ASC) AS ern
+    FROM ranked r, thr t WHERE r.revq > t.u
+), pwm AS (
+    SELECT ANY_VALUE(u) AS u, ANY_VALUE(n) AS n,
+           CAST(COUNT(*) AS BIGINT) AS ne,
+           SUM(e) AS se,
+           SUM(ern * e) AS sie
+    FROM exc
+), par AS (
+    -- a1 = E[X(1-F)] needs DECREASING weights (ne-i); via the identity
+    -- sum((ne-i) e) = ne*sum(e) - sum(i*e) it stays one DECIMAL pass
+    SELECT n, ne, CAST(u AS DOUBLE) / 1e6 AS u_d,
+           (CAST(se AS DOUBLE) / 1e6) / ne AS b0,
+           (CAST(ne * se - sie AS DOUBLE) / 1e6) / (ne * (ne - 1.0)) AS b1
+    FROM pwm
+), gpd AS (
+    SELECT n, ne, u_d, b0, b1,
+           2.0 - b0 / (b0 - 2.0 * b1) AS xi,
+           (2.0 * b0 * b1) / (b0 - 2.0 * b1) AS sigma,
+           CAST(ne AS DOUBLE) / n AS zeta
+    FROM par
+)
+SELECT n AS n_days, ne AS n_exceed,
+       FLOOR(u_d * 1000000 + 0.5) / 1000000 AS threshold,
+       FLOOR(xi * 1000000 + 0.5) / 1000000 AS xi,
+       FLOOR(sigma * 1000000 + 0.5) / 1000000 AS sigma,
+       FLOOR((u_d + (sigma / xi)
+              * ((FLOOR(pow(100.0 * zeta, xi) * 1e9 + 0.5) / 1e9) - 1.0))
+             * 1000000 + 0.5) / 1000000 AS return_level_100d
+FROM gpd
+""",
+)
+def ts_pot_gpd_tail(spark, sf_dir):
+    """Peaks-over-threshold tail model: fit a Generalized Pareto to
+    daily-revenue exceedances above the exact 90th-percentile day via
+    probability-weighted moments (Hosking & Wallis 1987 — closed form,
+    no likelihood iteration), then invert to the 100-day return level.
+    Complements ts_extreme_value_gumbel (block maxima): POT uses every
+    exceedance, not one max per block, so it is the estimator of choice
+    when tails are the question (capacity planning, reinsurance,
+    SLO-burn sizing). Numeric discipline end to end: revenue stays in
+    micro-unit DECIMAL, the threshold is an exact order statistic
+    (rank-deterministic day tiebreak), and the two PWM moments are
+    integer-weighted DECIMAL sums — the ONLY nondeterministic-float
+    ops are the final scalar divisions and one pow(), which is
+    q9-quantized before use. 100 TB shape: one fact aggregate to
+    O(days), two ordered windows over that bounded frame, 1-row
+    output."""
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(q6dec(F.col("o_totalprice"))).alias("revq"))
+    )
+    nn = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("(9 * count(1) + 9) div 10").cast("bigint").alias("k"),
+    )
+    ranked = daily.crossJoin(F.broadcast(nn)).select(
+        "revq",
+        "n",
+        "k",
+        F.row_number().over(Window.orderBy(F.asc("revq"), F.asc("day"))).alias("rn"),
+    )
+    thr = ranked.filter(F.col("rn") == F.col("k")).select(
+        F.col("revq").alias("u"), "n", "k"
+    )
+    exc = (
+        ranked.join(F.broadcast(thr.select("u", F.col("n").alias("n2"))), how="cross")
+        .filter(F.col("revq") > F.col("u"))
+        .select(
+            (F.col("revq") - F.col("u")).alias("e"),
+            "u",
+            F.col("n2").alias("n"),
+            "rn",
+        )
+        .select(
+            "e",
+            "u",
+            "n",
+            F.row_number().over(Window.orderBy(F.asc("e"), F.asc("rn"))).alias("ern"),
+        )
+    )
+    pwm = exc.agg(
+        F.any_value("u").alias("u"),
+        F.any_value("n").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("ne"),
+        F.sum("e").alias("se"),
+        F.sum(F.col("ern") * F.col("e")).alias("sie"),
+    )
+    # a1 = E[X(1-F)] needs DECREASING weights (ne-i); via the identity
+    # sum((ne-i) e) = ne*sum(e) - sum(i*e) it stays one DECIMAL pass
+    par = pwm.select(
+        "n",
+        "ne",
+        (F.col("u").cast("double") / F.lit(1e6)).alias("u_d"),
+        ((F.col("se").cast("double") / F.lit(1e6)) / F.col("ne")).alias("b0"),
+        (
+            ((F.col("ne") * F.col("se") - F.col("sie")).cast("double") / F.lit(1e6))
+            / (F.col("ne") * (F.col("ne") - F.lit(1.0)))
+        ).alias("b1"),
+    )
+    denom = F.col("b0") - F.lit(2.0) * F.col("b1")
+    gpd = par.select(
+        "n",
+        "ne",
+        "u_d",
+        (F.lit(2.0) - F.col("b0") / denom).alias("xi"),
+        ((F.lit(2.0) * F.col("b0") * F.col("b1")) / denom).alias("sigma"),
+        (F.col("ne").cast("double") / F.col("n")).alias("zeta"),
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    q9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+    rl = F.col("u_d") + (F.col("sigma") / F.col("xi")) * (
+        q9(F.pow(F.lit(100.0) * F.col("zeta"), F.col("xi"))) - F.lit(1.0)
+    )
+    return gpd.select(
+        F.col("n").alias("n_days"),
+        F.col("ne").alias("n_exceed"),
+        q6(F.col("u_d")).alias("threshold"),
+        q6(F.col("xi")).alias("xi"),
+        q6(F.col("sigma")).alias("sigma"),
+        q6(rl).alias("return_level_100d"),
+    )

@@ -565,6 +565,8 @@ _KEY_RANK: dict[str, int] = {
     "ts_bass_diffusion": 9,
     "ml_cox_score": 9,
     "ml_poisson_glm": 9,
+    "ts_granger_causality": 9,
+    "ts_pot_gpd_tail": 9,
 }
 
 

@@ -1083,3 +1083,74 @@ def test_poisson_glm_matches_newton_rerun_and_deviance_nonneg(spark, sf_dir):
     # near-convergence: relative gradient norm is tiny
     g0 = sum(y - math.exp(b0 + b1 * z) for y, z in data)
     assert abs(g0) / len(data) < 1e-3
+
+
+def test_granger_matches_lstsq(spark, sf_dir):
+    """Both OLS fits (and the F) match numpy least-squares on the
+    collected daily series — verifying the Cramer solve and the SSE
+    identity against an independent solver."""
+    import numpy as np
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    r = _Q["ts_granger_causality"](spark, sf_dir).collect()[0]
+    daily = (
+        tbl(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("y"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("x"),
+        )
+        .orderBy("day")
+        .collect()
+    )
+    y = np.array([row["y"] for row in daily], dtype=float)
+    x = np.array([row["x"] for row in daily], dtype=float)
+    yt, y1, x1 = y[1:], y[:-1], x[:-1]
+    assert r["n_obs"] == len(yt)
+    Xu = np.column_stack([np.ones_like(y1), y1, x1])
+    Xr = np.column_stack([np.ones_like(y1), y1])
+    bu, *_ = np.linalg.lstsq(Xu, yt, rcond=None)
+    br, *_ = np.linalg.lstsq(Xr, yt, rcond=None)
+    sse_u = float(((yt - Xu @ bu) ** 2).sum())
+    sse_r = float(((yt - Xr @ br) ** 2).sum())
+    assert r["b_lag_y"] == pytest.approx(bu[1], abs=1e-4)
+    assert r["b_lag_x"] == pytest.approx(bu[2], abs=1e-4)
+    assert r["sse_u"] == pytest.approx(sse_u, rel=1e-6)
+    assert r["sse_r"] == pytest.approx(sse_r, rel=1e-6)
+    assert sse_r >= sse_u - 1e-9  # adding a regressor can't hurt
+    f = (sse_r - sse_u) / (sse_u / (len(yt) - 3.0))
+    assert r["f_stat"] == pytest.approx(f, abs=1e-4)
+
+
+def test_gpd_pot_matches_pwm_rerun(spark, sf_dir):
+    """Threshold is the exact ceil(0.9n) order statistic, exceedance
+    count reconciles, and (xi, sigma) match a python PWM re-fit."""
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    r = _Q["ts_pot_gpd_tail"](spark, sf_dir).collect()[0]
+    daily = sorted(
+        row["rev"]
+        for row in tbl(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").cast("date").alias("day"))
+        .agg(F.round(F.sum(F.col("o_totalprice")), 6).alias("rev"))
+        .collect()
+    )
+    n = len(daily)
+    k = (9 * n + 9) // 10
+    u = daily[k - 1]
+    assert r["n_days"] == n
+    assert r["threshold"] == pytest.approx(u, abs=1e-3)
+    exc = sorted(v - u for v in daily if v > u)
+    ne = len(exc)
+    assert r["n_exceed"] == ne
+    b0 = sum(exc) / ne
+    # a1 = E[X(1-F)]: decreasing weights over the ascending order stats
+    b1 = sum((ne - 1 - i) * e for i, e in enumerate(exc)) / (ne * (ne - 1.0))
+    xi = 2.0 - b0 / (b0 - 2.0 * b1)
+    sigma = 2.0 * b0 * b1 / (b0 - 2.0 * b1)
+    assert r["xi"] == pytest.approx(xi, abs=1e-3)
+    assert r["sigma"] == pytest.approx(sigma, rel=1e-4)
+    # return level sits above the threshold (we extrapolate OUT the tail)
+    assert r["return_level_100d"] > r["threshold"]
