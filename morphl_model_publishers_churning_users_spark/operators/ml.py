@@ -4887,3 +4887,144 @@ def ml_poisson_glm(spark, sf_dir):
             F.lit(4).cast("bigint").alias("iterations"),
         )
     )
+
+
+@register(
+    "ml_doubly_robust",
+    oracle="""
+WITH logs AS (
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN CAST(value AS DECIMAL(38,6)) ELSE 0 END) AS DOUBLE)
+               AS reward,
+           COUNT(*) AS ne,
+           CASE WHEN ('0x' || substring(md5(CAST(user_id AS VARCHAR) || ':act'), 1, 6))
+                     ::BIGINT % 100 < 30 THEN 1 ELSE 0 END AS logged_action
+    FROM events GROUP BY user_id
+), policy AS (
+    SELECT user_id, reward, logged_action,
+           CASE WHEN logged_action = 1 THEN 0.3 ELSE 0.7 END AS mu,
+           CASE WHEN ne >= 10 THEN 1 ELSE 0 END AS bucket,
+           CASE WHEN ne >= 10 THEN 1 ELSE 0 END AS pi_action
+    FROM logs
+), cells AS (
+    SELECT logged_action AS action, bucket,
+           CAST(SUM(CAST(reward AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS qhat
+    FROM policy GROUP BY 1, 2
+), terms AS (
+    SELECT p.reward,
+           qp.qhat AS q_pi,
+           qa.qhat AS q_a,
+           CASE WHEN p.pi_action = p.logged_action THEN 1.0 / p.mu ELSE 0.0 END AS w
+    FROM policy p
+    JOIN cells qp ON qp.action = p.pi_action AND qp.bucket = p.bucket
+    JOIN cells qa ON qa.action = p.logged_action AND qa.bucket = p.bucket
+), sums AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(q_pi * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE)
+               / 1e6 AS sdm,
+           CAST(SUM(CAST(FLOOR(w * reward * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE)
+               / 1e6 AS sips,
+           CAST(SUM(CAST(FLOOR((q_pi + w * (reward - q_a)) * 1e6 + 0.5)
+                         AS DECIMAL(38,6))) AS DOUBLE) / 1e6 AS sdr
+    FROM terms
+)
+SELECT n AS n_users,
+       ROUND(sdm / n, 6) AS dm_value,
+       ROUND(sips / n, 6) AS ips_value,
+       ROUND(sdr / n, 6) AS dr_value,
+       ROUND(sdr / n - sdm / n, 6) AS ips_correction
+FROM sums
+""",
+)
+def ml_doubly_robust(spark, sf_dir):
+    """Doubly-robust off-policy value estimate (Dudik, Langford & Li
+    2011) — completes the counterfactual-evaluation family:
+    ml_ips_offpolicy is unbiased but high-variance, the direct method
+    is low-variance but biased when the outcome model is wrong; DR =
+    q(x, pi(x)) + w * (r - q(x, a)) is unbiased if EITHER leg is
+    right. Same logged bandit frame as the IPS op (seeded md5 action,
+    known mu, deterministic target policy) so the two estimators are
+    directly comparable; the outcome model q is the honest relational
+    one — per-(action, engagement-bucket) mean reward, i.e. one
+    4-cell aggregate JOINed back twice (broadcast — the model table is
+    O(cells) at any scale). All three estimators ride one q6-DECIMAL
+    sum pass; reports DM, IPS, DR and the DR-DM correction so the
+    variance/bias trade is visible in the output."""
+    e = t(spark, sf_dir, "events")
+    logs = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase", F.col("value").cast("decimal(38,6)")
+            ).otherwise(F.lit(0).cast("decimal(38,6)"))
+        )
+        .cast("double")
+        .alias("reward"),
+        F.count(F.lit(1)).alias("ne"),
+    )
+    policy = ckpt(
+        logs.select(
+            "reward",
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":act"))), 1, 6),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 100
+                < 30
+            )
+            .cast("int")
+            .alias("logged_action"),
+            (F.col("ne") >= 10).cast("int").alias("bucket"),
+            (F.col("ne") >= 10).cast("int").alias("pi_action"),
+        ).withColumn(
+            "mu", F.when(F.col("logged_action") == 1, F.lit(0.3)).otherwise(F.lit(0.7))
+        )
+    )
+    cells = policy.groupBy(
+        F.col("logged_action").alias("action"), F.col("bucket").alias("cbucket")
+    ).agg(
+        (F.sum(F.col("reward").cast("decimal(38,6)")).cast("double") / F.count(F.lit(1))).alias("qhat")
+    )
+    qp = cells.select(
+        F.col("action").alias("pi_action"),
+        F.col("cbucket").alias("bucket"),
+        F.col("qhat").alias("q_pi"),
+    )
+    qa = cells.select(
+        F.col("action").alias("logged_action"),
+        F.col("cbucket").alias("bucket"),
+        F.col("qhat").alias("q_a"),
+    )
+    terms = (
+        policy.join(F.broadcast(qp), ["pi_action", "bucket"])
+        .join(F.broadcast(qa), ["logged_action", "bucket"])
+        .select(
+            "reward",
+            "q_pi",
+            "q_a",
+            F.when(F.col("pi_action") == F.col("logged_action"), F.lit(1.0) / F.col("mu"))
+            .otherwise(F.lit(0.0))
+            .alias("w"),
+        )
+    )
+    q6sum = lambda c: (
+        F.sum(F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,6)")).cast("double")
+        / F.lit(1e6)
+    )
+    sums = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        q6sum(F.col("q_pi")).alias("sdm"),
+        q6sum(F.col("w") * F.col("reward")).alias("sips"),
+        q6sum(F.col("q_pi") + F.col("w") * (F.col("reward") - F.col("q_a"))).alias("sdr"),
+    )
+    return sums.select(
+        F.col("n").alias("n_users"),
+        F.round(F.col("sdm") / F.col("n"), 6).alias("dm_value"),
+        F.round(F.col("sips") / F.col("n"), 6).alias("ips_value"),
+        F.round(F.col("sdr") / F.col("n"), 6).alias("dr_value"),
+        F.round(F.col("sdr") / F.col("n") - F.col("sdm") / F.col("n"), 6).alias(
+            "ips_correction"
+        ),
+    )

@@ -567,6 +567,8 @@ _KEY_RANK: dict[str, int] = {
     "ml_poisson_glm": 9,
     "ts_granger_causality": 9,
     "ts_pot_gpd_tail": 9,
+    "source_fixed_width": 9,
+    "ml_doubly_robust": 9,
 }
 
 

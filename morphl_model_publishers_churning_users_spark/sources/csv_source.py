@@ -203,3 +203,52 @@ def source_text_lines(spark, sf_dir):
         .groupBy("n_tokens")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_lines"))
     )
+
+
+@register(
+    "source_fixed_width",
+    oracle="""
+SELECT o_orderstatus AS status, o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(printf('%.2f', o_totalprice) AS DECIMAL(38,6)))
+            AS DOUBLE) AS sum_price
+FROM orders GROUP BY 1, 2
+""",
+)
+def source_fixed_width(spark, sf_dir):
+    """Fixed-width (mainframe/COBOL copybook) text ingest — the one
+    interchange format with NO delimiter at all: column = byte offset.
+    Stage: orders rendered to 44-byte records via format_string
+    (%012d key | 1-char status | %15.2f price | %-15s priority) through
+    the text datasource; read back with spark.read.text + substring
+    slicing — offsets are the schema, exactly how a copybook reader
+    works, all codegen (no UDF). The price column round-trips through
+    its 2-dp text form into DECIMAL(38,6), so the per-(status,
+    priority) sums are exact and the oracle mirrors the SAME text
+    round-trip with printf — any off-by-one in the offsets shears
+    every downstream column and breaks the hash. Scale shape: text
+    scan -> narrow projection; fixed-width is splittable by line, so
+    the read parallelizes like any text source."""
+    from ..operators._shared import scratch_dir
+
+    out = scratch_dir("source_fixed_width")
+    o = t(spark, sf_dir, "orders").select(
+        F.format_string(
+            "%012d%s%15.2f%-15s",
+            F.col("o_orderkey"),
+            F.col("o_orderstatus"),
+            F.col("o_totalprice"),
+            F.col("o_orderpriority"),
+        ).alias("value")
+    )
+    o.write.mode("overwrite").text(out)
+    back = spark.read.text(out).select(
+        F.substring("value", 1, 12).cast("bigint").alias("key"),
+        F.substring("value", 13, 1).alias("status"),
+        F.trim(F.substring("value", 14, 15)).cast("decimal(38,6)").alias("price"),
+        F.rtrim(F.substring("value", 29, 15)).alias("priority"),
+    )
+    return back.groupBy("status", "priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("price").cast("double").alias("sum_price"),
+    )

@@ -1154,3 +1154,44 @@ def test_gpd_pot_matches_pwm_rerun(spark, sf_dir):
     assert r["sigma"] == pytest.approx(sigma, rel=1e-4)
     # return level sits above the threshold (we extrapolate OUT the tail)
     assert r["return_level_100d"] > r["threshold"]
+
+
+def test_fixed_width_round_trip_preserves_totals(spark, sf_dir):
+    """The fixed-width round-trip loses no rows and no cents: per-group
+    totals equal the source aggregate exactly."""
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    rows = _Q["source_fixed_width"](spark, sf_dir).collect()
+    assert rows
+    src = {
+        (r["o_orderstatus"], r["o_orderpriority"]): (r["n"], float(r["s"]))
+        for r in tbl(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,2)")).alias("s"),
+        )
+        .collect()
+    }
+    assert len(rows) == len(src)
+    for r in rows:
+        n, s = src[(r["status"], r["priority"])]
+        assert r["n_rows"] == n
+        assert r["sum_price"] == pytest.approx(s, abs=1e-6)
+
+
+def test_doubly_robust_reduces_to_dm_plus_correction(spark, sf_dir):
+    """DR = DM + mean(w (r - q_a)) by construction; with the outcome
+    model fitted on the same cells the policy conditions on, the IPS
+    and DR estimates bracket sensible values (both finite, DR between
+    min/max of DM and IPS +- the correction); weights are 0 or 1/mu."""
+    r = _Q["ml_doubly_robust"](spark, sf_dir).collect()[0]
+    assert r["n_users"] > 0
+    assert r["ips_correction"] == pytest.approx(r["dr_value"] - r["dm_value"], abs=2e-6)
+    for v in (r["dm_value"], r["ips_value"], r["dr_value"]):
+        assert v == v and abs(v) < 1e9  # finite
+    # the model's bucket == the policy's conditioning variable, so the
+    # DM leg is consistent and DR's correction stays bounded by the
+    # IPS-DM spread (triangle-ish sanity, not a theorem — generous slack)
+    assert abs(r["ips_correction"]) <= abs(r["ips_value"] - r["dm_value"]) + 1.0
