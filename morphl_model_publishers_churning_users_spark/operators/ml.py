@@ -5218,3 +5218,147 @@ def ml_bradley_terry(spark, sf_dir):
             F.row_number().over(w).cast("bigint").alias("rank"),
         )
     )
+
+
+@register(
+    "ml_permutation_test",
+    oracle="""
+WITH per_user AS (
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN CAST(value AS DECIMAL(38,6)) ELSE 0 END) AS DOUBLE)
+               AS y,
+           user_id % 2 AS g
+    FROM events GROUP BY user_id
+), obs AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN g = 1
+                         THEN CAST(FLOOR(y * 1e6 + 0.5) AS DECIMAL(38,6))
+                         ELSE 0 END) AS DOUBLE) / 1e6
+               / SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END)
+           - CAST(SUM(CASE WHEN g = 0
+                           THEN CAST(FLOOR(y * 1e6 + 0.5) AS DECIMAL(38,6))
+                           ELSE 0 END) AS DOUBLE) / 1e6
+               / SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS d_obs
+    FROM per_user
+), perms AS (
+    SELECT p.i AS p,
+           CASE WHEN ('0x' || substring(md5(CAST(u.user_id AS VARCHAR) || ':perm:'
+                                            || CAST(p.i AS VARCHAR)), 1, 6))
+                     ::BIGINT % 2 = 1 THEN 1 ELSE 0 END AS side,
+           u.y
+    FROM per_user u, generate_series(0, 127) p(i)
+), per_perm AS (
+    SELECT p,
+           CAST(SUM(CASE WHEN side = 1
+                         THEN CAST(FLOOR(y * 1e6 + 0.5) AS DECIMAL(38,6))
+                         ELSE 0 END) AS DOUBLE) / 1e6
+               / NULLIF(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END), 0)
+           - CAST(SUM(CASE WHEN side = 0
+                           THEN CAST(FLOOR(y * 1e6 + 0.5) AS DECIMAL(38,6))
+                           ELSE 0 END) AS DOUBLE) / 1e6
+               / NULLIF(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END), 0) AS d_p
+    FROM perms GROUP BY 1
+), tally AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_perms,
+           CAST(SUM(CASE WHEN abs(FLOOR(d_p * 1000000 + 0.5) / 1000000)
+                              >= abs(FLOOR((SELECT d_obs FROM obs) * 1000000 + 0.5)
+                                     / 1000000)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+    FROM per_perm
+)
+SELECT o.n_users,
+       FLOOR(o.d_obs * 1000000 + 0.5) / 1000000 AS obs_diff,
+       t.n_perms, t.n_extreme,
+       FLOOR((t.n_extreme + 1.0) / (t.n_perms + 1.0) * 1000000 + 0.5) / 1000000
+           AS p_value
+FROM obs o, tally t
+""",
+)
+def ml_permutation_test(spark, sf_dir):
+    """Permutation test for the A/B difference in per-user purchase
+    value — the EXACT-null alternative to the t-test (agg_welch_ttest)
+    that needs no normality, no equal-variance story, no n large
+    enough for CLT: under H0 the labels are exchangeable, so the null
+    distribution IS the relabeled statistic. 128 SEEDED permutations
+    (md5(user:perm) -> side), p = (1 + #{|d_p| >= |d_obs|}) / (1 +
+    P) — the add-one estimator that keeps p valid (Phipson & Smyth
+    2010). Scale shape: the fact table collapses to the per-user frame
+    first; the perm explode is a 128x map-side blowup of THAT frame
+    whose aggregate is map-side combinable down to 256 partial rows —
+    constant shuffle no matter how many users — and the seeded draws
+    make the whole test replayable (same audit story as
+    dq_dp_count_release). Diffs are q6-quantized before the >=
+    comparison so the tally is cross-engine exact."""
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase", F.col("value").cast("decimal(38,6)")
+            ).otherwise(F.lit(0).cast("decimal(38,6)"))
+        )
+        .cast("double")
+        .alias("y"),
+    ).select("user_id", "y", (F.col("user_id") % 2).alias("g"))
+    per_user = ckpt(per_user)
+    yq = F.floor(F.col("y") * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,6)")
+    zero = F.lit(0).cast("decimal(38,6)")
+    mean_side = lambda cond: (
+        F.sum(F.when(cond, yq).otherwise(zero)).cast("double")
+        / F.lit(1e6)
+        / F.sum(F.when(cond, 1).otherwise(0))
+    )
+    obs = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        (mean_side(F.col("g") == 1) - mean_side(F.col("g") == 0)).alias("d_obs"),
+    )
+    perms = per_user.select(
+        "y",
+        F.explode(F.sequence(F.lit(0), F.lit(127))).alias("p"),
+        "user_id",
+    ).select(
+        "p",
+        "y",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("user_id").cast("string"),
+                            F.lit(":perm:"),
+                            F.col("p").cast("string"),
+                        )
+                    ),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+        ).alias("side"),
+    )
+    mean_p = lambda s: (
+        F.sum(F.when(F.col("side") == s, yq).otherwise(zero)).cast("double")
+        / F.lit(1e6)
+        / F.nullif(F.sum(F.when(F.col("side") == s, 1).otherwise(0)), F.lit(0))
+    )
+    per_perm = perms.groupBy("p").agg((mean_p(1) - mean_p(0)).alias("d_p"))
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    tally = per_perm.crossJoin(F.broadcast(obs)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_perms"),
+        F.sum(
+            F.when(F.abs(q6(F.col("d_p"))) >= F.abs(q6(F.col("d_obs"))), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_extreme"),
+    )
+    return obs.crossJoin(F.broadcast(tally)).select(
+        "n_users",
+        q6(F.col("d_obs")).alias("obs_diff"),
+        "n_perms",
+        "n_extreme",
+        q6(
+            (F.col("n_extreme") + F.lit(1.0)) / (F.col("n_perms") + F.lit(1.0))
+        ).alias("p_value"),
+    )

@@ -5662,3 +5662,156 @@ def ts_kendall_tau(spark, sf_dir):
             )
         ).alias("z_stat"),
     )
+
+
+@register(
+    "ts_cointegration_eg",
+    oracle="""
+WITH seg AS (
+    SELECT CAST(o.o_orderdate AS DATE) AS day, c.c_mktsegment AS seg,
+           SUM(CAST(FLOOR(o.o_totalprice * 1e6 + 0.5) AS DECIMAL(38,6))) AS revq
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+    GROUP BY 1, 2
+), spine AS (
+    SELECT day,
+           SUM(CASE WHEN seg = 'BUILDING' THEN revq ELSE CAST(0 AS DECIMAL(38,6)) END)
+               AS bx,
+           SUM(CASE WHEN seg = 'MACHINERY' THEN revq ELSE CAST(0 AS DECIMAL(38,6)) END)
+               AS by
+    FROM seg GROUP BY 1
+), cum AS (
+    SELECT day,
+           CAST(SUM(bx) OVER (ORDER BY day) AS DOUBLE) / 1e12 AS x,
+           CAST(SUM(by) OVER (ORDER BY day) AS DOUBLE) / 1e12 AS y
+    FROM spine
+), m AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(FLOOR(x * 1e12 + 0.5) AS DECIMAL(38,12))) AS DOUBLE) / 1e12 AS sx,
+           CAST(SUM(CAST(FLOOR(y * 1e12 + 0.5) AS DECIMAL(38,12))) AS DOUBLE) / 1e12 AS sy,
+           CAST(SUM(CAST(FLOOR(x * x * 1e12 + 0.5) AS DECIMAL(38,12))) AS DOUBLE) / 1e12 AS sxx,
+           CAST(SUM(CAST(FLOOR(x * y * 1e12 + 0.5) AS DECIMAL(38,12))) AS DOUBLE) / 1e12 AS sxy
+    FROM cum
+), ols AS (
+    SELECT n, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS alpha
+    FROM m
+), resid AS (
+    SELECT day, y - alpha - beta * x AS e FROM cum, ols
+), lagged AS (
+    SELECT e, LAG(e) OVER (ORDER BY day) AS e1 FROM resid
+), adf AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS m,
+           CAST(SUM(CAST(FLOOR(e1 * (e - e1) * 1e12 + 0.5) AS DECIMAL(38,12)))
+                AS DOUBLE) / 1e12 AS sed,
+           CAST(SUM(CAST(FLOOR(e1 * e1 * 1e12 + 0.5) AS DECIMAL(38,12)))
+                AS DOUBLE) / 1e12 AS see,
+           CAST(SUM(CAST(FLOOR((e - e1) * (e - e1) * 1e12 + 0.5) AS DECIMAL(38,12)))
+                AS DOUBLE) / 1e12 AS sdd
+    FROM lagged WHERE e1 IS NOT NULL
+), stat AS (
+    SELECT m, sed / see AS rho,
+           (sdd - (sed / see) * sed) / (m - 1.0) AS s2, see
+    FROM adf
+)
+SELECT CAST(m + 1.0 AS BIGINT) AS n_days,
+       FLOOR((SELECT beta FROM ols) * 1000000 + 0.5) / 1000000 AS beta,
+       FLOOR((SELECT alpha FROM ols) * 1000000 + 0.5) / 1000000 AS alpha,
+       FLOOR(rho * 1000000 + 0.5) / 1000000 AS rho,
+       FLOOR(rho / sqrt(s2 / see) * 1000000 + 0.5) / 1000000 AS adf_t,
+       rho / sqrt(s2 / see) < -3.34 AS cointegrated
+FROM stat
+""",
+)
+def ts_cointegration_eg(spark, sf_dir):
+    """Engle-Granger two-step cointegration test between two segments'
+    CUMULATIVE revenue paths — 'do these books share a common
+    stochastic trend?', the question behind pairs trading, hedged
+    budgeting, and any long-run-equilibrium claim (two I(1) series can
+    correlate at 0.99 and still drift apart forever — cointegration is
+    the honest test). Step 1: OLS of level y on level x from exact
+    moment sums. Step 2: no-constant Dickey-Fuller on the residuals
+    (rho = sum(e1*de)/sum(e1^2), t = rho/se(rho)) against the
+    Engle-Granger 5% critical value -3.34 (2 variables, n>100;
+    MacKinnon 1991). Everything is windows + aggregates over the
+    O(days) frame: revenue accumulates in micro-unit DECIMAL, levels
+    rescale to millions so every q12-DECIMAL moment stays in range,
+    the residual pass is one broadcast of the 1-row coefficients.
+    Complements ts_granger_causality (short-run lead/lag) with the
+    long-run equilibrium view."""
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    seg = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .groupBy(
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+        .agg(F.sum(q6dec(F.col("o_totalprice"))).alias("revq"))
+    )
+    zero = F.lit(0).cast("decimal(38,6)")
+    spine = seg.groupBy("day").agg(
+        F.sum(F.when(F.col("seg") == "BUILDING", F.col("revq")).otherwise(zero)).alias("bx"),
+        F.sum(F.when(F.col("seg") == "MACHINERY", F.col("revq")).otherwise(zero)).alias("by"),
+    )
+    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = ckpt(
+        spine.select(
+            "day",
+            (F.sum("bx").over(wc).cast("double") / F.lit(1e12)).alias("x"),
+            (F.sum("by").over(wc).cast("double") / F.lit(1e12)).alias("y"),
+        )
+    )
+    q12sum = lambda col: (
+        F.sum(F.floor(col * F.lit(1e12) + F.lit(0.5)).cast("decimal(38,12)"))
+        .cast("double")
+        / F.lit(1e12)
+    )
+    m = cum.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        q12sum(F.col("x")).alias("sx"),
+        q12sum(F.col("y")).alias("sy"),
+        q12sum(F.col("x") * F.col("x")).alias("sxx"),
+        q12sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    beta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    ols = m.select(
+        "n",
+        beta.alias("beta"),
+        ((F.col("sy") - beta * F.col("sx")) / F.col("n")).alias("alpha"),
+    )
+    resid = cum.crossJoin(F.broadcast(ols)).select(
+        "day", (F.col("y") - F.col("alpha") - F.col("beta") * F.col("x")).alias("e")
+    )
+    lagged = resid.select(
+        "e", F.lag("e").over(Window.orderBy("day")).alias("e1")
+    ).filter(F.col("e1").isNotNull())
+    adf = lagged.agg(
+        F.count(F.lit(1)).cast("double").alias("m"),
+        q12sum(F.col("e1") * (F.col("e") - F.col("e1"))).alias("sed"),
+        q12sum(F.col("e1") * F.col("e1")).alias("see"),
+        q12sum((F.col("e") - F.col("e1")) * (F.col("e") - F.col("e1"))).alias("sdd"),
+    )
+    rho = F.col("sed") / F.col("see")
+    stat = adf.select(
+        "m",
+        rho.alias("rho"),
+        ((F.col("sdd") - rho * F.col("sed")) / (F.col("m") - F.lit(1.0))).alias("s2"),
+        "see",
+    )
+    q6 = lambda col: F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    tstat = F.col("rho") / F.sqrt(F.col("s2") / F.col("see"))
+    return (
+        stat.crossJoin(F.broadcast(ols.select("beta", "alpha")))
+        .select(
+            (F.col("m") + F.lit(1.0)).cast("bigint").alias("n_days"),
+            q6(F.col("beta")).alias("beta"),
+            q6(F.col("alpha")).alias("alpha"),
+            q6(F.col("rho")).alias("rho"),
+            q6(tstat).alias("adf_t"),
+            (tstat < F.lit(-3.34)).alias("cointegrated"),
+        )
+    )

