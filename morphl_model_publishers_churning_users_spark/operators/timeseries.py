@@ -5484,7 +5484,11 @@ def ts_pot_gpd_tail(spark, sf_dir):
     q9-quantized before use. 100 TB shape: one fact aggregate to
     O(days), two ordered windows over that bounded frame, 1-row
     output."""
-    daily = (
+    # ckpt x2: the day aggregate (the only fact-scale pass) feeds the
+    # count and the ranking; the ranked frame feeds the threshold row
+    # AND the exceedance join (duplicate-scan sweep: orders was being
+    # re-scanned 4x without these).
+    daily = ckpt(
         t(spark, sf_dir, "orders")
         .groupBy(F.date_trunc("day", "o_orderdate").cast("date").alias("day"))
         .agg(F.sum(q6dec(F.col("o_totalprice"))).alias("revq"))
@@ -5499,6 +5503,7 @@ def ts_pot_gpd_tail(spark, sf_dir):
         "k",
         F.row_number().over(Window.orderBy(F.asc("revq"), F.asc("day"))).alias("rn"),
     )
+    ranked = ckpt(ranked)
     thr = ranked.filter(F.col("rn") == F.col("k")).select(
         F.col("revq").alias("u"), "n", "k"
     )
