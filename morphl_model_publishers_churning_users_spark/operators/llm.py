@@ -5189,3 +5189,133 @@ def llm_mattr(spark, sf_dir):
         F.round(ttr, 6).alias("ttr"),
         F.round(F.when(n_tokens >= w, mattr_long).otherwise(ttr), 6).alias("mattr"),
     )
+
+
+def _greedy_coverage_oracle(k: int = 10) -> str:
+    r"""Unrolled greedy facility-location CTEs: sel{i} picks the doc with
+    the max marginal vocabulary gain over everything sel{1..i-1}
+    covers, ties broken on doc_id — mirroring the Spark driver loop."""
+    ctes = [
+        r"""toks AS MATERIALIZED (
+    SELECT DISTINCT doc_id, word FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1]))
+                   AS word
+        FROM (
+            SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+            FROM documents WHERE length(trim(text)) > 0
+        ) WHERE len(w) >= 2
+    )
+)""",
+        "uni AS (SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS u FROM toks)",
+    ]
+    for i in range(1, k + 1):
+        if i == 1:
+            not_covered = "toks"
+        else:
+            prev_sel = " UNION ALL ".join(
+                f"SELECT doc_id FROM sel{j}" for j in range(1, i)
+            )
+            not_covered = f"""(
+        SELECT t.doc_id, t.word FROM toks t
+        WHERE NOT EXISTS (
+            SELECT 1 FROM toks c
+            JOIN ({prev_sel}) s ON s.doc_id = c.doc_id
+            WHERE c.word = t.word
+        )
+    )"""
+        ctes.append(
+            f"""sel{i} AS MATERIALIZED (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain, {i} AS rank
+    FROM {not_covered} nc
+    GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1
+)"""
+        )
+    allsel = " UNION ALL ".join(
+        f"SELECT rank, doc_id, gain FROM sel{i}" for i in range(1, k + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT s.rank, s.doc_id, s.gain,
+       CAST(SUM(s.gain) OVER (ORDER BY s.rank) AS BIGINT) AS covered,
+       FLOOR(CAST(SUM(s.gain) OVER (ORDER BY s.rank) AS DOUBLE) / u.u
+             * 1000000 + 0.5) / 1000000 AS coverage_pct
+FROM ({allsel}) s, uni u
+"""
+    )
+
+
+@register("llm_greedy_coverage", oracle=_greedy_coverage_oracle())
+def llm_greedy_coverage(spark, sf_dir):
+    """Greedy submodular data selection (facility location on vocabulary
+    coverage) — pick the 10 documents that together cover the most
+    distinct BIGRAMS (unigram coverage saturates in a single pick on
+    this corpus's tiny vocabulary; pair coverage has real structure),
+    the canonical 'diverse subset' selector behind
+    coreset curation and eval-set construction. Greedy is the right
+    algorithm, not a shortcut: for monotone submodular objectives it
+    is (1 - 1/e)-optimal (Nemhauser 1978) while exact selection is
+    NP-hard. Each of the 10 rounds is pure relational algebra on the
+    ckpt'd (doc, bigram) table: anti-join the already-covered
+    bigram set (bigram-keyed shuffle), count marginal gains per doc,
+    take the deterministic argmax (gain DESC, doc_id) — no collect;
+    the selected set stays a DataFrame the next round semi-joins
+    against. Gains are exact integers, so cross-engine parity needs no
+    quantization anywhere; coverage_pct divides two exact counts.
+    The oracle unrolls the identical 10 rounds as CTEs."""
+    bigram_expr = (
+        "transform(sequence(1, size(w) - 1),"
+        " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+    )
+    toks = ckpt(
+        t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w"))
+        .filter(F.size("w") >= 2)
+        .select("doc_id", F.explode(F.expr(bigram_expr)).alias("word"))
+        .distinct()
+    )
+    uni = toks.agg(F.countDistinct("word").cast("bigint").alias("u"))
+    selected = None
+    picks = []
+    for i in range(1, 11):
+        if selected is None:
+            gains_src = toks
+        else:
+            covered = (
+                toks.join(selected.select("doc_id"), "doc_id", "semi")
+                .select("word")
+                .distinct()
+            )
+            gains_src = toks.join(covered, "word", "left_anti")
+        pick = ckpt(
+            gains_src.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("gain"))
+            .orderBy(F.desc("gain"), F.asc("doc_id"))
+            .limit(1)
+            .withColumn("rank", F.lit(i))
+        )
+        picks.append(pick)
+        selected = pick if selected is None else ckpt(selected.unionByName(pick))
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    w = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        out.crossJoin(F.broadcast(uni))
+        .select(
+            "rank",
+            "doc_id",
+            "gain",
+            F.sum("gain").over(w).cast("bigint").alias("covered"),
+            (
+                F.floor(
+                    F.sum("gain").over(w).cast("double") / F.col("u") * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("coverage_pct"),
+        )
+    )

@@ -5362,3 +5362,117 @@ def ml_permutation_test(spark, sf_dir):
             (F.col("n_extreme") + F.lit(1.0)) / (F.col("n_perms") + F.lit(1.0))
         ).alias("p_value"),
     )
+
+
+@register(
+    "ml_iv_wald",
+    oracle="""
+WITH per_user AS (
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN CAST(value AS DECIMAL(38,6)) ELSE 0 END) AS DOUBLE) AS y,
+           CAST(COUNT(*) AS BIGINT) AS x,
+           CASE WHEN ('0x' || substring(md5(CAST(user_id AS VARCHAR) || ':enc'), 1, 6))
+                     ::BIGINT % 2 = 1 THEN 1 ELSE 0 END AS z
+    FROM events GROUP BY user_id
+), g AS (
+    SELECT z, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(y * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE) / 1e6 AS sy,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(x * x) AS BIGINT) AS sxx
+    FROM per_user GROUP BY 1
+), w AS (
+    SELECT
+        (SELECT n FROM g WHERE z = 1) AS n1, (SELECT n FROM g WHERE z = 0) AS n0,
+        (SELECT sy / n FROM g WHERE z = 1) - (SELECT sy / n FROM g WHERE z = 0) AS itt_y,
+        (SELECT CAST(sx AS DOUBLE) / n FROM g WHERE z = 1)
+        - (SELECT CAST(sx AS DOUBLE) / n FROM g WHERE z = 0) AS itt_x,
+        (SELECT (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (n - 1.0) / n
+         FROM g WHERE z = 1)
+        + (SELECT (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (n - 1.0) / n
+           FROM g WHERE z = 0) AS var_itt_x
+)
+SELECT CAST(n1 + n0 AS BIGINT) AS n_users,
+       FLOOR(itt_y * 1000000 + 0.5) / 1000000 AS itt_y,
+       FLOOR(itt_x * 1000000 + 0.5) / 1000000 AS itt_x,
+       FLOOR(itt_x * itt_x / var_itt_x * 1000000 + 0.5) / 1000000 AS first_stage_f,
+       FLOOR(itt_y / itt_x * 1000000 + 0.5) / 1000000 AS beta_iv,
+       itt_x * itt_x / var_itt_x < 10.0 AS weak_instrument
+FROM w
+""",
+)
+def ml_iv_wald(spark, sf_dir):
+    """Instrumental-variable (Wald) estimate of the causal effect of
+    activity on spend — the estimator for when the regressor is
+    ENDOGENOUS (engaged users differ in unobserved ways, so
+    ml_price_elasticity-style OLS is confounded): with a seeded binary
+    encouragement z (md5 draw — the replayable stand-in for a real
+    randomized nudge), beta_IV = ITT_y / ITT_x, the ratio of the two
+    intention-to-treat contrasts (Angrist-Imbens-Rubin). Ships with
+    the diagnostic that decides whether to BELIEVE it: the first-stage
+    F (Wald chi2 of z on x) against the Staiger-Stock rule of thumb
+    F >= 10 — with a random z and no true encouragement the op
+    correctly self-reports weak_instrument = true. One user-grain
+    aggregate, one 2-row group-by; y sums ride q6 DECIMAL, x moments
+    are exact bigints."""
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase", F.col("value").cast("decimal(38,6)")
+            ).otherwise(F.lit(0).cast("decimal(38,6)"))
+        )
+        .cast("double")
+        .alias("y"),
+        F.count(F.lit(1)).cast("bigint").alias("x"),
+    ).select(
+        "y",
+        "x",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":enc"))), 1, 6),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+        ).alias("z"),
+    )
+    g = per_user.groupBy("z").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            F.sum(F.floor(F.col("y") * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,6)"))
+            .cast("double")
+            / F.lit(1e6)
+        ).alias("sy"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    var_term = (
+        (F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / F.col("n"))
+        / (F.col("n") - F.lit(1.0))
+        / F.col("n")
+    )
+    side = lambda z: F.broadcast(
+        g.filter(F.col("z") == z).select(
+            F.col("n").alias(f"n{z}"),
+            (F.col("sy") / F.col("n")).alias(f"my{z}"),
+            (F.col("sx").cast("double") / F.col("n")).alias(f"mx{z}"),
+            var_term.alias(f"v{z}"),
+        )
+    )
+    w = side(1).crossJoin(side(0)).select(
+        (F.col("n1") + F.col("n0")).cast("bigint").alias("n_users"),
+        (F.col("my1") - F.col("my0")).alias("itt_y"),
+        (F.col("mx1") - F.col("mx0")).alias("itt_x"),
+        (F.col("v1") + F.col("v0")).alias("var_itt_x"),
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    fstat = F.col("itt_x") * F.col("itt_x") / F.col("var_itt_x")
+    return w.select(
+        "n_users",
+        q6(F.col("itt_y")).alias("itt_y"),
+        q6(F.col("itt_x")).alias("itt_x"),
+        q6(fstat).alias("first_stage_f"),
+        q6(F.col("itt_y") / F.col("itt_x")).alias("beta_iv"),
+        (fstat < F.lit(10.0)).alias("weak_instrument"),
+    )

@@ -573,6 +573,8 @@ _KEY_RANK: dict[str, int] = {
     "ml_bradley_terry": 9,
     "ts_cointegration_eg": 9,
     "ml_permutation_test": 9,
+    "ml_iv_wald": 9,
+    "llm_greedy_coverage": 9,
 }
 
 

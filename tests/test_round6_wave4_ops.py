@@ -1337,3 +1337,50 @@ def test_permutation_test_tally_and_bounds(spark, sf_dir):
     # would be suspicious; just require it isn't the degenerate 1/129
     # AND the diff is finite
     assert abs(r["obs_diff"]) < 1e9
+
+
+def test_iv_wald_is_ratio_of_itts_and_flags_weak_instrument(spark, sf_dir):
+    """beta_IV = ITT_y / ITT_x exactly; the md5 'encouragement' carries
+    no real effect, so the op must self-report a weak first stage."""
+    r = _Q["ml_iv_wald"](spark, sf_dir).collect()[0]
+    assert r["beta_iv"] == pytest.approx(r["itt_y"] / r["itt_x"], rel=1e-3)
+    assert r["first_stage_f"] >= 0.0
+    assert r["weak_instrument"] == (r["first_stage_f"] < 10.0)
+    # a pure-noise instrument should essentially never clear F >= 10
+    assert r["weak_instrument"] is True
+
+
+def test_greedy_coverage_is_monotone_submodular_trace(spark, sf_dir):
+    """Ranks are 1..10 with non-increasing gains (submodularity of the
+    coverage objective), covered is the exact running sum, picks are
+    distinct, and the first pick IS the max-vocabulary doc."""
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    rows = sorted(_Q["llm_greedy_coverage"](spark, sf_dir).collect(), key=lambda r: r["rank"])
+    assert [r["rank"] for r in rows] == list(range(1, 11))
+    gains = [r["gain"] for r in rows]
+    assert gains == sorted(gains, reverse=True)
+    assert len({r["doc_id"] for r in rows}) == 10
+    run = 0
+    for r in rows:
+        run += r["gain"]
+        assert r["covered"] == run
+        assert 0.0 < r["coverage_pct"] <= 1.0
+    bigram_expr = (
+        "transform(sequence(1, size(w) - 1),"
+        " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+    )
+    best = (
+        tbl(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w"))
+        .filter(F.size("w") >= 2)
+        .select("doc_id", F.explode(F.expr(bigram_expr)).alias("b"))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("b").alias("nv"))
+        .orderBy(F.desc("nv"), F.asc("doc_id"))
+        .limit(1)
+        .collect()[0]
+    )
+    assert rows[0]["doc_id"] == best["doc_id"] and rows[0]["gain"] == best["nv"]
