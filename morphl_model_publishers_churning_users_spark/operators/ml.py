@@ -5476,3 +5476,156 @@ def ml_iv_wald(spark, sf_dir):
         q6(F.col("itt_y") / F.col("itt_x")).alias("beta_iv"),
         (fstat < F.lit(10.0)).alias("weak_instrument"),
     )
+
+
+def _raking_oracle(iters: int = 4) -> str:
+    """Unrolled IPF CTEs: w{i}r row-scales to the segment targets,
+    w{i} column-scales to the region targets — the q12-quantized twin
+    of the Spark loop."""
+    ctes = [
+        """cells AS MATERIALIZED (
+    SELECT c.c_mktsegment AS seg, r.r_name AS region,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer c
+    JOIN nation na ON na.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = na.n_regionkey
+    GROUP BY 1, 2
+)""",
+        "tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM cells)",
+        """tseg AS MATERIALIZED (
+    SELECT c.c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS k
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1
+)""",
+        """treg AS MATERIALIZED (
+    SELECT r.r_name AS region, CAST(COUNT(*) AS BIGINT) AS k
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation na ON na.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = na.n_regionkey
+    GROUP BY 1
+)""",
+        """mseg AS (
+    SELECT seg, k * (SELECT t FROM tot) / (SELECT CAST(SUM(k) AS DOUBLE) FROM tseg)
+               AS target
+    FROM tseg
+)""",
+        """mreg AS (
+    SELECT region, k * (SELECT t FROM tot) / (SELECT CAST(SUM(k) AS DOUBLE) FROM treg)
+               AS target
+    FROM treg
+)""",
+        "w0 AS MATERIALIZED (SELECT seg, region, n, CAST(n AS DOUBLE) AS w FROM cells)",
+    ]
+    q12 = "FLOOR({x} * 1e12 + 0.5) / 1e12"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""w{i}r AS MATERIALIZED (
+    SELECT w.seg, w.region, w.n,
+           {q12.format(x=f"w.w * m.target / rs.s")} AS w
+    FROM w{i - 1} w
+    JOIN (SELECT seg, CAST(SUM(CAST(FLOOR(w * 1e9 + 0.5) AS DECIMAL(38,9)))
+                          AS DOUBLE) / 1e9 AS s
+          FROM w{i - 1} GROUP BY 1) rs ON rs.seg = w.seg
+    JOIN mseg m ON m.seg = w.seg
+)""",
+        )
+        ctes.append(
+            f"""w{i} AS MATERIALIZED (
+    SELECT w.seg, w.region, w.n,
+           {q12.format(x=f"w.w * m.target / cs.s")} AS w
+    FROM w{i}r w
+    JOIN (SELECT region, CAST(SUM(CAST(FLOOR(w * 1e9 + 0.5) AS DECIMAL(38,9)))
+                             AS DOUBLE) / 1e9 AS s
+          FROM w{i}r GROUP BY 1) cs ON cs.region = w.region
+    JOIN mreg m ON m.region = w.region
+)""",
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT seg, region, n,
+       FLOOR(w * 1000000 + 0.5) / 1000000 AS weight,
+       FLOOR(w / n * 1000000 + 0.5) / 1000000 AS raking_factor
+FROM w{iters}
+"""
+    )
+
+
+@register("ml_raking_ipf", oracle=_raking_oracle())
+def ml_raking_ipf(spark, sf_dir):
+    """Survey raking (iterative proportional fitting / Deming-Stephan)
+    — reweight the customer (segment x region) table so both margins
+    match an order-volume target population: THE standard correction
+    when your sample (who exists) must speak for a population (who
+    buys), used by every polling house and increasingly for debiasing
+    eval panels. 4 unrolled IPF rounds, each = one margin aggregate +
+    one broadcast join per axis over the O(segments x regions) cell
+    table — after the two fact-scale margin aggregates, iteration cost
+    is independent of data size. Margin sums ride 1e-9 DECIMAL and
+    each scaling is q12-quantized, so the weight trajectory is
+    bit-stable; IPF's defining invariant (column margins exact after a
+    column step, row margins near-exact at convergence) is asserted in
+    tests. Reports per-cell weight and raking factor w/n."""
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_nationkey")
+    nat = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    reg = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    geo = (
+        cust.join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .select(F.col("c_custkey"), F.col("c_mktsegment").alias("seg"), F.col("r_name").alias("region"))
+    )
+    cells = ckpt(
+        geo.groupBy("seg", "region").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = cells.agg(F.sum("n").cast("double").alias("t"))
+    o = t(spark, sf_dir, "orders").select("o_custkey")
+    ordgeo = ckpt(
+        o.join(geo, o["o_custkey"] == geo["c_custkey"]).select("seg", "region")
+    )
+    tseg = ordgeo.groupBy("seg").agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    treg = ordgeo.groupBy("region").agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    mseg = (
+        tseg.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tseg.agg(F.sum("k").cast("double").alias("sk"))))
+        .select("seg", (F.col("k") * F.col("t") / F.col("sk")).alias("target"))
+    )
+    mreg = (
+        treg.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(treg.agg(F.sum("k").cast("double").alias("sk"))))
+        .select("region", (F.col("k") * F.col("t") / F.col("sk")).alias("target"))
+    )
+    q12 = lambda c: F.floor(c * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12)
+    q9sum = lambda c: (
+        F.sum(F.floor(c * F.lit(1e9) + F.lit(0.5)).cast("decimal(38,9)")).cast("double")
+        / F.lit(1e9)
+    )
+    w = cells.select("seg", "region", "n", F.col("n").cast("double").alias("w"))
+    for _ in range(4):
+        rs = w.groupBy("seg").agg(q9sum(F.col("w")).alias("s"))
+        w = (
+            w.join(F.broadcast(rs), "seg")
+            .join(F.broadcast(mseg), "seg")
+            .select(
+                "seg", "region", "n",
+                q12(F.col("w") * F.col("target") / F.col("s")).alias("w"),
+            )
+        )
+        cs = w.groupBy("region").agg(q9sum(F.col("w")).alias("s"))
+        w = ckpt(
+            w.join(F.broadcast(cs), "region")
+            .join(F.broadcast(mreg), "region")
+            .select(
+                "seg", "region", "n",
+                q12(F.col("w") * F.col("target") / F.col("s")).alias("w"),
+            )
+        )
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return w.select(
+        "seg",
+        "region",
+        "n",
+        q6(F.col("w")).alias("weight"),
+        q6(F.col("w") / F.col("n")).alias("raking_factor"),
+    )

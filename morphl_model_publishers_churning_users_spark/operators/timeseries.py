@@ -5820,3 +5820,113 @@ def ts_cointegration_eg(spark, sf_dir):
             (tstat < F.lit(-3.34)).alias("cointegrated"),
         )
     )
+
+
+@register(
+    "ts_matrix_profile",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+    FROM events GROUP BY 1
+), series AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY day) AS i, x FROM daily
+), l AS (
+    SELECT list(x ORDER BY i) AS xs, CAST(COUNT(*) AS BIGINT) AS n FROM series
+), win AS (
+    SELECT CAST(sr.i AS BIGINT) AS i, l.xs[sr.i:sr.i + 6] AS w,
+           list_sum(l.xs[sr.i:sr.i + 6]) AS s,
+           list_sum(list_transform(l.xs[sr.i:sr.i + 6], v -> v * v)) AS q
+    FROM series sr, l WHERE sr.i <= l.n - 6
+), feas AS (
+    SELECT i, w, s, q FROM win WHERE 7 * q - s * s > 0
+), pairs AS (
+    SELECT a.i AS ia, b.i AS ib,
+           list_sum(list_transform(range(1, 8), k -> a.w[k] * b.w[k])) AS dot,
+           a.s AS sa, a.q AS qa, b.s AS sb, b.q AS qb
+    FROM feas a JOIN feas b ON abs(a.i - b.i) >= 7
+), dists AS (
+    SELECT ia, ib,
+           FLOOR(sqrt(GREATEST(2.0 * 7.0 * (1.0 -
+               (7.0 * dot - CAST(sa AS DOUBLE) * sb)
+               / sqrt(CAST(7 * qa - sa * sa AS DOUBLE)
+                      * CAST(7 * qb - sb * sb AS DOUBLE))), 0.0))
+               * 1e9 + 0.5) / 1e9 AS d
+    FROM pairs
+), nn AS (
+    SELECT ia, ib, d,
+           ROW_NUMBER() OVER (PARTITION BY ia ORDER BY d, ib) AS rk
+    FROM dists
+)
+SELECT ia AS idx, ib AS nn_idx,
+       FLOOR(d * 1000000 + 0.5) / 1000000 AS nn_dist,
+       CAST(ROW_NUMBER() OVER (ORDER BY d, ia) AS BIGINT) AS motif_rank
+FROM nn WHERE rk = 1
+""",
+)
+def ts_matrix_profile(spark, sf_dir):
+    """Matrix profile (exact, window m=7) of the daily event-count
+    series — for every week-shaped subsequence, the z-normalized
+    distance to its nearest non-overlapping neighbor (Yeh et al. 2016):
+    the lowest pair IS the top motif, the highest values are discords
+    (anomalous weeks), all in one artifact. The integer-count series
+    makes every moment EXACT: per-window sum/sumsq are bigints from
+    one sliding frame, each pair's dot product is an integer fold, and
+    the z-normalized distance d = sqrt(2m(1 - (m*dot - SaSb)/
+    sqrt((m*Qa - Sa^2)(m*Qb - Sb^2)))) touches floats only in the
+    final correctly-rounded IEEE ops — no quantization until the 1e-9
+    ranking grain. Constant-variance windows are excluded (z-norm is
+    undefined), the |i-j| >= m exclusion zone kills trivial matches.
+    Scale: the fact table collapses to O(days); the pair join is
+    O(windows^2) of that bounded frame — the classic post-aggregate
+    all-pairs that stays tiny at any fact scale."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    series = daily.select(
+        F.row_number().over(Window.orderBy("day")).alias("i"), "x"
+    )
+    wf = Window.orderBy("i").rowsBetween(0, 6)
+    win = ckpt(
+        series.select(
+            "i",
+            F.collect_list("x").over(wf).alias("w"),
+            F.sum("x").over(wf).alias("s"),
+            F.sum(F.col("x") * F.col("x")).over(wf).alias("q"),
+        )
+        .filter(F.size("w") == 7)
+        .filter(F.lit(7) * F.col("q") - F.col("s") * F.col("s") > 0)
+    )
+    a = win.select(F.col("i").alias("ia"), F.col("w").alias("wa"),
+                   F.col("s").alias("sa"), F.col("q").alias("qa"))
+    b = win.select(F.col("i").alias("ib"), F.col("w").alias("wb"),
+                   F.col("s").alias("sb"), F.col("q").alias("qb"))
+    pairs = a.join(b, F.abs(F.col("ia") - F.col("ib")) >= 7).select(
+        "ia", "ib", "sa", "qa", "sb", "qb",
+        F.expr(
+            "aggregate(zip_with(wa, wb, (p, r) -> p * r), 0L, (acc, v) -> acc + v)"
+        ).alias("dot"),
+    )
+    ncc = (F.lit(7.0) * F.col("dot") - F.col("sa").cast("double") * F.col("sb")) / F.sqrt(
+        (F.lit(7) * F.col("qa") - F.col("sa") * F.col("sa")).cast("double")
+        * (F.lit(7) * F.col("qb") - F.col("sb") * F.col("sb")).cast("double")
+    )
+    d9 = F.floor(
+        F.sqrt(F.greatest(F.lit(2.0) * F.lit(7.0) * (F.lit(1.0) - ncc), F.lit(0.0)))
+        * F.lit(1e9)
+        + F.lit(0.5)
+    ) / F.lit(1e9)
+    dists = pairs.select("ia", "ib", d9.alias("d"))
+    wn = Window.partitionBy("ia").orderBy(F.asc("d"), F.asc("ib"))
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    wm = Window.orderBy(F.asc("d"), F.asc("ia"))
+    return (
+        dists.withColumn("rk", F.row_number().over(wn))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("ia").alias("idx"),
+            F.col("ib").alias("nn_idx"),
+            q6(F.col("d")).alias("nn_dist"),
+            F.row_number().over(wm).cast("bigint").alias("motif_rank"),
+        )
+    )

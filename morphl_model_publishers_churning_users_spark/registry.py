@@ -575,6 +575,8 @@ _KEY_RANK: dict[str, int] = {
     "ml_permutation_test": 9,
     "ml_iv_wald": 9,
     "llm_greedy_coverage": 9,
+    "ml_raking_ipf": 9,
+    "ts_matrix_profile": 9,
 }
 
 

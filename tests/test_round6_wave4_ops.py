@@ -1384,3 +1384,54 @@ def test_greedy_coverage_is_monotone_submodular_trace(spark, sf_dir):
         .collect()[0]
     )
     assert rows[0]["doc_id"] == best["doc_id"] and rows[0]["gain"] == best["nv"]
+
+
+def test_raking_matches_margins_after_final_column_step(spark, sf_dir):
+    """IPF invariant: region (column) margins are exact right after a
+    column step (the loop ends on one); segment margins are near the
+    target at convergence; weights stay positive and total mass is
+    preserved."""
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    rows = _Q["ml_raking_ipf"](spark, sf_dir).collect()
+    assert rows and all(r["weight"] > 0 for r in rows)
+    total_n = sum(r["n"] for r in rows)
+    total_w = sum(r["weight"] for r in rows)
+    assert total_w == pytest.approx(total_n, rel=1e-6)
+    cust = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders")
+    geo = (
+        cust.join(tbl(spark, sf_dir, "nation"), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(tbl(spark, sf_dir, "region"), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    reg_orders = {
+        r["r_name"]: r["k"]
+        for r in o.join(geo, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .collect()
+    }
+    tot_orders = sum(reg_orders.values())
+    by_region: dict = {}
+    for r in rows:
+        by_region[r["region"]] = by_region.get(r["region"], 0.0) + r["weight"]
+    for region, wsum in by_region.items():
+        target = reg_orders[region] / tot_orders * total_n
+        assert wsum == pytest.approx(target, rel=1e-4)
+
+
+def test_matrix_profile_is_symmetric_nn_and_excludes_trivial(spark, sf_dir):
+    """Every neighbor respects the m=7 exclusion zone; the top motif
+    pair is mutual (a's NN is b and b's NN is a at the same distance);
+    distances are nonnegative and bounded by 2*sqrt(m)."""
+    rows = _Q["ts_matrix_profile"](spark, sf_dir).collect()
+    assert rows
+    by_idx = {r["idx"]: r for r in rows}
+    for r in rows:
+        assert abs(r["idx"] - r["nn_idx"]) >= 7
+        assert 0.0 <= r["nn_dist"] <= 2.0 * 7 ** 0.5 + 1e-6
+    top = min(rows, key=lambda r: (r["motif_rank"]))
+    mate = by_idx[top["nn_idx"]]
+    assert mate["nn_dist"] == pytest.approx(top["nn_dist"], abs=1e-6)
+    assert mate["nn_idx"] == top["idx"]
