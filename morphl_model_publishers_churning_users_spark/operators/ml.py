@@ -5437,15 +5437,19 @@ def ml_iv_wald(spark, sf_dir):
             % 2
         ).alias("z"),
     )
-    g = per_user.groupBy("z").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        (
-            F.sum(F.floor(F.col("y") * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,6)"))
-            .cast("double")
-            / F.lit(1e6)
-        ).alias("sy"),
-        F.sum("x").cast("bigint").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    # ckpt: the 2-row group frame feeds both z-side branches — without
+    # it the fact-scale user aggregate re-runs per side (dup-scan sweep)
+    g = ckpt(
+        per_user.groupBy("z").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (
+                F.sum(F.floor(F.col("y") * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,6)"))
+                .cast("double")
+                / F.lit(1e6)
+            ).alias("sy"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        )
     )
     var_term = (
         (F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / F.col("n"))
