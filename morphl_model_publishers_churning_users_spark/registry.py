@@ -139,7 +139,18 @@ def register(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Quer
 # wave-16 tail (dq_reconciliation, ml_bh_fdr — same verification)
 # and the wave-17 tail (ml_ab_srm_check, ts_ljung_box — same
 # verification) and the wave-18 tail (ts_spc_control_chart,
-# dq_duplicate_payments — same verification). All round-6 additions were sim-verified at
+# dq_duplicate_payments — same verification) and the wave-19+ tail
+# (the 24 continuation-session additions: ml_mcnemar_paired,
+# dq_key_discovery, graph_closeness, ts_kalman_level,
+# dq_dp_count_release, ts_bass_diffusion, ml_cox_score,
+# ml_poisson_glm, ts_granger_causality, ts_pot_gpd_tail,
+# source_fixed_width, ml_doubly_robust, ts_kendall_tau,
+# ml_bradley_terry, ts_cointegration_eg, ml_permutation_test,
+# ml_iv_wald, llm_greedy_coverage, ml_raking_ipf, ts_matrix_profile
+# onward — each verified at sf0.001 + sf0.01 + an Asia/Kolkata probe
+# + a targeted bare-session driver-sim window on the day it landed,
+# with the duplicate-scan sweep run and fixed per wave).
+# All round-6 additions were sim-verified at
 # sf0.001/0.01, and every key in the post-fold waves also at sf0.1;
 # the full registry ran hash-green in the bare-session simulator
 # repeatedly during the round (329/329, 357/357, 380/380, 389/389,
