@@ -5633,3 +5633,128 @@ def ml_raking_ipf(spark, sf_dir):
         q6(F.col("w")).alias("weight"),
         q6(F.col("w") / F.col("n")).alias("raking_factor"),
     )
+
+
+@register(
+    "ml_oaxaca_blinder",
+    oracle="""
+WITH spend AS (
+    SELECT o_custkey, SUM(CAST(FLOOR(o_totalprice * 1e6 + 0.5) AS DECIMAL(38,6))) AS sq
+    FROM orders GROUP BY 1
+), frame AS (
+    SELECT c.c_mktsegment AS seg,
+           CAST(COALESCE(s.sq, 0) AS DOUBLE) / 1e6 AS y,
+           CAST(c.c_acctbal AS DOUBLE) / 1000.0 AS x
+    FROM customer c LEFT JOIN spend s ON s.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment IN ('AUTOMOBILE', 'FURNITURE')
+), m AS (
+    SELECT seg, CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(FLOOR(x * 1e9 + 0.5) AS DECIMAL(38,9))) AS DOUBLE) / 1e9 AS sx,
+           CAST(SUM(CAST(FLOOR(y * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE) / 1e6 AS sy,
+           CAST(SUM(CAST(FLOOR(x * x * 1e9 + 0.5) AS DECIMAL(38,9))) AS DOUBLE) / 1e9
+               AS sxx,
+           CAST(SUM(CAST(FLOOR(x * y * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE) / 1e6
+               AS sxy
+    FROM frame GROUP BY 1
+), fits AS (
+    SELECT seg, n, sx / n AS mx, sy / n AS my,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b
+    FROM m
+), ab AS (
+    SELECT
+        (SELECT mx FROM fits WHERE seg = 'AUTOMOBILE') AS mxa,
+        (SELECT my FROM fits WHERE seg = 'AUTOMOBILE') AS mya,
+        (SELECT b  FROM fits WHERE seg = 'AUTOMOBILE') AS ba,
+        (SELECT my - b * mx FROM fits WHERE seg = 'AUTOMOBILE') AS aa,
+        (SELECT mx FROM fits WHERE seg = 'FURNITURE') AS mxb,
+        (SELECT my FROM fits WHERE seg = 'FURNITURE') AS myb,
+        (SELECT b  FROM fits WHERE seg = 'FURNITURE') AS bb,
+        (SELECT my - b * mx FROM fits WHERE seg = 'FURNITURE') AS abb,
+        (SELECT CAST(n AS BIGINT) FROM fits WHERE seg = 'AUTOMOBILE')
+            + (SELECT CAST(n AS BIGINT) FROM fits WHERE seg = 'FURNITURE') AS n_total
+)
+SELECT n_total AS n_customers,
+       FLOOR((mya - myb) * 1000000 + 0.5) / 1000000 AS gap,
+       FLOOR(bb * (mxa - mxb) * 1000000 + 0.5) / 1000000 AS endowments,
+       FLOOR((mxa * (ba - bb) + (aa - abb)) * 1000000 + 0.5) / 1000000
+           AS coefficients,
+       FLOOR((bb * (mxa - mxb) + mxa * (ba - bb) + (aa - abb)) * 1000000 + 0.5)
+           / 1000000 AS decomposition_total
+FROM ab
+""",
+)
+def ml_oaxaca_blinder(spark, sf_dir):
+    """Oaxaca-Blinder decomposition of the AUTOMOBILE-vs-FURNITURE
+    spend gap — the labor-economics workhorse repurposed for product
+    analytics: how much of the between-group difference is EXPLAINED
+    by composition (different balance levels x the reference slope:
+    'endowments') versus different RETURNS to the same balance
+    (slopes/intercepts: 'coefficients', the residual-discrimination
+    term)? The identity gap = b_B(x_A - x_B) + [x_A(b_A - b_B) +
+    (a_A - a_B)] is exact by construction (asserted in tests), so the
+    op is one per-group moment aggregate + scalar algebra — both OLS
+    fits come from the same five quantized-DECIMAL sums per segment,
+    no second pass, no iteration. 100 TB shape: one star-free
+    left-join + one 2-group aggregate."""
+    spend = t(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.sum(q6dec(F.col("o_totalprice"))).alias("sq")
+    )
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+    frame = (
+        cust.filter(F.col("c_mktsegment").isin("AUTOMOBILE", "FURNITURE"))
+        .join(spend, cust["c_custkey"] == spend["o_custkey"], "left")
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            (F.coalesce(F.col("sq"), F.lit(0).cast("decimal(38,6)")).cast("double") / F.lit(1e6)).alias("y"),
+            (F.col("c_acctbal").cast("double") / F.lit(1000.0)).alias("x"),
+        )
+    )
+    q9s = lambda c: (
+        F.sum(F.floor(c * F.lit(1e9) + F.lit(0.5)).cast("decimal(38,9)")).cast("double")
+        / F.lit(1e9)
+    )
+    q6s = lambda c: (
+        F.sum(F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,6)")).cast("double")
+        / F.lit(1e6)
+    )
+    m = ckpt(
+        frame.groupBy("seg").agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            q9s(F.col("x")).alias("sx"),
+            q6s(F.col("y")).alias("sy"),
+            q9s(F.col("x") * F.col("x")).alias("sxx"),
+            q6s(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    b = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    fits = m.select(
+        "seg",
+        "n",
+        (F.col("sx") / F.col("n")).alias("mx"),
+        (F.col("sy") / F.col("n")).alias("my"),
+        b.alias("b"),
+    ).withColumn("a", F.col("my") - F.col("b") * F.col("mx"))
+    fa = F.broadcast(
+        fits.filter(F.col("seg") == "AUTOMOBILE").select(
+            F.col("n").alias("na"), F.col("mx").alias("mxa"), F.col("my").alias("mya"),
+            F.col("b").alias("ba"), F.col("a").alias("aa"),
+        )
+    )
+    fb = F.broadcast(
+        fits.filter(F.col("seg") == "FURNITURE").select(
+            F.col("n").alias("nb"), F.col("mx").alias("mxb"), F.col("my").alias("myb"),
+            F.col("b").alias("bb"), F.col("a").alias("abb"),
+        )
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    endow = F.col("bb") * (F.col("mxa") - F.col("mxb"))
+    coeff = F.col("mxa") * (F.col("ba") - F.col("bb")) + (F.col("aa") - F.col("abb"))
+    return fa.crossJoin(fb).select(
+        (F.col("na") + F.col("nb")).cast("bigint").alias("n_customers"),
+        q6(F.col("mya") - F.col("myb")).alias("gap"),
+        q6(endow).alias("endowments"),
+        q6(coeff).alias("coefficients"),
+        q6(endow + coeff).alias("decomposition_total"),
+    )

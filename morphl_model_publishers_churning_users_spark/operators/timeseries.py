@@ -5930,3 +5930,148 @@ def ts_matrix_profile(spark, sf_dir):
             F.row_number().over(wm).cast("bigint").alias("motif_rank"),
         )
     )
+
+
+@register(
+    "ts_littles_law_audit",
+    oracle="""
+WITH ordered AS (
+    SELECT user_id, ts, event_id,
+           epoch_us(ts) - LAG(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+    FROM events
+), flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END
+               AS new_session
+    FROM ordered
+), numbered AS (
+    SELECT user_id, ts,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+), sessions AS (
+    SELECT user_id, session_id,
+           epoch_us(MIN(ts)) AS s_us, epoch_us(MAX(ts)) AS e_us
+    FROM numbered GROUP BY 1, 2
+), horizon AS (
+    SELECT MIN(s_us) AS lo, MAX(e_us) AS hi,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(e_us - s_us) AS BIGINT) AS busy_us
+    FROM sessions
+), ticks AS (
+    SELECT h.lo + 3600000000 * g.k AS tick_us
+    FROM horizon h, generate_series(0, 2000) g(k)
+    WHERE h.lo + 3600000000 * g.k <= h.hi
+), sampled AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_ticks,
+           CAST(SUM(c) AS BIGINT) AS covered
+    FROM (
+        SELECT t.tick_us,
+               (SELECT COUNT(*) FROM sessions s
+                WHERE s.s_us <= t.tick_us AND t.tick_us < s.e_us) AS c
+        FROM ticks t
+    )
+)
+SELECT h.n_sessions,
+       FLOOR(CAST(h.n_sessions AS DOUBLE)
+             / (CAST(h.hi - h.lo AS DOUBLE) / 3600000000.0)
+             * 1000000 + 0.5) / 1000000 AS lambda_per_hr,
+       FLOOR(CAST(h.busy_us AS DOUBLE) / h.n_sessions / 1000000.0
+             * 1000000 + 0.5) / 1000000 AS w_mean_s,
+       FLOOR(CAST(h.busy_us AS DOUBLE) / CAST(h.hi - h.lo AS DOUBLE)
+             * 1000000 + 0.5) / 1000000 AS l_exact,
+       s.n_ticks,
+       FLOOR(CAST(s.covered AS DOUBLE) / s.n_ticks * 1000000 + 0.5) / 1000000
+           AS l_sampled,
+       FLOOR((CAST(s.covered AS DOUBLE) / s.n_ticks
+              - CAST(h.busy_us AS DOUBLE) / CAST(h.hi - h.lo AS DOUBLE))
+             * 1000000 + 0.5) / 1000000 AS sampling_bias
+FROM horizon h, sampled s
+""",
+)
+def ts_littles_law_audit(spark, sf_dir):
+    """Little's law audit: L = lambda * W computed EXACTLY from the
+    session intervals (L = total busy-time / horizon — the identity a
+    correct sessionizer must satisfy) versus L as monitoring actually
+    measures it — instantaneous concurrency SAMPLED at hourly ticks.
+    The gap between the two is the real finding: tick sampling
+    undercounts short sessions entirely (a session that starts and
+    ends between ticks contributes W to the exact L but 0 to the
+    sampled one), which is why dashboard 'avg concurrent users' and
+    capacity math from arrival rates disagree. Same 30-min-gap
+    sessionization as ts_session (shared definition, event_id
+    tiebreak); everything is exact MICROSECOND integer arithmetic —
+    horizon, busy time, tick membership — until the three final
+    divisions. The tick probe is a bounded range join: O(ticks x
+    avg-concurrency) rows, never ticks x sessions."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.expr("timestampdiff(MICROSECOND, lag(ts) over (partition by user_id order by ts, event_id), ts)")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        F.when(gap.isNull() | (gap >= 1800000000), 1).otherwise(0).alias("new_session"),
+    )
+    numbered = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_session")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("ts")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("session_id"),
+    )
+    # NTZ-safe epoch: diff against a fixed NTZ origin (unix_micros
+    # rejects TIMESTAMP_NTZ; a cast would re-introduce the session TZ)
+    us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    sessions = ckpt(
+        numbered.select("user_id", "session_id", us.alias("us"))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("us").alias("s_us"), F.max("us").alias("e_us"))
+    )
+    horizon = sessions.agg(
+        F.min("s_us").alias("lo"),
+        F.max("e_us").alias("hi"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum(F.col("e_us") - F.col("s_us")).cast("bigint").alias("busy_us"),
+    )
+    ticks = (
+        horizon.select("lo", "hi")
+        .select(F.explode(F.sequence(F.lit(0), F.lit(2000))).alias("k"), "lo", "hi")
+        .select((F.col("lo") + F.lit(3600000000) * F.col("k")).alias("tick_us"), "hi")
+        .filter(F.col("tick_us") <= F.col("hi"))
+        .select("tick_us")
+    )
+    covered = (
+        ticks.join(
+            sessions,
+            (F.col("s_us") <= F.col("tick_us")) & (F.col("tick_us") < F.col("e_us")),
+            "left",
+        )
+        .groupBy("tick_us")
+        .agg(F.sum(F.when(F.col("s_us").isNotNull(), 1).otherwise(0)).alias("c"))
+    )
+    sampled = covered.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
+        F.sum("c").cast("bigint").alias("covered"),
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    span = (F.col("hi") - F.col("lo")).cast("double")
+    l_exact = F.col("busy_us").cast("double") / span
+    l_sampled = F.col("covered").cast("double") / F.col("n_ticks")
+    return horizon.crossJoin(F.broadcast(sampled)).select(
+        "n_sessions",
+        q6(F.col("n_sessions").cast("double") / (span / F.lit(3600000000.0))).alias(
+            "lambda_per_hr"
+        ),
+        q6(F.col("busy_us").cast("double") / F.col("n_sessions") / F.lit(1000000.0)).alias(
+            "w_mean_s"
+        ),
+        q6(l_exact).alias("l_exact"),
+        "n_ticks",
+        q6(l_sampled).alias("l_sampled"),
+        q6(l_sampled - l_exact).alias("sampling_bias"),
+    )

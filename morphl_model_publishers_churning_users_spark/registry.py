@@ -588,6 +588,8 @@ _KEY_RANK: dict[str, int] = {
     "llm_greedy_coverage": 9,
     "ml_raking_ipf": 9,
     "ts_matrix_profile": 9,
+    "ts_littles_law_audit": 9,
+    "ml_oaxaca_blinder": 9,
 }
 
 

@@ -1435,3 +1435,27 @@ def test_matrix_profile_is_symmetric_nn_and_excludes_trivial(spark, sf_dir):
     mate = by_idx[top["nn_idx"]]
     assert mate["nn_dist"] == pytest.approx(top["nn_dist"], abs=1e-6)
     assert mate["nn_idx"] == top["idx"]
+
+
+def test_littles_law_exact_identity_and_sampling_bias_sign(spark, sf_dir):
+    """L_exact must equal lambda*W by construction (Little's law on the
+    full horizon); tick sampling can only LOSE the short sessions that
+    fit between ticks, so sampled - exact equals the reported bias and
+    the tick count covers the horizon."""
+    r = _Q["ts_littles_law_audit"](spark, sf_dir).collect()[0]
+    lam_per_s = r["lambda_per_hr"] / 3600.0
+    assert r["l_exact"] == pytest.approx(lam_per_s * r["w_mean_s"], rel=1e-4)
+    assert r["sampling_bias"] == pytest.approx(r["l_sampled"] - r["l_exact"], abs=2e-6)
+    assert r["n_ticks"] >= 1 and r["n_sessions"] > 0
+    assert r["l_sampled"] >= 0.0
+
+
+def test_oaxaca_decomposition_is_exact(spark, sf_dir):
+    """The two components sum to the raw gap exactly (the decomposition
+    is an identity, not an approximation)."""
+    r = _Q["ml_oaxaca_blinder"](spark, sf_dir).collect()[0]
+    assert r["decomposition_total"] == pytest.approx(
+        r["endowments"] + r["coefficients"], abs=2e-6
+    )
+    assert r["gap"] == pytest.approx(r["decomposition_total"], abs=5e-5)
+    assert r["n_customers"] > 0
