@@ -1152,3 +1152,92 @@ def fn_penny_allocation(spark, sf_dir):
             + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
         ).alias("alloc_cents"),
     )
+
+
+@register(
+    "fn_haversine",
+    oracle="""
+WITH geo AS (
+    SELECT n_name,
+           (CAST(('0x' || substr(md5('lat:' || n_name), 1, 6)) AS BIGINT) % 18000)
+               / 100.0 - 90.0 AS lat,
+           (CAST(('0x' || substr(md5('lon:' || n_name), 1, 6)) AS BIGINT) % 36000)
+               / 100.0 - 180.0 AS lon
+    FROM nation
+), pairs AS (
+    SELECT a.n_name AS na, b.n_name AS nb,
+           a.lat * 0.017453292519943295 AS p1,
+           b.lat * 0.017453292519943295 AS p2,
+           (b.lat - a.lat) * 0.017453292519943295 AS dphi,
+           (b.lon - a.lon) * 0.017453292519943295 AS dlam
+    FROM geo a JOIN geo b ON a.n_name < b.n_name
+), hav AS (
+    SELECT na, nb,
+           (FLOOR(sin(dphi / 2.0) * 1e12 + 0.5) / 1e12)
+               * (FLOOR(sin(dphi / 2.0) * 1e12 + 0.5) / 1e12)
+           + (FLOOR(cos(p1) * 1e12 + 0.5) / 1e12)
+               * (FLOOR(cos(p2) * 1e12 + 0.5) / 1e12)
+               * (FLOOR(sin(dlam / 2.0) * 1e12 + 0.5) / 1e12)
+               * (FLOOR(sin(dlam / 2.0) * 1e12 + 0.5) / 1e12) AS a
+    FROM pairs
+), dist AS (
+    SELECT na, nb,
+           12742.0 * (FLOOR(asin(sqrt(LEAST(a, 1.0))) * 1e12 + 0.5) / 1e12) AS d_km
+    FROM hav
+)
+SELECT na, nb, FLOOR(d_km * 1000000 + 0.5) / 1000000 AS d_km,
+       CAST(ROW_NUMBER() OVER (ORDER BY d_km, na, nb) AS BIGINT) AS rank
+FROM dist ORDER BY rank LIMIT 20
+""",
+)
+def fn_haversine(spark, sf_dir):
+    """Great-circle (haversine) distance over deterministic per-nation
+    coordinates — the geo-distance primitive behind store-coverage,
+    shipping-zone, and geo-dedup queries, expressed entirely in
+    codegen trig (no UDF, no geo library): d = 2R asin(sqrt(sin^2
+    (dphi/2) + cos(p1) cos(p2) sin^2(dlam/2))). Coordinates are
+    md5-derived (replayable fixture geography, same seeding idiom as
+    the DP/permutation ops). Cross-engine float discipline for
+    TRANSCENDENTALS: sin/cos/asin are the only libm-dependent calls,
+    so each one's output is q12-quantized BEFORE it enters arithmetic
+    — the same boundary-hardening as exp/ln elsewhere; sqrt is IEEE
+    correctly-rounded and needs none. The all-pairs join is over the
+    25-row nation dim (broadcast); output is the 20 nearest pairs,
+    rank-deterministic."""
+    q12 = lambda c: F.floor(c * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12)
+    h = lambda salt: (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col("n_name"))), 1, 6), 16, 10)
+        .cast("bigint")
+    )
+    geo = t(spark, sf_dir, "nation").select(
+        "n_name",
+        ((h("lat:") % 18000) / F.lit(100.0) - F.lit(90.0)).alias("lat"),
+        ((h("lon:") % 36000) / F.lit(100.0) - F.lit(180.0)).alias("lon"),
+    )
+    rad = F.lit(0.017453292519943295)
+    a = geo.select(F.col("n_name").alias("na"), F.col("lat").alias("la"), F.col("lon").alias("lo_a"))
+    b = geo.select(F.col("n_name").alias("nb"), F.col("lat").alias("lb"), F.col("lon").alias("lo_b"))
+    pairs = a.join(F.broadcast(b), F.col("na") < F.col("nb")).select(
+        "na",
+        "nb",
+        (F.col("la") * rad).alias("p1"),
+        (F.col("lb") * rad).alias("p2"),
+        ((F.col("lb") - F.col("la")) * rad).alias("dphi"),
+        ((F.col("lo_b") - F.col("lo_a")) * rad).alias("dlam"),
+    )
+    sp = q12(F.sin(F.col("dphi") / F.lit(2.0)))
+    sl = q12(F.sin(F.col("dlam") / F.lit(2.0)))
+    av = sp * sp + q12(F.cos(F.col("p1"))) * q12(F.cos(F.col("p2"))) * sl * sl
+    dist = pairs.select(
+        "na",
+        "nb",
+        (F.lit(12742.0) * q12(F.asin(F.sqrt(F.least(av, F.lit(1.0)))))).alias("d_km"),
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    w = Window.orderBy(F.asc("d_km"), F.asc("na"), F.asc("nb"))
+    return (
+        dist.select("na", "nb", q6(F.col("d_km")).alias("d_km"))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 20)
+        .orderBy("rank")
+    )

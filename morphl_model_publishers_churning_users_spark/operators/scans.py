@@ -16,7 +16,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Window
 
 from ..registry import register
-from ._shared import scratch_dir, t
+from ._shared import ckpt, scratch_dir, t
 
 
 @register("scan_parquet", oracle="SELECT * FROM lineitem")
@@ -1123,4 +1123,97 @@ def sink_zorder_write(spark, sf_dir):
         F.round(ckf, 6).alias("ck_span_frac"),
         F.round(dyf, 6).alias("day_span_frac"),
         ((ckf <= 0.55) & (dyf <= 0.55)).alias("zorder_bounded"),
+    )
+
+
+@register(
+    "scan_partition_skew_audit",
+    oracle="""
+WITH parts AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM events GROUP BY 1
+), stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+           CAST(MAX(n_rows) AS BIGINT) AS max_rows,
+           CAST(MIN(n_rows) AS BIGINT) AS min_rows
+    FROM parts
+), gini AS (
+    SELECT CAST(SUM(CAST((2 * rn - s.n_parts - 1) AS BIGINT) * n_rows) AS DOUBLE)
+               / (s.n_parts * CAST(s.total_rows AS DOUBLE)) AS g
+    FROM (SELECT n_rows, ROW_NUMBER() OVER (ORDER BY n_rows, event_type) AS rn
+          FROM parts) r, stats s
+    GROUP BY s.n_parts, s.total_rows
+)
+SELECT s.n_parts, s.total_rows,
+       FLOOR(CAST(s.max_rows AS DOUBLE) / (CAST(s.total_rows AS DOUBLE) / s.n_parts)
+             * 1000000 + 0.5) / 1000000 AS max_over_avg,
+       FLOOR(CAST(s.max_rows AS DOUBLE) / s.min_rows * 1000000 + 0.5) / 1000000
+           AS max_over_min,
+       FLOOR(g.g * 1000000 + 0.5) / 1000000 AS gini_rows,
+       TRUE AS one_file_per_partition
+FROM stats s, gini g
+""",
+)
+def scan_partition_skew_audit(spark, sf_dir):
+    """Partition-layout skew audit — write events partitioned by
+    event_type, then measure how unevenly the partitions landed:
+    max/avg and max/min row ratios plus the Gini coefficient of
+    partition sizes. This is the STORAGE-side health check every
+    partitioned lake table needs (a skewed partition key turns one
+    task into the straggler that dominates each downstream scan;
+    at 100 TB a 10x hot partition IS the job's wall-clock). The audit
+    reads ONLY the round-tripped layout: per-partition row counts come
+    from the written files, the file-per-partition invariant from
+    _metadata.file_path (the writer coalesces to one task so the file
+    count is deterministic in-test; a production writer shards hot
+    partitions instead — exactly what the ratios here would tell you
+    to do). Gini via the exact integer rank identity sum((2i-n-1)x_i)
+    / (n*total) — no floats until the final divisions."""
+    from ._shared import scratch_dir
+
+    out = scratch_dir("scan_partition_skew")
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type")
+    ev.coalesce(1).write.mode("overwrite").partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out).select(
+        "event_type", F.col("_metadata.file_path").alias("fp")
+    )
+    parts = ckpt(
+        back.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("fp").cast("bigint").alias("n_files"),
+        )
+    )
+    stats = parts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum("n_rows").cast("bigint").alias("total_rows"),
+        F.max("n_rows").cast("bigint").alias("max_rows"),
+        F.min("n_rows").cast("bigint").alias("min_rows"),
+        F.max("n_files").cast("bigint").alias("max_files"),
+    )
+    ranked = parts.select(
+        "n_rows",
+        F.row_number().over(Window.orderBy(F.asc("n_rows"), F.asc("event_type"))).alias("rn"),
+    )
+    gini = (
+        ranked.crossJoin(F.broadcast(stats.select("n_parts", "total_rows")))
+        .agg(
+            (
+                F.sum((2 * F.col("rn") - F.col("n_parts") - 1).cast("bigint") * F.col("n_rows"))
+                .cast("double")
+                / F.first(F.col("n_parts") * F.col("total_rows").cast("double"))
+            ).alias("g")
+        )
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return stats.crossJoin(F.broadcast(gini)).select(
+        "n_parts",
+        "total_rows",
+        q6(
+            F.col("max_rows").cast("double")
+            / (F.col("total_rows").cast("double") / F.col("n_parts"))
+        ).alias("max_over_avg"),
+        q6(F.col("max_rows").cast("double") / F.col("min_rows")).alias("max_over_min"),
+        q6(F.col("g")).alias("gini_rows"),
+        (F.col("max_files") == 1).alias("one_file_per_partition"),
     )

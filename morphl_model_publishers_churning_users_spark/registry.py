@@ -590,6 +590,8 @@ _KEY_RANK: dict[str, int] = {
     "ts_matrix_profile": 9,
     "ts_littles_law_audit": 9,
     "ml_oaxaca_blinder": 9,
+    "scan_partition_skew_audit": 9,
+    "fn_haversine": 9,
 }
 
 

@@ -1459,3 +1459,53 @@ def test_oaxaca_decomposition_is_exact(spark, sf_dir):
     )
     assert r["gap"] == pytest.approx(r["decomposition_total"], abs=5e-5)
     assert r["n_customers"] > 0
+
+
+def test_partition_skew_audit_reconciles_with_source(spark, sf_dir):
+    """Total rows and partition count match the source table; ratios
+    and Gini are internally consistent bounds."""
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    r = _Q["scan_partition_skew_audit"](spark, sf_dir).collect()[0]
+    src = (
+        tbl(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert r["n_parts"] == len(src)
+    assert r["total_rows"] == sum(row["n"] for row in src)
+    assert r["max_over_min"] >= r["max_over_avg"] >= 1.0
+    assert 0.0 <= r["gini_rows"] < 1.0
+    assert r["one_file_per_partition"] is True
+
+
+def test_haversine_metric_properties(spark, sf_dir):
+    """Distances are in [0, half Earth circumference], ranks contiguous
+    and sorted; a python recompute of one pair agrees."""
+    import hashlib
+    import math
+
+    rows = _Q["fn_haversine"](spark, sf_dir).collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    ds = [r["d_km"] for r in rows]
+    assert ds == sorted(ds)
+    for r in rows:
+        assert 0.0 <= r["d_km"] <= 20037.6
+    r0 = rows[0]
+
+    def coord(name):
+        la = int(hashlib.md5(f"lat:{name}".encode()).hexdigest()[:6], 16) % 18000 / 100.0 - 90.0
+        lo = int(hashlib.md5(f"lon:{name}".encode()).hexdigest()[:6], 16) % 36000 / 100.0 - 180.0
+        return la, lo
+
+    la1, lo1 = coord(r0["na"])
+    la2, lo2 = coord(r0["nb"])
+    rad = math.pi / 180.0
+    a = (
+        math.sin((la2 - la1) * rad / 2) ** 2
+        + math.cos(la1 * rad) * math.cos(la2 * rad) * math.sin((lo2 - lo1) * rad / 2) ** 2
+    )
+    d = 12742.0 * math.asin(math.sqrt(a))
+    assert r0["d_km"] == pytest.approx(d, abs=1e-3)
