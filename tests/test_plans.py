@@ -730,3 +730,37 @@ def test_split_leakage_single_union_pass(spark, sf_dir):
     import re
 
     assert len(re.findall(r"\(\d+\) Union", plan)) == 1
+
+
+def test_bass_grid_is_broadcast_and_single_fact_pass(spark, sf_dir):
+    """The 400-point (p,q) grid joins the adoption curve via broadcast
+    (never a shuffled cross product), and the orders scan is hidden
+    behind the first-order checkpoint (exactly one fact pass at ckpt
+    time, zero in the final plan)."""
+    plan = _plan(spark, sf_dir, "ts_bass_diffusion")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_permutation_test_aggregate_is_partial(spark, sf_dir):
+    """The 128x explode must combine map-side: a partial_ HashAggregate
+    below the exchange keeps the shuffle at O(perms x sides) rows."""
+    plan = _plan(spark, sf_dir, "ml_permutation_test")
+    assert "partial_" in plan  # map-side combine present
+    assert "CartesianProduct" not in plan
+
+
+def test_greedy_coverage_rounds_are_keyed_joins(spark, sf_dir):
+    """No cartesian anywhere in the 10-round greedy plan — every round
+    is a keyed (bigram/doc) join against the checkpointed token table."""
+    plan = _plan(spark, sf_dir, "llm_greedy_coverage")
+    assert "CartesianProduct" not in plan
+
+
+def test_cox_score_is_window_not_join(spark, sf_dir):
+    """The at-risk moments come from ONE window over the tenure grain —
+    no time-grid x risk-set join (the naive O(T x N) shape)."""
+    plan = _plan(spark, sf_dir, "ml_cox_score")
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin") == 0
