@@ -5758,3 +5758,116 @@ def ml_oaxaca_blinder(spark, sf_dir):
         q6(coeff).alias("coefficients"),
         q6(endow + coeff).alias("decomposition_total"),
     )
+
+
+@register(
+    "ml_knn_classify",
+    oracle="""
+WITH q AS (
+    SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 20 = 0
+), pairs AS (
+    SELECT q.vec_id AS query_id, q.label AS true_label,
+           c.vec_id AS neighbor_id, c.label AS n_label,
+           ROUND(
+               SUM(CAST(q.embedding[g.i] AS DOUBLE) * CAST(c.embedding[g.i] AS DOUBLE))
+               / (SQRT(SUM(CAST(q.embedding[g.i] AS DOUBLE)
+                           * CAST(q.embedding[g.i] AS DOUBLE)))
+                  * SQRT(SUM(CAST(c.embedding[g.i] AS DOUBLE)
+                             * CAST(c.embedding[g.i] AS DOUBLE)))),
+               6) AS cos_sim
+    FROM q, embeddings c, generate_series(1, 64) g(i)
+    WHERE c.vec_id <> q.vec_id
+    GROUP BY 1, 2, 3, 4
+), nn AS (
+    SELECT query_id, true_label, n_label,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rk
+    FROM pairs
+), votes AS (
+    SELECT query_id, true_label, n_label, CAST(COUNT(*) AS BIGINT) AS v
+    FROM nn WHERE rk <= 5 GROUP BY 1, 2, 3
+), pred AS (
+    SELECT query_id, true_label, n_label AS pred_label,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY v DESC, n_label) AS pr
+    FROM votes
+)
+SELECT true_label AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_correct,
+       FLOOR(CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*) * 1000000 + 0.5) / 1000000 AS accuracy
+FROM pred WHERE pr = 1
+GROUP BY 1
+""",
+)
+def ml_knn_classify(spark, sf_dir):
+    """Exact 5-NN cosine classifier, evaluated leave-one-out on a
+    deterministic 5% query sample of the embedding table — the
+    zero-training baseline every embedding space must beat before
+    anything fancier ships, and simultaneously a LABEL-QUALITY probe
+    (low kNN accuracy = labels inconsistent with geometry, the
+    Northcutt-style noise signal). Same scale shape as llm_simsearch:
+    the bounded query side is BROADCAST against the corpus, dot
+    products ride the codegen zip_with fold, per-query top-5 via
+    window rank on the 6-dp-rounded similarity (id tiebreak), then
+    majority vote resolved by one more deterministic window (votes
+    DESC, label ASC — no argmax ambiguity). Reports per-label accuracy
+    so class-conditional quality is visible, not averaged away."""
+    from .llm import _NORM
+
+    e = t(spark, sf_dir, "embeddings")
+    withnorm = e.select(
+        "vec_id", "embedding", "label",
+        F.expr(_NORM.format(c="embedding")).alias("norm"),
+    )
+    q = withnorm.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("qe"),
+        F.col("norm").alias("qnorm"),
+    )
+    c = withnorm.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+        F.col("embedding").alias("ce"),
+        F.col("norm").alias("cnorm"),
+    )
+    dot = "aggregate(zip_with(qe, ce, (x, y) -> cast(x as double) * cast(y as double)), 0D, (a, x) -> a + x)"
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "true_label",
+            "neighbor_id",
+            "n_label",
+            F.round(F.expr(dot) / (F.col("qnorm") * F.col("cnorm")), 6).alias("cos_sim"),
+        )
+    )
+    wn = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    votes = (
+        pairs.withColumn("rk", F.row_number().over(wn))
+        .filter(F.col("rk") <= 5)
+        .groupBy("query_id", "true_label", "n_label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("v"), F.asc("n_label"))
+    pred = (
+        votes.withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") == 1)
+        .select("query_id", "true_label", F.col("n_label").alias("pred_label"))
+    )
+    q6 = lambda col: F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return pred.groupBy(F.col("true_label").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.sum(F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_correct"),
+    ).select(
+        "label",
+        "n_queries",
+        "n_correct",
+        q6(F.col("n_correct").cast("double") / F.col("n_queries")).alias("accuracy"),
+    )

@@ -6075,3 +6075,176 @@ def ts_littles_law_audit(spark, sf_dir):
         q6(l_sampled).alias("l_sampled"),
         q6(l_sampled - l_exact).alias("sampling_bias"),
     )
+
+
+@register(
+    "ts_binseg_changepoints",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+    FROM events GROUP BY 1
+), series AS (
+    SELECT day, x,
+           CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i,
+           CAST(SUM(x) OVER (ORDER BY day) AS BIGINT) AS p,
+           CAST(SUM(x * x) OVER (ORDER BY day) AS BIGINT) AS q
+    FROM daily
+), nn AS (
+    SELECT MAX(i) AS n, MAX(p) AS pn, MAX(q) AS qn FROM series
+), g1 AS (
+    SELECT s.i AS k, s.day,
+           FLOOR((
+             (CAST(nn.qn AS DOUBLE) - CAST(nn.pn AS DOUBLE) * nn.pn / nn.n)
+             - (CAST(s.q AS DOUBLE) - CAST(s.p AS DOUBLE) * s.p / s.i)
+             - (CAST(nn.qn - s.q AS DOUBLE)
+                - CAST(nn.pn - s.p AS DOUBLE) * (nn.pn - s.p) / (nn.n - s.i))
+           ) * 1e9 + 0.5) / 1e9 AS gain,
+           CAST(s.p AS DOUBLE) / s.i AS mean_l,
+           CAST(nn.pn - s.p AS DOUBLE) / (nn.n - s.i) AS mean_r
+    FROM series s, nn WHERE s.i < nn.n
+), cp1 AS (
+    SELECT * FROM g1 ORDER BY gain DESC, k LIMIT 1
+), sides AS (
+    SELECT 'left' AS side, CAST(0 AS BIGINT) AS a_p, CAST(0 AS BIGINT) AS a_q,
+           CAST(0 AS BIGINT) AS a_i, c.k AS b_i,
+           (SELECT p FROM series WHERE i = c.k) AS b_p,
+           (SELECT q FROM series WHERE i = c.k) AS b_q
+    FROM cp1 c
+    UNION ALL
+    SELECT 'right', (SELECT p FROM series WHERE i = c.k),
+           (SELECT q FROM series WHERE i = c.k), c.k, nn.n, nn.pn, nn.qn
+    FROM cp1 c, nn
+), g2 AS (
+    SELECT d.side, s.i AS k, s.day,
+           FLOOR((
+             (CAST(d.b_q - d.a_q AS DOUBLE)
+              - CAST(d.b_p - d.a_p AS DOUBLE) * (d.b_p - d.a_p) / (d.b_i - d.a_i))
+             - (CAST(s.q - d.a_q AS DOUBLE)
+                - CAST(s.p - d.a_p AS DOUBLE) * (s.p - d.a_p) / (s.i - d.a_i))
+             - (CAST(d.b_q - s.q AS DOUBLE)
+                - CAST(d.b_p - s.p AS DOUBLE) * (d.b_p - s.p) / (d.b_i - s.i))
+           ) * 1e9 + 0.5) / 1e9 AS gain,
+           CAST(s.p - d.a_p AS DOUBLE) / (s.i - d.a_i) AS mean_l,
+           CAST(d.b_p - s.p AS DOUBLE) / (d.b_i - s.i) AS mean_r
+    FROM sides d JOIN series s ON s.i > d.a_i AND s.i < d.b_i
+), cp2 AS (
+    SELECT side, k, day, gain, mean_l, mean_r,
+           ROW_NUMBER() OVER (PARTITION BY side ORDER BY gain DESC, k) AS rk
+    FROM g2
+)
+SELECT 1 AS level, 'mid' AS side, k, day,
+       FLOOR(gain * 1000000 + 0.5) / 1000000 AS gain,
+       FLOOR(mean_l * 1000000 + 0.5) / 1000000 AS mean_l,
+       FLOOR(mean_r * 1000000 + 0.5) / 1000000 AS mean_r
+FROM cp1
+UNION ALL
+SELECT 2, side, k, day,
+       FLOOR(gain * 1000000 + 0.5) / 1000000,
+       FLOOR(mean_l * 1000000 + 0.5) / 1000000,
+       FLOOR(mean_r * 1000000 + 0.5) / 1000000
+FROM cp2 WHERE rk = 1
+""",
+)
+def ts_binseg_changepoints(spark, sf_dir):
+    """Two-level binary segmentation (Scott-Knott style) of the daily
+    event-count series — extends ts_changepoint's single split to the
+    standard recursive scheme: find the SSE-optimal split, then the
+    optimal split within each half (3 changepoints, 4 regimes). The
+    whole search is PREFIX-SUM algebra on exact integers: for any
+    segment, SSE = (Q_b - Q_a) - (P_b - P_a)^2 / len from the one
+    cumulative pass, so evaluating every candidate split is a
+    projection over the O(days) frame — no per-candidate scan, no
+    iteration beyond the two unrolled levels. Gains are q9-quantized
+    before the argmax (ties break on the earlier day) so split
+    selection is cross-engine deterministic. 100 TB shape: one fact
+    aggregate, one window, two bounded argmax reductions."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    wo = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    series = ckpt(
+        daily.select(
+            "day",
+            "x",
+            F.row_number().over(Window.orderBy("day")).cast("bigint").alias("i"),
+            F.sum("x").over(wo).cast("bigint").alias("p"),
+            F.sum(F.col("x") * F.col("x")).over(wo).cast("bigint").alias("q"),
+        )
+    )
+    nn = series.agg(
+        F.max("i").alias("n"), F.max("p").alias("pn"), F.max("q").alias("qn")
+    )
+    q9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    def sse(qb, qa, pb, pa, ib, ia):
+        ln = (ib - ia).cast("double")
+        sp = (pb - pa).cast("double")
+        return (qb - qa).cast("double") - sp * sp / ln
+
+    g1 = (
+        series.crossJoin(F.broadcast(nn))
+        .filter(F.col("i") < F.col("n"))
+        .select(
+            F.col("i").alias("k"),
+            "day",
+            q9(
+                sse(F.col("qn"), F.lit(0), F.col("pn"), F.lit(0), F.col("n"), F.lit(0))
+                - sse(F.col("q"), F.lit(0), F.col("p"), F.lit(0), F.col("i"), F.lit(0))
+                - sse(F.col("qn"), F.col("q"), F.col("pn"), F.col("p"), F.col("n"), F.col("i"))
+            ).alias("gain"),
+            (F.col("p").cast("double") / F.col("i")).alias("mean_l"),
+            ((F.col("pn") - F.col("p")).cast("double") / (F.col("n") - F.col("i"))).alias("mean_r"),
+        )
+    )
+    cp1 = ckpt(g1.orderBy(F.desc("gain"), F.asc("k")).limit(1))
+    at_k = series.join(
+        F.broadcast(cp1.select(F.col("k").alias("i"))), "i"
+    ).select(F.col("i").alias("ki"), F.col("p").alias("kp"), F.col("q").alias("kq"))
+    zero = F.lit(0).cast("bigint")
+    sides = (
+        at_k.select(
+            F.lit("left").alias("side"),
+            zero.alias("a_p"), zero.alias("a_q"), zero.alias("a_i"),
+            F.col("ki").alias("b_i"), F.col("kp").alias("b_p"), F.col("kq").alias("b_q"),
+        )
+        .unionByName(
+            at_k.crossJoin(F.broadcast(nn)).select(
+                F.lit("right").alias("side"),
+                F.col("kp").alias("a_p"), F.col("kq").alias("a_q"), F.col("ki").alias("a_i"),
+                F.col("n").alias("b_i"), F.col("pn").alias("b_p"), F.col("qn").alias("b_q"),
+            )
+        )
+    )
+    g2 = (
+        series.crossJoin(F.broadcast(sides))
+        .filter((F.col("i") > F.col("a_i")) & (F.col("i") < F.col("b_i")))
+        .select(
+            "side",
+            F.col("i").alias("k"),
+            "day",
+            q9(
+                sse(F.col("b_q"), F.col("a_q"), F.col("b_p"), F.col("a_p"), F.col("b_i"), F.col("a_i"))
+                - sse(F.col("q"), F.col("a_q"), F.col("p"), F.col("a_p"), F.col("i"), F.col("a_i"))
+                - sse(F.col("b_q"), F.col("q"), F.col("b_p"), F.col("p"), F.col("b_i"), F.col("i"))
+            ).alias("gain"),
+            ((F.col("p") - F.col("a_p")).cast("double") / (F.col("i") - F.col("a_i"))).alias("mean_l"),
+            ((F.col("b_p") - F.col("p")).cast("double") / (F.col("b_i") - F.col("i"))).alias("mean_r"),
+        )
+    )
+    ws = Window.partitionBy("side").orderBy(F.desc("gain"), F.asc("k"))
+    cp2 = g2.withColumn("rk", F.row_number().over(ws)).filter(F.col("rk") == 1)
+    out1 = cp1.select(
+        F.lit(1).alias("level"), F.lit("mid").alias("side"), "k", "day",
+        q6(F.col("gain")).alias("gain"),
+        q6(F.col("mean_l")).alias("mean_l"),
+        q6(F.col("mean_r")).alias("mean_r"),
+    )
+    out2 = cp2.select(
+        F.lit(2).alias("level"), "side", "k", "day",
+        q6(F.col("gain")).alias("gain"),
+        q6(F.col("mean_l")).alias("mean_l"),
+        q6(F.col("mean_r")).alias("mean_r"),
+    )
+    return out1.unionByName(out2)

@@ -592,6 +592,8 @@ _KEY_RANK: dict[str, int] = {
     "ml_oaxaca_blinder": 9,
     "scan_partition_skew_audit": 9,
     "fn_haversine": 9,
+    "ml_knn_classify": 9,
+    "ts_binseg_changepoints": 9,
 }
 
 

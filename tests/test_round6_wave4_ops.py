@@ -1509,3 +1509,62 @@ def test_haversine_metric_properties(spark, sf_dir):
     )
     d = 12742.0 * math.asin(math.sqrt(a))
     assert r0["d_km"] == pytest.approx(d, abs=1e-3)
+
+
+def test_knn_classify_matches_numpy_brute_force(spark, sf_dir):
+    """Per-label counts sum to the query-sample size, accuracies are
+    valid proportions, and the per-label correct counts match an exact
+    numpy 5-NN recompute (rounded-cosine ranking, vote ties to the
+    smaller label). The fixture embeddings carry ~no label signal, so
+    accuracy near chance is the CORRECT finding — the op is the probe,
+    not the assumption."""
+    import numpy as np
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    rows = _Q["ml_knn_classify"](spark, sf_dir).collect()
+    assert rows
+    emb = tbl(spark, sf_dir, "embeddings").collect()
+    ids = np.array([r["vec_id"] for r in emb])
+    X = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    y = np.array([r["label"] for r in emb])
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    qmask = ids % 20 == 0
+    assert sum(r["n_queries"] for r in rows) == int(qmask.sum())
+    correct: dict = {}
+    for qi in np.where(qmask)[0]:
+        sims = np.round(X @ X[qi], 6)
+        order = sorted(
+            (i for i in range(len(ids)) if ids[i] != ids[qi]),
+            key=lambda i: (-sims[i], ids[i]),
+        )[:5]
+        votes: dict = {}
+        for i in order:
+            votes[y[i]] = votes.get(y[i], 0) + 1
+        pred = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        lab = int(y[qi])
+        correct[lab] = correct.get(lab, 0) + (pred == lab)
+    for r in rows:
+        assert 0 <= r["n_correct"] <= r["n_queries"]
+        assert r["accuracy"] == pytest.approx(r["n_correct"] / r["n_queries"], abs=1e-6)
+        assert r["n_correct"] == correct.get(r["label"], 0)
+
+
+def test_binseg_gains_nested_and_consistent(spark, sf_dir):
+    """Level-1 gain is the global max (>= both level-2 gains), all
+    gains nonnegative, child splits live strictly inside their parent
+    segment, and each reported split separates different means."""
+    rows = _Q["ts_binseg_changepoints"](spark, sf_dir).collect()
+    by = {(r["level"], r["side"]): r for r in rows}
+    top = by[(1, "mid")]
+    assert top["gain"] >= 0
+    for side in ("left", "right"):
+        if (2, side) in by:
+            r = by[(2, side)]
+            assert r["gain"] <= top["gain"] + 1e-6
+            assert r["gain"] >= -1e-9
+            if side == "left":
+                assert r["k"] < top["k"]
+            else:
+                assert r["k"] > top["k"]
+            assert r["mean_l"] != r["mean_r"]
