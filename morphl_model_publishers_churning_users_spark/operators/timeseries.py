@@ -5686,9 +5686,12 @@ WITH seg AS (
                AS by
     FROM seg GROUP BY 1
 ), cum AS (
+    -- levels in BILLIONS: the q12 moment terms below must stay under
+    -- Spark floor()'s LONG range (x*x*1e12 overflowed it at sf0.1
+    -- in million units — caught by the 10x driver-scale sweep)
     SELECT day,
-           CAST(SUM(bx) OVER (ORDER BY day) AS DOUBLE) / 1e12 AS x,
-           CAST(SUM(by) OVER (ORDER BY day) AS DOUBLE) / 1e12 AS y
+           CAST(SUM(bx) OVER (ORDER BY day) AS DOUBLE) / 1e15 AS x,
+           CAST(SUM(by) OVER (ORDER BY day) AS DOUBLE) / 1e15 AS y
     FROM spine
 ), m AS (
     SELECT CAST(COUNT(*) AS DOUBLE) AS n,
@@ -5761,11 +5764,13 @@ def ts_cointegration_eg(spark, sf_dir):
         F.sum(F.when(F.col("seg") == "MACHINERY", F.col("revq")).otherwise(zero)).alias("by"),
     )
     wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    # levels in BILLIONS — keeps x*x*1e12 under Spark floor()'s LONG
+    # range (overflowed at sf0.1 in million units; 10x-sweep catch)
     cum = ckpt(
         spine.select(
             "day",
-            (F.sum("bx").over(wc).cast("double") / F.lit(1e12)).alias("x"),
-            (F.sum("by").over(wc).cast("double") / F.lit(1e12)).alias("y"),
+            (F.sum("bx").over(wc).cast("double") / F.lit(1e15)).alias("x"),
+            (F.sum("by").over(wc).cast("double") / F.lit(1e15)).alias("y"),
         )
     )
     q12sum = lambda col: (
@@ -6248,3 +6253,159 @@ def ts_binseg_changepoints(spark, sf_dir):
         q6(F.col("mean_r")).alias("mean_r"),
     )
     return out1.unionByName(out2)
+
+
+@register(
+    "ts_synth_control_1nn",
+    oracle="""
+WITH sales AS (
+    SELECT p.p_brand AS brand, date_trunc('week', l.l_shipdate) AS wk,
+           SUM(CAST(FLOOR(l.l_extendedprice * 1e6 + 0.5) AS DECIMAL(38,6))) AS revq
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY 1, 2
+), spine AS (
+    SELECT b.brand, w.wk, CAST(COALESCE(s.revq, 0) AS DOUBLE) / 1e6 AS rev
+    FROM (SELECT DISTINCT brand FROM sales) b
+    CROSS JOIN (SELECT DISTINCT wk FROM sales) w
+    LEFT JOIN sales s ON s.brand = b.brand AND s.wk = w.wk
+), split AS (
+    SELECT wk AS cut FROM (
+        SELECT wk, ROW_NUMBER() OVER (ORDER BY wk) AS rn, COUNT(*) OVER () AS n
+        FROM (SELECT DISTINCT wk FROM sales)
+    ) WHERE rn = (n + 1) // 2
+), tre AS (
+    SELECT wk, rev FROM spine WHERE brand = 'Brand#11'
+), pre_pairs AS (
+    SELECT d.brand, d.rev AS x, t.rev AS y
+    FROM spine d JOIN tre t ON t.wk = d.wk, split
+    WHERE d.brand <> 'Brand#11' AND d.wk < split.cut
+), corr AS (
+    SELECT brand,
+           FLOOR((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+                 / sqrt((COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))
+                        * (COUNT(*) * SUM(y * y) - SUM(y) * SUM(y)))
+                 * 1e9 + 0.5) / 1e9 AS r
+    FROM pre_pairs GROUP BY 1
+), donor AS (
+    SELECT brand, r FROM corr ORDER BY r DESC, brand LIMIT 1
+), phases AS (
+    SELECT CASE WHEN s.wk < split.cut THEN 'pre' ELSE 'post' END AS phase,
+           AVG(CASE WHEN s.brand = 'Brand#11' THEN s.rev END) AS m_t,
+           AVG(CASE WHEN s.brand = donor.brand THEN s.rev END) AS m_d
+    FROM spine s, split, donor
+    WHERE s.brand IN ('Brand#11', donor.brand)
+    GROUP BY 1
+)
+SELECT donor.brand AS donor_brand,
+       FLOOR(donor.r * 1000000 + 0.5) / 1000000 AS pre_corr,
+       FLOOR((SELECT m_t - m_d FROM phases WHERE phase = 'pre')
+             * 1000000 + 0.5) / 1000000 AS pre_gap,
+       FLOOR((SELECT m_t - m_d FROM phases WHERE phase = 'post')
+             * 1000000 + 0.5) / 1000000 AS post_gap,
+       FLOOR(((SELECT m_t - m_d FROM phases WHERE phase = 'post')
+              - (SELECT m_t - m_d FROM phases WHERE phase = 'pre'))
+             * 1000000 + 0.5) / 1000000 AS effect
+FROM donor
+""",
+)
+def ts_synth_control_1nn(spark, sf_dir):
+    """Synthetic-control-style effect estimate with a 1-NN donor — the
+    Abadie idea at its simplest honest size: pick the control unit
+    whose PRE-period weekly revenue co-moves most with the treated
+    brand (max Pearson r over the zero-filled brand x week spine —
+    silent weeks must count, or correlation is computed on a biased
+    sample), then estimate the treatment-period effect as the
+    difference-in-gaps. Beats ml_diff_in_diff's fixed control exactly
+    when the parallel-trends assumption needs to be EARNED by donor
+    selection rather than assumed. All moment sums are over the
+    bounded spine (brands x weeks); correlation is q9-quantized before
+    the deterministic argmax (tie -> brand name). One fact-scale
+    aggregate; everything after is O(brands x weeks)."""
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_shipdate", "l_extendedprice")
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    sales = ckpt(
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.date_trunc("week", "l_shipdate").alias("wk"),
+        )
+        .agg(F.sum(q6dec(F.col("l_extendedprice"))).alias("revq"))
+    )
+    brands = sales.select("brand").distinct()
+    weeks = sales.select("wk").distinct()
+    spine = ckpt(
+        brands.crossJoin(weeks)
+        .join(sales, ["brand", "wk"], "left")
+        .select(
+            "brand",
+            "wk",
+            (
+                F.coalesce(F.col("revq"), F.lit(0).cast("decimal(38,6)")).cast("double")
+                / F.lit(1e6)
+            ).alias("rev"),
+        )
+    )
+    wr = Window.orderBy("wk")
+    split = (
+        weeks.select("wk", F.row_number().over(wr).alias("rn"))
+        .crossJoin(F.broadcast(weeks.agg(F.count(F.lit(1)).alias("n"))))
+        .filter(F.col("rn") == (F.col("n") + 1).cast("bigint") / 2)
+        .select(F.col("wk").alias("cut"))
+    )
+    tre = spine.filter(F.col("brand") == "Brand#11").select(
+        "wk", F.col("rev").alias("y")
+    )
+    pre_pairs = (
+        spine.filter(F.col("brand") != "Brand#11")
+        .join(tre, "wk")
+        .crossJoin(F.broadcast(split))
+        .filter(F.col("wk") < F.col("cut"))
+        .select("brand", F.col("rev").alias("x"), "y")
+    )
+    q9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+    corr = pre_pairs.groupBy("brand").agg(
+        q9(
+            (
+                F.count(F.lit(1)) * F.sum(F.col("x") * F.col("y"))
+                - F.sum("x") * F.sum("y")
+            )
+            / F.sqrt(
+                (
+                    F.count(F.lit(1)) * F.sum(F.col("x") * F.col("x"))
+                    - F.sum("x") * F.sum("x")
+                )
+                * (
+                    F.count(F.lit(1)) * F.sum(F.col("y") * F.col("y"))
+                    - F.sum("y") * F.sum("y")
+                )
+            )
+        ).alias("r")
+    )
+    donor = ckpt(corr.orderBy(F.desc("r"), F.asc("brand")).limit(1))
+    phases = (
+        spine.crossJoin(F.broadcast(split))
+        .crossJoin(F.broadcast(donor.select(F.col("brand").alias("dbrand"))))
+        .filter((F.col("brand") == "Brand#11") | (F.col("brand") == F.col("dbrand")))
+        .groupBy(
+            F.when(F.col("wk") < F.col("cut"), "pre").otherwise("post").alias("phase")
+        )
+        .agg(
+            F.avg(F.when(F.col("brand") == "Brand#11", F.col("rev"))).alias("m_t"),
+            F.avg(F.when(F.col("brand") == F.col("dbrand"), F.col("rev"))).alias("m_d"),
+        )
+        .select("phase", (F.col("m_t") - F.col("m_d")).alias("gap"))
+    )
+    pre = phases.filter(F.col("phase") == "pre").select(F.col("gap").alias("pre_gap"))
+    post = phases.filter(F.col("phase") == "post").select(F.col("gap").alias("post_gap"))
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return (
+        donor.crossJoin(F.broadcast(pre))
+        .crossJoin(F.broadcast(post))
+        .select(
+            F.col("brand").alias("donor_brand"),
+            q6(F.col("r")).alias("pre_corr"),
+            q6(F.col("pre_gap")).alias("pre_gap"),
+            q6(F.col("post_gap")).alias("post_gap"),
+            q6(F.col("post_gap") - F.col("pre_gap")).alias("effect"),
+        )
+    )

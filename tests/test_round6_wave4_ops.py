@@ -1309,8 +1309,8 @@ def test_cointegration_residual_regression_is_consistent(spark, sf_dir):
     by = {d: 0.0 for d in days}
     for row in rows:
         (bx if row["c_mktsegment"] == "BUILDING" else by)[row["day"]] += float(row["rev"])
-    x = np.cumsum([bx[d] for d in days]) / 1e6
-    y = np.cumsum([by[d] for d in days]) / 1e6
+    x = np.cumsum([bx[d] for d in days]) / 1e9
+    y = np.cumsum([by[d] for d in days]) / 1e9
     assert r["n_days"] == len(days)
     beta, alpha = np.polyfit(x, y, 1)
     assert r["beta"] == pytest.approx(beta, abs=1e-3)
