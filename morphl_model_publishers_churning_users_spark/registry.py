@@ -594,6 +594,7 @@ _KEY_RANK: dict[str, int] = {
     "fn_haversine": 9,
     "ml_knn_classify": 9,
     "ts_binseg_changepoints": 9,
+    "ts_synth_control_1nn": 9,
 }
 
 

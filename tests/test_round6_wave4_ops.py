@@ -1568,3 +1568,12 @@ def test_binseg_gains_nested_and_consistent(spark, sf_dir):
             else:
                 assert r["k"] > top["k"]
             assert r["mean_l"] != r["mean_r"]
+
+
+def test_synth_control_effect_is_difference_in_gaps(spark, sf_dir):
+    """effect = post_gap - pre_gap exactly; the chosen donor is not the
+    treated brand; pre-period correlation is a valid coefficient."""
+    r = _Q["ts_synth_control_1nn"](spark, sf_dir).collect()[0]
+    assert r["donor_brand"] != "Brand#11"
+    assert -1.0 <= r["pre_corr"] <= 1.0
+    assert r["effect"] == pytest.approx(r["post_gap"] - r["pre_gap"], abs=2e-6)
