@@ -5871,3 +5871,137 @@ def ml_knn_classify(spark, sf_dir):
         "n_correct",
         q6(F.col("n_correct").cast("double") / F.col("n_queries")).alias("accuracy"),
     )
+
+
+@register(
+    "ml_ipw_ate",
+    oracle="""
+WITH per_user AS (
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN CAST(value AS DECIMAL(38,6)) ELSE 0 END) AS DOUBLE) AS y,
+           CAST(COUNT(*) AS BIGINT) AS ne,
+           CASE WHEN SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) >= 14
+                THEN 1 ELSE 0 END AS treated
+    FROM events GROUP BY user_id
+), strata AS (
+    SELECT *, CASE WHEN ne >= 72 THEN 2 WHEN ne >= 62 THEN 1 ELSE 0 END AS s
+    FROM per_user
+), prop AS (
+    SELECT s, CAST(SUM(treated) AS DOUBLE) / COUNT(*) AS e,
+           CAST(COUNT(*) AS BIGINT) AS n_s
+    FROM strata GROUP BY 1
+), pbar AS (
+    SELECT CAST(SUM(treated) AS DOUBLE) / COUNT(*) AS pt FROM strata
+), wtd AS (
+    SELECT u.treated, u.y,
+           CASE WHEN u.treated = 1
+                THEN FLOOR(p.pt / e.e * 1e9 + 0.5) / 1e9
+                ELSE FLOOR((1.0 - p.pt) / (1.0 - e.e) * 1e9 + 0.5) / 1e9
+           END AS w
+    FROM strata u JOIN prop e ON e.s = u.s, pbar p
+), sums AS (
+    SELECT treated,
+           CAST(SUM(CAST(FLOOR(w * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE)
+               / 1e6 AS sw,
+           CAST(SUM(CAST(FLOOR(w * w * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE)
+               / 1e6 AS sww,
+           CAST(SUM(CAST(FLOOR(w * y * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE)
+               / 1e6 AS swy,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM wtd GROUP BY 1
+)
+SELECT
+    CAST((SELECT SUM(n) FROM sums) AS BIGINT) AS n_users,
+    FLOOR((SELECT swy / sw FROM sums WHERE treated = 1) * 1000000 + 0.5) / 1000000
+        AS mu_treated,
+    FLOOR((SELECT swy / sw FROM sums WHERE treated = 0) * 1000000 + 0.5) / 1000000
+        AS mu_control,
+    FLOOR(((SELECT swy / sw FROM sums WHERE treated = 1)
+           - (SELECT swy / sw FROM sums WHERE treated = 0))
+          * 1000000 + 0.5) / 1000000 AS ate_ipw,
+    FLOOR((SELECT sw * sw / sww FROM sums WHERE treated = 1) * 1000000 + 0.5)
+        / 1000000 AS ess_treated,
+    FLOOR((SELECT sw * sw / sww FROM sums WHERE treated = 0) * 1000000 + 0.5)
+        / 1000000 AS ess_control
+""",
+)
+def ml_ipw_ate(spark, sf_dir):
+    """Inverse-propensity-weighted ATE with STABILIZED weights — the
+    estimator between ml_propensity_match (discards unmatched units)
+    and ml_doubly_robust (needs an outcome model): reweight everyone by
+    P(T)/e(x) or (1-P(T))/(1-e(x)), where the propensity e(x) is the
+    honest stratified one (treated share within activity strata — a
+    saturated model, so no functional-form risk), and report the KISH
+    EFFECTIVE SAMPLE SIZE (sum w)^2 / sum w^2 per arm — the diagnostic
+    that tells you how much data the weighting really left you (an ESS
+    collapse is how practitioners detect positivity violations BEFORE
+    believing the point estimate). Hajek (weight-normalized) means,
+    weights q9-quantized at the division and every weighted sum in q6
+    DECIMAL. One user aggregate + one 3-row propensity join."""
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase", F.col("value").cast("decimal(38,6)")
+            ).otherwise(F.lit(0).cast("decimal(38,6)"))
+        )
+        .cast("double")
+        .alias("y"),
+        F.count(F.lit(1)).alias("ne"),
+        (
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)) >= 14
+        ).cast("int").alias("treated"),
+    )
+    strata = ckpt(
+        per_user.withColumn(
+            "s",
+            F.when(F.col("ne") >= 72, 2).when(F.col("ne") >= 62, 1).otherwise(0),
+        )
+    )
+    prop = strata.groupBy("s").agg(
+        (F.sum("treated").cast("double") / F.count(F.lit(1))).alias("e")
+    )
+    pbar = strata.agg(
+        (F.sum("treated").cast("double") / F.count(F.lit(1))).alias("pt")
+    )
+    q9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+    wtd = (
+        strata.join(F.broadcast(prop), "s")
+        .crossJoin(F.broadcast(pbar))
+        .select(
+            "treated",
+            "y",
+            F.when(F.col("treated") == 1, q9(F.col("pt") / F.col("e")))
+            .otherwise(q9((F.lit(1.0) - F.col("pt")) / (F.lit(1.0) - F.col("e"))))
+            .alias("w"),
+        )
+    )
+    q6sum = lambda c: (
+        F.sum(F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,6)")).cast("double")
+        / F.lit(1e6)
+    )
+    sums = ckpt(
+        wtd.groupBy("treated").agg(
+            q6sum(F.col("w")).alias("sw"),
+            q6sum(F.col("w") * F.col("w")).alias("sww"),
+            q6sum(F.col("w") * F.col("y")).alias("swy"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    side = lambda tval, prefix: F.broadcast(
+        sums.filter(F.col("treated") == tval).select(
+            (F.col("swy") / F.col("sw")).alias(f"mu_{prefix}"),
+            (F.col("sw") * F.col("sw") / F.col("sww")).alias(f"ess_{prefix}"),
+            F.col("n").alias(f"n_{prefix}"),
+        )
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return side(1, "treated").crossJoin(side(0, "control")).select(
+        (F.col("n_treated") + F.col("n_control")).cast("bigint").alias("n_users"),
+        q6(F.col("mu_treated")).alias("mu_treated"),
+        q6(F.col("mu_control")).alias("mu_control"),
+        q6(F.col("mu_treated") - F.col("mu_control")).alias("ate_ipw"),
+        q6(F.col("ess_treated")).alias("ess_treated"),
+        q6(F.col("ess_control")).alias("ess_control"),
+    )

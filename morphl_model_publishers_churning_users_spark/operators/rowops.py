@@ -1873,3 +1873,71 @@ def dq_dp_count_release(spark, sf_dir):
             F.floor(F.col("true_n") + noise + F.lit(0.5)).cast("bigint"),
         ).alias("released"),
     )
+
+
+@register(
+    "dq_arithmetic_contract",
+    oracle="""
+WITH checked AS (
+    SELECT l_returnflag,
+           CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 1e6 + 0.5) AS BIGINT)
+               AS disc_q,
+           CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 1e6 + 0.5)
+                AS BIGINT) AS charge_q,
+           l_discount BETWEEN 0.0 AND 0.1 AS disc_in_range,
+           l_tax BETWEEN 0.0 AND 0.08 AS tax_in_range,
+           l_extendedprice > 0 AS price_positive
+    FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN disc_in_range THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_disc_violations,
+       CAST(SUM(CASE WHEN tax_in_range THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_tax_violations,
+       CAST(SUM(CASE WHEN price_positive THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_price_violations,
+       CAST(SUM(disc_q) AS BIGINT) AS sum_discounted_q,
+       CAST(SUM(charge_q) AS BIGINT) AS sum_charge_q
+FROM checked GROUP BY 1
+""",
+)
+def dq_arithmetic_contract(spark, sf_dir):
+    """Derived-column arithmetic contract audit over lineitem — the
+    check every billing pipeline owes its ledger: domain bounds on the
+    rate columns (discount in [0, 0.10], tax in [0, 0.08], price > 0)
+    plus the exact per-group totals of the two DERIVED money columns
+    (discounted = price*(1-disc), charge = discounted*(1+tax)) that
+    any downstream revenue query will recompute — publishing both
+    micro-unit totals here makes later reconciliation (cf.
+    dq_reconciliation) a constant-time diff instead of a re-scan. Each
+    derived term is half-up micro-quantized BEFORE the sum (the
+    rounding contract money must obey, same grain as q6dec), so the
+    totals are exact BIGINTs. One scan, one map-side-combinable
+    aggregate, O(flags) output."""
+    li = t(spark, sf_dir, "lineitem")
+    disc_q = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("bigint")
+    charge_q = F.floor(
+        F.col("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount"))
+        * (F.lit(1.0) + F.col("l_tax"))
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("bigint")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(
+            F.when(F.col("l_discount").between(0.0, 0.1), 0).otherwise(1)
+        ).cast("bigint").alias("n_disc_violations"),
+        F.sum(
+            F.when(F.col("l_tax").between(0.0, 0.08), 0).otherwise(1)
+        ).cast("bigint").alias("n_tax_violations"),
+        F.sum(F.when(F.col("l_extendedprice") > 0, 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_price_violations"),
+        F.sum(disc_q).cast("bigint").alias("sum_discounted_q"),
+        F.sum(charge_q).cast("bigint").alias("sum_charge_q"),
+    )

@@ -595,6 +595,8 @@ _KEY_RANK: dict[str, int] = {
     "ml_knn_classify": 9,
     "ts_binseg_changepoints": 9,
     "ts_synth_control_1nn": 9,
+    "dq_arithmetic_contract": 9,
+    "ml_ipw_ate": 9,
 }
 
 

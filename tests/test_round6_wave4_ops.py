@@ -1577,3 +1577,50 @@ def test_synth_control_effect_is_difference_in_gaps(spark, sf_dir):
     assert r["donor_brand"] != "Brand#11"
     assert -1.0 <= r["pre_corr"] <= 1.0
     assert r["effect"] == pytest.approx(r["post_gap"] - r["pre_gap"], abs=2e-6)
+
+
+def test_arithmetic_contract_totals_and_zero_violations(spark, sf_dir):
+    """TPC-H generators respect the domains, so violation counts are 0;
+    the micro-unit totals reconcile against an independent decimal
+    recompute."""
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    rows = _Q["dq_arithmetic_contract"](spark, sf_dir).collect()
+    assert rows
+    src = {
+        r["l_returnflag"]: r
+        for r in tbl(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e6 + 0.5
+                ).cast("long")
+            ).alias("dq"),
+        )
+        .collect()
+    }
+    for r in rows:
+        assert r["n_disc_violations"] == 0
+        assert r["n_tax_violations"] == 0
+        assert r["n_price_violations"] == 0
+        assert r["n_rows"] == src[r["l_returnflag"]]["n"]
+        assert r["sum_discounted_q"] == src[r["l_returnflag"]]["dq"]
+        assert r["sum_charge_q"] >= r["sum_discounted_q"]  # tax >= 0
+
+
+def test_ipw_ate_hajek_weights_and_ess_bounds(spark, sf_dir):
+    """ESS per arm is at most the arm's raw n (Kish), the ATE is the
+    difference of the Hajek means, and all outputs are finite."""
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    r = _Q["ml_ipw_ate"](spark, sf_dir).collect()[0]
+    assert r["ate_ipw"] == pytest.approx(r["mu_treated"] - r["mu_control"], abs=2e-6)
+    n_users = tbl(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert r["n_users"] == n_users
+    assert 0 < r["ess_treated"] <= n_users
+    assert 0 < r["ess_control"] <= n_users
+    assert r["mu_treated"] > 0 and r["mu_control"] > 0
