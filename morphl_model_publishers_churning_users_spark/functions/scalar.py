@@ -1241,3 +1241,79 @@ def fn_haversine(spark, sf_dir):
         .filter(F.col("rank") <= 20)
         .orderBy("rank")
     )
+
+
+@register(
+    "fn_fiscal_445",
+    oracle="""
+WITH anchor AS (
+    SELECT MIN(CAST(o_orderdate AS DATE))
+           - CAST((isodow(MIN(CAST(o_orderdate AS DATE))) - 1) AS INTEGER) AS a
+    FROM orders
+), mapped AS (
+    SELECT datediff('day', an.a, CAST(o.o_orderdate AS DATE)) // 7 AS wk,
+           CAST(FLOOR(o.o_totalprice * 1e6 + 0.5) AS DECIMAL(38,6)) AS pq
+    FROM orders o, anchor an
+), fiscal AS (
+    SELECT CAST(wk // 52 AS BIGINT) AS fy,
+           CAST((wk % 52) // 13 + 1 AS BIGINT) AS fq,
+           CAST((wk % 52) // 13 * 3
+                + CASE WHEN (wk % 52) % 13 < 4 THEN 1
+                       WHEN (wk % 52) % 13 < 8 THEN 2 ELSE 3 END AS BIGINT)
+               AS period,
+           wk % 52 AS wiy, pq
+    FROM mapped
+)
+SELECT fy, fq, period,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT wiy) AS BIGINT) AS n_weeks,
+       CAST(SUM(pq) AS DOUBLE) / 1e6 AS revenue
+FROM fiscal GROUP BY 1, 2, 3
+""",
+)
+def fn_fiscal_445(spark, sf_dir):
+    """4-4-5 fiscal calendar mapping — the retail-standard reporting
+    calendar (every period contains whole weeks, so weekday mix is
+    comparable period over period, which Gregorian months break).
+    Contract, stated exactly: the anchor is the Monday on or before
+    the earliest order date; weeks index from it; fiscal years are
+    52-week blocks; each 13-week quarter splits 4-4-5 into periods.
+    Everything is integer date arithmetic (datediff // 7 and modular
+    splits — both engines agree exactly, no timezone surface since
+    these are DATEs), revenue rides micro-unit DECIMAL. Per-period
+    n_weeks is published so the 4/4/5 shape itself is hash-asserted,
+    not just claimed. One scan + one bounded aggregate; the anchor is
+    a broadcast scalar."""
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("d"), "o_totalprice"
+    )
+    anchor = o.agg(
+        F.expr(
+            "date_sub(min(d), (dayofweek(min(d)) + 5) % 7)"
+        ).alias("a")
+    )
+    mapped = o.crossJoin(F.broadcast(anchor)).select(
+        F.floor(F.datediff("d", "a") / 7).cast("bigint").alias("wk"),
+        F.floor(F.col("o_totalprice") * F.lit(1e6) + F.lit(0.5))
+        .cast("decimal(38,6)")
+        .alias("pq"),
+    )
+    wiy = F.col("wk") % 52
+    wiq = wiy % 13
+    fiscal = mapped.select(
+        F.floor(F.col("wk") / 52).cast("bigint").alias("fy"),
+        (F.floor(wiy / 13) + 1).cast("bigint").alias("fq"),
+        (
+            F.floor(wiy / 13) * 3
+            + F.when(wiq < 4, 1).when(wiq < 8, 2).otherwise(3)
+        )
+        .cast("bigint")
+        .alias("period"),
+        wiy.alias("wiy"),
+        "pq",
+    )
+    return fiscal.groupBy("fy", "fq", "period").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.countDistinct("wiy").cast("bigint").alias("n_weeks"),
+        (F.sum("pq").cast("double") / F.lit(1e6)).alias("revenue"),
+    )

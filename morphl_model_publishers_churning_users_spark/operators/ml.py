@@ -6080,3 +6080,81 @@ def llm_uncertainty_sample(spark, sf_dir):
         )
         .orderBy("rank")
     )
+
+
+@register(
+    "ml_quantile_treatment_effect",
+    oracle="""
+WITH per_user AS (
+    SELECT user_id, user_id % 2 AS arm,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN CAST(FLOOR(value * 1e6 + 0.5) AS DECIMAL(38,6))
+                         ELSE 0 END) AS BIGINT) AS yq
+    FROM events GROUP BY user_id
+), ranked AS (
+    SELECT arm, yq,
+           CAST(ROW_NUMBER() OVER (PARTITION BY arm ORDER BY yq, user_id)
+                AS BIGINT) AS rn,
+           CAST(COUNT(*) OVER (PARTITION BY arm) AS BIGINT) AS n
+    FROM per_user
+), picks AS (
+    SELECT d.d AS decile, r.arm, r.yq
+    FROM generate_series(1, 9) d(d)
+    JOIN ranked r ON r.rn = (d.d * r.n + 9) // 10
+)
+SELECT decile,
+       FLOOR(MAX(CASE WHEN arm = 1 THEN yq END) / 1e6 * 1000000 + 0.5) / 1000000
+           AS q_treated,
+       FLOOR(MAX(CASE WHEN arm = 0 THEN yq END) / 1e6 * 1000000 + 0.5) / 1000000
+           AS q_control,
+       FLOOR((MAX(CASE WHEN arm = 1 THEN yq END)
+              - MAX(CASE WHEN arm = 0 THEN yq END)) / 1e6 * 1000000 + 0.5) / 1000000
+           AS qte
+FROM picks GROUP BY 1
+""",
+)
+def ml_quantile_treatment_effect(spark, sf_dir):
+    """Quantile treatment effects at the nine deciles — the
+    distributional view an average treatment effect hides: a feature
+    that lifts the median while gutting the tail shows a positive ATE
+    and a negative QTE_9, and which one matters is a product decision
+    (Koenker's quantile-regression question answered with EXACT order
+    statistics, not an approximate-percentile sketch). Per arm, the
+    d-th decile is the ceil(d*n/10)-th order statistic — pure integer
+    rank arithmetic with the user_id tiebreak, values in micro-unit
+    BIGINT end to end, so both engines pick the IDENTICAL row; QTE is
+    a difference of exact picks. One user-grain aggregate + one
+    per-arm ordered window; the decile spine join is 9 rows."""
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,6)"),
+            ).otherwise(F.lit(0).cast("decimal(38,6)"))
+        )
+        .cast("bigint")
+        .alias("yq"),
+        F.first(F.col("user_id") % 2).alias("arm"),
+    ).select("user_id", "arm", "yq")
+    wr = Window.partitionBy("arm").orderBy("yq", "user_id")
+    ranked = per_user.select(
+        "arm",
+        "yq",
+        F.row_number().over(wr).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("arm")).cast("bigint").alias("n"),
+    )
+    deciles = spark.range(1, 10).select(F.col("id").cast("bigint").alias("decile"))
+    picks = ranked.join(
+        F.broadcast(deciles),
+        F.col("rn") == ((F.col("decile") * F.col("n") + 9) / 10).cast("bigint"),
+    )
+    q6 = lambda c: F.floor(c / F.lit(1e6) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return picks.groupBy("decile").agg(
+        q6(F.max(F.when(F.col("arm") == 1, F.col("yq")))).alias("q_treated"),
+        q6(F.max(F.when(F.col("arm") == 0, F.col("yq")))).alias("q_control"),
+        q6(
+            F.max(F.when(F.col("arm") == 1, F.col("yq")))
+            - F.max(F.when(F.col("arm") == 0, F.col("yq")))
+        ).alias("qte"),
+    )

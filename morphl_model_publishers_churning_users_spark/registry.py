@@ -599,6 +599,8 @@ _KEY_RANK: dict[str, int] = {
     "ml_ipw_ate": 9,
     "ts_peak_prominence": 9,
     "llm_uncertainty_sample": 9,
+    "ml_quantile_treatment_effect": 9,
+    "fn_fiscal_445": 9,
 }
 
 

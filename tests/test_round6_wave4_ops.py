@@ -1667,3 +1667,71 @@ def test_uncertainty_sample_margins_smallest_and_consistent(spark, sf_dir):
     nb = {r["doc_id"]: r["predicted"] for r in _Q["ml_naive_bayes"](spark, sf_dir).collect()}
     for r in rows:
         assert nb[r["doc_id"]] == r["predicted"]
+
+
+def test_qte_deciles_are_monotone_and_match_numpy(spark, sf_dir):
+    """Within each arm the decile values are non-decreasing in d, and
+    each equals the exact ceil(d*n/10) order statistic of a python
+    recompute."""
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    rows = sorted(
+        _Q["ml_quantile_treatment_effect"](spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 10))
+    qt = [r["q_treated"] for r in rows]
+    qc = [r["q_control"] for r in rows]
+    assert qt == sorted(qt) and qc == sorted(qc)
+    pu = (
+        tbl(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.floor(F.col("value") * 1e6 + 0.5).cast("long"),
+                ).otherwise(F.lit(0))
+            ).alias("yq")
+        )
+        .collect()
+    )
+    arms = {0: [], 1: []}
+    for r in pu:
+        arms[r["user_id"] % 2].append((r["yq"], r["user_id"]))
+    for arm, series, got in ((1, arms[1], qt), (0, arms[0], qc)):
+        series.sort()
+        n = len(series)
+        for d in range(1, 10):
+            k = (d * n + 9) // 10
+            assert got[d - 1] == pytest.approx(series[k - 1][0] / 1e6, abs=1e-6)
+    for r in rows:
+        assert r["qte"] == pytest.approx(r["q_treated"] - r["q_control"], abs=2e-6)
+
+
+def test_fiscal_445_shape_and_total(spark, sf_dir):
+    """Quarters split 4-4-5 (complete periods have the right week
+    counts), periods are 1..12, and total revenue reconciles with the
+    raw orders sum."""
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    rows = _Q["fn_fiscal_445"](spark, sf_dir).collect()
+    assert rows
+    expect_weeks = {1: 4, 2: 4, 0: 5}  # period mod 3 -> weeks in a full period
+    total = 0.0
+    for r in rows:
+        assert 1 <= r["period"] <= 12 and 1 <= r["fq"] <= 4
+        assert (r["period"] - 1) // 3 + 1 == r["fq"]
+        assert r["n_weeks"] <= expect_weeks[r["period"] % 3]
+        total += r["revenue"]
+    src = (
+        tbl(spark, sf_dir, "orders")
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 1e6 + 0.5).cast("decimal(38,6)")))
+        .collect()[0][0]
+    )
+    assert total == pytest.approx(float(src) / 1e6, rel=1e-9)
+    # at least one full period of each shape exists in a multi-year span
+    full = {r["period"] % 3 for r in rows if r["n_weeks"] == expect_weeks[r["period"] % 3]}
+    assert full == {0, 1, 2}
