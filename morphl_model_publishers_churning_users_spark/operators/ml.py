@@ -6158,3 +6158,189 @@ def ml_quantile_treatment_effect(spark, sf_dir):
             - F.max(F.when(F.col("arm") == 0, F.col("yq")))
         ).alias("qte"),
     )
+
+
+@register(
+    "ml_meta_analysis_dl",
+    oracle="""
+WITH frame AS (
+    SELECT r.r_name AS region, c.c_custkey % 2 AS arm,
+           CAST(o.o_totalprice AS DOUBLE) AS y
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+), m AS (
+    SELECT region, arm, CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(FLOOR(y * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE) / 1e6
+               AS sy,
+           CAST(SUM(CAST(FLOOR(y * y * 1e2 + 0.5) AS DECIMAL(38,2))) AS DOUBLE) / 1e2
+               AS syy
+    FROM frame GROUP BY 1, 2
+), strata AS (
+    SELECT region,
+           MAX(CASE WHEN arm = 1 THEN sy / n END)
+               - MAX(CASE WHEN arm = 0 THEN sy / n END) AS e,
+           MAX(CASE WHEN arm = 1 THEN (syy - sy * sy / n) / (n - 1.0) / n END)
+               + MAX(CASE WHEN arm = 0 THEN (syy - sy * sy / n) / (n - 1.0) / n END)
+               AS v
+    FROM m GROUP BY 1
+), fixed AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(SUM(CAST(FLOOR(1.0 / v * 1e9 + 0.5) AS DECIMAL(38,9))) AS DOUBLE)
+               / 1e9 AS sw,
+           CAST(SUM(CAST(FLOOR(e / v * 1e9 + 0.5) AS DECIMAL(38,9))) AS DOUBLE)
+               / 1e9 AS swe,
+           CAST(SUM(CAST(FLOOR(1.0 / (v * v) * 1e9 + 0.5) AS DECIMAL(38,9)))
+                AS DOUBLE) / 1e9 AS sww
+    FROM strata
+), qstat AS (
+    SELECT f.k, f.sw, f.swe, f.sww, f.swe / f.sw AS ef,
+           CAST(SUM(CAST(FLOOR((s.e - f.swe / f.sw) * (s.e - f.swe / f.sw) / s.v
+                               * 1e9 + 0.5) AS DECIMAL(38,9))) AS DOUBLE) / 1e9 AS q
+    FROM strata s, fixed f
+    GROUP BY 1, 2, 3, 4, 5
+), tau AS (
+    SELECT k, ef, q,
+           GREATEST(0.0, (q - (k - 1.0)) / (sw - sww / sw)) AS tau2
+    FROM qstat
+), rand AS (
+    SELECT t.k, t.ef, t.q, t.tau2,
+           CAST(SUM(CAST(FLOOR(s.e / (s.v + t.tau2) * 1e9 + 0.5)
+                         AS DECIMAL(38,9))) AS DOUBLE) / 1e9
+           / (CAST(SUM(CAST(FLOOR(1.0 / (s.v + t.tau2) * 1e9 + 0.5)
+                            AS DECIMAL(38,9))) AS DOUBLE) / 1e9) AS er
+    FROM strata s, tau t
+    GROUP BY 1, 2, 3, 4
+)
+SELECT k AS k_strata,
+       FLOOR(ef * 1000000 + 0.5) / 1000000 AS effect_fixed,
+       FLOOR(er * 1000000 + 0.5) / 1000000 AS effect_random,
+       FLOOR(q * 1000000 + 0.5) / 1000000 AS q_stat,
+       FLOOR(tau2 * 1000000 + 0.5) / 1000000 AS tau2,
+       FLOOR(GREATEST(0.0, (q - (k - 1.0)) / NULLIF(q, 0.0)) * 1000000 + 0.5)
+           / 1000000 AS i2
+FROM rand
+""",
+)
+def ml_meta_analysis_dl(spark, sf_dir):
+    """DerSimonian-Laird meta-analysis of the per-region A/B effect —
+    the honest way to pool an experiment that ran across heterogeneous
+    strata: fixed-effect pooling answers 'what if every region shares
+    one true effect', the Q statistic and I^2 measure whether that
+    premise holds, tau^2 quantifies the between-region variance, and
+    the random-effects estimate reweights by 1/(v_s + tau^2) so no
+    mega-region dominates when regions genuinely differ. Per-stratum
+    effects/variances come from one 10-cell moment aggregate (Welch
+    arms); every cross-strata sum is quantized into DECIMAL first
+    (5-term double sums would otherwise be partition-order-dependent).
+    The whole analysis after the star join is O(regions) scalar
+    algebra."""
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    frame = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select(
+            F.col("r_name").alias("region"),
+            (F.col("c_custkey") % 2).alias("arm"),
+            F.col("o_totalprice").cast("double").alias("y"),
+        )
+    )
+    m = frame.groupBy("region", "arm").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (
+            F.sum(F.floor(F.col("y") * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,6)"))
+            .cast("double")
+            / F.lit(1e6)
+        ).alias("sy"),
+        (
+            F.sum(
+                F.floor(F.col("y") * F.col("y") * F.lit(1e2) + F.lit(0.5)).cast(
+                    "decimal(38,2)"
+                )
+            ).cast("double")
+            / F.lit(1e2)
+        ).alias("syy"),
+    )
+    var_term = (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")) / (
+        F.col("n") - F.lit(1.0)
+    ) / F.col("n")
+    strata = ckpt(
+        m.groupBy("region").agg(
+            (
+                F.max(F.when(F.col("arm") == 1, F.col("sy") / F.col("n")))
+                - F.max(F.when(F.col("arm") == 0, F.col("sy") / F.col("n")))
+            ).alias("e"),
+            (
+                F.max(F.when(F.col("arm") == 1, var_term))
+                + F.max(F.when(F.col("arm") == 0, var_term))
+            ).alias("v"),
+        )
+    )
+    q9sum = lambda c: (
+        F.sum(F.floor(c * F.lit(1e9) + F.lit(0.5)).cast("decimal(38,9)")).cast("double")
+        / F.lit(1e9)
+    )
+    fixed = strata.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        q9sum(F.lit(1.0) / F.col("v")).alias("sw"),
+        q9sum(F.col("e") / F.col("v")).alias("swe"),
+        q9sum(F.lit(1.0) / (F.col("v") * F.col("v"))).alias("sww"),
+    )
+    qstat = (
+        strata.crossJoin(F.broadcast(fixed))
+        .groupBy("k", "sw", "swe", "sww")
+        .agg(
+            q9sum(
+                (F.col("e") - F.col("swe") / F.col("sw"))
+                * (F.col("e") - F.col("swe") / F.col("sw"))
+                / F.col("v")
+            ).alias("q")
+        )
+        .select(
+            "k",
+            "sw",
+            "sww",
+            (F.col("swe") / F.col("sw")).alias("ef"),
+            "q",
+        )
+    )
+    tau = qstat.select(
+        "k",
+        "ef",
+        "q",
+        F.greatest(
+            F.lit(0.0),
+            (F.col("q") - (F.col("k") - F.lit(1.0)))
+            / (F.col("sw") - F.col("sww") / F.col("sw")),
+        ).alias("tau2"),
+    )
+    rand = (
+        strata.crossJoin(F.broadcast(tau))
+        .groupBy("k", "ef", "q", "tau2")
+        .agg(
+            (
+                q9sum(F.col("e") / (F.col("v") + F.col("tau2")))
+                / q9sum(F.lit(1.0) / (F.col("v") + F.col("tau2")))
+            ).alias("er")
+        )
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return rand.select(
+        F.col("k").alias("k_strata"),
+        q6(F.col("ef")).alias("effect_fixed"),
+        q6(F.col("er")).alias("effect_random"),
+        q6(F.col("q")).alias("q_stat"),
+        q6(F.col("tau2")).alias("tau2"),
+        q6(
+            F.greatest(
+                F.lit(0.0),
+                (F.col("q") - (F.col("k") - F.lit(1.0)))
+                / F.nullif(F.col("q"), F.lit(0.0)),
+            )
+        ).alias("i2"),
+    )

@@ -6528,3 +6528,138 @@ def ts_peak_prominence(spark, sf_dir):
         .filter(F.col("rank") <= 10)
         .orderBy("rank")
     )
+
+
+def _haar_denoise_oracle() -> str:
+    """Unrolled 5-level Haar analysis/synthesis CTEs over the first 32
+    order days — textually mirrors the Spark loop: averages/differences
+    down, keep the scaling coefficient plus the top-7 details, rebuild."""
+    ctes = [
+        """base AS MATERIALIZED (
+    SELECT i, CAST(x AS DOUBLE) AS v, x, day FROM (
+        SELECT CAST(o_orderdate AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x,
+               CAST(ROW_NUMBER() OVER (ORDER BY CAST(o_orderdate AS DATE))
+                    AS BIGINT) AS i
+        FROM orders GROUP BY 1
+    ) WHERE i <= 32
+)""",
+        "a0 AS (SELECT i, v FROM base)",
+    ]
+    for l in range(1, 6):
+        ctes.append(
+            f"""a{l} AS MATERIALIZED (
+    SELECT o.i AS i, (o.v + e.v) / 2.0 AS v
+    FROM (SELECT (i + 1) // 2 AS i, v FROM a{l - 1} WHERE i % 2 = 1) o
+    JOIN (SELECT i // 2 AS i, v FROM a{l - 1} WHERE i % 2 = 0) e ON e.i = o.i
+)"""
+        )
+        ctes.append(
+            f"""d{l} AS MATERIALIZED (
+    SELECT o.i AS i, (o.v - e.v) / 2.0 AS w
+    FROM (SELECT (i + 1) // 2 AS i, v FROM a{l - 1} WHERE i % 2 = 1) o
+    JOIN (SELECT i // 2 AS i, v FROM a{l - 1} WHERE i % 2 = 0) e ON e.i = o.i
+)"""
+        )
+    det_union = " UNION ALL ".join(
+        f"SELECT {l} AS lvl, i, w FROM d{l}" for l in range(1, 6)
+    )
+    ctes.append(
+        f"""kept AS MATERIALIZED (
+    SELECT lvl, i, w,
+           ROW_NUMBER() OVER (ORDER BY abs(w) DESC, lvl, i) <= 7 AS keep
+    FROM ({det_union})
+)"""
+    )
+    ctes.append("b5 AS (SELECT i, v FROM a5)")
+    for l in range(5, 0, -1):
+        ctes.append(
+            f"""b{l - 1} AS MATERIALIZED (
+    SELECT 2 * b.i - 1 AS i,
+           b.v + (CASE WHEN k.keep THEN k.w ELSE 0.0 END) AS v
+    FROM b{l} b JOIN kept k ON k.lvl = {l} AND k.i = b.i
+    UNION ALL
+    SELECT 2 * b.i,
+           b.v - (CASE WHEN k.keep THEN k.w ELSE 0.0 END)
+    FROM b{l} b JOIN kept k ON k.lvl = {l} AND k.i = b.i
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT base.i, base.day, base.x,
+       FLOOR(b0.v * 1000000 + 0.5) / 1000000 AS xhat,
+       FLOOR((base.x - b0.v) * 1000000 + 0.5) / 1000000 AS err
+FROM base JOIN b0 ON b0.i = base.i
+"""
+    )
+
+
+@register("ts_haar_denoise", oracle=_haar_denoise_oracle())
+def ts_haar_denoise(spark, sf_dir):
+    """Haar wavelet denoising of the (first 32 days of the) daily order
+    count series — keep the scaling coefficient plus the 7
+    largest-magnitude detail coefficients (a 4x compression), rebuild,
+    and emit the per-day reconstruction error: the classic
+    sparse-in-wavelet-domain smoother that preserves EDGES (level
+    shifts) where a moving average smears them, and the completing
+    half of ts_haar_energy (which only scores band energies). The
+    numeric story makes it hash-exact with ZERO quantization hazard:
+    integer counts through averages/differences stay DYADIC rationals
+    (exact in binary floating point), so analysis, top-7 selection
+    (|w| desc with level/index tiebreak), and synthesis are
+    bit-identical across engines by construction. Both sides unroll
+    the same 5 analysis + 5 synthesis rounds over O(32)-row frames;
+    the only fact-scale work is the day aggregate."""
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    base = ckpt(
+        daily.select(
+            "day", "x", F.row_number().over(Window.orderBy("day")).cast("bigint").alias("i")
+        ).filter(F.col("i") <= 32)
+    )
+    a = base.select("i", F.col("x").cast("double").alias("v"))
+    details = {}
+    for l in range(1, 6):
+        o = a.filter(F.col("i") % 2 == 1).select(
+            ((F.col("i") + 1) / 2).cast("bigint").alias("i"), F.col("v").alias("vo")
+        )
+        ev = a.filter(F.col("i") % 2 == 0).select(
+            (F.col("i") / 2).cast("bigint").alias("i"), F.col("v").alias("ve")
+        )
+        j = o.join(ev, "i")
+        a = ckpt(j.select("i", ((F.col("vo") + F.col("ve")) / 2).alias("v")))
+        details[l] = j.select(
+            F.lit(l).alias("lvl"), "i", ((F.col("vo") - F.col("ve")) / 2).alias("w")
+        )
+    det_union = details[1]
+    for l in range(2, 6):
+        det_union = det_union.unionByName(details[l])
+    wk = Window.orderBy(F.abs(F.col("w")).desc(), F.asc("lvl"), F.asc("i"))
+    kept = ckpt(
+        det_union.withColumn("keep", F.row_number().over(wk) <= 7)
+    )
+    b = a  # a5: the scaling coefficient, always kept
+    for l in range(5, 0, -1):
+        kl = kept.filter(F.col("lvl") == l).select(
+            "i", F.when(F.col("keep"), F.col("w")).otherwise(F.lit(0.0)).alias("w")
+        )
+        j = b.join(kl, "i")
+        b = ckpt(
+            j.select(
+                (2 * F.col("i") - 1).alias("i"), (F.col("v") + F.col("w")).alias("v")
+            ).unionByName(
+                j.select((2 * F.col("i")).alias("i"), (F.col("v") - F.col("w")).alias("v"))
+            )
+        )
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return base.join(b.select("i", F.col("v").alias("xhat")), "i").select(
+        "i",
+        "day",
+        "x",
+        q6(F.col("xhat")).alias("xhat"),
+        q6(F.col("x") - F.col("xhat")).alias("err"),
+    )

@@ -601,6 +601,8 @@ _KEY_RANK: dict[str, int] = {
     "llm_uncertainty_sample": 9,
     "ml_quantile_treatment_effect": 9,
     "fn_fiscal_445": 9,
+    "ml_meta_analysis_dl": 9,
+    "ts_haar_denoise": 9,
 }
 
 

