@@ -1317,3 +1317,74 @@ def fn_fiscal_445(spark, sf_dir):
         F.countDistinct("wiy").cast("bigint").alias("n_weeks"),
         (F.sum("pq").cast("double") / F.lit(1e6)).alias("revenue"),
     )
+
+
+@register(
+    "fn_business_days",
+    oracle="""
+WITH span AS (
+    SELECT l_orderkey, MIN(l_shipdate) AS d1, MAX(l_shipdate) AS d2
+    FROM lineitem GROUP BY 1
+), lagd AS (
+    SELECT o.o_orderpriority AS priority,
+           (5 * (datediff('day', DATE '1970-01-05', s.d2) // 7)
+            + LEAST(datediff('day', DATE '1970-01-05', s.d2) % 7, 5))
+           - (5 * (datediff('day', DATE '1970-01-05', s.d1) // 7)
+              + LEAST(datediff('day', DATE '1970-01-05', s.d1) % 7, 5))
+               AS bd
+    FROM orders o JOIN span s ON s.l_orderkey = o.o_orderkey
+)
+SELECT priority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(MIN(bd) AS BIGINT) AS min_bd,
+       CAST(MAX(bd) AS BIGINT) AS max_bd,
+       FLOOR(CAST(SUM(bd) AS DOUBLE) / COUNT(*) * 1000000 + 0.5) / 1000000
+           AS avg_bd,
+       FLOOR(CAST(SUM(CASE WHEN bd <= 5 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             * 1000000 + 0.5) / 1000000 AS within_5bd
+FROM lagd GROUP BY 1
+""",
+)
+def fn_business_days(spark, sf_dir):
+    """Business-day (NETWORKDAYS-style) lag from order to ship, per
+    priority class — the SLA arithmetic ops teams actually contract on
+    (calendar-day lags overstate weekend-spanning shipments by up to
+    2/7). Measured span: each order's FIRST to LAST line shipment —
+    ordered by construction (the fixture does not constrain shipdate
+    against orderdate, so the order->ship pair would be signed).
+    The kernel is the closed-form weekday counter W(d) =
+    5*(n//7) + min(n%7, 5) with n = days since a fixed Monday anchor
+    (1970-01-05): bd(a, b) = W(b) - W(a) counts weekdays in [a, b) —
+    pure INTEGER arithmetic, no per-day explosion, no calendar table,
+    no day-of-week builtin (whose Sunday=1 vs Monday=1 conventions
+    differ across engines — the anchor sidesteps the whole class).
+    One fact join + one bounded aggregate; reports the within-5-
+    business-days SLA share alongside min/max/mean."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    span = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.min(F.col("l_shipdate").cast("date")).alias("d1"),
+            F.max(F.col("l_shipdate").cast("date")).alias("d2"),
+        )
+    )
+    anchor = F.lit("1970-01-05").cast("date")
+    W = lambda d: 5 * F.floor(F.datediff(d, anchor) / 7) + F.least(
+        F.datediff(d, anchor) % 7, F.lit(5)
+    )
+    lagd = o.join(span, o["o_orderkey"] == span["l_orderkey"]).select(
+        F.col("o_orderpriority").alias("priority"),
+        (W(F.col("d2")) - W(F.col("d1"))).cast("bigint").alias("bd"),
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return lagd.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.min("bd").cast("bigint").alias("min_bd"),
+        F.max("bd").cast("bigint").alias("max_bd"),
+        q6(F.sum("bd").cast("double") / F.count(F.lit(1))).alias("avg_bd"),
+        q6(
+            F.sum(F.when(F.col("bd") <= 5, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("within_5bd"),
+    )

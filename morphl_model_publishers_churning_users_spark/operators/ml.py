@@ -6344,3 +6344,132 @@ def ml_meta_analysis_dl(spark, sf_dir):
             )
         ).alias("i2"),
     )
+
+
+@register(
+    "ml_weibull_survival_grid",
+    oracle="""
+WITH per_user AS (
+    SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts
+    FROM events GROUP BY user_id
+), h AS (SELECT MAX(last_ts) AS hz FROM per_user),
+users AS (
+    SELECT ((epoch_us(last_ts) - epoch_us(first_ts)) // 3600000000 + 1.0) AS th,
+           CASE WHEN last_ts < h.hz - INTERVAL 12 HOUR THEN 1 ELSE 0 END AS churned
+    FROM per_user, h
+), grid AS (
+    SELECT 0.5 + 0.125 * g.i AS k FROM generate_series(0, 20) g(i)
+), moments AS (
+    SELECT g.k,
+           CAST(SUM(CAST(FLOOR(
+               (FLOOR(exp(g.k * (FLOOR(ln(u.th) * 1e9 + 0.5) / 1e9)) * 1e6 + 0.5)
+                / 1e6) * 1e2 + 0.5) AS DECIMAL(38,2))) AS DOUBLE) / 1e2 AS sk,
+           CAST(SUM(CASE WHEN u.churned = 1
+                         THEN CAST(FLOOR((FLOOR(ln(u.th) * 1e9 + 0.5) / 1e9)
+                                         * 1e9 + 0.5) AS DECIMAL(38,9))
+                         ELSE 0 END) AS DOUBLE) / 1e9 AS sl,
+           CAST(SUM(u.churned) AS BIGINT) AS n_c,
+           CAST(COUNT(*) AS BIGINT) AS n_u
+    FROM grid g, users u
+    GROUP BY 1
+), ll AS (
+    SELECT k, n_u, n_c, sk, sl,
+           FLOOR((n_c * (FLOOR(ln(k) * 1e9 + 0.5) / 1e9)
+                  - n_c * (FLOOR(ln(sk / n_c) * 1e9 + 0.5) / 1e9)
+                  + (k - 1.0) * sl - n_c) * 1e6 + 0.5) / 1e6 AS loglik
+    FROM moments
+), best AS (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY loglik DESC, k) AS rk FROM ll
+)
+SELECT FLOOR(k * 1000000 + 0.5) / 1000000 AS k_shape,
+       FLOOR((FLOOR(exp((FLOOR(ln(sk / n_c) * 1e9 + 0.5) / 1e9) / k) * 1e6 + 0.5)
+              / 1e6) * 1000000 + 0.5) / 1000000 AS lambda_hours,
+       FLOOR(loglik * 1000000 + 0.5) / 1000000 AS loglik,
+       n_u AS n_users, n_c AS n_churned
+FROM best WHERE rk = 1
+""",
+)
+def ml_weibull_survival_grid(spark, sf_dir):
+    """Parametric Weibull survival fit of churn tenure with right
+    censoring, by profile-likelihood grid over the shape k — the
+    PARAMETRIC completion of the survival family (KM estimates,
+    Greenwood bands, RMST, log-rank/Cox tests are all nonparametric;
+    capacity planning wants the two-parameter closed form and the
+    k<1 / k>1 'infant mortality vs wear-out' verdict). The trick that
+    keeps it one pass per candidate: for fixed k the scale MLE is
+    closed form, lambda^k = sum(t^k)/n_events, so the profile
+    log-likelihood needs only S_k = sum t^k (censored rows included)
+    and sum ln t over events — the 21-point k-grid rides ONE exploded
+    aggregate with map-side combine. Float discipline: ln/exp are
+    quantized at each boundary (t^k computed as exp(k ln t) with q9
+    ln and q6 exp) and the sums ride DECIMAL; tenure is shifted +1 h
+    so zero-tenure users are well-defined (documented). Same
+    tenure/censor frame as ml_logrank_test/ml_cox_score."""
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    horizon = per_user.agg(F.max("last_ts").alias("hz"))
+    users = ckpt(
+        per_user.crossJoin(F.broadcast(horizon)).select(
+            (
+                F.floor(
+                    F.expr("timestampdiff(MICROSECOND, first_ts, last_ts)")
+                    / F.lit(3600000000)
+                )
+                + F.lit(1.0)
+            ).alias("th"),
+            F.when(
+                F.col("hz") - F.expr("INTERVAL 12 HOUR") > F.col("last_ts"), 1
+            )
+            .otherwise(0)
+            .alias("churned"),
+        )
+    )
+    grid = spark.range(0, 21).select((F.lit(0.5) + F.lit(0.125) * F.col("id")).alias("k"))
+    q9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    lnt = q9(F.log(F.col("th")))
+    tk = q6(F.exp(F.col("k") * lnt))
+    moments = (
+        users.crossJoin(F.broadcast(grid))
+        .groupBy("k")
+        .agg(
+            (
+                F.sum(F.floor(tk * F.lit(1e2) + F.lit(0.5)).cast("decimal(38,2)"))
+                .cast("double")
+                / F.lit(1e2)
+            ).alias("sk"),
+            (
+                F.sum(
+                    F.when(
+                        F.col("churned") == 1,
+                        F.floor(lnt * F.lit(1e9) + F.lit(0.5)).cast("decimal(38,9)"),
+                    ).otherwise(F.lit(0).cast("decimal(38,9)"))
+                ).cast("double")
+                / F.lit(1e9)
+            ).alias("sl"),
+            F.sum("churned").cast("bigint").alias("n_c"),
+            F.count(F.lit(1)).cast("bigint").alias("n_u"),
+        )
+    )
+    loglik = q6(
+        F.col("n_c") * q9(F.log(F.col("k")))
+        - F.col("n_c") * q9(F.log(F.col("sk") / F.col("n_c")))
+        + (F.col("k") - F.lit(1.0)) * F.col("sl")
+        - F.col("n_c")
+    )
+    ll = moments.withColumn("loglik", loglik)
+    w = Window.orderBy(F.desc("loglik"), F.asc("k"))
+    lam = q6(F.exp(q9(F.log(F.col("sk") / F.col("n_c"))) / F.col("k")))
+    return (
+        ll.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            q6(F.col("k")).alias("k_shape"),
+            q6(lam).alias("lambda_hours"),
+            q6(F.col("loglik")).alias("loglik"),
+            F.col("n_u").alias("n_users"),
+            F.col("n_c").alias("n_churned"),
+        )
+    )

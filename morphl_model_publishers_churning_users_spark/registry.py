@@ -603,6 +603,8 @@ _KEY_RANK: dict[str, int] = {
     "fn_fiscal_445": 9,
     "ml_meta_analysis_dl": 9,
     "ts_haar_denoise": 9,
+    "fn_business_days": 9,
+    "ml_weibull_survival_grid": 9,
 }
 
 

@@ -1798,3 +1798,84 @@ def test_haar_denoise_reconstruction_properties(spark, sf_dir):
         nxt[1::2] = b - d
         b = nxt
     assert np.allclose(xhat, b, atol=1e-6)
+
+
+def test_business_days_never_exceed_calendar_and_match_python(spark, sf_dir):
+    """Business-day lags are within [0, calendar-day lag], and the
+    closed-form weekday counter agrees with a brute-force python count
+    on a sample of order-ship pairs."""
+    import datetime
+
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    rows = _Q["fn_business_days"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["min_bd"] <= r["avg_bd"] <= r["max_bd"]
+        assert 0.0 <= r["within_5bd"] <= 1.0
+    sample = (
+        tbl(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.min(F.col("l_shipdate").cast("date")).alias("od"),
+            F.max(F.col("l_shipdate").cast("date")).alias("sd"),
+        )
+        .limit(200)
+        .collect()
+    )
+    for row in sample:
+        brute = sum(
+            1
+            for d in range((row["sd"] - row["od"]).days)
+            if (row["od"] + datetime.timedelta(days=d)).weekday() < 5
+        )
+        anchor = datetime.date(1970, 1, 5)
+        W = lambda dd: 5 * ((dd - anchor).days // 7) + min((dd - anchor).days % 7, 5)
+        assert W(row["sd"]) - W(row["od"]) == brute
+
+
+def test_weibull_grid_argmax_against_python(spark, sf_dir):
+    """The reported k maximizes the quantized profile likelihood over
+    the grid on a python recompute, and lambda is the closed-form
+    profile MLE at that k."""
+    import math
+
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    r = _Q["ml_weibull_survival_grid"](spark, sf_dir).collect()[0]
+    pu = (
+        tbl(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("f"), F.max("ts").alias("l"))
+        .collect()
+    )
+    hz = max(row["l"] for row in pu)
+    users = [
+        (
+            (row["l"] - row["f"]).total_seconds() // 3600 + 1.0,
+            1 if (hz - row["l"]).total_seconds() > 12 * 3600 else 0,
+        )
+        for row in pu
+    ]
+    assert r["n_users"] == len(users)
+    assert r["n_churned"] == sum(c for _, c in users)
+    q9 = lambda v: math.floor(v * 1e9 + 0.5) / 1e9
+    q6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6
+    best = None
+    for i in range(21):
+        k = 0.5 + 0.125 * i
+        sk = sum(
+            math.floor(q6(math.exp(k * q9(math.log(th)))) * 1e2 + 0.5) / 1e2
+            for th, _ in users
+        )
+        sl = sum(q9(math.log(th)) for th, c in users if c == 1)
+        n_c = r["n_churned"]
+        ll = q6(n_c * q9(math.log(k)) - n_c * q9(math.log(sk / n_c)) + (k - 1.0) * sl - n_c)
+        if best is None or ll > best[0] + 1e-12:
+            best = (ll, k, sk)
+    assert r["k_shape"] == pytest.approx(best[1], abs=1e-6)
+    assert r["loglik"] == pytest.approx(best[0], abs=1e-3)
+    lam = math.exp(q9(math.log(best[2] / r["n_churned"])) / best[1])
+    assert r["lambda_hours"] == pytest.approx(lam, abs=1e-2)
