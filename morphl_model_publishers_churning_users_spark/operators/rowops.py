@@ -1941,3 +1941,95 @@ def dq_arithmetic_contract(spark, sf_dir):
         F.sum(disc_q).cast("bigint").alias("sum_discounted_q"),
         F.sum(charge_q).cast("bigint").alias("sum_charge_q"),
     )
+
+
+@register(
+    "dq_fd_discovery",
+    oracle="""
+WITH cands AS (
+    SELECT 'nation' AS tbl, 'n_nationkey->n_regionkey' AS fd,
+           CAST(n_nationkey AS VARCHAR) AS a, CAST(n_regionkey AS VARCHAR) AS b
+    FROM nation
+    UNION ALL
+    SELECT 'customer', 'c_nationkey->c_mktsegment',
+           CAST(c_nationkey AS VARCHAR), c_mktsegment FROM customer
+    UNION ALL
+    SELECT 'orders', 'o_custkey->o_orderpriority',
+           CAST(o_custkey AS VARCHAR), o_orderpriority FROM orders
+    UNION ALL
+    SELECT 'orders', 'o_orderstatus->o_orderpriority',
+           o_orderstatus, o_orderpriority FROM orders
+    UNION ALL
+    SELECT 'lineitem', 'l_returnflag->l_linestatus',
+           l_returnflag, l_linestatus FROM lineitem
+    UNION ALL
+    SELECT 'lineitem', 'l_orderkey->l_returnflag',
+           CAST(l_orderkey AS VARCHAR), l_returnflag FROM lineitem
+), ab AS (
+    SELECT tbl, fd, a, b, CAST(COUNT(*) AS BIGINT) AS n FROM cands
+    GROUP BY 1, 2, 3, 4
+), per_a AS (
+    SELECT tbl, fd, a, CAST(SUM(n) AS BIGINT) AS rows_a,
+           CAST(MAX(n) AS BIGINT) AS best, CAST(COUNT(*) AS BIGINT) AS n_b
+    FROM ab GROUP BY 1, 2, 3
+)
+SELECT tbl, fd,
+       CAST(SUM(rows_a) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_determinants,
+       CAST(SUM(CASE WHEN n_b > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS violating_determinants,
+       CAST(SUM(rows_a - best) AS BIGINT) AS g3_rows_to_remove,
+       SUM(CASE WHEN n_b > 1 THEN 1 ELSE 0 END) = 0 AS holds
+FROM per_a GROUP BY 1, 2
+""",
+)
+def dq_fd_discovery(spark, sf_dir):
+    """Functional-dependency discovery audit — profile a candidate list
+    of A->B dependencies for whether they HOLD, and when they don't,
+    by HOW MUCH: the g3 measure (minimum rows to delete so the FD
+    holds = n_rows - sum over determinants of the majority-B count) is
+    the standard FD-approximation metric (Kivinen-Mannila), and it's
+    what separates 'schema fact worth enforcing as a constraint'
+    (n_nationkey->n_regionkey, g3 = 0) from 'spurious correlation'
+    (o_custkey->o_orderpriority). Completes dq_key_discovery (keys =
+    FDs with A the whole row's identity). Each candidate costs one
+    (A, B) count aggregate + one per-A majority reduction — both
+    map-side combinable, all integers; candidates union into one plan.
+    At 100 TB each candidate is a two-column pruned pass."""
+    def cand(df, tbl, fd, a, b):
+        return df.select(
+            F.lit(tbl).alias("tbl"),
+            F.lit(fd).alias("fd"),
+            F.col(a).cast("string").alias("a"),
+            F.col(b).cast("string").alias("b"),
+        )
+
+    n = t(spark, sf_dir, "nation")
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    cands = (
+        cand(n, "nation", "n_nationkey->n_regionkey", "n_nationkey", "n_regionkey")
+        .unionByName(cand(c, "customer", "c_nationkey->c_mktsegment", "c_nationkey", "c_mktsegment"))
+        .unionByName(cand(o, "orders", "o_custkey->o_orderpriority", "o_custkey", "o_orderpriority"))
+        .unionByName(cand(o, "orders", "o_orderstatus->o_orderpriority", "o_orderstatus", "o_orderpriority"))
+        .unionByName(cand(li, "lineitem", "l_returnflag->l_linestatus", "l_returnflag", "l_linestatus"))
+        .unionByName(cand(li, "lineitem", "l_orderkey->l_returnflag", "l_orderkey", "l_returnflag"))
+    )
+    ab = cands.groupBy("tbl", "fd", "a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    per_a = ab.groupBy("tbl", "fd", "a").agg(
+        F.sum("n").cast("bigint").alias("rows_a"),
+        F.max("n").cast("bigint").alias("best"),
+        F.count(F.lit(1)).cast("bigint").alias("n_b"),
+    )
+    return per_a.groupBy("tbl", "fd").agg(
+        F.sum("rows_a").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_determinants"),
+        F.sum(F.when(F.col("n_b") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("violating_determinants"),
+        F.sum(F.col("rows_a") - F.col("best")).cast("bigint").alias("g3_rows_to_remove"),
+        (F.sum(F.when(F.col("n_b") > 1, 1).otherwise(0)) == 0).alias("holds"),
+    )

@@ -700,3 +700,59 @@ def win_event_pattern(spark, sf_dir):
         F.col("rec_id").alias("recovery_id"),
         gap.cast("bigint").alias("gap_s"),
     )
+
+
+@register(
+    "win_hampel_filter",
+    oracle="""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+    FROM events GROUP BY 1, 2
+), framed AS (
+    SELECT event_type, day, x,
+           list(x) OVER (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS w
+    FROM daily
+), scored AS (
+    SELECT event_type, day, x,
+           list_sort(w)[4] AS med7,
+           list_sort(list_transform(w, v -> abs(v - list_sort(w)[4])))[4] AS mad7
+    FROM framed WHERE len(w) = 7
+)
+SELECT event_type, day, x, med7, mad7,
+       abs(x - med7) > 3 * mad7 AS is_outlier
+FROM scored
+""",
+)
+def win_hampel_filter(spark, sf_dir):
+    """Hampel filter — the ROBUST outlier flag for time series: a point
+    is anomalous when it sits more than 3 MADs from the centered
+    7-day rolling MEDIAN. This is what win_moving_zscore should have
+    been wherever outliers contaminate the very mean/std that score
+    them (a single 10x spike inflates the rolling std enough to hide
+    itself; the median/MAD pair has a 50% breakdown point). Everything
+    is EXACT integer arithmetic on the collected 7-frame: median =
+    sorted[4], MAD = median of |x_j - med| over the same frame — no
+    quantization anywhere, and the mad7 = 0 edge (a constant window)
+    flags any deviation, documented. One keyed window over the
+    post-aggregate day table; full frames only."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    wf = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    framed = daily.select(
+        "event_type", "day", "x", F.collect_list("x").over(wf).alias("w")
+    ).filter(F.size("w") == 7)
+    med = F.expr("sort_array(w)[3]")
+    mad = F.expr(
+        "sort_array(transform(w, v -> abs(v - sort_array(w)[3])))[3]"
+    )
+    return framed.select(
+        "event_type",
+        "day",
+        "x",
+        med.cast("bigint").alias("med7"),
+        mad.cast("bigint").alias("mad7"),
+        (F.abs(F.col("x") - med) > 3 * mad).alias("is_outlier"),
+    )

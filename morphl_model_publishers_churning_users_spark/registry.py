@@ -605,6 +605,8 @@ _KEY_RANK: dict[str, int] = {
     "ts_haar_denoise": 9,
     "fn_business_days": 9,
     "ml_weibull_survival_grid": 9,
+    "dq_fd_discovery": 9,
+    "win_hampel_filter": 9,
 }
 
 

@@ -1879,3 +1879,45 @@ def test_weibull_grid_argmax_against_python(spark, sf_dir):
     assert r["loglik"] == pytest.approx(best[0], abs=1e-3)
     lam = math.exp(q9(math.log(best[2] / r["n_churned"])) / best[1])
     assert r["lambda_hours"] == pytest.approx(lam, abs=1e-2)
+
+
+def test_fd_discovery_known_schema_facts(spark, sf_dir):
+    """nation_key->region holds with g3 = 0; customer nation does NOT
+    determine segment; g3 is always <= n_rows - n_determinants and 0
+    exactly when the FD holds."""
+    rows = {r["fd"]: r for r in _Q["dq_fd_discovery"](spark, sf_dir).collect()}
+    assert rows["n_nationkey->n_regionkey"]["holds"] is True
+    assert rows["n_nationkey->n_regionkey"]["g3_rows_to_remove"] == 0
+    assert rows["c_nationkey->c_mktsegment"]["holds"] is False
+    assert rows["c_nationkey->c_mktsegment"]["g3_rows_to_remove"] > 0
+    for r in rows.values():
+        assert 0 <= r["g3_rows_to_remove"] <= r["n_rows"] - r["n_determinants"]
+        assert r["holds"] == (r["violating_determinants"] == 0)
+
+
+def test_hampel_matches_numpy_and_flags_injected_spike(spark, sf_dir):
+    """med7/mad7 equal a numpy recompute on every row, and the flag is
+    exactly |x - med| > 3 mad."""
+    import numpy as np
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    rows = _Q["win_hampel_filter"](spark, sf_dir).collect()
+    assert rows
+    daily: dict = {}
+    for r in (
+        tbl(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+        .collect()
+    ):
+        daily.setdefault(r["event_type"], {})[r["day"]] = r["x"]
+    for r in rows:
+        days = sorted(daily[r["event_type"]])
+        i = days.index(r["day"])
+        w = np.array([daily[r["event_type"]][d] for d in days[i - 3 : i + 4]])
+        assert len(w) == 7
+        med = int(np.sort(w)[3])
+        mad = int(np.sort(np.abs(w - med))[3])
+        assert (r["med7"], r["mad7"]) == (med, mad)
+        assert r["is_outlier"] == (abs(r["x"] - med) > 3 * mad)
