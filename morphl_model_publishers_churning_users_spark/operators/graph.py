@@ -1449,3 +1449,83 @@ def graph_closeness(spark, sf_dir):
         .filter(F.col("rank") <= 20)
         .orderBy("rank")
     )
+
+
+@register(
+    "graph_rich_club",
+    oracle=f"""
+WITH {_EDGES_DUCK},
+sym AS MATERIALIZED (
+    SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges
+), deg AS MATERIALIZED (
+    SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY 1
+), ks AS (SELECT unnest([2, 4, 8, 16]) AS k),
+club AS (
+    SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS n_k
+    FROM ks JOIN deg ON deg.d > ks.k GROUP BY 1
+), club_edges AS (
+    SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS e_k
+    FROM ks, edges e
+    JOIN deg da ON da.node = e.src
+    JOIN deg db ON db.node = e.dst
+    WHERE da.d > ks.k AND db.d > ks.k
+    GROUP BY 1
+)
+SELECT c.k, c.n_k, COALESCE(ce.e_k, 0) AS e_k,
+       FLOOR(2.0 * COALESCE(ce.e_k, 0)
+             / (CAST(c.n_k AS DOUBLE) * (c.n_k - 1)) * 1000000 + 0.5) / 1000000
+           AS phi
+FROM club c LEFT JOIN club_edges ce ON ce.k = c.k
+WHERE c.n_k >= 2
+""",
+)
+def graph_rich_club(spark, sf_dir):
+    """Rich-club coefficient phi(k) of the co-purchase graph — 'do the
+    hubs preferentially trade with each other?': among nodes of degree
+    > k, the realized fraction of possible edges (Colizza 2006). A
+    rising phi(k) is the hub-oligarchy signature that degree
+    distributions alone can't see; for a product graph it reveals
+    whether bestsellers form a clique (bundle-prone catalog) or spokes
+    (variety-seeking). Exact integers end to end: degrees from one
+    symmetrized aggregate, club edges from the edge list joined twice
+    against the BROADCAST degree table, phi's division the only float.
+    The k-grid {{2,4,8,16}} rides one broadcast spine — four club
+    sizes from one pass."""
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = ckpt(
+        _sym(edges)
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    ks = spark.range(1, 5).select(
+        F.pow(F.lit(2.0), F.col("id")).cast("bigint").alias("k")
+    )
+    club = (
+        ks.join(deg, deg["d"] > ks["k"])
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_k"))
+    )
+    da = deg.select(F.col("node").alias("src"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("dst"), F.col("d").alias("db"))
+    tagged = edges.join(F.broadcast(da), "src").join(F.broadcast(db), "dst")
+    club_edges = (
+        tagged.crossJoin(F.broadcast(ks))
+        .filter((F.col("da") > F.col("k")) & (F.col("db") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_k"))
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return (
+        club.join(club_edges, "k", "left")
+        .filter(F.col("n_k") >= 2)
+        .select(
+            "k",
+            "n_k",
+            F.coalesce("e_k", F.lit(0)).cast("bigint").alias("e_k"),
+            q6(
+                F.lit(2.0)
+                * F.coalesce("e_k", F.lit(0))
+                / (F.col("n_k").cast("double") * (F.col("n_k") - 1))
+            ).alias("phi"),
+        )
+    )

@@ -6473,3 +6473,145 @@ def ml_weibull_survival_grid(spark, sf_dir):
             F.col("n_c").alias("n_churned"),
         )
     )
+
+
+def _silhouette_oracle() -> str:
+    # Compose ts_rfm_segment's REGISTERED oracle verbatim (single source
+    # of truth — same splice discipline as ml_mcnemar_paired).
+    from . import analytics  # noqa: F401  (guarantee ts_rfm_segment is registered)
+    from ..registry import ORACLES
+
+    return f"""
+WITH rfm AS ({ORACLES["ts_rfm_segment"]}),
+feats AS (
+    SELECT user_id,
+           CAST(r_q AS VARCHAR) || '-' || CAST(f_q AS VARCHAR) || '-'
+               || CAST(m_q AS VARCHAR) AS seg,
+           CAST(recency_days AS DOUBLE) AS v1,
+           CAST(frequency AS DOUBLE) AS v2,
+           CAST(monetary AS DOUBLE) AS v3
+    FROM rfm
+), mom AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           AVG(v1) AS m1, AVG(v2) AS m2, AVG(v3) AS m3,
+           STDDEV_POP(v1) AS s1, STDDEV_POP(v2) AS s2, STDDEV_POP(v3) AS s3
+    FROM feats
+), z AS (
+    SELECT user_id, seg,
+           FLOOR((v1 - m.m1) / m.s1 * 1e9 + 0.5) / 1e9 AS z1,
+           FLOOR((v2 - m.m2) / m.s2 * 1e9 + 0.5) / 1e9 AS z2,
+           FLOOR((v3 - m.m3) / m.s3 * 1e9 + 0.5) / 1e9 AS z3
+    FROM feats, mom m
+), cent AS (
+    SELECT seg,
+           CAST(SUM(CAST(FLOOR(z1 * 1e9 + 0.5) AS DECIMAL(38,9))) AS DOUBLE)
+               / 1e9 / COUNT(*) AS c1,
+           CAST(SUM(CAST(FLOOR(z2 * 1e9 + 0.5) AS DECIMAL(38,9))) AS DOUBLE)
+               / 1e9 / COUNT(*) AS c2,
+           CAST(SUM(CAST(FLOOR(z3 * 1e9 + 0.5) AS DECIMAL(38,9))) AS DOUBLE)
+               / 1e9 / COUNT(*) AS c3
+    FROM z GROUP BY 1
+), dists AS (
+    SELECT z.user_id, z.seg, c.seg AS cseg,
+           FLOOR(sqrt((z.z1 - c.c1) * (z.z1 - c.c1)
+                      + (z.z2 - c.c2) * (z.z2 - c.c2)
+                      + (z.z3 - c.c3) * (z.z3 - c.c3)) * 1e9 + 0.5) / 1e9 AS d
+    FROM z, cent c
+), ab AS (
+    SELECT user_id, seg,
+           MAX(CASE WHEN cseg = seg THEN d END) AS a,
+           MIN(CASE WHEN cseg <> seg THEN d END) AS b
+    FROM dists GROUP BY 1, 2
+), sil AS (
+    SELECT seg,
+           CASE WHEN GREATEST(a, b) > 0
+                THEN FLOOR((b - a) / GREATEST(a, b) * 1e9 + 0.5) / 1e9
+                ELSE 0.0 END AS s
+    FROM ab
+)
+SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_users,
+       FLOOR(CAST(SUM(CAST(FLOOR(s * 1e9 + 0.5) AS DECIMAL(38,9))) AS DOUBLE)
+             / 1e9 / COUNT(*) * 1000000 + 0.5) / 1000000 AS mean_silhouette
+FROM sil GROUP BY 1
+"""
+
+
+@register("ml_silhouette_rfm", oracle=_silhouette_oracle())
+def ml_silhouette_rfm(spark, sf_dir):
+    """Simplified silhouette score (Kaufman's centroid variant) of the
+    RFM segmentation — the cluster-quality grade for the engine's own
+    segments: per user, a = distance to the OWN segment centroid, b =
+    distance to the nearest OTHER centroid, s = (b-a)/max(a,b); a
+    segment whose mean s hugs 0 is a label without geometry. The
+    composition is the point (same discipline as ml_mcnemar_paired):
+    the Spark side calls ts_rfm_segment() and the oracle splices its
+    registered text, so segmentation and audit can never drift. The
+    z-scoring, every centroid, and every distance are q9-quantized at
+    the float boundaries with DECIMAL sums between, and the centroid
+    table (<= 27 rows) is BROADCAST against the user frame — simplified
+    silhouette is exactly the variant that scales (full silhouette's
+    all-pairs distances don't)."""
+    from .analytics import ts_rfm_segment
+
+    rfm = ts_rfm_segment(spark, sf_dir)
+    feats = ckpt(
+        rfm.select(
+            "user_id",
+            F.concat_ws("-", "r_q", "f_q", "m_q").alias("seg"),
+            F.col("recency_days").cast("double").alias("v1"),
+            F.col("frequency").cast("double").alias("v2"),
+            F.col("monetary").cast("double").alias("v3"),
+        )
+    )
+    mom = feats.agg(
+        F.avg("v1").alias("m1"),
+        F.avg("v2").alias("m2"),
+        F.avg("v3").alias("m3"),
+        F.stddev_pop("v1").alias("s1"),
+        F.stddev_pop("v2").alias("s2"),
+        F.stddev_pop("v3").alias("s3"),
+    )
+    q9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+    z = ckpt(
+        feats.crossJoin(F.broadcast(mom)).select(
+            "user_id",
+            "seg",
+            q9((F.col("v1") - F.col("m1")) / F.col("s1")).alias("z1"),
+            q9((F.col("v2") - F.col("m2")) / F.col("s2")).alias("z2"),
+            q9((F.col("v3") - F.col("m3")) / F.col("s3")).alias("z3"),
+        )
+    )
+    q9sum = lambda c: (
+        F.sum(F.floor(c * F.lit(1e9) + F.lit(0.5)).cast("decimal(38,9)")).cast("double")
+        / F.lit(1e9)
+    )
+    cent = z.groupBy(F.col("seg").alias("cseg")).agg(
+        (q9sum(F.col("z1")) / F.count(F.lit(1))).alias("c1"),
+        (q9sum(F.col("z2")) / F.count(F.lit(1))).alias("c2"),
+        (q9sum(F.col("z3")) / F.count(F.lit(1))).alias("c3"),
+    )
+    d = q9(
+        F.sqrt(
+            (F.col("z1") - F.col("c1")) * (F.col("z1") - F.col("c1"))
+            + (F.col("z2") - F.col("c2")) * (F.col("z2") - F.col("c2"))
+            + (F.col("z3") - F.col("c3")) * (F.col("z3") - F.col("c3"))
+        )
+    )
+    dists = z.crossJoin(F.broadcast(cent)).select("user_id", "seg", "cseg", d.alias("d"))
+    ab = dists.groupBy("user_id", "seg").agg(
+        F.max(F.when(F.col("cseg") == F.col("seg"), F.col("d"))).alias("a"),
+        F.min(F.when(F.col("cseg") != F.col("seg"), F.col("d"))).alias("b"),
+    )
+    s = F.when(
+        F.greatest("a", "b") > 0,
+        q9((F.col("b") - F.col("a")) / F.greatest("a", "b")),
+    ).otherwise(F.lit(0.0))
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return (
+        ab.select("seg", s.alias("s"))
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            q6(q9sum(F.col("s")) / F.count(F.lit(1))).alias("mean_silhouette"),
+        )
+    )

@@ -607,6 +607,8 @@ _KEY_RANK: dict[str, int] = {
     "ml_weibull_survival_grid": 9,
     "dq_fd_discovery": 9,
     "win_hampel_filter": 9,
+    "graph_rich_club": 9,
+    "ml_silhouette_rfm": 9,
 }
 
 

@@ -1921,3 +1921,27 @@ def test_hampel_matches_numpy_and_flags_injected_spike(spark, sf_dir):
         mad = int(np.sort(np.abs(w - med))[3])
         assert (r["med7"], r["mad7"]) == (med, mad)
         assert r["is_outlier"] == (abs(r["x"] - med) > 3 * mad)
+
+
+def test_rich_club_monotone_feasible(spark, sf_dir):
+    """Club sizes shrink as k grows, phi stays in [0,1], and e_k never
+    exceeds the club's possible edge count."""
+    rows = sorted(_Q["graph_rich_club"](spark, sf_dir).collect(), key=lambda r: r["k"])
+    assert rows
+    sizes = [r["n_k"] for r in rows]
+    assert sizes == sorted(sizes, reverse=True)
+    for r in rows:
+        assert 0.0 <= r["phi"] <= 1.0 + 1e-9
+        assert 0 <= r["e_k"] <= r["n_k"] * (r["n_k"] - 1) // 2
+
+
+def test_silhouette_bounds_and_population(spark, sf_dir):
+    """Mean silhouettes live in [-1, 1] and segment populations sum to
+    the RFM user count."""
+    rows = _Q["ml_silhouette_rfm"](spark, sf_dir).collect()
+    assert rows
+    total = sum(r["n_users"] for r in rows)
+    n_rfm = _Q["ts_rfm_segment"](spark, sf_dir).count()
+    assert total == n_rfm
+    for r in rows:
+        assert -1.0 - 1e-9 <= r["mean_silhouette"] <= 1.0 + 1e-9
