@@ -6663,3 +6663,148 @@ def ts_haar_denoise(spark, sf_dir):
         q6(F.col("xhat")).alias("xhat"),
         q6(F.col("x") - F.col("xhat")).alias("err"),
     )
+
+
+def _pacf_chain_sql(kmax: int = 10) -> str:
+    """Unrolled Durbin-Levinson CTE chain p1..p{kmax} over the 1-row
+    ACF frame: every dot product is an EXPLICIT fixed-order sum (no
+    list_sum — its fold order would be an engine detail), every
+    division/update q12-quantized."""
+    q12 = "FLOOR(({x}) * 1e12 + 0.5) / 1e12"
+    ctes = [
+        "p1 AS (SELECT r.*, " + q12.format(x="r1") + " AS a1, "
+        + q12.format(x="r1") + " AS f1_1 FROM acf r)"
+    ]
+    for k in range(2, kmax + 1):
+        num = " - ".join([f"r{k}"] + [f"f{k-1}_{j} * r{k - j}" for j in range(1, k)])
+        den = " - ".join(["1.0"] + [f"f{k-1}_{j} * r{j}" for j in range(1, k)])
+        a = q12.format(x=f"({num}) / ({den})")
+        phis = ", ".join(
+            q12.format(x=f"f{k-1}_{j} - ({a}) * f{k-1}_{k - j}") + f" AS f{k}_{j}"
+            for j in range(1, k)
+        )
+        ctes.append(
+            f"p{k} AS (SELECT p{k-1}.*, {a} AS a{k}, {phis}, {a} AS f{k}_{k} "
+            f"FROM p{k-1})"
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT {k} AS lag, FLOOR(a{k} * 1000000 + 0.5) / 1000000 AS pacf, "
+        f"FLOOR(r{k} * 1000000 + 0.5) / 1000000 AS acf FROM p{kmax}"
+        for k in range(1, kmax + 1)
+    )
+    return ",\n".join(ctes) + f"\n{sel}"
+
+
+@register(
+    "ts_pacf_durbin",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+    FROM events GROUP BY 1
+), series AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i, x FROM daily
+), mu AS (
+    SELECT FLOOR(CAST(SUM(x) AS DOUBLE) / COUNT(*) * 1e9 + 0.5) / 1e9 AS m
+    FROM series
+), cent AS (
+    SELECT i, x - mu.m AS xc FROM series, mu
+), lagsum AS (
+    SELECT k.k,
+           CAST(SUM(CAST(FLOOR(a.xc * b.xc * 1e12 + 0.5) AS DECIMAL(38,12)))
+                AS DOUBLE) / 1e12 AS s
+    FROM generate_series(0, 10) k(k)
+    JOIN cent a ON TRUE
+    JOIN cent b ON b.i = a.i - k.k
+    GROUP BY 1
+), acf AS (
+    SELECT
+""" + ",\n".join(
+        f"           FLOOR((SELECT s FROM lagsum WHERE k = {k})"
+        f" / (SELECT s FROM lagsum WHERE k = 0) * 1e12 + 0.5) / 1e12 AS r{k}"
+        for k in range(1, 11)
+    ) + "\n), " + _pacf_chain_sql() + "\n",
+)
+def ts_pacf_durbin(spark, sf_dir):
+    """Partial autocorrelation function (lags 1-10) of the daily event
+    series via the Durbin-Levinson recursion — THE order-selection
+    diagnostic for AR models (the PACF cuts off at the true AR order;
+    the ACF alone can't distinguish AR(1) from AR(5)). The recursion
+    phi_kk = (r_k - sum phi_{k-1,j} r_{k-j}) / (1 - sum phi_{k-1,j}
+    r_j) is unrolled into 10 chained projections over a ONE-ROW frame,
+    with every dot product written as an explicit fixed-order sum (a
+    list-fold's association order is an engine internal — spelled-out
+    sums are engine-proof) and every division/update q12-quantized.
+    ACF inputs: centered products in q12 DECIMAL over the bounded
+    lag-pair join, one fact aggregate upstream. Output: lag, PACF,
+    ACF side by side."""
+    ev = t(spark, sf_dir, "events")
+    series = ckpt(
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+        .select(F.row_number().over(Window.orderBy("day")).cast("bigint").alias("i"), "x")
+    )
+    mu = series.agg(
+        (
+            F.floor(F.sum("x").cast("double") / F.count(F.lit(1)) * F.lit(1e9) + F.lit(0.5))
+            / F.lit(1e9)
+        ).alias("m")
+    )
+    cent = series.crossJoin(F.broadcast(mu)).select(
+        "i", (F.col("x") - F.col("m")).alias("xc")
+    )
+    ks = spark.range(0, 11).select(F.col("id").cast("bigint").alias("k"))
+    a = cent.select(F.col("i").alias("ia"), F.col("xc").alias("xa"))
+    b = cent.select(F.col("i").alias("ib"), F.col("xc").alias("xb"))
+    lagsum = (
+        a.crossJoin(F.broadcast(ks))
+        .join(b, F.col("ib") == F.col("ia") - F.col("k"))
+        .groupBy("k")
+        .agg(
+            (
+                F.sum(
+                    F.floor(F.col("xa") * F.col("xb") * F.lit(1e12) + F.lit(0.5)).cast(
+                        "decimal(38,12)"
+                    )
+                ).cast("double")
+                / F.lit(1e12)
+            ).alias("s")
+        )
+    )
+    s0 = lagsum.filter(F.col("k") == 0).select(F.col("s").alias("s0"))
+    q12 = lambda c: F.floor(c * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12)
+    acf = (
+        lagsum.filter(F.col("k") > 0)
+        .crossJoin(F.broadcast(s0))
+        .groupBy()
+        .pivot("k", list(range(1, 11)))
+        .agg(F.first(q12(F.col("s") / F.col("s0"))))
+    )
+    acf = acf.select(*[F.col(str(k)).alias(f"r{k}") for k in range(1, 11)])
+    # chained Durbin-Levinson: mirror _pacf_chain_sql exactly
+    cur = acf.withColumn("a1", q12(F.col("r1"))).withColumn("f1_1", q12(F.col("r1")))
+    for k in range(2, 11):
+        num = F.col(f"r{k}")
+        for j in range(1, k):
+            num = num - F.col(f"f{k-1}_{j}") * F.col(f"r{k - j}")
+        den = F.lit(1.0)
+        for j in range(1, k):
+            den = den - F.col(f"f{k-1}_{j}") * F.col(f"r{j}")
+        ak = q12(num / den)
+        cur = cur.withColumn(f"a{k}", ak)
+        for j in range(1, k):
+            cur = cur.withColumn(
+                f"f{k}_{j}",
+                q12(F.col(f"f{k-1}_{j}") - F.col(f"a{k}") * F.col(f"f{k-1}_{k - j}")),
+            )
+        cur = cur.withColumn(f"f{k}_{k}", F.col(f"a{k}"))
+    cur = ckpt(cur)
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    out = None
+    for k in range(1, 11):
+        row = cur.select(
+            F.lit(k).cast("bigint").alias("lag"),
+            q6(F.col(f"a{k}")).alias("pacf"),
+            q6(F.col(f"r{k}")).alias("acf"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

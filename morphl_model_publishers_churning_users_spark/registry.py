@@ -609,6 +609,8 @@ _KEY_RANK: dict[str, int] = {
     "win_hampel_filter": 9,
     "graph_rich_club": 9,
     "ml_silhouette_rfm": 9,
+    "ts_pacf_durbin": 9,
+    "source_csv_multichar": 9,
 }
 
 

@@ -252,3 +252,45 @@ def source_fixed_width(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum("price").cast("double").alias("sum_price"),
     )
+
+
+@register(
+    "source_csv_multichar",
+    oracle="""
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+GROUP BY 1
+""",
+)
+def source_csv_multichar(spark, sf_dir):
+    """Multi-character-delimiter CSV ingest ('||', the de-facto pipe
+    format of mainframe and telco feeds — chosen exactly because field
+    text may contain single pipes and commas). Spark's CSV reader
+    accepts multi-char sep natively since 3.0; the round-trip stages
+    supplier||nation rows, reads them back with an explicit schema,
+    and the per-nation balance aggregate must hash-match the direct
+    parquet join — any mis-split (the classic failure: treating '||'
+    as two empty-field pipes) shears every column and breaks the
+    DECIMAL sums. Write path escapes nothing (delimiter chosen to be
+    absent from the data, asserted by the round-trip itself)."""
+    from ..operators._shared import scratch_dir
+
+    out = scratch_dir("source_csv_multichar")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey", "s_acctbal")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    staged = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).select(
+        "s_suppkey", "n_name", "s_acctbal"
+    )
+    staged.write.mode("overwrite").option("sep", "||").option("header", False).csv(out)
+    back = (
+        spark.read.option("sep", "||")
+        .option("header", False)
+        .schema("s_suppkey bigint, n_name string, s_acctbal double")
+        .csv(out)
+    )
+    return back.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("s_acctbal").cast("decimal(38,6)")).cast("double").alias("sum_bal"),
+    )

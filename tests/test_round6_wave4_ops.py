@@ -1945,3 +1945,75 @@ def test_silhouette_bounds_and_population(spark, sf_dir):
     assert total == n_rfm
     for r in rows:
         assert -1.0 - 1e-9 <= r["mean_silhouette"] <= 1.0 + 1e-9
+
+
+def test_pacf_matches_statsmodels_free_recompute(spark, sf_dir):
+    """PACF lags 1..10 match a pure-python Durbin-Levinson on the
+    collected daily series (same quantization), PACF(1) == ACF(1), and
+    all values are valid correlations."""
+    import math
+
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    rows = {r["lag"]: r for r in _Q["ts_pacf_durbin"](spark, sf_dir).collect()}
+    assert set(rows) == set(range(1, 11))
+    assert rows[1]["pacf"] == pytest.approx(rows[1]["acf"], abs=1e-6)
+    xs = [
+        r["x"]
+        for r in tbl(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+        .orderBy("day")
+        .collect()
+    ]
+    m = math.floor(sum(xs) / len(xs) * 1e9 + 0.5) / 1e9
+    xc = [v - m for v in xs]
+    q12 = lambda v: math.floor(v * 1e12 + 0.5) / 1e12
+    s = {
+        k: sum(math.floor(xc[i] * xc[i - k] * 1e12 + 0.5) for i in range(k, len(xc)))
+        / 1e12
+        for k in range(0, 11)
+    }
+    r = {k: q12(s[k] / s[0]) for k in range(1, 11)}
+    phi = {1: {1: q12(r[1])}}
+    for k in range(2, 11):
+        num = r[k]
+        for j in range(1, k):
+            num -= phi[k - 1][j] * r[k - j]
+        den = 1.0
+        for j in range(1, k):
+            den -= phi[k - 1][j] * r[j]
+        a = q12(num / den)
+        phi[k] = {j: q12(phi[k - 1][j] - a * phi[k - 1][k - j]) for j in range(1, k)}
+        phi[k][k] = a
+    for k in range(1, 11):
+        assert abs(rows[k]["pacf"]) <= 1.0 + 1e-6
+        assert rows[k]["pacf"] == pytest.approx(phi[k][k], abs=1e-6)
+        assert rows[k]["acf"] == pytest.approx(r[k], abs=1e-6)
+
+
+def test_multichar_csv_round_trip_exact(spark, sf_dir):
+    """The '||'-delimited round trip loses no rows and no cents."""
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    rows = _Q["source_csv_multichar"](spark, sf_dir).collect()
+    src = {
+        r["n_name"]: (r["n"], float(r["s"]))
+        for r in tbl(spark, sf_dir, "supplier")
+        .join(
+            tbl(spark, sf_dir, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("s_acctbal").cast("decimal(38,6)")).alias("s"),
+        )
+        .collect()
+    }
+    assert len(rows) == len(src)
+    for r in rows:
+        n, sbal = src[r["n_name"]]
+        assert (r["n_rows"], r["sum_bal"]) == (n, pytest.approx(sbal, abs=1e-6))
