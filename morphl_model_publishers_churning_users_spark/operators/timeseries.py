@@ -6808,3 +6808,287 @@ def ts_pacf_durbin(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register(
+    "ts_ar2_yule_walker",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+    FROM events GROUP BY 1
+), series AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i, x FROM daily
+), mu AS (
+    SELECT FLOOR(CAST(SUM(x) AS DOUBLE) / COUNT(*) * 1e9 + 0.5) / 1e9 AS m,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM series
+), cent AS (
+    SELECT i, x - mu.m AS xc FROM series, mu
+), lagsum AS (
+    SELECT k.k,
+           CAST(SUM(CAST(FLOOR(a.xc * b.xc * 1e12 + 0.5) AS DECIMAL(38,12)))
+                AS DOUBLE) / 1e12 AS s
+    FROM generate_series(0, 2) k(k)
+    JOIN cent a ON TRUE
+    JOIN cent b ON b.i = a.i - k.k
+    GROUP BY 1
+), acf AS (
+    SELECT FLOOR((SELECT s FROM lagsum WHERE k = 1)
+                 / (SELECT s FROM lagsum WHERE k = 0) * 1e12 + 0.5) / 1e12 AS r1,
+           FLOOR((SELECT s FROM lagsum WHERE k = 2)
+                 / (SELECT s FROM lagsum WHERE k = 0) * 1e12 + 0.5) / 1e12 AS r2,
+           (SELECT s FROM lagsum WHERE k = 0) AS s0
+), fit AS (
+    SELECT r1, r2, s0,
+           FLOOR(r1 * (1.0 - r2) / (1.0 - r1 * r1) * 1e12 + 0.5) / 1e12 AS phi1,
+           FLOOR((r2 - r1 * r1) / (1.0 - r1 * r1) * 1e12 + 0.5) / 1e12 AS phi2
+    FROM acf
+), last2 AS (
+    SELECT MAX(CASE WHEN rn = 1 THEN xc END) AS x_t,
+           MAX(CASE WHEN rn = 2 THEN xc END) AS x_t1
+    FROM (SELECT xc, ROW_NUMBER() OVER (ORDER BY i DESC) AS rn FROM cent)
+    WHERE rn <= 2
+)
+SELECT FLOOR(f.phi1 * 1000000 + 0.5) / 1000000 AS phi1,
+       FLOOR(f.phi2 * 1000000 + 0.5) / 1000000 AS phi2,
+       FLOOR((1.0 - f.phi1 * f.r1 - f.phi2 * f.r2) * (f.s0 / mu.n)
+             * 1000000 + 0.5) / 1000000 AS sigma2,
+       FLOOR((mu.m + f.phi1 * l.x_t + f.phi2 * l.x_t1) * 1000000 + 0.5) / 1000000
+           AS forecast_1d,
+       FLOOR((mu.m + f.phi1 * (f.phi1 * l.x_t + f.phi2 * l.x_t1)
+              + f.phi2 * l.x_t) * 1000000 + 0.5) / 1000000 AS forecast_2d,
+       f.phi2 > -1.0 AND f.phi1 + f.phi2 < 1.0 AND f.phi2 - f.phi1 < 1.0
+           AS stationary
+FROM fit f, last2 l, mu
+""",
+)
+def ts_ar2_yule_walker(spark, sf_dir):
+    """AR(2) fit by Yule-Walker — the closed-form autoregression the
+    PACF (ts_pacf_durbin) tells you to fit when it cuts off at lag 2:
+    phi1 = r1(1-r2)/(1-r1^2), phi2 = (r2-r1^2)/(1-r1^2), innovation
+    variance from the fitted ACF, 1- and 2-step forecasts by direct
+    recursion from the last two (centered) observations, plus the
+    stationarity-triangle check (phi2 in (-1,1), phi1+phi2 < 1,
+    phi2-phi1 < 1) that tells you whether the fit is even a valid
+    AR(2). Same q12-DECIMAL ACF machinery as the PACF op; the solve
+    and forecasts are scalar algebra on a 1-row frame. One fact
+    aggregate + a 3-lag bounded join."""
+    ev = t(spark, sf_dir, "events")
+    series = ckpt(
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+        .select(F.row_number().over(Window.orderBy("day")).cast("bigint").alias("i"), "x")
+    )
+    mu = series.agg(
+        (
+            F.floor(F.sum("x").cast("double") / F.count(F.lit(1)) * F.lit(1e9) + F.lit(0.5))
+            / F.lit(1e9)
+        ).alias("m"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    cent = ckpt(
+        series.crossJoin(F.broadcast(mu)).select(
+            "i", (F.col("x") - F.col("m")).alias("xc"), "m", "n"
+        )
+    )
+    ks = spark.range(0, 3).select(F.col("id").cast("bigint").alias("k"))
+    a = cent.select(F.col("i").alias("ia"), F.col("xc").alias("xa"))
+    b = cent.select(F.col("i").alias("ib"), F.col("xc").alias("xb"))
+    lagsum = (
+        a.crossJoin(F.broadcast(ks))
+        .join(b, F.col("ib") == F.col("ia") - F.col("k"))
+        .groupBy("k")
+        .agg(
+            (
+                F.sum(
+                    F.floor(F.col("xa") * F.col("xb") * F.lit(1e12) + F.lit(0.5)).cast(
+                        "decimal(38,12)"
+                    )
+                ).cast("double")
+                / F.lit(1e12)
+            ).alias("s")
+        )
+    )
+    q12 = lambda c: F.floor(c * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12)
+    wide = (
+        lagsum.groupBy()
+        .pivot("k", [0, 1, 2])
+        .agg(F.first("s"))
+        .select(
+            F.col("0").alias("s0"),
+            q12(F.col("1") / F.col("0")).alias("r1"),
+            q12(F.col("2") / F.col("0")).alias("r2"),
+        )
+    )
+    fit = wide.select(
+        "s0",
+        "r1",
+        "r2",
+        q12(F.col("r1") * (F.lit(1.0) - F.col("r2")) / (F.lit(1.0) - F.col("r1") * F.col("r1"))).alias("phi1"),
+        q12((F.col("r2") - F.col("r1") * F.col("r1")) / (F.lit(1.0) - F.col("r1") * F.col("r1"))).alias("phi2"),
+    )
+    last2 = (
+        cent.select("xc", F.row_number().over(Window.orderBy(F.desc("i"))).alias("rn"))
+        .filter(F.col("rn") <= 2)
+        .groupBy()
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("xc"))).alias("x_t"),
+            F.max(F.when(F.col("rn") == 2, F.col("xc"))).alias("x_t1"),
+        )
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    f1 = F.col("m") + F.col("phi1") * F.col("x_t") + F.col("phi2") * F.col("x_t1")
+    f2 = F.col("m") + F.col("phi1") * (
+        F.col("phi1") * F.col("x_t") + F.col("phi2") * F.col("x_t1")
+    ) + F.col("phi2") * F.col("x_t")
+    return (
+        fit.crossJoin(F.broadcast(last2))
+        .crossJoin(F.broadcast(mu))
+        .select(
+            q6(F.col("phi1")).alias("phi1"),
+            q6(F.col("phi2")).alias("phi2"),
+            q6(
+                (
+                    F.lit(1.0)
+                    - F.col("phi1") * F.col("r1")
+                    - F.col("phi2") * F.col("r2")
+                )
+                * (F.col("s0") / F.col("n"))
+            ).alias("sigma2"),
+            q6(f1).alias("forecast_1d"),
+            q6(f2).alias("forecast_2d"),
+            (
+                (F.col("phi2") > -1.0)
+                & (F.col("phi1") + F.col("phi2") < 1.0)
+                & (F.col("phi2") - F.col("phi1") < 1.0)
+            ).alias("stationary"),
+        )
+    )
+
+
+def _ad_oracle() -> str:
+    from .ml import _ERFC_AS  # shared A&S erf polynomial spelling
+
+    phi_pos = f"(0.5 * (1.0 + {_ERFC_AS.format(x='(z) / sqrt(2.0)')}))"
+    return f"""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 1e6 + 0.5) AS DECIMAL(38,6)))
+                AS DOUBLE) / 1e6 AS x
+    FROM orders GROUP BY 1
+), mom AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(FLOOR(x * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE) / 1e6
+               AS sy,
+           CAST(SUM(CAST(FLOOR(x * x * 1e2 + 0.5) AS DECIMAL(38,2))) AS DOUBLE) / 1e2
+               AS syy
+    FROM daily
+), std AS (
+    SELECT n, sy / n AS m,
+           sqrt((syy - sy * sy / n) / (n - 1.0)) AS s
+    FROM mom
+), zs AS (
+    SELECT FLOOR((d.x - st.m) / st.s * 1e9 + 0.5) / 1e9 AS z,
+           CAST(ROW_NUMBER() OVER (ORDER BY d.x, d.day) AS BIGINT) AS i,
+           st.n
+    FROM daily d, std st
+), terms AS (
+    SELECT n,
+           (2.0 * i - 1.0)
+               * (FLOOR(ln({phi_pos}) * 1e9 + 0.5) / 1e9)
+           + (2.0 * (n - i) + 1.0)
+               * (FLOOR(ln(1.0 - {phi_pos}) * 1e9 + 0.5) / 1e9) AS tt
+    FROM zs
+), a2 AS (
+    SELECT ANY_VALUE(n) AS n,
+           -ANY_VALUE(n)
+           - CAST(SUM(CAST(FLOOR(tt * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE)
+             / 1e6 / ANY_VALUE(n) AS a2
+    FROM terms
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       FLOOR(a2 * 1000000 + 0.5) / 1000000 AS a2,
+       FLOOR(a2 * (1.0 + 0.75 / n + 2.25 / (n * n)) * 1000000 + 0.5) / 1000000
+           AS a2_star,
+       a2 * (1.0 + 0.75 / n + 2.25 / (n * n)) > 0.752 AS reject_normal
+FROM a2
+"""
+
+
+@register("ts_anderson_darling", oracle=_ad_oracle())
+def ts_anderson_darling(spark, sf_dir):
+    """Anderson-Darling normality test on daily revenue — the GOF test
+    that WEIGHTS THE TAILS (1/[F(1-F)]), which is exactly where
+    'is revenue normal enough for z-based control charts?' gets
+    decided; complements agg_qq_normal (visual) and dq_drift_ks
+    (two-sample, tail-blind). A^2 = -n - (1/n) sum[(2i-1) ln Phi(z_i)
+    + (2(n-i)+1) ln(1-Phi(z_i))] over the ascending order statistics —
+    exact integer ranks (day tiebreak), Phi through the shared A&S erf
+    polynomial, each ln q9-quantized, the weighted sum in q6 DECIMAL;
+    the Stephens small-sample factor and the 0.752 5% critical value
+    give the decision. One fact aggregate + one ordered window."""
+    from .ml import _ERFC_AS
+
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg((F.sum(q6dec(F.col("o_totalprice"))).cast("double") / F.lit(1e6)).alias("x"))
+    )
+    mom = daily.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (
+            F.sum(F.floor(F.col("x") * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,6)"))
+            .cast("double")
+            / F.lit(1e6)
+        ).alias("sy"),
+        (
+            F.sum(
+                F.floor(F.col("x") * F.col("x") * F.lit(1e2) + F.lit(0.5)).cast(
+                    "decimal(38,2)"
+                )
+            ).cast("double")
+            / F.lit(1e2)
+        ).alias("syy"),
+    )
+    std = mom.select(
+        "n",
+        (F.col("sy") / F.col("n")).alias("m"),
+        F.sqrt(
+            (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")) / (F.col("n") - F.lit(1.0))
+        ).alias("s"),
+    )
+    q9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+    zs = (
+        daily.crossJoin(F.broadcast(std))
+        .select(
+            q9((F.col("x") - F.col("m")) / F.col("s")).alias("z"),
+            F.row_number().over(Window.orderBy(F.asc("x"), F.asc("day"))).cast("bigint").alias("i"),
+            "n",
+        )
+    )
+    phi = F.expr(
+        "0.5 * (1.0 + " + _ERFC_AS.format(x="(z) / sqrt(2.0)") + ")"
+    )
+    tt = (F.lit(2.0) * F.col("i") - F.lit(1.0)) * q9(F.log(phi)) + (
+        F.lit(2.0) * (F.col("n") - F.col("i")) + F.lit(1.0)
+    ) * q9(F.log(F.lit(1.0) - phi))
+    a2df = zs.select("n", tt.alias("tt")).agg(
+        F.any_value("n").alias("n"),
+        (
+            -F.any_value("n")
+            - F.sum(F.floor(F.col("tt") * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,6)"))
+            .cast("double")
+            / F.lit(1e6)
+            / F.any_value("n")
+        ).alias("a2"),
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    star = F.col("a2") * (
+        F.lit(1.0) + F.lit(0.75) / F.col("n") + F.lit(2.25) / (F.col("n") * F.col("n"))
+    )
+    return a2df.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        q6(F.col("a2")).alias("a2"),
+        q6(star).alias("a2_star"),
+        (star > F.lit(0.752)).alias("reject_normal"),
+    )

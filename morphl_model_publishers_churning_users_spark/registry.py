@@ -611,6 +611,8 @@ _KEY_RANK: dict[str, int] = {
     "ml_silhouette_rfm": 9,
     "ts_pacf_durbin": 9,
     "source_csv_multichar": 9,
+    "ts_ar2_yule_walker": 9,
+    "ts_anderson_darling": 9,
 }
 
 

@@ -2017,3 +2017,89 @@ def test_multichar_csv_round_trip_exact(spark, sf_dir):
     for r in rows:
         n, sbal = src[r["n_name"]]
         assert (r["n_rows"], r["sum_bal"]) == (n, pytest.approx(sbal, abs=1e-6))
+
+
+def test_ar2_matches_statsmodels_free_yule_walker(spark, sf_dir):
+    """phi1/phi2 match the closed-form YW solve on a python ACF
+    recompute, and the one-step forecast reproduces from the fitted
+    params and the last two observations."""
+    import math
+
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    r = _Q["ts_ar2_yule_walker"](spark, sf_dir).collect()[0]
+    xs = [
+        row["x"]
+        for row in tbl(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+        .orderBy("day")
+        .collect()
+    ]
+    m = math.floor(sum(xs) / len(xs) * 1e9 + 0.5) / 1e9
+    xc = [v - m for v in xs]
+    s = {
+        k: sum(math.floor(xc[i] * xc[i - k] * 1e12 + 0.5) for i in range(k, len(xc)))
+        / 1e12
+        for k in (0, 1, 2)
+    }
+    q12 = lambda v: math.floor(v * 1e12 + 0.5) / 1e12
+    r1, r2 = q12(s[1] / s[0]), q12(s[2] / s[0])
+    phi1 = q12(r1 * (1 - r2) / (1 - r1 * r1))
+    phi2 = q12((r2 - r1 * r1) / (1 - r1 * r1))
+    assert r["phi1"] == pytest.approx(phi1, abs=1e-6)
+    assert r["phi2"] == pytest.approx(phi2, abs=1e-6)
+    f1 = m + phi1 * xc[-1] + phi2 * xc[-2]
+    assert r["forecast_1d"] == pytest.approx(f1, abs=1e-4)
+    assert r["sigma2"] > 0
+    assert r["stationary"] == (
+        (phi2 > -1) and (phi1 + phi2 < 1) and (phi2 - phi1 < 1)
+    )
+
+
+def test_anderson_darling_matches_python(spark, sf_dir):
+    """A2 matches a pure-python recompute with the same quantized
+    erf-polynomial Phi, and the adjusted statistic/decision are
+    consistent transforms."""
+    import math
+
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    r = _Q["ts_anderson_darling"](spark, sf_dir).collect()[0]
+    daily = sorted(
+        (float(row["x"]), row["day"])
+        for row in tbl(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.round(F.sum(F.col("o_totalprice").cast("decimal(38,6)")), 6).alias("x"))
+        .collect()
+    )
+    xs = [v for v, _ in daily]
+    n = len(xs)
+    assert r["n_days"] == n
+    mean = sum(xs) / n
+    sd = (sum((v - mean) ** 2 for v in xs) / (n - 1)) ** 0.5
+
+    def phi(z):
+        t = 1.0 / (1.0 + 0.3275911 * abs(z / 2**0.5))
+        e = (
+            0.254829592 * t - 0.284496736 * t**2 + 1.421413741 * t**3
+            - 1.453152027 * t**4 + 1.061405429 * t**5
+        ) * math.exp(-((z / 2**0.5) ** 2))
+        erf = (1.0 - e) if z >= 0 else -(1.0 - e)
+        return 0.5 * (1.0 + erf)
+
+    q9 = lambda v: math.floor(v * 1e9 + 0.5) / 1e9
+    total = 0.0
+    for i, v in enumerate(xs, start=1):
+        z = q9((v - mean) / sd)
+        tt = (2 * i - 1) * q9(math.log(phi(z))) + (2 * (n - i) + 1) * q9(
+            math.log(1 - phi(z))
+        )
+        total += math.floor(tt * 1e6 + 0.5)
+    a2 = -n - total / 1e6 / n
+    assert r["a2"] == pytest.approx(a2, abs=1e-3)
+    star = a2 * (1 + 0.75 / n + 2.25 / n**2)
+    assert r["a2_star"] == pytest.approx(star, abs=1e-3)
+    assert r["reject_normal"] == (star > 0.752)
