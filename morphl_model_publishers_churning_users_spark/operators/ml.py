@@ -5887,6 +5887,60 @@ def ml_knn_classify(spark, sf_dir):
     )
 
 
+def _ipw_weighted_frame(spark, sf_dir):
+    """Shared stabilized-IPW user frame (treatment = click volume,
+    saturated activity-strata propensity): (treated, y, w) plus the
+    non-treatment covariates (ne, n_view, n_error) so the balance
+    audit (ml_covariate_balance) weights the SAME frame the ATE uses."""
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase", F.col("value").cast("decimal(38,6)")
+            ).otherwise(F.lit(0).cast("decimal(38,6)"))
+        )
+        .cast("double")
+        .alias("y"),
+        F.count(F.lit(1)).alias("ne"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_view"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_error"),
+        (
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)) >= 14
+        ).cast("int").alias("treated"),
+    )
+    strata = ckpt(
+        per_user.withColumn(
+            "s",
+            F.when(F.col("ne") >= 72, 2).when(F.col("ne") >= 62, 1).otherwise(0),
+        )
+    )
+    prop = strata.groupBy("s").agg(
+        (F.sum("treated").cast("double") / F.count(F.lit(1))).alias("e")
+    )
+    pbar = strata.agg(
+        (F.sum("treated").cast("double") / F.count(F.lit(1))).alias("pt")
+    )
+    q9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+    return (
+        strata.join(F.broadcast(prop), "s")
+        .crossJoin(F.broadcast(pbar))
+        .select(
+            "treated",
+            "y",
+            "ne",
+            "n_view",
+            "n_error",
+            F.when(F.col("treated") == 1, q9(F.col("pt") / F.col("e")))
+            .otherwise(q9((F.lit(1.0) - F.col("pt")) / (F.lit(1.0) - F.col("e"))))
+            .alias("w"),
+        )
+    )
+
+
 @register(
     "ml_ipw_ate",
     oracle="""
@@ -5953,44 +6007,7 @@ def ml_ipw_ate(spark, sf_dir):
     believing the point estimate). Hajek (weight-normalized) means,
     weights q9-quantized at the division and every weighted sum in q6
     DECIMAL. One user aggregate + one 3-row propensity join."""
-    e = t(spark, sf_dir, "events")
-    per_user = e.groupBy("user_id").agg(
-        F.sum(
-            F.when(
-                F.col("event_type") == "purchase", F.col("value").cast("decimal(38,6)")
-            ).otherwise(F.lit(0).cast("decimal(38,6)"))
-        )
-        .cast("double")
-        .alias("y"),
-        F.count(F.lit(1)).alias("ne"),
-        (
-            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)) >= 14
-        ).cast("int").alias("treated"),
-    )
-    strata = ckpt(
-        per_user.withColumn(
-            "s",
-            F.when(F.col("ne") >= 72, 2).when(F.col("ne") >= 62, 1).otherwise(0),
-        )
-    )
-    prop = strata.groupBy("s").agg(
-        (F.sum("treated").cast("double") / F.count(F.lit(1))).alias("e")
-    )
-    pbar = strata.agg(
-        (F.sum("treated").cast("double") / F.count(F.lit(1))).alias("pt")
-    )
-    q9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
-    wtd = (
-        strata.join(F.broadcast(prop), "s")
-        .crossJoin(F.broadcast(pbar))
-        .select(
-            "treated",
-            "y",
-            F.when(F.col("treated") == 1, q9(F.col("pt") / F.col("e")))
-            .otherwise(q9((F.lit(1.0) - F.col("pt")) / (F.lit(1.0) - F.col("e"))))
-            .alias("w"),
-        )
-    )
+    wtd = _ipw_weighted_frame(spark, sf_dir).select("treated", "y", "w")
     q6sum = lambda c: (
         F.sum(F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,6)")).cast("double")
         / F.lit(1e6)
@@ -6614,4 +6631,124 @@ def ml_silhouette_rfm(spark, sf_dir):
             F.count(F.lit(1)).cast("bigint").alias("n_users"),
             q6(q9sum(F.col("s")) / F.count(F.lit(1))).alias("mean_silhouette"),
         )
+    )
+
+
+@register(
+    "ml_covariate_balance",
+    oracle="""
+WITH per_user AS (
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS ne,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_view,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_error,
+           CASE WHEN SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) >= 14
+                THEN 1 ELSE 0 END AS treated
+    FROM events GROUP BY user_id
+), strata AS (
+    SELECT *, CASE WHEN ne >= 72 THEN 2 WHEN ne >= 62 THEN 1 ELSE 0 END AS s
+    FROM per_user
+), prop AS (
+    SELECT s, CAST(SUM(treated) AS DOUBLE) / COUNT(*) AS e FROM strata GROUP BY 1
+), pbar AS (
+    SELECT CAST(SUM(treated) AS DOUBLE) / COUNT(*) AS pt FROM strata
+), wtd AS (
+    SELECT u.treated, u.ne, u.n_view, u.n_error,
+           CASE WHEN u.treated = 1
+                THEN FLOOR(p.pt / e.e * 1e9 + 0.5) / 1e9
+                ELSE FLOOR((1.0 - p.pt) / (1.0 - e.e) * 1e9 + 0.5) / 1e9
+           END AS w
+    FROM strata u JOIN prop e ON e.s = u.s, pbar p
+), long AS (
+    SELECT treated, w, 'ne' AS covariate, CAST(ne AS DOUBLE) AS x FROM wtd
+    UNION ALL
+    SELECT treated, w, 'n_view', CAST(n_view AS DOUBLE) FROM wtd
+    UNION ALL
+    SELECT treated, w, 'n_error', CAST(n_error AS DOUBLE) FROM wtd
+), m AS (
+    SELECT covariate, treated,
+           CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(x AS BIGINT)) AS BIGINT) AS sx,
+           CAST(SUM(CAST(x * x AS BIGINT)) AS BIGINT) AS sxx,
+           CAST(SUM(CAST(FLOOR(w * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE) / 1e6
+               AS sw,
+           CAST(SUM(CAST(FLOOR(w * x * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE) / 1e6
+               AS swx
+    FROM long GROUP BY 1, 2
+), sides AS (
+    SELECT covariate,
+           MAX(CASE WHEN treated = 1 THEN CAST(sx AS DOUBLE) / n END) AS mt,
+           MAX(CASE WHEN treated = 0 THEN CAST(sx AS DOUBLE) / n END) AS mc,
+           MAX(CASE WHEN treated = 1
+                    THEN (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (n - 1.0)
+               END) AS vt,
+           MAX(CASE WHEN treated = 0
+                    THEN (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (n - 1.0)
+               END) AS vc,
+           MAX(CASE WHEN treated = 1 THEN swx / sw END) AS mwt,
+           MAX(CASE WHEN treated = 0 THEN swx / sw END) AS mwc
+    FROM m GROUP BY 1
+)
+SELECT covariate,
+       FLOOR((mt - mc) / sqrt((vt + vc) / 2.0) * 1000000 + 0.5) / 1000000
+           AS smd_raw,
+       FLOOR((mwt - mwc) / sqrt((vt + vc) / 2.0) * 1000000 + 0.5) / 1000000
+           AS smd_weighted,
+       abs((mwt - mwc) / sqrt((vt + vc) / 2.0)) < 0.1 AS balanced
+FROM sides
+""",
+)
+def ml_covariate_balance(spark, sf_dir):
+    """Covariate balance audit for the IPW analysis — the standardized
+    mean difference (SMD) of every NON-treatment covariate, raw vs
+    IPW-weighted, against Austin's |SMD| < 0.1 rule: the table every
+    serious propensity paper prints BEFORE its effect estimate,
+    because weights that don't balance the observables haven't earned
+    a causal reading. Shares the exact weighted frame with ml_ipw_ate
+    (one helper, _ipw_weighted_frame — the audit weights the SAME rows
+    the estimator uses, by construction). Raw moments are exact
+    integer sums; weighted means ride q6 DECIMAL; the denominator is
+    the standard unweighted pooled SD so raw and weighted SMDs are
+    comparable on one scale."""
+    wtd = ckpt(_ipw_weighted_frame(spark, sf_dir))
+    long = None
+    for cov in ("ne", "n_view", "n_error"):
+        part = wtd.select(
+            "treated",
+            "w",
+            F.lit(cov).alias("covariate"),
+            F.col(cov).cast("double").alias("x"),
+        )
+        long = part if long is None else long.unionByName(part)
+    q6sum = lambda c: (
+        F.sum(F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,6)")).cast("double")
+        / F.lit(1e6)
+    )
+    m = long.groupBy("covariate", "treated").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast("bigint")).cast("bigint").alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast("bigint")).cast("bigint").alias("sxx"),
+        q6sum(F.col("w")).alias("sw"),
+        q6sum(F.col("w") * F.col("x")).alias("swx"),
+    )
+    var_term = (
+        F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+    ) / (F.col("n") - F.lit(1.0))
+    sides = m.groupBy("covariate").agg(
+        F.max(F.when(F.col("treated") == 1, F.col("sx").cast("double") / F.col("n"))).alias("mt"),
+        F.max(F.when(F.col("treated") == 0, F.col("sx").cast("double") / F.col("n"))).alias("mc"),
+        F.max(F.when(F.col("treated") == 1, var_term)).alias("vt"),
+        F.max(F.when(F.col("treated") == 0, var_term)).alias("vc"),
+        F.max(F.when(F.col("treated") == 1, F.col("swx") / F.col("sw"))).alias("mwt"),
+        F.max(F.when(F.col("treated") == 0, F.col("swx") / F.col("sw"))).alias("mwc"),
+    )
+    pooled = F.sqrt((F.col("vt") + F.col("vc")) / F.lit(2.0))
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return sides.select(
+        "covariate",
+        q6((F.col("mt") - F.col("mc")) / pooled).alias("smd_raw"),
+        q6((F.col("mwt") - F.col("mwc")) / pooled).alias("smd_weighted"),
+        (F.abs((F.col("mwt") - F.col("mwc")) / pooled) < 0.1).alias("balanced"),
     )

@@ -7092,3 +7092,119 @@ def ts_anderson_darling(spark, sf_dir):
         q6(star).alias("a2_star"),
         (star > F.lit(0.752)).alias("reject_normal"),
     )
+
+
+@register(
+    "ts_chain_ladder",
+    oracle="""
+WITH fo AS (
+    SELECT o_custkey,
+           MIN(year(o_orderdate) * 12 + month(o_orderdate)) AS cm
+    FROM orders GROUP BY 1
+), dev AS (
+    SELECT f.cm AS cohort,
+           LEAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) - f.cm, 6)
+               AS age,
+           SUM(CAST(FLOOR(o.o_totalprice * 1e6 + 0.5) AS DECIMAL(38,6))) AS revq
+    FROM orders o JOIN fo f ON f.o_custkey = o.o_custkey
+    GROUP BY 1, 2
+), cum AS (
+    SELECT cohort, age,
+           CAST(SUM(revq) OVER (PARTITION BY cohort ORDER BY age) AS DOUBLE) / 1e6
+               AS c,
+           MAX(age) OVER (PARTITION BY cohort) AS max_age
+    FROM dev
+), factors AS (
+    SELECT a.age,
+           FLOOR((CAST(SUM(CAST(FLOOR(b.c * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE)
+                  / CAST(SUM(CAST(FLOOR(a.c * 1e6 + 0.5) AS DECIMAL(38,6)))
+                         AS DOUBLE))
+                 * 1e9 + 0.5) / 1e9 AS f
+    FROM cum a
+    JOIN cum b ON b.cohort = a.cohort AND b.age = a.age + 1
+    GROUP BY 1
+), tail AS (
+    SELECT age,
+           exp(FLOOR(SUM(FLOOR(ln(f) * 1e9 + 0.5) / 1e9)
+                     OVER (ORDER BY age DESC) * 1e9 + 0.5) / 1e9) AS cum_f
+    FROM factors
+), latest AS (
+    SELECT cohort, max_age, c AS latest_cum
+    FROM cum WHERE age = max_age
+)
+SELECT l.cohort AS cohort_month, l.max_age AS latest_age,
+       FLOOR(l.latest_cum * 1000000 + 0.5) / 1000000 AS latest_cum,
+       FLOOR(l.latest_cum * COALESCE(t.cum_f, 1.0) * 1000000 + 0.5) / 1000000
+           AS ultimate
+FROM latest l LEFT JOIN tail t ON t.age = l.max_age
+""",
+)
+def ts_chain_ladder(spark, sf_dir):
+    """Chain-ladder development projection of cohort revenue — the
+    actuarial reserving workhorse applied to the LTV question: build
+    the cumulative (cohort-month x development-age) triangle from each
+    customer's first-order month, estimate age-to-age factors f_a =
+    sum C(.,a+1)/sum C(.,a) over the cohorts that have BOTH ages (the
+    defining chain-ladder restriction — young cohorts must not bias
+    the factor), and project every cohort's latest diagonal to
+    ultimate via the product of remaining factors. Ages cap at 6 (the
+    tail bucket absorbs the rest). Numeric discipline: revenue
+    accumulates in micro-DECIMAL, factor numerators/denominators are
+    DECIMAL-summed before ONE division (q9), and the factor product
+    runs as exp(sum(q9 ln f)) with quantized boundaries — at most 6
+    terms, fully deterministic. One fact aggregate + windows over the
+    O(cohorts x 7) triangle."""
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    mon = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    fo = o.groupBy("o_custkey").agg(F.min(mon).alias("cm"))
+    dev = (
+        o.join(fo, "o_custkey")
+        .groupBy(
+            F.col("cm").alias("cohort"),
+            F.least(mon - F.col("cm"), F.lit(6)).alias("age"),
+        )
+        .agg(F.sum(q6dec(F.col("o_totalprice"))).alias("revq"))
+    )
+    wc = Window.partitionBy("cohort").orderBy("age")
+    cum = ckpt(
+        dev.select(
+            "cohort",
+            "age",
+            (F.sum("revq").over(wc.rowsBetween(Window.unboundedPreceding, 0)).cast("double") / F.lit(1e6)).alias("c"),
+            F.max("age").over(Window.partitionBy("cohort")).alias("max_age"),
+        )
+    )
+    a = cum.select(F.col("cohort").alias("ca"), F.col("age").alias("age"), F.col("c").alias("cv_a"))
+    b = cum.select(F.col("cohort").alias("cb"), (F.col("age") - 1).alias("age"), F.col("c").alias("cv_b"))
+    q6d = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,6)")
+    q9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+    factors = (
+        a.join(b, (F.col("ca") == F.col("cb")) & (a["age"] == b["age"]))
+        .groupBy(a["age"].alias("age"))
+        .agg(
+            q9(
+                F.sum(q6d(F.col("cv_b"))).cast("double")
+                / F.sum(q6d(F.col("cv_a"))).cast("double")
+            ).alias("f")
+        )
+    )
+    wt = Window.orderBy(F.desc("age")).rowsBetween(Window.unboundedPreceding, 0)
+    tail = factors.select(
+        "age",
+        F.exp(q9(F.sum(q9(F.log("f"))).over(wt))).alias("cum_f"),
+    )
+    latest = cum.filter(F.col("age") == F.col("max_age")).select(
+        "cohort", "max_age", F.col("c").alias("latest_cum")
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return (
+        latest.join(F.broadcast(tail), latest["max_age"] == tail["age"], "left")
+        .select(
+            F.col("cohort").alias("cohort_month"),
+            F.col("max_age").alias("latest_age"),
+            q6(F.col("latest_cum")).alias("latest_cum"),
+            q6(F.col("latest_cum") * F.coalesce(F.col("cum_f"), F.lit(1.0))).alias(
+                "ultimate"
+            ),
+        )
+    )

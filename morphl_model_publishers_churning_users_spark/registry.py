@@ -613,6 +613,8 @@ _KEY_RANK: dict[str, int] = {
     "source_csv_multichar": 9,
     "ts_ar2_yule_walker": 9,
     "ts_anderson_darling": 9,
+    "ml_covariate_balance": 9,
+    "ts_chain_ladder": 9,
 }
 
 

@@ -2103,3 +2103,45 @@ def test_anderson_darling_matches_python(spark, sf_dir):
     star = a2 * (1 + 0.75 / n + 2.25 / n**2)
     assert r["a2_star"] == pytest.approx(star, abs=1e-3)
     assert r["reject_normal"] == (star > 0.752)
+
+
+def test_covariate_balance_weighting_helps_confounded_covariate(spark, sf_dir):
+    """ne (the stratification variable, correlated with treatment by
+    construction) must show |smd_weighted| < |smd_raw| — the weights
+    exist to shrink exactly that imbalance; balanced flag is the
+    0.1-rule transform."""
+    rows = {r["covariate"]: r for r in _Q["ml_covariate_balance"](spark, sf_dir).collect()}
+    assert set(rows) == {"ne", "n_view", "n_error"}
+    ne = rows["ne"]
+    assert abs(ne["smd_weighted"]) <= abs(ne["smd_raw"]) + 1e-6
+    for r in rows.values():
+        assert r["balanced"] == (abs(r["smd_weighted"]) < 0.1)
+
+
+def test_chain_ladder_reconciles_and_projects_upward(spark, sf_dir):
+    """Each cohort's latest cumulative revenue reconciles with the raw
+    orders sum for that cohort, ultimates are >= latest for cohorts
+    with remaining development (factors >= 1 on cumulative revenue),
+    and fully-developed cohorts project to exactly their latest."""
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    rows = _Q["ts_chain_ladder"](spark, sf_dir).collect()
+    assert rows
+    o = tbl(spark, sf_dir, "orders")
+    mon = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    fo = o.groupBy("o_custkey").agg(F.min(mon).alias("cm"))
+    truth = {
+        r["cm"]: float(r["s"])
+        for r in o.join(fo, "o_custkey")
+        .groupBy("cm")
+        .agg(F.round(F.sum(F.col("o_totalprice").cast("decimal(38,6)")), 6).alias("s"))
+        .collect()
+    }
+    max_age = max(r["latest_age"] for r in rows)
+    for r in rows:
+        assert r["latest_cum"] == pytest.approx(truth[r["cohort_month"]], rel=1e-9)
+        if r["latest_age"] == max_age:
+            assert r["ultimate"] == pytest.approx(r["latest_cum"], rel=1e-6)
+        else:
+            assert r["ultimate"] >= r["latest_cum"] * (1 - 1e-9)
