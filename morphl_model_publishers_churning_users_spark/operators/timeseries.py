@@ -7029,7 +7029,9 @@ def ts_anderson_darling(spark, sf_dir):
     give the decision. One fact aggregate + one ordered window."""
     from .ml import _ERFC_AS
 
-    daily = (
+    # ckpt: the day aggregate (the only fact pass) feeds BOTH the
+    # moment aggregate and the z-scoring branch (dup-scan sweep).
+    daily = ckpt(
         t(spark, sf_dir, "orders")
         .groupBy(F.col("o_orderdate").cast("date").alias("day"))
         .agg((F.sum(q6dec(F.col("o_totalprice"))).cast("double") / F.lit(1e6)).alias("x"))
