@@ -6752,3 +6752,162 @@ def ml_covariate_balance(spark, sf_dir):
         q6((F.col("mwt") - F.col("mwc")) / pooled).alias("smd_weighted"),
         (F.abs((F.col("mwt") - F.col("mwc")) / pooled) < 0.1).alias("balanced"),
     )
+
+
+@register(
+    "ml_yuen_trimmed_t",
+    oracle=f"""
+WITH per_user AS (
+    SELECT user_id, user_id % 2 AS arm,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN CAST(FLOOR(value * 1e6 + 0.5) AS DECIMAL(38,6))
+                         ELSE 0 END) AS BIGINT) AS yq
+    FROM events GROUP BY user_id
+), ranked AS (
+    SELECT arm, yq,
+           CAST(ROW_NUMBER() OVER (PARTITION BY arm ORDER BY yq, user_id)
+                AS BIGINT) AS rn,
+           CAST(COUNT(*) OVER (PARTITION BY arm) AS BIGINT) AS n
+    FROM per_user
+), gs AS (
+    SELECT arm, yq, rn, n, CAST(n // 10 AS BIGINT) AS g FROM ranked
+), wins AS (
+    SELECT arm, n, g,
+           CASE WHEN rn <= g THEN lo WHEN rn > n - g THEN hi ELSE yq END AS wq,
+           CASE WHEN rn > g AND rn <= n - g THEN yq END AS tq
+    FROM (
+        SELECT *,
+               MAX(CASE WHEN rn = g + 1 THEN yq END) OVER (PARTITION BY arm) AS lo,
+               MAX(CASE WHEN rn = n - g THEN yq END) OVER (PARTITION BY arm) AS hi
+        FROM gs
+    )
+), m AS (
+    SELECT arm, ANY_VALUE(n) AS n, ANY_VALUE(g) AS g,
+           CAST(ANY_VALUE(n) - 2 * ANY_VALUE(g) AS DOUBLE) AS h,
+           CAST(SUM(tq) AS DOUBLE) / 1e6 / (ANY_VALUE(n) - 2 * ANY_VALUE(g))
+               AS mt,
+           (CAST(SUM(CAST(wq AS HUGEINT) * wq) AS DOUBLE) / 1e12
+            - (CAST(SUM(wq) AS DOUBLE) / 1e6) * (CAST(SUM(wq) AS DOUBLE) / 1e6)
+              / ANY_VALUE(n))
+           / (ANY_VALUE(n) - 1.0) AS sw2
+    FROM wins GROUP BY arm
+), stat AS (
+    SELECT
+        (SELECT mt FROM m WHERE arm = 1) - (SELECT mt FROM m WHERE arm = 0) AS diff,
+        (SELECT (n - 1.0) * sw2 / (h * (h - 1.0)) FROM m WHERE arm = 1)
+        + (SELECT (n - 1.0) * sw2 / (h * (h - 1.0)) FROM m WHERE arm = 0) AS d,
+        (SELECT CAST(n AS BIGINT) FROM m WHERE arm = 1)
+        + (SELECT CAST(n AS BIGINT) FROM m WHERE arm = 0) AS n_users,
+        (SELECT CAST(g AS BIGINT) FROM m WHERE arm = 1) AS g1
+)
+SELECT n_users, g1 AS trimmed_per_side,
+       FLOOR(diff * 1000000 + 0.5) / 1000000 AS trimmed_diff,
+       FLOOR(diff / sqrt(d) * 1000000 + 0.5) / 1000000 AS t_stat,
+       FLOOR((1.0 - {_ERFC_AS.format(x="abs(diff / sqrt(d)) / sqrt(2.0)")})
+             * 1000000 + 0.5) / 1000000 AS p_value
+FROM stat
+""",
+)
+def ml_yuen_trimmed_t(spark, sf_dir):
+    """Yuen's trimmed-means t-test (10% per side) for the A/B spend
+    difference — the ROBUST middle ground the family was missing:
+    agg_welch_ttest is wrecked by heavy tails, agg_mann_whitney
+    changes the null to stochastic dominance; Yuen keeps 'difference
+    of (trimmed) means' semantics with outlier resistance. Trimmed
+    means over EXACT order statistics (micro-BIGINT, user_id
+    tiebreak), winsorized variances from integer-exact sums (HUGEINT
+    squares on the DuckDB side, decimal-free since winsorized values
+    are bounded), standard error (n-1)s_w^2/(h(h-1)) per Yuen 1974,
+    p by normal approximation through the shared erf polynomial
+    (documented — exact small-sample Yuen needs the t table). One
+    user aggregate + one per-arm ordered window."""
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,6)"),
+            ).otherwise(F.lit(0).cast("decimal(38,6)"))
+        )
+        .cast("bigint")
+        .alias("yq"),
+        F.first(F.col("user_id") % 2).alias("arm"),
+    ).select("user_id", "arm", "yq")
+    wr = Window.partitionBy("arm").orderBy("yq", "user_id")
+    wa = Window.partitionBy("arm")
+    ranked = per_user.select(
+        "arm",
+        "yq",
+        F.row_number().over(wr).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(wa).cast("bigint").alias("n"),
+    ).withColumn("g", (F.col("n") / 10).cast("bigint"))
+    bounds = ranked.select(
+        "*",
+        F.max(F.when(F.col("rn") == F.col("g") + 1, F.col("yq"))).over(wa).alias("lo"),
+        F.max(F.when(F.col("rn") == F.col("n") - F.col("g"), F.col("yq"))).over(wa).alias("hi"),
+    )
+    wins = bounds.select(
+        "arm",
+        "n",
+        "g",
+        F.when(F.col("rn") <= F.col("g"), F.col("lo"))
+        .when(F.col("rn") > F.col("n") - F.col("g"), F.col("hi"))
+        .otherwise(F.col("yq"))
+        .alias("wq"),
+        F.when(
+            (F.col("rn") > F.col("g")) & (F.col("rn") <= F.col("n") - F.col("g")),
+            F.col("yq"),
+        ).alias("tq"),
+    )
+    m = ckpt(
+        wins.groupBy("arm").agg(
+            F.any_value("n").alias("n"),
+            F.any_value("g").alias("g"),
+            (F.any_value("n") - 2 * F.any_value("g")).cast("double").alias("h"),
+            (
+                F.sum("tq").cast("double")
+                / F.lit(1e6)
+                / (F.any_value("n") - 2 * F.any_value("g"))
+            ).alias("mt"),
+            (
+                (
+                    F.sum(F.col("wq").cast("decimal(38,0)") * F.col("wq")).cast("double")
+                    / F.lit(1e12)
+                    - (F.sum("wq").cast("double") / F.lit(1e6))
+                    * (F.sum("wq").cast("double") / F.lit(1e6))
+                    / F.any_value("n")
+                )
+                / (F.any_value("n") - F.lit(1.0))
+            ).alias("sw2"),
+        )
+    )
+    side = lambda a, pre: F.broadcast(
+        m.filter(F.col("arm") == a).select(
+            F.col("mt").alias(f"mt{pre}"),
+            (
+                (F.col("n") - F.lit(1.0))
+                * F.col("sw2")
+                / (F.col("h") * (F.col("h") - F.lit(1.0)))
+            ).alias(f"d{pre}"),
+            F.col("n").alias(f"n{pre}"),
+            F.col("g").alias(f"g{pre}"),
+        )
+    )
+    stat = side(1, "1").crossJoin(side(0, "0")).select(
+        (F.col("mt1") - F.col("mt0")).alias("diff"),
+        (F.col("d1") + F.col("d0")).alias("d"),
+        (F.col("n1") + F.col("n0")).cast("bigint").alias("n_users"),
+        F.col("g1").cast("bigint").alias("trimmed_per_side"),
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    tstat = F.col("diff") / F.sqrt("d")
+    return stat.select(
+        "n_users",
+        "trimmed_per_side",
+        q6(F.col("diff")).alias("trimmed_diff"),
+        q6(tstat).alias("t_stat"),
+        q6(
+            F.lit(1.0)
+            - F.expr(_ERFC_AS.format(x="abs(diff / sqrt(d)) / sqrt(2.0)"))
+        ).alias("p_value"),
+    )

@@ -7210,3 +7210,101 @@ def ts_chain_ladder(spark, sf_dir):
             ),
         )
     )
+
+
+def _absorbing_oracle(steps: int = 8) -> str:
+    """Unrolled value-iteration CTEs v1..v{steps} for the absorbing
+    chain (purchase absorbing), mirroring the Spark loop."""
+    ctes = [
+        """seq AS MATERIALIZED (
+    SELECT user_id, event_type AS s,
+           LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS nxt
+    FROM events
+)""",
+        """tm AS MATERIALIZED (
+    SELECT s, nxt AS d, CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE nxt IS NOT NULL AND s <> 'purchase'
+    GROUP BY 1, 2
+)""",
+        """tp AS MATERIALIZED (
+    SELECT s, d,
+           FLOOR(CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY s) * 1e12 + 0.5) / 1e12 AS p
+    FROM tm
+)""",
+        """states AS (SELECT DISTINCT s FROM tp)""",
+        """v0 AS (SELECT s, 0.0 AS v FROM states)""",
+    ]
+    for k in range(1, steps + 1):
+        ctes.append(
+            f"""v{k} AS MATERIALIZED (
+    SELECT t.s,
+           FLOOR(SUM(t.p * (CASE WHEN t.d = 'purchase' THEN 1.0
+                                 ELSE COALESCE(v.v, 0.0) END))
+                 * 1e12 + 0.5) / 1e12 AS v
+    FROM tp t LEFT JOIN v{k - 1} v ON v.s = t.d
+    GROUP BY 1
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT s AS state,
+       FLOOR(v * 1000000 + 0.5) / 1000000 AS p_absorb_8
+FROM v{steps}
+"""
+    )
+
+
+@register("ts_absorbing_markov", oracle=_absorbing_oracle())
+def ts_absorbing_markov(spark, sf_dir):
+    """Absorbing-Markov conversion probability — from each event state,
+    the probability of reaching PURCHASE within 8 transitions under
+    the empirical chain: the principled funnel metric that raw
+    conversion rates (path-blind) and linear attribution (order-blind)
+    both approximate. Value iteration v_{{k+1}}(s) = sum_t P(s->t)
+    [t = purchase ? 1 : v_k(t)] with purchase absorbing, unrolled 8
+    rounds — each round ONE join of the O(states^2) transition table
+    (built once from the user-ordered event stream, the same shuffle
+    ts_markov_transitions uses) against the O(states) value vector.
+    Transition probs and every iterate are q12-quantized, so the
+    trajectory is engine-exact; monotone convergence of the iterates
+    is asserted in tests (v_k is nondecreasing in k for absorbing
+    chains)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("s"), F.lead("event_type").over(w).alias("d")
+    ).filter(F.col("d").isNotNull() & (F.col("s") != "purchase"))
+    tm = ckpt(seq.groupBy("s", "d").agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    q12 = lambda c: F.floor(c * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12)
+    tp = ckpt(
+        tm.select(
+            "s",
+            "d",
+            q12(
+                F.col("n").cast("double")
+                / F.sum("n").over(Window.partitionBy("s"))
+            ).alias("p"),
+        )
+    )
+    v = tp.select("s").distinct().select("s", F.lit(0.0).alias("v"))
+    for _ in range(8):
+        v = ckpt(
+            tp.join(v.select(F.col("s").alias("d"), "v"), "d", "left")
+            .groupBy("s")
+            .agg(
+                q12(
+                    F.sum(
+                        F.col("p")
+                        * F.when(F.col("d") == "purchase", F.lit(1.0)).otherwise(
+                            F.coalesce(F.col("v"), F.lit(0.0))
+                        )
+                    )
+                ).alias("v")
+            )
+        )
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return v.select(F.col("s").alias("state"), q6(F.col("v")).alias("p_absorb_8"))

@@ -615,6 +615,8 @@ _KEY_RANK: dict[str, int] = {
     "ts_anderson_darling": 9,
     "ml_covariate_balance": 9,
     "ts_chain_ladder": 9,
+    "ts_absorbing_markov": 9,
+    "ml_yuen_trimmed_t": 9,
 }
 
 

@@ -2145,3 +2145,84 @@ def test_chain_ladder_reconciles_and_projects_upward(spark, sf_dir):
             assert r["ultimate"] == pytest.approx(r["latest_cum"], rel=1e-6)
         else:
             assert r["ultimate"] >= r["latest_cum"] * (1 - 1e-9)
+
+
+def test_absorbing_markov_probabilities_valid_and_dominated(spark, sf_dir):
+    """p in [0,1] per state; running one MORE value-iteration step in
+    python from the engine's own transition frame never DEcreases any
+    state's probability (monotone convergence of absorbing chains)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    rows = {r["state"]: r["p_absorb_8"] for r in _Q["ts_absorbing_markov"](spark, sf_dir).collect()}
+    assert rows and all(0.0 <= p <= 1.0 + 1e-9 for p in rows.values())
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tm = (
+        tbl(spark, sf_dir, "events")
+        .select(F.col("event_type").alias("s"), F.lead("event_type").over(w).alias("d"))
+        .filter(F.col("d").isNotNull() & (F.col("s") != "purchase"))
+        .groupBy("s", "d")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    tot: dict = {}
+    for r in tm:
+        tot[r["s"]] = tot.get(r["s"], 0) + r["n"]
+    nxt = {}
+    for s in rows:
+        v = 0.0
+        for r in tm:
+            if r["s"] != s:
+                continue
+            p = r["n"] / tot[s]
+            v += p * (1.0 if r["d"] == "purchase" else rows.get(r["d"], 0.0))
+        nxt[s] = v
+    for s, p in rows.items():
+        assert nxt[s] >= p - 1e-6  # one more step can only help
+
+
+def test_yuen_matches_python_trim_winsor(spark, sf_dir):
+    """Trimmed means and the t statistic match an exact python
+    recompute with the same 10% order-stat trimming."""
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    r = _Q["ml_yuen_trimmed_t"](spark, sf_dir).collect()[0]
+    pu = (
+        tbl(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.floor(F.col("value") * 1e6 + 0.5).cast("long"),
+                ).otherwise(F.lit(0))
+            ).alias("yq")
+        )
+        .collect()
+    )
+    arms = {0: [], 1: []}
+    for row in pu:
+        arms[row["user_id"] % 2].append((row["yq"], row["user_id"]))
+    stats = {}
+    for a, vals in arms.items():
+        vals.sort()
+        n = len(vals)
+        g = n // 10
+        trimmed = [v for v, _ in vals[g : n - g]]
+        lo, hi = vals[g][0], vals[n - g - 1][0]
+        wins = [max(min(v, hi), lo) for v, _ in vals]
+        h = n - 2 * g
+        mt = sum(trimmed) / 1e6 / h
+        sw = sum(wins) / 1e6
+        sww = sum(v * v for v in wins) / 1e12
+        sw2 = (sww - sw * sw / n) / (n - 1)
+        stats[a] = (mt, (n - 1) * sw2 / (h * (h - 1)), n, g)
+    diff = stats[1][0] - stats[0][0]
+    d = stats[1][1] + stats[0][1]
+    assert r["trimmed_diff"] == pytest.approx(diff, abs=1e-4)
+    assert r["t_stat"] == pytest.approx(diff / d**0.5, abs=1e-4)
+    assert r["n_users"] == stats[1][2] + stats[0][2]
+    assert r["trimmed_per_side"] == stats[1][3]
+    assert 0.0 <= r["p_value"] <= 1.0
