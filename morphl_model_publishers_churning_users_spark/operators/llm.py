@@ -5319,3 +5319,101 @@ def llm_greedy_coverage(spark, sf_dir):
             ).alias("coverage_pct"),
         )
     )
+
+
+@register(
+    "llm_hill_tail_index",
+    oracle=r"""
+WITH words AS (
+    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+    FROM documents WHERE length(trim(text)) > 0
+), freqs AS (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS f FROM words GROUP BY 1
+), ranked AS (
+    SELECT f, CAST(ROW_NUMBER() OVER (ORDER BY f DESC, word) AS BIGINT) AS rn,
+           CAST(COUNT(*) OVER () AS BIGINT) AS v
+    FROM freqs
+), k AS (
+    SELECT CAST(GREATEST(v // 10, 5) AS BIGINT) AS k, v FROM ranked WHERE rn = 1
+), hill AS (
+    SELECT k.k, k.v,
+           (SELECT f FROM ranked WHERE rn = k.k + 1) AS fk1,
+           CAST(SUM(CASE WHEN r.rn <= k.k
+                         THEN CAST(FLOOR(ln(CAST(r.f AS DOUBLE)
+                                   / (SELECT f FROM ranked WHERE rn = k.k + 1))
+                                   * 1e9 + 0.5) AS DECIMAL(38,9))
+                         ELSE 0 END) AS DOUBLE) / 1e9 AS slogs
+    FROM ranked r, k
+    GROUP BY 1, 2, 3
+)
+SELECT v AS vocab_size, k AS k_top, fk1 AS threshold_freq,
+       FLOOR(CAST(k AS DOUBLE) / slogs * 1000000 + 0.5) / 1000000 AS hill_alpha,
+       FLOOR(slogs / k * 1000000 + 0.5) / 1000000 AS mean_log_excess
+FROM hill
+""",
+)
+def llm_hill_tail_index(spark, sf_dir):
+    """Hill estimator of the word-frequency tail index — the MLE
+    counterpart to llm_zipf_fit's regression slope: alpha =
+    k / sum_{i<=k} ln(f_(i)/f_(k+1)) over the top-k order statistics,
+    the standard measure of HOW heavy the head of a corpus is
+    (heavier head -> dedup and stopword policies bite harder; the two
+    estimators disagreeing is itself a deviation-from-power-law
+    signal). k adapts as max(vocab/10, 5). Exact integer frequency
+    ranks (word tiebreak), each log-excess q9-quantized into a
+    DECIMAL sum, one division at the end. One token aggregate + one
+    ordered window over the vocabulary frame."""
+    d = t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    freqs = ckpt(
+        d.select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    ranked = ckpt(
+        freqs.select(
+            "f",
+            F.row_number()
+            .over(Window.orderBy(F.desc("f"), F.asc("word")))
+            .cast("bigint")
+            .alias("rn"),
+        ).crossJoin(
+            F.broadcast(freqs.agg(F.count(F.lit(1)).cast("bigint").alias("v")))
+        )
+    )
+    k = ranked.filter(F.col("rn") == 1).select(
+        F.greatest((F.col("v") / 10).cast("bigint"), F.lit(5).cast("bigint")).alias("k")
+    )
+    fk1 = (
+        ranked.crossJoin(F.broadcast(k))
+        .filter(F.col("rn") == F.col("k") + 1)
+        .select(F.col("f").alias("fk1"))
+    )
+    q9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+    hill = (
+        ranked.crossJoin(F.broadcast(k))
+        .crossJoin(F.broadcast(fk1))
+        .filter(F.col("rn") <= F.col("k"))
+        .agg(
+            F.any_value("k").alias("k"),
+            F.any_value("v").alias("v"),
+            F.any_value("fk1").alias("fk1"),
+            (
+                F.sum(
+                    F.floor(
+                        q9(F.log(F.col("f").cast("double") / F.col("fk1")))
+                        * F.lit(1e9)
+                        + F.lit(0.5)
+                    ).cast("decimal(38,9)")
+                ).cast("double")
+                / F.lit(1e9)
+            ).alias("slogs"),
+        )
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return hill.select(
+        F.col("v").alias("vocab_size"),
+        F.col("k").alias("k_top"),
+        F.col("fk1").alias("threshold_freq"),
+        q6(F.col("k").cast("double") / F.col("slogs")).alias("hill_alpha"),
+        q6(F.col("slogs") / F.col("k")).alias("mean_log_excess"),
+    )

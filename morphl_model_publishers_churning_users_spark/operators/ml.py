@@ -6911,3 +6911,91 @@ def ml_yuen_trimmed_t(spark, sf_dir):
             - F.expr(_ERFC_AS.format(x="abs(diff / sqrt(d)) / sqrt(2.0)"))
         ).alias("p_value"),
     )
+
+
+@register(
+    "ml_harrell_c",
+    oracle="""
+WITH per_user AS (
+    SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+           CAST(COUNT(*) AS BIGINT) AS x
+    FROM events GROUP BY user_id
+), h AS (SELECT MAX(last_ts) AS hz FROM per_user),
+users AS (
+    SELECT (epoch_us(last_ts) - epoch_us(first_ts)) // 3600000000 AS th,
+           CASE WHEN last_ts < h.hz - INTERVAL 12 HOUR THEN 1 ELSE 0 END AS churned,
+           x
+    FROM per_user, h
+), cells AS (
+    SELECT th, x, CAST(COUNT(*) AS BIGINT) AS c,
+           CAST(SUM(churned) AS BIGINT) AS ce
+    FROM users GROUP BY 1, 2
+), pairs AS (
+    SELECT CAST(SUM(a.ce * b.c) AS BIGINT) AS comparable,
+           CAST(SUM(CASE WHEN a.x > b.x THEN a.ce * b.c ELSE 0 END) AS BIGINT)
+               AS concordant,
+           CAST(SUM(CASE WHEN a.x = b.x THEN a.ce * b.c ELSE 0 END) AS BIGINT)
+               AS tied
+    FROM cells a JOIN cells b ON a.th < b.th
+)
+SELECT comparable, concordant, tied,
+       FLOOR(CAST(2 * concordant + tied AS DOUBLE) / (2 * comparable)
+             * 1000000 + 0.5) / 1000000 AS c_index
+FROM pairs
+""",
+)
+def ml_harrell_c(spark, sf_dir):
+    """Harrell's concordance index for the churn-survival setting —
+    THE discrimination metric for time-to-event models (AUC's
+    censoring-aware generalization): over comparable pairs (i churned
+    at t_i, j still at risk past t_i), how often does the risk score
+    (activity volume) rank them correctly? Ties in risk score 0.5.
+    The scalable shape: users collapse to (tenure, score) CELLS with
+    churn counts, and the pair count becomes a weighted CELL x CELL
+    join on tenure order — pairs of a bounded post-aggregate frame,
+    never user x user. Everything stays integer (2*conc + ties over
+    2*comparable defers the half-credit to one exact division). Same
+    tenure/censor frame as the rest of the survival family."""
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).cast("bigint").alias("x"),
+    )
+    horizon = per_user.agg(F.max("last_ts").alias("hz"))
+    users = per_user.crossJoin(F.broadcast(horizon)).select(
+        F.floor(
+            F.expr("timestampdiff(MICROSECOND, first_ts, last_ts)") / F.lit(3600000000)
+        ).alias("th"),
+        F.when(F.col("hz") - F.expr("INTERVAL 12 HOUR") > F.col("last_ts"), 1)
+        .otherwise(0)
+        .alias("churned"),
+        "x",
+    )
+    cells = ckpt(
+        users.groupBy("th", "x").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+            F.sum("churned").cast("bigint").alias("ce"),
+        )
+    )
+    a = cells.select(F.col("th").alias("ta"), F.col("x").alias("xa"), F.col("ce").alias("cea"))
+    b = cells.select(F.col("th").alias("tb"), F.col("x").alias("xb"), F.col("c").alias("cb"))
+    pairs = a.join(b, F.col("ta") < F.col("tb")).agg(
+        F.sum(F.col("cea") * F.col("cb")).cast("bigint").alias("comparable"),
+        F.sum(F.when(F.col("xa") > F.col("xb"), F.col("cea") * F.col("cb")).otherwise(0))
+        .cast("bigint")
+        .alias("concordant"),
+        F.sum(F.when(F.col("xa") == F.col("xb"), F.col("cea") * F.col("cb")).otherwise(0))
+        .cast("bigint")
+        .alias("tied"),
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return pairs.select(
+        "comparable",
+        "concordant",
+        "tied",
+        q6(
+            (F.lit(2) * F.col("concordant") + F.col("tied")).cast("double")
+            / (F.lit(2) * F.col("comparable"))
+        ).alias("c_index"),
+    )

@@ -617,6 +617,8 @@ _KEY_RANK: dict[str, int] = {
     "ts_chain_ladder": 9,
     "ts_absorbing_markov": 9,
     "ml_yuen_trimmed_t": 9,
+    "ml_harrell_c": 9,
+    "llm_hill_tail_index": 9,
 }
 
 

@@ -2226,3 +2226,71 @@ def test_yuen_matches_python_trim_winsor(spark, sf_dir):
     assert r["n_users"] == stats[1][2] + stats[0][2]
     assert r["trimmed_per_side"] == stats[1][3]
     assert 0.0 <= r["p_value"] <= 1.0
+
+
+def test_harrell_c_matches_brute_force(spark, sf_dir):
+    """The cell-weighted concordance equals a brute-force user-pair
+    recount (censoring semantics included)."""
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    r = _Q["ml_harrell_c"](spark, sf_dir).collect()[0]
+    pu = (
+        tbl(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("f"), F.max("ts").alias("l"), F.count(F.lit(1)).alias("x"))
+        .collect()
+    )
+    hz = max(row["l"] for row in pu)
+    users = [
+        (
+            int((row["l"] - row["f"]).total_seconds() // 3600),
+            1 if (hz - row["l"]).total_seconds() > 12 * 3600 else 0,
+            row["x"],
+        )
+        for row in pu
+    ]
+    comp = conc = tied = 0
+    for ti, di, xi in users:
+        if di != 1:
+            continue
+        for tj, dj, xj in users:
+            if tj > ti:
+                comp += 1
+                conc += xi > xj
+                tied += xi == xj
+    assert (r["comparable"], r["concordant"], r["tied"]) == (comp, conc, tied)
+    assert r["c_index"] == pytest.approx((2 * conc + tied) / (2 * comp), abs=1e-6)
+    assert 0.0 <= r["c_index"] <= 1.0
+
+
+def test_hill_alpha_matches_python(spark, sf_dir):
+    """hill_alpha reproduces from a python recount of the top-k token
+    frequencies with the same quantized logs; alpha is positive."""
+    import math
+
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    r = _Q["llm_hill_tail_index"](spark, sf_dir).collect()[0]
+    freqs = sorted(
+        (
+            (row["f"], row["word"])
+            for row in tbl(spark, sf_dir, "documents")
+            .filter(F.length(F.trim("text")) > 0)
+            .select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("f"))
+            .collect()
+        ),
+        key=lambda p: (-p[0], p[1]),
+    )
+    v = len(freqs)
+    k = max(v // 10, 5)
+    assert (r["vocab_size"], r["k_top"]) == (v, k)
+    fk1 = freqs[k][0]
+    assert r["threshold_freq"] == fk1
+    q9 = lambda x: math.floor(x * 1e9 + 0.5) / 1e9
+    slogs = sum(math.floor(q9(math.log(f / fk1)) * 1e9 + 0.5) for f, _ in freqs[:k]) / 1e9
+    assert r["hill_alpha"] == pytest.approx(k / slogs, abs=1e-4)
+    assert r["hill_alpha"] > 0
