@@ -6999,3 +6999,149 @@ def ml_harrell_c(spark, sf_dir):
             / (F.lit(2) * F.col("comparable"))
         ).alias("c_index"),
     )
+
+
+@register(
+    "ml_brier_decomposition",
+    oracle="""
+WITH u AS (
+    SELECT user_id, MAX(ts) AS last_ts FROM events GROUP BY user_id
+), m AS (
+    SELECT MAX(last_ts) AS cmax FROM u
+), s AS (
+    SELECT user_id,
+           epoch_us(m.cmax) - epoch_us(last_ts) AS rec,
+           CASE WHEN last_ts < TIMESTAMP '2024-01-29 20:00:00' THEN 1 ELSE 0 END
+               AS churned
+    FROM u, m
+), mx AS (SELECT CAST(GREATEST(MAX(rec), 1) AS DOUBLE) AS maxrec FROM s),
+p AS (
+    SELECT churned,
+           FLOOR(rec / mx.maxrec * 1000000000 + 0.5) / 1000000000 AS phat
+    FROM s, mx
+), binned AS (
+    SELECT LEAST(CAST(FLOOR(phat * 10) AS BIGINT), 9) AS b, phat, churned FROM p
+), per_bin AS (
+    SELECT b, CAST(COUNT(*) AS BIGINT) AS nb,
+           CAST(SUM(CAST(FLOOR(phat * 1e9 + 0.5) AS DECIMAL(38,9))) AS DOUBLE) / 1e9
+               AS sp,
+           CAST(SUM(CAST(FLOOR(phat * phat * 1e12 + 0.5) AS DECIMAL(38,12)))
+                AS DOUBLE) / 1e12 AS spp,
+           CAST(SUM(churned) AS BIGINT) AS so
+    FROM binned GROUP BY 1
+), tot AS (
+    SELECT CAST(SUM(nb) AS BIGINT) AS n,
+           CAST(SUM(so) AS DOUBLE) / SUM(nb) AS obar
+    FROM per_bin
+), parts AS (
+    SELECT
+        CAST(SUM(CAST(FLOOR(nb * (sp / nb - CAST(so AS DOUBLE) / nb)
+                            * (sp / nb - CAST(so AS DOUBLE) / nb) * 1e9 + 0.5)
+                      AS DECIMAL(38,9))) AS DOUBLE) / 1e9 / t.n AS rel,
+        CAST(SUM(CAST(FLOOR(nb * (CAST(so AS DOUBLE) / nb - t.obar)
+                            * (CAST(so AS DOUBLE) / nb - t.obar) * 1e9 + 0.5)
+                      AS DECIMAL(38,9))) AS DOUBLE) / 1e9 / t.n AS res,
+        CAST(SUM(CAST(FLOOR((spp - sp * sp / nb) * 1e9 + 0.5)
+                      AS DECIMAL(38,9))) AS DOUBLE) / 1e9 / t.n AS wbv,
+        t.obar * (1.0 - t.obar) AS unc,
+        t.n
+    FROM per_bin, tot t
+    GROUP BY t.obar, t.n
+)
+SELECT n AS n_users,
+       FLOOR(rel * 1000000 + 0.5) / 1000000 AS reliability,
+       FLOOR(res * 1000000 + 0.5) / 1000000 AS resolution,
+       FLOOR(unc * 1000000 + 0.5) / 1000000 AS uncertainty,
+       FLOOR(wbv * 1000000 + 0.5) / 1000000 AS within_bin_var,
+       FLOOR((rel - res + unc + wbv) * 1000000 + 0.5) / 1000000
+           AS brier_reconstructed
+FROM parts
+""",
+)
+def ml_brier_decomposition(spark, sf_dir):
+    """Murphy decomposition of the Brier score — reliability (how far
+    binned forecasts sit from observed rates: LOWER is better-
+    calibrated), resolution (how much the bins separate outcomes:
+    HIGHER is more informative), uncertainty (the base-rate floor no
+    forecaster can beat), plus the within-bin forecast variance term
+    that makes the identity EXACT for binned continuous forecasts:
+    Brier = REL - RES + UNC + WBV (asserted against ml_brier_score in
+    tests). Same (phat, churned) frame as ml_brier_score (shared
+    _rec_scored helper / textually-mirrored CTEs); 10 fixed bins; all
+    bin moments in DECIMAL, bin terms quantized before the cross-bin
+    sum. Turns the single Brier number into the WHY — calibration
+    problem vs discrimination problem — for the cost of one extra
+    10-row aggregate."""
+    q9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    s = _rec_scored(spark, sf_dir)
+    mx = s.agg(F.greatest(F.max("rec"), F.lit(1)).cast("double").alias("maxrec"))
+    p = s.crossJoin(F.broadcast(mx)).select(
+        "churned", q9(F.col("rec") / F.col("maxrec")).alias("phat")
+    )
+    binned = p.select(
+        F.least(F.floor(F.col("phat") * 10).cast("bigint"), F.lit(9).cast("bigint")).alias("b"),
+        "phat",
+        "churned",
+    )
+    per_bin = ckpt(
+        binned.groupBy("b").agg(
+            F.count(F.lit(1)).cast("bigint").alias("nb"),
+            (
+                F.sum(F.floor(F.col("phat") * F.lit(1e9) + F.lit(0.5)).cast("decimal(38,9)"))
+                .cast("double")
+                / F.lit(1e9)
+            ).alias("sp"),
+            (
+                F.sum(
+                    F.floor(F.col("phat") * F.col("phat") * F.lit(1e12) + F.lit(0.5)).cast(
+                        "decimal(38,12)"
+                    )
+                ).cast("double")
+                / F.lit(1e12)
+            ).alias("spp"),
+            F.sum("churned").cast("bigint").alias("so"),
+        )
+    )
+    tot = per_bin.agg(
+        F.sum("nb").cast("bigint").alias("n"),
+        (F.sum("so").cast("double") / F.sum("nb")).alias("obar"),
+    )
+    q9sum = lambda c: (
+        F.sum(F.floor(c * F.lit(1e9) + F.lit(0.5)).cast("decimal(38,9)")).cast("double")
+        / F.lit(1e9)
+    )
+    pbar = F.col("sp") / F.col("nb")
+    obin = F.col("so").cast("double") / F.col("nb")
+    parts = (
+        per_bin.crossJoin(F.broadcast(tot))
+        .groupBy("obar", "n")
+        .agg(
+            (q9sum(F.col("nb") * (pbar - obin) * (pbar - obin)) / F.first("n")).alias("rel"),
+            (
+                q9sum(F.col("nb") * (obin - F.col("obar")) * (obin - F.col("obar")))
+                / F.first("n")
+            ).alias("res"),
+            (
+                q9sum(F.col("spp") - F.col("sp") * F.col("sp") / F.col("nb"))
+                / F.first("n")
+            ).alias("wbv"),
+        )
+        .select(
+            "n",
+            "rel",
+            "res",
+            "wbv",
+            (F.col("obar") * (F.lit(1.0) - F.col("obar"))).alias("unc"),
+        )
+    )
+    return parts.select(
+        F.col("n").alias("n_users"),
+        q6(F.col("rel")).alias("reliability"),
+        q6(F.col("res")).alias("resolution"),
+        q6(F.col("unc")).alias("uncertainty"),
+        q6(F.col("wbv")).alias("within_bin_var"),
+        q6(F.col("rel") - F.col("res") + F.col("unc") + F.col("wbv")).alias(
+            "brier_reconstructed"
+        ),
+    )

@@ -7308,3 +7308,90 @@ def ts_absorbing_markov(spark, sf_dir):
         )
     q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
     return v.select(F.col("s").alias("state"), q6(F.col("v")).alias("p_absorb_8"))
+
+
+def _markov_entropy_oracle() -> str:
+    # Compose ts_markov_stationary's REGISTERED oracle as the pi CTE
+    # (splice discipline); re-derive the transition matrix with the
+    # textually identical trans/probs spelling that op uses.
+    from ..registry import ORACLES
+
+    return f"""
+WITH pi AS ({ORACLES["ts_markov_stationary"]}),
+trans2 AS MATERIALIZED (
+    SELECT prev, event_type AS nxt, COUNT(*) AS n
+    FROM (SELECT event_type,
+                 LAG(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+          FROM events)
+    WHERE prev IS NOT NULL
+    GROUP BY 1, 2
+), probs AS (
+    SELECT prev, nxt,
+           FLOOR(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev)
+                 * 1e12 + 0.5) / 1e12 AS p
+    FROM trans2
+), terms AS (
+    SELECT pi.stationary_prob
+               * pr.p * (FLOOR(ln(pr.p) * 1e9 + 0.5) / 1e9) AS tt
+    FROM probs pr JOIN pi ON pi.state = pr.prev
+)
+SELECT CAST((SELECT COUNT(*) FROM pi) AS BIGINT) AS n_states,
+       FLOOR(-CAST(SUM(CAST(FLOOR(tt * 1e12 + 0.5) AS DECIMAL(38,12)))
+                   AS DOUBLE) / 1e12 * 1000000 + 0.5) / 1000000
+           AS entropy_rate_nats,
+       FLOOR(exp(FLOOR(-CAST(SUM(CAST(FLOOR(tt * 1e12 + 0.5) AS DECIMAL(38,12)))
+                             AS DOUBLE) / 1e12 * 1e9 + 0.5) / 1e9)
+             * 1000000 + 0.5) / 1000000 AS perplexity
+FROM terms
+"""
+
+
+@register("ts_markov_entropy_rate", oracle=_markov_entropy_oracle())
+def ts_markov_entropy_rate(spark, sf_dir):
+    """Entropy rate of the user-behavior Markov chain — H = -sum_s
+    pi_s sum_t P(s->t) ln P(s->t), the single number that says how
+    PREDICTABLE the next action is given the current one (its exp is
+    the effective branching factor / perplexity — the same quantity
+    language modeling optimizes, applied to the event stream; Song et
+    al.'s mobility-predictability bound is this statistic). Composes
+    the engine's own pieces: the stationary distribution comes from
+    calling ts_markov_stationary() (oracle splices its registered
+    text), the transition matrix re-derives with the identical
+    spelling, and the product terms ride q9/q12 quantization into one
+    DECIMAL sum. O(states^2) work after the one sequence shuffle."""
+    from .timeseries import ts_markov_stationary  # self-module, explicit
+
+    pi = ts_markov_stationary(spark, sf_dir).select(
+        F.col("state").alias("prev"), "stationary_prob"
+    )
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = ckpt(
+        ev.select(F.col("event_type").alias("nxt"), F.lag("event_type").over(w).alias("prev"))
+        .filter(F.col("prev").isNotNull())
+        .groupBy("prev", "nxt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q12 = lambda c: F.floor(c * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12)
+    q9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+    probs = trans.select(
+        "prev",
+        "nxt",
+        q12(F.col("n").cast("double") / F.sum("n").over(Window.partitionBy("prev"))).alias("p"),
+    )
+    terms = probs.join(F.broadcast(pi), "prev").select(
+        (F.col("stationary_prob") * F.col("p") * q9(F.log("p"))).alias("tt")
+    )
+    n_states = pi.count()  # bounded state-space scalar (same as graph loops)
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    h = (
+        -F.sum(F.floor(F.col("tt") * F.lit(1e12) + F.lit(0.5)).cast("decimal(38,12)"))
+        .cast("double")
+        / F.lit(1e12)
+    )
+    return terms.agg(h.alias("h")).select(
+        F.lit(n_states).cast("bigint").alias("n_states"),
+        q6(F.col("h")).alias("entropy_rate_nats"),
+        q6(F.exp(q9(F.col("h")))).alias("perplexity"),
+    )

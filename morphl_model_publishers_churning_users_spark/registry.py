@@ -619,6 +619,8 @@ _KEY_RANK: dict[str, int] = {
     "ml_yuen_trimmed_t": 9,
     "ml_harrell_c": 9,
     "llm_hill_tail_index": 9,
+    "ml_brier_decomposition": 9,
+    "ts_markov_entropy_rate": 9,
 }
 
 

@@ -2294,3 +2294,28 @@ def test_hill_alpha_matches_python(spark, sf_dir):
     slogs = sum(math.floor(q9(math.log(f / fk1)) * 1e9 + 0.5) for f, _ in freqs[:k]) / 1e9
     assert r["hill_alpha"] == pytest.approx(k / slogs, abs=1e-4)
     assert r["hill_alpha"] > 0
+
+
+def test_brier_decomposition_identity(spark, sf_dir):
+    """REL - RES + UNC + WBV reconstructs the Brier score reported by
+    ml_brier_score (the Murphy identity, exact for binned forecasts);
+    every component respects its sign/bounds."""
+    r = _Q["ml_brier_decomposition"](spark, sf_dir).collect()[0]
+    b = _Q["ml_brier_score"](spark, sf_dir).collect()[0]
+    assert r["n_users"] == b["n_users"]
+    assert r["brier_reconstructed"] == pytest.approx(b["brier"], abs=5e-5)
+    assert r["reliability"] >= 0.0 and r["resolution"] >= 0.0
+    assert 0.0 <= r["uncertainty"] <= 0.25 + 1e-9
+    assert r["within_bin_var"] >= 0.0
+    assert r["resolution"] <= r["uncertainty"] + 1e-6  # RES can't beat UNC
+
+
+def test_markov_entropy_bounded_by_uniform(spark, sf_dir):
+    """0 <= H <= ln(n_states); perplexity = exp(H) within rounding and
+    is at most the state count."""
+    import math
+
+    r = _Q["ts_markov_entropy_rate"](spark, sf_dir).collect()[0]
+    assert 0.0 <= r["entropy_rate_nats"] <= math.log(r["n_states"]) + 1e-6
+    assert r["perplexity"] == pytest.approx(math.exp(r["entropy_rate_nats"]), rel=1e-4)
+    assert 1.0 <= r["perplexity"] <= r["n_states"] + 1e-6
