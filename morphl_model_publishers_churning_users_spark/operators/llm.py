@@ -5417,3 +5417,114 @@ def llm_hill_tail_index(spark, sf_dir):
         q6(F.col("k").cast("double") / F.col("slogs")).alias("hill_alpha"),
         q6(F.col("slogs") / F.col("k")).alias("mean_log_excess"),
     )
+
+
+def _doclen_oracle() -> str:
+    from .ml import _ERFC_AS
+
+    phi = f"(0.5 * (1.0 + {_ERFC_AS.format(x='(z) / sqrt(2.0)')}))"
+    return f"""
+WITH lens AS (
+    SELECT FLOOR(ln(CAST(n_chars AS DOUBLE)) * 1e9 + 0.5) / 1e9 AS l
+    FROM documents WHERE n_chars > 0
+), mom AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(FLOOR(l * 1e9 + 0.5) AS DECIMAL(38,9))) AS DOUBLE) / 1e9
+               AS sl,
+           CAST(SUM(CAST(FLOOR(l * l * 1e9 + 0.5) AS DECIMAL(38,9))) AS DOUBLE) / 1e9
+               AS sll
+    FROM lens
+), par AS (
+    SELECT n, sl / n AS mu,
+           sqrt((sll - sl * sl / n) / (n - 1.0)) AS sigma
+    FROM mom
+), zs AS (
+    SELECT FLOOR((l.l - p.mu) / p.sigma * 1e9 + 0.5) / 1e9 AS z,
+           CAST(ROW_NUMBER() OVER (ORDER BY l.l) AS BIGINT) AS i, p.n
+    FROM lens l, par p
+), ks AS (
+    SELECT MAX(GREATEST(
+               abs(CAST(i AS DOUBLE) / n
+                   - (FLOOR({phi} * 1e9 + 0.5) / 1e9)),
+               abs((FLOOR({phi} * 1e9 + 0.5) / 1e9)
+                   - (CAST(i AS DOUBLE) - 1.0) / n))) AS d
+    FROM zs
+)
+SELECT CAST(p.n AS BIGINT) AS n_docs,
+       FLOOR(p.mu * 1000000 + 0.5) / 1000000 AS mu_log,
+       FLOOR(p.sigma * 1000000 + 0.5) / 1000000 AS sigma_log,
+       FLOOR(exp(FLOOR((p.mu + p.sigma * p.sigma / 2.0) * 1e9 + 0.5) / 1e9)
+             * 1000000 + 0.5) / 1000000 AS implied_mean_chars,
+       FLOOR(k.d * 1000000 + 0.5) / 1000000 AS ks_distance,
+       k.d > 1.358 / sqrt(p.n) AS reject_lognormal
+FROM par p, ks k
+"""
+
+
+@register("llm_doclen_lognormal", oracle=_doclen_oracle())
+def llm_doclen_lognormal(spark, sf_dir):
+    """Log-normal fit + one-sample KS test of the document-length
+    distribution — the canonical model for text lengths (products of
+    independent growth factors), and the statistic a curriculum or
+    packing policy (llm_pack, llm_token_budget_trim) should check
+    before assuming 'typical' lengths exist: a heavy-tailed rejection
+    means length-capping decisions move real mass. Fit is closed-form
+    (mu, sigma of ln n_chars, DECIMAL moments), the KS distance is the
+    exact sup over order statistics max(|i/n - Phi(z_i)|,
+    |Phi(z_i) - (i-1)/n|) with the shared erf-polynomial Phi, and the
+    1.358/sqrt(n) 5% asymptotic critical value gives the decision.
+    One scan + one ordered window; implied mean length exp(mu +
+    sigma^2/2) reported for the practitioner."""
+    from .ml import _ERFC_AS
+
+    q9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+    lens = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .select(q9(F.log(F.col("n_chars").cast("double"))).alias("l"))
+    )
+    lens = lens.localCheckpoint(eager=True)
+    q9sum = lambda c: (
+        F.sum(F.floor(c * F.lit(1e9) + F.lit(0.5)).cast("decimal(38,9)")).cast("double")
+        / F.lit(1e9)
+    )
+    mom = lens.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        q9sum(F.col("l")).alias("sl"),
+        q9sum(F.col("l") * F.col("l")).alias("sll"),
+    )
+    par = mom.select(
+        "n",
+        (F.col("sl") / F.col("n")).alias("mu"),
+        F.sqrt(
+            (F.col("sll") - F.col("sl") * F.col("sl") / F.col("n"))
+            / (F.col("n") - F.lit(1.0))
+        ).alias("sigma"),
+    )
+    zs = lens.crossJoin(F.broadcast(par)).select(
+        q9((F.col("l") - F.col("mu")) / F.col("sigma")).alias("z"),
+        F.row_number().over(Window.orderBy("l")).cast("bigint").alias("i"),
+        "n",
+    )
+    phi = q9(
+        F.expr("0.5 * (1.0 + " + _ERFC_AS.format(x="(z) / sqrt(2.0)") + ")")
+    )
+    ks = zs.agg(
+        F.max(
+            F.greatest(
+                F.abs(F.col("i").cast("double") / F.col("n") - phi),
+                F.abs(phi - (F.col("i").cast("double") - F.lit(1.0)) / F.col("n")),
+            )
+        ).alias("d")
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return par.crossJoin(F.broadcast(ks)).select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        q6(F.col("mu")).alias("mu_log"),
+        q6(F.col("sigma")).alias("sigma_log"),
+        q6(
+            F.exp(q9(F.col("mu") + F.col("sigma") * F.col("sigma") / F.lit(2.0)))
+        ).alias("implied_mean_chars"),
+        q6(F.col("d")).alias("ks_distance"),
+        (F.col("d") > F.lit(1.358) / F.sqrt("n")).alias("reject_lognormal"),
+    )

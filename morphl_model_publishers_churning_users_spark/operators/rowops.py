@@ -12,7 +12,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Window
 
 from ..registry import register
-from ._shared import t
+from ._shared import ckpt, t
 
 
 @register(
@@ -2032,4 +2032,62 @@ def dq_fd_discovery(spark, sf_dir):
         .alias("violating_determinants"),
         F.sum(F.col("rows_a") - F.col("best")).cast("bigint").alias("g3_rows_to_remove"),
         (F.sum(F.when(F.col("n_b") > 1, 1).otherwise(0)) == 0).alias("holds"),
+    )
+
+
+@register(
+    "dq_terminal_digit",
+    oracle="""
+WITH digits AS (
+    SELECT CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) % 10 AS BIGINT)
+               AS d
+    FROM orders
+), counts AS (
+    SELECT g.d, CAST(COUNT(digits.d) AS BIGINT) AS n
+    FROM generate_series(0, 9) g(d)
+    LEFT JOIN digits ON digits.d = g.d
+    GROUP BY 1
+), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM counts)
+SELECT c.d AS digit, c.n,
+       FLOOR(CAST(c.n AS DOUBLE) / tot.t * 1000000 + 0.5) / 1000000 AS share,
+       FLOOR((CAST(c.n AS DOUBLE) - tot.t / 10.0) * (c.n - tot.t / 10.0)
+             / (tot.t / 10.0) * 1000000 + 0.5) / 1000000 AS chi2_term
+FROM counts c, tot
+""",
+)
+def dq_terminal_digit(spark, sf_dir):
+    """Terminal-digit analysis of order totals — the forensic-
+    accounting complement to agg_benford: FIRST digits obey Benford on
+    natural data, but LAST (cents) digits should be near-UNIFORM;
+    humans inventing numbers avoid 0s and repeat favorites, and
+    price-point policies (.99) leave spikes — either way the per-digit
+    chi-square terms localize exactly WHICH digit misbehaves (Nigrini's
+    digit-preference test). The digit is exact integer arithmetic off
+    the half-up cents quantization (never float modulo), the 10-row
+    spine makes absent digits pay their expected count, and the whole
+    audit is one map-side-combinable aggregate."""
+    digits = (
+        t(spark, sf_dir, "orders")
+        .select(
+            (
+                F.floor(F.col("o_totalprice") * F.lit(100) + F.lit(0.5)).cast("bigint")
+                % 10
+            ).alias("d")
+        )
+    )
+    spine = spark.range(0, 10).select(F.col("id").cast("bigint").alias("d"))
+    counts = ckpt(
+        spine.join(digits.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("n")), "d", "left")
+        .select("d", F.coalesce("n", F.lit(0)).cast("bigint").alias("n"))
+    )
+    tot = counts.agg(F.sum("n").cast("bigint").alias("t"))
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    exp = F.col("t") / F.lit(10.0)
+    return counts.crossJoin(F.broadcast(tot)).select(
+        F.col("d").alias("digit"),
+        "n",
+        q6(F.col("n").cast("double") / F.col("t")).alias("share"),
+        q6((F.col("n").cast("double") - exp) * (F.col("n") - exp) / exp).alias(
+            "chi2_term"
+        ),
     )

@@ -621,6 +621,8 @@ _KEY_RANK: dict[str, int] = {
     "llm_hill_tail_index": 9,
     "ml_brier_decomposition": 9,
     "ts_markov_entropy_rate": 9,
+    "dq_terminal_digit": 9,
+    "llm_doclen_lognormal": 9,
 }
 
 

@@ -2319,3 +2319,48 @@ def test_markov_entropy_bounded_by_uniform(spark, sf_dir):
     assert 0.0 <= r["entropy_rate_nats"] <= math.log(r["n_states"]) + 1e-6
     assert r["perplexity"] == pytest.approx(math.exp(r["entropy_rate_nats"]), rel=1e-4)
     assert 1.0 <= r["perplexity"] <= r["n_states"] + 1e-6
+
+
+def test_terminal_digit_chi2_and_shares(spark, sf_dir):
+    """All ten digits present, shares sum to 1, chi2 terms are
+    nonnegative, and counts reconcile with the table size."""
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    rows = sorted(_Q["dq_terminal_digit"](spark, sf_dir).collect(), key=lambda r: r["digit"])
+    assert [r["digit"] for r in rows] == list(range(10))
+    n_orders = tbl(spark, sf_dir, "orders").count()
+    assert sum(r["n"] for r in rows) == n_orders
+    assert sum(r["share"] for r in rows) == pytest.approx(1.0, abs=1e-4)
+    for r in rows:
+        assert r["chi2_term"] >= 0.0
+
+
+def test_doclen_lognormal_fit_matches_numpy(spark, sf_dir):
+    """mu/sigma match numpy on ln(n_chars) (same q9 grain), the KS
+    distance is in [0,1], and the implied mean follows the lognormal
+    moment formula."""
+    import math
+
+    import numpy as np
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    r = _Q["llm_doclen_lognormal"](spark, sf_dir).collect()[0]
+    lens = np.array(
+        [
+            math.floor(math.log(row["n_chars"]) * 1e9 + 0.5) / 1e9
+            for row in tbl(spark, sf_dir, "documents")
+            .filter(F.col("n_chars") > 0)
+            .select("n_chars")
+            .collect()
+        ]
+    )
+    assert r["n_docs"] == len(lens)
+    assert r["mu_log"] == pytest.approx(lens.mean(), abs=1e-4)
+    assert r["sigma_log"] == pytest.approx(lens.std(ddof=1), abs=1e-4)
+    assert 0.0 <= r["ks_distance"] <= 1.0
+    assert r["implied_mean_chars"] == pytest.approx(
+        math.exp(r["mu_log"] + r["sigma_log"] ** 2 / 2), rel=1e-3
+    )
+    assert r["reject_lognormal"] == (r["ks_distance"] > 1.358 / len(lens) ** 0.5)
