@@ -7395,3 +7395,170 @@ def ts_markov_entropy_rate(spark, sf_dir):
         q6(F.col("h")).alias("entropy_rate_nats"),
         q6(F.exp(q9(F.col("h")))).alias("perplexity"),
     )
+
+
+def _spectral_entropy_oracle() -> str:
+    # Compose ts_periodogram's REGISTERED oracle verbatim (splice
+    # discipline — the spectrum and its entropy can never drift apart).
+    from ..registry import ORACLES
+
+    return f"""
+WITH spec AS ({ORACLES["ts_periodogram"]}),
+tot AS (
+    SELECT CAST(SUM(CAST(power AS DECIMAL(38,6))) AS DOUBLE) AS tp,
+           CAST(COUNT(*) AS BIGINT) AS np
+    FROM spec
+), ps AS (
+    SELECT FLOOR(CAST(power AS DOUBLE) / tot.tp * 1e12 + 0.5) / 1e12 AS p,
+           tot.np
+    FROM spec, tot
+), h AS (
+    SELECT ANY_VALUE(np) AS np,
+           -CAST(SUM(CASE WHEN p > 0
+                          THEN CAST(FLOOR(p * (FLOOR(ln(p) * 1e9 + 0.5) / 1e9)
+                                          * 1e12 + 0.5) AS DECIMAL(38,12))
+                          ELSE 0 END) AS DOUBLE) / 1e12 AS hh
+    FROM ps
+)
+SELECT np AS n_periods,
+       FLOOR(hh * 1000000 + 0.5) / 1000000 AS spectral_entropy_nats,
+       FLOOR(hh / (FLOOR(ln(CAST(np AS DOUBLE)) * 1e9 + 0.5) / 1e9)
+             * 1000000 + 0.5) / 1000000 AS normalized_entropy
+FROM h
+"""
+
+
+@register("ts_spectral_entropy", oracle=_spectral_entropy_oracle())
+def ts_spectral_entropy(spark, sf_dir):
+    """Spectral entropy of the daily-revenue periodogram — the
+    FORECASTABILITY index (Goerg's ForeCA): a spectrum concentrated in
+    few frequencies (low entropy) means strong periodic structure a
+    seasonal model will exploit; a flat spectrum (entropy near 1 after
+    ln(n) normalization) is white-noise-like and no seasonal model
+    will help. Composes the engine's own ts_periodogram() (oracle
+    splices its registered text), normalizes the power column into a
+    distribution, and computes -sum p ln p with q9 logs and q12
+    DECIMAL sums; zero-power bins contribute 0 by the usual limit
+    convention. O(periods) work after the spectrum op's own plan."""
+    from .timeseries import ts_periodogram  # self-module, explicit
+
+    spec = ckpt(ts_periodogram(spark, sf_dir).select("power"))
+    tot = spec.agg(
+        F.sum(F.col("power").cast("decimal(38,6)")).cast("double").alias("tp"),
+        F.count(F.lit(1)).cast("bigint").alias("np"),
+    )
+    q12 = lambda c: F.floor(c * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12)
+    q9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+    ps = spec.crossJoin(F.broadcast(tot)).select(
+        q12(F.col("power").cast("double") / F.col("tp")).alias("p"), "np"
+    )
+    h = ps.agg(
+        F.any_value("np").alias("np"),
+        (
+            -F.sum(
+                F.when(
+                    F.col("p") > 0,
+                    F.floor(
+                        F.col("p") * q9(F.log("p")) * F.lit(1e12) + F.lit(0.5)
+                    ).cast("decimal(38,12)"),
+                ).otherwise(F.lit(0).cast("decimal(38,12)"))
+            ).cast("double")
+            / F.lit(1e12)
+        ).alias("hh"),
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return h.select(
+        F.col("np").alias("n_periods"),
+        q6(F.col("hh")).alias("spectral_entropy_nats"),
+        q6(F.col("hh") / q9(F.log(F.col("np").cast("double")))).alias(
+            "normalized_entropy"
+        ),
+    )
+
+
+@register(
+    "ts_extremal_index",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           SUM(CAST(FLOOR(o_totalprice * 1e6 + 0.5) AS DECIMAL(38,6))) AS revq
+    FROM orders GROUP BY 1
+), nn AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST((9 * COUNT(*) + 9) // 10 AS BIGINT) AS k
+    FROM daily
+), ranked AS (
+    SELECT day, revq, ROW_NUMBER() OVER (ORDER BY revq, day) AS rn, n, k
+    FROM daily, nn
+), thr AS (SELECT revq AS u FROM ranked WHERE rn = k),
+exc AS (
+    SELECT day, ROW_NUMBER() OVER (ORDER BY day) AS i
+    FROM ranked, thr WHERE revq > thr.u
+), gaps AS (
+    SELECT day, i,
+           datediff('day', LAG(day) OVER (ORDER BY i), day) AS gap
+    FROM exc
+), clusters AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exceed,
+           CAST(SUM(CASE WHEN gap IS NULL OR gap >= 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clusters
+    FROM gaps
+)
+SELECT n_exceed, n_clusters,
+       FLOOR(CAST(n_clusters AS DOUBLE) / n_exceed * 1000000 + 0.5) / 1000000
+           AS extremal_index,
+       FLOOR(CAST(n_exceed AS DOUBLE) / n_clusters * 1000000 + 0.5) / 1000000
+           AS mean_cluster_size
+FROM clusters
+""",
+)
+def ts_extremal_index(spark, sf_dir):
+    """Extremal index by runs declustering — the missing piece between
+    ts_pot_gpd_tail and honest tail risk: GPD return levels assume
+    exceedances are INDEPENDENT, but extremes cluster (a hot streak is
+    one event, not five), and theta = clusters/exceedances (runs
+    method, gap >= 3 days) is exactly the correction factor —
+    effective return period divides by theta, and 1/theta is the mean
+    extreme-cluster size. Same exact-order-statistic P90 threshold as
+    the GPD op (shared spelling), then one ordered window over the
+    O(exceedances) frame for gaps — all integer until the two final
+    divisions."""
+    daily = ckpt(
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(q6dec(F.col("o_totalprice"))).alias("revq"))
+    )
+    nn = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("(9 * count(1) + 9) div 10").cast("bigint").alias("k"),
+    )
+    ranked = daily.crossJoin(F.broadcast(nn)).select(
+        "day",
+        "revq",
+        F.row_number().over(Window.orderBy(F.asc("revq"), F.asc("day"))).alias("rn"),
+        "k",
+    )
+    thr = ranked.filter(F.col("rn") == F.col("k")).select(F.col("revq").alias("u"))
+    exc = (
+        ranked.crossJoin(F.broadcast(thr))
+        .filter(F.col("revq") > F.col("u"))
+        .select("day")
+    )
+    gaps = exc.select(
+        F.datediff(F.col("day"), F.lag("day").over(Window.orderBy("day"))).alias("gap")
+    )
+    clusters = gaps.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exceed"),
+        F.sum(F.when(F.col("gap").isNull() | (F.col("gap") >= 3), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clusters"),
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return clusters.select(
+        "n_exceed",
+        "n_clusters",
+        q6(F.col("n_clusters").cast("double") / F.col("n_exceed")).alias("extremal_index"),
+        q6(F.col("n_exceed").cast("double") / F.col("n_clusters")).alias(
+            "mean_cluster_size"
+        ),
+    )

@@ -623,6 +623,8 @@ _KEY_RANK: dict[str, int] = {
     "ts_markov_entropy_rate": 9,
     "dq_terminal_digit": 9,
     "llm_doclen_lognormal": 9,
+    "ts_spectral_entropy": 9,
+    "ts_extremal_index": 9,
 }
 
 

@@ -2364,3 +2364,37 @@ def test_doclen_lognormal_fit_matches_numpy(spark, sf_dir):
         math.exp(r["mu_log"] + r["sigma_log"] ** 2 / 2), rel=1e-3
     )
     assert r["reject_lognormal"] == (r["ks_distance"] > 1.358 / len(lens) ** 0.5)
+
+
+def test_spectral_entropy_bounds_and_composition(spark, sf_dir):
+    """Normalized entropy in (0, 1]; nats entropy <= ln(n_periods);
+    recompute from the engine's own periodogram output matches."""
+    import math
+
+    r = _Q["ts_spectral_entropy"](spark, sf_dir).collect()[0]
+    spec = _Q["ts_periodogram"](spark, sf_dir).collect()
+    assert r["n_periods"] == len(spec)
+    tot = sum(row["power"] for row in spec)
+    q12 = lambda v: math.floor(v * 1e12 + 0.5) / 1e12
+    q9 = lambda v: math.floor(v * 1e9 + 0.5) / 1e9
+    h = -sum(
+        math.floor(q12(row["power"] / tot) * q9(math.log(q12(row["power"] / tot))) * 1e12 + 0.5)
+        for row in spec
+        if row["power"] > 0
+    ) / 1e12
+    assert r["spectral_entropy_nats"] == pytest.approx(h, abs=1e-4)
+    assert 0.0 < r["normalized_entropy"] <= 1.0 + 1e-6
+    assert r["spectral_entropy_nats"] <= math.log(len(spec)) + 1e-6
+
+
+def test_extremal_index_bounds_and_gpd_consistency(spark, sf_dir):
+    """theta in (0, 1], mean cluster size = 1/theta, and the exceedance
+    count equals ts_pot_gpd_tail's (same threshold spelling)."""
+    r = _Q["ts_extremal_index"](spark, sf_dir).collect()[0]
+    g = _Q["ts_pot_gpd_tail"](spark, sf_dir).collect()[0]
+    assert r["n_exceed"] == g["n_exceed"]
+    assert 0.0 < r["extremal_index"] <= 1.0
+    assert r["mean_cluster_size"] == pytest.approx(
+        r["n_exceed"] / r["n_clusters"], abs=1e-6
+    )
+    assert 1 <= r["n_clusters"] <= r["n_exceed"]
