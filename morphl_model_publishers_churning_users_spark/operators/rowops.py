@@ -12,7 +12,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Window
 
 from ..registry import register
-from ._shared import ckpt, t
+from ._shared import ckpt, q6dec, t
 
 
 @register(
@@ -2090,4 +2090,68 @@ def dq_terminal_digit(spark, sf_dir):
         q6((F.col("n").cast("double") - exp) * (F.col("n") - exp) / exp).alias(
             "chi2_term"
         ),
+    )
+
+
+@register(
+    "subquery_quantified",
+    oracle="""
+WITH seg_avg AS (
+    SELECT c.c_mktsegment,
+           CAST(SUM(CAST(FLOOR(o.o_totalprice * 1e6 + 0.5) AS DECIMAL(38,6)))
+                AS DOUBLE) / 1e6 / COUNT(*) AS avg_price
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1
+)
+SELECT o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN o_totalprice > ALL (SELECT avg_price FROM seg_avg)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_above_all,
+       CAST(SUM(CASE WHEN o_totalprice < ANY (SELECT avg_price FROM seg_avg)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_below_any
+FROM orders GROUP BY 1
+""",
+)
+def subquery_quantified(spark, sf_dir):
+    """Quantified subquery comparisons (> ALL / < ANY) — the SQL-92
+    surface Spark SQL does NOT parse, re-expressed through the
+    standard scalar rewrite the engine's translation layer owes its
+    users: x > ALL(S) == x > max(S), x < ANY(S) == x < min(S)
+    (empty-S and NULL caveats documented — S here is a 5-row
+    aggregate, never empty, never NULL). The DuckDB twin runs the
+    LITERAL quantified form, so the rewrite's equivalence is
+    hash-proven, not claimed. Segment averages ride the usual DECIMAL
+    discipline; the two thresholds broadcast as a 1-row frame; one
+    fact pass."""
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice", "o_orderpriority")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    seg_avg = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            (
+                F.sum(q6dec(F.col("o_totalprice"))).cast("double")
+                / F.lit(1e6)
+                / F.count(F.lit(1))
+            ).alias("avg_price")
+        )
+    )
+    # x > ALL(S) == x > max(S); x < ANY(S) ("less than at least one
+    # element") == x < max(S). S is a 5-row aggregate: never empty/NULL.
+    bounds = seg_avg.agg(
+        F.max("avg_price").alias("all_bound"),
+        F.max("avg_price").alias("any_hi"),
+    )
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col("o_totalprice") > F.col("all_bound"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_above_all"),
+            F.sum(F.when(F.col("o_totalprice") < F.col("any_hi"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_below_any"),
+        )
     )

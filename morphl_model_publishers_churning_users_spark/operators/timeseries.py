@@ -7562,3 +7562,155 @@ def ts_extremal_index(spark, sf_dir):
             "mean_cluster_size"
         ),
     )
+
+
+def _decompose_whiteness_oracle() -> str:
+    # Compose ts_seasonal_decompose's REGISTERED oracle (splice
+    # discipline): the remainder tested is exactly the remainder shipped.
+    from ..registry import ORACLES
+
+    return f"""
+WITH dec AS ({ORACLES["ts_seasonal_decompose"]}),
+res AS (
+    SELECT event_type, residual AS x,
+           CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+                AS BIGINT) AS i
+    FROM dec WHERE residual IS NOT NULL
+), mu AS (
+    SELECT event_type,
+           FLOOR(CAST(SUM(CAST(FLOOR(x * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE)
+                 / 1e6 / COUNT(*) * 1e9 + 0.5) / 1e9 AS m,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM res GROUP BY 1
+), cent AS (
+    SELECT r.event_type, r.i, r.x - mu.m AS xc, mu.n
+    FROM res r JOIN mu ON mu.event_type = r.event_type
+), lagsum AS (
+    SELECT a.event_type, k.k, ANY_VALUE(a.n) AS n,
+           CAST(SUM(CAST(FLOOR(a.xc * b.xc * 1e9 + 0.5) AS DECIMAL(38,9)))
+                AS DOUBLE) / 1e9 AS s
+    FROM generate_series(0, 5) k(k)
+    JOIN cent a ON TRUE
+    JOIN cent b ON b.event_type = a.event_type AND b.i = a.i - k.k
+    GROUP BY 1, 2
+), acf AS (
+    SELECT l.event_type, l.k, l.n,
+           FLOOR(l.s / s0.s * 1e12 + 0.5) / 1e12 AS r
+    FROM lagsum l
+    JOIN lagsum s0 ON s0.event_type = l.event_type AND s0.k = 0
+    WHERE l.k > 0
+), terms AS (
+    SELECT event_type, n,
+           CAST(FLOOR(r * r / (n - k) * 1e12 + 0.5) AS DECIMAL(38,12)) AS term
+    FROM acf
+), q AS (
+    SELECT event_type, ANY_VALUE(n) AS n,
+           CAST(SUM(term) AS DOUBLE) / 1e12 AS ssum
+    FROM terms GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       FLOOR(n * (n + 2.0) * ssum * 1000000 + 0.5) / 1000000 AS q_stat,
+       n * (n + 2.0) * ssum < 11.0705 AS remainder_is_white
+FROM q
+"""
+
+
+@register("ts_decompose_whiteness", oracle=_decompose_whiteness_oracle())
+def ts_decompose_whiteness(spark, sf_dir):
+    """Residual-whiteness audit of the seasonal decomposition — the
+    model-adequacy check the decomposition family was missing: if
+    ts_seasonal_decompose really captured trend + weekday seasonality,
+    its remainder must be white noise, so run Ljung-Box (lags 1-5) on
+    the remainder PER SERIES and compare against the chi2(5) 5% point
+    (11.0705). Composition is the contract: the Spark side calls
+    ts_seasonal_decompose() and the oracle splices its registered
+    text, so the remainder tested is exactly the remainder shipped —
+    a structure change in the decomposition automatically re-tests
+    here. ACF via the bounded lag-pair join with q-DECIMAL sums, the
+    LB statistic from quantized terms. A failing series means 'there
+    is structure left' — the actionable version of eyeballing the
+    residual plot."""
+    from .timeseries import ts_seasonal_decompose  # self-module, explicit
+
+    res = ckpt(
+        ts_seasonal_decompose(spark, sf_dir)
+        .filter(F.col("residual").isNotNull())
+        .select(
+            "event_type",
+            F.col("residual").alias("x"),
+            F.row_number()
+            .over(Window.partitionBy("event_type").orderBy("day"))
+            .cast("bigint")
+            .alias("i"),
+        )
+    )
+    q9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+    q12 = lambda c: F.floor(c * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12)
+    mu = res.groupBy("event_type").agg(
+        q9(
+            F.sum(F.floor(F.col("x") * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,6)"))
+            .cast("double")
+            / F.lit(1e6)
+            / F.count(F.lit(1))
+        ).alias("m"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    cent = res.join(F.broadcast(mu), "event_type").select(
+        "event_type", "i", (F.col("x") - F.col("m")).alias("xc"), "n"
+    )
+    ks = spark.range(0, 6).select(F.col("id").cast("bigint").alias("k"))
+    a = cent.select(
+        F.col("event_type"), F.col("i").alias("ia"), F.col("xc").alias("xa"), "n"
+    )
+    b = cent.select(
+        F.col("event_type").alias("et_b"), F.col("i").alias("ib"), F.col("xc").alias("xb")
+    )
+    lagsum = (
+        a.crossJoin(F.broadcast(ks))
+        .join(
+            b,
+            (F.col("et_b") == F.col("event_type")) & (F.col("ib") == F.col("ia") - F.col("k")),
+        )
+        .groupBy("event_type", "k")
+        .agg(
+            F.any_value("n").alias("n"),
+            (
+                F.sum(
+                    F.floor(F.col("xa") * F.col("xb") * F.lit(1e9) + F.lit(0.5)).cast(
+                        "decimal(38,9)"
+                    )
+                ).cast("double")
+                / F.lit(1e9)
+            ).alias("s"),
+        )
+    )
+    s0 = lagsum.filter(F.col("k") == 0).select(
+        F.col("event_type").alias("et0"), F.col("s").alias("s0")
+    )
+    acf = (
+        lagsum.filter(F.col("k") > 0)
+        .join(F.broadcast(s0), F.col("et0") == F.col("event_type"))
+        .select("event_type", "k", "n", q12(F.col("s") / F.col("s0")).alias("r"))
+    )
+    terms = acf.select(
+        "event_type",
+        "n",
+        F.floor(
+            F.col("r") * F.col("r") / (F.col("n") - F.col("k")) * F.lit(1e12)
+            + F.lit(0.5)
+        )
+        .cast("decimal(38,12)")
+        .alias("term"),
+    )
+    q = terms.groupBy("event_type").agg(
+        F.any_value("n").alias("n"),
+        (F.sum("term").cast("double") / F.lit(1e12)).alias("ssum"),
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    lb = F.col("n") * (F.col("n") + F.lit(2.0)) * F.col("ssum")
+    return q.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        q6(lb).alias("q_stat"),
+        (lb < F.lit(11.0705)).alias("remainder_is_white"),
+    )

@@ -625,6 +625,8 @@ _KEY_RANK: dict[str, int] = {
     "llm_doclen_lognormal": 9,
     "ts_spectral_entropy": 9,
     "ts_extremal_index": 9,
+    "ts_decompose_whiteness": 9,
+    "subquery_quantified": 9,
 }
 
 

