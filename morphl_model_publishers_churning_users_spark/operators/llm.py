@@ -5528,3 +5528,106 @@ def llm_doclen_lognormal(spark, sf_dir):
         q6(F.col("d")).alias("ks_distance"),
         (F.col("d") > F.lit(1.358) / F.sqrt("n")).alias("reject_lognormal"),
     )
+
+
+@register(
+    "llm_pmi_collocations",
+    oracle=r"""
+WITH words AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+    FROM documents WHERE length(trim(text)) > 0
+), bigrams AS (
+    SELECT unnest(list_transform(range(1, len(w)),
+                  i -> struct_pack(a := w[i], b := w[i + 1]))) AS bg
+    FROM words
+), bg AS (
+    SELECT bg.a AS a, bg.b AS b, CAST(COUNT(*) AS BIGINT) AS nab
+    FROM bigrams GROUP BY 1, 2
+), uni AS (
+    SELECT unnest(w) AS word FROM words
+), uc AS (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM uni GROUP BY 1
+), tot AS (
+    SELECT CAST(SUM(n) AS DOUBLE) AS nt,
+           CAST(SUM(n) - (SELECT COUNT(*) FROM words) AS DOUBLE) AS nbg
+    FROM uc
+), pmi AS (
+    SELECT g.a, g.b, g.nab,
+           FLOOR(ln(
+               (g.nab / t.nbg)
+               / ((ua.n / t.nt) * (ub.n / t.nt))
+           ) * 1e9 + 0.5) / 1e9 AS pmi
+    FROM bg g
+    JOIN uc ua ON ua.word = g.a
+    JOIN uc ub ON ub.word = g.b
+    CROSS JOIN tot t
+    WHERE g.nab >= 5
+)
+SELECT a, b, nab,
+       FLOOR(pmi * 1000000 + 0.5) / 1000000 AS pmi,
+       CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, a, b) AS BIGINT) AS rank
+FROM pmi ORDER BY rank LIMIT 20
+""",
+)
+def llm_pmi_collocations(spark, sf_dir):
+    """Pointwise-mutual-information collocation mining (Church & Hanks)
+    — the top word PAIRS that co-occur far beyond chance: PMI =
+    ln[p(a,b) / (p(a)p(b))] over adjacent bigrams with a minimum-count
+    floor of 5 (raw PMI's notorious rare-pair bias is exactly why the
+    floor is part of the contract). This is what phrase-vocabulary
+    induction and multi-word-expression detection run on a corpus
+    before tokenizer training; complements llm_ngram_freq (raw counts
+    rank 'of the'; PMI ranks genuine collocations). One bigram
+    aggregate + one unigram aggregate + two marginal joins (unigram
+    table bounded by vocabulary — broadcast at any corpus size);
+    ln q9-quantized, top-20 rank-deterministic."""
+    d = t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    words = ckpt(d.select(F.split(F.lower(F.trim("text")), r"\s+").alias("w")))
+    bigram_expr = (
+        "transform(sequence(1, size(w) - 1),"
+        " i -> named_struct('a', element_at(w, i), 'b', element_at(w, i + 1)))"
+    )
+    bg = (
+        words.filter(F.size("w") >= 2)
+        .select(F.explode(F.expr(bigram_expr)).alias("bg"))
+        .groupBy(F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nab"))
+    )
+    uc = ckpt(
+        words.select(F.explode("w").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    n_docs = words.count()  # bounded driver scalar (doc count for bigram total)
+    tot = uc.agg(
+        F.sum("n").cast("double").alias("nt"),
+        (F.sum("n") - F.lit(n_docs)).cast("double").alias("nbg"),
+    )
+    q9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+    ua = uc.select(F.col("word").alias("a"), F.col("n").alias("na"))
+    ub = uc.select(F.col("word").alias("b"), F.col("n").alias("nb"))
+    pmi = (
+        bg.filter(F.col("nab") >= 5)
+        .join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            "nab",
+            q9(
+                F.log(
+                    (F.col("nab") / F.col("nbg"))
+                    / ((F.col("na") / F.col("nt")) * (F.col("nb") / F.col("nt")))
+                )
+            ).alias("pmi"),
+        )
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    w = Window.orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
+    return (
+        pmi.select("a", "b", "nab", q6(F.col("pmi")).alias("pmi"),
+                   F.row_number().over(w).cast("bigint").alias("rank"))
+        .filter(F.col("rank") <= 20)
+        .orderBy("rank")
+    )

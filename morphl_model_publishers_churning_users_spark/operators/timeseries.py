@@ -7714,3 +7714,96 @@ def ts_decompose_whiteness(spark, sf_dir):
         q6(lb).alias("q_stat"),
         (lb < F.lit(11.0705)).alias("remainder_is_white"),
     )
+
+
+@register(
+    "ts_max_subarray",
+    oracle="""
+WITH RECURSIVE daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           SUM(CAST(FLOOR(o_totalprice * 1e6 + 0.5) AS DECIMAL(38,6))) AS revq
+    FROM orders GROUP BY 1
+), mu AS (
+    SELECT CAST(SUM(revq) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS m FROM daily
+), series AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i, day,
+           CAST(revq AS BIGINT) - mu.m AS d
+    FROM daily, mu
+), kad AS (
+    SELECT i, day, d, d AS cur, d AS best, 1 AS cur_start,
+           CAST(1 AS BIGINT) AS best_start, CAST(1 AS BIGINT) AS best_end
+    FROM series WHERE i = 1
+    UNION ALL
+    SELECT s.i, s.day, s.d,
+           CASE WHEN k.cur > 0 THEN k.cur + s.d ELSE s.d END,
+           CASE WHEN (CASE WHEN k.cur > 0 THEN k.cur + s.d ELSE s.d END) > k.best
+                THEN (CASE WHEN k.cur > 0 THEN k.cur + s.d ELSE s.d END)
+                ELSE k.best END,
+           CASE WHEN k.cur > 0 THEN k.cur_start ELSE s.i END,
+           CASE WHEN (CASE WHEN k.cur > 0 THEN k.cur + s.d ELSE s.d END) > k.best
+                THEN (CASE WHEN k.cur > 0 THEN k.cur_start ELSE s.i END)
+                ELSE k.best_start END,
+           CASE WHEN (CASE WHEN k.cur > 0 THEN k.cur + s.d ELSE s.d END) > k.best
+                THEN s.i ELSE k.best_end END
+    FROM kad k JOIN series s ON s.i = k.i + 1
+), fin AS (
+    SELECT * FROM kad ORDER BY i DESC LIMIT 1
+)
+SELECT (SELECT day FROM series WHERE i = fin.best_start) AS streak_start,
+       (SELECT day FROM series WHERE i = fin.best_end) AS streak_end,
+       CAST(fin.best_end - fin.best_start + 1 AS BIGINT) AS streak_days,
+       FLOOR(CAST(fin.best AS DOUBLE) / 1e6 * 1000000 + 0.5) / 1000000
+           AS excess_revenue
+FROM fin
+""",
+)
+def ts_max_subarray(spark, sf_dir):
+    """Maximum-sum subarray (Kadane) over daily revenue EXCESS vs the
+    period mean — 'which consecutive run of days beat trend by the
+    most?', the hot-streak locator that complements ts_max_drawdown's
+    worst-run view (drawdown is Kadane on the negated series; this op
+    reports the boom with its exact endpoints). The recurrence is a
+    fold: cur = max(cur, 0) + d with start-index tracking, run as a
+    JVM array fold over the day-ordered integer deviations (micro-unit
+    BIGINTs, integer mean — ZERO float anywhere until the final
+    display division) while the oracle runs the identical recursion as
+    a recursive CTE. One fact aggregate; the fold touches O(days)."""
+    daily = ckpt(
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(q6dec(F.col("o_totalprice"))).cast("bigint").alias("revq"))
+    )
+    mu = daily.agg(
+        (F.sum("revq").cast("bigint") / F.count(F.lit(1)).cast("bigint"))
+        .cast("bigint")
+        .alias("m")
+    )
+    series = daily.crossJoin(F.broadcast(mu)).select(
+        "day", (F.col("revq") - F.col("m")).alias("d")
+    )
+    arr = series.agg(
+        F.expr("sort_array(collect_list(struct(day, d)))").alias("xs")
+    )
+    # Kadane fold: acc = (cur, best, cur_start, best_start, best_end, i)
+    fold = (
+        "aggregate(slice(xs, 2, size(xs) - 1), "
+        "named_struct('cur', xs[0].d, 'best', xs[0].d, "
+        " 'cs', 1L, 'bs', 1L, 'be', 1L, 'i', 1L), "
+        "(a, s) -> named_struct("
+        " 'cur', CASE WHEN a.cur > 0 THEN a.cur + s.d ELSE s.d END,"
+        " 'best', CASE WHEN (CASE WHEN a.cur > 0 THEN a.cur + s.d ELSE s.d END) > a.best"
+        "         THEN (CASE WHEN a.cur > 0 THEN a.cur + s.d ELSE s.d END) ELSE a.best END,"
+        " 'cs', CASE WHEN a.cur > 0 THEN a.cs ELSE a.i + 1L END,"
+        " 'bs', CASE WHEN (CASE WHEN a.cur > 0 THEN a.cur + s.d ELSE s.d END) > a.best"
+        "       THEN (CASE WHEN a.cur > 0 THEN a.cs ELSE a.i + 1L END) ELSE a.bs END,"
+        " 'be', CASE WHEN (CASE WHEN a.cur > 0 THEN a.cur + s.d ELSE s.d END) > a.best"
+        "       THEN a.i + 1L ELSE a.be END,"
+        " 'i', a.i + 1L))"
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return arr.select(F.col("xs"), F.expr(fold).alias("st")).select(
+        F.expr("element_at(xs, cast(st.bs as int)).day").alias("streak_start"),
+        F.expr("element_at(xs, cast(st.be as int)).day").alias("streak_end"),
+        (F.col("st.be") - F.col("st.bs") + 1).cast("bigint").alias("streak_days"),
+        q6(F.col("st.best").cast("double") / F.lit(1e6)).alias("excess_revenue"),
+    )

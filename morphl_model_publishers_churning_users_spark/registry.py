@@ -627,6 +627,8 @@ _KEY_RANK: dict[str, int] = {
     "ts_extremal_index": 9,
     "ts_decompose_whiteness": 9,
     "subquery_quantified": 9,
+    "ts_max_subarray": 9,
+    "llm_pmi_collocations": 9,
 }
 
 

@@ -2450,3 +2450,70 @@ def test_quantified_rewrite_semantics(spark, sf_dir):
         assert abs(r["n_above_all"] - above) <= 2  # avg rounding grain
         assert abs(r["n_below_any"] - below) <= 2
         assert r["n_above_all"] + r["n_below_any"] <= r["n_rows"]
+
+
+def test_max_subarray_beats_every_prefix_window(spark, sf_dir):
+    """The reported streak's excess equals the direct re-sum over its
+    dates, and no other contiguous window (brute force) beats it."""
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    r = _Q["ts_max_subarray"](spark, sf_dir).collect()[0]
+    daily = sorted(
+        (row["day"], int(row["rev"]))
+        for row in tbl(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 1e6 + 0.5).cast("decimal(38,6)"))
+            .cast("long")
+            .alias("rev")
+        )
+        .collect()
+    )
+    m = sum(v for _, v in daily) // len(daily)
+    dev = [v - m for _, v in daily]
+    days = [d for d, _ in daily]
+    i0, i1 = days.index(r["streak_start"]), days.index(r["streak_end"])
+    assert r["streak_days"] == i1 - i0 + 1
+    assert r["excess_revenue"] == pytest.approx(sum(dev[i0 : i1 + 1]) / 1e6, abs=1e-3)
+    best = max(
+        sum(dev[i:j]) for i in range(len(dev)) for j in range(i + 1, len(dev) + 1)
+    )
+    assert sum(dev[i0 : i1 + 1]) == best
+
+
+def test_pmi_collocations_exceed_chance_and_meet_floor(spark, sf_dir):
+    """Every reported pair clears the count floor, PMI recomputes from
+    raw counts, and all top pairs have positive PMI (co-occur beyond
+    chance)."""
+    import math
+
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    rows = _Q["llm_pmi_collocations"](spark, sf_dir).collect()
+    assert rows and [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    docs = [
+        row["w"]
+        for row in tbl(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select(F.split(F.lower(F.trim("text")), r"\s+").alias("w"))
+        .collect()
+    ]
+    uni: dict = {}
+    bg: dict = {}
+    for w in docs:
+        for t_ in w:
+            uni[t_] = uni.get(t_, 0) + 1
+        for x, y in zip(w, w[1:]):
+            bg[(x, y)] = bg.get((x, y), 0) + 1
+    nt = sum(uni.values())
+    nbg = nt - len(docs)
+    for r in rows:
+        assert r["nab"] >= 5
+        assert bg[(r["a"], r["b"])] == r["nab"]
+        expect = math.log(
+            (r["nab"] / nbg) / ((uni[r["a"]] / nt) * (uni[r["b"]] / nt))
+        )
+        assert r["pmi"] == pytest.approx(expect, abs=1e-4)
+        assert r["pmi"] > 0
