@@ -7145,3 +7145,287 @@ def ml_brier_decomposition(spark, sf_dir):
             "brier_reconstructed"
         ),
     )
+
+
+@register(
+    "ml_kruskal_wallis",
+    oracle=f"""
+WITH frame AS (
+    SELECT c.c_mktsegment AS g,
+           CAST(FLOOR(o.o_totalprice * 1e6 + 0.5) AS BIGINT) AS yq
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+), ranked AS (
+    SELECT g, yq,
+           AVG(CAST(rn AS DOUBLE)) OVER (PARTITION BY yq) AS mid_rank
+    FROM (SELECT g, yq, ROW_NUMBER() OVER (ORDER BY yq) AS rn FROM frame)
+), stats AS (
+    SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(mid_rank * 1e6 + 0.5) AS DECIMAL(38,6)))
+                AS DOUBLE) / 1e6 AS sr
+    FROM ranked GROUP BY 1
+), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(COUNT(*) AS BIGINT) AS k
+           FROM stats),
+ties AS (
+    SELECT CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tsum
+    FROM (SELECT COUNT(*) AS cnt FROM frame GROUP BY yq HAVING COUNT(*) > 1)
+), h AS (
+    SELECT t.nt, t.k,
+           -- integer-grain quantization: sr^2/n reaches ~1e15 at 10x
+           -- scale, so a 1e6 micro-floor would overflow Spark's LONG
+           12.0 / (t.nt * (t.nt + 1.0))
+           * CAST(SUM(CAST(FLOOR(s.sr * s.sr / s.n + 0.5)
+                           AS DECIMAL(38,0))) AS DOUBLE)
+           - 3.0 * (t.nt + 1.0) AS h_raw,
+           COALESCE((SELECT tsum FROM ties), 0) AS tsum
+    FROM stats s, tot t
+    GROUP BY t.nt, t.k
+)
+SELECT CAST(nt AS BIGINT) AS n_rows, CAST(k AS BIGINT) AS k_groups,
+       FLOOR(h_raw * 1000000 + 0.5) / 1000000 AS h_raw,
+       FLOOR(h_raw / (1.0 - CAST(tsum AS DOUBLE) / (CAST(nt AS DOUBLE) * nt * nt - nt))
+             * 1000000 + 0.5) / 1000000 AS h_stat,
+       h_raw / (1.0 - CAST(tsum AS DOUBLE) / (CAST(nt AS DOUBLE) * nt * nt - nt))
+           > 9.487729 AS reject_equal_medians
+FROM h
+""",
+)
+def ml_kruskal_wallis(spark, sf_dir):
+    """Kruskal-Wallis H test — the k-sample rank test the family was
+    missing (agg_mann_whitney covers two samples; agg_weekday_anova
+    assumes normal errors): do the five market segments draw order
+    values from the same distribution? Mid-ranks handle ties exactly
+    (cents-quantized BIGINT values, global row_number then per-value
+    rank average — deterministic in both engines), the tie-correction
+    divisor 1 - sum(t^3 - t)/(n^3 - n) is computed from exact integer
+    tie-group counts, and the decision compares against the chi2(4)
+    5% point (9.4877). Scale shape: one global value sort (the same
+    cost as any exact-rank op), then O(groups) algebra; rank sums ride
+    q6 DECIMAL."""
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    frame = ckpt(
+        o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+            F.col("c_mktsegment").alias("g"),
+            F.floor(F.col("o_totalprice") * F.lit(1e6) + F.lit(0.5))
+            .cast("bigint")
+            .alias("yq"),
+        )
+    )
+    ranked = frame.select(
+        "g", "yq", F.row_number().over(Window.orderBy("yq")).alias("rn")
+    ).select(
+        "g",
+        "yq",
+        F.avg(F.col("rn").cast("double")).over(Window.partitionBy("yq")).alias("mid_rank"),
+    )
+    stats = ranked.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            F.sum(F.floor(F.col("mid_rank") * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,6)"))
+            .cast("double")
+            / F.lit(1e6)
+        ).alias("sr"),
+    )
+    tot = stats.agg(
+        F.sum("n").cast("bigint").alias("nt"), F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    ties = (
+        frame.groupBy("yq")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tsum")
+        )
+    )
+    h = (
+        stats.crossJoin(F.broadcast(tot))
+        .groupBy("nt", "k")
+        .agg(
+            (
+                F.sum(
+                    F.floor(
+                        F.col("sr") * F.col("sr") / F.col("n") + F.lit(0.5)
+                    ).cast("decimal(38,0)")
+                ).cast("double")
+            ).alias("srr")
+        )
+        .select(
+            "nt",
+            "k",
+            (
+                F.lit(12.0) / (F.col("nt") * (F.col("nt") + F.lit(1.0))) * F.col("srr")
+                - F.lit(3.0) * (F.col("nt") + F.lit(1.0))
+            ).alias("h_raw"),
+        )
+        .crossJoin(F.broadcast(ties))
+    )
+    q6 = lambda cc: F.floor(cc * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    corr = F.lit(1.0) - F.col("tsum").cast("double") / (
+        F.col("nt").cast("double") * F.col("nt") * F.col("nt") - F.col("nt")
+    )
+    return h.select(
+        F.col("nt").cast("bigint").alias("n_rows"),
+        F.col("k").cast("bigint").alias("k_groups"),
+        q6(F.col("h_raw")).alias("h_raw"),
+        q6(F.col("h_raw") / corr).alias("h_stat"),
+        (F.col("h_raw") / corr > F.lit(9.487729)).alias("reject_equal_medians"),
+    )
+
+
+@register(
+    "ml_icc_anova",
+    oracle="""
+WITH frame AS (
+    -- y in KILO-dollars: keeps every moment far from the double-
+    -- cancellation band (raw dollars put SS terms at ~3e17, where the
+    -- q6 rounding of their ~2e10 difference is below one ulp)
+    SELECT n.n_name AS g, CAST(o.o_totalprice AS DOUBLE) / 1000.0 AS y
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+), m AS (
+    SELECT g, CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(FLOOR(y * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE) / 1e6
+               AS sy,
+           CAST(SUM(CAST(FLOOR(y * y * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE) / 1e6
+               AS syy
+    FROM frame GROUP BY 1
+), tot AS (
+    SELECT CAST(SUM(n) AS DOUBLE) AS nt, CAST(COUNT(*) AS DOUBLE) AS k,
+           CAST(SUM(CAST(FLOOR(sy * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE) / 1e6
+               AS gs,
+           CAST(SUM(CAST(FLOOR(n * n * 1 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) AS snn
+    FROM m
+), ss AS (
+    SELECT t.nt, t.k,
+           CAST(SUM(CAST(FLOOR(m.sy * m.sy / m.n * 1e6 + 0.5) AS DECIMAL(38,6)))
+                AS DOUBLE) / 1e6 - t.gs * t.gs / t.nt AS ssb,
+           CAST(SUM(CAST(FLOOR(m.syy * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE) / 1e6
+           - CAST(SUM(CAST(FLOOR(m.sy * m.sy / m.n * 1e6 + 0.5) AS DECIMAL(38,6)))
+                  AS DOUBLE) / 1e6 AS ssw,
+           (t.nt - t.snn / t.nt) / (t.k - 1.0) AS k0
+    FROM m, tot t
+    GROUP BY t.nt, t.k, t.gs, t.snn
+), msq AS (
+    SELECT nt, k, k0,
+           ssb / (k - 1.0) AS msb,
+           ssw / (nt - k) AS msw
+    FROM ss
+)
+SELECT CAST(nt AS BIGINT) AS n_rows, CAST(k AS BIGINT) AS k_groups,
+       FLOOR(msb * 1000000 + 0.5) / 1000000 AS ms_between,
+       FLOOR(msw * 1000000 + 0.5) / 1000000 AS ms_within,
+       FLOOR((msb - msw) / (msb + (k0 - 1.0) * msw) * 1000000 + 0.5) / 1000000
+           AS icc1,
+       (msb - msw) / (msb + (k0 - 1.0) * msw) > 0.05 AS clustering_matters
+FROM msq
+""",
+)
+def ml_icc_anova(spark, sf_dir):
+    """Intraclass correlation ICC(1) of order values within customer
+    nations — the clustered-data diagnostic that decides whether naive
+    i.i.d. standard errors are a lie: even a small ICC inflates the
+    variance of a nation-clustered estimate by the design effect
+    1 + (m-1)·ICC, so every geo-randomized experiment owes this number
+    before quoting a p-value. One-way random-effects ANOVA with
+    unbalanced-group correction (k0 = (N - sum n_j^2/N)/(k-1), the
+    standard ANOVA estimator): between/within mean squares from one
+    per-group moment aggregate, values rescaled to KILO-dollars so the
+    sum-of-squares terms stay far from the double-cancellation band
+    (raw dollars put them at ~3e17, where rounding the ~2e10 difference
+    at 1e-6 is below one ulp — measured, not theoretical). MS units are
+    k$^2. Reports MSB/MSW/ICC and the
+    0.05 rule-of-thumb flag."""
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    frame = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select(
+            F.col("n_name").alias("g"),
+            (F.col("o_totalprice").cast("double") / F.lit(1000.0)).alias("y"),
+        )
+    )
+    m = ckpt(
+        frame.groupBy("g").agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            (
+                F.sum(F.floor(F.col("y") * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,6)"))
+                .cast("double")
+                / F.lit(1e6)
+            ).alias("sy"),
+            (
+                F.sum(
+                    F.floor(F.col("y") * F.col("y") * F.lit(1e6) + F.lit(0.5)).cast(
+                        "decimal(38,6)"
+                    )
+                ).cast("double")
+                / F.lit(1e6)
+            ).alias("syy"),
+        )
+    )
+    tot = m.agg(
+        F.sum("n").cast("double").alias("nt"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+        (
+            F.sum(F.floor(F.col("sy") * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,6)"))
+            .cast("double")
+            / F.lit(1e6)
+        ).alias("gs"),
+        F.sum(
+            F.floor(F.col("n") * F.col("n") * F.lit(1) + F.lit(0.5)).cast("decimal(38,0)")
+        )
+        .cast("double")
+        .alias("snn"),
+    )
+    ss = (
+        m.crossJoin(F.broadcast(tot))
+        .groupBy("nt", "k", "gs", "snn")
+        .agg(
+            (
+                F.sum(
+                    F.floor(
+                        F.col("sy") * F.col("sy") / F.col("n") * F.lit(1e6) + F.lit(0.5)
+                    ).cast("decimal(38,6)")
+                ).cast("double")
+                / F.lit(1e6)
+            ).alias("sqq"),
+            (
+                F.sum(F.floor(F.col("syy") * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,6)"))
+                .cast("double")
+                / F.lit(1e6)
+            ).alias("syys"),
+        )
+        .select(
+            "nt",
+            "k",
+            (F.col("sqq") - F.col("gs") * F.col("gs") / F.col("nt")).alias("ssb"),
+            (F.col("syys") - F.col("sqq")).alias("ssw"),
+            ((F.col("nt") - F.col("snn") / F.col("nt")) / (F.col("k") - F.lit(1.0))).alias("k0"),
+        )
+    )
+    msq = ss.select(
+        "nt",
+        "k",
+        "k0",
+        (F.col("ssb") / (F.col("k") - F.lit(1.0))).alias("msb"),
+        (F.col("ssw") / (F.col("nt") - F.col("k"))).alias("msw"),
+    )
+    q6 = lambda cc: F.floor(cc * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    icc = (F.col("msb") - F.col("msw")) / (
+        F.col("msb") + (F.col("k0") - F.lit(1.0)) * F.col("msw")
+    )
+    return msq.select(
+        F.col("nt").cast("bigint").alias("n_rows"),
+        F.col("k").cast("bigint").alias("k_groups"),
+        q6(F.col("msb")).alias("ms_between"),
+        q6(F.col("msw")).alias("ms_within"),
+        q6(icc).alias("icc1"),
+        (icc > F.lit(0.05)).alias("clustering_matters"),
+    )

