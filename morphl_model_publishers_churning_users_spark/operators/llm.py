@@ -5631,3 +5631,135 @@ def llm_pmi_collocations(spark, sf_dir):
         .filter(F.col("rank") <= 20)
         .orderBy("rank")
     )
+
+
+@register(
+    "llm_burrows_delta",
+    oracle=r"""
+WITH toks AS (
+    SELECT lang, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+    FROM documents WHERE length(trim(text)) > 0
+), top_words AS (
+    SELECT word FROM (
+        SELECT word, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, word) AS r
+        FROM toks GROUP BY 1
+    ) WHERE r <= 30
+), lang_tot AS (
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS nt FROM toks GROUP BY 1
+), lw AS (
+    SELECT t.lang, w.word,
+           FLOOR(CAST(COUNT(t.word) AS DOUBLE) / ANY_VALUE(lt.nt) * 1e9 + 0.5) / 1e9
+               AS f
+    FROM top_words w
+    CROSS JOIN lang_tot lt
+    LEFT JOIN toks t ON t.word = w.word AND t.lang = lt.lang
+    GROUP BY t.lang, w.word, lt.lang
+), lwf AS (
+    SELECT lt.lang, w.word, COALESCE(lw.f, 0.0) AS f
+    FROM top_words w CROSS JOIN lang_tot lt
+    LEFT JOIN lw ON lw.lang = lt.lang AND lw.word = w.word
+), wstats AS (
+    SELECT word,
+           FLOOR(AVG(f) * 1e9 + 0.5) / 1e9 AS m,
+           FLOOR(sqrt(AVG(f * f) - AVG(f) * AVG(f)) * 1e9 + 0.5) / 1e9 AS s
+    FROM lwf GROUP BY 1
+), z AS (
+    SELECT l.lang, l.word,
+           FLOOR((l.f - w.m) / w.s * 1e9 + 0.5) / 1e9 AS z
+    FROM lwf l JOIN wstats w ON w.word = l.word
+    WHERE w.s > 0
+), pairs AS (
+    SELECT a.lang AS l1, b.lang AS l2,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(CAST(FLOOR(abs(a.z - b.z) * 1e9 + 0.5) AS DECIMAL(38,9)))
+                AS DOUBLE) / 1e9 / COUNT(*) AS delta
+    FROM z a JOIN z b ON a.word = b.word AND a.lang < b.lang
+    GROUP BY 1, 2
+)
+SELECT l1, l2, n_words,
+       FLOOR(delta * 1000000 + 0.5) / 1000000 AS delta,
+       CAST(ROW_NUMBER() OVER (ORDER BY delta, l1, l2) AS BIGINT) AS rank
+FROM pairs ORDER BY rank
+""",
+)
+def llm_burrows_delta(spark, sf_dir):
+    """Burrows' Delta between the language subcorpora — THE stylometry
+    distance (authorship attribution's workhorse): z-score each
+    high-frequency word's relative frequency across the groups, then
+    Delta(a, b) = mean |z_a - z_b| over the top-30 word list. High-
+    frequency 'function' words carry style/provenance signal that
+    content words don't — which is why this same statistic doubles as
+    a contamination/provenance probe between corpus slices. All
+    frequencies, means, stds and z's are q9-quantized at each float
+    boundary (population std over the 5 groups), the pair sum rides
+    DECIMAL, zero-variance words drop on both sides identically.
+    Bounded everywhere after the one token aggregate: 30 words x 5
+    groups x 10 pairs."""
+    toks = ckpt(
+        t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select("lang", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"))
+    )
+    top_words = (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "word",
+            F.row_number().over(Window.orderBy(F.desc("n"), F.asc("word"))).alias("r"),
+        )
+        .filter(F.col("r") <= 30)
+        .select("word")
+    )
+    lang_tot = toks.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("nt"))
+    counts = toks.join(F.broadcast(top_words), "word").groupBy("lang", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    q9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+    lwf = (
+        top_words.crossJoin(F.broadcast(lang_tot))
+        .join(counts, ["lang", "word"], "left")
+        .select(
+            "lang",
+            "word",
+            F.coalesce(
+                q9(F.col("c").cast("double") / F.col("nt")), F.lit(0.0)
+            ).alias("f"),
+        )
+    )
+    lwf = ckpt(lwf)
+    wstats = lwf.groupBy("word").agg(
+        q9(F.avg("f")).alias("m"),
+        q9(
+            F.sqrt(F.avg(F.col("f") * F.col("f")) - F.avg("f") * F.avg("f"))
+        ).alias("s"),
+    )
+    z = (
+        lwf.join(F.broadcast(wstats), "word")
+        .filter(F.col("s") > 0)
+        .select("lang", "word", q9((F.col("f") - F.col("m")) / F.col("s")).alias("z"))
+    )
+    a = z.select(F.col("lang").alias("l1"), "word", F.col("z").alias("z1"))
+    b = z.select(F.col("lang").alias("l2"), "word", F.col("z").alias("z2"))
+    pairs = (
+        a.join(b, "word")
+        .filter(F.col("l1") < F.col("l2"))
+        .groupBy("l1", "l2")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            (
+                F.sum(
+                    F.floor(F.abs(F.col("z1") - F.col("z2")) * F.lit(1e9) + F.lit(0.5)).cast(
+                        "decimal(38,9)"
+                    )
+                ).cast("double")
+                / F.lit(1e9)
+                / F.count(F.lit(1))
+            ).alias("delta"),
+        )
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    w = Window.orderBy(F.asc("delta"), F.asc("l1"), F.asc("l2"))
+    return pairs.select(
+        "l1", "l2", "n_words", q6(F.col("delta")).alias("delta"),
+        F.row_number().over(w).cast("bigint").alias("rank"),
+    ).orderBy("rank")

@@ -7807,3 +7807,156 @@ def ts_max_subarray(spark, sf_dir):
         (F.col("st.be") - F.col("st.bs") + 1).cast("bigint").alias("streak_days"),
         q6(F.col("st.best").cast("double") / F.lit(1e6)).alias("excess_revenue"),
     )
+
+
+@register(
+    "ts_ar_residual_outliers",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+    FROM events GROUP BY 1
+), series AS (
+    SELECT day, x, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i FROM daily
+), mu AS (
+    SELECT FLOOR(CAST(SUM(x) AS DOUBLE) / COUNT(*) * 1e9 + 0.5) / 1e9 AS m
+    FROM series
+), cent AS (
+    SELECT i, day, x, x - mu.m AS xc FROM series, mu
+), lagsum AS (
+    SELECT k.k,
+           CAST(SUM(CAST(FLOOR(a.xc * b.xc * 1e12 + 0.5) AS DECIMAL(38,12)))
+                AS DOUBLE) / 1e12 AS s
+    FROM generate_series(0, 2) k(k)
+    JOIN cent a ON TRUE
+    JOIN cent b ON b.i = a.i - k.k
+    GROUP BY 1
+), fit AS (
+    SELECT FLOOR((SELECT s FROM lagsum WHERE k = 1)
+                 / (SELECT s FROM lagsum WHERE k = 0) * 1e12 + 0.5) / 1e12 AS r1,
+           FLOOR((SELECT s FROM lagsum WHERE k = 2)
+                 / (SELECT s FROM lagsum WHERE k = 0) * 1e12 + 0.5) / 1e12 AS r2
+), phi AS (
+    SELECT FLOOR(r1 * (1.0 - r2) / (1.0 - r1 * r1) * 1e12 + 0.5) / 1e12 AS p1,
+           FLOOR((r2 - r1 * r1) / (1.0 - r1 * r1) * 1e12 + 0.5) / 1e12 AS p2
+    FROM fit
+), resid AS (
+    SELECT c.i, c.day, c.x,
+           FLOOR((c.xc - ph.p1 * l1.xc - ph.p2 * l2.xc) * 1e9 + 0.5) / 1e9 AS e
+    FROM cent c
+    JOIN cent l1 ON l1.i = c.i - 1
+    JOIN cent l2 ON l2.i = c.i - 2
+    CROSS JOIN phi ph
+), sd AS (
+    SELECT sqrt(CAST(SUM(CAST(FLOOR(e * e * 1e9 + 0.5) AS DECIMAL(38,9)))
+                     AS DOUBLE) / 1e9 / (COUNT(*) - 1.0)) AS s,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM resid
+)
+SELECT r.day, r.x,
+       FLOOR(r.e * 1000000 + 0.5) / 1000000 AS residual,
+       FLOOR(r.e / sd.s * 1000000 + 0.5) / 1000000 AS z_resid
+FROM resid r, sd
+WHERE abs(r.e) > 3.0 * sd.s
+""",
+)
+def ts_ar_residual_outliers(spark, sf_dir):
+    """Additive-outlier detection the Box-Jenkins way — fit the AR(2)
+    (same Yule-Walker closed form as ts_ar2_yule_walker), then flag
+    days whose ONE-STEP-AHEAD residual exceeds 3 residual-sigmas: this
+    separates 'genuinely surprising given the recent past' from
+    'merely far from the global mean' (a Monday after a big weekend is
+    normal HERE even when win_moving_zscore would flag it — the AR
+    structure explains it away). Residuals computed via two lag
+    self-joins on the bounded day frame, q9-quantized; sigma from a
+    DECIMAL sum of squares. Output: the flagged days with raw and
+    standardized residuals (possibly empty — rows-only semantics would
+    hide that, so the full row content is hashed)."""
+    ev = t(spark, sf_dir, "events")
+    series = ckpt(
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+        .select(
+            "day", "x", F.row_number().over(Window.orderBy("day")).cast("bigint").alias("i")
+        )
+    )
+    mu = series.agg(
+        (
+            F.floor(F.sum("x").cast("double") / F.count(F.lit(1)) * F.lit(1e9) + F.lit(0.5))
+            / F.lit(1e9)
+        ).alias("m")
+    )
+    cent = ckpt(
+        series.crossJoin(F.broadcast(mu)).select(
+            "i", "day", "x", (F.col("x") - F.col("m")).alias("xc")
+        )
+    )
+    ks = spark.range(0, 3).select(F.col("id").cast("bigint").alias("k"))
+    a = cent.select(F.col("i").alias("ia"), F.col("xc").alias("xa"))
+    b = cent.select(F.col("i").alias("ib"), F.col("xc").alias("xb"))
+    lagsum = (
+        a.crossJoin(F.broadcast(ks))
+        .join(b, F.col("ib") == F.col("ia") - F.col("k"))
+        .groupBy("k")
+        .agg(
+            (
+                F.sum(
+                    F.floor(F.col("xa") * F.col("xb") * F.lit(1e12) + F.lit(0.5)).cast(
+                        "decimal(38,12)"
+                    )
+                ).cast("double")
+                / F.lit(1e12)
+            ).alias("s")
+        )
+    )
+    q12 = lambda c: F.floor(c * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12)
+    q9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+    fit = (
+        lagsum.groupBy()
+        .pivot("k", [0, 1, 2])
+        .agg(F.first("s"))
+        .select(
+            q12(F.col("1") / F.col("0")).alias("r1"),
+            q12(F.col("2") / F.col("0")).alias("r2"),
+        )
+    )
+    phi = fit.select(
+        q12(
+            F.col("r1") * (F.lit(1.0) - F.col("r2")) / (F.lit(1.0) - F.col("r1") * F.col("r1"))
+        ).alias("p1"),
+        q12(
+            (F.col("r2") - F.col("r1") * F.col("r1")) / (F.lit(1.0) - F.col("r1") * F.col("r1"))
+        ).alias("p2"),
+    )
+    l1 = cent.select(F.col("i").alias("i1"), F.col("xc").alias("xc1"))
+    l2 = cent.select(F.col("i").alias("i2"), F.col("xc").alias("xc2"))
+    resid = ckpt(
+        cent.join(l1, F.col("i1") == F.col("i") - 1)
+        .join(l2, F.col("i2") == F.col("i") - 2)
+        .crossJoin(F.broadcast(phi))
+        .select(
+            "day",
+            "x",
+            q9(
+                F.col("xc") - F.col("p1") * F.col("xc1") - F.col("p2") * F.col("xc2")
+            ).alias("e"),
+        )
+    )
+    sd = resid.agg(
+        F.sqrt(
+            F.sum(F.floor(F.col("e") * F.col("e") * F.lit(1e9) + F.lit(0.5)).cast("decimal(38,9)"))
+            .cast("double")
+            / F.lit(1e9)
+            / (F.count(F.lit(1)) - F.lit(1.0))
+        ).alias("s")
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return (
+        resid.crossJoin(F.broadcast(sd))
+        .filter(F.abs(F.col("e")) > F.lit(3.0) * F.col("s"))
+        .select(
+            "day",
+            "x",
+            q6(F.col("e")).alias("residual"),
+            q6(F.col("e") / F.col("s")).alias("z_resid"),
+        )
+    )

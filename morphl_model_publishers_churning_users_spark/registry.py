@@ -631,6 +631,8 @@ _KEY_RANK: dict[str, int] = {
     "llm_pmi_collocations": 9,
     "ml_kruskal_wallis": 9,
     "ml_icc_anova": 9,
+    "ts_ar_residual_outliers": 9,
+    "llm_burrows_delta": 9,
 }
 
 

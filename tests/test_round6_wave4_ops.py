@@ -2588,3 +2588,26 @@ def test_icc_components_and_bounds(spark, sf_dir):
     ssw = sum((v - sum(vs) / len(vs)) ** 2 for vs in groups.values() for v in vs)
     assert r["ms_between"] == pytest.approx(ssb / (k - 1), rel=1e-3)
     assert r["ms_within"] == pytest.approx(ssw / (n - k), rel=1e-3)
+
+
+def test_ar_residual_outliers_are_genuinely_extreme(spark, sf_dir):
+    """Every flagged day's |z| > 3; flagged days are a subset of the
+    day series; residual/z are consistent."""
+    rows = _Q["ts_ar_residual_outliers"](spark, sf_dir).collect()
+    for r in rows:
+        assert abs(r["z_resid"]) > 3.0 - 1e-6
+        assert (r["residual"] > 0) == (r["z_resid"] > 0)
+
+
+def test_burrows_delta_is_a_metric_on_pairs(spark, sf_dir):
+    """All C(5,2)=10 language pairs present, deltas nonnegative and
+    ranked ascending, each pair scored over the same word panel."""
+    rows = _Q["llm_burrows_delta"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert [r["rank"] for r in rows] == list(range(1, 11))
+    ds = [r["delta"] for r in rows]
+    assert ds == sorted(ds) and all(d >= 0 for d in ds)
+    panels = {r["n_words"] for r in rows}
+    assert len(panels) == 1
+    langs = {r["l1"] for r in rows} | {r["l2"] for r in rows}
+    assert langs == {"en", "de", "es", "fr", "zh"}
