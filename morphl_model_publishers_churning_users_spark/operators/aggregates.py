@@ -2595,3 +2595,90 @@ def agg_spearman(spark, sf_dir):
         F.round(rho, 6).alias("spearman_rho"),
         (rho > 0).alias("positive_assoc"),
     )
+
+
+@register(
+    "agg_robust_shape",
+    oracle="""
+WITH vals AS (
+    SELECT CAST(FLOOR(o_totalprice * 1e6 + 0.5) AS BIGINT) AS yq FROM orders
+), ranked AS (
+    SELECT yq, CAST(ROW_NUMBER() OVER (ORDER BY yq) AS BIGINT) AS rn,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n
+    FROM vals
+), oct AS (
+    SELECT d.i,
+           MAX(CASE WHEN r.rn = (d.i * r.n + 7) // 8 THEN r.yq END) AS q
+    FROM generate_series(1, 7) d(i)
+    JOIN ranked r ON r.rn = (d.i * r.n + 7) // 8
+    GROUP BY 1
+), w AS (
+    SELECT MAX(CASE WHEN i = 1 THEN q END) AS e1,
+           MAX(CASE WHEN i = 2 THEN q END) AS q1,
+           MAX(CASE WHEN i = 3 THEN q END) AS e3,
+           MAX(CASE WHEN i = 4 THEN q END) AS med,
+           MAX(CASE WHEN i = 5 THEN q END) AS e5,
+           MAX(CASE WHEN i = 6 THEN q END) AS q3,
+           MAX(CASE WHEN i = 7 THEN q END) AS e7
+    FROM oct
+)
+SELECT FLOOR(med / 1e6 * 1000000 + 0.5) / 1000000 AS median,
+       FLOOR((q3 - q1) / 1e6 * 1000000 + 0.5) / 1000000 AS iqr,
+       FLOOR(CAST(q3 + q1 - 2 * med AS DOUBLE) / (q3 - q1) * 1000000 + 0.5)
+           / 1000000 AS bowley_skew,
+       FLOOR(CAST((e3 - e1) + (e7 - e5) AS DOUBLE) / (q3 - q1) * 1000000 + 0.5)
+           / 1000000 AS moors_kurtosis
+FROM w
+""",
+)
+def agg_robust_shape(spark, sf_dir):
+    """Quantile-based distribution shape — Bowley skewness
+    (Q3 + Q1 - 2·median)/IQR and Moors kurtosis ((E3-E1)+(E7-E5))/IQR
+    from the exact OCTILES: the robust counterparts to
+    agg_skew_kurtosis's moment statistics, which a single fat-fingered
+    order can drag arbitrarily (3rd/4th moments have unbounded
+    influence; quantiles have bounded influence by construction —
+    report BOTH and a big gap is itself the outlier alarm). All seven
+    octiles are exact ceil(i·n/8) order statistics on micro-unit
+    BIGINTs; the two shape ratios are the only float ops. One value
+    sort, O(1) output."""
+    vals = (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.floor(F.col("o_totalprice") * F.lit(1e6) + F.lit(0.5))
+            .cast("bigint")
+            .alias("yq")
+        )
+    )
+    ranked = vals.select(
+        "yq",
+        F.row_number().over(Window.orderBy("yq")).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    spine = spark.range(1, 8).select(F.col("id").cast("bigint").alias("i"))
+    oct_ = ranked.join(
+        F.broadcast(spine),
+        F.col("rn") == ((F.col("i") * F.col("n") + 7) / 8).cast("bigint"),
+    ).groupBy().pivot("i", list(range(1, 8))).agg(F.first("yq"))
+    w = oct_.select(
+        F.col("1").alias("e1"),
+        F.col("2").alias("q1"),
+        F.col("3").alias("e3"),
+        F.col("4").alias("med"),
+        F.col("5").alias("e5"),
+        F.col("6").alias("q3"),
+        F.col("7").alias("e7"),
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return w.select(
+        q6(F.col("med") / F.lit(1e6)).alias("median"),
+        q6((F.col("q3") - F.col("q1")) / F.lit(1e6)).alias("iqr"),
+        q6(
+            (F.col("q3") + F.col("q1") - 2 * F.col("med")).cast("double")
+            / (F.col("q3") - F.col("q1"))
+        ).alias("bowley_skew"),
+        q6(
+            ((F.col("e3") - F.col("e1")) + (F.col("e7") - F.col("e5"))).cast("double")
+            / (F.col("q3") - F.col("q1"))
+        ).alias("moors_kurtosis"),
+    )

@@ -1179,3 +1179,53 @@ def join_asof_forward(spark, sf_dir):
             "click_ts",
         )
     )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+WITH c_nat AS (
+    SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_cust
+    FROM customer GROUP BY 1
+), s_nat AS (
+    SELECT s_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_supp
+    FROM supplier GROUP BY 1
+)
+SELECT COALESCE(c.nk, s.nk) AS nationkey,
+       COALESCE(c.n_cust, 0) AS n_cust,
+       COALESCE(s.n_supp, 0) AS n_supp,
+       c.nk IS NULL AS supplier_only,
+       s.nk IS NULL AS customer_only
+FROM c_nat c FULL OUTER JOIN s_nat s ON s.nk = c.nk
+""",
+)
+def join_full_outer(spark, sf_dir):
+    """FULL OUTER join — the one join type the §2.C family had not
+    surfaced as its own key: reconcile the per-nation customer census
+    against the supplier census, keeping BOTH unmatched sides (a left
+    join silently drops supplier-only nations; the full outer is how a
+    reconciliation report proves what's missing on each side, the
+    COALESCE(c.key, s.key) spine being the idiom's load-bearing
+    line). At scale a full outer cannot broadcast (both sides must
+    keep their unmatched rows), so Spark plans the sort-merge — here
+    over post-aggregate O(nations) frames; the pre-aggregation is what
+    makes the pattern 100 TB-shaped (outer-join the summaries, never
+    the facts)."""
+    c = (
+        t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cust"))
+    )
+    s = (
+        t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("snk"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_supp"))
+    )
+    j = c.join(s, c["nk"] == s["snk"], "full_outer")
+    return j.select(
+        F.coalesce(F.col("nk"), F.col("snk")).alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).cast("bigint").alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).cast("bigint").alias("n_supp"),
+        F.col("nk").isNull().alias("supplier_only"),
+        F.col("snk").isNull().alias("customer_only"),
+    )

@@ -633,6 +633,8 @@ _KEY_RANK: dict[str, int] = {
     "ml_icc_anova": 9,
     "ts_ar_residual_outliers": 9,
     "llm_burrows_delta": 9,
+    "join_full_outer": 9,
+    "agg_robust_shape": 9,
 }
 
 

@@ -2611,3 +2611,47 @@ def test_burrows_delta_is_a_metric_on_pairs(spark, sf_dir):
     assert len(panels) == 1
     langs = {r["l1"] for r in rows} | {r["l2"] for r in rows}
     assert langs == {"en", "de", "es", "fr", "zh"}
+
+
+def test_full_outer_keeps_both_unmatched_sides(spark, sf_dir):
+    """Census totals reconcile with both source tables, and the
+    only-flags are mutually exclusive."""
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    rows = _Q["join_full_outer"](spark, sf_dir).collect()
+    assert sum(r["n_cust"] for r in rows) == tbl(spark, sf_dir, "customer").count()
+    assert sum(r["n_supp"] for r in rows) == tbl(spark, sf_dir, "supplier").count()
+    for r in rows:
+        assert not (r["supplier_only"] and r["customer_only"])
+        if r["supplier_only"]:
+            assert r["n_cust"] == 0 and r["n_supp"] > 0
+        if r["customer_only"]:
+            assert r["n_supp"] == 0 and r["n_cust"] > 0
+
+
+def test_robust_shape_matches_numpy_octiles(spark, sf_dir):
+    """Median/IQR/Bowley/Moors match the exact ceil(i n/8) order
+    statistics recomputed in python; Bowley is bounded in [-1, 1]."""
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    r = _Q["agg_robust_shape"](spark, sf_dir).collect()[0]
+    vals = sorted(
+        row["yq"]
+        for row in tbl(spark, sf_dir, "orders")
+        .select(F.floor(F.col("o_totalprice") * 1e6 + 0.5).cast("long").alias("yq"))
+        .collect()
+    )
+    n = len(vals)
+    o = {i: vals[(i * n + 7) // 8 - 1] for i in range(1, 8)}
+    assert r["median"] == pytest.approx(o[4] / 1e6, abs=1e-6)
+    assert r["iqr"] == pytest.approx((o[6] - o[2]) / 1e6, abs=1e-6)
+    assert r["bowley_skew"] == pytest.approx(
+        (o[6] + o[2] - 2 * o[4]) / (o[6] - o[2]), abs=1e-6
+    )
+    assert -1.0 <= r["bowley_skew"] <= 1.0
+    assert r["moors_kurtosis"] == pytest.approx(
+        ((o[3] - o[1]) + (o[7] - o[5])) / (o[6] - o[2]), abs=1e-6
+    )
+    assert r["moors_kurtosis"] > 0
