@@ -7429,3 +7429,104 @@ def ml_icc_anova(spark, sf_dir):
         q6(icc).alias("icc1"),
         (icc > F.lit(0.05)).alias("clustering_matters"),
     )
+
+
+@register(
+    "ml_friedman_test",
+    oracle="""
+WITH cells AS (
+    SELECT o.o_orderpriority AS blk, c.c_mktsegment AS trt,
+           CAST(SUM(CAST(FLOOR(o.o_totalprice * 1e6 + 0.5) AS DECIMAL(38,6)))
+                AS DOUBLE) / 1e6 / COUNT(*) AS m
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1, 2
+), q AS (
+    SELECT blk, trt, FLOOR(m * 1e6 + 0.5) / 1e6 AS mq FROM cells
+), ranked AS (
+    SELECT blk, trt,
+           AVG(CAST(rn AS DOUBLE)) OVER (PARTITION BY blk, mq) AS r
+    FROM (SELECT blk, trt, mq,
+                 ROW_NUMBER() OVER (PARTITION BY blk ORDER BY mq, trt) AS rn
+          FROM q)
+), sums AS (
+    SELECT trt, CAST(SUM(CAST(FLOOR(r * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE)
+                    / 1e6 AS rj,
+           CAST(COUNT(*) AS BIGINT) AS n_blocks
+    FROM ranked GROUP BY 1
+), stat AS (
+    SELECT ANY_VALUE(n_blocks) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(SUM(CAST(FLOOR(rj * rj * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE)
+               / 1e6 AS srr
+    FROM sums
+)
+SELECT CAST(n AS BIGINT) AS n_blocks, CAST(k AS BIGINT) AS k_treatments,
+       FLOOR((12.0 / (n * k * (k + 1.0)) * srr - 3.0 * n * (k + 1.0))
+             * 1000000 + 0.5) / 1000000 AS friedman_q,
+       12.0 / (n * k * (k + 1.0)) * srr - 3.0 * n * (k + 1.0) > 9.487729
+           AS reject_equal_treatments
+FROM stat
+""",
+)
+def ml_friedman_test(spark, sf_dir):
+    """Friedman test — the BLOCKED k-sample rank test completing the
+    nonparametric family (ml_kruskal_wallis is the unblocked one):
+    does mean order value differ across the five market segments once
+    each order-priority block only contributes its WITHIN-BLOCK
+    ranking? Blocking removes the priority main effect exactly the way
+    a paired t removes subject effects — the right design when blocks
+    differ wildly in level. Cell means from one decimal-moment
+    aggregate, q6-quantized BEFORE ranking (so cross-engine ties are
+    impossible except at exact equality, where the mid-rank average
+    applies identically), Q = 12/(nk(k+1)) sum R_j^2 - 3n(k+1) vs
+    chi2(4)'s 9.4877. Everything after the fact pass is a 25-cell
+    frame."""
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice", "o_orderpriority")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    q6f = lambda cc: F.floor(cc * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    cells = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("o_orderpriority").alias("blk"), F.col("c_mktsegment").alias("trt"))
+        .agg(
+            (
+                F.sum(q6dec(F.col("o_totalprice"))).cast("double")
+                / F.lit(1e6)
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        .select("blk", "trt", q6f(F.col("m")).alias("mq"))
+    )
+    ranked = cells.select(
+        "blk",
+        "trt",
+        "mq",
+        F.row_number().over(Window.partitionBy("blk").orderBy("mq", "trt")).alias("rn"),
+    ).select(
+        "blk",
+        "trt",
+        F.avg(F.col("rn").cast("double"))
+        .over(Window.partitionBy("blk", "mq"))
+        .alias("r"),
+    )
+    q6sum = lambda cc: (
+        F.sum(F.floor(cc * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,6)")).cast("double")
+        / F.lit(1e6)
+    )
+    sums = ranked.groupBy("trt").agg(
+        q6sum(F.col("r")).alias("rj"),
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+    )
+    stat = sums.agg(
+        F.any_value("n_blocks").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        q6sum(F.col("rj") * F.col("rj")).alias("srr"),
+    )
+    qq = (
+        F.lit(12.0) / (F.col("n") * F.col("k") * (F.col("k") + F.lit(1.0))) * F.col("srr")
+        - F.lit(3.0) * F.col("n") * (F.col("k") + F.lit(1.0))
+    )
+    return stat.select(
+        F.col("n").cast("bigint").alias("n_blocks"),
+        F.col("k").cast("bigint").alias("k_treatments"),
+        q6f(qq).alias("friedman_q"),
+        (qq > F.lit(9.487729)).alias("reject_equal_treatments"),
+    )

@@ -7960,3 +7960,119 @@ def ts_ar_residual_outliers(spark, sf_dir):
             q6(F.col("e") / F.col("s")).alias("z_resid"),
         )
     )
+
+
+@register(
+    "ts_price_index_fisher",
+    oracle="""
+WITH span AS (
+    SELECT MIN(l_shipdate) AS lo, MAX(l_shipdate) AS hi FROM lineitem
+), tagged AS (
+    SELECT p.p_brand AS brand,
+           CASE WHEN datediff('day', s.lo, l.l_shipdate)
+                     * 2 < datediff('day', s.lo, s.hi) THEN 0 ELSE 1 END AS period,
+           CAST(FLOOR(l.l_extendedprice * 1e6 + 0.5) AS BIGINT) AS pq,
+           CAST(l.l_quantity AS BIGINT) AS q
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey, span s
+), pb AS (
+    SELECT brand, period,
+           FLOOR(CAST(SUM(pq) AS DOUBLE) / 1e6 / SUM(q) * 1e6 + 0.5) / 1e6
+               AS unit_p,
+           CAST(SUM(q) AS BIGINT) AS qty
+    FROM tagged GROUP BY 1, 2
+), wide AS (
+    SELECT brand,
+           MAX(CASE WHEN period = 0 THEN unit_p END) AS p0,
+           MAX(CASE WHEN period = 1 THEN unit_p END) AS p1,
+           MAX(CASE WHEN period = 0 THEN qty END) AS q0,
+           MAX(CASE WHEN period = 1 THEN qty END) AS q1
+    FROM pb GROUP BY 1
+    HAVING COUNT(*) = 2
+), sums AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_brands,
+           -- integer-grain cross terms: dollar-price x quantity reaches
+           -- ~1e12 at scale, so a 1e6 micro-floor would overflow LONG
+           CAST(SUM(CAST(FLOOR(p1 * q0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE)
+               AS s_p1q0,
+           CAST(SUM(CAST(FLOOR(p0 * q0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE)
+               AS s_p0q0,
+           CAST(SUM(CAST(FLOOR(p1 * q1 + 0.5) AS DECIMAL(38,0))) AS DOUBLE)
+               AS s_p1q1,
+           CAST(SUM(CAST(FLOOR(p0 * q1 + 0.5) AS DECIMAL(38,0))) AS DOUBLE)
+               AS s_p0q1
+    FROM wide
+)
+SELECT n_brands,
+       FLOOR(s_p1q0 / s_p0q0 * 1000000 + 0.5) / 1000000 AS laspeyres,
+       FLOOR(s_p1q1 / s_p0q1 * 1000000 + 0.5) / 1000000 AS paasche,
+       FLOOR(sqrt((s_p1q0 / s_p0q0) * (s_p1q1 / s_p0q1)) * 1000000 + 0.5)
+           / 1000000 AS fisher
+FROM sums
+""",
+)
+def ts_price_index_fisher(spark, sf_dir):
+    """Laspeyres, Paasche and Fisher price indices between the first
+    and second half of the shipping span — index-number theory's core
+    triple: Laspeyres weights by OLD quantities (overstates inflation
+    when buyers substitute away from price risers), Paasche by NEW
+    (understates it), and Fisher's geometric mean is the
+    superlative index national statistics agencies publish. Per-brand
+    unit prices from exact micro/quantity BIGINT sums (q6-quantized at
+    the one division), only brands trading in BOTH periods enter (the
+    matched-basket rule), and each p x q cross term rides q6 DECIMAL.
+    One fact pass + an O(brands) pivot; the Laspeyres <= Fisher <=
+    Paasche ordering (or its reverse) is asserted in tests via the
+    geometric-mean identity."""
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_shipdate", "l_extendedprice", "l_quantity")
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    span = li.agg(F.min("l_shipdate").alias("lo"), F.max("l_shipdate").alias("hi"))
+    tagged = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .crossJoin(F.broadcast(span))
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.when(
+                F.datediff("l_shipdate", "lo") * 2 < F.datediff("hi", "lo"), 0
+            )
+            .otherwise(1)
+            .alias("period"),
+            F.floor(F.col("l_extendedprice") * F.lit(1e6) + F.lit(0.5))
+            .cast("bigint")
+            .alias("pq"),
+            F.col("l_quantity").cast("bigint").alias("q"),
+        )
+    )
+    q6f = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    pb = tagged.groupBy("brand", "period").agg(
+        q6f(F.sum("pq").cast("double") / F.lit(1e6) / F.sum("q")).alias("unit_p"),
+        F.sum("q").cast("bigint").alias("qty"),
+    )
+    wide = (
+        pb.groupBy("brand")
+        .agg(
+            F.max(F.when(F.col("period") == 0, F.col("unit_p"))).alias("p0"),
+            F.max(F.when(F.col("period") == 1, F.col("unit_p"))).alias("p1"),
+            F.max(F.when(F.col("period") == 0, F.col("qty"))).alias("q0"),
+            F.max(F.when(F.col("period") == 1, F.col("qty"))).alias("q1"),
+            F.count(F.lit(1)).alias("np"),
+        )
+        .filter(F.col("np") == 2)
+    )
+    q0sum = lambda c: (
+        F.sum(F.floor(c + F.lit(0.5)).cast("decimal(38,0)")).cast("double")
+    )
+    sums = wide.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_brands"),
+        q0sum(F.col("p1") * F.col("q0")).alias("s_p1q0"),
+        q0sum(F.col("p0") * F.col("q0")).alias("s_p0q0"),
+        q0sum(F.col("p1") * F.col("q1")).alias("s_p1q1"),
+        q0sum(F.col("p0") * F.col("q1")).alias("s_p0q1"),
+    )
+    lasp = F.col("s_p1q0") / F.col("s_p0q0")
+    paas = F.col("s_p1q1") / F.col("s_p0q1")
+    return sums.select(
+        "n_brands",
+        q6f(lasp).alias("laspeyres"),
+        q6f(paas).alias("paasche"),
+        q6f(F.sqrt(lasp * paas)).alias("fisher"),
+    )

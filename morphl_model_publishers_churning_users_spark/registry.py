@@ -635,6 +635,8 @@ _KEY_RANK: dict[str, int] = {
     "llm_burrows_delta": 9,
     "join_full_outer": 9,
     "agg_robust_shape": 9,
+    "ml_friedman_test": 9,
+    "ts_price_index_fisher": 9,
 }
 
 

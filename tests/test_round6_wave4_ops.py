@@ -2655,3 +2655,27 @@ def test_robust_shape_matches_numpy_octiles(spark, sf_dir):
         ((o[3] - o[1]) + (o[7] - o[5])) / (o[6] - o[2]), abs=1e-6
     )
     assert r["moors_kurtosis"] > 0
+
+
+def test_friedman_rank_bounds(spark, sf_dir):
+    """Q is nonnegative and bounded by the all-blocks-agree maximum
+    n(k-1); blocks and treatments reconcile with the fixture shape."""
+    r = _Q["ml_friedman_test"](spark, sf_dir).collect()[0]
+    n, k = r["n_blocks"], r["k_treatments"]
+    assert (n, k) == (5, 5)
+    assert 0.0 <= r["friedman_q"] <= n * (k - 1) + 1e-6
+    assert r["reject_equal_treatments"] == (r["friedman_q"] > 9.487729)
+
+
+def test_fisher_is_geometric_mean_and_bounded(spark, sf_dir):
+    """Fisher = sqrt(Laspeyres * Paasche) exactly, and sits between the
+    two (the geometric-mean sandwich)."""
+    r = _Q["ts_price_index_fisher"](spark, sf_dir).collect()[0]
+    assert r["fisher"] == pytest.approx(
+        (r["laspeyres"] * r["paasche"]) ** 0.5, abs=2e-6
+    )
+    lo, hi = sorted([r["laspeyres"], r["paasche"]])
+    assert lo - 1e-9 <= r["fisher"] <= hi + 1e-9
+    assert r["n_brands"] == 25
+    for v in (r["laspeyres"], r["paasche"], r["fisher"]):
+        assert 0.5 < v < 2.0  # stable-ish price environment by fixture
