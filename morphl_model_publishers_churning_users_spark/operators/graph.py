@@ -1529,3 +1529,69 @@ def graph_rich_club(spark, sf_dir):
             ).alias("phi"),
         )
     )
+
+
+@register(
+    "graph_degree_gini",
+    oracle=f"""
+WITH {_EDGES_DUCK},
+sym AS MATERIALIZED (
+    SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges
+), deg AS (
+    SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY 1
+), ranked AS (
+    SELECT d, CAST(ROW_NUMBER() OVER (ORDER BY d, node) AS BIGINT) AS rn,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n,
+           CAST(SUM(d) OVER () AS BIGINT) AS sd
+    FROM deg
+), terms AS (
+    SELECT n, sd, (2 * rn - n - 1) * d AS term FROM ranked
+)
+SELECT CAST(ANY_VALUE(n) AS BIGINT) AS n_nodes,
+       CAST(ANY_VALUE(sd) AS BIGINT) // 2 AS n_edges,
+       FLOOR(CAST(ANY_VALUE(sd) AS DOUBLE) / ANY_VALUE(n) * 1000000 + 0.5)
+           / 1000000 AS mean_degree,
+       FLOOR(CAST(SUM(term) AS DOUBLE)
+             / (CAST(ANY_VALUE(n) AS DOUBLE) * ANY_VALUE(sd))
+             * 1000000 + 0.5) / 1000000 AS degree_gini
+FROM terms
+""",
+)
+def graph_degree_gini(spark, sf_dir):
+    """Gini coefficient of the co-purchase degree distribution — the
+    single-number hub-concentration summary that complements
+    graph_rich_club (phi asks 'do hubs cluster together?'; this asks
+    'how unequal is connectivity at all?'): a near-0 Gini means
+    commodity-like uniform co-purchase; high Gini means a few anchor
+    products carry the graph — which is what decides whether
+    hub-removal (stockout of an anchor) is an existential risk. The
+    exact integer rank identity sum((2i-n-1)d_i)/(n*total) — the same
+    spelling as scan_partition_skew_audit's Gini — keeps everything
+    integer until two final divisions. One degree aggregate + one
+    rank."""
+    deg = (
+        _sym(_copurchase_edges(spark, sf_dir))
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    ranked = deg.select(
+        "d",
+        F.row_number().over(Window.orderBy("d", "node")).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
+        F.sum("d").over(Window.partitionBy()).cast("bigint").alias("sd"),
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    terms = ranked.select(
+        "n",
+        "sd",
+        ((2 * F.col("rn") - F.col("n") - 1) * F.col("d")).alias("term"),
+    )
+    return terms.agg(
+        F.any_value("n").cast("bigint").alias("n_nodes"),
+        (F.any_value("sd") / 2).cast("bigint").alias("n_edges"),
+        q6(F.any_value("sd").cast("double") / F.any_value("n")).alias("mean_degree"),
+        q6(
+            F.sum("term").cast("double")
+            / (F.any_value("n").cast("double") * F.any_value("sd"))
+        ).alias("degree_gini"),
+    )

@@ -2155,3 +2155,100 @@ def subquery_quantified(spark, sf_dir):
             .alias("n_below_any"),
         )
     )
+
+
+@register(
+    "dq_benford_mad",
+    oracle="""
+WITH digits AS (
+    SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                            AS VARCHAR), 1, 1) AS BIGINT) AS d
+    FROM orders WHERE o_totalprice > 0
+), counts AS (
+    SELECT g.d, CAST(COUNT(digits.d) AS BIGINT) AS n
+    FROM generate_series(1, 9) g(d)
+    LEFT JOIN digits ON digits.d = g.d
+    GROUP BY 1
+), tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM counts),
+devs AS (
+    SELECT c.d,
+           abs(c.n / tot.t
+               - (FLOOR((ln(CAST(c.d + 1 AS DOUBLE)) - ln(CAST(c.d AS DOUBLE)))
+                        / ln(10.0) * 1e9 + 0.5) / 1e9)) AS dev
+    FROM counts c, tot
+)
+SELECT CAST((SELECT t FROM tot) AS BIGINT) AS n_values,
+       FLOOR(CAST(SUM(CAST(FLOOR(dev * 1e9 + 0.5) AS DECIMAL(38,9))) AS DOUBLE)
+             / 1e9 / 9.0 * 1000000 + 0.5) / 1000000 AS mad,
+       CASE
+         WHEN CAST(SUM(CAST(FLOOR(dev * 1e9 + 0.5) AS DECIMAL(38,9))) AS DOUBLE)
+              / 1e9 / 9.0 < 0.006 THEN 'close'
+         WHEN CAST(SUM(CAST(FLOOR(dev * 1e9 + 0.5) AS DECIMAL(38,9))) AS DOUBLE)
+              / 1e9 / 9.0 < 0.012 THEN 'acceptable'
+         WHEN CAST(SUM(CAST(FLOOR(dev * 1e9 + 0.5) AS DECIMAL(38,9))) AS DOUBLE)
+              / 1e9 / 9.0 < 0.015 THEN 'marginal'
+         ELSE 'nonconforming'
+       END AS conformity
+FROM devs
+""",
+)
+def dq_benford_mad(spark, sf_dir):
+    """Benford conformity by Nigrini's MAD — the practitioner's fix for
+    the chi-square trap agg_benford_chisq walks into at scale: with
+    millions of rows, chi2 rejects EVERY real dataset (power goes to 1
+    against microscopic deviations), so forensic accounting grades the
+    MEAN ABSOLUTE DEVIATION of first-digit proportions against fixed
+    bands instead (close < 0.006, acceptable < 0.012, marginal <
+    0.015, else nonconforming) — a sample-size-free effect-size
+    criterion. First digits from exact integer cents (string head of
+    the BIGINT — no float log10 digit extraction), expected Benford
+    masses via q9 logs, deviations q9-DECIMAL-summed. One
+    map-combinable aggregate, O(1) output."""
+    digits = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .select(
+            F.substring(
+                F.floor(F.col("o_totalprice") * F.lit(100) + F.lit(0.5))
+                .cast("bigint")
+                .cast("string"),
+                1,
+                1,
+            )
+            .cast("bigint")
+            .alias("d")
+        )
+    )
+    spine = spark.range(1, 10).select(F.col("id").cast("bigint").alias("d"))
+    counts = ckpt(
+        spine.join(
+            digits.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("n")),
+            "d",
+            "left",
+        ).select("d", F.coalesce("n", F.lit(0)).cast("bigint").alias("n"))
+    )
+    tot = counts.agg(F.sum("n").cast("double").alias("t"))
+    q9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+    expected = q9(
+        (F.log((F.col("d") + 1).cast("double")) - F.log(F.col("d").cast("double")))
+        / F.log(F.lit(10.0))
+    )
+    devs = counts.crossJoin(F.broadcast(tot)).select(
+        "t", F.abs(F.col("n") / F.col("t") - expected).alias("dev")
+    )
+    mad = (
+        F.sum(F.floor(F.col("dev") * F.lit(1e9) + F.lit(0.5)).cast("decimal(38,9)"))
+        .cast("double")
+        / F.lit(1e9)
+        / F.lit(9.0)
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return devs.agg(
+        F.first("t").cast("bigint").alias("n_values"),
+        q6(mad).alias("mad"),
+        F.when(mad < 0.006, "close")
+        .when(mad < 0.012, "acceptable")
+        .when(mad < 0.015, "marginal")
+        .otherwise("nonconforming")
+        .alias("conformity"),
+    )

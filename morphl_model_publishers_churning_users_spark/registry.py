@@ -637,6 +637,8 @@ _KEY_RANK: dict[str, int] = {
     "agg_robust_shape": 9,
     "ml_friedman_test": 9,
     "ts_price_index_fisher": 9,
+    "dq_benford_mad": 9,
+    "graph_degree_gini": 9,
 }
 
 

