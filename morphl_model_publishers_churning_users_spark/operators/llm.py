@@ -5763,3 +5763,75 @@ def llm_burrows_delta(spark, sf_dir):
         "l1", "l2", "n_words", q6(F.col("delta")).alias("delta"),
         F.row_number().over(w).cast("bigint").alias("rank"),
     ).orderBy("rank")
+
+
+@register(
+    "llm_dedup_by_source",
+    oracle="""
+WITH hashed AS (
+    SELECT source, md5(lower(trim(text))) AS h
+    FROM documents WHERE length(trim(text)) > 0
+), dup_groups AS (
+    SELECT h FROM hashed GROUP BY h HAVING COUNT(*) > 1
+), pairs AS (
+    SELECT LEAST(a.source, b.source) AS source_a,
+           GREATEST(a.source, b.source) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+    FROM hashed a
+    JOIN hashed b ON b.h = a.h
+    JOIN dup_groups g ON g.h = a.h
+    WHERE a.source < b.source
+    GROUP BY 1, 2
+), within AS (
+    SELECT source AS source_a, source AS source_b,
+           CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS n_dup_pairs
+    FROM (SELECT h, source, COUNT(*) AS c FROM hashed GROUP BY 1, 2)
+    WHERE c > 1
+    GROUP BY 1
+)
+SELECT source_a, source_b, n_dup_pairs FROM pairs
+UNION ALL
+SELECT source_a, source_b, n_dup_pairs FROM within
+""",
+)
+def llm_dedup_by_source(spark, sf_dir):
+    """Provenance-resolved exact-duplicate matrix — not just 'how many
+    dups' (llm_dedup_exact) but WHO copies WHOM: for every pair of
+    sources, the count of cross-source duplicate document pairs, plus
+    each source's internal duplicate pairs on the diagonal. This is
+    the forensics table a corpus curator reads before deciding which
+    source to drop (a mirror site shows up as one huge off-diagonal
+    cell; a crawler bug as a diagonal one). One hash aggregate
+    (sha-normalized text, the llm_dedup_exact discipline), duplicate
+    groups joined back once — pair counts come from per-group
+    source-count products, never materializing the pairs at fact
+    scale. Exact integers throughout."""
+    hashed = ckpt(
+        t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select("source", F.md5(F.lower(F.trim("text"))).alias("h"))
+    )
+    per_hs = hashed.groupBy("h", "source").agg(F.count(F.lit(1)).alias("c"))
+    dup_groups = (
+        per_hs.groupBy("h").agg(F.sum("c").alias("tot")).filter(F.col("tot") > 1)
+    )
+    hs = per_hs.join(dup_groups.select("h"), "h")
+    a = hs.select("h", F.col("source").alias("sa"), F.col("c").alias("ca"))
+    b = hs.select("h", F.col("source").alias("sb"), F.col("c").alias("cb"))
+    cross = (
+        a.join(b, "h")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy(F.col("sa").alias("source_a"), F.col("sb").alias("source_b"))
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("n_dup_pairs"))
+    )
+    within = (
+        hs.filter(F.col("c") > 1)
+        .groupBy(F.col("source").alias("source_a"))
+        .agg(
+            F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("bigint").alias("n_dup_pairs")
+        )
+        .select("source_a", F.col("source_a").alias("source_b"), "n_dup_pairs")
+        .filter(F.col("n_dup_pairs") > 0)
+        .select("source_a", "source_b", "n_dup_pairs")
+    )
+    return cross.unionByName(within)

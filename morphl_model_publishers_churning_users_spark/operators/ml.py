@@ -7530,3 +7530,139 @@ def ml_friedman_test(spark, sf_dir):
         q6f(qq).alias("friedman_q"),
         (qq > F.lit(9.487729)).alias("reject_equal_treatments"),
     )
+
+
+@register(
+    "ml_brown_forsythe",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(isodow(CAST(o_orderdate AS DATE)) AS BIGINT) AS dow,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 1e6 + 0.5) AS DECIMAL(38,6)))
+                AS DOUBLE) / 1e6 / 1000.0 AS rev
+    FROM orders GROUP BY 1, 2
+), med AS (
+    SELECT dow, rev,
+           CAST(ROW_NUMBER() OVER (PARTITION BY dow ORDER BY rev, day) AS BIGINT)
+               AS rn,
+           CAST(COUNT(*) OVER (PARTITION BY dow) AS BIGINT) AS n,
+           day
+    FROM daily
+), gmed AS (
+    SELECT dow, rev AS m FROM med WHERE rn = (n + 1) // 2
+), z AS (
+    SELECT d.dow, abs(d.rev - g.m) AS z
+    FROM daily d JOIN gmed g ON g.dow = d.dow
+), gm AS (
+    SELECT dow, CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(FLOOR(z * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE) / 1e6
+               AS sz,
+           CAST(SUM(CAST(FLOOR(z * z * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE) / 1e6
+               AS szz
+    FROM z GROUP BY 1
+), tot AS (
+    SELECT CAST(SUM(n) AS DOUBLE) AS nt, CAST(COUNT(*) AS DOUBLE) AS k,
+           CAST(SUM(CAST(FLOOR(sz * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE) / 1e6
+               AS gs
+    FROM gm
+), ss AS (
+    SELECT t.nt, t.k,
+           CAST(SUM(CAST(FLOOR(g.sz * g.sz / g.n * 1e6 + 0.5) AS DECIMAL(38,6)))
+                AS DOUBLE) / 1e6 - t.gs * t.gs / t.nt AS ssb,
+           CAST(SUM(CAST(FLOOR(g.szz * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE) / 1e6
+           - CAST(SUM(CAST(FLOOR(g.sz * g.sz / g.n * 1e6 + 0.5) AS DECIMAL(38,6)))
+                  AS DOUBLE) / 1e6 AS ssw
+    FROM gm g, tot t GROUP BY t.nt, t.k, t.gs
+)
+SELECT CAST(nt AS BIGINT) AS n_days, CAST(k AS BIGINT) AS k_groups,
+       FLOOR((ssb / (k - 1.0)) / (ssw / (nt - k)) * 1000000 + 0.5) / 1000000
+           AS bf_stat,
+       (ssb / (k - 1.0)) / (ssw / (nt - k)) > 2.1 AS reject_equal_variances
+FROM ss
+""",
+)
+def ml_brown_forsythe(spark, sf_dir):
+    """Brown-Forsythe test for VARIANCE equality across weekdays — the
+    robust Levene variant (deviations from the group MEDIAN, not mean)
+    that answers the question agg_weekday_anova's mean test does not:
+    even with equal average revenue, a weekday whose revenue VARIANCE
+    is double needs different safety stock and staffing buffers, and
+    classical Bartlett's test is wrecked by non-normality exactly
+    where variance questions arise. One-way ANOVA F on |x - median_g|
+    with exact order-statistic medians (day tiebreak), all moments in
+    DECIMAL at kilo-dollar scale (the ICC cancellation lesson),
+    decision vs the F(6, inf) 5% point ~2.1. One day aggregate + one
+    per-group window + O(weekdays) algebra."""
+    daily = ckpt(
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(
+            (
+                F.sum(q6dec(F.col("o_totalprice"))).cast("double")
+                / F.lit(1e6)
+                / F.lit(1000.0)
+            ).alias("rev")
+        )
+        .select(
+            "day",
+            "rev",
+            (((F.dayofweek("day") + 5) % 7) + 1).cast("bigint").alias("dow"),
+        )
+    )
+    med = daily.select(
+        "dow",
+        "rev",
+        F.row_number()
+        .over(Window.partitionBy("dow").orderBy("rev", "day"))
+        .cast("bigint")
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("dow")).cast("bigint").alias("n"),
+    )
+    gmed = med.filter(F.col("rn") == ((F.col("n") + 1) / 2).cast("bigint")).select(
+        "dow", F.col("rev").alias("m")
+    )
+    z = daily.join(F.broadcast(gmed), "dow").select(
+        "dow", F.abs(F.col("rev") - F.col("m")).alias("z")
+    )
+    q6sum = lambda c: (
+        F.sum(F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,6)")).cast("double")
+        / F.lit(1e6)
+    )
+    gm = ckpt(
+        z.groupBy("dow").agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            q6sum(F.col("z")).alias("sz"),
+            q6sum(F.col("z") * F.col("z")).alias("szz"),
+        )
+    )
+    tot = gm.agg(
+        F.sum("n").cast("double").alias("nt"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+        q6sum(F.col("sz")).alias("gs"),
+    )
+    ss = (
+        gm.crossJoin(F.broadcast(tot))
+        .groupBy("nt", "k", "gs")
+        .agg(
+            q6sum(F.col("sz") * F.col("sz") / F.col("n")).alias("sqq"),
+            q6sum(F.col("szz")).alias("szzs"),
+        )
+        .select(
+            "nt",
+            "k",
+            (F.col("sqq") - F.col("gs") * F.col("gs") / F.col("nt")).alias("ssb"),
+            (F.col("szzs") - F.col("sqq")).alias("ssw"),
+        )
+    )
+    q6f = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    fstat = (F.col("ssb") / (F.col("k") - F.lit(1.0))) / (
+        F.col("ssw") / (F.col("nt") - F.col("k"))
+    )
+    return ss.select(
+        F.col("nt").cast("bigint").alias("n_days"),
+        F.col("k").cast("bigint").alias("k_groups"),
+        q6f(fstat).alias("bf_stat"),
+        (fstat > F.lit(2.1)).alias("reject_equal_variances"),
+    )

@@ -639,6 +639,8 @@ _KEY_RANK: dict[str, int] = {
     "ts_price_index_fisher": 9,
     "dq_benford_mad": 9,
     "graph_degree_gini": 9,
+    "llm_dedup_by_source": 9,
+    "ml_brown_forsythe": 9,
 }
 
 

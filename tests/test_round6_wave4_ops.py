@@ -2708,3 +2708,35 @@ def test_degree_gini_matches_python(spark, sf_dir):
     assert r["mean_degree"] == pytest.approx(
         2.0 * r["n_edges"] / r["n_nodes"], abs=1e-4
     )
+
+
+def test_dedup_by_source_reconciles_with_global_dups(spark, sf_dir):
+    """Total pair count (diagonal + off-diagonal) equals the global
+    sum over duplicate groups of C(group_size, 2)."""
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    rows = _Q["llm_dedup_by_source"](spark, sf_dir).collect()
+    total_pairs = sum(r["n_dup_pairs"] for r in rows)
+    groups = (
+        tbl(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .groupBy(F.md5(F.lower(F.trim("text"))).alias("h"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .collect()
+    )
+    expect = sum(g["c"] * (g["c"] - 1) // 2 for g in groups)
+    assert total_pairs == expect
+    for r in rows:
+        assert r["n_dup_pairs"] > 0
+        assert r["source_a"] <= r["source_b"]
+
+
+def test_brown_forsythe_nonnegative_and_groups(spark, sf_dir):
+    """F is nonnegative, there are 7 weekday groups, and the flag is
+    the 2.1 transform."""
+    r = _Q["ml_brown_forsythe"](spark, sf_dir).collect()[0]
+    assert r["k_groups"] == 7
+    assert r["bf_stat"] >= 0.0
+    assert r["reject_equal_variances"] == (r["bf_stat"] > 2.1)
