@@ -7666,3 +7666,78 @@ def ml_brown_forsythe(spark, sf_dir):
         q6f(fstat).alias("bf_stat"),
         (fstat > F.lit(2.1)).alias("reject_equal_variances"),
     )
+
+
+@register(
+    "ml_tjur_r2",
+    oracle="""
+WITH u AS (
+    SELECT user_id, MAX(ts) AS last_ts FROM events GROUP BY user_id
+), m AS (
+    SELECT MAX(last_ts) AS cmax FROM u
+), s AS (
+    SELECT epoch_us(m.cmax) - epoch_us(last_ts) AS rec,
+           CASE WHEN last_ts < TIMESTAMP '2024-01-29 20:00:00' THEN 1 ELSE 0 END
+               AS churned
+    FROM u, m
+), mx AS (SELECT CAST(GREATEST(MAX(rec), 1) AS DOUBLE) AS maxrec FROM s),
+p AS (
+    SELECT churned,
+           FLOOR(rec / mx.maxrec * 1000000000 + 0.5) / 1000000000 AS phat
+    FROM s, mx
+), sides AS (
+    SELECT churned, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(phat * 1e9 + 0.5) AS DECIMAL(38,9))) AS DOUBLE) / 1e9
+               AS sp
+    FROM p GROUP BY 1
+)
+SELECT CAST((SELECT SUM(n) FROM sides) AS BIGINT) AS n_users,
+       FLOOR((SELECT sp / n FROM sides WHERE churned = 1) * 1000000 + 0.5)
+           / 1000000 AS mean_p_churned,
+       FLOOR((SELECT sp / n FROM sides WHERE churned = 0) * 1000000 + 0.5)
+           / 1000000 AS mean_p_retained,
+       FLOOR(((SELECT sp / n FROM sides WHERE churned = 1)
+              - (SELECT sp / n FROM sides WHERE churned = 0))
+             * 1000000 + 0.5) / 1000000 AS tjur_r2
+FROM sides LIMIT 1
+""",
+)
+def ml_tjur_r2(spark, sf_dir):
+    """Tjur's R^2 (the coefficient of discrimination) for the churn
+    probability score — the ONE pseudo-R^2 with a plain-language
+    reading: the gap between the average predicted probability among
+    actual churners and among the retained (Tjur 2009). It rounds out
+    the score-eval family on a different axis than ml_auc_exact
+    (ranking) and ml_brier_score (calibrated error): a model can have
+    great AUC and terrible Tjur R^2 when its probabilities barely
+    separate in LEVEL. Same (phat, churned) frame as the Brier pair
+    (shared _rec_scored helper / mirrored CTEs); the whole statistic
+    is one 2-group DECIMAL mean."""
+    q9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    s = _rec_scored(spark, sf_dir)
+    mx = s.agg(F.greatest(F.max("rec"), F.lit(1)).cast("double").alias("maxrec"))
+    p = s.crossJoin(F.broadcast(mx)).select(
+        "churned", q9(F.col("rec") / F.col("maxrec")).alias("phat")
+    )
+    sides = ckpt(
+        p.groupBy("churned").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (
+                F.sum(F.floor(F.col("phat") * F.lit(1e9) + F.lit(0.5)).cast("decimal(38,9)"))
+                .cast("double")
+                / F.lit(1e9)
+            ).alias("sp"),
+        )
+    )
+    side = lambda v, pre: F.broadcast(
+        sides.filter(F.col("churned") == v).select(
+            (F.col("sp") / F.col("n")).alias(f"m{pre}"), F.col("n").alias(f"n{pre}")
+        )
+    )
+    return side(1, "1").crossJoin(side(0, "0")).select(
+        (F.col("n1") + F.col("n0")).cast("bigint").alias("n_users"),
+        q6(F.col("m1")).alias("mean_p_churned"),
+        q6(F.col("m0")).alias("mean_p_retained"),
+        q6(F.col("m1") - F.col("m0")).alias("tjur_r2"),
+    )

@@ -8076,3 +8076,124 @@ def ts_price_index_fisher(spark, sf_dir):
         q6f(paas).alias("paasche"),
         q6f(F.sqrt(lasp * paas)).alias("fisher"),
     )
+
+
+@register(
+    "ts_revenue_beta",
+    oracle="""
+WITH bd AS (
+    SELECT p.p_brand AS brand, CAST(l.l_shipdate AS DATE) AS day,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * 1e6 + 0.5) AS DECIMAL(38,6)))
+                AS DOUBLE) / 1e6 / 1000.0 AS rev
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY 1, 2
+), spine AS (
+    -- zero-fill: covariance additivity (sum of betas = 1) only holds
+    -- when every brand contributes EVERY day, silent days as zero
+    SELECT br.brand, d.day, COALESCE(bd.rev, 0.0) AS rev
+    FROM (SELECT DISTINCT brand FROM bd) br
+    CROSS JOIN (SELECT DISTINCT day FROM bd) d
+    LEFT JOIN bd ON bd.brand = br.brand AND bd.day = d.day
+), td AS (
+    SELECT day,
+           FLOOR(CAST(SUM(CAST(FLOOR(rev * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE)
+                 / 1e6 * 1e6 + 0.5) / 1e6 AS mkt
+    FROM spine GROUP BY 1
+), joined AS (
+    SELECT b.brand, b.rev AS y, t.mkt AS x
+    FROM spine b JOIN td t ON t.day = b.day
+), m AS (
+    SELECT brand, CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(FLOOR(x * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE) / 1e6 AS sx,
+           CAST(SUM(CAST(FLOOR(y * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE) / 1e6 AS sy,
+           CAST(SUM(CAST(FLOOR(x * x * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE) / 1e6
+               AS sxx,
+           CAST(SUM(CAST(FLOOR(x * y * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE) / 1e6
+               AS sxy,
+           CAST(SUM(CAST(FLOOR(y * y * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE) / 1e6
+               AS syy
+    FROM joined GROUP BY 1
+), fit AS (
+    SELECT brand, n,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta,
+           (n * sxy - sx * sy) * (n * sxy - sx * sy)
+               / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+    FROM m
+)
+SELECT brand, CAST(n AS BIGINT) AS n_days,
+       FLOOR(beta * 1000000 + 0.5) / 1000000 AS beta,
+       FLOOR(r2 * 1000000 + 0.5) / 1000000 AS r2,
+       CAST(ROW_NUMBER() OVER (ORDER BY beta DESC, brand) AS BIGINT) AS rank
+FROM fit
+""",
+)
+def ts_revenue_beta(spark, sf_dir):
+    """Per-brand revenue BETA against the whole-catalog daily total —
+    the portfolio-theory lens on a product catalog: beta > its revenue
+    share means the brand AMPLIFIES market swings (its good days are
+    everyone's good days — no diversification), beta near 0 means it
+    hedges them; R^2 says how much of the brand's variance is
+    systematic at all. The decomposition every demand-planning
+    portfolio review wants next to raw volatility. One brand x day
+    aggregate, the market series derived from it by one more
+    day-group (no second fact pass), OLS from q6-DECIMAL moments at
+    kilo-dollar scale (the cancellation-band discipline), deterministic
+    beta ranking."""
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_shipdate", "l_extendedprice")
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    q6f = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    bd = ckpt(
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("l_shipdate").cast("date").alias("day"),
+        )
+        .agg(
+            (
+                F.sum(q6dec(F.col("l_extendedprice"))).cast("double")
+                / F.lit(1e6)
+                / F.lit(1000.0)
+            ).alias("rev")
+        )
+    )
+    q6sum = lambda c: (
+        F.sum(F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,6)")).cast("double")
+        / F.lit(1e6)
+    )
+    # zero-filled brand x day spine: beta additivity needs every brand
+    # present every day (silent days count as zero revenue)
+    spine = ckpt(
+        bd.select("brand").distinct()
+        .crossJoin(bd.select("day").distinct())
+        .join(bd, ["brand", "day"], "left")
+        .select("brand", "day", F.coalesce("rev", F.lit(0.0)).alias("rev"))
+    )
+    td = spine.groupBy("day").agg(q6f(q6sum(F.col("rev"))).alias("mkt"))
+    joined = spine.join(td, "day").select(
+        "brand", F.col("rev").alias("y"), F.col("mkt").alias("x")
+    )
+    m = joined.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        q6sum(F.col("x")).alias("sx"),
+        q6sum(F.col("y")).alias("sy"),
+        q6sum(F.col("x") * F.col("x")).alias("sxx"),
+        q6sum(F.col("x") * F.col("y")).alias("sxy"),
+        q6sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    fit = m.select(
+        "brand",
+        "n",
+        (cov / varx).alias("beta"),
+        (cov * cov / (varx * vary)).alias("r2"),
+    )
+    w = Window.orderBy(F.desc("beta"), F.asc("brand"))
+    return fit.select(
+        "brand",
+        F.col("n").cast("bigint").alias("n_days"),
+        q6f(F.col("beta")).alias("beta"),
+        q6f(F.col("r2")).alias("r2"),
+        F.row_number().over(w).cast("bigint").alias("rank"),
+    )

@@ -641,6 +641,8 @@ _KEY_RANK: dict[str, int] = {
     "graph_degree_gini": 9,
     "llm_dedup_by_source": 9,
     "ml_brown_forsythe": 9,
+    "ts_revenue_beta": 9,
+    "ml_tjur_r2": 9,
 }
 
 

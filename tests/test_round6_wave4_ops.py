@@ -2740,3 +2740,28 @@ def test_brown_forsythe_nonnegative_and_groups(spark, sf_dir):
     assert r["k_groups"] == 7
     assert r["bf_stat"] >= 0.0
     assert r["reject_equal_variances"] == (r["bf_stat"] > 2.1)
+
+
+def test_revenue_beta_share_weighted_sum_is_one(spark, sf_dir):
+    """Betas sum to ~1 (covariance additivity on the zero-filled
+    spine: the market is the sum of its parts in LEVELS, so
+    sum_i Cov(y_i, mkt)/Var(mkt) = 1), R2 in [0,1], ranks contiguous."""
+    rows = _Q["ts_revenue_beta"](spark, sf_dir).collect()
+    assert [r["rank"] for r in sorted(rows, key=lambda x: x["rank"])] == list(
+        range(1, len(rows) + 1)
+    )
+    for r in rows:
+        assert 0.0 <= r["r2"] <= 1.0 + 1e-9
+    assert sum(r["beta"] for r in rows) == pytest.approx(1.0, abs=0.01)
+
+
+def test_tjur_r2_is_mean_gap_and_bounded(spark, sf_dir):
+    """Tjur R2 = mean(p|churned) - mean(p|retained) exactly, in [-1,1],
+    and agrees in sign with the churn score's construction (churned =
+    long recency => higher phat)."""
+    r = _Q["ml_tjur_r2"](spark, sf_dir).collect()[0]
+    assert r["tjur_r2"] == pytest.approx(
+        r["mean_p_churned"] - r["mean_p_retained"], abs=2e-6
+    )
+    assert -1.0 <= r["tjur_r2"] <= 1.0
+    assert r["tjur_r2"] > 0  # recency-built score must separate upward
