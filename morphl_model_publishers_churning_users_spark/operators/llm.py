@@ -5835,3 +5835,76 @@ def llm_dedup_by_source(spark, sf_dir):
         .select("source_a", "source_b", "n_dup_pairs")
     )
     return cross.unionByName(within)
+
+
+@register(
+    "llm_source_diversity",
+    oracle="""
+WITH counts AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents GROUP BY 1
+), tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM counts),
+terms AS (
+    SELECT c.n / tot.t AS p,
+           (c.n / tot.t)
+               * (FLOOR(ln(c.n / tot.t) * 1e9 + 0.5) / 1e9) AS plogp,
+           (c.n / tot.t) * (c.n / tot.t) AS p2
+    FROM counts c, tot
+), agg AS (
+    SELECT CAST((SELECT COUNT(*) FROM counts) AS BIGINT) AS k,
+           -CAST(SUM(CAST(FLOOR(plogp * 1e12 + 0.5) AS DECIMAL(38,12)))
+                 AS DOUBLE) / 1e12 AS h,
+           CAST(SUM(CAST(FLOOR(p2 * 1e12 + 0.5) AS DECIMAL(38,12)))
+                AS DOUBLE) / 1e12 AS simpson
+    FROM terms
+)
+SELECT k AS n_sources,
+       FLOOR(h * 1000000 + 0.5) / 1000000 AS shannon_nats,
+       FLOOR(exp(FLOOR(h * 1e9 + 0.5) / 1e9) * 1000000 + 0.5) / 1000000
+           AS effective_sources_shannon,
+       FLOOR(1.0 / simpson * 1000000 + 0.5) / 1000000
+           AS effective_sources_simpson,
+       FLOOR(h / (FLOOR(ln(CAST(k AS DOUBLE)) * 1e9 + 0.5) / 1e9)
+             * 1000000 + 0.5) / 1000000 AS evenness
+FROM agg
+""",
+)
+def llm_source_diversity(spark, sf_dir):
+    """Corpus provenance diversity — Shannon and inverse-Simpson
+    EFFECTIVE source counts (Hill numbers q=1 and q=2) plus Pielou
+    evenness: the numbers that answer 'is this a 10-source corpus or
+    a 1.5-source corpus wearing 10 labels?' — which is what provenance
+    diversity claims on dataset cards should actually report (raw
+    source COUNTS hide a 95% single-source skew; effective numbers
+    don't, and q=2 punishes dominance harder than q=1). One tiny
+    aggregate over the source column; ln q9-quantized, entropy/Simpson
+    terms in q12 DECIMAL. Complements llm_corpus_card (volumes) and
+    llm_dedup_by_source (who copies whom) as the third provenance
+    lens."""
+    counts = ckpt(
+        t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = counts.agg(F.sum("n").cast("double").alias("t"))
+    q9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+    q12dec_ = lambda c: F.floor(c * F.lit(1e12) + F.lit(0.5)).cast("decimal(38,12)")
+    terms = counts.crossJoin(F.broadcast(tot)).select(
+        (F.col("n") / F.col("t")).alias("p")
+    ).select(
+        q12dec_(F.col("p") * q9(F.log("p"))).alias("plogp"),
+        q12dec_(F.col("p") * F.col("p")).alias("p2"),
+    )
+    k = counts.count()  # bounded source-domain scalar
+    agg = terms.agg(
+        (-F.sum("plogp").cast("double") / F.lit(1e12)).alias("h"),
+        (F.sum("p2").cast("double") / F.lit(1e12)).alias("simpson"),
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return agg.select(
+        F.lit(k).cast("bigint").alias("n_sources"),
+        q6(F.col("h")).alias("shannon_nats"),
+        q6(F.exp(q9(F.col("h")))).alias("effective_sources_shannon"),
+        q6(F.lit(1.0) / F.col("simpson")).alias("effective_sources_simpson"),
+        q6(F.col("h") / q9(F.log(F.lit(float(k))))).alias("evenness"),
+    )

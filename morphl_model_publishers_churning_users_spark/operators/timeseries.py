@@ -8197,3 +8197,117 @@ def ts_revenue_beta(spark, sf_dir):
         q6f(F.col("r2")).alias("r2"),
         F.row_number().over(w).cast("bigint").alias("rank"),
     )
+
+
+@register(
+    "ts_durbin_watson",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 1e6 + 0.5) AS DECIMAL(38,6)))
+                AS DOUBLE) / 1e6 / 1000.0 AS rev
+    FROM orders GROUP BY 1
+), series AS (
+    SELECT day, rev, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i
+    FROM daily
+), m AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(i) AS DOUBLE) AS si,
+           CAST(SUM(CAST(FLOOR(rev * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE) / 1e6
+               AS sy,
+           CAST(SUM(i * i) AS DOUBLE) AS sii,
+           CAST(SUM(CAST(FLOOR(i * rev * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE)
+               / 1e6 AS siy
+    FROM series
+), fit AS (
+    SELECT (n * siy - si * sy) / (n * sii - si * si) AS b,
+           (sy - (n * siy - si * sy) / (n * sii - si * si) * si) / n AS a
+    FROM m
+), resid AS (
+    SELECT s.i, FLOOR((s.rev - f.a - f.b * s.i) * 1e9 + 0.5) / 1e9 AS e
+    FROM series s, fit f
+), dw AS (
+    SELECT
+        CAST(SUM(CAST(FLOOR((r.e - l.e) * (r.e - l.e) * 1e6 + 0.5)
+                      AS DECIMAL(38,6))) AS DOUBLE) / 1e6 AS sdiff
+    FROM resid r JOIN resid l ON l.i = r.i - 1
+), see AS (
+    SELECT CAST(SUM(CAST(FLOOR(e * e * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE)
+               / 1e6 AS s2,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM resid
+)
+SELECT see.n AS n_days,
+       FLOOR(dw.sdiff / see.s2 * 1000000 + 0.5) / 1000000 AS dw_stat,
+       FLOOR((1.0 - dw.sdiff / see.s2 / 2.0) * 1000000 + 0.5) / 1000000
+           AS rho_implied,
+       dw.sdiff / see.s2 < 1.5 AS positive_autocorr
+FROM dw, see
+""",
+)
+def ts_durbin_watson(spark, sf_dir):
+    """Durbin-Watson statistic on the residuals of the daily-revenue
+    TREND regression — the classic 'are my regression errors serially
+    correlated?' check that decides whether the trend fit's standard
+    errors (ts_forecast_linear and every OLS in this repo) can be
+    believed: DW ~ 2(1 - rho), so DW << 2 means positive
+    autocorrelation and understated SEs (the practical rule DW < 1.5
+    is flagged). OLS from exact index/DECIMAL moments, residuals
+    q9-quantized through one broadcast of the 2-coefficient fit, the
+    two quadratic sums in q6 DECIMAL over a self-lag join of the
+    bounded day frame. Complements ts_ljung_box (which tests the raw
+    series) by testing the MODEL'S residuals."""
+    daily = ckpt(
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            (
+                F.sum(q6dec(F.col("o_totalprice"))).cast("double")
+                / F.lit(1e6)
+                / F.lit(1000.0)
+            ).alias("rev")
+        )
+    )
+    series = ckpt(
+        daily.select(
+            "day", "rev", F.row_number().over(Window.orderBy("day")).cast("bigint").alias("i")
+        )
+    )
+    q6sum = lambda c: (
+        F.sum(F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,6)")).cast("double")
+        / F.lit(1e6)
+    )
+    m = series.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("i").cast("double").alias("si"),
+        q6sum(F.col("rev")).alias("sy"),
+        F.sum(F.col("i") * F.col("i")).cast("double").alias("sii"),
+        q6sum(F.col("i") * F.col("rev")).alias("siy"),
+    )
+    b = (F.col("n") * F.col("siy") - F.col("si") * F.col("sy")) / (
+        F.col("n") * F.col("sii") - F.col("si") * F.col("si")
+    )
+    fit = m.select(b.alias("b"), ((F.col("sy") - b * F.col("si")) / F.col("n")).alias("a"))
+    q9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+    resid = ckpt(
+        series.crossJoin(F.broadcast(fit)).select(
+            "i", q9(F.col("rev") - F.col("a") - F.col("b") * F.col("i")).alias("e")
+        )
+    )
+    lagged = resid.select(F.col("i").alias("il"), F.col("e").alias("el"))
+    sdiff = (
+        resid.join(lagged, F.col("il") == F.col("i") - 1)
+        .agg(q6sum((F.col("e") - F.col("el")) * (F.col("e") - F.col("el"))).alias("sdiff"))
+    )
+    see = resid.agg(
+        q6sum(F.col("e") * F.col("e")).alias("s2"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    q6f = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    dw = F.col("sdiff") / F.col("s2")
+    return sdiff.crossJoin(F.broadcast(see)).select(
+        F.col("n").alias("n_days"),
+        q6f(dw).alias("dw_stat"),
+        q6f(F.lit(1.0) - dw / F.lit(2.0)).alias("rho_implied"),
+        (dw < F.lit(1.5)).alias("positive_autocorr"),
+    )

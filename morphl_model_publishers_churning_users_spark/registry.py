@@ -643,6 +643,8 @@ _KEY_RANK: dict[str, int] = {
     "ml_brown_forsythe": 9,
     "ts_revenue_beta": 9,
     "ml_tjur_r2": 9,
+    "ts_durbin_watson": 9,
+    "llm_source_diversity": 9,
 }
 
 

@@ -2765,3 +2765,39 @@ def test_tjur_r2_is_mean_gap_and_bounded(spark, sf_dir):
     )
     assert -1.0 <= r["tjur_r2"] <= 1.0
     assert r["tjur_r2"] > 0  # recency-built score must separate upward
+
+
+def test_durbin_watson_bounds_and_rho_identity(spark, sf_dir):
+    """DW in [0, 4], rho_implied = 1 - DW/2 exactly, flag is the 1.5
+    transform."""
+    r = _Q["ts_durbin_watson"](spark, sf_dir).collect()[0]
+    assert 0.0 <= r["dw_stat"] <= 4.0
+    assert r["rho_implied"] == pytest.approx(1.0 - r["dw_stat"] / 2.0, abs=2e-6)
+    assert r["positive_autocorr"] == (r["dw_stat"] < 1.5)
+
+
+def test_source_diversity_hill_ordering(spark, sf_dir):
+    """Hill-number ordering: sources >= effective(Shannon) >=
+    effective(Simpson) >= 1; evenness in (0, 1]; recompute matches."""
+    import math
+
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    r = _Q["llm_source_diversity"](spark, sf_dir).collect()[0]
+    assert (
+        r["n_sources"]
+        >= r["effective_sources_shannon"] - 1e-6
+        >= r["effective_sources_simpson"] - 1e-4
+        >= 1.0 - 1e-6
+    )
+    assert 0.0 < r["evenness"] <= 1.0 + 1e-6
+    counts = [
+        row["n"]
+        for row in tbl(spark, sf_dir, "documents").groupBy("source").count().withColumnRenamed("count", "n").collect()
+    ]
+    t_ = sum(counts)
+    h = -sum((c / t_) * math.log(c / t_) for c in counts)
+    assert r["shannon_nats"] == pytest.approx(h, abs=1e-4)
+    simpson = sum((c / t_) ** 2 for c in counts)
+    assert r["effective_sources_simpson"] == pytest.approx(1 / simpson, abs=1e-3)
