@@ -7741,3 +7741,195 @@ def ml_tjur_r2(spark, sf_dir):
         q6(F.col("m0")).alias("mean_p_retained"),
         q6(F.col("m1") - F.col("m0")).alias("tjur_r2"),
     )
+
+
+@register(
+    "ml_mcc",
+    oracle="""
+WITH u AS (
+    SELECT user_id, MAX(ts) AS last_ts FROM events GROUP BY user_id
+), m AS (SELECT MAX(last_ts) AS cmax FROM u),
+s AS (
+    SELECT epoch_us(m.cmax) - epoch_us(last_ts) AS rec,
+           CASE WHEN last_ts < TIMESTAMP '2024-01-29 20:00:00' THEN 1 ELSE 0 END
+               AS churned
+    FROM u, m
+), mx AS (SELECT CAST(GREATEST(MAX(rec), 1) AS DOUBLE) AS maxrec FROM s),
+pred AS (
+    SELECT churned,
+           CASE WHEN FLOOR(rec / mx.maxrec * 1000000000 + 0.5) / 1000000000 >= 0.5
+                THEN 1 ELSE 0 END AS yhat
+    FROM s, mx
+), cm AS (
+    SELECT CAST(SUM(CASE WHEN churned = 1 AND yhat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN churned = 0 AND yhat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN churned = 1 AND yhat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           CAST(SUM(CASE WHEN churned = 0 AND yhat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+    FROM pred
+)
+SELECT tp, fp, fn, tn,
+       FLOOR((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+             / sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn) * (tn + fp) * (tn + fn))
+             * 1000000 + 0.5) / 1000000 AS mcc
+FROM cm
+""",
+)
+def ml_mcc(spark, sf_dir):
+    """Matthews correlation coefficient of the thresholded churn score
+    — the single binary-classification number that survives class
+    imbalance (accuracy, F1 and even balanced accuracy can all look
+    fine while one confusion cell is empty; MCC is the full phi
+    correlation of the 2x2 table and only rewards getting ALL FOUR
+    cells right — Chicco & Jurman's recommendation as the default
+    report). Threshold 0.5 on the shared recency score
+    (_rec_scored-mirrored frame), exact integer confusion counts, one
+    float expression at the end. Completes the eval family's scalar
+    tier: AUC (ranking), Brier (calibration), Tjur (separation),
+    MCC (thresholded decision quality)."""
+    q9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+    s = _rec_scored(spark, sf_dir)
+    mx = s.agg(F.greatest(F.max("rec"), F.lit(1)).cast("double").alias("maxrec"))
+    pred = s.crossJoin(F.broadcast(mx)).select(
+        "churned",
+        (q9(F.col("rec") / F.col("maxrec")) >= 0.5).cast("int").alias("yhat"),
+    )
+    cm = pred.agg(
+        F.sum(F.when((F.col("churned") == 1) & (F.col("yhat") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(F.when((F.col("churned") == 0) & (F.col("yhat") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(F.when((F.col("churned") == 1) & (F.col("yhat") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fn"),
+        F.sum(F.when((F.col("churned") == 0) & (F.col("yhat") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tn"),
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    mcc = (
+        F.col("tp").cast("double") * F.col("tn")
+        - F.col("fp").cast("double") * F.col("fn")
+    ) / F.sqrt(
+        (F.col("tp") + F.col("fp")).cast("double")
+        * (F.col("tp") + F.col("fn"))
+        * (F.col("tn") + F.col("fp"))
+        * (F.col("tn") + F.col("fn"))
+    )
+    return cm.select("tp", "fp", "fn", "tn", q6(mcc).alias("mcc"))
+
+
+@register(
+    "ml_cohen_d",
+    oracle="""
+WITH per_user AS (
+    SELECT user_id % 2 AS arm,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN CAST(value AS DECIMAL(38,6)) ELSE 0 END) AS DOUBLE)
+               AS y
+    FROM events GROUP BY user_id
+), m AS (
+    SELECT arm, CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(FLOOR(y * 1e6 + 0.5) AS DECIMAL(38,6))) AS DOUBLE) / 1e6
+               AS sy,
+           CAST(SUM(CAST(FLOOR(y * y * 1e2 + 0.5) AS DECIMAL(38,2))) AS DOUBLE) / 1e2
+               AS syy
+    FROM per_user GROUP BY 1
+), w AS (
+    SELECT
+        (SELECT n FROM m WHERE arm = 1) AS n1, (SELECT n FROM m WHERE arm = 0) AS n0,
+        (SELECT sy / n FROM m WHERE arm = 1) - (SELECT sy / n FROM m WHERE arm = 0)
+            AS diff,
+        (SELECT syy - sy * sy / n FROM m WHERE arm = 1)
+        + (SELECT syy - sy * sy / n FROM m WHERE arm = 0) AS ss
+), d AS (
+    SELECT n1, n0, diff,
+           diff / sqrt(ss / (n1 + n0 - 2.0)) AS cohen_d
+    FROM w
+)
+SELECT CAST(n1 + n0 AS BIGINT) AS n_users,
+       FLOOR(diff * 1000000 + 0.5) / 1000000 AS mean_diff,
+       FLOOR(cohen_d * 1000000 + 0.5) / 1000000 AS cohen_d,
+       FLOOR(cohen_d * (1.0 - 3.0 / (4.0 * (n1 + n0) - 9.0)) * 1000000 + 0.5)
+           / 1000000 AS hedges_g,
+       FLOOR(sqrt((n1 + n0) / (n1 * n0) + cohen_d * cohen_d / (2.0 * (n1 + n0)))
+             * 1000000 + 0.5) / 1000000 AS se_d
+FROM d
+""",
+)
+def ml_cohen_d(spark, sf_dir):
+    """Cohen's d and Hedges' g for the A/B spend difference — the
+    STANDARDIZED effect sizes every experiment result should report
+    next to its p-value (a significant 0.02-sigma effect is a
+    triviality detector, not a product win; d is what meta-analyses
+    like ml_meta_analysis_dl pool). Pooled-SD standardization from
+    exact DECIMAL moments, Hedges' small-sample correction
+    1 - 3/(4N - 9), and the standard error sqrt(N/(n1 n0) +
+    d^2/(2N)) for CI construction downstream. Completes the
+    effect-size family: ml_cramers_v (categorical), ml_shap_linear
+    (per-feature), this (two-group continuous). One user aggregate +
+    2-row algebra."""
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase", F.col("value").cast("decimal(38,6)")
+            ).otherwise(F.lit(0).cast("decimal(38,6)"))
+        )
+        .cast("double")
+        .alias("y"),
+    ).select((F.col("user_id") % 2).alias("arm"), "y")
+    m = ckpt(
+        per_user.groupBy("arm").agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            (
+                F.sum(F.floor(F.col("y") * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,6)"))
+                .cast("double")
+                / F.lit(1e6)
+            ).alias("sy"),
+            (
+                F.sum(
+                    F.floor(F.col("y") * F.col("y") * F.lit(1e2) + F.lit(0.5)).cast(
+                        "decimal(38,2)"
+                    )
+                ).cast("double")
+                / F.lit(1e2)
+            ).alias("syy"),
+        )
+    )
+    side = lambda a, pre: F.broadcast(
+        m.filter(F.col("arm") == a).select(
+            F.col("n").alias(f"n{pre}"),
+            (F.col("sy") / F.col("n")).alias(f"mean{pre}"),
+            (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")).alias(f"ss{pre}"),
+        )
+    )
+    w = side(1, "1").crossJoin(side(0, "0")).select(
+        "n1",
+        "n0",
+        (F.col("mean1") - F.col("mean0")).alias("diff"),
+        (F.col("ss1") + F.col("ss0")).alias("ss"),
+    )
+    d = w.select(
+        "n1",
+        "n0",
+        "diff",
+        (F.col("diff") / F.sqrt(F.col("ss") / (F.col("n1") + F.col("n0") - F.lit(2.0)))).alias("cohen_d"),
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    nn = F.col("n1") + F.col("n0")
+    return d.select(
+        nn.cast("bigint").alias("n_users"),
+        q6(F.col("diff")).alias("mean_diff"),
+        q6(F.col("cohen_d")).alias("cohen_d"),
+        q6(
+            F.col("cohen_d") * (F.lit(1.0) - F.lit(3.0) / (F.lit(4.0) * nn - F.lit(9.0)))
+        ).alias("hedges_g"),
+        q6(
+            F.sqrt(
+                nn / (F.col("n1") * F.col("n0"))
+                + F.col("cohen_d") * F.col("cohen_d") / (F.lit(2.0) * nn)
+            )
+        ).alias("se_d"),
+    )

@@ -645,6 +645,8 @@ _KEY_RANK: dict[str, int] = {
     "ml_tjur_r2": 9,
     "ts_durbin_watson": 9,
     "llm_source_diversity": 9,
+    "ml_mcc": 9,
+    "ml_cohen_d": 9,
 }
 
 

@@ -2801,3 +2801,33 @@ def test_source_diversity_hill_ordering(spark, sf_dir):
     assert r["shannon_nats"] == pytest.approx(h, abs=1e-4)
     simpson = sum((c / t_) ** 2 for c in counts)
     assert r["effective_sources_simpson"] == pytest.approx(1 / simpson, abs=1e-3)
+
+
+def test_mcc_bounds_and_cell_total(spark, sf_dir):
+    """MCC in [-1, 1]; confusion cells sum to the user count; MCC
+    recomputes from the cells."""
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    r = _Q["ml_mcc"](spark, sf_dir).collect()[0]
+    n = tbl(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == n
+    num = r["tp"] * r["tn"] - r["fp"] * r["fn"]
+    den = (
+        (r["tp"] + r["fp"]) * (r["tp"] + r["fn"]) * (r["tn"] + r["fp"]) * (r["tn"] + r["fn"])
+    ) ** 0.5
+    assert r["mcc"] == pytest.approx(num / den, abs=1e-6)
+    assert -1.0 <= r["mcc"] <= 1.0
+
+
+def test_cohen_d_identities(spark, sf_dir):
+    """|g| < |d| (the correction shrinks), d recovers the mean diff via
+    the pooled SD, and SE is positive."""
+    r = _Q["ml_cohen_d"](spark, sf_dir).collect()[0]
+    assert abs(r["hedges_g"]) <= abs(r["cohen_d"]) + 1e-9
+    assert r["se_d"] > 0
+    assert (r["cohen_d"] > 0) == (r["mean_diff"] > 0) or r["mean_diff"] == 0
+    # g/d ratio equals the correction factor
+    if r["cohen_d"] != 0:
+        ratio = r["hedges_g"] / r["cohen_d"]
+        assert ratio == pytest.approx(1.0 - 3.0 / (4.0 * r["n_users"] - 9.0), abs=1e-3)
