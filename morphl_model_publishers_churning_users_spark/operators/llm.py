@@ -5908,3 +5908,86 @@ def llm_source_diversity(spark, sf_dir):
         q6(F.lit(1.0) / F.col("simpson")).alias("effective_sources_simpson"),
         q6(F.col("h") / q9(F.log(F.lit(float(k))))).alias("evenness"),
     )
+
+
+@register(
+    "llm_self_similarity",
+    oracle=r"""
+WITH docs AS (
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS rn,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n,
+           string_split_regex(lower(trim(text)), '\s+') AS w
+    FROM documents WHERE length(trim(text)) > 0
+), grams AS (
+    SELECT rn, n,
+           list_distinct(list_transform(range(1, len(w)),
+                                         i -> w[i] || ' ' || w[i + 1])) AS bg
+    FROM docs WHERE len(w) >= 2
+), pairs AS (
+    SELECT a.rn AS ra,
+           CAST(len(list_intersect(a.bg, b.bg)) AS BIGINT) AS inter,
+           CAST(len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg))
+                AS BIGINT) AS uni
+    FROM grams a JOIN grams b ON b.rn = a.rn + a.n // 2
+), scored AS (
+    SELECT FLOOR(CAST(inter AS DOUBLE) / uni * 1e9 + 0.5) / 1e9 AS j FROM pairs
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       FLOOR(CAST(SUM(CAST(FLOOR(j * 1e9 + 0.5) AS DECIMAL(38,9))) AS DOUBLE)
+             / 1e9 / COUNT(*) * 1000000 + 0.5) / 1000000 AS mean_jaccard,
+       FLOOR(CAST(SUM(CASE WHEN j > 0.5 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             * 1000000 + 0.5) / 1000000 AS share_near_dup
+FROM scored
+""",
+)
+def llm_self_similarity(spark, sf_dir):
+    """Corpus self-similarity probe (the Self-BLEU idea made exact and
+    cheap): pair each document with the one half-a-corpus away in
+    doc_id rank — a DETERMINISTIC stand-in for random pairing — and
+    measure mean bigram-set Jaccard plus the share of pairs above 0.5.
+    A template-generated or boilerplate-heavy corpus shows high
+    self-similarity BETWEEN UNRELATED documents, which per-pair dedup
+    (llm_dedup_*) never surfaces because no individual pair crosses
+    its threshold; this is the corpus-level diversity number. O(n)
+    pairs by construction (one offset self-join, never n^2), exact
+    integer set sizes, one division per pair q9-quantized into the
+    DECIMAL mean."""
+    bigram_expr = (
+        "array_distinct(transform(sequence(1, size(w) - 1),"
+        " i -> concat(element_at(w, i), ' ', element_at(w, i + 1))))"
+    )
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w"))
+        .filter(F.size("w") >= 2)
+    )
+    grams = ckpt(
+        docs.select(
+            F.row_number().over(Window.orderBy("doc_id")).cast("bigint").alias("rn"),
+            F.expr(bigram_expr).alias("bg"),
+        ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint"))
+    )
+    a = grams.select("rn", "n", F.col("bg").alias("ba"))
+    b = grams.select(F.col("rn").alias("rb"), F.col("bg").alias("bb"))
+    inter = F.size(F.array_intersect("ba", "bb")).cast("bigint")
+    uni = (F.size("ba") + F.size("bb")).cast("bigint") - inter
+    q9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+    pairs = a.join(
+        b, F.col("rb") == F.col("rn") + (F.col("n") / 2).cast("bigint")
+    ).select(q9(inter.cast("double") / uni).alias("j"))
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        q6(
+            F.sum(F.floor(F.col("j") * F.lit(1e9) + F.lit(0.5)).cast("decimal(38,9)"))
+            .cast("double")
+            / F.lit(1e9)
+            / F.count(F.lit(1))
+        ).alias("mean_jaccard"),
+        q6(
+            F.sum(F.when(F.col("j") > 0.5, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("share_near_dup"),
+    )

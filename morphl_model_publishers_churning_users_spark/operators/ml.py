@@ -7933,3 +7933,77 @@ def ml_cohen_d(spark, sf_dir):
             )
         ).alias("se_d"),
     )
+
+
+@register(
+    "ml_risk_reduction",
+    oracle="""
+WITH arms AS (
+    SELECT user_id % 2 AS arm,
+           CASE WHEN SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) >= 15
+                THEN 1 ELSE 0 END AS bad
+    FROM events GROUP BY user_id
+), m AS (
+    SELECT arm, CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(bad) AS DOUBLE) AS k
+    FROM arms GROUP BY 1
+), w AS (
+    SELECT (SELECT k / n FROM m WHERE arm = 0) AS p0,
+           (SELECT k / n FROM m WHERE arm = 1) AS p1,
+           (SELECT CAST(n AS BIGINT) FROM m WHERE arm = 0)
+           + (SELECT CAST(n AS BIGINT) FROM m WHERE arm = 1) AS nt
+)
+SELECT nt AS n_users,
+       FLOOR(p0 * 1000000 + 0.5) / 1000000 AS risk_control,
+       FLOOR(p1 * 1000000 + 0.5) / 1000000 AS risk_treated,
+       FLOOR((p0 - p1) * 1000000 + 0.5) / 1000000 AS arr,
+       FLOOR((p0 - p1) / p0 * 1000000 + 0.5) / 1000000 AS rrr,
+       FLOOR(1.0 / abs(p0 - p1) * 1000000 + 0.5) / 1000000 AS nnt,
+       FLOOR((p1 / (1.0 - p1)) / (p0 / (1.0 - p0)) * 1000000 + 0.5) / 1000000
+           AS odds_ratio
+FROM w
+""",
+)
+def ml_risk_reduction(spark, sf_dir):
+    """Absolute/relative risk reduction, NNT and odds ratio — the
+    clinical-reporting quartet applied to a product 'adverse event'
+    (heavy error exposure): relative risk reduction headlines well
+    ('40% fewer!') while the ABSOLUTE reduction and its reciprocal,
+    the number-needed-to-treat, say what it costs to prevent ONE bad
+    outcome — the difference between a press release and a decision.
+    The odds ratio rides along because it is what logistic models and
+    case-control designs estimate, and confusing OR with RR is the
+    classic epidemiology blunder (they diverge exactly when the
+    outcome is common). One user aggregate, a 2-row pivot, exact
+    counts until four final divisions."""
+    e = t(spark, sf_dir, "events")
+    arms = e.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)) >= 15
+        ).cast("int").alias("bad")
+    ).select((F.col("user_id") % 2).alias("arm"), "bad")
+    m = ckpt(
+        arms.groupBy("arm").agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("bad").cast("double").alias("k"),
+        )
+    )
+    side = lambda a, pre: F.broadcast(
+        m.filter(F.col("arm") == a).select(
+            (F.col("k") / F.col("n")).alias(f"p{pre}"), F.col("n").alias(f"n{pre}")
+        )
+    )
+    w = side(0, "0").crossJoin(side(1, "1"))
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    arr = F.col("p0") - F.col("p1")
+    return w.select(
+        (F.col("n0") + F.col("n1")).cast("bigint").alias("n_users"),
+        q6(F.col("p0")).alias("risk_control"),
+        q6(F.col("p1")).alias("risk_treated"),
+        q6(arr).alias("arr"),
+        q6(arr / F.col("p0")).alias("rrr"),
+        q6(F.lit(1.0) / F.abs(arr)).alias("nnt"),
+        q6(
+            (F.col("p1") / (F.lit(1.0) - F.col("p1")))
+            / (F.col("p0") / (F.lit(1.0) - F.col("p0")))
+        ).alias("odds_ratio"),
+    )

@@ -647,6 +647,8 @@ _KEY_RANK: dict[str, int] = {
     "llm_source_diversity": 9,
     "ml_mcc": 9,
     "ml_cohen_d": 9,
+    "ml_risk_reduction": 9,
+    "llm_self_similarity": 9,
 }
 
 

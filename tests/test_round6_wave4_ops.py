@@ -2831,3 +2831,34 @@ def test_cohen_d_identities(spark, sf_dir):
     if r["cohen_d"] != 0:
         ratio = r["hedges_g"] / r["cohen_d"]
         assert ratio == pytest.approx(1.0 - 3.0 / (4.0 * r["n_users"] - 9.0), abs=1e-3)
+
+
+def test_risk_reduction_identities(spark, sf_dir):
+    """ARR = p0 - p1, RRR = ARR/p0, NNT = 1/|ARR|, and OR agrees in
+    direction with the risk ratio."""
+    r = _Q["ml_risk_reduction"](spark, sf_dir).collect()[0]
+    assert r["arr"] == pytest.approx(r["risk_control"] - r["risk_treated"], abs=2e-6)
+    if r["risk_control"] > 0:
+        assert r["rrr"] == pytest.approx(r["arr"] / r["risk_control"], abs=1e-4)
+    if r["arr"] != 0:
+        assert r["nnt"] == pytest.approx(1.0 / abs(r["arr"]), rel=1e-4)
+        assert (r["odds_ratio"] < 1.0) == (r["arr"] > 0)
+    assert 0.0 <= r["risk_control"] <= 1.0 and 0.0 <= r["risk_treated"] <= 1.0
+
+
+def test_self_similarity_bounds_and_pairing(spark, sf_dir):
+    """Mean Jaccard in [0,1], near-dup share <= 1, and the pair count
+    is ~half the eligible docs (offset pairing)."""
+    import pyspark.sql.functions as F
+    from morphl_model_publishers_churning_users_spark.operators._shared import t as tbl
+
+    r = _Q["llm_self_similarity"](spark, sf_dir).collect()[0]
+    n_docs = (
+        tbl(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .filter(F.size(F.split(F.lower(F.trim("text")), r"\s+")) >= 2)
+        .count()
+    )
+    assert r["n_pairs"] == n_docs - n_docs // 2 - (n_docs - n_docs // 2 - n_docs // 2)
+    assert 0.0 <= r["mean_jaccard"] <= 1.0
+    assert 0.0 <= r["share_near_dup"] <= 1.0
