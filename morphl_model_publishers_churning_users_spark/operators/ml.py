@@ -8007,3 +8007,106 @@ def ml_risk_reduction(spark, sf_dir):
             / (F.col("p0") / (F.lit(1.0) - F.col("p0")))
         ).alias("odds_ratio"),
     )
+
+
+@register(
+    "ml_youden_j",
+    oracle="""
+WITH u AS (
+    SELECT user_id, MAX(ts) AS last_ts FROM events GROUP BY user_id
+), m AS (SELECT MAX(last_ts) AS cmax FROM u),
+s AS (
+    SELECT epoch_us(m.cmax) - epoch_us(last_ts) AS rec,
+           CASE WHEN last_ts < TIMESTAMP '2024-01-29 20:00:00' THEN 1 ELSE 0 END
+               AS churned
+    FROM u, m
+), mx AS (SELECT CAST(GREATEST(MAX(rec), 1) AS DOUBLE) AS maxrec FROM s),
+p AS (
+    SELECT churned,
+           FLOOR(rec / mx.maxrec * 1000000000 + 0.5) / 1000000000 AS phat
+    FROM s, mx
+), tot AS (
+    SELECT CAST(SUM(churned) AS BIGINT) AS np,
+           CAST(SUM(1 - churned) AS BIGINT) AS nn
+    FROM p
+), cand AS (
+    SELECT p1.phat AS thr,
+           CAST(SUM(CASE WHEN p2.churned = 1 AND p2.phat >= p1.phat
+                         THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN p2.churned = 0 AND p2.phat >= p1.phat
+                         THEN 1 ELSE 0 END) AS BIGINT) AS fp
+    FROM (SELECT DISTINCT phat FROM p) p1, p p2
+    GROUP BY p1.phat
+), scored AS (
+    SELECT thr,
+           FLOOR((CAST(tp AS DOUBLE) / t.np - CAST(fp AS DOUBLE) / t.nn)
+                 * 1e9 + 0.5) / 1e9 AS j,
+           CAST(tp AS DOUBLE) / t.np AS sens,
+           1.0 - CAST(fp AS DOUBLE) / t.nn AS spec
+    FROM cand, tot t
+)
+SELECT FLOOR(thr * 1000000 + 0.5) / 1000000 AS best_threshold,
+       FLOOR(j * 1000000 + 0.5) / 1000000 AS youden_j,
+       FLOOR(sens * 1000000 + 0.5) / 1000000 AS sensitivity,
+       FLOOR(spec * 1000000 + 0.5) / 1000000 AS specificity
+FROM scored
+ORDER BY j DESC, thr LIMIT 1
+""",
+)
+def ml_youden_j(spark, sf_dir):
+    """Youden's J optimal cutpoint — the cost-free answer to 'where do
+    I threshold this score?': maximize sensitivity + specificity - 1
+    over EVERY observed score value (ml_cost_threshold needs a cost
+    matrix; Youden is what you use when costs are unknown, and J at
+    the optimum equals the maximum vertical gap to the ROC diagonal).
+    Candidate thresholds = the distinct scores themselves (no grid
+    coarseness), TP/FP per candidate via the distinct-threshold x
+    user-score join — O(distinct scores x users) of the bounded user
+    frame, exact integer cells, J q9-quantized before the
+    deterministic argmax (thr tiebreak). Same churn-score frame as
+    the rest of the eval family."""
+    q9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+    s = _rec_scored(spark, sf_dir)
+    mx = s.agg(F.greatest(F.max("rec"), F.lit(1)).cast("double").alias("maxrec"))
+    p = ckpt(
+        s.crossJoin(F.broadcast(mx)).select(
+            "churned", q9(F.col("rec") / F.col("maxrec")).alias("phat")
+        )
+    )
+    tot = p.agg(
+        F.sum("churned").cast("bigint").alias("np"),
+        F.sum(1 - F.col("churned")).cast("bigint").alias("nn"),
+    )
+    thrs = p.select(F.col("phat").alias("thr")).distinct()
+    cand = (
+        thrs.join(
+            p.select(F.col("phat").alias("score"), "churned"),
+            F.col("score") >= F.col("thr"),
+        )
+        .groupBy("thr")
+        .agg(
+            F.sum(F.when(F.col("churned") == 1, 1).otherwise(0)).cast("bigint").alias("tp"),
+            F.sum(F.when(F.col("churned") == 0, 1).otherwise(0)).cast("bigint").alias("fp"),
+        )
+    )
+    scored = cand.crossJoin(F.broadcast(tot)).select(
+        "thr",
+        q9(
+            F.col("tp").cast("double") / F.col("np")
+            - F.col("fp").cast("double") / F.col("nn")
+        ).alias("j"),
+        (F.col("tp").cast("double") / F.col("np")).alias("sens"),
+        (F.lit(1.0) - F.col("fp").cast("double") / F.col("nn")).alias("spec"),
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    w = Window.orderBy(F.desc("j"), F.asc("thr"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            q6(F.col("thr")).alias("best_threshold"),
+            q6(F.col("j")).alias("youden_j"),
+            q6(F.col("sens")).alias("sensitivity"),
+            q6(F.col("spec")).alias("specificity"),
+        )
+    )

@@ -8311,3 +8311,109 @@ def ts_durbin_watson(spark, sf_dir):
         q6f(F.lit(1.0) - dw / F.lit(2.0)).alias("rho_implied"),
         (dw < F.lit(1.5)).alias("positive_autocorr"),
     )
+
+
+@register(
+    "ts_seasonal_indices",
+    oracle="""
+WITH rawday AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 1e6 + 0.5) AS DECIMAL(38,6)))
+                AS DOUBLE) / 1e6 AS rev
+    FROM orders GROUP BY 1
+), spine AS (
+    -- zero-fill: a day with no orders is a genuine zero-revenue day;
+    -- without it sparse scales have NO complete weeks at all
+    SELECT CAST(unnest(generate_series((SELECT MIN(day) FROM rawday),
+                                       (SELECT MAX(day) FROM rawday),
+                                       INTERVAL 1 DAY)) AS DATE) AS day
+), daily AS (
+    SELECT s.day, CAST(isodow(s.day) AS BIGINT) AS dow,
+           COALESCE(r.rev, 0.0) AS rev
+    FROM spine s LEFT JOIN rawday r ON r.day = s.day
+), wk AS (
+    SELECT datediff('day', DATE '1970-01-05', day) // 7 AS week, dow, rev,
+           FLOOR(AVG(rev) OVER (PARTITION BY datediff('day', DATE '1970-01-05', day) // 7)
+                 * 1e6 + 0.5) / 1e6 AS wavg,
+           CAST(COUNT(*) OVER (PARTITION BY datediff('day', DATE '1970-01-05', day) // 7)
+                AS BIGINT) AS ndays
+    FROM daily
+), ratios AS (
+    -- all-zero weeks (wavg = 0) carry no seasonal information
+    SELECT dow, FLOOR(rev / wavg * 1e9 + 0.5) / 1e9 AS ratio
+    FROM wk WHERE ndays = 7 AND wavg > 0
+), raw AS (
+    SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_weeks,
+           CAST(SUM(CAST(FLOOR(ratio * 1e9 + 0.5) AS DECIMAL(38,9))) AS DOUBLE)
+               / 1e9 / COUNT(*) AS idx_raw
+    FROM ratios GROUP BY 1
+), norm AS (
+    SELECT CAST(SUM(CAST(FLOOR(idx_raw * 1e9 + 0.5) AS DECIMAL(38,9))) AS DOUBLE)
+               / 1e9 AS s
+    FROM raw
+)
+SELECT r.dow, r.n_weeks,
+       FLOOR(r.idx_raw * 7.0 / n.s * 1000000 + 0.5) / 1000000 AS seasonal_index
+FROM raw r, norm n
+""",
+)
+def ts_seasonal_indices(spark, sf_dir):
+    """Classical multiplicative weekday indices (ratio-to-weekly-average
+    method, normalized to sum to 7) — the planning artifact retail
+    actually publishes: 'Friday runs at 1.18x an average day', used to
+    deseasonalize targets and set staffing. Only COMPLETE weeks enter
+    (a partial week biases its own average — the textbook pitfall,
+    enforced with an exact 7-day count per ISO week), ratios
+    q9-quantize the one division per day, per-dow means ride DECIMAL,
+    and the final renormalization makes the indices sum to exactly 7
+    by construction (asserted). Complements ts_seasonal_decompose
+    (additive, trend-aware) with the multiplicative index table."""
+    anchor = F.lit("1970-01-05").cast("date")
+    raw = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg((F.sum(q6dec(F.col("o_totalprice"))).cast("double") / F.lit(1e6)).alias("rev"))
+    )
+    # zero-fill: a day with no orders is a genuine zero-revenue day;
+    # without it sparse scales have NO complete weeks at all
+    span = raw.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = span.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
+    )
+    daily = ckpt(
+        spine.join(raw, "day", "left")
+        .select(
+            "day",
+            F.coalesce("rev", F.lit(0.0)).alias("rev"),
+            (((F.dayofweek("day") + 5) % 7) + 1).cast("bigint").alias("dow"),
+            F.floor(F.datediff("day", anchor) / 7).cast("bigint").alias("week"),
+        )
+    )
+    q6f = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    q9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+    wk = daily.select(
+        "dow",
+        "rev",
+        q6f(F.avg("rev").over(Window.partitionBy("week"))).alias("wavg"),
+        F.count(F.lit(1)).over(Window.partitionBy("week")).cast("bigint").alias("ndays"),
+    )
+    # all-zero weeks (wavg = 0) carry no seasonal information
+    ratios = wk.filter((F.col("ndays") == 7) & (F.col("wavg") > 0)).select(
+        "dow", q9(F.col("rev") / F.col("wavg")).alias("ratio")
+    )
+    q9sum = lambda c: (
+        F.sum(F.floor(c * F.lit(1e9) + F.lit(0.5)).cast("decimal(38,9)")).cast("double")
+        / F.lit(1e9)
+    )
+    raw = ckpt(
+        ratios.groupBy("dow").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_weeks"),
+            (q9sum(F.col("ratio")) / F.count(F.lit(1))).alias("idx_raw"),
+        )
+    )
+    norm = raw.agg(q9sum(F.col("idx_raw")).alias("s"))
+    return raw.crossJoin(F.broadcast(norm)).select(
+        "dow",
+        "n_weeks",
+        q6f(F.col("idx_raw") * F.lit(7.0) / F.col("s")).alias("seasonal_index"),
+    )

@@ -649,6 +649,8 @@ _KEY_RANK: dict[str, int] = {
     "ml_cohen_d": 9,
     "ml_risk_reduction": 9,
     "llm_self_similarity": 9,
+    "ts_seasonal_indices": 9,
+    "ml_youden_j": 9,
 }
 
 

@@ -2862,3 +2862,25 @@ def test_self_similarity_bounds_and_pairing(spark, sf_dir):
     assert r["n_pairs"] == n_docs - n_docs // 2 - (n_docs - n_docs // 2 - n_docs // 2)
     assert 0.0 <= r["mean_jaccard"] <= 1.0
     assert 0.0 <= r["share_near_dup"] <= 1.0
+
+
+def test_seasonal_indices_sum_to_seven(spark, sf_dir):
+    """Indices sum to exactly 7 (renormalization contract), all seven
+    weekdays present and positive."""
+    rows = _Q["ts_seasonal_indices"](spark, sf_dir).collect()
+    assert {r["dow"] for r in rows} == set(range(1, 8))
+    assert sum(r["seasonal_index"] for r in rows) == pytest.approx(7.0, abs=1e-4)
+    for r in rows:
+        assert r["seasonal_index"] > 0
+        assert r["n_weeks"] >= 1
+
+
+def test_youden_j_dominates_extremes(spark, sf_dir):
+    """J = sens + spec - 1 exactly, lies in [0, 1], and beats both
+    degenerate thresholds (accept-all and reject-all give J = 0)."""
+    r = _Q["ml_youden_j"](spark, sf_dir).collect()[0]
+    assert r["youden_j"] == pytest.approx(
+        r["sensitivity"] + r["specificity"] - 1.0, abs=2e-6
+    )
+    assert 0.0 <= r["youden_j"] <= 1.0
+    assert 0.0 <= r["best_threshold"] <= 1.0
