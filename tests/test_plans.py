@@ -764,3 +764,34 @@ def test_cox_score_is_window_not_join(spark, sf_dir):
     assert "Window" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("SortMergeJoin") == 0
+
+
+def test_fuzzy_recall_anchor_is_cluster_side():
+    """r6 verdict item 3: the MinHash recall anchor must compute recall
+    via join+count (cluster-side), never by collecting pair sets to the
+    driver — near-dup pair lists grow with the corpus, so a driver-side
+    set intersection is a 100 TB memory cliff."""
+    import inspect
+
+    from morphl_model_publishers_churning_users_spark.operators.llm import llm_dedup_fuzzy
+
+    src = inspect.getsource(llm_dedup_fuzzy)
+    assert ".collect()" not in src
+    assert "left_semi" in src  # the join+count recall pattern
+
+
+def test_no_count_based_broadcast_guards():
+    """r6 verdict item 5: no registered query may run a count() job just
+    to decide a broadcast hint — AQE's runtime shuffle stats pick the
+    join strategy from measured sizes, for free."""
+    import inspect
+
+    from morphl_model_publishers_churning_users_spark.operators.llm import (
+        llm_keyword_extract,
+        llm_perplexity_filter,
+    )
+
+    for fn in (llm_perplexity_filter, llm_keyword_extract):
+        src = inspect.getsource(fn)
+        assert "F.broadcast" not in src.replace("crossJoin(F.broadcast", ""), fn.__name__
+        assert ".count() <=" not in src, fn.__name__
