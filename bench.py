@@ -95,23 +95,52 @@ def main() -> None:
     }
     total = round(sum(timings.values()), 3)
     # Extended (non-headline) probes: one representative per round-6
-    # family, single warm pass each. Kept OUT of "queries"/"value" so the
-    # headline total stays comparable round-over-round.
-    extended: dict[str, float] = {}
-    for key in (
+    # family. Kept OUT of "queries"/"value" so the headline total stays
+    # comparable round-over-round. Each gets ONE sf0.001 warmup pass
+    # before the timed target-sf pass: without it the first probe to
+    # touch a cold code path pays JIT/py4j class-loading, not query cost
+    # (measured r7: dq_observe_metrics 7.6 s cold vs 0.8 s warm on an
+    # otherwise idle host — a 2x round-over-round phantom in BENCH_r07
+    # vs r6 traced entirely to first-touch warmth).
+    # graph_hits runs FIRST and skips the sf0.001 warmup: its 10
+    # checkpointed shuffle rounds self-warm within one execution, and a
+    # separate warmup run's ~50 live checkpoint blocks slow the timed
+    # pass by ~75% (measured r7: 21.1 s warmed-in-bench vs 12.1 s
+    # isolated steady state — the GC fence does not reclaim them fast
+    # enough for this, the heaviest probe).
+    EXTENDED = (
+        "graph_hits",
         "graph_modularity",
         "llm_ngram_novelty",
         "ts_theta_forecast",
         "dq_observe_metrics",
         "join_bloom_pruned",
         "llm_lsh_tuning_curve",
-        "graph_hits",
         "ml_logreg_gd",
         "join_spatial_grid",
-    ):
+    )
+    NO_WARMUP = {"graph_hits"}
+    # Interleaved warm→measure per key, with a GC fence between keys:
+    # batching all nine warmups before any timed pass left ~18 runs of
+    # localCheckpoint blocks live in the block manager, and the probes
+    # timed last read 3-4x slow from the squeezed execution memory
+    # (measured r7: graph_modularity 13.1 s batched vs 3.5 s isolated).
+    import gc
+
+    extended: dict[str, float] = {}
+    have_warm_dir = os.path.isdir("/root/testdata/sf0.001")
+    for key in EXTENDED:
         fn = queries.get(key)
         if fn is None:
             continue
+        gc.collect()  # release prior keys' checkpoint RDDs via py4j finalizers
+        spark.sparkContext._jvm.System.gc()
+        if have_warm_dir and key not in NO_WARMUP:
+            fn(spark, "/root/testdata/sf0.001").count()
+            # The warmup's own checkpoint blocks (10/run for the iterative
+            # graph ops) must not squeeze the timed pass either.
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
         extended[key] = round(time.perf_counter() - t0, 3)
