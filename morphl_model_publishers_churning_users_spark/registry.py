@@ -673,6 +673,12 @@ _KEY_RANK: dict[str, int] = {
     "llm_self_similarity": 9,
     "ts_seasonal_indices": 9,
     "ml_youden_j": 9,
+    # Round-7 additions (r6 verdict item 9 stretch): rank 10 — behind
+    # the ENTIRE rank-9 driver-verification backlog, per the backlog
+    # freeze (r6 verdict item 2). Without the override scans.py's
+    # module rank (4) would displace staged keys from the r7 window.
+    "sink_merge_into": 10,
+    "fn_protobuf_wire": 10,
 }
 
 
