@@ -1108,7 +1108,17 @@ def graph_hits(spark, sf_dir):
     L1-renormalized so scores stay bounded; per-edge contributions are
     1e-12-quantized into DECIMAL sums and the normalizing total uses
     the same discipline, so both engines iterate on bit-identical
-    vectors. Per-round checkpoint keeps lineage flat. Output: top-20
+    vectors.
+
+    The per-half-round checkpoint sits on the RAW sums (ar/hr), not
+    the normalized vector: the L1 total and the normalized scores both
+    read the same sums, so materializing one step earlier makes the
+    expensive edges⋈scores shuffle run ONCE per half-round instead of
+    twice (with the checkpoint after normalization, the total's
+    broadcast subtree re-derived the whole join+agg from lineage).
+    The normalization itself stays a lazy projection over the
+    materialized blocks — identical expressions, bit-identical
+    hashes. Output: top-20
     authorities (×1000 for 6-decimal readability), ties on part key."""
     q12 = lambda c: F.floor(c * F.lit(1e12) + F.lit(0.5)).cast("decimal(38,12)")
     d12 = lambda c: (F.sum(q12(c)).cast("double") / F.lit(1e12))
@@ -1119,19 +1129,15 @@ def graph_hits(spark, sf_dir):
     h = edges.select("o").distinct().withColumn("h", F.lit(1.0))
     a = None
     for _ in range(5):
-        ar = edges.join(h, "o").groupBy("p").agg(d12(F.col("h")).alias("s"))
+        ar = ckpt(edges.join(h, "o").groupBy("p").agg(d12(F.col("h")).alias("s")))
         at = ar.agg(d12(F.col("s")).alias("t"))
-        a = ckpt(
-            ar.crossJoin(F.broadcast(at)).select(
-                "p", (F.col("s") / F.col("t")).alias("a")
-            )
+        a = ar.crossJoin(F.broadcast(at)).select(
+            "p", (F.col("s") / F.col("t")).alias("a")
         )
-        hr = edges.join(a, "p").groupBy("o").agg(d12(F.col("a")).alias("s"))
+        hr = ckpt(edges.join(a, "p").groupBy("o").agg(d12(F.col("a")).alias("s")))
         ht = hr.agg(d12(F.col("s")).alias("t"))
-        h = ckpt(
-            hr.crossJoin(F.broadcast(ht)).select(
-                "o", (F.col("s") / F.col("t")).alias("h")
-            )
+        h = hr.crossJoin(F.broadcast(ht)).select(
+            "o", (F.col("s") / F.col("t")).alias("h")
         )
     return (
         a.orderBy(F.desc("a"), F.asc("p"))
