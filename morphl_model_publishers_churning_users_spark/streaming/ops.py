@@ -15,6 +15,15 @@ google.protobuf, which this container does not ship (verified: the
 state-server handshake crashes with ImportError), so the op would fail
 at runtime; on a normal cluster the same processor drops in with
 ``spark.sql.streaming.stateStore.providerClass`` set to RocksDB.
+
+Interchange-format probes (round 7): ``pyspark.sql.avro.functions``
+raises AVRO_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE — the distribution ships
+the core avro-1.12.1 jars but NOT the spark-avro datasource connector,
+and the container has no network to fetch it; protobuf connector
+likewise absent (google.protobuf not shipped). The wire-format
+semantics are covered engine-side instead: ``fn_protobuf_wire``
+implements the proto3 varint/length-delimited encoding in pure
+codegen (Avro's binary encoding is the same LEB128 family, zigzagged).
 """
 
 from __future__ import annotations
