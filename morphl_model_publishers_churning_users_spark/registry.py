@@ -171,11 +171,14 @@ def register(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Quer
 # rotation table; the r8 window then picks up the next ~48 rank-9 keys
 # (the late-r6 wave from roughly win_rolling_corr/mm_header_parse
 # through llm_url_dedup and beyond, in dict-insertion order).
-# The ENTIRE staged queue was pre-flighted in round 7: driver_sim at
-# sf0.01 (bare session, America/New_York) over offsets 0-50-100-150-
-# 200-250-300..332 of get_queries() order — 282/282 green, i.e. every
-# key rounds 8-12 will surface to the driver already hash-matches at
-# driver scale in a driver-shaped session.
+# The ENTIRE registry was driver-simulated at sf0.01 in round 7
+# (bare sessions, America/New_York, offsets 0 through 556 of
+# get_queries() order): 556/556 hash-green — every key rounds 8-12
+# will surface to the driver, and the whole verified backstop, already
+# hash-matches at driver scale in a driver-shaped session. Also green
+# this round: full registry at sf0.001 (360 s), at sf0.001 under
+# Pacific/Kiritimati UTC+14, and at sf0.1 via the pytest sweep
+# (555 passed / 1 skipped, 25m43s).
 _VERIFIED_ROUND: dict[str, int] = {
         # --- round 1 greens ---
     "agg_benford": 1, "agg_collect": 1, "agg_cooccurrence": 1, "agg_corr_matrix": 1,
