@@ -161,7 +161,8 @@ def register(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Quer
 # bench, guest-idle: 6.818 s total (best recorded; r4 7.551, r5 8.779);
 # recorded BENCH_r06 7.283 s at loadavg 3.67 (pessimistic — host-level
 # variance band in SURVEY §6 bench-hygiene).
-# ROUND-7 STATE: 276/554 driver-verified after the fold below; the
+# ROUND-7 STATE: 276/556 driver-verified after the fold below (554 at
+# fold time + the 2 rank-10 round-7 additions); the
 # r7 window = win_running + ts_session canaries + the first ~48 rank-9
 # round-6 additions in dict-insertion order (join_bloom_pruned,
 # graph_jaccard_linkpred/bfs_distance/modularity/assortativity,
