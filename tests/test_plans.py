@@ -795,3 +795,49 @@ def test_no_count_based_broadcast_guards():
         src = inspect.getsource(fn)
         assert "F.broadcast" not in src.replace("crossJoin(F.broadcast", ""), fn.__name__
         assert ".count() <=" not in src, fn.__name__
+
+
+def test_scd2_asof_is_windowed_not_cartesian(spark, sf_dir):
+    """Validity-interval ASOF rides user-keyed windows — never an
+    interval cross product."""
+    plan = _plan(spark, sf_dir, "join_scd2_asof")
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_temporal_knn_broadcasts_bounded_side(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_temporal_knn")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_snowflake_dim_chain_broadcasts(spark, sf_dir):
+    """Every dim hop in the snowflake chain is a broadcast — the fact
+    table shuffles at most once."""
+    plan = _plan(spark, sf_dir, "join_snowflake")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 4
+
+
+def test_full_outer_join_is_sort_merge(spark, sf_dir):
+    """FULL OUTER cannot broadcast either side — the plan must be the
+    shuffled sort-merge shape, not a nested loop."""
+    plan = _plan(spark, sf_dir, "join_full_outer")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_hits_totals_are_broadcast_scalars(spark, sf_dir):
+    """The L1-normalization totals join back as broadcast 1-row frames
+    (BNLJ over a broadcast scalar is the intended cheap shape); the
+    edge joins themselves never degenerate to a cartesian."""
+    plan = _plan(spark, sf_dir, "graph_hits")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_closeness_and_skyline_no_cartesian(spark, sf_dir):
+    for key in ("graph_closeness", "agg_skyline_2d"):
+        plan = _plan(spark, sf_dir, key)
+        assert "CartesianProduct" not in plan, key
