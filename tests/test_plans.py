@@ -841,3 +841,15 @@ def test_closeness_and_skyline_no_cartesian(spark, sf_dir):
     for key in ("graph_closeness", "agg_skyline_2d"):
         plan = _plan(spark, sf_dir, key)
         assert "CartesianProduct" not in plan, key
+
+
+def test_no_cartesian_anywhere_in_driver_window(spark, sf_dir):
+    """Umbrella guard over the driver's next check window: none of the
+    first-50 ordered keys may contain a cartesian product. (Keys whose
+    construction eagerly checkpoints run their plans here too — the
+    cost is bounded by the sf0.001 fixture.)"""
+    from morphl_model_publishers_churning_users_spark.registry import get_queries
+
+    for key in list(get_queries())[:50]:
+        plan = _plan(spark, sf_dir, key)
+        assert "CartesianProduct" not in plan, key
