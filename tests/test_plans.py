@@ -853,3 +853,19 @@ def test_no_cartesian_anywhere_in_driver_window(spark, sf_dir):
     for key in list(get_queries())[:50]:
         plan = _plan(spark, sf_dir, key)
         assert "CartesianProduct" not in plan, key
+
+
+def test_aqe_sizes_vocab_joins_at_runtime(spark, sf_dir):
+    """r6 verdict item 5 closure: with the count()-guard gone, AQE's
+    runtime shuffle stats must still pick broadcast-hash for the
+    vocabulary-sized join sides (checked on the EXECUTED adaptive plan,
+    not the static one)."""
+    from morphl_model_publishers_churning_users_spark.registry import get_queries
+
+    Q = get_queries()
+    for key in ("llm_perplexity_filter", "llm_keyword_extract"):
+        df = Q[key](spark, sf_dir)
+        df.count()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, key
+        assert "SortMergeJoin" not in plan, key
