@@ -124,3 +124,128 @@ def test_power_mde_positive_and_relative_consistent(spark, sf_dir):
         F.abs(F.col("mde_rel") - F.col("mde_abs") / F.col("mean_y")) > 1e-4
     ).count()
     assert bad == 0
+
+
+def test_kwic_span_contains_the_keyword_window(spark, sf_dir):
+    d = _df(spark, sf_dir, "llm_kwic_spans")
+    assert d.count() > 0
+    assert d.filter(F.col("pos") < 0).count() == 0
+    assert d.filter(F.length("span") == 0).count() == 0
+
+
+def test_corpus_card_internal_consistency(spark, sf_dir):
+    r = _df(spark, sf_dir, "llm_corpus_card").collect()[0]
+    assert r["n_exact_dups"] <= r["n_docs"]
+    assert r["median_tokens"] <= r["max_tokens"]
+    assert r["total_tokens"] <= r["total_chars"]  # tokens are ≥1 char + sep
+    assert r["n_langs"] >= 1 and r["n_sources"] >= 1
+
+
+def test_hard_negatives_ranked_by_similarity(spark, sf_dir):
+    d = _df(spark, sf_dir, "llm_hard_negatives")
+    assert d.filter((F.col("cos_sim") < -1.0) | (F.col("cos_sim") > 1.0)).count() == 0
+    assert d.filter(F.col("query_id") == F.col("neighbor_id")).count() == 0
+    # within a query, rank order must follow descending similarity
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("rank")
+    bad = (
+        d.withColumn("prev", F.lag("cos_sim").over(w))
+        .filter(F.col("prev").isNotNull() & (F.col("cos_sim") > F.col("prev") + 1e-9))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_span_corruption_conserves_tokens(spark, sf_dir):
+    d = _df(spark, sf_dir, "llm_span_corruption")
+    assert d.filter(F.col("n_masked") > F.col("n_tokens")).count() == 0
+    # corrupted text carries sentinels iff tokens were masked, and the
+    # targets hold exactly the masked-out tokens (split('') is [''] —
+    # size 1 — so the count check only applies to masked docs)
+    bad = d.filter(
+        (F.col("n_masked") > 0)
+        & (F.size(F.split(F.col("targets"), r"\s+")) != F.col("n_masked"))
+    ).count()
+    assert bad == 0
+    assert d.filter((F.col("n_masked") == 0) & (F.length("targets") > 0)).count() == 0
+    assert d.filter(~F.col("corrupted").contains("<X>") & (F.col("n_masked") > 0)).count() == 0
+
+
+def test_preference_pairs_gap_positive(spark, sf_dir):
+    d = _df(spark, sf_dir, "llm_preference_pairs")
+    assert d.filter(F.col("quality_gap") <= 0).count() == 0
+    assert d.filter(F.col("chosen") == F.col("rejected")).count() == 0
+
+
+def test_bpe_first_merges_are_frequency_ranked_bigrams(spark, sf_dir):
+    d = _df(spark, sf_dir, "llm_bpe_first_merges")
+    assert d.filter(F.col("freq") <= 0).count() == 0
+    assert d.filter(F.length("pair") < 2).count() == 0
+    assert d.select("pair").distinct().count() == d.count()
+
+
+def test_transitivity_ratio_is_a_fraction(spark, sf_dir):
+    r = _df(spark, sf_dir, "llm_dedup_transitivity_audit").collect()[0]
+    assert r["n_closed"] <= r["n_wedges"]
+    assert 0.0 <= r["transitivity"] <= 1.0
+
+
+def test_lsh_bucket_skew_accounting(spark, sf_dir):
+    d = _df(spark, sf_dir, "llm_lsh_bucket_skew")
+    assert d.filter(F.col("max_bucket") < 1).count() == 0
+    assert d.filter(F.col("mean_probe_cost") < 1.0).count() == 0
+    # candidate pairs can never exceed n_buckets * C(max_bucket, 2)
+    bad = d.filter(
+        F.col("candidate_pairs")
+        > F.col("n_buckets") * (F.col("max_bucket") * (F.col("max_bucket") - 1) / 2)
+    ).count()
+    assert bad == 0
+
+
+def test_dedup_impact_ledger_conserves(spark, sf_dir):
+    r = _df(spark, sf_dir, "llm_dedup_impact").collect()[0]
+    assert r["docs_after"] <= r["docs_before"]
+    assert r["chars_after"] <= r["chars_before"]
+    assert abs(r["doc_reduction"] - (1 - r["docs_after"] / r["docs_before"])) < 1e-6
+
+
+def test_bootstrap_ci_brackets_the_bootstrap_mean(spark, sf_dir):
+    r = _df(spark, sf_dir, "ml_bootstrap_metric_ci").collect()[0]
+    assert r["ci_lo"] <= r["boot_mean"] <= r["ci_hi"]
+
+
+def test_propensity_match_distances_nonnegative(spark, sf_dir):
+    r = _df(spark, sf_dir, "ml_propensity_match").collect()[0]
+    assert r["n_matched"] >= 0
+    assert r["total_dist"] >= 0
+
+
+def test_did_estimate_is_delta_of_deltas(spark, sf_dir):
+    rows = _df(spark, sf_dir, "ml_diff_in_diff").collect()
+    if not rows:  # sf0.001 has no treated/control overlap — oracle agrees
+        return
+    r = rows[0]
+    assert abs(r["did_estimate"] - (r["treated_delta"] - r["control_delta"])) < 1e-6
+
+
+def test_conformal_coverage_bounded_by_test_size(spark, sf_dir):
+    d = _df(spark, sf_dir, "ml_conformal_interval")
+    assert d.filter(F.col("n_covered") > F.col("n_test")).count() == 0
+    assert d.filter(F.col("interval_halfwidth") < 0).count() == 0
+
+
+def test_shap_linear_attributions_sum_to_zero_mean(spark, sf_dir):
+    r = _df(spark, sf_dir, "ml_shap_linear").collect()[0]
+    # SHAP of a linear model: mean total attribution over the dataset is
+    # E[f(x)] - E[f(x)] = 0 by construction
+    assert abs(r["mean_total_attribution"]) < 1e-6
+    assert r["mean_abs_shap_recency"] >= 0 and r["mean_abs_shap_events"] >= 0
+
+
+def test_learning_curve_buckets_grow_training_data(spark, sf_dir):
+    rows = _df(spark, sf_dir, "ml_learning_curve").orderBy("train_buckets").collect()
+    assert len(rows) >= 2
+    sizes = [r["n_train"] for r in rows]
+    assert sizes == sorted(sizes)
+    assert all(r["holdout_logloss"] >= 0 for r in rows)
