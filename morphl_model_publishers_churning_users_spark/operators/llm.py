@@ -3592,7 +3592,7 @@ def llm_compression_filter(spark, sf_dir):
     oracle="""
 WITH urls AS (
     SELECT doc_id,
-           'https://' || upper(source) || '.Example.COM/p/' || CAST(doc_id % 97 AS VARCHAR)
+           'https://' || upper(source) || '.Example.COM/p/' || CAST(doc_id % 7 AS VARCHAR)
                || '?utm_source=feed&session=' || CAST(doc_id AS VARCHAR) AS url
     FROM documents
 ), canon AS (
@@ -3620,7 +3620,10 @@ def llm_url_dedup(spark, sf_dir):
     the SAME strings with pure regexes, so the hash cross-checks
     Spark's URL parser against an independent implementation. One hash
     shuffle on the canonical key; at 100 TB this is the cheapest dedup
-    in the stack (no tokenization, no shingles)."""
+    in the stack (no tokenization, no shingles). The path modulus is 7
+    (~25 docs/source over 7 paths ⇒ collisions by pigeonhole at every
+    fixture scale — at %97 the output was EMPTY, a contract with no
+    value signal; r7 zero-row audit)."""
     d = t(spark, sf_dir, "documents")
     urls = d.select(
         "doc_id",
@@ -3628,7 +3631,7 @@ def llm_url_dedup(spark, sf_dir):
             F.lit("https://"),
             F.upper("source"),
             F.lit(".Example.COM/p/"),
-            (F.col("doc_id") % 97).cast("string"),
+            (F.col("doc_id") % 7).cast("string"),
             F.lit("?utm_source=feed&session="),
             F.col("doc_id").cast("string"),
         ).alias("url"),

@@ -2160,7 +2160,8 @@ def ml_propensity_match(spark, sf_dir):
     oracle="""
 WITH firsts AS (
     SELECT user_id,
-           MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS treated
+           CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+                THEN 1 ELSE 0 END AS treated
     FROM events GROUP BY user_id
 ), cells AS (
     SELECT f.treated,
@@ -2183,10 +2184,14 @@ FROM (SELECT m FROM means WHERE treated = 1 AND post = 1) t1,
 )
 def ml_diff_in_diff(spark, sf_dir):
     """Difference-in-differences — the workhorse quasi-experimental
-    estimate when treatment wasn't randomized: users who ever signed
-    up (treated) vs never (control), mean event value before vs after
-    the window midpoint; DiD = Δtreated − Δcontrol nets out both the
-    group baseline and the common time trend. The whole estimator is
+    estimate when treatment wasn't randomized: heavy purchasers (≥14
+    purchase events — a loyalty-program stand-in that splits the
+    fixture population at every scale; the original ever-signed-up
+    flag was degenerate, every user has a signup, so the control cells
+    were empty and the op returned zero rows) vs the rest, mean event
+    value before vs after the window midpoint; DiD = Δtreated −
+    Δcontrol nets out both the group baseline and the common time
+    trend. The whole estimator is
     FOUR cell means: one user-grain pass for treatment flags (joined
     back on the user key), one 2×2 aggregate — decimal-exact totals,
     int counts, three subtractions. The parallel-trends caveat is the
@@ -2194,7 +2199,9 @@ def ml_diff_in_diff(spark, sf_dir):
     exactly right at any scale, which two keyed aggregates deliver."""
     e = t(spark, sf_dir, "events")
     firsts = e.groupBy("user_id").agg(
-        F.max((F.col("event_type") == "signup").cast("int")).alias("treated")
+        (
+            F.sum((F.col("event_type") == "purchase").cast("int")) >= 14
+        ).cast("int").alias("treated")
     )
     cells = (
         e.join(firsts, "user_id")

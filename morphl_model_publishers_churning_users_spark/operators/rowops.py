@@ -210,9 +210,14 @@ _SCALAR_SUBQ_SQL = """
 SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 6) AS totalprice
 FROM orders
 WHERE o_totalprice >
-      (SELECT 2 * CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+      (SELECT 1.8 * CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
        FROM orders)
 """
+# 1.8x, not 2x: at 2x the sf0.01/sf0.1 fixtures matched ZERO orders, so
+# the driver's value-hash was comparing empty frames — a contract with
+# no signal (r7 zero-row audit). 1.8x selects ~10% of orders at every
+# fixture scale; the SQL string is shared by the Spark path and the
+# oracle, so the two sides cannot diverge on the threshold.
 
 
 @register("subquery_scalar", oracle=_SCALAR_SUBQ_SQL)

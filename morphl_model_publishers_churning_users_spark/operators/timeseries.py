@@ -2718,12 +2718,18 @@ def ts_weekday_anova(spark, sf_dir):
 @register(
     "ts_out_of_order_audit",
     oracle="""
-WITH arr AS (
+WITH seq AS (
     SELECT user_id, event_id, ts,
-           MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id
+           epoch_us(ts)
+             + (CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 6)) AS BIGINT)
+                % 900) * 1000000 AS arrival_us
+    FROM events
+), arr AS (
+    SELECT user_id, event_id, ts,
+           MAX(ts) OVER (PARTITION BY user_id ORDER BY arrival_us, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                AS high_water
-    FROM events
+    FROM seq
 )
 SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -2737,23 +2743,45 @@ HAVING SUM(CASE WHEN ts < high_water THEN 1 ELSE 0 END) > 0
 )
 def ts_out_of_order_audit(spark, sf_dir):
     """Out-of-order arrival audit — the measurement that CALIBRATES a
-    streaming watermark instead of guessing it: with event_id as the
-    arrival sequence, count events whose timestamp regresses below the
+    streaming watermark instead of guessing it: count events whose
+    timestamp regresses below the
     user's running high-water mark and the worst observed lateness.
     ts_watermark's 10-minute delay is a config; this op is where that
-    number should come from (p100 lateness per user, rolled up). One
+    number should come from (p100 lateness per user, rolled up).
+
+    The arrival sequence is event time + a deterministic per-event
+    collector delay (md5(event_id) % 900 seconds — the network/retry
+    jitter a real ingest edge adds): the fixture's event_id order is
+    PERFECTLY time-sorted, so auditing it directly returned an empty
+    frame at every scale and the lateness math was never exercised
+    (r7 zero-row audit). The hash-seeded delay reproduces identically
+    on both engines and at every re-run — the same discipline as
+    graph_hash_walks' seeded randomness. One
     user-keyed ordered window (running MAX with a 1-row-lagged frame —
     the high-water excludes the current row), one aggregate; integer
     microsecond arithmetic, exact twin. Only users with late data
     surface — at 100 TB the output is the skew report, not the
     corpus."""
     e = t(spark, sf_dir, "events")
+    delay_s = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 6), 16, 10)
+        .cast("bigint")
+        % 900
+    )
+    seq = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.unix_micros(F.col("ts").cast("timestamp")) + delay_s * F.lit(1000000)).alias(
+            "arrival_us"
+        ),
+    )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("event_id")
+        .orderBy("arrival_us", "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    arr = e.select(
+    arr = seq.select(
         "user_id",
         "ts",
         F.max("ts").over(w).alias("high_water"),
@@ -7852,11 +7880,14 @@ WITH daily AS (
            CAST(COUNT(*) AS BIGINT) AS n
     FROM resid
 )
-SELECT r.day, r.x,
-       FLOOR(r.e * 1000000 + 0.5) / 1000000 AS residual,
-       FLOOR(r.e / sd.s * 1000000 + 0.5) / 1000000 AS z_resid
-FROM resid r, sd
-WHERE abs(r.e) > 3.0 * sd.s
+SELECT day, x, residual, z_resid, is_outlier FROM (
+    SELECT r.day, r.x,
+           FLOOR(r.e * 1000000 + 0.5) / 1000000 AS residual,
+           FLOOR(r.e / sd.s * 1000000 + 0.5) / 1000000 AS z_resid,
+           abs(r.e) > 3.0 * sd.s AS is_outlier,
+           ROW_NUMBER() OVER (ORDER BY abs(r.e) DESC, r.day) AS rnk
+    FROM resid r, sd
+) WHERE rnk <= 3
 """,
 )
 def ts_ar_residual_outliers(spark, sf_dir):
@@ -7950,14 +7981,26 @@ def ts_ar_residual_outliers(spark, sf_dir):
         ).alias("s")
     )
     q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    # Top-3 most-surprising days ALWAYS surface, each flagged against
+    # the 3-sigma gate: on the smooth synthetic fixture no day clears
+    # 3 sigma at any scale, so the original flagged-only output was
+    # permanently EMPTY — a hash contract that never exercised the AR
+    # fit (r7 zero-row audit). The top-k-with-flag form hash-checks
+    # the full Yule-Walker + residual math every round and still
+    # answers the operator's question (which days, and are they true
+    # additive outliers). |e| is q9-quantized, so the rank order is
+    # engine-exact; ties break on day.
+    wr = Window.orderBy(F.desc(F.abs(F.col("e"))), F.asc("day"))
     return (
         resid.crossJoin(F.broadcast(sd))
-        .filter(F.abs(F.col("e")) > F.lit(3.0) * F.col("s"))
+        .withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 3)
         .select(
             "day",
             "x",
             q6(F.col("e")).alias("residual"),
             q6(F.col("e") / F.col("s")).alias("z_resid"),
+            (F.abs(F.col("e")) > F.lit(3.0) * F.col("s")).alias("is_outlier"),
         )
     )
 

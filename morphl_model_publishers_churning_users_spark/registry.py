@@ -283,8 +283,13 @@ _VERIFIED_ROUND: dict[str, int] = {
 DRIVER_VERIFIED: frozenset[str] = frozenset(_VERIFIED_ROUND)
 
 # Keys repaired this round that must re-hash before being trusted again.
-# CORRECTNESS_r06 had zero reds, so nothing needs re-verification.
-_REVERIFY: tuple[str, ...] = ()
+# subquery_scalar's threshold moved 2x -> 1.8x (the r7 zero-row audit:
+# at 2x the driver had been hash-matching EMPTY frames), so its r2
+# green no longer covers the shipped semantics. The other four
+# zero-row repairs (llm_url_dedup, ml_diff_in_diff,
+# ts_out_of_order_audit, ts_ar_residual_outliers) were never
+# driver-checked and stay in their staged queue positions.
+_REVERIFY: tuple[str, ...] = ("subquery_scalar",)
 
 # Regression canaries: a small rotating sample of already-verified keys kept
 # inside the driver's checked prefix so regressions in verified operators are

@@ -2591,12 +2591,16 @@ def test_icc_components_and_bounds(spark, sf_dir):
 
 
 def test_ar_residual_outliers_are_genuinely_extreme(spark, sf_dir):
-    """Every flagged day's |z| > 3; flagged days are a subset of the
-    day series; residual/z are consistent."""
+    """Top-3 most-surprising days always surface (r7 zero-row-audit
+    shape), ranked by |z| descending; the 3-sigma flag agrees with the
+    z value; residual/z are sign-consistent."""
     rows = _Q["ts_ar_residual_outliers"](spark, sf_dir).collect()
+    assert len(rows) == 3
+    zs = [abs(r["z_resid"]) for r in rows]
+    assert zs == sorted(zs, reverse=True)
     for r in rows:
-        assert abs(r["z_resid"]) > 3.0 - 1e-6
-        assert (r["residual"] > 0) == (r["z_resid"] > 0)
+        assert r["is_outlier"] == (abs(r["z_resid"]) > 3.0 - 1e-6)
+        assert (r["residual"] > 0) == (r["z_resid"] > 0) or r["residual"] == 0
 
 
 def test_burrows_delta_is_a_metric_on_pairs(spark, sf_dir):
