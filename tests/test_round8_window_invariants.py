@@ -249,3 +249,32 @@ def test_learning_curve_buckets_grow_training_data(spark, sf_dir):
     sizes = [r["n_train"] for r in rows]
     assert sizes == sorted(sizes)
     assert all(r["holdout_logloss"] >= 0 for r in rows)
+
+
+def test_mcnemar_discordant_cells_bound_chi2(spark, sf_dir):
+    r = _df(spark, sf_dir, "ml_mcnemar_paired").collect()[0]
+    assert r["nb_correct"] <= r["n_pairs"] and r["li_correct"] <= r["n_pairs"]
+    assert r["b_disc"] + r["c_disc"] <= r["n_pairs"]
+    assert r["chi2"] >= 0.0
+    assert 0.0 <= r["p_value"] <= 1.0
+    assert r["classifiers_differ"] == (r["p_value"] < 0.05)
+
+
+def test_activity_segments_fit_in_active_frames(spark, sf_dir):
+    d = _df(spark, sf_dir, "mm_activity_segments")
+    assert d.count() > 0
+    # a run can't be longer than the total active frames, and k segments
+    # need at least k active frames
+    assert d.filter(F.col("max_seg_len") > F.col("n_active")).count() == 0
+    assert d.filter(F.col("n_segments") > F.col("n_active")).count() == 0
+    assert d.filter((F.col("n_active") > 0) & (F.col("n_segments") == 0)).count() == 0
+
+
+def test_modality_balance_shares_sum_to_one(spark, sf_dir):
+    rows = _df(spark, sf_dir, "mm_modality_balance").collect()
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        # resample factor moves each modality toward the uniform target
+        assert r["resample_factor"] > 0
+        target = 1.0 / len(rows)
+        assert abs(r["share"] * r["resample_factor"] - target) < 1e-3
