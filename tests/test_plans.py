@@ -843,23 +843,50 @@ def test_closeness_and_skyline_no_cartesian(spark, sf_dir):
         assert "CartesianProduct" not in plan, key
 
 
-def test_no_cartesian_anywhere_in_the_registry(spark, sf_dir):
-    """Umbrella guard over the ENTIRE registry (upgraded round 7 from
-    the first-50 window after a full 556-plan audit came back clean):
-    no registered key may contain a cartesian product. Every crossJoin
-    in the package broadcasts a scalar/bounded side, which plans as
-    BroadcastNestedLoopJoin — CartesianProduct appearing anywhere means
-    a join lost its equi-condition or its broadcast, the O(n^2) cliff
-    at 100 TB. (Keys whose construction eagerly checkpoints run their
-    plans here too — the cost is bounded by the sf0.001 fixture.)"""
+# The declared Python-eval surface (scripts/python_eval_audit.py, r7
+# baseline): the udf_*/udtf_* contract rows, the mm_* Arrow decode
+# path, the pyarrow footer reader, and the one justified zlib filter.
+# Everything else in the registry must stay 100% JVM expressions.
+_DECLARED_PYTHON_KEYS = {
+    "llm_compression_filter",
+    "mm_activity_segments", "mm_features", "mm_framesample",
+    "mm_header_parse", "mm_modality_balance", "mm_phash_dedup",
+    "mm_resize", "mm_shot_boundaries", "mm_tile_grid",
+    "scan_rowgroup_stats",
+    "udf_arrow", "udf_cogrouped_map", "udf_grouped_map", "udf_pandas",
+    "udf_pandas_iter", "udf_pandas_struct", "udf_python",
+    "udf_python_arrow", "udtf_arrow", "udtf_python",
+}
+
+_PYTHON_EVAL_NODES = (
+    "BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+    "MapInPandas", "FlatMapCoGroupsInPandas", "WindowInPandas",
+    "AggregateInPandas", "PythonUDTF", "MapInArrow",
+)
+
+
+def test_full_registry_plan_audit_cartesian_and_python_surface(spark, sf_dir):
+    """Umbrella guard over the ENTIRE registry in one plan walk
+    (upgraded round 7 from the first-50 window after a clean 556-plan
+    audit). Two laws per key: (1) no CartesianProduct — every
+    crossJoin in the package broadcasts a scalar/bounded side, which
+    plans as BroadcastNestedLoopJoin; a cartesian means a join lost
+    its equi-condition or broadcast, the O(n^2) cliff at 100 TB.
+    (2) Python-eval nodes appear ONLY in the declared 21-key surface —
+    a new key showing up means row-at-a-time Python leaked into a hot
+    path. (Keys whose construction eagerly checkpoints run their plans
+    here too — the cost is bounded by the sf0.001 fixture.)"""
     from morphl_model_publishers_churning_users_spark.registry import get_queries
 
-    bad = []
-    for key, fn in get_queries().items():
+    cartesian, python_leaks = [], []
+    for key in get_queries():
         plan = _plan(spark, sf_dir, key)
         if "CartesianProduct" in plan:
-            bad.append(key)
-    assert bad == []
+            cartesian.append(key)
+        if any(n in plan for n in _PYTHON_EVAL_NODES) and key not in _DECLARED_PYTHON_KEYS:
+            python_leaks.append(key)
+    assert cartesian == []
+    assert python_leaks == []
 
 
 def test_aqe_sizes_vocab_joins_at_runtime(spark, sf_dir):
