@@ -1390,6 +1390,66 @@ def fn_business_days(spark, sf_dir):
     )
 
 
+def _pb_byte(v):
+    """One wire byte from a value GUARANTEED < 256 (limbs are masked to
+    7 bits + continuation; tags/lengths are single-byte by contract) —
+    the lpad(2) can therefore never truncate."""
+    return F.unhex(F.lpad(F.hex(v.cast("bigint")), 2, "0"))
+
+
+def _pb_varint(v):
+    """proto3 base-128 varint encode over the full non-negative bigint
+    domain: limb i is ``shiftright(v, 7*i) & 127`` (+128 continuation
+    on all but the last), limb count from an exact integer CASE ladder
+    (v < 2^7 … 2^56, else 9 limbs — v < 2^63 always). All branches are
+    integer codegen expressions; no doubles, no log(), no truncation.
+    Negative input (not a proto3 unsigned domain) yields NULL."""
+    limb = lambda i, cont: _pb_byte(
+        F.shiftright(v.cast("bigint"), 7 * i).bitwiseAND(F.lit(127)) + F.lit(128 if cont else 0)
+    )
+
+    def limbs(n):
+        return F.concat(*[limb(i, i < n - 1) for i in range(n)])
+
+    c = F.when(v < 0, F.lit(None).cast("binary")).when(v < 1 << 7, limbs(1))
+    for n in range(2, 9):
+        c = c.when(v < F.lit(1 << (7 * n)), limbs(n))
+    return c.otherwise(limbs(9))
+
+
+def _pb_u8(p):
+    """Read one unsigned byte of ``payload`` at 1-based position p."""
+    return F.conv(F.hex(F.substring(F.col("payload"), p, F.lit(1))), 16, 10).cast("bigint")
+
+
+def _pb_vval(p):
+    """Decode the varint starting at payload position p (1–9 limbs):
+    value = Σ (limb_i − continuation) · 128^i; 128^8 = 2^56 stays
+    exactly inside bigint."""
+    bs = [_pb_u8(p + i) for i in range(9)]
+
+    def val(n):
+        e = None
+        for i in range(n):
+            term = (bs[i] - F.lit(128 if i < n - 1 else 0)) * F.lit(128**i)
+            e = term if e is None else e + term
+        return e
+
+    c = F.when(bs[0] < 128, val(1))
+    for n in range(2, 9):
+        c = c.when(bs[n - 1] < 128, val(n))
+    return c.otherwise(val(9))
+
+
+def _pb_vlen(p):
+    """Byte length of the varint starting at payload position p."""
+    bs = [_pb_u8(p + i) for i in range(8)]
+    c = F.when(bs[0] < 128, F.lit(1))
+    for n in range(2, 9):
+        c = c.when(bs[n - 1] < 128, F.lit(n))
+    return c.otherwise(F.lit(9))
+
+
 @register(
     "fn_protobuf_wire",
     oracle="""
@@ -1402,10 +1462,20 @@ WITH msg AS (
     SELECT o_orderkey, o_orderpriority, cents,
            CASE WHEN o_orderkey < 128 THEN 1
                 WHEN o_orderkey < 16384 THEN 2
-                WHEN o_orderkey < 2097152 THEN 3 ELSE 4 END AS lk,
+                WHEN o_orderkey < 2097152 THEN 3
+                WHEN o_orderkey < 268435456 THEN 4
+                WHEN o_orderkey < 34359738368 THEN 5
+                WHEN o_orderkey < 4398046511104 THEN 6
+                WHEN o_orderkey < 562949953421312 THEN 7
+                WHEN o_orderkey < 72057594037927936 THEN 8 ELSE 9 END AS lk,
            CASE WHEN cents < 128 THEN 1
                 WHEN cents < 16384 THEN 2
-                WHEN cents < 2097152 THEN 3 ELSE 4 END AS lc
+                WHEN cents < 2097152 THEN 3
+                WHEN cents < 268435456 THEN 4
+                WHEN cents < 34359738368 THEN 5
+                WHEN cents < 4398046511104 THEN 6
+                WHEN cents < 562949953421312 THEN 7
+                WHEN cents < 72057594037927936 THEN 8 ELSE 9 END AS lc
     FROM msg
 )
 SELECT o_orderkey, o_orderpriority AS priority, cents AS total_cents,
@@ -1437,32 +1507,12 @@ def fn_protobuf_wire(spark, sf_dir):
     asserts decoded == original for every field Spark-side; the oracle
     recomputes the fields and the wire length arithmetically, so a
     mis-encoded continuation bit flips both the flag and the length.
-    Varints cover 4 bytes (values < 2^28) — keys and cent totals at
-    any tested SF; a 10-byte general varint is the same CASE ladder
-    extended."""
-    byte = lambda v: F.unhex(F.lpad(F.hex(v.cast("bigint")), 2, "0"))
-    def varint(v):
-        return (
-            F.when(v < 128, byte(v))
-            .when(v < 16384, F.concat(byte(v % 128 + 128), byte(F.floor(v / 128))))
-            .when(
-                v < 2097152,
-                F.concat(
-                    byte(v % 128 + 128),
-                    byte(F.floor(v / 128) % 128 + 128),
-                    byte(F.floor(v / 16384)),
-                ),
-            )
-            .otherwise(
-                F.concat(
-                    byte(v % 128 + 128),
-                    byte(F.floor(v / 128) % 128 + 128),
-                    byte(F.floor(v / 16384) % 128 + 128),
-                    byte(F.floor(v / 2097152)),
-                )
-            )
-        )
-
+    Varints cover the FULL non-negative bigint domain (1–9 limbs; the
+    r7 advice closed the old 4-limb/2^28 ceiling, where lpad(hex())
+    silently truncated an oversized limb). Negative values — absent
+    from proto3 unsigned field domains like keys/cents/lengths —
+    encode as NULL payload, flipping roundtrip_ok rather than
+    corrupting bytes silently."""
     enc = t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("key_in"),
         F.col("o_orderpriority").alias("pri_in"),
@@ -1473,55 +1523,42 @@ def fn_protobuf_wire(spark, sf_dir):
         "pri_in",
         "cents_in",
         F.concat(
-            byte(F.lit(0x08)),
-            varint(F.col("key_in")),
-            byte(F.lit(0x12)),
-            byte(F.length("pri_in")),
+            _pb_byte(F.lit(0x08)),
+            _pb_varint(F.col("key_in")),
+            _pb_byte(F.lit(0x12)),
+            _pb_byte(F.length("pri_in")),
             F.col("pri_in").cast("binary"),
-            byte(F.lit(0x18)),
-            varint(F.col("cents_in")),
+            _pb_byte(F.lit(0x18)),
+            _pb_varint(F.col("cents_in")),
         ).alias("payload"),
     )
+    # Materialize the encoded frame (the op's real-world shape: encode
+    # once, SHIP the binary column, decode on the other side). Also
+    # required for planner health: if payload stays a live alias,
+    # Catalyst's filter/alias substitution inlines the full encode
+    # expression into every one of the ~200 positional byte reads the
+    # 9-limb decode makes — a multi-million-node tree that OOMs
+    # ConstantFolding. With payload a leaf attribute the decode plan is
+    # a few thousand nodes.
+    wire = wire.localCheckpoint(eager=True)
 
-    # Decode: positional walk of the wire bytes. u8(p) reads one byte;
-    # vval(p) decodes the varint starting at p, vlen(p) its byte length.
-    u8 = lambda p: F.conv(F.hex(F.expr(f"substring(payload, {p}, 1)")), 16, 10).cast("bigint")
-    u8d = lambda p: F.conv(
-        F.hex(F.substring(F.col("payload"), p, F.lit(1))), 16, 10
-    ).cast("bigint")
-
-    def vval(p):
-        b0, b1, b2, b3 = u8d(p), u8d(p + 1), u8d(p + 2), u8d(p + 3)
-        return (
-            F.when(b0 < 128, b0)
-            .when(b1 < 128, (b0 - 128) + b1 * 128)
-            .when(b2 < 128, (b0 - 128) + (b1 - 128) * 128 + b2 * 16384)
-            .otherwise((b0 - 128) + (b1 - 128) * 128 + (b2 - 128) * 16384 + b3 * 2097152)
-        )
-
-    def vlen(p):
-        b0, b1, b2 = u8d(p), u8d(p + 1), u8d(p + 2)
-        return (
-            F.when(b0 < 128, F.lit(1))
-            .when(b1 < 128, F.lit(2))
-            .when(b2 < 128, F.lit(3))
-            .otherwise(F.lit(4))
-        )
-
+    # Decode: positional walk of the wire bytes (module-level helpers:
+    # _pb_u8 reads one byte; _pb_vval decodes the varint starting at p,
+    # _pb_vlen its byte length — 1..9 limbs, full bigint domain).
     d = wire.withColumn("p1", F.lit(2))  # field-1 varint starts after tag 0x08
-    d = d.withColumn("key_out", vval(F.col("p1")))
-    d = d.withColumn("p2", F.col("p1") + vlen(F.col("p1")))  # field-2 tag position
-    d = d.withColumn("slen", u8d(F.col("p2") + 1))
+    d = d.withColumn("key_out", _pb_vval(F.col("p1")))
+    d = d.withColumn("p2", F.col("p1") + _pb_vlen(F.col("p1")))  # field-2 tag position
+    d = d.withColumn("slen", _pb_u8(F.col("p2") + 1))
     d = d.withColumn(
         "pri_out",
         F.substring(F.col("payload"), F.col("p2") + 2, F.col("slen")).cast("string"),
     )
     d = d.withColumn("p3", F.col("p2") + 2 + F.col("slen"))  # field-3 tag position
-    d = d.withColumn("cents_out", vval(F.col("p3") + 1))
+    d = d.withColumn("cents_out", _pb_vval(F.col("p3") + 1))
     tags_ok = (
-        (u8d(F.lit(1)) == 0x08)
-        & (u8d(F.col("p2")) == 0x12)
-        & (u8d(F.col("p3")) == 0x18)
+        (_pb_u8(F.lit(1)) == 0x08)
+        & (_pb_u8(F.col("p2")) == 0x12)
+        & (_pb_u8(F.col("p3")) == 0x18)
     )
     return d.select(
         F.col("key_out").alias("o_orderkey"),

@@ -11,6 +11,7 @@ date-partitioned and the sink below shows the partitioned-write shape
 from __future__ import annotations
 
 import os
+import shutil
 
 import pyspark.sql.functions as F
 from pyspark.sql import Window
@@ -1219,6 +1220,62 @@ def scan_partition_skew_audit(spark, sf_dir):
     )
 
 
+def _cow_merge(spark, tbl, src_upd, src_del, src_ins):
+    """The COW MERGE kernel over a ym-partitioned parquet dir at ``tbl``:
+    touched-partition discovery → pruned rewrite → dynamic overwrite →
+    stale-partition cleanup. Returns (re-read table, touched months).
+    Factored out of ``sink_merge_into`` so the zero-survivor partition
+    edge (untriggerable at fixture scale) is unit-testable directly."""
+    stored = spark.read.parquet(tbl)
+    # Touched-partition discovery: months holding a matched key, plus
+    # months receiving inserts. The source key set is CDC-batch-sized
+    # (bounded), so it broadcasts; the target side is a column-pruned
+    # scan of (o_orderkey, ym) only.
+    src_keys = src_upd.select("o_orderkey").unionByName(src_del.select("o_orderkey"))
+    touched = (
+        stored.join(F.broadcast(src_keys), "o_orderkey", "left_semi")
+        .select("ym")
+        .unionByName(src_ins.select("ym"))
+        .distinct()
+        .localCheckpoint(eager=True)  # bounded (months); read twice below
+    )
+    # COW rewrite of ONLY the touched months: update via left join,
+    # delete via anti join, insert via union — one keyed pass over the
+    # touched slice, never the full table.
+    rewrite = (
+        stored.join(F.broadcast(touched), "ym", "left_semi")
+        .join(F.broadcast(src_del), "o_orderkey", "left_anti")
+        .join(F.broadcast(src_upd), "o_orderkey", "left")
+        .select("o_orderkey", "ym", F.coalesce("new_price", "price").alias("price"))
+        .unionByName(src_ins)
+    )
+    # Dynamic overwrite only replaces partitions the rewrite WRITES: a
+    # touched month whose every row was deleted produces zero output
+    # rows, its directory is never overwritten, and the pre-merge files
+    # would survive — resurrecting deleted rows (ADVICE r7). A real
+    # MERGE handles this in the manifest swap (the new snapshot simply
+    # stops listing those files); the parquet-dir equivalent is to drop
+    # the stale partition dirs. The surviving-month set MUST be computed
+    # BEFORE the overwrite (its lineage reads the pre-merge files) and
+    # is one extra column-pruned pass over the touched slice — bounded
+    # by CDC-batch scale, not table scale; the collects are O(months).
+    surviving = {r["ym"] for r in rewrite.select("ym").distinct().collect()}
+    emptied = [r["ym"] for r in touched.collect() if r["ym"] not in surviving]
+
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        rewrite.write.mode("overwrite").partitionBy("ym").parquet(tbl)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    for ym in emptied:
+        shutil.rmtree(os.path.join(tbl, f"ym={ym}"), ignore_errors=True)
+
+    return spark.read.parquet(tbl), touched
+
+
+
+
 @register(
     "sink_merge_into",
     oracle="""
@@ -1302,37 +1359,7 @@ def sink_merge_into(spark, sf_dir):
         F.round("o_totalprice", 6).alias("price"),
     )
 
-    stored = spark.read.parquet(tbl)
-    # Touched-partition discovery: months holding a matched key, plus
-    # months receiving inserts. The source key set is CDC-batch-sized
-    # (bounded), so it broadcasts; the target side is a column-pruned
-    # scan of (o_orderkey, ym) only.
-    src_keys = src_upd.select("o_orderkey").unionByName(src_del.select("o_orderkey"))
-    touched = (
-        stored.join(F.broadcast(src_keys), "o_orderkey", "left_semi")
-        .select("ym")
-        .unionByName(src_ins.select("ym"))
-        .distinct()
-        .localCheckpoint(eager=True)  # bounded (months); read twice below
-    )
-    # COW rewrite of ONLY the touched months: update via left join,
-    # delete via anti join, insert via union — one keyed pass over the
-    # touched slice, never the full table.
-    rewrite = (
-        stored.join(F.broadcast(touched), "ym", "left_semi")
-        .join(F.broadcast(src_del), "o_orderkey", "left_anti")
-        .join(F.broadcast(src_upd), "o_orderkey", "left")
-        .select("o_orderkey", "ym", F.coalesce("new_price", "price").alias("price"))
-        .unionByName(src_ins)
-    )
-    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    try:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        rewrite.write.mode("overwrite").partitionBy("ym").parquet(tbl)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
-
-    back = spark.read.parquet(tbl)
+    back, touched = _cow_merge(spark, tbl, src_upd, src_del, src_ins)
     return (
         back.groupBy(F.col("ym").cast("string").alias("ym"))
         .agg(

@@ -167,11 +167,26 @@ def register(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Quer
 # round-6 additions in dict-insertion order (join_bloom_pruned,
 # graph_jaccard_linkpred/bfs_distance/modularity/assortativity,
 # ts_cusum/theta_forecast/sax, the ml/llm/fn/dq/scan early-r6 tails).
-# ROUND-8 PRE-STAGED MAINTENANCE: fold the CORRECTNESS_r07 greens in
-# with tag 7, rotate _CANARY to scan_parquet + subquery_scalar per the
-# rotation table; the r8 window then picks up the next ~48 rank-9 keys
-# (the late-r6 wave from roughly win_rolling_corr/mm_header_parse
-# through llm_url_dedup and beyond, in dict-insertion order).
+# ROUND-8 MAINTENANCE APPLIED: CORRECTNESS_r07.json came back 50/50
+# hash-green (zero reds) — exactly the staged window (canaries
+# win_running + ts_session re-tagged 7, the _REVERIFY backstop
+# subquery_scalar re-tagged 7, and 47 first-touch greens: the
+# early-r6 agg_* stats wave, graph_* x12, join_* x8, llm_* x9).
+# All are folded in below with tag 7, _REVERIFY is cleared (the
+# 1.8x-threshold subquery_scalar re-hashed green), and _CANARY
+# rotates to scan_parquet + subquery_scalar per the rotation table.
+# The r8 window then picks up the next ~48 rank-9 keys in
+# dict-insertion order (the mid/late-r6 wave: ts_cusum/theta/sax
+# remainders, fn_regex/interval/collation/string_extra/trig/
+# surrogate_key, dq_observe_metrics/schema_contract/row_checksum/
+# fk_chain, scan_metadata_cols/ignore_corrupt_files/path_glob_filter,
+# win_rolling_corr, mm_header_parse, source_tsv/json_multiline,
+# sink_csv_quoted, udf_pandas_struct, the ts_* engagement tail,
+# ml_ece, and the ml/ts wave-tails behind them).
+# ROUND-9 PRE-STAGED MAINTENANCE: fold the CORRECTNESS_r08 greens in
+# with tag 8, rotate _CANARY to llm_dedup_exact + udf_pandas per the
+# rotation table; the r9 window then continues down the rank-9
+# late-r6/continuation wave in dict-insertion order.
 # The ENTIRE registry was driver-simulated at sf0.01 in round 7
 # (bare sessions, America/New_York, offsets 0 through 556 of
 # get_queries() order): 556/556 hash-green — every key rounds 8-12
@@ -205,11 +220,11 @@ _VERIFIED_ROUND: dict[str, int] = {
     "source_ga_json": 2, "source_json": 2, "sink_orc": 2, "source_python_ds": 2,
     "source_python_ds_stream": 2, "project_derive": 2, "filter_pred": 2,
     "cast_types": 2, "cond_expr": 2, "null_handling": 2, "dedup_exact": 2,
-    "subquery_scalar": 2, "subquery_correlated": 2, "subquery_lateral": 2,
+    "subquery_scalar": 7, "subquery_correlated": 2, "subquery_lateral": 2,
     "fn_try": 2, "cte_recursive": 2, "fn_format": 2, "source_range": 2,
     "subquery_exists_in": 2, "fn_greatest_least": 2, "dq_orphan_audit": 2,
     "dq_profile": 2, "win_rownum": 3, "win_lag": 4, "win_frame_rows": 2,
-    "win_frame_range": 2, "win_running": 2, "win_ntile": 2, "win_firstlast": 2,
+    "win_frame_range": 2, "win_running": 7, "win_ntile": 2, "win_firstlast": 2,
         # --- round 3 greens ---
     "sample_rows": 3, "sample_stratified": 3, "ts_interval_merge": 3,
     "fn_string": 6, "fn_date": 3, "fn_math": 3, "fn_json": 4, "fn_array": 3, "fn_map": 3,
@@ -218,7 +233,7 @@ _VERIFIED_ROUND: dict[str, int] = {
     "sort_multi": 3, "topk": 3, "topk_nulls_last": 3, "limit_offset": 3,
     "set_union": 3, "set_union_by_name": 3, "set_intersect": 3,
     "set_intersect_all": 3, "set_except": 3, "set_except_all": 3,
-    "ts_tumbling": 4, "ts_sliding": 3, "ts_session": 3, "ts_gap_fill": 3,
+    "ts_tumbling": 4, "ts_sliding": 3, "ts_session": 7, "ts_gap_fill": 3,
     "ts_resample_ohlc": 3, "ts_ewma": 4, "ts_funnel": 3, "ts_retention_cohorts": 3,
     "ts_day_over_day": 3, "ts_session_attrs": 3, "ts_attribution_first_touch": 3,
     "ts_active_users": 3, "ts_traffic_profile": 3,
@@ -278,18 +293,30 @@ _VERIFIED_ROUND: dict[str, int] = {
     "ts_backtest_metrics": 6, "ts_lag_features": 6, "udf_pandas_iter": 6,
     "win_frame_interval": 6, "sink_json_lines": 6, "dq_uniqueness": 6,
     "dq_freshness": 6,
+        # --- round 7 greens (CORRECTNESS_r07: 50/50 hash-green; canaries
+        # win_running/ts_session and reverify subquery_scalar re-tagged 7 above) ---
+    "agg_ecdf": 7, "agg_winsorized_stats": 7, "agg_bitwise": 7, "agg_rate_ci_wilson": 7,
+    "agg_log2_histogram": 7, "agg_ratio_delta_method": 7, "agg_qq_normal": 7,
+    "agg_bitmap_sets": 7, "agg_welch_ttest": 7, "agg_lorenz_points": 7, "agg_theil_decomposition": 7,
+    "agg_skyline_2d": 7, "agg_mann_whitney": 7, "agg_heavy_hitters": 7, "agg_beta_binomial_shrinkage": 7,
+    "agg_benford_chisq": 7, "agg_spearman": 7, "agg_robust_shape": 7, "graph_jaccard_linkpred": 7,
+    "graph_bfs_distance": 7, "graph_modularity": 7, "graph_assortativity": 7,
+    "graph_bipartite_projection": 7, "graph_label_propagation": 7, "graph_hits": 7,
+    "graph_hash_walks": 7, "graph_ppr": 7, "graph_closeness": 7, "graph_rich_club": 7,
+    "graph_degree_gini": 7, "join_bloom_pruned": 7, "join_mark_exists": 7,
+    "join_scd2_asof": 7, "join_temporal_knn": 7, "join_spatial_grid": 7,
+    "join_snowflake": 7, "join_asof_forward": 7, "join_full_outer": 7, "llm_ngram_novelty": 7,
+    "llm_template_prefix": 7, "llm_odds_ratio_terms": 7, "llm_kn_bigram_lm": 7,
+    "llm_vocab_coverage": 7, "llm_lang_confusion": 7, "llm_burstiness": 7,
+    "llm_compression_filter": 7, "llm_url_dedup": 7,
 }
 
 DRIVER_VERIFIED: frozenset[str] = frozenset(_VERIFIED_ROUND)
 
 # Keys repaired this round that must re-hash before being trusted again.
-# subquery_scalar's threshold moved 2x -> 1.8x (the r7 zero-row audit:
-# at 2x the driver had been hash-matching EMPTY frames), so its r2
-# green no longer covers the shipped semantics. The other four
-# zero-row repairs (llm_url_dedup, ml_diff_in_diff,
-# ts_out_of_order_audit, ts_ar_residual_outliers) were never
-# driver-checked and stay in their staged queue positions.
-_REVERIFY: tuple[str, ...] = ("subquery_scalar",)
+# Empty for round 8: subquery_scalar's 1.8x-threshold repair re-hashed
+# green in CORRECTNESS_r07 (and rotates in as a canary this round).
+_REVERIFY: tuple[str, ...] = ()
 
 # Regression canaries: a small rotating sample of already-verified keys kept
 # inside the driver's checked prefix so regressions in verified operators are
@@ -297,8 +324,8 @@ _REVERIFY: tuple[str, ...] = ("subquery_scalar",)
 # (56 never-checked keys compete for ~50 slots; every canary slot displaces a
 # first-touch verification — r4 verdict item 1).
 _CANARY: tuple[str, ...] = (
-    "win_running",  # window family (r2 green — 5 rounds untouched)
-    "ts_session",   # time-series family (r3 green)
+    "scan_parquet",     # scan/sink family (r2 green — 6 rounds untouched)
+    "subquery_scalar",  # core-misc family (r7 green via _REVERIFY; repaired op second look)
 )
 
 # Round-5 window priority: the 13 round-4 llm/mm additions first (the

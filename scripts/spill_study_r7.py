@@ -74,10 +74,15 @@ def main() -> None:
         df = spark.read.parquet(f"{OUT}/fact.parquet")
         q = df.repartitionByRange(parts, "k").sortWithinPartitions("k")
         q.write.format("noop").mode("overwrite").save()  # warm
+        # Snapshot spill AFTER the warm pass so the reported numbers are
+        # the timed run's delta only (ADVICE r7: summing all app stages
+        # counted the warm pass too and roughly doubled the figures).
+        mem0, disk0 = spill_bytes("http://localhost:4049")
         t0 = time.perf_counter()
         q.write.format("noop").mode("overwrite").save()
         wall = round(time.perf_counter() - t0, 2)
-        mem, disk = spill_bytes("http://localhost:4049")
+        mem1, disk1 = spill_bytes("http://localhost:4049")
+        mem, disk = mem1 - mem0, disk1 - disk0
         results[label] = {
             "partitions": parts,
             "wall_s": wall,

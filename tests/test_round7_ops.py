@@ -63,6 +63,35 @@ def test_merge_into_delete_beats_update_on_collision(spark, sf_dir):
     assert survivors == 0
 
 
+def test_merge_into_emptied_partition_does_not_resurrect(spark):
+    """ADVICE r7: with partitionOverwriteMode=dynamic, a touched month
+    whose rewrite yields ZERO rows is never overwritten, so its
+    pre-merge files would survive and deleted rows resurrect. The
+    _cow_merge kernel must drop such stale partition dirs. Synthetic
+    target (untriggerable at fixture scale): month 2020-01 has two
+    rows, BOTH deleted; month 2020-02 gets a normal update."""
+    import shutil
+
+    from morphl_model_publishers_churning_users_spark.operators.scans import _cow_merge
+    from morphl_model_publishers_churning_users_spark.operators._shared import scratch_dir
+
+    tbl = scratch_dir("merge_into_empty_month_test")
+    shutil.rmtree(tbl, ignore_errors=True)
+    target = spark.createDataFrame(
+        [(1, "2020-01", 10.0), (2, "2020-01", 20.0), (3, "2020-02", 30.0), (4, "2020-03", 40.0)],
+        "o_orderkey bigint, ym string, price double",
+    )
+    target.write.mode("overwrite").partitionBy("ym").parquet(tbl)
+    src_upd = spark.createDataFrame([(3, 33.0)], "o_orderkey bigint, new_price double")
+    src_del = spark.createDataFrame([(1,), (2,)], "o_orderkey bigint")
+    src_ins = spark.createDataFrame([], "o_orderkey bigint, ym string, price double")
+
+    back, touched = _cow_merge(spark, tbl, src_upd, src_del, src_ins)
+    rows = {(r["o_orderkey"], r["ym"], r["price"]) for r in back.collect()}
+    assert rows == {(3, "2020-02", 33.0), (4, "2020-03", 40.0)}, rows
+    assert {r["ym"] for r in touched.collect()} == {"2020-01", "2020-02"}
+
+
 def test_protobuf_wire_roundtrip_every_row(spark, sf_dir):
     out = _Q["fn_protobuf_wire"](spark, sf_dir)
     n = out.count()
@@ -82,40 +111,33 @@ def test_protobuf_wire_zero_shuffle(spark, sf_dir):
 
 
 def test_protobuf_wire_varint_boundaries(spark):
-    """The varint CASE ladder at the 1/2/3/4-byte boundaries: encode
-    then decode 127/128/16383/16384/2097151/2097152 exactly."""
+    """The operator's own varint encode/decode at every limb boundary
+    across the FULL non-negative bigint domain — including 2^28, where
+    the pre-r8 4-limb ladder silently truncated (ADVICE r7), and the
+    2^63-1 max. Encoded bytes must match a reference Python varint and
+    _pb_vval(payload) must invert _pb_varint exactly."""
     from morphl_model_publishers_churning_users_spark.functions.scalar import (
-        fn_protobuf_wire,
+        _pb_varint,
+        _pb_vlen,
+        _pb_vval,
     )
 
-    # Reuse the operator's own encode/decode by staging a tiny orders
-    # frame through a temp view is overkill — instead assert the wire
-    # length arithmetic: length(varint(v)) for boundary values.
-    vals = [0, 1, 127, 128, 16383, 16384, 2097151, 2097152, 268435455]
+    vals = [0, 1, 127, 128, 16383, 16384, 2097151, 2097152]
+    for k in range(4, 9):  # 2^(7k)-1 / 2^(7k) limb boundaries
+        vals += [(1 << (7 * k)) - 1, 1 << (7 * k)]
+    vals += [1 << 28, (1 << 35) - 1, 1 << 62, (1 << 63) - 1]
+    vals = sorted(set(vals))
     df = spark.createDataFrame([(v,) for v in vals], "v bigint")
-    byte = lambda c: F.unhex(F.lpad(F.hex(c.cast("bigint")), 2, "0"))
-    v = F.col("v")
-    wire = (
-        F.when(v < 128, byte(v))
-        .when(v < 16384, F.concat(byte(v % 128 + 128), byte(F.floor(v / 128))))
-        .when(
-            v < 2097152,
-            F.concat(
-                byte(v % 128 + 128),
-                byte(F.floor(v / 128) % 128 + 128),
-                byte(F.floor(v / 16384)),
-            ),
-        )
-        .otherwise(
-            F.concat(
-                byte(v % 128 + 128),
-                byte(F.floor(v / 128) % 128 + 128),
-                byte(F.floor(v / 16384) % 128 + 128),
-                byte(F.floor(v / 2097152)),
-            )
-        )
+    out = df.select(
+        "v", _pb_varint(F.col("v")).alias("payload")
+    ).select(
+        "v",
+        "payload",
+        F.length("payload").alias("n"),
+        _pb_vval(F.lit(1)).alias("back"),
+        _pb_vlen(F.lit(1)).alias("vl"),
     )
-    got = {r["v"]: (r["n"], bytes(r["w"])) for r in df.select("v", F.length(wire).alias("n"), wire.alias("w")).collect()}
+    got = {r["v"]: r for r in out.collect()}
 
     def ref_varint(x):
         out = bytearray()
@@ -129,4 +151,15 @@ def test_protobuf_wire_varint_boundaries(spark):
                 return bytes(out)
 
     for x in vals:
-        assert got[x] == (len(ref_varint(x)), ref_varint(x)), x
+        r = got[x]
+        assert bytes(r["payload"]) == ref_varint(x), x
+        assert r["n"] == len(ref_varint(x)), x
+        assert r["back"] == x, (x, r["back"])
+        assert r["vl"] == len(ref_varint(x)), x
+
+    # Negative input (outside the proto3 unsigned domain) must be NULL,
+    # never silently-corrupt bytes.
+    neg = spark.createDataFrame([(-1,)], "v bigint").select(
+        _pb_varint(F.col("v")).alias("payload")
+    ).collect()
+    assert neg[0]["payload"] is None
