@@ -111,7 +111,8 @@ def test_protobuf_wire_zero_shuffle(spark, sf_dir):
 
 
 def test_protobuf_wire_varint_boundaries(spark):
-    """The operator's own varint encode/decode at every limb boundary
+    """"fn_protobuf_wire" roundtrip_ok backing invariant: the operator's
+    own varint encode/decode at every limb boundary
     across the FULL non-negative bigint domain — including 2^28, where
     the pre-r8 4-limb ladder silently truncated (ADVICE r7), and the
     2^63-1 max. Encoded bytes must match a reference Python varint and
