@@ -1110,15 +1110,21 @@ def graph_hits(spark, sf_dir):
     the same discipline, so both engines iterate on bit-identical
     vectors.
 
-    The per-half-round checkpoint sits on the RAW sums (ar/hr), not
-    the normalized vector: the L1 total and the normalized scores both
-    read the same sums, so materializing one step earlier makes the
-    expensive edges⋈scores shuffle run ONCE per half-round instead of
-    twice (with the checkpoint after normalization, the total's
-    broadcast subtree re-derived the whole join+agg from lineage).
-    The normalization itself stays a lazy projection over the
-    materialized blocks — identical expressions, bit-identical
-    hashes. Output: top-20
+    Checkpoint discipline (two rounds of measurement): the round-7 fix
+    moved the materialization from the normalized vector to the RAW
+    sums so the L1 total's broadcast subtree reads blocks instead of
+    re-deriving the edges⋈scores join; round 8 then FUSED the hub
+    half-round into the next round's lineage — only the
+    authority-side sums (ar) checkpoint now, 5 materializations per
+    run instead of 10. The lazy hub half-round appears twice in the
+    next ar job's plan (once under the ht broadcast, once on the main
+    path) but its groupBy('o') exchange is structurally identical in
+    both, so ReusedExchange executes it once — measured at sf0.1:
+    isolated min 9.43 s → 8.15 s, output bit-identical
+    (scripts/hits_experiment_r8.py; pre-partitioning edges per join
+    side was also tried and does NOT help — AQE already broadcasts
+    the node-sized score vectors, so there is no edge shuffle to
+    save). Output: top-20
     authorities (×1000 for 6-decimal readability), ties on part key."""
     q12 = lambda c: F.floor(c * F.lit(1e12) + F.lit(0.5)).cast("decimal(38,12)")
     d12 = lambda c: (F.sum(q12(c)).cast("double") / F.lit(1e12))
@@ -1134,7 +1140,7 @@ def graph_hits(spark, sf_dir):
         a = ar.crossJoin(F.broadcast(at)).select(
             "p", (F.col("s") / F.col("t")).alias("a")
         )
-        hr = ckpt(edges.join(a, "p").groupBy("o").agg(d12(F.col("a")).alias("s")))
+        hr = edges.join(a, "p").groupBy("o").agg(d12(F.col("a")).alias("s"))  # lazy
         ht = hr.agg(d12(F.col("s")).alias("t"))
         h = hr.crossJoin(F.broadcast(ht)).select(
             "o", (F.col("s") / F.col("t")).alias("h")
