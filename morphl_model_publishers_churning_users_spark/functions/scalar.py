@@ -1572,3 +1572,146 @@ def fn_protobuf_wire(spark, sf_dir):
             & (F.col("cents_out") == F.col("cents_in"))
         ).alias("roundtrip_ok"),
     )
+
+
+def _avro_zigzag(n):
+    """Avro/proto zigzag map: non-negative evens for n >= 0, odds for
+    n < 0, via the standard bit form ``(n<<1) ^ (n>>63)``. Bit ops are
+    deliberate: they wrap instead of tripping ANSI-mode
+    ARITHMETIC_OVERFLOW, so the full [-2^62, 2^62-1] domain encodes
+    (the arithmetic 2n/-2n-1 form overflows its intermediates at the
+    edges); outside that domain the wrap goes negative and
+    _pb_varint's NULL guard catches it. The DuckDB twin uses the
+    arithmetic CASE form instead — DuckDB refuses to left-shift
+    negatives — which is identical on the fixture's small values."""
+    n = n.cast("bigint")
+    return F.shiftleft(n, 1).bitwiseXOR(F.shiftright(n, 63))
+
+
+def _avro_unzigzag(z):
+    """Inverse zigzag on a non-negative bigint: even -> z/2, odd ->
+    -(z+1)/2 computed as ``-shiftright(z,1) - 1`` so z = 2^63-1
+    (n = -2^62) does not overflow the z+1 intermediate."""
+    z = z.cast("bigint")
+    return F.when(z % 2 == 0, F.shiftright(z, 1)).otherwise(
+        -F.shiftright(z, 1) - 1
+    )
+
+
+@register(
+    "fn_avro_wire",
+    oracle="""
+WITH msg AS (
+    SELECT o_orderkey,
+           o_orderpriority,
+           CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) - 200000 AS delta
+    FROM orders
+), zz AS (
+    SELECT o_orderkey, o_orderpriority, delta,
+           o_orderkey * 2 AS zk,
+           CASE WHEN delta >= 0 THEN delta * 2 ELSE delta * -2 - 1 END AS zd
+    FROM msg
+), vlen AS (
+    SELECT o_orderkey, o_orderpriority, delta,
+           CASE WHEN zk < 128 THEN 1
+                WHEN zk < 16384 THEN 2
+                WHEN zk < 2097152 THEN 3
+                WHEN zk < 268435456 THEN 4
+                WHEN zk < 34359738368 THEN 5
+                WHEN zk < 4398046511104 THEN 6
+                WHEN zk < 562949953421312 THEN 7
+                WHEN zk < 72057594037927936 THEN 8 ELSE 9 END AS lk,
+           CASE WHEN zd < 128 THEN 1
+                WHEN zd < 16384 THEN 2
+                WHEN zd < 2097152 THEN 3
+                WHEN zd < 268435456 THEN 4
+                WHEN zd < 34359738368 THEN 5
+                WHEN zd < 4398046511104 THEN 6
+                WHEN zd < 562949953421312 THEN 7
+                WHEN zd < 72057594037927936 THEN 8 ELSE 9 END AS ld
+    FROM zz
+)
+SELECT o_orderkey, o_orderpriority AS priority, delta AS cents_delta,
+       CAST(lk + 1 + LENGTH(o_orderpriority) + ld AS BIGINT) AS msg_len,
+       TRUE AS roundtrip_ok
+FROM vlen
+""",
+)
+def fn_avro_wire(spark, sf_dir):
+    """Avro binary record encode + decode entirely in codegen — the
+    ``to_avro``/``from_avro`` surface without the spark-avro jar
+    (probed absent in this container, like the protobuf connector —
+    this op + fn_protobuf_wire close the interchange corner from the
+    r7 verdict). Each order becomes a real Avro record on the standard
+    binary encoding for schema
+    ``record{key: long, priority: string, delta: long}``:
+
+        key       zigzag base-128 varint (no field tags in Avro —
+                  fields concatenate in schema order)
+        priority  byte length as a zigzag varint, then raw UTF-8
+        delta     zigzag varint; delta = price-in-cents - 200000 is
+                  NEGATIVE for most orders, exercising the zigzag
+                  half that proto3's unsigned fields never touch
+
+    Encode reuses the proto varint core (_pb_varint) on the zigzagged
+    value — the wire layers compose; decode inverts positionally with
+    _pb_vval/_pb_vlen + _avro_unzigzag. Both directions are JVM
+    integer/binary expressions (Spark zigzags with wrap-free bit ops,
+    exact on [-2^62, 2^62-1]; the DuckDB twin uses the equivalent
+    arithmetic CASE form since DuckDB cannot left-shift negatives).
+    The encoded frame is
+    checkpointed for the same planner-health reason as
+    fn_protobuf_wire (payload as a live alias would be inlined into
+    every decode byte read), and the decode itself is staged through a
+    second checkpoint after the positional walk: unlike protobuf's
+    1-byte length prefix, Avro's string length is a full varint, so
+    the third field's start position composes two 9-limb decodes —
+    left lazy, predicate pushdown substitutes that ~5k-node position
+    into each of the final varint's 81 byte reads and the plan OOMs
+    the JVM; with the positions materialized as leaf columns the
+    final decode is linear. ``roundtrip_ok`` asserts decoded ==
+    original for all three fields Spark-side; the oracle recomputes
+    the fields and the wire length from the same zigzag + limb-count
+    arithmetic, so a mis-encoded continuation or sign flips both."""
+    enc = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key_in"),
+        F.col("o_orderpriority").alias("pri_in"),
+        (F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint") - 200000).alias(
+            "delta_in"
+        ),
+    )
+    wire = enc.select(
+        "key_in",
+        "pri_in",
+        "delta_in",
+        F.concat(
+            _pb_varint(_avro_zigzag(F.col("key_in"))),
+            _pb_varint(_avro_zigzag(F.length("pri_in").cast("bigint"))),
+            F.col("pri_in").cast("binary"),
+            _pb_varint(_avro_zigzag(F.col("delta_in"))),
+        ).alias("payload"),
+    ).localCheckpoint(eager=True)
+
+    d = wire.withColumn("key_out", _avro_unzigzag(_pb_vval(F.lit(1))))
+    d = d.withColumn("p2", F.lit(1) + _pb_vlen(F.lit(1)))  # string-length varint
+    d = d.withColumn("slen", _avro_unzigzag(_pb_vval(F.col("p2"))))
+    d = d.withColumn(
+        "pri_out",
+        F.substring(
+            F.col("payload"), F.col("p2") + _pb_vlen(F.col("p2")), F.col("slen")
+        ).cast("string"),
+    )
+    d = d.withColumn("p3", F.col("p2") + _pb_vlen(F.col("p2")) + F.col("slen"))
+    d = d.localCheckpoint(eager=True)  # positions become leaf columns
+    d = d.withColumn("delta_out", _avro_unzigzag(_pb_vval(F.col("p3"))))
+    return d.select(
+        F.col("key_out").alias("o_orderkey"),
+        F.col("pri_out").alias("priority"),
+        F.col("delta_out").alias("cents_delta"),
+        F.length("payload").cast("bigint").alias("msg_len"),
+        (
+            (F.col("key_out") == F.col("key_in"))
+            & (F.col("pri_out") == F.col("pri_in"))
+            & (F.col("delta_out") == F.col("delta_in"))
+        ).alias("roundtrip_ok"),
+    )

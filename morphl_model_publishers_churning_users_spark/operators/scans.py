@@ -1374,3 +1374,107 @@ def sink_merge_into(spark, sf_dir):
             F.coalesce("was_rewritten", F.lit(False)).alias("was_rewritten"),
         )
     )
+
+
+@register(
+    "scan_iceberg_snapshot",
+    oracle="""
+WITH base AS (
+    SELECT o_orderkey, ROUND(o_totalprice, 6) AS price FROM orders
+    WHERE o_orderdate < TIMESTAMP '2000-01-01'
+), appended AS (
+    SELECT o_orderkey, ROUND(o_totalprice, 6) AS price FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+), v2 AS (
+    SELECT * FROM base UNION ALL SELECT * FROM appended
+)
+SELECT 1 AS snapshot, CAST(4 AS BIGINT) AS n_files,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE) AS sum_total
+FROM base
+UNION ALL
+SELECT 2, CAST(6 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE)
+FROM v2
+UNION ALL
+SELECT 3, CAST(3 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE)
+FROM v2
+""",
+)
+def scan_iceberg_snapshot(spark, sf_dir):
+    """Iceberg-style snapshot isolation emulated with manifests AS
+    parquet — the table-format layer sink_merge_into's docstring
+    declares out of scope, rebuilt from first principles on plain
+    files (r7 verdict item 8): a snapshot IS its manifest (the list of
+    data-file paths), not a directory listing. Three snapshots share
+    one data tree:
+
+        v1  base writer: 4 data files (orders before 2000)
+        v2  APPEND: v1's manifest + 2 new files (orders 2000+) — the
+            base files are never rewritten
+        v3  COMPACTION: v1's 4 files rewritten as 1 + v2's appends —
+            same table CONTENT as v2 through different files, the
+            metadata-only swap that makes Iceberg compaction safe
+            under concurrent readers
+
+    Each manifest is itself a parquet of file paths (what Iceberg
+    stores as avro manifests + manifest lists); "time travel" to
+    snapshot s = read exactly the paths in manifest s. The reader
+    proves isolation by counting DISTINCT _metadata.file_path inside
+    the snapshot read: v1 must see 4 files — never the appended or
+    compacted ones sharing the tree — and v3 sees 3 while
+    hash-matching v2's rows exactly. At 100 TB the mechanics are
+    identical: the manifest collect is O(files) (here: bounded
+    driver-side path list; a real catalog hands the list to the scan
+    planner), and readers never list directories, which is what makes
+    snapshot reads O(manifest) instead of O(objects-in-bucket)."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round("o_totalprice", 6).alias("price"),
+        F.col("o_orderdate"),
+    )
+    cutoff = F.lit("2000-01-01").cast("timestamp_ntz")
+    tbl = scratch_dir("iceberg_snapshot")
+    d1, d2, d3 = (os.path.join(tbl, "data", b) for b in ("b1", "b2", "c1"))
+
+    def write_and_list(df, path, n_files):
+        df.select("o_orderkey", "price").repartition(n_files).write.mode(
+            "overwrite"
+        ).parquet(path)
+        return (
+            spark.read.parquet(path)
+            .select(F.col("_metadata.file_path").alias("path"))
+            .distinct()
+        )
+
+    base = o.filter(F.col("o_orderdate") < cutoff)
+    appended = o.filter(F.col("o_orderdate") >= cutoff)
+    f1 = write_and_list(base, d1, 4)
+    f2 = write_and_list(appended, d2, 2)
+    # Compaction rewrites v1's content from v1's own manifest paths —
+    # not from the filter predicate — exactly as a table service would.
+    m1 = os.path.join(tbl, "manifests", "v1")
+    f1.write.mode("overwrite").parquet(m1)
+    v1_paths = [r["path"] for r in spark.read.parquet(m1).collect()]  # O(files)
+    f3 = write_and_list(spark.read.parquet(*v1_paths), d3, 1)
+
+    manifests = {
+        1: f1,
+        2: f1.unionByName(f2),
+        3: f3.unionByName(f2),
+    }
+    out = None
+    for snap, files in manifests.items():
+        mpath = os.path.join(tbl, "manifests", f"v{snap}")
+        if snap != 1:  # v1 already written above
+            files.write.mode("overwrite").parquet(mpath)
+        paths = [r["path"] for r in spark.read.parquet(mpath).collect()]
+        snap_df = spark.read.parquet(*paths)
+        agg = snap_df.agg(
+            F.count_distinct(F.col("_metadata.file_path")).cast("bigint").alias("n_files"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("price").cast("decimal(38,6)")).cast("double").alias("sum_total"),
+        ).select(F.lit(snap).alias("snapshot"), "n_files", "n_rows", "sum_total")
+        out = agg if out is None else out.unionByName(agg)
+    return out

@@ -720,6 +720,10 @@ _KEY_RANK: dict[str, int] = {
     # module rank (4) would displace staged keys from the r7 window.
     "sink_merge_into": 10,
     "fn_protobuf_wire": 10,
+    # Round-8 additions (r7 verdict item 8 stretch): rank 10, same
+    # backlog-freeze placement as the round-7 pair.
+    "fn_avro_wire": 10,
+    "scan_iceberg_snapshot": 10,
 }
 
 

@@ -42,6 +42,7 @@ BACKING: dict[str, tuple[str, str]] = {
         "test_round6_wave4_ops.py",
         "test_quantile_sketch_bounds_hold_at_all_accuracies",
     ),
+    "fn_avro_wire": ("test_round8_ops.py", "test_avro_zigzag_varint_boundaries"),
     "fn_protobuf_wire": ("test_round7_ops.py", "test_protobuf_wire_varint_boundaries"),
     "llm_compression_filter": (
         "test_round7_window_extra_invariants.py",
