@@ -1124,7 +1124,12 @@ def graph_hits(spark, sf_dir):
     (scripts/hits_experiment_r8.py; pre-partitioning edges per join
     side was also tried and does NOT help — AQE already broadcasts
     the node-sized score vectors, so there is no edge shuffle to
-    save). Output: top-20
+    save). Round 1's authority half-round is a DEGREE COUNT, not a
+    join: the initial hub vector is all-ones, so the quantized edge
+    sum is exactly q12(1.0)·deg(p)/1e12 = deg(p), exact as a double
+    below 2^53 — one groupBy over edges replaces the first
+    edges⋈scores join bit-identically (experiment: fused 8.17 s →
+    fused+degree 7.60 s isolated min). Output: top-20
     authorities (×1000 for 6-decimal readability), ties on part key."""
     q12 = lambda c: F.floor(c * F.lit(1e12) + F.lit(0.5)).cast("decimal(38,12)")
     d12 = lambda c: (F.sum(q12(c)).cast("double") / F.lit(1e12))
@@ -1132,10 +1137,15 @@ def graph_hits(spark, sf_dir):
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     )
     edges = ckpt(li.distinct())
-    h = edges.select("o").distinct().withColumn("h", F.lit(1.0))
+    h = None  # round 1 shortcuts the all-ones hub vector to a degree count
     a = None
-    for _ in range(5):
-        ar = ckpt(edges.join(h, "o").groupBy("p").agg(d12(F.col("h")).alias("s")))
+    for rnd in range(5):
+        if rnd == 0:
+            ar = ckpt(
+                edges.groupBy("p").agg(F.count(F.lit(1)).cast("double").alias("s"))
+            )
+        else:
+            ar = ckpt(edges.join(h, "o").groupBy("p").agg(d12(F.col("h")).alias("s")))
         at = ar.agg(d12(F.col("s")).alias("t"))
         a = ar.crossJoin(F.broadcast(at)).select(
             "p", (F.col("s") / F.col("t")).alias("a")

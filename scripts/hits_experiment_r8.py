@@ -109,6 +109,31 @@ def variant_prepart(spark, sf_dir):
     return _finish(a)
 
 
+def variant_fused_deg(spark, sf_dir):
+    """fused + round-1 shortcut: the initial hub vector is all-ones, so
+    the first authority half-round's quantized sum is EXACTLY the part's
+    degree (q12(1.0) = 1e12 per edge; sum/1e12 = count, exact as double
+    below 2^53) — one groupBy on edges, no join."""
+    from morphl_model_publishers_churning_users_spark.operators._shared import ckpt
+
+    edges = _edges(spark, sf_dir)
+    a = None
+    first = True
+    h = None
+    for _ in range(5):
+        if first:
+            ar = ckpt(edges.groupBy("p").agg(F.count(F.lit(1)).cast("double").alias("s")))
+            first = False
+        else:
+            ar = ckpt(edges.join(h, "o").groupBy("p").agg(d12(F.col("h")).alias("s")))
+        at = ar.agg(d12(F.col("s")).alias("t"))
+        a = ar.crossJoin(F.broadcast(at)).select("p", (F.col("s") / F.col("t")).alias("a"))
+        hr = edges.join(a, "p").groupBy("o").agg(d12(F.col("a")).alias("s"))  # lazy
+        ht = hr.agg(d12(F.col("s")).alias("t"))
+        h = hr.crossJoin(F.broadcast(ht)).select("o", (F.col("s") / F.col("t")).alias("h"))
+    return _finish(a)
+
+
 def variant_fused_prepart(spark, sf_dir):
     from morphl_model_publishers_churning_users_spark.operators._shared import ckpt
 
@@ -137,6 +162,7 @@ def main() -> None:
         ("fused", variant_fused),
         ("prepart", variant_prepart),
         ("fused_pp", variant_fused_prepart),
+        ("fused_deg", variant_fused_deg),
     ):
         times = []
         rows = None
