@@ -1334,9 +1334,10 @@ def sink_merge_into(spark, sf_dir):
     aggregated. At 100 TB step 2 is what keeps MERGE affordable: the
     rewrite cost scales with touched data, not table size. Delete
     beats update on key collision (%7 ∩ %13), matching MERGE clause
-    order. The transactional manifest swap itself needs a table
-    format (honestly out of scope — SURVEY §2 gap note); the data
-    movement here is exactly what Delta's COW writer executes."""
+    order. The transactional manifest/snapshot layer itself is
+    modeled separately by ``scan_iceberg_snapshot`` (manifest-as-
+    parquet time travel); the data movement here is exactly what
+    Delta's COW writer executes."""
     cutoff = F.lit("1999-06-01").cast("timestamp_ntz")
     o = t(spark, sf_dir, "orders")
     target = o.select(
