@@ -69,6 +69,74 @@ def test_avro_zigzag_varint_boundaries(spark):
         assert r["back"] == n, (n, r["back"])
 
 
+def test_wire_codecs_against_reference_on_random_domain_sweep(spark):
+    """Bulk randomized cross-check of BOTH wire codecs in one Spark job:
+    10k seeded random longs log-uniform across the full magnitude range
+    (every limb count represented) — protobuf varint on the
+    non-negative half, Avro zigzag varint on [-2^62, 2^62-1] — each
+    encoded byte string and decoded value must match the Python
+    reference exactly. Complements the hand-picked boundary tests with
+    breadth; the seed is fixed so failures reproduce."""
+    import random
+
+    from morphl_model_publishers_churning_users_spark.functions.scalar import (
+        _avro_unzigzag,
+        _avro_zigzag,
+        _pb_varint,
+        _pb_vval,
+    )
+
+    rng = random.Random(2024_08)
+    vals = set()
+    while len(vals) < 10_000:
+        bits = rng.randint(0, 62)
+        v = rng.randint(0, (1 << bits)) if bits else rng.randint(0, 1)
+        if rng.random() < 0.5:
+            v = -v - (1 if rng.random() < 0.5 else 0)
+        if -(1 << 62) <= v <= (1 << 62) - 1:
+            vals.add(v)
+    vals = sorted(vals)
+
+    df = spark.createDataFrame([(v,) for v in vals], "v bigint")
+    out = (
+        df.select(
+            "v",
+            _pb_varint(_avro_zigzag(F.col("v"))).alias("payload"),
+            F.when(
+                F.col("v") >= 0, _pb_varint(F.col("v"))
+            ).alias("pb_payload"),
+        )
+        .select(
+            "v",
+            "payload",
+            "pb_payload",
+            _avro_unzigzag(_pb_vval(F.lit(1))).alias("avro_back"),
+        )
+        .collect()
+    )
+
+    def ref_varint(z):
+        b = bytearray()
+        while True:
+            lo = z & 0x7F
+            z >>= 7
+            if z:
+                b.append(lo | 0x80)
+            else:
+                b.append(lo)
+                return bytes(b)
+
+    bad = []
+    for r in out:
+        v = r["v"]
+        zz = ((v << 1) ^ (v >> 63)) & ((1 << 64) - 1)
+        if bytes(r["payload"]) != ref_varint(zz) or r["avro_back"] != v:
+            bad.append(("avro", v))
+        if v >= 0 and bytes(r["pb_payload"]) != ref_varint(v):
+            bad.append(("pb", v))
+    assert bad == [], bad[:10]
+
+
 def test_iceberg_snapshot_isolation_and_compaction_equivalence(spark, sf_dir):
     """Three invariants computed from the on-disk manifests, not the
     operator's own aggregates: (1) v1's manifest lists only base files
