@@ -87,7 +87,10 @@ def register(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Quer
 # CANARY ROTATION (one per family, 2/round, family re-touched ≤ every
 # 6 rounds): r6 agg_group + fn_string; r7 win_running + ts_session;
 # r8 scan_parquet + subquery_scalar; r9 llm_dedup_exact + udf_pandas;
-# r10 join_inner_hash + set_union; r11 ml_label + mm_features.
+# r10 join_inner_hash + set_union; r11 ml_label + mm_features;
+# r12 ts_watermark + graph_pagerank (streaming + graph families'
+# first re-touch); r13 dq_profile + source_csv; r14 agg_group +
+# fn_date (6-round cycle restarts).
 #
 # Keys the driver has hash-verified (CORRECTNESS_r01..r05: 44 + 47 + 46 +
 # 43 + 48 new greens), each tagged with the round of its MOST RECENT green
