@@ -190,6 +190,16 @@ def register(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Quer
 # with tag 8, rotate _CANARY to llm_dedup_exact + udf_pandas per the
 # rotation table; the r9 window then continues down the rank-9
 # late-r6/continuation wave in dict-insertion order.
+# ROUND-9 STRETCH CANDIDATES (design staged, NOT registered — freeze
+# still on until never-driver-checked < 100): (a) scan_delta_log —
+# Delta-shape _delta_log JSON commit replay (add/remove actions folded
+# in commit order to a live file list; version N read = replay 0..N),
+# the commit-log complement to scan_iceberg_snapshot's manifest
+# model; (b) fn_avro_container — Avro OCF framing (magic, schema-json
+# header, sync-marker-delimited blocks) over fn_avro_wire's record
+# codec, closing the container half of the interchange story. Both
+# follow the r7/r8 mold: exact oracles, pure-codegen or O(files)
+# bounded driver lists, rank 10.
 # The ENTIRE registry was driver-simulated at sf0.01 in round 7
 # (bare sessions, America/New_York, offsets 0 through 556 of
 # get_queries() order): 556/556 hash-green — every key rounds 8-12
