@@ -186,10 +186,20 @@ def register(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Quer
 # win_rolling_corr, mm_header_parse, source_tsv/json_multiline,
 # sink_csv_quoted, udf_pandas_struct, the ts_* engagement tail,
 # ml_ece, and the ml/ts wave-tails behind them).
-# ROUND-9 PRE-STAGED MAINTENANCE: fold the CORRECTNESS_r08 greens in
-# with tag 8, rotate _CANARY to llm_dedup_exact + udf_pandas per the
-# rotation table; the r9 window then continues down the rank-9
-# late-r6/continuation wave in dict-insertion order.
+# ROUND-9 MAINTENANCE APPLIED: CORRECTNESS_r08.json came back 50/50
+# hash-green — the staged window exactly (canaries scan_parquet +
+# subquery_scalar re-tagged 8, plus 48 first-touch greens: the llm_
+# rank-9 eval wave x23 and the ml_ stats/causal wave x25). All folded
+# below with tag 8; _CANARY rotates to llm_dedup_exact + udf_pandas
+# per the rotation table; graph_hits enters _REVERIFY (changed post-
+# green in r8 — ADVICE item 1), taking the window's front slot. The
+# r9 window = graph_hits + 2 canaries + the next ~47 rank-9 keys in
+# dict-insertion order (the ts_ forecasting/stats wave head, dq_
+# remainder, fn_ wire/codec tail).
+# ROUND-10 PRE-STAGED MAINTENANCE: fold the CORRECTNESS_r09 greens in
+# with tag 9, clear _REVERIFY (graph_hits re-hashed), rotate _CANARY
+# to join_inner_hash + set_union per the rotation table; the r10
+# window then continues down the rank-9 wave in dict-insertion order.
 # ROUND-9 STRETCH CANDIDATES (design staged, NOT registered — freeze
 # still on until never-driver-checked < 100): (a) scan_delta_log —
 # Delta-shape _delta_log JSON commit replay (add/remove actions folded
@@ -226,14 +236,14 @@ _VERIFIED_ROUND: dict[str, int] = {
         # --- round 2 greens ---
     "agg_topn_array": 2, "agg_approx_distinct": 4, "agg_sketch_hll": 2,
     "agg_hll_union": 2, "agg_percentile_approx": 2,
-    "scan_parquet": 2, "scan_projected": 2, "sink_parquet_part": 2, "sink_upsert": 2,
+    "scan_parquet": 8, "scan_projected": 2, "sink_parquet_part": 2, "sink_upsert": 2,
     "scan_partition_pruned": 2, "scan_schema_evolution": 2, "scan_csv_malformed": 2,
     "scan_binary_files": 2, "scan_recursive_glob": 2, "join_dpp": 4,
     "scan_file_provenance": 2, "source_csv": 2, "sink_csv_gzip": 2,
     "source_ga_json": 2, "source_json": 2, "sink_orc": 2, "source_python_ds": 2,
     "source_python_ds_stream": 2, "project_derive": 2, "filter_pred": 2,
     "cast_types": 2, "cond_expr": 2, "null_handling": 2, "dedup_exact": 2,
-    "subquery_scalar": 7, "subquery_correlated": 2, "subquery_lateral": 2,
+    "subquery_scalar": 8, "subquery_correlated": 2, "subquery_lateral": 2,
     "fn_try": 2, "cte_recursive": 2, "fn_format": 2, "source_range": 2,
     "subquery_exists_in": 2, "fn_greatest_least": 2, "dq_orphan_audit": 2,
     "dq_profile": 2, "win_rownum": 3, "win_lag": 4, "win_frame_rows": 2,
@@ -322,14 +332,34 @@ _VERIFIED_ROUND: dict[str, int] = {
     "llm_template_prefix": 7, "llm_odds_ratio_terms": 7, "llm_kn_bigram_lm": 7,
     "llm_vocab_coverage": 7, "llm_lang_confusion": 7, "llm_burstiness": 7,
     "llm_compression_filter": 7, "llm_url_dedup": 7,
+        # --- round 8 greens (CORRECTNESS_r08: 50/50 hash-green; canaries
+        # scan_parquet/subquery_scalar re-tagged 8 above) ---
+    "llm_boilerplate_ngrams": 8, "llm_dedup_containment": 8, "llm_kwic_spans": 8,
+    "llm_lsh_tuning_curve": 8, "llm_corpus_card": 8, "llm_hard_negatives": 8,
+    "llm_span_corruption": 8, "llm_preference_pairs": 8, "llm_bpe_first_merges": 8,
+    "llm_curriculum_order": 8, "llm_watermark_ztest": 8,
+    "llm_dedup_transitivity_audit": 8, "llm_lsh_bucket_skew": 8,
+    "llm_embed_norm_audit": 8, "llm_dedup_impact": 8, "llm_retrieval_eval": 8,
+    "llm_agreement_kappa": 8, "llm_code_detect": 8, "llm_split_leakage": 8,
+    "llm_readability": 8, "llm_mattr": 8, "llm_greedy_coverage": 8,
+    "llm_hill_tail_index": 8, "ml_mutual_info": 8, "ml_chi2": 8, "ml_brier_score": 8,
+    "ml_roc_points": 8, "ml_fairness_metrics": 8, "ml_pr_auc_decile": 8, "ml_ece": 8,
+    "ml_isotonic_pav": 8, "ml_bootstrap_metric_ci": 8, "ml_drift_jsd": 8,
+    "ml_pinball_loss": 8, "ml_auc_delong_se": 8, "ml_propensity_match": 8,
+    "ml_diff_in_diff": 8, "ml_km_greenwood": 8, "ml_cuped": 8, "ml_cost_threshold": 8,
+    "ml_logreg_gd": 8, "ml_power_mde": 8, "ml_ips_offpolicy": 8,
+    "ml_conformal_interval": 8, "ml_qini_curve": 8, "ml_hosmer_lemeshow": 8,
+    "ml_km_rmst": 8, "ml_gbm_stumps": 8,
 }
 
 DRIVER_VERIFIED: frozenset[str] = frozenset(_VERIFIED_ROUND)
 
 # Keys repaired this round that must re-hash before being trusted again.
-# Empty for round 8: subquery_scalar's 1.8x-threshold repair re-hashed
-# green in CORRECTNESS_r07 (and rotates in as a canary this round).
-_REVERIFY: tuple[str, ...] = ()
+# Round 9: graph_hits was materially changed in round 8 (hub half-round
+# fusion + round-1 degree shortcut) AFTER its round-7 driver green — by
+# the subquery_scalar precedent its tag refers to pre-change code, so it
+# re-hashes at the front of the r9 window (ADVICE r8 item 1).
+_REVERIFY: tuple[str, ...] = ("graph_hits",)
 
 # Regression canaries: a small rotating sample of already-verified keys kept
 # inside the driver's checked prefix so regressions in verified operators are
@@ -337,8 +367,8 @@ _REVERIFY: tuple[str, ...] = ()
 # (56 never-checked keys compete for ~50 slots; every canary slot displaces a
 # first-touch verification — r4 verdict item 1).
 _CANARY: tuple[str, ...] = (
-    "scan_parquet",     # scan/sink family (r2 green — 6 rounds untouched)
-    "subquery_scalar",  # core-misc family (r7 green via _REVERIFY; repaired op second look)
+    "llm_dedup_exact",  # llm family (r4 green — 5 rounds untouched)
+    "udf_pandas",       # udf family (r4 green — 5 rounds untouched)
 )
 
 # Round-5 window priority: the 13 round-4 llm/mm additions first (the
