@@ -1578,24 +1578,80 @@ def _avro_zigzag(n):
     """Avro/proto zigzag map: non-negative evens for n >= 0, odds for
     n < 0, via the standard bit form ``(n<<1) ^ (n>>63)``. Bit ops are
     deliberate: they wrap instead of tripping ANSI-mode
-    ARITHMETIC_OVERFLOW, so the full [-2^62, 2^62-1] domain encodes
-    (the arithmetic 2n/-2n-1 form overflows its intermediates at the
-    edges); outside that domain the wrap goes negative and
-    _pb_varint's NULL guard catches it. The DuckDB twin uses the
-    arithmetic CASE form instead — DuckDB refuses to left-shift
-    negatives — which is identical on the fixture's small values."""
+    ARITHMETIC_OVERFLOW, so the FULL int64 domain encodes — for
+    |n| >= 2^62 the zigzag result's uint64 bit pattern lands in a
+    negative signed bigint, which _pb_varint_u64 emits as the spec's
+    10-limb varint (r8 ADVICE fix: previously those values NULLed).
+    The DuckDB twin uses the arithmetic CASE form instead — DuckDB
+    refuses to left-shift negatives — which is identical on the
+    fixture's small values."""
     n = n.cast("bigint")
     return F.shiftleft(n, 1).bitwiseXOR(F.shiftright(n, 63))
 
 
+def _pb_varint_u64(v):
+    """Base-128 varint encode of a bigint whose 64-BIT PATTERN is the
+    value (uint64-in-signed-carrier, the type zigzag produces for
+    |n| >= 2^62): non-negative carriers take _pb_varint's 1..9-limb
+    ladder; a negative carrier (bit 63 set) is exactly the spec's
+    10-limb form — limbs 0..8 via shiftrightunsigned (logical, so the
+    sign bit does not smear) + continuation, limb 9 = bit 63 = 1."""
+    v = v.cast("bigint")
+    limb10 = [
+        _pb_byte(
+            F.shiftrightunsigned(v, 7 * i).bitwiseAND(F.lit(127)) + F.lit(128)
+        )
+        for i in range(9)
+    ] + [_pb_byte(F.shiftrightunsigned(v, 63))]
+    return F.when(v < 0, F.concat(*limb10)).otherwise(_pb_varint(v))
+
+
 def _avro_unzigzag(z):
-    """Inverse zigzag on a non-negative bigint: even -> z/2, odd ->
-    -(z+1)/2 computed as ``-shiftright(z,1) - 1`` so z = 2^63-1
-    (n = -2^62) does not overflow the z+1 intermediate."""
+    """Inverse zigzag over the full uint64-in-signed-carrier domain via
+    the canonical branch-free form ``(z >>> 1) ^ -(z & 1)`` — the
+    logical shift keeps bit 63 data (carrier may be negative), and the
+    XOR with 0/-1 restores the sign. z = -1 (uint64 2^64-1) maps to
+    -2^63; z = 2^63-1 maps to -2^62 — exact at every edge."""
     z = z.cast("bigint")
-    return F.when(z % 2 == 0, F.shiftright(z, 1)).otherwise(
-        -F.shiftright(z, 1) - 1
-    )
+    return F.shiftrightunsigned(z, 1).bitwiseXOR(-z.bitwiseAND(F.lit(1)))
+
+
+def _pb_vval10(p):
+    """Decode the varint starting at payload position p, 1–10 limbs
+    (the full uint64 wire domain; _pb_vval stops at 9). For the
+    10-limb branch the low 63 bits accumulate as Σ (limb_i − 128)·2^7i
+    (every limb 0..8 carries a continuation bit there, max 2^63−1) and
+    limb 9 contributes bit 63 as a two's-complement wrap: + (−2^63),
+    landing the uint64 pattern in the signed carrier exactly."""
+    bs = [_pb_u8(p + i) for i in range(10)]
+
+    def val(n):
+        e = None
+        for i in range(n):
+            term = (bs[i] - F.lit(128 if i < n - 1 else 0)) * F.lit(128**i)
+            e = term if e is None else e + term
+        return e
+
+    low63 = None
+    for i in range(9):
+        term = (bs[i] - F.lit(128)) * F.lit(128**i)
+        low63 = term if low63 is None else low63 + term
+    val10 = low63 + F.lit(-(1 << 63))
+
+    c = F.when(bs[0] < 128, val(1))
+    for n in range(2, 10):
+        c = c.when(bs[n - 1] < 128, val(n))
+    return c.otherwise(val10)
+
+
+def _pb_vlen10(p):
+    """Byte length of the varint starting at payload position p
+    (1–10 limbs; _pb_vlen's 9-limb cap misreads a 10-limb wire)."""
+    bs = [_pb_u8(p + i) for i in range(9)]
+    c = F.when(bs[0] < 128, F.lit(1))
+    for n in range(2, 10):
+        c = c.when(bs[n - 1] < 128, F.lit(n))
+    return c.otherwise(F.lit(10))
 
 
 @register(
@@ -1653,11 +1709,12 @@ def fn_avro_wire(spark, sf_dir):
                   NEGATIVE for most orders, exercising the zigzag
                   half that proto3's unsigned fields never touch
 
-    Encode reuses the proto varint core (_pb_varint) on the zigzagged
-    value — the wire layers compose; decode inverts positionally with
-    _pb_vval/_pb_vlen + _avro_unzigzag. Both directions are JVM
-    integer/binary expressions (Spark zigzags with wrap-free bit ops,
-    exact on [-2^62, 2^62-1]; the DuckDB twin uses the equivalent
+    Encode reuses the proto varint core on the zigzagged value via
+    _pb_varint_u64 — the wire layers compose; decode inverts
+    positionally with _pb_vval10/_pb_vlen10 + _avro_unzigzag. Both
+    directions are JVM integer/binary expressions covering the FULL
+    int64 domain including the 10-limb varints for |n| >= 2^62
+    (r8 ADVICE fix; the DuckDB twin uses the equivalent
     arithmetic CASE form since DuckDB cannot left-shift negatives).
     The encoded frame is
     checkpointed for the same planner-health reason as
@@ -1685,25 +1742,25 @@ def fn_avro_wire(spark, sf_dir):
         "pri_in",
         "delta_in",
         F.concat(
-            _pb_varint(_avro_zigzag(F.col("key_in"))),
-            _pb_varint(_avro_zigzag(F.length("pri_in").cast("bigint"))),
+            _pb_varint_u64(_avro_zigzag(F.col("key_in"))),
+            _pb_varint_u64(_avro_zigzag(F.length("pri_in").cast("bigint"))),
             F.col("pri_in").cast("binary"),
-            _pb_varint(_avro_zigzag(F.col("delta_in"))),
+            _pb_varint_u64(_avro_zigzag(F.col("delta_in"))),
         ).alias("payload"),
     ).localCheckpoint(eager=True)
 
-    d = wire.withColumn("key_out", _avro_unzigzag(_pb_vval(F.lit(1))))
-    d = d.withColumn("p2", F.lit(1) + _pb_vlen(F.lit(1)))  # string-length varint
-    d = d.withColumn("slen", _avro_unzigzag(_pb_vval(F.col("p2"))))
+    d = wire.withColumn("key_out", _avro_unzigzag(_pb_vval10(F.lit(1))))
+    d = d.withColumn("p2", F.lit(1) + _pb_vlen10(F.lit(1)))  # string-length varint
+    d = d.withColumn("slen", _avro_unzigzag(_pb_vval10(F.col("p2"))))
     d = d.withColumn(
         "pri_out",
         F.substring(
-            F.col("payload"), F.col("p2") + _pb_vlen(F.col("p2")), F.col("slen")
+            F.col("payload"), F.col("p2") + _pb_vlen10(F.col("p2")), F.col("slen")
         ).cast("string"),
     )
-    d = d.withColumn("p3", F.col("p2") + _pb_vlen(F.col("p2")) + F.col("slen"))
+    d = d.withColumn("p3", F.col("p2") + _pb_vlen10(F.col("p2")) + F.col("slen"))
     d = d.localCheckpoint(eager=True)  # positions become leaf columns
-    d = d.withColumn("delta_out", _avro_unzigzag(_pb_vval(F.col("p3"))))
+    d = d.withColumn("delta_out", _avro_unzigzag(_pb_vval10(F.col("p3"))))
     return d.select(
         F.col("key_out").alias("o_orderkey"),
         F.col("pri_out").alias("priority"),

@@ -774,9 +774,16 @@ def bloom_plan_probe(spark, sf_dir) -> str:
         j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).groupBy(
             "o_orderpriority"
         ).count()
-        return j._jdf.queryExecution().explainString(
-            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-        )
+        # Public-API explain capture (df.explain prints to stdout) — keeps
+        # the package's only _jdf site in dq_observe_metrics, where no
+        # public readout exists on classic PySpark.
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        return buf.getvalue()
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)

@@ -959,8 +959,17 @@ def dq_observe_metrics(spark, sf_dir):
     this Spark build a completed Observation leaves the session's
     ObservationManager reachable from later RDD closures, and any
     subsequent MLlib evaluate in the same session dies with "Task not
-    serializable: ObservationManager" (reproduced; the string-named
-    form leaves no session state behind)."""
+    serializable: ObservationManager". Re-reproduced on pyspark 4.1.2
+    (round 9): the failure persists after `del obs` + Python gc + JVM
+    System.gc() + a 3 s listener-drain sleep, so it cannot be scoped
+    away — in the driver's single shared session it would kill every
+    later ml_* key. The other public candidate, `df.executionInfo`
+    (4.0+), raises CLASSIC_OPERATION_NOT_SUPPORTED_ON_DF on classic
+    sessions (Connect-only). The `_jdf.queryExecution()
+    .observedMetrics()` readout below is therefore the ONLY working
+    readout for string-named observed metrics on classic PySpark 4.1;
+    it is the package's single private-API site, pinned to exactly one
+    occurrence by tests/test_plans.py::test_jdf_pinned_to_one_site."""
     fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
     ev = t(spark, sf_dir, "events").observe(
         "dq_metrics",

@@ -11,6 +11,7 @@ date-partitioned and the sink below shows the partitioned-write shape
 from __future__ import annotations
 
 import os
+import re
 import shutil
 
 import pyspark.sql.functions as F
@@ -1262,6 +1263,19 @@ def _cow_merge(spark, tbl, src_upd, src_del, src_ins):
     surviving = {r["ym"] for r in rewrite.select("ym").distinct().collect()}
     emptied = [r["ym"] for r in touched.collect() if r["ym"] not in surviving]
 
+    # The cleanup path is built from DATA-derived partition values, so
+    # validate the YYYY-MM shape before it ever reaches the filesystem
+    # (a hostile ym like '../x' must fail the merge, not escape the
+    # table dir), and fail LOUDLY on a cleanup error — ignore_errors
+    # would leave silently resurrected rows (ADVICE r8). A crash
+    # between the overwrite commit and this cleanup still leaves the
+    # emptied dirs behind (the no-manifest COW emulation's inherent
+    # non-atomicity — a real table format drops them in the snapshot
+    # swap); the validation + raise make that window detectable.
+    bad = [ym for ym in emptied if not re.fullmatch(r"\d{4}-\d{2}", str(ym))]
+    if bad:
+        raise ValueError(f"refusing COW cleanup of non-YYYY-MM partitions: {bad}")
+
     old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     try:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -1269,7 +1283,9 @@ def _cow_merge(spark, tbl, src_upd, src_del, src_ins):
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
     for ym in emptied:
-        shutil.rmtree(os.path.join(tbl, f"ym={ym}"), ignore_errors=True)
+        path = os.path.join(tbl, f"ym={ym}")
+        if os.path.isdir(path):  # absent = already dropped by the writer
+            shutil.rmtree(path)  # raises on partial cleanup — never silent
 
     return spark.read.parquet(tbl), touched
 

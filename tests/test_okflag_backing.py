@@ -1,6 +1,7 @@
 """Meta-test: every ok-flag oracle key must name its backing invariant.
 
-~34 registry keys (approximate/sketch/model/engine-specific ops) use the
+35 registry keys carrying 46 flag columns (approximate/sketch/model/
+engine-specific ops — counts derived from ``_okflag_keys()``) use the
 documented exact-anchor + ok-flag oracle contract: the exactly
 recomputable columns are value-hashed against DuckDB, while the
 approximate part rides a Spark-side boolean invariant compared against a

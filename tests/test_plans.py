@@ -903,3 +903,26 @@ def test_aqe_sizes_vocab_joins_at_runtime(spark, sf_dir):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan, key
         assert "SortMergeJoin" not in plan, key
+
+
+def test_jdf_pinned_to_one_site():
+    """The package's private-API surface is EXACTLY one `_jdf` access:
+    dq_observe_metrics' observed-metrics readout (rowops.py), kept only
+    because classic PySpark 4.1 has no public readout for string-named
+    observed metrics (Observation pollutes the shared session — later
+    MLlib jobs die with Task-not-serializable, re-reproduced r9 — and
+    df.executionInfo is Connect-only). Any NEW `obj._jdf` access in the
+    package fails here: use the public API or justify a pin update."""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / (
+        "morphl_model_publishers_churning_users_spark"
+    )
+    sites = []
+    for py in sorted(pkg.rglob("*.py")):
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            if re.search(r"\w\._jdf\b", line):
+                sites.append(f"{py.name}:{i}")
+    names = [s.split(":")[0] for s in sites]
+    assert names == ["rowops.py"], sites

@@ -92,6 +92,35 @@ def test_merge_into_emptied_partition_does_not_resurrect(spark):
     assert {r["ym"] for r in touched.collect()} == {"2020-01", "2020-02"}
 
 
+def test_merge_into_rejects_non_ym_partition_cleanup(spark):
+    """ADVICE r8: _cow_merge's stale-partition cleanup path is built
+    from DATA-derived ym values — a value outside the YYYY-MM shape
+    (here a traversal-shaped one) must abort the merge with ValueError
+    BEFORE any rmtree, never compose a filesystem path from it."""
+    import shutil
+
+    import pytest
+
+    from morphl_model_publishers_churning_users_spark.operators.scans import _cow_merge
+    from morphl_model_publishers_churning_users_spark.operators._shared import scratch_dir
+
+    tbl = scratch_dir("merge_into_hostile_ym_test")
+    shutil.rmtree(tbl, ignore_errors=True)
+    target = spark.createDataFrame(
+        [(1, "..__x", 10.0), (3, "2020-02", 30.0)],
+        "o_orderkey bigint, ym string, price double",
+    )
+    target.write.mode("overwrite").partitionBy("ym").parquet(tbl)
+    src_upd = spark.createDataFrame([], "o_orderkey bigint, new_price double")
+    src_del = spark.createDataFrame([(1,)], "o_orderkey bigint")  # empties ..__x
+    src_ins = spark.createDataFrame([], "o_orderkey bigint, ym string, price double")
+
+    with pytest.raises(ValueError, match="non-YYYY-MM"):
+        _cow_merge(spark, tbl, src_upd, src_del, src_ins)
+    # the hostile partition dir is untouched — nothing was rmtree'd
+    assert spark.read.parquet(tbl).filter(F.col("ym") == "..__x").count() == 1
+
+
 def test_protobuf_wire_roundtrip_every_row(spark, sf_dir):
     out = _Q["fn_protobuf_wire"](spark, sf_dir)
     n = out.count()

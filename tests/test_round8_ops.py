@@ -26,27 +26,30 @@ def test_avro_wire_roundtrip_every_row(spark, sf_dir):
 def test_avro_zigzag_varint_boundaries(spark):
     """"fn_avro_wire" roundtrip_ok backing invariant: zigzag + varint
     encode/decode against a reference Python Avro long codec at the
-    sign boundaries and every limb boundary, both signs, |n| < 2^62."""
+    sign boundaries and every limb boundary, both signs, over the FULL
+    int64 domain — including the 10-limb varints for |n| >= 2^62
+    (r8 ADVICE: the previous ±2^62 restriction is lifted)."""
     from morphl_model_publishers_churning_users_spark.functions.scalar import (
         _avro_unzigzag,
         _avro_zigzag,
-        _pb_varint,
-        _pb_vval,
+        _pb_varint_u64,
+        _pb_vval10,
     )
 
     vals = [0, -1, 1, -2, 2, 63, -64, 64, -65, 8191, -8192, 8192]
-    for k in range(2, 9):  # zigzag limb boundaries: |zz| around 2^(7k)
+    for k in range(2, 10):  # zigzag limb boundaries: |zz| around 2^(7k)
         b = 1 << (7 * k - 1)
         vals += [b - 1, -b, b, -b - 1]
     vals += [(1 << 61), -(1 << 61), (1 << 62) - 1, -(1 << 62)]
+    vals += [(1 << 62), -(1 << 62) - 1, (1 << 63) - 1, -(1 << 63)]
     vals = sorted(set(vals))
     df = spark.createDataFrame([(v,) for v in vals], "v bigint")
     out = df.select(
-        "v", _pb_varint(_avro_zigzag(F.col("v"))).alias("payload")
+        "v", _pb_varint_u64(_avro_zigzag(F.col("v"))).alias("payload")
     ).select(
         "v",
         "payload",
-        _avro_unzigzag(_pb_vval(F.lit(1))).alias("back"),
+        _avro_unzigzag(_pb_vval10(F.lit(1))).alias("back"),
     )
     got = {r["v"]: r for r in out.collect()}
 
@@ -73,7 +76,8 @@ def test_wire_codecs_against_reference_on_random_domain_sweep(spark):
     """Bulk randomized cross-check of BOTH wire codecs in one Spark job:
     10k seeded random longs log-uniform across the full magnitude range
     (every limb count represented) — protobuf varint on the
-    non-negative half, Avro zigzag varint on [-2^62, 2^62-1] — each
+    non-negative half, Avro zigzag varint over the FULL int64 domain
+    (10-limb wires included) — each
     encoded byte string and decoded value must match the Python
     reference exactly. Complements the hand-picked boundary tests with
     breadth; the seed is fixed so failures reproduce."""
@@ -83,17 +87,18 @@ def test_wire_codecs_against_reference_on_random_domain_sweep(spark):
         _avro_unzigzag,
         _avro_zigzag,
         _pb_varint,
-        _pb_vval,
+        _pb_varint_u64,
+        _pb_vval10,
     )
 
     rng = random.Random(2024_08)
     vals = set()
     while len(vals) < 10_000:
-        bits = rng.randint(0, 62)
+        bits = rng.randint(0, 63)
         v = rng.randint(0, (1 << bits)) if bits else rng.randint(0, 1)
         if rng.random() < 0.5:
             v = -v - (1 if rng.random() < 0.5 else 0)
-        if -(1 << 62) <= v <= (1 << 62) - 1:
+        if -(1 << 63) <= v <= (1 << 63) - 1:
             vals.add(v)
     vals = sorted(vals)
 
@@ -101,7 +106,7 @@ def test_wire_codecs_against_reference_on_random_domain_sweep(spark):
     out = (
         df.select(
             "v",
-            _pb_varint(_avro_zigzag(F.col("v"))).alias("payload"),
+            _pb_varint_u64(_avro_zigzag(F.col("v"))).alias("payload"),
             F.when(
                 F.col("v") >= 0, _pb_varint(F.col("v"))
             ).alias("pb_payload"),
@@ -110,7 +115,7 @@ def test_wire_codecs_against_reference_on_random_domain_sweep(spark):
             "v",
             "payload",
             "pb_payload",
-            _avro_unzigzag(_pb_vval(F.lit(1))).alias("avro_back"),
+            _avro_unzigzag(_pb_vval10(F.lit(1))).alias("avro_back"),
         )
         .collect()
     )
