@@ -1772,3 +1772,233 @@ def fn_avro_wire(spark, sf_dir):
             & (F.col("delta_out") == F.col("delta_in"))
         ).alias("roundtrip_ok"),
     )
+
+
+# ---------------------------------------------------------------- Avro OCF
+
+_OCF_MAGIC = b"Obj\x01"
+_OCF_SCHEMA = (
+    '{"type":"record","name":"order","fields":['
+    '{"name":"key","type":"long"},'
+    '{"name":"priority","type":"string"},'
+    '{"name":"delta","type":"long"}]}'
+)
+
+
+def _py_zz_varint(n: int) -> bytes:
+    """Driver-side zigzag varint for the CONSTANT header bytes only
+    (Catalyst would constant-fold the same expressions; per-row fields
+    are encoded JVM-side by _pb_varint_u64/_avro_zigzag)."""
+    z = ((n << 1) ^ (n >> 63)) & ((1 << 64) - 1)
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _ocf_meta_bytes() -> bytes:
+    """The container's metadata map on the spec encoding: entry count
+    as a zigzag varint, (key, value) strings each length-prefixed, a
+    zero terminator. Constant for a fixed schema + null codec."""
+    ent = b""
+    for k, v in (("avro.codec", "null"), ("avro.schema", _OCF_SCHEMA)):
+        kb, vb = k.encode(), v.encode()
+        ent += _py_zz_varint(len(kb)) + kb + _py_zz_varint(len(vb)) + vb
+    return _py_zz_varint(2) + ent + b"\x00"
+
+
+_OCF_META = _ocf_meta_bytes()
+_OCF_HEADER_LEN = len(_OCF_MAGIC) + len(_OCF_META) + 16  # + sync marker
+_OCF_SYNC_POS = len(_OCF_MAGIC) + len(_OCF_META) + 1  # 1-based substring
+_OCF_BLOCK_POS = _OCF_SYNC_POS + 16
+
+
+def _avro_container_frames(spark, sf_dir):
+    """One complete Avro Object Container File per order month:
+    header (magic + metadata map + sync) and ONE sync-delimited data
+    block holding the month's records on fn_avro_wire's record codec,
+    key-sorted for determinism. Returns (ym, n_in, first_key_in,
+    first_pri_in, first_delta_in, file) with `file` the container
+    bytes. Per-month record batches are bounded (a month of orders),
+    so the collect_list + HOF fold stays executor-local; a production
+    writer emits one container PER TASK with many blocks — the framing
+    below is identical per block, the grouping key is the only
+    difference. The built frame is checkpointed by CALLERS before any
+    positional decode (fn_protobuf_wire lesson)."""
+    msg = t(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderpriority").alias("pri"),
+        (F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint") - 200000).alias(
+            "delta"
+        ),
+    )
+    rec = msg.select(
+        "ym",
+        "key",
+        "pri",
+        "delta",
+        F.concat(
+            _pb_varint_u64(_avro_zigzag(F.col("key"))),
+            _pb_varint_u64(_avro_zigzag(F.length("pri").cast("bigint"))),
+            F.col("pri").cast("binary"),
+            _pb_varint_u64(_avro_zigzag(F.col("delta"))),
+        ).alias("rec"),
+    )
+    per = rec.groupBy("ym").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_in"),
+        F.min("key").alias("first_key_in"),
+        F.min_by("pri", "key").alias("first_pri_in"),
+        F.min_by("delta", "key").alias("first_delta_in"),
+        F.array_sort(F.collect_list(F.struct("key", "rec"))).alias("arr"),
+    )
+    records = F.aggregate(
+        F.transform("arr", lambda x: x["rec"]),
+        F.lit(b"").cast("binary"),
+        lambda acc, r: F.concat(acc, r),
+    )
+    sync = F.unhex(F.md5("ym"))  # deterministic 16-byte marker per file
+    per = per.withColumn("records", records).withColumn("sync", sync)
+    file = F.concat(
+        F.lit(_OCF_MAGIC + _OCF_META),
+        F.col("sync"),
+        _pb_varint_u64(_avro_zigzag(F.col("n_in"))),
+        _pb_varint_u64(_avro_zigzag(F.length("records").cast("bigint"))),
+        F.col("records"),
+        F.col("sync"),
+    )
+    return per.select(
+        "ym", "n_in", "first_key_in", "first_pri_in", "first_delta_in",
+        file.alias("file"),
+    )
+
+
+def _ocf_vlen_sql(expr: str) -> str:
+    """DuckDB varint byte-length ladder over a non-negative zigzag
+    value (same shape as fn_avro_wire's oracle)."""
+    return (
+        f"CASE WHEN {expr} < 128 THEN 1 WHEN {expr} < 16384 THEN 2 "
+        f"WHEN {expr} < 2097152 THEN 3 WHEN {expr} < 268435456 THEN 4 "
+        f"WHEN {expr} < 34359738368 THEN 5 WHEN {expr} < 4398046511104 THEN 6 "
+        f"WHEN {expr} < 562949953421312 THEN 7 "
+        f"WHEN {expr} < 72057594037927936 THEN 8 ELSE 9 END"
+    )
+
+
+@register(
+    "fn_avro_container",
+    oracle=f"""
+WITH msg AS (
+    SELECT strftime(o_orderdate, '%Y-%m') AS ym, o_orderkey,
+           o_orderpriority,
+           CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) - 200000 AS delta
+    FROM orders
+), zz AS (
+    SELECT ym, o_orderkey,
+           o_orderkey * 2 AS zk,
+           LENGTH(o_orderpriority) AS plen,
+           CASE WHEN delta >= 0 THEN delta * 2 ELSE delta * -2 - 1 END AS zd
+    FROM msg
+), rec AS (
+    SELECT ym, o_orderkey,
+           {_ocf_vlen_sql('zk')} + 1 + plen + {_ocf_vlen_sql('zd')} AS rlen
+    FROM zz
+), blk AS (
+    SELECT ym, CAST(COUNT(*) AS BIGINT) AS n_records,
+           MIN(o_orderkey) AS first_key,
+           SUM(rlen) AS rsize
+    FROM rec GROUP BY ym
+)
+SELECT ym, n_records, first_key,
+       CAST({_OCF_HEADER_LEN}
+            + {_ocf_vlen_sql('n_records * 2')}
+            + {_ocf_vlen_sql('rsize * 2')}
+            + rsize + 16 AS BIGINT) AS file_len,
+       TRUE AS magic_ok, TRUE AS meta_ok, TRUE AS sync_ok,
+       TRUE AS framing_ok, TRUE AS first_record_ok
+FROM blk
+""",
+)
+def fn_avro_container(spark, sf_dir):
+    """Avro Object Container File framing over fn_avro_wire's record
+    codec — the container half of the interchange story (r8 staged
+    stretch; the spark-avro jar is absent in this container, so the
+    OCF spec is rebuilt from first principles: magic `Obj\\x01`,
+    metadata map carrying the record schema JSON + null codec, a
+    16-byte sync marker, then sync-delimited blocks of
+    count/size-prefixed records). One container per order month, the
+    month's records key-sorted in ONE block.
+
+    Encode: constant header bytes as a literal (what constant folding
+    would produce), per-row record fields JVM-side via
+    _pb_varint_u64/_avro_zigzag, the month fold as ONE hash aggregate
+    (collect_list bounded by month size; a production writer emits one
+    container per task, same framing per block). Decode re-reads the
+    CHECKPOINTED frame positionally — header fields at their constant
+    offsets, then the dynamic walk count -> size -> records -> trailing
+    sync with positions materialized as leaf columns before the final
+    reads (fn_protobuf_wire planner-health lesson). The emitted columns
+    are the DECODED values (count, first record's key), so the oracle's
+    recomputation from the raw table cross-checks the whole
+    encode+frame+decode path; file_len is recomputed by the oracle from
+    the spec's varint length arithmetic. The ok-flags (magic, metadata
+    map, sync discipline, block framing, first-record roundtrip) are
+    independently backed by a pure-Python spec-level OCF reader parsing
+    every emitted file end-to-end
+    (tests/test_round9_ops.py::test_avro_container_parses_with_reference_ocf_reader)."""
+    frames = _avro_container_frames(spark, sf_dir).withColumnRenamed(
+        "file", "payload"
+    ).localCheckpoint(eager=True)
+
+    d = frames.withColumn("n_out", _avro_unzigzag(_pb_vval10(F.lit(_OCF_BLOCK_POS))))
+    d = d.withColumn(
+        "p_size", F.lit(_OCF_BLOCK_POS) + _pb_vlen10(F.lit(_OCF_BLOCK_POS))
+    )
+    d = d.withColumn("rsize", _avro_unzigzag(_pb_vval10(F.col("p_size"))))
+    d = d.withColumn("p_rec", F.col("p_size") + _pb_vlen10(F.col("p_size")))
+    d = d.localCheckpoint(eager=True)  # positions become leaf columns
+
+    d = d.withColumn("k1", _avro_unzigzag(_pb_vval10(F.col("p_rec"))))
+    d = d.withColumn("p_pl", F.col("p_rec") + _pb_vlen10(F.col("p_rec")))
+    d = d.withColumn("plen", _avro_unzigzag(_pb_vval10(F.col("p_pl"))))
+    d = d.localCheckpoint(eager=True)
+    d = d.withColumn(
+        "pri1",
+        F.substring(
+            F.col("payload"), F.col("p_pl") + _pb_vlen10(F.col("p_pl")), F.col("plen")
+        ).cast("string"),
+    )
+    d = d.withColumn(
+        "p_d1", F.col("p_pl") + _pb_vlen10(F.col("p_pl")) + F.col("plen")
+    )
+    d = d.localCheckpoint(eager=True)
+    d = d.withColumn("d1", _avro_unzigzag(_pb_vval10(F.col("p_d1"))))
+
+    hdr_sync = F.substring(F.col("payload"), _OCF_SYNC_POS, 16)
+    tail_sync = F.substring(F.col("payload"), F.col("p_rec") + F.col("rsize"), 16)
+    return d.select(
+        "ym",
+        F.col("n_out").alias("n_records"),
+        F.col("k1").alias("first_key"),
+        F.length("payload").cast("bigint").alias("file_len"),
+        (F.substring("payload", 1, 4) == F.lit(_OCF_MAGIC)).alias("magic_ok"),
+        (
+            F.substring("payload", 5, len(_OCF_META)) == F.lit(_OCF_META)
+        ).alias("meta_ok"),
+        (hdr_sync == tail_sync).alias("sync_ok"),
+        (
+            (F.col("n_out") == F.col("n_in"))
+            & (F.col("p_rec") - 1 + F.col("rsize") + 16
+               == F.length("payload"))
+        ).alias("framing_ok"),
+        (
+            (F.col("k1") == F.col("first_key_in"))
+            & (F.col("pri1") == F.col("first_pri_in"))
+            & (F.col("d1") == F.col("first_delta_in"))
+        ).alias("first_record_ok"),
+    )

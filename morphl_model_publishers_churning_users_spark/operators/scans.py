@@ -1495,3 +1495,162 @@ def scan_iceberg_snapshot(spark, sf_dir):
         ).select(F.lit(snap).alias("snapshot"), "n_files", "n_rows", "sum_total")
         out = agg if out is None else out.unionByName(agg)
     return out
+
+
+@register(
+    "scan_delta_log",
+    oracle="""
+WITH o AS (
+    SELECT o_orderkey, ROUND(o_totalprice, 6) AS price, o_orderdate
+    FROM orders
+), base AS (
+    SELECT * FROM o WHERE o_orderdate < TIMESTAMP '2000-01-01'
+), v1 AS (
+    SELECT * FROM o
+)
+SELECT CAST(0 AS BIGINT) AS version, CAST(4 AS BIGINT) AS n_files,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE) AS sum_total
+FROM base
+UNION ALL
+SELECT 1, CAST(6 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE)
+FROM v1
+UNION ALL
+SELECT 2, CAST(3 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE)
+FROM v1
+""",
+)
+def scan_delta_log(spark, sf_dir):
+    """Delta-style commit-log replay emulated on plain files — the
+    COMMIT-LOG complement to scan_iceberg_snapshot's manifest model
+    (r8 staged stretch): where Iceberg pins a snapshot to a manifest
+    LIST, Delta derives it by FOLDING a `_delta_log/` of JSON commits
+    (add/remove actions) in version order. Three commits share one
+    data tree:
+
+        v0  initial write: add x4 (orders before 2000)
+        v1  APPEND: add x2 (orders 2000+) — base files untouched
+        v2  OPTIMIZE/compaction: remove x4 (the base files) + add x1
+            (their rewrite, dataChange=false) — same CONTENT as v1
+            through different files, the metadata-only swap
+
+    Each commit is a real line-delimited JSON file named
+    `{version:020d}.json` holding commitInfo + add/remove actions with
+    RELATIVE paths, exactly Delta's on-disk shape. Reading version N =
+    `spark.read.json` over the log (schema'd, O(commits)), version
+    parsed from `_metadata.file_path`, then the LAST-ACTION-WINS fold:
+    per path, `max_by(is_add, version)` over commits 0..N — a path is
+    live iff its latest action is an add. The fold is one hash
+    aggregate over O(total actions) rows; the path collect is
+    O(live files), same bound as a real Delta client materializing the
+    file list for the scan planner (checkpoints parquet + log
+    truncation keep that bound at 100 TB — out of scope here, as are
+    the jar's protocol checks). Readers never list data directories:
+    version reads stay O(log), not O(objects-in-bucket), and the
+    emulation proves isolation the same way the iceberg op does —
+    DISTINCT _metadata.file_path inside each version read must match
+    the fold's file count (4 / 6 / 3) while v2 hash-matches v1's
+    content exactly. File sizes ride driver-side os.path.getsize
+    (O(files), local-fs emulation of what the writer's task commit
+    reports)."""
+    import json as _json
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round("o_totalprice", 6).alias("price"),
+        F.col("o_orderdate"),
+    )
+    cutoff = F.lit("2000-01-01").cast("timestamp_ntz")
+    tbl = scratch_dir("delta_log_table")
+    log_dir = os.path.join(tbl, "_delta_log")
+    shutil.rmtree(log_dir, ignore_errors=True)
+    os.makedirs(log_dir)
+
+    def write_files(df, sub, n_files):
+        path = os.path.join(tbl, "data", sub)
+        df.select("o_orderkey", "price").repartition(n_files).write.mode(
+            "overwrite"
+        ).parquet(path)
+        rel = [
+            os.path.relpath(r["p"].removeprefix("file:"), tbl)
+            for r in spark.read.parquet(path)
+            .select(F.col("_metadata.file_path").alias("p"))
+            .distinct()
+            .collect()  # O(files); file: URI -> local path
+        ]
+        return sorted(rel)
+
+    base_files = write_files(o.filter(F.col("o_orderdate") < cutoff), "b1", 4)
+    appended = write_files(o.filter(F.col("o_orderdate") >= cutoff), "b2", 2)
+    # Compaction rewrites v0's content from the LOG's live-file list at
+    # v0 (not from the filter predicate), as a real OPTIMIZE would.
+    compacted = write_files(
+        spark.read.parquet(*[os.path.join(tbl, p) for p in base_files]), "c1", 1
+    )
+
+    def add(p, data_change=True):
+        return {
+            "add": {
+                "path": p,
+                "size": os.path.getsize(os.path.join(tbl, p)),
+                "dataChange": data_change,
+            }
+        }
+
+    commits = {
+        0: [{"commitInfo": {"operation": "WRITE"}}] + [add(p) for p in base_files],
+        1: [{"commitInfo": {"operation": "APPEND"}}] + [add(p) for p in appended],
+        2: [{"commitInfo": {"operation": "OPTIMIZE"}}]
+        + [{"remove": {"path": p, "dataChange": False}} for p in base_files]
+        + [add(p, data_change=False) for p in compacted],
+    }
+    for v, actions in commits.items():  # O(commits) driver writes
+        with open(os.path.join(log_dir, f"{v:020d}.json"), "w") as f:
+            f.write("\n".join(_json.dumps(a) for a in actions) + "\n")
+
+    # The reader: one schema'd pass over the whole log, version from the
+    # commit file name; folded once and reused for every version read.
+    actions = (
+        spark.read.schema(
+            "add struct<path:string,size:bigint,dataChange:boolean>, "
+            "remove struct<path:string,dataChange:boolean>, "
+            "commitInfo struct<operation:string>"
+        )
+        .json(log_dir)
+        .select(
+            F.regexp_extract(F.col("_metadata.file_path"), r"(\d{20})\.json$", 1)
+            .cast("bigint")
+            .alias("version"),
+            F.coalesce(F.col("add.path"), F.col("remove.path")).alias("path"),
+            F.col("add.path").isNotNull().alias("is_add"),
+        )
+        .filter(F.col("path").isNotNull())
+        .localCheckpoint(eager=True)  # O(actions); read 3x below
+    )
+
+    out = None
+    for v in sorted(commits):
+        live = (
+            actions.filter(F.col("version") <= v)
+            .groupBy("path")
+            .agg(F.max_by("is_add", "version").alias("live"))
+            .filter(F.col("live"))
+        )
+        paths = [os.path.join(tbl, r["path"]) for r in live.collect()]  # O(files)
+        agg = (
+            spark.read.parquet(*paths)
+            .agg(
+                F.count_distinct(F.col("_metadata.file_path"))
+                .cast("bigint")
+                .alias("n_files"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(F.col("price").cast("decimal(38,6)"))
+                .cast("double")
+                .alias("sum_total"),
+            )
+            .select(F.lit(v).cast("bigint").alias("version"), "n_files", "n_rows", "sum_total")
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out

@@ -767,6 +767,10 @@ _KEY_RANK: dict[str, int] = {
     # backlog-freeze placement as the round-7 pair.
     "fn_avro_wire": 10,
     "scan_iceberg_snapshot": 10,
+    # Round-9 additions (r8 verdict item 8 stretch): rank 10, same
+    # backlog-freeze placement as the round-7/8 pairs.
+    "scan_delta_log": 10,
+    "fn_avro_container": 10,
 }
 
 

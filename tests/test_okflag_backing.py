@@ -1,6 +1,6 @@
 """Meta-test: every ok-flag oracle key must name its backing invariant.
 
-35 registry keys carrying 46 flag columns (approximate/sketch/model/
+36 registry keys carrying 51 flag columns (approximate/sketch/model/
 engine-specific ops — counts derived from ``_okflag_keys()``) use the
 documented exact-anchor + ok-flag oracle contract: the exactly
 recomputable columns are value-hashed against DuckDB, while the
@@ -42,6 +42,10 @@ BACKING: dict[str, tuple[str, str]] = {
     "dq_quantile_sketch_audit": (
         "test_round6_wave4_ops.py",
         "test_quantile_sketch_bounds_hold_at_all_accuracies",
+    ),
+    "fn_avro_container": (
+        "test_round9_ops.py",
+        "test_avro_container_parses_with_reference_ocf_reader",
     ),
     "fn_avro_wire": ("test_round8_ops.py", "test_avro_zigzag_varint_boundaries"),
     "fn_protobuf_wire": ("test_round7_ops.py", "test_protobuf_wire_varint_boundaries"),
