@@ -1129,7 +1129,17 @@ def graph_hits(spark, sf_dir):
     sum is exactly q12(1.0)·deg(p)/1e12 = deg(p), exact as a double
     below 2^53 — one groupBy over edges replaces the first
     edges⋈scores join bit-identically (experiment: fused 8.17 s →
-    fused+degree 7.60 s isolated min). Output: top-20
+    fused+degree 7.60 s isolated min). DECLARED DONE in round 9
+    after the final allowed experiment (scripts/hits_experiment_r9.py):
+    both candidate cuts at the ~2.1 s fixed checkpoint cost — a
+    combined (side, node) union materializing both half-rounds per
+    checkpoint, and checkpointing only every other round — FAIL with
+    broadcast-build OOM at Spark's default 1 GiB driver memory,
+    because packing more lazy half-rounds into one job stacks
+    concurrent broadcast builds; the shipped 5-checkpoint cadence is
+    memory-safe at default driver memory and measured 6.85–7.26 s
+    isolated min on an idle guest. The per-round checkpoint is
+    load-bearing for driver memory, not just lineage. Output: top-20
     authorities (×1000 for 6-decimal readability), ties on part key."""
     q12 = lambda c: F.floor(c * F.lit(1e12) + F.lit(0.5)).cast("decimal(38,12)")
     d12 = lambda c: (F.sum(q12(c)).cast("double") / F.lit(1e12))

