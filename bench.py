@@ -118,6 +118,10 @@ def main() -> None:
         "llm_lsh_tuning_curve",
         "ml_logreg_gd",
         "join_spatial_grid",
+        # Round-9 additions tracked from their first full round so the
+        # per-round series starts at birth, not at first regression.
+        "scan_delta_log",
+        "fn_avro_container",
     )
     NO_WARMUP = {"graph_hits"}
     # Interleaved warm→measure per key, with a GC fence between keys:

@@ -1857,10 +1857,16 @@ def _avro_container_frames(spark, sf_dir):
         F.min_by("delta", "key").alias("first_delta_in"),
         F.array_sort(F.collect_list(F.struct("key", "rec"))).alias("arr"),
     )
-    records = F.aggregate(
-        F.transform("arr", lambda x: x["rec"]),
-        F.lit(b"").cast("binary"),
-        lambda acc, r: F.concat(acc, r),
+    # Block assembly is hex -> array_join -> unhex rather than an
+    # F.aggregate concat fold: the fold copies the accumulated prefix on
+    # every step (O(block²) bytes — fine at ~2k records/month here, a
+    # real cost at production block sizes), while array_join grows ONE
+    # buffer (O(block), at the price of a transient 2x hex expansion).
+    # Bit-identical output, measured round 9: warm 2.77 s vs 2.91 s and
+    # first-touch 3.15 s vs 8.89 s at sf0.1 (the giant fold lambda also
+    # compiles 3x slower).
+    records = F.unhex(
+        F.array_join(F.transform("arr", lambda x: F.hex(x["rec"])), "")
     )
     sync = F.unhex(F.md5("ym"))  # deterministic 16-byte marker per file
     per = per.withColumn("records", records).withColumn("sync", sync)
