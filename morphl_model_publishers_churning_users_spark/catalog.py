@@ -95,8 +95,14 @@ def _ship_package(spark: SparkSession) -> None:
     os.makedirs(out_dir, exist_ok=True)
     out = os.path.join(out_dir, f"mpcu_pkg_{digest}.zip")
     if not os.path.exists(out):
-        with open(out, "wb") as f:
+        # Atomic publish: a concurrent process (two engine sessions on
+        # one checkout) must never addPyFile a half-written zip. The
+        # name is content-addressed, so whoever wins the rename wrote
+        # identical bytes.
+        tmp = f"{out}.{os.getpid()}.tmp"
+        with open(tmp, "wb") as f:
             f.write(data)
+        os.replace(tmp, out)
     try:
         sc.addPyFile(out)
     except Exception:

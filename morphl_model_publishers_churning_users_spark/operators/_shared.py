@@ -9,7 +9,9 @@ DOUBLE yields bit-identical values on both engines.
 
 from __future__ import annotations
 
+import glob
 import os
+import shutil
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -36,8 +38,34 @@ def r6(col: Column) -> Column:
 
 
 def scratch_dir(name: str) -> str:
-    """Writable scratch area for sinks/checkpoints (gitignored)."""
-    d = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch", name)
+    """Writable scratch area for sinks/checkpoints (gitignored).
+
+    Keyed by PID: two engine PROCESSES running the same operator on one
+    checkout must not share fixture paths — round 9 caught two
+    concurrent full-registry sweeps racing on
+    `.scratch/dyn_part_overwrite` (one process read files the other was
+    overwriting: FAILED_READ_FILE mid-scan). Within one process the op
+    sequence is serial, so per-PID is exactly the isolation needed —
+    the same reasoning a real deployment applies by giving every Spark
+    APPLICATION its own staging root. Dead siblings' dirs are pruned
+    best-effort so repeated sessions do not accumulate disk.
+    """
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch"
+    )
+    mine = os.path.join(root, f"pid{os.getpid()}")
+    if not os.path.isdir(mine):  # first touch this process: prune the dead
+        for entry in glob.glob(os.path.join(root, "pid*")):
+            try:
+                pid = int(os.path.basename(entry).removeprefix("pid"))
+                os.kill(pid, 0)  # raises if no such process
+            except ValueError:
+                continue
+            except ProcessLookupError:
+                shutil.rmtree(entry, ignore_errors=True)
+            except PermissionError:
+                pass  # live process owned elsewhere — leave it
+    d = os.path.join(mine, name)
     os.makedirs(d, exist_ok=True)
     return d
 
