@@ -12,6 +12,7 @@ from __future__ import annotations
 import glob
 import os
 import shutil
+import time
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -59,12 +60,18 @@ def scratch_dir(name: str) -> str:
             try:
                 pid = int(os.path.basename(entry).removeprefix("pid"))
                 os.kill(pid, 0)  # raises if no such process
+                # PID-reuse fallback (ADVICE r9): os.kill(pid, 0) succeeds
+                # on a RECYCLED pid forever, so a dead sibling's dir could
+                # accumulate on long-lived hosts. Any pid dir untouched
+                # for >7 days is not a concurrent sweep — prune it.
+                if time.time() - os.path.getmtime(entry) > 7 * 86400:
+                    shutil.rmtree(entry, ignore_errors=True)
             except ValueError:
                 continue
             except ProcessLookupError:
                 shutil.rmtree(entry, ignore_errors=True)
-            except PermissionError:
-                pass  # live process owned elsewhere — leave it
+            except (PermissionError, OSError):
+                pass  # live process owned elsewhere / stat race — leave it
     d = os.path.join(mine, name)
     os.makedirs(d, exist_ok=True)
     return d

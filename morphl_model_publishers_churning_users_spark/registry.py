@@ -196,15 +196,16 @@ def register(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Quer
 # r9 window = graph_hits + 2 canaries + the next ~47 rank-9 keys in
 # dict-insertion order (the ts_ forecasting/stats wave head, dq_
 # remainder, fn_ wire/codec tail).
-# ROUND-10 PRE-STAGED MAINTENANCE: fold the CORRECTNESS_r09 greens in
-# with tag 9, clear _REVERIFY (graph_hits re-hashed), rotate _CANARY
-# to join_inner_hash + set_union per the rotation table; the r10
-# window then continues down the rank-9 wave in dict-insertion order
-# (the mm_ tail, the dq_ wave, the scan/sink wave, the ts_ engagement
-# head). Pre-flighted late in round 9: offsets 50–110 of the current
-# get_queries() order — exactly those families — ran 61/61 hash-green
-# at sf0.01 in a bare driver-shaped session (56 s), so the r10 window
-# is green no matter where the driver's ~50-key budget lands.
+# ROUND-10 MAINTENANCE (APPLIED at r10 start): the 50 CORRECTNESS_r09
+# greens are folded in with tag 9 (47 first-touch + graph_hits reverify
+# + 2 canary re-touches), _REVERIFY is cleared, _CANARY rotated to
+# join_inner_hash + set_union per the rotation table; the r10 window
+# continues down the rank-9 wave in dict-insertion order (the mm_
+# tail, the dq_ wave, the scan/sink wave, the ts_ engagement head).
+# Pre-flighted late in round 9: offsets 50–110 of the get_queries()
+# order — exactly those families — ran 61/61 hash-green at sf0.01 in a
+# bare driver-shaped session (56 s). Canary rotation table ahead:
+# r11 ml_label + mm_features, r12 ts_watermark + graph_pagerank.
 # ROUND-9 STRETCH CANDIDATES — BOTH LANDED (scan_delta_log at
 # operators/scans.py, fn_avro_container at functions/scalar.py; exact
 # oracles, three-scale + codegen-off verification, rank 10, registry
@@ -279,7 +280,7 @@ _VERIFIED_ROUND: dict[str, int] = {
     "win_distinct_running": 3, "win_ratio_to_report": 3, "win_moving_zscore": 3,
         # --- round 4 greens ---
     "fn_array_setops": 4,
-    "llm_dedup_exact": 4,
+    "llm_dedup_exact": 9,  # r9 canary re-touch
     "llm_dedup_fuzzy": 5,  # r5 canary re-touch
     "llm_dedup_simhash": 4,
     "llm_dedup_ngram": 4, "llm_simsearch": 4, "llm_dedup_cosine": 4,
@@ -290,7 +291,9 @@ _VERIFIED_ROUND: dict[str, int] = {
     "llm_dedup_cluster": 4, "llm_unigram_lm": 4, "llm_kmeans_embed": 4,
     "llm_dedup_keep_best": 4, "llm_embed_centroid": 4, "llm_ngram_freq": 4,
     "llm_vocab_growth": 4, "llm_repetition": 4, "llm_entropy_filter": 4,
-    "udf_python": 4, "udf_pandas": 4, "udf_grouped_map": 4, "udf_grouped_agg": 4,
+    "udf_python": 4,
+    "udf_pandas": 9,  # r9 canary re-touch
+    "udf_grouped_map": 4, "udf_grouped_agg": 4,
     "udtf_python": 4, "udf_arrow": 4, "udf_cogrouped_map": 4, "udf_python_arrow": 4,
     "mm_features": 4, "mm_framesample": 4, "mm_resize": 4, "ml_label": 4,
         # --- round 5 greens (CORRECTNESS_r05: 50/50 hash-green; the 2
@@ -339,7 +342,8 @@ _VERIFIED_ROUND: dict[str, int] = {
     "agg_skyline_2d": 7, "agg_mann_whitney": 7, "agg_heavy_hitters": 7, "agg_beta_binomial_shrinkage": 7,
     "agg_benford_chisq": 7, "agg_spearman": 7, "agg_robust_shape": 7, "graph_jaccard_linkpred": 7,
     "graph_bfs_distance": 7, "graph_modularity": 7, "graph_assortativity": 7,
-    "graph_bipartite_projection": 7, "graph_label_propagation": 7, "graph_hits": 7,
+    "graph_bipartite_projection": 7, "graph_label_propagation": 7,
+    "graph_hits": 9,  # r9 _REVERIFY re-hash (changed in r8 post-green; re-confirmed)
     "graph_hash_walks": 7, "graph_ppr": 7, "graph_closeness": 7, "graph_rich_club": 7,
     "graph_degree_gini": 7, "join_bloom_pruned": 7, "join_mark_exists": 7,
     "join_scd2_asof": 7, "join_temporal_knn": 7, "join_spatial_grid": 7,
@@ -365,16 +369,36 @@ _VERIFIED_ROUND: dict[str, int] = {
     "ml_logreg_gd": 8, "ml_power_mde": 8, "ml_ips_offpolicy": 8,
     "ml_conformal_interval": 8, "ml_qini_curve": 8, "ml_hosmer_lemeshow": 8,
     "ml_km_rmst": 8, "ml_gbm_stumps": 8,
+        # --- round 9 greens (CORRECTNESS_r09: 50/50 hash-green; canaries
+        # llm_dedup_exact/udf_pandas and the graph_hits reverify re-tagged
+        # 9 above) ---
+    "ml_shap_linear": 9, "ml_learning_curve": 9, "ml_platt_scaling": 9,
+    "ml_logrank_test": 9, "ml_bh_fdr": 9, "ml_ab_srm_check": 9,
+    "ml_price_elasticity": 9, "ml_cramers_v": 9, "ml_evalue_sequential": 9,
+    "ml_naive_bayes": 9, "ml_tost_equivalence": 9, "ml_mcnemar_paired": 9,
+    "ml_cox_score": 9, "ml_poisson_glm": 9, "ml_doubly_robust": 9,
+    "ml_bradley_terry": 9, "ml_permutation_test": 9, "ml_iv_wald": 9,
+    "ml_raking_ipf": 9, "ml_oaxaca_blinder": 9, "ml_knn_classify": 9,
+    "ml_ipw_ate": 9, "llm_uncertainty_sample": 9,
+    "ml_quantile_treatment_effect": 9, "ml_meta_analysis_dl": 9,
+    "ml_weibull_survival_grid": 9, "ml_silhouette_rfm": 9,
+    "ml_covariate_balance": 9, "ml_yuen_trimmed_t": 9, "ml_harrell_c": 9,
+    "ml_brier_decomposition": 9, "ml_kruskal_wallis": 9, "ml_icc_anova": 9,
+    "ml_friedman_test": 9, "ml_brown_forsythe": 9, "ml_tjur_r2": 9,
+    "ml_mcc": 9, "ml_cohen_d": 9, "ml_risk_reduction": 9, "ml_youden_j": 9,
+    "llm_doclen_lognormal": 9, "llm_pmi_collocations": 9,
+    "llm_burrows_delta": 9, "llm_dedup_by_source": 9,
+    "llm_source_diversity": 9, "llm_self_similarity": 9,
+    "mm_header_parse": 9,
 }
 
 DRIVER_VERIFIED: frozenset[str] = frozenset(_VERIFIED_ROUND)
 
 # Keys repaired this round that must re-hash before being trusted again.
-# Round 9: graph_hits was materially changed in round 8 (hub half-round
-# fusion + round-1 degree shortcut) AFTER its round-7 driver green — by
-# the subquery_scalar precedent its tag refers to pre-change code, so it
-# re-hashes at the front of the r9 window (ADVICE r8 item 1).
-_REVERIFY: tuple[str, ...] = ("graph_hits",)
+# Round 10: empty — graph_hits re-hashed green in the r9 window
+# (CORRECTNESS_r09) and is folded above with tag 9; no key was
+# materially changed after its most recent driver green.
+_REVERIFY: tuple[str, ...] = ()
 
 # Regression canaries: a small rotating sample of already-verified keys kept
 # inside the driver's checked prefix so regressions in verified operators are
@@ -382,8 +406,8 @@ _REVERIFY: tuple[str, ...] = ("graph_hits",)
 # (56 never-checked keys compete for ~50 slots; every canary slot displaces a
 # first-touch verification — r4 verdict item 1).
 _CANARY: tuple[str, ...] = (
-    "llm_dedup_exact",  # llm family (r4 green — 5 rounds untouched)
-    "udf_pandas",       # udf family (r4 green — 5 rounds untouched)
+    "join_inner_hash",  # join family (r1 green — 9 rounds untouched)
+    "set_union",        # setops family (r3 green — 7 rounds untouched)
 )
 
 # Round-5 window priority: the 13 round-4 llm/mm additions first (the
@@ -786,6 +810,10 @@ _KEY_RANK: dict[str, int] = {
     # backlog-freeze placement as the round-7/8 pairs.
     "scan_delta_log": 10,
     "fn_avro_container": 10,
+    # Round-10 additions (r9 verdict item 4 stretch): rank 10, same
+    # backlog-freeze placement — behind the 142-key driver backlog.
+    "scan_delta_checkpoint": 10,
+    "fn_avro_schema_evolution": 10,
 }
 
 
