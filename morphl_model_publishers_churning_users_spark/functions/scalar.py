@@ -1865,8 +1865,13 @@ def _avro_container_frames(spark, sf_dir):
     # Bit-identical output, measured round 9: warm 2.77 s vs 2.91 s and
     # first-touch 3.15 s vs 8.89 s at sf0.1 (the giant fold lambda also
     # compiles 3x slower).
-    records = F.unhex(
-        F.array_join(F.transform("arr", lambda x: F.hex(x["rec"])), "")
+    # array_join SKIPS null elements, so a null rec would silently
+    # truncate the block (ADVICE r9). All recs are non-null today (every
+    # codec input column is non-null), but guard the invariant: a null
+    # rec nulls the whole block — visible corruption, never silent.
+    records = F.when(
+        F.forall("arr", lambda x: x["rec"].isNotNull()),
+        F.unhex(F.array_join(F.transform("arr", lambda x: F.hex(x["rec"])), "")),
     )
     sync = F.unhex(F.md5("ym"))  # deterministic 16-byte marker per file
     per = per.withColumn("records", records).withColumn("sync", sync)
@@ -2007,4 +2012,110 @@ def fn_avro_container(spark, sf_dir):
             & (F.col("pri1") == F.col("first_pri_in"))
             & (F.col("d1") == F.col("first_delta_in"))
         ).alias("first_record_ok"),
+    )
+
+
+@register(
+    "fn_avro_schema_evolution",
+    oracle="""
+WITH msg AS (
+    SELECT o_orderkey,
+           o_orderpriority,
+           CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) - 200000 AS delta
+    FROM orders
+), zz AS (
+    SELECT *, o_orderkey * 2 AS zk FROM msg
+)
+SELECT o_orderkey,
+       o_orderpriority AS priority,
+       delta AS cents_delta,
+       CAST(42 AS BIGINT) AS source_id,
+       CAST(CASE WHEN zk < 128 THEN 1 WHEN zk < 16384 THEN 2
+                 WHEN zk < 2097152 THEN 3 WHEN zk < 268435456 THEN 4
+                 WHEN zk < 34359738368 THEN 5 WHEN zk < 4398046511104 THEN 6
+                 WHEN zk < 562949953421312 THEN 7
+                 WHEN zk < 72057594037927936 THEN 8 ELSE 9 END AS BIGINT)
+           AS skipped_len,
+       TRUE AS resolve_ok
+FROM zz
+""",
+)
+def fn_avro_schema_evolution(spark, sf_dir):
+    """Avro reader/writer schema RESOLUTION over fn_avro_wire's record
+    encoding (r9 staged stretch) — the half of the interchange story
+    the encode/decode pair doesn't cover: bytes written under one
+    schema read under an EVOLVED one, per the Avro spec's resolution
+    rules (fields matched by NAME, never position).
+
+        writer  record{key: long, priority: string, delta: long}
+        reader  record{priority: string, delta: long,
+                       source_id: long = 42}
+
+    Three rules exercised at once:
+      * dropped field — `key` exists only in the writer, so the reader
+        SKIPS it via its length arithmetic (_pb_vlen10 at position 1),
+        never decoding the value; `skipped_len` exposes the skip
+        distance and the oracle recomputes it from the zigzag limb
+        ladder, so a wrong skip shifts every later field and flips the
+        hash;
+      * added field with default — `source_id` exists only in the
+        reader, so every row takes the schema default 42 (a literal
+        column: Catalyst constant-folds it, zero per-row cost);
+      * name matching across a position shift — `priority`/`delta`
+        are reader fields 0/1 but writer fields 1/2; resolution walks
+        the WRITER order (that's what's on the wire) and lands each
+        byte range on the reader field with the same name.
+
+    Same staging discipline as fn_avro_wire: the wire frame is
+    checkpointed so the decode reads a leaf binary column, and the
+    positions are materialized before the final varint decode (lazy
+    position aliases would substitute a ~5k-node expression into each
+    of the last varint's 81 byte reads). `resolve_ok` asserts the
+    resolved fields equal the writer's originals row-by-row."""
+    enc = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key_in"),
+        F.col("o_orderpriority").alias("pri_in"),
+        (F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint") - 200000).alias(
+            "delta_in"
+        ),
+    )
+    wire = enc.select(
+        "key_in",
+        "pri_in",
+        "delta_in",
+        F.concat(
+            _pb_varint_u64(_avro_zigzag(F.col("key_in"))),
+            _pb_varint_u64(_avro_zigzag(F.length("pri_in").cast("bigint"))),
+            F.col("pri_in").cast("binary"),
+            _pb_varint_u64(_avro_zigzag(F.col("delta_in"))),
+        ).alias("payload"),
+    ).localCheckpoint(eager=True)
+
+    # Resolution walk in WRITER order: skip `key` (reader drops it),
+    # then bind priority/delta by name; source_id takes the default.
+    d = wire.withColumn("klen", _pb_vlen10(F.lit(1)))  # skip distance only
+    d = d.withColumn("p2", F.lit(1) + F.col("klen"))
+    d = d.withColumn("slen", _avro_unzigzag(_pb_vval10(F.col("p2"))))
+    d = d.withColumn(
+        "pri_out",
+        F.substring(
+            F.col("payload"), F.col("p2") + _pb_vlen10(F.col("p2")), F.col("slen")
+        ).cast("string"),
+    )
+    d = d.withColumn("p3", F.col("p2") + _pb_vlen10(F.col("p2")) + F.col("slen"))
+    d = d.localCheckpoint(eager=True)  # positions become leaf columns
+    d = d.withColumn("delta_out", _avro_unzigzag(_pb_vval10(F.col("p3"))))
+    return d.select(
+        F.col("key_in").alias("o_orderkey"),
+        F.col("pri_out").alias("priority"),
+        F.col("delta_out").alias("cents_delta"),
+        F.lit(42).cast("bigint").alias("source_id"),
+        F.col("klen").cast("bigint").alias("skipped_len"),
+        (
+            (F.col("pri_out") == F.col("pri_in"))
+            & (F.col("delta_out") == F.col("delta_in"))
+            # skip + string frame + delta varint must tile the payload
+            & (F.col("p3") - F.lit(1) + _pb_vlen10(F.col("p3"))
+               == F.length("payload"))
+        ).alias("resolve_ok"),
     )

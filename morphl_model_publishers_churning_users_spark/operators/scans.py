@@ -1654,3 +1654,215 @@ def scan_delta_log(spark, sf_dir):
         )
         out = agg if out is None else out.unionByName(agg)
     return out
+
+
+@register(
+    "scan_delta_checkpoint",
+    oracle="""
+WITH o AS (
+    SELECT o_orderkey, ROUND(o_totalprice, 6) AS price, o_orderdate
+    FROM orders
+), v2 AS (
+    SELECT * FROM o WHERE o_orderdate < TIMESTAMP '2001-01-01'
+), v3 AS (
+    SELECT * FROM o
+)
+SELECT CAST(2 AS BIGINT) AS version, CAST(0 AS BIGINT) AS n_commits_replayed,
+       CAST(3 AS BIGINT) AS n_files, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE) AS sum_total
+FROM v2
+UNION ALL
+SELECT 3, CAST(1 AS BIGINT), CAST(5 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE)
+FROM v3
+""",
+)
+def scan_delta_checkpoint(spark, sf_dir):
+    """Delta checkpoint compaction over scan_delta_log's commit-log
+    model (r9 staged stretch) — the property that keeps log replay
+    O(commits since checkpoint) instead of O(table lifetime). The r9
+    commit-count scale study already measured the win empirically
+    (flat 0.46 s reads at 1024 commits with a checkpoint vs 0.64 s
+    full replay); this op implements the mechanism:
+
+        v0  initial write: add x4 (orders before 2000)
+        v1  APPEND: add x2 (2000 <= orders < 2001)
+        v2  OPTIMIZE: remove v0's 4 files + add x1 compacted
+            (dataChange=false) -> live = 3 files
+        --- checkpoint parquet written at v2: the FOLDED live-file
+            state of commits 0..2 (3 add rows), named by a
+            `_last_checkpoint` JSON pointer, Delta's exact on-disk
+            shape ---
+        v3  APPEND: add x2 (orders >= 2001) -> live = 5 files
+
+    A read at version M > N(=2) starts from the checkpoint rows (one
+    parquet scan, O(live files at N)) and replays ONLY the JSON
+    commits N+1..M — their paths are constructed from the version
+    numbers (`{v:020d}.json`), never by listing the log directory, so
+    the read is O(M-N) no matter how many commits precede the
+    checkpoint. The fold is the same last-action-wins hash aggregate
+    as scan_delta_log with the checkpoint rows entering as
+    version=N adds. The emulation proves both halves: version 2 is
+    served from the checkpoint ALONE (n_commits_replayed=0 — the log
+    JSON for 0..2 is never opened), and version 3 replays exactly one
+    commit. DISTINCT _metadata.file_path inside each version read
+    must match the fold's live count (3 / 5) while the content
+    hash-matches the oracle's date-slice recomputation. At 100 TB the
+    checkpoint parquet is additionally the scan planner's stats
+    source; here it carries (path, size) like the real format."""
+    import json as _json
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round("o_totalprice", 6).alias("price"),
+        F.col("o_orderdate"),
+    )
+    c2000 = F.lit("2000-01-01").cast("timestamp_ntz")
+    c2001 = F.lit("2001-01-01").cast("timestamp_ntz")
+    tbl = scratch_dir("delta_checkpoint_table")
+    log_dir = os.path.join(tbl, "_delta_log")
+    shutil.rmtree(log_dir, ignore_errors=True)
+    os.makedirs(log_dir)
+
+    def write_files(df, sub, n_files):
+        path = os.path.join(tbl, "data", sub)
+        df.select("o_orderkey", "price").repartition(n_files).write.mode(
+            "overwrite"
+        ).parquet(path)
+        rel = [
+            os.path.relpath(r["p"].removeprefix("file:"), tbl)
+            for r in spark.read.parquet(path)
+            .select(F.col("_metadata.file_path").alias("p"))
+            .distinct()
+            .collect()  # O(files); file: URI -> local path
+        ]
+        return sorted(rel)
+
+    base_files = write_files(o.filter(F.col("o_orderdate") < c2000), "b1", 4)
+    appended = write_files(
+        o.filter((F.col("o_orderdate") >= c2000) & (F.col("o_orderdate") < c2001)),
+        "b2",
+        2,
+    )
+    compacted = write_files(
+        spark.read.parquet(*[os.path.join(tbl, p) for p in base_files]), "c1", 1
+    )
+    late = write_files(o.filter(F.col("o_orderdate") >= c2001), "b3", 2)
+
+    def add(p, data_change=True):
+        return {
+            "add": {
+                "path": p,
+                "size": os.path.getsize(os.path.join(tbl, p)),
+                "dataChange": data_change,
+            }
+        }
+
+    commits = {
+        0: [{"commitInfo": {"operation": "WRITE"}}] + [add(p) for p in base_files],
+        1: [{"commitInfo": {"operation": "APPEND"}}] + [add(p) for p in appended],
+        2: [{"commitInfo": {"operation": "OPTIMIZE"}}]
+        + [{"remove": {"path": p, "dataChange": False}} for p in base_files]
+        + [add(p, data_change=False) for p in compacted],
+        3: [{"commitInfo": {"operation": "APPEND"}}] + [add(p) for p in late],
+    }
+    for v, actions in commits.items():  # O(commits) driver writes
+        with open(os.path.join(log_dir, f"{v:020d}.json"), "w") as f:
+            f.write("\n".join(_json.dumps(a) for a in actions) + "\n")
+
+    # --- checkpoint WRITER at N=2: fold commits 0..2 once, persist the
+    # live state as parquet + the `_last_checkpoint` pointer. This is
+    # the only read of the pre-checkpoint log in the whole op.
+    ckpt_version = 2
+    action_schema = (
+        "add struct<path:string,size:bigint,dataChange:boolean>, "
+        "remove struct<path:string,dataChange:boolean>, "
+        "commitInfo struct<operation:string>"
+    )
+    pre_paths = [
+        os.path.join(log_dir, f"{v:020d}.json") for v in range(ckpt_version + 1)
+    ]
+    live_at_ckpt = (
+        spark.read.schema(action_schema)
+        .json(pre_paths)
+        .select(
+            F.regexp_extract(F.col("_metadata.file_path"), r"(\d{20})\.json$", 1)
+            .cast("bigint")
+            .alias("version"),
+            F.coalesce(F.col("add.path"), F.col("remove.path")).alias("path"),
+            F.col("add.path").isNotNull().alias("is_add"),
+            F.col("add.size").alias("size"),
+        )
+        .filter(F.col("path").isNotNull())
+        .groupBy("path")
+        .agg(
+            F.max_by("is_add", "version").alias("live"),
+            F.max_by("size", "version").alias("size"),
+        )
+        .filter(F.col("live"))
+        .select("path", "size")
+    )
+    ckpt_path = os.path.join(log_dir, f"{ckpt_version:020d}.checkpoint.parquet")
+    live_at_ckpt.write.mode("overwrite").parquet(ckpt_path)
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as f:
+        f.write(_json.dumps({"version": ckpt_version, "size": 3}))
+
+    # --- checkpoint READER: O(1) pointer read, O(live@N) checkpoint
+    # scan, O(M-N) replay with commit paths CONSTRUCTED, not listed.
+    with open(os.path.join(log_dir, "_last_checkpoint")) as f:
+        n = _json.loads(f.read())["version"]
+    ckpt_state = spark.read.parquet(ckpt_path).select(
+        F.lit(n).cast("bigint").alias("version"),
+        "path",
+        F.lit(True).alias("is_add"),
+    )
+
+    out = None
+    for m in (ckpt_version, 3):
+        tail_paths = [
+            os.path.join(log_dir, f"{v:020d}.json") for v in range(n + 1, m + 1)
+        ]
+        state = ckpt_state
+        if tail_paths:
+            replay = (
+                spark.read.schema(action_schema)
+                .json(tail_paths)
+                .select(
+                    F.regexp_extract(
+                        F.col("_metadata.file_path"), r"(\d{20})\.json$", 1
+                    )
+                    .cast("bigint")
+                    .alias("version"),
+                    F.coalesce(F.col("add.path"), F.col("remove.path")).alias("path"),
+                    F.col("add.path").isNotNull().alias("is_add"),
+                )
+                .filter(F.col("path").isNotNull())
+            )
+            state = state.unionByName(replay)
+        live = (
+            state.groupBy("path")
+            .agg(F.max_by("is_add", "version").alias("live"))
+            .filter(F.col("live"))
+        )
+        paths = [os.path.join(tbl, r["path"]) for r in live.collect()]  # O(files)
+        agg = (
+            spark.read.parquet(*paths)
+            .agg(
+                F.count_distinct(F.col("_metadata.file_path"))
+                .cast("bigint")
+                .alias("n_files"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(F.col("price").cast("decimal(38,6)"))
+                .cast("double")
+                .alias("sum_total"),
+            )
+            .select(
+                F.lit(m).cast("bigint").alias("version"),
+                F.lit(len(tail_paths)).cast("bigint").alias("n_commits_replayed"),
+                "n_files",
+                "n_rows",
+                "sum_total",
+            )
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out

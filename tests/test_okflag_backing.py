@@ -47,6 +47,10 @@ BACKING: dict[str, tuple[str, str]] = {
         "test_round9_ops.py",
         "test_avro_container_parses_with_reference_ocf_reader",
     ),
+    "fn_avro_schema_evolution": (
+        "test_round10_ops.py",
+        "test_avro_schema_evolution_matches_python_reference",
+    ),
     "fn_avro_wire": ("test_round8_ops.py", "test_avro_zigzag_varint_boundaries"),
     "fn_protobuf_wire": ("test_round7_ops.py", "test_protobuf_wire_varint_boundaries"),
     "llm_compression_filter": (
