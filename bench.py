@@ -122,6 +122,9 @@ def main() -> None:
         # per-round series starts at birth, not at first regression.
         "scan_delta_log",
         "fn_avro_container",
+        # Round-10 additions, same discipline.
+        "scan_delta_checkpoint",
+        "fn_avro_schema_evolution",
     )
     NO_WARMUP = {"graph_hits"}
     # Interleaved warm→measure per key, with a GC fence between keys:
