@@ -196,6 +196,26 @@ def register(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Quer
 # r9 window = graph_hits + 2 canaries + the next ~47 rank-9 keys in
 # dict-insertion order (the ts_ forecasting/stats wave head, dq_
 # remainder, fn_ wire/codec tail).
+# ROUND-11 PRE-STAGED MAINTENANCE: fold the CORRECTNESS_r10 greens in
+# with tag 10 (expect the 2 canaries join_inner_hash/set_union
+# re-tagged + ~48 first-touch mm_/dq_/scan/sink/ts keys), keep
+# _REVERIFY empty (no post-green changes this round), rotate _CANARY
+# to ml_label + mm_features per the rotation table (r12 next:
+# ts_watermark + graph_pagerank). After that fold the
+# never-driver-checked backlog drops to ~96 < 100, so the BACKLOG
+# FREEZE LIFTS at r11 start: new operators may land at normal module
+# ranks again (keep additions ≤ the per-round burn rate of ~48 so the
+# backlog still shrinks monotonically). Staged r11 stretch candidates
+# (designs only, not registered): (a) scan_delta_time_travel_ts —
+# timestamp-AS-OF version resolution over the commit log (commitInfo
+# timestamps -> greatest version <= ts, then the scan_delta_checkpoint
+# read path), the query surface users actually touch; (b)
+# fn_avro_union_nullable — Avro's ["null", T] union encoding (branch
+# index varint + value), the most common real-world Avro shape and
+# the last missing piece of the resolution story. Horizon status at
+# r10 close: offsets 50–230 of the post-r10-fold order pre-flighted
+# green (r11+r12+r13 windows) plus 230–290 (r14); REFRESH against the
+# post-r11-fold order at r11 start as insertion order rotates.
 # ROUND-10 MAINTENANCE (APPLIED at r10 start): the 50 CORRECTNESS_r09
 # greens are folded in with tag 9 (47 first-touch + graph_hits reverify
 # + 2 canary re-touches), _REVERIFY is cleared, _CANARY rotated to
