@@ -196,26 +196,31 @@ def register(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Quer
 # r9 window = graph_hits + 2 canaries + the next ~47 rank-9 keys in
 # dict-insertion order (the ts_ forecasting/stats wave head, dq_
 # remainder, fn_ wire/codec tail).
-# ROUND-11 PRE-STAGED MAINTENANCE: fold the CORRECTNESS_r10 greens in
-# with tag 10 (expect the 2 canaries join_inner_hash/set_union
-# re-tagged + ~48 first-touch mm_/dq_/scan/sink/ts keys), keep
-# _REVERIFY empty (no post-green changes this round), rotate _CANARY
-# to ml_label + mm_features per the rotation table (r12 next:
-# ts_watermark + graph_pagerank). After that fold the
-# never-driver-checked backlog drops to ~96 < 100, so the BACKLOG
-# FREEZE LIFTS at r11 start: new operators may land at normal module
+# ROUND-12 PRE-STAGED MAINTENANCE: fold the CORRECTNESS_r11 greens in
+# with tag 11 (expect the 2 canaries ml_label/mm_features re-tagged +
+# ~48 first-touch ts_/win_ keys from the backlog head), keep _REVERIFY
+# empty unless a green key changed post-green, rotate _CANARY to
+# ts_watermark + graph_pagerank per the rotation table. After that
+# fold the never-driver-checked backlog drops to ~48+new: keep the
+# per-round additions small so the backlog burns out by ~r13.
+# ROUND-11 MAINTENANCE (APPLIED at r11 start): the 50 CORRECTNESS_r10
+# greens are folded in with tag 10 (48 first-touch + the 2 canary
+# re-touches join_inner_hash/set_union), _REVERIFY stays empty,
+# _CANARY rotated to ml_label + mm_features per the rotation table.
+# The never-driver-checked backlog is now 96 < 100, so the BACKLOG
+# FREEZE LIFTED at r11 start: new operators may land at normal module
 # ranks again (keep additions ≤ the per-round burn rate of ~48 so the
-# backlog still shrinks monotonically). Staged r11 stretch candidates
-# (designs only, not registered): (a) scan_delta_time_travel_ts —
-# timestamp-AS-OF version resolution over the commit log (commitInfo
-# timestamps -> greatest version <= ts, then the scan_delta_checkpoint
-# read path), the query surface users actually touch; (b)
-# fn_avro_union_nullable — Avro's ["null", T] union encoding (branch
-# index varint + value), the most common real-world Avro shape and
-# the last missing piece of the resolution story. Horizon status at
-# r10 close: offsets 50–230 of the post-r10-fold order pre-flighted
-# green (r11+r12+r13 windows) plus 230–290 (r14); REFRESH against the
-# post-r11-fold order at r11 start as insertion order rotates.
+# backlog still shrinks monotonically). R11 stretch pair landed this
+# round (see below): (a) scan_delta_time_travel_ts — timestamp-AS-OF
+# version resolution over the commit log (commitInfo timestamps ->
+# greatest version <= ts, then the scan_delta_checkpoint read path),
+# the query surface users actually touch; (b) fn_avro_union_nullable —
+# Avro's ["null", T] union encoding (branch index varint + value),
+# the most common real-world Avro shape and the last missing piece of
+# the resolution story. Horizon status at r10 close: offsets 50–230
+# of the post-r10-fold order pre-flighted green (r11+r12+r13 windows)
+# plus 230–290 (r14); REFRESHED against the post-r11-fold order at
+# r11 start as insertion order rotates.
 # ROUND-10 MAINTENANCE (APPLIED at r10 start): the 50 CORRECTNESS_r09
 # greens are folded in with tag 9 (47 first-touch + graph_hits reverify
 # + 2 canary re-touches), _REVERIFY is cleared, _CANARY rotated to
@@ -264,7 +269,9 @@ _VERIFIED_ROUND: dict[str, int] = {
     "agg_percentile_multi": 1, "agg_pivot": 1, "agg_product": 1, "agg_reaggregate": 1,
     "agg_regr": 1, "agg_rollup": 4, "agg_stats": 1, "agg_trend": 1, "agg_unpivot": 1,
     "agg_weighted": 1, "agg_weighted_median": 1, "join_anti": 1, "join_asof": 1,
-    "join_broadcast": 1, "join_cross": 1, "join_inner_hash": 1, "join_left_outer": 1,
+    "join_broadcast": 1, "join_cross": 1,
+    "join_inner_hash": 10,  # r10 canary re-touch
+    "join_left_outer": 1,
     "join_range": 1, "join_semi": 1,
     "join_star": 5,  # r5 canary re-touch
     "ts_calendar_dim": 1,
@@ -290,7 +297,8 @@ _VERIFIED_ROUND: dict[str, int] = {
     "fn_hash": 3, "fn_struct": 3, "fn_url": 3, "fn_variant": 3, "fn_bitwise": 3,
     "fn_string_distance": 3, "fn_mask": 3,
     "sort_multi": 3, "topk": 3, "topk_nulls_last": 3, "limit_offset": 3,
-    "set_union": 3, "set_union_by_name": 3, "set_intersect": 3,
+    "set_union": 10,  # r10 canary re-touch
+    "set_union_by_name": 3, "set_intersect": 3,
     "set_intersect_all": 3, "set_except": 3, "set_except_all": 3,
     "ts_tumbling": 4, "ts_sliding": 3, "ts_session": 7, "ts_gap_fill": 3,
     "ts_resample_ohlc": 3, "ts_ewma": 4, "ts_funnel": 3, "ts_retention_cohorts": 3,
@@ -410,14 +418,33 @@ _VERIFIED_ROUND: dict[str, int] = {
     "llm_burrows_delta": 9, "llm_dedup_by_source": 9,
     "llm_source_diversity": 9, "llm_self_similarity": 9,
     "mm_header_parse": 9,
+        # --- round 10 greens (CORRECTNESS_r10: 50/50 hash-green; canaries
+        # join_inner_hash/set_union re-tagged 10 above) ---
+    "mm_tile_grid": 10, "mm_activity_segments": 10, "mm_modality_balance": 10,
+    "mm_shot_boundaries": 10, "dq_observe_metrics": 10, "dq_schema_contract": 10,
+    "dq_row_checksum": 10, "dq_fk_chain": 10, "dq_outlier_iqr": 10,
+    "dq_drift_ks": 10, "dq_hll_error_audit": 10, "dq_sequence_gaps": 10,
+    "dq_quantile_sketch_audit": 10, "dq_rounding_contract_audit": 10,
+    "dq_reconciliation": 10, "dq_duplicate_payments": 10, "dq_key_discovery": 10,
+    "dq_dp_count_release": 10, "dq_arithmetic_contract": 10, "dq_fd_discovery": 10,
+    "dq_terminal_digit": 10, "subquery_quantified": 10, "dq_benford_mad": 10,
+    "scan_metadata_cols": 10, "scan_ignore_corrupt_files": 10,
+    "scan_path_glob_filter": 10, "sink_compact_small_files": 10,
+    "sink_dynamic_partition_overwrite": 10, "scan_orphan_files": 10,
+    "sink_compression_codecs": 10, "scan_rowgroup_stats": 10,
+    "sink_clustered_write": 10, "sink_bloom_filter_parquet": 10,
+    "scan_cdc_apply": 10, "sink_zorder_write": 10, "scan_partition_skew_audit": 10,
+    "ts_cusum": 10, "ts_theta_forecast": 10, "ts_sax": 10, "ts_gap_stats": 10,
+    "ts_max_drawdown": 10, "ts_sessions_per_user": 10, "ts_days_to_return": 10,
+    "ts_attribution_linear": 10, "ts_rank_mobility": 10, "ts_hurst_rs": 10,
+    "ts_cadence_break": 10, "ts_haar_energy": 10,
 }
 
 DRIVER_VERIFIED: frozenset[str] = frozenset(_VERIFIED_ROUND)
 
 # Keys repaired this round that must re-hash before being trusted again.
-# Round 10: empty — graph_hits re-hashed green in the r9 window
-# (CORRECTNESS_r09) and is folded above with tag 9; no key was
-# materially changed after its most recent driver green.
+# Round 11: empty — no key was materially changed after its most
+# recent driver green.
 _REVERIFY: tuple[str, ...] = ()
 
 # Regression canaries: a small rotating sample of already-verified keys kept
@@ -426,8 +453,8 @@ _REVERIFY: tuple[str, ...] = ()
 # (56 never-checked keys compete for ~50 slots; every canary slot displaces a
 # first-touch verification — r4 verdict item 1).
 _CANARY: tuple[str, ...] = (
-    "join_inner_hash",  # join family (r1 green — 9 rounds untouched)
-    "set_union",        # setops family (r3 green — 7 rounds untouched)
+    "ml_label",     # ml family (r4 green — 7 rounds untouched)
+    "mm_features",  # multimodal family (r4 green — 7 rounds untouched)
 )
 
 # Round-5 window priority: the 13 round-4 llm/mm additions first (the
