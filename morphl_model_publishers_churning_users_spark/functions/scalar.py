@@ -2030,6 +2030,8 @@ SELECT o_orderkey,
        o_orderpriority AS priority,
        delta AS cents_delta,
        CAST(42 AS BIGINT) AS source_id,
+       -- ladder assumes o_orderkey < 2^34 so zk = 2*key stays in the
+       -- 1..9-limb range without signed overflow (ADVICE r10)
        CAST(CASE WHEN zk < 128 THEN 1 WHEN zk < 16384 THEN 2
                  WHEN zk < 2097152 THEN 3 WHEN zk < 268435456 THEN 4
                  WHEN zk < 34359738368 THEN 5 WHEN zk < 4398046511104 THEN 6

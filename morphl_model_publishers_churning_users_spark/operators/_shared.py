@@ -38,6 +38,25 @@ def r6(col: Column) -> Column:
     return F.round(col, 6)
 
 
+def _proc_start_time(pid: int) -> float | None:
+    """Epoch seconds *pid* started, via /proc (Linux); None elsewhere.
+
+    Field 22 of ``/proc/<pid>/stat`` is starttime in clock ticks since
+    boot; the boot epoch is the ``btime`` line of ``/proc/stat``. The
+    comm field (2) may itself contain spaces or parens, so fields are
+    split after the LAST ``)``.
+    """
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as f:
+            stat = f.read().decode("ascii", "replace")
+        ticks = int(stat[stat.rindex(")") + 2 :].split()[19])
+        with open("/proc/stat") as f:
+            btime = next(int(ln.split()[1]) for ln in f if ln.startswith("btime"))
+        return btime + ticks / os.sysconf("SC_CLK_TCK")
+    except (OSError, ValueError, StopIteration, IndexError):
+        return None
+
+
 def scratch_dir(name: str) -> str:
     """Writable scratch area for sinks/checkpoints (gitignored).
 
@@ -60,11 +79,22 @@ def scratch_dir(name: str) -> str:
             try:
                 pid = int(os.path.basename(entry).removeprefix("pid"))
                 os.kill(pid, 0)  # raises if no such process
-                # PID-reuse fallback (ADVICE r9): os.kill(pid, 0) succeeds
-                # on a RECYCLED pid forever, so a dead sibling's dir could
-                # accumulate on long-lived hosts. Any pid dir untouched
-                # for >7 days is not a concurrent sweep — prune it.
-                if time.time() - os.path.getmtime(entry) > 7 * 86400:
+                # PID-reuse detection (ADVICE r9+r10): os.kill(pid, 0)
+                # succeeds on a RECYCLED pid forever. A real owner made
+                # its dir AFTER it started (dir mtime >= owner start); a
+                # recycled pid started AFTER the dead sibling's last dir
+                # touch. So prune only when the live process provably
+                # started after the dir's last touch (+60 s clock
+                # slack) — never a legitimately long-lived owner, whose
+                # start precedes its dir. Non-Linux (no /proc): fall
+                # back to the 7-day-mtime rule, kept fresh by the
+                # os.utime below.
+                started = _proc_start_time(pid)
+                mtime = os.path.getmtime(entry)
+                if started is not None:
+                    if started > mtime + 60:
+                        shutil.rmtree(entry, ignore_errors=True)
+                elif time.time() - mtime > 7 * 86400:
                     shutil.rmtree(entry, ignore_errors=True)
             except ValueError:
                 continue
@@ -74,6 +104,10 @@ def scratch_dir(name: str) -> str:
                 pass  # live process owned elsewhere / stat race — leave it
     d = os.path.join(mine, name)
     os.makedirs(d, exist_ok=True)
+    try:  # keep the live owner's root fresh for the non-/proc fallback
+        os.utime(mine)
+    except OSError:
+        pass
     return d
 
 

@@ -1749,6 +1749,23 @@ def scan_delta_checkpoint(spark, sf_dir):
     )
     late = write_files(o.filter(F.col("o_orderdate") >= c2001), "b3", 2)
 
+    # ADVICE r10: repartition(n) guarantees at most n non-empty output
+    # files, not exactly n — a tiny or skewed future fixture slice would
+    # silently emit fewer and flip the oracle hash with no local
+    # diagnostic. Fail loudly at the source instead.
+    for got, want, sub in (
+        (base_files, 4, "b1"),
+        (appended, 2, "b2"),
+        (compacted, 1, "c1"),
+        (late, 2, "b3"),
+    ):
+        if len(got) != want:
+            raise AssertionError(
+                f"scan_delta_checkpoint fixture slice {sub}: expected {want} "
+                f"parquet files, got {len(got)} — fixture too small/skewed "
+                f"for the hardcoded file-count oracle"
+            )
+
     def add(p, data_change=True):
         return {
             "add": {

@@ -105,9 +105,14 @@ def main() -> None:
     )
 
     def fold_live(paths_versions_df):
+        # ADVICE r10: commit i removes and re-adds the same path at the
+        # SAME version, so ordering by version alone leaves liveness to
+        # max_by's documented-nondeterministic tie-break. Order by
+        # (version, is_add) instead: within a version the add (true)
+        # outranks the remove (false) — Delta semantics, made explicit.
         return (
             paths_versions_df.groupBy("path")
-            .agg(F.max_by("is_add", "version").alias("live"))
+            .agg(F.max_by("is_add", F.struct("version", "is_add")).alias("live"))
             .filter(F.col("live"))
         )
 

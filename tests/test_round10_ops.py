@@ -239,7 +239,7 @@ def test_avro_schema_evolution_skip_is_length_only(spark, sf_dir):
         .when(F.col("o_orderkey") * 2 < 16384, 2)
         .when(F.col("o_orderkey") * 2 < 2097152, 3)
         .when(F.col("o_orderkey") * 2 < 268435456, 4)
-        .otherwise(5)
+        .otherwise(5)  # chain assumes fixture keys < 2^34 (ADVICE r10)
     ).count()
     assert bad == 0
 
