@@ -2121,3 +2121,145 @@ def fn_avro_schema_evolution(spark, sf_dir):
                == F.length("payload"))
         ).alias("resolve_ok"),
     )
+
+
+@register(
+    "fn_avro_union_nullable",
+    oracle=f"""
+WITH msg AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                ELSE o_orderpriority END AS pri,
+           CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                ELSE CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) - 200000
+                END AS delta
+    FROM orders
+), zz AS (
+    SELECT o_orderkey, pri, delta,
+           o_orderkey * 2 AS zk,
+           CASE WHEN delta IS NULL THEN NULL
+                WHEN delta >= 0 THEN delta * 2 ELSE delta * -2 - 1 END AS zd,
+           CASE WHEN pri IS NULL THEN NULL
+                ELSE LENGTH(pri) * 2 END AS zs
+    FROM msg
+)
+SELECT o_orderkey, pri AS priority, delta AS cents_delta,
+       CAST({_ocf_vlen_sql('zk')}
+            + 1 + CASE WHEN zs IS NULL THEN 0
+                       ELSE {_ocf_vlen_sql('zs')} + LENGTH(pri) END
+            + 1 + CASE WHEN zd IS NULL THEN 0
+                       ELSE {_ocf_vlen_sql('zd')} END
+            AS BIGINT) AS msg_len,
+       TRUE AS union_ok
+FROM zz
+""",
+)
+def fn_avro_union_nullable(spark, sf_dir):
+    """Avro nullable-union codec over fn_avro_wire's record encoding
+    (r10 staged stretch) — ``["null", T]``, the single most common
+    real-world Avro field shape and the last missing piece of the
+    interchange story. Spec: a union value is the zigzag-varint BRANCH
+    INDEX followed by the encoding of that branch; the ``null`` type
+    encodes as ZERO bytes, so a null field costs exactly one 0x00 byte
+    and a present field costs 0x02 (zigzag(1)) + the plain encoding.
+    Schema here:
+
+        record{{key: long,
+                priority: ["null", string],   null when key % 3 == 0
+                delta:    ["null", long]}}    null when key % 5 == 0
+
+    delta = price-in-cents - 200000 keeps the negative-zigzag coverage
+    of fn_avro_wire. Encode composes the existing varint core
+    (_pb_varint_u64/_avro_zigzag) with a 1-byte branch marker — exact,
+    not a shortcut: a 2-branch union's index is 0 or 1, whose zigzags
+    (0, 2) are single-limb varints by construction. Decode walks
+    positionally: the branch byte at each union start gates a
+    length-framed string read / varint read, and the null branch
+    advances the cursor by exactly 1. Positions are staged through a
+    localCheckpoint like fn_avro_wire (left lazy, pushdown would
+    substitute the branch-conditional position tree into each of the
+    final varint's byte reads). ``union_ok`` asserts null-safe decode
+    == original for all three fields AND that the conditional frames
+    tile the payload exactly; the oracle recomputes the nulls, values,
+    and wire length from the same zigzag + limb-ladder arithmetic, so
+    a branch byte, skipped frame, or sign error flips both."""
+    enc = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key_in"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(None)).otherwise(
+            F.col("o_orderpriority")
+        ).alias("pri_in"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None).cast("bigint")).otherwise(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            - 200000
+        ).alias("delta_in"),
+    )
+    null_branch = _pb_byte(F.lit(0))  # zigzag(0) = 0x00, value = 0 bytes
+    some_branch = _pb_byte(F.lit(2))  # zigzag(1) = 0x02
+    wire = enc.select(
+        "key_in",
+        "pri_in",
+        "delta_in",
+        F.concat(
+            _pb_varint_u64(_avro_zigzag(F.col("key_in"))),
+            F.when(F.col("pri_in").isNull(), null_branch).otherwise(
+                F.concat(
+                    some_branch,
+                    _pb_varint_u64(_avro_zigzag(F.length("pri_in").cast("bigint"))),
+                    F.col("pri_in").cast("binary"),
+                )
+            ),
+            F.when(F.col("delta_in").isNull(), null_branch).otherwise(
+                F.concat(some_branch, _pb_varint_u64(_avro_zigzag(F.col("delta_in"))))
+            ),
+        ).alias("payload"),
+    ).localCheckpoint(eager=True)
+
+    d = wire.withColumn("key_out", _avro_unzigzag(_pb_vval10(F.lit(1))))
+    d = d.withColumn("pc", F.lit(1) + _pb_vlen10(F.lit(1)))  # priority branch byte
+    d = d.withColumn("has_pri", _pb_u8(F.col("pc")) == 2)
+    d = d.withColumn(
+        "slen",
+        F.when(
+            F.col("has_pri"), _avro_unzigzag(_pb_vval10(F.col("pc") + 1))
+        ),
+    )
+    d = d.withColumn(
+        "pri_out",
+        F.when(
+            F.col("has_pri"),
+            F.substring(
+                F.col("payload"),
+                F.col("pc") + 1 + _pb_vlen10(F.col("pc") + 1),
+                F.col("slen"),
+            ).cast("string"),
+        ),
+    )
+    d = d.withColumn(
+        "pd",  # delta branch byte: null branch advanced the cursor by 1
+        F.when(
+            F.col("has_pri"),
+            F.col("pc") + 1 + _pb_vlen10(F.col("pc") + 1) + F.col("slen"),
+        ).otherwise(F.col("pc") + 1),
+    )
+    d = d.localCheckpoint(eager=True)  # positions become leaf columns
+    d = d.withColumn("has_delta", _pb_u8(F.col("pd")) == 2)
+    d = d.withColumn(
+        "delta_out",
+        F.when(F.col("has_delta"), _avro_unzigzag(_pb_vval10(F.col("pd") + 1))),
+    )
+    end_pos = F.col("pd") + 1 + F.when(
+        F.col("has_delta"), _pb_vlen10(F.col("pd") + 1)
+    ).otherwise(F.lit(0))
+    return d.select(
+        F.col("key_out").alias("o_orderkey"),
+        F.col("pri_out").alias("priority"),
+        F.col("delta_out").alias("cents_delta"),
+        F.length("payload").cast("bigint").alias("msg_len"),
+        (
+            (F.col("key_out") == F.col("key_in"))
+            & F.col("pri_out").eqNullSafe(F.col("pri_in"))
+            & F.col("delta_out").eqNullSafe(F.col("delta_in"))
+            # branch-gated frames must tile the payload exactly
+            & (end_pos - F.lit(1) == F.length("payload"))
+        ).alias("union_ok"),
+    )

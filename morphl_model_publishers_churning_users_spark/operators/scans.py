@@ -1883,3 +1883,273 @@ def scan_delta_checkpoint(spark, sf_dir):
         )
         out = agg if out is None else out.unionByName(agg)
     return out
+
+
+@register(
+    "scan_delta_time_travel_ts",
+    oracle="""
+WITH o AS (
+    SELECT o_orderkey, ROUND(o_totalprice, 6) AS price, o_orderdate
+    FROM orders
+), v0 AS (
+    SELECT * FROM o WHERE o_orderdate < TIMESTAMP '2000-01-01'
+), v2 AS (
+    SELECT * FROM o WHERE o_orderdate < TIMESTAMP '2001-01-01'
+), v3 AS (
+    SELECT * FROM o
+)
+SELECT 'mid_v0' AS probe, CAST(0 AS BIGINT) AS version,
+       CAST(1 AS BIGINT) AS n_commits_replayed,
+       CAST(4 AS BIGINT) AS n_files, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE) AS sum_total
+FROM v0
+UNION ALL
+SELECT 'at_v2', CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(3 AS BIGINT),
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE)
+FROM v2
+UNION ALL
+SELECT 'after_v3', CAST(3 AS BIGINT), CAST(1 AS BIGINT), CAST(5 AS BIGINT),
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE)
+FROM v3
+""",
+)
+def scan_delta_time_travel_ts(spark, sf_dir):
+    """Timestamp AS-OF time travel over the Delta commit-log model
+    (r10 staged stretch) — the query surface a user actually touches:
+    ``SELECT ... TIMESTAMP AS OF ts`` resolves to the GREATEST version
+    whose commit timestamp <= ts, then reads that version through the
+    scan_delta_checkpoint path. Same 4-commit fixture as
+    scan_delta_checkpoint (v0 write x4 / v1 append x2 / v2 optimize ->
+    3 live / v3 append -> 5 live, checkpoint parquet at N=2), with each
+    commit's `commitInfo` now carrying the epoch-ms `timestamp` field —
+    Delta's on-disk shape for commit times. Three probes bracket the
+    history:
+
+        mid_v0    t0 + 12h  -> v0 (before the first append)
+        at_v2     exactly t2 -> v2 (boundary: `<=` keeps the commit)
+        after_v3  t3 + 1h   -> v3 (after the last commit)
+
+    Resolution is one pass over the O(commits) commitInfo rows: a
+    3-row probe spine range-joined (ts <= probe) + max(version) per
+    probe — at 100 TB the log is thousands of rows, never the data.
+    The read then branches like a real client: m >= N serves from the
+    checkpoint + O(m-N) constructed JSON tail paths
+    (n_commits_replayed counts them); m < N predates the checkpoint,
+    so the reader replays commits 0..m (m+1 replayed) — the checkpoint
+    cannot serve an EARLIER version since it folds state at N. File
+    counts are asserted from DISTINCT _metadata.file_path inside each
+    version read; content hash-matches the oracle's date-slice
+    recomputation."""
+    import json as _json
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round("o_totalprice", 6).alias("price"),
+        F.col("o_orderdate"),
+    )
+    c2000 = F.lit("2000-01-01").cast("timestamp_ntz")
+    c2001 = F.lit("2001-01-01").cast("timestamp_ntz")
+    tbl = scratch_dir("delta_tt_table")
+    log_dir = os.path.join(tbl, "_delta_log")
+    shutil.rmtree(log_dir, ignore_errors=True)
+    os.makedirs(log_dir)
+
+    def write_files(df, sub, n_files):
+        path = os.path.join(tbl, "data", sub)
+        df.select("o_orderkey", "price").repartition(n_files).write.mode(
+            "overwrite"
+        ).parquet(path)
+        rel = [
+            os.path.relpath(r["p"].removeprefix("file:"), tbl)
+            for r in spark.read.parquet(path)
+            .select(F.col("_metadata.file_path").alias("p"))
+            .distinct()
+            .collect()  # O(files); file: URI -> local path
+        ]
+        return sorted(rel)
+
+    base_files = write_files(o.filter(F.col("o_orderdate") < c2000), "b1", 4)
+    appended = write_files(
+        o.filter((F.col("o_orderdate") >= c2000) & (F.col("o_orderdate") < c2001)),
+        "b2",
+        2,
+    )
+    compacted = write_files(
+        spark.read.parquet(*[os.path.join(tbl, p) for p in base_files]), "c1", 1
+    )
+    late = write_files(o.filter(F.col("o_orderdate") >= c2001), "b3", 2)
+    for got, want, sub in (
+        (base_files, 4, "b1"),
+        (appended, 2, "b2"),
+        (compacted, 1, "c1"),
+        (late, 2, "b3"),
+    ):
+        if len(got) != want:
+            raise AssertionError(
+                f"scan_delta_time_travel_ts fixture slice {sub}: expected "
+                f"{want} parquet files, got {len(got)}"
+            )
+
+    # Deterministic commit times: t_v = 2020-01-01T00:00:00Z + v days
+    # (epoch ms, Delta's commitInfo.timestamp unit — pure integers, so
+    # resolution is session-timezone-independent by construction).
+    t0 = 1577836800000
+    day = 86400000
+    commit_ts = {v: t0 + v * day for v in range(4)}
+
+    def add(p, data_change=True):
+        return {
+            "add": {
+                "path": p,
+                "size": os.path.getsize(os.path.join(tbl, p)),
+                "dataChange": data_change,
+            }
+        }
+
+    def info(v, op):
+        return {"commitInfo": {"operation": op, "timestamp": commit_ts[v]}}
+
+    commits = {
+        0: [info(0, "WRITE")] + [add(p) for p in base_files],
+        1: [info(1, "APPEND")] + [add(p) for p in appended],
+        2: [info(2, "OPTIMIZE")]
+        + [{"remove": {"path": p, "dataChange": False}} for p in base_files]
+        + [add(p, data_change=False) for p in compacted],
+        3: [info(3, "APPEND")] + [add(p) for p in late],
+    }
+    for v, actions in commits.items():  # O(commits) driver writes
+        with open(os.path.join(log_dir, f"{v:020d}.json"), "w") as f:
+            f.write("\n".join(_json.dumps(a) for a in actions) + "\n")
+
+    action_schema = (
+        "add struct<path:string,size:bigint,dataChange:boolean>, "
+        "remove struct<path:string,dataChange:boolean>, "
+        "commitInfo struct<operation:string,timestamp:bigint>"
+    )
+
+    # Checkpoint WRITER at N=2 (scan_delta_checkpoint's mechanism).
+    ckpt_version = 2
+    pre_paths = [
+        os.path.join(log_dir, f"{v:020d}.json") for v in range(ckpt_version + 1)
+    ]
+    live_at_ckpt = (
+        spark.read.schema(action_schema)
+        .json(pre_paths)
+        .select(
+            F.regexp_extract(F.col("_metadata.file_path"), r"(\d{20})\.json$", 1)
+            .cast("bigint")
+            .alias("version"),
+            F.coalesce(F.col("add.path"), F.col("remove.path")).alias("path"),
+            F.col("add.path").isNotNull().alias("is_add"),
+        )
+        .filter(F.col("path").isNotNull())
+        .groupBy("path")
+        .agg(F.max_by("is_add", F.struct("version", "is_add")).alias("live"))
+        .filter(F.col("live"))
+        .select("path")
+    )
+    ckpt_path = os.path.join(log_dir, f"{ckpt_version:020d}.checkpoint.parquet")
+    live_at_ckpt.write.mode("overwrite").parquet(ckpt_path)
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as f:
+        f.write(_json.dumps({"version": ckpt_version, "size": 3}))
+
+    # --- TIMESTAMP -> VERSION resolution: one schema'd pass over the
+    # commitInfo rows (O(commits)), probes as a broadcast 3-row spine,
+    # greatest version with commit ts <= probe. `<=` is Delta's
+    # AS-OF-timestamp contract: a probe landing exactly on a commit
+    # time reads THAT commit.
+    commit_rows = (
+        spark.read.schema(action_schema)
+        .json(log_dir)
+        .filter(F.col("commitInfo").isNotNull())
+        .select(
+            F.regexp_extract(F.col("_metadata.file_path"), r"(\d{20})\.json$", 1)
+            .cast("bigint")
+            .alias("version"),
+            F.col("commitInfo.timestamp").alias("commit_ts"),
+        )
+    )
+    probes = spark.createDataFrame(
+        [
+            ("mid_v0", t0 + day // 2),
+            ("at_v2", commit_ts[2]),
+            ("after_v3", commit_ts[3] + 3600000),
+        ],
+        "probe string, probe_ts bigint",
+    )
+    resolved = (
+        commit_rows.join(
+            F.broadcast(probes), F.col("commit_ts") <= F.col("probe_ts")
+        )
+        .groupBy("probe")
+        .agg(F.max("version").alias("version"))
+        .collect()  # O(probes): 3 rows, the version map the reads need
+    )
+
+    with open(os.path.join(log_dir, "_last_checkpoint")) as f:
+        n = _json.loads(f.read())["version"]
+    ckpt_state = spark.read.parquet(ckpt_path).select(
+        F.lit(n).cast("bigint").alias("version"),
+        "path",
+        F.lit(True).alias("is_add"),
+    )
+
+    out = None
+    for r in sorted(resolved, key=lambda x: x["version"]):
+        label, m = r["probe"], r["version"]
+        if m >= n:  # checkpoint + O(m-n) constructed tail paths
+            tail_paths = [
+                os.path.join(log_dir, f"{v:020d}.json") for v in range(n + 1, m + 1)
+            ]
+            state = ckpt_state
+        else:  # version predates the checkpoint: replay commits 0..m
+            tail_paths = [
+                os.path.join(log_dir, f"{v:020d}.json") for v in range(m + 1)
+            ]
+            state = None
+        if tail_paths:
+            replay = (
+                spark.read.schema(action_schema)
+                .json(tail_paths)
+                .select(
+                    F.regexp_extract(
+                        F.col("_metadata.file_path"), r"(\d{20})\.json$", 1
+                    )
+                    .cast("bigint")
+                    .alias("version"),
+                    F.coalesce(F.col("add.path"), F.col("remove.path")).alias("path"),
+                    F.col("add.path").isNotNull().alias("is_add"),
+                )
+                .filter(F.col("path").isNotNull())
+            )
+            state = replay if state is None else state.unionByName(replay)
+        live = (
+            state.groupBy("path")
+            .agg(F.max_by("is_add", F.struct("version", "is_add")).alias("live"))
+            .filter(F.col("live"))
+        )
+        paths = [os.path.join(tbl, r2["path"]) for r2 in live.collect()]  # O(files)
+        agg = (
+            spark.read.parquet(*paths)
+            .agg(
+                F.count_distinct(F.col("_metadata.file_path"))
+                .cast("bigint")
+                .alias("n_files"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(F.col("price").cast("decimal(38,6)"))
+                .cast("double")
+                .alias("sum_total"),
+            )
+            .select(
+                F.lit(label).alias("probe"),
+                F.lit(m).cast("bigint").alias("version"),
+                F.lit(len(tail_paths)).cast("bigint").alias("n_commits_replayed"),
+                "n_files",
+                "n_rows",
+                "sum_total",
+            )
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out

@@ -861,6 +861,11 @@ _KEY_RANK: dict[str, int] = {
     # backlog-freeze placement — behind the 142-key driver backlog.
     "scan_delta_checkpoint": 10,
     "fn_avro_schema_evolution": 10,
+    # Round-11 additions (r10 verdict item 2 stretch): rank 10, behind
+    # the 96-key driver backlog — freeze lifted but additions stay
+    # under the ~48/round burn rate so the backlog shrinks.
+    "scan_delta_time_travel_ts": 10,
+    "fn_avro_union_nullable": 10,
 }
 
 

@@ -1,6 +1,6 @@
 """Meta-test: every ok-flag oracle key must name its backing invariant.
 
-36 registry keys carrying 51 flag columns (approximate/sketch/model/
+37 registry keys carrying 52 flag columns (approximate/sketch/model/
 engine-specific ops — counts derived from ``_okflag_keys()``) use the
 documented exact-anchor + ok-flag oracle contract: the exactly
 recomputable columns are value-hashed against DuckDB, while the
@@ -50,6 +50,10 @@ BACKING: dict[str, tuple[str, str]] = {
     "fn_avro_schema_evolution": (
         "test_round10_ops.py",
         "test_avro_schema_evolution_matches_python_reference",
+    ),
+    "fn_avro_union_nullable": (
+        "test_round11_ops.py",
+        "test_avro_union_nullable_matches_python_encoder",
     ),
     "fn_avro_wire": ("test_round8_ops.py", "test_avro_zigzag_varint_boundaries"),
     "fn_protobuf_wire": ("test_round7_ops.py", "test_protobuf_wire_varint_boundaries"),
