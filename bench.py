@@ -125,6 +125,9 @@ def main() -> None:
         # Round-10 additions, same discipline.
         "scan_delta_checkpoint",
         "fn_avro_schema_evolution",
+        # Round-11 additions, same discipline.
+        "scan_delta_time_travel_ts",
+        "fn_avro_union_nullable",
     )
     NO_WARMUP = {"graph_hits"}
     # Interleaved warm→measure per key, with a GC fence between keys:
