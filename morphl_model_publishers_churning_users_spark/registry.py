@@ -200,9 +200,26 @@ def register(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Quer
 # with tag 11 (expect the 2 canaries ml_label/mm_features re-tagged +
 # ~48 first-touch ts_/win_ keys from the backlog head), keep _REVERIFY
 # empty unless a green key changed post-green, rotate _CANARY to
-# ts_watermark + graph_pagerank per the rotation table. After that
-# fold the never-driver-checked backlog drops to ~48+new: keep the
-# per-round additions small so the backlog burns out by ~r13.
+# ts_watermark + graph_pagerank per the rotation table (r13 next:
+# dq_profile + source_csv). After that fold the never-driver-checked
+# backlog drops to ~50 (offsets 2-51 of the post-fold order — the ts_
+# tail + win_ extras + source/codec keys + the r7-r11 stretch ops);
+# the r12 window takes 48 of them, leaving ~2 for r13 — the backlog
+# burns out by r13 if additions stay ≤2/round. Staged r12 stretch
+# candidates (designs only, NOT registered): (a)
+# scan_delta_partition_values — partition pruning THROUGH the commit
+# log: add actions carry partitionValues (Delta's on-disk shape), a
+# read with a partition predicate prunes files from the LOG FOLD
+# without opening any data file — the mechanism that makes a
+# 100 TB date-partitioned Delta table answer a one-day query with an
+# O(log) plan; prove by asserting the pruned read's
+# DISTINCT _metadata.file_path never touches the out-of-range files.
+# (b) fn_avro_array_blocks — Avro array/map BLOCK encoding (zigzag
+# count-prefixed blocks, 0-count terminator, negative count =
+# size-prefixed fast-skip form), the remaining composite-type piece
+# of the codec story; decode both the positive-count and
+# negative-count wire forms and oracle the element sums + block
+# arithmetic exactly.
 # ROUND-11 MAINTENANCE (APPLIED at r11 start): the 50 CORRECTNESS_r10
 # greens are folded in with tag 10 (48 first-touch + the 2 canary
 # re-touches join_inner_hash/set_union), _REVERIFY stays empty,

@@ -39,18 +39,47 @@ def _stream_events(spark, sf_dir):
 
 def run_available_now(sdf, name_prefix: str, output_mode: str = "complete"):
     """Run a streaming DataFrame to completion into a memory sink and
-    return the result table. AvailableNow = bounded incremental run."""
+    return the result table. AvailableNow = bounded incremental run.
+
+    State-parallelism policy: a streaming query's state partition count
+    is pinned into its checkpoint at first start and is an explicit
+    operational choice — it must NOT blindly inherit a batch-tuned
+    extreme from ``spark.sql.shuffle.partitions``. Measured on this
+    build (r11 config-axis sweep at 2001 partitions): a stream-stream
+    join materializes FOUR state-store instances per partition (8004
+    providers), which trips an HDFSBackedStateStoreProvider tracking
+    race ("ConcurrentHashMap.get(Object) is null" in state tasks) and
+    pushes the memory sink's per-task result envelope past
+    spark.driver.maxResultSize (~1.4 MiB x 2001 tasks > 1 GiB). So when
+    the session arrives with more than max(4x defaultParallelism, 64)
+    shuffle partitions, the streaming run caps state partitioning at
+    that bound and restores the batch setting afterwards — exactly what
+    a production operator does by tuning the streaming job separately.
+    Results are partition-count-independent (config-axis matrix), so
+    the cap is semantics-preserving by construction; at default confs
+    the branch never engages and the query plan is byte-identical.
+    """
     spark = sdf.sparkSession
     name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", scratch_dir(f"ckpt_{name}"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    conf_key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(conf_key)
+    cap = max(4 * spark.sparkContext.defaultParallelism, 64)
+    capped = prev is not None and prev.isdigit() and int(prev) > cap
+    if capped:
+        spark.conf.set(conf_key, str(cap))
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", scratch_dir(f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if capped:
+            spark.conf.set(conf_key, prev)
     return spark.table(name)
 
 

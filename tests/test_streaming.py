@@ -58,3 +58,27 @@ def test_entry_smoke(spark):
 
     df = E.entry(spark)
     assert df.count() > 0
+
+
+def test_stream_state_partition_cap_preserves_results_and_restores_conf(spark, sf_dir):
+    """The r11 state-parallelism policy: a session arriving with an
+    extreme batch-tuned spark.sql.shuffle.partitions must not leak it
+    into streaming state partitioning (measured at 2001: a
+    stream-stream join's 4 state stores/partition trip a provider
+    tracking race and the memory sink's task-result envelope exceeds
+    maxResultSize). The capped run must produce IDENTICAL results to
+    the default-conf run, and the batch setting must be restored after
+    the bounded stream ends."""
+    from morphl_model_publishers_churning_users_spark.registry import get_queries
+
+    q = get_queries()["ts_watermark"]  # stateful windowed aggregate
+    conf_key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(conf_key)
+    base = sorted(map(tuple, q(spark, sf_dir).collect()))
+    try:
+        spark.conf.set(conf_key, "3000")
+        capped = sorted(map(tuple, q(spark, sf_dir).collect()))
+        assert spark.conf.get(conf_key) == "3000"  # batch conf restored
+    finally:
+        spark.conf.set(conf_key, prev)
+    assert capped == base
