@@ -196,17 +196,19 @@ def register(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Quer
 # r9 window = graph_hits + 2 canaries + the next ~47 rank-9 keys in
 # dict-insertion order (the ts_ forecasting/stats wave head, dq_
 # remainder, fn_ wire/codec tail).
-# ROUND-12 PRE-STAGED MAINTENANCE: fold the CORRECTNESS_r11 greens in
-# with tag 11 (expect the 2 canaries ml_label/mm_features re-tagged +
-# ~48 first-touch ts_/win_ keys from the backlog head), keep _REVERIFY
-# empty unless a green key changed post-green, rotate _CANARY to
-# ts_watermark + graph_pagerank per the rotation table (r13 next:
-# dq_profile + source_csv). After that fold the never-driver-checked
-# backlog drops to ~50 (offsets 2-51 of the post-fold order — the ts_
-# tail + win_ extras + source/codec keys + the r7-r11 stretch ops);
-# the r12 window takes 48 of them, leaving ~2 for r13 — the backlog
-# burns out by r13 if additions stay ≤2/round. Staged r12 stretch
-# candidates (designs only, NOT registered): (a)
+# ROUND-12 MAINTENANCE (APPLIED at r12 start): CORRECTNESS_r11 came
+# back 50/50 hash-green — exactly the staged window (canaries
+# ml_label/mm_features re-tagged 11 + 48 first-touch ts_ keys, listed
+# in the tag-11 block below). _REVERIFY stays empty (no green key was
+# changed post-green in r11); _CANARY rotated to ts_watermark +
+# graph_pagerank per the rotation table (r13 next: dq_profile +
+# source_csv). Post-fold never-driver-checked backlog = 50 (offsets
+# 2-51 of the post-fold order — the r7-r11 stretch ops, fn_ codec
+# extras, scan_delta/iceberg, source extras, win extras, udf/udtf
+# extras); the r12 window takes 48 of them, leaving ~2(+r12 adds) for
+# r13 — the backlog burns out by r13 if additions stay ≤2/round.
+# Staged r12 stretch candidates (designs below; see the landed
+# markers next to each once registered): (a)
 # scan_delta_partition_values — partition pruning THROUGH the commit
 # log: add actions carry partitionValues (Delta's on-disk shape), a
 # read with a partition predicate prunes files from the LOG FOLD
@@ -340,7 +342,9 @@ _VERIFIED_ROUND: dict[str, int] = {
     "udf_pandas": 9,  # r9 canary re-touch
     "udf_grouped_map": 4, "udf_grouped_agg": 4,
     "udtf_python": 4, "udf_arrow": 4, "udf_cogrouped_map": 4, "udf_python_arrow": 4,
-    "mm_features": 4, "mm_framesample": 4, "mm_resize": 4, "ml_label": 4,
+    "mm_features": 11,  # r11 canary re-touch
+    "mm_framesample": 4, "mm_resize": 4,
+    "ml_label": 11,  # r11 canary re-touch
         # --- round 5 greens (CORRECTNESS_r05: 50/50 hash-green; the 2
         # canaries llm_dedup_fuzzy/join_star were already listed above) ---
     "llm_mixture_balance": 5, "llm_winnow_fingerprint": 5, "llm_embed_quantize": 5,
@@ -455,6 +459,27 @@ _VERIFIED_ROUND: dict[str, int] = {
     "ts_max_drawdown": 10, "ts_sessions_per_user": 10, "ts_days_to_return": 10,
     "ts_attribution_linear": 10, "ts_rank_mobility": 10, "ts_hurst_rs": 10,
     "ts_cadence_break": 10, "ts_haar_energy": 10,
+        # --- round 11 greens (CORRECTNESS_r11: 50/50 hash-green — the 2
+        # canaries ml_label/mm_features re-tagged above + 48 first-touch
+        # ts_ keys, exactly the staged window) ---
+    "ts_weekday_anova": 11, "ts_out_of_order_audit": 11, "ts_session_adaptive": 11,
+    "ts_top_paths": 11, "ts_stickiness": 11, "ts_growth_accounting": 11,
+    "ts_markov_stationary": 11, "ts_gap_burstiness": 11, "ts_lateness_quantiles": 11,
+    "ts_event_study": 11, "ts_slo_burn_rate": 11, "ts_demand_classification": 11,
+    "ts_extreme_value_gumbel": 11, "ts_intervention_its": 11,
+    "ts_poisson_rate_ratio": 11, "ts_runs_test": 11, "ts_seasonality_strength": 11,
+    "ts_bitemporal_asof": 11, "ts_croston_forecast": 11, "ts_lag_correlation": 11,
+    "ts_dtw_distance": 11, "ts_milestone_snapshot": 11, "ts_retention_curve_fit": 11,
+    "ts_mann_kendall": 11, "ts_theil_sen": 11, "ts_ljung_box": 11,
+    "ts_spc_control_chart": 11, "ts_safety_stock": 11, "ts_var_cvar": 11,
+    "ts_kalman_level": 11, "ts_bass_diffusion": 11, "ts_granger_causality": 11,
+    "ts_pot_gpd_tail": 11, "ts_kendall_tau": 11, "ts_cointegration_eg": 11,
+    "ts_matrix_profile": 11, "ts_littles_law_audit": 11,
+    "ts_binseg_changepoints": 11, "ts_synth_control_1nn": 11,
+    "ts_peak_prominence": 11, "ts_haar_denoise": 11, "ts_pacf_durbin": 11,
+    "ts_ar2_yule_walker": 11, "ts_anderson_darling": 11, "ts_chain_ladder": 11,
+    "ts_absorbing_markov": 11, "ts_markov_entropy_rate": 11,
+    "ts_spectral_entropy": 11,
 }
 
 DRIVER_VERIFIED: frozenset[str] = frozenset(_VERIFIED_ROUND)
@@ -470,8 +495,8 @@ _REVERIFY: tuple[str, ...] = ()
 # (56 never-checked keys compete for ~50 slots; every canary slot displaces a
 # first-touch verification — r4 verdict item 1).
 _CANARY: tuple[str, ...] = (
-    "ml_label",     # ml family (r4 green — 7 rounds untouched)
-    "mm_features",  # multimodal family (r4 green — 7 rounds untouched)
+    "ts_watermark",    # streaming family (r5 green — 6 rounds untouched)
+    "graph_pagerank",  # graph family (r6 green — 5 rounds untouched)
 )
 
 # Round-5 window priority: the 13 round-4 llm/mm additions first (the
