@@ -1479,7 +1479,7 @@ WITH msg AS (
     FROM msg
 )
 SELECT o_orderkey, o_orderpriority AS priority, cents AS total_cents,
-       CAST(1 + lk + 2 + LENGTH(o_orderpriority) + 1 + lc AS BIGINT) AS msg_len,
+       CAST(1 + lk + 2 + STRLEN(o_orderpriority) + 1 + lc AS BIGINT) AS msg_len,
        TRUE AS roundtrip_ok
 FROM vlen
 """,
@@ -1526,7 +1526,7 @@ def fn_protobuf_wire(spark, sf_dir):
             _pb_byte(F.lit(0x08)),
             _pb_varint(F.col("key_in")),
             _pb_byte(F.lit(0x12)),
-            _pb_byte(F.length("pri_in")),
+            _pb_byte(F.octet_length("pri_in")),  # proto string len = bytes
             F.col("pri_in").cast("binary"),
             _pb_byte(F.lit(0x18)),
             _pb_varint(F.col("cents_in")),
@@ -1688,7 +1688,7 @@ WITH msg AS (
     FROM zz
 )
 SELECT o_orderkey, o_orderpriority AS priority, delta AS cents_delta,
-       CAST(lk + 1 + LENGTH(o_orderpriority) + ld AS BIGINT) AS msg_len,
+       CAST(lk + 1 + STRLEN(o_orderpriority) + ld AS BIGINT) AS msg_len,
        TRUE AS roundtrip_ok
 FROM vlen
 """,
@@ -1743,7 +1743,8 @@ def fn_avro_wire(spark, sf_dir):
         "delta_in",
         F.concat(
             _pb_varint_u64(_avro_zigzag(F.col("key_in"))),
-            _pb_varint_u64(_avro_zigzag(F.length("pri_in").cast("bigint"))),
+            # byte length per the Avro spec (octet_length, not char count)
+            _pb_varint_u64(_avro_zigzag(F.octet_length("pri_in").cast("bigint"))),
             F.col("pri_in").cast("binary"),
             _pb_varint_u64(_avro_zigzag(F.col("delta_in"))),
         ).alias("payload"),
@@ -1845,7 +1846,7 @@ def _avro_container_frames(spark, sf_dir):
         "delta",
         F.concat(
             _pb_varint_u64(_avro_zigzag(F.col("key"))),
-            _pb_varint_u64(_avro_zigzag(F.length("pri").cast("bigint"))),
+            _pb_varint_u64(_avro_zigzag(F.octet_length("pri").cast("bigint"))),
             F.col("pri").cast("binary"),
             _pb_varint_u64(_avro_zigzag(F.col("delta"))),
         ).alias("rec"),
@@ -1912,7 +1913,7 @@ WITH msg AS (
 ), zz AS (
     SELECT ym, o_orderkey,
            o_orderkey * 2 AS zk,
-           LENGTH(o_orderpriority) AS plen,
+           STRLEN(o_orderpriority) AS plen,
            CASE WHEN delta >= 0 THEN delta * 2 ELSE delta * -2 - 1 END AS zd
     FROM msg
 ), rec AS (
@@ -2087,7 +2088,8 @@ def fn_avro_schema_evolution(spark, sf_dir):
         "delta_in",
         F.concat(
             _pb_varint_u64(_avro_zigzag(F.col("key_in"))),
-            _pb_varint_u64(_avro_zigzag(F.length("pri_in").cast("bigint"))),
+            # byte length per the Avro spec (octet_length, not char count)
+            _pb_varint_u64(_avro_zigzag(F.octet_length("pri_in").cast("bigint"))),
             F.col("pri_in").cast("binary"),
             _pb_varint_u64(_avro_zigzag(F.col("delta_in"))),
         ).alias("payload"),
@@ -2140,13 +2142,13 @@ WITH msg AS (
            CASE WHEN delta IS NULL THEN NULL
                 WHEN delta >= 0 THEN delta * 2 ELSE delta * -2 - 1 END AS zd,
            CASE WHEN pri IS NULL THEN NULL
-                ELSE LENGTH(pri) * 2 END AS zs
+                ELSE STRLEN(pri) * 2 END AS zs  -- byte length per Avro spec
     FROM msg
 )
 SELECT o_orderkey, pri AS priority, delta AS cents_delta,
        CAST({_ocf_vlen_sql('zk')}
             + 1 + CASE WHEN zs IS NULL THEN 0
-                       ELSE {_ocf_vlen_sql('zs')} + LENGTH(pri) END
+                       ELSE {_ocf_vlen_sql('zs')} + STRLEN(pri) END
             + 1 + CASE WHEN zd IS NULL THEN 0
                        ELSE {_ocf_vlen_sql('zd')} END
             AS BIGINT) AS msg_len,
@@ -2204,7 +2206,12 @@ def fn_avro_union_nullable(spark, sf_dir):
             F.when(F.col("pri_in").isNull(), null_branch).otherwise(
                 F.concat(
                     some_branch,
-                    _pb_varint_u64(_avro_zigzag(F.length("pri_in").cast("bigint"))),
+                    # Avro string length is the BYTE length (octet_length),
+                    # not the character count — they differ on non-ASCII
+                    # priorities (r11 ADVICE; ASCII fixture can't tell).
+                    _pb_varint_u64(
+                        _avro_zigzag(F.octet_length("pri_in").cast("bigint"))
+                    ),
                     F.col("pri_in").cast("binary"),
                 )
             ),

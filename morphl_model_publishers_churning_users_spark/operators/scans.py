@@ -1931,6 +1931,14 @@ def scan_delta_time_travel_ts(spark, sf_dir):
         at_v2     exactly t2 -> v2 (boundary: `<=` keeps the commit)
         after_v3  t3 + 1h   -> v3 (after the last commit)
 
+    Contract notes (r11 ADVICE): a probe BEFORE commit 0 fails loudly
+    (asserted below) rather than silently vanishing from the inner
+    join; the after-latest probe resolving to the latest version
+    models the in-commit-timestamp / canReturnLastCommit variant —
+    DEFAULT Delta instead raises a temporally-unstable-input error
+    for timestamps past the last commit and resolves by commit-file
+    modification time rather than commitInfo.timestamp.
+
     Resolution is one pass over the O(commits) commitInfo rows: a
     3-row probe spine range-joined (ts <= probe) + max(version) per
     probe — at 100 TB the log is thousands of rows, never the data.
@@ -2087,6 +2095,20 @@ def scan_delta_time_travel_ts(spark, sf_dir):
         .agg(F.max("version").alias("version"))
         .collect()  # O(probes): 3 rows, the version map the reads need
     )
+    # The inner join drops any probe earlier than commit 0 — that would
+    # silently shrink the output, so fail loudly instead (r11 ADVICE).
+    # A probe AFTER the latest commit resolves to the latest version;
+    # that models Delta's in-commit-timestamp / canReturnLastCommit
+    # variant — default Delta raises a temporally-unstable-input error
+    # there and resolves by commit-FILE modification time unless
+    # in-commit timestamps are enabled.
+    if len(resolved) != probes.count():
+        missing = {r["probe"] for r in probes.collect()} - {
+            r["probe"] for r in resolved
+        }
+        raise ValueError(
+            f"time-travel probes before the first commit: {sorted(missing)}"
+        )
 
     with open(os.path.join(log_dir, "_last_checkpoint")) as f:
         n = _json.loads(f.read())["version"]

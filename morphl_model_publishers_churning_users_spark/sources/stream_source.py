@@ -58,6 +58,16 @@ def run_available_now(sdf, name_prefix: str, output_mode: str = "complete"):
     Results are partition-count-independent (config-axis matrix), so
     the cap is semantics-preserving by construction; at default confs
     the branch never engages and the query plan is byte-identical.
+
+    Concurrency caveat (r11 ADVICE): the cap mutates the session-global
+    conf around the stream, so a BATCH query planned concurrently in
+    the same session during awaitTermination would silently pick up the
+    capped value. Fine for this serial op harness; if concurrent batch
+    planning ever appears, scope the cap via ``spark.newSession()`` (a
+    cloned session shares the catalog but owns its conf). Note also
+    that ``prev.isdigit()`` deliberately skips the cap for any
+    non-plain-integer conf value (e.g. whitespace, "auto") — safe but
+    silent.
     """
     spark = sdf.sparkSession
     name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"

@@ -118,9 +118,16 @@ def test_avro_union_nullable_matches_python_encoder(spark, sf_dir):
     must agree row-for-row with the independent Python encoder: null
     priority iff key % 3 == 0, null delta iff key % 5 == 0, a null
     field costing exactly one 0x00 branch byte."""
+    # orderBy before limit: an unordered limit is nondeterministic, so a
+    # partitioning change could drop a null-combination from the sample
+    # (r11 ADVICE); the lowest 300 keys deterministically cover all four
+    # key%3 x key%5 combinations.
     out = {
         r["o_orderkey"]: r
-        for r in _Q["fn_avro_union_nullable"](spark, sf_dir).limit(300).collect()
+        for r in _Q["fn_avro_union_nullable"](spark, sf_dir)
+        .orderBy("o_orderkey")
+        .limit(300)
+        .collect()
     }
     assert out and all(r["union_ok"] for r in out.values())
     # the sample must actually exercise all four null combinations
