@@ -2270,3 +2270,235 @@ def fn_avro_union_nullable(spark, sf_dir):
             & (end_pos - F.lit(1) == F.length("payload"))
         ).alias("union_ok"),
     )
+
+
+@register(
+    "fn_avro_array_blocks",
+    oracle=f"""
+WITH li AS (
+    SELECT CAST(l_orderkey AS BIGINT) AS okey,
+           CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) - 5000000 AS val,
+           ROW_NUMBER() OVER (
+               PARTITION BY l_orderkey ORDER BY l_linenumber, val
+           ) AS rn
+    FROM lineitem
+), z AS (
+    SELECT okey, rn, val,
+           CASE WHEN val >= 0 THEN val * 2 ELSE val * -2 - 1 END AS zv
+    FROM li
+), per AS (
+    SELECT okey,
+           COUNT(*) AS n,
+           CAST(SUM(val) AS BIGINT) AS sum_vals,
+           CAST(SUM(CASE WHEN rn <= 2
+                         THEN {_ocf_vlen_sql('zv')} ELSE 0 END) AS BIGINT)
+               AS b1len,
+           CAST(SUM(CASE WHEN rn > 2
+                         THEN {_ocf_vlen_sql('zv')} ELSE 0 END) AS BIGINT)
+               AS b2len
+    FROM z GROUP BY okey
+), fr AS (
+    SELECT okey, n, sum_vals, b1len, b2len,
+           okey * 2 AS zk,
+           LEAST(n, 2) * 2 AS zc1,
+           (n - 2) * 2 - 1 AS zneg,
+           b2len * 2 AS zbs
+    FROM per
+)
+SELECT okey AS o_orderkey,
+       CAST(n AS BIGINT) AS n_items,
+       sum_vals,
+       CAST(CASE WHEN n > 2 THEN 2 ELSE 1 END AS BIGINT) AS n_blocks,
+       CASE WHEN n > 2 THEN b2len ELSE NULL END AS block2_size,
+       CAST({_ocf_vlen_sql('zk')} + {_ocf_vlen_sql('zc1')} + b1len
+            + CASE WHEN n > 2
+                   THEN {_ocf_vlen_sql('zneg')} + {_ocf_vlen_sql('zbs')} + b2len
+                   ELSE 0 END
+            + 1 AS BIGINT) AS wire_len,
+       TRUE AS blocks_ok
+FROM fr
+""",
+)
+def fn_avro_array_blocks(spark, sf_dir):
+    """Avro composite BLOCK encoding for arrays (r11 staged stretch) —
+    the remaining composite-type piece of the codec story. Spec: an
+    array is a SERIES of blocks; each block is a zigzag-varint item
+    COUNT followed by that many item encodings, and a zero count
+    terminates the array. A NEGATIVE count is the fast-skip form: its
+    absolute value is the item count and it is followed immediately by
+    a zigzag-varint byte SIZE of the block, letting a reader skip the
+    whole block without decoding any item — the property that makes
+    huge Avro arrays scannable.
+
+    Schema: ``record{{key: long, vals: array<long>}}`` with vals =
+    per-order lineitem price deltas (cents - 5,000,000 — multi-limb
+    varints of both signs), ordered by (l_linenumber, val) — the
+    fixture's l_linenumber is NOT unique per order, so the oracle's
+    ROW_NUMBER and the engine's array_sort agree on the same total
+    order (equal (linenumber, val) pairs are interchangeable for every
+    output). Encode emits BOTH wire forms deliberately: block 1
+    carries the first min(n, 2) items with a POSITIVE count; the
+    remaining n-2 items (UNBOUNDED — no per-order line cap is assumed)
+    form block 2 in the NEGATIVE-count size-prefixed form; then the
+    0x00 terminator.
+
+    Decode walks the wire positionally with the 10-limb varint ladder.
+    The item walks are higher-order-function FOLDS over the payload —
+    ``F.aggregate(sequence(1, count), (cursor, sum), step)`` — one
+    varint ladder instantiated once per block and executed count
+    times, so the generated code stays small (an unrolled per-item
+    ladder chain tripped janino's 64 KB method limit) and the decode
+    handles ANY block length, the shape that survives 100 TB arrays.
+    The block arithmetic is proven three ways: (1) the FAST-SKIP jump
+    — cursor-after-size + block2_size must land exactly on the
+    terminator byte, i.e. the size prefix alone skips the block; (2)
+    the ITEM WALK — folding block 2's items one varint at a time must
+    consume exactly block2_size bytes (the two paths agree); (3)
+    TILING — the terminator must be the last payload byte. The oracle
+    recomputes counts, sums, per-item varint lengths (byte lengths,
+    octet-exact), and total wire length from the same zigzag +
+    limb-ladder arithmetic, so a count sign, size prefix, or
+    terminator error flips the hash."""
+    enc_item = lambda x: _pb_varint_u64(_avro_zigzag(x))
+    items = (
+        t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").cast("bigint").alias("key_in"),
+            "l_linenumber",
+            (
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+                - 5000000
+            ).alias("val"),
+        )
+        .groupBy("key_in")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("l_linenumber", "val"))),
+                lambda s: s["val"],
+            ).alias("items")
+        )
+    )
+    empty = F.lit(b"")
+    cat_items = lambda arr: F.aggregate(
+        arr, empty, lambda acc, x: F.concat(acc, enc_item(x))
+    )
+    staged = items.select(
+        "key_in",
+        "items",
+        F.size("items").cast("bigint").alias("n_in"),
+        F.least(F.size("items"), F.lit(2)).cast("bigint").alias("c1_in"),
+        cat_items(F.slice("items", 1, 2)).alias("b1_bytes"),
+        cat_items(
+            F.slice(
+                F.col("items"),
+                F.lit(3),
+                F.greatest(F.size("items") - 2, F.lit(0)),
+            )
+        ).alias("b2_bytes"),
+    )
+    wire = staged.select(
+        "key_in",
+        "items",
+        "n_in",
+        F.concat(
+            enc_item(F.col("key_in")),
+            enc_item(F.col("c1_in")),
+            F.col("b1_bytes"),
+            F.when(
+                F.col("n_in") > 2,
+                F.concat(
+                    # negative count = -(items in block 2)
+                    enc_item(-(F.col("n_in") - F.col("c1_in"))),
+                    # size prefix: BYTE length of the block's items
+                    enc_item(F.octet_length("b2_bytes").cast("bigint")),
+                    F.col("b2_bytes"),
+                ),
+            ).otherwise(empty),
+            _pb_byte(F.lit(0)),  # zero-count terminator block
+        ).alias("payload"),
+    ).localCheckpoint(eager=True)
+
+    def item_fold(start_pos, count):
+        """Fold (cursor, running sum) over `count` consecutive varints
+        starting at byte position `start_pos`; empty when count <= 0."""
+        steps = F.when(count > 0, F.sequence(F.lit(1), count)).otherwise(
+            F.array().cast("array<bigint>")
+        )
+        return F.aggregate(
+            steps,
+            F.struct(
+                start_pos.cast("bigint").alias("pos"),
+                F.lit(0).cast("bigint").alias("s"),
+            ),
+            lambda acc, _: F.struct(
+                (acc["pos"] + _pb_vlen10(acc["pos"])).cast("bigint").alias("pos"),
+                (acc["s"] + _avro_unzigzag(_pb_vval10(acc["pos"])))
+                .cast("bigint")
+                .alias("s"),
+            ),
+        )
+
+    d = wire.withColumn("key_out", _avro_unzigzag(_pb_vval10(F.lit(1))))
+    d = d.withColumn("p_c1", F.lit(1) + _pb_vlen10(F.lit(1)))
+    d = d.withColumn("c1_out", _avro_unzigzag(_pb_vval10(F.col("p_c1"))))
+    d = d.withColumn("q0", F.col("p_c1") + _pb_vlen10(F.col("p_c1")))
+    d = d.localCheckpoint(eager=True)  # positions become leaf columns
+    d = d.withColumn("walk1", item_fold(F.col("q0"), F.col("c1_out")))
+    d = d.withColumn("q_end", F.col("walk1.pos"))
+    d = d.withColumn("sum1", F.col("walk1.s"))
+    d = d.localCheckpoint(eager=True)
+    d = d.withColumn("hdr2", _avro_unzigzag(_pb_vval10(F.col("q_end"))))
+    d = d.withColumn("p_hdr2_end", F.col("q_end") + _pb_vlen10(F.col("q_end")))
+    d = d.withColumn("has_b2", F.col("hdr2") < 0)
+    d = d.withColumn(
+        "c2_out", F.when(F.col("has_b2"), -F.col("hdr2")).otherwise(F.lit(0))
+    )
+    d = d.withColumn(
+        "bsize_out",
+        F.when(F.col("has_b2"), _avro_unzigzag(_pb_vval10(F.col("p_hdr2_end")))),
+    )
+    d = d.withColumn(
+        "r0",
+        F.when(
+            F.col("has_b2"), F.col("p_hdr2_end") + _pb_vlen10(F.col("p_hdr2_end"))
+        ).otherwise(F.col("q_end")),
+    )
+    d = d.localCheckpoint(eager=True)
+    d = d.withColumn("walk2", item_fold(F.col("r0"), F.col("c2_out")))
+    # terminator position: fast-skip jump when block 2 exists, else
+    # directly after block 1 (hdr2 itself was the 0-count terminator)
+    d = d.withColumn(
+        "term_pos",
+        F.when(F.col("has_b2"), F.col("r0") + F.col("bsize_out")).otherwise(
+            F.col("q_end")
+        ),
+    )
+    decoded_sum = F.col("sum1") + F.col("walk2.s")
+    input_sum = F.aggregate(
+        F.col("items"), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+    return d.select(
+        F.col("key_out").alias("o_orderkey"),
+        (F.col("c1_out") + F.col("c2_out")).cast("bigint").alias("n_items"),
+        decoded_sum.cast("bigint").alias("sum_vals"),
+        F.when(F.col("has_b2"), F.lit(2)).otherwise(F.lit(1))
+        .cast("bigint")
+        .alias("n_blocks"),
+        F.col("bsize_out").cast("bigint").alias("block2_size"),
+        F.octet_length("payload").cast("bigint").alias("wire_len"),
+        (
+            (F.col("key_out") == F.col("key_in"))
+            & (F.col("c1_out") + F.col("c2_out") == F.col("n_in"))
+            & (decoded_sum == input_sum)
+            # (1) fast-skip: size prefix alone must land on the terminator
+            & (_pb_u8(F.col("term_pos")) == 0)
+            # (3) tiling: the terminator is the last payload byte
+            & (F.col("term_pos") == F.octet_length("payload"))
+            # (2) item walk == fast-skip jump: folding block 2 item by
+            # item must consume exactly block2_size bytes
+            & F.when(
+                F.col("has_b2"),
+                F.col("walk2.pos") == F.col("r0") + F.col("bsize_out"),
+            ).otherwise(F.col("hdr2") == 0)
+        ).alias("blocks_ok"),
+    )

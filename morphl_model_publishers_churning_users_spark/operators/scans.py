@@ -2175,3 +2175,206 @@ def scan_delta_time_travel_ts(spark, sf_dir):
         )
         out = agg if out is None else out.unionByName(agg)
     return out
+
+
+@register(
+    "scan_delta_partition_values",
+    oracle="""
+WITH o AS (
+    SELECT o_orderkey, ROUND(o_totalprice, 6) AS price,
+           CAST(year(o_orderdate) AS INT) AS y
+    FROM orders
+), sel AS (
+    SELECT * FROM o
+    WHERE y = 1997 OR (y = 1998 AND o_orderkey % 2 = 1)
+)
+SELECT y AS o_year,
+       CAST(1 AS BIGINT) AS n_files,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE) AS sum_total,
+       CAST(7 AS BIGINT) AS n_live_total,
+       CAST(2 AS BIGINT) AS n_files_pruned,
+       TRUE AS pruned_ok
+FROM sel
+GROUP BY y
+""",
+)
+def scan_delta_partition_values(spark, sf_dir):
+    """Partition pruning THROUGH the Delta commit-log fold (r11 staged
+    stretch) — the mechanism that lets a 100 TB date-partitioned Delta
+    table answer a one-day query with an O(log) plan: every `add`
+    action carries a ``partitionValues`` string map (Delta's on-disk
+    shape), so a reader with a partition predicate selects files from
+    the FOLDED LOG STATE — pure metadata, O(live files) — and never
+    opens a single out-of-range data file.
+
+    Fixture: orders partitioned by o_year = year(o_orderdate)
+    (1995..2001, 7 partitions), written with ``partitionBy`` so the
+    data files OMIT the partition column exactly like Delta (the
+    reader must reconstruct it from partitionValues). Three commits
+    exercise fold x pruning together:
+
+        v0  WRITE: one file per year, but 1998 holds only EVEN
+            o_orderkey (7 adds, each with partitionValues {o_year: y})
+        v1  APPEND: the 1998 ODD-key file (1 add -> 1998 has 2 files)
+        v2  DELETE: remove of v0's 1998 even-key file -> live is back
+            to 7 files and 1998's content is the odd keys only
+
+    The read then prunes ``o_year BETWEEN 1997 AND 1998`` from the
+    fold: 2 files out of 7 live. The partition column is reconstructed
+    by joining each scanned row's ``_metadata.file_path`` to the
+    pruned (path -> o_year) map — a broadcast of O(pruned files) rows,
+    exactly how Delta injects partition columns at scan time.
+    ``pruned_ok`` asserts, row-for-row in the result: every scanned
+    file is in the pruned map (no unmapped file), NO scanned file is
+    one of the 5 out-of-range live files (the staged design's DISTINCT
+    _metadata.file_path claim), the pruned set is exactly 2 files, and
+    the pre-pruning live fold saw exactly 7. Content (per-year counts
+    + DECIMAL(38,6) sums) hash-matches the oracle's recomputation with
+    the same predicate INCLUDING the v2 delete's key%2 slice — a fold
+    error, a pruning leak, or a wrong partition map flips the hash."""
+    import json as _json
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round("o_totalprice", 6).alias("price"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    )
+    tbl = scratch_dir("delta_partition_values_table")
+    log_dir = os.path.join(tbl, "_delta_log")
+    shutil.rmtree(log_dir, ignore_errors=True)
+    os.makedirs(log_dir)
+
+    def write_partitioned(df, sub):
+        """partitionBy write (data files OMIT o_year, like Delta);
+        returns {year: relative_path} — one file per year by
+        construction (repartition by the partition key first)."""
+        path = os.path.join(tbl, "data", sub)
+        df.repartition("o_year").write.mode("overwrite").partitionBy(
+            "o_year"
+        ).parquet(path)
+        rows = (
+            spark.read.parquet(path)
+            .select(F.col("_metadata.file_path").alias("p"))
+            .distinct()
+            .collect()  # O(files): 7 at most
+        )
+        out = {}
+        for r in rows:
+            rel = os.path.relpath(r["p"].removeprefix("file:"), tbl)
+            year = int(re.search(r"o_year=(\d+)", rel).group(1))
+            if year in out:
+                raise AssertionError(
+                    f"scan_delta_partition_values fixture: partition "
+                    f"o_year={year} in {sub} produced more than one file"
+                )
+            out[year] = rel
+        return out
+
+    v0_files = write_partitioned(
+        o.filter(
+            (F.col("o_year") != 1998) | (F.col("o_orderkey") % 2 == 0)
+        ),
+        "v0",
+    )
+    v1_files = write_partitioned(
+        o.filter((F.col("o_year") == 1998) & (F.col("o_orderkey") % 2 == 1)),
+        "v1",
+    )
+    if sorted(v0_files) != list(range(1995, 2002)) or sorted(v1_files) != [1998]:
+        raise AssertionError(
+            f"scan_delta_partition_values fixture: expected years 1995..2001 "
+            f"in v0 and only 1998 in v1, got {sorted(v0_files)} / "
+            f"{sorted(v1_files)} — fixture data drifted from the hardcoded "
+            f"partition oracle"
+        )
+
+    def add(rel, year):
+        return {
+            "add": {
+                "path": rel,
+                "partitionValues": {"o_year": str(year)},
+                "size": os.path.getsize(os.path.join(tbl, rel)),
+                "dataChange": True,
+            }
+        }
+
+    commits = {
+        0: [{"commitInfo": {"operation": "WRITE"}}]
+        + [add(rel, y) for y, rel in sorted(v0_files.items())],
+        1: [{"commitInfo": {"operation": "APPEND"}}, add(v1_files[1998], 1998)],
+        2: [
+            {"commitInfo": {"operation": "DELETE"}},
+            {"remove": {"path": v0_files[1998], "dataChange": True}},
+        ],
+    }
+    for v, actions in commits.items():  # O(commits) driver writes
+        with open(os.path.join(log_dir, f"{v:020d}.json"), "w") as f:
+            f.write("\n".join(_json.dumps(a) for a in actions) + "\n")
+
+    # --- fold the log ONCE (last-action-wins per path), carrying the
+    # partitionValues map: O(actions) metadata, zero data-file reads.
+    action_schema = (
+        "add struct<path:string,partitionValues:map<string,string>,"
+        "size:bigint,dataChange:boolean>, "
+        "remove struct<path:string,dataChange:boolean>, "
+        "commitInfo struct<operation:string>"
+    )
+    live = (
+        spark.read.schema(action_schema)
+        .json(log_dir)
+        .select(
+            F.regexp_extract(F.col("_metadata.file_path"), r"(\d{20})\.json$", 1)
+            .cast("bigint")
+            .alias("version"),
+            F.coalesce(F.col("add.path"), F.col("remove.path")).alias("path"),
+            F.col("add.path").isNotNull().alias("is_add"),
+            F.col("add.partitionValues")["o_year"].alias("pv_year"),
+        )
+        .filter(F.col("path").isNotNull())
+        .groupBy("path")
+        .agg(
+            F.max_by("is_add", "version").alias("live"),
+            # partitionValues are immutable per path and present only on
+            # the add row — max over (year, null-from-remove) recovers it
+            F.max("pv_year").cast("int").alias("o_year"),
+        )
+        .filter(F.col("live"))
+        .select("path", "o_year")
+    )
+    live_rows = live.collect()  # O(live files): 7
+    pruned = [r for r in live_rows if 1997 <= r["o_year"] <= 1998]
+    out_of_range = [r for r in live_rows if not 1997 <= r["o_year"] <= 1998]
+    n_live_total, n_pruned = len(live_rows), len(pruned)
+
+    # --- the pruned read: ONLY the in-range files are opened. Partition
+    # column reconstructed via a broadcast (file uri -> o_year) map.
+    uri = lambda rel: "file:" + os.path.join(tbl, rel)
+    pruned_map = spark.createDataFrame(
+        [(uri(r["path"]), r["o_year"]) for r in pruned], "fp string, o_year int"
+    )
+    out_uris = [uri(r["path"]) for r in out_of_range]
+    scanned = (
+        spark.read.parquet(*[os.path.join(tbl, r["path"]) for r in pruned])
+        .select(
+            "o_orderkey",
+            "price",
+            F.col("_metadata.file_path").alias("fp"),
+        )
+        .join(F.broadcast(pruned_map), "fp", "left")
+    )
+    return scanned.groupBy("o_year").agg(
+        F.count_distinct("fp").cast("bigint").alias("n_files"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("price").cast("decimal(38,6)")).cast("double").alias("sum_total"),
+        F.lit(n_live_total).cast("bigint").alias("n_live_total"),
+        F.lit(n_pruned).cast("bigint").alias("n_files_pruned"),
+        (
+            # every scanned file resolved through the pruned map ...
+            (F.sum(F.when(F.col("o_year").isNull(), 1).otherwise(0)) == 0)
+            # ... and NONE of them is an out-of-range live file
+            & (F.max(F.col("fp").isin(out_uris).cast("int")) == 0)
+            & F.lit(n_pruned == 2)
+            & F.lit(n_live_total == 7)
+        ).alias("pruned_ok"),
+    )

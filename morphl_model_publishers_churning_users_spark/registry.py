@@ -207,8 +207,11 @@ def register(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Quer
 # extras, scan_delta/iceberg, source extras, win extras, udf/udtf
 # extras); the r12 window takes 48 of them, leaving ~2(+r12 adds) for
 # r13 — the backlog burns out by r13 if additions stay ≤2/round.
-# Staged r12 stretch candidates (designs below; see the landed
-# markers next to each once registered): (a)
+# R12 stretch pair BOTH LANDED (scan_delta_partition_values at
+# operators/scans.py, fn_avro_array_blocks at functions/scalar.py;
+# exact oracles + pure-Python spec references in test_round12_ops.py,
+# verified at sf0.001/0.01/0.1 + bare driver-shaped session, rank 11,
+# registry now 566 keys). Original staged designs: (a)
 # scan_delta_partition_values — partition pruning THROUGH the commit
 # log: add actions carry partitionValues (Delta's on-disk shape), a
 # read with a partition predicate prunes files from the LOG FOLD
@@ -908,6 +911,11 @@ _KEY_RANK: dict[str, int] = {
     # under the ~48/round burn rate so the backlog shrinks.
     "scan_delta_time_travel_ts": 10,
     "fn_avro_union_nullable": 10,
+    # Round-12 additions (r11 verdict item 3 stretch): rank 11 — behind
+    # the remaining 50-key backlog AND the rank-10 stretch wave, so the
+    # r12 window burns first-touch keys before re-checking these.
+    "scan_delta_partition_values": 11,
+    "fn_avro_array_blocks": 11,
 }
 
 

@@ -55,6 +55,14 @@ BACKING: dict[str, tuple[str, str]] = {
         "test_round11_ops.py",
         "test_avro_union_nullable_matches_python_encoder",
     ),
+    "fn_avro_array_blocks": (
+        "test_round12_ops.py",
+        "test_array_blocks_matches_python_encoder",
+    ),
+    "scan_delta_partition_values": (
+        "test_round12_ops.py",
+        "test_partition_pruning_never_opens_out_of_range_files",
+    ),
     "fn_avro_wire": ("test_round8_ops.py", "test_avro_zigzag_varint_boundaries"),
     "fn_protobuf_wire": ("test_round7_ops.py", "test_protobuf_wire_varint_boundaries"),
     "llm_compression_filter": (
