@@ -128,6 +128,9 @@ def main() -> None:
         # Round-11 additions, same discipline.
         "scan_delta_time_travel_ts",
         "fn_avro_union_nullable",
+        # Round-12 additions, same discipline.
+        "scan_delta_partition_values",
+        "fn_avro_array_blocks",
     )
     NO_WARMUP = {"graph_hits"}
     # Interleaved warm→measure per key, with a GC fence between keys:

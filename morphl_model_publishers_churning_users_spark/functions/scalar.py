@@ -2349,6 +2349,13 @@ def fn_avro_array_blocks(spark, sf_dir):
     times, so the generated code stays small (an unrolled per-item
     ladder chain tripped janino's 64 KB method limit) and the decode
     handles ANY block length, the shape that survives 100 TB arrays.
+    Unlike the sibling codecs, the decode is NOT checkpoint-staged:
+    with folds the position trees stay shallow (walk1 re-substitutes
+    at most ~4x with c1 <= 2 elements), and the measured r12 A/B at
+    sf0.1 has the single post-encode checkpoint fastest — min-of-5
+    8.19 s vs 8.98 s (3 ckpts) vs 10.50 s (4 ckpts). Only the encode
+    checkpoint is load-bearing (it stops every _pb_u8 from inlining
+    the whole encode expression).
     The block arithmetic is proven three ways: (1) the FAST-SKIP jump
     — cursor-after-size + block2_size must land exactly on the
     terminator byte, i.e. the size prefix alone skips the block; (2)
@@ -2442,11 +2449,9 @@ def fn_avro_array_blocks(spark, sf_dir):
     d = d.withColumn("p_c1", F.lit(1) + _pb_vlen10(F.lit(1)))
     d = d.withColumn("c1_out", _avro_unzigzag(_pb_vval10(F.col("p_c1"))))
     d = d.withColumn("q0", F.col("p_c1") + _pb_vlen10(F.col("p_c1")))
-    d = d.localCheckpoint(eager=True)  # positions become leaf columns
     d = d.withColumn("walk1", item_fold(F.col("q0"), F.col("c1_out")))
     d = d.withColumn("q_end", F.col("walk1.pos"))
     d = d.withColumn("sum1", F.col("walk1.s"))
-    d = d.localCheckpoint(eager=True)
     d = d.withColumn("hdr2", _avro_unzigzag(_pb_vval10(F.col("q_end"))))
     d = d.withColumn("p_hdr2_end", F.col("q_end") + _pb_vlen10(F.col("q_end")))
     d = d.withColumn("has_b2", F.col("hdr2") < 0)
@@ -2463,7 +2468,6 @@ def fn_avro_array_blocks(spark, sf_dir):
             F.col("has_b2"), F.col("p_hdr2_end") + _pb_vlen10(F.col("p_hdr2_end"))
         ).otherwise(F.col("q_end")),
     )
-    d = d.localCheckpoint(eager=True)
     d = d.withColumn("walk2", item_fold(F.col("r0"), F.col("c2_out")))
     # terminator position: fast-skip jump when block 2 exists, else
     # directly after block 1 (hdr2 itself was the 0-count terminator)

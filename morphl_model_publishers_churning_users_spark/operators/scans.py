@@ -2079,14 +2079,12 @@ def scan_delta_time_travel_ts(spark, sf_dir):
             F.col("commitInfo.timestamp").alias("commit_ts"),
         )
     )
-    probes = spark.createDataFrame(
-        [
-            ("mid_v0", t0 + day // 2),
-            ("at_v2", commit_ts[2]),
-            ("after_v3", commit_ts[3] + 3600000),
-        ],
-        "probe string, probe_ts bigint",
-    )
+    probe_rows = [
+        ("mid_v0", t0 + day // 2),
+        ("at_v2", commit_ts[2]),
+        ("after_v3", commit_ts[3] + 3600000),
+    ]
+    probes = spark.createDataFrame(probe_rows, "probe string, probe_ts bigint")
     resolved = (
         commit_rows.join(
             F.broadcast(probes), F.col("commit_ts") <= F.col("probe_ts")
@@ -2102,10 +2100,8 @@ def scan_delta_time_travel_ts(spark, sf_dir):
     # variant — default Delta raises a temporally-unstable-input error
     # there and resolves by commit-FILE modification time unless
     # in-commit timestamps are enabled.
-    if len(resolved) != probes.count():
-        missing = {r["probe"] for r in probes.collect()} - {
-            r["probe"] for r in resolved
-        }
+    if len(resolved) != len(probe_rows):  # driver-side list: no extra job
+        missing = {p for p, _ in probe_rows} - {r["probe"] for r in resolved}
         raise ValueError(
             f"time-travel probes before the first commit: {sorted(missing)}"
         )
