@@ -196,6 +196,29 @@ def register(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Quer
 # r9 window = graph_hits + 2 canaries + the next ~47 rank-9 keys in
 # dict-insertion order (the ts_ forecasting/stats wave head, dq_
 # remainder, fn_ wire/codec tail).
+# ROUND-13 PRE-STAGED MAINTENANCE: fold the CORRECTNESS_r12 greens in
+# with tag 12 (expect the 2 canaries ts_watermark/graph_pagerank
+# re-tagged + ~48 first-touch keys from the backlog head: the fn_
+# codec/wire extras, scan_delta_*/scan_iceberg_snapshot, source format
+# extras, win extras, udf/udtf extras and the ts stats tail), keep
+# _REVERIFY empty unless a green key changed post-green, rotate
+# _CANARY to dq_profile + source_csv per the rotation table (r14
+# next: fn_string + ts_tumbling). After that fold the
+# never-driver-checked backlog is ~4 (the r12 leftovers incl. the two
+# r12 stretch ops at rank 11) — the r13 window retires ALL of them
+# and cumulative driver coverage reaches 566/566; from r14 on, spare
+# window slots auto-rotate to oldest-checked keys (the _driver_rank
+# (99, round) tail), giving every key a second driver touch over
+# time. R13 stretch candidates (designs only, NOT registered):
+# (a) scan_delta_deletion_vectors — Delta deletion-vector emulation:
+# a remove-free DELETE writes a DV sidecar (bitmap of dead row
+# indices) referenced from the add action; the reader filters via
+# _metadata.row_index anti-join against the broadcast DV — the modern
+# Delta MERGE/DELETE fast path that avoids rewriting 100 TB of
+# parquet for a 0.1% delete. (b) fn_avro_map_blocks — the map<string,
+# long> sibling of fn_avro_array_blocks (key-value pairs inside the
+# same block framing, sharing the fold decode), completing the Avro
+# composite story.
 # ROUND-12 MAINTENANCE (APPLIED at r12 start): CORRECTNESS_r11 came
 # back 50/50 hash-green — exactly the staged window (canaries
 # ml_label/mm_features re-tagged 11 + 48 first-touch ts_ keys, listed
