@@ -292,3 +292,71 @@ def test_array_blocks_fast_skip_decodes_standalone(spark, sf_dir):
         term, pos = read_varint(wire, pos)
         assert term == 0 and pos == len(wire)
     assert multi > 0  # the sample exercised the fast-skip form
+
+
+def test_array_blocks_adversarial_domain(spark, tmp_path):
+    """Boundary coverage the TPC-H fixture cannot reach: values whose
+    zigzag crosses into the 9- and 10-limb varint forms (>= 2^62, the
+    uint64-in-signed-carrier wrap), the n=1 / n=2 / n=3 block-split
+    boundaries, a 20-item order (18-item negative-count block), and
+    duplicate (l_linenumber, val) ties. Runs the REAL operator against
+    a crafted lineitem.parquet and grades it with the pure-Python spec
+    encoder fed the Spark-computed values."""
+    rows = []
+
+    def order(key, prices):
+        for i, p in enumerate(prices):
+            rows.append((key, (i % 3) + 1, p))  # duplicate linenumbers
+
+    order(1, [4.0e16])            # val ~4e18: 9-limb zigzag
+    order(2, [5.0e16])            # val ~5e18 > 2^62: zigzag wraps -> 10-limb
+    order(3, [0.0])               # val = -5_000_000: negative, multi-limb
+    order(4, [10.0, 20.0])        # n=2 boundary: single block, no fast-skip
+    order(5, [10.0, 20.0, 30.0])  # n=3: minimal 1-item negative block
+    order(6, [float(100 + 7 * i) for i in range(20)])  # 18-item block 2
+    order(7, [50.0, 50.0, 50.0, 50.0])  # exact (linenumber, val) ties
+
+    sf_dir = str(tmp_path / "adversarial_sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        rows, "l_orderkey bigint, l_linenumber int, l_extendedprice double"
+    ).coalesce(1).write.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+
+    out = {
+        r["o_orderkey"]: r
+        for r in _Q["fn_avro_array_blocks"](spark, sf_dir).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5, 6, 7}
+    assert all(r["blocks_ok"] for r in out.values()), {
+        k: r["blocks_ok"] for k, r in out.items()
+    }
+
+    # grade wire lengths/sums against the spec encoder on the SAME
+    # Spark-computed values (floor(price*100+0.5) - 5e6, sorted like
+    # the operator sorts)
+    vals = (
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+                - 5000000
+            ).alias("val"),
+        )
+        .collect()
+    )
+    per: dict[int, list] = {}
+    for r in vals:
+        per.setdefault(r["l_orderkey"], []).append((r["l_linenumber"], r["val"]))
+    for k, pairs in per.items():
+        arr = [v for _, v in sorted(pairs)]
+        wire = _py_avro_array_blocks(k, arr)
+        got = out[k]
+        assert got["n_items"] == len(arr)
+        assert got["sum_vals"] == sum(arr)
+        assert got["wire_len"] == len(wire), (k, arr)
+        assert got["n_blocks"] == (2 if len(arr) > 2 else 1)
+    # the 10-limb boundary really was exercised
+    assert per[2][0][1] >= 1 << 62
+    assert out[6]["block2_size"] > 18  # 18 items, each >= 1 byte + headers
