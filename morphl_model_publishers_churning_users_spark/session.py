@@ -35,6 +35,14 @@ def build_session(app_name: str = "mpcu-spark", cpus: int | None = None) -> Spar
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # Optional config-axis overrides for test/diagnostic sessions (r12):
+    # SPARK_GRAFT_EXTRA_CONFS="k1=v1;k2=v2" lets the engine-conf'd
+    # pytest suite run under any robustness axis (state-store provider,
+    # serializer, codegen mode, ...) without editing this factory.
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONFS", "")
+    for pair in filter(None, (p.strip() for p in extra.split(";"))):
+        k, _, v = pair.partition("=")
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     ensure_confs(spark)
     return spark
