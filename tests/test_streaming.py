@@ -82,3 +82,52 @@ def test_stream_state_partition_cap_preserves_results_and_restores_conf(spark, s
     finally:
         spark.conf.set(conf_key, prev)
     assert capped == base
+
+
+def test_dedup_state_survives_restart(spark, sf_dir):
+    """Exactly-once ACROSS RESTART: an event processed in run 1 and
+    re-delivered in run 2 (the replayed-upstream case) must still be
+    deduplicated, which requires the dropDuplicates key state to be
+    RESTORED from the checkpoint — not just the file-source progress.
+    Run 1 processes slice A; run 2 sees a full re-delivery of A plus a
+    new slice B against the same checkpoint; the final count must be
+    |A|+|B|, not 2|A|+|B|."""
+    import uuid as _uuid
+
+    run_id = _uuid.uuid4().hex[:8]
+    src = scratch_dir(f"dedup_restart_src_{run_id}")
+    ckpt = scratch_dir(f"dedup_restart_ckpt_{run_id}")
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type")
+    a = ev.filter(F.col("event_type") != "error")
+    b = ev.filter(F.col("event_type") == "error")
+    n_a, n_b = a.count(), b.count()
+    assert n_a > 0 and n_b > 0
+
+    def run(name):
+        schema = spark.read.parquet(src).schema
+        sdf = spark.readStream.schema(schema).format("parquet").load(src)
+        agg = sdf.dropDuplicates(["event_id"]).groupBy().agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name).collect()[0]["n"]
+
+    a.write.mode("overwrite").parquet(src)
+    assert run(f"dedup_r1_{run_id}") == n_a
+
+    # restart: the upstream re-delivers ALL of A (new files, same
+    # event_ids) plus the genuinely-new B
+    a.write.mode("append").parquet(src)
+    b.write.mode("append").parquet(src)
+    assert run(f"dedup_r2_{run_id}") == n_a + n_b  # NOT 2*n_a + n_b
+
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
