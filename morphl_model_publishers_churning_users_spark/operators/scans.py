@@ -20,6 +20,17 @@ from pyspark.sql import Window
 from ..registry import register
 from ._shared import ckpt, scratch_dir, t
 
+# Delta commit-log action schema WITH partitionValues (the on-disk add
+# shape scan_delta_partition_values folds). Module-level so diagnostic
+# scripts (delta_partition_prune_scale_r12.py) share the exact schema
+# instead of drifting on a copy (r12 review).
+DELTA_PV_ACTION_SCHEMA = (
+    "add struct<path:string,partitionValues:map<string,string>,"
+    "size:bigint,dataChange:boolean>, "
+    "remove struct<path:string,dataChange:boolean>, "
+    "commitInfo struct<operation:string>"
+)
+
 
 @register("scan_parquet", oracle="SELECT * FROM lineitem")
 def scan_parquet(spark, sf_dir):
@@ -2310,14 +2321,8 @@ def scan_delta_partition_values(spark, sf_dir):
 
     # --- fold the log ONCE (last-action-wins per path), carrying the
     # partitionValues map: O(actions) metadata, zero data-file reads.
-    action_schema = (
-        "add struct<path:string,partitionValues:map<string,string>,"
-        "size:bigint,dataChange:boolean>, "
-        "remove struct<path:string,dataChange:boolean>, "
-        "commitInfo struct<operation:string>"
-    )
     live = (
-        spark.read.schema(action_schema)
+        spark.read.schema(DELTA_PV_ACTION_SCHEMA)
         .json(log_dir)
         .select(
             F.regexp_extract(F.col("_metadata.file_path"), r"(\d{20})\.json$", 1)

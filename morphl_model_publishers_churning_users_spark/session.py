@@ -41,8 +41,12 @@ def build_session(app_name: str = "mpcu-spark", cpus: int | None = None) -> Spar
     # serializer, codegen mode, ...) without editing this factory.
     extra = os.environ.get("SPARK_GRAFT_EXTRA_CONFS", "")
     for pair in filter(None, (p.strip() for p in extra.split(";"))):
-        k, _, v = pair.partition("=")
-        builder = builder.config(k, v)
+        k, sep, v = pair.partition("=")
+        if not sep or not k.strip():  # malformed pair: fail loudly, a
+            # silently-unapplied axis would record a green sweep for a
+            # configuration that never engaged (r12 review)
+            raise ValueError(f"SPARK_GRAFT_EXTRA_CONFS: malformed pair {pair!r}")
+        builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     ensure_confs(spark)
     return spark

@@ -63,7 +63,10 @@ for mult, n_lines in (("x1", 125_000), ("x4", 500_000), ("x16", 2_000_000)):
             .write.mode("overwrite")
             .parquet(path)
         )
-    # warm (JIT + plan) at the smallest size once per session
+    # warm (JIT + py4j class loading) once per size before timing, so
+    # the x1 per-pass numbers are comparable to x4/x16 (r12 review:
+    # the comment previously claimed a warmup that didn't exist)
+    QUERIES["fn_avro_array_blocks"](spark, sf_dir).count()
     times = []
     for _ in range(3):
         t0 = time.perf_counter()

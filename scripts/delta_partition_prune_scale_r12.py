@@ -48,11 +48,8 @@ spark = (
 spark.sparkContext.setLogLevel("ERROR")
 catalog.ensure_confs(spark)
 
-ACTION_SCHEMA = (
-    "add struct<path:string,partitionValues:map<string,string>,"
-    "size:bigint,dataChange:boolean>, "
-    "remove struct<path:string,dataChange:boolean>, "
-    "commitInfo struct<operation:string>"
+from morphl_model_publishers_churning_users_spark.operators.scans import (
+    DELTA_PV_ACTION_SCHEMA as ACTION_SCHEMA,
 )
 
 

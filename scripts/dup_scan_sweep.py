@@ -52,8 +52,13 @@ for i, (key, fn) in enumerate(registry.QUERIES.items()):
         plan = buf.getvalue()
         # count scan blocks per table directory (Location: ...path])
         per_table: dict[str, int] = {}
+        # the lazy walk must not cross into the NEXT scan block: a scan
+        # printed without a Location line would otherwise merge with its
+        # successor and undercount (r12 review)
         blocks = re.findall(
-            r"^\(\d+\) Scan parquet[^\n]*\n(?:.*\n)*?.*Location:[^\[]*\[([^\]]*)\]",
+            r"^\(\d+\) Scan parquet[^\n]*\n"
+            r"(?:(?!^\(\d+\) Scan parquet).*\n)*?"
+            r".*Location:[^\[]*\[([^\]]*)\]",
             plan,
             re.MULTILINE,
         )

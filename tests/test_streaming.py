@@ -120,14 +120,15 @@ def test_dedup_state_survives_restart(spark, sf_dir):
         q.awaitTermination()
         return spark.table(name).collect()[0]["n"]
 
-    a.write.mode("overwrite").parquet(src)
-    assert run(f"dedup_r1_{run_id}") == n_a
+    try:
+        a.write.mode("overwrite").parquet(src)
+        assert run(f"dedup_r1_{run_id}") == n_a
 
-    # restart: the upstream re-delivers ALL of A (new files, same
-    # event_ids) plus the genuinely-new B
-    a.write.mode("append").parquet(src)
-    b.write.mode("append").parquet(src)
-    assert run(f"dedup_r2_{run_id}") == n_a + n_b  # NOT 2*n_a + n_b
-
-    shutil.rmtree(src, ignore_errors=True)
-    shutil.rmtree(ckpt, ignore_errors=True)
+        # restart: the upstream re-delivers ALL of A (new files, same
+        # event_ids) plus the genuinely-new B
+        a.write.mode("append").parquet(src)
+        b.write.mode("append").parquet(src)
+        assert run(f"dedup_r2_{run_id}") == n_a + n_b  # NOT 2*n_a + n_b
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
