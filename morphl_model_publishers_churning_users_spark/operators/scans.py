@@ -31,6 +31,21 @@ DELTA_PV_ACTION_SCHEMA = (
     "commitInfo struct<operation:string>"
 )
 
+# The plain (no-partitionValues) variant scan_delta_checkpoint folds,
+# and the timestamped variant scan_delta_time_travel_ts resolves over —
+# shared with scripts/delta_checkpoint_scale_r10.py and
+# scripts/delta_time_travel_scale_r11.py for the same no-drift reason.
+DELTA_ACTION_SCHEMA = (
+    "add struct<path:string,size:bigint,dataChange:boolean>, "
+    "remove struct<path:string,dataChange:boolean>, "
+    "commitInfo struct<operation:string>"
+)
+DELTA_TS_ACTION_SCHEMA = (
+    "add struct<path:string,size:bigint,dataChange:boolean>, "
+    "remove struct<path:string,dataChange:boolean>, "
+    "commitInfo struct<operation:string,timestamp:bigint>"
+)
+
 
 @register("scan_parquet", oracle="SELECT * FROM lineitem")
 def scan_parquet(spark, sf_dir):
@@ -1802,11 +1817,7 @@ def scan_delta_checkpoint(spark, sf_dir):
     # live state as parquet + the `_last_checkpoint` pointer. This is
     # the only read of the pre-checkpoint log in the whole op.
     ckpt_version = 2
-    action_schema = (
-        "add struct<path:string,size:bigint,dataChange:boolean>, "
-        "remove struct<path:string,dataChange:boolean>, "
-        "commitInfo struct<operation:string>"
-    )
+    action_schema = DELTA_ACTION_SCHEMA
     pre_paths = [
         os.path.join(log_dir, f"{v:020d}.json") for v in range(ckpt_version + 1)
     ]
@@ -2042,11 +2053,7 @@ def scan_delta_time_travel_ts(spark, sf_dir):
         with open(os.path.join(log_dir, f"{v:020d}.json"), "w") as f:
             f.write("\n".join(_json.dumps(a) for a in actions) + "\n")
 
-    action_schema = (
-        "add struct<path:string,size:bigint,dataChange:boolean>, "
-        "remove struct<path:string,dataChange:boolean>, "
-        "commitInfo struct<operation:string,timestamp:bigint>"
-    )
+    action_schema = DELTA_TS_ACTION_SCHEMA
 
     # Checkpoint WRITER at N=2 (scan_delta_checkpoint's mechanism).
     ckpt_version = 2

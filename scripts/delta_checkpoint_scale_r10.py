@@ -51,10 +51,8 @@ OUT = os.path.join(
 N = 1024
 TAILS = (1, 16, 128, 1024)
 
-ACTION_SCHEMA = (
-    "add struct<path:string,size:bigint,dataChange:boolean>, "
-    "remove struct<path:string,dataChange:boolean>, "
-    "commitInfo struct<operation:string>"
+from morphl_model_publishers_churning_users_spark.operators.scans import (  # noqa: E402
+    DELTA_ACTION_SCHEMA as ACTION_SCHEMA,
 )
 
 

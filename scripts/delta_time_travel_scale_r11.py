@@ -58,10 +58,8 @@ STEP = 60000  # one commit per minute
 CKPT_AT = 767
 READ_VERSIONS = (100, 768, 895, 1023)  # pre-ckpt, tail 1, 128, 256
 
-ACTION_SCHEMA = (
-    "add struct<path:string,size:bigint,dataChange:boolean>, "
-    "remove struct<path:string,dataChange:boolean>, "
-    "commitInfo struct<operation:string,timestamp:bigint>"
+from morphl_model_publishers_churning_users_spark.operators.scans import (  # noqa: E402
+    DELTA_TS_ACTION_SCHEMA as ACTION_SCHEMA,
 )
 
 
