@@ -215,7 +215,18 @@ def register(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Quer
 # indices) referenced from the add action; the reader filters via
 # _metadata.row_index anti-join against the broadcast DV — the modern
 # Delta MERGE/DELETE fast path that avoids rewriting 100 TB of
-# parquet for a 0.1% delete. (b) fn_avro_map_blocks — the map<string,
+# parquet for a 0.1% delete. DE-RISKED at r12 close
+# (scripts/deletion_vector_prototype_r12.py, run at sf0.01 AND
+# sf0.1): (i) _metadata.row_index is stable across independent scans
+# with different projections (0/600k mismatches) — the property the
+# whole mechanism rests on; (ii) the fold-with-DV read path
+# (last-add-wins keeps the deletionVector descriptor, broadcast
+# left_anti on (file_path, row_index)) is EXACT vs a direct
+# filter(NOT pred) under decimal checksums; (iii) the asymmetry is in
+# bytes: sidecar O(deleted) 1.6->4.0 KiB vs rewrite O(table)
+# 0.6->5.9 MiB at 10x data, and the anti-join read overhead is
+# fixed-cost, not per-row (2.74s -> 2.19s at 10x). Build the r13
+# operator on this exact skeleton. (b) fn_avro_map_blocks — the map<string,
 # long> sibling of fn_avro_array_blocks (key-value pairs inside the
 # same block framing, sharing the fold decode), completing the Avro
 # composite story.
