@@ -33,11 +33,13 @@ Record results in SURVEY §6 (round-12 log) and fold the findings into
 the r13 design comment in registry.py.
 """
 
+import io
 import json
 import os
 import shutil
 import sys
 import time
+from contextlib import redirect_stdout
 
 sys.path.insert(0, "/root/repo")
 
@@ -226,7 +228,7 @@ def main():
     assert all(r["dv_card"] is not None for r in live), "v1 re-adds lost their DV"
     live_paths = [os.path.join(tbl, r["path"]) for r in live]
     dv_bc = F.broadcast(spark.read.parquet(dv_dir))
-    read = (
+    dv_filtered = (
         spark.read.parquet(*live_paths)
         .select(
             F.col("_metadata.file_path").alias("fp"),
@@ -235,6 +237,23 @@ def main():
             "price",
         )
         .join(dv_bc, ["fp", "ri"], "left_anti")
+    )
+    # The 100 TB posture: the tombstone filter must be a broadcast
+    # left-anti hash join — zero shuffle of the data side. A plan that
+    # falls back to a sort-merge anti join would shuffle the whole
+    # table to drop 0.1% of it.
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        dv_filtered.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, (
+        "DV filter did not plan as a broadcast left-anti hash join:\n" + plan
+    )
+    assert "SortMergeJoin" not in plan and "Exchange hashpartitioning" not in plan.split(
+        "BroadcastHashJoin"
+    )[0], "data side of the DV filter is being shuffled:\n" + plan
+    read = (
+        dv_filtered
         .agg(
             F.count("*").alias("n"),
             F.sum("l_orderkey").alias("ksum"),
