@@ -203,7 +203,16 @@ def register(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Quer
 # extras, win extras, udf/udtf extras and the ts stats tail), keep
 # _REVERIFY empty unless a green key changed post-green, rotate
 # _CANARY to dq_profile + source_csv per the rotation table (r14
-# next: fn_string + ts_tumbling). After that fold the
+# next: fn_string + ts_tumbling). _REVERIFY determination for the
+# r12 fold, made at r12 close: every r12 product-code change touched
+# only never-driver-checked backlog keys (the fn_ codec family's
+# octet_length fix, the delta scans' schema hoist + probe asserts,
+# the two new rank-11 ops) or session infrastructure (the
+# SPARK_GRAFT_EXTRA_CONFS hook in build_session, the streaming
+# state-partition cap), and the FINAL committed tree re-passed the
+# full registry 566/566 at sf0.01 under defaults AND under the
+# 4-axis hostile combo — so no driver-GREEN key's operator code
+# changed post-green and _REVERIFY stays empty at the r13 fold. After that fold the
 # never-driver-checked backlog is ~4 (the r12 leftovers incl. the two
 # r12 stretch ops at rank 11) — the r13 window retires ALL of them
 # and cumulative driver coverage reaches 566/566; from r14 on, spare
