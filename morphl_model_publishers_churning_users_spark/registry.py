@@ -238,7 +238,20 @@ def register(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Quer
 # operator on this exact skeleton. (b) fn_avro_map_blocks — the map<string,
 # long> sibling of fn_avro_array_blocks (key-value pairs inside the
 # same block framing, sharing the fold decode), completing the Avro
-# composite story.
+# composite story. DE-RISKED at r12 close
+# (scripts/map_blocks_fold_prototype_r12.py): the one genuinely new
+# mechanic — the decode fold's DATA-DEPENDENT cursor advance (zigzag
+# key-length read from the wire, skip vlen+klen bytes, then the
+# value varint) — decodes 500 variable-key wires (key lengths 5..15)
+# with zero desyncs, exact tiling onto the terminator, and
+# byte-for-byte agreement with an independent pure-Python spec
+# decoder. HARD CONSTRAINT found: the map fold MUST be
+# checkpoint-staged between the aggregate and its consumers — the
+# step's key-jump subtree re-substitutes into every value-ladder
+# limb, and un-staged consumers OOM the driver heap at analysis
+# (unlike the array fold, whose fixed-kind elements keep the tree
+# shallow). Build the r13 op with the encode checkpoint AND a
+# post-fold checkpoint.
 # ROUND-12 MAINTENANCE (APPLIED at r12 start): CORRECTNESS_r11 came
 # back 50/50 hash-green — exactly the staged window (canaries
 # ml_label/mm_features re-tagged 11 + 48 first-touch ts_ keys, listed
