@@ -196,7 +196,11 @@ def register(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Quer
 # r9 window = graph_hits + 2 canaries + the next ~47 rank-9 keys in
 # dict-insertion order (the ts_ forecasting/stats wave head, dq_
 # remainder, fn_ wire/codec tail).
-# ROUND-13 PRE-STAGED MAINTENANCE: fold the CORRECTNESS_r12 greens in
+# ROUND-13 MAINTENANCE (APPLIED at r13 start — the fold below landed
+# exactly as pre-staged: CORRECTNESS_r12 came back 50/50 hash-green,
+# the 2 canaries + 48 predicted first-touch keys; tag-12 block added,
+# _CANARY rotated to dq_profile + source_csv, _REVERIFY empty per the
+# recorded r12-close determination): fold the CORRECTNESS_r12 greens in
 # with tag 12 (expect the 2 canaries ts_watermark/graph_pagerank
 # re-tagged + ~48 first-touch keys from the backlog head: the fn_
 # codec/wire extras, scan_delta_*/scan_iceberg_snapshot, source format
@@ -412,7 +416,8 @@ _VERIFIED_ROUND: dict[str, int] = {
     "llm_rank_fusion": 5, "llm_bm25": 5, "mm_phash_dedup": 5, "mm_caption_align": 5,
     "ml_features": 5, "ml_split": 5, "ml_train": 5, "ml_eval": 5, "ml_infer": 5,
     "ml_crossval": 5, "ml_kmeans_segment": 5, "ml_rf": 5, "ml_pca_embed": 5,
-    "ml_calibration_bins": 5, "source_stream": 5, "ts_watermark": 5,
+    "ml_calibration_bins": 5, "source_stream": 5,
+    "ts_watermark": 12,  # r12 canary re-touch
     "ts_dedup_stream": 5, "ts_stateful": 5, "ts_incremental": 5,
     "ts_session_stream": 5, "ts_stream_join": 5, "sink_stream_upsert": 5,
     "ts_stream_stream_join": 5, "agg_cube": 5, "dq_expectations": 5,
@@ -429,7 +434,9 @@ _VERIFIED_ROUND: dict[str, int] = {
     "join_range_bucketed": 6, "join_hint_shuffle_hash": 6,
     "join_interval_overlap": 6, "agg_countmin": 6, "agg_bloom": 6,
     "agg_skew_kurtosis": 6, "graph_degree": 6, "graph_triangles": 6,
-    "graph_cc": 6, "graph_pagerank": 6, "graph_adamic_adar": 6,
+    "graph_cc": 6,
+    "graph_pagerank": 12,  # r12 canary re-touch
+    "graph_adamic_adar": 6,
     "graph_clustering_coeff": 6, "graph_kcore": 6, "join_asof_nearest": 6,
     "llm_dedup_substring": 6, "llm_knn_graph": 6, "llm_zipf_fit": 6,
     "llm_keyword_extract": 6, "llm_token_budget_trim": 6,
@@ -539,13 +546,38 @@ _VERIFIED_ROUND: dict[str, int] = {
     "ts_ar2_yule_walker": 11, "ts_anderson_darling": 11, "ts_chain_ladder": 11,
     "ts_absorbing_markov": 11, "ts_markov_entropy_rate": 11,
     "ts_spectral_entropy": 11,
+        # --- round 12 greens (CORRECTNESS_r12: 50/50 hash-green — the 2
+        # canaries ts_watermark/graph_pagerank re-tagged above + 48
+        # first-touch keys, exactly the staged window: the ts stats tail,
+        # udf/udtf extras, win extras, fn codec/wire extras, source/sink
+        # format extras, and the scan_delta_*/scan_iceberg_snapshot wave) ---
+    "ts_extremal_index": 12, "ts_decompose_whiteness": 12, "ts_max_subarray": 12,
+    "ts_ar_residual_outliers": 12, "ts_price_index_fisher": 12,
+    "ts_revenue_beta": 12, "ts_durbin_watson": 12, "ts_seasonal_indices": 12,
+    "udf_pandas_struct": 12, "udf_window_pandas": 12, "udtf_arrow": 12,
+    "win_rolling_corr": 12, "win_expanding_slope": 12, "win_event_pattern": 12,
+    "win_hampel_filter": 12, "fn_regex": 12, "fn_interval": 12,
+    "fn_collation": 12, "fn_string_extra": 12, "fn_trig": 12,
+    "fn_surrogate_key": 12, "fn_xml": 12, "fn_ipv4_subnet": 12,
+    "fn_binary": 12, "fn_geohash_interleave": 12, "fn_luhn_check": 12,
+    "fn_hash_collision_audit": 12, "fn_uuidv7_roundtrip": 12,
+    "fn_penny_allocation": 12, "fn_haversine": 12, "fn_fiscal_445": 12,
+    "fn_business_days": 12, "sink_csv_quoted": 12, "source_tsv": 12,
+    "source_text_lines": 12, "source_fixed_width": 12,
+    "source_csv_multichar": 12, "source_json_multiline": 12,
+    "ts_stream_sliding": 12, "source_rate_stream": 12, "sink_merge_into": 12,
+    "scan_iceberg_snapshot": 12, "scan_delta_log": 12,
+    "scan_delta_checkpoint": 12, "scan_delta_time_travel_ts": 12,
+    "fn_protobuf_wire": 12, "fn_avro_wire": 12, "fn_avro_container": 12,
 }
 
 DRIVER_VERIFIED: frozenset[str] = frozenset(_VERIFIED_ROUND)
 
 # Keys repaired this round that must re-hash before being trusted again.
-# Round 11: empty — no key was materially changed after its most
-# recent driver green.
+# Round 13: empty — per the r12-close determination recorded in the
+# pre-staged fold notes, every r12 product-code change touched only
+# never-driver-checked backlog keys or session infrastructure, so no
+# driver-GREEN key's operator code changed post-green.
 _REVERIFY: tuple[str, ...] = ()
 
 # Regression canaries: a small rotating sample of already-verified keys kept
@@ -554,8 +586,8 @@ _REVERIFY: tuple[str, ...] = ()
 # (56 never-checked keys compete for ~50 slots; every canary slot displaces a
 # first-touch verification — r4 verdict item 1).
 _CANARY: tuple[str, ...] = (
-    "ts_watermark",    # streaming family (r5 green — 6 rounds untouched)
-    "graph_pagerank",  # graph family (r6 green — 5 rounds untouched)
+    "dq_profile",   # dq family (r2 green — 10 rounds untouched)
+    "source_csv",   # source family (r2 green — 10 rounds untouched)
 )
 
 # Round-5 window priority: the 13 round-4 llm/mm additions first (the
