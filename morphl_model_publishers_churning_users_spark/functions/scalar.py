@@ -2356,6 +2356,14 @@ def fn_avro_array_blocks(spark, sf_dir):
     8.19 s vs 8.98 s (3 ckpts) vs 10.50 s (4 ckpts). Only the encode
     checkpoint is load-bearing (it stops every _pb_u8 from inlining
     the whole encode expression).
+    ORACLE DOMAIN BOUND (r12 advice): the oracle's per-item varint
+    lengths come from ``_ocf_vlen_sql``, a 9-limb ladder — exact for
+    |zigzag| < 2**63, i.e. |val| < 2**62. Fixture vals are cents
+    deltas (|val| ~ 6e6, limbs 1-4), far inside the bound; the 10-limb
+    domain (|val| >= 2**62) is exercised by the ENGINE-side
+    adversarial decode tests, not this oracle. A fixture rescale past
+    2**62 must upgrade the oracle ladder first.
+
     The block arithmetic is proven three ways: (1) the FAST-SKIP jump
     — cursor-after-size + block2_size must land exactly on the
     terminator byte, i.e. the size prefix alone skips the block; (2)

@@ -2362,15 +2362,24 @@ def scan_delta_partition_values(spark, sf_dir):
         [(uri(r["path"]), r["o_year"]) for r in pruned], "fp string, o_year int"
     )
     out_uris = [uri(r["path"]) for r in out_of_range]
-    scanned = (
-        spark.read.parquet(*[os.path.join(tbl, r["path"]) for r in pruned])
-        .select(
-            "o_orderkey",
-            "price",
-            F.col("_metadata.file_path").alias("fp"),
-        )
-        .join(F.broadcast(pruned_map), "fp", "left")
+    pruned_scan = spark.read.parquet(
+        *[os.path.join(tbl, r["path"]) for r in pruned]
+    ).select(
+        "o_orderkey",
+        "price",
+        F.col("_metadata.file_path").alias("fp"),
     )
+    # "Every scanned file resolves through the pruned map" must be
+    # asserted BEFORE the groupBy — a post-group null-o_year sum is
+    # vacuous because unmapped rows land in their own NULL group where
+    # the flag is never evaluated (r12 advice). The distinct-fp set is
+    # O(pruned files) and catches the one real failure mode: a
+    # _metadata.file_path formatting drift vs the constructed uris.
+    scanned_fps = {
+        r["fp"] for r in pruned_scan.select("fp").distinct().collect()
+    }  # O(pruned files): 2
+    map_covers_scan = scanned_fps == {uri(r["path"]) for r in pruned}
+    scanned = pruned_scan.join(F.broadcast(pruned_map), "fp", "left")
     return scanned.groupBy("o_year").agg(
         F.count_distinct("fp").cast("bigint").alias("n_files"),
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
@@ -2378,8 +2387,9 @@ def scan_delta_partition_values(spark, sf_dir):
         F.lit(n_live_total).cast("bigint").alias("n_live_total"),
         F.lit(n_pruned).cast("bigint").alias("n_files_pruned"),
         (
-            # every scanned file resolved through the pruned map ...
-            (F.sum(F.when(F.col("o_year").isNull(), 1).otherwise(0)) == 0)
+            # every scanned file resolved through the pruned map
+            # (driver-side set equality, computed pre-groupBy) ...
+            F.lit(map_covers_scan)
             # ... and NONE of them is an out-of-range live file
             & (F.max(F.col("fp").isin(out_uris).cast("int")) == 0)
             & F.lit(n_pruned == 2)

@@ -40,13 +40,29 @@ def build_session(app_name: str = "mpcu-spark", cpus: int | None = None) -> Spar
     # pytest suite run under any robustness axis (state-store provider,
     # serializer, codegen mode, ...) without editing this factory.
     extra = os.environ.get("SPARK_GRAFT_EXTRA_CONFS", "")
+    requested: dict[str, str] = {}
     for pair in filter(None, (p.strip() for p in extra.split(";"))):
         k, sep, v = pair.partition("=")
         if not sep or not k.strip():  # malformed pair: fail loudly, a
             # silently-unapplied axis would record a green sweep for a
             # configuration that never engaged (r12 review)
             raise ValueError(f"SPARK_GRAFT_EXTRA_CONFS: malformed pair {pair!r}")
+        requested[k.strip()] = v.strip()
         builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
+    # getOrCreate silently ignores builder confs when it returns a
+    # pre-existing session (and static/core confs can never be applied
+    # post-launch) — the OTHER way an axis can record a green sweep
+    # without ever engaging (r12 advice). Read every requested conf
+    # back and fail loudly on a mismatch.
+    for k, v in requested.items():
+        applied = spark.conf.get(k, None)
+        if applied != v:
+            raise RuntimeError(
+                f"SPARK_GRAFT_EXTRA_CONFS: {k}={v!r} was not applied "
+                f"(session reports {applied!r}) — getOrCreate likely "
+                f"returned a pre-existing session; stop it first or set "
+                f"the conf at runtime"
+            )
     ensure_confs(spark)
     return spark
