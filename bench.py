@@ -131,6 +131,9 @@ def main() -> None:
         # Round-12 additions, same discipline.
         "scan_delta_partition_values",
         "fn_avro_array_blocks",
+        # Round-13 additions, same discipline.
+        "scan_delta_deletion_vectors",
+        "fn_avro_map_blocks",
     )
     NO_WARMUP = {"graph_hits"}
     # Interleaved warm→measure per key, with a GC fence between keys:

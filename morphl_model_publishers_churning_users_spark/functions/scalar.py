@@ -2514,3 +2514,264 @@ def fn_avro_array_blocks(spark, sf_dir):
             ).otherwise(F.col("hdr2") == 0)
         ).alias("blocks_ok"),
     )
+
+
+@register(
+    "fn_avro_map_blocks",
+    oracle=f"""
+WITH o AS (
+    SELECT CAST(o_custkey AS BIGINT) AS okey,
+           o_orderpriority AS k,
+           CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) - 15000000 AS v
+    FROM orders
+), e AS (
+    SELECT okey, k, CAST(SUM(v) AS BIGINT) AS v
+    FROM o GROUP BY okey, k
+), r AS (
+    SELECT okey, k, v,
+           ROW_NUMBER() OVER (PARTITION BY okey ORDER BY k) AS rn,
+           STRLEN(k) AS klen,
+           STRLEN(k) * 2 AS zkl,
+           CASE WHEN v >= 0 THEN v * 2 ELSE v * -2 - 1 END AS zv
+    FROM e
+), ent AS (
+    SELECT okey, rn, klen, v,
+           {_ocf_vlen_sql('zkl')} + klen + {_ocf_vlen_sql('zv')} AS elen
+    FROM r
+), per AS (
+    SELECT okey,
+           COUNT(*) AS n,
+           CAST(SUM(klen) AS BIGINT) AS key_bytes,
+           CAST(SUM(v) AS BIGINT) AS sum_vals,
+           CAST(SUM(CASE WHEN rn <= 2 THEN elen ELSE 0 END) AS BIGINT) AS b1len,
+           CAST(SUM(CASE WHEN rn > 2 THEN elen ELSE 0 END) AS BIGINT) AS b2len
+    FROM ent GROUP BY okey
+), fr AS (
+    SELECT okey, n, key_bytes, sum_vals, b1len, b2len,
+           okey * 2 AS zk,
+           LEAST(n, 2) * 2 AS zc1,
+           (n - 2) * 2 - 1 AS zneg,
+           b2len * 2 AS zbs
+    FROM per
+)
+SELECT okey AS o_custkey,
+       CAST(n AS BIGINT) AS n_entries,
+       key_bytes,
+       sum_vals,
+       CAST(CASE WHEN n > 2 THEN 2 ELSE 1 END AS BIGINT) AS n_blocks,
+       CASE WHEN n > 2 THEN b2len ELSE NULL END AS block2_size,
+       CAST({_ocf_vlen_sql('zk')} + {_ocf_vlen_sql('zc1')} + b1len
+            + CASE WHEN n > 2
+                   THEN {_ocf_vlen_sql('zneg')} + {_ocf_vlen_sql('zbs')} + b2len
+                   ELSE 0 END
+            + 1 AS BIGINT) AS wire_len,
+       TRUE AS map_ok
+FROM fr
+""",
+)
+def fn_avro_map_blocks(spark, sf_dir):
+    """Avro composite BLOCK encoding for maps (r12 staged stretch) —
+    the ``map<string,long>`` sibling of ``fn_avro_array_blocks``,
+    completing the Avro composite story. Spec: a map is a series of
+    blocks exactly like an array — zigzag-varint entry COUNT (negative
+    = fast-skip form, followed by the block's byte SIZE), zero count
+    terminates — but each entry is a KEY-VALUE pair: a length-prefixed
+    UTF-8 key (zigzag varint byte length + raw bytes) then the value's
+    zigzag varint.
+
+    Schema ``record{{key: long, attrs: map<string,long>}}`` with attrs
+    = per-customer (o_orderpriority -> cents-delta sum over their
+    orders): 1..5 entries per map, key byte lengths genuinely variable
+    (5 "5-LOW" .. 15 "4-NOT SPECIFIED"), so the decode's cursor
+    advance is DATA-DEPENDENT — the one mechanic the array fold does
+    not have. Entries are sorted by key (unique per customer after the
+    pre-aggregation) so the engine's array_sort and the oracle's
+    ROW_NUMBER agree on the same total order. Both wire forms are
+    emitted deliberately: block 1 = first min(n, 2) entries with a
+    POSITIVE count, the remaining n-2 entries form block 2 in the
+    NEGATIVE-count size-prefixed form, then 0x00.
+
+    Decode folds ``F.aggregate(sequence(1, 2*count), (cursor,
+    key_bytes, value_sum), half_step)`` — TWO half-steps per entry,
+    alternating key/value by index parity, so every varint ladder's
+    argument is the accumulator's plain ``pos`` slot. The naive
+    one-step-per-entry form nests vval10/vlen10 over a cursor that
+    itself contains ladders; that key-jump subtree re-substitutes into
+    every limb of the 10-limb value ladder — the analyzer-blowup the
+    r12 prototype found (scripts/map_blocks_fold_prototype_r12.py),
+    measured at 84-101 s/run even checkpoint-staged. The parity split
+    keeps the step tree as shallow as the array op's, needs NO
+    mid-decode checkpoint staging, and runs in the sibling's band. The
+    variable advance itself was proven exact on 500 variable-key wires
+    (zero desyncs, byte-for-byte agreement with an independent
+    pure-Python spec decoder) by that prototype. Encode keeps the
+    sibling codecs' eager checkpoint.
+
+    Proven the same three ways as the array op: fast-skip jump lands
+    exactly on the terminator, the entry-by-entry walk of block 2
+    consumes exactly block2_size bytes, and the terminator tiles the
+    payload. ORACLE DOMAIN BOUND (r12 advice): per-entry varint
+    lengths use the 9-limb ``_ocf_vlen_sql`` ladder — exact for
+    |val| < 2**62; fixture values are cents deltas (limbs 1-4) and
+    key-length zigzags (1 limb), far inside the bound. A fixture
+    rescale past 2**62 must upgrade the oracle ladder first."""
+    zz = lambda x: _pb_varint_u64(_avro_zigzag(x))
+    entries = (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").cast("bigint").alias("key_in"),
+            F.col("o_orderpriority").alias("k"),
+            (
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+                - 15000000
+            ).alias("v"),
+        )
+        .groupBy("key_in", "k")
+        .agg(F.sum("v").cast("bigint").alias("v"))
+        .groupBy("key_in")
+        .agg(F.sort_array(F.collect_list(F.struct("k", "v"))).alias("es"))
+    )
+    enc_entry = lambda e: F.concat(
+        zz(F.octet_length(e["k"]).cast("bigint")),
+        F.encode(e["k"], "UTF-8"),
+        zz(e["v"]),
+    )
+    empty = F.lit(b"")
+    cat_entries = lambda arr: F.aggregate(
+        arr, empty, lambda acc, e: F.concat(acc, enc_entry(e))
+    )
+    staged = entries.select(
+        "key_in",
+        F.size("es").cast("bigint").alias("n_in"),
+        F.aggregate(
+            "es", F.lit(0).cast("bigint"), lambda a, e: a + F.octet_length(e["k"])
+        ).alias("kb_in"),
+        F.aggregate("es", F.lit(0).cast("bigint"), lambda a, e: a + e["v"]).alias(
+            "vs_in"
+        ),
+        F.least(F.size("es"), F.lit(2)).cast("bigint").alias("c1_in"),
+        cat_entries(F.slice("es", 1, 2)).alias("b1_bytes"),
+        cat_entries(
+            F.slice(F.col("es"), F.lit(3), F.greatest(F.size("es") - 2, F.lit(0)))
+        ).alias("b2_bytes"),
+    )
+    wire = staged.select(
+        "key_in",
+        "n_in",
+        "kb_in",
+        "vs_in",
+        F.concat(
+            zz(F.col("key_in")),
+            zz(F.col("c1_in")),
+            F.col("b1_bytes"),
+            F.when(
+                F.col("n_in") > 2,
+                F.concat(
+                    # negative count = -(entries in block 2)
+                    zz(-(F.col("n_in") - F.col("c1_in"))),
+                    # size prefix: BYTE length of the block's entries
+                    zz(F.octet_length("b2_bytes").cast("bigint")),
+                    F.col("b2_bytes"),
+                ),
+            ).otherwise(empty),
+            _pb_byte(F.lit(0)),  # zero-count terminator block
+        ).alias("payload"),
+    ).localCheckpoint(eager=True)  # the sibling codecs' encode checkpoint
+
+    def entry_fold(start_pos, count):
+        """Fold (cursor, key_byte_total, value_sum) over `count`
+        key-value entries starting at byte `start_pos` — as 2*count
+        HALF-STEPS alternating key/value by index parity, so every
+        varint ladder's argument stays the plain ``pos`` slot (see
+        docstring). A KEY half-step reads zigzag(klen) and jumps its
+        varint's width plus klen raw key bytes — the data-dependent
+        advance; a VALUE half-step decodes the value varint and jumps
+        its width. Empty when count <= 0."""
+        steps = F.when(count > 0, F.sequence(F.lit(1), count * 2)).otherwise(
+            F.array().cast("array<bigint>")
+        )
+
+        def half_step(acc, i):
+            v = _avro_unzigzag(_pb_vval10(acc["pos"]))  # zigzag value at pos
+            w = _pb_vlen10(acc["pos"])  # its byte width
+            is_key = i % 2 == 1
+            zero = F.lit(0).cast("bigint")
+            return F.struct(
+                (acc["pos"] + w + F.when(is_key, v).otherwise(zero))
+                .cast("bigint")
+                .alias("pos"),
+                (acc["kb"] + F.when(is_key, v).otherwise(zero))
+                .cast("bigint")
+                .alias("kb"),
+                (acc["s"] + F.when(is_key, zero).otherwise(v))
+                .cast("bigint")
+                .alias("s"),
+            )
+
+        return F.aggregate(
+            steps,
+            F.struct(
+                start_pos.cast("bigint").alias("pos"),
+                F.lit(0).cast("bigint").alias("kb"),
+                F.lit(0).cast("bigint").alias("s"),
+            ),
+            half_step,
+        )
+
+    d = wire.withColumn("key_out", _avro_unzigzag(_pb_vval10(F.lit(1))))
+    d = d.withColumn("p_c1", F.lit(1) + _pb_vlen10(F.lit(1)))
+    d = d.withColumn("c1_out", _avro_unzigzag(_pb_vval10(F.col("p_c1"))))
+    d = d.withColumn("q0", F.col("p_c1") + _pb_vlen10(F.col("p_c1")))
+    d = d.withColumn("walk1", entry_fold(F.col("q0"), F.col("c1_out")))
+    d = d.withColumn("q_end", F.col("walk1.pos"))
+    d = d.withColumn("hdr2", _avro_unzigzag(_pb_vval10(F.col("q_end"))))
+    d = d.withColumn("p_hdr2_end", F.col("q_end") + _pb_vlen10(F.col("q_end")))
+    d = d.withColumn("has_b2", F.col("hdr2") < 0)
+    d = d.withColumn(
+        "c2_out", F.when(F.col("has_b2"), -F.col("hdr2")).otherwise(F.lit(0))
+    )
+    d = d.withColumn(
+        "bsize_out",
+        F.when(F.col("has_b2"), _avro_unzigzag(_pb_vval10(F.col("p_hdr2_end")))),
+    )
+    d = d.withColumn(
+        "r0",
+        F.when(
+            F.col("has_b2"), F.col("p_hdr2_end") + _pb_vlen10(F.col("p_hdr2_end"))
+        ).otherwise(F.col("q_end")),
+    )
+    d = d.withColumn("walk2", entry_fold(F.col("r0"), F.col("c2_out")))
+    d = d.withColumn(
+        "term_pos",
+        F.when(F.col("has_b2"), F.col("r0") + F.col("bsize_out")).otherwise(
+            F.col("q_end")
+        ),
+    )
+    return d.select(
+        F.col("key_out").alias("o_custkey"),
+        (F.col("c1_out") + F.col("c2_out")).cast("bigint").alias("n_entries"),
+        (F.col("walk1.kb") + F.col("walk2.kb")).cast("bigint").alias("key_bytes"),
+        (F.col("walk1.s") + F.col("walk2.s")).cast("bigint").alias("sum_vals"),
+        F.when(F.col("has_b2"), F.lit(2))
+        .otherwise(F.lit(1))
+        .cast("bigint")
+        .alias("n_blocks"),
+        F.col("bsize_out").cast("bigint").alias("block2_size"),
+        F.octet_length("payload").cast("bigint").alias("wire_len"),
+        (
+            (F.col("key_out") == F.col("key_in"))
+            & (F.col("c1_out") + F.col("c2_out") == F.col("n_in"))
+            & (F.col("walk1.kb") + F.col("walk2.kb") == F.col("kb_in"))
+            & (F.col("walk1.s") + F.col("walk2.s") == F.col("vs_in"))
+            # (1) fast-skip: size prefix alone must land on the terminator
+            & (_pb_u8(F.col("term_pos")) == 0)
+            # (3) tiling: the terminator is the last payload byte
+            & (F.col("term_pos") == F.octet_length("payload"))
+            # (2) entry walk == fast-skip jump: folding block 2 entry by
+            # entry must consume exactly block2_size bytes
+            & F.when(
+                F.col("has_b2"),
+                F.col("walk2.pos") == F.col("r0") + F.col("bsize_out"),
+            ).otherwise(F.col("hdr2") == 0)
+        ).alias("map_ok"),
+    )

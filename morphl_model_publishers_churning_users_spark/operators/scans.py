@@ -2396,3 +2396,218 @@ def scan_delta_partition_values(spark, sf_dir):
             & F.lit(n_live_total == 7)
         ).alias("pruned_ok"),
     )
+
+
+# Action schema for the deletion-vector read path: a re-`add` may carry
+# a deletionVector descriptor (Delta's DV shape: storageType 'u' =
+# path-referenced sidecar; cardinality = tombstones in THIS file).
+DELTA_DV_ACTION_SCHEMA = (
+    "add struct<path:string,size:bigint,dataChange:boolean,"
+    "deletionVector:struct<storageType:string,pathOrInlineDv:string,"
+    "cardinality:bigint>>, "
+    "remove struct<path:string,dataChange:boolean>, "
+    "commitInfo struct<operation:string>"
+)
+
+
+@register(
+    "scan_delta_deletion_vectors",
+    oracle="""
+WITH li AS (
+    SELECT l_orderkey, l_returnflag,
+           ROUND(l_extendedprice, 6) AS price
+    FROM lineitem
+), dead AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS c FROM li WHERE l_orderkey % 997 = 0
+)
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
+       CAST(8 AS BIGINT) AS n_live_files,
+       (SELECT c FROM dead) AS dv_cardinality,
+       TRUE AS dv_ok
+FROM li
+WHERE l_orderkey % 997 <> 0
+GROUP BY l_returnflag
+""",
+)
+def scan_delta_deletion_vectors(spark, sf_dir):
+    """Deletion-vector read path through the Delta commit-log fold (r12
+    staged stretch) — the modern MERGE/DELETE fast path: deleting 0.1%
+    of a 100 TB table writes a tiny O(deleted) sidecar of
+    (file, row_index) tombstones referenced from re-``add``ed actions,
+    instead of rewriting every touched parquet file; the reader drops
+    dead rows with a LEFT ANTI join of ``_metadata.row_index`` against
+    the BROADCAST sidecar — zero shuffle of the data side.
+
+    Fixture (the exact skeleton proven by
+    ``scripts/deletion_vector_prototype_r12.py``):
+
+        v0  WRITE: lineitem as 8 data files (8 adds)
+        v1  DELETE: rows with l_orderkey % 997 == 0 (~0.1%) die; the
+            sidecar parquet holds their (file_path, row_index) pairs
+            and every touched file is RE-ADDED (dataChange=false)
+            carrying a deletionVector descriptor with its per-file
+            cardinality — untouched files keep their v0 add.
+
+    The read folds the log once (last-add-wins per path, O(actions)
+    metadata), keeps each live file's DV descriptor, reads the live
+    files WITH ``_metadata`` columns, and anti-joins the broadcast
+    sidecar restricted to descriptor-carrying files (a file re-added
+    WITHOUT a DV must keep all its rows even if stale tombstones
+    exist). The r12 prototype proved the three load-bearing facts at
+    sf0.01 AND sf0.1: (file_path, row_index) is STABLE across
+    independent scans with different projections (0/600k mismatches —
+    what makes cross-scan tombstones land on the right rows), the read
+    is EXACT vs a direct ``filter(NOT pred)`` under decimal checksums,
+    and the byte asymmetry is real (KiB sidecar vs MiB rewrite, read
+    overhead fixed-cost not per-row: 2.74s -> 2.19s at 10x data).
+
+    ``dv_ok`` is non-vacuous (r12 advice discipline): driver-side it
+    asserts descriptor-cardinality total == sidecar row count
+    (O(deleted) count job), 8 live files in the fold, and every
+    descriptor names the sidecar; row-side the per-group sum of
+    surviving dead-key rows is checked in EVERY returnflag group (a
+    leaked tombstone row lands in a real group, not a NULL group).
+    The oracle recomputes counts, DECIMAL(38,6) sums, and the dead-row
+    cardinality from the same predicate, so a fold error, a dropped
+    tombstone, or a DV applied to the wrong file flips the hash."""
+    import json as _json
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        F.round("l_extendedprice", 6).alias("price"),
+    )
+    tbl = scratch_dir("delta_deletion_vectors_table")
+    log_dir = os.path.join(tbl, "_delta_log")
+    shutil.rmtree(tbl, ignore_errors=True)
+    os.makedirs(log_dir)
+
+    # ---- v0 WRITE: 8 data files + their add actions -----------------
+    data0 = os.path.join(tbl, "data", "v0")
+    li.repartition(8).write.mode("overwrite").parquet(data0)
+    files0 = sorted(
+        os.path.join("data", "v0", f)
+        for f in os.listdir(data0)
+        if f.endswith(".parquet")
+    )
+    actions0 = [{"commitInfo": {"operation": "WRITE"}}] + [
+        {
+            "add": {
+                "path": rel,
+                "size": os.path.getsize(os.path.join(tbl, rel)),
+                "dataChange": True,
+            }
+        }
+        for rel in files0
+    ]
+    with open(os.path.join(log_dir, f"{0:020d}.json"), "w") as f:
+        f.write("\n".join(_json.dumps(a) for a in actions0) + "\n")
+
+    # ---- v1 DELETE: write the DV sidecar + re-add touched files -----
+    dv_dir = os.path.join(tbl, "dv")
+    dead = (
+        spark.read.parquet(data0)
+        .select(
+            F.col("_metadata.file_path").alias("fp"),
+            F.col("_metadata.row_index").alias("ri"),
+            "l_orderkey",
+        )
+        .filter(F.col("l_orderkey") % 997 == 0)
+        .select("fp", "ri")
+    )
+    dead.coalesce(1).write.mode("overwrite").parquet(dv_dir)
+    sidecar = spark.read.parquet(dv_dir)
+    per_file = {
+        r["fp"]: r["n"]
+        for r in sidecar.groupBy("fp").agg(F.count("*").alias("n")).collect()
+    }  # O(touched files) driver rows: <= 8
+    actions1 = [{"commitInfo": {"operation": "DELETE"}}]
+    for rel in files0:
+        abs_fp = "file:" + os.path.join(tbl, rel)
+        if abs_fp in per_file:  # re-add same bytes, now carrying a DV
+            actions1.append(
+                {
+                    "add": {
+                        "path": rel,
+                        "size": os.path.getsize(os.path.join(tbl, rel)),
+                        "dataChange": False,
+                        "deletionVector": {
+                            "storageType": "u",
+                            "pathOrInlineDv": "dv",
+                            "cardinality": per_file[abs_fp],
+                        },
+                    }
+                }
+            )
+    with open(os.path.join(log_dir, f"{1:020d}.json"), "w") as f:
+        f.write("\n".join(_json.dumps(a) for a in actions1) + "\n")
+
+    # ---- fold the log ONCE: last-add-wins carrying the DV -----------
+    live = (
+        spark.read.schema(DELTA_DV_ACTION_SCHEMA)
+        .json(log_dir)
+        .select(
+            F.regexp_extract(F.col("_metadata.file_path"), r"(\d{20})\.json$", 1)
+            .cast("bigint")
+            .alias("version"),
+            "add",
+            "remove",
+        )
+        .filter(F.col("add").isNotNull() | F.col("remove").isNotNull())
+        .groupBy(F.coalesce("add.path", "remove.path").alias("path"))
+        .agg(
+            F.max_by(
+                F.struct(
+                    F.col("add").isNotNull().alias("is_add"),
+                    F.col("add.deletionVector.pathOrInlineDv").alias("dv_path"),
+                    F.col("add.deletionVector.cardinality").alias("dv_card"),
+                ),
+                F.struct("version", F.col("add").isNotNull().alias("is_add")),
+            ).alias("last")
+        )
+        .filter(F.col("last.is_add"))
+        .select("path", "last.dv_path", "last.dv_card")
+        .collect()
+    )  # O(live files): 8 — a real Delta client does driver-side log replay
+    dv_files = [r for r in live if r["dv_card"] is not None]
+    card_total = sum(r["dv_card"] for r in dv_files)
+    sidecar_rows = sidecar.count()  # O(deleted) sidecar count job
+    dv_ok_meta = (
+        len(live) == 8
+        and card_total == sidecar_rows
+        and len(dv_files) == len(per_file)
+        and all(r["dv_path"] == "dv" for r in dv_files)
+    )
+
+    # ---- the DV read: broadcast anti-join restricted to DV'd files --
+    uri = lambda rel: "file:" + os.path.join(tbl, rel)
+    dv_uris = [uri(r["path"]) for r in dv_files]
+    tombstones = F.broadcast(sidecar.filter(F.col("fp").isin(dv_uris)))
+    surviving = (
+        spark.read.parquet(*[os.path.join(tbl, r["path"]) for r in live])
+        .select(
+            F.col("_metadata.file_path").alias("fp"),
+            F.col("_metadata.row_index").alias("ri"),
+            "l_orderkey",
+            "l_returnflag",
+            "price",
+        )
+        .join(tombstones, ["fp", "ri"], "left_anti")
+    )
+    return surviving.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("price").cast("decimal(38,6)")).cast("double").alias("sum_price"),
+        F.lit(len(live)).cast("bigint").alias("n_live_files"),
+        F.lit(card_total).cast("bigint").alias("dv_cardinality"),
+        (
+            F.lit(dv_ok_meta)
+            # no tombstoned key survives — evaluated inside EVERY real
+            # returnflag group (leaked rows cannot hide in a NULL group)
+            & (
+                F.sum(F.when(F.col("l_orderkey") % 997 == 0, 1).otherwise(0))
+                == 0
+            )
+        ).alias("dv_ok"),
+    )

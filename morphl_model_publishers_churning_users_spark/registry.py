@@ -1004,6 +1004,11 @@ _KEY_RANK: dict[str, int] = {
     # r12 window burns first-touch keys before re-checking these.
     "scan_delta_partition_values": 11,
     "fn_avro_array_blocks": 11,
+    # Round-13 additions (r12 verdict item 3 stretch): rank 12 — behind
+    # the 4 remaining backlog keys, so the r13 window retires the whole
+    # backlog first and then first-touches these two.
+    "scan_delta_deletion_vectors": 12,
+    "fn_avro_map_blocks": 12,
 }
 
 
