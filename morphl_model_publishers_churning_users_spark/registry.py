@@ -256,6 +256,46 @@ def register(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Quer
 # (unlike the array fold, whose fixed-kind elements keep the tree
 # shallow). Build the r13 op with the encode checkpoint AND a
 # post-fold checkpoint.
+# ROUND-14 PRE-STAGED MAINTENANCE: fold the CORRECTNESS_r13 greens in
+# with tag 13 (expect the 2 canaries dq_profile/source_csv re-tagged +
+# 6 first-touch keys — the retired backlog fn_avro_schema_evolution/
+# fn_avro_union_nullable/scan_delta_partition_values/
+# fn_avro_array_blocks + the r13 additions scan_delta_deletion_vectors/
+# fn_avro_map_blocks — + ~42 SECOND-touch keys from the oldest-checked
+# tail: the (99, 1)-ranked round-1 greens in dict-insertion order, the
+# first time the auto-rotation re-verifies old greens). After that
+# fold, cumulative driver coverage is 568/568 and every spare window
+# slot keeps rotating through the oldest-checked tail. Rotate _CANARY
+# to fn_string + ts_tumbling per the rotation table (r15 next:
+# agg_pivot + ml_train). _REVERIFY determination for the r13 fold,
+# made at r13 close: the only post-green operator-code change this
+# round was scan_delta_partition_values' pruned_ok de-vacuuming (r12
+# advice) — that key was NOT yet driver-green when changed (it was
+# backlog, first driver touch lands in the r13 window with the new
+# code), so _REVERIFY stays empty unless a later r13 change touches a
+# green key. R14 stretch candidates (designs only, NOT registered;
+# keep additions at 2): (a) scan_delta_cdf — Change Data Feed in the
+# file-action fallback path: for a version window (v_from, v_to],
+# rows of window-added files are `insert` changes and rows of
+# window-removed files are `delete` changes, tagged
+# _change_type/_commit_version — the incremental-consumer contract
+# that reads O(changed files), never the table. DE-RISKED at r13
+# close (scripts/delta_cdf_prototype_r13.py): (i) CONSERVATION —
+# v0 state + inserts − deletes == direct v_to live-fold read, exact
+# under decimal checksums (6800+8200−1700 == 13300); (ii) BOUNDED
+# CHANGE SCAN — with every out-of-window add a phantom path that
+# would throw on open, the window read stays green at 16/64/256
+# commits with flat ~0.7 s timings (O(window actions) metadata +
+# O(changed files) data). (b) scan_iceberg_manifest_pruning — the
+# Iceberg TWO-LEVEL metadata tree: snapshot -> manifest LIST (one row
+# per manifest with partition-value ranges) -> manifest FILES (per-
+# file column min/max stats); a predicate prunes BOTH levels, keeping
+# planning O(manifests) where a flat log folds O(files) — what a 10M-
+# file table needs. DE-RISKED at r13 close
+# (scripts/iceberg_manifest_prototype_r13.py): two-level prune exact
+# vs direct filter at 8/64/512 PHANTOM manifests (plus 4 phantom file
+# entries inside the surviving manifest — both levels provably prune
+# by metadata alone), flat ~0.7-0.8 s planning+read.
 # ROUND-12 MAINTENANCE (APPLIED at r12 start): CORRECTNESS_r11 came
 # back 50/50 hash-green — exactly the staged window (canaries
 # ml_label/mm_features re-tagged 11 + 48 first-touch ts_ keys, listed
