@@ -1499,11 +1499,18 @@ def fn_protobuf_wire(spark, sf_dir):
     (``% 128``/``div 128`` + continuation bit) and assembled with
     concat(unhex(...)); strings ride as raw UTF-8 behind a 1-byte
     length (priorities are short; a full impl chains the same varint).
-    Decode: the inverse — substring-on-binary + hex + conv walks the
-    tag/varint structure positionally, exactly the mm_header_parse
-    idiom. Both directions are JVM whole-stage-codegen expressions: at
-    100 TB this is the interchange fast path (encode once, ship the
-    binary column; never a per-row Python hop). ``roundtrip_ok``
+    Decode is ONE Arrow-batch pass
+    (functions/avro_arrow.decode_protobuf_wire, guide §4.2) — the r13
+    rewrite shared with the fn_avro_* siblings: the r7-r12 expression
+    decoder walked the tag/varint structure positionally through ~200
+    CASE-ladder byte reads and needed the encoded frame eagerly
+    localCheckpointed purely for planner health (a live payload alias
+    inlined the full encode expression into every byte read — a
+    multi-million-node tree that OOMed ConstantFolding); the per-batch
+    Python walk replaces ladders and checkpoint in one narrow pass
+    (before/after in OPTIMIZATION_r13.md). The ENCODE stays a JVM
+    whole-stage-codegen expression, so encoder and decoder remain
+    independent implementations. ``roundtrip_ok``
     asserts decoded == original for every field Spark-side; the oracle
     recomputes the fields and the wire length arithmetically, so a
     mis-encoded continuation bit flips both the flag and the length.
@@ -1532,46 +1539,9 @@ def fn_protobuf_wire(spark, sf_dir):
             _pb_varint(F.col("cents_in")),
         ).alias("payload"),
     )
-    # Materialize the encoded frame (the op's real-world shape: encode
-    # once, SHIP the binary column, decode on the other side). Also
-    # required for planner health: if payload stays a live alias,
-    # Catalyst's filter/alias substitution inlines the full encode
-    # expression into every one of the ~200 positional byte reads the
-    # 9-limb decode makes — a multi-million-node tree that OOMs
-    # ConstantFolding. With payload a leaf attribute the decode plan is
-    # a few thousand nodes.
-    wire = wire.localCheckpoint(eager=True)
+    from .avro_arrow import PROTOBUF_OUT_DDL, decode_protobuf_wire
 
-    # Decode: positional walk of the wire bytes (module-level helpers:
-    # _pb_u8 reads one byte; _pb_vval decodes the varint starting at p,
-    # _pb_vlen its byte length — 1..9 limbs, full bigint domain).
-    d = wire.withColumn("p1", F.lit(2))  # field-1 varint starts after tag 0x08
-    d = d.withColumn("key_out", _pb_vval(F.col("p1")))
-    d = d.withColumn("p2", F.col("p1") + _pb_vlen(F.col("p1")))  # field-2 tag position
-    d = d.withColumn("slen", _pb_u8(F.col("p2") + 1))
-    d = d.withColumn(
-        "pri_out",
-        F.substring(F.col("payload"), F.col("p2") + 2, F.col("slen")).cast("string"),
-    )
-    d = d.withColumn("p3", F.col("p2") + 2 + F.col("slen"))  # field-3 tag position
-    d = d.withColumn("cents_out", _pb_vval(F.col("p3") + 1))
-    tags_ok = (
-        (_pb_u8(F.lit(1)) == 0x08)
-        & (_pb_u8(F.col("p2")) == 0x12)
-        & (_pb_u8(F.col("p3")) == 0x18)
-    )
-    return d.select(
-        F.col("key_out").alias("o_orderkey"),
-        F.col("pri_out").alias("priority"),
-        F.col("cents_out").alias("total_cents"),
-        F.length("payload").cast("bigint").alias("msg_len"),
-        (
-            tags_ok
-            & (F.col("key_out") == F.col("key_in"))
-            & (F.col("pri_out") == F.col("pri_in"))
-            & (F.col("cents_out") == F.col("cents_in"))
-        ).alias("roundtrip_ok"),
-    )
+    return wire.mapInArrow(decode_protobuf_wire, PROTOBUF_OUT_DDL)
 
 
 def _avro_zigzag(n):
@@ -1710,26 +1680,28 @@ def fn_avro_wire(spark, sf_dir):
                   half that proto3's unsigned fields never touch
 
     Encode reuses the proto varint core on the zigzagged value via
-    _pb_varint_u64 — the wire layers compose; decode inverts
-    positionally with _pb_vval10/_pb_vlen10 + _avro_unzigzag. Both
-    directions are JVM integer/binary expressions covering the FULL
-    int64 domain including the 10-limb varints for |n| >= 2^62
-    (r8 ADVICE fix; the DuckDB twin uses the equivalent
-    arithmetic CASE form since DuckDB cannot left-shift negatives).
-    The encoded frame is
-    checkpointed for the same planner-health reason as
-    fn_protobuf_wire (payload as a live alias would be inlined into
-    every decode byte read), and the decode itself is staged through a
-    second checkpoint after the positional walk: unlike protobuf's
-    1-byte length prefix, Avro's string length is a full varint, so
-    the third field's start position composes two 9-limb decodes —
-    left lazy, predicate pushdown substitutes that ~5k-node position
-    into each of the final varint's 81 byte reads and the plan OOMs
-    the JVM; with the positions materialized as leaf columns the
-    final decode is linear. ``roundtrip_ok`` asserts decoded ==
-    original for all three fields Spark-side; the oracle recomputes
-    the fields and the wire length from the same zigzag + limb-count
-    arithmetic, so a mis-encoded continuation or sign flips both."""
+    _pb_varint_u64 — the wire layers compose — as JVM integer/binary
+    expressions covering the FULL int64 domain including the 10-limb
+    varints for |n| >= 2^62 (r8 ADVICE fix; the DuckDB twin uses the
+    equivalent arithmetic CASE form since DuckDB cannot left-shift
+    negatives). Decode is ONE Arrow-batch pass
+    (functions/avro_arrow.decode_wire, guide §4.2): the r1-r12
+    expression decoder needed a ~100-node CASE ladder per varint read
+    plus TWO eager localCheckpoints purely for planner health (lazy
+    position aliases re-substituted a ~5k-node tree into each of the
+    final varint's 81 byte reads), costing two full materialization
+    jobs and a 16 KB formatted plan; the Arrow decode replaces all of
+    it with an exact-integer Python walk per batch — no checkpoints,
+    no giant tree, same zero-shuffle narrow shape (r13 A/B at sf0.1,
+    noop sink, min-of-3: 5.07 s -> see OPTIMIZATION_r13.md). Keeping
+    the ENCODE in JVM expressions is deliberate: encoder and decoder
+    remain independent implementations, so ``roundtrip_ok`` (decoded
+    == original for all three fields) still cross-checks two codecs,
+    and the oracle recomputes the fields and wire length from the
+    same zigzag + limb-count arithmetic — a mis-encoded continuation
+    or sign flips both."""
+    from .avro_arrow import WIRE_OUT_DDL, decode_wire
+
     enc = t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("key_in"),
         F.col("o_orderpriority").alias("pri_in"),
@@ -1748,31 +1720,8 @@ def fn_avro_wire(spark, sf_dir):
             F.col("pri_in").cast("binary"),
             _pb_varint_u64(_avro_zigzag(F.col("delta_in"))),
         ).alias("payload"),
-    ).localCheckpoint(eager=True)
-
-    d = wire.withColumn("key_out", _avro_unzigzag(_pb_vval10(F.lit(1))))
-    d = d.withColumn("p2", F.lit(1) + _pb_vlen10(F.lit(1)))  # string-length varint
-    d = d.withColumn("slen", _avro_unzigzag(_pb_vval10(F.col("p2"))))
-    d = d.withColumn(
-        "pri_out",
-        F.substring(
-            F.col("payload"), F.col("p2") + _pb_vlen10(F.col("p2")), F.col("slen")
-        ).cast("string"),
     )
-    d = d.withColumn("p3", F.col("p2") + _pb_vlen10(F.col("p2")) + F.col("slen"))
-    d = d.localCheckpoint(eager=True)  # positions become leaf columns
-    d = d.withColumn("delta_out", _avro_unzigzag(_pb_vval10(F.col("p3"))))
-    return d.select(
-        F.col("key_out").alias("o_orderkey"),
-        F.col("pri_out").alias("priority"),
-        F.col("delta_out").alias("cents_delta"),
-        F.length("payload").cast("bigint").alias("msg_len"),
-        (
-            (F.col("key_out") == F.col("key_in"))
-            & (F.col("pri_out") == F.col("pri_in"))
-            & (F.col("delta_out") == F.col("delta_in"))
-        ).alias("roundtrip_ok"),
-    )
+    return wire.mapInArrow(decode_wire, WIRE_OUT_DDL)
 
 
 # ---------------------------------------------------------------- Avro OCF
@@ -1950,69 +1899,34 @@ def fn_avro_container(spark, sf_dir):
     would produce), per-row record fields JVM-side via
     _pb_varint_u64/_avro_zigzag, the month fold as ONE hash aggregate
     (collect_list bounded by month size; a production writer emits one
-    container per task, same framing per block). Decode re-reads the
-    CHECKPOINTED frame positionally — header fields at their constant
-    offsets, then the dynamic walk count -> size -> records -> trailing
-    sync with positions materialized as leaf columns before the final
-    reads (fn_protobuf_wire planner-health lesson). The emitted columns
-    are the DECODED values (count, first record's key), so the oracle's
-    recomputation from the raw table cross-checks the whole
-    encode+frame+decode path; file_len is recomputed by the oracle from
-    the spec's varint length arithmetic. The ok-flags (magic, metadata
-    map, sync discipline, block framing, first-record roundtrip) are
-    independently backed by a pure-Python spec-level OCF reader parsing
-    every emitted file end-to-end
+    container per task, same framing per block). Decode is ONE
+    Arrow-batch pass (functions/avro_arrow.make_decode_container,
+    guide §4.2): the r9-r12 expression decoder walked the header +
+    count -> size -> first-record chain through FOUR eager
+    localCheckpoints staged purely for planner health — four full
+    materialization jobs — which the per-batch Python walk replaces
+    outright (r13 A/B at sf0.1, noop sink, min-of-3: 6.97 s -> see
+    OPTIMIZATION_r13.md; the 17 KB formatted plan collapses to the
+    agg + one MapInArrow). The JVM encode / Python decode split keeps
+    the two directions independent implementations. The emitted
+    columns are the DECODED values (count, first record's key), so
+    the oracle's recomputation from the raw table cross-checks the
+    whole encode+frame+decode path; file_len is recomputed by the
+    oracle from the spec's varint length arithmetic. The ok-flags
+    (magic, metadata map, sync discipline, block framing,
+    first-record roundtrip) are independently backed by a pure-Python
+    spec-level OCF reader parsing every emitted file end-to-end
     (tests/test_round9_ops.py::test_avro_container_parses_with_reference_ocf_reader)."""
+    from .avro_arrow import CONTAINER_OUT_DDL, make_decode_container
+
     frames = _avro_container_frames(spark, sf_dir).withColumnRenamed(
         "file", "payload"
-    ).localCheckpoint(eager=True)
-
-    d = frames.withColumn("n_out", _avro_unzigzag(_pb_vval10(F.lit(_OCF_BLOCK_POS))))
-    d = d.withColumn(
-        "p_size", F.lit(_OCF_BLOCK_POS) + _pb_vlen10(F.lit(_OCF_BLOCK_POS))
     )
-    d = d.withColumn("rsize", _avro_unzigzag(_pb_vval10(F.col("p_size"))))
-    d = d.withColumn("p_rec", F.col("p_size") + _pb_vlen10(F.col("p_size")))
-    d = d.localCheckpoint(eager=True)  # positions become leaf columns
-
-    d = d.withColumn("k1", _avro_unzigzag(_pb_vval10(F.col("p_rec"))))
-    d = d.withColumn("p_pl", F.col("p_rec") + _pb_vlen10(F.col("p_rec")))
-    d = d.withColumn("plen", _avro_unzigzag(_pb_vval10(F.col("p_pl"))))
-    d = d.localCheckpoint(eager=True)
-    d = d.withColumn(
-        "pri1",
-        F.substring(
-            F.col("payload"), F.col("p_pl") + _pb_vlen10(F.col("p_pl")), F.col("plen")
-        ).cast("string"),
-    )
-    d = d.withColumn(
-        "p_d1", F.col("p_pl") + _pb_vlen10(F.col("p_pl")) + F.col("plen")
-    )
-    d = d.localCheckpoint(eager=True)
-    d = d.withColumn("d1", _avro_unzigzag(_pb_vval10(F.col("p_d1"))))
-
-    hdr_sync = F.substring(F.col("payload"), _OCF_SYNC_POS, 16)
-    tail_sync = F.substring(F.col("payload"), F.col("p_rec") + F.col("rsize"), 16)
-    return d.select(
-        "ym",
-        F.col("n_out").alias("n_records"),
-        F.col("k1").alias("first_key"),
-        F.length("payload").cast("bigint").alias("file_len"),
-        (F.substring("payload", 1, 4) == F.lit(_OCF_MAGIC)).alias("magic_ok"),
-        (
-            F.substring("payload", 5, len(_OCF_META)) == F.lit(_OCF_META)
-        ).alias("meta_ok"),
-        (hdr_sync == tail_sync).alias("sync_ok"),
-        (
-            (F.col("n_out") == F.col("n_in"))
-            & (F.col("p_rec") - 1 + F.col("rsize") + 16
-               == F.length("payload"))
-        ).alias("framing_ok"),
-        (
-            (F.col("k1") == F.col("first_key_in"))
-            & (F.col("pri1") == F.col("first_pri_in"))
-            & (F.col("d1") == F.col("first_delta_in"))
-        ).alias("first_record_ok"),
+    return frames.mapInArrow(
+        make_decode_container(
+            _OCF_MAGIC, _OCF_META, _OCF_BLOCK_POS - 1, _OCF_SYNC_POS - 1
+        ),
+        CONTAINER_OUT_DDL,
     )
 
 
@@ -2069,12 +1983,18 @@ def fn_avro_schema_evolution(spark, sf_dir):
         the WRITER order (that's what's on the wire) and lands each
         byte range on the reader field with the same name.
 
-    Same staging discipline as fn_avro_wire: the wire frame is
-    checkpointed so the decode reads a leaf binary column, and the
-    positions are materialized before the final varint decode (lazy
-    position aliases would substitute a ~5k-node expression into each
-    of the last varint's 81 byte reads). `resolve_ok` asserts the
-    resolved fields equal the writer's originals row-by-row."""
+    The resolution walk runs as ONE Arrow-batch pass
+    (functions/avro_arrow.decode_schema_evolution, guide §4.2) —
+    same r13 rationale as fn_avro_wire: the expression walk needed
+    two planner-health localCheckpoints (two full materialization
+    jobs) and a 17 KB formatted plan, all replaced by a per-batch
+    Python walk with exact integer arithmetic while the ENCODE stays
+    a JVM expression, keeping writer and reader independent
+    implementations. `resolve_ok` asserts the resolved fields equal
+    the writer's originals row-by-row plus that skip + string frame +
+    delta varint tile the payload exactly."""
+    from .avro_arrow import EVOLUTION_OUT_DDL, decode_schema_evolution
+
     enc = t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("key_in"),
         F.col("o_orderpriority").alias("pri_in"),
@@ -2093,36 +2013,10 @@ def fn_avro_schema_evolution(spark, sf_dir):
             F.col("pri_in").cast("binary"),
             _pb_varint_u64(_avro_zigzag(F.col("delta_in"))),
         ).alias("payload"),
-    ).localCheckpoint(eager=True)
-
+    )
     # Resolution walk in WRITER order: skip `key` (reader drops it),
     # then bind priority/delta by name; source_id takes the default.
-    d = wire.withColumn("klen", _pb_vlen10(F.lit(1)))  # skip distance only
-    d = d.withColumn("p2", F.lit(1) + F.col("klen"))
-    d = d.withColumn("slen", _avro_unzigzag(_pb_vval10(F.col("p2"))))
-    d = d.withColumn(
-        "pri_out",
-        F.substring(
-            F.col("payload"), F.col("p2") + _pb_vlen10(F.col("p2")), F.col("slen")
-        ).cast("string"),
-    )
-    d = d.withColumn("p3", F.col("p2") + _pb_vlen10(F.col("p2")) + F.col("slen"))
-    d = d.localCheckpoint(eager=True)  # positions become leaf columns
-    d = d.withColumn("delta_out", _avro_unzigzag(_pb_vval10(F.col("p3"))))
-    return d.select(
-        F.col("key_in").alias("o_orderkey"),
-        F.col("pri_out").alias("priority"),
-        F.col("delta_out").alias("cents_delta"),
-        F.lit(42).cast("bigint").alias("source_id"),
-        F.col("klen").cast("bigint").alias("skipped_len"),
-        (
-            (F.col("pri_out") == F.col("pri_in"))
-            & (F.col("delta_out") == F.col("delta_in"))
-            # skip + string frame + delta varint must tile the payload
-            & (F.col("p3") - F.lit(1) + _pb_vlen10(F.col("p3"))
-               == F.length("payload"))
-        ).alias("resolve_ok"),
-    )
+    return wire.mapInArrow(decode_schema_evolution, EVOLUTION_OUT_DDL)
 
 
 @register(
@@ -2174,17 +2068,24 @@ def fn_avro_union_nullable(spark, sf_dir):
     of fn_avro_wire. Encode composes the existing varint core
     (_pb_varint_u64/_avro_zigzag) with a 1-byte branch marker — exact,
     not a shortcut: a 2-branch union's index is 0 or 1, whose zigzags
-    (0, 2) are single-limb varints by construction. Decode walks
-    positionally: the branch byte at each union start gates a
-    length-framed string read / varint read, and the null branch
-    advances the cursor by exactly 1. Positions are staged through a
-    localCheckpoint like fn_avro_wire (left lazy, pushdown would
-    substitute the branch-conditional position tree into each of the
-    final varint's byte reads). ``union_ok`` asserts null-safe decode
+    (0, 2) are single-limb varints by construction. Decode is ONE
+    Arrow-batch pass (functions/avro_arrow.decode_union_nullable,
+    guide §4.2): the branch byte at each union start gates a
+    length-framed string read / varint read, the null branch advances
+    the cursor by exactly 1 — the r10-r12 expression decoder needed
+    the branch-conditional position tree staged through a
+    planner-health localCheckpoint and was the second-slowest codec op
+    (the branch gating doubled every downstream position CASE); the
+    per-batch Python walk replaces checkpoint and tree (r13 A/B at
+    sf0.1, noop sink, min-of-3: 7.00 s -> see OPTIMIZATION_r13.md)
+    while the ENCODE stays a JVM expression — writer and reader remain
+    independent implementations. ``union_ok`` asserts null-safe decode
     == original for all three fields AND that the conditional frames
     tile the payload exactly; the oracle recomputes the nulls, values,
     and wire length from the same zigzag + limb-ladder arithmetic, so
     a branch byte, skipped frame, or sign error flips both."""
+    from .avro_arrow import UNION_OUT_DDL, decode_union_nullable
+
     enc = t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("key_in"),
         F.when(F.col("o_orderkey") % 3 == 0, F.lit(None)).otherwise(
@@ -2219,57 +2120,8 @@ def fn_avro_union_nullable(spark, sf_dir):
                 F.concat(some_branch, _pb_varint_u64(_avro_zigzag(F.col("delta_in"))))
             ),
         ).alias("payload"),
-    ).localCheckpoint(eager=True)
-
-    d = wire.withColumn("key_out", _avro_unzigzag(_pb_vval10(F.lit(1))))
-    d = d.withColumn("pc", F.lit(1) + _pb_vlen10(F.lit(1)))  # priority branch byte
-    d = d.withColumn("has_pri", _pb_u8(F.col("pc")) == 2)
-    d = d.withColumn(
-        "slen",
-        F.when(
-            F.col("has_pri"), _avro_unzigzag(_pb_vval10(F.col("pc") + 1))
-        ),
     )
-    d = d.withColumn(
-        "pri_out",
-        F.when(
-            F.col("has_pri"),
-            F.substring(
-                F.col("payload"),
-                F.col("pc") + 1 + _pb_vlen10(F.col("pc") + 1),
-                F.col("slen"),
-            ).cast("string"),
-        ),
-    )
-    d = d.withColumn(
-        "pd",  # delta branch byte: null branch advanced the cursor by 1
-        F.when(
-            F.col("has_pri"),
-            F.col("pc") + 1 + _pb_vlen10(F.col("pc") + 1) + F.col("slen"),
-        ).otherwise(F.col("pc") + 1),
-    )
-    d = d.localCheckpoint(eager=True)  # positions become leaf columns
-    d = d.withColumn("has_delta", _pb_u8(F.col("pd")) == 2)
-    d = d.withColumn(
-        "delta_out",
-        F.when(F.col("has_delta"), _avro_unzigzag(_pb_vval10(F.col("pd") + 1))),
-    )
-    end_pos = F.col("pd") + 1 + F.when(
-        F.col("has_delta"), _pb_vlen10(F.col("pd") + 1)
-    ).otherwise(F.lit(0))
-    return d.select(
-        F.col("key_out").alias("o_orderkey"),
-        F.col("pri_out").alias("priority"),
-        F.col("delta_out").alias("cents_delta"),
-        F.length("payload").cast("bigint").alias("msg_len"),
-        (
-            (F.col("key_out") == F.col("key_in"))
-            & F.col("pri_out").eqNullSafe(F.col("pri_in"))
-            & F.col("delta_out").eqNullSafe(F.col("delta_in"))
-            # branch-gated frames must tile the payload exactly
-            & (end_pos - F.lit(1) == F.length("payload"))
-        ).alias("union_ok"),
-    )
+    return wire.mapInArrow(decode_union_nullable, UNION_OUT_DDL)
 
 
 @register(
@@ -2342,20 +2194,21 @@ def fn_avro_array_blocks(spark, sf_dir):
     form block 2 in the NEGATIVE-count size-prefixed form; then the
     0x00 terminator.
 
-    Decode walks the wire positionally with the 10-limb varint ladder.
-    The item walks are higher-order-function FOLDS over the payload —
-    ``F.aggregate(sequence(1, count), (cursor, sum), step)`` — one
-    varint ladder instantiated once per block and executed count
-    times, so the generated code stays small (an unrolled per-item
-    ladder chain tripped janino's 64 KB method limit) and the decode
-    handles ANY block length, the shape that survives 100 TB arrays.
-    Unlike the sibling codecs, the decode is NOT checkpoint-staged:
-    with folds the position trees stay shallow (walk1 re-substitutes
-    at most ~4x with c1 <= 2 elements), and the measured r12 A/B at
-    sf0.1 has the single post-encode checkpoint fastest — min-of-5
-    8.19 s vs 8.98 s (3 ckpts) vs 10.50 s (4 ckpts). Only the encode
-    checkpoint is load-bearing (it stops every _pb_u8 from inlining
-    the whole encode expression).
+    Decode is ONE Arrow-batch pass
+    (functions/avro_arrow.decode_array_blocks, guide §4.2) walking
+    the wire positionally with exact integer arithmetic — block-1
+    item walk, negative-count header, size prefix, block-2 walk,
+    terminator. The r11-r12 expression decoder ran the item walks as
+    higher-order-function FOLDS (``F.aggregate(sequence(1, count),
+    (cursor, sum), step)``) to stay under janino's 64 KB method limit,
+    plus a planner-health encode checkpoint; its formatted plan was
+    100 KB and the r12 scale study showed the op fixed-overhead-bound
+    (16x data = +18% wall). The per-batch Python walk replaces folds
+    and checkpoint in one narrow pass and handles ANY block length —
+    the same shape that survives 100 TB arrays (r13 A/B at sf0.1,
+    noop sink, min-of-3: 11.76 s -> see OPTIMIZATION_r13.md). The
+    ENCODE stays a JVM expression, so encoder and decoder remain
+    independent implementations cross-checked by ``blocks_ok``.
     ORACLE DOMAIN BOUND (r12 advice): the oracle's per-item varint
     lengths come from ``_ocf_vlen_sql``, a 9-limb ladder — exact for
     |zigzag| < 2**63, i.e. |val| < 2**62. Fixture vals are cents
@@ -2374,6 +2227,8 @@ def fn_avro_array_blocks(spark, sf_dir):
     octet-exact), and total wire length from the same zigzag +
     limb-ladder arithmetic, so a count sign, size prefix, or
     terminator error flips the hash."""
+    from .avro_arrow import ARRAY_BLOCKS_OUT_DDL, decode_array_blocks
+
     enc_item = lambda x: _pb_varint_u64(_avro_zigzag(x))
     items = (
         t(spark, sf_dir, "lineitem")
@@ -2431,89 +2286,8 @@ def fn_avro_array_blocks(spark, sf_dir):
             ).otherwise(empty),
             _pb_byte(F.lit(0)),  # zero-count terminator block
         ).alias("payload"),
-    ).localCheckpoint(eager=True)
-
-    def item_fold(start_pos, count):
-        """Fold (cursor, running sum) over `count` consecutive varints
-        starting at byte position `start_pos`; empty when count <= 0."""
-        steps = F.when(count > 0, F.sequence(F.lit(1), count)).otherwise(
-            F.array().cast("array<bigint>")
-        )
-        return F.aggregate(
-            steps,
-            F.struct(
-                start_pos.cast("bigint").alias("pos"),
-                F.lit(0).cast("bigint").alias("s"),
-            ),
-            lambda acc, _: F.struct(
-                (acc["pos"] + _pb_vlen10(acc["pos"])).cast("bigint").alias("pos"),
-                (acc["s"] + _avro_unzigzag(_pb_vval10(acc["pos"])))
-                .cast("bigint")
-                .alias("s"),
-            ),
-        )
-
-    d = wire.withColumn("key_out", _avro_unzigzag(_pb_vval10(F.lit(1))))
-    d = d.withColumn("p_c1", F.lit(1) + _pb_vlen10(F.lit(1)))
-    d = d.withColumn("c1_out", _avro_unzigzag(_pb_vval10(F.col("p_c1"))))
-    d = d.withColumn("q0", F.col("p_c1") + _pb_vlen10(F.col("p_c1")))
-    d = d.withColumn("walk1", item_fold(F.col("q0"), F.col("c1_out")))
-    d = d.withColumn("q_end", F.col("walk1.pos"))
-    d = d.withColumn("sum1", F.col("walk1.s"))
-    d = d.withColumn("hdr2", _avro_unzigzag(_pb_vval10(F.col("q_end"))))
-    d = d.withColumn("p_hdr2_end", F.col("q_end") + _pb_vlen10(F.col("q_end")))
-    d = d.withColumn("has_b2", F.col("hdr2") < 0)
-    d = d.withColumn(
-        "c2_out", F.when(F.col("has_b2"), -F.col("hdr2")).otherwise(F.lit(0))
     )
-    d = d.withColumn(
-        "bsize_out",
-        F.when(F.col("has_b2"), _avro_unzigzag(_pb_vval10(F.col("p_hdr2_end")))),
-    )
-    d = d.withColumn(
-        "r0",
-        F.when(
-            F.col("has_b2"), F.col("p_hdr2_end") + _pb_vlen10(F.col("p_hdr2_end"))
-        ).otherwise(F.col("q_end")),
-    )
-    d = d.withColumn("walk2", item_fold(F.col("r0"), F.col("c2_out")))
-    # terminator position: fast-skip jump when block 2 exists, else
-    # directly after block 1 (hdr2 itself was the 0-count terminator)
-    d = d.withColumn(
-        "term_pos",
-        F.when(F.col("has_b2"), F.col("r0") + F.col("bsize_out")).otherwise(
-            F.col("q_end")
-        ),
-    )
-    decoded_sum = F.col("sum1") + F.col("walk2.s")
-    input_sum = F.aggregate(
-        F.col("items"), F.lit(0).cast("bigint"), lambda acc, x: acc + x
-    )
-    return d.select(
-        F.col("key_out").alias("o_orderkey"),
-        (F.col("c1_out") + F.col("c2_out")).cast("bigint").alias("n_items"),
-        decoded_sum.cast("bigint").alias("sum_vals"),
-        F.when(F.col("has_b2"), F.lit(2)).otherwise(F.lit(1))
-        .cast("bigint")
-        .alias("n_blocks"),
-        F.col("bsize_out").cast("bigint").alias("block2_size"),
-        F.octet_length("payload").cast("bigint").alias("wire_len"),
-        (
-            (F.col("key_out") == F.col("key_in"))
-            & (F.col("c1_out") + F.col("c2_out") == F.col("n_in"))
-            & (decoded_sum == input_sum)
-            # (1) fast-skip: size prefix alone must land on the terminator
-            & (_pb_u8(F.col("term_pos")) == 0)
-            # (3) tiling: the terminator is the last payload byte
-            & (F.col("term_pos") == F.octet_length("payload"))
-            # (2) item walk == fast-skip jump: folding block 2 item by
-            # item must consume exactly block2_size bytes
-            & F.when(
-                F.col("has_b2"),
-                F.col("walk2.pos") == F.col("r0") + F.col("bsize_out"),
-            ).otherwise(F.col("hdr2") == 0)
-        ).alias("blocks_ok"),
-    )
+    return wire.mapInArrow(decode_array_blocks, ARRAY_BLOCKS_OUT_DDL)
 
 
 @register(
@@ -2591,21 +2365,23 @@ def fn_avro_map_blocks(spark, sf_dir):
     POSITIVE count, the remaining n-2 entries form block 2 in the
     NEGATIVE-count size-prefixed form, then 0x00.
 
-    Decode folds ``F.aggregate(sequence(1, 2*count), (cursor,
-    key_bytes, value_sum), half_step)`` — TWO half-steps per entry,
-    alternating key/value by index parity, so every varint ladder's
-    argument is the accumulator's plain ``pos`` slot. The naive
-    one-step-per-entry form nests vval10/vlen10 over a cursor that
-    itself contains ladders; that key-jump subtree re-substitutes into
-    every limb of the 10-limb value ladder — the analyzer-blowup the
-    r12 prototype found (scripts/map_blocks_fold_prototype_r12.py),
-    measured at 84-101 s/run even checkpoint-staged. The parity split
-    keeps the step tree as shallow as the array op's, needs NO
-    mid-decode checkpoint staging, and runs in the sibling's band. The
-    variable advance itself was proven exact on 500 variable-key wires
-    (zero desyncs, byte-for-byte agreement with an independent
-    pure-Python spec decoder) by that prototype. Encode keeps the
-    sibling codecs' eager checkpoint.
+    Decode is ONE Arrow-batch pass
+    (functions/avro_arrow.decode_map_blocks, guide §4.2): a key step
+    reads zigzag(klen) and jumps klen raw bytes — the data-dependent
+    advance — and a value step decodes the value varint, in plain
+    Python integer arithmetic per batch. The r12-r13 expression
+    decoder ran this as parity-split HOF half-step folds specifically
+    to dodge an analyzer blowup (scripts/map_blocks_fold_prototype_r12.py
+    measured the naive nested form at 84-101 s/run) and still carried
+    a 166 KB formatted plan + the encode checkpoint; the Arrow walk
+    removes the whole hazard class along with the checkpoint (r13 A/B
+    at sf0.1, noop sink, min-of-3: 12.34 s -> see
+    OPTIMIZATION_r13.md). The variable advance was proven exact on
+    500 variable-key wires (zero desyncs, byte-for-byte agreement
+    with an independent pure-Python spec decoder) by the r12
+    prototype, and the ENCODE stays a JVM expression — encoder and
+    decoder remain independent implementations cross-checked by
+    ``map_ok``.
 
     Proven the same three ways as the array op: fast-skip jump lands
     exactly on the terminator, the entry-by-entry walk of block 2
@@ -2615,6 +2391,8 @@ def fn_avro_map_blocks(spark, sf_dir):
     |val| < 2**62; fixture values are cents deltas (limbs 1-4) and
     key-length zigzags (1 limb), far inside the bound. A fixture
     rescale past 2**62 must upgrade the oracle ladder first."""
+    from .avro_arrow import MAP_BLOCKS_OUT_DDL, decode_map_blocks
+
     zz = lambda x: _pb_varint_u64(_avro_zigzag(x))
     entries = (
         t(spark, sf_dir, "orders")
@@ -2676,102 +2454,5 @@ def fn_avro_map_blocks(spark, sf_dir):
             ).otherwise(empty),
             _pb_byte(F.lit(0)),  # zero-count terminator block
         ).alias("payload"),
-    ).localCheckpoint(eager=True)  # the sibling codecs' encode checkpoint
-
-    def entry_fold(start_pos, count):
-        """Fold (cursor, key_byte_total, value_sum) over `count`
-        key-value entries starting at byte `start_pos` — as 2*count
-        HALF-STEPS alternating key/value by index parity, so every
-        varint ladder's argument stays the plain ``pos`` slot (see
-        docstring). A KEY half-step reads zigzag(klen) and jumps its
-        varint's width plus klen raw key bytes — the data-dependent
-        advance; a VALUE half-step decodes the value varint and jumps
-        its width. Empty when count <= 0."""
-        steps = F.when(count > 0, F.sequence(F.lit(1), count * 2)).otherwise(
-            F.array().cast("array<bigint>")
-        )
-
-        def half_step(acc, i):
-            v = _avro_unzigzag(_pb_vval10(acc["pos"]))  # zigzag value at pos
-            w = _pb_vlen10(acc["pos"])  # its byte width
-            is_key = i % 2 == 1
-            zero = F.lit(0).cast("bigint")
-            return F.struct(
-                (acc["pos"] + w + F.when(is_key, v).otherwise(zero))
-                .cast("bigint")
-                .alias("pos"),
-                (acc["kb"] + F.when(is_key, v).otherwise(zero))
-                .cast("bigint")
-                .alias("kb"),
-                (acc["s"] + F.when(is_key, zero).otherwise(v))
-                .cast("bigint")
-                .alias("s"),
-            )
-
-        return F.aggregate(
-            steps,
-            F.struct(
-                start_pos.cast("bigint").alias("pos"),
-                F.lit(0).cast("bigint").alias("kb"),
-                F.lit(0).cast("bigint").alias("s"),
-            ),
-            half_step,
-        )
-
-    d = wire.withColumn("key_out", _avro_unzigzag(_pb_vval10(F.lit(1))))
-    d = d.withColumn("p_c1", F.lit(1) + _pb_vlen10(F.lit(1)))
-    d = d.withColumn("c1_out", _avro_unzigzag(_pb_vval10(F.col("p_c1"))))
-    d = d.withColumn("q0", F.col("p_c1") + _pb_vlen10(F.col("p_c1")))
-    d = d.withColumn("walk1", entry_fold(F.col("q0"), F.col("c1_out")))
-    d = d.withColumn("q_end", F.col("walk1.pos"))
-    d = d.withColumn("hdr2", _avro_unzigzag(_pb_vval10(F.col("q_end"))))
-    d = d.withColumn("p_hdr2_end", F.col("q_end") + _pb_vlen10(F.col("q_end")))
-    d = d.withColumn("has_b2", F.col("hdr2") < 0)
-    d = d.withColumn(
-        "c2_out", F.when(F.col("has_b2"), -F.col("hdr2")).otherwise(F.lit(0))
     )
-    d = d.withColumn(
-        "bsize_out",
-        F.when(F.col("has_b2"), _avro_unzigzag(_pb_vval10(F.col("p_hdr2_end")))),
-    )
-    d = d.withColumn(
-        "r0",
-        F.when(
-            F.col("has_b2"), F.col("p_hdr2_end") + _pb_vlen10(F.col("p_hdr2_end"))
-        ).otherwise(F.col("q_end")),
-    )
-    d = d.withColumn("walk2", entry_fold(F.col("r0"), F.col("c2_out")))
-    d = d.withColumn(
-        "term_pos",
-        F.when(F.col("has_b2"), F.col("r0") + F.col("bsize_out")).otherwise(
-            F.col("q_end")
-        ),
-    )
-    return d.select(
-        F.col("key_out").alias("o_custkey"),
-        (F.col("c1_out") + F.col("c2_out")).cast("bigint").alias("n_entries"),
-        (F.col("walk1.kb") + F.col("walk2.kb")).cast("bigint").alias("key_bytes"),
-        (F.col("walk1.s") + F.col("walk2.s")).cast("bigint").alias("sum_vals"),
-        F.when(F.col("has_b2"), F.lit(2))
-        .otherwise(F.lit(1))
-        .cast("bigint")
-        .alias("n_blocks"),
-        F.col("bsize_out").cast("bigint").alias("block2_size"),
-        F.octet_length("payload").cast("bigint").alias("wire_len"),
-        (
-            (F.col("key_out") == F.col("key_in"))
-            & (F.col("c1_out") + F.col("c2_out") == F.col("n_in"))
-            & (F.col("walk1.kb") + F.col("walk2.kb") == F.col("kb_in"))
-            & (F.col("walk1.s") + F.col("walk2.s") == F.col("vs_in"))
-            # (1) fast-skip: size prefix alone must land on the terminator
-            & (_pb_u8(F.col("term_pos")) == 0)
-            # (3) tiling: the terminator is the last payload byte
-            & (F.col("term_pos") == F.octet_length("payload"))
-            # (2) entry walk == fast-skip jump: folding block 2 entry by
-            # entry must consume exactly block2_size bytes
-            & F.when(
-                F.col("has_b2"),
-                F.col("walk2.pos") == F.col("r0") + F.col("bsize_out"),
-            ).otherwise(F.col("hdr2") == 0)
-        ).alias("map_ok"),
-    )
+    return wire.mapInArrow(decode_map_blocks, MAP_BLOCKS_OUT_DDL)

@@ -63,6 +63,14 @@ BACKING: dict[str, tuple[str, str]] = {
         "test_round12_ops.py",
         "test_partition_pruning_never_opens_out_of_range_files",
     ),
+    "fn_avro_map_blocks": (
+        "test_round13_ops.py",
+        "test_map_blocks_matches_python_encoder",
+    ),
+    "scan_delta_deletion_vectors": (
+        "test_round13_ops.py",
+        "test_dv_tombstones_match_independent_scan",
+    ),
     "fn_avro_wire": ("test_round8_ops.py", "test_avro_zigzag_varint_boundaries"),
     "fn_protobuf_wire": ("test_round7_ops.py", "test_protobuf_wire_varint_boundaries"),
     "llm_compression_filter": (
