@@ -1568,17 +1568,21 @@ def scan_delta_log(spark, sf_dir):
     `spark.read.json` over the log (schema'd, O(commits)), version
     parsed from `_metadata.file_path`, then the LAST-ACTION-WINS fold:
     per path, `max_by(is_add, version)` over commits 0..N — a path is
-    live iff its latest action is an add. The fold is one hash
-    aggregate over O(total actions) rows; the path collect is
-    O(live files), same bound as a real Delta client materializing the
-    file list for the scan planner (checkpoints parquet + log
-    truncation keep that bound at 100 TB — out of scope here, as are
-    the jar's protocol checks). Readers never list data directories:
-    version reads stay O(log), not O(objects-in-bucket), and the
-    emulation proves isolation the same way the iceberg op does —
-    DISTINCT _metadata.file_path inside each version read must match
-    the fold's file count (4 / 6 / 3) while v2 hash-matches v1's
-    content exactly. File sizes ride driver-side os.path.getsize
+    live iff its latest action is an add. All three version cutoffs
+    fold in ONE hash aggregate over O(total actions) rows (broadcast
+    version spine, group by (as_of, path) — r13: was one fold+collect
+    per version); the pair collect is O(versions x live files), same
+    bound as a real Delta client materializing the file list for the
+    scan planner (checkpoints parquet + log truncation keep that bound
+    at 100 TB — out of scope here, as are the jar's protocol checks).
+    Readers never list data directories: version reads stay O(log),
+    not O(objects-in-bucket), and each live data file is scanned ONCE
+    and attributed to its versions via a broadcast (file -> version)
+    join (r13: was a union of per-version aggs re-reading shared
+    files). The emulation proves isolation the same way the iceberg op
+    does — DISTINCT _metadata.file_path within each version's
+    attributed rows must match the fold's file count (4 / 6 / 3) while
+    v2 hash-matches v1's content exactly. File sizes ride driver-side os.path.getsize
     (O(files), local-fs emulation of what the writer's task commit
     reports)."""
     import json as _json
@@ -1599,14 +1603,15 @@ def scan_delta_log(spark, sf_dir):
         df.select("o_orderkey", "price").repartition(n_files).write.mode(
             "overwrite"
         ).parquet(path)
-        rel = [
-            os.path.relpath(r["p"].removeprefix("file:"), tbl)
-            for r in spark.read.parquet(path)
-            .select(F.col("_metadata.file_path").alias("p"))
-            .distinct()
-            .collect()  # O(files); file: URI -> local path
-        ]
-        return sorted(rel)
+        # Driver-side os.listdir, not a Spark read-back of the parquet
+        # just written: the listing is O(files) metadata the local fs
+        # already has, and the read-back was a whole extra scan job per
+        # slice (r13 optimization — guide §5, driver/job-count overhead).
+        return sorted(
+            os.path.join("data", sub, f)
+            for f in os.listdir(path)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
 
     base_files = write_files(o.filter(F.col("o_orderdate") < cutoff), "b1", 4)
     appended = write_files(o.filter(F.col("o_orderdate") >= cutoff), "b2", 2)
@@ -1637,7 +1642,12 @@ def scan_delta_log(spark, sf_dir):
             f.write("\n".join(_json.dumps(a) for a in actions) + "\n")
 
     # The reader: one schema'd pass over the whole log, version from the
-    # commit file name; folded once and reused for every version read.
+    # commit file name. All three AS-OF cutoffs fold in ONE job — the
+    # action rows range-join a broadcast 3-row version spine
+    # (version <= as_of) and the last-action-wins aggregate groups by
+    # (as_of, path) — instead of the r9-r12 shape of one filtered fold
+    # + collect per version (3 jobs over the same checkpointed actions;
+    # r13 optimization, guide §2.4/§5).
     actions = (
         spark.read.schema(
             "add struct<path:string,size:bigint,dataChange:boolean>, "
@@ -1653,33 +1663,43 @@ def scan_delta_log(spark, sf_dir):
             F.col("add.path").isNotNull().alias("is_add"),
         )
         .filter(F.col("path").isNotNull())
-        .localCheckpoint(eager=True)  # O(actions); read 3x below
+    )
+    spine = spark.createDataFrame(
+        [(v,) for v in sorted(commits)], "as_of bigint"
+    )
+    live_pairs = (
+        actions.join(F.broadcast(spine), F.col("version") <= F.col("as_of"))
+        .groupBy("as_of", "path")
+        .agg(F.max_by("is_add", "version").alias("live"))
+        .filter(F.col("live"))
+        .collect()  # O(versions x live files): 13 rows
     )
 
-    out = None
-    for v in sorted(commits):
-        live = (
-            actions.filter(F.col("version") <= v)
-            .groupBy("path")
-            .agg(F.max_by("is_add", "version").alias("live"))
-            .filter(F.col("live"))
+    # Each live data file is scanned ONCE, then attributed to every
+    # version it is live in via a broadcast (file uri -> as_of) join —
+    # the r9-r12 union-of-3-aggs re-read shared files per version
+    # (13 file-reads for 7 distinct files). At 100 TB the shared-file
+    # re-read is the dominant cost; this is the one-scan shape.
+    uri = lambda rel: "file:" + os.path.join(tbl, rel)
+    pairs = spark.createDataFrame(
+        [(uri(r["path"]), r["as_of"]) for r in live_pairs],
+        "fp string, version bigint",
+    )
+    scan = spark.read.parquet(
+        *sorted({os.path.join(tbl, r["path"]) for r in live_pairs})
+    ).select("price", F.col("_metadata.file_path").alias("fp"))
+    return (
+        scan.join(F.broadcast(pairs), "fp")
+        .groupBy("version")
+        .agg(
+            F.count_distinct("fp").cast("bigint").alias("n_files"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("price").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_total"),
         )
-        paths = [os.path.join(tbl, r["path"]) for r in live.collect()]  # O(files)
-        agg = (
-            spark.read.parquet(*paths)
-            .agg(
-                F.count_distinct(F.col("_metadata.file_path"))
-                .cast("bigint")
-                .alias("n_files"),
-                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-                F.sum(F.col("price").cast("decimal(38,6)"))
-                .cast("double")
-                .alias("sum_total"),
-            )
-            .select(F.lit(v).cast("bigint").alias("version"), "n_files", "n_rows", "sum_total")
-        )
-        out = agg if out is None else out.unionByName(agg)
-    return out
+        .select("version", "n_files", "n_rows", "sum_total")
+    )
 
 
 @register(
@@ -1731,7 +1751,10 @@ def scan_delta_checkpoint(spark, sf_dir):
     version=N adds. The emulation proves both halves: version 2 is
     served from the checkpoint ALONE (n_commits_replayed=0 — the log
     JSON for 0..2 is never opened), and version 3 replays exactly one
-    commit. DISTINCT _metadata.file_path inside each version read
+    commit. Both versions fold in one labeled aggregate and each live
+    data file is scanned once, attributed to its versions via a
+    broadcast (file -> version) join (r13 — see scan_delta_log);
+    DISTINCT _metadata.file_path within each version's attributed rows
     must match the fold's live count (3 / 5) while the content
     hash-matches the oracle's date-slice recomputation. At 100 TB the
     checkpoint parquet is additionally the scan planner's stats
@@ -1755,14 +1778,13 @@ def scan_delta_checkpoint(spark, sf_dir):
         df.select("o_orderkey", "price").repartition(n_files).write.mode(
             "overwrite"
         ).parquet(path)
-        rel = [
-            os.path.relpath(r["p"].removeprefix("file:"), tbl)
-            for r in spark.read.parquet(path)
-            .select(F.col("_metadata.file_path").alias("p"))
-            .distinct()
-            .collect()  # O(files); file: URI -> local path
-        ]
-        return sorted(rel)
+        # Driver-side listing, not a Spark read-back scan job (r13
+        # optimization — see scan_delta_log.write_files).
+        return sorted(
+            os.path.join("data", sub, f)
+            for f in os.listdir(path)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
 
     base_files = write_files(o.filter(F.col("o_orderdate") < c2000), "b1", 4)
     appended = write_files(
@@ -1856,11 +1878,21 @@ def scan_delta_checkpoint(spark, sf_dir):
         F.lit(True).alias("is_add"),
     )
 
-    out = None
+    # Both version reads fold in ONE job (r13 optimization, guide
+    # §2.4/§5 — was one fold + collect + scan per version): each read's
+    # state (checkpoint rows, plus the constructed replay tail for
+    # m > N) is labeled with its as-of version and unioned, the
+    # last-action-wins aggregate groups by (as_of, path), and the pair
+    # collect is O(versions x live files). The checkpoint branch
+    # semantics are unchanged: version 2 is served from the checkpoint
+    # ALONE, version 3 replays exactly commit 3.
+    states = []
+    replayed = {}
     for m in (ckpt_version, 3):
         tail_paths = [
             os.path.join(log_dir, f"{v:020d}.json") for v in range(n + 1, m + 1)
         ]
+        replayed[m] = len(tail_paths)
         state = ckpt_state
         if tail_paths:
             replay = (
@@ -1878,33 +1910,50 @@ def scan_delta_checkpoint(spark, sf_dir):
                 .filter(F.col("path").isNotNull())
             )
             state = state.unionByName(replay)
-        live = (
-            state.groupBy("path")
-            .agg(F.max_by("is_add", "version").alias("live"))
-            .filter(F.col("live"))
+        states.append(state.withColumn("as_of", F.lit(m).cast("bigint")))
+    combined = states[0]
+    for s in states[1:]:
+        combined = combined.unionByName(s)
+    live_pairs = (
+        combined.groupBy("as_of", "path")
+        .agg(F.max_by("is_add", "version").alias("live"))
+        .filter(F.col("live"))
+        .collect()  # O(versions x live files): 8 rows
+    )
+
+    # One scan of the distinct live files; each row attributed to its
+    # versions via a broadcast (file uri -> as_of) join (r13: was a
+    # union of per-version aggs re-reading the 3 files shared by both
+    # versions).
+    uri = lambda rel: "file:" + os.path.join(tbl, rel)
+    pairs = spark.createDataFrame(
+        [(uri(r["path"]), r["as_of"]) for r in live_pairs],
+        "fp string, version bigint",
+    )
+    n_replayed = F.create_map(
+        *[x for m, c in replayed.items() for x in (F.lit(m), F.lit(c))]
+    )
+    scan = spark.read.parquet(
+        *sorted({os.path.join(tbl, r["path"]) for r in live_pairs})
+    ).select("price", F.col("_metadata.file_path").alias("fp"))
+    return (
+        scan.join(F.broadcast(pairs), "fp")
+        .groupBy("version")
+        .agg(
+            F.count_distinct("fp").cast("bigint").alias("n_files"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("price").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_total"),
         )
-        paths = [os.path.join(tbl, r["path"]) for r in live.collect()]  # O(files)
-        agg = (
-            spark.read.parquet(*paths)
-            .agg(
-                F.count_distinct(F.col("_metadata.file_path"))
-                .cast("bigint")
-                .alias("n_files"),
-                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-                F.sum(F.col("price").cast("decimal(38,6)"))
-                .cast("double")
-                .alias("sum_total"),
-            )
-            .select(
-                F.lit(m).cast("bigint").alias("version"),
-                F.lit(len(tail_paths)).cast("bigint").alias("n_commits_replayed"),
-                "n_files",
-                "n_rows",
-                "sum_total",
-            )
+        .select(
+            "version",
+            n_replayed[F.col("version")].cast("bigint").alias("n_commits_replayed"),
+            "n_files",
+            "n_rows",
+            "sum_total",
         )
-        out = agg if out is None else out.unionByName(agg)
-    return out
+    )
 
 
 @register(
@@ -1968,9 +2017,12 @@ def scan_delta_time_travel_ts(spark, sf_dir):
     checkpoint + O(m-N) constructed JSON tail paths
     (n_commits_replayed counts them); m < N predates the checkpoint,
     so the reader replays commits 0..m (m+1 replayed) — the checkpoint
-    cannot serve an EARLIER version since it folds state at N. File
-    counts are asserted from DISTINCT _metadata.file_path inside each
-    version read; content hash-matches the oracle's date-slice
+    cannot serve an EARLIER version since it folds state at N. All
+    three probes fold in one labeled aggregate and each live data file
+    is scanned once, attributed to its probes via a broadcast
+    (file -> probe) join (r13 — see scan_delta_log). File counts are
+    asserted from DISTINCT _metadata.file_path within each probe's
+    attributed rows; content hash-matches the oracle's date-slice
     recomputation."""
     import json as _json
 
@@ -1991,14 +2043,13 @@ def scan_delta_time_travel_ts(spark, sf_dir):
         df.select("o_orderkey", "price").repartition(n_files).write.mode(
             "overwrite"
         ).parquet(path)
-        rel = [
-            os.path.relpath(r["p"].removeprefix("file:"), tbl)
-            for r in spark.read.parquet(path)
-            .select(F.col("_metadata.file_path").alias("p"))
-            .distinct()
-            .collect()  # O(files); file: URI -> local path
-        ]
-        return sorted(rel)
+        # Driver-side listing, not a Spark read-back scan job (r13
+        # optimization — see scan_delta_log.write_files).
+        return sorted(
+            os.path.join("data", sub, f)
+            for f in os.listdir(path)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
 
     base_files = write_files(o.filter(F.col("o_orderdate") < c2000), "b1", 4)
     appended = write_files(
@@ -2132,7 +2183,18 @@ def scan_delta_time_travel_ts(spark, sf_dir):
         F.lit(True).alias("is_add"),
     )
 
-    out = None
+    # All three probe reads fold in ONE job (r13 optimization, guide
+    # §2.4/§5 — was one fold + collect + scan per probe): each probe's
+    # state (checkpoint rows for m >= N, constructed replay tail /
+    # pre-checkpoint replay for m < N) is labeled with its probe name
+    # and unioned, the last-action-wins aggregate groups by
+    # (probe, path), and the pair collect is O(probes x live files).
+    # The branch semantics are unchanged: at_v2 is served from the
+    # checkpoint alone, after_v3 replays exactly commit 3, mid_v0
+    # replays commits 0..0 because the checkpoint cannot serve an
+    # EARLIER version.
+    states = []
+    meta = {}  # probe -> (version, n_commits_replayed)
     for r in sorted(resolved, key=lambda x: x["version"]):
         label, m = r["probe"], r["version"]
         if m >= n:  # checkpoint + O(m-n) constructed tail paths
@@ -2145,6 +2207,7 @@ def scan_delta_time_travel_ts(spark, sf_dir):
                 os.path.join(log_dir, f"{v:020d}.json") for v in range(m + 1)
             ]
             state = None
+        meta[label] = (m, len(tail_paths))
         if tail_paths:
             replay = (
                 spark.read.schema(action_schema)
@@ -2161,34 +2224,49 @@ def scan_delta_time_travel_ts(spark, sf_dir):
                 .filter(F.col("path").isNotNull())
             )
             state = replay if state is None else state.unionByName(replay)
-        live = (
-            state.groupBy("path")
-            .agg(F.max_by("is_add", F.struct("version", "is_add")).alias("live"))
-            .filter(F.col("live"))
+        states.append(state.withColumn("probe", F.lit(label)))
+    combined = states[0]
+    for s in states[1:]:
+        combined = combined.unionByName(s)
+    live_pairs = (
+        combined.groupBy("probe", "path")
+        .agg(F.max_by("is_add", F.struct("version", "is_add")).alias("live"))
+        .filter(F.col("live"))
+        .collect()  # O(probes x live files): 12 rows
+    )
+
+    # One scan of the distinct live files; rows attributed to probes
+    # via a broadcast (file uri -> probe) join, per-probe constants
+    # (version, n_commits_replayed) attached from a broadcast 3-row
+    # spine (r13: was a union of per-probe aggs re-reading the files
+    # shared by at_v2 and after_v3).
+    uri = lambda rel: "file:" + os.path.join(tbl, rel)
+    pairs = spark.createDataFrame(
+        [(uri(r2["path"]), r2["probe"]) for r2 in live_pairs],
+        "fp string, probe string",
+    )
+    consts = spark.createDataFrame(
+        [(p, v, c) for p, (v, c) in meta.items()],
+        "probe string, version bigint, n_commits_replayed bigint",
+    )
+    scan = spark.read.parquet(
+        *sorted({os.path.join(tbl, r2["path"]) for r2 in live_pairs})
+    ).select("price", F.col("_metadata.file_path").alias("fp"))
+    return (
+        scan.join(F.broadcast(pairs), "fp")
+        .groupBy("probe")
+        .agg(
+            F.count_distinct("fp").cast("bigint").alias("n_files"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("price").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_total"),
         )
-        paths = [os.path.join(tbl, r2["path"]) for r2 in live.collect()]  # O(files)
-        agg = (
-            spark.read.parquet(*paths)
-            .agg(
-                F.count_distinct(F.col("_metadata.file_path"))
-                .cast("bigint")
-                .alias("n_files"),
-                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-                F.sum(F.col("price").cast("decimal(38,6)"))
-                .cast("double")
-                .alias("sum_total"),
-            )
-            .select(
-                F.lit(label).alias("probe"),
-                F.lit(m).cast("bigint").alias("version"),
-                F.lit(len(tail_paths)).cast("bigint").alias("n_commits_replayed"),
-                "n_files",
-                "n_rows",
-                "sum_total",
-            )
+        .join(F.broadcast(consts), "probe")
+        .select(
+            "probe", "version", "n_commits_replayed", "n_files", "n_rows", "sum_total"
         )
-        out = agg if out is None else out.unionByName(agg)
-    return out
+    )
 
 
 @register(
@@ -2267,22 +2345,23 @@ def scan_delta_partition_values(spark, sf_dir):
         df.repartition("o_year").write.mode("overwrite").partitionBy(
             "o_year"
         ).parquet(path)
-        rows = (
-            spark.read.parquet(path)
-            .select(F.col("_metadata.file_path").alias("p"))
-            .distinct()
-            .collect()  # O(files): 7 at most
-        )
+        # Driver-side walk of the partition dirs, not a Spark read-back
+        # scan job (r13 optimization — see scan_delta_log.write_files).
         out = {}
-        for r in rows:
-            rel = os.path.relpath(r["p"].removeprefix("file:"), tbl)
-            year = int(re.search(r"o_year=(\d+)", rel).group(1))
-            if year in out:
-                raise AssertionError(
-                    f"scan_delta_partition_values fixture: partition "
-                    f"o_year={year} in {sub} produced more than one file"
-                )
-            out[year] = rel
+        for d in os.listdir(path):
+            m = re.fullmatch(r"o_year=(\d+)", d)
+            if not m:
+                continue
+            year = int(m.group(1))
+            for f in os.listdir(os.path.join(path, d)):
+                if not (f.startswith("part-") and f.endswith(".parquet")):
+                    continue
+                if year in out:
+                    raise AssertionError(
+                        f"scan_delta_partition_values fixture: partition "
+                        f"o_year={year} in {sub} produced more than one file"
+                    )
+                out[year] = os.path.join("data", sub, d, f)
         return out
 
     v0_files = write_partitioned(

@@ -9,6 +9,7 @@ from __future__ import annotations
 import io
 import json
 import os
+import re
 from contextlib import redirect_stdout
 
 import pyspark.sql.functions as F
@@ -130,18 +131,23 @@ def test_delta_checkpoint_replay_counts_and_fold_plan(spark, sf_dir):
     commit; the fold stays a single hash aggregate (no join/window/
     cartesian) — the O(log tail) plan a 100 TB client needs."""
     df = _Q["scan_delta_checkpoint"](spark, sf_dir)
+    # capture the plan BEFORE the collect: once AQE finalizes, explain
+    # prints final + initial trees and every operator numbers twice
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
     rows = {r["version"]: r for r in df.collect()}
     assert rows[2]["n_commits_replayed"] == 0
     assert rows[3]["n_commits_replayed"] == 1
     assert rows[2]["n_files"] == 3 and rows[3]["n_files"] == 5
     assert rows[3]["n_rows"] > rows[2]["n_rows"]
-
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        df.explain("formatted")
-    plan = buf.getvalue()
     assert "CartesianProduct" not in plan
-    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # Since r13 the read scans the distinct live files once and
+    # attributes rows to versions via a broadcast metadata join — the
+    # only joins allowed are broadcast ones.
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 1, plan
 
 
 def _py_avro_resolve(blob: bytes):

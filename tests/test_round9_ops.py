@@ -8,6 +8,7 @@ from __future__ import annotations
 import io
 import json
 import os
+import re
 from contextlib import redirect_stdout
 
 import pyspark.sql.functions as F
@@ -69,15 +70,20 @@ def test_delta_log_replay_isolation_and_compaction_equivalence(spark, sf_dir):
 
 
 def test_delta_log_fold_is_one_hash_aggregate(spark, sf_dir):
-    """The version fold must stay a single hash aggregate over the log
-    rows (the O(log) path a 100 TB client needs) — no join, no window,
-    no cartesian in the operator's final plan."""
+    """The version fold must stay hash-aggregate-shaped (the O(log)
+    path a 100 TB client needs): no cartesian and no shuffle join
+    anywhere. Since r13 the final plan scans the distinct live data
+    files ONCE and attributes rows to versions via a BROADCAST
+    (file -> version) metadata join — assert exactly that shape: one
+    parquet scan of the data tree, the attach join broadcast-only."""
     buf = io.StringIO()
     with redirect_stdout(buf):
         _Q["scan_delta_log"](spark, sf_dir).explain("formatted")
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan
-    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
 
 
 def _ref_ocf_parse(blob: bytes):
