@@ -265,6 +265,12 @@ def raw_crossval(spark, sf_dir) -> list[tuple[float, float, bool]]:
         "fold",
         F.pmod(F.xxhash64(F.col("user_id"), F.col("churned"), F.lit(7)), F.lit(3)).cast("int"),
     )
+    # Materialize the labeled feature table ONCE before CV: the
+    # CrossValidator's 6 fold fits + 6 validation transforms + final
+    # refit each re-evaluate the dataset lineage, and user_features is
+    # a two-shuffle aggregate over events — ~13 recomputes without
+    # this (r13 optimization, guide §5; the per-user table is tiny).
+    labeled = ckpt(labeled)
     pipeline = churn.build_ml_pipeline()
     lr = pipeline.getStages()[-1]
     grid = ParamGridBuilder().addGrid(lr.regParam, [0.01, 0.5]).build()

@@ -856,6 +856,13 @@ _DECLARED_PYTHON_KEYS = {
     "udf_arrow", "udf_cogrouped_map", "udf_grouped_map", "udf_pandas",
     "udf_pandas_iter", "udf_pandas_struct", "udf_python",
     "udf_python_arrow", "udtf_arrow", "udtf_python",
+    # r13: the wire-codec DECODE side moved from Catalyst expression
+    # ladders to one mapInArrow batch pass per op (guide §4.2; see
+    # functions/avro_arrow.py) — a deliberate Python-boundary use, not
+    # a leak: the encode stays JVM and only the needed columns cross.
+    "fn_protobuf_wire", "fn_avro_wire", "fn_avro_schema_evolution",
+    "fn_avro_union_nullable", "fn_avro_container",
+    "fn_avro_array_blocks", "fn_avro_map_blocks",
 }
 
 _PYTHON_EVAL_NODES = (
