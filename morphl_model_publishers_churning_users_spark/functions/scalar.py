@@ -1525,18 +1525,17 @@ def fn_protobuf_wire(spark, sf_dir):
         F.col("o_orderpriority").alias("pri_in"),
         F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents_in"),
     )
+    # SQL-text encode (one expr() parse; see _vu64_hex_sql) — bytes
+    # identical to the _pb_varint ladder it replaces, including the
+    # NULL-payload contract for negative inputs.
     wire = enc.select(
         "key_in",
         "pri_in",
         "cents_in",
-        F.concat(
-            _pb_byte(F.lit(0x08)),
-            _pb_varint(F.col("key_in")),
-            _pb_byte(F.lit(0x12)),
-            _pb_byte(F.octet_length("pri_in")),  # proto string len = bytes
-            F.col("pri_in").cast("binary"),
-            _pb_byte(F.lit(0x18)),
-            _pb_varint(F.col("cents_in")),
+        F.expr(
+            "concat(X'08', " + _v9n_sql("key_in") + ", X'12', "
+            "unhex(lpad(hex(octet_length(pri_in)), 2, '0')), "  # 1-byte len
+            "cast(pri_in as binary), X'18', " + _v9n_sql("cents_in") + ")"
         ).alias("payload"),
     )
     from .avro_arrow import PROTOBUF_OUT_DDL, decode_protobuf_wire
@@ -1622,6 +1621,67 @@ def _pb_vlen10(p):
     for n in range(2, 10):
         c = c.when(bs[n - 1] < 128, F.lit(n))
     return c.otherwise(F.lit(10))
+
+
+# --------------------------------------------------- SQL-text varint encoders
+#
+# r13 optimization (guide §1 phase profile, OPTIMIZATION_r13.md): the
+# Column-ladder encoders above are kept as the reference implementation
+# (boundary tests pin them), but building them dominated the codec ops'
+# DataFrame CONSTRUCTION time — each _pb_varint_u64 call issues ~400
+# py4j round-trips (limbs duplicated across the 10 CASE-ladder
+# branches), ~2.4-4.1 s per op before a single job ran. The encoders
+# below emit the SAME bytes from ONE expr() parse: per-BYTE
+# construction — limb i is present iff the unsigned remainder at shift
+# 7i is non-zero (limb 0 always), continuation bit set iff limb i+1 is
+# present — instead of a limb-count ladder, so the JVM tree is ~4x
+# smaller too. Bit-identical on the full 64-bit domain including the
+# 10-limb negative-carrier forms (tests/test_round13_sql_encoders.py
+# pins SQL vs ladder at every limb/sign boundary). Still pure JVM
+# codegen: the encode/decode independence argument is unchanged.
+
+
+def _vu64_hex_sql(e: str) -> str:
+    """Hex-string base-128 varint encode of bigint SQL expression `e`
+    whose 64-BIT PATTERN is the value (uint64-in-signed-carrier, what
+    zigzag produces for |n| >= 2^62) — the expr()-text twin of
+    _pb_varint_u64, one lpad(hex(...)) pair per present limb,
+    shiftrightunsigned throughout so the sign bit never smears."""
+    parts = []
+    for i in range(10):
+        u = f"shiftrightunsigned({e}, {7 * i})" if i else f"({e})"
+        if i < 9:
+            nxt = f"shiftrightunsigned({e}, {7 * (i + 1)})"
+            b = f"lpad(hex(({u} & 127) + if({nxt} != 0, 128, 0)), 2, '0')"
+        else:
+            b = f"lpad(hex({u}), 2, '0')"  # limb 9 = bit 63, no continuation
+        parts.append(b if i == 0 else f"if({u} != 0, {b}, '')")
+    return "concat(" + ", ".join(parts) + ")"
+
+
+def _vu64_sql(e: str) -> str:
+    """Binary varint encode of carrier expression `e` (see
+    _vu64_hex_sql); one unhex over the concatenated hex limbs."""
+    return f"unhex({_vu64_hex_sql(e)})"
+
+
+def _v9n_sql(e: str) -> str:
+    """proto3 varint of non-negative `e`; negative input (outside the
+    proto3 unsigned domain) yields NULL — _pb_varint's contract."""
+    return f"if(({e}) < 0, cast(null as binary), {_vu64_sql(e)})"
+
+
+def _zz_sql(e: str) -> str:
+    """Avro/proto zigzag of `e` as SQL text — _avro_zigzag's bit form
+    ``(n<<1) ^ (n>>63)`` (wraps instead of ANSI-overflowing, so the
+    full int64 domain encodes)."""
+    c = f"cast({e} as bigint)"
+    return f"(shiftleft({c}, 1) ^ shiftright({c}, 63))"
+
+
+def _vzz_sql(e: str) -> str:
+    """zigzag + varint in one SQL text: the Avro item/field encoder."""
+    return _vu64_sql(_zz_sql(e))
 
 
 @register(
@@ -1713,12 +1773,13 @@ def fn_avro_wire(spark, sf_dir):
         "key_in",
         "pri_in",
         "delta_in",
-        F.concat(
-            _pb_varint_u64(_avro_zigzag(F.col("key_in"))),
-            # byte length per the Avro spec (octet_length, not char count)
-            _pb_varint_u64(_avro_zigzag(F.octet_length("pri_in").cast("bigint"))),
-            F.col("pri_in").cast("binary"),
-            _pb_varint_u64(_avro_zigzag(F.col("delta_in"))),
+        # SQL-text encode (one expr() parse; see _vu64_hex_sql) — bytes
+        # identical to the ladder form. Length is octet_length per the
+        # Avro spec (bytes, not chars).
+        F.expr(
+            "concat(" + _vzz_sql("key_in") + ", "
+            + _vzz_sql("octet_length(pri_in)") + ", "
+            "cast(pri_in as binary), " + _vzz_sql("delta_in") + ")"
         ).alias("payload"),
     )
     return wire.mapInArrow(decode_wire, WIRE_OUT_DDL)
@@ -1788,16 +1849,16 @@ def _avro_container_frames(spark, sf_dir):
             "delta"
         ),
     )
+    # SQL-text record encode (one expr() parse; see _vu64_hex_sql) —
+    # bytes identical to the ladder form it replaces.
     rec = msg.select(
         "ym",
         "key",
         "pri",
         "delta",
-        F.concat(
-            _pb_varint_u64(_avro_zigzag(F.col("key"))),
-            _pb_varint_u64(_avro_zigzag(F.octet_length("pri").cast("bigint"))),
-            F.col("pri").cast("binary"),
-            _pb_varint_u64(_avro_zigzag(F.col("delta"))),
+        F.expr(
+            "concat(" + _vzz_sql("key") + ", " + _vzz_sql("octet_length(pri)")
+            + ", cast(pri as binary), " + _vzz_sql("delta") + ")"
         ).alias("rec"),
     )
     per = rec.groupBy("ym").agg(
@@ -1828,8 +1889,8 @@ def _avro_container_frames(spark, sf_dir):
     file = F.concat(
         F.lit(_OCF_MAGIC + _OCF_META),
         F.col("sync"),
-        _pb_varint_u64(_avro_zigzag(F.col("n_in"))),
-        _pb_varint_u64(_avro_zigzag(F.length("records").cast("bigint"))),
+        F.expr(_vzz_sql("n_in")),
+        F.expr(_vzz_sql("length(records)")),
         F.col("records"),
         F.col("sync"),
     )
@@ -2006,12 +2067,13 @@ def fn_avro_schema_evolution(spark, sf_dir):
         "key_in",
         "pri_in",
         "delta_in",
-        F.concat(
-            _pb_varint_u64(_avro_zigzag(F.col("key_in"))),
-            # byte length per the Avro spec (octet_length, not char count)
-            _pb_varint_u64(_avro_zigzag(F.octet_length("pri_in").cast("bigint"))),
-            F.col("pri_in").cast("binary"),
-            _pb_varint_u64(_avro_zigzag(F.col("delta_in"))),
+        # SQL-text encode (one expr() parse; see _vu64_hex_sql) — bytes
+        # identical to the ladder form. Length is octet_length per the
+        # Avro spec (bytes, not chars).
+        F.expr(
+            "concat(" + _vzz_sql("key_in") + ", "
+            + _vzz_sql("octet_length(pri_in)") + ", "
+            "cast(pri_in as binary), " + _vzz_sql("delta_in") + ")"
         ).alias("payload"),
     )
     # Resolution walk in WRITER order: skip `key` (reader drops it),
@@ -2096,29 +2158,21 @@ def fn_avro_union_nullable(spark, sf_dir):
             - 200000
         ).alias("delta_in"),
     )
-    null_branch = _pb_byte(F.lit(0))  # zigzag(0) = 0x00, value = 0 bytes
-    some_branch = _pb_byte(F.lit(2))  # zigzag(1) = 0x02
+    # SQL-text encode (one expr() parse; see _vu64_hex_sql) — branch
+    # markers X'00' (zigzag(0), null: zero value bytes) / X'02'
+    # (zigzag(1)); string length is the BYTE length (octet_length) per
+    # the Avro spec (r11 ADVICE; ASCII fixture can't tell). Bytes
+    # identical to the ladder form.
     wire = enc.select(
         "key_in",
         "pri_in",
         "delta_in",
-        F.concat(
-            _pb_varint_u64(_avro_zigzag(F.col("key_in"))),
-            F.when(F.col("pri_in").isNull(), null_branch).otherwise(
-                F.concat(
-                    some_branch,
-                    # Avro string length is the BYTE length (octet_length),
-                    # not the character count — they differ on non-ASCII
-                    # priorities (r11 ADVICE; ASCII fixture can't tell).
-                    _pb_varint_u64(
-                        _avro_zigzag(F.octet_length("pri_in").cast("bigint"))
-                    ),
-                    F.col("pri_in").cast("binary"),
-                )
-            ),
-            F.when(F.col("delta_in").isNull(), null_branch).otherwise(
-                F.concat(some_branch, _pb_varint_u64(_avro_zigzag(F.col("delta_in"))))
-            ),
+        F.expr(
+            "concat(" + _vzz_sql("key_in") + ", "
+            "if(pri_in is null, X'00', concat(X'02', "
+            + _vzz_sql("octet_length(pri_in)") + ", cast(pri_in as binary))), "
+            "if(delta_in is null, X'00', concat(X'02', "
+            + _vzz_sql("delta_in") + ")))"
         ).alias("payload"),
     )
     return wire.mapInArrow(decode_union_nullable, UNION_OUT_DDL)
@@ -2229,7 +2283,6 @@ def fn_avro_array_blocks(spark, sf_dir):
     terminator error flips the hash."""
     from .avro_arrow import ARRAY_BLOCKS_OUT_DDL, decode_array_blocks
 
-    enc_item = lambda x: _pb_varint_u64(_avro_zigzag(x))
     items = (
         t(spark, sf_dir, "lineitem")
         .select(
@@ -2248,43 +2301,35 @@ def fn_avro_array_blocks(spark, sf_dir):
             ).alias("items")
         )
     )
-    empty = F.lit(b"")
-    cat_items = lambda arr: F.aggregate(
-        arr, empty, lambda acc, x: F.concat(acc, enc_item(x))
+    # SQL-text encode (one expr() parse per column; see _vu64_hex_sql)
+    # — item folds and framing emit bytes identical to the ladder form.
+    cat_items = lambda arr_sql: F.expr(
+        f"aggregate({arr_sql}, X'', (acc, x) -> concat(acc, {_vzz_sql('x')}))"
     )
     staged = items.select(
         "key_in",
         "items",
         F.size("items").cast("bigint").alias("n_in"),
         F.least(F.size("items"), F.lit(2)).cast("bigint").alias("c1_in"),
-        cat_items(F.slice("items", 1, 2)).alias("b1_bytes"),
-        cat_items(
-            F.slice(
-                F.col("items"),
-                F.lit(3),
-                F.greatest(F.size("items") - 2, F.lit(0)),
-            )
-        ).alias("b2_bytes"),
+        cat_items("slice(items, 1, 2)").alias("b1_bytes"),
+        cat_items("slice(items, 3, greatest(size(items) - 2, 0))").alias(
+            "b2_bytes"
+        ),
     )
     wire = staged.select(
         "key_in",
         "items",
         "n_in",
-        F.concat(
-            enc_item(F.col("key_in")),
-            enc_item(F.col("c1_in")),
-            F.col("b1_bytes"),
-            F.when(
-                F.col("n_in") > 2,
-                F.concat(
-                    # negative count = -(items in block 2)
-                    enc_item(-(F.col("n_in") - F.col("c1_in"))),
-                    # size prefix: BYTE length of the block's items
-                    enc_item(F.octet_length("b2_bytes").cast("bigint")),
-                    F.col("b2_bytes"),
-                ),
-            ).otherwise(empty),
-            _pb_byte(F.lit(0)),  # zero-count terminator block
+        F.expr(
+            "concat(" + _vzz_sql("key_in") + ", " + _vzz_sql("c1_in") + ", "
+            "b1_bytes, "
+            "if(n_in > 2, concat("
+            # negative count = -(items in block 2)
+            + _vzz_sql("-(n_in - c1_in)") + ", "
+            # size prefix: BYTE length of the block's items
+            + _vzz_sql("octet_length(b2_bytes)") + ", "
+            "b2_bytes), X''), "
+            "X'00')"  # zero-count terminator block
         ).alias("payload"),
     )
     return wire.mapInArrow(decode_array_blocks, ARRAY_BLOCKS_OUT_DDL)
@@ -2393,7 +2438,6 @@ def fn_avro_map_blocks(spark, sf_dir):
     rescale past 2**62 must upgrade the oracle ladder first."""
     from .avro_arrow import MAP_BLOCKS_OUT_DDL, decode_map_blocks
 
-    zz = lambda x: _pb_varint_u64(_avro_zigzag(x))
     entries = (
         t(spark, sf_dir, "orders")
         .select(
@@ -2409,14 +2453,15 @@ def fn_avro_map_blocks(spark, sf_dir):
         .groupBy("key_in")
         .agg(F.sort_array(F.collect_list(F.struct("k", "v"))).alias("es"))
     )
-    enc_entry = lambda e: F.concat(
-        zz(F.octet_length(e["k"]).cast("bigint")),
-        F.encode(e["k"], "UTF-8"),
-        zz(e["v"]),
+    # SQL-text encode (one expr() parse per column; see _vu64_hex_sql)
+    # — entry folds (length-prefixed key + value varint) and framing
+    # emit bytes identical to the ladder form.
+    enc_entry_sql = (
+        f"concat({_vzz_sql('octet_length(e.k)')}, encode(e.k, 'UTF-8'), "
+        f"{_vzz_sql('e.v')})"
     )
-    empty = F.lit(b"")
-    cat_entries = lambda arr: F.aggregate(
-        arr, empty, lambda acc, e: F.concat(acc, enc_entry(e))
+    cat_entries = lambda arr_sql: F.expr(
+        f"aggregate({arr_sql}, X'', (acc, e) -> concat(acc, {enc_entry_sql}))"
     )
     staged = entries.select(
         "key_in",
@@ -2428,31 +2473,24 @@ def fn_avro_map_blocks(spark, sf_dir):
             "vs_in"
         ),
         F.least(F.size("es"), F.lit(2)).cast("bigint").alias("c1_in"),
-        cat_entries(F.slice("es", 1, 2)).alias("b1_bytes"),
-        cat_entries(
-            F.slice(F.col("es"), F.lit(3), F.greatest(F.size("es") - 2, F.lit(0)))
-        ).alias("b2_bytes"),
+        cat_entries("slice(es, 1, 2)").alias("b1_bytes"),
+        cat_entries("slice(es, 3, greatest(size(es) - 2, 0))").alias("b2_bytes"),
     )
     wire = staged.select(
         "key_in",
         "n_in",
         "kb_in",
         "vs_in",
-        F.concat(
-            zz(F.col("key_in")),
-            zz(F.col("c1_in")),
-            F.col("b1_bytes"),
-            F.when(
-                F.col("n_in") > 2,
-                F.concat(
-                    # negative count = -(entries in block 2)
-                    zz(-(F.col("n_in") - F.col("c1_in"))),
-                    # size prefix: BYTE length of the block's entries
-                    zz(F.octet_length("b2_bytes").cast("bigint")),
-                    F.col("b2_bytes"),
-                ),
-            ).otherwise(empty),
-            _pb_byte(F.lit(0)),  # zero-count terminator block
+        F.expr(
+            "concat(" + _vzz_sql("key_in") + ", " + _vzz_sql("c1_in") + ", "
+            "b1_bytes, "
+            "if(n_in > 2, concat("
+            # negative count = -(entries in block 2)
+            + _vzz_sql("-(n_in - c1_in)") + ", "
+            # size prefix: BYTE length of the block's entries
+            + _vzz_sql("octet_length(b2_bytes)") + ", "
+            "b2_bytes), X''), "
+            "X'00')"  # zero-count terminator block
         ).alias("payload"),
     )
     return wire.mapInArrow(decode_map_blocks, MAP_BLOCKS_OUT_DDL)
