@@ -55,6 +55,16 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for any pandas-UDF path and fast toPandas.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Fall back from whole-stage codegen when the compiled method exceeds
+    # HotSpot's JIT ceiling (-XX:DontCompileHugeMethods refuses methods
+    # over 8000 bytecode bytes on every stock JVM): between 8000 and
+    # Spark's 65535 default the generated method RUNS but only in the
+    # bytecode interpreter, which measured 3x SLOWER than Catalyst's
+    # interpreted expression path on the wire-codec encode projections
+    # (r13, OPTIMIZATION_r13.md: fn_avro_wire encode 1.16 s codegen'd vs
+    # 0.40 s fallback at sf0.1 single-task). Scale-independent: the JIT
+    # ceiling is a JVM property, not a cluster-size tunable.
+    "spark.sql.codegen.hugeMethodLimit": "8000",
 }
 
 
