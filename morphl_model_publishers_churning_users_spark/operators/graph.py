@@ -1334,8 +1334,21 @@ def graph_ppr(spark, sf_dir):
         F.when(F.col("is_seed") == 1, F.lit(1.0) / k).otherwise(0.0).alias("r"),
     )
     for _ in range(8):
+        # Frontier filter (r13 optimization, guide §2.3: shuffle fewer
+        # bytes): zero-mass rows contribute exactly 0 to every insum —
+        # q12(0/outdeg) = 0, and a dst whose in-neighbors are all
+        # zero-mass gets insum = 0.0 either way (empty-group NULL hits
+        # the same coalesce(.., 0.0) as a sum of zeros) — so only the
+        # REACHED frontier needs to join the edge table. Round 1 joins
+        # the 10 seed rows instead of every node; measured at sf0.1
+        # (isolated noop min-of-3): 8.06 s → 7.24 s — modest HERE
+        # because this co-purchase graph saturates within ~2 rounds,
+        # but at 100 TB with sparse seed sets the early rounds are
+        # orders of magnitude smaller than the full vector. Oracle
+        # hash unchanged at sf0.001 + sf0.01.
+        frontier = p.filter(F.col("r") > 0)
         contrib = (
-            p.join(sym, p["node"] == sym["src"])
+            frontier.join(sym, frontier["node"] == sym["src"])
             .groupBy(F.col("dst").alias("node"))
             .agg(
                 (

@@ -3188,28 +3188,94 @@ def ts_markov_stationary(spark, sf_dir):
         .filter(F.col("prev").isNotNull())
         .groupBy("prev", F.col("event_type").alias("nxt"))
         .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=True)  # the k×k matrix feeds every round
+        .localCheckpoint(eager=True)  # the k×k matrix feeds rowsum AND p
     )
     rowsum = trans.groupBy("prev").agg(F.sum("n").alias("tot"))
     p = trans.join(rowsum, "prev").select(
         "prev", "nxt", (F.col("n").cast("double") / F.col("tot")).alias("pr")
-    ).localCheckpoint(eager=True)
-    states = trans.select(F.col("prev").alias("s")).distinct()
-    k = states.count()  # bounded driver scalar: k = number of event types
-    v = states.withColumn("v", F.lit(1.0) / k)
-    q12 = q12dec  # shared parity helper (operators/_shared.py)
-    d12 = lambda c: (F.sum(q12(c)).cast("double") / F.lit(1e12))
-    for _ in range(20):
-        r = (
-            v.join(p, v["s"] == p["prev"])
-            .groupBy(F.col("nxt").alias("s"))
-            .agg(d12(F.col("v") * F.col("pr")).alias("raw"))
+    )
+    # r13 optimization (guide §1.2 step 1 — fix the distributed
+    # algorithm): the 20 rounds used to run as a driver loop of
+    # join + aggregate + broadcast + localCheckpoint over a ≤5-row
+    # vector — 20 two-exchange Spark jobs plus 20 materializations of
+    # sub-kilobyte data, pure scheduling overhead at ANY scale (the
+    # k×k matrix is schema-bounded: it never grows with the fact
+    # table). The whole recursion now runs as ONE in-JVM higher-order
+    # fold over the densified matrix in a single projection: per term
+    # floor(v_i·P_ij·1e12+0.5) summed as exact BIGINTs (bit-identical
+    # to the former DECIMAL(38,12) sums — both are exact integer
+    # arithmetic far below 2^53, cast to the same double), L1
+    # renormalized per round. The former join semantics are mirrored
+    # EXACTLY by an `alive` mask: a state leaves the vector the round
+    # it stops receiving transitions from live states (the old r-join
+    # produced no row for it), contributes nothing afterwards, and is
+    # absent from the output. Measured at sf0.1 (isolated noop
+    # min-of-3): 4.06 s → see OPTIMIZATION_r13.md; the former
+    # states.count() driver action is gone too (k = size(states)
+    # in-expression). Oracle hash unchanged at sf0.001/0.01/0.1.
+    mat = p.agg(F.expr("sort_array(collect_list(struct(prev, nxt, pr)))").alias("m"))
+    dense = mat.select(
+        "m",
+        F.expr("array_sort(array_distinct(transform(m, x -> x.prev)))").alias("states"),
+    ).select(
+        "states",
+        F.expr(
+            "transform(states, ps -> transform(states, ns -> "
+            "coalesce(filter(m, x -> x.prev = ps AND x.nxt = ns)[0].pr, 0d)))"
+        ).alias("P"),
+    )
+    # Per-round recursion, mirroring the former join/agg round:
+    #   raw_j    = double(Σ_i alive_i ∧ P_ij≠0 → floor(v_i·P_ij·1e12+.5)) / 1e12
+    #   alive'_j = ∃i alive_i ∧ P_ij≠0        (the old r-join row-existence)
+    #   t        = double(Σ_j alive'_j → floor(raw_j·1e12+.5)) / 1e12
+    #   v'_j     = alive'_j ? raw_j / t : 0
+    raw = (
+        "transform(sequence(0, size(states)-1), j -> "
+        "cast(aggregate(sequence(0, size(states)-1), 0L, (s2, i) -> "
+        "s2 + IF(a.alive[i] AND P[i][j] != 0d, "
+        "cast(floor(a.v[i] * P[i][j] * 1e12 + 0.5d) as bigint), 0L)) as double) / 1e12)"
+    )
+    alive2 = (
+        "transform(sequence(0, size(states)-1), j -> "
+        "exists(sequence(0, size(states)-1), i -> a.alive[i] AND P[i][j] != 0d))"
+    )
+    tot = (
+        f"cast(aggregate(sequence(0, size(states)-1), 0L, (s3, j) -> "
+        f"s3 + IF(({alive2})[j], cast(floor(({raw})[j] * 1e12 + 0.5d) as bigint), 0L)) "
+        f"as double) / 1e12"
+    )
+    step = (
+        f"named_struct("
+        f"'v', transform(sequence(0, size(states)-1), j -> "
+        f"IF(({alive2})[j], ({raw})[j] / ({tot}), 0d)), "
+        f"'alive', {alive2})"
+    )
+    fold = (
+        f"aggregate(sequence(1, 20), "
+        f"named_struct("
+        f"'v', transform(states, s -> 1.0d / cast(size(states) as double)), "
+        f"'alive', transform(states, s -> true)), "
+        f"(a, r) -> {step})"
+    )
+    # Eager checkpoint of the ONE-row fold result before the explode
+    # tail: without it CollapseProject substitutes the (large) fold
+    # expression into every struct-field extraction downstream of the
+    # explode and the optimizer churns ~7 s of driver time per action
+    # on the multiplied tree (measured: optimized plan 3.6 KB → 67.5 KB,
+    # action 0.3 s → 7.0 s on a literal matrix). One row, one cheap job.
+    fin = ckpt(dense.select("states", F.expr(fold).alias("fin")))
+    return (
+        fin.select(
+            F.expr(
+                "filter(arrays_zip(states, fin.v, fin.alive), z -> z.alive)"
+            ).alias("zs")
         )
-        tot = r.agg(d12(F.col("raw")).alias("t"))
-        v = r.crossJoin(F.broadcast(tot)).select(
-            "s", (F.col("raw") / F.col("t")).alias("v")
-        ).localCheckpoint(eager=True)
-    return v.select(F.col("s").alias("state"), F.round("v", 6).alias("stationary_prob"))
+        .select(F.explode("zs").alias("z"))
+        .select(
+            F.col("z.states").alias("state"),
+            F.round(F.col("z.v"), 6).alias("stationary_prob"),
+        )
+    )
 
 
 @register(
@@ -6808,34 +6874,45 @@ def ts_pacf_durbin(spark, sf_dir):
         .agg(F.first(q12(F.col("s") / F.col("s0"))))
     )
     acf = acf.select(*[F.col(str(k)).alias(f"r{k}") for k in range(1, 11)])
-    # chained Durbin-Levinson: mirror _pacf_chain_sql exactly
-    cur = acf.withColumn("a1", q12(F.col("r1"))).withColumn("f1_1", q12(F.col("r1")))
+    # chained Durbin-Levinson: mirror _pacf_chain_sql exactly.
+    # r13 optimization (guide §7.3 — driver-side single-threaded cost,
+    # same fix as the codec-encode SQL-text rewrite): the recursion
+    # used to be ~55 chained .withColumn calls, each one py4j
+    # round-trip per Column operator plus a fresh analyzer pass over a
+    # growing ~65-column frame — measured 3.8 s of scale-INDEPENDENT
+    # driver construction vs 0.13 s of action at sf0.1 (py4j Column
+    # composition alone 1.6 s, the 10-select union tail another
+    # 0.5 s). The recursion is now composed as SQL TEXT in Python
+    # (free) and parsed by ONE selectExpr per step; the a_k text is
+    # inlined into the same-step f_k_j updates — identical arithmetic
+    # on the same deterministic expression, bit-identical values. The
+    # union tail is one explode over an inline struct array. Oracle
+    # hash verified unchanged at sf0.001/0.01/0.1.
+    q12t = lambda x: f"floor(({x}) * 1e12 + 0.5d) / 1e12"
+    cur = acf.selectExpr(
+        "*", f"{q12t('r1')} as a1", f"{q12t('r1')} as f1_1"
+    )
     for k in range(2, 11):
-        num = F.col(f"r{k}")
-        for j in range(1, k):
-            num = num - F.col(f"f{k-1}_{j}") * F.col(f"r{k - j}")
-        den = F.lit(1.0)
-        for j in range(1, k):
-            den = den - F.col(f"f{k-1}_{j}") * F.col(f"r{j}")
-        ak = q12(num / den)
-        cur = cur.withColumn(f"a{k}", ak)
-        for j in range(1, k):
-            cur = cur.withColumn(
-                f"f{k}_{j}",
-                q12(F.col(f"f{k-1}_{j}") - F.col(f"a{k}") * F.col(f"f{k-1}_{k - j}")),
-            )
-        cur = cur.withColumn(f"f{k}_{k}", F.col(f"a{k}"))
-    cur = ckpt(cur)
-    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
-    out = None
-    for k in range(1, 11):
-        row = cur.select(
-            F.lit(k).cast("bigint").alias("lag"),
-            q6(F.col(f"a{k}")).alias("pacf"),
-            q6(F.col(f"r{k}")).alias("acf"),
+        num = f"r{k}" + "".join(
+            f" - f{k-1}_{j} * r{k - j}" for j in range(1, k)
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+        den = "1.0d" + "".join(f" - f{k-1}_{j} * r{j}" for j in range(1, k))
+        ak = q12t(f"({num}) / ({den})")
+        news = [f"{ak} as a{k}"]
+        for j in range(1, k):
+            news.append(
+                f"{q12t(f'f{k-1}_{j} - ({ak}) * f{k-1}_{k - j}')} as f{k}_{j}"
+            )
+        news.append(f"{ak} as f{k}_{k}")
+        cur = cur.selectExpr("*", *news)
+    cur = ckpt(cur)
+    q6t = lambda x: f"floor({x} * 1e6 + 0.5d) / 1e6"
+    structs = ", ".join(
+        f"struct(cast({k} as bigint) as lag, {q6t(f'a{k}')} as pacf, "
+        f"{q6t(f'r{k}')} as acf)"
+        for k in range(1, 11)
+    )
+    return cur.selectExpr(f"explode(array({structs})) as z").select("z.*")
 
 
 @register(
@@ -7318,24 +7395,56 @@ def ts_absorbing_markov(spark, sf_dir):
             ).alias("p"),
         )
     )
-    v = tp.select("s").distinct().select("s", F.lit(0.0).alias("v"))
-    for _ in range(8):
-        v = ckpt(
-            tp.join(v.select(F.col("s").alias("d"), "v"), "d", "left")
-            .groupBy("s")
-            .agg(
-                q12(
-                    F.sum(
-                        F.col("p")
-                        * F.when(F.col("d") == "purchase", F.lit(1.0)).otherwise(
-                            F.coalesce(F.col("v"), F.lit(0.0))
-                        )
-                    )
-                ).alias("v")
-            )
-        )
+    # r13 optimization (guide §1.2 step 1, same rationale as
+    # ts_markov_stationary): the 8 value-iteration rounds used to run
+    # as a driver loop of join + aggregate + localCheckpoint over the
+    # ≤5-row value vector — 8 Spark jobs of scheduling overhead on
+    # schema-bounded data. The recursion now runs as ONE in-JVM
+    # higher-order fold over the densified transition matrix. Round
+    # semantics mirrored exactly: the vector's support is the distinct
+    # source states of tp in BOTH forms (the old left join kept every
+    # tp row each round), a missing value row reads as 0 (the old
+    # coalesce), purchase reads as 1, and absent (s,d) pairs contribute
+    # an exact +0.0 to the non-negative double sum (bit-neutral).
+    # Summation order changes from join-row order to sorted-target
+    # order — absorbed by the q12 quantization both engines already
+    # rely on (the DuckDB oracle sums in its own order today); oracle
+    # hash verified unchanged at sf0.001/0.01/0.1. Measured at sf0.1
+    # (isolated noop min-of-3): 2.09 s → see OPTIMIZATION_r13.md.
+    mat = tp.agg(F.expr("sort_array(collect_list(struct(s, d, p)))").alias("m"))
+    dense = mat.select(
+        "m",
+        F.expr("array_sort(array_distinct(transform(m, x -> x.s)))").alias("S"),
+        F.expr("array_sort(array_distinct(transform(m, x -> x.d)))").alias("D"),
+    ).select(
+        "S",
+        "D",
+        F.expr(
+            "transform(S, ss -> transform(D, dd -> "
+            "coalesce(filter(m, x -> x.s = ss AND x.d = dd)[0].p, 0d)))"
+        ).alias("P"),
+    )
+    # v'_i = q12(Σ_j P[i][j] · (D[j]='purchase' ? 1 : v[D[j]] or 0))
+    vstep = (
+        "transform(sequence(0, size(S)-1), i -> "
+        "floor(aggregate(sequence(0, size(D)-1), 0d, (s2, jd) -> "
+        "s2 + P[i][jd] * IF(D[jd] = 'purchase', 1.0d, "
+        "IF(array_position(S, D[jd]) > 0, "
+        "a[cast(array_position(S, D[jd]) as int) - 1], 0d))) "
+        "* 1e12 + 0.5d) / 1e12)"
+    )
+    fold = (
+        f"aggregate(sequence(1, 8), transform(S, s -> 0d), (a, r) -> {vstep})"
+    )
+    fin = ckpt(dense.select("S", F.expr(fold).alias("v")))  # 1 row; truncates
+    # the fold expression before the explode tail (CollapseProject would
+    # otherwise substitute it into every downstream field extraction —
+    # same hazard measured in ts_markov_stationary).
     q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
-    return v.select(F.col("s").alias("state"), q6(F.col("v")).alias("p_absorb_8"))
+    return (
+        fin.select(F.explode(F.expr("arrays_zip(S, v)")).alias("z"))
+        .select(F.col("z.S").alias("state"), q6(F.col("z.v")).alias("p_absorb_8"))
+    )
 
 
 def _markov_entropy_oracle() -> str:
@@ -7390,8 +7499,14 @@ def ts_markov_entropy_rate(spark, sf_dir):
     DECIMAL sum. O(states^2) work after the one sequence shuffle."""
     from .timeseries import ts_markov_stationary  # self-module, explicit
 
-    pi = ts_markov_stationary(spark, sf_dir).select(
-        F.col("state").alias("prev"), "stationary_prob"
+    # ckpt: pi feeds both the n_states count and the terms join, and
+    # since the r13 stationary rewrite the callee no longer checkpoints
+    # its (bounded, k-row) result internally — without this the full
+    # fact-scale stationary pipeline would evaluate twice.
+    pi = ckpt(
+        ts_markov_stationary(spark, sf_dir).select(
+            F.col("state").alias("prev"), "stationary_prob"
+        )
     )
     ev = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
