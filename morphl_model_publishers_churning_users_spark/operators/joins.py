@@ -528,12 +528,21 @@ def join_fuzzy_blocked(spark, sf_dir):
     c = t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
     a = c.alias("a")
     b = c.alias("b")
-    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    # r13 optimization (guide §1.2 step 2 — per-task work): the
+    # unbounded levenshtein runs the full O(|s|·|t|) DP on every
+    # candidate pair inside the block (~4.5M pairs at sf0.1). The
+    # THRESHOLD form (Spark 3.5+) runs a banded O(|s|·k) DP with early
+    # abort and returns the EXACT distance whenever it is <= k (and -1
+    # otherwise), so surviving pairs and their reported distances are
+    # identical. Isolated noop min at sf0.1: 16.1 s → see
+    # OPTIMIZATION_r13.md; oracle hash unchanged at sf0.001/0.01/0.1.
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"), 2)
     return (
         a.join(
             b,
             (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
             & (F.col("a.c_custkey") < F.col("b.c_custkey"))
+            & (dist >= 0)
             & (dist <= 2),
         )
         .select(

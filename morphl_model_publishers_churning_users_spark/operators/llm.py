@@ -809,11 +809,24 @@ def llm_langid(spark, sf_dir):
     from the corpus, docs scored by summed log-frequency, argmax lang.
     Two aggregates + one selective join — no per-row Python."""
     d = t(spark, sf_dir, "documents")
-    grams = d.select(
-        "doc_id",
-        F.explode(
-            F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
-        ).alias("g"),
+    # ckpt (r13 optimization, guide §5 multi-consumer discipline): the
+    # 1.47M-row trigram explode feeds BOTH the profile aggregate and
+    # the scoring join, and the lazy form re-ran the explode (and the
+    # documents scan under it) once per consumer — 3 evaluations per
+    # action including the profiles subtree inside scores. One eager
+    # materialization; isolated noop min-of-3 at sf0.1: 5.73 s → see
+    # OPTIMIZATION_r13.md (llm_lang_confusion, which composes this
+    # pipeline, inherits the cut). Oracle hash unchanged at
+    # sf0.001/0.01/0.1.
+    grams = ckpt(
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"
+                )
+            ).alias("g"),
+        )
     )
     profiles = (
         grams.join(d.select("doc_id", "lang"), "doc_id")
@@ -4590,14 +4603,31 @@ def llm_lsh_bucket_skew(spark, sf_dir):
         .select("doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w"))
         .filter(F.size("w") >= 3)
     )
-    sig = d.select(
-        "doc_id", F.array_distinct(F.expr(_NGRAM_SH_SPARK)).alias("sarr")
-    ).select(
+    # r13 optimization (guide §1.2 step 2): the one-shot form inlined
+    # the md5+conv hash-base extraction inside the seed lambda, so
+    # every shingle's md5 was recomputed for EACH of the 8 seeds (and
+    # CollapseProject re-inlines a lazy staging projection right back
+    # into the loop). Stage the (x1, x2) bases once per shingle behind
+    # an eager checkpoint — the exact construction (and rationale) of
+    # llm_dedup_minhash_sql's doc_sh artifact; signature values are
+    # bit-identical. Isolated noop min-of-3 at sf0.1: 8.14 s → see
+    # OPTIMIZATION_r13.md; oracle hash unchanged at sf0.001/0.01/0.1.
+    doc_sh = ckpt(
+        d.select("doc_id", F.array_distinct(F.expr(_NGRAM_SH_SPARK)).alias("sarr"))
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(sarr, s -> named_struct("
+                " 'x1', cast(conv(substr(md5(s), 1, 13), 16, 10) as bigint),"
+                " 'x2', cast(conv(substr(md5(s), 17, 13), 16, 10) as bigint) | 1L))"
+            ).alias("xs"),
+        )
+    )
+    sig = doc_sh.select(
         "doc_id",
         F.expr(
-            f"transform(sequence(0, 7), i -> array_min(transform(sarr, "
-            f"s -> (cast(conv(substr(md5(s), 1, 13), 16, 10) as bigint)"
-            f" + i * (cast(conv(substr(md5(s), 17, 13), 16, 10) as bigint) | 1L)) % {M}L)))"
+            f"transform(sequence(0, 7), i -> "
+            f"array_min(transform(xs, p -> (p.x1 + i * p.x2) % {M}L)))"
         ).alias("h"),
     )
     bands = sig.select(

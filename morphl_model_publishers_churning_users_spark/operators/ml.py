@@ -3287,6 +3287,13 @@ def ml_gbm_stumps(spark, sf_dir):
         stump = F.when(
             xcol(f) < thr, F.lit(vl if vl is not None else 0.0)
         ).otherwise(F.lit(vr if vr is not None else 0.0))
+        # r13: dropping this per-round checkpoint was TRIED and
+        # REJECTED — re-deriving the stump-projection chain lazily
+        # makes each round's 72-column split-search aggregate plan one
+        # projection deeper, and the extra per-round codegen outweighs
+        # the four example-scale materializations saved (isolated noop
+        # min-of-3 at sf0.1: 4.48 s shipped vs 5.08 s without the
+        # checkpoints; oracle green both ways).
         p = p.select(
             "x1",
             "x2",

@@ -297,18 +297,49 @@ def fn_try(spark, sf_dir):
     only way to keep a full-scan pipeline alive — errors degrade to NULL
     per-row instead of killing the stage. Oracle spells the same
     semantics via NULLIF and TRY_CAST."""
+    # r13 optimization (guide §1.2 step 2 — per-task work): try_* NULL
+    # degradation is EXCEPTION-BASED inside Spark — every failing row
+    # constructs a SparkArithmeticException / NumberFormatException
+    # through the error-class formatter. With ~40% of rows overflowing
+    # the int add and ~25% failing the cast, the exception path was
+    # the whole op: isolated noop A/B at sf0.1 put try_add alone at
+    # 6.2 s and the string try_cast at 2.8 s (op total 10.4 s) vs 0.3 s
+    # each with the failure classes pre-routed to NULL. The guards
+    # below are VALUE-EQUIVALENT for every possible input, not just
+    # this data: (1) a NULLIF'd divisor makes try_divide return NULL
+    # via null propagation instead of catching DIVIDE_BY_ZERO; (2) a
+    # digits-only fast path casts exception-free, a trailing-'x' match
+    # (which can never cast) returns NULL directly, and anything else
+    # still goes through try_cast untouched; (3) the add runs in
+    # bigint (cannot overflow here) with an explicit int-range check
+    # before the downcast — out-of-range becomes NULL without a throw,
+    # exactly try_add's result. try_* stays the safety net for inputs
+    # outside the guarded classes — which is the honest 100 TB lesson:
+    # when a failure class is COMMON, route it with cheap predicates
+    # and keep try_* for the unknown dirt. Oracle hash unchanged at
+    # sf0.001/0.01/0.1.
     li = t(spark, sf_dir, "lineitem")
+    parsed_src = (
+        "concat(CAST(l_linenumber AS STRING),"
+        " CASE WHEN l_returnflag = 'R' THEN 'x' ELSE '' END)"
+    )
+    sum64 = "2147483640L + cast(l_linenumber as bigint) * 2"
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.expr("try_divide(l_extendedprice, l_quantity - 25.0)"), 6).alias(
-            "price_per_extra"
-        ),
+        F.round(
+            F.expr("try_divide(l_extendedprice, nullif(l_quantity - 25.0, 0d))"), 6
+        ).alias("price_per_extra"),
         F.expr(
-            "try_cast(concat(CAST(l_linenumber AS STRING),"
-            " CASE WHEN l_returnflag = 'R' THEN 'x' ELSE '' END) AS INT)"
+            f"CASE WHEN {parsed_src} RLIKE '^[0-9]{{1,9}}$'"
+            f" THEN try_cast({parsed_src} AS INT)"
+            f" WHEN {parsed_src} RLIKE '^[0-9]+x$' THEN CAST(NULL AS INT)"
+            f" ELSE try_cast({parsed_src} AS INT) END"
         ).alias("parsed_line"),
-        F.expr("try_add(2147483640, l_linenumber * 2)").alias("near_overflow"),
+        F.expr(
+            f"CASE WHEN {sum64} BETWEEN -2147483648L AND 2147483647L"
+            f" THEN try_cast({sum64} AS INT) ELSE CAST(NULL AS INT) END"
+        ).alias("near_overflow"),
     )
 
 

@@ -192,26 +192,69 @@ def udf_cogrouped_map(spark, sf_dir):
     the custom-path result must agree with the declarative one. Keyless
     customers get n_orders=0 / NULL spend, matching LEFT JOIN."""
 
+    # r13 optimization (guide §4.2 — hand whole batches to vectorized
+    # code, don't loop per key): cogrouping directly on c_custkey called
+    # the Python merge ONCE PER CUSTOMER — ~15k calls at sf0.1, each
+    # paying its own Arrow batch pair + three pandas-frame
+    # constructions, 28.1 s isolated (noop min-of-2) for a job whose
+    # data fits in one batch. The cogroup key is now a deterministic
+    # HASH BUCKET of the customer key (results are independent of the
+    # bucketing — every customer still meets exactly its own orders via
+    # the in-batch vectorized merge), so each Python call receives a
+    # real batch and the per-customer work runs through pandas
+    # merge/groupby. Bucket count scales with the session's parallelism
+    # (floor 64) — output identical for ANY bucket count, so the
+    # driver's lower-core bench run stays comparable. Per-customer sum
+    # order changes (pandas groupby Cython sum vs per-group numpy
+    # pairwise sum) — within the op's existing cross-engine tolerance:
+    # the 6-decimal round already absorbs DuckDB's own summation order,
+    # and the batch row order feeding the old sum was itself
+    # shuffle-nondeterministic. Oracle hash verified unchanged at
+    # sf0.001/0.01/0.1. The cogrouped-map contract surface is
+    # unchanged: cogroup + applyInPandas, one exchange per side
+    # (plan-pinned in tests/test_plans.py).
+
     def merge(cust: pd.DataFrame, orders: pd.DataFrame) -> pd.DataFrame:
         if cust.empty:
             return pd.DataFrame(
                 columns=["c_custkey", "c_mktsegment", "n_orders", "total_spend"]
             )
-        total = round(float(orders["o_totalprice"].sum()), 6) if len(orders) else None
+        agg = orders.groupby("o_custkey")["o_totalprice"].agg(["count", "sum"])
+        out = cust[["c_custkey", "c_mktsegment"]].merge(
+            agg, left_on="c_custkey", right_index=True, how="left"
+        )
+        n = out["count"].fillna(0).astype("int64")
+        total = pd.Series(
+            [
+                round(float(s), 6) if k > 0 else None
+                for s, k in zip(out["sum"], n)
+            ],
+            dtype="object",
+            index=out.index,
+        )
         return pd.DataFrame(
             {
-                "c_custkey": cust["c_custkey"].iloc[:1],
-                "c_mktsegment": cust["c_mktsegment"].iloc[:1],
-                "n_orders": [len(orders)],
-                "total_spend": [total],
+                "c_custkey": out["c_custkey"],
+                "c_mktsegment": out["c_mktsegment"],
+                "n_orders": n,
+                "total_spend": total,
             }
         )
 
-    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    o = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    nb = max(64, spark.sparkContext.defaultParallelism * 8)
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.pmod(F.xxhash64("c_custkey"), F.lit(nb)).alias("b"),
+    )
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_totalprice",
+        F.pmod(F.xxhash64("o_custkey"), F.lit(nb)).alias("b"),
+    )
     return (
-        c.groupBy("c_custkey")
-        .cogroup(o.groupBy("o_custkey"))
+        c.groupBy("b")
+        .cogroup(o.groupBy("b"))
         .applyInPandas(
             merge,
             schema="c_custkey bigint, c_mktsegment string, n_orders bigint, total_spend double",
