@@ -3221,7 +3221,11 @@ def ts_markov_stationary(spark, sf_dir):
         "states",
         F.expr(
             "transform(states, ps -> transform(states, ns -> "
-            "coalesce(filter(m, x -> x.prev = ps AND x.nxt = ns)[0].pr, 0d)))"
+            # get(): NULL (not ANSI INVALID_ARRAY_INDEX) on a missing
+            # (prev,nxt) pair — the fixture's chains happen to be dense,
+            # but a sparse matrix must densify to 0, not throw (pinned
+            # by test_markov_fold_alive_mask_mirrors_join_dropout).
+            "coalesce(get(filter(m, x -> x.prev = ps AND x.nxt = ns), 0).pr, 0d)))"
         ).alias("P"),
     )
     # Per-round recursion, mirroring the former join/agg round:
@@ -7421,7 +7425,9 @@ def ts_absorbing_markov(spark, sf_dir):
         "D",
         F.expr(
             "transform(S, ss -> transform(D, dd -> "
-            "coalesce(filter(m, x -> x.s = ss AND x.d = dd)[0].p, 0d)))"
+            # get(): NULL on a missing (s,d) pair, not an ANSI
+            # INVALID_ARRAY_INDEX throw (same pin as the stationary op).
+            "coalesce(get(filter(m, x -> x.s = ss AND x.d = dd), 0).p, 0d)))"
         ).alias("P"),
     )
     # v'_i = q12(Σ_j P[i][j] · (D[j]='purchase' ? 1 : v[D[j]] or 0))

@@ -1,0 +1,213 @@
+"""Focused pins for the round-13 optimization rewrites (operators whose
+INTERNALS changed while their results must not): the Markov fold's
+alive-mask drop-out semantics, the cogrouped-map bucket independence,
+the fn_try guard equivalence on adversarial inputs, and the threshold
+levenshtein's exactness for surviving pairs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from morphl_model_publishers_churning_users_spark.registry import get_queries
+
+_Q = get_queries()
+
+
+# ---------------------------------------------------------------------------
+# ts_markov_stationary / ts_absorbing_markov: HOF-fold rewrites
+# ---------------------------------------------------------------------------
+
+
+def test_markov_stationary_is_single_fold_no_loop_jobs(spark, sf_dir):
+    """The 20-round power iteration must NOT appear as 20 join/agg plan
+    layers: the returned frame reads from the checkpointed one-row fold
+    (Scan ExistingRDD) with no Join above it."""
+    df = _Q["ts_markov_stationary"](spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Scan ExistingRDD" in plan
+    assert "Join" not in plan  # explode tail only — iteration ran in the fold
+    assert "Exchange" not in plan
+
+
+def test_markov_stationary_probabilities_form_distribution(spark, sf_dir):
+    rows = _Q["ts_markov_stationary"](spark, sf_dir).collect()
+    assert rows, "stationary vector must be non-empty"
+    total = sum(r["stationary_prob"] for r in rows)
+    assert abs(total - 1.0) < 1e-4  # L1-renormalized each round
+    assert all(r["stationary_prob"] >= 0 for r in rows)
+    states = [r["state"] for r in rows]
+    assert len(states) == len(set(states))
+
+
+def test_markov_fold_alive_mask_mirrors_join_dropout(spark):
+    """The alive mask must reproduce the OLD join semantics: a state
+    that never RECEIVES transitions (pure source) leaves the vector on
+    round 1 and is absent from the output, exactly as the r-join
+    produced no row for it. Chain: A -> B -> A plus C -> A (C is never
+    a destination among {A,B,C} sources)."""
+    from morphl_model_publishers_churning_users_spark.operators import timeseries as ts
+
+    # Re-run the fold construction over a synthetic p matrix by
+    # monkey-free means: drive the registered op's exact expressions via
+    # a tiny in-memory frame shaped like its internal `p` table.
+    p = spark.createDataFrame(
+        [("A", "B", 1.0), ("B", "A", 1.0), ("C", "A", 1.0)],
+        "prev string, nxt string, pr double",
+    )
+    mat = p.agg(F.expr("sort_array(collect_list(struct(prev, nxt, pr)))").alias("m"))
+    dense = mat.select(
+        "m",
+        F.expr("array_sort(array_distinct(transform(m, x -> x.prev)))").alias("states"),
+    ).select(
+        "states",
+        F.expr(
+            "transform(states, ps -> transform(states, ns -> "
+            "coalesce(get(filter(m, x -> x.prev = ps AND x.nxt = ns), 0).pr, 0d)))"
+        ).alias("P"),
+    )
+    alive_after_1 = dense.select(
+        F.expr(
+            "transform(sequence(0, size(states)-1), j -> "
+            "exists(sequence(0, size(states)-1), i -> P[i][j] != 0d))"
+        ).alias("alive"),
+        "states",
+    ).collect()[0]
+    alive = dict(zip(alive_after_1["states"], alive_after_1["alive"]))
+    # A and B receive transitions; C receives none -> drops out round 1.
+    assert alive == {"A": True, "B": True, "C": False}
+
+
+def test_absorbing_markov_plan_is_fold_not_loop(spark, sf_dir):
+    df = _Q["ts_absorbing_markov"](spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Scan ExistingRDD" in plan
+    assert "Join" not in plan
+
+
+# ---------------------------------------------------------------------------
+# udf_cogrouped_map: hash-bucket cogrouping
+# ---------------------------------------------------------------------------
+
+
+def test_cogrouped_map_matches_declarative_join(spark, sf_dir):
+    """The bucketed cogroup must equal the LEFT JOIN + GROUP BY it
+    reimplements, per customer, regardless of which bucket a customer
+    landed in."""
+    from morphl_model_publishers_churning_users_spark.operators._shared import t
+
+    got = {
+        r["c_custkey"]: (r["n_orders"], r["total_spend"])
+        for r in _Q["udf_cogrouped_map"](spark, sf_dir).collect()
+    }
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    exp_rows = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_custkey").cast("bigint").alias("n"),
+            F.sum("o_totalprice").alias("s"),
+        )
+        .collect()
+    )
+    assert len(got) == len(exp_rows)
+    for r in exp_rows:
+        n, spend = got[r["c_custkey"]]
+        assert n == r["n"]
+        if r["n"] == 0:
+            assert spend is None  # NULL, not NaN — the LEFT JOIN contract
+        else:
+            assert spend == pytest.approx(r["s"], abs=1e-4)
+
+
+def test_cogrouped_map_bucket_count_floor(spark, sf_dir):
+    """Bucket count is parallelism-scaled with a floor of 64 so the
+    driver's lower-core bench run keeps real batches per Python call."""
+    nb = max(64, spark.sparkContext.defaultParallelism * 8)
+    assert nb >= 64
+
+
+# ---------------------------------------------------------------------------
+# fn_try: guard equivalence on adversarial inputs
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "s",
+    [
+        "7",  # digits fast path
+        "3x",  # the fixture's failure class — direct NULL route
+        " 42 ",  # whitespace: fails both regexes, must still try_cast to 42
+        "2000000000",  # 10 digits, in int range — regex miss, try_cast succeeds
+        "4000000000",  # 10 digits, out of range — try_cast NULL
+        "3.7",  # decimal string: Spark casts to 3 — must reach try_cast
+        "-5",
+        "",
+        "x3",
+    ],
+)
+def test_fn_try_parsed_line_guard_equals_plain_try_cast(spark, s):
+    """The regex routing may only change WHICH path computes the value,
+    never the value: for every input class it must equal a bare
+    try_cast."""
+    guarded = (
+        "CASE WHEN v RLIKE '^[0-9]{1,9}$' THEN try_cast(v AS INT) "
+        "WHEN v RLIKE '^[0-9]+x$' THEN CAST(NULL AS INT) "
+        "ELSE try_cast(v AS INT) END"
+    )
+    row = (
+        spark.createDataFrame([(s,)], "v string")
+        .selectExpr(f"{guarded} AS g", "try_cast(v AS INT) AS p")
+        .collect()[0]
+    )
+    assert row["g"] == row["p"], f"guard diverged for {s!r}: {row['g']} vs {row['p']}"
+
+
+@pytest.mark.parametrize("ln", [1, 3, 4, 7, 100, -1])
+def test_fn_try_near_overflow_guard_equals_try_add(spark, ln):
+    row = (
+        spark.createDataFrame([(ln,)], "l int")
+        .selectExpr(
+            "CASE WHEN 2147483640L + cast(l as bigint) * 2 "
+            "BETWEEN -2147483648L AND 2147483647L "
+            "THEN try_cast(2147483640L + cast(l as bigint) * 2 AS INT) "
+            "ELSE CAST(NULL AS INT) END AS g",
+            "try_add(2147483640, l * 2) AS p",
+        )
+        .collect()[0]
+    )
+    assert row["g"] == row["p"]
+
+
+# ---------------------------------------------------------------------------
+# join_fuzzy_blocked: threshold levenshtein exactness
+# ---------------------------------------------------------------------------
+
+
+def test_threshold_levenshtein_exact_for_survivors(spark):
+    pairs = [
+        ("Customer#000000001", "Customer#000000001"),  # 0
+        ("Customer#000000001", "Customer#000000002"),  # 1
+        ("Customer#000000001", "Customer#000000021"),  # 2
+        ("Customer#000000001", "Customer#000000222"),  # 3 -> -1 under threshold
+        ("abc", "axbxc"),  # 2 via insertions
+    ]
+    rows = (
+        spark.createDataFrame(pairs, "a string, b string")
+        .select(
+            F.levenshtein("a", "b").alias("full"),
+            F.levenshtein("a", "b", 2).alias("thr"),
+        )
+        .collect()
+    )
+    for r in rows:
+        if r["full"] <= 2:
+            assert r["thr"] == r["full"]  # exact where it matters
+        else:
+            assert r["thr"] == -1  # sentinel — filtered out either way
