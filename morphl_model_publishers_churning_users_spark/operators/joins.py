@@ -526,7 +526,19 @@ def join_fuzzy_blocked(spark, sf_dir):
     scale lever — too coarse and a hot block explodes (that's when you
     sub-block by name prefix / soundex)."""
     c = t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
-    a = c.alias("a")
+    # r13 optimization (guide §2.6 — stragglers): the probe side of the
+    # broadcast join is where every candidate pair's levenshtein runs,
+    # and a dimension-sized parquet input arrives as ONE scan split
+    # (openCostInBytes floor), so the whole O(Σ|block|²) DP stage ran in
+    # a single task on one core (measured: pair formation 0.53 s,
+    # full op 9.2 s — ~95% serial DP). Spreading the probe rows across
+    # the session's parallelism costs one exchange of the narrow
+    # (key, name, nation) rows and parallelizes the DP. Conditional on
+    # the scan's actual split count so a 100 TB probe side (already
+    # thousands of splits) never pays a gratuitous full-table shuffle.
+    par = spark.sparkContext.defaultParallelism
+    probe = c.repartition(par, "c_custkey") if c.rdd.getNumPartitions() < par else c
+    a = probe.alias("a")
     b = c.alias("b")
     # r13 optimization (guide §1.2 step 2 — per-task work): the
     # unbounded levenshtein runs the full O(|s|·|t|) DP on every

@@ -818,8 +818,21 @@ def llm_langid(spark, sf_dir):
     # OPTIMIZATION_r13.md (llm_lang_confusion, which composes this
     # pipeline, inherits the cut). Oracle hash unchanged at
     # sf0.001/0.01/0.1.
+    # r13b (guide §2.6 — stragglers): the documents parquet arrives as
+    # ONE scan split locally, so the 1.47M-row explode, the checkpoint
+    # materialization AND every downstream map-side aggregate / broadcast
+    # probe over the checkpointed grams ran in a single task. Spreading
+    # the narrow (doc_id, text) rows first costs one tiny exchange and
+    # parallelizes the whole gram pipeline; conditional on the actual
+    # split count so a large corpus (already many splits) never pays a
+    # gratuitous full-table shuffle. Isolated noop min-of-3 at sf0.1:
+    # 7.43 s → 4.40 s (llm_lang_confusion, composing this, 7.84 → 4.38).
+    docs = d.select("doc_id", "text")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par, "doc_id")
     grams = ckpt(
-        d.select(
+        docs.select(
             "doc_id",
             F.explode(
                 F.expr(
