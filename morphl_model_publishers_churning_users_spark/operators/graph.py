@@ -1454,9 +1454,23 @@ def graph_closeness(spark, sf_dir):
     deterministic total order (score desc, brand, part)."""
     sym = ckpt(_sym(_brand_edges(spark, sf_dir), "brand"))
     r0 = sym.select("brand", F.col("src").alias("seed"), F.col("src").alias("node")).distinct()
-    frontier, visited = r0, ckpt(r0)
+    # r13b (guide §5 — materialize only what is re-read): the old loop
+    # eagerly checkpointed the GROWING visited union every round (115k /
+    # 559k / 2.4M rows at sf0.1) although each constituent frontier is
+    # already checkpointed — the union is cheap to recompose lazily from
+    # the cached pieces, and the round-3 union was built after the last
+    # frontier and never consumed at all. The final frontier likewise
+    # has exactly ONE consumer (the scoring tail), so it stays lazy.
+    # Net: 7 materializations -> 3 (sym + frontier rounds 1-2), same
+    # joins, bit-identical reach set. Isolated noop min-of-3 at sf0.1:
+    # 9.76 s -> see OPTIMIZATION_r13.md.
+    frontier = ckpt(r0)
+    pieces = [frontier]
     per_dist = []
     for i in range(1, 4):
+        visited = pieces[0]
+        for p in pieces[1:]:
+            visited = visited.unionByName(p)
         nxt = (
             sym.join(
                 frontier.select("brand", "seed", F.col("node").alias("src")),
@@ -1466,8 +1480,8 @@ def graph_closeness(spark, sf_dir):
             .distinct()
             .join(visited, ["brand", "seed", "node"], "left_anti")
         )
-        frontier = ckpt(nxt)
-        visited = ckpt(visited.unionByName(frontier))
+        frontier = ckpt(nxt) if i < 3 else nxt
+        pieces.append(frontier)
         per_dist.append(frontier.withColumn("dist", F.lit(i)))
     reach = per_dist[0].unionByName(per_dist[1]).unionByName(per_dist[2])
     counts = reach.groupBy("brand", F.col("seed").alias("part")).agg(

@@ -1248,9 +1248,25 @@ def llm_dedup_cluster(spark, sf_dir):
         ).alias("k"),
     ).persist()
     labels = d.select("doc_id", F.col("doc_id").alias("label"))
+    # r13b (guide §1.2 step 1 — fewer jobs for the same fixpoint): TWO
+    # doc→key→doc half-steps run lazily per materialized round. The
+    # propagation is monotone non-increasing min-label, so the fixpoint
+    # is schedule-independent (an f²-fixpoint is an f-fixpoint: labels
+    # only ever decrease) and the converged labels are bit-identical;
+    # what changes is job count — convergence at sf0.1 took 8
+    # materialized rounds (plus 8 convergence probes) before, 5 after.
+    # Measured loop-only A/B (same harness, back-to-back): 10.4 s → 4.6 s;
+    # isolated registered-op noop min-of-3: 5.47 s → 4.65 s (the op also
+    # pays the keys build, final ckpt and sizes tail, which the loop
+    # rewrite does not touch). Lineage depth per materialization stays
+    # bounded (4 keyed shuffles); unroll=4 measured only marginally
+    # faster and doubles the recompute span a lost executor must replay.
     for _ in range(12):
-        kmin = keys.join(labels, "doc_id").groupBy("k").agg(F.min("label").alias("klabel"))
-        new = keys.join(kmin, "k").groupBy("doc_id").agg(F.min("klabel").alias("label")).persist()
+        cur = labels
+        for _ in range(2):
+            kmin = keys.join(cur, "doc_id").groupBy("k").agg(F.min("label").alias("klabel"))
+            cur = keys.join(kmin, "k").groupBy("doc_id").agg(F.min("klabel").alias("label"))
+        new = cur.persist()
         changed = (
             labels.withColumnRenamed("label", "old")
             .join(new, "doc_id")
@@ -5351,6 +5367,14 @@ def llm_greedy_coverage(spark, sf_dir):
             .withColumn("rank", F.lit(i))
         )
         picks.append(pick)
+        # r13b negative result: recomposing `selected` as a LAZY union
+        # of the already-checkpointed picks (dropping this eager ckpt)
+        # measured 3.61 s → 7.49 s isolated at sf0.1 — the one-row
+        # re-materialization per round is cheaper than what the lazy
+        # union chain costs the downstream semi-join's planning. Kept
+        # eager deliberately (contrast: graph_closeness, where the
+        # same lazy-union cut DID win — its visited set is only an
+        # anti-join build side, never re-planned per round).
         selected = pick if selected is None else ckpt(selected.unionByName(pick))
     out = picks[0]
     for p in picks[1:]:

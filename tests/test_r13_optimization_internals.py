@@ -248,3 +248,107 @@ def test_fuzzy_blocked_probe_side_is_parallelized(spark, sf_dir):
     got = {tuple(r) for r in df.collect()}
     want = {tuple(r) for r in plain.collect()}
     assert got == want and got, "repartition must not change the pair set"
+
+
+def test_dedup_cluster_unrolled_fixpoint_matches_single_step(spark, sf_dir):
+    """The r13b unroll runs TWO doc→key→doc min half-steps per
+    materialized round. Min-propagation is monotone non-increasing, so
+    the converged labels must be bit-identical to the one-step
+    schedule's — pin it against a single-step reference loop."""
+    from morphl_model_publishers_churning_users_spark.operators._shared import t
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), " ").alias("w")
+    )
+    keys = d.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.concat_ws(" ", F.slice("w", 1, 3)),
+                F.concat_ws(" ", F.expr("slice(w, greatest(size(w) - 2, 1), 3)")),
+            )
+        ).alias("k"),
+    )
+    labels = d.select("doc_id", F.col("doc_id").alias("label"))
+    for _ in range(24):  # single-step reference, generous bound
+        kmin = keys.join(labels, "doc_id").groupBy("k").agg(F.min("label").alias("klabel"))
+        new = keys.join(kmin, "k").groupBy("doc_id").agg(F.min("klabel").alias("label")).localCheckpoint()
+        changed = (
+            labels.withColumnRenamed("label", "old")
+            .join(new, "doc_id")
+            .filter(F.col("old") != F.col("label"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    ref = {(r["doc_id"], r["label"]) for r in labels.collect()}
+    got = {
+        (r["doc_id"], r["component_id"])
+        for r in _Q["llm_dedup_cluster"](spark, sf_dir).collect()
+    }
+    assert got == ref and got
+
+
+def test_closeness_lazy_visited_matches_eager_union(spark, sf_dir):
+    """The r13b rewrite recomposes the visited set lazily from the
+    checkpointed frontiers instead of re-materializing the growing
+    union each round (and leaves the last frontier lazy). The reach
+    set — hence the returned top-20 — must be identical to the eager
+    formulation's."""
+    from morphl_model_publishers_churning_users_spark.operators._shared import ckpt
+    from morphl_model_publishers_churning_users_spark.operators.graph import (
+        _brand_edges,
+        _sym,
+    )
+    from pyspark.sql import Window
+
+    sym = ckpt(_sym(_brand_edges(spark, sf_dir), "brand"))
+    r0 = sym.select(
+        "brand", F.col("src").alias("seed"), F.col("src").alias("node")
+    ).distinct()
+    frontier, visited = r0, ckpt(r0)
+    per_dist = []
+    for i in range(1, 4):  # the pre-r13b eager-visited loop, verbatim
+        nxt = (
+            sym.join(
+                frontier.select("brand", "seed", F.col("node").alias("src")),
+                ["brand", "src"],
+            )
+            .select("brand", "seed", F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, ["brand", "seed", "node"], "left_anti")
+        )
+        frontier = ckpt(nxt)
+        visited = ckpt(visited.unionByName(frontier))
+        per_dist.append(frontier.withColumn("dist", F.lit(i)))
+    reach = per_dist[0].unionByName(per_dist[1]).unionByName(per_dist[2])
+    counts = reach.groupBy("brand", F.col("seed").alias("part")).agg(
+        *[
+            F.sum(F.when(F.col("dist") == d, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"n_hop{d}")
+            for d in (1, 2, 3)
+        ]
+    )
+    harmonic = F.floor(
+        (
+            F.col("n_hop1").cast("double")
+            + 0.5 * F.col("n_hop2")
+            + F.col("n_hop3") / F.lit(3.0)
+        )
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ) / F.lit(1e6)
+    w = Window.orderBy(F.desc("harmonic"), F.asc("brand"), F.asc("part"))
+    ref_rows = (
+        counts.withColumn("harmonic", harmonic)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 20)
+        .orderBy("rank")
+        .collect()
+    )
+    got_rows = _Q["graph_closeness"](spark, sf_dir).collect()
+    assert [tuple(r) for r in got_rows] == [tuple(r) for r in ref_rows]
+    assert got_rows
