@@ -102,18 +102,19 @@ def agg_approx_distinct(spark, sf_dir):
     of max(1, 0.05*exact) (≈3σ headroom at rsd=0.02 — a legitimate HLL
     estimate must not convert into a hard hash mismatch), and the
     denominator is guarded so an empty group cannot NULL the flag."""
-    # r13b (guide §2.4 — remove the accidental shuffle shape): mixing
-    # countDistinct with another aggregate triggers Catalyst's
-    # Expand-based distinct rewrite — every input row duplicated per
-    # aggregate group before the exchange (measured: approx alone
-    # 0.82 s, exact alone 0.66 s, combined 3.21 s at sf0.1). An HLL
-    # estimate is a deterministic function of the DISTINCT value set,
-    # so running both aggregates over the pre-deduplicated
-    # (flag, orderkey) pairs is bit-identical for the estimate AND the
-    # exact count, uses one scan, no Expand: 3.21 s → 1.04 s. The
-    # distinct's map-side partial dedup keeps the shuffle bounded at
-    # 100 TB exactly like the old expand path's first level, minus the
-    # row doubling.
+    # r13b (guide §2.3 — shuffle fewer bytes): mixing countDistinct
+    # with the HLL aggregate makes Catalyst's distinct rewrite plan the
+    # HLL partial PER (flag, orderkey) GROUP — a 410-word sketch buffer
+    # for every one of ~110k distinct orders crossing the first
+    # exchange (plan: partial_approx_count_distinct keyed by both
+    # columns, Results [412]; measured: approx alone 0.82 s, exact
+    # alone 0.66 s, combined 3.21 s at sf0.1). An HLL estimate is a
+    # deterministic function of the DISTINCT value set, so running both
+    # aggregates over the pre-deduplicated (flag, orderkey) pairs is
+    # bit-identical for the estimate AND the exact count, one scan, and
+    # the first exchange carries just the two key columns: 3.21 s →
+    # 1.04 s. Map-side partial dedup keeps that exchange bounded at
+    # 100 TB; only 4 sketches (one per flag group) ever materialize.
     agged = (
         t(spark, sf_dir, "lineitem")
         .select("l_returnflag", "l_orderkey")

@@ -75,8 +75,21 @@ FROM stats
 )
 def udf_grouped_map(spark, sf_dir):
     """Grouped-map (applyInPandas): per-user z-score over the whole
-    group — the SNIPPETS.md [1] pattern. One shuffle on user_id; each
-    group becomes one pandas frame."""
+    group — the SNIPPETS.md [1] pattern, one shuffle on the grouping
+    key.
+
+    r13b (guide §4.2 + §2.6): grouping straight on user_id meant one
+    Python call (and one Arrow batch) per user — ~1.5k tiny frames —
+    and AQE then coalesced the ~2.4 MB shuffle to a SINGLE partition,
+    so every call ran serially in one task (bytes-based coalescing
+    cannot see Python compute cost). The group key is now a
+    deterministic hash BUCKET of user_id (output-independent: z-scores
+    only ever read the user's own rows, recomputed per user inside the
+    bucket frame by the same pandas calls on the same sub-frames), and
+    an explicit repartition — REPARTITION_BY_NUM, which AQE does not
+    coalesce — keeps the Python stage as wide as the session. Isolated
+    noop min-of-3 at sf0.1: 3.08 s → 0.68 s; variant A/B 3.77 s plain
+    vs 0.72 s bucketed+repartitioned, output sets identical."""
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
         sd = pdf["value"].std(ddof=1)  # matches STDDEV_SAMP
@@ -89,9 +102,22 @@ def udf_grouped_map(spark, sf_dir):
             {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "z_value": z}
         )
 
+    def zscore_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.groupby("user_id", group_keys=False)[
+            ["event_id", "user_id", "value"]
+        ].apply(zscore)
+
     ev = t(spark, sf_dir, "events").select("event_id", "user_id", "value")
-    return ev.groupBy("user_id").applyInPandas(
-        zscore, schema="event_id bigint, user_id bigint, z_value double"
+    par = spark.sparkContext.defaultParallelism
+    n_buckets = max(64, 8 * par)
+    return (
+        ev.withColumn("_b", F.pmod(F.xxhash64("user_id"), F.lit(n_buckets)))
+        .repartition(par, "_b")
+        .groupBy("_b")
+        .applyInPandas(
+            lambda pdf: zscore_bucket(pdf),
+            schema="event_id bigint, user_id bigint, z_value double",
+        )
     )
 
 

@@ -291,6 +291,44 @@ def test_dedup_cluster_unrolled_fixpoint_matches_single_step(spark, sf_dir):
     assert got == ref and got
 
 
+def test_grouped_map_bucketing_matches_per_user_groups(spark, sf_dir):
+    """The r13b bucketed grouped-map must return exactly the per-user
+    z-scores of the plain groupBy(user_id).applyInPandas form — the
+    bucket key only packs users into shared Arrow batches; each user's
+    frame is still built and scored by the same pandas calls. Also pin
+    the single-event-user NULL contract and the wide-Python-stage plan
+    shape (REPARTITION_BY_NUM exchange, not an AQE-coalescible one)."""
+    import pandas as pd
+
+    from morphl_model_publishers_churning_users_spark.operators._shared import t
+
+    df = _Q["udf_grouped_map"](spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "REPARTITION_BY_NUM" in plan
+    assert "FlatMapGroupsInPandas" in plan or "ArrowEvalPython" in plan
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        sd = pdf["value"].std(ddof=1)
+        mu = pdf["value"].mean()
+        if pd.isna(sd) or sd == 0:
+            z = pd.Series([None] * len(pdf), dtype="float64")
+        else:
+            z = ((pdf["value"] - mu) / sd).round(6)
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "z_value": z}
+        )
+
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    plain = ev.groupBy("user_id").applyInPandas(
+        zscore, schema="event_id bigint, user_id bigint, z_value double"
+    )
+    got = {tuple(r) for r in df.collect()}
+    want = {tuple(r) for r in plain.collect()}
+    assert got == want and got
+
+
 def test_closeness_lazy_visited_matches_eager_union(spark, sf_dir):
     """The r13b rewrite recomposes the visited set lazily from the
     checkpointed frontiers instead of re-materializing the growing
