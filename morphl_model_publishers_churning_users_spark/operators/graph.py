@@ -319,13 +319,23 @@ def _pagerank_full(spark, sf_dir):
     pr = deg.crossJoin(F.broadcast(nn)).select(
         "node", "outdeg", (F.lit(1.0) / F.col("n")).alias("r")
     )
-    for _ in range(10):
-        contrib = pr.join(sym, pr["node"] == sym["src"]).select(
-            F.col("dst").alias("node"),
-            q12(F.col("r") / F.col("outdeg")).alias("c"),
+    for rnd in range(10):
+        # Per-NODE contribution pre-quantization (r13 optimization,
+        # guide §1.2 step 2 — per-task work): q12(r/outdeg) depends only
+        # on the source node, so computing it once per node (~|V| rows)
+        # before the edge join — instead of per EDGE inside the join
+        # projection (~|E| = 2·edges rows per round) — produces the
+        # exact same DECIMAL addend on every edge and therefore an
+        # identical decimal sum, while cutting the divide/floor/cast
+        # chain from O(|E|) to O(|V|) per round.
+        src_c = pr.select(
+            F.col("node").alias("src"),
+            q12(F.col("r") / F.col("outdeg")).cast("decimal(38,12)").alias("c"),
         )
-        insum = contrib.groupBy("node").agg(
-            F.sum(F.col("c").cast("decimal(38,12)")).cast("double").alias("insum")
+        insum = (
+            src_c.join(sym, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").cast("double").alias("insum"))
         )
         pr = (
             deg.join(insum, "node", "left")
@@ -344,8 +354,12 @@ def _pagerank_full(spark, sf_dir):
         # but LOSES at sf0.1 (15.1 s → 24.3 s) — on the bigger graph the
         # two-round lineage degrades the per-job plan more than the
         # saved barrier buys. Per-round is the shape that holds as the
-        # graph grows, which is the scale this operator is for.
-        pr = ckpt(pr)
+        # graph grows, which is the scale this operator is for. The
+        # FINAL round stays lazy (r13c): its only consumer is the
+        # output tail, which evaluates it exactly once — same
+        # single-consumer rule as graph_closeness's last frontier.
+        if rnd < 9:
+            pr = ckpt(pr)
     return pr
 
 
@@ -1333,7 +1347,7 @@ def graph_ppr(spark, sf_dir):
         "outdeg",
         F.when(F.col("is_seed") == 1, F.lit(1.0) / k).otherwise(0.0).alias("r"),
     )
-    for _ in range(8):
+    for rnd in range(8):
         # Frontier filter (r13 optimization, guide §2.3: shuffle fewer
         # bytes): zero-mass rows contribute exactly 0 to every insum —
         # q12(0/outdeg) = 0, and a dst whose in-neighbors are all
@@ -1346,18 +1360,22 @@ def graph_ppr(spark, sf_dir):
         # but at 100 TB with sparse seed sets the early rounds are
         # orders of magnitude smaller than the full vector. Oracle
         # hash unchanged at sf0.001 + sf0.01.
-        frontier = p.filter(F.col("r") > 0)
-        contrib = (
-            frontier.join(sym, frontier["node"] == sym["src"])
-            .groupBy(F.col("dst").alias("node"))
-            .agg(
-                (
-                    F.sum(q12(F.col("r") / F.col("outdeg"))).cast("double")
-                    / F.lit(1e12)
-                ).alias("insum")
-            )
+        # Per-NODE contribution pre-quantization (r13c, guide §1.2
+        # step 2): q12(r/outdeg) depends only on the source node —
+        # computed once per frontier row instead of per edge, the exact
+        # same DECIMAL addend crosses every edge, so the decimal sum is
+        # bit-identical while the divide/floor/cast chain drops from
+        # O(|E_frontier|) to O(|frontier|) per round.
+        frontier = p.filter(F.col("r") > 0).select(
+            F.col("node").alias("src"),
+            q12(F.col("r") / F.col("outdeg")).alias("c"),
         )
-        p = ckpt(
+        contrib = (
+            frontier.join(sym, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg((F.sum("c").cast("double") / F.lit(1e12)).alias("insum"))
+        )
+        p = (
             deg.join(F.broadcast(seeds), "node", "left")
             .join(contrib, "node", "left")
             .select(
@@ -1369,6 +1387,11 @@ def graph_ppr(spark, sf_dir):
                 ).alias("r"),
             )
         )
+        # Final round stays lazy (r13c): its only consumer is the
+        # top-20 tail, evaluated exactly once — the graph_closeness
+        # single-consumer rule.
+        if rnd < 7:
+            p = ckpt(p)
     return (
         p.filter(F.col("r") > 0)
         .orderBy(F.desc("r"), F.asc("node"))

@@ -390,3 +390,45 @@ def test_closeness_lazy_visited_matches_eager_union(spark, sf_dir):
     got_rows = _Q["graph_closeness"](spark, sf_dir).collect()
     assert [tuple(r) for r in got_rows] == [tuple(r) for r in ref_rows]
     assert got_rows
+
+
+# ---------------------------------------------------------------------------
+# graph_pagerank / graph_ppr: per-NODE contribution pre-quantization
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_per_node_contribution_equals_per_edge(spark):
+    """The r13c rewrite quantizes q12(r/outdeg) once per SOURCE NODE and
+    joins it onto the edges, instead of computing it per EDGE inside the
+    join projection. Pin: on a graph with a high-degree hub and rank
+    values at awkward quantization points, the per-dst decimal insums
+    are bit-identical both ways (same addend crosses every edge, decimal
+    sums are order-independent), including a dst with NO in-edges being
+    absent from both."""
+    q12 = lambda c: (F.floor(c * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12)).cast(
+        "decimal(38,12)"
+    )
+    # hub node 1 fans out to 50 dsts; r/outdeg values hit non-terminating
+    # binary fractions (1/3-ish ranks over degree 50 and 7).
+    edges = [(1, d) for d in range(100, 150)] + [(2, d) for d in range(100, 107)]
+    sym = spark.createDataFrame(edges, "src bigint, dst bigint")
+    pr = spark.createDataFrame(
+        [(1, 50.0, 0.333333333333333), (2, 7.0, 0.142857142857143)],
+        "node bigint, outdeg double, r double",
+    )
+    per_edge = (
+        pr.join(sym, pr["node"] == sym["src"])
+        .select(F.col("dst").alias("node"), q12(F.col("r") / F.col("outdeg")).alias("c"))
+        .groupBy("node")
+        .agg(F.sum("c").cast("double").alias("insum"))
+    )
+    per_node = (
+        pr.select(F.col("node").alias("src"), q12(F.col("r") / F.col("outdeg")).alias("c"))
+        .join(sym, "src")
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.sum("c").cast("double").alias("insum"))
+    )
+    a = {r["node"]: r["insum"] for r in per_edge.collect()}
+    b = {r["node"]: r["insum"] for r in per_node.collect()}
+    assert a == b
+    assert len(a) == 50  # dsts 100..106 get two in-edges, rest one
