@@ -764,23 +764,39 @@ def graph_bfs_distance(spark, sf_dir):
     frontier tables stay keyed by (brand, node), so every round is two
     keyed shuffles; the oracle unrolls the same rounds as CTEs."""
     sym = ckpt(_sym(_brand_edges(spark, sf_dir), "brand"))
-    frontier = sym.groupBy("brand").agg(F.min("src").alias("node")).withColumn(
-        "dist", F.lit(0)
+    # r13c (guide §5 — materialize only what is re-read; the
+    # graph_closeness rule applied here): the old loop eagerly
+    # checkpointed the GROWING visited union every round although each
+    # frontier piece is already checkpointed — visited now recomposes
+    # lazily from the cached pieces, and the final frontier (one
+    # consumer: the histogram tail) stays lazy. Net per run: 9
+    # materializations → 4 (sym + frontier rounds 1–3), identical
+    # frontier recurrence, bit-identical reach set.
+    frontier = ckpt(
+        sym.groupBy("brand").agg(F.min("src").alias("node")).withColumn(
+            "dist", F.lit(0)
+        )
     )
-    visited = frontier
+    pieces = [frontier]
     for i in range(1, 5):
+        visited = pieces[0].select("brand", "node")
+        for p in pieces[1:]:
+            visited = visited.unionByName(p.select("brand", "node"))
         nxt = (
             sym.join(
                 frontier.select("brand", F.col("node").alias("src")), ["brand", "src"]
             )
             .select("brand", F.col("dst").alias("node"))
             .distinct()
-            .join(visited.select("brand", "node"), ["brand", "node"], "left_anti")
+            .join(visited, ["brand", "node"], "left_anti")
             .withColumn("dist", F.lit(i))
         )
-        frontier = ckpt(nxt)
-        visited = ckpt(visited.unionByName(frontier))
-    return visited.groupBy("brand", "dist").agg(
+        frontier = ckpt(nxt) if i < 4 else nxt
+        pieces.append(frontier)
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("brand", "dist").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes")
     )
 
@@ -1046,7 +1062,7 @@ def graph_label_propagation(spark, sf_dir):
         .distinct()
         .withColumn("lbl", F.col("node"))
     )
-    for _ in range(3):
+    for rnd in range(3):
         votes = (
             sym.join(
                 labels.select("brand", F.col("node").alias("src"), "lbl"),
@@ -1055,11 +1071,13 @@ def graph_label_propagation(spark, sf_dir):
             .groupBy("brand", F.col("dst").alias("node"), "lbl")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        labels = ckpt(
-            votes.groupBy("brand", "node").agg(
-                F.expr("max_by(lbl, struct(cnt, -lbl))").alias("lbl")
-            )
+        stepped = votes.groupBy("brand", "node").agg(
+            F.expr("max_by(lbl, struct(cnt, -lbl))").alias("lbl")
         )
+        # r13c: round 3's labels feed only the community aggregate
+        # (single consumer) — lazy; rounds 1–2 keep the lineage-cutting
+        # checkpoint feeding the next round's join.
+        labels = ckpt(stepped) if rnd < 2 else stepped
     comps = labels.groupBy("brand", "lbl").agg(F.count(F.lit(1)).alias("sz"))
     return comps.groupBy("brand").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_communities"),
@@ -1260,7 +1278,10 @@ def graph_hash_walks(spark, sf_dir):
             .groupBy("start")
             .agg(F.expr("min_by(dst, struct(h, dst))").alias("cur"))
         )
-        frontier = ckpt(nxt)
+        # r13c: hops 1–2 feed BOTH the next hop's join and the output
+        # join (2 consumers — checkpoint); hop 3 feeds only the output
+        # join, so it stays lazy (single-consumer rule).
+        frontier = ckpt(nxt) if i < 3 else nxt
         hops.append(frontier.select("start", F.col("cur").alias(f"hop{i}")))
     out = hops[0]
     for h in hops[1:]:

@@ -432,3 +432,45 @@ def test_pagerank_per_node_contribution_equals_per_edge(spark):
     b = {r["node"]: r["insum"] for r in per_node.collect()}
     assert a == b
     assert len(a) == 50  # dsts 100..106 get two in-edges, rest one
+
+
+def test_bfs_lazy_visited_matches_eager_union(spark, sf_dir):
+    """graph_bfs_distance r13c: visited recomposes lazily from the
+    checkpointed frontier pieces and the last frontier stays lazy. Pin
+    the per-(brand, dist) histogram against an eagerly-unioned visited
+    reference loop (the pre-r13c recurrence)."""
+    from morphl_model_publishers_churning_users_spark.operators._shared import ckpt
+    from morphl_model_publishers_churning_users_spark.operators.graph import (
+        _brand_edges,
+        _sym,
+    )
+
+    sym = ckpt(_sym(_brand_edges(spark, sf_dir), "brand"))
+    frontier = sym.groupBy("brand").agg(F.min("src").alias("node")).withColumn(
+        "dist", F.lit(0)
+    )
+    visited = frontier
+    for i in range(1, 5):
+        nxt = (
+            sym.join(
+                frontier.select("brand", F.col("node").alias("src")), ["brand", "src"]
+            )
+            .select("brand", F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("brand", "node"), ["brand", "node"], "left_anti")
+            .withColumn("dist", F.lit(i))
+        )
+        frontier = ckpt(nxt)
+        visited = ckpt(visited.unionByName(frontier))
+    ref = {
+        (r["brand"], r["dist"]): r["n_nodes"]
+        for r in visited.groupBy("brand", "dist")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .collect()
+    }
+    got = {
+        (r["brand"], r["dist"]): r["n_nodes"]
+        for r in _Q["graph_bfs_distance"](spark, sf_dir).collect()
+    }
+    assert got == ref
+    assert got
