@@ -63,23 +63,28 @@ edges AS (
 )"""
 
 
-def _copurchase_edges(spark, sf_dir):
+def _copurchase_edges(spark, sf_dir, eager=True):
     """Undirected co-purchase edge list (src < dst, distinct).
 
-    Materialized eagerly: every graph operator consumes the edge table
-    through 2+ branches (symmetrize, join legs, node derivation), and
-    without the checkpoint Catalyst re-derives the basket self-join —
-    the only fact-scale pass — once per branch (duplicate-scan sweep).
-    At production scale this table is the persisted graph artifact."""
+    Materialized eagerly by default: every graph operator consuming it
+    DIRECTLY reads it through 2+ branches (symmetrize, join legs, node
+    derivation), and without the checkpoint Catalyst re-derives the
+    basket self-join — the only fact-scale pass — once per branch
+    (duplicate-scan sweep). At production scale this table is the
+    persisted graph artifact. ``eager=False`` (r13c) is for the
+    _brand_edges path, whose SINGLE consumer is the part-join chain
+    feeding its own checkpoint — materializing the unfiltered edge list
+    first was a redundant full-table pass."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
-    return ckpt(
+    e = (
         a.join(b, "ok")
         .filter(F.col("src") < F.col("dst"))
         .select("src", "dst")
         .distinct()
     )
+    return ckpt(e) if eager else e
 
 
 def _brand_edges(spark, sf_dir):
@@ -88,7 +93,7 @@ def _brand_edges(spark, sf_dir):
     working sets bounded by brand slice."""
     part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     e = (
-        _copurchase_edges(spark, sf_dir)
+        _copurchase_edges(spark, sf_dir, eager=False)
         .join(part.select(F.col("p_partkey").alias("src"), F.col("p_brand").alias("ba")), "src")
         .join(part.select(F.col("p_partkey").alias("dst"), F.col("p_brand").alias("bb")), "dst")
         .filter(F.col("ba") == F.col("bb"))
