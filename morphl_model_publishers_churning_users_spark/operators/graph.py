@@ -312,7 +312,13 @@ SELECT node, pr_rank, rank FROM (
 def _pagerank_full(spark, sf_dir):
     """Full PageRank vector (d = 0.85, 10 rounds) — the iterative core
     of graph_pagerank, exposed so invariant tests can check whole-vector
-    properties (Σ rank ≈ 1) that the top-20 contract surface hides."""
+    properties (Σ rank ≈ 1) that the top-20 contract surface hides.
+
+    Single-evaluation expectation (r13c): the FINAL round is lazy (its
+    checkpoint was dropped as single-consumer), so each action on the
+    returned DataFrame recomputes round 10 from the round-9 checkpoint.
+    A consumer issuing multiple actions should ckpt() the result itself.
+    """
     q9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
     q12 = lambda c: F.floor(c * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12)
 
@@ -775,7 +781,8 @@ def graph_bfs_distance(spark, sf_dir):
     # frontier piece is already checkpointed — visited now recomposes
     # lazily from the cached pieces, and the final frontier (one
     # consumer: the histogram tail) stays lazy. Net per run: 9
-    # materializations → 4 (sym + frontier rounds 1–3), identical
+    # materializations → 5 (sym + frontier rounds 0–3; the round-0
+    # frontier keeps its ckpt — it has multiple consumers), identical
     # frontier recurrence, bit-identical reach set.
     frontier = ckpt(
         sym.groupBy("brand").agg(F.min("src").alias("node")).withColumn(

@@ -18,7 +18,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Window
 
 from ..registry import register
-from ._shared import DSUM, t
+from ._shared import DSUM, scan_is_underparallel, t
 
 
 @register(
@@ -534,10 +534,13 @@ def join_fuzzy_blocked(spark, sf_dir):
     # full op 9.2 s — ~95% serial DP). Spreading the probe rows across
     # the session's parallelism costs one exchange of the narrow
     # (key, name, nation) rows and parallelizes the DP. Conditional on
-    # the scan's actual split count so a 100 TB probe side (already
-    # thousands of splits) never pays a gratuitous full-table shuffle.
+    # the scan's split count so a 100 TB probe side (already thousands
+    # of splits) never pays a gratuitous full-table shuffle. r14: the
+    # probe is file-metadata-based (scan_is_underparallel) — the old
+    # .rdd.getNumPartitions() forced a full plan→RDD conversion on the
+    # driver per call (VERDICT r13 item 5).
     par = spark.sparkContext.defaultParallelism
-    probe = c.repartition(par, "c_custkey") if c.rdd.getNumPartitions() < par else c
+    probe = c.repartition(par, "c_custkey") if scan_is_underparallel(c, par) else c
     a = probe.alias("a")
     b = c.alias("b")
     # r13 optimization (guide §1.2 step 2 — per-task work): the

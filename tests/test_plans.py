@@ -933,3 +933,86 @@ def test_jdf_pinned_to_one_site():
                 sites.append(f"{py.name}:{i}")
     names = [s.split(":")[0] for s in sites]
     assert names == ["rowops.py"], sites
+
+
+# --- r14: iterative graph family must never broadcast the edge table ----
+#
+# VERDICT r13 item 3: the family's healthy join strategy rests on the
+# edge build's inherited sizeInBytes estimate staying "accidentally
+# huge" — a Spark-version change in stats propagation through
+# localCheckpoint could silently flip every per-round join into
+# broadcast-the-edge-table (measured failure mode in the r13 basket
+# experiment: graph_pagerank 13.6 s → 44.3 s). These tests pin the
+# invariant on the static final-round plan of each iterative op.
+
+_EDGE_RDD_RE = None  # compiled lazily so the module import stays light
+
+
+def _edge_broadcast_found(plan: str) -> bool:
+    """True iff any BroadcastExchange subtree in `plan` (simple-mode
+    treeString, indentation = tree depth) contains a checkpointed edge
+    scan (ExistingRDD whose output is [brand,]src,dst)."""
+    import re
+
+    global _EDGE_RDD_RE
+    if _EDGE_RDD_RE is None:
+        _EDGE_RDD_RE = re.compile(
+            r"Scan ExistingRDD\[(?:brand#\d+,\s*)?src#\d+L?,\s*dst#\d+L?\]"
+        )
+    lines = plan.splitlines()
+
+    def depth(ln: str) -> int:
+        m = re.search(r"[A-Za-z]", ln)
+        return m.start() if m else -1
+
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" not in ln:
+            continue
+        d = depth(ln)
+        for sub in lines[i + 1 :]:
+            sd = depth(sub)
+            if sd <= d:
+                break
+            if _EDGE_RDD_RE.search(sub):
+                return True
+    return False
+
+
+def test_edge_broadcast_detector_has_teeth(spark, sf_dir):
+    """The detector must flag a plan that DOES broadcast the edge table
+    — otherwise the invariant test below could be green by parsing
+    accident. A forced-broadcast one-round repro stands in for the
+    deflated-estimate mechanism (which Spark exposes no API to force
+    directly; the r13 experiment produced it via a basket-aggregate
+    source plan)."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_publishers_churning_users_spark.operators.graph import (
+        _copurchase_edges,
+        _sym,
+    )
+
+    sym = _sym(_copurchase_edges(spark, sf_dir))
+    ranks = (
+        sym.select(F.col("src").alias("node")).distinct().withColumn("r", F.lit(1.0))
+    )
+    bad = ranks.join(F.broadcast(sym), ranks["node"] == sym["src"])
+    plan = bad._jdf.queryExecution().executedPlan().toString()
+    assert _edge_broadcast_found(plan), plan[:3000]
+    # and the healthy form of the same join must NOT trip it
+    good = ranks.join(sym, ranks["node"] == sym["src"])
+    gplan = good._jdf.queryExecution().executedPlan().toString()
+    if "BroadcastExchange" in gplan and _edge_broadcast_found(gplan):
+        raise AssertionError("healthy join statically broadcasts edges:\n" + gplan[:3000])
+
+
+def test_iterative_graph_rounds_never_broadcast_edges(spark, sf_dir):
+    """Final-round static plans of the iterative graph ops (one per
+    edge-build flavor: copurchase edges, brand edges) must not place the
+    checkpointed edge scan under a BroadcastExchange. AQE may still
+    runtime-broadcast the genuinely small rank/score side — that is the
+    healthy direction and does not match the edge-scan signature."""
+    for key in ("graph_pagerank", "graph_bfs_distance", "graph_label_propagation"):
+        df = _Q[key](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert not _edge_broadcast_found(plan), f"{key} broadcasts edges:\n{plan[:3000]}"
