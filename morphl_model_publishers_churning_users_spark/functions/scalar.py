@@ -1538,7 +1538,8 @@ def fn_protobuf_wire(spark, sf_dir):
             "cast(pri_in as binary), X'18', " + _v9n_sql("cents_in") + ")"
         ).alias("payload"),
     )
-    from .avro_arrow import PROTOBUF_OUT_DDL, decode_protobuf_wire
+    from .avro_arrow import PROTOBUF_OUT_DDL
+    from .avro_np import decode_protobuf_wire
 
     return wire.mapInArrow(decode_protobuf_wire, PROTOBUF_OUT_DDL)
 
@@ -1646,7 +1647,18 @@ def _vu64_hex_sql(e: str) -> str:
     whose 64-BIT PATTERN is the value (uint64-in-signed-carrier, what
     zigzag produces for |n| >= 2^62) — the expr()-text twin of
     _pb_varint_u64, one lpad(hex(...)) pair per present limb,
-    shiftrightunsigned throughout so the sign bit never smears."""
+    shiftrightunsigned throughout so the sign bit never smears.
+
+    r14 NEGATIVE RESULT (VERDICT r13 item 8, tried and reverted): a
+    domain-narrowed form — `if(shiftrightunsigned(e, 35) = 0,
+    <5-limb ladder>, <10-limb ladder>)`, bit-identical by construction
+    and boundary-test green — measured a WASH to slightly NEGATIVE at
+    sf0.1 (interleaved min-of-3 noop per op, one session: family total
+    6.44 s → 6.66 s, 0.97x; fn_avro_map_blocks 0.80x). The If gate
+    re-references the carrier expression in the guard plus both
+    branches, and the extra codegen outweighs the 5 skipped limbs —
+    the full ladder's per-limb presence test was already cheap. Keep
+    the single 10-limb form."""
     parts = []
     for i in range(10):
         u = f"shiftrightunsigned({e}, {7 * i})" if i else f"({e})"
@@ -1760,7 +1772,8 @@ def fn_avro_wire(spark, sf_dir):
     and the oracle recomputes the fields and wire length from the
     same zigzag + limb-count arithmetic — a mis-encoded continuation
     or sign flips both."""
-    from .avro_arrow import WIRE_OUT_DDL, decode_wire
+    from .avro_arrow import WIRE_OUT_DDL
+    from .avro_np import decode_wire
 
     enc = t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("key_in"),
@@ -1978,7 +1991,8 @@ def fn_avro_container(spark, sf_dir):
     first-record roundtrip) are independently backed by a pure-Python
     spec-level OCF reader parsing every emitted file end-to-end
     (tests/test_round9_ops.py::test_avro_container_parses_with_reference_ocf_reader)."""
-    from .avro_arrow import CONTAINER_OUT_DDL, make_decode_container
+    from .avro_arrow import CONTAINER_OUT_DDL
+    from .avro_np import make_decode_container
 
     frames = _avro_container_frames(spark, sf_dir).withColumnRenamed(
         "file", "payload"
@@ -2054,7 +2068,8 @@ def fn_avro_schema_evolution(spark, sf_dir):
     implementations. `resolve_ok` asserts the resolved fields equal
     the writer's originals row-by-row plus that skip + string frame +
     delta varint tile the payload exactly."""
-    from .avro_arrow import EVOLUTION_OUT_DDL, decode_schema_evolution
+    from .avro_arrow import EVOLUTION_OUT_DDL
+    from .avro_np import decode_schema_evolution
 
     enc = t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("key_in"),
@@ -2146,7 +2161,8 @@ def fn_avro_union_nullable(spark, sf_dir):
     tile the payload exactly; the oracle recomputes the nulls, values,
     and wire length from the same zigzag + limb-ladder arithmetic, so
     a branch byte, skipped frame, or sign error flips both."""
-    from .avro_arrow import UNION_OUT_DDL, decode_union_nullable
+    from .avro_arrow import UNION_OUT_DDL
+    from .avro_np import decode_union_nullable
 
     enc = t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("key_in"),
@@ -2281,7 +2297,8 @@ def fn_avro_array_blocks(spark, sf_dir):
     octet-exact), and total wire length from the same zigzag +
     limb-ladder arithmetic, so a count sign, size prefix, or
     terminator error flips the hash."""
-    from .avro_arrow import ARRAY_BLOCKS_OUT_DDL, decode_array_blocks
+    from .avro_arrow import ARRAY_BLOCKS_OUT_DDL
+    from .avro_np import decode_array_blocks
 
     items = (
         t(spark, sf_dir, "lineitem")
@@ -2436,7 +2453,8 @@ def fn_avro_map_blocks(spark, sf_dir):
     |val| < 2**62; fixture values are cents deltas (limbs 1-4) and
     key-length zigzags (1 limb), far inside the bound. A fixture
     rescale past 2**62 must upgrade the oracle ladder first."""
-    from .avro_arrow import MAP_BLOCKS_OUT_DDL, decode_map_blocks
+    from .avro_arrow import MAP_BLOCKS_OUT_DDL
+    from .avro_np import decode_map_blocks
 
     entries = (
         t(spark, sf_dir, "orders")

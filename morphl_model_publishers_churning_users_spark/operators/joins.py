@@ -507,6 +507,69 @@ def join_hint_shuffle_hash(spark, sf_dir):
     return spark.sql(_SHUFFLE_HASH_SQL)
 
 
+# del<=2 deletion neighborhood of c_name: the string itself, every
+# single-character deletion, every (i < j) double deletion — 1 + L +
+# C(L,2) variants (172 for the fixture's 18-char names). Degenerate
+# inputs (length 0/1 make the inner `sequence` descend) only ADD junk
+# variants, which is harmless: candidates are a superset either way and
+# the exact levenshtein filter decides membership.
+_DEL2_VARIANTS_SQL = """
+array_union(
+  array_union(
+    array(c_name),
+    transform(sequence(1, length(c_name)),
+              i -> concat(substring(c_name, 1, i - 1), substring(c_name, i + 1)))
+  ),
+  flatten(transform(sequence(1, length(c_name) - 1),
+    i -> transform(sequence(i + 1, length(c_name)),
+      j -> concat(substring(c_name, 1, i - 1),
+                  substring(c_name, i + 1, j - i - 1),
+                  substring(c_name, j + 1)))))
+)
+"""
+
+
+def _symdel_candidate_pairs(c):
+    """SymDelete (Mor-Fraenkel deletion-neighborhood) candidate pairs
+    for levenshtein <= 2 within a nation block: distinct (key_a, key_b)
+    with key_a < key_b sharing at least one del<=2 variant.
+
+    NO-CANDIDATE-LOSS PROOF: fix an optimal alignment of (a, b) with
+    s substitutions, i insertions, d deletions, s+i+d <= 2. Deleting
+    from `a` the positions the alignment marks substituted-or-deleted
+    (s+d <= 2 of them) and from `b` the positions marked
+    substituted-or-inserted (s+i <= 2) leaves the two strings equal
+    character-for-character (only the matched alignment columns
+    remain, in order, on both sides). Hence every true pair shares a
+    member of del<=2(a) ∩ del<=2(b) — the variant equi-join yields a
+    candidate SUPERSET, and the unchanged exact levenshtein filter
+    reproduces the exact result set. Variants travel as xxhash64
+    fingerprints, not text (guide §2.3 — shuffle keys, not payloads);
+    hash collisions only ADD candidates, never lose one.
+    test_r14_optimization_internals pins the superset property on an
+    adversarial ins/del/sub grid.
+    """
+    v = c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.explode(F.expr(_DEL2_VARIANTS_SQL)).alias("v"),
+    ).select("c_custkey", "c_nationkey", F.xxhash64("v").alias("vh"))
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.vh") == F.col("b.vh"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("key_a"),
+            F.col("b.c_custkey").alias("key_b"),
+        )
+        .distinct()
+    )
+
+
 @register(
     "join_fuzzy_blocked",
     oracle="""
@@ -520,51 +583,50 @@ FROM customer a JOIN customer b
 )
 def join_fuzzy_blocked(spark, sf_dir):
     """Blocked fuzzy-match join — record linkage at scale: the equi-join
-    on the blocking key (nation) bounds candidate pairs to O(Σ|block|²)
-    instead of O(n²), then the levenshtein threshold filters inside the
-    block; a<b halves the symmetric pairs. The block key choice IS the
-    scale lever — too coarse and a hot block explodes (that's when you
-    sub-block by name prefix / soundex)."""
+    on the blocking key (nation) bounds candidate pairs, then the
+    levenshtein threshold filters inside the block; a<b halves the
+    symmetric pairs.
+
+    r14 optimization (guide §3 — cut the candidate set; VERDICT r13
+    next-round item 4): the within-block all-pairs form is O(Σ|block|²)
+    — the 100 TB cliff this op exists to avoid (4.50M candidate pairs
+    at sf0.1 for 150k customers; a 1000x bigger block means 1,000,000x
+    the pairs). Candidates now come from a SymDelete deletion-
+    neighborhood equi-join (_symdel_candidate_pairs above): O(L²)
+    variants per row, one hash-partitioned equi-join, candidates
+    proportional to the NEAR-DUPLICATE density rather than the block
+    size squared. Measured at sf0.1: 4,501,092 → 694,624 candidates
+    (6.5x; the cut grows with block size), raw pre-dedup join output
+    1.27M rows, final output verified identical (exceptAll both ways =
+    0) at sf0.001/0.01/0.1. The r13 threshold-levenshtein survives as
+    the exact verifier on the surviving candidates. The r13 widening
+    repartition survives on the variant source (the explode of a
+    single-split dimension scan would otherwise run serial); the probe
+    is the r14 file-metadata gate (scan_is_underparallel), not
+    .rdd.getNumPartitions() (VERDICT r13 item 5)."""
     c = t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
-    # r13 optimization (guide §2.6 — stragglers): the probe side of the
-    # broadcast join is where every candidate pair's levenshtein runs,
-    # and a dimension-sized parquet input arrives as ONE scan split
-    # (openCostInBytes floor), so the whole O(Σ|block|²) DP stage ran in
-    # a single task on one core (measured: pair formation 0.53 s,
-    # full op 9.2 s — ~95% serial DP). Spreading the probe rows across
-    # the session's parallelism costs one exchange of the narrow
-    # (key, name, nation) rows and parallelizes the DP. Conditional on
-    # the scan's split count so a 100 TB probe side (already thousands
-    # of splits) never pays a gratuitous full-table shuffle. r14: the
-    # probe is file-metadata-based (scan_is_underparallel) — the old
-    # .rdd.getNumPartitions() forced a full plan→RDD conversion on the
-    # driver per call (VERDICT r13 item 5).
     par = spark.sparkContext.defaultParallelism
-    probe = c.repartition(par, "c_custkey") if scan_is_underparallel(c, par) else c
-    a = probe.alias("a")
-    b = c.alias("b")
-    # r13 optimization (guide §1.2 step 2 — per-task work): the
-    # unbounded levenshtein runs the full O(|s|·|t|) DP on every
-    # candidate pair inside the block (~4.5M pairs at sf0.1). The
-    # THRESHOLD form (Spark 3.5+) runs a banded O(|s|·k) DP with early
-    # abort and returns the EXACT distance whenever it is <= k (and -1
-    # otherwise), so surviving pairs and their reported distances are
-    # identical. Isolated noop min at sf0.1: 16.1 s → see
-    # OPTIMIZATION_r13.md; oracle hash unchanged at sf0.001/0.01/0.1.
-    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"), 2)
+    base = c.repartition(par, "c_custkey") if scan_is_underparallel(c, par) else c
+    cand = _symdel_candidate_pairs(base)
+    names = c.select("c_custkey", "c_name")
+    pairs = (
+        cand.join(
+            names.select(
+                F.col("c_custkey").alias("key_a"), F.col("c_name").alias("name_a")
+            ),
+            "key_a",
+        )
+        .join(
+            names.select(
+                F.col("c_custkey").alias("key_b"), F.col("c_name").alias("name_b")
+            ),
+            "key_b",
+        )
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"), 2)
     return (
-        a.join(
-            b,
-            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-            & (F.col("a.c_custkey") < F.col("b.c_custkey"))
-            & (dist >= 0)
-            & (dist <= 2),
-        )
-        .select(
-            F.col("a.c_custkey").alias("key_a"),
-            F.col("b.c_custkey").alias("key_b"),
-            dist.cast("bigint").alias("dist"),
-        )
+        pairs.filter((dist >= 0) & (dist <= 2))
+        .select("key_a", "key_b", dist.cast("bigint").alias("dist"))
     )
 
 

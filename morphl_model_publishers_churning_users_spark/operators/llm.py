@@ -810,14 +810,15 @@ def llm_langid(spark, sf_dir):
     Two aggregates + one selective join — no per-row Python."""
     d = t(spark, sf_dir, "documents")
     # ckpt (r13 optimization, guide §5 multi-consumer discipline): the
-    # 1.47M-row trigram explode feeds BOTH the profile aggregate and
-    # the scoring join, and the lazy form re-ran the explode (and the
-    # documents scan under it) once per consumer — 3 evaluations per
-    # action including the profiles subtree inside scores. One eager
+    # gram pipeline feeds BOTH the profile aggregate and the scoring
+    # join, and the lazy form re-ran the explode (and the documents
+    # scan under it) once per consumer — 3 evaluations per action
+    # including the profiles subtree inside scores. One eager
     # materialization; isolated noop min-of-3 at sf0.1: 5.73 s → see
     # OPTIMIZATION_r13.md (llm_lang_confusion, which composes this
     # pipeline, inherits the cut). Oracle hash unchanged at
-    # sf0.001/0.01/0.1.
+    # sf0.001/0.01/0.1. (r14 moved the checkpoint one aggregate later —
+    # gram_counts below — so the materialized table is ~5x smaller.)
     # r13b (guide §2.6 — stragglers): the documents parquet arrives as
     # ONE scan split locally, so the 1.47M-row explode, the checkpoint
     # materialization AND every downstream map-side aggregate / broadcast
@@ -834,25 +835,44 @@ def llm_langid(spark, sf_dir):
     par = spark.sparkContext.defaultParallelism
     if scan_is_underparallel(docs, par):
         docs = docs.repartition(par, "doc_id")
-    grams = ckpt(
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"
-                )
-            ).alias("g"),
-        )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"
+            )
+        ).alias("g"),
+    )
+    # r14 (guide §2.3 — aggregate before you shuffle; VERDICT r13 item 5
+    # of "Next round"): both consumers of the per-occurrence gram table
+    # only need DISTINCT (doc, gram) pairs with their occurrence count n
+    # — the profile aggregate sums n per (lang, gram) (exact integers,
+    # COUNT(*) == SUM(n) by definition) and the scoring join's addend
+    # for a (doc, gram, lang) is ln(1+c) repeated n times, computed here
+    # as one n·ln(1+c) term. That shrinks the checkpointed table, the
+    # profile join and the scoring join from every gram OCCURRENCE
+    # (1.47M rows at sf0.1) to every distinct (doc, gram) pair (~5x
+    # fewer), with one extra map-side-combinable count aggregate before
+    # the checkpoint. Float form: n·ln(1+c) vs n repeated additions of
+    # ln(1+c) differ by < n·ulp — orders below the 0.5e-6 rounding
+    # grain at fixture magnitudes; the ROUNDED scores were verified
+    # bit-identical (and integer profiles exactly identical) at
+    # sf0.001/0.01/0.1, and test_r14_optimization_internals pins the
+    # float-gap + boundary-distance argument so a fixture rescale that
+    # breaks it fails loudly. The oracle keeps its per-occurrence form —
+    # both engines still produce the same rounded scores.
+    gram_counts = ckpt(
+        grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("n"))
     )
     profiles = (
-        grams.join(d.select("doc_id", "lang"), "doc_id")
+        gram_counts.join(d.select("doc_id", "lang"), "doc_id")
         .groupBy("lang", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("n").alias("c"))
     )
     scores = (
-        grams.join(profiles.withColumnRenamed("lang", "cand_lang"), "g")
+        gram_counts.join(profiles.withColumnRenamed("lang", "cand_lang"), "g")
         .groupBy("doc_id", "cand_lang")
-        .agg(F.round(F.sum(F.log(1.0 + F.col("c"))), 6).alias("score"))
+        .agg(F.round(F.sum(F.col("n") * F.log(1.0 + F.col("c"))), 6).alias("score"))
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cand_lang"))
     best = (

@@ -256,6 +256,15 @@ def register(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Quer
 # (unlike the array fold, whose fixed-kind elements keep the tree
 # shallow). Build the r13 op with the encode checkpoint AND a
 # post-fold checkpoint.
+# ROUND-14 MAINTENANCE (APPLIED at r14 start): CORRECTNESS_r13 came
+# back 50/50 hash-green — exactly the staged window below (2 canaries
+# re-tagged 13, 6 first-touch keys folded in, 42 oldest-checked
+# round-1/2 keys re-tagged 13). _CANARY rotated to fn_string +
+# ts_tumbling per the rotation table (r15 next: agg_pivot + ml_train).
+# _REVERIFY set to the 10 keys whose operator code changed in THIS
+# optimization round (see the _REVERIFY block below) — they take the
+# front of the r14 driver window ahead of the canaries.
+# The original pre-staged plan, kept verbatim:
 # ROUND-14 PRE-STAGED MAINTENANCE: fold the CORRECTNESS_r13 greens in
 # with tag 13 (expect the 2 canaries dq_profile/source_csv re-tagged +
 # 6 first-touch keys — the retired backlog fn_avro_schema_evolution/
@@ -383,35 +392,35 @@ def register(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Quer
 # (555 passed / 1 skipped, 25m43s).
 _VERIFIED_ROUND: dict[str, int] = {
         # --- round 1 greens ---
-    "agg_benford": 1, "agg_collect": 1, "agg_cooccurrence": 1, "agg_corr_matrix": 1,
-    "agg_count_if": 1, "agg_distinct": 1, "agg_entropy": 1, "agg_gini": 1,
-    "agg_global": 1, "agg_group": 6, "agg_grouping_sets": 1, "agg_having": 1,
-    "agg_hhi": 1, "agg_histogram": 1, "agg_listagg": 1, "agg_mad": 1,
-    "agg_minmax_by": 1, "agg_mode": 1, "agg_multi_distinct": 1, "agg_pareto_share": 1,
-    "agg_percentile_multi": 1, "agg_pivot": 1, "agg_product": 1, "agg_reaggregate": 1,
-    "agg_regr": 1, "agg_rollup": 4, "agg_stats": 1, "agg_trend": 1, "agg_unpivot": 1,
-    "agg_weighted": 1, "agg_weighted_median": 1, "join_anti": 1, "join_asof": 1,
-    "join_broadcast": 1, "join_cross": 1,
+    "agg_benford": 13, "agg_collect": 13, "agg_cooccurrence": 13, "agg_corr_matrix": 13,
+    "agg_count_if": 13, "agg_distinct": 13, "agg_entropy": 13, "agg_gini": 13,
+    "agg_global": 13, "agg_group": 6, "agg_grouping_sets": 13, "agg_having": 13,
+    "agg_hhi": 13, "agg_histogram": 13, "agg_listagg": 13, "agg_mad": 13,
+    "agg_minmax_by": 13, "agg_mode": 13, "agg_multi_distinct": 13, "agg_pareto_share": 13,
+    "agg_percentile_multi": 13, "agg_pivot": 13, "agg_product": 13, "agg_reaggregate": 13,
+    "agg_regr": 13, "agg_rollup": 4, "agg_stats": 13, "agg_trend": 13, "agg_unpivot": 13,
+    "agg_weighted": 13, "agg_weighted_median": 13, "join_anti": 13, "join_asof": 13,
+    "join_broadcast": 13, "join_cross": 13,
     "join_inner_hash": 10,  # r10 canary re-touch
-    "join_left_outer": 1,
-    "join_range": 1, "join_semi": 1,
+    "join_left_outer": 13,
+    "join_range": 13, "join_semi": 13,
     "join_star": 5,  # r5 canary re-touch
-    "ts_calendar_dim": 1,
-    "ts_decay_score": 1, "ts_markov_transitions": 1, "ts_rfm_segment": 1,
+    "ts_calendar_dim": 13,
+    "ts_decay_score": 13, "ts_markov_transitions": 13, "ts_rfm_segment": 13,
         # --- round 2 greens ---
-    "agg_topn_array": 2, "agg_approx_distinct": 4, "agg_sketch_hll": 2,
-    "agg_hll_union": 2, "agg_percentile_approx": 2,
+    "agg_topn_array": 2, "agg_approx_distinct": 4, "agg_sketch_hll": 13,
+    "agg_hll_union": 13, "agg_percentile_approx": 2,
     "scan_parquet": 8, "scan_projected": 2, "sink_parquet_part": 2, "sink_upsert": 2,
     "scan_partition_pruned": 2, "scan_schema_evolution": 2, "scan_csv_malformed": 2,
     "scan_binary_files": 2, "scan_recursive_glob": 2, "join_dpp": 4,
-    "scan_file_provenance": 2, "source_csv": 2, "sink_csv_gzip": 2,
+    "scan_file_provenance": 2, "source_csv": 13, "sink_csv_gzip": 2,
     "source_ga_json": 2, "source_json": 2, "sink_orc": 2, "source_python_ds": 2,
     "source_python_ds_stream": 2, "project_derive": 2, "filter_pred": 2,
     "cast_types": 2, "cond_expr": 2, "null_handling": 2, "dedup_exact": 2,
     "subquery_scalar": 8, "subquery_correlated": 2, "subquery_lateral": 2,
     "fn_try": 2, "cte_recursive": 2, "fn_format": 2, "source_range": 2,
     "subquery_exists_in": 2, "fn_greatest_least": 2, "dq_orphan_audit": 2,
-    "dq_profile": 2, "win_rownum": 3, "win_lag": 4, "win_frame_rows": 2,
+    "dq_profile": 13, "win_rownum": 3, "win_lag": 4, "win_frame_rows": 2,
     "win_frame_range": 2, "win_running": 7, "win_ntile": 2, "win_firstlast": 2,
         # --- round 3 greens ---
     "sample_rows": 3, "sample_stratified": 3, "ts_interval_merge": 3,
@@ -609,16 +618,43 @@ _VERIFIED_ROUND: dict[str, int] = {
     "scan_iceberg_snapshot": 12, "scan_delta_log": 12,
     "scan_delta_checkpoint": 12, "scan_delta_time_travel_ts": 12,
     "fn_protobuf_wire": 12, "fn_avro_wire": 12, "fn_avro_container": 12,
+        # --- round 13 greens (CORRECTNESS_r13: 50/50 hash-green — the 2
+        # canaries dq_profile/source_csv re-tagged 13 above, 42 oldest-
+        # checked round-1/2 keys re-tagged 13 in place, and the 6
+        # first-touch keys below: the retired backlog + the two r13
+        # additions — exactly the staged window) ---
+    "fn_avro_schema_evolution": 13,
+    "fn_avro_union_nullable": 13,
+    "scan_delta_partition_values": 13,
+    "fn_avro_array_blocks": 13,
+    "scan_delta_deletion_vectors": 13,
+    "fn_avro_map_blocks": 13,
 }
 
 DRIVER_VERIFIED: frozenset[str] = frozenset(_VERIFIED_ROUND)
 
 # Keys repaired this round that must re-hash before being trusted again.
-# Round 13: empty — per the r12-close determination recorded in the
-# pre-staged fold notes, every r12 product-code change touched only
-# never-driver-checked backlog keys or session infrastructure, so no
-# driver-GREEN key's operator code changed post-green.
-_REVERIFY: tuple[str, ...] = ()
+# Round 14 (optimization round 2): every key whose OPERATOR CODE changed
+# post-green this round — the 7 codec ops (decode moved from per-row
+# Python walks to numpy-vectorized batch walks, functions/avro_np.py),
+# llm_langid + llm_lang_confusion (scoring join pre-aggregated to
+# distinct (doc, gram) counts; rounded scores verified bit-identical at
+# 3 scales), and join_fuzzy_blocked (SymDelete candidate generation +
+# file-metadata split probe). All were re-verified against the oracle
+# at sf0.001/0.01 (and the semantics-sensitive ones at sf0.1) before
+# landing; the _REVERIFY slot puts the DRIVER's own hash back on them.
+_REVERIFY: tuple[str, ...] = (
+    "fn_protobuf_wire",
+    "fn_avro_wire",
+    "fn_avro_schema_evolution",
+    "fn_avro_union_nullable",
+    "fn_avro_container",
+    "fn_avro_array_blocks",
+    "fn_avro_map_blocks",
+    "llm_langid",
+    "llm_lang_confusion",
+    "join_fuzzy_blocked",
+)
 
 # Regression canaries: a small rotating sample of already-verified keys kept
 # inside the driver's checked prefix so regressions in verified operators are
@@ -626,8 +662,8 @@ _REVERIFY: tuple[str, ...] = ()
 # (56 never-checked keys compete for ~50 slots; every canary slot displaces a
 # first-touch verification — r4 verdict item 1).
 _CANARY: tuple[str, ...] = (
-    "dq_profile",   # dq family (r2 green — 10 rounds untouched)
-    "source_csv",   # source family (r2 green — 10 rounds untouched)
+    "fn_string",    # fn family (r6 green — 8 rounds untouched)
+    "ts_tumbling",  # ts family (r4 green — 10 rounds untouched)
 )
 
 # Round-5 window priority: the 13 round-4 llm/mm additions first (the

@@ -11,6 +11,8 @@ from __future__ import annotations
 import io
 from contextlib import redirect_stdout
 
+import pytest
+
 from morphl_model_publishers_churning_users_spark.registry import get_queries
 
 _Q = get_queries()
@@ -872,6 +874,19 @@ _PYTHON_EVAL_NODES = (
 )
 
 
+def _plan_audit(spark, sf_dir, keys):
+    cartesian, python_leaks = [], []
+    for key in keys:
+        plan = _plan(spark, sf_dir, key)
+        if "CartesianProduct" in plan:
+            cartesian.append(key)
+        if any(n in plan for n in _PYTHON_EVAL_NODES) and key not in _DECLARED_PYTHON_KEYS:
+            python_leaks.append(key)
+    assert cartesian == []
+    assert python_leaks == []
+
+
+@pytest.mark.slow
 def test_full_registry_plan_audit_cartesian_and_python_surface(spark, sf_dir):
     """Umbrella guard over the ENTIRE registry in one plan walk
     (upgraded round 7 from the first-50 window after a clean 556-plan
@@ -882,18 +897,21 @@ def test_full_registry_plan_audit_cartesian_and_python_surface(spark, sf_dir):
     (2) Python-eval nodes appear ONLY in the declared 21-key surface —
     a new key showing up means row-at-a-time Python leaked into a hot
     path. (Keys whose construction eagerly checkpoints run their plans
-    here too — the cost is bounded by the sf0.001 fixture.)"""
+    here too — the cost is bounded by the sf0.001 fixture. slow: ~3 min
+    for 568 plans; the default gate keeps the 1-in-6 sample below plus
+    the declared Python surface, whose leak law is the likeliest to
+    regress.)"""
     from morphl_model_publishers_churning_users_spark.registry import get_queries
 
-    cartesian, python_leaks = [], []
-    for key in get_queries():
-        plan = _plan(spark, sf_dir, key)
-        if "CartesianProduct" in plan:
-            cartesian.append(key)
-        if any(n in plan for n in _PYTHON_EVAL_NODES) and key not in _DECLARED_PYTHON_KEYS:
-            python_leaks.append(key)
-    assert cartesian == []
-    assert python_leaks == []
+    _plan_audit(spark, sf_dir, list(get_queries()))
+
+
+def test_sampled_plan_audit_cartesian_and_python_surface(spark, sf_dir):
+    from morphl_model_publishers_churning_users_spark.registry import get_queries
+
+    keys = sorted(get_queries())
+    sample = set(keys[::6]) | (_DECLARED_PYTHON_KEYS & set(keys))
+    _plan_audit(spark, sf_dir, sorted(sample))
 
 
 def test_aqe_sizes_vocab_joins_at_runtime(spark, sf_dir):
