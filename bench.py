@@ -134,6 +134,12 @@ def main() -> None:
         # Round-13 additions, same discipline.
         "scan_delta_deletion_vectors",
         "fn_avro_map_blocks",
+        # Round-14 additions (additions-only per the driver contract):
+        # the two ops this optimization round restructured — langid's
+        # pre-aggregated scoring join and the SymDelete fuzzy join —
+        # tracked from their rewrite so future rounds see regressions.
+        "llm_lang_confusion",
+        "join_fuzzy_blocked",
     )
     NO_WARMUP = {"graph_hits"}
     # Interleaved warm→measure per key, with a GC fence between keys:

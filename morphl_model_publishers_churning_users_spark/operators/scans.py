@@ -13,12 +13,33 @@ from __future__ import annotations
 import os
 import re
 import shutil
+from concurrent.futures import ThreadPoolExecutor
 
 import pyspark.sql.functions as F
 from pyspark.sql import Window
 
 from ..registry import register
 from ._shared import ckpt, scratch_dir, t
+
+
+def _overlap_writes(*thunks):
+    """Run INDEPENDENT fixture-slice write jobs concurrently and return
+    their results in argument order (r14, guide §2.6 — overlap
+    independent jobs). Each Delta-fixture slice write is underparallel
+    on its own (2–4 write tasks after the repartition, on a session
+    with 32 cores), and the driver previously serialized 2–4 of them
+    per op. Safety: the slices land in DISTINCT subdirectories, the
+    commit-log content depends only on the resulting file listings +
+    sizes, and commit timestamps are deterministic constants (never
+    wall clock) — so the on-disk fixture is byte-equivalent regardless
+    of completion order, and the ops' outputs are unchanged (oracle
+    re-verified). Spark's scheduler runs concurrent actions FIFO,
+    which is exactly the back-fill behaviour the guide describes; 2–3
+    jobs in flight is the sweet spot and the pool never exceeds the
+    thunk count."""
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(th) for th in thunks]
+        return [f.result() for f in futures]
 
 # Delta commit-log action schema WITH partitionValues (the on-disk add
 # shape scan_delta_partition_values folds). Module-level so diagnostic
@@ -1613,8 +1634,12 @@ def scan_delta_log(spark, sf_dir):
             if f.startswith("part-") and f.endswith(".parquet")
         )
 
-    base_files = write_files(o.filter(F.col("o_orderdate") < cutoff), "b1", 4)
-    appended = write_files(o.filter(F.col("o_orderdate") >= cutoff), "b2", 2)
+    # b1/b2 are independent slices — written concurrently (r14, guide
+    # §2.6; see _overlap_writes). c1 reads b1's files, so it follows.
+    base_files, appended = _overlap_writes(
+        lambda: write_files(o.filter(F.col("o_orderdate") < cutoff), "b1", 4),
+        lambda: write_files(o.filter(F.col("o_orderdate") >= cutoff), "b2", 2),
+    )
     # Compaction rewrites v0's content from the LOG's live-file list at
     # v0 (not from the filter predicate), as a real OPTIMIZE would.
     compacted = write_files(
@@ -1786,16 +1811,22 @@ def scan_delta_checkpoint(spark, sf_dir):
             if f.startswith("part-") and f.endswith(".parquet")
         )
 
-    base_files = write_files(o.filter(F.col("o_orderdate") < c2000), "b1", 4)
-    appended = write_files(
-        o.filter((F.col("o_orderdate") >= c2000) & (F.col("o_orderdate") < c2001)),
-        "b2",
-        2,
+    # b1/b2/b3 are independent slices — written concurrently (r14,
+    # guide §2.6; see _overlap_writes). c1 reads b1's files: it follows.
+    base_files, appended, late = _overlap_writes(
+        lambda: write_files(o.filter(F.col("o_orderdate") < c2000), "b1", 4),
+        lambda: write_files(
+            o.filter(
+                (F.col("o_orderdate") >= c2000) & (F.col("o_orderdate") < c2001)
+            ),
+            "b2",
+            2,
+        ),
+        lambda: write_files(o.filter(F.col("o_orderdate") >= c2001), "b3", 2),
     )
     compacted = write_files(
         spark.read.parquet(*[os.path.join(tbl, p) for p in base_files]), "c1", 1
     )
-    late = write_files(o.filter(F.col("o_orderdate") >= c2001), "b3", 2)
 
     # ADVICE r10: repartition(n) guarantees at most n non-empty output
     # files, not exactly n — a tiny or skewed future fixture slice would
@@ -2051,16 +2082,21 @@ def scan_delta_time_travel_ts(spark, sf_dir):
             if f.startswith("part-") and f.endswith(".parquet")
         )
 
-    base_files = write_files(o.filter(F.col("o_orderdate") < c2000), "b1", 4)
-    appended = write_files(
-        o.filter((F.col("o_orderdate") >= c2000) & (F.col("o_orderdate") < c2001)),
-        "b2",
-        2,
+    # b1/b2/b3 independent — concurrent (r14, guide §2.6); c1 follows.
+    base_files, appended, late = _overlap_writes(
+        lambda: write_files(o.filter(F.col("o_orderdate") < c2000), "b1", 4),
+        lambda: write_files(
+            o.filter(
+                (F.col("o_orderdate") >= c2000) & (F.col("o_orderdate") < c2001)
+            ),
+            "b2",
+            2,
+        ),
+        lambda: write_files(o.filter(F.col("o_orderdate") >= c2001), "b3", 2),
     )
     compacted = write_files(
         spark.read.parquet(*[os.path.join(tbl, p) for p in base_files]), "c1", 1
     )
-    late = write_files(o.filter(F.col("o_orderdate") >= c2001), "b3", 2)
     for got, want, sub in (
         (base_files, 4, "b1"),
         (appended, 2, "b2"),
@@ -2364,15 +2400,16 @@ def scan_delta_partition_values(spark, sf_dir):
                 out[year] = os.path.join("data", sub, d, f)
         return out
 
-    v0_files = write_partitioned(
-        o.filter(
-            (F.col("o_year") != 1998) | (F.col("o_orderkey") % 2 == 0)
+    # v0/v1 are independent slices — concurrent (r14, guide §2.6).
+    v0_files, v1_files = _overlap_writes(
+        lambda: write_partitioned(
+            o.filter((F.col("o_year") != 1998) | (F.col("o_orderkey") % 2 == 0)),
+            "v0",
         ),
-        "v0",
-    )
-    v1_files = write_partitioned(
-        o.filter((F.col("o_year") == 1998) & (F.col("o_orderkey") % 2 == 1)),
-        "v1",
+        lambda: write_partitioned(
+            o.filter((F.col("o_year") == 1998) & (F.col("o_orderkey") % 2 == 1)),
+            "v1",
+        ),
     )
     if sorted(v0_files) != list(range(1995, 2002)) or sorted(v1_files) != [1998]:
         raise AssertionError(

@@ -261,7 +261,7 @@ def register(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Quer
 # re-tagged 13, 6 first-touch keys folded in, 42 oldest-checked
 # round-1/2 keys re-tagged 13). _CANARY rotated to fn_string +
 # ts_tumbling per the rotation table (r15 next: agg_pivot + ml_train).
-# _REVERIFY set to the 10 keys whose operator code changed in THIS
+# _REVERIFY set to the 14 keys whose operator code changed in THIS
 # optimization round (see the _REVERIFY block below) — they take the
 # front of the r14 driver window ahead of the canaries.
 # The original pre-staged plan, kept verbatim:
@@ -639,8 +639,9 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(_VERIFIED_ROUND)
 # Python walks to numpy-vectorized batch walks, functions/avro_np.py),
 # llm_langid + llm_lang_confusion (scoring join pre-aggregated to
 # distinct (doc, gram) counts; rounded scores verified bit-identical at
-# 3 scales), and join_fuzzy_blocked (SymDelete candidate generation +
-# file-metadata split probe). All were re-verified against the oracle
+# 3 scales), join_fuzzy_blocked (SymDelete candidate generation +
+# file-metadata split probe), and the 4 Delta-fixture ops whose slice
+# writes now overlap (guide §2.6). All were re-verified against the oracle
 # at sf0.001/0.01 (and the semantics-sensitive ones at sf0.1) before
 # landing; the _REVERIFY slot puts the DRIVER's own hash back on them.
 _REVERIFY: tuple[str, ...] = (
@@ -654,6 +655,12 @@ _REVERIFY: tuple[str, ...] = (
     "llm_langid",
     "llm_lang_confusion",
     "join_fuzzy_blocked",
+    # Delta fixture writes overlapped via _overlap_writes (guide §2.6;
+    # byte-equivalent fixture, outputs unchanged, oracle re-verified).
+    "scan_delta_log",
+    "scan_delta_checkpoint",
+    "scan_delta_time_travel_ts",
+    "scan_delta_partition_values",
 )
 
 # Regression canaries: a small rotating sample of already-verified keys kept
