@@ -264,7 +264,18 @@ def register(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Quer
 # _REVERIFY set to the 14 keys whose operator code changed in THIS
 # optimization round (see the _REVERIFY block below) — they take the
 # front of the r14 driver window ahead of the canaries.
-# The original pre-staged plan, kept verbatim:
+# ROUND-15 PRE-STAGED MAINTENANCE: fold the CORRECTNESS_r14 greens in
+# with tag 14 — expect the 14 _REVERIFY keys re-hashed under their r14
+# code (clear _REVERIFY after confirming all 14 green), the 2 canaries
+# fn_string/ts_tumbling re-tagged, and ~34 SECOND-touch keys from the
+# oldest-checked tail (the remaining (99, 1)/(99, 2)-ranked round-1/2
+# greens in dict-insertion order). Rotate _CANARY to agg_pivot +
+# ml_train per the r13-close staging (r16 next: continue the
+# oldest-family rotation). _REVERIFY determination for the r15 fold:
+# set it to any key whose operator code changes post-green in r15;
+# the r14 changes are fully covered by the r14 window below.
+#
+# The original r13-close pre-staged plan, kept verbatim:
 # ROUND-14 PRE-STAGED MAINTENANCE: fold the CORRECTNESS_r13 greens in
 # with tag 13 (expect the 2 canaries dq_profile/source_csv re-tagged +
 # 6 first-touch keys — the retired backlog fn_avro_schema_evolution/
