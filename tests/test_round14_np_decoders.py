@@ -312,3 +312,30 @@ def test_malformed_varint_raises():
     data = np.frombuffer(b"\x80" * 11 + b"\x01", np.uint8)
     with pytest.raises(ValueError):
         vec._vec_uvarint(data, np.zeros(1, np.int64))
+
+
+def test_decoders_tolerate_zero_row_batches():
+    """mapInArrow contracts allow empty record batches (and a 0-row
+    binary array carries no offsets buffer at all) — every decoder must
+    pass one through without touching a missing buffer."""
+    empty_wire = pa.record_batch(
+        {
+            "key_in": pa.array([], pa.int64()),
+            "pri_in": pa.array([], pa.string()),
+            "delta_in": pa.array([], pa.int64()),
+            "payload": pa.array([], pa.binary()),
+        }
+    )
+    for fn in (vec.decode_wire, vec.decode_union_nullable, vec.decode_schema_evolution):
+        (out,) = list(fn(iter([empty_wire])))
+        assert out.num_rows == 0
+    empty_blocks = pa.record_batch(
+        {
+            "key_in": pa.array([], pa.int64()),
+            "items": pa.array([], pa.list_(pa.int64())),
+            "n_in": pa.array([], pa.int64()),
+            "payload": pa.array([], pa.binary()),
+        }
+    )
+    (out,) = list(vec.decode_array_blocks(iter([empty_blocks])))
+    assert out.num_rows == 0
